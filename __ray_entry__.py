@@ -4,41 +4,194 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The corpus per BASELINE.json's ``input_hint`` (transcript turns) is not
+among the driver's pre-generated tables, so it is synthesized
+deterministically per scale tag (seed 42, see
+``search_engine_ray/datagen.py``) under ``/tmp/seray_data``; the oracle
+SQL reads the SAME parquet files via ``read_parquet``. Queries over the
+driver's own pre-registered views (``documents``, ``embeddings``) use
+those views directly.
+
+No function here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BUILD_ROOT = os.environ.get("SERAY_BUILD_DIR", "/tmp/seray_builds")
+
+
+def _ensure_build(sf_dir_or_tag: str) -> str:
+    """Idempotently build (or resume) the index for one scale tag;
+    returns the index out_dir. Lineage manifests make repeated calls
+    cheap — every queries() callable shares one build per scale."""
+    from search_engine_ray import datagen
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.pipelines import build
+
+    tag = sf_dir_or_tag if "/" not in sf_dir_or_tag else datagen.sf_tag_of_dir(sf_dir_or_tag)
+    files = datagen.transcripts_files(tag)
+    out = os.path.join(BUILD_ROOT, tag)
+    cfg = BuildConfig(input_paths=files, out_dir=out, n_partitions=4, resume=True)
+    build.build_index(cfg)
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: full index build (analyze actor
+    pool -> docids -> dictionary -> sorted compressed block index) +
+    BM25 block-max top-k over the reference query set."""
+    return _search_topk("sf0.001", mode="bm25")
+
+
+def _search_topk(sf_dir: str, mode: str):
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode=mode)
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"]
+    )
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
+def _flat_postings(sf_dir: str):
+    from search_engine_ray.pipelines import build
+
+    out = _ensure_build(sf_dir)
+    return build.read_flat_postings(out, columns=["lemma", "conv_id", "turn_idx", "tf"])
+
+
+def _lemma_dict(sf_dir: str):
+    from search_engine_ray.pipelines import build
+
+    out = _ensure_build(sf_dir)
+    return pq.read_table(build.lemma_dict_path(out)).select(["lemma", "df", "cf", "max_tf"])
+
+
+def _doc_stats(sf_dir: str):
+    from search_engine_ray.pipelines import build
+
+    out = _ensure_build(sf_dir)
+    return pq.read_table(
+        build.docs_dir(out), columns=["conv_id", "turn_idx", "doc_len"]
+    )
+
+
+def _corpus_stats(sf_dir: str):
+    from search_engine_ray.pipelines import build
+    from search_engine_ray.state.manifest import load_json
+
+    out = _ensure_build(sf_dir)
+    s = load_json(build.build_manifest_path(out))["stats"]
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], pa.int64()),
+            "n_convs": pa.array([s["n_convs"]], pa.int64()),
+            "total_len": pa.array([s["total_len"]], pa.int64()),
+            "n_lemmas": pa.array([s["n_lemmas"]], pa.int64()),
+            "n_postings": pa.array([s["n_postings"]], pa.int64()),
+            "avgdl": pa.array([round(s["avgdl"], 9)], pa.float64()),
+        }
+    )
+
+
+def _role_stats(sf_dir: str):
+    from search_engine_ray import datagen
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    files = datagen.transcripts_files(sf_dir)
+    ds = read_transcripts(files, columns=["role"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby("role").aggregate(Count(alias_name="n_docs"))
+
+
+def _transcripts_roundtrip(sf_dir: str):
+    """Per-row invariant: the engine-read corpus, all columns."""
+    from search_engine_ray import datagen
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    return read_transcripts(datagen.transcripts_files(sf_dir))
+
+
+def _df_cutoff_lemmas(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from search_engine_ray.config import REFERENCE_DF_CUTOFF
+
+    t = _lemma_dict(sf_dir).select(["lemma", "df"])
+    return t.filter(pc.greater_equal(t.column("df"), REFERENCE_DF_CUTOFF))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    return {
+        "flat_postings": _flat_postings,
+        "lemma_dict": _lemma_dict,
+        "doc_stats": _doc_stats,
+        "corpus_stats": _corpus_stats,
+        "role_stats": _role_stats,
+        "transcripts_roundtrip": _transcripts_roundtrip,
+        "df_cutoff_lemmas": _df_cutoff_lemmas,
+        "search_topk_bm25": lambda sf: _search_topk(sf, "bm25"),
+        "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL. The SQL is generated from the SAME
+    analyzer rule tables the engine executes (analyzer.py), over the
+    same parquet files the Ray pipeline reads (driver compares at
+    sf=0.01)."""
+    from search_engine_ray import datagen, oracle
+    from search_engine_ray.config import REFERENCE_DF_CUTOFF
+
+    tag = "sf0.01"
+    datagen.generate(tag)  # oracle may run before the Ray side
+    src = oracle.transcripts_rel(tag)
+    qs = datagen.reference_queries()
+    return {
+        "flat_postings": oracle.flat_postings_sql(src),
+        "lemma_dict": oracle.lemma_dict_sql(src),
+        "doc_stats": oracle.doc_stats_sql(src),
+        "corpus_stats": oracle.corpus_stats_sql(src),
+        "role_stats": oracle.role_stats_sql(src),
+        "transcripts_roundtrip": oracle.transcripts_roundtrip_sql(src),
+        "df_cutoff_lemmas": (
+            f"SELECT lemma, df FROM ({oracle.lemma_dict_sql(src)}) "
+            f"WHERE df >= {REFERENCE_DF_CUTOFF}"
+        ),
+        "search_topk_bm25": oracle.bm25_topk_sql(src, qs),
+        "search_topk_reference": oracle.reference_topk_sql(src, qs),
+    }

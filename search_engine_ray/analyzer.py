@@ -1,0 +1,253 @@
+"""Deterministic text analyzer shared by the engine, the DuckDB oracle and tests.
+
+This is the analog of the reference's morphology service
+(``/root/reference/src/main/java/searchengine/services/morphology/LemmaFinderImpl.java``):
+
+- ``LemmaFinderImpl.arrayContainsRussianWords`` (:111-118): lowercase,
+  charset fold (every char outside the word charset -> space), whitespace
+  split.  Here the charset is ``[a-z0-9]`` (transcript text is mostly
+  English/ASCII; anything else folds to a separator on BOTH the engine and
+  the SQL-oracle side, so parity holds).
+- ``LemmaFinderImpl.isWrongWord/hasParticleProperty`` (:92-109): the
+  particle filter becomes a frozen stopword list + a min-token-length rule.
+- ``LemmaFinderImpl.collectLemmas`` (:19-39): first-normal-form
+  lemmatization becomes a deterministic ordered suffix-rule list
+  (first-match-wins, no iteration) so the exact same transform is
+  expressible as a DuckDB ``CASE`` expression (``lemma_case_sql``) — the
+  correctness gate compares the Ray pipeline against SQL generated from the
+  *same rule data*, so the two can never drift.
+
+Everything here is pure (no Ray imports) and cheap to import on workers.
+The vectorized batch path (``flatten_tokens`` + ``lemmatize_unique``) is
+used by the actor-pool stage in ``stages/analyze.py``; the scalar path
+(``analyze``) is used for queries and golden tests (the analog of the
+reference's ``getLemmaSet``, LemmaFinderImpl.java:42-58).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Bump whenever tokenization/lemmatization semantics change: baked into
+# partition manifests so a resumed build never mixes analyzer versions.
+ANALYZER_VERSION = "1"
+
+# Word charset: chars outside this fold to a separator (reference charset
+# was [а-я], LemmaFinderImpl.java:115; generalized for transcript text).
+NON_WORD_REGEX = r"[^a-z0-9]+"
+
+MIN_TOKEN_LEN = 2
+
+# Frozen stop list — the analog of the reference's particle-tag drop
+# (МЕЖД/ПРЕДЛ/СОЮЗ, LemmaFinderImpl.java:13,92-109). Deterministic and
+# shipped with the package; shared verbatim with the SQL oracle.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "this", "with", "for", "as", "on", "at", "by", "be", "are", "was",
+    "were", "from", "not", "but", "have", "has", "had", "you", "he", "she",
+    "we", "they", "do", "does", "did", "will", "would", "can", "could",
+    "into", "if", "then", "than", "so", "no", "its", "their", "them",
+    "his", "her", "our", "us", "me", "my", "your",
+)
+_STOPSET = frozenset(STOPWORDS)
+
+# Ordered first-match-wins suffix rules: (suffix, replacement,
+# min_stem_len, excluded_token_endings). A token matches a rule iff it
+# ends with `suffix`, len(token) >= min_stem_len + len(suffix), and does
+# not end with any excluded ending; the FIRST matching rule applies and
+# no further rules are tried. This mirrors the reference's
+# "first normal form" determinism (getNormalForms(word).get(0),
+# LemmaFinderImpl.java:26-31) with a rule table instead of a dictionary.
+LEMMA_RULES: tuple[tuple[str, str, int, tuple[str, ...]], ...] = (
+    ("ies", "y", 2, ()),
+    ("ing", "", 4, ()),
+    ("ed", "", 4, ()),
+    ("es", "", 3, ()),
+    ("s", "", 3, ("ss", "us", "is")),
+)
+
+
+# ---------------------------------------------------------------------------
+# Scalar path (queries, golden tests, snippets)
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: str) -> str:
+    """Lowercase + fold every non-[a-z0-9] char to a space."""
+    import re
+
+    return re.sub(NON_WORD_REGEX, " ", text.lower())
+
+
+def tokenize(text: str) -> list[str]:
+    """Charset-fold + split + min-length + stopword filter (no lemmatize)."""
+    out = []
+    for tok in normalize_text(text).split():
+        if len(tok) >= MIN_TOKEN_LEN and tok not in _STOPSET:
+            out.append(tok)
+    return out
+
+
+def lemmatize_token(tok: str) -> str:
+    for suffix, repl, min_stem, excluded in LEMMA_RULES:
+        if (
+            tok.endswith(suffix)
+            and len(tok) >= min_stem + len(suffix)
+            and not any(tok.endswith(e) for e in excluded)
+        ):
+            return tok[: len(tok) - len(suffix)] + repl
+    return tok
+
+
+def analyze(text: str) -> dict[str, int]:
+    """Per-document lemma -> tf map (reference ``collectLemmas``)."""
+    counts: dict[str, int] = {}
+    for tok in tokenize(text):
+        lemma = lemmatize_token(tok)
+        counts[lemma] = counts.get(lemma, 0) + 1
+    return counts
+
+
+def analyze_query(text: str) -> list[str]:
+    """Deduped query lemmas (reference ``getLemmaSet``), sorted for
+    determinism; query planning re-sorts df-ascending."""
+    return sorted({lemmatize_token(t) for t in tokenize(text)})
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch path (used by the actor-pool map_batches stage)
+# ---------------------------------------------------------------------------
+
+def flatten_tokens(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized tokenize over an Arrow string column.
+
+    Returns ``(doc_idx: np.int64[nt], tokens: pa.StringArray[nt])`` where
+    ``doc_idx`` maps each surviving token to its row in ``texts``. All
+    string work is pyarrow.compute kernels (zero-copy from the object
+    store); no per-row Python.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    arr = pc.fill_null(texts, "")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, NON_WORD_REGEX, " ")
+    toks = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.and_(
+        pc.greater_equal(pc.utf8_length(flat), MIN_TOKEN_LEN),
+        pc.invert(pc.is_in(flat, value_set=pa.array(STOPWORDS))),
+    )
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return doc_idx[keep_np], flat.filter(keep)
+
+
+def lemmatize_unique(tokens: np.ndarray, memo: dict[str, str]) -> np.ndarray:
+    """Lemmatize an array of *unique* surface forms, memoized across
+    batches (the memo lives in the analyzer actor, loaded-once state)."""
+    out = np.empty(len(tokens), dtype=object)
+    get = memo.get
+    for i, tok in enumerate(tokens):
+        lemma = get(tok)
+        if lemma is None:
+            lemma = lemmatize_token(tok)
+            memo[tok] = lemma
+        out[i] = lemma
+    return out
+
+
+def analyze_batch(texts: pa.Array | pa.ChunkedArray, memo: dict[str, str]):
+    """Vectorized ``collectLemmas`` over a batch of documents.
+
+    Returns ``(post_doc_idx, post_lemmas, post_tf, doc_len)``:
+    - ``post_doc_idx: int64[np]`` — row index into the batch per posting;
+    - ``post_lemmas: object[np]`` — lemma string per posting;
+    - ``post_tf: int32[np]`` — term frequency within the document;
+    - ``doc_len: int32[n]`` — surviving-token count per document (0 for
+      empty/whitespace-only text — those docs emit no postings).
+
+    The heavy lifting is arrow kernels + np.unique on integer codes; the
+    only Python loop is over *unique* surface forms (memoized), which is
+    tiny relative to token count.
+    """
+    import pandas as pd
+
+    n = len(texts)
+    doc_idx, flat = flatten_tokens(texts)
+    if len(doc_idx) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, object),
+            np.empty(0, np.int32),
+            np.zeros(n, np.int32),
+        )
+    surf = flat.to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(surf, sort=False)
+    lemma_of_unique = lemmatize_unique(np.asarray(uniques, dtype=object), memo)
+    lcodes_u, lemma_uniques = pd.factorize(lemma_of_unique, sort=False)
+    lemma_codes = lcodes_u[codes]
+    nl = len(lemma_uniques)
+    key = doc_idx * np.int64(nl) + lemma_codes
+    ukey, tf = np.unique(key, return_counts=True)
+    post_doc_idx = ukey // nl
+    post_lemmas = np.asarray(lemma_uniques, dtype=object)[ukey % nl]
+    doc_len = np.bincount(doc_idx, minlength=n).astype(np.int32)
+    return post_doc_idx, post_lemmas, tf.astype(np.int32), doc_len
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle generation — SQL is generated from the SAME rule tables above
+# ---------------------------------------------------------------------------
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def lemma_case_sql(col: str) -> str:
+    """DuckDB CASE expression equivalent to ``lemmatize_token``."""
+    whens = []
+    for suffix, repl, min_stem, excluded in LEMMA_RULES:
+        conds = [
+            f"{col} LIKE {_sql_quote('%' + suffix)}",
+            f"length({col}) >= {min_stem + len(suffix)}",
+        ]
+        for e in excluded:
+            conds.append(f"{col} NOT LIKE {_sql_quote('%' + e)}")
+        expr = f"substr({col}, 1, length({col}) - {len(suffix)})"
+        if repl:
+            expr = f"{expr} || {_sql_quote(repl)}"
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {expr}")
+    return "CASE " + " ".join(whens) + f" ELSE {col} END"
+
+
+def stopword_sql_list() -> str:
+    return ", ".join(_sql_quote(w) for w in STOPWORDS)
+
+
+def postings_ctes_sql(source_rel: str, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> str:
+    """CTE chain ``__toks -> __lem -> __postings`` over ``source_rel``.
+
+    ``__postings`` has columns ``(lemma, *key_cols, tf)`` and is the exact
+    SQL mirror of the engine's flat-postings output; tf is INT32 to match
+    the engine schema.
+    """
+    keys = ", ".join(key_cols)
+    return f"""
+__toks AS (
+    SELECT {keys},
+           unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                  '{NON_WORD_REGEX}', ' ', 'g')), ' ')) AS tok
+    FROM {source_rel}
+),
+__lem AS (
+    SELECT {keys}, {lemma_case_sql('tok')} AS lemma
+    FROM __toks
+    WHERE length(tok) >= {MIN_TOKEN_LEN} AND tok NOT IN ({stopword_sql_list()})
+),
+__postings AS (
+    SELECT lemma, {keys}, CAST(count(*) AS INT) AS tf
+    FROM __lem GROUP BY ALL
+)"""

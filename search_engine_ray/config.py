@@ -1,0 +1,41 @@
+"""Build / search configuration (the analog of the reference's YAML config
+``/root/reference/application.yaml:3-22`` + ``config/SitesList.java:10-16``:
+a closed list of inputs + engine knobs, as a plain dataclass)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Reference constants kept for parity mode (BASELINE.md):
+REFERENCE_DF_CUTOFF = 250      # SearchServiceImpl.java:170 — query lemmas with df >= 250 dropped
+SNIPPET_LEN = 240              # SnippetCreator.java:19
+DEFAULT_PAGE_SIZE = 10         # templates/index.html:128
+
+# docid layout: docid = (conv_rank << TURN_BITS) | turn_idx. Dense conv
+# ranks are assigned in sorted conv_id order so uint64 docid order ==
+# lexicographic (conv_id, turn_idx) order — the deterministic tie-break
+# total order the rank-identity gate requires (SURVEY.md §7).
+TURN_BITS = 20
+
+
+@dataclass
+class BuildConfig:
+    input_paths: list[str]
+    out_dir: str
+    # analyzer actor pool (stateful stage A1, SURVEY.md §2.3)
+    batch_size: int = 2048
+    concurrency: tuple[int, int] | int = (1, 8)  # actor-pool size (min, max)
+    # posting blocks
+    block_size: int = 128            # postings per compressed block
+    k1: float = 1.2
+    b: float = 0.75
+    # checkpointing: input files are grouped into this many stage-A
+    # partitions, each with its own lineage manifest (resume unit)
+    n_partitions: int = 8
+    # skew: a lemma whose df exceeds this is salted into
+    # ceil(df / target) docid-range buckets before the groupby so no
+    # single encode task holds the full hot posting list
+    target_group_postings: int = 1 << 18
+    resume: bool = False
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,264 @@
+"""Deterministic synthetic transcripts corpus + reference query set.
+
+BASELINE.json's ``input_hint`` fixes the input shape: a Parquet table of
+multi-turn conversation / agent transcripts with columns
+``(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us])``. The driver's testdata has no such table, so we
+synthesize it deterministically (single integer seed, no wall-clock / RNG
+entropy) at a scale matched to the driver's sf dirs:
+
+    sf0.001 -> ~6k turns   (smoke)
+    sf0.01  -> ~60k turns  (correctness vs DuckDB oracle)
+    sf0.1   -> ~600k turns (bench + scaling)
+
+Corpus properties exercise the engine per FIXTURES.md §1: Zipfian
+vocabulary (~8k stems x inflection suffixes so the lemmatizer folds real
+work), a handful of ultra-hot lemmas (hot-lemma salting + the reference's
+df>=250 drop, SearchServiceImpl.java:169-178), rare singletons, empty
+texts, punctuation/case/unicode noise.
+
+The corpus is cached under ``/tmp/seray_data/v{N}/{tag}/transcripts`` as
+multi-file Parquet (parallel reads produce >1 block); a ``_SUCCESS``
+marker makes generation idempotent. The DuckDB oracle SQL reads the same
+files via ``read_parquet``, so engine and oracle see identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import analyzer
+
+DATAGEN_VERSION = "1"
+SEED = 42
+BASE_DIR = os.environ.get("SERAY_DATA_DIR", "/tmp/seray_data")
+N_FILES = 8
+MAX_TURNS_PER_CONV = 32
+TS_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+TRANSCRIPTS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_SYLLABLES = (
+    "ba be bo da de du ka ke ko la le lo ma me mo na ne no "
+    "ra re ro sa se so ta te to va ve vo za zo"
+).split()
+N_STEMS = 8000
+HOT_STEMS = 3          # ultra-hot lemmas (index 0..2)
+HOT_MIX = 0.08         # probability a token draw is a hot stem
+_SUFFIXES = ("", "s", "ed", "ing")
+ROLES = ("user", "assistant", "tool", "system")
+ROLE_P = (0.40, 0.40, 0.15, 0.05)
+TOOLS = tuple(f"tool-{n}" for n in ("search", "calc", "browse", "shell", "db", "mail", "plot", "fs"))
+_PUNCT = (",", ".", "!", "?", ";", ":", " —")
+_NOISE = ("Ж", "é", "ü", "—", "🙂", "№")
+
+
+def stem(i: int) -> str:
+    s = _SYLLABLES
+    return "w" + s[(i // (32 * 32)) % 32] + s[(i // 32) % 32] + s[i % 32]
+
+
+def _foldable_suffixes() -> list[list[str]]:
+    """Per-stem list of suffixes whose inflected form lemmatizes back to
+    the stem's own lemma — keeps surface-form folding consistent."""
+    out = []
+    for i in range(N_STEMS):
+        st = stem(i)
+        base = analyzer.lemmatize_token(st)
+        out.append([sfx for sfx in _SUFFIXES if analyzer.lemmatize_token(st + sfx) == base])
+    return out
+
+
+def sf_tag_of_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if not tag.startswith("sf"):
+        raise ValueError(f"cannot infer scale factor from {sf_dir!r}")
+    return tag
+
+
+def n_turns_for_tag(tag: str) -> int:
+    return max(200, int(round(float(tag[2:]) * 6_000_000)))
+
+
+def transcripts_dir(tag: str) -> str:
+    return os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts")
+
+
+def transcripts_files(sf_dir_or_tag: str) -> list[str]:
+    """Ensure the corpus for this scale exists; return its parquet paths.
+
+    Accepts either a bare tag ('sf0.01') or a driver sf dir
+    ('/root/testdata/sf0.01')."""
+    tag = sf_dir_or_tag if "/" not in sf_dir_or_tag else sf_tag_of_dir(sf_dir_or_tag)
+    d = generate(tag)
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def generate(tag: str) -> str:
+    """Idempotently generate the corpus for scale tag (e.g. 'sf0.01')."""
+    d = transcripts_dir(tag)
+    marker = os.path.join(d, "_SUCCESS")
+    params = {"version": DATAGEN_VERSION, "seed": SEED, "n_turns": n_turns_for_tag(tag)}
+    if os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == params:
+                return d
+        except Exception:
+            pass
+    tmp = d + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    tbl = _build_table(params["n_turns"])
+    rows = tbl.num_rows
+    per = (rows + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        sl = tbl.slice(i * per, per)
+        pq.write_table(sl, os.path.join(tmp, f"part-{i:03d}.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        json.dump(params, f)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    if os.path.exists(d):
+        import shutil
+
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    return d
+
+
+def _build_table(n_turns: int) -> pa.Table:
+    rng = np.random.default_rng(SEED)
+
+    # --- conversations ------------------------------------------------
+    lens = []
+    total = 0
+    while total < n_turns:
+        draw = rng.geometric(0.18, size=4096)
+        draw = np.clip(draw, 1, MAX_TURNS_PER_CONV)
+        lens.append(draw)
+        total += int(draw.sum())
+    lens = np.concatenate(lens)
+    cut = np.searchsorted(np.cumsum(lens), n_turns) + 1
+    lens = lens[:cut]
+    n = int(lens.sum())
+    conv_num = np.repeat(np.arange(len(lens)), lens)
+    turn_idx = (np.arange(n) - np.repeat(np.cumsum(lens) - lens, lens)).astype(np.int32)
+
+    conv_ids = np.array([f"conv-{i:08d}" for i in range(len(lens))], dtype=object)[conv_num]
+    roles = rng.choice(len(ROLES), size=n, p=ROLE_P)
+    role_col = np.array(ROLES, dtype=object)[roles]
+    tool_col = np.where(
+        roles == 2, rng.choice(np.array(TOOLS, dtype=object), size=n), ""
+    ).astype(object)
+    ts = TS_BASE_US + conv_num.astype(np.int64) * 3_600_000_000 + turn_idx.astype(np.int64) * 60_000_000
+
+    # --- token ids ----------------------------------------------------
+    ntok = np.clip(rng.lognormal(2.55, 0.65, size=n).astype(np.int64), 0, 64)
+    ntok[rng.random(n) < 0.01] = 0  # empty turns
+    tot_tok = int(ntok.sum())
+
+    ranks = np.arange(N_STEMS, dtype=np.float64)
+    p = 1.0 / (ranks + 2.7) ** 1.07
+    p /= p.sum()
+    tok_stem = rng.choice(N_STEMS, size=tot_tok, p=p)
+    hot_mask = rng.random(tot_tok) < HOT_MIX
+    tok_stem[hot_mask] = rng.integers(0, HOT_STEMS, size=int(hot_mask.sum()))
+
+    # --- surface forms (inflection + case/punct noise) ---------------
+    foldable = _foldable_suffixes()
+    stems = np.array([stem(i) for i in range(N_STEMS)], dtype=object)
+    sfx_pick = rng.random(tot_tok)
+    case_pick = rng.random(tot_tok)
+    punct_pick = rng.random(tot_tok)
+    punct_idx = rng.integers(0, len(_PUNCT), size=tot_tok)
+    noise_mask = rng.random(tot_tok) < 0.004
+    noise_idx = rng.integers(0, len(_NOISE), size=tot_tok)
+
+    words = stems[tok_stem]  # object array of base stems
+    out_tokens = np.empty(tot_tok, dtype=object)
+    for j in range(tot_tok):
+        w = words[j]
+        fs = foldable[tok_stem[j]]
+        k = int(sfx_pick[j] * 2 * len(fs))  # 50%: plain stem (k>=len)
+        if k < len(fs):
+            w = w + fs[k]
+        c = case_pick[j]
+        if c < 0.06:
+            w = w.capitalize()
+        elif c < 0.08:
+            w = w.upper()
+        if noise_mask[j]:
+            w = w + " " + _NOISE[noise_idx[j]]
+        if punct_pick[j] < 0.12:
+            w = w + _PUNCT[punct_idx[j]]
+        out_tokens[j] = w
+
+    # --- assemble texts ----------------------------------------------
+    starts = np.concatenate(([0], np.cumsum(ntok)))
+    texts = np.empty(n, dtype=object)
+    toks_list = out_tokens.tolist()
+    for i in range(n):
+        s, e = starts[i], starts[i + 1]
+        texts[i] = " ".join(toks_list[s:e])
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_ids, pa.string()),
+            pa.array(turn_idx, pa.int32()),
+            pa.array(role_col, pa.string()),
+            pa.array(texts, pa.string()),
+            pa.array(tool_col, pa.string()),
+            pa.array(ts, pa.timestamp("us")),
+        ],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference query set (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+def reference_queries() -> list[dict]:
+    """Fixed deterministic query set over the corpus vocabulary: single
+    rare lemma, conjunctions, ultra-hot lemma, absent lemma (must return
+    empty — SearchServiceImpl.java:57-64 semantics), inflected surface
+    forms, scoped queries."""
+    q = [
+        (f"{stem(4000)}", None),                       # mid-frequency single
+        (f"{stem(6500)}ed", None),                     # rare, inflected
+        (f"{stem(120)} {stem(480)}", None),            # two-term conjunction-ish
+        (f"{stem(0)}", None),                          # ultra-hot single
+        (f"{stem(0)} {stem(5200)}", None),             # hot + rare
+        ("wqxqzq", None),                              # absent from corpus -> empty
+        (f"The {stem(300)}, and {stem(301)}!", None),  # stopwords + punctuation
+        (f"{stem(777).upper()}", None),                # case folding
+        (f"{stem(1500)}s", None),                      # plural folds to stem lemma
+        (f"{stem(50)} {stem(51)} {stem(52)}", None),   # three terms
+        (f"{stem(2048)}", "assistant"),                # scoped (role = site analog)
+        (f"{stem(900)} {stem(901)}", "user"),          # scoped two-term
+        (f"{stem(3333)}ing", None),                    # -ing inflection
+        (f"{stem(1)} {stem(2)}", None),                # two hot lemmas
+        (f"{stem(4100)} {stem(4100)}", None),          # repeated term dedups
+        (f"7 {stem(2500)}", None),                     # short token dropped
+    ]
+    return [
+        {"query_id": f"q-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]

@@ -1,0 +1,204 @@
+"""DuckDB oracle SQL generators.
+
+Every SQL string here is generated from the SAME rule tables the engine
+executes (``analyzer.LEMMA_RULES``/``STOPWORDS`` via
+``analyzer.postings_ctes_sql``) and the same BM25 constants, so the Ray
+pipeline and the SQL oracle cannot drift — the correctness strategy
+SURVEY.md §5 describes. Used by ``__ray_entry__.oracle_sql()`` (the
+driver's correctness gate) and by the pytest suite.
+"""
+
+from __future__ import annotations
+
+from . import analyzer, datagen
+
+
+def transcripts_rel(sf_tag: str) -> str:
+    d = datagen.transcripts_dir(sf_tag)
+    return f"read_parquet('{d}/*.parquet')"
+
+
+def flat_postings_sql(src: str) -> str:
+    return (
+        f"WITH {analyzer.postings_ctes_sql(src)} "
+        "SELECT lemma, conv_id, turn_idx, tf FROM __postings"
+    )
+
+
+def lemma_dict_sql(src: str) -> str:
+    return (
+        f"WITH {analyzer.postings_ctes_sql(src)} "
+        "SELECT lemma, CAST(count(*) AS BIGINT) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS cf, CAST(max(tf) AS INT) AS max_tf "
+        "FROM __postings GROUP BY lemma"
+    )
+
+
+def doc_stats_sql(src: str) -> str:
+    return (
+        f"WITH {analyzer.postings_ctes_sql(src)} "
+        "SELECT t.conv_id, t.turn_idx, CAST(count(p.lemma) AS INT) AS doc_len "
+        f"FROM {src} t LEFT JOIN __lem p "
+        "ON t.conv_id = p.conv_id AND t.turn_idx = p.turn_idx "
+        "GROUP BY t.conv_id, t.turn_idx"
+    )
+
+
+def corpus_stats_sql(src: str) -> str:
+    return (
+        f"WITH {analyzer.postings_ctes_sql(src)} "
+        f"SELECT CAST((SELECT count(*) FROM {src}) AS BIGINT) AS n_docs, "
+        f"CAST((SELECT count(DISTINCT conv_id) FROM {src}) AS BIGINT) AS n_convs, "
+        "CAST((SELECT count(*) FROM __lem) AS BIGINT) AS total_len, "
+        "CAST((SELECT count(DISTINCT lemma) FROM __postings) AS BIGINT) AS n_lemmas, "
+        "CAST((SELECT count(*) FROM __postings) AS BIGINT) AS n_postings, "
+        f"round((SELECT count(*) FROM __lem) * 1.0 / (SELECT count(*) FROM {src}), 9) AS avgdl"
+    )
+
+
+def role_stats_sql(src: str) -> str:
+    return f"SELECT role, CAST(count(*) AS BIGINT) AS n_docs FROM {src} GROUP BY role"
+
+
+def transcripts_roundtrip_sql(src: str) -> str:
+    """Per-row invariant oracle: the corpus itself under stable order."""
+    return f"SELECT conv_id, turn_idx, role, text, tool, ts FROM {src}"
+
+
+def _queries_values(queries: list[dict]) -> tuple[str, str]:
+    """-> (qmeta VALUES rel, qlemma VALUES rel) with lemmas pre-analyzed
+    by the shared analyzer module (the oracle side of M5 — query
+    analysis itself is pinned by the golden analyzer tests)."""
+    metas, lems = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        scope = "NULL" if q["scope"] is None else f"'{q['scope']}'"
+        metas.append(
+            f"('{q['query_id']}', {scope}, {q['k']}, {len(lemmas)})"
+        )
+        for lem in lemmas:
+            lems.append(f"('{q['query_id']}', '{lem}')")
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, n_terms)"
+    qlem = (
+        "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+        if lems
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return qmeta, qlem
+
+
+def bm25_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-query BM25 top-k with the engine's exact semantics: any
+    missing lemma -> query yields no rows; scope filter on role;
+    deterministic tie-break (score DESC, conv_id, turn_idx); score
+    rounded to 6 dp (float64 summation order in SQL is unspecified, so
+    the hash-compared column is the rounded value; full-precision
+    rank-identity is pinned by the pytest oracle instead)."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
+def reference_topk_sql(src: str, queries: list[dict], df_cutoff: int = 250) -> str:
+    """Reference-parity relevance (G3/G4 + D4 + J4): drop df>=cutoff
+    lemmas, conjunctive AND over the rest, relevance = doc Σtf / global
+    max doc Σtf, tie-break (relevance DESC, conv_id, turn_idx)."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+maxrel AS (SELECT max(dl) AS m FROM doclen),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k,
+           (SELECT count(*) FROM qterm t
+             WHERE t.query_id = qm.query_id AND t.df < {df_cutoff}) AS n_kept
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+cand AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id AND t.df < {df_cutoff}
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.n_kept > 0 AND (q.scope IS NULL OR r.role = q.scope)
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+    HAVING count(*) = (SELECT n_kept FROM qok x WHERE x.query_id = q.query_id)
+),
+scored AS (
+    SELECT c.query_id, c.conv_id, c.turn_idx,
+           dl.dl * 1.0 / (SELECT m FROM maxrel) AS relevance
+    FROM cand c JOIN doclen dl
+      ON dl.conv_id = c.conv_id AND dl.turn_idx = c.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, relevance,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY relevance DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(relevance, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""

@@ -1,0 +1,313 @@
+"""The index build — the analog of ``GET /api/startIndexing``.
+
+Reference lifecycle (SURVEY.md §3.1): controller -> thread-per-site ->
+ForkJoin crawl -> per-page analyze -> row-at-a-time lemma/posting upserts
+into MySQL under two global mutexes
+(``/root/reference/src/main/java/searchengine/services/indexation/IndexationServiceImpl.java:88-106``,
+``EntitySaver.java:35-109``). Here the same computation is four Ray Data
+stages over zero-copy Arrow, each a durable checkpoint with lineage
+manifests (the upgrade of the reference's 3-state site status machine,
+``model/Status.java:3-5``):
+
+  A. analyze   read_parquet(part) -> map_batches(AnalyzerActor pool)
+               -> stageA/part-NNN parquet  (flat postings + doc rows),
+               one resumable partition per input-file group — the unit
+               of checkpoint/resume (north rule).
+  B. docs      doc rows -> broadcast dense conv-rank -> docid
+               -> sort(docid) -> docs/ parquet; global N, avgdl.
+  C. dict      postings.groupby('lemma').aggregate(Count,Sum,Max)
+               -> lemma_dict/ parquet (df, cf, max_tf, dense lemma_id).
+               Shuffle #1; Ray pre-aggregates per block map-side.
+  D. index     postings + docid -> sort(['lemma','docid'])  (shuffle #2,
+               the range-partitioned k-way merge; hot-lemma skew is
+               split across range partitions automatically)
+               -> map_batches(block encoder) -> index/ parquet.
+
+Every stage writes its own manifest; ``resume=True`` skips any stage /
+partition whose lineage key (input files+sizes, analyzer+codec versions,
+semantic params) matches a DONE manifest. Outputs are deterministic
+functions of the lineage key, so a resumed build is identical to an
+uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..analyzer import ANALYZER_VERSION
+from ..config import BuildConfig
+from ..docid import AttachDocId
+from ..stages.analyze import AnalyzerActor
+from ..stages.encode import make_block_encoder
+from ..state.manifest import (
+    STATE_DONE,
+    STATE_FAILED,
+    PartitionTracker,
+    lineage_key,
+    load_json,
+    write_json_atomic,
+)
+
+CODEC_VERSION = "1"
+_VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
+
+ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+def stage_a_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "stageA")
+
+
+def docs_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "docs")
+
+
+def lemma_dict_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "lemma_dict", "lemma_dict.parquet")
+
+
+def index_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "index")
+
+
+def build_manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "build.json")
+
+
+def partition_input_files(paths: list[str], n_partitions: int) -> list[list[str]]:
+    """Deterministic round-robin file grouping -> stage-A resume units."""
+    files = sorted(paths)
+    n = min(n_partitions, len(files)) or 1
+    return [files[i::n] for i in range(n)]
+
+
+def _fresh_dir(d: str) -> str:
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _dir_stats(d: str) -> dict:
+    rows = bytes_ = 0
+    for root, _, names in os.walk(d):
+        for f in names:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(p).metadata.num_rows
+                bytes_ += os.path.getsize(p)
+    return {"rows": rows, "bytes": bytes_}
+
+
+def _stage_a_parquet(out_dir: str) -> list[str]:
+    base = stage_a_dir(out_dir)
+    out = []
+    for part in sorted(os.listdir(base)):
+        pd_ = os.path.join(base, part)
+        if part.startswith("part-") and os.path.isdir(pd_):
+            out.extend(
+                os.path.join(pd_, f) for f in sorted(os.listdir(pd_)) if f.endswith(".parquet")
+            )
+    return out
+
+
+_POSTINGS_FILTER = pc.field("lemma").is_valid()
+_DOCS_FILTER = ~pc.field("lemma").is_valid()
+
+
+def read_flat_postings(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Flat postings dataset (lemma, conv_id, turn_idx, tf[, doc_len]) —
+    the oracle-checkable analog of the reference's ``indexes`` table."""
+    return rd.read_parquet(
+        _stage_a_parquet(out_dir),
+        filter=_POSTINGS_FILTER,
+        columns=columns or ["lemma", "conv_id", "turn_idx", "tf", "doc_len"],
+    )
+
+
+def read_doc_rows(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        _stage_a_parquet(out_dir),
+        filter=_DOCS_FILTER,
+        columns=columns or ["conv_id", "turn_idx", "role", "doc_len"],
+    )
+
+
+def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> dict:
+    """Run (or resume) the full build; returns the build manifest dict.
+
+    ``fail_after_partition`` injects a crash after stage-A partition i —
+    used by the resume test (SURVEY.md §5.6).
+    """
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    t0 = time.monotonic()
+    timings: dict[str, float] = {}
+    parts = partition_input_files(cfg.input_paths, cfg.n_partitions)
+    a_params = {"batch_size": cfg.batch_size, "stage": "A"}
+
+    # ---------------- stage A: analyze (per-partition checkpoints) -----
+    tracker = PartitionTracker(os.path.join(stage_a_dir(cfg.out_dir), "_manifests"), build_id="A")
+    n_skipped = 0
+    for i, files in enumerate(parts):
+        pid = f"part-{i:03d}"
+        key = lineage_key(files, _VERSIONS, a_params)
+        if cfg.resume and tracker.is_done(pid, key):
+            n_skipped += 1
+            continue
+        tp = time.monotonic()
+        part_dir = _fresh_dir(os.path.join(stage_a_dir(cfg.out_dir), pid))
+        try:
+            ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
+            ds = ds.map_batches(
+                AnalyzerActor,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.concurrency,
+            )
+            ds.write_parquet(part_dir)
+        except Exception:
+            tracker.mark(pid, key, STATE_FAILED, input_files=files)
+            raise
+        metrics = _dir_stats(part_dir) | {"wall_s": round(time.monotonic() - tp, 3)}
+        tracker.mark(pid, key, STATE_DONE, input_files=files, metrics=metrics)
+        if fail_after_partition is not None and i >= fail_after_partition:
+            raise RuntimeError(f"injected failure after stage-A partition {i}")
+    timings["stage_a_s"] = round(time.monotonic() - t0, 3)
+
+    stage_a_files = _stage_a_parquet(cfg.out_dir)
+    down_key = lineage_key(
+        stage_a_files,
+        _VERSIONS,
+        {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b},
+    )
+    tracker_s = PartitionTracker(os.path.join(cfg.out_dir, "_manifests"), build_id="BCD")
+
+    # ---------------- stage B: docids + doc store ----------------------
+    tb = time.monotonic()
+    stats: dict = {}
+    prior = load_json(build_manifest_path(cfg.out_dir))
+    if cfg.resume and tracker_s.is_done("docs", down_key) and prior:
+        stats = dict(prior["stats"])
+        convs_ref = ray.put(_load_sorted_convs(cfg.out_dir))
+    else:
+        docs = read_doc_rows(cfg.out_dir)
+        convs = sorted(docs.unique("conv_id"))  # small side; see docid.py scale note
+        convs_ref = ray.put(pa.array(convs, pa.string()))
+        d = _fresh_dir(docs_dir(cfg.out_dir))
+        (
+            read_doc_rows(cfg.out_dir)
+            .map_batches(
+                AttachDocId,
+                fn_constructor_kwargs={"convs_ref": convs_ref},
+                batch_format="pyarrow",
+                concurrency=cfg.concurrency,
+            )
+            .sort("docid")
+            .write_parquet(d)
+        )
+        agg = rd.read_parquet(d, columns=["doc_len"]).aggregate(
+            Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len")
+        )
+        n_docs = int(agg["n_docs"])
+        stats = {
+            "n_docs": n_docs,
+            "n_convs": len(convs),
+            "total_len": int(agg["total_len"] or 0),
+            "avgdl": (float(agg["total_len"]) / n_docs) if n_docs else 0.0,
+        }
+        tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
+    timings["stage_b_s"] = round(time.monotonic() - tb, 3)
+
+    # ---------------- stage C: lemma dictionary ------------------------
+    tc = time.monotonic()
+    if not (cfg.resume and tracker_s.is_done("lemma_dict", down_key) and prior):
+        agg = (
+            read_flat_postings(cfg.out_dir, columns=["lemma", "tf"])
+            .groupby("lemma")
+            .aggregate(
+                Count(alias_name="df"),
+                Sum("tf", alias_name="cf"),
+                Max("tf", alias_name="max_tf"),
+            )
+        )
+        # vocabulary ≪ corpus: materialize to assign the dense sorted
+        # lemma_id (at ≫10^8 vocab switch to the block-offset dense-rank
+        # described in docid.py); this table is also the query planner's
+        # broadcast side.
+        tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows > 0]
+        tbl = pa.concat_tables(tabs).combine_chunks()
+        order = pc.sort_indices(tbl.column("lemma"))
+        tbl = tbl.take(order)
+        tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
+        tbl = tbl.set_column(1, "df", tbl.column("df").cast(pa.int64()))
+        tbl = tbl.set_column(2, "cf", tbl.column("cf").cast(pa.int64()))
+        tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
+        os.makedirs(os.path.dirname(lemma_dict_path(cfg.out_dir)), exist_ok=True)
+        pq.write_table(tbl, lemma_dict_path(cfg.out_dir))
+        stats["n_lemmas"] = tbl.num_rows
+        stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
+        tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": tbl.num_rows})
+    else:
+        stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
+        stats.setdefault("n_postings", prior["stats"]["n_postings"])
+    timings["stage_c_s"] = round(time.monotonic() - tc, 3)
+
+    # ---------------- stage D: sorted compressed index -----------------
+    td = time.monotonic()
+    if not (cfg.resume and tracker_s.is_done("index", down_key)):
+        d = _fresh_dir(index_dir(cfg.out_dir))
+        (
+            read_flat_postings(cfg.out_dir)
+            .map_batches(
+                AttachDocId,
+                fn_constructor_kwargs={"convs_ref": convs_ref},
+                batch_format="pyarrow",
+                concurrency=cfg.concurrency,
+            )
+            .select_columns(["lemma", "docid", "tf", "doc_len"])
+            .sort(["lemma", "docid"])
+            .map_batches(
+                make_block_encoder(stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size),
+                batch_format="pyarrow",
+            )
+            .write_parquet(d)
+        )
+        tracker_s.mark("index", down_key, STATE_DONE, metrics=_dir_stats(d))
+    timings["stage_d_s"] = round(time.monotonic() - td, 3)
+    timings["total_s"] = round(time.monotonic() - t0, 3)
+
+    manifest = {
+        "build_key": down_key,
+        "versions": _VERSIONS,
+        "config": {
+            "input_paths": sorted(cfg.input_paths),
+            "n_partitions": cfg.n_partitions,
+            "batch_size": cfg.batch_size,
+            "block_size": cfg.block_size,
+            "k1": cfg.k1,
+            "b": cfg.b,
+        },
+        "stats": stats,
+        "timings": timings,
+        "stage_a_skipped": n_skipped,
+        "state": STATE_DONE,
+    }
+    write_json_atomic(build_manifest_path(cfg.out_dir), manifest)
+    return manifest
+
+
+def _load_sorted_convs(out_dir: str) -> pa.Array:
+    """conv rank map from the written doc store (resume path): docs/ is
+    docid-sorted, so unique conv_ids in order ARE the rank order."""
+    t = pq.read_table(docs_dir(out_dir), columns=["conv_id"])
+    return pc.unique(t.column("conv_id").combine_chunks())

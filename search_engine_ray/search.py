@@ -1,0 +1,453 @@
+"""Query engine — the analog of ``GET /api/search`` (SURVEY.md §3.2).
+
+Reference flow (``/root/reference/src/main/java/searchengine/services/search/SearchServiceImpl.java:35-101``):
+analyze query -> dictionary lookup df-ascending -> candidate retrieval ->
+score -> sort desc -> offset/limit. The reference's query-independent
+relevance (page Σtf / global max Σtf,
+``repositories/IndexRepository.java:14-20``) is kept as the parity scorer
+(``mode='reference'``); the default scorer is real BM25 top-k over the
+compressed block index with **block-max pruning** (north rule).
+
+Block-max evaluation here is the windowed exact variant of block-max
+WAND: docid space is partitioned into windows at every block boundary of
+every query term, so each window's full document scores are computable
+locally (every posting of a doc falls in exactly one window). Windows
+are processed in descending upper-bound order (UB = Σ_t idf_t·(k1+1)·
+bmw_block) and evaluation stops at the first window whose UB is strictly
+below the current top-k threshold — pruning is lossless: a skipped
+window cannot contain a doc scoring ≥ threshold, and ties (UB ==
+threshold) are still processed so the deterministic tie-break
+(score DESC, docid ASC) == (score DESC, conv_id ASC, turn_idx ASC) holds
+exactly. Skip pointers = the per-block ``first_docid``/``last_docid``
+metadata consumed via ``np.searchsorted``.
+
+Reference semantics preserved:
+- any query lemma absent from the dictionary -> empty result
+  (``SearchServiceImpl.java:57-64``);
+- empty analyzed query -> empty result with an error flag (:45-48);
+- scope filter (``role``, the ``site`` analog, :41-44);
+- ``mode='reference'`` additionally drops df >= 250 lemmas and
+  intersects candidates conjunctively rarest-first (:155-178).
+
+Everything in this module is driver-side: the index is partition-pruned
+Parquet (footer min/max on the sorted ``lemma`` column), so a query
+reads only the row groups covering its lemmas — no cluster round-trip,
+matching the reference's single-request query path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from . import analyzer
+from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF
+from .docid import split_docids
+from .pipelines import build as build_mod
+from .stages.encode import decode_block
+from .state.manifest import load_json
+
+
+class SearchEngine:
+    """Loaded-once query-side state (the analog of the reference's
+    singleton services + cached global scalar, ``SearchServiceImpl.java:25,147-153``
+    — but computed at build time and persisted in the manifest)."""
+
+    def __init__(self, out_dir: str, transcripts_paths: list[str] | None = None):
+        self.out_dir = out_dir
+        m = load_json(build_mod.build_manifest_path(out_dir))
+        if not m:
+            raise FileNotFoundError(f"no build manifest under {out_dir}")
+        self.manifest = m
+        self.k1: float = m["config"]["k1"]
+        self.b: float = m["config"]["b"]
+        self.n_docs: int = m["stats"]["n_docs"]
+        self.avgdl: float = m["stats"]["avgdl"] or 1.0
+        self.transcripts_paths = transcripts_paths or m["config"]["input_paths"]
+        # the broadcast-small-side term dictionary (J2): lemma -> df
+        t = pq.read_table(build_mod.lemma_dict_path(out_dir), columns=["lemma", "df"])
+        self._df = dict(
+            zip(t.column("lemma").to_pylist(), t.column("df").to_pylist())
+        )
+        self._index = pads.dataset(build_mod.index_dir(out_dir))
+        self._scope_cache: dict[str, np.ndarray] = {}
+        self._ref_max_relevance: float | None = None
+
+    # ---------------- planning (J2/T1) --------------------------------
+
+    def idf(self, df: int) -> float:
+        return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
+
+    def plan(self, query_text: str) -> tuple[list[tuple[str, int]], str | None]:
+        """-> (terms df-ascending then lemma lexical, error_flag)."""
+        lemmas = analyzer.analyze_query(query_text)
+        if not lemmas:
+            return [], "empty_query"
+        terms = []
+        for lem in lemmas:
+            df = self._df.get(lem)
+            if df is None:
+                # reference: any missing lemma -> no results
+                return [], "no_results"
+            terms.append((lem, df))
+        terms.sort(key=lambda t: (t[1], t[0]))
+        return terms, None
+
+    # ---------------- posting access (J3, partition-pruned) -----------
+
+    def _term_blocks(self, lemmas: list[str]) -> dict[str, dict]:
+        tbl = self._index.to_table(
+            filter=pads.field("lemma").isin(lemmas),
+        )
+        out: dict[str, dict] = {}
+        lem_arr = tbl.column("lemma")
+        for lem in lemmas:
+            sub = tbl.filter(pc.equal(lem_arr, lem))
+            order = pc.sort_indices(sub.column("first_docid"))
+            sub = sub.take(order)
+            out[lem] = {
+                "first": sub.column("first_docid").to_numpy(),
+                "last": sub.column("last_docid").to_numpy(),
+                "n": sub.column("n").to_numpy(),
+                "bmw": sub.column("bmw").to_numpy().astype(np.float64),
+                "gaps": sub.column("gaps").to_pylist(),
+                "tfs": sub.column("tfs").to_pylist(),
+                "dls": sub.column("dls").to_pylist(),
+            }
+        return out
+
+    def _decode_term(self, blocks: dict, lo: int, hi: int, cache: dict):
+        """Decode blocks lo..hi (exclusive) with per-block memoization ->
+        (docid, tf, dl) concatenated."""
+        parts = []
+        for j in range(lo, hi):
+            got = cache.get(j)
+            if got is None:
+                got = decode_block(blocks["gaps"][j], blocks["tfs"][j], blocks["dls"][j], int(blocks["n"][j]))
+                cache[j] = got
+            parts.append(got)
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        return tuple(np.concatenate(cols) for cols in zip(*parts))
+
+    # ---------------- scope (site-analog) filter ----------------------
+
+    def scope_docids(self, role: str) -> np.ndarray:
+        """Sorted docids of one role — read partition-pruned from the
+        docid-sorted doc store (row-group stats filter on ``role``)."""
+        got = self._scope_cache.get(role)
+        if got is None:
+            t = pq.read_table(
+                build_mod.docs_dir(self.out_dir),
+                columns=["docid"],
+                filters=[("role", "==", role)],
+            )
+            got = np.sort(t.column("docid").to_numpy())
+            self._scope_cache[role] = got
+        return got
+
+    def valid_scope(self, role: str | None) -> bool:
+        return role is None or role in ("user", "assistant", "tool", "system")
+
+    # ---------------- BM25 scorers ------------------------------------
+
+    def _contributions(self, term_data, scope_ids):
+        """Per term (fixed df-asc order): (docid, float64 contribution)."""
+        k1, b = self.k1, self.b
+        for idf, (docid, tf, dl) in term_data:
+            if scope_ids is not None:
+                pos = np.searchsorted(scope_ids, docid)
+                pos[pos >= len(scope_ids)] = 0
+                keep = scope_ids[pos] == docid if len(scope_ids) else np.zeros(len(docid), bool)
+                docid, tf, dl = docid[keep], tf[keep], dl[keep]
+            tff = tf.astype(np.float64)
+            contrib = idf * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dl.astype(np.float64) / self.avgdl)
+            )
+            yield docid, contrib
+
+    @staticmethod
+    def _aggregate(doc_parts, contrib_parts, conjunctive: bool, n_terms: int):
+        """Sum contributions per docid in fixed term order (np.bincount
+        adds sequentially in array order -> deterministic float64 sum)."""
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ids = np.concatenate(doc_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs, minlength=len(uniq))
+        if conjunctive:
+            cnt = np.bincount(inv, minlength=len(uniq))
+            keep = cnt == n_terms
+            return uniq[keep], scores[keep]
+        return uniq, scores
+
+    def score_exhaustive(self, terms, scope=None, conjunctive=False):
+        """Brute-force vectorized scorer (the oracle form: decode every
+        posting of every query term, fixed-order float64 sums)."""
+        blocks = self._term_blocks([t[0] for t in terms])
+        scope_ids = self.scope_docids(scope) if scope else None
+        term_data = []
+        for lem, df in terms:
+            bl = blocks[lem]
+            term_data.append((self.idf(df), self._decode_term(bl, 0, len(bl["first"]), {})))
+        doc_parts, contrib_parts = [], []
+        for docid, contrib in self._contributions(term_data, scope_ids):
+            doc_parts.append(docid)
+            contrib_parts.append(contrib)
+        return self._aggregate(doc_parts, contrib_parts, conjunctive, len(terms))
+
+    def score_blockmax(self, terms, k, scope=None, conjunctive=False):
+        """Windowed exact block-max evaluation -> (docids, scores, count).
+
+        Returns the top-k by (score DESC, docid ASC) plus the exact match
+        count (union of term postings [within scope]).
+        """
+        blocks = self._term_blocks([t[0] for t in terms])
+        scope_ids = self.scope_docids(scope) if scope else None
+        k1 = self.k1
+        term_list = []
+        for lem, df in terms:
+            bl = blocks[lem]
+            term_list.append((self.idf(df), bl, {}))
+
+        # window boundaries: every block first_docid of every term
+        starts = np.unique(np.concatenate([bl["first"] for _, bl, _ in term_list]))
+        W = len(starts)
+        ends = np.append(starts[1:], np.iinfo(np.int64).max)
+        # per-term upper bound per window
+        wub = np.zeros(W, np.float64)
+        covers = []
+        for idf, bl, _ in term_list:
+            j = np.searchsorted(bl["first"], starts, side="right") - 1
+            j = np.clip(j, 0, len(bl["first"]) - 1)
+            alive = (bl["first"][j] <= starts) & (bl["last"][j] >= starts)
+            ub = idf * (k1 + 1.0) * bl["bmw"][j]
+            wub += np.where(alive, ub, 0.0)
+            covers.append((j, alive))
+
+        order = np.argsort(-wub, kind="stable")
+        top_ids = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
+        threshold = -np.inf
+        count = 0
+        count_ids: list[np.ndarray] = []
+        processed_all = True
+        for w in order:
+            if len(top_scores) >= k and wub[w] < threshold:
+                processed_all = False
+                break
+            s, e = starts[w], ends[w]
+            doc_parts, contrib_parts = [], []
+            term_data = []
+            for (idf, bl, cache), (jarr, alive) in zip(term_list, covers):
+                if not alive[w]:
+                    continue
+                j0 = int(jarr[w])
+                # this window spans exactly one block range start; decode
+                # every block intersecting [s, e)
+                j1 = j0 + 1
+                while j1 < len(bl["first"]) and bl["first"][j1] < e:
+                    j1 += 1
+                docid, tf, dl = self._decode_term(bl, j0, j1, cache)
+                m = (docid >= s) & (docid < e)
+                term_data.append((idf, (docid[m], tf[m], dl[m])))
+            for docid, contrib in self._contributions(term_data, scope_ids):
+                doc_parts.append(docid)
+                contrib_parts.append(contrib)
+            ids, scores = self._aggregate(doc_parts, contrib_parts, conjunctive, len(term_data) if conjunctive else len(terms))
+            if conjunctive and len(term_data) < len(terms):
+                ids, scores = ids[:0], scores[:0]
+            count_ids.append(ids)
+            # merge into running top-k with (score DESC, docid ASC)
+            all_ids = np.concatenate([top_ids, ids])
+            all_scores = np.concatenate([top_scores, scores])
+            sel = np.lexsort((all_ids, -all_scores))[:k]
+            top_ids, top_scores = all_ids[sel], all_scores[sel]
+            if len(top_scores) >= k:
+                threshold = top_scores[-1]
+        if processed_all:
+            count = int(len(np.unique(np.concatenate(count_ids)))) if count_ids else 0
+        else:
+            count = self._exact_count(term_list, scope_ids, conjunctive)
+        return top_ids, top_scores, count
+
+    def _exact_count(self, term_list, scope_ids, conjunctive) -> int:
+        """Exact result count (G6) via a gaps-only docid union pass."""
+        parts = []
+        for _, bl, cache in term_list:
+            docid, _, _ = self._decode_term(bl, 0, len(bl["first"]), cache)
+            if scope_ids is not None:
+                pos = np.searchsorted(scope_ids, docid)
+                pos[pos >= len(scope_ids)] = 0
+                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            parts.append(docid)
+        if not parts:
+            return 0
+        if conjunctive:
+            inter = parts[0]
+            for p in parts[1:]:
+                inter = np.intersect1d(inter, p, assume_unique=True)
+            return int(len(inter))
+        return int(len(np.unique(np.concatenate(parts))))
+
+    # ---------------- reference-parity scorer (G3/G4, D4, J4) ----------
+
+    def _max_relevance(self) -> float:
+        """Global max per-doc Σtf — the reference's cached denominator
+        (``SearchServiceImpl.java:25,147-153``; ``IndexRepository.java:14-16``).
+        doc_len == Σtf per doc, so this is max(doc_len)."""
+        if self._ref_max_relevance is None:
+            t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["doc_len"])
+            m = pc.max(t.column("doc_len")).as_py()
+            self._ref_max_relevance = float(m or 1)
+        return self._ref_max_relevance
+
+    def score_reference(self, terms, scope=None):
+        """Reference semantics: drop df>=250 lemmas (D4; all dropped ->
+        'too frequent' error), conjunctive AND over the rest (J4),
+        relevance = doc Σtf / max doc Σtf (G3/G4) — query-independent."""
+        kept = [(l, df) for l, df in terms if df < REFERENCE_DF_CUTOFF]
+        if not kept:
+            return None, None, "too_frequent"
+        blocks = self._term_blocks([t[0] for t in kept])
+        scope_ids = self.scope_docids(scope) if scope else None
+        inter = None
+        dl_of: dict[int, int] = {}
+        for lem, _df in kept:  # rarest-first iteration order preserved
+            bl = blocks[lem]
+            docid, _tf, dl = self._decode_term(bl, 0, len(bl["first"]), {})
+            if scope_ids is not None:
+                pos = np.searchsorted(scope_ids, docid)
+                pos[pos >= len(scope_ids)] = 0
+                keep = scope_ids[pos] == docid if len(scope_ids) else np.zeros(len(docid), bool)
+                docid, dl = docid[keep], dl[keep]
+            dl_of.update(zip(docid.tolist(), dl.tolist()))
+            inter = docid if inter is None else np.intersect1d(inter, docid, assume_unique=True)
+        if inter is None or len(inter) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64), None
+        rel = np.array([dl_of[d] for d in inter.tolist()], np.float64) / self._max_relevance()
+        return inter, rel, None
+
+    # ---------------- public API (S8 analog) ---------------------------
+
+    def search(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        offset: int = 0,
+        limit: int = DEFAULT_PAGE_SIZE,
+        mode: str = "bm25",
+        method: str = "blockmax",
+        conjunctive: bool = False,
+        with_snippets: bool = False,
+    ) -> dict:
+        """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
+
+        ``data`` columns: (conv_id, turn_idx, role, ts, score[, snippet]).
+        """
+        if not self.valid_scope(scope):
+            return self._resp(error="bad_scope")
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return self._resp(error="empty_query")
+        if err == "no_results":
+            return self._resp(count=0)
+        k = offset + limit
+        if mode == "reference":
+            ids, scores, err = self.score_reference(terms, scope)
+            if err:
+                return self._resp(error=err)
+            count = len(ids)
+            sel = np.lexsort((ids, -scores))[:k]
+            ids, scores = ids[sel], scores[sel]
+        elif method == "blockmax":
+            ids, scores, count = self.score_blockmax(terms, k, scope, conjunctive)
+        else:
+            ids, scores = self.score_exhaustive(terms, scope, conjunctive)
+            count = len(ids)
+            sel = np.lexsort((ids, -scores))[:k]
+            ids, scores = ids[sel], scores[sel]
+        ids, scores = ids[offset:], scores[offset:]
+        tbl = self._enrich(ids, scores, terms, with_snippets)
+        return {"result": True, "count": int(count), "data": tbl, "error": None}
+
+    def _resp(self, count: int = 0, error: str | None = None) -> dict:
+        return {
+            "result": error is None,
+            "count": count,
+            "data": RESULT_SCHEMA.empty_table(),
+            "error": error,
+        }
+
+    def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
+        """J6: broadcast-small-side join of the k winners back to the
+        transcripts source for (role, ts[, text]) — filter-pushdown read
+        of only the matching conv_ids."""
+        conv_rank, turn_idx = split_docids(ids)
+        # docid -> conv_id via the doc store (pruned by sorted docid)
+        if len(ids):
+            dtab = pq.read_table(
+                build_mod.docs_dir(self.out_dir),
+                columns=["conv_id", "turn_idx", "role", "docid"],
+                filters=[("docid", "in", ids.tolist())],
+            )
+            lut = {
+                d: (c, r)
+                for c, r, d in zip(
+                    dtab.column("conv_id").to_pylist(),
+                    dtab.column("role").to_pylist(),
+                    dtab.column("docid").to_pylist(),
+                )
+            }
+            conv_ids = [lut[int(d)][0] for d in ids]
+            roles = [lut[int(d)][1] for d in ids]
+        else:
+            conv_ids, roles = [], []
+        cols = {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idx, pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        }
+        tbl = pa.table(cols)
+        if with_snippets and len(ids):
+            from .functions.snippets import create_snippets
+
+            src = pads.dataset(self.transcripts_paths)
+            texts = src.to_table(
+                filter=pads.field("conv_id").isin(conv_ids),
+                columns=["conv_id", "turn_idx", "text"],
+            )
+            tlut = {
+                (c, t): x
+                for c, t, x in zip(
+                    texts.column("conv_id").to_pylist(),
+                    texts.column("turn_idx").to_pylist(),
+                    texts.column("text").to_pylist(),
+                )
+            }
+            lemmas = {t[0] for t in terms}
+            snips = [
+                create_snippets(tlut.get((c, int(t)), ""), lemmas)
+                for c, t in zip(conv_ids, turn_idx)
+            ]
+            tbl = tbl.append_column("snippet", pa.array(snips, pa.string()))
+        return tbl
+
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("score", pa.float64()),
+    ]
+)

@@ -1,0 +1,85 @@
+"""Stage A — the flagship stateful map: transcripts -> flat postings.
+
+Reference analog: ``LemmaFinderImpl`` is a loaded-once singleton service
+(``/root/reference/src/main/java/searchengine/services/morphology/LemmaFinderImpl.java:10-16``)
+invoked per page by ``EntitySaver.saveLemmasAndIndexes``
+(``services/indexation/EntitySaver.java:66-85``). Here it is a callable
+class passed to ``map_batches`` — one actor per pool slot, analyzer state
+(the surface-form -> lemma memo cache) built in ``__init__`` once per
+actor, vectorized Arrow work per ``__call__``.
+
+Output: one combined Arrow table per batch holding BOTH
+- posting rows:  (lemma, conv_id, turn_idx, tf, doc_len, role=null)
+- doc rows:      (lemma=null, conv_id, turn_idx, tf=0, doc_len, role)
+
+Doc rows exist for every input turn (including empty text, doc_len=0) —
+they are the document store / doc_stats side (G3 in SURVEY.md §2.5,
+computed in-map with NO shuffle because one turn's tokens live in one
+batch). Posting rows carry ``doc_len`` so BM25 block encoding later never
+needs a postings<->doc_stats join. Downstream consumers split the two row
+kinds with a cheap ``lemma IS NULL`` predicate that parquet row-group
+stats prune well.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..analyzer import ANALYZER_VERSION, analyze_batch  # noqa: F401
+
+ANALYZED_SCHEMA = pa.schema(
+    [
+        ("lemma", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("tf", pa.int32()),
+        ("doc_len", pa.int32()),
+        ("role", pa.string()),
+    ]
+)
+
+
+class AnalyzerActor:
+    """Stateful analyzer for ``map_batches(AnalyzerActor, batch_format='pyarrow')``."""
+
+    def __init__(self):
+        # once per actor process: the memoized surface->lemma cache (the
+        # analog of the reference's loaded-once morphology dictionary)
+        self.memo: dict[str, str] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        conv = batch.column("conv_id").combine_chunks()
+        turn = batch.column("turn_idx").combine_chunks()
+        role = batch.column("role").combine_chunks()
+        n = batch.num_rows
+
+        doc_idx, lemmas, tf, doc_len = analyze_batch(texts, self.memo)
+        npost = len(doc_idx)
+        idx = pa.array(doc_idx, pa.int64())
+        doc_len_arr = pa.array(doc_len, pa.int32())
+
+        post_tbl = pa.Table.from_arrays(
+            [
+                pa.array(lemmas, pa.string()),
+                conv.take(idx),
+                turn.take(idx),
+                pa.array(tf, pa.int32()),
+                doc_len_arr.take(idx),
+                pa.nulls(npost, pa.string()),
+            ],
+            schema=ANALYZED_SCHEMA,
+        )
+        doc_tbl = pa.Table.from_arrays(
+            [
+                pa.nulls(n, pa.string()),
+                conv,
+                turn,
+                pa.array(np.zeros(n, np.int32), pa.int32()),
+                doc_len_arr,
+                role,
+            ],
+            schema=ANALYZED_SCHEMA,
+        )
+        return pa.concat_tables([post_tbl, doc_tbl])

@@ -1,0 +1,118 @@
+"""Delta + varint posting-list compression (north-rule requirement).
+
+The reference keeps postings as flat MySQL rows behind B-tree indexes
+(``/root/reference/src/main/java/searchengine/model/Index.java:11-28``,
+``repositories/PageRepository.java:24-38``); the north rule replaces that
+with from-scratch compressed posting lists: docID gaps + tf runs,
+LEB128-style varint bytes, fixed-size blocks with per-block skip metadata
+and block-max scores (block-max WAND, Ding & Suel, SIGIR 2011).
+
+Both encode and decode are numpy-vectorized: encode loops over at most 10
+*byte positions* (not values); decode likewise. No per-posting Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 encoded byte length (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nb = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (v >= t).astype(np.int64)
+    return nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nb = varint_nbytes(v)
+    offsets = np.concatenate(([0], np.cumsum(nb)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        idx = offsets[:-1][mask] + j
+        byte = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, n: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    if n is not None and len(starts) != n:
+        raise ValueError(f"varint stream has {len(starts)} values, expected {n}")
+    nb = ends - starts + 1
+    vals = np.zeros(len(starts), dtype=np.uint64)
+    max_nb = int(nb.max())
+    for j in range(max_nb):
+        mask = nb > j
+        byt = b[starts[mask] + j].astype(np.uint64)
+        vals[mask] |= (byt & np.uint64(0x7F)) << np.uint64(7 * j)
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing int64/uint64 ids -> first id + positive gaps."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    out = np.empty_like(ids)
+    if len(ids):
+        out[0] = ids[0]
+        np.subtract(ids[1:], ids[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def encode_posting_block(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) -> bytes:
+    """One compressed block: varint(delta(doc_ids)) ++ varint(tfs) ++
+    varint(doc_lens), concatenated. Caller stores n / first / last / max
+    metadata in sidecar Arrow columns (the skip pointers)."""
+    gaps = varint_encode(delta_encode(doc_ids))
+    tf_b = varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    dl_b = varint_encode(np.ascontiguousarray(doc_lens, dtype=np.uint64))
+    head = varint_encode(np.array([len(gaps), len(tf_b)], dtype=np.uint64))
+    return head + gaps + tf_b + dl_b
+
+
+def decode_posting_block(payload: bytes | memoryview, n: int):
+    """Inverse of :func:`encode_posting_block` ->
+    (doc_ids:uint64, tfs:uint64, doc_lens:uint64)."""
+    b = memoryview(payload)
+    sizes_raw = np.frombuffer(b[:20], dtype=np.uint8) if len(b) >= 20 else np.frombuffer(b, dtype=np.uint8)
+    # decode the 2-value header manually (tiny)
+    vals = []
+    pos = 0
+    for _ in range(2):
+        shift = 0
+        acc = 0
+        while True:
+            byte = sizes_raw[pos]
+            acc |= (int(byte) & 0x7F) << shift
+            pos += 1
+            shift += 7
+            if not byte & 0x80:
+                break
+        vals.append(acc)
+    g_len, t_len = vals
+    gaps = varint_decode(b[pos : pos + g_len], n)
+    tfs = varint_decode(b[pos + g_len : pos + g_len + t_len], n)
+    dls = varint_decode(b[pos + g_len + t_len :], n)
+    return delta_decode(gaps), tfs, dls

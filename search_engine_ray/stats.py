@@ -1,0 +1,43 @@
+"""Statistics API — the analog of ``GET /api/statistics``
+(``/root/reference/src/main/java/searchengine/services/statistics/StatisticsServiceImpl.java:33-79``):
+per-scope document counts + lemma counts + build status. Counts come
+from the doc store / dictionary footers and the build manifests — no
+recomputation (the reference re-queries MySQL counts per request,
+``repositories/PageRepository.java:22``, ``LemmaRepository.java:23``)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .pipelines import build as build_mod
+from .state.manifest import PartitionTracker, load_json
+
+
+def statistics(out_dir: str) -> dict:
+    m = load_json(build_mod.build_manifest_path(out_dir)) or {}
+    stats = m.get("stats", {})
+    t = pq.read_table(build_mod.docs_dir(out_dir), columns=["role"])
+    per_role = (
+        t.group_by("role").aggregate([([], "count_all")]).to_pylist()
+    )
+    tracker = PartitionTracker(
+        os.path.join(build_mod.stage_a_dir(out_dir), "_manifests"), build_id="A"
+    )
+    parts = tracker.all_manifests()
+    return {
+        "total": {
+            "docs": stats.get("n_docs", t.num_rows),
+            "lemmas": stats.get("n_lemmas"),
+            "postings": stats.get("n_postings"),
+            "avgdl": stats.get("avgdl"),
+            "indexing": m.get("state") != "DONE",
+        },
+        "per_scope": {r["role"]: r["count_all"] for r in per_role},
+        "partitions": [
+            {"id": p["partition_id"], "state": p["state"], "metrics": p.get("metrics", {})}
+            for p in parts
+        ],
+    }

@@ -1,0 +1,127 @@
+"""Index-build correctness vs the DuckDB oracle (SURVEY.md §5.3) and the
+per-row invariant (§5.2)."""
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from search_engine_ray import oracle
+from search_engine_ray.docid import split_docids
+from search_engine_ray.pipelines import build
+
+SRC = lambda: oracle.transcripts_rel("sf0.001")  # noqa: E731
+
+
+def test_lemma_dict_matches_oracle(tiny_index, duck):
+    ora = duck.execute(
+        oracle.lemma_dict_sql(SRC()) + " ORDER BY lemma"
+    ).fetch_arrow_table()
+    eng = (
+        pq.read_table(build.lemma_dict_path(tiny_index["out_dir"]))
+        .select(["lemma", "df", "cf", "max_tf"])
+        .sort_by("lemma")
+    )
+    assert ora.num_rows == eng.num_rows
+    for col in ("lemma", "df", "cf", "max_tf"):
+        assert ora.column(col).to_pylist() == eng.column(col).to_pylist(), col
+
+
+def test_doc_stats_matches_oracle(tiny_index, duck):
+    ora = duck.execute(
+        f"SELECT * FROM ({oracle.doc_stats_sql(SRC())}) ORDER BY conv_id, turn_idx"
+    ).fetch_arrow_table()
+    eng = pq.read_table(
+        build.docs_dir(tiny_index["out_dir"]),
+        columns=["conv_id", "turn_idx", "doc_len", "docid"],
+    ).sort_by("docid")
+    assert ora.num_rows == eng.num_rows
+    # docid order == (conv_id, turn_idx) lexicographic order
+    assert ora.column("conv_id").to_pylist() == eng.column("conv_id").to_pylist()
+    assert ora.column("turn_idx").to_pylist() == eng.column("turn_idx").to_pylist()
+    assert ora.column("doc_len").to_pylist() == eng.column("doc_len").to_pylist()
+
+
+def test_docid_bijection(tiny_index):
+    docs = pq.read_table(build.docs_dir(tiny_index["out_dir"]), columns=["docid", "turn_idx"])
+    ids = np.sort(docs.column("docid").to_numpy())
+    assert len(np.unique(ids)) == len(ids)
+    _, turn = split_docids(docs.column("docid").to_numpy())
+    assert (turn == docs.column("turn_idx").to_numpy()).all()
+
+
+def test_flat_postings_match_oracle(tiny_index, duck):
+    ora = duck.execute(
+        oracle.flat_postings_sql(SRC()) + " ORDER BY lemma, conv_id, turn_idx"
+    ).fetch_arrow_table()
+    eng = (
+        build.read_flat_postings(
+            tiny_index["out_dir"], columns=["lemma", "conv_id", "turn_idx", "tf"]
+        )
+        .to_pandas()
+        .sort_values(["lemma", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(eng) == ora.num_rows
+    for col in ("lemma", "conv_id", "turn_idx", "tf"):
+        assert eng[col].tolist() == ora.column(col).to_pylist(), col
+
+
+def test_corpus_stats_match_manifest(tiny_index, duck):
+    row = duck.execute(oracle.corpus_stats_sql(SRC())).fetch_arrow_table().to_pylist()[0]
+    s = tiny_index["manifest"]["stats"]
+    assert row["n_docs"] == s["n_docs"]
+    assert row["n_convs"] == s["n_convs"]
+    assert row["total_len"] == s["total_len"]
+    assert row["n_lemmas"] == s["n_lemmas"]
+    assert row["n_postings"] == s["n_postings"]
+    assert abs(row["avgdl"] - s["avgdl"]) < 1e-6
+
+
+def test_per_row_invariant_text_equality(tiny_index, duck):
+    """BASELINE.json per-row invariant: per-turn text equality under
+    stable (conv_id, turn_idx) ordering, engine read vs oracle read."""
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    eng = (
+        read_transcripts(tiny_index["files"], columns=["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ora = duck.execute(
+        f"SELECT conv_id, turn_idx, text FROM {SRC()} ORDER BY conv_id, turn_idx"
+    ).fetch_arrow_table()
+    assert eng["conv_id"].tolist() == ora.column("conv_id").to_pylist()
+    assert eng["turn_idx"].tolist() == ora.column("turn_idx").to_pylist()
+    assert eng["text"].tolist() == ora.column("text").to_pylist()
+
+
+def test_index_blocks_reconstruct_flat_postings(tiny_index, duck):
+    """Decoding the whole compressed index reproduces the flat postings
+    exactly (lemma, conv_id-rank order, tf) — compression is lossless."""
+    from search_engine_ray.stages.encode import decode_block
+
+    idx = pq.read_table(build.index_dir(tiny_index["out_dir"]))
+    per_lemma: dict[str, list] = {}
+    for row in idx.to_pylist():
+        d, tf, _ = decode_block(row["gaps"], row["tfs"], row["dls"], row["n"])
+        per_lemma.setdefault(row["lemma"], []).append((d, tf))
+    ora = duck.execute(
+        oracle.flat_postings_sql(SRC()) + " ORDER BY lemma, conv_id, turn_idx"
+    ).fetch_arrow_table()
+    ora_lemmas = ora.column("lemma").to_pylist()
+    ora_turns = ora.column("turn_idx").to_pylist()
+    ora_tf = ora.column("tf").to_pylist()
+    pos = 0
+    for lem in sorted(per_lemma):
+        runs = sorted(per_lemma[lem], key=lambda r: r[0][0])
+        ids = np.concatenate([r[0] for r in runs])
+        tfs = np.concatenate([r[1] for r in runs])
+        assert (np.diff(ids) > 0).all(), lem
+        _, turn = split_docids(ids)
+        n = len(ids)
+        assert ora_lemmas[pos : pos + n] == [lem] * n
+        assert ora_turns[pos : pos + n] == list(turn)
+        assert ora_tf[pos : pos + n] == [int(t) for t in tfs]
+        pos += n
+    assert pos == ora.num_rows

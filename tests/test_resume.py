@@ -1,0 +1,71 @@
+"""Checkpoint/resume (SURVEY.md §5.6): kill the build after stage-A
+partition i, rerun with resume=True — finished partitions are skipped
+(manifest lineage keys match) and the final index content is identical
+to an uninterrupted build."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.pipelines import build
+from search_engine_ray.stages.encode import decode_block
+
+
+def _decoded_index(out_dir):
+    idx = pq.read_table(build.index_dir(out_dir))
+    per_lemma: dict[str, list] = {}
+    for row in idx.to_pylist():
+        d, tf, dl = decode_block(row["gaps"], row["tfs"], row["dls"], row["n"])
+        per_lemma.setdefault(row["lemma"], []).append((d, tf, dl))
+    out = {}
+    for lem, runs in per_lemma.items():
+        runs.sort(key=lambda r: r[0][0])
+        out[lem] = tuple(np.concatenate([r[i] for r in runs]).tolist() for i in range(3))
+    return out
+
+
+def test_resume_skips_done_partitions(tiny_corpus, tiny_index, tmp_path):
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=2)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build.build_index(cfg, fail_after_partition=1)
+
+    cfg.resume = True
+    manifest = build.build_index(cfg)
+    assert manifest["stage_a_skipped"] == 2  # partitions 0 and 1 reused
+    assert manifest["state"] == "DONE"
+
+    # identical logical content vs the uninterrupted session build
+    assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
+    a = pq.read_table(build.lemma_dict_path(out)).sort_by("lemma")
+    b = pq.read_table(build.lemma_dict_path(tiny_index["out_dir"])).sort_by("lemma")
+    assert a.equals(b)
+    # stats identical
+    assert manifest["stats"] == tiny_index["manifest"]["stats"]
+
+
+def test_resume_noop_when_all_done(tiny_corpus, tiny_index):
+    cfg = BuildConfig(
+        input_paths=tiny_corpus,
+        out_dir=tiny_index["out_dir"],
+        n_partitions=3,
+        concurrency=2,
+        resume=True,
+    )
+    m = build.build_index(cfg)
+    assert m["stage_a_skipped"] == 3
+    assert m["stats"] == tiny_index["manifest"]["stats"]
+    # resumed no-op is fast: no stage re-ran
+    assert m["timings"]["total_s"] < tiny_index["manifest"]["timings"]["total_s"]
+
+
+def test_lineage_key_changes_invalidate(tiny_corpus, tmp_path):
+    from search_engine_ray.state.manifest import lineage_key
+
+    k1 = lineage_key(tiny_corpus, {"analyzer": "1"}, {"batch_size": 2048})
+    k2 = lineage_key(tiny_corpus, {"analyzer": "2"}, {"batch_size": 2048})
+    k3 = lineage_key(tiny_corpus, {"analyzer": "1"}, {"batch_size": 1024})
+    k4 = lineage_key(tiny_corpus[:-1], {"analyzer": "1"}, {"batch_size": 2048})
+    assert len({k1, k2, k3, k4}) == 4

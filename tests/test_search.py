@@ -1,0 +1,137 @@
+"""Rank-identity + query semantics (SURVEY.md §5.5): block-max pruning
+is lossless vs the exhaustive scorer (exact float64 equality), both
+match the independent DuckDB BM25 oracle, and the reference's error /
+scope / pagination semantics hold."""
+
+import numpy as np
+import pytest
+
+from search_engine_ray import datagen, oracle
+from search_engine_ray.search import SearchEngine
+
+QUERIES = datagen.reference_queries()
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_index):
+    return SearchEngine(tiny_index["out_dir"])
+
+
+@pytest.fixture(scope="module")
+def bm25_oracle(duck):
+    sql = oracle.bm25_topk_sql(oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    return by_q
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[q["query_id"] for q in QUERIES])
+def test_blockmax_pruning_is_lossless(engine, q):
+    bm = engine.search(q["query_text"], scope=q["scope"], limit=q["k"], method="blockmax")
+    ex = engine.search(q["query_text"], scope=q["scope"], limit=q["k"], method="exhaustive")
+    assert bm["count"] == ex["count"]
+    a, b = bm["data"].to_pylist(), ex["data"].to_pylist()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert (ra["conv_id"], ra["turn_idx"]) == (rb["conv_id"], rb["turn_idx"])
+        assert ra["score"] == rb["score"]  # exact float64 equality
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[q["query_id"] for q in QUERIES])
+def test_rank_identity_vs_duckdb_oracle(engine, bm25_oracle, q):
+    got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"])["data"].to_pylist()
+    exp = bm25_oracle.get(q["query_id"], [])
+    assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+    for rank, (g, e) in enumerate(zip(got, exp), start=1):
+        assert e["rank"] == rank
+        assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+        assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def test_reference_parity_mode(engine, duck):
+    sql = oracle.reference_topk_sql(oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in QUERIES:
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="reference")
+        exp = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        data = got["data"].to_pylist()
+        if got["error"] == "too_frequent":
+            # oracle drops these queries too (n_kept = 0 -> no cand rows)
+            assert not exp
+            continue
+        assert len(data) == len(exp), q["query_text"]
+        for g, e in zip(data, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def test_missing_lemma_yields_empty(engine):
+    r = engine.search("wqxqzq")
+    assert r["result"] is True and r["count"] == 0 and r["data"].num_rows == 0
+
+
+def test_empty_query_flags_error(engine):
+    r = engine.search("the and of !!!")
+    assert r["result"] is False and r["error"] == "empty_query"
+
+
+def test_bad_scope_flags_error(engine):
+    r = engine.search("wbaba", scope="nosuchrole")
+    assert r["result"] is False and r["error"] == "bad_scope"
+
+
+def test_pagination(engine):
+    q = QUERIES[3]["query_text"]  # ultra-hot single term
+    full = engine.search(q, limit=20)["data"].to_pylist()
+    page1 = engine.search(q, offset=0, limit=10)["data"].to_pylist()
+    page2 = engine.search(q, offset=10, limit=10)["data"].to_pylist()
+    assert [r["conv_id"] for r in page1 + page2] == [r["conv_id"] for r in full]
+    assert [r["turn_idx"] for r in page1 + page2] == [r["turn_idx"] for r in full]
+
+
+def test_scope_filter(engine):
+    q = QUERIES[3]["query_text"]
+    scoped = engine.search(q, scope="user", limit=50)
+    for row in scoped["data"].to_pylist():
+        assert row["role"] == "user"
+    unscoped = engine.search(q, limit=50)
+    assert scoped["count"] <= unscoped["count"]
+
+
+def test_conjunctive_mode(engine):
+    q = QUERIES[2]["query_text"]  # two-term query
+    conj = engine.search(q, conjunctive=True, limit=50)
+    disj = engine.search(q, limit=50)
+    assert conj["count"] <= disj["count"]
+    # conjunctive == exhaustive conjunctive
+    ex = engine.search(q, conjunctive=True, limit=50, method="exhaustive")
+    assert conj["data"].to_pylist() == ex["data"].to_pylist()
+
+
+def test_snippets(engine):
+    q = QUERIES[0]
+    r = engine.search(q["query_text"], limit=5, with_snippets=True)
+    from search_engine_ray.config import SNIPPET_LEN
+
+    for row in r["data"].to_pylist():
+        s = row["snippet"]
+        assert "<b>" in s and "</b>" in s
+        assert s.count("<b>") == s.count("</b>")
+        assert len(s) <= SNIPPET_LEN + len("</b>")
+
+
+def test_deterministic_tiebreak_total_order(engine):
+    """Equal scores order by (conv_id, turn_idx) — repeated runs agree."""
+    q = QUERIES[3]["query_text"]
+    a = engine.search(q, limit=30)["data"].to_pylist()
+    b = engine.search(q, limit=30)["data"].to_pylist()
+    assert a == b
+    keys = [(-r["score"], r["conv_id"], r["turn_idx"]) for r in a]
+    assert keys == sorted(keys)

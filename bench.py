@@ -96,8 +96,8 @@ def run_bench() -> dict:
             "build_total": round(build_s, 3),
             "stage_a_analyze": manifest["timings"]["stage_a_s"],
             "stage_b_docids": manifest["timings"]["stage_b_s"],
-            "stage_c_dict": manifest["timings"]["stage_c_s"],
-            "stage_d_index": manifest["timings"]["stage_d_s"],
+            "stage_c_index": manifest["timings"]["stage_c_s"],
+            "stage_d_dict": manifest["timings"]["stage_d_s"],
             "query_set_3x": round(query_s, 3),
         },
         "sf": float(tag[2:]),

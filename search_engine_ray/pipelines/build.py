@@ -15,13 +15,19 @@ manifests (the upgrade of the reference's 3-state site status machine,
                of checkpoint/resume (north rule).
   B. docs      doc rows -> broadcast dense conv-rank -> docid
                -> sort(docid) -> docs/ parquet; global N, avgdl.
-  C. dict      postings.groupby('lemma').aggregate(Count,Sum,Max)
-               -> lemma_dict/ parquet (df, cf, max_tf, dense lemma_id).
-               Shuffle #1; Ray pre-aggregates per block map-side.
-  D. index     postings + docid -> sort(['lemma','docid'])  (shuffle #2,
+  C. index     postings + docid -> sort(['lemma','docid'])  (THE shuffle:
                the range-partitioned k-way merge; hot-lemma skew is
                split across range partitions automatically)
-               -> map_batches(block encoder) -> index/ parquet.
+               -> map_batches(block encoder) -> index/ parquet. The
+               encoder emits per-block partial aggregates (n, Σtf,
+               max tf) alongside the compressed payloads.
+  D. dict      lemma_dict (df, cf, max_tf, dense lemma_id) derived by
+               aggregating the per-block partials from stage C's block
+               metadata — a ~block_size-fold smaller input than the
+               naive postings groupby, so the dictionary costs one
+               column-pruned metadata scan instead of a second
+               all-to-all shuffle (map-side pre-aggregation taken to
+               its limit: the "partials" are already durable).
 
 Every stage writes its own manifest; ``resume=True`` skips any stage /
 partition whose lineage key (input files+sizes, analyzer+codec versions,
@@ -42,7 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..analyzer import ANALYZER_VERSION
 from ..config import BuildConfig
@@ -58,7 +64,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "1"
+CODEC_VERSION = "2"
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
 ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
@@ -228,42 +234,8 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     timings["stage_b_s"] = round(time.monotonic() - tb, 3)
 
-    # ---------------- stage C: lemma dictionary ------------------------
+    # ---------------- stage C: sorted compressed index -----------------
     tc = time.monotonic()
-    if not (cfg.resume and tracker_s.is_done("lemma_dict", down_key) and prior):
-        agg = (
-            read_flat_postings(cfg.out_dir, columns=["lemma", "tf"])
-            .groupby("lemma")
-            .aggregate(
-                Count(alias_name="df"),
-                Sum("tf", alias_name="cf"),
-                Max("tf", alias_name="max_tf"),
-            )
-        )
-        # vocabulary ≪ corpus: materialize to assign the dense sorted
-        # lemma_id (at ≫10^8 vocab switch to the block-offset dense-rank
-        # described in docid.py); this table is also the query planner's
-        # broadcast side.
-        tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows > 0]
-        tbl = pa.concat_tables(tabs).combine_chunks()
-        order = pc.sort_indices(tbl.column("lemma"))
-        tbl = tbl.take(order)
-        tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
-        tbl = tbl.set_column(1, "df", tbl.column("df").cast(pa.int64()))
-        tbl = tbl.set_column(2, "cf", tbl.column("cf").cast(pa.int64()))
-        tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
-        os.makedirs(os.path.dirname(lemma_dict_path(cfg.out_dir)), exist_ok=True)
-        pq.write_table(tbl, lemma_dict_path(cfg.out_dir))
-        stats["n_lemmas"] = tbl.num_rows
-        stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
-        tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": tbl.num_rows})
-    else:
-        stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
-        stats.setdefault("n_postings", prior["stats"]["n_postings"])
-    timings["stage_c_s"] = round(time.monotonic() - tc, 3)
-
-    # ---------------- stage D: sorted compressed index -----------------
-    td = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
         (
@@ -283,6 +255,36 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             .write_parquet(d)
         )
         tracker_s.mark("index", down_key, STATE_DONE, metrics=_dir_stats(d))
+    timings["stage_c_s"] = round(time.monotonic() - tc, 3)
+
+    # ---------------- stage D: lemma dictionary from block metadata ----
+    td = time.monotonic()
+    if not (cfg.resume and tracker_s.is_done("lemma_dict", down_key) and prior):
+        # column-pruned scan of block-level partial aggregates (block_size
+        # x smaller than the postings); vocabulary ≪ corpus, so the dense
+        # sorted lemma_id is assigned driver-side — this table is the
+        # query planner's broadcast side. At ≫10^8 vocab switch to the
+        # block-offset dense-rank described in docid.py.
+        meta = pq.read_table(
+            index_dir(cfg.out_dir),
+            columns=["lemma", "n", "block_cf", "block_max_tf"],
+        )
+        tbl = pa.TableGroupBy(meta, "lemma").aggregate(
+            [("n", "sum"), ("block_cf", "sum"), ("block_max_tf", "max")]
+        )
+        tbl = tbl.rename_columns(["lemma", "df", "cf", "max_tf"])
+        tbl = tbl.take(pc.sort_indices(tbl.column("lemma"))).combine_chunks()
+        tbl = tbl.set_column(1, "df", tbl.column("df").cast(pa.int64()))
+        tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
+        tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
+        os.makedirs(os.path.dirname(lemma_dict_path(cfg.out_dir)), exist_ok=True)
+        pq.write_table(tbl, lemma_dict_path(cfg.out_dir))
+        stats["n_lemmas"] = tbl.num_rows
+        stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
+        tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": tbl.num_rows})
+    else:
+        stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
+        stats.setdefault("n_postings", prior["stats"]["n_postings"])
     timings["stage_d_s"] = round(time.monotonic() - td, 3)
     timings["total_s"] = round(time.monotonic() - t0, 3)
 

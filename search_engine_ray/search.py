@@ -50,7 +50,7 @@ from . import analyzer
 from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF
 from .docid import split_docids
 from .pipelines import build as build_mod
-from .stages.encode import decode_block
+from .stages.encode import decode_block, decode_blocks_vectorized
 from .state.manifest import load_json
 
 
@@ -77,6 +77,7 @@ class SearchEngine:
         )
         self._index = pads.dataset(build_mod.index_dir(out_dir))
         self._scope_cache: dict[str, np.ndarray] = {}
+        self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
         self._ref_max_relevance: float | None = None
 
     # ---------------- planning (J2/T1) --------------------------------
@@ -102,29 +103,41 @@ class SearchEngine:
     # ---------------- posting access (J3, partition-pruned) -----------
 
     def _term_blocks(self, lemmas: list[str]) -> dict[str, dict]:
-        tbl = self._index.to_table(
-            filter=pads.field("lemma").isin(lemmas),
-        )
-        out: dict[str, dict] = {}
-        lem_arr = tbl.column("lemma")
-        for lem in lemmas:
-            sub = tbl.filter(pc.equal(lem_arr, lem))
-            order = pc.sort_indices(sub.column("first_docid"))
-            sub = sub.take(order)
-            out[lem] = {
-                "first": sub.column("first_docid").to_numpy(),
-                "last": sub.column("last_docid").to_numpy(),
-                "n": sub.column("n").to_numpy(),
-                "bmw": sub.column("bmw").to_numpy().astype(np.float64),
-                "gaps": sub.column("gaps").to_pylist(),
-                "tfs": sub.column("tfs").to_pylist(),
-                "dls": sub.column("dls").to_pylist(),
-            }
-        return out
+        missing = [l for l in lemmas if l not in self._block_cache]
+        if missing:
+            tbl = self._index.to_table(
+                filter=pads.field("lemma").isin(missing),
+            )
+            lem_arr = tbl.column("lemma")
+            for lem in missing:
+                sub = tbl.filter(pc.equal(lem_arr, lem))
+                order = pc.sort_indices(sub.column("first_docid"))
+                sub = sub.take(order)
+                self._block_cache[lem] = {
+                    "first": sub.column("first_docid").to_numpy(),
+                    "last": sub.column("last_docid").to_numpy(),
+                    "n": sub.column("n").to_numpy(),
+                    "bmw": sub.column("bmw").to_numpy().astype(np.float64),
+                    "gaps": sub.column("gaps").to_pylist(),
+                    "tfs": sub.column("tfs").to_pylist(),
+                    "dls": sub.column("dls").to_pylist(),
+                }
+        return {l: self._block_cache[l] for l in lemmas}
 
     def _decode_term(self, blocks: dict, lo: int, hi: int, cache: dict):
-        """Decode blocks lo..hi (exclusive) with per-block memoization ->
-        (docid, tf, dl) concatenated."""
+        """Decode blocks lo..hi (exclusive) -> (docid, tf, dl). Small
+        ranges use per-block memoization (the windowed path revisits
+        blocks); large ranges use the single-pass vectorized decode."""
+        if hi - lo == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        if hi - lo > 16 and not cache:
+            return decode_blocks_vectorized(
+                blocks["gaps"][lo:hi],
+                blocks["tfs"][lo:hi],
+                blocks["dls"][lo:hi],
+                np.asarray(blocks["n"][lo:hi], dtype=np.int64),
+            )
         parts = []
         for j in range(lo, hi):
             got = cache.get(j)
@@ -132,9 +145,6 @@ class SearchEngine:
                 got = decode_block(blocks["gaps"][j], blocks["tfs"][j], blocks["dls"][j], int(blocks["n"][j]))
                 cache[j] = got
             parts.append(got)
-        if not parts:
-            z = np.empty(0, np.int64)
-            return z, z, z
         return tuple(np.concatenate(cols) for cols in zip(*parts))
 
     # ---------------- scope (site-analog) filter ----------------------
@@ -273,7 +283,9 @@ class SearchEngine:
             top_ids, top_scores = all_ids[sel], all_scores[sel]
             if len(top_scores) >= k:
                 threshold = top_scores[-1]
-        if processed_all:
+        if len(terms) == 1 and scope_ids is None and not conjunctive:
+            count = terms[0][1]  # single unscoped term: count == df, no decode
+        elif processed_all:
             count = int(len(np.unique(np.concatenate(count_ids)))) if count_ids else 0
         else:
             count = self._exact_count(term_list, scope_ids, conjunctive)

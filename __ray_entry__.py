@@ -154,6 +154,126 @@ def _df_cutoff_lemmas(sf_dir: str):
     return t.filter(pc.greater_equal(t.column("df"), REFERENCE_DF_CUTOFF))
 
 
+# ---------------------------------------------------------------------------
+# Training-data operators over the driver's `documents` / `embeddings`
+# tables (dedup, similarity search, text analysis, multimodal plumbing)
+# ---------------------------------------------------------------------------
+
+
+def _sf_dir(sf_dir_or_tag: str) -> str:
+    if "/" in sf_dir_or_tag:
+        return sf_dir_or_tag
+    return f"/root/testdata/{sf_dir_or_tag}"
+
+
+def _documents_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(_sf_dir(sf_dir), "documents.parquet"))
+
+
+def _embeddings_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(_sf_dir(sf_dir), "embeddings.parquet"))
+
+
+def _dedup_exact(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.exact_dedup(_documents_ds(sf_dir))
+
+
+def _dedup_ngram(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.ngram_jaccard_pairs(_documents_ds(sf_dir))
+
+
+def _dedup_minhash(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.minhash_lsh_pairs(_documents_ds(sf_dir))
+
+
+def _dedup_simhash(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.simhash_pairs(_documents_ds(sf_dir))
+
+
+def _dedup_embedding(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.embedding_dup_pairs(_embeddings_ds(sf_dir))
+
+
+def _knn_bruteforce(sf_dir: str):
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_bruteforce(_embeddings_ds(sf_dir))
+
+
+def _knn_ivf(sf_dir: str):
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_ivf(_embeddings_ds(sf_dir))
+
+
+def _text_token_counts(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.token_counts(b).select(["doc_id", "n_ws_tokens", "n_word_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def _text_quality(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    cols = ["doc_id", "n_chars", "n_words", "mean_word_len", "alpha_ratio",
+            "punct_ratio", "stop_ratio", "quality_score"]
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.quality_features(b).select(cols), batch_format="pyarrow"
+    )
+
+
+def _text_fingerprint(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.fingerprint(b).select(["doc_id", "fp_md5"]),
+        batch_format="pyarrow",
+    )
+
+
+def _text_langid(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.LangId()(b).select(["doc_id", "lang", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+
+
+def _multimodal_features(sf_dir: str):
+    import ray.data as rd
+
+    from search_engine_ray.stages import multimodal as mm
+
+    docs = pq.read_table(
+        os.path.join(_sf_dir(sf_dir), "documents.parquet"), columns=["text"]
+    )
+    media = mm.synth_media_table(docs.column("text").to_pylist())
+    return rd.from_arrow(media).map_batches(
+        mm.MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     return {
@@ -166,6 +286,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_cutoff_lemmas": _df_cutoff_lemmas,
         "search_topk_bm25": lambda sf: _search_topk(sf, "bm25"),
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
+        # training-data operators (documents / embeddings tables)
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram,
+        "dedup_minhash_lsh": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "knn_bruteforce": _knn_bruteforce,
+        "knn_ivf": _knn_ivf,
+        "text_token_counts": _text_token_counts,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_langid": _text_langid,
+        "multimodal_features": _multimodal_features,
     }
 
 
@@ -176,6 +309,9 @@ def oracle_sql() -> dict[str, str]:
     sf=0.01)."""
     from search_engine_ray import datagen, oracle
     from search_engine_ray.config import REFERENCE_DF_CUTOFF
+    from search_engine_ray.functions import dedup as dedup_mod
+    from search_engine_ray.functions import similarity as similarity_mod
+    from search_engine_ray.functions import text_analysis as ta_mod
 
     tag = "sf0.01"
     datagen.generate(tag)  # oracle may run before the Ray side
@@ -194,4 +330,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_topk_bm25": oracle.bm25_topk_sql(src, qs),
         "search_topk_reference": oracle.reference_topk_sql(src, qs),
+        # training-data operators over the driver's pre-registered views.
+        # dedup_minhash_lsh / dedup_simhash / knn_ivf are approximate
+        # (LSH recall < 1 by design) and text_langid / multimodal are
+        # heuristic / stub-backed — those get the rows-only check.
+        "dedup_exact": dedup_mod.exact_dedup_sql("documents"),
+        "dedup_ngram_jaccard": dedup_mod.ngram_jaccard_sql("documents"),
+        "dedup_embedding": dedup_mod.embedding_dup_sql("embeddings"),
+        "knn_bruteforce": similarity_mod.knn_bruteforce_sql("embeddings"),
+        "text_token_counts": ta_mod.token_counts_sql("documents"),
+        "text_quality": ta_mod.quality_features_sql("documents"),
+        "text_fingerprint": ta_mod.fingerprint_sql("documents"),
     }

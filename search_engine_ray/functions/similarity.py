@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k (the baseline: numpy matmul per batch against
+a broadcast query matrix) and an IVF-bucketed variant (the scale path:
+search only the ``nprobe`` nearest of ``nlist`` coarse cells).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _query_matrix(ds: rd.Dataset, id_col: str, vec_col: str, n_queries: int):
+    import pyarrow.compute as pc
+
+    q = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column(id_col), n_queries)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q = q.sort_values(id_col)
+    return q[id_col].to_numpy(), _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+
+
+def knn_bruteforce(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    k: int = 5,
+) -> pa.Table:
+    """Exact cosine top-k for the first ``n_queries`` vectors (query set
+    = ``id < n_queries``), self-matches excluded. The query matrix is
+    broadcast ONCE (ray.put); each batch emits its local top-k partials
+    (k rows per query per batch); the driver merges the tiny partials.
+    Deterministic tie-break: (cosine DESC, id ASC).
+    """
+    qids, qmat = _query_matrix(ds, id_col, vec_col, n_queries)
+    ref = ray.put((qids, qmat))
+
+    class PartialTopK:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            sims = self.qmat @ mat.T  # (nq, nb)
+            out_q, out_v, out_c = [], [], []
+            for r, qid in enumerate(self.qids):
+                s = sims[r]
+                mask = ids != qid
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(ids[top].tolist())
+                out_c.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(row[id_col]), round(float(row["cosine"]), 6)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def knn_bruteforce_sql(src: str, id_col: str = "vec_id", vec_col: str = "embedding",
+                       n_queries: int = 8, k: int = 5) -> str:
+    """DuckDB oracle (float64 cosine on the CASTed list, same rounding
+    and tie-break)."""
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM e WHERE {id_col} < {n_queries}),
+s AS (
+    SELECT q.query_id, e.{id_col}, list_cosine_similarity(q.qv, e.v) AS cos
+    FROM q JOIN e ON e.{id_col} != q.query_id
+),
+ranked AS (
+    SELECT query_id, {id_col}, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, {id_col}) AS rank
+    FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, {id_col} AS neighbor_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantized) ANN — the scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(ds: rd.Dataset, vec_col: str, nlist: int, iters: int = 8,
+                    sample: int = 4096, seed: int = 11) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (centroid training is
+    O(sample); assignment stays distributed)."""
+    vecs = ds.select_columns([vec_col]).limit(sample).to_pandas()[vec_col]
+    x = _normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> pa.Table:
+    """IVF ANN: assign every vector to its nearest of ``nlist`` coarse
+    centroids (one map pass, centroids broadcast), then each query scans
+    only its ``nprobe`` nearest cells. Approximate — recall is asserted
+    against :func:`knn_bruteforce` in tests, not an exact oracle."""
+    cents = train_centroids(ds, vec_col, nlist)
+    qids, qmat = _query_matrix(ds, id_col, vec_col, n_queries)
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((qids, qmat, cents, probe))
+
+    class CellTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.cents, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            cell = np.argmax(mat @ self.cents.T, axis=1)
+            out_q, out_v, out_c = [], [], []
+            for r, qid in enumerate(self.qids):
+                m = np.isin(cell, self.probe[r]) & (ids != qid)
+                cand = np.flatnonzero(m)
+                if not len(cand):
+                    continue
+                s = mat[cand] @ self.qmat[r]
+                top = np.lexsort((ids[cand], -s))[:k]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(ids[cand][top].tolist())
+                out_c.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        CellTopK, batch_format="pyarrow", concurrency=(1, 4)
+    ).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(row[id_col]), round(float(row["cosine"]), 6)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

@@ -1,0 +1,210 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting. All are stateless vectorized ``map_batches``
+transforms (Arrow in / Arrow out). The SQL-expressible ones (token
+counts, quality features, md5 fingerprint) have DuckDB oracles generated
+from the SAME regex/constant tables (both engines use RE2, so the
+patterns behave identically); language ID and the rolling hash are
+rows-only checked + unit-tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WS_TOKEN_REGEX = r"\S+"
+WORD_REGEX = r"[a-z0-9]+"
+ALNUM_CHAR_REGEX = r"[a-z0-9]"
+PUNCT_CHAR_REGEX = r"[.,;:!?]"
+
+# frozen per-language stopword profiles for the language heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on"),
+    "es": ("de", "la", "que", "el", "en", "los", "del", "las", "por", "con", "una", "es"),
+    "de": ("der", "die", "und", "das", "von", "den", "mit", "ist", "des", "ein", "im", "nicht"),
+    "fr": ("de", "la", "le", "les", "des", "est", "une", "dans", "que", "pour", "qui", "sur"),
+}
+
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"]
+STOPWORD_REGEX = r"\b(" + "|".join(QUALITY_STOPWORDS) + r")\b"
+
+QUALITY_ROUND = 6
+FP_HASH_BASE = 1_000_003
+FP_HASH_MOD = (1 << 61) - 1
+
+
+def _lower(batch: pa.Table, text_col: str) -> pa.Array:
+    return pc.utf8_lower(pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero at 6 decimals (DuckDB ``round``
+    semantics; ``np.round`` is half-even and disagrees on exact .5s)."""
+    return np.floor(x * 10.0**QUALITY_ROUND + 0.5) / 10.0**QUALITY_ROUND
+
+
+def _count(arr: pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(arr, pattern)
+
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``n_ws_tokens`` (whitespace-delimited) and ``n_word_tokens``
+    (regex ``[a-z0-9]+`` over lowercased text — BPE-ish word
+    pre-tokenization count)."""
+    low = _lower(batch, text_col)
+    return batch.append_column(
+        "n_ws_tokens", _count(low, WS_TOKEN_REGEX).cast(pa.int64())
+    ).append_column("n_word_tokens", _count(low, WORD_REGEX).cast(pa.int64()))
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite ``quality_score`` in [0, 1]."""
+    low = _lower(batch, text_col)
+    n_chars = pc.utf8_length(low).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words = _count(low, WORD_REGEX).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_alnum = _count(low, ALNUM_CHAR_REGEX).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = _count(low, PUNCT_CHAR_REGEX).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_stop = _count(low, STOPWORD_REGEX).cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    denom_c = np.maximum(n_chars, 1.0)
+    denom_w = np.maximum(n_words, 1.0)
+    mean_word_len = _round6(n_alnum / denom_w)
+    alpha_ratio = _round6(n_alnum / denom_c)
+    punct_ratio = _round6(n_punct / denom_c)
+    stop_ratio = _round6(n_stop / denom_w)
+    score = _round6(
+        0.3 * (n_alnum / denom_c)
+        + 0.3 * (1.0 - n_punct / denom_c)
+        + 0.2 * (1.0 - n_stop / denom_w)
+        + 0.2 * np.minimum(n_words / 100.0, 1.0)
+    )
+    out = batch
+    for name, arr in (
+        ("n_chars", n_chars.astype(np.int64)),
+        ("n_words", n_words.astype(np.int64)),
+        ("mean_word_len", mean_word_len),
+        ("alpha_ratio", alpha_ratio),
+        ("punct_ratio", punct_ratio),
+        ("stop_ratio", stop_ratio),
+        ("quality_score", score),
+    ):
+        col = pa.array(arr)
+        if name in out.column_names:  # input may carry e.g. its own n_chars
+            out = out.set_column(out.column_names.index(name), name, col)
+        else:
+            out = out.append_column(name, col)
+    return out
+
+
+def quality_features_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`quality_features` (same regexes, RE2)."""
+    low = "lower(coalesce(text, ''))"
+    n_chars, n_words = f"length({low})", f"len(regexp_extract_all({low}, '{WORD_REGEX}'))"
+    n_alnum = f"len(regexp_extract_all({low}, '{ALNUM_CHAR_REGEX}'))"
+    n_punct = f"len(regexp_extract_all({low}, '{PUNCT_CHAR_REGEX}'))"
+    n_stop = f"len(regexp_extract_all({low}, '{STOPWORD_REGEX}'))"
+    dc, dw = f"greatest({n_chars}, 1)", f"greatest({n_words}, 1)"
+    r = QUALITY_ROUND
+    return f"""
+SELECT {id_col},
+       CAST({n_chars} AS BIGINT) AS n_chars,
+       CAST({n_words} AS BIGINT) AS n_words,
+       round({n_alnum} * 1.0 / {dw}, {r}) AS mean_word_len,
+       round({n_alnum} * 1.0 / {dc}, {r}) AS alpha_ratio,
+       round({n_punct} * 1.0 / {dc}, {r}) AS punct_ratio,
+       round({n_stop} * 1.0 / {dw}, {r}) AS stop_ratio,
+       round(0.3 * ({n_alnum} * 1.0 / {dc})
+           + 0.3 * (1.0 - {n_punct} * 1.0 / {dc})
+           + 0.2 * (1.0 - {n_stop} * 1.0 / {dw})
+           + 0.2 * least({n_words} / 100.0, 1.0), {r}) AS quality_score
+FROM {src}
+"""
+
+
+def token_counts_sql(src: str, id_col: str = "doc_id") -> str:
+    low = "lower(coalesce(text, ''))"
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(len(regexp_extract_all({low}, '{WS_TOKEN_REGEX}')) AS BIGINT) AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all({low}, '{WORD_REGEX}')) AS BIGINT) AS n_word_tokens "
+        f"FROM {src}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``fp_md5`` (md5 hex of whitespace-normalized lowercase text —
+    byte-identical to DuckDB's ``md5()``) and ``fp_roll`` (64-bit
+    polynomial rolling hash over word tokens — the streaming-friendly
+    content fingerprint; rows-only checked)."""
+    low = _lower(batch, text_col)
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(low, r"\s+", " ")
+    )
+    texts = norm.to_pylist()
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+    rolls = np.fromiter(
+        (_rolling_hash(t) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
+        "fp_roll", pa.array(rolls, pa.int64())
+    )
+
+
+def _rolling_hash(norm_text: str) -> int:
+    h = 0
+    for tok in norm_text.split():
+        t = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        h = (h * FP_HASH_BASE + t) % FP_HASH_MOD
+    return h
+
+
+def fingerprint_sql(src: str, id_col: str = "doc_id") -> str:
+    norm = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
+    return f"SELECT {id_col}, md5({norm}) AS fp_md5 FROM {src}"
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic) — rows-only oracle
+# ---------------------------------------------------------------------------
+
+class LangId:
+    """Actor-pool language classifier: profiles compiled once per actor
+    (``__init__``), vectorized scoring per batch. Scores each language
+    by standalone-stopword hit rate; 'zh' by CJK char ratio."""
+
+    def __init__(self):
+        import re
+
+        self.profiles = {
+            lang: re.compile(r"\b(" + "|".join(ws) + r")\b")
+            for lang, ws in LANG_PROFILES.items()
+        }
+        self.cjk = re.compile(r"[一-鿿]")
+        self.word = re.compile(WORD_REGEX)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(
+            pc.fill_null(batch.column("text").combine_chunks(), "")
+        ).to_pylist()
+        langs = []
+        for t in texts:
+            if len(self.cjk.findall(t)) > 0.2 * max(len(t), 1):
+                langs.append("zh")
+                continue
+            n_words = max(len(self.word.findall(t)), 1)
+            best, best_s = "unknown", 0.0
+            for lang, rx in self.profiles.items():
+                s = len(rx.findall(t)) / n_words
+                if s > best_s:
+                    best, best_s = lang, s
+            langs.append(best if best_s >= 0.05 else "unknown")
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))

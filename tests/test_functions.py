@@ -1,0 +1,227 @@
+"""Training-data operator tests (dedup / similarity / text analysis /
+multimodal) over the driver's ``documents`` and ``embeddings`` tables at
+sf0.001, each SQL-expressible op checked against its own DuckDB oracle
+(the same SQL `__ray_entry__.oracle_sql()` hands the driver)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return rd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    return rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def fduck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _table(r):
+    if isinstance(r, rd.Dataset):
+        tabs = [t for t in ray.get(r.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(tabs)
+    return r
+
+
+def _assert_matches_oracle(result, con, sql):
+    t = _table(result)
+    o = con.sql(sql).arrow()
+    keys = [(c, "ascending") for c in t.column_names]
+    ts = t.sort_by(keys)
+    os_ = o.select(t.column_names).cast(ts.schema).sort_by(keys)
+    assert ts.equals(os_), f"engine vs oracle mismatch ({t.num_rows} vs {o.num_rows} rows)"
+    return t
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import dedup
+
+    t = _assert_matches_oracle(
+        dedup.exact_dedup(docs_ds), fduck, dedup.exact_dedup_sql("documents")
+    )
+    assert t.num_rows > 0
+
+
+def test_ngram_jaccard_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import dedup
+
+    t = _assert_matches_oracle(
+        dedup.ngram_jaccard_pairs(docs_ds), fduck, dedup.ngram_jaccard_sql("documents")
+    )
+    # sf corpora carry planted near-dups; the op must find some
+    assert t.num_rows > 0
+
+
+def test_minhash_lsh_subset_and_recall(docs_ds, fduck):
+    """Every LSH pair is exact-verified (subset of the exact oracle);
+    recall vs the exact pair set must be high at this threshold."""
+    from search_engine_ray.functions import dedup
+
+    lsh = _table(dedup.minhash_lsh_pairs(docs_ds))
+    exact = fduck.sql(dedup.ngram_jaccard_sql("documents")).arrow()
+    exact_pairs = set(zip(exact["doc_a"].to_pylist(), exact["doc_b"].to_pylist()))
+    lsh_pairs = set(zip(lsh["doc_a"].to_pylist(), lsh["doc_b"].to_pylist()))
+    assert lsh_pairs <= exact_pairs
+    assert exact_pairs, "oracle found no near-dup pairs — fixture assumption broken"
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8"
+
+
+def test_simhash_pairs_verified(docs_ds):
+    from search_engine_ray.functions import dedup
+
+    t = _table(dedup.simhash_pairs(docs_ds))
+    assert t.num_rows > 0
+    assert max(t["hamming"].to_pylist()) <= dedup.SIMHASH_MAX_HAMMING
+    # a < b, no dups
+    pairs = list(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(set(pairs))
+
+
+def test_embedding_dup_oracle(emb_ds, fduck):
+    from search_engine_ray.functions import dedup
+
+    t = _assert_matches_oracle(
+        dedup.embedding_dup_pairs(emb_ds), fduck, dedup.embedding_dup_sql("embeddings")
+    )
+    assert t.num_rows > 0
+    assert min(t["cosine"].to_pylist()) >= dedup.EMBEDDING_COSINE_THRESHOLD - 1e-9
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_knn_bruteforce_oracle(emb_ds, fduck):
+    from search_engine_ray.functions import similarity
+
+    t = _assert_matches_oracle(
+        similarity.knn_bruteforce(emb_ds), fduck, similarity.knn_bruteforce_sql("embeddings")
+    )
+    assert t.num_rows == 8 * 5  # n_queries * k
+
+
+def test_knn_ivf_recall(emb_ds):
+    """IVF is approximate; assert recall@k vs brute force."""
+    from search_engine_ray.functions import similarity
+
+    bf = _table(similarity.knn_bruteforce(emb_ds))
+    ivf = _table(similarity.knn_ivf(emb_ds))
+    hits = 0
+    for q in set(bf["query_id"].to_pylist()):
+        b = {n for qq, n in zip(bf["query_id"].to_pylist(), bf["neighbor_id"].to_pylist()) if qq == q}
+        i = {n for qq, n in zip(ivf["query_id"].to_pylist(), ivf["neighbor_id"].to_pylist()) if qq == q}
+        hits += len(b & i) / len(b)
+    recall = hits / len(set(bf["query_id"].to_pylist()))
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+# ---------------------------------------------------------- text analysis
+
+
+def test_token_counts_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    ds = docs_ds.map_batches(
+        lambda b: ta.token_counts(b).select(["doc_id", "n_ws_tokens", "n_word_tokens"]),
+        batch_format="pyarrow",
+    )
+    _assert_matches_oracle(ds, fduck, ta.token_counts_sql("documents"))
+
+
+def test_quality_features_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    cols = ["doc_id", "n_chars", "n_words", "mean_word_len", "alpha_ratio",
+            "punct_ratio", "stop_ratio", "quality_score"]
+    ds = docs_ds.map_batches(
+        lambda b: ta.quality_features(b).select(cols), batch_format="pyarrow"
+    )
+    t = _assert_matches_oracle(ds, fduck, ta.quality_features_sql("documents"))
+    scores = t["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_fingerprint_oracle_and_rolling(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    ds = docs_ds.map_batches(
+        lambda b: ta.fingerprint(b).select(["doc_id", "fp_md5"]), batch_format="pyarrow"
+    )
+    _assert_matches_oracle(ds, fduck, ta.fingerprint_sql("documents"))
+    # rolling hash: deterministic, whitespace-insensitive, order-sensitive
+    b = pa.table({"doc_id": [0, 1, 2], "text": ["a b c", "a   b\tc", "c b a"]})
+    out = ta.fingerprint(b)
+    r = out["fp_roll"].to_pylist()
+    assert r[0] == r[1]
+    assert r[0] != r[2]
+
+
+def test_langid_known_languages():
+    from search_engine_ray.functions import text_analysis as ta
+
+    b = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog sat on the mat with a hat",
+                "la casa de la madre es una de las mejores por el mar",
+                "der Hund und die Katze sind mit der Mutter im Haus",
+                "这是一个中文句子 完全是中文的内容 没有别的",
+            ],
+        }
+    )
+    out = ta.LangId()(b)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "zh"]
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_feature_stage(docs_ds):
+    from search_engine_ray.stages import multimodal as mm
+
+    texts = [r["text"] for r in docs_ds.take(50)]
+    media = mm.synth_media_table(texts)
+    assert media.schema.equals(mm.MEDIA_SCHEMA)
+    out1 = _table(
+        rd.from_arrow(media).map_batches(
+            mm.MediaFeatureExtractor, batch_format="pyarrow", batch_size=16,
+            concurrency=(1, 2),
+        )
+    ).sort_by("media_id")
+    out2 = _table(
+        rd.from_arrow(media).map_batches(
+            mm.MediaFeatureExtractor, batch_format="pyarrow", batch_size=7,
+            concurrency=(1, 2),
+        )
+    ).sort_by("media_id")
+    # deterministic across runs, batch sizes and actors
+    assert out1.equals(out2)
+    feats = out1["feature"].to_pylist()
+    assert all(len(f) == mm.FEATURE_DIM for f in feats)
+    assert out1.num_rows == 50

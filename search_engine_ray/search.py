@@ -50,7 +50,7 @@ from . import analyzer
 from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF
 from .docid import split_docids
 from .pipelines import build as build_mod
-from .stages.encode import decode_block, decode_blocks_vectorized
+from .stages.encode import binary_column_buffers, decode_block_range
 from .state.manifest import load_json
 
 
@@ -78,6 +78,7 @@ class SearchEngine:
         self._index = pads.dataset(build_mod.index_dir(out_dir))
         self._scope_cache: dict[str, np.ndarray] = {}
         self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
+        self._fwd: tuple | None = None  # lazy (docids, role_codes, roles, convs)
         self._ref_max_relevance: float | None = None
 
     # ---------------- planning (J2/T1) --------------------------------
@@ -112,40 +113,51 @@ class SearchEngine:
             for lem in missing:
                 sub = tbl.filter(pc.equal(lem_arr, lem))
                 order = pc.sort_indices(sub.column("first_docid"))
-                sub = sub.take(order)
+                sub = sub.take(order).combine_chunks()
+                n = sub.column("n").to_numpy()
                 self._block_cache[lem] = {
                     "first": sub.column("first_docid").to_numpy(),
                     "last": sub.column("last_docid").to_numpy(),
-                    "n": sub.column("n").to_numpy(),
+                    "n": n,
+                    "cum_n": np.concatenate(([0], np.cumsum(n, dtype=np.int64))),
                     "bmw": sub.column("bmw").to_numpy().astype(np.float64),
-                    "gaps": sub.column("gaps").to_pylist(),
-                    "tfs": sub.column("tfs").to_pylist(),
-                    "dls": sub.column("dls").to_pylist(),
+                    "gaps": binary_column_buffers(sub.column("gaps")),
+                    "tfs": binary_column_buffers(sub.column("tfs")),
+                    "dls": binary_column_buffers(sub.column("dls")),
                 }
         return {l: self._block_cache[l] for l in lemmas}
 
+    _DECODE_CHUNK = 128  # blocks per cached decode unit
+
     def _decode_term(self, blocks: dict, lo: int, hi: int, cache: dict):
-        """Decode blocks lo..hi (exclusive) -> (docid, tf, dl). Small
-        ranges use per-block memoization (the windowed path revisits
-        blocks); large ranges use the single-pass vectorized decode."""
-        if hi - lo == 0:
+        """Decode blocks lo..hi (exclusive) -> (docid, tf, dl). Decoding
+        runs in chunk units of ``_DECODE_CHUNK`` blocks — each chunk is a
+        single vectorized varint pass over a contiguous buffer slice —
+        memoized in ``cache`` because the windowed block-max path revisits
+        neighbouring blocks."""
+        if hi <= lo:
             z = np.empty(0, np.int64)
             return z, z, z
-        if hi - lo > 16 and not cache:
-            return decode_blocks_vectorized(
-                blocks["gaps"][lo:hi],
-                blocks["tfs"][lo:hi],
-                blocks["dls"][lo:hi],
-                np.asarray(blocks["n"][lo:hi], dtype=np.int64),
-            )
-        parts = []
-        for j in range(lo, hi):
-            got = cache.get(j)
+        ch = self._DECODE_CHUNK
+        cum = blocks["cum_n"]
+        nb = len(blocks["n"])
+        out_d, out_t, out_l = [], [], []
+        for ci in range(lo // ch, (hi - 1) // ch + 1):
+            a, b = ci * ch, min((ci + 1) * ch, nb)
+            got = cache.get(ci)
             if got is None:
-                got = decode_block(blocks["gaps"][j], blocks["tfs"][j], blocks["dls"][j], int(blocks["n"][j]))
-                cache[j] = got
-            parts.append(got)
-        return tuple(np.concatenate(cols) for cols in zip(*parts))
+                got = decode_block_range(
+                    blocks["gaps"], blocks["tfs"], blocks["dls"], cum, a, b
+                )
+                cache[ci] = got
+            s, e = max(lo, a), min(hi, b)
+            ps, pe = int(cum[s] - cum[a]), int(cum[e] - cum[a])
+            out_d.append(got[0][ps:pe])
+            out_t.append(got[1][ps:pe])
+            out_l.append(got[2][ps:pe])
+        if len(out_d) == 1:
+            return out_d[0], out_t[0], out_l[0]
+        return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_l)
 
     # ---------------- scope (site-analog) filter ----------------------
 
@@ -207,7 +219,7 @@ class SearchEngine:
         term_data = []
         for lem, df in terms:
             bl = blocks[lem]
-            term_data.append((self.idf(df), self._decode_term(bl, 0, len(bl["first"]), {})))
+            term_data.append((self.idf(df), self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))))
         doc_parts, contrib_parts = [], []
         for docid, contrib in self._contributions(term_data, scope_ids):
             doc_parts.append(docid)
@@ -226,7 +238,7 @@ class SearchEngine:
         term_list = []
         for lem, df in terms:
             bl = blocks[lem]
-            term_list.append((self.idf(df), bl, {}))
+            term_list.append((self.idf(df), bl, bl.setdefault("chunks", {})))
 
         # window boundaries: every block first_docid of every term
         starts = np.unique(np.concatenate([bl["first"] for _, bl, _ in term_list]))
@@ -250,31 +262,54 @@ class SearchEngine:
         count = 0
         count_ids: list[np.ndarray] = []
         processed_all = True
-        for w in order:
-            if len(top_scores) >= k and wub[w] < threshold:
-                processed_all = False
-                break
-            s, e = starts[w], ends[w]
-            doc_parts, contrib_parts = [], []
+        # j1 per (term, window): first block index with first_docid >= end
+        j1s = [
+            np.maximum(covers[t][0] + 1, np.searchsorted(term_list[t][1]["first"], ends))
+            for t in range(len(term_list))
+        ]
+        # windows are evaluated in groups of GROUP (descending UB):
+        # per group each term decodes ONE contiguous block span (chunk-
+        # memoized) and postings are masked to the union of the group's
+        # [start, end) intervals — every posting of a doc falls in
+        # exactly one window, so group scores are complete doc scores.
+        # Pruning stays lossless: the group is entered only while its
+        # best window UB >= threshold, and within a group only windows
+        # with UB >= threshold are evaluated (ties still processed, so
+        # the (score DESC, docid ASC) tie-break is exact).
+        GROUP = 512
+        for g0 in range(0, W, GROUP):
+            grp = order[g0 : g0 + GROUP]
+            if len(top_scores) >= k:
+                if wub[grp[0]] < threshold:
+                    processed_all = False
+                    break
+                kept = grp[wub[grp] >= threshold]
+                if len(kept) < len(grp):
+                    processed_all = False
+                grp = kept
+            s_arr, e_arr = starts[grp], ends[grp]
+            o2 = np.argsort(s_arr)
+            s_sorted, e_sorted = s_arr[o2], e_arr[o2]
             term_data = []
-            for (idf, bl, cache), (jarr, alive) in zip(term_list, covers):
-                if not alive[w]:
+            for t, ((idf, bl, cache), (jarr, alive)) in enumerate(zip(term_list, covers)):
+                aw = alive[grp]
+                if not aw.any():
                     continue
-                j0 = int(jarr[w])
-                # this window spans exactly one block range start; decode
-                # every block intersecting [s, e)
-                j1 = j0 + 1
-                while j1 < len(bl["first"]) and bl["first"][j1] < e:
-                    j1 += 1
+                j0 = int(jarr[grp][aw].min())
+                j1 = int(j1s[t][grp][aw].max())
                 docid, tf, dl = self._decode_term(bl, j0, j1, cache)
-                m = (docid >= s) & (docid < e)
+                # mask to the union of the group's windows
+                idx = np.searchsorted(s_sorted, docid, side="right") - 1
+                idx_c = np.clip(idx, 0, len(s_sorted) - 1)
+                m = (idx >= 0) & (docid < e_sorted[idx_c])
                 term_data.append((idf, (docid[m], tf[m], dl[m])))
+            doc_parts, contrib_parts = [], []
             for docid, contrib in self._contributions(term_data, scope_ids):
                 doc_parts.append(docid)
                 contrib_parts.append(contrib)
-            ids, scores = self._aggregate(doc_parts, contrib_parts, conjunctive, len(term_data) if conjunctive else len(terms))
-            if conjunctive and len(term_data) < len(terms):
-                ids, scores = ids[:0], scores[:0]
+            ids, scores = self._aggregate(
+                doc_parts, contrib_parts, conjunctive, len(terms)
+            )
             count_ids.append(ids)
             # merge into running top-k with (score DESC, docid ASC)
             all_ids = np.concatenate([top_ids, ids])
@@ -335,7 +370,7 @@ class SearchEngine:
         dl_of: dict[int, int] = {}
         for lem, _df in kept:  # rarest-first iteration order preserved
             bl = blocks[lem]
-            docid, _tf, dl = self._decode_term(bl, 0, len(bl["first"]), {})
+            docid, _tf, dl = self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))
             if scope_ids is not None:
                 pos = np.searchsorted(scope_ids, docid)
                 pos[pos >= len(scope_ids)] = 0
@@ -399,28 +434,35 @@ class SearchEngine:
             "error": error,
         }
 
+    def _forward(self):
+        """Lazy forward index for J6 result enrichment: docid-sorted
+        (docid, role_code) arrays + the dictionary-encoded role values +
+        the sorted conv_id list (docid's conv_rank indexes it directly).
+        A few bytes per doc driver-side at bench scale; at 10^12 docs
+        this becomes a pruned point-read of the docid-sorted doc store
+        (same data, same sort key)."""
+        if self._fwd is None:
+            t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["docid", "role"])
+            role_dict = t.column("role").combine_chunks().dictionary_encode()
+            t2 = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["conv_id"])
+            convs = pc.unique(t2.column("conv_id").combine_chunks())
+            self._fwd = (
+                t.column("docid").to_numpy(),
+                role_dict.indices.to_numpy(zero_copy_only=False),
+                role_dict.dictionary.to_pylist(),
+                convs,
+            )
+        return self._fwd
+
     def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
         """J6: broadcast-small-side join of the k winners back to the
-        transcripts source for (role, ts[, text]) — filter-pushdown read
-        of only the matching conv_ids."""
+        doc store / transcripts source for (conv_id, role[, text])."""
         conv_rank, turn_idx = split_docids(ids)
-        # docid -> conv_id via the doc store (pruned by sorted docid)
         if len(ids):
-            dtab = pq.read_table(
-                build_mod.docs_dir(self.out_dir),
-                columns=["conv_id", "turn_idx", "role", "docid"],
-                filters=[("docid", "in", ids.tolist())],
-            )
-            lut = {
-                d: (c, r)
-                for c, r, d in zip(
-                    dtab.column("conv_id").to_pylist(),
-                    dtab.column("role").to_pylist(),
-                    dtab.column("docid").to_pylist(),
-                )
-            }
-            conv_ids = [lut[int(d)][0] for d in ids]
-            roles = [lut[int(d)][1] for d in ids]
+            docids, role_codes, role_values, convs = self._forward()
+            pos = np.searchsorted(docids, ids)
+            conv_ids = convs.take(pa.array(conv_rank)).to_pylist()
+            roles = [role_values[role_codes[p]] for p in pos]
         else:
             conv_ids, roles = [], []
         cols = {

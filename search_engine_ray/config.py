@@ -23,9 +23,13 @@ TURN_BITS = 20
 class BuildConfig:
     input_paths: list[str]
     out_dir: str
-    # analyzer actor pool (stateful stage A1, SURVEY.md §2.3)
+    # analyzer actor pool (stateful stage A1, SURVEY.md §2.3).
+    # None -> auto: a FIXED pool sized from the partition's input bytes
+    # (~1 actor per 32 MiB, capped at cluster CPUs) — fixed beats
+    # autoscaling here because pool ramp-up dominates small partitions,
+    # and at large scale the size lands on the CPU cap anyway.
     batch_size: int = 2048
-    concurrency: tuple[int, int] | int = (1, 8)  # actor-pool size (min, max)
+    concurrency: tuple[int, int] | int | None = None
     # posting blocks
     block_size: int = 128            # postings per compressed block
     k1: float = 1.2

@@ -40,25 +40,42 @@ def split_docids(docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return d >> TURN_BITS, (d & ((1 << TURN_BITS) - 1)).astype(np.int32)
 
 
-class AttachDocId:
-    """Actor-pool ``map_batches`` stage: adds an int64 ``docid`` column.
+# per-worker-process broadcast cache: ObjectRef hex -> resolved pa.Array.
+# Worker processes are reused across map_batches tasks, so each process
+# resolves the ray.put side exactly once (zero-copy from the local
+# object store); per batch, index_in runs on the batch's DICTIONARY
+# (unique conv_ids), so the value-set probe stays off the per-row path.
+_CONVS_CACHE: dict[str, pa.Array] = {}
 
-    The sorted conv_id list is broadcast once with ``ray.put``; each actor
-    resolves it once in ``__init__`` (zero-copy from the local object
-    store) — a map-side broadcast join, never re-shipped per batch.
+
+def make_docid_attacher(convs_ref):
+    """Task-based ``map_batches`` fn: adds an int64 ``docid`` column.
+
+    The sorted conv_id list is broadcast once with ``ray.put``; the
+    returned closure carries only the ObjectRef (Ray pins it) and each
+    worker process memoizes a conv->rank dict in ``_CONVS_CACHE`` —
+    a map-side broadcast join, never re-shipped per batch. Per batch only
+    the batch's UNIQUE conv_ids (dictionary encode) hit the dict.
     """
 
-    def __init__(self, convs_ref):
-        import ray
+    def attach(batch: pa.Table) -> pa.Table:
+        key = convs_ref.hex()
+        value_set = _CONVS_CACHE.get(key)
+        if value_set is None:
+            import ray
 
-        convs = ray.get(convs_ref)
-        self.value_set = convs if isinstance(convs, pa.Array) else pa.array(convs, pa.string())
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ranks = pc.index_in(batch.column("conv_id"), value_set=self.value_set)
-        if ranks.null_count:
+            convs = ray.get(convs_ref)
+            value_set = convs if isinstance(convs, pa.Array) else pa.array(convs, pa.string())
+            _CONVS_CACHE.clear()  # at most one live rank map per build
+            _CONVS_CACHE[key] = value_set
+        d = batch.column("conv_id").combine_chunks().dictionary_encode()
+        ranks_u = pc.index_in(d.dictionary, value_set=value_set)
+        if ranks_u.null_count:
             raise ValueError("conv_id missing from broadcast rank map")
-        rank_np = ranks.combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq_rank = ranks_u.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes = d.indices.to_numpy(zero_copy_only=False)
         turn_np = batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
-        docid = make_docids(rank_np, turn_np)
+        docid = make_docids(uniq_rank[codes], turn_np)
         return batch.append_column("docid", pa.array(docid, pa.int64()))
+
+    return attach

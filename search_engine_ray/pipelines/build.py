@@ -52,7 +52,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..analyzer import ANALYZER_VERSION
 from ..config import BuildConfig
-from ..docid import AttachDocId
+from ..docid import make_docid_attacher
 from ..stages.analyze import AnalyzerActor
 from ..stages.encode import make_block_encoder
 from ..state.manifest import (
@@ -64,7 +64,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "2"
+CODEC_VERSION = "3"
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
 ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
@@ -149,6 +149,60 @@ def read_doc_rows(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     )
 
 
+# per-worker-process lemma -> 63-bit hash memo (vocabulary-sized; the
+# same surviving lemmas recur in every batch, so md5 runs once per term
+# per process, not once per term per batch)
+_LEMMA_H_MEMO: dict[str, int] = {}
+
+
+def _attach_lemma_hash(batch: pa.Table) -> pa.Table:
+    """Vectorized lemma_h: hash only the batch's UNIQUE lemmas (via
+    dictionary encode, memoized per process) and broadcast through the
+    codes."""
+    from ..analyzer import lemma_hash64
+
+    d = batch.column("lemma").combine_chunks().dictionary_encode()
+    memo = _LEMMA_H_MEMO
+    get = memo.get
+    uniq = d.dictionary.to_pylist()
+    uniq_h = np.empty(len(uniq), np.int64)
+    for i, s in enumerate(uniq):
+        h = get(s)
+        if h is None:
+            h = lemma_hash64(s)
+            memo[s] = h
+        uniq_h[i] = h
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    return batch.append_column("lemma_h", pa.array(uniq_h[codes], pa.int64()))
+
+
+def _settle_fsspec_http_import() -> None:
+    """ray.data's ``_is_http_filesystem`` re-attempts ``from
+    fsspec.implementations.http import HTTPFileSystem`` on every path
+    resolution and only catches ``ModuleNotFoundError``. With aiohttp
+    absent the failed import is rolled back each time, and two Dataset
+    executions resolving paths concurrently can race the partial import,
+    surfacing a plain ``ImportError`` that escapes ray's handler. Cache a
+    minimal stub module once, on the main thread, so the import becomes
+    race-free (the class is only ever used as an isinstance target)."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        import fsspec.implementations
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - isinstance target only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        fsspec.implementations.http = mod
+
+
 def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> dict:
     """Run (or resume) the full build; returns the build manifest dict.
 
@@ -156,6 +210,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     used by the resume test (SURVEY.md §5.6).
     """
     os.makedirs(cfg.out_dir, exist_ok=True)
+    _settle_fsspec_http_import()
     t0 = time.monotonic()
     timings: dict[str, float] = {}
     parts = partition_input_files(cfg.input_paths, cfg.n_partitions)
@@ -164,21 +219,24 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     # ---------------- stage A: analyze (per-partition checkpoints) -----
     tracker = PartitionTracker(os.path.join(stage_a_dir(cfg.out_dir), "_manifests"), build_id="A")
     n_skipped = 0
-    for i, files in enumerate(parts):
+
+    def _run_part(i: int, files: list[str]) -> None:
         pid = f"part-{i:03d}"
         key = lineage_key(files, _VERSIONS, a_params)
-        if cfg.resume and tracker.is_done(pid, key):
-            n_skipped += 1
-            continue
         tp = time.monotonic()
         part_dir = _fresh_dir(os.path.join(stage_a_dir(cfg.out_dir), pid))
+        conc = cfg.concurrency
+        if conc is None:  # auto-size: see BuildConfig.concurrency
+            part_bytes = sum(os.path.getsize(f) for f in files)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            conc = max(2, min(ncpu, (part_bytes >> 22) + 1))
         try:
             ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
             ds = ds.map_batches(
                 AnalyzerActor,
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=cfg.concurrency,
+                concurrency=conc,
             )
             ds.write_parquet(part_dir)
         except Exception:
@@ -186,11 +244,29 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             raise
         metrics = _dir_stats(part_dir) | {"wall_s": round(time.monotonic() - tp, 3)}
         tracker.mark(pid, key, STATE_DONE, input_files=files, metrics=metrics)
+
+    # Partitions run sequentially, each as its own streaming Dataset
+    # execution with a DONE/FAILED lineage manifest (the resume unit).
+    # Concurrent executions were tried and deadlock Ray Data's local-mode
+    # scheduler at low CPU counts; at production scale each partition is
+    # large enough that the per-execution actor-pool spin-up amortizes.
+    for i, files in enumerate(parts):
+        if cfg.resume and tracker.is_done(f"part-{i:03d}", lineage_key(files, _VERSIONS, a_params)):
+            n_skipped += 1
+            continue
+        _run_part(i, files)
         if fail_after_partition is not None and i >= fail_after_partition:
             raise RuntimeError(f"injected failure after stage-A partition {i}")
     timings["stage_a_s"] = round(time.monotonic() - t0, 3)
 
     stage_a_files = _stage_a_parquet(cfg.out_dir)
+    # Shuffle width for the two sorts: enough blocks to use every core,
+    # few enough that the all-to-all exchange (nblocks^2 fetches) stays
+    # cheap. Sized from real bytes (stage-A output) with a ~128 MiB
+    # per-block ceiling so it scales to arbitrarily large inputs.
+    stage_a_bytes = sum(os.path.getsize(f) for f in stage_a_files)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    shuffle_blocks = max(2 * ncpu, (stage_a_bytes >> 27) + 1)
     down_key = lineage_key(
         stage_a_files,
         _VERSIONS,
@@ -206,18 +282,18 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         stats = dict(prior["stats"])
         convs_ref = ray.put(_load_sorted_convs(cfg.out_dir))
     else:
-        docs = read_doc_rows(cfg.out_dir)
-        convs = sorted(docs.unique("conv_id"))  # small side; see docid.py scale note
+        # conv ranks from the ORIGINAL input (column-pruned conv_id read —
+        # much cheaper than re-scanning stage-A output); small side, see
+        # docid.py scale note
+        convs = sorted(
+            rd.read_parquet(cfg.input_paths, columns=["conv_id"]).unique("conv_id")
+        )
         convs_ref = ray.put(pa.array(convs, pa.string()))
         d = _fresh_dir(docs_dir(cfg.out_dir))
         (
             read_doc_rows(cfg.out_dir)
-            .map_batches(
-                AttachDocId,
-                fn_constructor_kwargs={"convs_ref": convs_ref},
-                batch_format="pyarrow",
-                concurrency=cfg.concurrency,
-            )
+            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow")
+            .repartition(shuffle_blocks)
             .sort("docid")
             .write_parquet(d)
         )
@@ -240,14 +316,14 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         d = _fresh_dir(index_dir(cfg.out_dir))
         (
             read_flat_postings(cfg.out_dir)
-            .map_batches(
-                AttachDocId,
-                fn_constructor_kwargs={"convs_ref": convs_ref},
-                batch_format="pyarrow",
-                concurrency=cfg.concurrency,
-            )
-            .select_columns(["lemma", "docid", "tf", "doc_len"])
-            .sort(["lemma", "docid"])
+            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow")
+            .map_batches(_attach_lemma_hash, batch_format="pyarrow")
+            .select_columns(["lemma", "lemma_h", "docid", "tf", "doc_len"])
+            .repartition(shuffle_blocks)
+            # integer range exchange: (lemma_h, docid) sorts ~6x faster
+            # than (lemma:string, docid) and clusters index files by
+            # lemma_h for query-side row-group pruning; see lemma_hash64
+            .sort(["lemma_h", "docid"])
             .map_batches(
                 make_block_encoder(stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size),
                 batch_format="pyarrow",

@@ -106,8 +106,13 @@ class SearchEngine:
     def _term_blocks(self, lemmas: list[str]) -> dict[str, dict]:
         missing = [l for l in lemmas if l not in self._block_cache]
         if missing:
+            # row-group pruning on the integer cluster key (index files
+            # are lemma_h-sorted, so min/max stats give point lookups),
+            # exact match on the string
+            hs = [analyzer.lemma_hash64(l) for l in missing]
             tbl = self._index.to_table(
-                filter=pads.field("lemma").isin(missing),
+                filter=pads.field("lemma_h").isin(hs)
+                & pads.field("lemma").isin(missing),
             )
             lem_arr = tbl.column("lemma")
             for lem in missing:
@@ -197,19 +202,39 @@ class SearchEngine:
 
     @staticmethod
     def _aggregate(doc_parts, contrib_parts, conjunctive: bool, n_terms: int):
-        """Sum contributions per docid in fixed term order (np.bincount
-        adds sequentially in array order -> deterministic float64 sum)."""
+        """Sum contributions per docid in fixed term order. Stable
+        (radix) argsort keeps each doc's contributions in concatenation
+        order == term order, and ``np.add.reduceat`` sums them left to
+        right — the same deterministic float64 summation order as a
+        bincount, at radix-sort speed on int64 keys."""
         if not doc_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         ids = np.concatenate(doc_parts)
+        if not len(ids):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         contribs = np.concatenate(contrib_parts)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        scores = np.bincount(inv, weights=contribs, minlength=len(uniq))
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        sc = contribs[order]
+        starts = np.flatnonzero(np.diff(sids, prepend=sids[0] - 1))
+        uniq = sids[starts]
+        scores = np.add.reduceat(sc, starts)
         if conjunctive:
-            cnt = np.bincount(inv, minlength=len(uniq))
+            cnt = np.diff(np.append(starts, len(sids)))
             keep = cnt == n_terms
             return uniq[keep], scores[keep]
         return uniq, scores
+
+    @staticmethod
+    def _union_count(parts: list[np.ndarray]) -> int:
+        """|union| of docid arrays via radix sort (no quicksort unique)."""
+        if not parts:
+            return 0
+        allv = np.concatenate(parts)
+        if not len(allv):
+            return 0
+        s = np.sort(allv, kind="stable")
+        return int(1 + np.count_nonzero(np.diff(s)))
 
     def score_exhaustive(self, terms, scope=None, conjunctive=False):
         """Brute-force vectorized scorer (the oracle form: decode every
@@ -277,8 +302,11 @@ class SearchEngine:
         # with UB >= threshold are evaluated (ties still processed, so
         # the (score DESC, docid ASC) tie-break is exact).
         GROUP = 512
-        for g0 in range(0, W, GROUP):
+        g0 = 0
+        groups_done = 0
+        while g0 < W:
             grp = order[g0 : g0 + GROUP]
+            g0 += GROUP
             if len(top_scores) >= k:
                 if wub[grp[0]] < threshold:
                     processed_all = False
@@ -287,6 +315,18 @@ class SearchEngine:
                 if len(kept) < len(grp):
                     processed_all = False
                 grp = kept
+                if groups_done >= 4 and g0 < W and len(grp) > 0.9 * GROUP:
+                    # adaptive bail-out (the WAND worst case: uniform
+                    # scores across high-df terms -> the threshold is not
+                    # pruning and every UB-ordered group re-scans nearly
+                    # the full decoded span). Term-at-a-time exhaustive
+                    # scoring is strictly cheaper from here and produces
+                    # identical results (the window decomposition is
+                    # exact, so full scores match window-sum scores).
+                    ids, scores = self.score_exhaustive(terms, scope, conjunctive)
+                    sel = np.lexsort((ids, -scores))[:k]
+                    return ids[sel], scores[sel], int(len(ids))
+            groups_done += 1
             s_arr, e_arr = starts[grp], ends[grp]
             o2 = np.argsort(s_arr)
             s_sorted, e_sorted = s_arr[o2], e_arr[o2]
@@ -321,7 +361,7 @@ class SearchEngine:
         if len(terms) == 1 and scope_ids is None and not conjunctive:
             count = terms[0][1]  # single unscoped term: count == df, no decode
         elif processed_all:
-            count = int(len(np.unique(np.concatenate(count_ids)))) if count_ids else 0
+            count = self._union_count(count_ids)
         else:
             count = self._exact_count(term_list, scope_ids, conjunctive)
         return top_ids, top_scores, count
@@ -343,7 +383,7 @@ class SearchEngine:
             for p in parts[1:]:
                 inter = np.intersect1d(inter, p, assume_unique=True)
             return int(len(inter))
-        return int(len(np.unique(np.concatenate(parts))))
+        return self._union_count(parts)
 
     # ---------------- reference-parity scorer (G3/G4, D4, J4) ----------
 

@@ -37,6 +37,7 @@ from ..state import codec
 INDEX_SCHEMA = pa.schema(
     [
         ("lemma", pa.string()),
+        ("lemma_h", pa.int64()),
         ("first_docid", pa.int64()),
         ("last_docid", pa.int64()),
         ("n", pa.int32()),
@@ -112,9 +113,20 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
         else:
             bmw = blk_cf = blk_max_tf = np.empty(0)
 
+        blk_lemma = lemma.take(pa.array(blk_start, pa.int64()))
+        if "lemma_h" in batch.column_names:
+            blk_h = batch.column("lemma_h").combine_chunks().take(
+                pa.array(blk_start, pa.int64())
+            )
+        else:  # direct encoder invocations (tests) without the sort key
+            from ..analyzer import lemma_hash64
+
+            blk_h = pa.array([lemma_hash64(s) for s in blk_lemma.to_pylist()], pa.int64())
+
         return pa.Table.from_arrays(
             [
-                lemma.take(pa.array(blk_start, pa.int64())),
+                blk_lemma,
+                blk_h,
                 pa.array(docid[blk_start], pa.int64()),
                 pa.array(docid[blk_end - 1], pa.int64()),
                 pa.array((blk_end - blk_start).astype(np.int32), pa.int32()),

@@ -80,6 +80,162 @@ class SearchEngine:
         self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
         self._fwd: tuple | None = None  # lazy (docids, role_codes, roles, convs)
         self._ref_max_relevance: float | None = None
+        self._load_deltas()
+
+    # ---------------- incremental delta overlay (S4 / SURVEY §3.3) ----
+
+    def _load_deltas(self) -> None:
+        """Overlay state for incremental re-index generations (LSM-style
+        merge-on-read; see pipelines/delta.py). With no deltas this is a
+        no-op and every query path is untouched. With deltas, N / avgdl /
+        per-term df are adjusted EXACTLY, stale base postings are masked
+        by tombstoned docid ranges, and affected lemmas merge base+delta
+        postings at block load — so search over base+delta is
+        rank-identical to a full rebuild of the modified corpus."""
+        from .pipelines import delta as delta_mod
+
+        gens = delta_mod.list_generations(self.out_dir)
+        self._has_deltas = bool(gens)
+        if not gens:
+            return
+        latest: dict[str, dict] = {}
+        for g in gens:  # ascending: later generations win per conv
+            for cid, rng in zip(g["conv_ids"], g["tombstones"]):
+                latest[cid] = {
+                    "range": tuple(rng),
+                    "dir": g["_dir"],
+                    "input_paths": g.get("input_paths"),
+                }
+        self._delta_text_paths = {
+            cid: info["input_paths"] for cid, info in latest.items() if info["input_paths"]
+        }
+        # per-conv old counts vs the immutable base doc store
+        base = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["docid", "doc_len"])
+        bdoc = base.column("docid").to_numpy()
+        bdl = base.column("doc_len").to_numpy()
+        n_eff, len_eff = self.n_docs, int(self.manifest["stats"]["total_len"])
+        d_docid, d_tf, d_dl, d_lemma = [], [], [], []
+        dd_docid, dd_role, dd_dl = [], [], []
+        for cid, info in latest.items():
+            lo, hi = info["range"]
+            a, b = np.searchsorted(bdoc, lo), np.searchsorted(bdoc, hi)
+            n_eff -= int(b - a)
+            len_eff -= int(bdl[a:b].sum())
+            docs = pq.read_table(os.path.join(info["dir"], "docs.parquet"))
+            dmask = (docs.column("docid").to_numpy() >= lo) & (
+                docs.column("docid").to_numpy() < hi
+            )
+            docs = docs.filter(pa.array(dmask))
+            n_eff += docs.num_rows
+            len_eff += int(pc.sum(docs.column("doc_len")).as_py() or 0)
+            dd_docid.append(docs.column("docid").to_numpy())
+            dd_role.extend(docs.column("role").to_pylist())
+            dd_dl.append(docs.column("doc_len").to_numpy(zero_copy_only=False))
+            posts = pq.read_table(os.path.join(info["dir"], "postings.parquet"))
+            pmask = (posts.column("docid").to_numpy() >= lo) & (
+                posts.column("docid").to_numpy() < hi
+            )
+            posts = posts.filter(pa.array(pmask))
+            d_lemma.extend(posts.column("lemma").to_pylist())
+            d_docid.append(posts.column("docid").to_numpy())
+            d_tf.append(posts.column("tf").to_numpy(zero_copy_only=False))
+            d_dl.append(posts.column("doc_len").to_numpy(zero_copy_only=False))
+        ranges = sorted(info["range"] for info in latest.values())
+        self._tomb_starts = np.array([r[0] for r in ranges], np.int64)
+        self._tomb_ends = np.array([r[1] for r in ranges], np.int64)
+        # delta postings grouped per lemma, docid-ascending
+        self._delta_lemma: dict[str, tuple] = {}
+        if d_lemma:
+            lem_arr = np.asarray(d_lemma, dtype=object)
+            docid = np.concatenate(d_docid).astype(np.int64)
+            tf = np.concatenate(d_tf).astype(np.int64)
+            dl = np.concatenate(d_dl).astype(np.int64)
+            order = np.lexsort((docid, lem_arr))
+            lem_arr, docid, tf, dl = lem_arr[order], docid[order], tf[order], dl[order]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], lem_arr[1:] != lem_arr[:-1]))
+            )
+            for i, s in enumerate(bounds):
+                e = bounds[i + 1] if i + 1 < len(bounds) else len(lem_arr)
+                self._delta_lemma[lem_arr[s]] = (docid[s:e], tf[s:e], dl[s:e])
+        self._delta_docs = (
+            np.concatenate(dd_docid).astype(np.int64) if dd_docid else np.empty(0, np.int64),
+            dd_role,
+            np.concatenate(dd_dl).astype(np.int64) if dd_dl else np.empty(0, np.int64),
+        )
+        # exact corpus-stat adjustments + a safe block-max inflation for
+        # unaffected lemmas (their stored bmw used the base avgdl; if
+        # avgdl shrank, true weights may exceed stored ones by at most
+        # avgdl_base/avgdl_eff — scaling keeps pruning lossless)
+        avgdl_base = self.avgdl
+        self.n_docs = n_eff
+        self.avgdl = (len_eff / n_eff) if n_eff else 1.0
+        self._bmw_scale = max(1.0, avgdl_base / self.avgdl) if self.avgdl else 1.0
+
+    def _tomb_keep_mask(self, docid: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self._tomb_starts, docid, side="right") - 1
+        idxc = np.clip(idx, 0, len(self._tomb_starts) - 1)
+        return ~((idx >= 0) & (docid < self._tomb_ends[idxc]))
+
+    def _overlay_delta(self, lem: str) -> None:
+        """Merge-on-read for one lemma: mask tombstoned base postings,
+        splice in delta postings, rebuild synthetic block metadata with
+        the effective avgdl. Untouched lemmas only get the bmw scale."""
+        bl = self._block_cache[lem]
+        delta = self._delta_lemma.get(lem)
+        affected = delta is not None
+        if not affected and len(bl["first"]):
+            lo, hi = int(bl["first"][0]), int(bl["last"][-1])
+            i = np.searchsorted(self._tomb_ends, lo, side="right")
+            affected = i < len(self._tomb_starts) and int(self._tomb_starts[i]) <= hi
+        if not affected:
+            if self._bmw_scale > 1.0:
+                bl["bmw"] = bl["bmw"] * self._bmw_scale
+            return
+        docid, tf, dl = self._decode_term(
+            bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
+        )
+        if len(docid):
+            keep = self._tomb_keep_mask(docid)
+            docid, tf, dl = docid[keep], tf[keep], dl[keep]
+        if delta is not None:
+            docid = np.concatenate([docid, delta[0]])
+            tf = np.concatenate([tf, delta[1]])
+            dl = np.concatenate([dl, delta[2]])
+            order = np.argsort(docid, kind="stable")
+            docid, tf, dl = docid[order], tf[order], dl[order]
+        self._block_cache[lem] = self._synth_blocks(docid, tf, dl)
+
+    def _synth_blocks(self, docid: np.ndarray, tf: np.ndarray, dl: np.ndarray) -> dict:
+        """Block dict equivalent to a freshly-encoded term: synthetic
+        skip metadata + pre-decoded chunk cache (no varint payloads)."""
+        bs = int(self.manifest["config"]["block_size"])
+        n = len(docid)
+        nblk = (n + bs - 1) // bs
+        starts = np.arange(nblk, dtype=np.int64) * bs
+        ends = np.minimum(starts + bs, n)
+        w = tf.astype(np.float64) / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl.astype(np.float64) / self.avgdl)
+        )
+        bmw = np.maximum.reduceat(w, starts) if nblk else np.empty(0, np.float64)
+        cum_n = np.concatenate(([0], ends)).astype(np.int64)
+        ch = self._DECODE_CHUNK
+        chunks = {}
+        for ci in range((nblk + ch - 1) // ch):
+            a, b = ci * ch, min((ci + 1) * ch, nblk)
+            ps, pe = int(cum_n[a]), int(cum_n[b])
+            chunks[ci] = (docid[ps:pe], tf[ps:pe], dl[ps:pe])
+        return {
+            "first": docid[starts] if n else np.empty(0, np.int64),
+            "last": docid[ends - 1] if n else np.empty(0, np.int64),
+            "n": (ends - starts).astype(np.int32),
+            "cum_n": cum_n,
+            "bmw": bmw,
+            "gaps": None,
+            "tfs": None,
+            "dls": None,
+            "chunks": chunks,
+        }
 
     # ---------------- planning (J2/T1) --------------------------------
 
@@ -94,10 +250,19 @@ class SearchEngine:
         terms = []
         for lem in lemmas:
             df = self._df.get(lem)
+            if df is None and self._has_deltas and lem in self._delta_lemma:
+                df = 0  # delta-only lemma; exact df resolved below
             if df is None:
                 # reference: any missing lemma -> no results
                 return [], "no_results"
             terms.append((lem, df))
+        if self._has_deltas:
+            # exact effective df = merged posting count (base dict df is
+            # stale for lemmas touched by tombstones/deltas)
+            blocks = self._term_blocks([t[0] for t in terms])
+            terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+            if any(df == 0 for _, df in terms):
+                return [], "no_results"
         terms.sort(key=lambda t: (t[1], t[0]))
         return terms, None
 
@@ -130,6 +295,8 @@ class SearchEngine:
                     "tfs": binary_column_buffers(sub.column("tfs")),
                     "dls": binary_column_buffers(sub.column("dls")),
                 }
+                if self._has_deltas:
+                    self._overlay_delta(lem)
         return {l: self._block_cache[l] for l in lemmas}
 
     _DECODE_CHUNK = 128  # blocks per cached decode unit
@@ -176,7 +343,13 @@ class SearchEngine:
                 columns=["docid"],
                 filters=[("role", "==", role)],
             )
-            got = np.sort(t.column("docid").to_numpy())
+            got = t.column("docid").to_numpy()
+            if self._has_deltas:
+                got = got[self._tomb_keep_mask(got)]
+                d_docid, d_role, _ = self._delta_docs
+                extra = d_docid[np.asarray([r == role for r in d_role], bool)]
+                got = np.concatenate([got, extra])
+            got = np.sort(got)
             self._scope_cache[role] = got
         return got
 
@@ -392,8 +565,19 @@ class SearchEngine:
         (``SearchServiceImpl.java:25,147-153``; ``IndexRepository.java:14-16``).
         doc_len == Σtf per doc, so this is max(doc_len)."""
         if self._ref_max_relevance is None:
-            t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["doc_len"])
-            m = pc.max(t.column("doc_len")).as_py()
+            if self._has_deltas:
+                t = pq.read_table(
+                    build_mod.docs_dir(self.out_dir), columns=["docid", "doc_len"]
+                )
+                keep = self._tomb_keep_mask(t.column("docid").to_numpy())
+                dls = t.column("doc_len").to_numpy()[keep]
+                m = max(
+                    int(dls.max()) if len(dls) else 0,
+                    int(self._delta_docs[2].max()) if len(self._delta_docs[2]) else 0,
+                )
+            else:
+                t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["doc_len"])
+                m = pc.max(t.column("doc_len")).as_py()
             self._ref_max_relevance = float(m or 1)
         return self._ref_max_relevance
 
@@ -486,12 +670,27 @@ class SearchEngine:
             role_dict = t.column("role").combine_chunks().dictionary_encode()
             t2 = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["conv_id"])
             convs = pc.unique(t2.column("conv_id").combine_chunks())
-            self._fwd = (
-                t.column("docid").to_numpy(),
-                role_dict.indices.to_numpy(zero_copy_only=False),
-                role_dict.dictionary.to_pylist(),
-                convs,
-            )
+            docids = t.column("docid").to_numpy()
+            codes = role_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            role_values = role_dict.dictionary.to_pylist()
+            if self._has_deltas:  # overlay: drop tombstoned, splice delta
+                keep = self._tomb_keep_mask(docids)
+                docids, codes = docids[keep], codes[keep]
+                d_docid, d_role, _ = self._delta_docs
+                code_of = {r: i for i, r in enumerate(role_values)}
+                d_codes = np.empty(len(d_role), np.int64)
+                for i, r in enumerate(d_role):
+                    c = code_of.get(r)
+                    if c is None:
+                        c = len(role_values)
+                        role_values.append(r)
+                        code_of[r] = c
+                    d_codes[i] = c
+                docids = np.concatenate([docids, d_docid])
+                codes = np.concatenate([codes, d_codes])
+                order = np.argsort(docids, kind="stable")
+                docids, codes = docids[order], codes[order]
+            self._fwd = (docids, codes, role_values, convs)
         return self._fwd
 
     def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
@@ -515,19 +714,28 @@ class SearchEngine:
         if with_snippets and len(ids):
             from .functions.snippets import create_snippets
 
-            src = pads.dataset(self.transcripts_paths)
-            texts = src.to_table(
-                filter=pads.field("conv_id").isin(conv_ids),
-                columns=["conv_id", "turn_idx", "text"],
-            )
-            tlut = {
-                (c, t): x
-                for c, t, x in zip(
-                    texts.column("conv_id").to_pylist(),
-                    texts.column("turn_idx").to_pylist(),
-                    texts.column("text").to_pylist(),
+            # re-indexed convs read their text from their delta's input
+            # paths; everything else from the build's inputs
+            dpaths = getattr(self, "_delta_text_paths", {})
+            groups: dict[tuple, list[str]] = {}
+            for c in set(conv_ids):
+                groups.setdefault(tuple(dpaths.get(c) or self.transcripts_paths), []).append(c)
+            tlut: dict[tuple, str] = {}
+            for paths, cids in groups.items():
+                texts = pads.dataset(list(paths)).to_table(
+                    filter=pads.field("conv_id").isin(cids),
+                    columns=["conv_id", "turn_idx", "text"],
                 )
-            }
+                tlut.update(
+                    {
+                        (c, t): x
+                        for c, t, x in zip(
+                            texts.column("conv_id").to_pylist(),
+                            texts.column("turn_idx").to_pylist(),
+                            texts.column("text").to_pylist(),
+                        )
+                    }
+                )
             lemmas = {t[0] for t in terms}
             snips = [
                 create_snippets(tlut.get((c, int(t)), ""), lemmas)

@@ -1,0 +1,128 @@
+"""Incremental re-index (SURVEY §3.3, the POST /api/indexPage analog):
+base index + delta generations must be RANK-IDENTICAL to a full rebuild
+of the modified corpus — same top-k (conv_id, turn_idx), same float64
+BM25 scores, same counts — across bm25 blockmax/exhaustive and the
+reference parity scorer."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.pipelines import build, delta
+from search_engine_ray.search import SearchEngine
+
+
+def _modify_corpus(files, out_dir, conv_id, new_texts):
+    """Rewrite the corpus with conv_id's turns replaced by new_texts
+    (fewer texts = dropped turns). Returns the new file list."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_files = []
+    for f in files:
+        t = pq.read_table(f)
+        mask = pc.equal(t.column("conv_id"), conv_id)
+        others = t.filter(pc.invert(mask))
+        mine = t.filter(mask).sort_by("turn_idx")
+        if mine.num_rows:
+            keep = mine.slice(0, len(new_texts))
+            keep = keep.set_column(
+                keep.schema.get_field_index("text"),
+                "text",
+                pa.array(new_texts[: keep.num_rows], pa.string()),
+            )
+            others = pa.concat_tables([others, keep]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        out = os.path.join(out_dir, os.path.basename(f))
+        pq.write_table(others, out)
+        out_files.append(out)
+    return out_files
+
+
+@pytest.fixture(scope="module")
+def delta_env(tmp_path_factory, tiny_corpus, ray_session):
+    root = tmp_path_factory.mktemp("delta")
+    base_out = str(root / "base")
+    cfg = BuildConfig(input_paths=tiny_corpus, out_dir=base_out, n_partitions=2, concurrency=2)
+    build.build_index(cfg)
+
+    # pick a conversation that actually matches a reference query lemma
+    eng0 = SearchEngine(base_out)
+    hot = datagen.stem(0)
+    r = eng0.search(hot, limit=3)
+    conv = r["data"].column("conv_id")[0].as_py()
+
+    new_texts = [
+        f"{datagen.stem(7)} {datagen.stem(7)} completely rewritten turn",
+        f"{datagen.stem(3)} appended content for the delta test",
+    ]
+    mod_files = _modify_corpus(tiny_corpus, str(root / "modified"), conv, new_texts)
+
+    rebuilt_out = str(root / "rebuilt")
+    build.build_index(
+        BuildConfig(input_paths=mod_files, out_dir=rebuilt_out, n_partitions=2, concurrency=2)
+    )
+    resp = delta.reindex_conversations(base_out, [conv], input_paths=mod_files)
+    assert resp["result"] and resp["generation"] == 1
+    return {
+        "base_out": base_out,
+        "rebuilt_out": rebuilt_out,
+        "conv": conv,
+        "mod_files": mod_files,
+        "root": root,
+    }
+
+
+def _compare_engines(a: SearchEngine, b: SearchEngine, modes=(("bm25", "blockmax"), ("bm25", "exhaustive"), ("reference", "blockmax"))):
+    for q in datagen.reference_queries():
+        for mode, method in modes:
+            ra = a.search(q["query_text"], scope=q["scope"], limit=q["k"], mode=mode, method=method)
+            rb = b.search(q["query_text"], scope=q["scope"], limit=q["k"], mode=mode, method=method)
+            assert ra["result"] == rb["result"], (q["query_id"], mode, method)
+            assert ra["count"] == rb["count"], (q["query_id"], mode, method)
+            assert ra["data"].equals(rb["data"]), (q["query_id"], mode, method)
+
+
+def test_delta_rank_identical_to_rebuild(delta_env):
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    assert overlay._has_deltas
+    # corpus stats adjusted exactly
+    assert overlay.n_docs == rebuilt.n_docs
+    assert overlay.avgdl == pytest.approx(rebuilt.avgdl, abs=0.0)
+    _compare_engines(overlay, rebuilt)
+
+
+def test_delta_unknown_conv_rejected(delta_env):
+    resp = delta.reindex_conversations(delta_env["base_out"], ["no-such-conv"])
+    assert resp["result"] is False
+    assert "not in index" in resp["error"]
+
+
+def test_second_generation_wins(delta_env, tmp_path):
+    conv = delta_env["conv"]
+    newer = [f"{datagen.stem(11)} {datagen.stem(11)} {datagen.stem(11)} third version"]
+    mod2 = _modify_corpus(
+        delta_env["mod_files"], str(delta_env["root"] / "modified2"), conv, newer
+    )
+    rebuilt2 = str(delta_env["root"] / "rebuilt2")
+    build.build_index(
+        BuildConfig(input_paths=mod2, out_dir=rebuilt2, n_partitions=2, concurrency=2)
+    )
+    resp = delta.reindex_conversations(delta_env["base_out"], [conv], input_paths=mod2)
+    assert resp["result"] and resp["generation"] == 2
+    _compare_engines(SearchEngine(delta_env["base_out"]), SearchEngine(rebuilt2))
+
+
+def test_delta_snippets_use_fresh_text(delta_env):
+    overlay = SearchEngine(delta_env["base_out"])
+    r = overlay.search(datagen.stem(11), limit=5, with_snippets=True)
+    if r["count"]:
+        rows = r["data"].to_pylist()
+        mine = [x for x in rows if x["conv_id"] == delta_env["conv"]]
+        for x in mine:
+            assert "third version" in x["snippet"] or "<b>" in x["snippet"]

@@ -1,0 +1,119 @@
+"""CLI — the operational surface of the engine (the analog of the
+reference's REST API, ``/root/reference/src/main/java/searchengine/
+controllers/ApiController.java:20-47``):
+
+    python -m search_engine_ray build   --input f1.parquet f2.parquet --out DIR
+                                        [--partitions N] [--resume]
+    python -m search_engine_ray search  --out DIR "query text" [--scope role]
+                                        [--offset N] [--limit N] [--mode bm25|reference]
+                                        [--snippets]
+    python -m search_engine_ray stats   --out DIR
+    python -m search_engine_ray reindex --out DIR --conv CONV_ID [CONV_ID ...]
+                                        [--input f1.parquet ...]
+
+Mapping: build == GET /api/startIndexing, search == GET /api/search,
+stats == GET /api/statistics, reindex == POST /api/indexPage
+(per-conversation). Cancellation (GET /api/stopIndexing) is `ray job
+stop` / Ctrl-C — manifests mark unfinished partitions non-DONE and
+``--resume`` picks the build up from the last checkpoint.
+
+This module (a CLI entry point) OWNS the Ray session; library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build (startIndexing analog)")
+    b.add_argument("--input", nargs="+", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--resume", action="store_true")
+
+    s = sub.add_parser("search", help="BM25 top-k query (search analog)")
+    s.add_argument("query")
+    s.add_argument("--out", required=True)
+    s.add_argument("--scope", default=None)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--mode", choices=["bm25", "reference"], default="bm25")
+    s.add_argument("--snippets", action="store_true")
+
+    t = sub.add_parser("stats", help="index statistics (statistics analog)")
+    t.add_argument("--out", required=True)
+
+    r = sub.add_parser("reindex", help="incremental conv re-index (indexPage analog)")
+    r.add_argument("--out", required=True)
+    r.add_argument("--conv", nargs="+", required=True)
+    r.add_argument("--input", nargs="*", default=None)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "build":
+        _init_ray()
+        from .config import BuildConfig
+        from .pipelines.build import build_index
+
+        m = build_index(
+            BuildConfig(
+                input_paths=list(a.input),
+                out_dir=a.out,
+                n_partitions=a.partitions,
+                resume=a.resume,
+            )
+        )
+        print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
+    elif a.cmd == "search":
+        from .search import SearchEngine
+
+        eng = SearchEngine(a.out)
+        resp = eng.search(
+            a.query,
+            scope=a.scope,
+            offset=a.offset,
+            limit=a.limit,
+            mode=a.mode,
+            with_snippets=a.snippets,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "stats":
+        from .stats import statistics
+
+        print(json.dumps(statistics(a.out)))
+    elif a.cmd == "reindex":
+        from .pipelines.delta import reindex_conversations
+
+        print(json.dumps(reindex_conversations(a.out, list(a.conv), input_paths=a.input)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

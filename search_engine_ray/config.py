@@ -37,9 +37,12 @@ class BuildConfig:
     # checkpointing: input files are grouped into this many stage-A
     # partitions, each with its own lineage manifest (resume unit)
     n_partitions: int = 8
-    # skew: a lemma whose df exceeds this is salted into
-    # ceil(df / target) docid-range buckets before the groupby so no
-    # single encode task holds the full hot posting list
-    target_group_postings: int = 1 << 18
+    # Skew note (hot lemmas): the stage-C range partitioner sorts by
+    # (lemma_h, docid) and its sampled boundaries fall MID-lemma for any
+    # lemma whose posting list exceeds a partition — hot lemmas are
+    # automatically split into docid-range runs across partitions (the
+    # effect explicit salting would produce, without a salt column).
+    # The encoder emits the runs as disjoint block rows and readers
+    # merge them by first_docid (stages/encode.py module docstring).
     resume: bool = False
     extra: dict = field(default_factory=dict)

@@ -41,7 +41,7 @@ def _ensure_build(sf_dir_or_tag: str) -> str:
     tag = sf_dir_or_tag if "/" not in sf_dir_or_tag else datagen.sf_tag_of_dir(sf_dir_or_tag)
     files = datagen.transcripts_files(tag)
     out = os.path.join(BUILD_ROOT, tag)
-    cfg = BuildConfig(input_paths=files, out_dir=out, n_partitions=4, resume=True)
+    cfg = BuildConfig(input_paths=files, out_dir=out, resume=True)
     build.build_index(cfg)
     return out
 
@@ -257,6 +257,24 @@ def _text_langid(sf_dir: str):
     )
 
 
+def _events_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(_sf_dir(sf_dir), "events.parquet"))
+
+
+def _window_tumbling(sf_dir: str):
+    from search_engine_ray.functions import windows
+
+    return windows.tumbling_window(_events_ds(sf_dir))
+
+
+def _window_sessions(sf_dir: str):
+    from search_engine_ray.functions import windows
+
+    return windows.session_windows(_events_ds(sf_dir))
+
+
 def _multimodal_features(sf_dir: str):
     import ray.data as rd
 
@@ -299,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "multimodal_features": _multimodal_features,
+        "window_tumbling": _window_tumbling,
+        "window_sessions": _window_sessions,
     }
 
 
@@ -312,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
+    from search_engine_ray.functions import windows as windows_mod
 
     tag = "sf0.01"
     datagen.generate(tag)  # oracle may run before the Ray side
@@ -341,4 +362,6 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": ta_mod.token_counts_sql("documents"),
         "text_quality": ta_mod.quality_features_sql("documents"),
         "text_fingerprint": ta_mod.fingerprint_sql("documents"),
+        "window_tumbling": windows_mod.tumbling_window_sql("events"),
+        "window_sessions": windows_mod.session_windows_sql("events"),
     }

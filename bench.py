@@ -64,7 +64,7 @@ def run_bench() -> dict:
 
     out = f"/tmp/seray_bench/{tag}-cpus{ncpu}"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = BuildConfig(input_paths=files, out_dir=out, n_partitions=4)
+    cfg = BuildConfig(input_paths=files, out_dir=out)
     t0 = time.monotonic()
     manifest = build.build_index(cfg)
     build_s = time.monotonic() - t0

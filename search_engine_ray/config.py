@@ -34,9 +34,13 @@ class BuildConfig:
     block_size: int = 128            # postings per compressed block
     k1: float = 1.2
     b: float = 0.75
-    # checkpointing: input files are grouped into this many stage-A
-    # partitions, each with its own lineage manifest (resume unit)
-    n_partitions: int = 8
+    # checkpointing: input files are grouped into stage-A partitions,
+    # each with its own lineage manifest (resume unit). None -> auto:
+    # one partition per ~256 MiB of input (capped by file count), so the
+    # checkpoint interval is a data size, not a count — at 100 TB that
+    # is ~400k partitions of bounded recompute cost, at bench scale it
+    # avoids paying per-execution spin-up for toy slices.
+    n_partitions: int | None = None
     # Skew note (hot lemmas): the stage-C range partitioner sorts by
     # (lemma_h, docid) and its sampled boundaries fall MID-lemma for any
     # lemma whose posting list exceeds a partition — hot lemmas are

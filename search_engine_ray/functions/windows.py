@@ -1,0 +1,147 @@
+"""Windowed aggregates + sessionization over the ``events`` table —
+the time-bucketed operators a transcript/training-data pipeline needs that
+the reference lacks (SURVEY.md §2.9: the reference has no streaming
+features; these are the batch-equivalent window semantics, implemented
+per the prompt's custom-operator recipe (a): composition of map_batches
++ groupby, with the partitioning assumption documented per op).
+
+Scale notes:
+- tumbling_window: the bucket key is computed IN-MAP (epoch // width), so
+  the only shuffle is the groupby on (bucket, event_type) — pre-bucketed
+  rows combine map-side via Ray's partial aggregation.
+- session_windows: ONE shuffle on user_id; per-user gap-splitting is a
+  vectorized map_groups (sessions never span users — the documented
+  partitioning assumption; at 10^12 events a hot user needs time-range
+  salting plus a driver-side merge of boundary sessions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+WINDOW_MINUTES = 60
+SESSION_GAP_MINUTES = 30
+_ROUND = 6
+
+
+def _r(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero at ``_ROUND`` decimals — bit-identical
+    to DuckDB ``round`` (np.round is half-even and disagrees on .5s)."""
+    return np.floor(np.abs(x) * 10.0**_ROUND + 0.5) / 10.0**_ROUND * np.sign(x)
+
+
+def tumbling_window(
+    ds: rd.Dataset, width_minutes: int = WINDOW_MINUTES
+) -> rd.Dataset:
+    """Per (window, event_type) aggregates: n, sum/mean of value.
+    Window start = floor(ts / width). Bucket key computed map-side."""
+    width_us = width_minutes * 60 * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        start = pc.multiply(pc.divide(us, width_us), width_us)
+        return pa.table(
+            {
+                "window_start": start.cast(pa.timestamp("us")),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="mean_value"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        for col in ("sum_value", "mean_value"):
+            x = b.column(col).to_numpy(zero_copy_only=False)
+            b = b.set_column(
+                b.schema.get_field_index(col), col, pa.array(_r(x), pa.float64())
+            )
+        return b
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def tumbling_window_sql(src: str, width_minutes: int = WINDOW_MINUTES) -> str:
+    width_us = width_minutes * 60 * 1_000_000
+    return f"""
+SELECT make_timestamp((epoch_us(ts) // {width_us}) * {width_us}) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), {_ROUND}) AS sum_value,
+       round(avg(value), {_ROUND}) AS mean_value
+FROM {src}
+GROUP BY 1, 2
+"""
+
+
+def session_windows(
+    ds: rd.Dataset, gap_minutes: int = SESSION_GAP_MINUTES
+) -> rd.Dataset:
+    """Per-user sessions split at inactivity gaps > ``gap_minutes``:
+    (user_id, session_start, session_end, n_events, sum_value).
+    One shuffle (groupby user_id); the split is vectorized per group."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def split(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("ts"))
+        g = group.take(order)
+        us = g.column("ts").cast(pa.int64()).to_numpy()
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        new_sess = np.concatenate(([True], np.diff(us) > gap_us))
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(us))
+        n = ends - starts
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(g.column("user_id")[0].as_py(), len(starts)), pa.int64()
+                ),
+                "session_start": pa.array(us[starts], pa.int64()).cast(pa.timestamp("us")),
+                "session_end": pa.array(us[ends - 1], pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_value": pa.array(
+                    _r(np.add.reduceat(val, starts)), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(split, batch_format="pyarrow")
+    )
+
+
+def session_windows_sql(src: str, gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) > {gap_us}
+                THEN 1 ELSE 0 END AS is_new
+    FROM {src}
+),
+tagged AS (
+    SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS UNBOUNDED PRECEDING) AS sess
+    FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), {_ROUND}) AS sum_value
+FROM tagged GROUP BY user_id, sess
+"""

@@ -90,9 +90,13 @@ def build_manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "build.json")
 
 
-def partition_input_files(paths: list[str], n_partitions: int) -> list[list[str]]:
-    """Deterministic round-robin file grouping -> stage-A resume units."""
+def partition_input_files(paths: list[str], n_partitions: int | None) -> list[list[str]]:
+    """Deterministic round-robin file grouping -> stage-A resume units.
+    ``None`` -> one partition per ~256 MiB of input (see BuildConfig)."""
     files = sorted(paths)
+    if n_partitions is None:
+        total = sum(os.path.getsize(f) for f in files)
+        n_partitions = (total >> 28) + 1
     n = min(n_partitions, len(files)) or 1
     return [files[i::n] for i in range(n)]
 

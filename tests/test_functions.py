@@ -225,3 +225,42 @@ def test_multimodal_feature_stage(docs_ds):
     feats = out1["feature"].to_pylist()
     assert all(len(f) == mm.FEATURE_DIM for f in feats)
     assert out1.num_rows == 50
+
+
+# ----------------------------------------------------------- windows
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    return rd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def educk():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_tumbling_window_oracle(events_ds, educk):
+    from search_engine_ray.functions import windows as W
+
+    t = _assert_matches_oracle(
+        W.tumbling_window(events_ds), educk, W.tumbling_window_sql("events")
+    )
+    assert t.num_rows > 0
+
+
+def test_session_windows_oracle(events_ds, educk):
+    from search_engine_ray.functions import windows as W
+
+    t = _assert_matches_oracle(
+        W.session_windows(events_ds), educk, W.session_windows_sql("events")
+    )
+    assert t.num_rows > 0
+    assert min(t["n_events"].to_pylist()) >= 1

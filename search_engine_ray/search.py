@@ -76,6 +76,7 @@ class SearchEngine:
             zip(t.column("lemma").to_pylist(), t.column("df").to_pylist())
         )
         self._index = pads.dataset(build_mod.index_dir(out_dir))
+        self._intervals: list[tuple[int, int, str]] | None = None
         self._scope_cache: dict[str, np.ndarray] = {}
         self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
         self._fwd: tuple | None = None  # lazy (docids, role_codes, roles, convs)
@@ -268,17 +269,55 @@ class SearchEngine:
 
     # ---------------- posting access (J3, partition-pruned) -----------
 
+    def _file_intervals(self) -> list[tuple[int, int, str]]:
+        """(min_lemma_h, max_lemma_h, path) per index file, from parquet
+        footer stats — read once (~ms for hundreds of files). The index
+        is lemma_h-sorted, so intervals are tight and a term maps to one
+        or two files; pyarrow's dataset scan does NOT do this pruning
+        (measured: full 64-file scan 140ms vs pruned read 5ms)."""
+        if self._intervals is None:
+            ivs = []
+            for frag in self._index.get_fragments():
+                md = frag.metadata
+                mn = mx = None
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    idx = next(
+                        i for i in range(rg.num_columns)
+                        if rg.column(i).path_in_schema == "lemma_h"
+                    )
+                    s = rg.column(idx).statistics
+                    if s is None or s.min is None:
+                        mn = None
+                        break
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+                if mn is None:  # no stats -> never prune this file
+                    ivs.append((-(1 << 63), (1 << 63) - 1, frag.path))
+                else:
+                    ivs.append((mn, mx, frag.path))
+            self._intervals = ivs
+        return self._intervals
+
     def _term_blocks(self, lemmas: list[str]) -> dict[str, dict]:
         missing = [l for l in lemmas if l not in self._block_cache]
         if missing:
-            # row-group pruning on the integer cluster key (index files
-            # are lemma_h-sorted, so min/max stats give point lookups),
-            # exact match on the string
+            # footer-stats file pruning on the integer cluster key, then
+            # row-group filters inside the chosen file(s), exact string
+            # match last
             hs = [analyzer.lemma_hash64(l) for l in missing]
-            tbl = self._index.to_table(
-                filter=pads.field("lemma_h").isin(hs)
-                & pads.field("lemma").isin(missing),
+            paths = sorted(
+                {p for mn, mx, p in self._file_intervals() if any(mn <= h <= mx for h in hs)}
             )
+            if paths:
+                tbl = pq.read_table(
+                    paths,
+                    filters=[("lemma_h", "in", hs), ("lemma", "in", missing)],
+                )
+            else:
+                from .stages.encode import INDEX_SCHEMA
+
+                tbl = INDEX_SCHEMA.empty_table()
             lem_arr = tbl.column("lemma")
             for lem in missing:
                 sub = tbl.filter(pc.equal(lem_arr, lem))

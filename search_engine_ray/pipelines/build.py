@@ -234,8 +234,9 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             part_bytes = sum(os.path.getsize(f) for f in files)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             # leave >=2 CPUs free for the read/write tasks feeding the
-            # pool — a fixed pool of ALL cores starves them (deadlock)
-            conc = max(2, min(ncpu - 2, (part_bytes >> 22) + 1))
+            # pool — a fixed pool of ALL cores starves them (deadlock);
+            # on tiny clusters fall back to a single-actor pool
+            conc = max(1, min(max(1, ncpu - 2), (part_bytes >> 22) + 1))
         try:
             ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
             ds = ds.map_batches(

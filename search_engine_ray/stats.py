@@ -23,6 +23,9 @@ def statistics(out_dir: str) -> dict:
     per_role = (
         t.group_by("role").aggregate([([], "count_all")]).to_pylist()
     )
+    from .pipelines import delta as delta_mod
+
+    gens = delta_mod.list_generations(out_dir)
     tracker = PartitionTracker(
         os.path.join(build_mod.stage_a_dir(out_dir), "_manifests"), build_id="A"
     )
@@ -36,6 +39,18 @@ def statistics(out_dir: str) -> dict:
             "indexing": m.get("state") != "DONE",
         },
         "per_scope": {r["role"]: r["count_all"] for r in per_role},
+        # incremental generations overlaying the base build (docs/avgdl
+        # above are BASE stats; the query engine applies exact
+        # adjustments at load — see search.SearchEngine._load_deltas)
+        "delta_generations": [
+            {
+                "generation": g["generation"],
+                "conv_ids": g["conv_ids"],
+                "old_turns": g["old_turns"],
+                "new_turns": g["new_turns"],
+            }
+            for g in gens
+        ],
         "partitions": [
             {"id": p["partition_id"], "state": p["state"], "metrics": p.get("metrics", {})}
             for p in parts

@@ -40,39 +40,43 @@ def split_docids(docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return d >> TURN_BITS, (d & ((1 << TURN_BITS) - 1)).astype(np.int32)
 
 
-# per-worker-process broadcast cache: ObjectRef hex -> resolved pa.Array.
-# Worker processes are reused across map_batches tasks, so each process
-# resolves the ray.put side exactly once (zero-copy from the local
-# object store); per batch, index_in runs on the batch's DICTIONARY
-# (unique conv_ids), so the value-set probe stays off the per-row path.
-_CONVS_CACHE: dict[str, pa.Array] = {}
+# per-worker-process broadcast cache: ObjectRef hex -> sorted np unicode
+# array of conv_ids. Worker processes are reused across map_batches
+# tasks, so each process resolves the ray.put side and converts it
+# exactly once; per batch the rank lookup is a C-level np.searchsorted
+# of the batch's DICTIONARY (unique conv_ids) — O(uniq·log n) with no
+# per-call hash-table rebuild, so it stays fast whether the executor
+# hands us 2M-row blocks or (when fused into the read) 10k-row batches.
+_CONVS_CACHE: dict[str, np.ndarray] = {}
 
 
 def make_docid_attacher(convs_ref):
     """Task-based ``map_batches`` fn: adds an int64 ``docid`` column.
 
     The sorted conv_id list is broadcast once with ``ray.put``; the
-    returned closure carries only the ObjectRef (Ray pins it) and each
-    worker process memoizes a conv->rank dict in ``_CONVS_CACHE`` —
-    a map-side broadcast join, never re-shipped per batch. Per batch only
-    the batch's UNIQUE conv_ids (dictionary encode) hit the dict.
+    returned closure carries only the ObjectRef (Ray pins it) — a
+    map-side broadcast join, never re-shipped per batch. The sorted-array
+    binary search doubles as membership validation (rank order IS the
+    sorted order, so ``sorted[rank] == conv`` must hold).
     """
 
     def attach(batch: pa.Table) -> pa.Table:
         key = convs_ref.hex()
-        value_set = _CONVS_CACHE.get(key)
-        if value_set is None:
+        sorted_np = _CONVS_CACHE.get(key)
+        if sorted_np is None:
             import ray
 
             convs = ray.get(convs_ref)
-            value_set = convs if isinstance(convs, pa.Array) else pa.array(convs, pa.string())
+            vals = convs.to_pylist() if isinstance(convs, pa.Array) else list(convs)
+            sorted_np = np.array(vals, dtype=np.str_)
             _CONVS_CACHE.clear()  # at most one live rank map per build
-            _CONVS_CACHE[key] = value_set
+            _CONVS_CACHE[key] = sorted_np
         d = batch.column("conv_id").combine_chunks().dictionary_encode()
-        ranks_u = pc.index_in(d.dictionary, value_set=value_set)
-        if ranks_u.null_count:
+        uniq = np.asarray(d.dictionary.to_pylist(), dtype=np.str_)
+        uniq_rank = np.searchsorted(sorted_np, uniq)
+        ok = uniq_rank < len(sorted_np)
+        if not (ok.all() and (sorted_np[uniq_rank[ok]] == uniq[ok]).all()):
             raise ValueError("conv_id missing from broadcast rank map")
-        uniq_rank = ranks_u.cast(pa.int64()).to_numpy(zero_copy_only=False)
         codes = d.indices.to_numpy(zero_copy_only=False)
         turn_np = batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False)
         docid = make_docids(uniq_rank[codes], turn_np)

@@ -180,6 +180,14 @@ def _attach_lemma_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("lemma_h", pa.array(uniq_h[codes], pa.int64()))
 
 
+def _sized(ds: rd.MaterializedDataset, ncpu: int) -> rd.Dataset:
+    """Widen a materialized sort input when it has too few blocks for
+    the cluster (Ray's SortMap parallelism == input block count)."""
+    if ds.num_blocks() < 2 * ncpu:
+        return ds.repartition(2 * ncpu).materialize()
+    return ds
+
+
 def _settle_fsspec_http_import() -> None:
     """ray.data's ``_is_http_filesystem`` re-attempts ``from
     fsspec.implementations.http import HTTPFileSystem`` on every path
@@ -271,9 +279,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     # few enough that the all-to-all exchange (nblocks^2 fetches) stays
     # cheap. Sized from real bytes (stage-A output) with a ~128 MiB
     # per-block ceiling so it scales to arbitrarily large inputs.
-    stage_a_bytes = sum(os.path.getsize(f) for f in stage_a_files)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    shuffle_blocks = max(2 * ncpu, (stage_a_bytes >> 27) + 1)
     down_key = lineage_key(
         stage_a_files,
         _VERSIONS,
@@ -297,13 +303,17 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         )
         convs_ref = ray.put(pa.array(convs, pa.string()))
         d = _fresh_dir(docs_dir(cfg.out_dir))
-        (
+        # materialize before the sort: a lazy sort input is executed
+        # TWICE (boundary-sampling pass + shuffle pass); the materialized
+        # copy lives in the object store (spills to disk if needed) and
+        # halves the upstream cost (measured ~1.5x on stage C at sf1)
+        docs_in = _sized(
             read_doc_rows(cfg.out_dir)
-            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow")
-            .repartition(shuffle_blocks)
-            .sort("docid")
-            .write_parquet(d)
+            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
+            .materialize(),
+            ncpu,
         )
+        docs_in.sort("docid").write_parquet(d)
         agg = rd.read_parquet(d, columns=["doc_len"]).aggregate(
             Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len")
         )
@@ -321,12 +331,16 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     tc = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
-        (
+        post_in = _sized(
             read_flat_postings(cfg.out_dir)
-            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow")
-            .map_batches(_attach_lemma_hash, batch_format="pyarrow")
+            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
+            .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)
             .select_columns(["lemma", "lemma_h", "docid", "tf", "doc_len"])
-            .repartition(shuffle_blocks)
+            .materialize(),  # sort input is otherwise executed twice
+            ncpu,
+        )
+        (
+            post_in
             # integer range exchange: (lemma_h, docid) sorts ~6x faster
             # than (lemma:string, docid) and clusters index files by
             # lemma_h for query-side row-group pruning; see lemma_hash64
@@ -334,6 +348,9 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             .map_batches(
                 make_block_encoder(stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size),
                 batch_format="pyarrow",
+                batch_size=None,  # encode whole sorted blocks: the fns are
+                # fully vectorized; Ray's default 1024-row batches would
+                # add ~80x call overhead and fragment posting runs
             )
             .write_parquet(d)
         )

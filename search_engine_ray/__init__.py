@@ -10,10 +10,18 @@ re-expressed Ray-Data-first:
   suffix lemmatize -> per-doc tf) mirrors the reference's
   ``LemmaFinderImpl`` (services/morphology/LemmaFinderImpl.java:19-118)
   but runs vectorized over zero-copy Arrow batches on an actor pool;
-- posting lists are built with groupby shuffles + delta+varint block
-  compression with skip metadata, queried with block-max WAND BM25 top-k
-  (replacing the reference's query-independent relevance at
-  repositories/IndexRepository.java:14-20).
+- posting lists are built by ONE integer-keyed range exchange
+  (sort by (lemma_hash64, docid)) + delta+varint block compression with
+  skip metadata; the term dictionary derives from per-block partial
+  aggregates; queries run block-max BM25 top-k with lossless pruning and
+  an adaptive exhaustive fallback (replacing the reference's
+  query-independent relevance at repositories/IndexRepository.java:14-20);
+- incremental per-conversation re-index appends LSM-style delta
+  generations that the query engine overlays rank-identically to a full
+  rebuild (pipelines/delta.py);
+- ``functions/`` adds the training-data operators a 100 TB corpus
+  pipeline needs (dedup, ANN similarity, text analysis, windows) and
+  ``stages/multimodal.py`` the binary-media plumbing.
 
 No module in this package calls ``ray.init()`` / ``ray.shutdown()`` —
 the driver, bench.py, and the pytest session fixture own the Ray session.

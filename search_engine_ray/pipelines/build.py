@@ -241,10 +241,11 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         if conc is None:  # auto-size: see BuildConfig.concurrency
             part_bytes = sum(os.path.getsize(f) for f in files)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            # leave >=2 CPUs free for the read/write tasks feeding the
-            # pool — a fixed pool of ALL cores starves them (deadlock);
-            # on tiny clusters fall back to a single-actor pool
-            conc = max(1, min(max(1, ncpu - 2), (part_bytes >> 22) + 1))
+            # cap the pool at HALF the cores: the read/decompress/write
+            # tasks feeding and draining it need the rest (measured at
+            # sf0.5/32cpu: 16 actors 5.1s, 30 actors 17.1s — a near-full
+            # pool starves its own IO; a full pool deadlocks outright)
+            conc = max(1, min(max(1, ncpu // 2), (part_bytes >> 22) + 1))
         try:
             ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
             ds = ds.map_batches(
@@ -298,22 +299,38 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         # conv ranks from the ORIGINAL input (column-pruned conv_id read —
         # much cheaper than re-scanning stage-A output); small side, see
         # docid.py scale note
-        convs = sorted(
-            rd.read_parquet(cfg.input_paths, columns=["conv_id"]).unique("conv_id")
+        tu = time.monotonic()
+        # map-side-combine distinct: per-batch pc.unique (C kernel), tiny
+        # per-batch results concatenated driver-side — no shuffle at all
+        # (ds.unique() pays a full groupby exchange for the same answer)
+        uniq_parts = rd.read_parquet(cfg.input_paths, columns=["conv_id"]).map_batches(
+            lambda b: pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())}),
+            batch_format="pyarrow",
+            batch_size=None,
         )
+        all_u = pa.concat_tables(
+            [t for t in ray.get(uniq_parts.to_arrow_refs()) if t.num_rows]
+        )
+        convs = sorted(pc.unique(all_u.column("conv_id").combine_chunks()).to_pylist())
+        timings["b_unique_s"] = round(time.monotonic() - tu, 3)
         convs_ref = ray.put(pa.array(convs, pa.string()))
         d = _fresh_dir(docs_dir(cfg.out_dir))
         # materialize before the sort: a lazy sort input is executed
         # TWICE (boundary-sampling pass + shuffle pass); the materialized
         # copy lives in the object store (spills to disk if needed) and
         # halves the upstream cost (measured ~1.5x on stage C at sf1)
+        tm = time.monotonic()
         docs_in = _sized(
             read_doc_rows(cfg.out_dir)
             .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
             .materialize(),
             ncpu,
         )
+        timings["b_mat_s"] = round(time.monotonic() - tm, 3)
+        ts_ = time.monotonic()
         docs_in.sort("docid").write_parquet(d)
+        timings["b_sort_s"] = round(time.monotonic() - ts_, 3)
+        ta_ = time.monotonic()
         agg = rd.read_parquet(d, columns=["doc_len"]).aggregate(
             Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len")
         )
@@ -324,6 +341,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             "total_len": int(agg["total_len"] or 0),
             "avgdl": (float(agg["total_len"]) / n_docs) if n_docs else 0.0,
         }
+        timings["b_agg_s"] = round(time.monotonic() - ta_, 3)
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     timings["stage_b_s"] = round(time.monotonic() - tb, 3)
 
@@ -331,6 +349,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     tc = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
+        tm = time.monotonic()
         post_in = _sized(
             read_flat_postings(cfg.out_dir)
             .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
@@ -339,6 +358,8 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             .materialize(),  # sort input is otherwise executed twice
             ncpu,
         )
+        timings["c_mat_s"] = round(time.monotonic() - tm, 3)
+        ts_ = time.monotonic()
         (
             post_in
             # integer range exchange: (lemma_h, docid) sorts ~6x faster
@@ -354,6 +375,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             )
             .write_parquet(d)
         )
+        timings["c_sort_enc_s"] = round(time.monotonic() - ts_, 3)
         tracker_s.mark("index", down_key, STATE_DONE, metrics=_dir_stats(d))
     timings["stage_c_s"] = round(time.monotonic() - tc, 3)
 

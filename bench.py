@@ -106,11 +106,11 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    lo, hi = 8, 32
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
     # Scaling is measured on a corpus large enough that scalable work
     # dominates fixed per-stage coordination (at sf0.1 the whole build is
     # ~6 core-seconds of analysis — any fixed cost swamps the ratio).
-    sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "sf0.5")
+    sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "sf1")
     from search_engine_ray import datagen
 
     tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)

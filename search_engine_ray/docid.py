@@ -31,7 +31,18 @@ from .config import TURN_BITS
 
 
 def make_docids(conv_rank: np.ndarray, turn_idx: np.ndarray) -> np.ndarray:
-    return (conv_rank.astype(np.int64) << TURN_BITS) | turn_idx.astype(np.int64)
+    """Composite docid. ``turn_idx`` must fit in ``TURN_BITS`` — an
+    oversized (or negative) value would silently bleed into the next
+    conversation's docid range, corrupting docid ordering, tombstone
+    masking and conv_rank-based enrichment. External JSONL/CSV inputs
+    reach this path, so validate and fail loudly."""
+    t = np.asarray(turn_idx)
+    if len(t) and (int(t.min()) < 0 or int(t.max()) >= (1 << TURN_BITS)):
+        bad = t[(t < 0) | (t >= (1 << TURN_BITS))][0]
+        raise ValueError(
+            f"turn_idx {int(bad)} outside [0, 2**{TURN_BITS}) — cannot assign docids"
+        )
+    return (conv_rank.astype(np.int64) << TURN_BITS) | t.astype(np.int64)
 
 
 def split_docids(docids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -165,13 +165,16 @@ class SearchEngine:
             np.concatenate(dd_dl).astype(np.int64) if dd_dl else np.empty(0, np.int64),
         )
         # exact corpus-stat adjustments + a safe block-max inflation for
-        # unaffected lemmas (their stored bmw used the base avgdl; if
-        # avgdl shrank, true weights may exceed stored ones by at most
-        # avgdl_base/avgdl_eff — scaling keeps pruning lossless)
+        # unaffected lemmas. Their stored bmw used the base avgdl; the
+        # weight tf/(tf + k1*(1-b+b*dl/avgdl)) INCREASES when avgdl grows
+        # (the dl term shrinks), and (A+x)/(A+y) <= x/y for A >= 0 bounds
+        # the growth: w_eff <= w_base * avgdl_eff/avgdl_base. Scaling by
+        # that ratio keeps pruning lossless; if avgdl shrank, stored
+        # bounds already over-estimate and no inflation is needed.
         avgdl_base = self.avgdl
         self.n_docs = n_eff
         self.avgdl = (len_eff / n_eff) if n_eff else 1.0
-        self._bmw_scale = max(1.0, avgdl_base / self.avgdl) if self.avgdl else 1.0
+        self._bmw_scale = max(1.0, self.avgdl / avgdl_base) if avgdl_base else 1.0
 
     def _tomb_keep_mask(self, docid: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self._tomb_starts, docid, side="right") - 1

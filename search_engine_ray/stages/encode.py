@@ -113,6 +113,15 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
         else:
             bmw = blk_cf = blk_max_tf = np.empty(0)
 
+        # float32 upper bounds must round UP: a round-to-nearest cast can
+        # land ~1 ulp BELOW the true float64 block max, and a window whose
+        # best doc scores exactly at the top-k threshold would then be
+        # pruned — breaking the lossless-pruning guarantee (search.py).
+        bmw32 = bmw.astype(np.float32)
+        low = bmw32.astype(np.float64) < bmw
+        if low.any():
+            bmw32[low] = np.nextafter(bmw32[low], np.float32(np.inf))
+
         blk_lemma = lemma.take(pa.array(blk_start, pa.int64()))
         if "lemma_h" in batch.column_names:
             blk_h = batch.column("lemma_h").combine_chunks().take(
@@ -130,7 +139,7 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
                 pa.array(docid[blk_start], pa.int64()),
                 pa.array(docid[blk_end - 1], pa.int64()),
                 pa.array((blk_end - blk_start).astype(np.int32), pa.int32()),
-                pa.array(bmw.astype(np.float32), pa.float32()),
+                pa.array(bmw32, pa.float32()),
                 pa.array(blk_cf.astype(np.int64), pa.int64()),
                 pa.array(blk_max_tf.astype(np.int32), pa.int32()),
                 *cells,

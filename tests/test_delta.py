@@ -97,6 +97,54 @@ def test_delta_rank_identical_to_rebuild(delta_env):
     _compare_engines(overlay, rebuilt)
 
 
+def test_delta_avgdl_growth_rank_identical(delta_env, tiny_corpus):
+    """Regression for the inverted bmw-scale direction: BM25's
+    df-independent weight INCREASES when avgdl grows, so stored block-max
+    bounds understate true scores after a delta that RAISES avgdl; the
+    overlay must inflate them (by avgdl_eff/avgdl_base) or blockmax
+    silently drops true top-k rows. The original delta fixture only
+    shrinks avgdl and cannot catch this."""
+    root = delta_env["root"]
+    base_out = str(root / "base_grow")
+    cfg = BuildConfig(input_paths=tiny_corpus, out_dir=base_out, n_partitions=2, concurrency=2)
+    build.build_index(cfg)
+
+    eng0 = SearchEngine(base_out)
+    conv = eng0.search(datagen.stem(0), limit=3)["data"].column("conv_id")[0].as_py()
+
+    # replace with LONG turns stuffed with query lemmas -> avgdl grows
+    long_text = " ".join(
+        [datagen.stem(0)] * 5 + [datagen.stem(i % 64) for i in range(400)]
+    )
+    new_texts = [long_text, long_text + " " + datagen.stem(1), long_text]
+    mod_files = _modify_corpus(tiny_corpus, str(root / "modified_grow"), conv, new_texts)
+
+    rebuilt_out = str(root / "rebuilt_grow")
+    build.build_index(
+        BuildConfig(input_paths=mod_files, out_dir=rebuilt_out, n_partitions=2, concurrency=2)
+    )
+    resp = delta.reindex_conversations(base_out, [conv], input_paths=mod_files)
+    assert resp["result"]
+
+    overlay = SearchEngine(base_out)
+    rebuilt = SearchEngine(rebuilt_out)
+    assert overlay.avgdl > eng0.avgdl  # the growth direction is exercised
+    assert overlay._bmw_scale > 1.0
+    assert overlay.avgdl == pytest.approx(rebuilt.avgdl, abs=0.0)
+    _compare_engines(overlay, rebuilt)
+
+
+def test_delta_turn_idx_out_of_range():
+    import numpy as np
+
+    from search_engine_ray.docid import make_docids
+
+    with pytest.raises(ValueError, match="turn_idx"):
+        make_docids(np.array([0]), np.array([1 << 20]))
+    with pytest.raises(ValueError, match="turn_idx"):
+        make_docids(np.array([0]), np.array([-1]))
+
+
 def test_delta_unknown_conv_rejected(delta_env):
     resp = delta.reindex_conversations(delta_env["base_out"], ["no-such-conv"])
     assert resp["result"] is False

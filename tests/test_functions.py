@@ -227,6 +227,46 @@ def test_multimodal_feature_stage(docs_ds):
     assert out1.num_rows == 50
 
 
+def test_image_codec_roundtrip_and_golden():
+    """PPM round-trips exactly; BMP decodes the same pixels; features
+    are the real luma-grid means, not the stub."""
+    import numpy as np
+
+    from search_engine_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+
+    # hand-rolled uncompressed 24-bit bottom-up BMP of the same pixels
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up, BGR
+        r = row[:, ::-1].tobytes()
+        body += r + b"\x00" * (stride - len(r))
+    header = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 24
+    )
+    assert np.array_equal(mm.decode_bmp(bytes(header + body)), px)
+
+    # golden: uniform grey image -> every luma-grid feature == grey/255
+    grey = np.full((16, 16, 3), 100, np.uint8)
+    feats = mm.image_features(grey, mm.FEATURE_DIM)
+    assert np.allclose(feats, 100.0 / 255.0, atol=1e-6)
+    # the extractor really decodes PPM payloads (not the md5 stub)
+    ext = mm.MediaFeatureExtractor()
+    got = ext._decode(mm.encode_ppm(grey), "image")
+    assert np.allclose(got, 100.0 / 255.0, atol=1e-6)
+    # non-image payloads stay on the deterministic stub
+    s1 = ext._decode(b"not an image", "audio")
+    s2 = ext._decode(b"not an image", "audio")
+    assert np.array_equal(s1, s2) and not np.allclose(s1, s1[0])
+
+
 # ----------------------------------------------------------- windows
 
 

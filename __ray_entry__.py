@@ -53,7 +53,7 @@ def entry() -> Any:
     return _search_topk("sf0.001", mode="bm25")
 
 
-def _search_topk(sf_dir: str, mode: str):
+def _search_topk(sf_dir: str, mode: str, enriched: bool = False):
     import pandas as pd
 
     from search_engine_ray import datagen
@@ -67,21 +67,27 @@ def _search_topk(sf_dir: str, mode: str):
         if not r["result"]:
             continue
         for rank, row in enumerate(r["data"].to_pylist(), start=1):
-            rows.append(
-                {
-                    "query_id": q["query_id"],
-                    "rank": rank,
-                    "conv_id": row["conv_id"],
-                    "turn_idx": row["turn_idx"],
-                    "score": round(row["score"], 6),
-                }
-            )
-    df = pd.DataFrame(
-        rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"]
-    )
+            rec = {
+                "query_id": q["query_id"],
+                "rank": rank,
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "score": round(row["score"], 6),
+            }
+            if enriched:
+                rec["role"] = row["role"]
+                rec["tool"] = row["tool"]
+                rec["ts"] = row["ts"]
+            rows.append(rec)
+    cols = ["query_id", "rank", "conv_id", "turn_idx", "score"]
+    if enriched:
+        cols = cols[:4] + ["role", "tool", "ts"] + cols[4:]
+    df = pd.DataFrame(rows, columns=cols)
     df["rank"] = df["rank"].astype("int32")
     df["turn_idx"] = df["turn_idx"].astype("int32")
     df["score"] = df["score"].astype("float64")
+    if enriched:
+        df["ts"] = pd.to_datetime(df["ts"])
     return df
 
 
@@ -304,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_cutoff_lemmas": _df_cutoff_lemmas,
         "search_topk_bm25": lambda sf: _search_topk(sf, "bm25"),
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
+        "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -351,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_topk_bm25": oracle.bm25_topk_sql(src, qs),
         "search_topk_reference": oracle.reference_topk_sql(src, qs),
+        "search_enriched": oracle.bm25_topk_enriched_sql(src, qs),
         # training-data operators over the driver's pre-registered views.
         # dedup_minhash_lsh / dedup_simhash / knn_ivf are approximate
         # (LSH recall < 1 by design) and text_langid / multimodal are

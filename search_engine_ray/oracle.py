@@ -147,6 +147,20 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_topk_enriched_sql(src: str, queries: list[dict]) -> str:
+    """Enriched results (J6): the BM25 top-k joined back to the
+    transcript row for role/tool/ts — the oracle for the engine's result
+    projection (reference analog: site url/name/title per result,
+    ``SearchServiceImpl.java:117-133``)."""
+    inner = bm25_topk_sql(src, queries)
+    return f"""
+SELECT b.query_id, b.rank, b.conv_id, b.turn_idx,
+       t.role, coalesce(t.tool, '') AS tool, t.ts, b.score
+FROM ({inner}) b
+JOIN {src} t ON t.conv_id = b.conv_id AND t.turn_idx = b.turn_idx
+"""
+
+
 def reference_topk_sql(src: str, queries: list[dict], df_cutoff: int = 250) -> str:
     """Reference-parity relevance (G3/G4 + D4 + J4): drop df>=cutoff
     lemmas, conjunctive AND over the rest, relevance = doc Σtf / global

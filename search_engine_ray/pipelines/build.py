@@ -64,10 +64,10 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "3"
+CODEC_VERSION = "4"
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
-ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def stage_a_dir(out_dir: str) -> str:
@@ -149,7 +149,7 @@ def read_doc_rows(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(
         _stage_a_parquet(out_dir),
         filter=_DOCS_FILTER,
-        columns=columns or ["conv_id", "turn_idx", "role", "doc_len"],
+        columns=columns or ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
     )
 
 
@@ -335,11 +335,24 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             Count(alias_name="n_docs"), Sum("doc_len", alias_name="total_len")
         )
         n_docs = int(agg["n_docs"])
+        # valid scope values (site-list analog) recorded at build time so
+        # the query engine never hardcodes them. Dictionary-encoded
+        # low-cardinality columns — a column-pruned driver read here; at
+        # 10^12 docs fold into the same Ray aggregate above.
+        sc = pq.read_table(d, columns=["role", "tool"])
+        roles = sorted(
+            x for x in pc.unique(sc.column("role").combine_chunks()).to_pylist() if x
+        )
+        tools = sorted(
+            x for x in pc.unique(sc.column("tool").combine_chunks()).to_pylist() if x
+        )
         stats = {
             "n_docs": n_docs,
             "n_convs": len(convs),
             "total_len": int(agg["total_len"] or 0),
             "avgdl": (float(agg["total_len"]) / n_docs) if n_docs else 0.0,
+            "roles": roles,
+            "tools": tools,
         }
         timings["b_agg_s"] = round(time.monotonic() - ta_, 3)
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))

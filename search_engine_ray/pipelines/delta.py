@@ -113,7 +113,7 @@ def reindex_conversations(
     src = pads.dataset(paths)
     slice_tbl = src.to_table(
         filter=pads.field("conv_id").isin(conv_ids),
-        columns=["conv_id", "turn_idx", "role", "text"],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     rank_of = {c: int(r) for c, r in zip(conv_ids, ranks)}
     conv_col = slice_tbl.column("conv_id").to_pylist()
@@ -139,6 +139,8 @@ def reindex_conversations(
             "turn_idx": slice_tbl.column("turn_idx"),
             "role": slice_tbl.column("role"),
             "doc_len": pa.array(doc_len.astype(np.int32), pa.int32()),
+            "tool": slice_tbl.column("tool"),
+            "ts": slice_tbl.column("ts"),
         }
     )
 

@@ -116,7 +116,7 @@ class SearchEngine:
         bdl = base.column("doc_len").to_numpy()
         n_eff, len_eff = self.n_docs, int(self.manifest["stats"]["total_len"])
         d_docid, d_tf, d_dl, d_lemma = [], [], [], []
-        dd_docid, dd_role, dd_dl = [], [], []
+        dd_docid, dd_role, dd_dl, dd_tool, dd_ts = [], [], [], [], []
         for cid, info in latest.items():
             lo, hi = info["range"]
             a, b = np.searchsorted(bdoc, lo), np.searchsorted(bdoc, hi)
@@ -132,6 +132,10 @@ class SearchEngine:
             dd_docid.append(docs.column("docid").to_numpy())
             dd_role.extend(docs.column("role").to_pylist())
             dd_dl.append(docs.column("doc_len").to_numpy(zero_copy_only=False))
+            dd_tool.extend(docs.column("tool").to_pylist())
+            dd_ts.append(
+                docs.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
             posts = pq.read_table(os.path.join(info["dir"], "postings.parquet"))
             pmask = (posts.column("docid").to_numpy() >= lo) & (
                 posts.column("docid").to_numpy() < hi
@@ -159,11 +163,13 @@ class SearchEngine:
             for i, s in enumerate(bounds):
                 e = bounds[i + 1] if i + 1 < len(bounds) else len(lem_arr)
                 self._delta_lemma[lem_arr[s]] = (docid[s:e], tf[s:e], dl[s:e])
-        self._delta_docs = (
-            np.concatenate(dd_docid).astype(np.int64) if dd_docid else np.empty(0, np.int64),
-            dd_role,
-            np.concatenate(dd_dl).astype(np.int64) if dd_dl else np.empty(0, np.int64),
-        )
+        self._delta_docs = {
+            "docid": np.concatenate(dd_docid).astype(np.int64) if dd_docid else np.empty(0, np.int64),
+            "role": dd_role,
+            "dl": np.concatenate(dd_dl).astype(np.int64) if dd_dl else np.empty(0, np.int64),
+            "tool": dd_tool,
+            "ts": np.concatenate(dd_ts).astype(np.int64) if dd_ts else np.empty(0, np.int64),
+        }
         # exact corpus-stat adjustments + a safe block-max inflation for
         # unaffected lemmas. Their stored bmw used the base avgdl; the
         # weight tf/(tf + k1*(1-b+b*dl/avgdl)) INCREASES when avgdl grows
@@ -375,28 +381,48 @@ class SearchEngine:
 
     # ---------------- scope (site-analog) filter ----------------------
 
-    def scope_docids(self, role: str) -> np.ndarray:
-        """Sorted docids of one role — read partition-pruned from the
-        docid-sorted doc store (row-group stats filter on ``role``)."""
-        got = self._scope_cache.get(role)
+    @staticmethod
+    def _parse_scope(scope: str) -> tuple[str, str]:
+        """'user' -> ('role', 'user'); 'tool:tool-search' -> ('tool',
+        'tool-search'). The reference's ``site`` filter maps to role,
+        optionally tool (SURVEY §1.2; ``SearchServiceImpl.java:41-44``)."""
+        if scope.startswith("tool:"):
+            return "tool", scope[len("tool:"):]
+        return "role", scope
+
+    def scope_docids(self, scope: str) -> np.ndarray:
+        """Sorted docids of one scope value — read partition-pruned from
+        the docid-sorted doc store (row-group stats filter on the scope
+        column)."""
+        got = self._scope_cache.get(scope)
         if got is None:
+            col, value = self._parse_scope(scope)
             t = pq.read_table(
                 build_mod.docs_dir(self.out_dir),
                 columns=["docid"],
-                filters=[("role", "==", role)],
+                filters=[(col, "==", value)],
             )
             got = t.column("docid").to_numpy()
             if self._has_deltas:
                 got = got[self._tomb_keep_mask(got)]
-                d_docid, d_role, _ = self._delta_docs
-                extra = d_docid[np.asarray([r == role for r in d_role], bool)]
+                dd = self._delta_docs
+                extra = dd["docid"][np.asarray([v == value for v in dd[col]], bool)]
                 got = np.concatenate([got, extra])
             got = np.sort(got)
-            self._scope_cache[role] = got
+            self._scope_cache[scope] = got
         return got
 
-    def valid_scope(self, role: str | None) -> bool:
-        return role is None or role in ("user", "assistant", "tool", "system")
+    def valid_scope(self, scope: str | None) -> bool:
+        """Scope validity is derived from the BUILT index (manifest
+        scope-value lists + any delta additions), never hardcoded — a
+        corpus with arbitrary role values stays scopable."""
+        if scope is None:
+            return True
+        col, value = self._parse_scope(scope)
+        known = set(self.manifest["stats"].get(col + "s", ()))
+        if self._has_deltas:
+            known.update(v for v in self._delta_docs[col] if v)
+        return value in known
 
     # ---------------- BM25 scorers ------------------------------------
 
@@ -613,9 +639,10 @@ class SearchEngine:
                 )
                 keep = self._tomb_keep_mask(t.column("docid").to_numpy())
                 dls = t.column("doc_len").to_numpy()[keep]
+                ddl = self._delta_docs["dl"]
                 m = max(
                     int(dls.max()) if len(dls) else 0,
-                    int(self._delta_docs[2].max()) if len(self._delta_docs[2]) else 0,
+                    int(ddl.max()) if len(ddl) else 0,
                 )
             else:
                 t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["doc_len"])
@@ -664,7 +691,8 @@ class SearchEngine:
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
-        ``data`` columns: (conv_id, turn_idx, role, ts, score[, snippet]).
+        ``data`` columns: (conv_id, turn_idx, role, tool, ts, score
+        [, snippet]). ``scope`` is a role value or ``"tool:<name>"``.
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
@@ -702,54 +730,80 @@ class SearchEngine:
 
     def _forward(self):
         """Lazy forward index for J6 result enrichment: docid-sorted
-        (docid, role_code) arrays + the dictionary-encoded role values +
-        the sorted conv_id list (docid's conv_rank indexes it directly).
-        A few bytes per doc driver-side at bench scale; at 10^12 docs
-        this becomes a pruned point-read of the docid-sorted doc store
-        (same data, same sort key)."""
+        (docid, role_code, tool_code, ts) arrays + the dictionary-encoded
+        role/tool values + the sorted conv_id list (docid's conv_rank
+        indexes it directly). A few bytes per doc driver-side at bench
+        scale; at 10^12 docs this becomes a pruned point-read of the
+        docid-sorted doc store (same data, same sort key)."""
         if self._fwd is None:
-            t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["docid", "role"])
+            t = pq.read_table(
+                build_mod.docs_dir(self.out_dir), columns=["docid", "role", "tool", "ts"]
+            )
             role_dict = t.column("role").combine_chunks().dictionary_encode()
+            tool_dict = pc.fill_null(t.column("tool").combine_chunks(), "").dictionary_encode()
             t2 = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["conv_id"])
             convs = pc.unique(t2.column("conv_id").combine_chunks())
             docids = t.column("docid").to_numpy()
             codes = role_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tcodes = tool_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
             role_values = role_dict.dictionary.to_pylist()
+            tool_values = tool_dict.dictionary.to_pylist()
             if self._has_deltas:  # overlay: drop tombstoned, splice delta
                 keep = self._tomb_keep_mask(docids)
-                docids, codes = docids[keep], codes[keep]
-                d_docid, d_role, _ = self._delta_docs
-                code_of = {r: i for i, r in enumerate(role_values)}
-                d_codes = np.empty(len(d_role), np.int64)
-                for i, r in enumerate(d_role):
-                    c = code_of.get(r)
-                    if c is None:
-                        c = len(role_values)
-                        role_values.append(r)
-                        code_of[r] = c
-                    d_codes[i] = c
-                docids = np.concatenate([docids, d_docid])
+                docids, codes, tcodes, ts = docids[keep], codes[keep], tcodes[keep], ts[keep]
+                dd = self._delta_docs
+
+                def splice_codes(values: list, items: list) -> np.ndarray:
+                    code_of = {r: i for i, r in enumerate(values)}
+                    out = np.empty(len(items), np.int64)
+                    for i, r in enumerate(items):
+                        r = r or ""
+                        c = code_of.get(r)
+                        if c is None:
+                            c = len(values)
+                            values.append(r)
+                            code_of[r] = c
+                        out[i] = c
+                    return out
+
+                d_codes = splice_codes(role_values, dd["role"])
+                d_tcodes = splice_codes(tool_values, dd["tool"])
+                docids = np.concatenate([docids, dd["docid"]])
                 codes = np.concatenate([codes, d_codes])
+                tcodes = np.concatenate([tcodes, d_tcodes])
+                ts = np.concatenate([ts, dd["ts"]])
                 order = np.argsort(docids, kind="stable")
-                docids, codes = docids[order], codes[order]
-            self._fwd = (docids, codes, role_values, convs)
+                docids, codes, tcodes, ts = (
+                    docids[order], codes[order], tcodes[order], ts[order]
+                )
+            self._fwd = (docids, codes, role_values, convs, tcodes, tool_values, ts)
         return self._fwd
 
     def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
         """J6: broadcast-small-side join of the k winners back to the
-        doc store / transcripts source for (conv_id, role[, text])."""
+        doc store / transcripts source for (conv_id, role, tool, ts
+        [, text]) — the analog of the reference enriching every result
+        with site url/name/title (``SearchServiceImpl.java:117-133``)."""
         conv_rank, turn_idx = split_docids(ids)
         if len(ids):
-            docids, role_codes, role_values, convs = self._forward()
+            docids, role_codes, role_values, convs, tool_codes, tool_values, ts_arr = (
+                self._forward()
+            )
             pos = np.searchsorted(docids, ids)
             conv_ids = convs.take(pa.array(conv_rank)).to_pylist()
             roles = [role_values[role_codes[p]] for p in pos]
+            tools = [tool_values[tool_codes[p]] for p in pos]
+            tss = ts_arr[pos]
         else:
-            conv_ids, roles = [], []
+            conv_ids, roles, tools = [], [], []
+            tss = np.empty(0, np.int64)
         cols = {
             "conv_id": pa.array(conv_ids, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(roles, pa.string()),
+            "tool": pa.array(tools, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
             "score": pa.array(scores, pa.float64()),
         }
         tbl = pa.table(cols)
@@ -792,6 +846,8 @@ RESULT_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
     ]
 )

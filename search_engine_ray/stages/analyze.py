@@ -9,8 +9,13 @@ class passed to ``map_batches`` — one actor per pool slot, analyzer state
 actor, vectorized Arrow work per ``__call__``.
 
 Output: one combined Arrow table per batch holding BOTH
-- posting rows:  (lemma, conv_id, turn_idx, tf, doc_len, role=null)
-- doc rows:      (lemma=null, conv_id, turn_idx, tf=0, doc_len, role)
+- posting rows:  (lemma, conv_id, turn_idx, tf, doc_len, role/tool/ts=null)
+- doc rows:      (lemma=null, conv_id, turn_idx, tf=0, doc_len, role, tool, ts)
+
+``tool``/``ts`` ride the doc rows into the doc store so result
+enrichment (J6; the reference joins site url/name/title per result,
+``SearchServiceImpl.java:117-133``) can project them without re-reading
+the transcripts source, and so ``tool`` can serve as a scope value.
 
 Doc rows exist for every input turn (including empty text, doc_len=0) —
 they are the document store / doc_stats side (G3 in SURVEY.md §2.5,
@@ -36,6 +41,8 @@ ANALYZED_SCHEMA = pa.schema(
         ("tf", pa.int32()),
         ("doc_len", pa.int32()),
         ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
     ]
 )
 
@@ -53,6 +60,8 @@ class AnalyzerActor:
         conv = batch.column("conv_id").combine_chunks()
         turn = batch.column("turn_idx").combine_chunks()
         role = batch.column("role").combine_chunks()
+        tool = batch.column("tool").combine_chunks()
+        ts = batch.column("ts").combine_chunks()
         n = batch.num_rows
 
         doc_idx, lemmas, tf, doc_len = analyze_batch(texts, self.memo)
@@ -68,6 +77,8 @@ class AnalyzerActor:
                 pa.array(tf, pa.int32()),
                 doc_len_arr.take(idx),
                 pa.nulls(npost, pa.string()),
+                pa.nulls(npost, pa.string()),
+                pa.nulls(npost, pa.timestamp("us")),
             ],
             schema=ANALYZED_SCHEMA,
         )
@@ -79,6 +90,8 @@ class AnalyzerActor:
                 pa.array(np.zeros(n, np.int32), pa.int32()),
                 doc_len_arr,
                 role,
+                tool,
+                ts,
             ],
             schema=ANALYZED_SCHEMA,
         )

@@ -22,6 +22,17 @@ concatenate them in ``first_docid`` order.
 block — the df-independent part of BM25 — so the query-time upper bound
 is ``idf * (k1+1) * bmw`` without needing df at encode time.
 
+Exchange-payload minimization: the all-to-all sort feeding this stage
+ships only ``(lemma_h:int64, docid:int64, tf:int32)`` — 20 bytes/row.
+The lemma *string* is restored here from a broadcast ``lemma_h ->
+lemma`` vocabulary (``ray.put`` once, zero-copy plasma read per worker)
+and ``doc_len`` from a broadcast docid-sorted ``(docid, dl)`` pair read
+off the already-written doc store. Both broadcasts are opt-in: when the
+vocabulary has a (detected) 63-bit hash collision, or the corpus is too
+large for the dl broadcast, the build falls back to carrying the
+column through the shuffle and the encoder transparently uses the batch
+column instead (``lemma`` / ``doc_len`` present in the batch wins).
+
 Encoding is fully vectorized: ONE varint pass per column over the whole
 batch, then zero-copy slicing into per-block binary cells via Arrow
 offset buffers. No per-posting Python; per-block work is O(#blocks).
@@ -33,6 +44,22 @@ import numpy as np
 import pyarrow as pa
 
 from ..state import codec
+
+# per-worker-process broadcast cache (ObjectRef hex -> resolved value):
+# worker processes are reused across map_batches tasks, so each process
+# resolves a ray.put side exactly once (zero-copy for numpy arrays)
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _resolve(ref):
+    key = ref.hex()
+    got = _BCAST_CACHE.get(key)
+    if got is None:
+        import ray
+
+        got = ray.get(ref)
+        _BCAST_CACHE[key] = got
+    return got
 
 INDEX_SCHEMA = pa.schema(
     [

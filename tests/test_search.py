@@ -105,6 +105,50 @@ def test_scope_filter(engine):
     assert scoped["count"] <= unscoped["count"]
 
 
+def test_result_enrichment_matches_source(engine, tiny_corpus):
+    """ts / tool / role in results must equal the transcript row's values
+    (J6 — the reference enriches every result with site url/name/title,
+    SearchServiceImpl.java:117-133; here the enrichment columns are the
+    turn's role/tool/ts)."""
+    import pyarrow.dataset as pads
+
+    r = engine.search(QUERIES[0]["query_text"], limit=10)
+    rows = r["data"].to_pylist()
+    assert rows, "query must match"
+    src = pads.dataset(tiny_corpus).to_table(
+        columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+    lut = {
+        (c, t): (ro, to, ts)
+        for c, t, ro, to, ts in zip(
+            src.column("conv_id").to_pylist(),
+            src.column("turn_idx").to_pylist(),
+            src.column("role").to_pylist(),
+            src.column("tool").to_pylist(),
+            src.column("ts").to_pylist(),
+        )
+    }
+    for row in rows:
+        ro, to, ts = lut[(row["conv_id"], row["turn_idx"])]
+        assert row["role"] == ro
+        assert row["tool"] == (to or "")
+        assert row["ts"] == ts
+
+
+def test_tool_scope(engine):
+    tools = engine.manifest["stats"]["tools"]
+    assert tools, "corpus has tool turns"
+    scope = f"tool:{tools[0]}"
+    assert engine.valid_scope(scope)
+    r = engine.search(QUERIES[3]["query_text"], scope=scope, limit=50)
+    for row in r["data"].to_pylist():
+        assert row["tool"] == tools[0]
+    assert not engine.valid_scope("tool:not-a-tool")
+    # role validity comes from the index, not a hardcoded list
+    assert engine.valid_scope("assistant")
+    assert not engine.valid_scope("moderator")
+
+
 def test_conjunctive_mode(engine):
     q = QUERIES[2]["query_text"]  # two-term query
     conj = engine.search(q, conjunctive=True, limit=50)

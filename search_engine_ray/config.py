@@ -49,4 +49,16 @@ class BuildConfig:
     # The encoder emits the runs as disjoint block rows and readers
     # merge them by first_docid (stages/encode.py module docstring).
     resume: bool = False
+    # Plan adaptivity: below this total input size the doc-store stage
+    # (stage B) runs driver-side — a sub-second pyarrow sort instead of
+    # three Ray Dataset executions whose fixed spin-up dominates at toy
+    # scale. The distributed path is unchanged above the threshold (the
+    # scaling bench at sf>=0.5 always exercises it).
+    driver_small_input_bytes: int = 256 << 20
+    # Stage C ships only (lemma_h, docid, tf) through the all-to-all
+    # sort; doc_len is restored at encode time from a broadcast
+    # docid-sorted (docid, dl) pair (~12 B/doc in plasma, zero-copy per
+    # worker). Above this doc count the broadcast would not fit a
+    # worker heap and doc_len rides the shuffle instead (+4 B/posting).
+    broadcast_dl_max_docs: int = 200_000_000
     extra: dict = field(default_factory=dict)

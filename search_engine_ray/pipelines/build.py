@@ -180,6 +180,54 @@ def _attach_lemma_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("lemma_h", pa.array(uniq_h[codes], pa.int64()))
 
 
+def _vocab_from_parquet_dictionaries(files: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side vocabulary: read the lemma column dictionary-encoded —
+    the parquet dictionary PAGES are per-row-group unique sets, so only
+    int32 codes + tiny dictionaries materialize (a possible superset of
+    the live vocabulary is harmless: restore lookups only probe present
+    hashes and collision detection on a superset is conservative).
+    Returns (lemma_h sorted asc, lemma) aligned arrays."""
+    from ..analyzer import lemma_hash64
+
+    t = pq.read_table(files, columns=["lemma"], read_dictionary=["lemma"])
+    parts = []
+    for chunk in t.column("lemma").chunks:
+        if isinstance(chunk, pa.DictionaryArray):
+            parts.append(chunk.dictionary)
+        else:  # writer fell back to plain encoding for this row group
+            parts.append(pc.unique(chunk))
+    uniq = pc.unique(pa.concat_arrays(parts)) if parts else pa.array([], pa.string())
+    uniq = uniq.drop_null()
+    lem_np = np.asarray(uniq.to_pylist(), dtype=object)
+    memo = _LEMMA_H_MEMO
+    get = memo.get
+    h = np.empty(len(lem_np), np.int64)
+    for i, s in enumerate(lem_np):
+        v = get(s)
+        if v is None:
+            v = lemma_hash64(s)
+            memo[s] = v
+        h[i] = v
+    order = np.argsort(h, kind="stable")
+    return h[order], lem_np[order]
+
+
+def _unique_lemma_pairs(batch: pa.Table) -> pa.Table:
+    """Per-batch unique (lemma, lemma_h) pairs — the map-side combine of
+    the vocabulary pass (reuses the batch's lemma_h via first-occurrence
+    indices; no re-hashing)."""
+    d = batch.column("lemma").combine_chunks().dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    _, first = np.unique(codes, return_index=True)
+    h = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "lemma": d.dictionary.take(pa.array(codes[first])),
+            "lemma_h": pa.array(h[first], pa.int64()),
+        }
+    )
+
+
 def _sized(ds: rd.MaterializedDataset, ncpu: int) -> rd.Dataset:
     """Widen a materialized sort input when it has too few blocks for
     the cluster (Ray's SortMap parallelism == input block count)."""
@@ -253,6 +301,11 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 concurrency=conc,
+                # no actor restarts: fault tolerance is the per-partition
+                # checkpoint manifest (a lost actor fails the partition,
+                # which resume recomputes) — also silences ray#53727's
+                # restart-will-fail warning on every build
+                max_restarts=0,
             )
             ds.write_parquet(part_dir)
         except Exception:
@@ -292,9 +345,45 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     tb = time.monotonic()
     stats: dict = {}
     prior = load_json(build_manifest_path(cfg.out_dir))
+    input_bytes = sum(os.path.getsize(f) for f in cfg.input_paths)
     if cfg.resume and tracker_s.is_done("docs", down_key) and prior:
         stats = dict(prior["stats"])
         convs_ref = ray.put(_load_sorted_convs(cfg.out_dir))
+    elif input_bytes <= cfg.driver_small_input_bytes:
+        # small-input plan: the doc side is a few MB — one pyarrow pass
+        # driver-side replaces three Dataset executions (unique scan,
+        # sort shuffle, aggregate) whose fixed spin-up dominates at this
+        # scale. Identical output schema/stats as the distributed path.
+        import pyarrow.dataset as pads
+
+        tD = pads.dataset(stage_a_files).to_table(
+            filter=~pads.field("lemma").is_valid(),
+            columns=["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
+        )
+        conv_np = np.asarray(tD.column("conv_id").to_pylist(), dtype=object)
+        convs_sorted = np.unique(conv_np)
+        from ..docid import make_docids
+
+        rank = np.searchsorted(convs_sorted, conv_np)
+        docid = make_docids(rank, tD.column("turn_idx").to_numpy(zero_copy_only=False))
+        tD = tD.append_column("docid", pa.array(docid, pa.int64())).sort_by("docid")
+        d = _fresh_dir(docs_dir(cfg.out_dir))
+        pq.write_table(tD, os.path.join(d, "docs.parquet"))
+        dls = tD.column("doc_len").to_numpy(zero_copy_only=False)
+        stats = {
+            "n_docs": tD.num_rows,
+            "n_convs": int(len(convs_sorted)),
+            "total_len": int(dls.sum()),
+            "avgdl": (float(dls.sum()) / tD.num_rows) if tD.num_rows else 0.0,
+            "roles": sorted(
+                x for x in pc.unique(tD.column("role").combine_chunks()).to_pylist() if x
+            ),
+            "tools": sorted(
+                x for x in pc.unique(tD.column("tool").combine_chunks()).to_pylist() if x
+            ),
+        }
+        convs_ref = ray.put(pa.array(convs_sorted.tolist(), pa.string()))
+        tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     else:
         # conv ranks from the ORIGINAL input (column-pruned conv_id read —
         # much cheaper than re-scanning stage-A output); small side, see
@@ -362,25 +451,104 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     tc = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
+
+        broadcast_dl = stats["n_docs"] <= cfg.broadcast_dl_max_docs
+        dl_ref = None
+        if broadcast_dl:
+            dt = pq.read_table(docs_dir(cfg.out_dir), columns=["docid", "doc_len"])
+            dl_ref = ray.put(
+                (
+                    dt.column("docid").to_numpy(),
+                    dt.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
+                )
+            )
+        sort_cols = ["lemma_h", "docid", "tf"]
+        read_cols = ["lemma", "conv_id", "turn_idx", "tf"]
+        if not broadcast_dl:
+            sort_cols.append("doc_len")
+            read_cols.append("doc_len")
+
+        # The vocabulary (lemma_h -> lemma broadcast; the exchange ships
+        # NO strings, the encoder restores them). Small inputs: read it
+        # driver-side off stage A's parquet dictionary pages (~ms).
+        # Large inputs: map-side-combine unique pairs off the
+        # materialized blocks below. A detected 63-bit hash collision
+        # would make two lemmas indistinguishable in the string-free
+        # exchange — handled by falling back to carrying the string
+        # through the shuffle (the encoder splits runs by exact string).
+        def _finish_vocab(h_sorted: np.ndarray, lem_sorted: np.ndarray):
+            collision = bool(
+                len(h_sorted) > 1 and (np.diff(h_sorted.astype(np.int64)) == 0).any()
+            ) or bool(cfg.extra.get("force_lemma_in_shuffle"))
+            return ray.put((h_sorted.astype(np.int64), lem_sorted)), collision
+
+        vocab_small = input_bytes <= cfg.driver_small_input_bytes
+        if vocab_small:
+            tv = time.monotonic()
+            vocab_ref, collision = _finish_vocab(
+                *_vocab_from_parquet_dictionaries(stage_a_files)
+            )
+            timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
+            if collision:
+                sort_cols.insert(0, "lemma")
+            mat_cols = sort_cols
+        else:
+            mat_cols = ["lemma", *sort_cols]
+
+        # ONE scan of stage A: attach docid + lemma_h, materialize the
+        # exchange payload (plus the lemma string only when the Ray-side
+        # vocabulary pass still needs it — it is projected away before
+        # the exchange either way)
         tm = time.monotonic()
         post_in = _sized(
-            read_flat_postings(cfg.out_dir)
+            read_flat_postings(cfg.out_dir, columns=read_cols)
             .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
             .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)
-            .select_columns(["lemma", "lemma_h", "docid", "tf", "doc_len"])
+            .select_columns(mat_cols)
             .materialize(),  # sort input is otherwise executed twice
             ncpu,
         )
         timings["c_mat_s"] = round(time.monotonic() - tm, 3)
+
+        if not vocab_small:
+            # vocabulary off the materialized blocks (map-side combine
+            # over plasma, no second parquet scan). Vocabulary is
+            # ~10^4-10^6 entries (≪ corpus); at ≫10^8 switch to the
+            # block-offset dense-rank described in docid.py.
+            tv = time.monotonic()
+            vparts = ray.get(
+                post_in.select_columns(["lemma", "lemma_h"])
+                .map_batches(_unique_lemma_pairs, batch_format="pyarrow", batch_size=None)
+                .to_arrow_refs()
+            )
+            vt = pa.concat_tables(
+                [t for t in vparts if t.num_rows]
+                or [pa.table({"lemma": pa.array([], pa.string()), "lemma_h": pa.array([], pa.int64())})]
+            )
+            lem_np = np.asarray(vt.column("lemma").to_pylist(), dtype=object)
+            h_np_all = vt.column("lemma_h").to_numpy()
+            _, first = np.unique(lem_np, return_index=True)
+            h_u = h_np_all[first]
+            order = np.argsort(h_u, kind="stable")
+            vocab_ref, collision = _finish_vocab(h_u[order], lem_np[first][order])
+            timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
+            if collision:
+                sort_cols.insert(0, "lemma")
+
+        sort_in = post_in if mat_cols == sort_cols else post_in.select_columns(sort_cols)
         ts_ = time.monotonic()
         (
-            post_in
+            sort_in
             # integer range exchange: (lemma_h, docid) sorts ~6x faster
-            # than (lemma:string, docid) and clusters index files by
-            # lemma_h for query-side row-group pruning; see lemma_hash64
+            # than (lemma:string, docid), ships 20 B/posting (no strings,
+            # doc_len broadcast-restored at encode), and clusters index
+            # files by lemma_h for query-side row-group pruning
             .sort(["lemma_h", "docid"])
             .map_batches(
-                make_block_encoder(stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size),
+                make_block_encoder(
+                    stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size,
+                    vocab_ref=vocab_ref, dl_ref=dl_ref,
+                ),
                 batch_format="pyarrow",
                 batch_size=None,  # encode whole sorted blocks: the fns are
                 # fully vectorized; Ray's default 1024-row batches would

@@ -86,21 +86,45 @@ def _binary_cells(buf: bytes, byte_offsets: np.ndarray) -> pa.Array:
     )
 
 
-def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
-    """Returns the vectorized encode fn for ``map_batches(batch_format='pyarrow')``."""
+def make_block_encoder(
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+    vocab_ref=None,
+    dl_ref=None,
+):
+    """Returns the vectorized encode fn for ``map_batches(batch_format='pyarrow')``.
+
+    ``vocab_ref``: ``ray.put((lemma_h_sorted:int64[], lemma:object[]))`` —
+    used to restore the lemma string when the batch carries only
+    ``lemma_h`` (the minimized shuffle payload). ``dl_ref``:
+    ``ray.put((docid_sorted:int64[], dl:int32[]))`` — likewise for
+    ``doc_len``. A batch column with the same name always wins (the
+    fallback paths for hash collisions / oversized corpora, and direct
+    encoder invocations in tests)."""
 
     def encode(batch: pa.Table) -> pa.Table:
         npost = batch.num_rows
         if npost == 0:
             return INDEX_SCHEMA.empty_table()
-        lemma = batch.column("lemma").combine_chunks()
         docid = batch.column("docid").combine_chunks().to_numpy(zero_copy_only=False)
         tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
-        dl = batch.column("doc_len").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "doc_len" in batch.column_names:
+            dl = batch.column("doc_len").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            bdoc, bdl = _resolve(dl_ref)
+            dl = bdl[np.searchsorted(bdoc, docid)].astype(np.uint64)
 
-        # lemma run boundaries (dictionary-encode -> integer codes -> diff)
-        codes = lemma.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-        run_start = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+        lemma = None
+        if "lemma" in batch.column_names:
+            lemma = batch.column("lemma").combine_chunks()
+            # lemma run boundaries (dictionary-encode -> codes -> diff)
+            codes = lemma.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            run_start = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+        else:
+            h_np = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
+            run_start = np.flatnonzero(np.diff(h_np, prepend=h_np[0] - 1))
 
         # chunk each run into blocks of `block_size`
         run_end = np.append(run_start[1:], npost)
@@ -149,15 +173,26 @@ def make_block_encoder(avgdl: float, k1: float, b: float, block_size: int):
         if low.any():
             bmw32[low] = np.nextafter(bmw32[low], np.float32(np.inf))
 
-        blk_lemma = lemma.take(pa.array(blk_start, pa.int64()))
-        if "lemma_h" in batch.column_names:
-            blk_h = batch.column("lemma_h").combine_chunks().take(
-                pa.array(blk_start, pa.int64())
-            )
-        else:  # direct encoder invocations (tests) without the sort key
-            from ..analyzer import lemma_hash64
+        if lemma is not None:
+            blk_lemma = lemma.take(pa.array(blk_start, pa.int64()))
+            if "lemma_h" in batch.column_names:
+                blk_h = batch.column("lemma_h").combine_chunks().take(
+                    pa.array(blk_start, pa.int64())
+                )
+            else:  # direct encoder invocations (tests) without the sort key
+                from ..analyzer import lemma_hash64
 
-            blk_h = pa.array([lemma_hash64(s) for s in blk_lemma.to_pylist()], pa.int64())
+                blk_h = pa.array(
+                    [lemma_hash64(s) for s in blk_lemma.to_pylist()], pa.int64()
+                )
+        else:  # restore the string from the broadcast vocabulary
+            vh, vlem = _resolve(vocab_ref)
+            bh = h_np[blk_start]
+            pos = np.searchsorted(vh, bh)
+            if pos.max(initial=-1) >= len(vh) or (len(pos) and not (vh[pos] == bh).all()):
+                raise ValueError("lemma_h missing from broadcast vocabulary")
+            blk_lemma = pa.array(vlem[pos], pa.string())
+            blk_h = pa.array(bh, pa.int64())
 
         return pa.Table.from_arrays(
             [

@@ -125,3 +125,41 @@ def test_index_blocks_reconstruct_flat_postings(tiny_index, duck):
         assert ora_tf[pos : pos + n] == [int(t) for t in tfs]
         pos += n
     assert pos == ora.num_rows
+
+
+def test_collision_fallback_index_identical(tiny_index, tmp_path, tiny_corpus):
+    """The string-free exchange and the collision-fallback path (lemma
+    carried through the shuffle) must produce semantically identical
+    indexes: same decoded postings, same dictionary."""
+    from search_engine_ray.config import BuildConfig
+
+    out = str(tmp_path / "fallback")
+    cfg = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2,
+        extra={"force_lemma_in_shuffle": True},
+    )
+    build.build_index(cfg)
+
+    def canon(d):
+        """Decoded per-lemma postings (block layout may fragment
+        differently across partitionings; the content must not)."""
+        from search_engine_ray.stages.encode import decode_block
+
+        idx = pq.read_table(build.index_dir(d))
+        per: dict[str, list] = {}
+        for row in idx.to_pylist():
+            dec = decode_block(row["gaps"], row["tfs"], row["dls"], row["n"])
+            per.setdefault(row["lemma"], []).append(dec)
+        out = {}
+        for lem, runs in per.items():
+            runs.sort(key=lambda r: r[0][0])
+            out[lem] = tuple(
+                np.concatenate([r[i] for r in runs]).tolist() for i in range(3)
+            )
+        return out
+
+    a, b = canon(tiny_index["out_dir"]), canon(out)
+    assert a == b
+    da = pq.read_table(build.lemma_dict_path(tiny_index["out_dir"]))
+    db = pq.read_table(build.lemma_dict_path(out))
+    assert da.equals(db)

@@ -379,6 +379,35 @@ class SearchEngine:
             return out_d[0], out_t[0], out_l[0]
         return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_l)
 
+    def _decode_term_docids(self, blocks: dict, cache: dict) -> np.ndarray:
+        """Gaps-only decode of a term's FULL docid list (for counting:
+        tf/dl varint passes are skipped — ~3x less decode work). Reuses
+        full-decode chunk entries when the scoring path already paid for
+        them; caches under ('g', ci) otherwise."""
+        from .stages.encode import decode_gaps_range
+
+        cum = blocks["cum_n"]
+        nb = len(blocks["n"])
+        if nb == 0:
+            return np.empty(0, np.int64)
+        ch = self._DECODE_CHUNK
+        out = []
+        for ci in range((nb - 1) // ch + 1):
+            a, b = ci * ch, min((ci + 1) * ch, nb)
+            full = cache.get(ci)
+            if full is not None:
+                out.append(full[0])
+                continue
+            got = cache.get(("g", ci))
+            if got is None:
+                if blocks["gaps"] is None:  # synthetic delta-overlay blocks
+                    got = self._decode_term(blocks, a, b, cache)[0]
+                else:
+                    got = decode_gaps_range(blocks["gaps"], cum, a, b)
+                cache[("g", ci)] = got
+            out.append(got)
+        return out[0] if len(out) == 1 else np.concatenate(out)
+
     # ---------------- scope (site-analog) filter ----------------------
 
     @staticmethod
@@ -492,6 +521,114 @@ class SearchEngine:
             contrib_parts.append(contrib)
         return self._aggregate(doc_parts, contrib_parts, conjunctive, len(terms))
 
+    _CAND_DRIVER_MAX = 4096  # max Σdf of candidate-driving terms
+
+    def _contrib_at(self, bl: dict, cache: dict, cand: np.ndarray, idf: float):
+        """Per-candidate BM25 contribution of ONE term via sparse
+        per-block decode: only the blocks whose [first, last] docid range
+        contains a candidate are decoded (single-block varint passes —
+        no 128-block chunk inflation), then candidates are matched by
+        binary search. Returns float64 contributions aligned to ``cand``
+        (0.0 where the term is absent — adding 0.0 is a float64 no-op,
+        so summation order semantics match the exhaustive scorer)."""
+        out = np.zeros(len(cand), np.float64)
+        first, last = bl["first"], bl["last"]
+        if not len(first):
+            return out
+        j = np.searchsorted(first, cand, side="right") - 1
+        jc = np.clip(j, 0, len(first) - 1)
+        valid = (j >= 0) & (last[jc] >= cand)
+        if not valid.any():
+            return out
+        k1, b = self.k1, self.b
+        cum = bl["cum_n"]
+        for blk in np.unique(jc[valid]):
+            if bl["gaps"] is None:  # synthetic delta-overlay blocks
+                d, tf, dl = self._decode_term(bl, int(blk), int(blk) + 1, cache)
+            else:
+                d, tf, dl = decode_block_range(
+                    bl["gaps"], bl["tfs"], bl["dls"], cum, int(blk), int(blk) + 1
+                )
+            sel = np.flatnonzero(valid & (jc == blk))
+            pos = np.searchsorted(d, cand[sel])
+            pos_c = np.clip(pos, 0, len(d) - 1)
+            hit = d[pos_c] == cand[sel]
+            hs = sel[hit]
+            tff = tf[pos_c[hit]].astype(np.float64)
+            dlf = dl[pos_c[hit]].astype(np.float64)
+            out[hs] = idf * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dlf / self.avgdl)
+            )
+        return out
+
+    def _score_candidate_driven(self, terms, term_list, k, scope_ids, scope):
+        """MaxScore-style essential-terms evaluation: when the rare
+        (df-ascending prefix) terms' postings fit a small candidate set
+        and the remaining terms' summed upper bound cannot reach the
+        candidate top-k threshold, every result doc must contain a rare
+        term — so scoring the candidates fully (sparse block lookups
+        into the hot terms) IS the exact answer, and the hot posting
+        lists are never weight-decoded. Returns (ids, scores, count) or
+        None when the bound does not separate (windowed evaluation takes
+        over). The windowed decomposition cannot prune this query shape:
+        a rare term's single block spans nearly the whole docid space,
+        so every window's UB includes the rare upper bound."""
+        n_drv, cum_df = 0, 0
+        for _, df in terms:
+            if cum_df + df > self._CAND_DRIVER_MAX:
+                break
+            cum_df += df
+            n_drv += 1
+        if n_drv == 0 or n_drv == len(terms):
+            return None
+        k1 = self.k1
+        rest = term_list[n_drv:]
+        bound_rest = sum(
+            idf * (k1 + 1.0) * float(bl["bmw"].max(initial=0.0)) for idf, bl, _ in rest
+        )
+        drv_ids = []
+        for idf, bl, cache in term_list[:n_drv]:
+            docid = self._decode_term_docids(bl, cache)
+            if scope_ids is not None and len(docid):
+                pos = np.searchsorted(scope_ids, docid)
+                pos[pos >= len(scope_ids)] = 0
+                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            drv_ids.append(docid)
+        cand = np.unique(np.concatenate(drv_ids)) if drv_ids else np.empty(0, np.int64)
+        if len(cand) < k:
+            return None  # top-k could include rest-only docs: no bound
+        # full scores at candidates, fixed df-ascending term order
+        score = np.zeros(len(cand), np.float64)
+        for t, (idf, bl, cache) in enumerate(term_list):
+            if t < n_drv:
+                contrib = np.zeros(len(cand), np.float64)
+                docid, tf, dl = self._decode_term(bl, 0, len(bl["first"]), cache)
+                pos = np.searchsorted(docid, cand)
+                pos_c = np.clip(pos, 0, max(len(docid) - 1, 0))
+                hit = docid[pos_c] == cand if len(docid) else np.zeros(len(cand), bool)
+                tff = tf[pos_c[hit]].astype(np.float64)
+                dlf = dl[pos_c[hit]].astype(np.float64)
+                contrib[hit] = idf * (tff * (k1 + 1.0)) / (
+                    tff + k1 * (1.0 - self.b + self.b * dlf / self.avgdl)
+                )
+            else:
+                contrib = self._contrib_at(bl, cache, cand, idf)
+            score += contrib
+        sel = np.lexsort((cand, -score))[:k]
+        threshold = score[sel][-1]
+        if bound_rest >= threshold:
+            return None  # a rest-only doc could reach the top-k
+        # exact: count = |union| with the hot terms' gaps-only decode
+        parts = [cand]
+        for _, bl, cache in rest:
+            docid = self._decode_term_docids(bl, cache)
+            if scope_ids is not None and len(docid):
+                pos = np.searchsorted(scope_ids, docid)
+                pos[pos >= len(scope_ids)] = 0
+                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            parts.append(docid)
+        return cand[sel], score[sel], self._union_count(parts)
+
     def score_blockmax(self, terms, k, scope=None, conjunctive=False):
         """Windowed exact block-max evaluation -> (docids, scores, count).
 
@@ -505,6 +642,11 @@ class SearchEngine:
         for lem, df in terms:
             bl = blocks[lem]
             term_list.append((self.idf(df), bl, bl.setdefault("chunks", {})))
+
+        if not conjunctive and len(terms) > 1:
+            got = self._score_candidate_driven(terms, term_list, k, scope_ids, scope)
+            if got is not None:
+                return got
 
         # window boundaries: every block first_docid of every term
         starts = np.unique(np.concatenate([bl["first"] for _, bl, _ in term_list]))
@@ -522,6 +664,7 @@ class SearchEngine:
             covers.append((j, alive))
 
         order = np.argsort(-wub, kind="stable")
+        wub_desc = wub[order]  # descending — bail-out estimates below
         top_ids = np.empty(0, np.int64)
         top_scores = np.empty(0, np.float64)
         threshold = -np.inf
@@ -544,7 +687,6 @@ class SearchEngine:
         # the (score DESC, docid ASC) tie-break is exact).
         GROUP = 512
         g0 = 0
-        groups_done = 0
         while g0 < W:
             grp = order[g0 : g0 + GROUP]
             g0 += GROUP
@@ -556,18 +698,24 @@ class SearchEngine:
                 if len(kept) < len(grp):
                     processed_all = False
                 grp = kept
-                if groups_done >= 4 and g0 < W and len(grp) > 0.9 * GROUP:
-                    # adaptive bail-out (the WAND worst case: uniform
-                    # scores across high-df terms -> the threshold is not
-                    # pruning and every UB-ordered group re-scans nearly
-                    # the full decoded span). Term-at-a-time exhaustive
-                    # scoring is strictly cheaper from here and produces
-                    # identical results (the window decomposition is
-                    # exact, so full scores match window-sum scores).
+                # adaptive bail-out (the WAND worst case: near-uniform
+                # UBs across high-df terms -> the threshold prunes
+                # almost nothing and every UB-ordered group re-scans
+                # nearly the full decoded span). Expected pruning is a
+                # binary search away because windows are UB-desc sorted:
+                # `alive` = remaining windows the threshold cannot skip.
+                # Term-at-a-time exhaustive scoring is strictly cheaper
+                # when almost everything stays alive, and produces
+                # identical results (the window decomposition is exact,
+                # so full scores match window-sum scores).
+                remaining = W - g0
+                alive = (
+                    int(np.searchsorted(-wub_desc, -threshold, side="right")) - g0
+                )
+                if remaining > GROUP and alive > 0.9 * remaining:
                     ids, scores = self.score_exhaustive(terms, scope, conjunctive)
                     sel = np.lexsort((ids, -scores))[:k]
                     return ids[sel], scores[sel], int(len(ids))
-            groups_done += 1
             s_arr, e_arr = starts[grp], ends[grp]
             o2 = np.argsort(s_arr)
             s_sorted, e_sorted = s_arr[o2], e_arr[o2]
@@ -611,7 +759,7 @@ class SearchEngine:
         """Exact result count (G6) via a gaps-only docid union pass."""
         parts = []
         for _, bl, cache in term_list:
-            docid, _, _ = self._decode_term(bl, 0, len(bl["first"]), cache)
+            docid = self._decode_term_docids(bl, cache)
             if scope_ids is not None:
                 pos = np.searchsorted(scope_ids, docid)
                 pos[pos >= len(scope_ids)] = 0

@@ -235,6 +235,26 @@ def binary_column_buffers(col) -> tuple[np.ndarray, np.ndarray]:
     return data, offs.astype(np.int64)
 
 
+def decode_gaps_range(
+    gaps_buf: tuple[np.ndarray, np.ndarray],
+    cum_n: np.ndarray,
+    a: int,
+    b: int,
+) -> np.ndarray:
+    """Docids of blocks [a, b) only — one varint pass over the gaps
+    column, tf/dl untouched (the counting path needs no weights)."""
+    total = int(cum_n[b] - cum_n[a])
+    if total == 0:
+        return np.empty(0, np.int64)
+    gd, go = gaps_buf
+    gaps = codec.varint_decode(gd[go[a] : go[b]], total)
+    ns = np.diff(cum_n[a : b + 1])
+    cum = np.cumsum(gaps.astype(np.int64))
+    seg_start = (cum_n[a:b] - cum_n[a]).astype(np.int64)
+    correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
+    return cum - np.repeat(correction, ns)
+
+
 def decode_block_range(
     gaps_buf: tuple[np.ndarray, np.ndarray],
     tfs_buf: tuple[np.ndarray, np.ndarray],

@@ -214,6 +214,12 @@ def _dedup_embedding(sf_dir: str):
     return dedup.embedding_dup_pairs(_embeddings_ds(sf_dir))
 
 
+def _dedup_embedding_ivf(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    return dedup.embedding_dup_pairs_ivf(_embeddings_ds(sf_dir))
+
+
 def _knn_bruteforce(sf_dir: str):
     from search_engine_ray.functions import similarity
 
@@ -282,19 +288,31 @@ def _window_sessions(sf_dir: str):
 
 
 def _multimodal_features(sf_dir: str):
+    """Distributed end-to-end: parquet read -> per-batch synthetic media
+    payloads (real PPM images every 3rd row + opaque bytes; media_id =
+    doc_id so output is batching-invariant) -> actor-pool feature
+    extraction with small batches (wide binary rows)."""
     import ray.data as rd
 
     from search_engine_ray.stages import multimodal as mm
 
-    docs = pq.read_table(
-        os.path.join(_sf_dir(sf_dir), "documents.parquet"), columns=["text"]
-    )
-    media = mm.synth_media_table(docs.column("text").to_pylist())
-    return rd.from_arrow(media).map_batches(
-        mm.MediaFeatureExtractor,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=(1, 4),
+    def to_media(batch):
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return mm.synth_media_table(texts, ids=ids)
+
+    return (
+        rd.read_parquet(
+            os.path.join(_sf_dir(sf_dir), "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            mm.MediaFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
     )
 
 
@@ -317,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "text_token_counts": _text_token_counts,
@@ -360,16 +379,26 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_reference": oracle.reference_topk_sql(src, qs),
         "search_enriched": oracle.bm25_topk_enriched_sql(src, qs),
         # training-data operators over the driver's pre-registered views.
-        # dedup_minhash_lsh / dedup_simhash / knn_ivf are approximate
-        # (LSH recall < 1 by design) and text_langid / multimodal are
-        # heuristic / stub-backed — those get the rows-only check.
+        # Rows-only (no oracle entry): knn_ivf and dedup_embedding_ivf
+        # are approximate by design (recall vs their exact oracle-checked
+        # siblings is asserted in tests/test_functions.py) and
+        # multimodal_features is stub-backed for non-image payloads.
         "dedup_exact": dedup_mod.exact_dedup_sql("documents"),
         "dedup_ngram_jaccard": dedup_mod.ngram_jaccard_sql("documents"),
+        # LSH verifies candidates with EXACT Jaccard at the same
+        # threshold, and its recall at sf0.01 is 1.0 (deterministic
+        # seeded pipeline) — the exact all-pairs SQL is a true oracle
+        "dedup_minhash_lsh": dedup_mod.ngram_jaccard_sql("documents"),
+        # SimHash banding has EXACT recall for hamming <= 3 (pigeonhole),
+        # so brute-force all-pairs SQL over the same md5-derived
+        # signature definition is a true oracle
+        "dedup_simhash": dedup_mod.simhash_sql("documents"),
         "dedup_embedding": dedup_mod.embedding_dup_sql("embeddings"),
         "knn_bruteforce": similarity_mod.knn_bruteforce_sql("embeddings"),
         "text_token_counts": ta_mod.token_counts_sql("documents"),
         "text_quality": ta_mod.quality_features_sql("documents"),
         "text_fingerprint": ta_mod.fingerprint_sql("documents"),
+        "text_langid": ta_mod.langid_sql("documents"),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
     }

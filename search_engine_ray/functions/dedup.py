@@ -9,14 +9,23 @@ Scale notes (each op documents its shuffle):
 - ngram_jaccard: explodes shingles (|corpus| x shingles rows) and
   self-joins via a shingle groupby — exact but quadratic in hot-shingle
   group size; per-group pair emission is capped (``max_group``) and the
-  cap is logged, because the honest scale path is LSH below.
-- minhash_lsh: signatures per batch (vectorized), explode to
-  (band, band_hash) rows, ONE groupby on the band key, candidate pairs
-  verified with exact Jaccard — linear in corpus size, the 100 TB path.
-- simhash: 64-bit signatures per batch; candidate pairs via 4x16-bit
-  band grouping (docs within Hamming distance 3 share >= 1 band),
-  verified by exact Hamming distance.
-- embedding: per-batch cosine vs a broadcast matrix (ray.put once).
+  cap is a documented parameter, because the honest scale path is LSH
+  below.
+- minhash_lsh: vectorized signatures per batch (token-md5 memo + numpy
+  shingle mixing + reduceat minima — no per-doc Python), explode to
+  (band, band_key) rows, ONE groupby on the band key, candidate pairs
+  verified with exact Jaccard DISTRIBUTED (union + two groupbys: attach
+  each doc's shingle set to its pair references, then pair up) — no
+  driver-side candidate or text materialization, linear in corpus size:
+  the 100 TB path.
+- simhash: vectorized 64-bit signatures per batch; candidate pairs via
+  4x16-bit band grouping (pigeonhole: Hamming distance <= 3 guarantees
+  an identical band, so recall is EXACT), verified by vectorized XOR
+  popcount; pair dedup is a Dataset groupby (no pandas).
+- embedding: exact all-pairs vs a broadcast normalized matrix (bounded
+  corpus, documented), plus an IVF-bucketed variant
+  (:func:`embedding_dup_pairs_ivf`) whose only shuffle is a cell
+  groupby — the scale path.
 """
 
 from __future__ import annotations
@@ -38,6 +47,7 @@ SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 EMBEDDING_COSINE_THRESHOLD = 0.4
 _MERSENNE = (1 << 61) - 1
+_MIX_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
 
 def _md5_col(texts: list[str]) -> list[str]:
@@ -78,7 +88,83 @@ def exact_dedup_sql(src: str, id_col: str = "doc_id") -> str:
 
 
 # ---------------------------------------------------------------------------
-# Shingling (shared by ngram-Jaccard and MinHash)
+# Vectorized tokenization / shingle hashing (shared infrastructure)
+# ---------------------------------------------------------------------------
+
+# per-worker-process token -> md5-uint64 memo: the Zipfian vocabulary
+# recurs in every batch, so md5 runs once per unique token per process
+_TOKEN_H_MEMO: dict[str, int] = {}
+
+
+def _flat_word_tokens(texts) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized ``[a-z0-9]+`` tokenization over an Arrow string column
+    (the dedup analog of ``analyzer.flatten_tokens`` — NO stopword /
+    min-length filter, matching ``regexp_extract_all`` in the SQL
+    oracle). Returns (doc_idx:int64[N], tokens)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    arr = pc.fill_null(texts, "")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, "[^a-z0-9]+", " ")
+    toks = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return doc_idx[keep_np], flat.filter(keep)
+
+
+def _token_hash_array(flat: pa.Array) -> np.ndarray:
+    """uint64 md5-prefix hash per token occurrence — md5 only of the
+    batch's UNIQUE tokens (memoized per process), broadcast through
+    dictionary codes. Identical per-token values to the scalar
+    ``int.from_bytes(md5(tok)[:8], 'little')`` (the SQL-expressible
+    form, see :func:`simhash_sql`)."""
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    memo = _TOKEN_H_MEMO
+    get = memo.get
+    uniq_h = np.empty(len(uniq), np.uint64)
+    for i, s in enumerate(uniq):
+        h = get(s)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+            memo[s] = h
+        uniq_h[i] = h
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    return uniq_h[codes]
+
+
+def _doc_shingle_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SET of k-gram shingle hashes, fully vectorized.
+
+    Shingle hash = multiplicative fold of the k token md5-hashes
+    (``((h0*P)^h1)*P^h2``, uint64 wraparound) — set semantics match
+    string shingles up to negligible 64-bit collisions, so Jaccard over
+    these hashes equals Jaccard over shingle strings.
+    Returns (doc_idx:int64[M], shingle_h:uint64[M]) unique per doc,
+    sorted by (doc_idx, shingle_h)."""
+    doc_idx, flat = _flat_word_tokens(texts)
+    h = _token_hash_array(flat)
+    n = len(h)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    m = n - k + 1
+    valid = doc_idx[:m] == doc_idx[k - 1 :]
+    s = h[:m].copy()
+    for j in range(1, k):
+        s = (s * _MIX_P) ^ h[j : m + j]
+    sd, sh = doc_idx[:m][valid], s[valid]
+    order = np.lexsort((sh, sd))
+    sd, sh = sd[order], sh[order]
+    keep = np.concatenate(([True], (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])))
+    return sd[keep], sh[keep]
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
 def _shingles_of(text: str, k: int = SHINGLE_K) -> set[str]:
@@ -97,10 +183,6 @@ def _shingle_rows(batch: pa.Table, id_col: str, k: int) -> pa.Table:
     return pa.table({id_col: pa.array(ids, batch.schema.field(id_col).type),
                      "shingle": pa.array(sh, pa.string())})
 
-
-# ---------------------------------------------------------------------------
-# Exact n-gram Jaccard near-dup
-# ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
     ds: rd.Dataset,
@@ -209,7 +291,10 @@ def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 
 class MinHasher:
     """Actor-pool stage: permutation params built once per actor;
-    per-batch vectorized signatures -> (id, band, band_hash) rows."""
+    per-batch FULLY VECTORIZED signatures -> (id, band, band_key) rows.
+    No per-doc Python: shingle hashes via :func:`_doc_shingle_sets`,
+    per-permutation minima via one ``np.minimum.reduceat`` over the
+    batch's flat shingle array, band keys via a uint64 fold."""
 
     def __init__(self, id_col: str = "doc_id", num_perm: int = NUM_PERM,
                  bands: int = LSH_BANDS, k: int = SHINGLE_K):
@@ -220,34 +305,47 @@ class MinHasher:
         self.k = k
         self.a, self.b = _perm_params(num_perm)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles_of(text, self.k)
-        if not sh:
-            return np.full(self.num_perm, np.uint64(_MERSENNE))
-        hv = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in sh],
-            dtype=np.uint64,
-        )
-        # (a * h + b) mod p for all perms x shingles, vectorized
-        prod = (self.a[:, None] * (hv[None, :] % _MERSENNE)) % _MERSENNE
-        return ((prod + self.b[:, None]) % _MERSENNE).min(axis=1)
+    def signatures(self, texts) -> np.ndarray:
+        """-> uint64[num_perm, n_docs]; empty docs get the fill value."""
+        n = len(texts)
+        sd, sh = _doc_shingle_sets(texts, self.k)
+        sig = np.full((self.num_perm, n), np.uint64(_MERSENNE))
+        if not len(sd):
+            return sig
+        hv = sh % np.uint64(_MERSENNE)
+        # (a*h + b) mod p for all perms x shingles (uint64 wraparound
+        # multiply — deterministic, same arithmetic as the scalar form)
+        vals = (self.a[:, None] * hv[None, :]) % np.uint64(_MERSENNE)
+        vals = (vals + self.b[:, None]) % np.uint64(_MERSENNE)
+        starts = np.flatnonzero(np.diff(sd, prepend=-1))
+        present = sd[starts]
+        sig[:, present] = np.minimum.reduceat(vals, starts, axis=1)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for i, t in zip(batch.column(self.id_col).to_pylist(), batch.column("text").to_pylist()):
-            sig = self.signature(t)
-            for bnd in range(self.bands):
-                seg = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
-                ids.append(i)
-                bands.append(bnd)
-                keys.append(hashlib.md5(seg.tobytes()).hexdigest()[:16])
+        sig = self.signatures(batch.column("text"))
+        n = sig.shape[1]
+        r = self.rows_per_band
+        # band key: uint64 fold of the band's r signature rows
+        seg = sig.reshape(self.bands, r, n)
+        key = seg[:, 0, :].copy()
+        for j in range(1, r):
+            key = (key * _MIX_P) ^ seg[:, j, :]
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                self.id_col: pa.array(ids, batch.schema.field(self.id_col).type),
-                "band": pa.array(bands, pa.int32()),
-                "band_key": pa.array(keys, pa.string()),
+                self.id_col: pa.array(np.tile(ids, self.bands)),
+                "band": pa.array(
+                    np.repeat(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
             }
         )
+
+
+def _pair_schema() -> pa.Table:
+    return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                     "jaccard": pa.array([], pa.float64())})
 
 
 def minhash_lsh_pairs(
@@ -258,10 +356,20 @@ def minhash_lsh_pairs(
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
     concurrency=(1, 4),
+    max_group: int = 5000,
 ) -> pa.Table:
     """Candidate pairs from LSH band collisions, verified with EXACT
-    Jaccard (candidates only — the verify set is tiny relative to the
-    corpus). Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    Jaccard — the verify is DISTRIBUTED end-to-end: candidate pair
+    references and per-doc shingle sets meet in a doc-keyed groupby
+    (attach), then a pair-keyed groupby computes exact Jaccard of the
+    two sets. Nothing corpus- or candidate-sized is materialized on the
+    driver; the returned table is the final (output-sized) pair list.
+
+    Shuffles: band groupby (candidates) + pair-dedup groupby + doc
+    groupby (attach) + pair groupby (verify) — all hash exchanges over
+    candidate-scale rows. Band groups larger than ``max_group`` docs are
+    dropped (documented cap: such a band key is degenerate — e.g. the
+    all-empty-docs signature — and would emit O(group²) pairs).
     """
     sig_rows = ds.map_batches(
         MinHasher,
@@ -272,7 +380,7 @@ def minhash_lsh_pairs(
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(np.asarray(group.column(id_col).to_pylist()))
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_group:
             return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
         a, b = np.triu_indices(len(ids), k=1)
         return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
@@ -282,37 +390,122 @@ def minhash_lsh_pairs(
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["doc_a", "doc_b"])
     )
-    cand_tbl = cand.to_pandas()
-    if not len(cand_tbl):
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    verified = _verify_pairs_distributed(ds, cand, id_col, k, threshold)
+    tabs = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _pair_schema()
+    t = pa.concat_tables(tabs)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]))
 
-    # exact-Jaccard verify over the candidate doc set only
-    need = sorted(set(cand_tbl["doc_a"]) | set(cand_tbl["doc_b"]))
-    texts = (
-        ds.map_batches(
-            lambda b: b.select([id_col, "text"]).filter(
-                pc.is_in(b.column(id_col), value_set=pa.array(need))
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-    )
-    sh = {i: _shingles_of(t, k) for i, t in zip(texts[id_col], texts["text"])}
-    rows = []
-    for a, b in zip(cand_tbl["doc_a"], cand_tbl["doc_b"]):
-        sa, sb = sh.get(a, set()), sh.get(b, set())
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 0.0
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
+
+_ATTACH_SCHEMA = pa.schema(
+    [
+        ("key", pa.int64()),        # doc id this row is grouped by
+        ("doc_a", pa.int64()),      # pair reference (null on shingle rows)
+        ("doc_b", pa.int64()),
+        ("side", pa.int8()),        # 0: key==doc_a, 1: key==doc_b, -1: shingle row
+        ("sh", pa.list_(pa.int64())),
+    ]
+)
+
+
+def _verify_pairs_distributed(
+    ds: rd.Dataset, cand: rd.Dataset, id_col: str, k: int, threshold: float
+) -> rd.Dataset:
+    """Exact-Jaccard verify of candidate pairs without any driver-side
+    materialization: (1) union pair-reference rows (one per pair side)
+    with per-doc shingle-set rows, (2) groupby doc -> every pair
+    reference picks up its doc's shingle set, (3) groupby pair -> the
+    two sets meet, Jaccard = |∩|/|∪| via a sorted-array intersection."""
+
+    def pair_refs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([a, b]), pa.int64()),
+                pa.array(np.concatenate([a, a]), pa.int64()),
+                pa.array(np.concatenate([b, b]), pa.int64()),
+                pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()
+                ),
+                pa.nulls(2 * n, pa.list_(pa.int64())),
+            ],
+            schema=_ATTACH_SCHEMA,
+        )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sd, sh = _doc_shingle_sets(batch.column("text"), k)
+        counts = np.bincount(sd, minlength=batch.num_rows)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(sh.view(np.int64), pa.int64())
+        )
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.array(np.full(n, -1, np.int8), pa.int8()),
+                lists,
+            ],
+            schema=_ATTACH_SCHEMA,
+        )
+
+    refs = cand.map_batches(pair_refs, batch_format="pyarrow")
+    docs = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        sh_rows = np.flatnonzero(side == -1)
+        ref_rows = np.flatnonzero(side >= 0)
+        if not len(ref_rows):
+            return _ATTACH_SCHEMA.empty_table()
+        sh = (
+            group.column("sh").take(pa.array(sh_rows[:1]))
+            if len(sh_rows)
+            else pa.array([[]], pa.list_(pa.int64()))
+        )
+        out = group.take(pa.array(ref_rows))
+        reps = pa.chunked_array([sh] * len(ref_rows)) if len(ref_rows) else sh
+        return out.set_column(out.schema.get_field_index("sh"), "sh", reps)
+
+    def verify(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        lists = group.column("sh")
+        sa = sb = None
+        for i in range(group.num_rows):
+            v = lists[i].as_py() or []
+            if side[i] == 0:
+                sa = np.asarray(v, np.int64)
+            else:
+                sb = np.asarray(v, np.int64)
+        if sa is None or sb is None:
+            return _pair_schema()
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j < threshold:
+            return _pair_schema()
+        return pa.table(
+            {
+                "doc_a": group.column("doc_a").slice(0, 1),
+                "doc_b": group.column("doc_b").slice(0, 1),
+                "jaccard": pa.array([np.floor(j * 1e6 + 0.5) / 1e6], pa.float64()),
+            }
+        )
+
+    return (
+        refs.union(docs)
+        .groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(verify, batch_format="pyarrow")
     )
 
 
@@ -321,38 +514,55 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """Actor-pool stage: per-doc 64-bit SimHash over token md5 hashes
-    weighted by tf."""
+    """Actor-pool stage: per-batch VECTORIZED 64-bit SimHash over token
+    md5 hashes weighted by tf (token hashes memoized per process; bit
+    accumulation via one ``np.add.reduceat`` over the batch's unique
+    (doc, token) rows). Values are identical to the scalar definition
+    ``Σ_tok tf · (±1 per bit of md5_64(tok))`` — which is what
+    :func:`simhash_sql` expresses for the oracle."""
 
     def __init__(self, id_col: str = "doc_id"):
-        import re
-
         self.id_col = id_col
-        self.word = re.compile(r"[a-z0-9]+")
 
-    def simhash(self, text: str) -> int:
-        toks = self.word.findall((text or "").lower())
-        if not toks:
-            return 0
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hv = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") for t in uniq],
-            dtype=np.uint64,
-        )
-        bits = ((hv[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1).astype(
+    def signatures(self, texts) -> np.ndarray:
+        n = len(texts)
+        doc_idx, flat = _flat_word_tokens(texts)
+        h = _token_hash_array(flat)
+        sigs = np.zeros(n, np.uint64)
+        if not len(h):
+            return sigs
+        order = np.lexsort((h, doc_idx))
+        d, hh = doc_idx[order], h[order]
+        new = np.concatenate(([True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(d)))
+        du, hu = d[starts], hh[starts]
+        bits = ((hu[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
-        acc = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        return int(((acc > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+        contrib = (bits * 2 - 1) * counts[:, None]
+        doc_starts = np.flatnonzero(np.concatenate(([True], du[1:] != du[:-1])))
+        acc = np.add.reduceat(contrib, doc_starts, axis=0)
+        present = du[doc_starts]
+        sigs[present] = (
+            (acc > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+        ).sum(axis=1)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.simhash(t) for t in batch.column("text").to_pylist()]
+        sigs = self.signatures(batch.column("text"))
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).view(np.int64), pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64), pa.int64()),
             }
         )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1).astype(np.int32) \
+        if len(x) else np.empty(0, np.int32)
 
 
 def simhash_pairs(
@@ -360,10 +570,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = SIMHASH_MAX_HAMMING,
     concurrency=(1, 4),
+    max_group: int = 5000,
 ) -> pa.Table:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
     Candidates via 4x16-bit band collision (pigeonhole: distance <= 3
-    guarantees one identical band), verified exactly."""
+    guarantees one identical band, so recall is EXACT — the op equals
+    brute-force all-pairs and :func:`simhash_sql` is a true oracle),
+    verified by vectorized XOR popcount; pair dedup is a Dataset
+    groupby (Min over the identical hamming values). Band groups larger
+    than ``max_group`` docs are capped (documented: a degenerate 16-bit
+    band — e.g. all-empty docs at simhash 0 — would emit O(group²)
+    pairs; cap only trades recall on that pathological key)."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency,
@@ -395,12 +612,12 @@ def simhash_pairs(
         ids, sh = ids[order], sh[order]
         uniq, first = np.unique(ids, return_index=True)
         sh = sh[first]
-        if len(uniq) < 2:
+        if len(uniq) < 2 or len(uniq) > max_group:
             return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int32())})
         a, b = np.triu_indices(len(uniq), k=1)
         x = sh[a].view(np.uint64) ^ sh[b].view(np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x], np.int32)
+        ham = _popcount64(x)
         keep = ham <= max_hamming
         return pa.table(
             {
@@ -414,15 +631,89 @@ def simhash_pairs(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_key"])
         .map_groups(emit_pairs, batch_format="pyarrow")
-        .to_pandas()
+        # Dataset-native pair dedup: duplicate (a, b) rows from multiple
+        # colliding bands carry the same hamming — Min collapses them
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
-    pairs = pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs)
+    t = t.set_column(2, "hamming", t.column("hamming").cast(pa.int32()))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_a", "ascending"), ("doc_b", "ascending")]))
+
+
+def simhash_sql(src: str, id_col: str = "doc_id",
+                max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """DuckDB oracle for :func:`simhash_pairs`. SimHash is fully
+    deterministic and the 4-band candidate generation has EXACT recall
+    for distance <= 3 (pigeonhole), so brute-force all-pairs SQL over
+    the same signature definition is a true oracle. The signature is
+    rebuilt in SQL from scratch: token md5 -> little-endian uint64 ->
+    per-bit ±tf sums -> sign bits."""
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+
+    hexpr = " + ".join(
+        f"CAST({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)} AS HUGEINT) * {1 << (8 * j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS tok
+    FROM {src}
+),
+tf AS (
+    SELECT {id_col}, tok, count(*) AS tf FROM toks GROUP BY {id_col}, tok
+),
+th AS (
+    SELECT {id_col}, tf, ({hexpr}) AS h
+    FROM (SELECT {id_col}, tf, md5(tok) AS m FROM tf)
+),
+bitsum AS (
+    SELECT {id_col}, b.bit,
+           sum(CASE WHEN (h // CAST(power(2, b.bit) AS HUGEINT)) % 2 = 1
+                    THEN tf ELSE -tf END) AS s
+    FROM th, (SELECT unnest(range(64)) AS bit) b
+    GROUP BY {id_col}, b.bit
+),
+sig AS (
+    SELECT {id_col},
+           sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS HUGEINT) ELSE 0 END) AS sim
+    FROM bitsum GROUP BY {id_col}
+),
+allsig AS (
+    SELECT d.{id_col}, coalesce(s.sim, 0) AS sim
+    FROM {src} d LEFT JOIN sig s USING ({id_col})
+),
+pairs AS (
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           bit_count(xor(CAST(a.sim AS UBIGINT), CAST(b.sim AS UBIGINT))) AS hamming
+    FROM allsig a JOIN allsig b ON a.{id_col} < b.{id_col}
+)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
 
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
+
+def _ids_matrix(ds: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side (ids, L2-normalized float64 matrix) via zero-copy
+    arrow refs (no pandas)."""
+    tabs = [t for t in ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()) if t.num_rows]
+    ids = np.concatenate([t.column(id_col).to_numpy(zero_copy_only=False) for t in tabs])
+    mat = np.concatenate(
+        [np.stack(t.column(vec_col).to_pylist()).astype(np.float64) for t in tabs]
+    )
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
 
 def embedding_dup_pairs(
     ds: rd.Dataset,
@@ -430,37 +721,37 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = EMBEDDING_COSINE_THRESHOLD,
 ) -> pa.Table:
-    """Pairs with cosine >= threshold: the full (small-side) normalized
-    matrix is broadcast once with ray.put; each batch computes its rows'
-    similarities against it (numpy matmul). At larger scale switch the
-    broadcast side to IVF buckets (similarity.py)."""
-    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = all_df[id_col].to_numpy()
-    mat = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    """EXACT pairs with cosine >= threshold: the full normalized matrix
+    is broadcast once with ray.put (the exact variant is inherently
+    O(n²) — bounded-corpus operator, documented); each batch computes
+    its rows' similarities against it (numpy matmul), vectorized pair
+    extraction per batch. For the 100 TB path use
+    :func:`embedding_dup_pairs_ivf` (cell-bucketed, approximate)."""
+    ids, mat = _ids_matrix(ds, id_col, vec_col)
     ref = ray.put((ids, mat))
 
     class PairFinder:
         def __init__(self):
             self.ids, self.mat = ray.get(ref)
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+            order = np.argsort(self.ids)
+            self.sorted_ids = self.ids[order]
+            self.row_of = order
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            rows = np.array([self.pos[int(v)] for v in bids])
-            sims = self.mat[rows] @ self.mat.T
-            out_a, out_b, out_c = [], [], []
-            for r, i in enumerate(bids):
-                hits = np.flatnonzero(sims[r] >= threshold)
-                hits = hits[self.ids[hits] > i]  # a < b, no self
-                out_a.extend([int(i)] * len(hits))
-                out_b.extend(self.ids[hits].tolist())
-                out_c.extend((np.floor(sims[r][hits] * 1e6 + 0.5) / 1e6).tolist())
+            pos = np.searchsorted(self.sorted_ids, bids)
+            rows = self.row_of[pos]
+            sims = self.mat[rows] @ self.mat.T  # (nb, n)
+            keep = sims >= threshold
+            keep &= self.ids[None, :] > bids[:, None]  # a < b, no self
+            r, c = np.nonzero(keep)
             return pa.table(
                 {
-                    "vec_a": pa.array(out_a, pa.int64()),
-                    "vec_b": pa.array(out_b, pa.int64()),
-                    "cosine": pa.array(out_c, pa.float64()),
+                    "vec_a": pa.array(bids[r], pa.int64()),
+                    "vec_b": pa.array(self.ids[c], pa.int64()),
+                    "cosine": pa.array(
+                        np.floor(sims[r, c] * 1e6 + 0.5) / 1e6, pa.float64()
+                    ),
                 }
             )
 
@@ -472,6 +763,85 @@ def embedding_dup_pairs(
                                       "vec_b": pa.array([], pa.int64()),
                                       "cosine": pa.array([], pa.float64())})])
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]))
+
+
+def embedding_dup_pairs_ivf(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+    nlist: int = 16,
+    nassign: int = 4,
+) -> pa.Table:
+    """IVF-bucketed near-dup pairs — the scale path: every vector is
+    assigned to its ``nassign`` nearest of ``nlist`` coarse centroids
+    (one map pass, centroids broadcast), pairs are found ALL-PAIRS
+    WITHIN EACH CELL (``groupby(cell).map_groups``) and deduped by a
+    pair groupby. Only cell-local O(|cell|²) work + two hash shuffles —
+    no broadcast matrix. Approximate: a pair split across all shared
+    cells is missed; ``nassign`` > 1 trades compute for recall
+    (recall vs :func:`embedding_dup_pairs` is asserted in tests).
+    At scale grow ``nlist`` ∝ n/target_cell_size so per-cell work stays
+    bounded; the shuffle stays one hash exchange regardless."""
+    from .similarity import train_centroids
+
+    cents = train_centroids(ds, vec_col, nlist)
+    cref = ray.put(cents)
+
+    class CellAssign:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(mat @ self.cents.T), axis=1)[:, :nassign]
+            n, d = mat.shape
+            return pa.table(
+                {
+                    "cell": pa.array(top.reshape(-1).astype(np.int32), pa.int32()),
+                    id_col: pa.array(np.repeat(ids, nassign), pa.int64()),
+                    "v": pa.FixedSizeListArray.from_arrays(
+                        pa.array(np.repeat(mat, nassign, axis=0).reshape(-1), pa.float64()), d
+                    ),
+                }
+            )
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        mat = np.stack(group.column("v").to_pylist())[first]
+        sims = mat @ mat.T
+        a, b = np.triu_indices(len(uniq), k=1)
+        keep = sims[a, b] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(uniq[a[keep]], pa.int64()),
+                "vec_b": pa.array(uniq[b[keep]], pa.int64()),
+                "cosine": pa.array(
+                    np.floor(sims[a[keep], b[keep]] * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    pairs = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(CellAssign, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Min("cosine", alias_name="cosine"))
+    )
+    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    t = pa.concat_tables(tabs)
+    return t.take(pc.sort_indices(t, sort_keys=[("vec_a", "ascending"), ("vec_b", "ascending")]))
 
 
 def embedding_dup_sql(src: str, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -176,10 +176,46 @@ def fingerprint_sql(src: str, id_col: str = "doc_id") -> str:
 # Language ID (n-gram/stopword heuristic) — rows-only oracle
 # ---------------------------------------------------------------------------
 
+def langid_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :class:`LangId` — the heuristic is pure regex
+    counting, so the SAME profile tables generate an exact oracle
+    (argmax tie-break = profile declaration order, mirroring the
+    first-max-wins Python loop; float divisions are identical IEEE
+    ops on identical integers)."""
+    low = "lower(coalesce(text, ''))"
+    n_words = f"greatest(len(regexp_extract_all({low}, '{WORD_REGEX}')), 1)"
+    scores = {
+        lang: f"(len(regexp_extract_all({low}, '\\b({'|'.join(ws)})\\b')) * 1.0 / {n_words})"
+        for lang, ws in LANG_PROFILES.items()
+    }
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_PROFILES) + ")"
+    first_max = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_PROFILES
+    )
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+WITH s AS (
+    SELECT {id_col}, lang,
+           len(regexp_extract_all({low}, '[一-鿿]')) AS n_cjk,
+           greatest(length({low}), 1) AS n_chars,
+           {score_cols}
+    FROM {src}
+),
+sm AS (SELECT *, {m} AS m FROM s)
+SELECT {id_col}, lang,
+       CASE WHEN n_cjk > 0.2 * n_chars THEN 'zh'
+            WHEN m < 0.05 THEN 'unknown'
+            {first_max}
+            ELSE 'unknown' END AS lang_pred
+FROM sm
+"""
+
+
 class LangId:
     """Actor-pool language classifier: profiles compiled once per actor
     (``__init__``), vectorized scoring per batch. Scores each language
-    by standalone-stopword hit rate; 'zh' by CJK char ratio."""
+    by standalone-stopword hit rate; 'zh' by CJK char ratio. Exact SQL
+    oracle: :func:`langid_sql` (generated from the same profiles)."""
 
     def __init__(self):
         import re

@@ -118,14 +118,18 @@ def image_features(pixels: np.ndarray, feature_dim: int) -> np.ndarray:
     return out[:feature_dim]
 
 
-def synth_media_table(texts: list[str], base_id: int = 0) -> pa.Table:
+def synth_media_table(texts: list[str], base_id: int = 0, ids: list[int] | None = None) -> pa.Table:
     """Deterministic media rows exercising BOTH decode paths: every third
-    row is a REAL encoded PPM image (pixels seeded from the text digest),
-    the rest carry opaque utf8 payloads (the stub path for audio/video)."""
+    id is a REAL encoded PPM image (pixels seeded from the text digest),
+    the rest carry opaque utf8 payloads (the stub path for audio/video).
+    Every attribute derives from the media ID (not enumeration order),
+    so output is invariant to batching — safe inside ``map_batches``."""
     n = len(texts)
+    if ids is None:
+        ids = list(range(base_id, base_id + n))
     types = ["image", "audio", "video"]
     payloads = []
-    for i, t in enumerate(texts):
+    for i, t in zip(ids, texts):
         if i % 3 == 0:
             seed = int.from_bytes(hashlib.md5((t or "").encode()).digest()[:8], "little")
             rng = np.random.default_rng(seed)
@@ -135,12 +139,12 @@ def synth_media_table(texts: list[str], base_id: int = 0) -> pa.Table:
             payloads.append((t or "").encode())
     return pa.table(
         {
-            "media_id": pa.array(np.arange(base_id, base_id + n), pa.int64()),
-            "media_type": pa.array([types[i % 3] for i in range(n)], pa.string()),
+            "media_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "media_type": pa.array([types[i % 3] for i in ids], pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "meta_width": pa.array([64 + (i % 8) * 16 for i in range(n)], pa.int32()),
-            "meta_height": pa.array([64 + (i % 5) * 16 for i in range(n)], pa.int32()),
-            "meta_duration_ms": pa.array([0 if i % 3 == 0 else 1000 + i for i in range(n)], pa.int32()),
+            "meta_width": pa.array([64 + (i % 8) * 16 for i in ids], pa.int32()),
+            "meta_height": pa.array([64 + (i % 5) * 16 for i in ids], pa.int32()),
+            "meta_duration_ms": pa.array([0 if i % 3 == 0 else 1000 + i for i in ids], pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )

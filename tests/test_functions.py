@@ -113,6 +113,20 @@ def test_embedding_dup_oracle(emb_ds, fduck):
     assert min(t["cosine"].to_pylist()) >= dedup.EMBEDDING_COSINE_THRESHOLD - 1e-9
 
 
+def test_embedding_dup_ivf_subset_and_recall(emb_ds):
+    """The IVF-bucketed scale path must be a subset of the exact pair
+    set (every emitted pair re-checked the real cosine) with high
+    recall at the default nassign."""
+    from search_engine_ray.functions import dedup
+
+    exact = dedup.embedding_dup_pairs(emb_ds)
+    ivf = dedup.embedding_dup_pairs_ivf(emb_ds)
+    se = set(zip(exact["vec_a"].to_pylist(), exact["vec_b"].to_pylist()))
+    si = set(zip(ivf["vec_a"].to_pylist(), ivf["vec_b"].to_pylist()))
+    assert si <= se
+    assert se and len(si) / len(se) >= 0.9
+
+
 # ------------------------------------------------------------ similarity
 
 

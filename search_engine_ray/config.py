@@ -49,12 +49,20 @@ class BuildConfig:
     # The encoder emits the runs as disjoint block rows and readers
     # merge them by first_docid (stages/encode.py module docstring).
     resume: bool = False
-    # Plan adaptivity: below this total input size the doc-store stage
-    # (stage B) runs driver-side — a sub-second pyarrow sort instead of
-    # three Ray Dataset executions whose fixed spin-up dominates at toy
-    # scale. The distributed path is unchanged above the threshold (the
-    # scaling bench at sf>=0.5 always exercises it).
-    driver_small_input_bytes: int = 256 << 20
+    # Plan adaptivity: below this doc-side stage-A size the doc-store
+    # stage (stage B) runs driver-side — a seconds-scale pyarrow sort
+    # instead of three Ray Dataset executions whose fixed spin-up
+    # dominates when the doc store is small. ~1 GiB of doc rows ≈ 25M
+    # turns; the distributed path is unchanged above the threshold.
+    driver_small_docs_bytes: int = 1 << 30
+    # Below this postings-side size the lemma vocabulary is read
+    # driver-side off stage-A parquet dictionary pages (~ms); above it a
+    # distributed map-side-combine unique pass builds it.
+    driver_small_post_bytes: int = 192 << 20
+    # Above this input row estimate the conv-rank map is not broadcast:
+    # docids attach via the distributed dense-rank table + a hash join
+    # on conv_id (build.build_rank_table / attach_docids_join).
+    broadcast_convs_max: int = 50_000_000
     # Stage C ships only (lemma_h, docid, tf) through the all-to-all
     # sort; doc_len is restored at encode time from a broadcast
     # docid-sorted (docid, dl) pair (~12 B/doc in plasma, zero-copy per

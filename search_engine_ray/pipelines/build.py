@@ -64,7 +64,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "4"
+CODEC_VERSION = "5"
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
 ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -119,36 +119,41 @@ def _dir_stats(d: str) -> dict:
     return {"rows": rows, "bytes": bytes_}
 
 
-def _stage_a_parquet(out_dir: str) -> list[str]:
+def _stage_a_parquet(out_dir: str, kind: str | None = None) -> list[str]:
+    """Stage-A parquet files; ``kind`` ('post' | 'doc') selects one side
+    of the hive split (part-NNN/kind=post|doc/), None returns both."""
     base = stage_a_dir(out_dir)
     out = []
+    kinds = ("post", "doc") if kind is None else (kind,)
     for part in sorted(os.listdir(base)):
         pd_ = os.path.join(base, part)
-        if part.startswith("part-") and os.path.isdir(pd_):
-            out.extend(
-                os.path.join(pd_, f) for f in sorted(os.listdir(pd_)) if f.endswith(".parquet")
-            )
+        if not (part.startswith("part-") and os.path.isdir(pd_)):
+            continue
+        for kd in kinds:
+            kdir = os.path.join(pd_, f"kind={kd}")
+            if os.path.isdir(kdir):
+                out.extend(
+                    os.path.join(kdir, f)
+                    for f in sorted(os.listdir(kdir))
+                    if f.endswith(".parquet")
+                )
     return out
-
-
-_POSTINGS_FILTER = pc.field("lemma").is_valid()
-_DOCS_FILTER = ~pc.field("lemma").is_valid()
 
 
 def read_flat_postings(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     """Flat postings dataset (lemma, conv_id, turn_idx, tf[, doc_len]) —
-    the oracle-checkable analog of the reference's ``indexes`` table."""
+    the oracle-checkable analog of the reference's ``indexes`` table.
+    Reads ONLY the postings side of the stage-A split (no filter, no
+    decode of the other row kind)."""
     return rd.read_parquet(
-        _stage_a_parquet(out_dir),
-        filter=_POSTINGS_FILTER,
+        _stage_a_parquet(out_dir, "post"),
         columns=columns or ["lemma", "conv_id", "turn_idx", "tf", "doc_len"],
     )
 
 
 def read_doc_rows(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(
-        _stage_a_parquet(out_dir),
-        filter=_DOCS_FILTER,
+        _stage_a_parquet(out_dir, "doc"),
         columns=columns or ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
     )
 
@@ -228,6 +233,73 @@ def _unique_lemma_pairs(batch: pa.Table) -> pa.Table:
     )
 
 
+def build_rank_table(input_paths: list[str]) -> rd.Dataset:
+    """Distributed dense rank of conv_ids (docid.py's scale path for
+    corpora whose conv list exceeds the broadcast budget): map-side
+    unique -> dedupe groupby -> range sort -> per-block ranks assigned
+    from a driver-side prefix sum of BLOCK COUNTS only (the driver never
+    holds a conv_id). Rank assignment is the one op the Dataset API
+    cannot express (it needs each block's global row offset), so it runs
+    as raw Ray tasks over the sorted blocks — documented fallback (c).
+    Returns a Dataset of (conv_id, conv_rank), rank order == sorted
+    conv_id order (the same ranks the broadcast path assigns)."""
+    uniq = (
+        rd.read_parquet(input_paths, columns=["conv_id"])
+        .map_batches(
+            lambda b: pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["conv_id"])
+        .sort("conv_id")
+        .materialize()
+    )
+    refs, sizes = [], []
+    for bundle in uniq.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            refs.append(ref)
+            sizes.append(meta.num_rows)
+    offs = np.concatenate(([0], np.cumsum(sizes)[:-1])) if sizes else np.empty(0, np.int64)
+
+    @ray.remote
+    def _rank_block(tbl: pa.Table, off: int) -> pa.Table:
+        return tbl.append_column(
+            "conv_rank", pa.array(np.arange(off, off + tbl.num_rows), pa.int64())
+        )
+
+    return rd.from_arrow_refs(
+        [_rank_block.remote(r, int(o)) for r, o in zip(refs, offs)]
+    )
+
+
+def attach_docids_join(ds: rd.Dataset, rank_ds: rd.Dataset, ncpu: int) -> rd.Dataset:
+    """Join-based docid attach — the beyond-broadcast path: a hash join
+    on conv_id against the distributed rank table instead of a ray.put
+    lookup array. The rank table covers every conv of the same input by
+    construction, so the inner join drops nothing."""
+    joined = ds.join(
+        rank_ds,
+        join_type="inner",
+        num_partitions=max(2 * ncpu, 2),
+        on=("conv_id",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        from ..docid import make_docids
+
+        docid = make_docids(
+            batch.column("conv_rank").to_numpy(zero_copy_only=False),
+            batch.column("turn_idx").combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        return batch.drop_columns(["conv_rank"]).append_column(
+            "docid", pa.array(docid, pa.int64())
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def _sized(ds: rd.MaterializedDataset, ncpu: int) -> rd.Dataset:
     """Widen a materialized sort input when it has too few blocks for
     the cluster (Ray's SortMap parallelism == input block count)."""
@@ -263,12 +335,24 @@ def _settle_fsspec_http_import() -> None:
         fsspec.implementations.http = mod
 
 
-def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> dict:
+def build_index(
+    cfg: BuildConfig,
+    fail_after_partition: int | None = None,
+    fail_at_stage: str | None = None,
+) -> dict:
     """Run (or resume) the full build; returns the build manifest dict.
 
-    ``fail_after_partition`` injects a crash after stage-A partition i —
-    used by the resume test (SURVEY.md §5.6).
+    ``fail_after_partition`` injects a crash after stage-A partition i;
+    ``fail_at_stage`` ('b_mid' | 'c_mid' | 'd_mid') injects a crash
+    AFTER the stage's output files are written but BEFORE its lineage
+    manifest commits — the worst torn state a real failure can leave.
+    Both are used by the resume tests (SURVEY.md §5.6): a resumed build
+    must produce identical logical content.
     """
+
+    def _inject(point: str) -> None:
+        if fail_at_stage == point:
+            raise RuntimeError(f"injected failure at {point}")
     os.makedirs(cfg.out_dir, exist_ok=True)
     _settle_fsspec_http_import()
     t0 = time.monotonic()
@@ -307,7 +391,12 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
                 # restart-will-fail warning on every build
                 max_restarts=0,
             )
-            ds.write_parquet(part_dir)
+            # min_rows_per_file: without it every map task emits its own
+            # ~2k-row file per kind (hundreds of 100KB files per
+            # partition) and downstream passes pay per-file open costs
+            ds.write_parquet(
+                part_dir, partition_cols=["kind"], min_rows_per_file=500_000
+            )
         except Exception:
             tracker.mark(pid, key, STATE_FAILED, input_files=files)
             raise
@@ -345,19 +434,35 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
     tb = time.monotonic()
     stats: dict = {}
     prior = load_json(build_manifest_path(cfg.out_dir))
-    input_bytes = sum(os.path.getsize(f) for f in cfg.input_paths)
+    docs_files = _stage_a_parquet(cfg.out_dir, "doc")
+    post_files = _stage_a_parquet(cfg.out_dir, "post")
+    docs_bytes = sum(os.path.getsize(f) for f in docs_files)
+    post_bytes = sum(os.path.getsize(f) for f in post_files)
+    # conv-rank strategy: broadcast lookup array (ray.put once, zero
+    # shuffle) while the conv list fits a worker heap; beyond that the
+    # distributed dense-rank table + a hash join on conv_id (docid.py's
+    # scale path). Row estimate from parquet footers only.
+    est_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in cfg.input_paths)
+    use_join_docids = bool(cfg.extra.get("force_join_docids")) or (
+        est_rows > cfg.broadcast_convs_max
+    )
+    rank_ds = None
+    convs_ref = None
     if cfg.resume and tracker_s.is_done("docs", down_key) and prior:
         stats = dict(prior["stats"])
-        convs_ref = ray.put(_load_sorted_convs(cfg.out_dir))
-    elif input_bytes <= cfg.driver_small_input_bytes:
-        # small-input plan: the doc side is a few MB — one pyarrow pass
-        # driver-side replaces three Dataset executions (unique scan,
-        # sort shuffle, aggregate) whose fixed spin-up dominates at this
-        # scale. Identical output schema/stats as the distributed path.
+        if use_join_docids:
+            rank_ds = build_rank_table(cfg.input_paths).materialize()
+        else:
+            convs_ref = ray.put(_load_sorted_convs(cfg.out_dir))
+    elif not use_join_docids and docs_bytes <= cfg.driver_small_docs_bytes:
+        # small-doc-side plan: one pyarrow pass driver-side replaces
+        # three Dataset executions (unique scan, sort shuffle, aggregate)
+        # whose fixed spin-up dominates when the doc store is small (the
+        # doc side is ~1-2% of stage-A bytes thanks to the kind split).
+        # Identical output schema/stats as the distributed path.
         import pyarrow.dataset as pads
 
-        tD = pads.dataset(stage_a_files).to_table(
-            filter=~pads.field("lemma").is_valid(),
+        tD = pads.dataset(docs_files).to_table(
             columns=["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
         )
         conv_np = np.asarray(tD.column("conv_id").to_pylist(), dtype=object)
@@ -383,38 +488,50 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             ),
         }
         convs_ref = ray.put(pa.array(convs_sorted.tolist(), pa.string()))
+        _inject("b_mid")
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     else:
-        # conv ranks from the ORIGINAL input (column-pruned conv_id read —
-        # much cheaper than re-scanning stage-A output); small side, see
-        # docid.py scale note
         tu = time.monotonic()
-        # map-side-combine distinct: per-batch pc.unique (C kernel), tiny
-        # per-batch results concatenated driver-side — no shuffle at all
-        # (ds.unique() pays a full groupby exchange for the same answer)
-        uniq_parts = rd.read_parquet(cfg.input_paths, columns=["conv_id"]).map_batches(
-            lambda b: pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())}),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        all_u = pa.concat_tables(
-            [t for t in ray.get(uniq_parts.to_arrow_refs()) if t.num_rows]
-        )
-        convs = sorted(pc.unique(all_u.column("conv_id").combine_chunks()).to_pylist())
+        n_convs = None
+        if use_join_docids:
+            # distributed dense rank + hash join (no conv list anywhere
+            # driver-side); see build_rank_table
+            rank_ds = build_rank_table(cfg.input_paths).materialize()
+            n_convs = rank_ds.count()
+        else:
+            # conv ranks from the ORIGINAL input (column-pruned conv_id
+            # read — much cheaper than re-scanning stage-A output); small
+            # side, see docid.py scale note. Map-side-combine distinct:
+            # per-batch pc.unique (C kernel), tiny per-batch results
+            # concatenated driver-side — no shuffle at all (ds.unique()
+            # pays a full groupby exchange for the same answer)
+            uniq_parts = rd.read_parquet(cfg.input_paths, columns=["conv_id"]).map_batches(
+                lambda b: pa.table({"conv_id": pc.unique(b.column("conv_id").combine_chunks())}),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            all_u = pa.concat_tables(
+                [t for t in ray.get(uniq_parts.to_arrow_refs()) if t.num_rows]
+            )
+            convs = sorted(pc.unique(all_u.column("conv_id").combine_chunks()).to_pylist())
+            convs_ref = ray.put(pa.array(convs, pa.string()))
+            n_convs = len(convs)
         timings["b_unique_s"] = round(time.monotonic() - tu, 3)
-        convs_ref = ray.put(pa.array(convs, pa.string()))
         d = _fresh_dir(docs_dir(cfg.out_dir))
         # materialize before the sort: a lazy sort input is executed
         # TWICE (boundary-sampling pass + shuffle pass); the materialized
         # copy lives in the object store (spills to disk if needed) and
         # halves the upstream cost (measured ~1.5x on stage C at sf1)
         tm = time.monotonic()
-        docs_in = _sized(
-            read_doc_rows(cfg.out_dir)
-            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
-            .materialize(),
-            ncpu,
+        docs_raw = read_doc_rows(cfg.out_dir)
+        docs_with_ids = (
+            attach_docids_join(docs_raw, rank_ds, ncpu)
+            if use_join_docids
+            else docs_raw.map_batches(
+                make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None
+            )
         )
+        docs_in = _sized(docs_with_ids.materialize(), ncpu)
         timings["b_mat_s"] = round(time.monotonic() - tm, 3)
         ts_ = time.monotonic()
         docs_in.sort("docid").write_parquet(d)
@@ -437,13 +554,14 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         )
         stats = {
             "n_docs": n_docs,
-            "n_convs": len(convs),
+            "n_convs": int(n_convs),
             "total_len": int(agg["total_len"] or 0),
             "avgdl": (float(agg["total_len"]) / n_docs) if n_docs else 0.0,
             "roles": roles,
             "tools": tools,
         }
         timings["b_agg_s"] = round(time.monotonic() - ta_, 3)
+        _inject("b_mid")
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     timings["stage_b_s"] = round(time.monotonic() - tb, 3)
 
@@ -482,11 +600,11 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             ) or bool(cfg.extra.get("force_lemma_in_shuffle"))
             return ray.put((h_sorted.astype(np.int64), lem_sorted)), collision
 
-        vocab_small = input_bytes <= cfg.driver_small_input_bytes
+        vocab_small = post_bytes <= cfg.driver_small_post_bytes
         if vocab_small:
             tv = time.monotonic()
             vocab_ref, collision = _finish_vocab(
-                *_vocab_from_parquet_dictionaries(stage_a_files)
+                *_vocab_from_parquet_dictionaries(post_files)
             )
             timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
             if collision:
@@ -500,9 +618,16 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         # vocabulary pass still needs it — it is projected away before
         # the exchange either way)
         tm = time.monotonic()
+        posts_raw = read_flat_postings(cfg.out_dir, columns=read_cols)
+        posts_with_ids = (
+            attach_docids_join(posts_raw, rank_ds, ncpu)
+            if use_join_docids
+            else posts_raw.map_batches(
+                make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None
+            )
+        )
         post_in = _sized(
-            read_flat_postings(cfg.out_dir, columns=read_cols)
-            .map_batches(make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None)
+            posts_with_ids
             .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)
             .select_columns(mat_cols)
             .materialize(),  # sort input is otherwise executed twice
@@ -557,6 +682,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
             .write_parquet(d)
         )
         timings["c_sort_enc_s"] = round(time.monotonic() - ts_, 3)
+        _inject("c_mid")
         tracker_s.mark("index", down_key, STATE_DONE, metrics=_dir_stats(d))
     timings["stage_c_s"] = round(time.monotonic() - tc, 3)
 
@@ -584,6 +710,7 @@ def build_index(cfg: BuildConfig, fail_after_partition: int | None = None) -> di
         pq.write_table(tbl, lemma_dict_path(cfg.out_dir))
         stats["n_lemmas"] = tbl.num_rows
         stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
+        _inject("d_mid")
         tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": tbl.num_rows})
     else:
         stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])

@@ -808,7 +808,7 @@ class SearchEngine:
         blocks = self._term_blocks([t[0] for t in kept])
         scope_ids = self.scope_docids(scope) if scope else None
         inter = None
-        dl_of: dict[int, int] = {}
+        first_docid = first_dl = None
         for lem, _df in kept:  # rarest-first iteration order preserved
             bl = blocks[lem]
             docid, _tf, dl = self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))
@@ -817,11 +817,16 @@ class SearchEngine:
                 pos[pos >= len(scope_ids)] = 0
                 keep = scope_ids[pos] == docid if len(scope_ids) else np.zeros(len(docid), bool)
                 docid, dl = docid[keep], dl[keep]
-            dl_of.update(zip(docid.tolist(), dl.tolist()))
-            inter = docid if inter is None else np.intersect1d(inter, docid, assume_unique=True)
+            if inter is None:
+                first_docid, first_dl = docid, dl
+                inter = docid
+            else:
+                inter = np.intersect1d(inter, docid, assume_unique=True)
         if inter is None or len(inter) == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64), None
-        rel = np.array([dl_of[d] for d in inter.tolist()], np.float64) / self._max_relevance()
+        # dl per surviving doc via binary search into the (sorted) first
+        # term's decode — doc_len is term-independent, no dict build
+        rel = first_dl[np.searchsorted(first_docid, inter)].astype(np.float64) / self._max_relevance()
         return inter, rel, None
 
     # ---------------- public API (S8 analog) ---------------------------

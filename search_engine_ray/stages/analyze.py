@@ -43,6 +43,12 @@ ANALYZED_SCHEMA = pa.schema(
         ("role", pa.string()),
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
+        # row kind: "post" | "doc" — stage A writes hive-partitioned on
+        # this column (part-NNN/kind=post/, kind=doc/), so downstream
+        # passes read ONLY their row kind's files: no mixed-file filter,
+        # no decoding 80M posting rows to extract 6M doc rows (measured
+        # 3x stage-B/C input-pass cost at sf1 pre-split)
+        ("kind", pa.string()),
     ]
 )
 
@@ -79,6 +85,7 @@ class AnalyzerActor:
                 pa.nulls(npost, pa.string()),
                 pa.nulls(npost, pa.string()),
                 pa.nulls(npost, pa.timestamp("us")),
+                pa.array(["post"] * npost, pa.string()),
             ],
             schema=ANALYZED_SCHEMA,
         )
@@ -92,6 +99,7 @@ class AnalyzerActor:
                 role,
                 tool,
                 ts,
+                pa.array(["doc"] * n, pa.string()),
             ],
             schema=ANALYZED_SCHEMA,
         )

@@ -69,3 +69,32 @@ def test_lineage_key_changes_invalidate(tiny_corpus, tmp_path):
     k3 = lineage_key(tiny_corpus, {"analyzer": "1"}, {"batch_size": 1024})
     k4 = lineage_key(tiny_corpus[:-1], {"analyzer": "1"}, {"batch_size": 2048})
     assert len({k1, k2, k3, k4}) == 4
+
+
+@pytest.mark.parametrize("stage", ["b_mid", "c_mid", "d_mid"])
+def test_resume_after_midstage_crash(tiny_corpus, tiny_index, tmp_path, stage):
+    """Crash AFTER a downstream stage's output files are written but
+    BEFORE its lineage manifest commits (the worst torn state), then
+    resume: completed stages are skipped, the torn stage recomputes from
+    scratch, and the final index content is identical to an
+    uninterrupted build (verdict round-1 item #9)."""
+    out = str(tmp_path / f"idx-{stage}")
+    cfg = BuildConfig(input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=2)
+
+    with pytest.raises(RuntimeError, match=f"injected failure at {stage}"):
+        build.build_index(cfg, fail_at_stage=stage)
+
+    cfg.resume = True
+    manifest = build.build_index(cfg)
+    assert manifest["state"] == "DONE"
+    assert manifest["stage_a_skipped"] == 3  # stage A fully reused
+
+    assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
+    a = pq.read_table(build.lemma_dict_path(out)).sort_by("lemma")
+    b = pq.read_table(build.lemma_dict_path(tiny_index["out_dir"])).sort_by("lemma")
+    assert a.equals(b)
+    assert manifest["stats"] == tiny_index["manifest"]["stats"]
+    # the doc store is byte-stable under resume: docid-sorted content
+    da = pq.read_table(build.docs_dir(out)).sort_by("docid")
+    db = pq.read_table(build.docs_dir(tiny_index["out_dir"])).sort_by("docid")
+    assert da.equals(db)

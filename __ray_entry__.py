@@ -91,6 +91,102 @@ def _search_topk(sf_dir: str, mode: str, enriched: bool = False):
     return df
 
 
+def _search_counts(sf_dir: str):
+    """Exact pre-pagination result count per reference query (G6)."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        rows.append({"query_id": q["query_id"], "n_results": int(r["count"])})
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["query_id", "n_results"])
+    df["n_results"] = df["n_results"].astype("int64")
+    return df
+
+
+PAGE_QUERY = {"query_id": "page-hot", "scope": None, "k": 30}
+PAGE_OFFSET = 10
+
+
+def _search_pagination(sf_dir: str):
+    """Offset/limit pagination (T3): ranks 11..30 of the hot query."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    r = eng.search(
+        datagen.stem(0), offset=PAGE_OFFSET, limit=PAGE_QUERY["k"] - PAGE_OFFSET
+    )
+    import pandas as pd
+
+    rows = [
+        {
+            "query_id": PAGE_QUERY["query_id"],
+            "rank": PAGE_OFFSET + i + 1,
+            "conv_id": row["conv_id"],
+            "turn_idx": row["turn_idx"],
+            "score": round(row["score"], 6),
+        }
+        for i, row in enumerate(r["data"].to_pylist())
+    ]
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
+def _delta_search(sf_dir: str):
+    """Incremental re-index (S4 / POST /api/indexPage analog), driver
+    checked: base index + one delta generation over a deterministically
+    modified conversation must be rank-identical to BM25 over the
+    modified corpus (the oracle reads the modified parquet)."""
+    import shutil
+
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines import delta as delta_mod
+    from search_engine_ray.search import SearchEngine
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    mod_files, conv = datagen.modified_corpus(tag)
+    base_out = _ensure_build(sf_dir)
+    dout = os.path.join(BUILD_ROOT, f"{tag}-delta")
+    if not os.path.exists(os.path.join(dout, "build.json")):
+        shutil.copytree(base_out, dout, dirs_exist_ok=True)
+    if not delta_mod.list_generations(dout):
+        resp = delta_mod.reindex_conversations(dout, [conv], input_paths=mod_files)
+        assert resp["result"], resp
+    eng = SearchEngine(dout)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _flat_postings(sf_dir: str):
     from search_engine_ray.pipelines import build
 
@@ -329,6 +425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_bm25": lambda sf: _search_topk(sf, "bm25"),
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
+        "search_counts": _search_counts,
+        "search_pagination": _search_pagination,
+        "delta_search": _delta_search,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -362,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
 
     tag = "sf0.01"
     datagen.generate(tag)  # oracle may run before the Ray side
+    datagen.modified_corpus(tag)  # ditto for the delta_search oracle
     src = oracle.transcripts_rel(tag)
     qs = datagen.reference_queries()
     return {
@@ -378,6 +478,15 @@ def oracle_sql() -> dict[str, str]:
         "search_topk_bm25": oracle.bm25_topk_sql(src, qs),
         "search_topk_reference": oracle.reference_topk_sql(src, qs),
         "search_enriched": oracle.bm25_topk_enriched_sql(src, qs),
+        "search_counts": oracle.bm25_counts_sql(src, qs),
+        "search_pagination": oracle.bm25_page_sql(
+            src,
+            [dict(PAGE_QUERY, query_text=datagen.stem(0))],
+            PAGE_OFFSET,
+        ),
+        "delta_search": oracle.bm25_topk_sql(
+            f"read_parquet('{datagen.modified_corpus_dir(tag)}/*.parquet')", qs
+        ),
         # training-data operators over the driver's pre-registered views.
         # Rows-only (no oracle entry): knn_ivf and dedup_embedding_ivf
         # are approximate by design (recall vs their exact oracle-checked

@@ -231,6 +231,63 @@ def _build_table(n_turns: int) -> pa.Table:
     )
 
 
+DELTA_CONV = "conv-00000000"  # always present (conv ids are dense from 0)
+
+
+def modified_corpus(tag: str) -> tuple[list[str], str]:
+    """Deterministic modified copy of the corpus for the incremental
+    re-index driver check: ``DELTA_CONV``'s turn texts are replaced with
+    fixed strings (other rows byte-identical). Returns (files, conv_id).
+    Cached idempotently beside the base corpus."""
+    base_files = transcripts_files(tag)
+    d = os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts_mod")
+    marker = os.path.join(d, "_SUCCESS")
+    params = {"version": DATAGEN_VERSION, "conv": DELTA_CONV}
+    if os.path.exists(marker):
+        try:
+            if json.load(open(marker)) == params:
+                return sorted(
+                    os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+                ), DELTA_CONV
+        except Exception:
+            pass
+    import shutil
+
+    import pyarrow.compute as pc
+
+    tmp = d + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    for f in base_files:
+        t = pq.read_table(f)
+        mask = pc.equal(t.column("conv_id"), DELTA_CONV).combine_chunks()
+        m = mask.to_numpy(zero_copy_only=False)
+        if m.any():
+            turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+            texts = t.column("text").to_pylist()
+            for i in np.flatnonzero(m):
+                texts[i] = (
+                    f"{stem(3)} {stem(7)} {stem(7)} rewritten delta turn {int(turn[i])}"
+                )
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+            )
+        pq.write_table(t, os.path.join(tmp, os.path.basename(f)))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        json.dump(params, fh)
+    if os.path.exists(d):
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    ), DELTA_CONV
+
+
+def modified_corpus_dir(tag: str) -> str:
+    return os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts_mod")
+
+
 # ---------------------------------------------------------------------------
 # Reference query set (FIXTURES.md §2)
 # ---------------------------------------------------------------------------

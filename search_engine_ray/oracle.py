@@ -147,6 +147,48 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_counts_sql(src: str, queries: list[dict]) -> str:
+    """Exact pre-pagination result counts (G6): per query, |union| of
+    matching docs (within scope); 0 when any query lemma is missing
+    (reference semantics — the engine's ``count`` field)."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+counts AS (SELECT query_id, count(*) AS n FROM matched GROUP BY query_id)
+SELECT qm.query_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_results
+FROM qmeta qm LEFT JOIN counts c USING (query_id)
+"""
+
+
+def bm25_page_sql(src: str, queries: list[dict], offset: int) -> str:
+    """Pagination oracle (T3): ranks strictly after ``offset`` from the
+    same deterministic total order."""
+    return (
+        f"SELECT * FROM ({bm25_topk_sql(src, queries)}) WHERE rank > {offset}"
+    )
+
+
 def bm25_topk_enriched_sql(src: str, queries: list[dict]) -> str:
     """Enriched results (J6): the BM25 top-k joined back to the
     transcript row for role/tool/ts — the oracle for the engine's result

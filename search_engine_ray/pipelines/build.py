@@ -364,7 +364,7 @@ def build_index(
     tracker = PartitionTracker(os.path.join(stage_a_dir(cfg.out_dir), "_manifests"), build_id="A")
     n_skipped = 0
 
-    def _run_part(i: int, files: list[str]) -> None:
+    def _run_part(i: int, files: list[str], overlap: int = 1) -> None:
         pid = f"part-{i:03d}"
         key = lineage_key(files, _VERSIONS, a_params)
         tp = time.monotonic()
@@ -373,15 +373,22 @@ def build_index(
         if conc is None:  # auto-size: see BuildConfig.concurrency
             part_bytes = sum(os.path.getsize(f) for f in files)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            # cap the pool at HALF the cores: the read/decompress/write
-            # tasks feeding and draining it need the rest (measured at
-            # sf0.5/32cpu: 16 actors 5.1s, 30 actors 17.1s — a near-full
-            # pool starves its own IO; a full pool deadlocks outright)
-            conc = max(1, min(max(1, ncpu // 2), (part_bytes >> 22) + 1))
+            # cap the pool at HALF the cores divided by the number of
+            # overlapped partition executions: the read/decompress/write
+            # tasks feeding and draining each pool need the rest
+            # (measured at sf0.5/32cpu: 16 actors 5.1s, 30 actors 17.1s
+            # — a near-full pool starves its own IO; a full pool
+            # deadlocks outright)
+            conc = max(1, min(max(1, ncpu // (2 * overlap)), (part_bytes >> 22) + 1))
         try:
             ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
             ds = ds.map_batches(
                 AnalyzerActor,
+                fn_constructor_kwargs=(
+                    {"kill_after_batches": cfg.extra["kill_after_batches"]}
+                    if "kill_after_batches" in cfg.extra
+                    else {}
+                ),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 concurrency=conc,
@@ -403,18 +410,37 @@ def build_index(
         metrics = _dir_stats(part_dir) | {"wall_s": round(time.monotonic() - tp, 3)}
         tracker.mark(pid, key, STATE_DONE, input_files=files, metrics=metrics)
 
-    # Partitions run sequentially, each as its own streaming Dataset
-    # execution with a DONE/FAILED lineage manifest (the resume unit).
-    # Concurrent executions were tried and deadlock Ray Data's local-mode
-    # scheduler at low CPU counts; at production scale each partition is
-    # large enough that the per-execution actor-pool spin-up amortizes.
+    # Each partition is its own streaming Dataset execution with a
+    # DONE/FAILED lineage manifest (the resume unit). A BOUNDED number
+    # run concurrently (driver threads; each execution's actor pool is
+    # sized down by the overlap factor) so one partition's tail — last
+    # straggler batch, manifest write, next spin-up — overlaps the
+    # next's ramp. Overlap stays 1 at low CPU counts, where concurrent
+    # executions can starve each other in Ray Data's local scheduler
+    # (measured round 1), and under failure injection (deterministic
+    # ordering for the resume tests).
+    overlap = cfg.extra.get("stage_a_overlap")
+    if overlap is None:
+        ncpu0 = int(ray.cluster_resources().get("CPU", 8))
+        overlap = 2 if (len(parts) > 1 and ncpu0 >= 8) else 1
+    todo = []
     for i, files in enumerate(parts):
         if cfg.resume and tracker.is_done(f"part-{i:03d}", lineage_key(files, _VERSIONS, a_params)):
             n_skipped += 1
             continue
-        _run_part(i, files)
-        if fail_after_partition is not None and i >= fail_after_partition:
-            raise RuntimeError(f"injected failure after stage-A partition {i}")
+        todo.append((i, files))
+    if overlap <= 1 or fail_after_partition is not None or len(todo) <= 1:
+        for i, files in todo:
+            _run_part(i, files)
+            if fail_after_partition is not None and i >= fail_after_partition:
+                raise RuntimeError(f"injected failure after stage-A partition {i}")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=int(overlap)) as ex:
+            futs = [ex.submit(_run_part, i, files, int(overlap)) for i, files in todo]
+            for f in futs:
+                f.result()  # re-raises the first partition failure
     timings["stage_a_s"] = round(time.monotonic() - t0, 3)
 
     stage_a_files = _stage_a_parquet(cfg.out_dir)
@@ -465,11 +491,18 @@ def build_index(
         tD = pads.dataset(docs_files).to_table(
             columns=["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
         )
-        conv_np = np.asarray(tD.column("conv_id").to_pylist(), dtype=object)
-        convs_sorted = np.unique(conv_np)
+        # dense conv ranks without per-row Python: dictionary-encode the
+        # column (C kernel), rank only the UNIQUE conv_ids, broadcast
+        # through the codes (6M-row object arrays cost ~15s; this is <1s)
+        d_enc = tD.column("conv_id").combine_chunks().dictionary_encode()
+        order = pc.sort_indices(d_enc.dictionary).to_numpy(zero_copy_only=False)
+        rank_of_code = np.empty(len(order), np.int64)
+        rank_of_code[order] = np.arange(len(order))
+        convs_sorted = d_enc.dictionary.take(pa.array(order))
         from ..docid import make_docids
 
-        rank = np.searchsorted(convs_sorted, conv_np)
+        codes = d_enc.indices.to_numpy(zero_copy_only=False)
+        rank = rank_of_code[codes]
         docid = make_docids(rank, tD.column("turn_idx").to_numpy(zero_copy_only=False))
         tD = tD.append_column("docid", pa.array(docid, pa.int64())).sort_by("docid")
         d = _fresh_dir(docs_dir(cfg.out_dir))
@@ -487,7 +520,7 @@ def build_index(
                 x for x in pc.unique(tD.column("tool").combine_chunks()).to_pylist() if x
             ),
         }
-        convs_ref = ray.put(pa.array(convs_sorted.tolist(), pa.string()))
+        convs_ref = ray.put(convs_sorted.cast(pa.string()))
         _inject("b_mid")
         tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     else:

@@ -56,12 +56,21 @@ ANALYZED_SCHEMA = pa.schema(
 class AnalyzerActor:
     """Stateful analyzer for ``map_batches(AnalyzerActor, batch_format='pyarrow')``."""
 
-    def __init__(self):
+    def __init__(self, kill_after_batches: int | None = None):
         # once per actor process: the memoized surface->lemma cache (the
         # analog of the reference's loaded-once morphology dictionary)
         self.memo: dict[str, str] = {}
+        # test hook (resume tests): hard-kill this worker PROCESS after N
+        # batches — a real mid-flight actor death, not an exception
+        self._kill_after = kill_after_batches
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._kill_after is not None:
+            self._kill_after -= 1
+            if self._kill_after < 0:
+                import os
+
+                os._exit(1)
         texts = batch.column("text")
         conv = batch.column("conv_id").combine_chunks()
         turn = batch.column("turn_idx").combine_chunks()

@@ -98,3 +98,44 @@ def test_resume_after_midstage_crash(tiny_corpus, tiny_index, tmp_path, stage):
     da = pq.read_table(build.docs_dir(out)).sort_by("docid")
     db = pq.read_table(build.docs_dir(tiny_index["out_dir"])).sort_by("docid")
     assert da.equals(db)
+
+
+def test_stage_a_overlap_identical(tiny_corpus, tiny_index, tmp_path):
+    """Overlapped stage-A partition executions (bounded driver threads)
+    must produce the same index as sequential execution."""
+    out = str(tmp_path / "overlap")
+    cfg = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=1,
+        extra={"stage_a_overlap": 2},
+    )
+    m = build.build_index(cfg)
+    assert m["state"] == "DONE"
+    assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
+    assert m["stats"] == tiny_index["manifest"]["stats"]
+
+
+def test_resume_after_real_worker_death(tiny_corpus, tiny_index, tmp_path):
+    """A REAL mid-flight worker-process death (os._exit in the analyzer
+    actor, max_restarts=0): the partition is marked FAILED, the build
+    raises, and a plain resume produces the identical index — the
+    engine's cancellation/crash story (`ray job stop` / Ctrl-C leaves
+    the same torn state)."""
+    import ray.exceptions
+
+    out = str(tmp_path / "killed")
+    cfg = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=1,
+        extra={"kill_after_batches": 1},
+    )
+    with pytest.raises(Exception) as ei:
+        build.build_index(cfg)
+    assert "died" in str(ei.value).lower() or "actor" in str(ei.value).lower()
+
+    cfg2 = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=1,
+        resume=True,
+    )
+    m = build.build_index(cfg2)
+    assert m["state"] == "DONE"
+    assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
+    assert m["stats"] == tiny_index["manifest"]["stats"]

@@ -33,8 +33,7 @@ QUALITY_STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"]
 STOPWORD_REGEX = r"\b(" + "|".join(QUALITY_STOPWORDS) + r")\b"
 
 QUALITY_ROUND = 6
-FP_HASH_BASE = 1_000_003
-FP_HASH_MOD = (1 << 61) - 1
+FP_HASH_BASE = 1_000_003  # odd multiplier; fold is mod 2^64 (uint64 wrap)
 
 
 def _lower(batch: pa.Table, text_col: str) -> pa.Array:
@@ -140,31 +139,61 @@ def token_counts_sql(src: str, id_col: str = "doc_id") -> str:
 # Fingerprinting
 # ---------------------------------------------------------------------------
 
+# per-worker-process token -> md5-uint64 memo for the rolling hash
+_FP_TOKEN_MEMO: dict[str, int] = {}
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds ``fp_md5`` (md5 hex of whitespace-normalized lowercase text —
     byte-identical to DuckDB's ``md5()``) and ``fp_roll`` (64-bit
-    polynomial rolling hash over word tokens — the streaming-friendly
-    content fingerprint; rows-only checked)."""
+    polynomial rolling hash over whitespace tokens — the
+    streaming-friendly content fingerprint; rows-only checked).
+
+    fp_roll is FULLY VECTORIZED: token md5s run once per unique token per
+    process (memo), the polynomial fold ``h = Σ t_j·B^(n-1-j)`` (uint64
+    wraparound) is one power-table gather + one ``np.add.reduceat``."""
     low = _lower(batch, text_col)
     norm = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(low, r"\s+", " ")
     )
-    texts = norm.to_pylist()
-    md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
-    rolls = np.fromiter(
-        (_rolling_hash(t) for t in texts), dtype=np.int64, count=len(texts)
-    )
+    md5s = [hashlib.md5(t.encode()).hexdigest() for t in norm.to_pylist()]
+
+    n = batch.num_rows
+    toks = pc.split_pattern(norm, " ")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
+    flat = flat.filter(keep)
+    rolls = np.zeros(n, np.uint64)
+    if len(flat):
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        memo = _FP_TOKEN_MEMO
+        get = memo.get
+        uniq_h = np.empty(len(uniq), np.uint64)
+        for i, s in enumerate(uniq):
+            h = get(s)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                memo[s] = h
+            uniq_h[i] = h
+        th = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
+        # exponent of each token = tokens-after-it within its doc
+        starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+        seg_len = np.diff(np.append(starts, len(doc_idx)))
+        ends = np.repeat(np.cumsum(seg_len), seg_len)
+        exp = ends - 1 - np.arange(len(doc_idx))
+        maxlen = int(seg_len.max())
+        pw = np.concatenate(
+            ([np.uint64(1)], np.full(maxlen - 1, FP_HASH_BASE, np.uint64))
+        ).cumprod()
+        acc = np.add.reduceat(th * pw[exp], starts)
+        rolls[doc_idx[starts]] = acc
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())).append_column(
-        "fp_roll", pa.array(rolls, pa.int64())
+        "fp_roll", pa.array(rolls.view(np.int64), pa.int64())
     )
-
-
-def _rolling_hash(norm_text: str) -> int:
-    h = 0
-    for tok in norm_text.split():
-        t = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-        h = (h * FP_HASH_BASE + t) % FP_HASH_MOD
-    return h
 
 
 def fingerprint_sql(src: str, id_col: str = "doc_id") -> str:
@@ -212,35 +241,44 @@ FROM sm
 
 
 class LangId:
-    """Actor-pool language classifier: profiles compiled once per actor
-    (``__init__``), vectorized scoring per batch. Scores each language
-    by standalone-stopword hit rate; 'zh' by CJK char ratio. Exact SQL
-    oracle: :func:`langid_sql` (generated from the same profiles)."""
+    """Actor-pool language classifier: profile patterns built once per
+    actor (``__init__``), FULLY VECTORIZED scoring per batch — one
+    ``pc.count_substring_regex`` pass (RE2, C level) per language plus
+    CJK/word-count passes; the per-row work is a numpy argmax. Scores
+    each language by standalone-stopword hit rate; 'zh' by CJK char
+    ratio. Exact SQL oracle: :func:`langid_sql` (generated from the same
+    profiles — both sides run RE2 on identical patterns)."""
+
+    CJK_REGEX = r"[一-鿿]"
+    MIN_SCORE = 0.05
+    CJK_RATIO = 0.2
 
     def __init__(self):
-        import re
-
-        self.profiles = {
-            lang: re.compile(r"\b(" + "|".join(ws) + r")\b")
-            for lang, ws in LANG_PROFILES.items()
+        self.patterns = {
+            lang: r"\b(" + "|".join(ws) + r")\b" for lang, ws in LANG_PROFILES.items()
         }
-        self.cjk = re.compile(r"[一-鿿]")
-        self.word = re.compile(WORD_REGEX)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(
-            pc.fill_null(batch.column("text").combine_chunks(), "")
-        ).to_pylist()
-        langs = []
-        for t in texts:
-            if len(self.cjk.findall(t)) > 0.2 * max(len(t), 1):
-                langs.append("zh")
-                continue
-            n_words = max(len(self.word.findall(t)), 1)
-            best, best_s = "unknown", 0.0
-            for lang, rx in self.profiles.items():
-                s = len(rx.findall(t)) / n_words
-                if s > best_s:
-                    best, best_s = lang, s
-            langs.append(best if best_s >= 0.05 else "unknown")
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        low = _lower(batch, "text")
+        n_chars = np.maximum(
+            pc.utf8_length(low).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        n_cjk = _count(low, self.CJK_REGEX).to_numpy(zero_copy_only=False)
+        n_words = np.maximum(
+            _count(low, WORD_REGEX).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        langs = list(self.patterns)
+        scores = np.stack(
+            [
+                _count(low, p).to_numpy(zero_copy_only=False) / n_words
+                for p in self.patterns.values()
+            ]
+        )  # (n_langs, n)
+        best = np.argmax(scores, axis=0)  # first max wins (profile order)
+        best_s = scores[best, np.arange(scores.shape[1])]
+        lang_arr = np.asarray(langs, dtype=object)[best]
+        lang_arr[best_s < self.MIN_SCORE] = "unknown"
+        lang_arr[n_cjk > self.CJK_RATIO * n_chars] = "zh"
+        return batch.append_column(
+            "lang_pred", pa.array(lang_arr, pa.string())
+        )

@@ -407,7 +407,7 @@ def _multimodal_features(sf_dir: str):
             mm.MediaFeatureExtractor,
             batch_format="pyarrow",
             batch_size=64,
-            concurrency=(1, 4),
+            concurrency=(1, 4), max_restarts=0,
         )
     )
 

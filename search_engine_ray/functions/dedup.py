@@ -355,7 +355,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
-    concurrency=(1, 4),
+    concurrency=(1, 4), max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Candidate pairs from LSH band collisions, verified with EXACT
@@ -376,6 +376,7 @@ def minhash_lsh_pairs(
         fn_constructor_kwargs={"id_col": id_col, "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
         concurrency=concurrency,
+        max_restarts=0,
     )
 
     def emit_pairs(group: pa.Table) -> pa.Table:
@@ -569,7 +570,7 @@ def simhash_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     max_hamming: int = SIMHASH_MAX_HAMMING,
-    concurrency=(1, 4),
+    concurrency=(1, 4), max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
@@ -584,6 +585,7 @@ def simhash_pairs(
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency,
+        max_restarts=0,
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -756,7 +758,7 @@ def embedding_dup_pairs(
             )
 
     out = ds.select_columns([id_col]).map_batches(
-        PairFinder, batch_format="pyarrow", concurrency=(1, 4)
+        PairFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     )
     tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows] or
                            [pa.table({"vec_a": pa.array([], pa.int64()),
@@ -830,7 +832,7 @@ def embedding_dup_pairs_ivf(
 
     pairs = (
         ds.select_columns([id_col, vec_col])
-        .map_batches(CellAssign, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(CellAssign, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])

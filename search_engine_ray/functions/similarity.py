@@ -71,7 +71,7 @@ def knn_bruteforce(
             )
 
     parts = ds.select_columns([id_col, vec_col]).map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 4)
+        PartialTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):
@@ -179,7 +179,7 @@ def knn_ivf(
             )
 
     parts = ds.select_columns([id_col, vec_col]).map_batches(
-        CellTopK, batch_format="pyarrow", concurrency=(1, 4)
+        CellTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):

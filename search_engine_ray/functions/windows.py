@@ -119,6 +119,12 @@ def session_windows(
 
     return (
         ds.select_columns(["user_id", "ts", "value"])
+        # parquet files carry pandas schema metadata (a dict) that Ray's
+        # groupby reduce cannot hash for schema dedup — strip it so the
+        # shuffle combines blocks without per-reduce warnings
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
         .groupby("user_id")
         .map_groups(split, batch_format="pyarrow")
     )

@@ -355,6 +355,17 @@ def build_index(
             raise RuntimeError(f"injected failure at {point}")
     os.makedirs(cfg.out_dir, exist_ok=True)
     _settle_fsspec_http_import()
+    # pluggable analyzer (protocols.Analyzer): the module path + ITS
+    # version enter every lineage key, so a resumed build never mixes
+    # analyzer implementations or versions
+    amod = cfg.extra.get("analyzer_module")
+    if amod:
+        import importlib
+
+        _aver = importlib.import_module(amod).ANALYZER_VERSION
+        versions = {"analyzer": f"{amod}:{_aver}", "codec": CODEC_VERSION}
+    else:
+        versions = dict(_VERSIONS)
     t0 = time.monotonic()
     timings: dict[str, float] = {}
     parts = partition_input_files(cfg.input_paths, cfg.n_partitions)
@@ -366,7 +377,7 @@ def build_index(
 
     def _run_part(i: int, files: list[str], overlap: int = 1) -> None:
         pid = f"part-{i:03d}"
-        key = lineage_key(files, _VERSIONS, a_params)
+        key = lineage_key(files, versions, a_params)
         tp = time.monotonic()
         part_dir = _fresh_dir(os.path.join(stage_a_dir(cfg.out_dir), pid))
         conc = cfg.concurrency
@@ -385,9 +396,9 @@ def build_index(
             ds = ds.map_batches(
                 AnalyzerActor,
                 fn_constructor_kwargs=(
-                    {"kill_after_batches": cfg.extra["kill_after_batches"]}
-                    if "kill_after_batches" in cfg.extra
-                    else {}
+                    ({"kill_after_batches": cfg.extra["kill_after_batches"]}
+                     if "kill_after_batches" in cfg.extra else {})
+                    | ({"analyzer_module": amod} if amod else {})
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
@@ -425,7 +436,7 @@ def build_index(
         overlap = 2 if (len(parts) > 1 and ncpu0 >= 8) else 1
     todo = []
     for i, files in enumerate(parts):
-        if cfg.resume and tracker.is_done(f"part-{i:03d}", lineage_key(files, _VERSIONS, a_params)):
+        if cfg.resume and tracker.is_done(f"part-{i:03d}", lineage_key(files, versions, a_params)):
             n_skipped += 1
             continue
         todo.append((i, files))
@@ -451,7 +462,7 @@ def build_index(
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     down_key = lineage_key(
         stage_a_files,
-        _VERSIONS,
+        versions,
         {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b},
     )
     tracker_s = PartitionTracker(os.path.join(cfg.out_dir, "_manifests"), build_id="BCD")
@@ -753,11 +764,12 @@ def build_index(
 
     manifest = {
         "build_key": down_key,
-        "versions": _VERSIONS,
+        "versions": versions,
         "config": {
             "input_paths": sorted(cfg.input_paths),
             "n_partitions": cfg.n_partitions,
             "batch_size": cfg.batch_size,
+            "analyzer_module": amod,
             "block_size": cfg.block_size,
             "k1": cfg.k1,
             "b": cfg.b,

@@ -54,6 +54,25 @@ from .stages.encode import binary_column_buffers, decode_block_range
 from .state.manifest import load_json
 
 
+# registered ranking strategies (protocols.Scorer) — the formal scorer
+# extension seam (reference analog: the SearchService interface,
+# ``services/search/SearchService.java:5-15``). Built-in modes 'bm25'
+# and 'reference' are handled natively; ``search(mode=<name>)``
+# dispatches to a registered scorer for any other mode.
+SCORERS: dict[str, object] = {}
+
+
+def register_scorer(name: str):
+    """Decorator: register a ``(engine, terms, k, scope, conjunctive) ->
+    (ids, scores, count)`` ranking strategy under ``mode=name``."""
+
+    def deco(fn):
+        SCORERS[name] = fn
+        return fn
+
+    return deco
+
+
 class SearchEngine:
     """Loaded-once query-side state (the analog of the reference's
     singleton services + cached global scalar, ``SearchServiceImpl.java:25,147-153``
@@ -65,6 +84,15 @@ class SearchEngine:
         if not m:
             raise FileNotFoundError(f"no build manifest under {out_dir}")
         self.manifest = m
+        # query analysis uses the SAME analyzer module the index was
+        # built with (protocols.Analyzer; rank-identity requires it)
+        amod = m["config"].get("analyzer_module")
+        if amod:
+            import importlib
+
+            self._analyzer = importlib.import_module(amod)
+        else:
+            self._analyzer = analyzer
         self.k1: float = m["config"]["k1"]
         self.b: float = m["config"]["b"]
         self.n_docs: int = m["stats"]["n_docs"]
@@ -254,7 +282,7 @@ class SearchEngine:
 
     def plan(self, query_text: str) -> tuple[list[tuple[str, int]], str | None]:
         """-> (terms df-ascending then lemma lexical, error_flag)."""
-        lemmas = analyzer.analyze_query(query_text)
+        lemmas = self._analyzer.analyze_query(query_text)
         if not lemmas:
             return [], "empty_query"
         terms = []
@@ -862,6 +890,11 @@ class SearchEngine:
             count = len(ids)
             sel = np.lexsort((ids, -scores))[:k]
             ids, scores = ids[sel], scores[sel]
+        elif mode != "bm25":
+            scorer = SCORERS.get(mode)
+            if scorer is None:
+                return self._resp(error="unknown_mode")
+            ids, scores, count = scorer(self, terms, k, scope, conjunctive)
         elif method == "blockmax":
             ids, scores, count = self.score_blockmax(terms, k, scope, conjunctive)
         else:

@@ -16,7 +16,9 @@ import ray.data
 
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+# columns the analysis stage reads (doc rows carry tool/ts into the doc
+# store for result enrichment) — keep in sync with pipelines.build
+ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 TRANSCRIPT_SCHEMA = pa.schema(
     [

@@ -56,10 +56,22 @@ ANALYZED_SCHEMA = pa.schema(
 class AnalyzerActor:
     """Stateful analyzer for ``map_batches(AnalyzerActor, batch_format='pyarrow')``."""
 
-    def __init__(self, kill_after_batches: int | None = None):
+    def __init__(
+        self,
+        kill_after_batches: int | None = None,
+        analyzer_module: str | None = None,
+    ):
         # once per actor process: the memoized surface->lemma cache (the
         # analog of the reference's loaded-once morphology dictionary)
         self.memo: dict[str, str] = {}
+        # pluggable analyzer (protocols.Analyzer): imported ONCE per
+        # actor; its version is part of the partition lineage key
+        if analyzer_module:
+            import importlib
+
+            self._analyze_batch = importlib.import_module(analyzer_module).analyze_batch
+        else:
+            self._analyze_batch = analyze_batch
         # test hook (resume tests): hard-kill this worker PROCESS after N
         # batches — a real mid-flight actor death, not an exception
         self._kill_after = kill_after_batches
@@ -79,7 +91,7 @@ class AnalyzerActor:
         ts = batch.column("ts").combine_chunks()
         n = batch.num_rows
 
-        doc_idx, lemmas, tf, doc_len = analyze_batch(texts, self.memo)
+        doc_idx, lemmas, tf, doc_len = self._analyze_batch(texts, self.memo)
         npost = len(doc_idx)
         idx = pa.array(doc_idx, pa.int64())
         doc_len_arr = pa.array(doc_len, pa.int32())

@@ -144,7 +144,7 @@ class SearchEngine:
         bdl = base.column("doc_len").to_numpy()
         n_eff, len_eff = self.n_docs, int(self.manifest["stats"]["total_len"])
         d_docid, d_tf, d_dl, d_lemma = [], [], [], []
-        dd_docid, dd_role, dd_dl, dd_tool, dd_ts = [], [], [], [], []
+        dd_docid, dd_role, dd_dl, dd_tool, dd_ts, dd_conv = [], [], [], [], [], []
         for cid, info in latest.items():
             lo, hi = info["range"]
             a, b = np.searchsorted(bdoc, lo), np.searchsorted(bdoc, hi)
@@ -164,6 +164,7 @@ class SearchEngine:
             dd_ts.append(
                 docs.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
             )
+            dd_conv.extend(docs.column("conv_id").to_pylist())
             posts = pq.read_table(os.path.join(info["dir"], "postings.parquet"))
             pmask = (posts.column("docid").to_numpy() >= lo) & (
                 posts.column("docid").to_numpy() < hi
@@ -197,6 +198,7 @@ class SearchEngine:
             "dl": np.concatenate(dd_dl).astype(np.int64) if dd_dl else np.empty(0, np.int64),
             "tool": dd_tool,
             "ts": np.concatenate(dd_ts).astype(np.int64) if dd_ts else np.empty(0, np.int64),
+            "conv_id": dd_conv,
         }
         # exact corpus-stat adjustments + a safe block-max inflation for
         # unaffected lemmas. Their stored bmw used the base avgdl; the
@@ -676,6 +678,17 @@ class SearchEngine:
             if got is not None:
                 return got
 
+        if len(terms) > 1 and min(df for _, df in terms) >= 0.05 * self.n_docs:
+            # every term is hot: every window keeps every term alive with
+            # near-uniform UBs, so the windowed evaluation cannot prune
+            # (the bail-out would fire after wasting several group scans
+            # — measured ~2x the query on two-hot terms). Term-at-a-time
+            # exhaustive scoring is the optimal exact plan here and
+            # produces identical results.
+            ids, scores = self.score_exhaustive(terms, scope, conjunctive)
+            sel = np.lexsort((ids, -scores))[:k]
+            return ids[sel], scores[sel], int(len(ids))
+
         # window boundaries: every block first_docid of every term
         starts = np.unique(np.concatenate([bl["first"] for _, bl, _ in term_list]))
         W = len(starts)
@@ -966,13 +979,64 @@ class SearchEngine:
             self._fwd = (docids, codes, role_values, convs, tcodes, tool_values, ts)
         return self._fwd
 
+    # above this corpus size the forward index is not preloaded: the k
+    # winners are fetched with a filtered point-read of the docid-sorted
+    # doc store instead (row-group stats on docid prune to a few groups)
+    _POINT_READ_MIN_DOCS = 2_000_000
+
+    def _lookup_rows_point(self, ids: np.ndarray):
+        """(conv_id, role, tool, ts) per winner docid via a pruned read
+        of the doc store + delta overlay — O(k) rows driver-side, never
+        the whole forward index. Rows are memoized across queries (hot
+        winners recur)."""
+        cache = getattr(self, "_point_cache", None)
+        if cache is None:
+            cache = self._point_cache = {}
+        missing = [int(x) for x in ids if int(x) not in cache]
+        if missing:
+            t = pq.read_table(
+                build_mod.docs_dir(self.out_dir),
+                columns=["docid", "conv_id", "role", "tool", "ts"],
+                filters=[("docid", "in", missing)],
+            )
+            for d, c, r, to, ts in zip(
+                t.column("docid").to_pylist(),
+                t.column("conv_id").to_pylist(),
+                t.column("role").to_pylist(),
+                t.column("tool").to_pylist(),
+                t.column("ts").combine_chunks().cast(pa.int64()).to_pylist(),
+            ):
+                cache[int(d)] = (c, r, to, ts)
+            if self._has_deltas:
+                dd = self._delta_docs
+                dmap = {int(d): i for i, d in enumerate(dd["docid"])}
+                ms = np.array(missing, np.int64)
+                tomb = ~self._tomb_keep_mask(ms)
+                for d, is_tomb in zip(missing, tomb):
+                    i = dmap.get(d)
+                    if i is not None:  # delta row wins over masked base
+                        cache[d] = (
+                            dd["conv_id"][i], dd["role"][i], dd["tool"][i] or "", int(dd["ts"][i])
+                        )
+                    elif is_tomb:  # a tombstoned docid can never win
+                        cache.pop(d, None)
+        rows = [cache[int(d)] for d in ids]
+        return (
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] or "" for r in rows],
+            np.array([r[3] for r in rows], np.int64),
+        )
+
     def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
         """J6: broadcast-small-side join of the k winners back to the
         doc store / transcripts source for (conv_id, role, tool, ts
         [, text]) — the analog of the reference enriching every result
         with site url/name/title (``SearchServiceImpl.java:117-133``)."""
         conv_rank, turn_idx = split_docids(ids)
-        if len(ids):
+        if len(ids) and self.n_docs >= self._POINT_READ_MIN_DOCS:
+            conv_ids, roles, tools, tss = self._lookup_rows_point(ids)
+        elif len(ids):
             docids, role_codes, role_values, convs, tool_codes, tool_values, ts_arr = (
                 self._forward()
             )

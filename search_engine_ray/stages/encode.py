@@ -249,7 +249,7 @@ def decode_gaps_range(
     gd, go = gaps_buf
     gaps = codec.varint_decode(gd[go[a] : go[b]], total)
     ns = np.diff(cum_n[a : b + 1])
-    cum = np.cumsum(gaps.astype(np.int64))
+    cum = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
     seg_start = (cum_n[a:b] - cum_n[a]).astype(np.int64)
     correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
     return cum - np.repeat(correction, ns)
@@ -278,10 +278,12 @@ def decode_block_range(
     td, to = tfs_buf
     dd, do = dls_buf
     gaps = codec.varint_decode(gd[go[a] : go[b]], total)
-    tf = codec.varint_decode(td[to[a] : to[b]], total).astype(np.int64)
-    dl = codec.varint_decode(dd[do[a] : do[b]], total).astype(np.int64)
+    # int64 views, not astype copies: varint payloads are < 2^63 by
+    # construction, so the uint64 reinterpretation is free
+    tf = codec.varint_decode(td[to[a] : to[b]], total).view(np.int64)
+    dl = codec.varint_decode(dd[do[a] : do[b]], total).view(np.int64)
     ns = np.diff(cum_n[a : b + 1])
-    cum = np.cumsum(gaps.astype(np.int64))
+    cum = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
     seg_start = (cum_n[a:b] - cum_n[a]).astype(np.int64)
     correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
     docid = cum - np.repeat(correction, ns)

@@ -485,6 +485,8 @@ def build_index(
     )
     rank_ds = None
     convs_ref = None
+    docs_pending = None  # (thread, err-list) when the doc-store write overlaps stage C
+    dl_ref_mem = None
     if cfg.resume and tracker_s.is_done("docs", down_key) and prior:
         stats = dict(prior["stats"])
         if use_join_docids:
@@ -517,9 +519,40 @@ def build_index(
         docid = make_docids(rank, tD.column("turn_idx").to_numpy(zero_copy_only=False))
         tD = tD.append_column("docid", pa.array(docid, pa.int64())).sort_by("docid")
         d = _fresh_dir(docs_dir(cfg.out_dir))
-        # small row groups: the query engine point-reads winner docids
-        # via row-group stats on the docid sort key
-        pq.write_table(tD, os.path.join(d, "docs.parquet"), row_group_size=65_536)
+
+        # the doc-store WRITE overlaps stage C (a driver thread): stage C
+        # needs only the in-memory stats/broadcasts below, and the docs
+        # lineage manifest commits at join — a crash mid-C leaves stage B
+        # unmarked, so resume recomputes it (correct, merely extra work)
+        def _write_docs():
+            # small row groups: the query engine point-reads winner
+            # docids via row-group stats on the docid sort key
+            pq.write_table(tD, os.path.join(d, "docs.parquet"), row_group_size=65_536)
+            _inject("b_mid")
+            tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
+
+        if fail_at_stage == "b_mid":
+            _write_docs()  # synchronous so the injection tests see the torn state
+        else:
+            import threading
+
+            _docs_err: list[BaseException] = []
+
+            def _write_docs_guarded():
+                try:
+                    _write_docs()
+                except BaseException as e:  # re-raised at join
+                    _docs_err.append(e)
+
+            docs_pending = (threading.Thread(target=_write_docs_guarded), _docs_err)
+            docs_pending[0].start()
+        # in-memory dl broadcast for the encoder (docid-sorted already)
+        dl_ref_mem = ray.put(
+            (
+                tD.column("docid").to_numpy(),
+                tD.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
+            )
+        )
         dls = tD.column("doc_len").to_numpy(zero_copy_only=False)
         stats = {
             "n_docs": tD.num_rows,
@@ -534,8 +567,6 @@ def build_index(
             ),
         }
         convs_ref = ray.put(convs_sorted.cast(pa.string()))
-        _inject("b_mid")
-        tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
     else:
         tu = time.monotonic()
         n_convs = None
@@ -618,7 +649,9 @@ def build_index(
 
         broadcast_dl = stats["n_docs"] <= cfg.broadcast_dl_max_docs
         dl_ref = None
-        if broadcast_dl:
+        if broadcast_dl and dl_ref_mem is not None:
+            dl_ref = dl_ref_mem  # built in-memory by the stage-B driver path
+        elif broadcast_dl:
             dt = pq.read_table(docs_dir(cfg.out_dir), columns=["docid", "doc_len"])
             dl_ref = ray.put(
                 (
@@ -672,13 +705,18 @@ def build_index(
                 make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None
             )
         )
-        post_in = _sized(
+        post_lazy = (
             posts_with_ids
             .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)
             .select_columns(mat_cols)
-            .materialize(),  # sort input is otherwise executed twice
-            ncpu,
         )
+        if cfg.extra.get("no_c_materialize"):
+            post_in = post_lazy  # experiment: sort executes input twice
+        else:
+            post_in = _sized(
+                post_lazy.materialize(),  # sort input is otherwise executed twice
+                ncpu,
+            )
         timings["c_mat_s"] = round(time.monotonic() - tm, 3)
 
         if not vocab_small:
@@ -767,6 +805,11 @@ def build_index(
         stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
         stats.setdefault("n_postings", prior["stats"]["n_postings"])
     timings["stage_d_s"] = round(time.monotonic() - td, 3)
+    if docs_pending is not None:  # overlapped doc-store write must land
+        th, err = docs_pending
+        th.join()
+        if err:
+            raise err[0]
     timings["total_s"] = round(time.monotonic() - t0, 3)
 
     manifest = {

@@ -1,0 +1,42 @@
+"""CLI smoke (the REST-surface analog, SURVEY §2.1 S8): build, search,
+stats, reindex subcommands end-to-end in a subprocess that owns its own
+Ray session."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(args, cwd="/root/repo"):
+    r = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", *args],
+        capture_output=True, text=True, cwd=cwd,
+        env=dict(os.environ, RAY_DEDUP_LOGS="0"),
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_cli_build_search_stats(tiny_corpus, tmp_path):
+    out = str(tmp_path / "cliidx")
+    m = _run(["build", "--input", *tiny_corpus, "--out", out, "--partitions", "2"])
+    assert m["state"] == "DONE" and m["stats"]["n_docs"] > 0
+
+    from search_engine_ray import datagen
+
+    r = _run(["search", datagen.stem(0), "--out", out, "--limit", "3", "--snippets"])
+    assert r["result"] and r["count"] > 0 and len(r["data"]) == 3
+    row = r["data"][0]
+    assert {"conv_id", "turn_idx", "role", "tool", "ts", "score", "snippet"} <= set(row)
+
+    s = _run(["stats", "--out", out])
+    assert s["total"]["docs"] == m["stats"]["n_docs"]
+    assert set(s["per_scope"]) == set(m["stats"]["roles"])
+
+    conv = r["data"][0]["conv_id"]
+    d = _run(["reindex", "--out", out, "--conv", conv])
+    assert d["result"] and d["generation"] == 1
+    r2 = _run(["search", datagen.stem(0), "--out", out, "--limit", "3"])
+    assert r2["result"]

@@ -179,3 +179,31 @@ def test_deterministic_tiebreak_total_order(engine):
     assert a == b
     keys = [(-r["score"], r["conv_id"], r["turn_idx"]) for r in a]
     assert keys == sorted(keys)
+
+
+def test_random_queries_blockmax_equals_exhaustive(engine):
+    """Randomized (seeded) multi-term queries over the real vocabulary:
+    every evaluation path the planner can take (windowed block-max,
+    candidate-driven MaxScore, all-hot direct exhaustive, bail-out) must
+    be rank-identical to the exhaustive scorer — same docids, exact
+    float64 score equality, same exact counts."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for _ in range(40):
+        n_terms = int(rng.integers(1, 4))
+        stems = [datagen.stem(int(rng.integers(0, 8000))) for _ in range(n_terms)]
+        if rng.random() < 0.5:  # mix in a hot term half the time
+            stems[0] = datagen.stem(int(rng.integers(0, 3)))
+        q = " ".join(stems)
+        scope = None if rng.random() < 0.7 else ["user", "assistant"][int(rng.integers(0, 2))]
+        conj = bool(rng.random() < 0.2)
+        k = int(rng.integers(1, 25))
+        bm = engine.search(q, scope=scope, limit=k, method="blockmax", conjunctive=conj)
+        ex = engine.search(q, scope=scope, limit=k, method="exhaustive", conjunctive=conj)
+        assert bm["count"] == ex["count"], q
+        a, b = bm["data"].to_pylist(), ex["data"].to_pylist()
+        assert len(a) == len(b), q
+        for ra, rb in zip(a, b):
+            assert (ra["conv_id"], ra["turn_idx"]) == (rb["conv_id"], rb["turn_idx"]), q
+            assert ra["score"] == rb["score"], q

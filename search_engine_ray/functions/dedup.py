@@ -787,7 +787,7 @@ def embedding_dup_pairs_ivf(
     bounded; the shuffle stays one hash exchange regardless."""
     from .similarity import train_centroids
 
-    cents = train_centroids(ds, vec_col, nlist)
+    cents = train_centroids(ds, vec_col, nlist, id_col=id_col)
     cref = ray.put(cents)
 
     class CellAssign:

@@ -318,3 +318,14 @@ def test_session_windows_oracle(events_ds, educk):
     )
     assert t.num_rows > 0
     assert min(t["n_events"].to_pylist()) >= 1
+
+
+def test_knn_ivf_prebuilt_index_matches(emb_ds):
+    """The persisted-cell index path must return the same neighbors as
+    the inline-assignment path (same centroids, same probes)."""
+    from search_engine_ray.functions import similarity
+
+    inline = similarity.knn_ivf(emb_ds)
+    indexed = similarity.build_ivf_index(emb_ds)
+    via_index = similarity.knn_ivf(emb_ds, indexed=indexed)
+    assert via_index.equals(inline)

@@ -219,16 +219,31 @@ def _vocab_from_parquet_dictionaries(files: list[str]) -> tuple[np.ndarray, np.n
 
 def _unique_lemma_pairs(batch: pa.Table) -> pa.Table:
     """Per-batch unique (lemma, lemma_h) pairs — the map-side combine of
-    the vocabulary pass (reuses the batch's lemma_h via first-occurrence
-    indices; no re-hashing)."""
+    the vocabulary pass. Reuses the batch's lemma_h when present; else
+    hashes the UNIQUE lemmas (memoized per process)."""
     d = batch.column("lemma").combine_chunks().dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False)
     _, first = np.unique(codes, return_index=True)
-    h = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
+    uniq = d.dictionary.take(pa.array(codes[first]))
+    if "lemma_h" in batch.column_names:
+        h = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
+        uniq_h = h[first]
+    else:
+        from ..analyzer import lemma_hash64
+
+        memo = _LEMMA_H_MEMO
+        get = memo.get
+        uniq_h = np.empty(len(uniq), np.int64)
+        for i, s in enumerate(uniq.to_pylist()):
+            v = get(s)
+            if v is None:
+                v = lemma_hash64(s)
+                memo[s] = v
+            uniq_h[i] = v
     return pa.table(
         {
-            "lemma": d.dictionary.take(pa.array(codes[first])),
-            "lemma_h": pa.array(h[first], pa.int64()),
+            "lemma": uniq,
+            "lemma_h": pa.array(uniq_h, pa.int64()),
         }
     )
 
@@ -666,31 +681,57 @@ def build_index(
             read_cols.append("doc_len")
 
         # The vocabulary (lemma_h -> lemma broadcast; the exchange ships
-        # NO strings, the encoder restores them). Small inputs: read it
-        # driver-side off stage A's parquet dictionary pages (~ms).
-        # Large inputs: map-side-combine unique pairs off the
-        # materialized blocks below. A detected 63-bit hash collision
-        # would make two lemmas indistinguishable in the string-free
-        # exchange — handled by falling back to carrying the string
-        # through the shuffle (the encoder splits runs by exact string).
+        # NO strings, the encoder restores them) — ALWAYS built before
+        # the materialize so the materialized sort input never carries
+        # the string (measured: a with-lemma materialize + sort-side
+        # projection cost 6x at sf2). Small inputs: read it driver-side
+        # off stage A's parquet dictionary pages (~ms). Large inputs: a
+        # map-side-combine unique pass over the (dictionary-encoded)
+        # parquet lemma column. A detected 63-bit hash collision would
+        # make two lemmas indistinguishable in the string-free exchange —
+        # handled by falling back to carrying the string through the
+        # shuffle (the encoder splits runs by exact string).
         def _finish_vocab(h_sorted: np.ndarray, lem_sorted: np.ndarray):
             collision = bool(
                 len(h_sorted) > 1 and (np.diff(h_sorted.astype(np.int64)) == 0).any()
             ) or bool(cfg.extra.get("force_lemma_in_shuffle"))
             return ray.put((h_sorted.astype(np.int64), lem_sorted)), collision
 
-        vocab_small = post_bytes <= cfg.driver_small_post_bytes
-        if vocab_small:
-            tv = time.monotonic()
+        tv = time.monotonic()
+        if post_bytes <= cfg.driver_small_post_bytes:
             vocab_ref, collision = _finish_vocab(
                 *_vocab_from_parquet_dictionaries(post_files)
             )
-            timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
-            if collision:
-                sort_cols.insert(0, "lemma")
-            mat_cols = sort_cols
         else:
-            mat_cols = ["lemma", *sort_cols]
+            # batch_size forced LARGE: the parquet reader yields many
+            # small blocks and a per-tiny-batch unique combines nothing
+            # (measured 41M "unique" rows reaching the driver at sf2)
+            vparts = ray.get(
+                rd.read_parquet(post_files, columns=["lemma"])
+                .map_batches(
+                    _unique_lemma_pairs, batch_format="pyarrow", batch_size=4_000_000
+                )
+                .to_arrow_refs()
+            )
+            vt = pa.concat_tables(
+                [t for t in vparts if t.num_rows]
+                or [pa.table({"lemma": pa.array([], pa.string()),
+                              "lemma_h": pa.array([], pa.int64())})]
+            )
+            # final dedupe on integer dictionary codes, not object arrays
+            d_enc = vt.column("lemma").combine_chunks().dictionary_encode()
+            codes = d_enc.indices.to_numpy(zero_copy_only=False)
+            _, first = np.unique(codes, return_index=True)
+            h_u = vt.column("lemma_h").to_numpy()[first]
+            lem_u = np.asarray(
+                d_enc.dictionary.take(pa.array(codes[first])).to_pylist(), dtype=object
+            )
+            order = np.argsort(h_u, kind="stable")
+            vocab_ref, collision = _finish_vocab(h_u[order], lem_u[order])
+        timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
+        if collision:
+            sort_cols.insert(0, "lemma")
+        mat_cols = sort_cols
 
         # ONE scan of stage A: attach docid + lemma_h, materialize the
         # exchange payload (plus the lemma string only when the Ray-side
@@ -719,32 +760,7 @@ def build_index(
             )
         timings["c_mat_s"] = round(time.monotonic() - tm, 3)
 
-        if not vocab_small:
-            # vocabulary off the materialized blocks (map-side combine
-            # over plasma, no second parquet scan). Vocabulary is
-            # ~10^4-10^6 entries (≪ corpus); at ≫10^8 switch to the
-            # block-offset dense-rank described in docid.py.
-            tv = time.monotonic()
-            vparts = ray.get(
-                post_in.select_columns(["lemma", "lemma_h"])
-                .map_batches(_unique_lemma_pairs, batch_format="pyarrow", batch_size=None)
-                .to_arrow_refs()
-            )
-            vt = pa.concat_tables(
-                [t for t in vparts if t.num_rows]
-                or [pa.table({"lemma": pa.array([], pa.string()), "lemma_h": pa.array([], pa.int64())})]
-            )
-            lem_np = np.asarray(vt.column("lemma").to_pylist(), dtype=object)
-            h_np_all = vt.column("lemma_h").to_numpy()
-            _, first = np.unique(lem_np, return_index=True)
-            h_u = h_np_all[first]
-            order = np.argsort(h_u, kind="stable")
-            vocab_ref, collision = _finish_vocab(h_u[order], lem_np[first][order])
-            timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
-            if collision:
-                sort_cols.insert(0, "lemma")
-
-        sort_in = post_in if mat_cols == sort_cols else post_in.select_columns(sort_cols)
+        sort_in = post_in
         ts_ = time.monotonic()
         (
             sort_in

@@ -281,6 +281,48 @@ def test_image_codec_roundtrip_and_golden():
     assert np.array_equal(s1, s2) and not np.allclose(s1, s1[0])
 
 
+def test_audio_video_codecs_roundtrip_and_golden():
+    """WAV PCM-16 round-trips; y4m yields the encoded luma frames; the
+    extractor's audio/video paths are the real decoders, not the stub."""
+    import numpy as np
+
+    from search_engine_ray.stages import multimodal as mm
+
+    # WAV: samples round-trip through encode/decode (mono PCM-16)
+    rng = np.random.default_rng(5)
+    s16 = ((rng.random(1000) * 2 - 1) * 30000).astype(np.int16)
+    wave, rate = mm.decode_wav(mm.encode_wav(s16, rate=16000))
+    assert rate == 16000
+    assert np.allclose(wave, s16.astype(np.float64) / 32768.0)
+    # golden: constant-amplitude signal -> every RMS window == amplitude
+    const = np.full(640, 8192, np.int16)
+    feats = mm.audio_features(mm.decode_wav(mm.encode_wav(const))[0], 8)
+    assert np.allclose(feats, 8192 / 32768.0, atol=1e-6)
+
+    # y4m: luma planes round-trip frame by frame
+    frames = rng.integers(0, 256, size=(5, 12, 16), dtype=np.uint8)
+    got = list(mm.iter_y4m_frames(mm.encode_y4m(frames)))
+    assert len(got) == 5 and all(np.array_equal(a, b) for a, b in zip(got, frames))
+    # stride frame-sampling: 5 frames, max 2 -> frames 0 and 3
+    vf = mm.sample_video_features(mm.encode_y4m(frames), mm.FEATURE_DIM, max_frames=2)
+    expect = np.mean(
+        [mm.luma_features(frames[i].astype(np.float64), mm.FEATURE_DIM) for i in (0, 3)],
+        axis=0,
+    )
+    assert np.allclose(vf, expect, atol=1e-6)
+
+    # the extractor routes media types to the real codecs
+    ext = mm.MediaFeatureExtractor()
+    assert np.allclose(ext._decode(mm.encode_wav(const), "audio"), 8192 / 32768.0, atol=1e-6)
+    assert np.allclose(
+        ext._decode(mm.encode_y4m(frames), "video"),
+        mm.sample_video_features(mm.encode_y4m(frames), mm.FEATURE_DIM),
+        atol=1e-6,
+    )
+    with pytest.raises(ValueError):
+        mm.MediaFeatureExtractor(backend="ppm")._decode(b"mp3junk", "audio")
+
+
 # ----------------------------------------------------------- windows
 
 

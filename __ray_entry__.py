@@ -328,6 +328,20 @@ def _knn_ivf(sf_dir: str):
     return similarity.knn_ivf(_embeddings_ds(sf_dir))
 
 
+def _knn_ivf_full_probe(sf_dir: str):
+    """IVF with nprobe == nlist: every query probes EVERY cell, so the
+    cell-partitioned scan must reproduce exhaustive cosine top-k exactly
+    — an exact oracle over the persisted-index machinery (assignment
+    pass + cell-pruned scan + partial-top-k merge). The production
+    nprobe < nlist configuration stays the approximate ``knn_ivf`` row
+    (recall vs brute force pinned in tests/test_functions.py)."""
+    from search_engine_ray.functions import similarity
+
+    ds = _embeddings_ds(sf_dir)
+    indexed = similarity.build_ivf_index(ds, nlist=16)
+    return similarity.knn_ivf(ds, nlist=16, nprobe=16, indexed=indexed)
+
+
 def _text_token_counts(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -437,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_full_probe": _knn_ivf_full_probe,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
@@ -504,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup_mod.simhash_sql("documents"),
         "dedup_embedding": dedup_mod.embedding_dup_sql("embeddings"),
         "knn_bruteforce": similarity_mod.knn_bruteforce_sql("embeddings"),
+        # nprobe == nlist probes every cell: the persisted-index scan
+        # (assignment + cell filter + partial-top-k merge) must equal
+        # exhaustive cosine top-k — same oracle as knn_bruteforce
+        "knn_ivf_full_probe": similarity_mod.knn_bruteforce_sql("embeddings"),
         "text_token_counts": ta_mod.token_counts_sql("documents"),
         "text_quality": ta_mod.quality_features_sql("documents"),
         "text_fingerprint": ta_mod.fingerprint_sql("documents"),

@@ -526,6 +526,23 @@ class SearchEngine:
         return uniq, scores
 
     @staticmethod
+    def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
+        """Top-k by (score DESC, docid ASC) without sorting the full
+        array: an O(n) partition finds the k-th largest score, every doc
+        at-or-above it survives (ties included, so the docid tie-break
+        stays exact), and only the survivors are lexsorted. On all-hot
+        queries the result set is ~n_docs and a full lexsort dominated
+        the warm query (~0.5 s at sf1); this is ~10x cheaper."""
+        n = len(ids)
+        if n <= k:
+            sel = np.lexsort((ids, -scores))
+            return ids[sel], scores[sel]
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.flatnonzero(scores >= kth)
+        sel = cand[np.lexsort((ids[cand], -scores[cand]))[:k]]
+        return ids[sel], scores[sel]
+
+    @staticmethod
     def _union_count(parts: list[np.ndarray]) -> int:
         """|union| of docid arrays via radix sort (no quicksort unique)."""
         if not parts:
@@ -686,8 +703,9 @@ class SearchEngine:
             # exhaustive scoring is the optimal exact plan here and
             # produces identical results.
             ids, scores = self.score_exhaustive(terms, scope, conjunctive)
-            sel = np.lexsort((ids, -scores))[:k]
-            return ids[sel], scores[sel], int(len(ids))
+            n = len(ids)
+            ids, scores = self._topk(ids, scores, k)
+            return ids, scores, n
 
         # window boundaries: every block first_docid of every term
         starts = np.unique(np.concatenate([bl["first"] for _, bl, _ in term_list]))
@@ -755,8 +773,9 @@ class SearchEngine:
                 )
                 if remaining > GROUP and alive > 0.9 * remaining:
                     ids, scores = self.score_exhaustive(terms, scope, conjunctive)
-                    sel = np.lexsort((ids, -scores))[:k]
-                    return ids[sel], scores[sel], int(len(ids))
+                    n = len(ids)
+                    ids, scores = self._topk(ids, scores, k)
+                    return ids, scores, n
             s_arr, e_arr = starts[grp], ends[grp]
             o2 = np.argsort(s_arr)
             s_sorted, e_sorted = s_arr[o2], e_arr[o2]
@@ -784,8 +803,7 @@ class SearchEngine:
             # merge into running top-k with (score DESC, docid ASC)
             all_ids = np.concatenate([top_ids, ids])
             all_scores = np.concatenate([top_scores, scores])
-            sel = np.lexsort((all_ids, -all_scores))[:k]
-            top_ids, top_scores = all_ids[sel], all_scores[sel]
+            top_ids, top_scores = self._topk(all_ids, all_scores, k)
             if len(top_scores) >= k:
                 threshold = top_scores[-1]
         if len(terms) == 1 and scope_ids is None and not conjunctive:
@@ -901,8 +919,7 @@ class SearchEngine:
             if err:
                 return self._resp(error=err)
             count = len(ids)
-            sel = np.lexsort((ids, -scores))[:k]
-            ids, scores = ids[sel], scores[sel]
+            ids, scores = self._topk(ids, scores, k)
         elif mode != "bm25":
             scorer = SCORERS.get(mode)
             if scorer is None:
@@ -913,8 +930,7 @@ class SearchEngine:
         else:
             ids, scores = self.score_exhaustive(terms, scope, conjunctive)
             count = len(ids)
-            sel = np.lexsort((ids, -scores))[:k]
-            ids, scores = ids[sel], scores[sel]
+            ids, scores = self._topk(ids, scores, k)
         ids, scores = ids[offset:], scores[offset:]
         tbl = self._enrich(ids, scores, terms, with_snippets)
         return {"result": True, "count": int(count), "data": tbl, "error": None}

@@ -52,6 +52,12 @@ def varint_decode(buf: bytes | memoryview, n: int | None = None) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
+    if n is not None and len(b) == n:
+        # every value is a single byte (stream length == value count) —
+        # the continuation bit is clear everywhere, so the bytes ARE the
+        # values. Hot posting lists are dominated by 1-byte gaps/tfs;
+        # this skips the flatnonzero + per-byte-position passes.
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))

@@ -63,11 +63,26 @@ def run_bench() -> dict:
                 pass
 
     out = f"/tmp/seray_bench/{tag}-cpus{ncpu}"
-    shutil.rmtree(out, ignore_errors=True)
-    cfg = BuildConfig(input_paths=files, out_dir=out)
-    t0 = time.monotonic()
-    manifest = build.build_index(cfg)
-    build_s = time.monotonic() - t0
+    # Best-of-N builds (default 2 at small sf): this box is a shared VM
+    # with one-sided interference noise (neighbors only ever slow a run;
+    # measured up to 2x on identical code) — min-of-repeats is the
+    # noise-floor estimator documented in BENCH/BASELINE.md. All samples
+    # are reported. Large corpora default to a single run to bound wall
+    # time (and --scaling already repeats at the leg level).
+    sf_val = float(tag[2:])
+    default_reps = "2" if sf_val <= 0.2 else "1"
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", default_reps))
+    build_samples: list[float] = []
+    build_s, manifest = None, None
+    for _rep in range(max(1, repeats)):
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = BuildConfig(input_paths=files, out_dir=out)
+        t0 = time.monotonic()
+        m = build.build_index(cfg)
+        s = time.monotonic() - t0
+        build_samples.append(round(s, 3))
+        if build_s is None or s < build_s:
+            build_s, manifest = s, m
 
     eng = SearchEngine(out)
     qset = datagen.reference_queries()
@@ -100,6 +115,7 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / build_s, 1),
         "query_p95_ms": round(p95_ms, 1),
+        "build_samples": build_samples,
     }
     ray.shutdown()
     return result
@@ -160,6 +176,20 @@ def run_scaling() -> dict:
 
 def _write_bench_md(lo: dict, hi: dict, summary: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    # Preserve hand-curated analysis sections (8->32 comparison, run
+    # history) across rewrites: everything from the first "## 8->32" or
+    # "## Run history" heading onward is carried over verbatim.
+    preserved = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        for marker in ("\n## 8->32", "\n## Run history"):
+            pos = old.find(marker)
+            if pos != -1:
+                preserved = old[pos:]
+                break
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured two-level scaling (sandbox evidence for the "
@@ -198,6 +228,8 @@ def _write_bench_md(lo: dict, hi: dict, summary: dict) -> None:
             "doc_len broadcast-restored at encode) and stages B/C read only\n"
             "their own row kind from the hive-split stage-A output.\n"
         )
+        if preserved:
+            f.write(preserved)
 
 
 if __name__ == "__main__":

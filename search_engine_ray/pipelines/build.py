@@ -54,7 +54,7 @@ from ..analyzer import ANALYZER_VERSION
 from ..config import BuildConfig
 from ..docid import make_docid_attacher
 from ..stages.analyze import AnalyzerActor
-from ..stages.encode import make_block_encoder
+from ..stages.encode import make_block_encoder, scope_codes_of
 from ..state.manifest import (
     STATE_DONE,
     STATE_FAILED,
@@ -64,7 +64,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "5"
+CODEC_VERSION = "6"  # 6: per-posting scope-code stream (scps) in index blocks
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
 ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -183,6 +183,22 @@ def _attach_lemma_hash(batch: pa.Table) -> pa.Table:
         uniq_h[i] = h
     codes = d.indices.to_numpy(zero_copy_only=False)
     return batch.append_column("lemma_h", pa.array(uniq_h[codes], pa.int64()))
+
+
+def make_scope_coder(roles: list[str], tools: list[str]):
+    """map_batches fn: (role, tool) columns -> int32 ``scope_code``
+    (the oversized-corpus regime where the doc-side broadcast doesn't
+    fit — the code rides the stage-C shuffle instead)."""
+
+    def code(batch: pa.Table) -> pa.Table:
+        sc = scope_codes_of(
+            batch.column("role").combine_chunks(),
+            batch.column("tool").combine_chunks(),
+            roles, tools,
+        )
+        return batch.append_column("scope_code", pa.array(sc.astype(np.int32), pa.int32()))
+
+    return code
 
 
 def _vocab_from_parquet_dictionaries(files: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -561,13 +577,6 @@ def build_index(
 
             docs_pending = (threading.Thread(target=_write_docs_guarded), _docs_err)
             docs_pending[0].start()
-        # in-memory dl broadcast for the encoder (docid-sorted already)
-        dl_ref_mem = ray.put(
-            (
-                tD.column("docid").to_numpy(),
-                tD.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
-            )
-        )
         dls = tD.column("doc_len").to_numpy(zero_copy_only=False)
         stats = {
             "n_docs": tD.num_rows,
@@ -581,6 +590,20 @@ def build_index(
                 x for x in pc.unique(tD.column("tool").combine_chunks()).to_pylist() if x
             ),
         }
+        # in-memory (docid, doc_len, scope_code) broadcast for the encoder
+        # (docid-sorted already; codes are a pure function of stats.roles/
+        # stats.tools, reconstructed identically at query time)
+        dl_ref_mem = ray.put(
+            (
+                tD.column("docid").to_numpy(),
+                tD.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
+                scope_codes_of(
+                    tD.column("role").combine_chunks(),
+                    tD.column("tool").combine_chunks(),
+                    stats["roles"], stats["tools"],
+                ).astype(np.int32),
+            )
+        )
         convs_ref = ray.put(convs_sorted.cast(pa.string()))
     else:
         tu = time.monotonic()
@@ -667,18 +690,27 @@ def build_index(
         if broadcast_dl and dl_ref_mem is not None:
             dl_ref = dl_ref_mem  # built in-memory by the stage-B driver path
         elif broadcast_dl:
-            dt = pq.read_table(docs_dir(cfg.out_dir), columns=["docid", "doc_len"])
+            dt = pq.read_table(
+                docs_dir(cfg.out_dir), columns=["docid", "doc_len", "role", "tool"]
+            )
             dl_ref = ray.put(
                 (
                     dt.column("docid").to_numpy(),
                     dt.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
+                    scope_codes_of(
+                        dt.column("role").combine_chunks(),
+                        dt.column("tool").combine_chunks(),
+                        stats["roles"], stats["tools"],
+                    ).astype(np.int32),
                 )
             )
         sort_cols = ["lemma_h", "docid", "tf"]
         read_cols = ["lemma", "conv_id", "turn_idx", "tf"]
         if not broadcast_dl:
-            sort_cols.append("doc_len")
-            read_cols.append("doc_len")
+            # oversized-corpus fallback: doc_len and the int32 scope code
+            # ride the shuffle (stage A stamps role/tool on posting rows)
+            sort_cols.extend(["doc_len", "scope_code"])
+            read_cols.extend(["doc_len", "role", "tool"])
 
         # The vocabulary (lemma_h -> lemma broadcast; the exchange ships
         # NO strings, the encoder restores them) — ALWAYS built before
@@ -746,6 +778,12 @@ def build_index(
                 make_docid_attacher(convs_ref), batch_format="pyarrow", batch_size=None
             )
         )
+        if not broadcast_dl:
+            posts_with_ids = posts_with_ids.map_batches(
+                make_scope_coder(stats["roles"], stats["tools"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
         post_lazy = (
             posts_with_ids
             .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)

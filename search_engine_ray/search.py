@@ -50,7 +50,12 @@ from . import analyzer
 from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF
 from .docid import split_docids
 from .pipelines import build as build_mod
-from .stages.encode import binary_column_buffers, decode_block_range
+from .stages.encode import (
+    binary_column_buffers,
+    decode_block_range,
+    decode_scps_range,
+    scope_code_space,
+)
 from .state.manifest import load_json
 
 
@@ -105,7 +110,12 @@ class SearchEngine:
         )
         self._index = pads.dataset(build_mod.index_dir(out_dir))
         self._intervals: list[tuple[int, int, str]] | None = None
-        self._scope_cache: dict[str, np.ndarray] = {}
+        # scope filtering is per-posting: every block carries a scope-code
+        # stream (doc-level (role, tool) -> dense code, a pure function of
+        # the manifest's roles/tools lists) — no driver-side scope docid
+        # list at ANY corpus size. _scope_luts caches scope -> bool LUT.
+        self._scope_luts: dict[str, np.ndarray] = {}
+        self._extra_pairs: dict[tuple[str, str], int] = {}  # delta-only (role, tool)
         self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
         self._fwd: tuple | None = None  # lazy (docids, role_codes, roles, convs)
         self._ref_max_relevance: float | None = None
@@ -200,6 +210,25 @@ class SearchEngine:
             "ts": np.concatenate(dd_ts).astype(np.int64) if dd_ts else np.empty(0, np.int64),
             "conv_id": dd_conv,
         }
+        # per-posting scope codes for the delta overlay: delta docs may
+        # carry (role, tool) pairs unseen at base-build time — those get
+        # codes appended after the base code space (_pair_code), so base
+        # block codes never renumber. Delta postings inherit their doc's
+        # code via binary search (delta volume is reindexed-conv-sized).
+        dd0 = self._delta_docs
+        doc_codes = np.fromiter(
+            (self._pair_code(r, t) for r, t in zip(dd0["role"], dd0["tool"])),
+            np.int64,
+            count=len(dd0["role"]),
+        )
+        dd0["scope_code"] = doc_codes
+        if self._delta_lemma:
+            order_d = np.argsort(dd0["docid"], kind="stable")
+            sorted_ids = dd0["docid"][order_d]
+            code_sorted = doc_codes[order_d]
+            for lem, (di, tfv, dlv) in list(self._delta_lemma.items()):
+                sc = code_sorted[np.searchsorted(sorted_ids, di)]
+                self._delta_lemma[lem] = (di, tfv, dlv, sc)
         # exact corpus-stat adjustments + a safe block-max inflation for
         # unaffected lemmas. Their stored bmw used the base avgdl; the
         # weight tf/(tf + k1*(1-b+b*dl/avgdl)) INCREASES when avgdl grows
@@ -232,21 +261,24 @@ class SearchEngine:
             if self._bmw_scale > 1.0:
                 bl["bmw"] = bl["bmw"] * self._bmw_scale
             return
-        docid, tf, dl = self._decode_term(
+        docid, tf, dl, sc = self._decode_term(
             bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
         )
         if len(docid):
             keep = self._tomb_keep_mask(docid)
-            docid, tf, dl = docid[keep], tf[keep], dl[keep]
+            docid, tf, dl, sc = docid[keep], tf[keep], dl[keep], sc[keep]
         if delta is not None:
             docid = np.concatenate([docid, delta[0]])
             tf = np.concatenate([tf, delta[1]])
             dl = np.concatenate([dl, delta[2]])
+            sc = np.concatenate([sc, delta[3]])
             order = np.argsort(docid, kind="stable")
-            docid, tf, dl = docid[order], tf[order], dl[order]
-        self._block_cache[lem] = self._synth_blocks(docid, tf, dl)
+            docid, tf, dl, sc = docid[order], tf[order], dl[order], sc[order]
+        self._block_cache[lem] = self._synth_blocks(docid, tf, dl, sc)
 
-    def _synth_blocks(self, docid: np.ndarray, tf: np.ndarray, dl: np.ndarray) -> dict:
+    def _synth_blocks(
+        self, docid: np.ndarray, tf: np.ndarray, dl: np.ndarray, sc: np.ndarray
+    ) -> dict:
         """Block dict equivalent to a freshly-encoded term: synthetic
         skip metadata + pre-decoded chunk cache (no varint payloads)."""
         bs = int(self.manifest["config"]["block_size"])
@@ -264,7 +296,7 @@ class SearchEngine:
         for ci in range((nblk + ch - 1) // ch):
             a, b = ci * ch, min((ci + 1) * ch, nblk)
             ps, pe = int(cum_n[a]), int(cum_n[b])
-            chunks[ci] = (docid[ps:pe], tf[ps:pe], dl[ps:pe])
+            chunks[ci] = (docid[ps:pe], tf[ps:pe], dl[ps:pe], sc[ps:pe])
         return {
             "first": docid[starts] if n else np.empty(0, np.int64),
             "last": docid[ends - 1] if n else np.empty(0, np.int64),
@@ -274,6 +306,7 @@ class SearchEngine:
             "gaps": None,
             "tfs": None,
             "dls": None,
+            "scps": None,
             "chunks": chunks,
         }
 
@@ -372,6 +405,7 @@ class SearchEngine:
                     "gaps": binary_column_buffers(sub.column("gaps")),
                     "tfs": binary_column_buffers(sub.column("tfs")),
                     "dls": binary_column_buffers(sub.column("dls")),
+                    "scps": binary_column_buffers(sub.column("scps")),
                 }
                 if self._has_deltas:
                     self._overlay_delta(lem)
@@ -380,34 +414,34 @@ class SearchEngine:
     _DECODE_CHUNK = 128  # blocks per cached decode unit
 
     def _decode_term(self, blocks: dict, lo: int, hi: int, cache: dict):
-        """Decode blocks lo..hi (exclusive) -> (docid, tf, dl). Decoding
-        runs in chunk units of ``_DECODE_CHUNK`` blocks — each chunk is a
-        single vectorized varint pass over a contiguous buffer slice —
-        memoized in ``cache`` because the windowed block-max path revisits
-        neighbouring blocks."""
+        """Decode blocks lo..hi (exclusive) -> (docid, tf, dl,
+        scope_code). Decoding runs in chunk units of ``_DECODE_CHUNK``
+        blocks — each chunk is a single vectorized varint pass over a
+        contiguous buffer slice — memoized in ``cache`` because the
+        windowed block-max path revisits neighbouring blocks."""
         if hi <= lo:
             z = np.empty(0, np.int64)
-            return z, z, z
+            return z, z, z, z
         ch = self._DECODE_CHUNK
         cum = blocks["cum_n"]
         nb = len(blocks["n"])
-        out_d, out_t, out_l = [], [], []
+        out = ([], [], [], [])
         for ci in range(lo // ch, (hi - 1) // ch + 1):
             a, b = ci * ch, min((ci + 1) * ch, nb)
             got = cache.get(ci)
             if got is None:
                 got = decode_block_range(
-                    blocks["gaps"], blocks["tfs"], blocks["dls"], cum, a, b
+                    blocks["gaps"], blocks["tfs"], blocks["dls"], cum, a, b,
+                    scps_buf=blocks["scps"],
                 )
                 cache[ci] = got
             s, e = max(lo, a), min(hi, b)
             ps, pe = int(cum[s] - cum[a]), int(cum[e] - cum[a])
-            out_d.append(got[0][ps:pe])
-            out_t.append(got[1][ps:pe])
-            out_l.append(got[2][ps:pe])
-        if len(out_d) == 1:
-            return out_d[0], out_t[0], out_l[0]
-        return np.concatenate(out_d), np.concatenate(out_t), np.concatenate(out_l)
+            for k in range(4):
+                out[k].append(got[k][ps:pe])
+        if len(out[0]) == 1:
+            return out[0][0], out[1][0], out[2][0], out[3][0]
+        return tuple(np.concatenate(o) for o in out)
 
     def _decode_term_docids(self, blocks: dict, cache: dict) -> np.ndarray:
         """Gaps-only decode of a term's FULL docid list (for counting:
@@ -438,6 +472,50 @@ class SearchEngine:
             out.append(got)
         return out[0] if len(out) == 1 else np.concatenate(out)
 
+    def _decode_term_docids_sc(self, blocks: dict, cache: dict):
+        """(docid, scope_code) full decode for the SCOPED counting path —
+        gaps + scps streams only (tf/dl skipped). Chunk-memoized like
+        the gaps-only variant; reuses full-decode entries when present."""
+        cum = blocks["cum_n"]
+        nb = len(blocks["n"])
+        if nb == 0:
+            z = np.empty(0, np.int64)
+            return z, z
+        ch = self._DECODE_CHUNK
+        out_d, out_s = [], []
+        for ci in range((nb - 1) // ch + 1):
+            a, b = ci * ch, min((ci + 1) * ch, nb)
+            full = cache.get(ci)
+            if full is not None:
+                out_d.append(full[0])
+                out_s.append(full[3])
+                continue
+            docid = self._decode_term_docids_chunk(blocks, cache, ci, a, b)
+            sc = cache.get(("s", ci))
+            if sc is None:
+                if blocks["scps"] is None:  # synthetic delta-overlay blocks
+                    sc = self._decode_term(blocks, a, b, cache)[3]
+                else:
+                    sc = decode_scps_range(blocks["scps"], cum, a, b)
+                cache[("s", ci)] = sc
+            out_d.append(docid)
+            out_s.append(sc)
+        if len(out_d) == 1:
+            return out_d[0], out_s[0]
+        return np.concatenate(out_d), np.concatenate(out_s)
+
+    def _decode_term_docids_chunk(self, blocks, cache, ci, a, b) -> np.ndarray:
+        from .stages.encode import decode_gaps_range
+
+        got = cache.get(("g", ci))
+        if got is None:
+            if blocks["gaps"] is None:
+                got = self._decode_term(blocks, a, b, cache)[0]
+            else:
+                got = decode_gaps_range(blocks["gaps"], blocks["cum_n"], a, b)
+            cache[("g", ci)] = got
+        return got
+
     # ---------------- scope (site-analog) filter ----------------------
 
     @staticmethod
@@ -449,27 +527,51 @@ class SearchEngine:
             return "tool", scope[len("tool:"):]
         return "role", scope
 
-    def scope_docids(self, scope: str) -> np.ndarray:
-        """Sorted docids of one scope value — read partition-pruned from
-        the docid-sorted doc store (row-group stats filter on the scope
-        column)."""
-        got = self._scope_cache.get(scope)
-        if got is None:
+    def _pair_code(self, role: str | None, tool: str | None) -> int:
+        """Dense scope code of a (role, tool) pair: the base formula over
+        the manifest's roles/tools lists, or an appended code for pairs
+        first seen in a delta generation (base block codes never
+        renumber)."""
+        roles = self.manifest["stats"].get("roles", [])
+        tools = self.manifest["stats"].get("tools", [])
+        r, t = role or "", tool or ""
+        ri = 0 if r == "" else (roles.index(r) + 1 if r in roles else None)
+        ti = 0 if t == "" else (tools.index(t) + 1 if t in tools else None)
+        if ri is not None and ti is not None:
+            return ri * (len(tools) + 1) + ti
+        pair = (r, t)
+        c = self._extra_pairs.get(pair)
+        if c is None:
+            c = scope_code_space(roles, tools) + len(self._extra_pairs)
+            self._extra_pairs[pair] = c
+        return c
+
+    def _scope_lut(self, scope: str) -> np.ndarray:
+        """Scope value -> bool lookup table over the dense scope-code
+        space; per-posting filtering is ``lut[scope_codes]``. O(#role x
+        #tool values) — independent of corpus size (the 10^12-doc answer
+        to the reference's site filter: no scope docid list ever
+        materializes)."""
+        lut = self._scope_luts.get(scope)
+        if lut is None:
             col, value = self._parse_scope(scope)
-            t = pq.read_table(
-                build_mod.docs_dir(self.out_dir),
-                columns=["docid"],
-                filters=[(col, "==", value)],
-            )
-            got = t.column("docid").to_numpy()
-            if self._has_deltas:
-                got = got[self._tomb_keep_mask(got)]
-                dd = self._delta_docs
-                extra = dd["docid"][np.asarray([v == value for v in dd[col]], bool)]
-                got = np.concatenate([got, extra])
-            got = np.sort(got)
-            self._scope_cache[scope] = got
-        return got
+            roles = self.manifest["stats"].get("roles", [])
+            tools = self.manifest["stats"].get("tools", [])
+            nt = len(tools) + 1
+            base = scope_code_space(roles, tools)
+            lut = np.zeros(base + len(self._extra_pairs), bool)
+            if col == "role":
+                if value in roles:
+                    rc = roles.index(value) + 1
+                    lut[rc * nt : (rc + 1) * nt] = True
+            else:
+                if value in tools:
+                    tc = tools.index(value) + 1
+                    lut[tc:base:nt] = True
+            for (r, t), c in self._extra_pairs.items():
+                lut[c] = (r == value) if col == "role" else (t == value)
+            self._scope_luts[scope] = lut
+        return lut
 
     def valid_scope(self, scope: str | None) -> bool:
         """Scope validity is derived from the BUILT index (manifest
@@ -485,14 +587,14 @@ class SearchEngine:
 
     # ---------------- BM25 scorers ------------------------------------
 
-    def _contributions(self, term_data, scope_ids):
-        """Per term (fixed df-asc order): (docid, float64 contribution)."""
+    def _contributions(self, term_data, lut):
+        """Per term (fixed df-asc order): (docid, float64 contribution).
+        ``lut`` is the scope bool LUT (or None): per-posting filtering on
+        the decoded scope-code stream."""
         k1, b = self.k1, self.b
-        for idf, (docid, tf, dl) in term_data:
-            if scope_ids is not None:
-                pos = np.searchsorted(scope_ids, docid)
-                pos[pos >= len(scope_ids)] = 0
-                keep = scope_ids[pos] == docid if len(scope_ids) else np.zeros(len(docid), bool)
+        for idf, (docid, tf, dl, sc) in term_data:
+            if lut is not None:
+                keep = lut[sc]
                 docid, tf, dl = docid[keep], tf[keep], dl[keep]
             tff = tf.astype(np.float64)
             contrib = idf * (tff * (k1 + 1.0)) / (
@@ -557,13 +659,13 @@ class SearchEngine:
         """Brute-force vectorized scorer (the oracle form: decode every
         posting of every query term, fixed-order float64 sums)."""
         blocks = self._term_blocks([t[0] for t in terms])
-        scope_ids = self.scope_docids(scope) if scope else None
+        lut = self._scope_lut(scope) if scope else None
         term_data = []
         for lem, df in terms:
             bl = blocks[lem]
             term_data.append((self.idf(df), self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))))
         doc_parts, contrib_parts = [], []
-        for docid, contrib in self._contributions(term_data, scope_ids):
+        for docid, contrib in self._contributions(term_data, lut):
             doc_parts.append(docid)
             contrib_parts.append(contrib)
         return self._aggregate(doc_parts, contrib_parts, conjunctive, len(terms))
@@ -591,9 +693,9 @@ class SearchEngine:
         cum = bl["cum_n"]
         for blk in np.unique(jc[valid]):
             if bl["gaps"] is None:  # synthetic delta-overlay blocks
-                d, tf, dl = self._decode_term(bl, int(blk), int(blk) + 1, cache)
+                d, tf, dl, _sc = self._decode_term(bl, int(blk), int(blk) + 1, cache)
             else:
-                d, tf, dl = decode_block_range(
+                d, tf, dl, _sc = decode_block_range(
                     bl["gaps"], bl["tfs"], bl["dls"], cum, int(blk), int(blk) + 1
                 )
             sel = np.flatnonzero(valid & (jc == blk))
@@ -608,7 +710,7 @@ class SearchEngine:
             )
         return out
 
-    def _score_candidate_driven(self, terms, term_list, k, scope_ids, scope):
+    def _score_candidate_driven(self, terms, term_list, k, lut, scope):
         """MaxScore-style essential-terms evaluation: when the rare
         (df-ascending prefix) terms' postings fit a small candidate set
         and the remaining terms' summed upper bound cannot reach the
@@ -635,11 +737,11 @@ class SearchEngine:
         )
         drv_ids = []
         for idf, bl, cache in term_list[:n_drv]:
-            docid = self._decode_term_docids(bl, cache)
-            if scope_ids is not None and len(docid):
-                pos = np.searchsorted(scope_ids, docid)
-                pos[pos >= len(scope_ids)] = 0
-                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            if lut is not None:
+                docid, sc = self._decode_term_docids_sc(bl, cache)
+                docid = docid[lut[sc]]
+            else:
+                docid = self._decode_term_docids(bl, cache)
             drv_ids.append(docid)
         cand = np.unique(np.concatenate(drv_ids)) if drv_ids else np.empty(0, np.int64)
         if len(cand) < k:
@@ -649,7 +751,7 @@ class SearchEngine:
         for t, (idf, bl, cache) in enumerate(term_list):
             if t < n_drv:
                 contrib = np.zeros(len(cand), np.float64)
-                docid, tf, dl = self._decode_term(bl, 0, len(bl["first"]), cache)
+                docid, tf, dl, _sc = self._decode_term(bl, 0, len(bl["first"]), cache)
                 pos = np.searchsorted(docid, cand)
                 pos_c = np.clip(pos, 0, max(len(docid) - 1, 0))
                 hit = docid[pos_c] == cand if len(docid) else np.zeros(len(cand), bool)
@@ -665,14 +767,14 @@ class SearchEngine:
         threshold = score[sel][-1]
         if bound_rest >= threshold:
             return None  # a rest-only doc could reach the top-k
-        # exact: count = |union| with the hot terms' gaps-only decode
+        # exact: count = |union| with the hot terms' gaps(+scps) decode
         parts = [cand]
         for _, bl, cache in rest:
-            docid = self._decode_term_docids(bl, cache)
-            if scope_ids is not None and len(docid):
-                pos = np.searchsorted(scope_ids, docid)
-                pos[pos >= len(scope_ids)] = 0
-                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            if lut is not None:
+                docid, sc = self._decode_term_docids_sc(bl, cache)
+                docid = docid[lut[sc]]
+            else:
+                docid = self._decode_term_docids(bl, cache)
             parts.append(docid)
         return cand[sel], score[sel], self._union_count(parts)
 
@@ -683,7 +785,7 @@ class SearchEngine:
         count (union of term postings [within scope]).
         """
         blocks = self._term_blocks([t[0] for t in terms])
-        scope_ids = self.scope_docids(scope) if scope else None
+        lut = self._scope_lut(scope) if scope else None
         k1 = self.k1
         term_list = []
         for lem, df in terms:
@@ -691,7 +793,7 @@ class SearchEngine:
             term_list.append((self.idf(df), bl, bl.setdefault("chunks", {})))
 
         if not conjunctive and len(terms) > 1:
-            got = self._score_candidate_driven(terms, term_list, k, scope_ids, scope)
+            got = self._score_candidate_driven(terms, term_list, k, lut, scope)
             if got is not None:
                 return got
 
@@ -786,14 +888,14 @@ class SearchEngine:
                     continue
                 j0 = int(jarr[grp][aw].min())
                 j1 = int(j1s[t][grp][aw].max())
-                docid, tf, dl = self._decode_term(bl, j0, j1, cache)
+                docid, tf, dl, sc = self._decode_term(bl, j0, j1, cache)
                 # mask to the union of the group's windows
                 idx = np.searchsorted(s_sorted, docid, side="right") - 1
                 idx_c = np.clip(idx, 0, len(s_sorted) - 1)
                 m = (idx >= 0) & (docid < e_sorted[idx_c])
-                term_data.append((idf, (docid[m], tf[m], dl[m])))
+                term_data.append((idf, (docid[m], tf[m], dl[m], sc[m])))
             doc_parts, contrib_parts = [], []
-            for docid, contrib in self._contributions(term_data, scope_ids):
+            for docid, contrib in self._contributions(term_data, lut):
                 doc_parts.append(docid)
                 contrib_parts.append(contrib)
             ids, scores = self._aggregate(
@@ -806,23 +908,24 @@ class SearchEngine:
             top_ids, top_scores = self._topk(all_ids, all_scores, k)
             if len(top_scores) >= k:
                 threshold = top_scores[-1]
-        if len(terms) == 1 and scope_ids is None and not conjunctive:
+        if len(terms) == 1 and lut is None and not conjunctive:
             count = terms[0][1]  # single unscoped term: count == df, no decode
         elif processed_all:
             count = self._union_count(count_ids)
         else:
-            count = self._exact_count(term_list, scope_ids, conjunctive)
+            count = self._exact_count(term_list, lut, conjunctive)
         return top_ids, top_scores, count
 
-    def _exact_count(self, term_list, scope_ids, conjunctive) -> int:
-        """Exact result count (G6) via a gaps-only docid union pass."""
+    def _exact_count(self, term_list, lut, conjunctive) -> int:
+        """Exact result count (G6) via a gaps(+scps when scoped) union
+        pass — tf/dl never decoded."""
         parts = []
         for _, bl, cache in term_list:
-            docid = self._decode_term_docids(bl, cache)
-            if scope_ids is not None:
-                pos = np.searchsorted(scope_ids, docid)
-                pos[pos >= len(scope_ids)] = 0
-                docid = docid[scope_ids[pos] == docid] if len(scope_ids) else docid[:0]
+            if lut is not None:
+                docid, sc = self._decode_term_docids_sc(bl, cache)
+                docid = docid[lut[sc]]
+            else:
+                docid = self._decode_term_docids(bl, cache)
             parts.append(docid)
         if not parts:
             return 0
@@ -865,16 +968,14 @@ class SearchEngine:
         if not kept:
             return None, None, "too_frequent"
         blocks = self._term_blocks([t[0] for t in kept])
-        scope_ids = self.scope_docids(scope) if scope else None
+        lut = self._scope_lut(scope) if scope else None
         inter = None
         first_docid = first_dl = None
         for lem, _df in kept:  # rarest-first iteration order preserved
             bl = blocks[lem]
-            docid, _tf, dl = self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))
-            if scope_ids is not None:
-                pos = np.searchsorted(scope_ids, docid)
-                pos[pos >= len(scope_ids)] = 0
-                keep = scope_ids[pos] == docid if len(scope_ids) else np.zeros(len(docid), bool)
+            docid, _tf, dl, sc = self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))
+            if lut is not None:
+                keep = lut[sc]
                 docid, dl = docid[keep], dl[keep]
             if inter is None:
                 first_docid, first_dl = docid, dl

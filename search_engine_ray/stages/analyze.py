@@ -9,8 +9,12 @@ class passed to ``map_batches`` — one actor per pool slot, analyzer state
 actor, vectorized Arrow work per ``__call__``.
 
 Output: one combined Arrow table per batch holding BOTH
-- posting rows:  (lemma, conv_id, turn_idx, tf, doc_len, role/tool/ts=null)
+- posting rows:  (lemma, conv_id, turn_idx, tf, doc_len, role, tool, ts=null)
 - doc rows:      (lemma=null, conv_id, turn_idx, tf=0, doc_len, role, tool, ts)
+
+Posting rows carry role/tool (dictionary-encoded on disk, so near-free)
+for the oversized-corpus stage-C regime where the per-doc scope-code
+broadcast does not fit and the int32 code rides the shuffle instead.
 
 ``tool``/``ts`` ride the doc rows into the doc store so result
 enrichment (J6; the reference joins site url/name/title per result,
@@ -103,8 +107,8 @@ class AnalyzerActor:
                 turn.take(idx),
                 pa.array(tf, pa.int32()),
                 doc_len_arr.take(idx),
-                pa.nulls(npost, pa.string()),
-                pa.nulls(npost, pa.string()),
+                role.take(idx),
+                tool.take(idx),
                 pa.nulls(npost, pa.timestamp("us")),
                 pa.array(["post"] * npost, pa.string()),
             ],

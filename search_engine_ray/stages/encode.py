@@ -74,8 +74,29 @@ INDEX_SCHEMA = pa.schema(
         ("gaps", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
+        ("scps", pa.binary()),
     ]
 )
+
+
+def scope_code_space(roles: list[str], tools: list[str]) -> int:
+    """Size of the dense scope-code space: code = role_code * (n_tools+1)
+    + tool_code, where code 0 of each axis is the empty value."""
+    return (len(roles) + 1) * (len(tools) + 1)
+
+
+def scope_codes_of(role_col, tool_col, roles: list[str], tools: list[str]) -> np.ndarray:
+    """Vectorized (role, tool) -> dense scope code. Unknown/empty values
+    map to axis code 0. The code is a pure function of the manifest's
+    ``stats.roles``/``stats.tools`` lists (known after stage B), so the
+    query engine reconstructs the mapping without extra persisted state."""
+    import pyarrow.compute as _pc
+
+    r_idx = _pc.index_in(role_col, value_set=pa.array(roles, pa.string()))
+    t_idx = _pc.index_in(tool_col, value_set=pa.array(tools, pa.string()))
+    r = _pc.fill_null(_pc.add(r_idx, 1), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    t = _pc.fill_null(_pc.add(t_idx, 1), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    return r * (len(tools) + 1) + t
 
 
 def _binary_cells(buf: bytes, byte_offsets: np.ndarray) -> pa.Array:
@@ -99,8 +120,10 @@ def make_block_encoder(
     ``vocab_ref``: ``ray.put((lemma_h_sorted:int64[], lemma:object[]))`` —
     used to restore the lemma string when the batch carries only
     ``lemma_h`` (the minimized shuffle payload). ``dl_ref``:
-    ``ray.put((docid_sorted:int64[], dl:int32[]))`` — likewise for
-    ``doc_len``. A batch column with the same name always wins (the
+    ``ray.put((docid_sorted:int64[], dl:int32[], scope_code:int32[]))`` —
+    likewise for ``doc_len`` and the per-doc scope code (2-tuples from
+    older callers are accepted; scope codes then fall back to the batch
+    column or zeros). A batch column with the same name always wins (the
     fallback paths for hash collisions / oversized corpora, and direct
     encoder invocations in tests)."""
 
@@ -110,11 +133,27 @@ def make_block_encoder(
             return INDEX_SCHEMA.empty_table()
         docid = batch.column("docid").combine_chunks().to_numpy(zero_copy_only=False)
         tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        bpos = None
         if "doc_len" in batch.column_names:
             dl = batch.column("doc_len").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            bdoc, bdl = _resolve(dl_ref)
-            dl = bdl[np.searchsorted(bdoc, docid)].astype(np.uint64)
+            bcast = _resolve(dl_ref)
+            bdoc = bcast[0]
+            bpos = np.searchsorted(bdoc, docid)
+            dl = bcast[1][bpos].astype(np.uint64)
+        # per-posting scope code (doc-level (role, tool) -> dense code):
+        # rides the same docid-aligned broadcast as doc_len, or the
+        # shuffle column in the no-broadcast regime; zeros (= the empty
+        # scope pair) for direct encoder invocations without either
+        if "scope_code" in batch.column_names:
+            sc = batch.column("scope_code").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        elif dl_ref is not None and len(_resolve(dl_ref)) > 2 and bpos is None:
+            bcast = _resolve(dl_ref)
+            sc = bcast[2][np.searchsorted(bcast[0], docid)].astype(np.uint64)
+        elif bpos is not None and len(_resolve(dl_ref)) > 2:
+            sc = _resolve(dl_ref)[2][bpos].astype(np.uint64)
+        else:
+            sc = np.zeros(npost, np.uint64)
 
         lemma = None
         if "lemma" in batch.column_names:
@@ -146,7 +185,7 @@ def make_block_encoder(
 
         # one varint pass per column; per-block byte ranges from cum lengths
         cells = []
-        for vals in (gaps, tf, dl):
+        for vals in (gaps, tf, dl, sc):
             nb = codec.varint_nbytes(vals)
             cum = np.concatenate(([0], np.cumsum(nb)))
             cells.append(_binary_cells(codec.varint_encode(vals), cum[bounds]))
@@ -262,6 +301,7 @@ def decode_block_range(
     cum_n: np.ndarray,
     a: int,
     b: int,
+    scps_buf: tuple[np.ndarray, np.ndarray] | None = None,
 ):
     """Decode blocks [a, b) in one pass from zero-copy buffer views:
     a contiguous block range's payload bytes are contiguous in the Arrow
@@ -269,11 +309,12 @@ def decode_block_range(
     per-block delta chains are reconstructed with a segmented cumsum
     (per-block correction broadcast via ``np.repeat``). ~10-50x faster
     than a per-block Python loop for hot lemmas with thousands of
-    blocks."""
+    blocks. Returns (docid, tf, dl, scope_code); scope codes are None
+    when ``scps_buf`` is None."""
     total = int(cum_n[b] - cum_n[a])
     if total == 0:
         z = np.empty(0, np.int64)
-        return z, z, z
+        return z, z, z, z
     gd, go = gaps_buf
     td, to = tfs_buf
     dd, do = dls_buf
@@ -282,9 +323,29 @@ def decode_block_range(
     # construction, so the uint64 reinterpretation is free
     tf = codec.varint_decode(td[to[a] : to[b]], total).view(np.int64)
     dl = codec.varint_decode(dd[do[a] : do[b]], total).view(np.int64)
+    if scps_buf is not None:
+        sd, so = scps_buf
+        sc = codec.varint_decode(sd[so[a] : so[b]], total).view(np.int64)
+    else:
+        sc = None
     ns = np.diff(cum_n[a : b + 1])
     cum = np.cumsum(gaps, dtype=np.uint64).view(np.int64)
     seg_start = (cum_n[a:b] - cum_n[a]).astype(np.int64)
     correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
     docid = cum - np.repeat(correction, ns)
-    return docid, tf, dl
+    return docid, tf, dl, sc
+
+
+def decode_scps_range(
+    scps_buf: tuple[np.ndarray, np.ndarray],
+    cum_n: np.ndarray,
+    a: int,
+    b: int,
+) -> np.ndarray:
+    """Scope codes of blocks [a, b) only — the scoped counting path
+    pairs this with :func:`decode_gaps_range` (tf/dl untouched)."""
+    total = int(cum_n[b] - cum_n[a])
+    if total == 0:
+        return np.empty(0, np.int64)
+    sd, so = scps_buf
+    return codec.varint_decode(sd[so[a] : so[b]], total).view(np.int64)

@@ -201,3 +201,49 @@ def test_join_docids_path_identical(tiny_index, tmp_path, tiny_corpus):
     assert da.select(["docid", "conv_id", "turn_idx", "role", "doc_len"]).equals(
         db.select(["docid", "conv_id", "turn_idx", "role", "doc_len"])
     )
+
+
+def test_shuffled_scope_code_path_identical(tiny_index, tmp_path, tiny_corpus):
+    """The oversized-corpus regime (doc_len + int32 scope_code carried
+    through the stage-C shuffle instead of the docid-aligned broadcast)
+    must produce the same index as the broadcast path — including the
+    per-posting scope-code stream, which is what scoped queries filter
+    on at any corpus size."""
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.search import SearchEngine
+    from search_engine_ray.state import codec
+
+    out = str(tmp_path / "noscopebcast")
+    cfg = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2,
+        broadcast_dl_max_docs=0,  # force the shuffle-carried regime
+    )
+    build.build_index(cfg)
+
+    def canon(d):
+        from search_engine_ray.stages.encode import decode_block
+
+        idx = pq.read_table(build.index_dir(d))
+        per: dict[str, list] = {}
+        for row in idx.to_pylist():
+            dec = decode_block(row["gaps"], row["tfs"], row["dls"], row["n"])
+            sc = codec.varint_decode(row["scps"], row["n"]).tolist()
+            per.setdefault(row["lemma"], []).append((*dec, sc))
+        return {
+            lem: tuple(
+                np.concatenate([np.asarray(r[i]) for r in sorted(runs, key=lambda r: r[0][0])]).tolist()
+                for i in range(4)
+            )
+            for lem, runs in per.items()
+        }
+
+    assert canon(out) == canon(tiny_index["out_dir"])
+
+    # scoped queries over both indexes are rank-identical
+    eng_a = SearchEngine(tiny_index["out_dir"])
+    eng_b = SearchEngine(out)
+    for scope in ("user", "tool", "tool:tool-browse"):
+        ra = eng_a.search("wbababa wcacaca", scope=scope, limit=10)
+        rb = eng_b.search("wbababa wcacaca", scope=scope, limit=10)
+        assert ra["count"] == rb["count"]
+        assert ra["data"].equals(rb["data"]), scope

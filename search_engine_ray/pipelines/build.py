@@ -850,7 +850,10 @@ def build_index(
         tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
         tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
         os.makedirs(os.path.dirname(lemma_dict_path(cfg.out_dir)), exist_ok=True)
-        pq.write_table(tbl, lemma_dict_path(cfg.out_dir))
+        # small row groups: the query planner's above-threshold path
+        # point-reads per-lemma df rows via row-group stats on the
+        # lemma-sorted dictionary
+        pq.write_table(tbl, lemma_dict_path(cfg.out_dir), row_group_size=65_536)
         stats["n_lemmas"] = tbl.num_rows
         stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
         _inject("d_mid")

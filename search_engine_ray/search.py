@@ -103,11 +103,19 @@ class SearchEngine:
         self.n_docs: int = m["stats"]["n_docs"]
         self.avgdl: float = m["stats"]["avgdl"] or 1.0
         self.transcripts_paths = transcripts_paths or m["config"]["input_paths"]
-        # the broadcast-small-side term dictionary (J2): lemma -> df
-        t = pq.read_table(build_mod.lemma_dict_path(out_dir), columns=["lemma", "df"])
-        self._df = dict(
-            zip(t.column("lemma").to_pylist(), t.column("df").to_pylist())
-        )
+        # the term dictionary (J2): lemma -> df. Preloaded as a dict only
+        # while the vocabulary is small; above the threshold each query
+        # point-reads its lemmas via row-group stats on the lemma-sorted
+        # dictionary parquet (memoized — no vocab-sized driver state at
+        # 10^8+ terms).
+        if m["stats"].get("n_lemmas", 0) <= self._DF_PRELOAD_MAX_LEMMAS:
+            t = pq.read_table(build_mod.lemma_dict_path(out_dir), columns=["lemma", "df"])
+            self._df = dict(
+                zip(t.column("lemma").to_pylist(), t.column("df").to_pylist())
+            )
+        else:
+            self._df = None
+        self._df_point_cache: dict[str, int | None] = {}
         self._index = pads.dataset(build_mod.index_dir(out_dir))
         self._intervals: list[tuple[int, int, str]] | None = None
         # scope filtering is per-posting: every block carries a scope-code
@@ -312,6 +320,25 @@ class SearchEngine:
 
     # ---------------- planning (J2/T1) --------------------------------
 
+    _DF_PRELOAD_MAX_LEMMAS = 2_000_000
+
+    def _df_of(self, lem: str) -> int | None:
+        """df of one lemma (None = absent). Dict hit below the preload
+        threshold; pruned parquet point-read (lemma-sorted row-group
+        stats) above it, memoized per engine."""
+        if self._df is not None:
+            return self._df.get(lem)
+        if lem in self._df_point_cache:
+            return self._df_point_cache[lem]
+        t = pq.read_table(
+            build_mod.lemma_dict_path(self.out_dir),
+            columns=["lemma", "df"],
+            filters=[("lemma", "==", lem)],
+        )
+        got = int(t.column("df")[0].as_py()) if t.num_rows else None
+        self._df_point_cache[lem] = got
+        return got
+
     def idf(self, df: int) -> float:
         return math.log1p((self.n_docs - df + 0.5) / (df + 0.5))
 
@@ -322,7 +349,7 @@ class SearchEngine:
             return [], "empty_query"
         terms = []
         for lem in lemmas:
-            df = self._df.get(lem)
+            df = self._df_of(lem)
             if df is None and self._has_deltas and lem in self._delta_lemma:
                 df = 0  # delta-only lemma; exact df resolved below
             if df is None:

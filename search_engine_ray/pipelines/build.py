@@ -832,32 +832,11 @@ def build_index(
     # ---------------- stage D: lemma dictionary from block metadata ----
     td = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("lemma_dict", down_key) and prior):
-        # column-pruned scan of block-level partial aggregates (block_size
-        # x smaller than the postings); vocabulary ≪ corpus, so the dense
-        # sorted lemma_id is assigned driver-side — this table is the
-        # query planner's broadcast side. At ≫10^8 vocab switch to the
-        # block-offset dense-rank described in docid.py.
-        meta = pq.read_table(
-            index_dir(cfg.out_dir),
-            columns=["lemma", "n", "block_cf", "block_max_tf"],
-        )
-        tbl = pa.TableGroupBy(meta, "lemma").aggregate(
-            [("n", "sum"), ("block_cf", "sum"), ("block_max_tf", "max")]
-        )
-        tbl = tbl.rename_columns(["lemma", "df", "cf", "max_tf"])
-        tbl = tbl.take(pc.sort_indices(tbl.column("lemma"))).combine_chunks()
-        tbl = tbl.set_column(1, "df", tbl.column("df").cast(pa.int64()))
-        tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
-        tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
-        os.makedirs(os.path.dirname(lemma_dict_path(cfg.out_dir)), exist_ok=True)
-        # small row groups: the query planner's above-threshold path
-        # point-reads per-lemma df rows via row-group stats on the
-        # lemma-sorted dictionary
-        pq.write_table(tbl, lemma_dict_path(cfg.out_dir), row_group_size=65_536)
-        stats["n_lemmas"] = tbl.num_rows
-        stats["n_postings"] = int(pc.sum(tbl.column("df")).as_py() or 0)
+        n_lem, n_post = write_lemma_dict(index_dir(cfg.out_dir), lemma_dict_path(cfg.out_dir))
+        stats["n_lemmas"] = n_lem
+        stats["n_postings"] = n_post
         _inject("d_mid")
-        tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": tbl.num_rows})
+        tracker_s.mark("lemma_dict", down_key, STATE_DONE, metrics={"rows": n_lem})
     else:
         stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
         stats.setdefault("n_postings", prior["stats"]["n_postings"])
@@ -890,8 +869,38 @@ def build_index(
     return manifest
 
 
+def write_lemma_dict(index_d: str, dict_path: str) -> tuple[int, int]:
+    """Stage D: lemma dictionary from block-level partial aggregates —
+    a column-pruned scan of index-block metadata (block_size x smaller
+    than the postings); vocabulary ≪ corpus, so the dense sorted
+    lemma_id is assigned driver-side — this table is the query planner's
+    broadcast side. At ≫10^8 vocab switch to the block-offset dense-rank
+    described in docid.py. Shared by the full build and delta-generation
+    compaction. Returns (n_lemmas, n_postings)."""
+    meta = pq.read_table(index_d, columns=["lemma", "n", "block_cf", "block_max_tf"])
+    tbl = pa.TableGroupBy(meta, "lemma").aggregate(
+        [("n", "sum"), ("block_cf", "sum"), ("block_max_tf", "max")]
+    )
+    tbl = tbl.rename_columns(["lemma", "df", "cf", "max_tf"])
+    tbl = tbl.take(pc.sort_indices(tbl.column("lemma"))).combine_chunks()
+    tbl = tbl.set_column(1, "df", tbl.column("df").cast(pa.int64()))
+    tbl = tbl.set_column(3, "max_tf", tbl.column("max_tf").cast(pa.int32()))
+    tbl = tbl.append_column("lemma_id", pa.array(np.arange(tbl.num_rows), pa.int64()))
+    os.makedirs(os.path.dirname(dict_path), exist_ok=True)
+    # small row groups: the query planner's above-threshold path
+    # point-reads per-lemma df rows via row-group stats on the
+    # lemma-sorted dictionary
+    pq.write_table(tbl, dict_path, row_group_size=65_536)
+    return tbl.num_rows, int(pc.sum(tbl.column("df")).as_py() or 0)
+
+
 def _load_sorted_convs(out_dir: str) -> pa.Array:
-    """conv rank map from the written doc store (resume path): docs/ is
-    docid-sorted, so unique conv_ids in order ARE the rank order."""
+    """conv rank map: the compaction-written sidecar when present (ranks
+    must outlive doc rows — a conv re-indexed to zero turns keeps its
+    rank), else derived from the written doc store (docs/ is
+    docid-sorted, so unique conv_ids in order ARE the rank order)."""
+    sidecar = os.path.join(out_dir, "convs.parquet")
+    if os.path.exists(sidecar):
+        return pq.read_table(sidecar).column("conv_id").combine_chunks()
     t = pq.read_table(docs_dir(out_dir), columns=["conv_id"])
     return pc.unique(t.column("conv_id").combine_chunks())

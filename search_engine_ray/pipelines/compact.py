@@ -1,0 +1,452 @@
+"""Delta-generation compaction — fold the LSM overlay back into the base.
+
+The reference's only way to absorb accumulated single-page upserts into
+the primary structures is a full truncate-and-rebuild
+(``/root/reference/src/main/java/searchengine/services/indexation/
+IndexationServiceImpl.java:64-79`` re-crawls every site). Here the
+incremental path (pipelines/delta.py) appends immutable generations that
+the query engine merges on read; this module is the missing third
+lifecycle step: **merge base + generations into a new base WITHOUT
+re-analyzing the corpus**. At 100 TB that is the difference between a
+decode -> mask -> splice -> re-encode pass over the (already tokenized,
+compressed) index and re-running stage A over every raw document —
+analysis dominates the build, so compaction is roughly an
+index-sized-IO operation, not a corpus-sized-CPU one.
+
+Semantics (must equal the overlay, which equals a full rebuild):
+
+- later generations win per conversation; the winner's tombstone range
+  masks base postings/docs,
+- corpus stats (N, total_len, avgdl) take the exact adjusted values,
+- block-max weights are re-derived at encode time from the effective
+  avgdl (no inflation factor survives compaction),
+- scope codes are cleanly renumbered to the merged ``roles``/``tools``
+  lists — exactly what a full rebuild would produce. Base postings
+  remap old code -> new code through a LUT of size |old code space|
+  (O(#roles x #tools), corpus-size-independent); no doc-store join.
+
+Physical plan (Ray-Data-native, one all-to-all):
+
+  read_parquet(index blocks) ──map_batches──► decode + tombstone-mask
+                                              -> flat (lemma_h, docid, tf)
+  union(latest-generation postings)
+  sort([lemma_h, docid]) ──map_batches──► stage-C block encoder
+                                              (vocab + dl broadcasts)
+  write_parquet(new index)
+
+The doc store is rebuilt the same way (filter + union + docid sort) and
+the lemma dictionary by the shared stage-D aggregate. Artifacts are
+prepared under ``<out>/compact-tmp/`` and swapped in under a journal
+(PREPARED -> SWAPPING -> done/absent); a crash mid-swap is repaired by
+``compact(out_dir, resume=True)`` (idempotent per-artifact swap), and
+``SearchEngine`` refuses to load a half-swapped index.
+
+Snippet text for re-indexed conversations keeps coming from the
+generation's input files: compaction records ``text_overrides``
+(conv_id -> paths) in the build manifest, which the query engine loads
+whether or not any generation remains.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .. import analyzer
+from ..state.manifest import load_json, write_json_atomic
+from ..stages.encode import (
+    decode_block_range,
+    binary_column_buffers,
+    make_block_encoder,
+    scope_code_space,
+    scope_codes_of,
+)
+from . import build as build_mod
+from . import delta as delta_mod
+
+
+def journal_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "compact.journal.json")
+
+
+def _tmp_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "compact-tmp")
+
+
+def _latest_per_conv(gens: list[dict]) -> dict[str, dict]:
+    """Ascending generations -> winning (range, dir, input_paths) per conv
+    (mirrors search.SearchEngine._load_deltas)."""
+    latest: dict[str, dict] = {}
+    for g in gens:
+        for cid, rng in zip(g["conv_ids"], g["tombstones"]):
+            latest[cid] = {
+                "range": tuple(rng),
+                "dir": g["_dir"],
+                "input_paths": g.get("input_paths"),
+            }
+    return latest
+
+
+def _read_latest(latest: dict[str, dict], name: str) -> pa.Table:
+    """Concatenated winning-generation rows of ``name`` (docs/postings),
+    each conv's rows filtered to its own docid range (a generation file
+    may contain rows for convs whose later re-index superseded it)."""
+    parts = []
+    for info in latest.values():
+        lo, hi = info["range"]
+        t = pq.read_table(os.path.join(info["dir"], f"{name}.parquet"))
+        ids = t.column("docid").to_numpy()
+        t = t.filter(pa.array((ids >= lo) & (ids < hi)))
+        if t.num_rows:
+            parts.append(t)
+    return pa.concat_tables(parts) if parts else None
+
+
+def _make_block_flattener(
+    tomb_starts: np.ndarray,
+    tomb_ends: np.ndarray,
+    scope_lut: np.ndarray,
+    carry_dl_scope: bool,
+    carry_lemma: bool,
+):
+    """map_batches fn: index block rows -> surviving flat posting rows.
+
+    One vectorized varint pass per column over the whole batch (the
+    binary cells of consecutive block rows are contiguous in the Arrow
+    data buffer), tombstone masking via two searchsorted's against the
+    winning ranges, scope renumbering via ``scope_lut[old_code]``."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        nblk = batch.num_rows
+        fields = [
+            ("lemma_h", pa.int64()),
+            ("docid", pa.int64()),
+            ("tf", pa.int32()),
+        ]
+        if carry_lemma:
+            fields.insert(0, ("lemma", pa.string()))
+        if carry_dl_scope:
+            fields += [("doc_len", pa.int32()), ("scope_code", pa.int32())]
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in fields}
+        )
+        if nblk == 0:
+            return empty
+        n = batch.column("n").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_n = np.concatenate(([0], np.cumsum(n)))
+        docid, tf, dl, sc = decode_block_range(
+            binary_column_buffers(batch.column("gaps")),
+            binary_column_buffers(batch.column("tfs")),
+            binary_column_buffers(batch.column("dls")),
+            cum_n,
+            0,
+            nblk,
+            scps_buf=binary_column_buffers(batch.column("scps")),
+        )
+        h = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
+        post_idx = np.repeat(np.arange(nblk), n)
+        keep = np.ones(len(docid), bool)
+        if len(tomb_starts):
+            idx = np.searchsorted(tomb_starts, docid, side="right") - 1
+            idxc = np.clip(idx, 0, len(tomb_starts) - 1)
+            keep = ~((idx >= 0) & (docid < tomb_ends[idxc]))
+        cols = {
+            "lemma_h": pa.array(h[post_idx][keep], pa.int64()),
+            "docid": pa.array(docid[keep], pa.int64()),
+            "tf": pa.array(tf[keep].astype(np.int32), pa.int32()),
+        }
+        if carry_lemma:
+            lem = batch.column("lemma").combine_chunks()
+            cols = {
+                "lemma": lem.take(pa.array(post_idx[keep], pa.int64())),
+                **cols,
+            }
+        if carry_dl_scope:
+            cols["doc_len"] = pa.array(dl[keep].astype(np.int32), pa.int32())
+            cols["scope_code"] = pa.array(
+                scope_lut[sc[keep]].astype(np.int32), pa.int32()
+            )
+        return pa.table(cols)
+
+    return flatten
+
+
+def _scope_remap_lut(
+    old_roles: list[str], old_tools: list[str],
+    new_roles: list[str], new_tools: list[str],
+) -> np.ndarray:
+    """old dense scope code -> new dense scope code. The code formula
+    multiplies the role index by (n_tools+1), so ANY change to the tool
+    list renumbers every pair — hence a clean remap, not an append."""
+    old_space = scope_code_space(old_roles, old_tools)
+    nt_old, nt_new = len(old_tools) + 1, len(new_tools) + 1
+    codes = np.arange(old_space, dtype=np.int64)
+    r_old, t_old = codes // nt_old, codes % nt_old
+    # value-by-old-index lookup ('' at index 0 on both axes)
+    r_vals = np.array([""] + old_roles, dtype=object)[r_old]
+    t_vals = np.array([""] + old_tools, dtype=object)[t_old]
+    r_new = np.array(
+        [0 if v == "" else new_roles.index(v) + 1 for v in r_vals], np.int64
+    )
+    t_new = np.array(
+        [0 if v == "" else new_tools.index(v) + 1 for v in t_vals], np.int64
+    )
+    return r_new * nt_new + t_new
+
+
+def _swap_in(out_dir: str, entries: list[dict]) -> None:
+    """Idempotent artifact swap: for each {tmp, final}, retire the old
+    final and move tmp into place. Re-runnable after a crash at any
+    point (a missing tmp with an existing final means that entry already
+    swapped)."""
+    for e in entries:
+        tmp, final = e["tmp"], e["final"]
+        if not os.path.exists(tmp):
+            if os.path.exists(final):
+                continue  # this entry already swapped
+            raise FileNotFoundError(f"compaction artifact lost: {tmp}")
+        old = final + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+        if os.path.exists(final):
+            os.replace(final, old) if not os.path.isdir(final) else os.rename(final, old)
+        os.replace(tmp, final) if not os.path.isdir(tmp) else os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+
+
+def compact(out_dir: str, *, resume: bool = False) -> dict:
+    """Merge all delta generations into a new base index. Returns a
+    reference-style response dict ``{"result", "error", "generations"}``.
+
+    ``resume=True`` finishes an interrupted swap (journal state
+    SWAPPING) without re-running the merge."""
+    jp = journal_path(out_dir)
+    journal = load_json(jp)
+    if journal and journal.get("state") == "SWAPPING":
+        if not resume:
+            return {
+                "result": False,
+                "error": "interrupted compaction swap; rerun with resume=True",
+                "generations": None,
+            }
+        _swap_in(out_dir, journal["entries"])
+        write_json_atomic(
+            build_mod.build_manifest_path(out_dir), journal["manifest"]
+        )
+        shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
+        shutil.rmtree(_tmp_root(out_dir), ignore_errors=True)
+        os.remove(jp)
+        return {"result": True, "error": None, "generations": journal["n_gens"]}
+
+    m = load_json(build_mod.build_manifest_path(out_dir))
+    if not m:
+        return {"result": False, "error": "no build manifest", "generations": None}
+    gens = delta_mod.list_generations(out_dir)
+    if not gens:
+        return {"result": True, "error": None, "generations": 0}
+    latest = _latest_per_conv(gens)
+    ranges = sorted(info["range"] for info in latest.values())
+    tomb_starts = np.array([r[0] for r in ranges], np.int64)
+    tomb_ends = np.array([r[1] for r in ranges], np.int64)
+
+    cfgm = m["config"]
+    k1, b, block_size = cfgm["k1"], cfgm["b"], cfgm["block_size"]
+    old_roles = m["stats"].get("roles", [])
+    old_tools = m["stats"].get("tools", [])
+
+    tmp = _tmp_root(out_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    docs_tmp = os.path.join(tmp, "docs")
+    index_tmp = os.path.join(tmp, "index")
+    dict_tmp = os.path.join(tmp, "lemma_dict.parquet")
+    convs_tmp = os.path.join(tmp, "convs.parquet")
+
+    # conv-rank sidecar: ranks are embedded in every surviving docid, so
+    # they must outlive the doc store rows that currently imply them (a
+    # conv re-indexed to zero turns keeps its rank for future deltas)
+    convs_sorted = build_mod._load_sorted_convs(out_dir)
+    pq.write_table(pa.table({"conv_id": convs_sorted}), convs_tmp)
+
+    # ---- new doc store: base minus tombstones, plus winning-gen docs ----
+    doc_cols = ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts", "docid"]
+    delta_docs = _read_latest(latest, "docs")
+
+    def _doc_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("docid").to_numpy()
+        idx = np.searchsorted(tomb_starts, ids, side="right") - 1
+        idxc = np.clip(idx, 0, len(tomb_starts) - 1)
+        keep = ~((idx >= 0) & (ids < tomb_ends[idxc]))
+        return batch.filter(pa.array(keep)).select(doc_cols)
+
+    docs_ds = rd.read_parquet(build_mod.docs_dir(out_dir)).map_batches(
+        _doc_filter, batch_format="pyarrow", batch_size=None
+    )
+    if delta_docs is not None:
+        docs_ds = docs_ds.union(rd.from_arrow(delta_docs.select(doc_cols)))
+    docs_ds.sort("docid").write_parquet(docs_tmp, row_group_size=65_536)
+
+    # merged stats from the new doc store (same derivation as a rebuild;
+    # role/tool are dictionary-encoded low-cardinality driver reads, the
+    # count/sum a column-pruned scan)
+    dstat = pq.read_table(docs_tmp, columns=["doc_len", "role", "tool"])
+    n_docs = dstat.num_rows
+    total_len = int(pc.sum(dstat.column("doc_len")).as_py() or 0)
+    new_roles = sorted(
+        x for x in pc.unique(dstat.column("role").combine_chunks()).to_pylist() if x
+    )
+    new_tools = sorted(
+        x for x in pc.unique(dstat.column("tool").combine_chunks()).to_pylist() if x
+    )
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    scope_lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
+
+    # ---- vocabulary broadcast (lemma_h -> lemma) ------------------------
+    # base vocab comes from the lemma dictionary (it IS the base index's
+    # exact term set); winning-gen postings add any novel lemmas
+    vt = pq.read_table(build_mod.lemma_dict_path(out_dir), columns=["lemma"])
+    delta_posts = _read_latest(latest, "postings")
+    lem_all = vt.column("lemma")
+    if delta_posts is not None:
+        lem_all = pa.chunked_array(
+            list(lem_all.chunks) + list(delta_posts.column("lemma").chunks)
+        )
+    lem_u = pc.unique(lem_all.combine_chunks())
+    h_u = np.array([analyzer.lemma_hash64(s) for s in lem_u.to_pylist()], np.int64)
+    order = np.argsort(h_u, kind="stable")
+    h_sorted = h_u[order]
+    lem_sorted = np.asarray(lem_u.take(pa.array(order)).to_pylist(), dtype=object)
+    collision = bool(
+        len(h_sorted) > 1 and (np.diff(h_sorted) == 0).any()
+    )
+    vocab_ref = ray.put((h_sorted, lem_sorted))
+
+    # ---- dl/scope side: broadcast below the build threshold, else the
+    # columns ride the shuffle (decoded dls + LUT-remapped scps)
+    broadcast_dl = n_docs <= int(os.environ.get("GRAFT_COMPACT_BCAST_MAX", 200_000_000))
+    dl_ref = None
+    if broadcast_dl:
+        dt = pq.read_table(docs_tmp, columns=["docid", "doc_len", "role", "tool"])
+        dl_ref = ray.put(
+            (
+                dt.column("docid").to_numpy(),
+                dt.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
+                scope_codes_of(
+                    dt.column("role").combine_chunks(),
+                    dt.column("tool").combine_chunks(),
+                    new_roles, new_tools,
+                ).astype(np.int32),
+            )
+        )
+
+    # ---- flat posting stream: decoded base blocks ∪ winning-gen rows ----
+    flat_cols = ["lemma_h", "docid", "tf"]
+    if collision:
+        flat_cols = ["lemma"] + flat_cols
+    if not broadcast_dl:
+        flat_cols += ["doc_len", "scope_code"]
+    read_cols = ["lemma", "lemma_h", "n", "gaps", "tfs", "dls", "scps"]
+    base_flat = rd.read_parquet(build_mod.index_dir(out_dir), columns=read_cols).map_batches(
+        _make_block_flattener(
+            tomb_starts, tomb_ends, scope_lut,
+            carry_dl_scope=not broadcast_dl, carry_lemma=collision,
+        ),
+        batch_format="pyarrow",
+        # bounded decode expansion (~128 postings per block row): 32k
+        # block rows ≈ 4M postings ≈ 200 MB of decoded int64 per task
+        batch_size=32_768,
+    ).map_batches(lambda t: t.select(flat_cols), batch_format="pyarrow", batch_size=None)
+
+    flat = base_flat
+    if delta_posts is not None:
+        dp = build_mod._attach_lemma_hash(delta_posts)
+        cols = {
+            "lemma_h": dp.column("lemma_h"),
+            "docid": dp.column("docid"),
+            "tf": dp.column("tf").cast(pa.int32()),
+        }
+        if collision:
+            cols = {"lemma": dp.column("lemma"), **cols}
+        if not broadcast_dl:
+            # per-posting scope via the winning-gen doc rows (delta-sized)
+            dd_ids = delta_docs.column("docid").to_numpy()
+            o = np.argsort(dd_ids, kind="stable")
+            dd_codes = scope_codes_of(
+                delta_docs.column("role").combine_chunks(),
+                delta_docs.column("tool").combine_chunks(),
+                new_roles, new_tools,
+            )[o]
+            pos = np.searchsorted(dd_ids[o], dp.column("docid").to_numpy())
+            cols["doc_len"] = dp.column("doc_len").cast(pa.int32())
+            cols["scope_code"] = pa.array(dd_codes[pos].astype(np.int32), pa.int32())
+        flat = flat.union(rd.from_arrow(pa.table(cols)))
+
+    (
+        flat.sort(["lemma_h", "docid"])
+        .map_batches(
+            make_block_encoder(
+                avgdl or 1.0, k1, b, block_size,
+                vocab_ref=vocab_ref, dl_ref=dl_ref,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .write_parquet(index_tmp, row_group_size=16_384)
+    )
+
+    # ---- lemma dictionary (shared stage-D aggregate) --------------------
+    n_lemmas, n_postings = build_mod.write_lemma_dict(index_tmp, dict_tmp)
+
+    # ---- journaled swap --------------------------------------------------
+    stats = dict(m["stats"])
+    stats.update(
+        n_docs=n_docs,
+        total_len=total_len,
+        avgdl=avgdl,
+        roles=new_roles,
+        tools=new_tools,
+        n_lemmas=n_lemmas,
+        n_postings=n_postings,
+    )
+    overrides = dict(m.get("text_overrides") or {})
+    for cid, info in latest.items():
+        if info["input_paths"]:
+            overrides[cid] = list(info["input_paths"])
+    manifest = dict(m)
+    manifest["stats"] = stats
+    manifest["text_overrides"] = overrides
+    manifest["compactions"] = (m.get("compactions") or []) + [
+        {"generations": [g["generation"] for g in gens], "convs": len(latest)}
+    ]
+    entries = [
+        {"tmp": docs_tmp, "final": build_mod.docs_dir(out_dir)},
+        {"tmp": index_tmp, "final": build_mod.index_dir(out_dir)},
+        {"tmp": dict_tmp, "final": build_mod.lemma_dict_path(out_dir)},
+        {"tmp": convs_tmp, "final": os.path.join(out_dir, "convs.parquet")},
+    ]
+    write_json_atomic(
+        jp,
+        {
+            "state": "SWAPPING",
+            "entries": entries,
+            "manifest": manifest,
+            "n_gens": len(gens),
+        },
+    )
+    if os.environ.get("GRAFT_COMPACT_CRASH") == "mid_swap":
+        _swap_in(out_dir, entries[:1])  # torn state for the recovery test
+        raise RuntimeError("injected compaction crash mid-swap")
+    _swap_in(out_dir, entries)
+    write_json_atomic(build_mod.build_manifest_path(out_dir), manifest)
+    shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(jp)
+    return {"result": True, "error": None, "generations": len(gens)}

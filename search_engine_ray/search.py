@@ -85,6 +85,12 @@ class SearchEngine:
 
     def __init__(self, out_dir: str, transcripts_paths: list[str] | None = None):
         self.out_dir = out_dir
+        jp = os.path.join(out_dir, "compact.journal.json")
+        if os.path.exists(jp) and (load_json(jp) or {}).get("state") == "SWAPPING":
+            raise RuntimeError(
+                f"index at {out_dir} has a half-swapped compaction; run "
+                "pipelines.compact.compact(out_dir, resume=True) first"
+            )
         m = load_json(build_mod.build_manifest_path(out_dir))
         if not m:
             raise FileNotFoundError(f"no build manifest under {out_dir}")
@@ -103,6 +109,13 @@ class SearchEngine:
         self.n_docs: int = m["stats"]["n_docs"]
         self.avgdl: float = m["stats"]["avgdl"] or 1.0
         self.transcripts_paths = transcripts_paths or m["config"]["input_paths"]
+        # compaction-recorded per-conv text sources (re-indexed convs read
+        # snippet text from their generation's inputs even after the
+        # generation itself is folded into the base); live delta
+        # generations update on top of this in _load_deltas
+        self._delta_text_paths: dict[str, list[str]] = dict(
+            m.get("text_overrides") or {}
+        )
         # the term dictionary (J2): lemma -> df. Preloaded as a dict only
         # while the vocabulary is small; above the threshold each query
         # point-reads its lemmas via row-group stats on the lemma-sorted
@@ -153,9 +166,9 @@ class SearchEngine:
                     "dir": g["_dir"],
                     "input_paths": g.get("input_paths"),
                 }
-        self._delta_text_paths = {
-            cid: info["input_paths"] for cid, info in latest.items() if info["input_paths"]
-        }
+        self._delta_text_paths.update(
+            {cid: info["input_paths"] for cid, info in latest.items() if info["input_paths"]}
+        )
         # per-conv old counts vs the immutable base doc store
         base = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["docid", "doc_len"])
         bdoc = base.column("docid").to_numpy()
@@ -1100,8 +1113,10 @@ class SearchEngine:
             )
             role_dict = t.column("role").combine_chunks().dictionary_encode()
             tool_dict = pc.fill_null(t.column("tool").combine_chunks(), "").dictionary_encode()
-            t2 = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["conv_id"])
-            convs = pc.unique(t2.column("conv_id").combine_chunks())
+            # rank -> conv_id via the compaction sidecar when present (a
+            # conv compacted away to zero turns keeps its rank; the doc
+            # store alone would shift every later rank down by one)
+            convs = build_mod._load_sorted_convs(self.out_dir)
             docids = t.column("docid").to_numpy()
             codes = role_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             tcodes = tool_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1,0 +1,245 @@
+"""Delta-generation compaction (pipelines/compact.py): folding the LSM
+overlay into the base must be RANK-IDENTICAL to both the overlay it
+replaces and a full rebuild of the modified corpus — and, when no
+conversation was dropped, produce byte-equivalent decoded postings and
+an identical lemma dictionary to the rebuild."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.pipelines import build, compact, delta
+from search_engine_ray.search import SearchEngine
+from search_engine_ray.stages.encode import decode_block_range, binary_column_buffers
+
+from test_delta import _compare_engines, _modify_corpus
+
+
+def _decoded_flat(out_dir: str) -> pa.Table:
+    """Fully decoded (lemma, docid, tf, dl, scope_role, scope_tool) rows
+    of an index, sorted — the physical-equivalence comparator. Scope
+    codes are decoded to VALUE pairs (code spaces may be numbered
+    differently between two equivalent indexes)."""
+    m = json.load(open(os.path.join(out_dir, "build.json")))
+    roles = m["stats"]["roles"]
+    tools = m["stats"]["tools"]
+    t = pq.read_table(build.index_dir(out_dir))
+    n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(n)))
+    docid, tf, dl, sc = decode_block_range(
+        binary_column_buffers(t.column("gaps")),
+        binary_column_buffers(t.column("tfs")),
+        binary_column_buffers(t.column("dls")),
+        cum, 0, t.num_rows,
+        scps_buf=binary_column_buffers(t.column("scps")),
+    )
+    nt = len(tools) + 1
+    r_vals = np.array([""] + roles, dtype=object)
+    t_vals = np.array([""] + tools, dtype=object)
+    lem = t.column("lemma").combine_chunks().take(
+        pa.array(np.repeat(np.arange(t.num_rows), n), pa.int64())
+    )
+    out = pa.table(
+        {
+            "lemma": lem,
+            "docid": pa.array(docid, pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+            "role": pa.array(r_vals[sc // nt], pa.string()),
+            "tool": pa.array(t_vals[sc % nt], pa.string()),
+        }
+    )
+    return out.sort_by([("lemma", "ascending"), ("docid", "ascending")])
+
+
+@pytest.fixture(scope="module")
+def compact_env(tmp_path_factory, tiny_corpus, ray_session):
+    """base build + two generations (the second superseding the first for
+    conv A, plus conv B re-indexed with NOVEL (role, tool) values) +
+    full rebuild of the final corpus."""
+    root = tmp_path_factory.mktemp("compact")
+    base_out = str(root / "base")
+    build.build_index(
+        BuildConfig(input_paths=tiny_corpus, out_dir=base_out, n_partitions=2, concurrency=2)
+    )
+
+    eng0 = SearchEngine(base_out)
+    conv_a = eng0.search(datagen.stem(0), limit=3)["data"].column("conv_id")[0].as_py()
+    conv_b = eng0.search(datagen.stem(2), limit=3)["data"].column("conv_id")[0].as_py()
+    if conv_b == conv_a:
+        conv_b = eng0.search(datagen.stem(2), limit=3)["data"].column("conv_id")[1].as_py()
+
+    # gen 1: rewrite conv A
+    mod1 = _modify_corpus(
+        tiny_corpus, str(root / "mod1"), conv_a,
+        [f"{datagen.stem(7)} {datagen.stem(7)} first rewrite", f"{datagen.stem(3)} extra turn"],
+    )
+    assert delta.reindex_conversations(base_out, [conv_a], input_paths=mod1)["result"]
+
+    # gen 2: rewrite conv A AGAIN (gen 2 must win) and conv B with a
+    # role/tool pair unseen at base-build time
+    mod2 = _modify_corpus(
+        mod1, str(root / "mod2"), conv_a,
+        [f"{datagen.stem(11)} {datagen.stem(11)} second rewrite wins"],
+    )
+    mod2b_dir = str(root / "mod2b")
+    os.makedirs(mod2b_dir, exist_ok=True)
+    mod_final = []
+    for f in mod2:
+        t = pq.read_table(f)
+        mask = pc.equal(t.column("conv_id"), conv_b)
+        mine = t.filter(mask)
+        if mine.num_rows:
+            nrow = mine.num_rows
+            mine = mine.set_column(
+                mine.schema.get_field_index("role"), "role",
+                pa.array(["moderator"] * nrow, pa.string()),
+            )
+            mine = mine.set_column(
+                mine.schema.get_field_index("tool"), "tool",
+                pa.array(["tool-novel"] * nrow, pa.string()),
+            )
+            t = pa.concat_tables([t.filter(pc.invert(mask)), mine]).sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        out = os.path.join(mod2b_dir, os.path.basename(f))
+        pq.write_table(t, out)
+        mod_final.append(out)
+    assert delta.reindex_conversations(
+        base_out, [conv_a, conv_b], input_paths=mod_final
+    )["result"]
+
+    rebuilt_out = str(root / "rebuilt")
+    build.build_index(
+        BuildConfig(input_paths=mod_final, out_dir=rebuilt_out, n_partitions=2, concurrency=2)
+    )
+    return {
+        "root": root,
+        "base_out": base_out,
+        "rebuilt_out": rebuilt_out,
+        "conv_a": conv_a,
+        "conv_b": conv_b,
+        "mod_final": mod_final,
+        "tiny": tiny_corpus,
+    }
+
+
+def _fresh_overlay_copy(env, name: str) -> str:
+    dst = str(env["root"] / name)
+    if not os.path.exists(dst):
+        shutil.copytree(env["base_out"], dst)
+    return dst
+
+
+def test_compact_rank_identical(compact_env):
+    out = _fresh_overlay_copy(compact_env, "compacted")
+    resp = compact.compact(out)
+    assert resp == {"result": True, "error": None, "generations": 2}
+    assert delta.list_generations(out) == []
+
+    compacted = SearchEngine(out)
+    assert not compacted._has_deltas
+    rebuilt = SearchEngine(compact_env["rebuilt_out"])
+    assert compacted.n_docs == rebuilt.n_docs
+    assert compacted.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+    assert compacted.manifest["stats"]["roles"] == rebuilt.manifest["stats"]["roles"]
+    assert compacted.manifest["stats"]["tools"] == rebuilt.manifest["stats"]["tools"]
+    _compare_engines(compacted, rebuilt)
+    # overlay (base + gens, untouched) agrees too
+    _compare_engines(SearchEngine(compact_env["base_out"]), compacted)
+
+    # novel scope values are valid scopes on the compacted index
+    r = compacted.search(datagen.stem(2), scope="moderator", limit=5)
+    r2 = rebuilt.search(datagen.stem(2), scope="moderator", limit=5)
+    assert r["count"] == r2["count"] and r["data"].equals(r2["data"])
+
+    # snippets for the re-indexed conv come from the generation's inputs
+    s = compacted.search(datagen.stem(11), limit=5, with_snippets=True)
+    mine = [x for x in s["data"].to_pylist() if x["conv_id"] == compact_env["conv_a"]]
+    assert mine and any("second rewrite" in x["snippet"] or "<b>" in x["snippet"] for x in mine)
+
+
+def test_compact_physical_equivalence(compact_env):
+    """No conv was dropped, so the compacted index must decode to
+    EXACTLY the rebuild's postings (same docids, tfs, dls, scope value
+    pairs) and carry an identical lemma dictionary."""
+    out = _fresh_overlay_copy(compact_env, "compacted")  # compacted by prior test
+    if delta.list_generations(out):
+        assert compact.compact(out)["result"]
+    a = _decoded_flat(out)
+    b = _decoded_flat(compact_env["rebuilt_out"])
+    assert a.equals(b)
+    da = pq.read_table(build.lemma_dict_path(out))
+    db = pq.read_table(build.lemma_dict_path(compact_env["rebuilt_out"]))
+    assert da.equals(db)
+
+
+def test_compact_noop(compact_env):
+    resp = compact.compact(compact_env["rebuilt_out"])
+    assert resp == {"result": True, "error": None, "generations": 0}
+
+
+def test_compact_crash_recovery(compact_env, monkeypatch):
+    out = _fresh_overlay_copy(compact_env, "compact_crash")
+    monkeypatch.setenv("GRAFT_COMPACT_CRASH", "mid_swap")
+    with pytest.raises(RuntimeError, match="injected"):
+        compact.compact(out)
+    monkeypatch.delenv("GRAFT_COMPACT_CRASH")
+    # half-swapped: the engine refuses to load
+    with pytest.raises(RuntimeError, match="half-swapped"):
+        SearchEngine(out)
+    # a non-resume call refuses too
+    assert compact.compact(out)["result"] is False
+    resp = compact.compact(out, resume=True)
+    assert resp["result"] and resp["generations"] == 2
+    _compare_engines(SearchEngine(out), SearchEngine(compact_env["rebuilt_out"]))
+
+
+def test_compact_zero_turn_conv_keeps_ranks(compact_env, tmp_path):
+    """A conv re-indexed to ZERO turns vanishes from the doc store; the
+    conv-rank sidecar must keep docid ranks stable so post-compaction
+    deltas still land on the right ranges. Search comparisons are on
+    (conv_id, turn_idx) — rank gaps don't affect result order."""
+    tiny = compact_env["tiny"]
+    root = tmp_path
+    base_out = str(root / "base0")
+    build.build_index(
+        BuildConfig(input_paths=tiny, out_dir=base_out, n_partitions=2, concurrency=2)
+    )
+    eng0 = SearchEngine(base_out)
+    data0 = eng0.search(datagen.stem(0), limit=3)["data"]
+    conv_gone = data0.column("conv_id")[0].as_py()
+    conv_later = None  # a conv sorting AFTER the dropped one (rank shift risk)
+    for row in data0.column("conv_id").to_pylist()[1:]:
+        if row > conv_gone:
+            conv_later = row
+            break
+    if conv_later is None:
+        pytest.skip("no later conv among hits")
+
+    mod1 = _modify_corpus(tiny, str(root / "m1"), conv_gone, [])
+    assert delta.reindex_conversations(base_out, [conv_gone], input_paths=mod1)["result"]
+    assert compact.compact(base_out)["result"]
+    assert os.path.exists(os.path.join(base_out, "convs.parquet"))
+
+    # post-compaction delta on a LATER conv: ranks must come from the
+    # sidecar (the doc store no longer contains conv_gone)
+    mod2 = _modify_corpus(
+        mod1, str(root / "m2"), conv_later,
+        [f"{datagen.stem(5)} {datagen.stem(5)} after-compact rewrite"],
+    )
+    assert delta.reindex_conversations(base_out, [conv_later], input_paths=mod2)["result"]
+
+    rebuilt_out = str(root / "rebuilt0")
+    build.build_index(
+        BuildConfig(input_paths=mod2, out_dir=rebuilt_out, n_partitions=2, concurrency=2)
+    )
+    _compare_engines(SearchEngine(base_out), SearchEngine(rebuilt_out))

@@ -164,7 +164,16 @@ def _delta_search(sf_dir: str):
     if not delta_mod.list_generations(dout):
         resp = delta_mod.reindex_conversations(dout, [conv], input_paths=mod_files)
         assert resp["result"], resp
-    eng = SearchEngine(dout)
+    return _ref_query_frame(SearchEngine(dout))
+
+
+def _ref_query_frame(eng):
+    """Reference-query result set as the driver's standard comparison
+    frame (query_id, rank, conv_id, turn_idx, score)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+
     rows = []
     for q in datagen.reference_queries():
         r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
@@ -185,6 +194,35 @@ def _delta_search(sf_dir: str):
     df["turn_idx"] = df["turn_idx"].astype("int32")
     df["score"] = df["score"].astype("float64")
     return df
+
+
+def _compact_search(sf_dir: str):
+    """Compaction (LSM fold of delta generations into the base,
+    pipelines/compact.py), driver checked: reindex one modified
+    conversation, COMPACT the overlay away, and the generation-free
+    index must still be rank-identical to BM25 over the modified corpus
+    (same oracle as delta_search)."""
+    import shutil
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines import delta as delta_mod
+    from search_engine_ray.search import SearchEngine
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    mod_files, conv = datagen.modified_corpus(tag)
+    base_out = _ensure_build(sf_dir)
+    cout = os.path.join(BUILD_ROOT, f"{tag}-compact")
+    if not os.path.exists(os.path.join(cout, "build.json")):
+        shutil.copytree(base_out, cout, dirs_exist_ok=True)
+        resp = delta_mod.reindex_conversations(cout, [conv], input_paths=mod_files)
+        assert resp["result"], resp
+    if delta_mod.list_generations(cout) or os.path.exists(
+        compact_mod.journal_path(cout)
+    ):
+        resp = compact_mod.compact(cout, resume=True)
+        assert resp["result"], resp
+    return _ref_query_frame(SearchEngine(cout))
 
 
 def _flat_postings(sf_dir: str):
@@ -442,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "delta_search": _delta_search,
+        "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -500,6 +539,11 @@ def oracle_sql() -> dict[str, str]:
             PAGE_OFFSET,
         ),
         "delta_search": oracle.bm25_topk_sql(
+            f"read_parquet('{datagen.modified_corpus_dir(tag)}/*.parquet')", qs
+        ),
+        # compaction folds the generation away; results must stay
+        # rank-identical to BM25 over the same modified corpus
+        "compact_search": oracle.bm25_topk_sql(
             f"read_parquet('{datagen.modified_corpus_dir(tag)}/*.parquet')", qs
         ),
         # training-data operators over the driver's pre-registered views.

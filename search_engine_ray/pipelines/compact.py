@@ -59,7 +59,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from .. import analyzer
 from ..state.manifest import load_json, write_json_atomic
 from ..stages.encode import (
     decode_block_range,
@@ -310,22 +309,36 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
     scope_lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
 
     # ---- vocabulary broadcast (lemma_h -> lemma) ------------------------
-    # base vocab comes from the lemma dictionary (it IS the base index's
-    # exact term set); winning-gen postings add any novel lemmas
-    vt = pq.read_table(build_mod.lemma_dict_path(out_dir), columns=["lemma"])
+    # the base index's block rows already carry BOTH columns, so the
+    # base vocab needs zero hashing (a block-count-sized 2-column read);
+    # only novel lemmas from winning-gen postings are hashed (delta-sized)
+    bt = pq.read_table(build_mod.index_dir(out_dir), columns=["lemma_h", "lemma"])
     delta_posts = _read_latest(latest, "postings")
-    lem_all = vt.column("lemma")
+    h_all = bt.column("lemma_h").to_numpy()
+    lem_all = bt.column("lemma").combine_chunks()
     if delta_posts is not None:
-        lem_all = pa.chunked_array(
-            list(lem_all.chunks) + list(delta_posts.column("lemma").chunks)
+        dh = build_mod._attach_lemma_hash(delta_posts.select(["lemma"]))
+        h_all = np.concatenate([h_all, dh.column("lemma_h").to_numpy()])
+        lem_all = pa.concat_arrays(
+            [lem_all, dh.column("lemma").combine_chunks()]
         )
-    lem_u = pc.unique(lem_all.combine_chunks())
-    h_u = np.array([analyzer.lemma_hash64(s) for s in lem_u.to_pylist()], np.int64)
-    order = np.argsort(h_u, kind="stable")
-    h_sorted = h_u[order]
-    lem_sorted = np.asarray(lem_u.take(pa.array(order)).to_pylist(), dtype=object)
+    order = np.argsort(h_all, kind="stable")
+    h_ord = h_all[order]
+    first = np.concatenate(([True], np.diff(h_ord) != 0))
+    h_sorted = h_ord[first]
+    lem_arr = lem_all
+    lem_by_h = lem_arr.take(pa.array(order[first], pa.int64()))
+    lem_sorted = np.asarray(lem_by_h.to_pylist(), dtype=object)
+    # collision = one hash carrying two distinct lemma strings (the
+    # first-per-hash pick above would otherwise lose one of them)
+    dup_h = h_ord[~first]
+    dup_lem = lem_arr.take(pa.array(order[~first], pa.int64()))
     collision = bool(
-        len(h_sorted) > 1 and (np.diff(h_sorted) == 0).any()
+        len(dup_h)
+        and np.any(
+            np.asarray(dup_lem.to_pylist(), dtype=object)
+            != lem_sorted[np.searchsorted(h_sorted, dup_h)]
+        )
     )
     vocab_ref = ray.put((h_sorted, lem_sorted))
 

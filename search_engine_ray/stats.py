@@ -51,6 +51,9 @@ def statistics(out_dir: str) -> dict:
             }
             for g in gens
         ],
+        # LSM lifecycle: generations folded into the base so far
+        # (pipelines/compact.py) — each entry is one compact() run
+        "compactions": m.get("compactions") or [],
         "partitions": [
             {"id": p["partition_id"], "state": p["state"], "metrics": p.get("metrics", {})}
             for p in parts

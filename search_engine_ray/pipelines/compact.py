@@ -293,18 +293,51 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
         docs_ds = docs_ds.union(rd.from_arrow(delta_docs.select(doc_cols)))
     docs_ds.sort("docid").write_parquet(docs_tmp, row_group_size=65_536)
 
-    # merged stats from the new doc store (same derivation as a rebuild;
-    # role/tool are dictionary-encoded low-cardinality driver reads, the
-    # count/sum a column-pruned scan)
-    dstat = pq.read_table(docs_tmp, columns=["doc_len", "role", "tool"])
-    n_docs = dstat.num_rows
-    total_len = int(pc.sum(dstat.column("doc_len")).as_py() or 0)
-    new_roles = sorted(
-        x for x in pc.unique(dstat.column("role").combine_chunks()).to_pylist() if x
-    )
-    new_tools = sorted(
-        x for x in pc.unique(dstat.column("tool").combine_chunks()).to_pylist() if x
-    )
+    # merged stats from the new doc store (same derivation as a rebuild).
+    # n_docs comes from parquet footers (no data read); below the dl
+    # broadcast threshold the SAME single driver read feeds both stats
+    # and the broadcast; above it, stats are map-side partial aggregates
+    # (one tiny row per block back to the driver) — nothing corpus-sized
+    # on the driver in either regime.
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(docs_tmp).count_rows()
+    broadcast_dl = n_docs <= int(os.environ.get("GRAFT_COMPACT_BCAST_MAX", 200_000_000))
+    dt = None
+    if broadcast_dl:
+        dt = pq.read_table(docs_tmp, columns=["docid", "doc_len", "role", "tool"])
+        total_len = int(pc.sum(dt.column("doc_len")).as_py() or 0)
+        role_u = pc.unique(dt.column("role").combine_chunks()).to_pylist()
+        tool_u = pc.unique(dt.column("tool").combine_chunks()).to_pylist()
+    else:
+        def _stat_partial(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "len": pa.array(
+                        [int(pc.sum(batch.column("doc_len")).as_py() or 0)], pa.int64()
+                    ),
+                    "roles": pa.array(
+                        [pc.unique(batch.column("role").combine_chunks()).to_pylist()],
+                        pa.list_(pa.string()),
+                    ),
+                    "tools": pa.array(
+                        [pc.unique(batch.column("tool").combine_chunks()).to_pylist()],
+                        pa.list_(pa.string()),
+                    ),
+                }
+            )
+
+        parts = pa.concat_tables(
+            ref
+            for ref in rd.read_parquet(docs_tmp, columns=["doc_len", "role", "tool"])
+            .map_batches(_stat_partial, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow")
+        )
+        total_len = int(pc.sum(parts.column("len")).as_py() or 0)
+        role_u = pc.unique(parts.column("roles").combine_chunks().flatten()).to_pylist()
+        tool_u = pc.unique(parts.column("tools").combine_chunks().flatten()).to_pylist()
+    new_roles = sorted(x for x in role_u if x)
+    new_tools = sorted(x for x in tool_u if x)
     avgdl = (total_len / n_docs) if n_docs else 0.0
     scope_lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
 
@@ -342,12 +375,11 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
     )
     vocab_ref = ray.put((h_sorted, lem_sorted))
 
-    # ---- dl/scope side: broadcast below the build threshold, else the
-    # columns ride the shuffle (decoded dls + LUT-remapped scps)
-    broadcast_dl = n_docs <= int(os.environ.get("GRAFT_COMPACT_BCAST_MAX", 200_000_000))
+    # ---- dl/scope side: broadcast below the build threshold (reusing
+    # the stats read above), else the columns ride the shuffle (decoded
+    # dls + LUT-remapped scps)
     dl_ref = None
     if broadcast_dl:
-        dt = pq.read_table(docs_tmp, columns=["docid", "doc_len", "role", "tool"])
         dl_ref = ray.put(
             (
                 dt.column("docid").to_numpy(),

@@ -243,3 +243,18 @@ def test_compact_zero_turn_conv_keeps_ranks(compact_env, tmp_path):
         BuildConfig(input_paths=mod2, out_dir=rebuilt_out, n_partitions=2, concurrency=2)
     )
     _compare_engines(SearchEngine(base_out), SearchEngine(rebuilt_out))
+
+
+def test_compact_oversized_regime(compact_env, monkeypatch):
+    """GRAFT_COMPACT_BCAST_MAX=0 forces the 100TB plan: stats via
+    map-side partial aggregates and dl/scope riding the shuffle instead
+    of the docid-aligned broadcast — must be rank-identical to the
+    broadcast regime's output (== the rebuild)."""
+    monkeypatch.setenv("GRAFT_COMPACT_BCAST_MAX", "0")
+    out = _fresh_overlay_copy(compact_env, "compact_oversized")
+    resp = compact.compact(out)
+    assert resp == {"result": True, "error": None, "generations": 2}
+    a = _decoded_flat(out)
+    b = _decoded_flat(compact_env["rebuilt_out"])
+    assert a.equals(b)
+    _compare_engines(SearchEngine(out), SearchEngine(compact_env["rebuilt_out"]))

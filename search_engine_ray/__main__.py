@@ -71,6 +71,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--resume", action="store_true",
                    help="finish an interrupted compaction swap")
+    c.add_argument("--mode", choices=["minor", "major"], default="minor",
+                   help="minor = shuffle-free segment merge (default); "
+                        "major = global re-sort that defragments blocking")
 
     a = p.parse_args(argv)
 
@@ -123,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
         _init_ray()
         from .pipelines.compact import compact
 
-        print(json.dumps(compact(a.out, resume=a.resume)))
+        print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
     return 0
 
 

@@ -25,7 +25,21 @@ Semantics (must equal the overlay, which equals a full rebuild):
   remap old code -> new code through a LUT of size |old code space|
   (O(#roles x #tools), corpus-size-independent); no doc-store join.
 
-Physical plan (Ray-Data-native, one all-to-all):
+Two physical plans (both Ray-Data-native):
+
+``mode="minor"`` (default) — shuffle-free segment merge. The base index
+files are globally (lemma_h, docid)-sorted with disjoint key spans,
+tombstoning only REMOVES keys, and the winning-generation postings are
+delta-sized; so each delta posting routes (driver-side, against per-file
+first keys) to the one file whose span covers it, and every file
+decodes, masks, splices its slice and re-encodes LOCALLY in a
+file-granular map (``from_items(files) -> map_batches``). Zero
+all-to-all exchanges, zero broadcasts. Per-lemma block rows across
+files keep disjoint docid ranges — the fragmented-run layout query
+readers already merge by ``first_docid``. Clustering/blocking drifts
+with each fold.
+
+``mode="major"`` — global re-sort (the defragmenter, one all-to-all):
 
   read_parquet(index blocks) ──map_batches──► decode + tombstone-mask
                                               -> flat (lemma_h, docid, tf)
@@ -34,8 +48,9 @@ Physical plan (Ray-Data-native, one all-to-all):
                                               (vocab + dl broadcasts)
   write_parquet(new index)
 
-The doc store is rebuilt the same way (filter + union + docid sort) and
-the lemma dictionary by the shared stage-D aggregate. Artifacts are
+The doc store merges the same way per mode (segment splice vs filter +
+union + docid sort) and the lemma dictionary comes from the shared
+stage-D aggregate in both. Artifacts are
 prepared under ``<out>/compact-tmp/`` and swapped in under a journal
 (PREPARED -> SWAPPING -> done/absent); a crash mid-swap is repaired by
 ``compact(out_dir, resume=True)`` (idempotent per-artifact swap), and
@@ -61,6 +76,7 @@ import ray.data as rd
 
 from ..state.manifest import load_json, write_json_atomic
 from ..stages.encode import (
+    INDEX_SCHEMA,
     decode_block_range,
     binary_column_buffers,
     make_block_encoder,
@@ -200,6 +216,191 @@ def _scope_remap_lut(
     return r_new * nt_new + t_new
 
 
+def _assign_to_segments(
+    starts_h: np.ndarray, starts_d: np.ndarray, dh: np.ndarray, dd: np.ndarray
+) -> np.ndarray:
+    """For each delta key (dh, dd), the index of the last segment whose
+    composite start key (starts_h, starts_d) is <= it — lexicographic
+    searchsorted over the (sorted, possibly duplicate-h) segment starts.
+    Keys before segment 0 clip to 0 (they prepend there)."""
+    n = len(starts_h)
+    idx = np.searchsorted(starts_h, dh, side="right") - 1
+    # fix-up where segments START at exactly dh: order within the equal-h
+    # run is decided by start docid (a hot lemma can span many segments)
+    eq = (idx >= 0) & (starts_h[np.clip(idx, 0, n - 1)] == dh)
+    for i in np.flatnonzero(eq):
+        lo = np.searchsorted(starts_h, dh[i], side="left")
+        hi = idx[i] + 1
+        idx[i] = lo - 1 + np.searchsorted(starts_d[lo:hi], dd[i], side="right")
+    return np.clip(idx, 0, n - 1)
+
+
+def _slice_bounds(assign: np.ndarray, n_seg: int) -> np.ndarray:
+    """Contiguous [lo, hi) slice per segment from a sorted assignment
+    array (delta rows are key-sorted, assignment is monotone)."""
+    return np.searchsorted(assign, np.arange(n_seg + 1))
+
+
+def _merge_docs_segments(
+    out_dir: str,
+    docs_tmp: str,
+    delta_docs,
+    tomb_starts: np.ndarray,
+    tomb_ends: np.ndarray,
+    doc_cols: list[str],
+) -> None:
+    """Shuffle-free doc-store merge: the base doc files are globally
+    docid-sorted with disjoint spans, tombstoning only removes rows, and
+    the winning-generation docs are delta-sized — so each delta row is
+    routed to the one file whose span covers its docid (footer stats,
+    no data read) and every file merges independently. Zero all-to-all;
+    output file order preserves the global docid order."""
+    files = sorted(
+        os.path.join(build_mod.docs_dir(out_dir), f)
+        for f in os.listdir(build_mod.docs_dir(out_dir))
+        if f.endswith(".parquet")
+    )
+    starts = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index("docid")
+        starts.append(
+            min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
+        )
+    order = np.argsort(np.array(starts, np.int64), kind="stable")
+    files = [files[i] for i in order]
+    starts = np.array(starts, np.int64)[order]
+
+    if delta_docs is not None:
+        delta_docs = delta_docs.select(doc_cols)
+        d_ids = delta_docs.column("docid").to_numpy()
+        assign = np.clip(np.searchsorted(starts, d_ids, side="right") - 1, 0, len(files) - 1)
+        bounds = _slice_bounds(assign, len(files))
+        delta_ref = ray.put(delta_docs)
+    else:
+        bounds = np.zeros(len(files) + 1, np.int64)
+        delta_ref = None
+
+    items = [
+        {"path": p, "lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+        for i, p in enumerate(files)
+    ]
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            t = pq.read_table(row["path"]).select(doc_cols)
+            ids = t.column("docid").to_numpy()
+            if len(tomb_starts):
+                idx = np.searchsorted(tomb_starts, ids, side="right") - 1
+                idxc = np.clip(idx, 0, len(tomb_starts) - 1)
+                keep = ~((idx >= 0) & (ids < tomb_ends[idxc]))
+                t = t.filter(pa.array(keep))
+            if row["hi"] > row["lo"]:
+                d = ray.get(delta_ref).slice(row["lo"], row["hi"] - row["lo"])
+                t = pa.concat_tables([t, d])
+                t = t.take(pc.sort_indices(t.column("docid")))
+            out.append(t)
+        return pa.concat_tables(out)
+
+    rd.from_items(items, override_num_blocks=max(1, len(items))).map_batches(
+        merge_one, batch_format="pyarrow", batch_size=None
+    ).write_parquet(docs_tmp, row_group_size=65_536)
+
+
+def _merge_index_segments(
+    out_dir: str,
+    index_tmp: str,
+    delta_flat,  # pa.Table with (lemma, lemma_h, docid, tf, doc_len, scope_code), key-sorted, or None
+    tomb_starts: np.ndarray,
+    tomb_ends: np.ndarray,
+    scope_lut: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> None:
+    """Shuffle-free index merge (LSM minor compaction, the segment-merge
+    shape of a Lucene merge): the base index files are globally
+    (lemma_h, docid)-sorted with disjoint key spans, tombstoning only
+    removes postings, and the winning-generation postings are
+    delta-sized — so each file decodes, masks, splices its assigned
+    delta slice and re-encodes LOCALLY (block maxima re-derive from the
+    effective avgdl). Per-lemma block rows across files keep disjoint
+    docid ranges, which is exactly the fragmented-run layout query
+    readers already merge by first_docid. Zero all-to-all, zero
+    broadcasts; clustering/blocking drifts with each fold — mode=major
+    re-sorts globally to defragment."""
+    d = build_mod.index_dir(out_dir)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    firsts = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            firsts.append(None)
+            continue
+        rg = pf.read_row_group(0, columns=["lemma_h", "first_docid"])
+        firsts.append((rg.column("lemma_h")[0].as_py(), rg.column("first_docid")[0].as_py()))
+    pairs = sorted(
+        (k, f) for k, f in zip(firsts, files) if k is not None
+    )
+    files = [f for _, f in pairs]
+    starts_h = np.array([k[0] for k, _ in pairs], np.int64)
+    starts_d = np.array([k[1] for k, _ in pairs], np.int64)
+
+    if delta_flat is not None and delta_flat.num_rows and files:
+        assign = _assign_to_segments(
+            starts_h,
+            starts_d,
+            delta_flat.column("lemma_h").to_numpy(),
+            delta_flat.column("docid").to_numpy(),
+        )
+        bounds = _slice_bounds(assign, len(files))
+        delta_ref = ray.put(delta_flat)
+    else:
+        bounds = np.zeros(len(files) + 1, np.int64)
+        delta_ref = ray.put(delta_flat) if delta_flat is not None else None
+
+    flatten = _make_block_flattener(
+        tomb_starts, tomb_ends, scope_lut, carry_dl_scope=True, carry_lemma=True
+    )
+    encode = make_block_encoder(avgdl or 1.0, k1, b, block_size)
+    read_cols = ["lemma", "lemma_h", "n", "gaps", "tfs", "dls", "scps"]
+    items = [
+        {"path": p, "lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+        for i, p in enumerate(files)
+    ]
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            flat = flatten(pq.read_table(row["path"], columns=read_cols))
+            if row["hi"] > row["lo"]:
+                dslice = ray.get(delta_ref).slice(row["lo"], row["hi"] - row["lo"])
+                flat = pa.concat_tables([flat, dslice])
+                keys = np.lexsort(
+                    (
+                        flat.column("docid").to_numpy(),
+                        flat.column("lemma_h").to_numpy(),
+                    )
+                )
+                flat = flat.take(pa.array(keys, pa.int64()))
+            out.append(encode(flat.combine_chunks()))
+        return pa.concat_tables(out) if out else INDEX_SCHEMA.empty_table()
+
+    if not files:
+        # degenerate empty base: the whole new index is the delta
+        os.makedirs(index_tmp, exist_ok=True)
+        t = encode(delta_flat) if delta_flat is not None else INDEX_SCHEMA.empty_table()
+        pq.write_table(t, os.path.join(index_tmp, "part-0.parquet"), row_group_size=16_384)
+        return
+    rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        merge_one, batch_format="pyarrow", batch_size=None
+    ).write_parquet(index_tmp, row_group_size=16_384)
+
+
 def _swap_in(out_dir: str, entries: list[dict]) -> None:
     """Idempotent artifact swap: for each {tmp, final}, retire the old
     final and move tmp into place. Re-runnable after a crash at any
@@ -221,9 +422,18 @@ def _swap_in(out_dir: str, entries: list[dict]) -> None:
             shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
 
 
-def compact(out_dir: str, *, resume: bool = False) -> dict:
+def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
     """Merge all delta generations into a new base index. Returns a
     reference-style response dict ``{"result", "error", "generations"}``.
+
+    ``mode="minor"`` (default) is the shuffle-free segment merge: every
+    base file decodes, masks, splices its routed delta slice and
+    re-encodes locally — zero all-to-all exchanges, zero broadcasts; the
+    physical clustering/blocking drifts with each fold. ``mode="major"``
+    re-sorts the full flat posting stream globally (one all-to-all),
+    restoring the rebuild's exact clustering — run it occasionally to
+    defragment. Both produce logically identical indexes (decoded
+    content equality pinned by test).
 
     ``resume=True`` finishes an interrupted swap (journal state
     SWAPPING) without re-running the merge."""
@@ -278,20 +488,30 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
     # ---- new doc store: base minus tombstones, plus winning-gen docs ----
     doc_cols = ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts", "docid"]
     delta_docs = _read_latest(latest, "docs")
-
-    def _doc_filter(batch: pa.Table) -> pa.Table:
-        ids = batch.column("docid").to_numpy()
-        idx = np.searchsorted(tomb_starts, ids, side="right") - 1
-        idxc = np.clip(idx, 0, len(tomb_starts) - 1)
-        keep = ~((idx >= 0) & (ids < tomb_ends[idxc]))
-        return batch.filter(pa.array(keep)).select(doc_cols)
-
-    docs_ds = rd.read_parquet(build_mod.docs_dir(out_dir)).map_batches(
-        _doc_filter, batch_format="pyarrow", batch_size=None
-    )
     if delta_docs is not None:
-        docs_ds = docs_ds.union(rd.from_arrow(delta_docs.select(doc_cols)))
-    docs_ds.sort("docid").write_parquet(docs_tmp, row_group_size=65_536)
+        delta_docs = delta_docs.take(
+            pc.sort_indices(delta_docs.column("docid"))
+        ).combine_chunks()
+
+    if mode == "minor":
+        _merge_docs_segments(
+            out_dir, docs_tmp, delta_docs, tomb_starts, tomb_ends, doc_cols
+        )
+    else:
+
+        def _doc_filter(batch: pa.Table) -> pa.Table:
+            ids = batch.column("docid").to_numpy()
+            idx = np.searchsorted(tomb_starts, ids, side="right") - 1
+            idxc = np.clip(idx, 0, len(tomb_starts) - 1)
+            keep = ~((idx >= 0) & (ids < tomb_ends[idxc]))
+            return batch.filter(pa.array(keep)).select(doc_cols)
+
+        docs_ds = rd.read_parquet(build_mod.docs_dir(out_dir)).map_batches(
+            _doc_filter, batch_format="pyarrow", batch_size=None
+        )
+        if delta_docs is not None:
+            docs_ds = docs_ds.union(rd.from_arrow(delta_docs.select(doc_cols)))
+        docs_ds.sort("docid").write_parquet(docs_tmp, row_group_size=65_536)
 
     # merged stats from the new doc store (same derivation as a rebuild).
     # n_docs comes from parquet footers (no data read); below the dl
@@ -341,12 +561,48 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
     avgdl = (total_len / n_docs) if n_docs else 0.0
     scope_lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
 
+    delta_posts = _read_latest(latest, "postings")
+
+    if mode == "minor":
+        delta_flat = None
+        if delta_posts is not None:
+            dp = build_mod._attach_lemma_hash(delta_posts)
+            dd_ids = delta_docs.column("docid").to_numpy()
+            dd_codes = scope_codes_of(
+                delta_docs.column("role").combine_chunks(),
+                delta_docs.column("tool").combine_chunks(),
+                new_roles, new_tools,
+            )
+            pos = np.searchsorted(dd_ids, dp.column("docid").to_numpy())
+            delta_flat = pa.table(
+                {
+                    "lemma": dp.column("lemma"),
+                    "lemma_h": dp.column("lemma_h"),
+                    "docid": dp.column("docid"),
+                    "tf": dp.column("tf").cast(pa.int32()),
+                    "doc_len": dp.column("doc_len").cast(pa.int32()),
+                    "scope_code": pa.array(dd_codes[pos].astype(np.int32), pa.int32()),
+                }
+            )
+            keys = np.lexsort(
+                (delta_flat.column("docid").to_numpy(),
+                 delta_flat.column("lemma_h").to_numpy())
+            )
+            delta_flat = delta_flat.take(pa.array(keys, pa.int64())).combine_chunks()
+        _merge_index_segments(
+            out_dir, index_tmp, delta_flat, tomb_starts, tomb_ends,
+            scope_lut, avgdl, k1, b, block_size,
+        )
+        return _finish(
+            out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
+            convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+        )
+
     # ---- vocabulary broadcast (lemma_h -> lemma) ------------------------
     # the base index's block rows already carry BOTH columns, so the
     # base vocab needs zero hashing (a block-count-sized 2-column read);
     # only novel lemmas from winning-gen postings are hashed (delta-sized)
     bt = pq.read_table(build_mod.index_dir(out_dir), columns=["lemma_h", "lemma"])
-    delta_posts = _read_latest(latest, "postings")
     h_all = bt.column("lemma_h").to_numpy()
     lem_all = bt.column("lemma").combine_chunks()
     if delta_posts is not None:
@@ -447,10 +703,20 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
         .write_parquet(index_tmp, row_group_size=16_384)
     )
 
-    # ---- lemma dictionary (shared stage-D aggregate) --------------------
+    return _finish(
+        out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
+        convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+    )
+
+
+def _finish(
+    out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
+    convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+) -> dict:
+    """Lemma dictionary (shared stage-D aggregate) + journaled swap —
+    identical for both merge modes."""
     n_lemmas, n_postings = build_mod.write_lemma_dict(index_tmp, dict_tmp)
 
-    # ---- journaled swap --------------------------------------------------
     stats = dict(m["stats"])
     stats.update(
         n_docs=n_docs,
@@ -469,7 +735,7 @@ def compact(out_dir: str, *, resume: bool = False) -> dict:
     manifest["stats"] = stats
     manifest["text_overrides"] = overrides
     manifest["compactions"] = (m.get("compactions") or []) + [
-        {"generations": [g["generation"] for g in gens], "convs": len(latest)}
+        {"generations": [g["generation"] for g in gens], "convs": len(latest), "mode": mode}
     ]
     entries = [
         {"tmp": docs_tmp, "final": build_mod.docs_dir(out_dir)},

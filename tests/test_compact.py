@@ -168,9 +168,12 @@ def test_compact_rank_identical(compact_env):
 
 
 def test_compact_physical_equivalence(compact_env):
-    """No conv was dropped, so the compacted index must decode to
-    EXACTLY the rebuild's postings (same docids, tfs, dls, scope value
-    pairs) and carry an identical lemma dictionary."""
+    """No conv was dropped, so the compacted (minor/segment-merge) index
+    must decode to EXACTLY the rebuild's postings (same docids, tfs,
+    dls, scope value pairs) and carry an identical lemma dictionary —
+    the physical blocking may differ, the content may not. The merged
+    doc store must stay globally docid-sorted on a directory read (the
+    engine's forward index binary-searches it)."""
     out = _fresh_overlay_copy(compact_env, "compacted")  # compacted by prior test
     if delta.list_generations(out):
         assert compact.compact(out)["result"]
@@ -180,6 +183,20 @@ def test_compact_physical_equivalence(compact_env):
     da = pq.read_table(build.lemma_dict_path(out))
     db = pq.read_table(build.lemma_dict_path(compact_env["rebuilt_out"]))
     assert da.equals(db)
+    ids = pq.read_table(build.docs_dir(out), columns=["docid"]).column("docid").to_numpy()
+    assert (np.diff(ids) > 0).all()
+
+
+def test_compact_major_mode(compact_env):
+    """mode=major (global re-sort) defragments to the rebuild's exact
+    clustering: decoded content AND search results identical."""
+    out = _fresh_overlay_copy(compact_env, "compact_major")
+    resp = compact.compact(out, mode="major")
+    assert resp == {"result": True, "error": None, "generations": 2}
+    a = _decoded_flat(out)
+    b = _decoded_flat(compact_env["rebuilt_out"])
+    assert a.equals(b)
+    _compare_engines(SearchEngine(out), SearchEngine(compact_env["rebuilt_out"]))
 
 
 def test_compact_noop(compact_env):
@@ -246,13 +263,13 @@ def test_compact_zero_turn_conv_keeps_ranks(compact_env, tmp_path):
 
 
 def test_compact_oversized_regime(compact_env, monkeypatch):
-    """GRAFT_COMPACT_BCAST_MAX=0 forces the 100TB plan: stats via
+    """GRAFT_COMPACT_BCAST_MAX=0 forces the 100TB major plan: stats via
     map-side partial aggregates and dl/scope riding the shuffle instead
     of the docid-aligned broadcast — must be rank-identical to the
     broadcast regime's output (== the rebuild)."""
     monkeypatch.setenv("GRAFT_COMPACT_BCAST_MAX", "0")
     out = _fresh_overlay_copy(compact_env, "compact_oversized")
-    resp = compact.compact(out)
+    resp = compact.compact(out, mode="major")
     assert resp == {"result": True, "error": None, "generations": 2}
     a = _decoded_flat(out)
     b = _decoded_flat(compact_env["rebuilt_out"])

@@ -275,3 +275,53 @@ def test_compact_oversized_regime(compact_env, monkeypatch):
     b = _decoded_flat(compact_env["rebuilt_out"])
     assert a.equals(b)
     _compare_engines(SearchEngine(out), SearchEngine(compact_env["rebuilt_out"]))
+
+
+def test_compact_repeated_cycles(compact_env, tmp_path):
+    """Full LSM lifecycle over several cycles: delta -> minor compact ->
+    delta -> minor compact -> delta -> MAJOR compact, each step checked
+    rank-identical to a rebuild of the corpus as modified so far.
+    Pins text-override accumulation, scope renumbering across repeated
+    folds, and that fragmentation from minor folds never changes
+    results."""
+    tiny = compact_env["tiny"]
+    base_out = str(tmp_path / "base")
+    build.build_index(
+        BuildConfig(input_paths=tiny, out_dir=base_out, n_partitions=2, concurrency=2)
+    )
+    eng0 = SearchEngine(base_out)
+    convs = []
+    for i in (0, 2, 4):
+        for c in eng0.search(datagen.stem(i), limit=5)["data"].column("conv_id").to_pylist():
+            if c not in convs:
+                convs.append(c)
+                break
+    assert len(convs) == 3
+
+    cur_files = tiny
+    for cycle, (conv, mode) in enumerate(
+        zip(convs, ["minor", "minor", "major"]), start=1
+    ):
+        cur_files = _modify_corpus(
+            cur_files, str(tmp_path / f"mod{cycle}"), conv,
+            [f"{datagen.stem(cycle + 5)} {datagen.stem(cycle + 5)} "
+             f"{datagen.stem(cycle + 5)} cycle {cycle} rewrite",
+             f"{datagen.stem(cycle + 6)} extra"],
+        )
+        assert delta.reindex_conversations(base_out, [conv], input_paths=cur_files)["result"]
+        resp = compact.compact(base_out, mode=mode)
+        assert resp["result"] and resp["generations"] == 1
+        rb = str(tmp_path / f"rebuilt{cycle}")
+        build.build_index(
+            BuildConfig(input_paths=cur_files, out_dir=rb, n_partitions=2, concurrency=2)
+        )
+        _compare_engines(SearchEngine(base_out), SearchEngine(rb))
+        # snippets keep flowing from each cycle's own input files
+        s = SearchEngine(base_out).search(
+            datagen.stem(cycle + 5), limit=20, with_snippets=True
+        )
+        mine = [x for x in s["data"].to_pylist() if x["conv_id"] == conv]
+        assert mine and any(f"cycle {cycle}" in x["snippet"] or "<b>" in x["snippet"] for x in mine)
+    m = json.load(open(os.path.join(base_out, "build.json")))
+    assert [c["mode"] for c in m["compactions"]] == ["minor", "minor", "major"]
+    assert len(m["text_overrides"]) == 3

@@ -435,6 +435,18 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _window_sliding(sf_dir: str):
+    from search_engine_ray.functions import windows
+
+    return windows.sliding_window(_events_ds(sf_dir))
+
+
+def _join_asof(sf_dir: str):
+    from search_engine_ray.functions import joins
+
+    return joins.asof_join(_events_ds(sf_dir))
+
+
 def _multimodal_features(sf_dir: str):
     """Distributed end-to-end: parquet read -> per-batch synthetic media
     payloads (real PPM images every 3rd row + opaque bytes; media_id =
@@ -498,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
+        "window_sliding": _window_sliding,
+        "join_asof": _join_asof,
     }
 
 
@@ -511,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
+    from search_engine_ray.functions import joins as joins_mod
     from search_engine_ray.functions import windows as windows_mod
 
     tag = "sf0.01"
@@ -573,4 +588,6 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": ta_mod.langid_sql("documents"),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
+        "window_sliding": windows_mod.sliding_window_sql("events"),
+        "join_asof": joins_mod.asof_join_sql("events"),
     }

@@ -86,6 +86,83 @@ GROUP BY 1, 2
 """
 
 
+SLIDE_WIDTH_MINUTES = 60
+SLIDE_HOP_MINUTES = 15
+
+
+def sliding_window(
+    ds: rd.Dataset,
+    width_minutes: int = SLIDE_WIDTH_MINUTES,
+    hop_minutes: int = SLIDE_HOP_MINUTES,
+) -> rd.Dataset:
+    """Hopping-window aggregates: every event lands in width/hop
+    overlapping windows (width must be a hop multiple). The k-fold
+    expansion happens IN-MAP (np.repeat + tiled hop offsets), so — as
+    with tumbling — the only shuffle is the (window, type) groupby and
+    rows combine map-side. Payload grows k-fold; pick hop accordingly."""
+    width_us = width_minutes * 60 * 1_000_000
+    hop_us = hop_minutes * 60 * 1_000_000
+    if width_us % hop_us:
+        raise ValueError("width must be a multiple of hop")
+    k = width_us // hop_us
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        last = (us // hop_us) * hop_us  # latest window containing ts
+        idx = np.repeat(np.arange(len(us)), k)
+        starts = np.repeat(last, k) - np.tile(np.arange(k) * hop_us, len(us))
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()).cast(pa.timestamp("us")),
+                "event_type": b.column("event_type").take(pa.array(idx, pa.int64())),
+                "value": b.column("value").take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="mean_value"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        for col in ("sum_value", "mean_value"):
+            x = b.column(col).to_numpy(zero_copy_only=False)
+            b = b.set_column(
+                b.schema.get_field_index(col), col, pa.array(_r(x), pa.float64())
+            )
+        return b
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sliding_window_sql(
+    src: str,
+    width_minutes: int = SLIDE_WIDTH_MINUTES,
+    hop_minutes: int = SLIDE_HOP_MINUTES,
+) -> str:
+    width_us = width_minutes * 60 * 1_000_000
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = width_us // hop_us
+    return f"""
+SELECT make_timestamp(s) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), {_ROUND}) AS sum_value,
+       round(avg(value), {_ROUND}) AS mean_value
+FROM {src},
+     LATERAL (SELECT unnest(generate_series(
+         (epoch_us(ts) // {hop_us}) * {hop_us} - {(k - 1) * hop_us},
+         (epoch_us(ts) // {hop_us}) * {hop_us},
+         {hop_us})) AS s)
+GROUP BY 1, 2
+"""
+
+
 def session_windows(
     ds: rd.Dataset, gap_minutes: int = SESSION_GAP_MINUTES
 ) -> rd.Dataset:

@@ -371,3 +371,41 @@ def test_knn_ivf_prebuilt_index_matches(emb_ds):
     indexed = similarity.build_ivf_index(emb_ds)
     via_index = similarity.knn_ivf(emb_ds, indexed=indexed)
     assert via_index.equals(inline)
+
+
+def test_sliding_window_oracle(events_ds, educk):
+    from search_engine_ray.functions import windows as W
+
+    t = _assert_matches_oracle(
+        W.sliding_window(events_ds), educk, W.sliding_window_sql("events")
+    )
+    assert t.num_rows > 0
+    # width == hop degenerates to the tumbling window exactly
+    slid = W.sliding_window(events_ds, width_minutes=60, hop_minutes=60).to_arrow_refs()
+    tumb = W.tumbling_window(events_ds, width_minutes=60).to_arrow_refs()
+    import ray as _ray
+
+    key = ["window_start", "event_type"]
+    a = pa.concat_tables([_ray.get(r) for r in slid]).sort_by([(k, "ascending") for k in key])
+    b = pa.concat_tables([_ray.get(r) for r in tumb]).sort_by([(k, "ascending") for k in key])
+    assert a.equals(b)
+    with pytest.raises(ValueError):
+        W.sliding_window(events_ds, width_minutes=50, hop_minutes=15)
+
+
+def test_asof_join_oracle(events_ds, educk):
+    from search_engine_ray.functions import joins as J
+
+    t = _assert_matches_oracle(
+        J.asof_join(events_ds), educk, J.asof_join_sql("events")
+    )
+    # every left event appears exactly once (left-outer), priors never
+    # postdate their event
+    n_left = educk.execute(
+        "SELECT count(*) FROM events WHERE event_type='purchase'"
+    ).fetchone()[0]
+    assert t.num_rows == n_left
+    import pyarrow.compute as pc
+
+    have = t.filter(pc.is_valid(t["prior_ts"]))
+    assert pc.all(pc.less_equal(have["prior_ts"], have["ts"])).as_py()

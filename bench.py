@@ -116,6 +116,24 @@ def run_bench() -> dict:
     query_s = time.monotonic() - t0
     p95_ms = min(round_p95)
 
+    # Compaction micro-bench (LSM fold of one delta generation, minor =
+    # shuffle-free segment merge): measured off the headline value, only
+    # at small sf so --scaling legs stay pure build measurements.
+    compact_s = None
+    if os.environ.get("GRAFT_BENCH_COMPACT", "1" if sf_val <= 0.2 else "0") == "1":
+        from search_engine_ray.pipelines import compact as compact_mod
+        from search_engine_ray.pipelines import delta as delta_mod
+
+        mod_files, conv = datagen.modified_corpus(tag)
+        cdir = f"{out}-compact"
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.copytree(out, cdir)
+        assert delta_mod.reindex_conversations(cdir, [conv], input_paths=mod_files)["result"]
+        t0 = time.monotonic()
+        assert compact_mod.compact(cdir)["result"]
+        compact_s = round(time.monotonic() - t0, 3)
+        shutil.rmtree(cdir, ignore_errors=True)
+
     n_turns = manifest["stats"]["n_docs"]
     result = {
         "metric": "index_build_sf_seconds",
@@ -128,6 +146,7 @@ def run_bench() -> dict:
             "stage_c_index": manifest["timings"]["stage_c_s"],
             "stage_d_dict": manifest["timings"]["stage_d_s"],
             "query_set_3x": round(query_s, 3),
+            **({"compact_minor": compact_s} if compact_s is not None else {}),
         },
         "sf": float(tag[2:]),
         "num_cpus": ncpu,

@@ -435,6 +435,12 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _window_sessions_salted(sf_dir: str):
+    from search_engine_ray.functions import windows
+
+    return windows.session_windows_salted(_events_ds(sf_dir))
+
+
 def _window_sliding(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -510,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _multimodal_features,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
+        "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
     }
@@ -588,6 +595,8 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": ta_mod.langid_sql("documents"),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
+        # the hot-user-safe path must equal the plain sessionization
+        "window_sessions_salted": windows_mod.session_windows_sql("events"),
         "window_sliding": windows_mod.sliding_window_sql("events"),
         "join_asof": joins_mod.asof_join_sql("events"),
     }

@@ -207,6 +207,126 @@ def session_windows(
     )
 
 
+def session_windows_salted(
+    ds: rd.Dataset,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    salt_hours: int = 24,
+) -> rd.Dataset:
+    """Hot-user-safe sessionization — the scale path the plain
+    ``session_windows`` docstring promises. The shuffle key is
+    ``(user_id, time bucket)`` so one hot user spreads over many groups;
+    per-bucket sessions are computed as usual, then ONLY the first/last
+    session of each bucket (the boundary set, O(users x buckets) rows ≪
+    events) goes through a second, tiny user-keyed merge that stitches
+    sessions whose cross-bucket gap is <= the threshold. Two sessions
+    inside one bucket are > gap apart by construction, so the sorted
+    sweep can only merge across buckets — output is EXACTLY
+    ``session_windows`` (equality pinned by test and the shared SQL
+    oracle). Sums stay unrounded until the final emit so merged chains
+    round once, like the oracle."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    salt_us = salt_hours * 3_600 * 1_000_000
+    if salt_us <= gap_us:
+        raise ValueError("salt span must exceed the session gap")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "bucket": pc.divide(us, salt_us),
+                "ts": b.column("ts"),
+                "value": b.column("value"),
+            }
+        ).replace_schema_metadata(None)
+
+    def split(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("ts"))
+        g = group.take(order)
+        us = g.column("ts").cast(pa.int64()).to_numpy()
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        new_sess = np.concatenate(([True], np.diff(us) > gap_us))
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(us))
+        k = len(starts)
+        boundary = np.zeros(k, bool)
+        boundary[0] = boundary[-1] = True
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(g.column("user_id")[0].as_py(), k), pa.int64()
+                ),
+                "session_start": pa.array(us[starts], pa.int64()),
+                "session_end": pa.array(us[ends - 1], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "sum_value": pa.array(np.add.reduceat(val, starts), pa.float64()),
+                "boundary": pa.array(boundary, pa.bool_()),
+            }
+        )
+
+    sess = (
+        ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(split, batch_format="pyarrow")
+        # two consumers below — materialize the (session-level, tiny
+        # vs events) intermediate so the groupby doesn't execute twice
+        .materialize()
+    )
+    def _keep(flag: bool):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("boundary"), flag))
+
+        return f
+
+    interior = sess.map_batches(_keep(False), batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column("session_start"))
+        g = group.take(order)
+        s = g.column("session_start").to_numpy()
+        e = g.column("session_end").to_numpy()
+        n = g.column("n_events").to_numpy()
+        v = g.column("sum_value").to_numpy(zero_copy_only=False)
+        new_chain = np.concatenate(([True], s[1:] - e[:-1] > gap_us))
+        heads = np.flatnonzero(new_chain)
+        tails = np.append(heads[1:], len(s))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.repeat(g.column("user_id")[0].as_py(), len(heads)), pa.int64()
+                ),
+                "session_start": pa.array(s[heads], pa.int64()),
+                "session_end": pa.array(e[tails - 1], pa.int64()),
+                "n_events": pa.array(np.add.reduceat(n, heads), pa.int64()),
+                "sum_value": pa.array(np.add.reduceat(v, heads), pa.float64()),
+                "boundary": pa.array(np.zeros(len(heads), bool), pa.bool_()),
+            }
+        )
+
+    stitched = (
+        sess.map_batches(_keep(True), batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "session_start": b.column("session_start").cast(pa.timestamp("us")),
+                "session_end": b.column("session_end").cast(pa.timestamp("us")),
+                "n_events": b.column("n_events"),
+                "sum_value": pa.array(
+                    _r(b.column("sum_value").to_numpy(zero_copy_only=False)),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return interior.union(stitched).map_batches(finish, batch_format="pyarrow")
+
+
 def session_windows_sql(src: str, gap_minutes: int = SESSION_GAP_MINUTES) -> str:
     gap_us = gap_minutes * 60 * 1_000_000
     return f"""

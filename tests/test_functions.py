@@ -409,3 +409,23 @@ def test_asof_join_oracle(events_ds, educk):
 
     have = t.filter(pc.is_valid(t["prior_ts"]))
     assert pc.all(pc.less_equal(have["prior_ts"], have["ts"])).as_py()
+
+
+def test_session_windows_salted_equals_plain(events_ds, educk):
+    from search_engine_ray.functions import windows as W
+
+    t = _assert_matches_oracle(
+        W.session_windows_salted(events_ds, salt_hours=6),
+        educk,
+        W.session_windows_sql("events"),
+    )
+    assert t.num_rows > 0
+    # a salt span at the legal minimum still stitches exactly
+    t2 = _assert_matches_oracle(
+        W.session_windows_salted(events_ds, salt_hours=1),
+        educk,
+        W.session_windows_sql("events"),
+    )
+    assert t2.num_rows == t.num_rows
+    with pytest.raises(ValueError):
+        W.session_windows_salted(events_ds, gap_minutes=120, salt_hours=1)

@@ -453,6 +453,12 @@ def _join_asof(sf_dir: str):
     return joins.asof_join(_events_ds(sf_dir))
 
 
+def _join_asof_salted(sf_dir: str):
+    from search_engine_ray.functions import joins
+
+    return joins.asof_join_salted(_events_ds(sf_dir))
+
+
 def _multimodal_features(sf_dir: str):
     """Distributed end-to-end: parquet read -> per-batch synthetic media
     payloads (real PPM images every 3rd row + opaque bytes; media_id =
@@ -519,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
+        "join_asof_salted": _join_asof_salted,
     }
 
 
@@ -599,4 +606,6 @@ def oracle_sql() -> dict[str, str]:
         "window_sessions_salted": windows_mod.session_windows_sql("events"),
         "window_sliding": windows_mod.sliding_window_sql("events"),
         "join_asof": joins_mod.asof_join_sql("events"),
+        # the hot-user-safe path must equal the plain as-of join
+        "join_asof_salted": joins_mod.asof_join_sql("events"),
     }

@@ -429,3 +429,20 @@ def test_session_windows_salted_equals_plain(events_ds, educk):
     assert t2.num_rows == t.num_rows
     with pytest.raises(ValueError):
         W.session_windows_salted(events_ds, gap_minutes=120, salt_hours=1)
+
+
+def test_asof_join_salted_equals_plain(events_ds, educk):
+    from search_engine_ray.functions import joins as J
+
+    t = _assert_matches_oracle(
+        J.asof_join_salted(events_ds, salt_hours=6),
+        educk,
+        J.asof_join_sql("events"),
+    )
+    assert t.num_rows > 0
+    # tiny salt span maximizes cross-bucket carries; still exact
+    _assert_matches_oracle(
+        J.asof_join_salted(events_ds, salt_hours=1),
+        educk,
+        J.asof_join_sql("events"),
+    )

@@ -342,6 +342,13 @@ def _dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_documents_ds(sf_dir))
 
 
+def _dedup_clusters(sf_dir: str):
+    from search_engine_ray.functions import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_documents_ds(sf_dir))
+    return dedup.dup_clusters(pairs)
+
+
 def _dedup_embedding(sf_dir: str):
     from search_engine_ray.functions import dedup
 
@@ -510,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
@@ -590,6 +598,11 @@ def oracle_sql() -> dict[str, str]:
         # so brute-force all-pairs SQL over the same md5-derived
         # signature definition is a true oracle
         "dedup_simhash": dedup_mod.simhash_sql("documents"),
+        # cluster collapse composes over the oracle-checked exact pair
+        # set; the closure is a recursive CTE over the same pairs
+        "dedup_clusters": dedup_mod.dup_clusters_sql(
+            dedup_mod.ngram_jaccard_sql("documents")
+        ),
         "dedup_embedding": dedup_mod.embedding_dup_sql("embeddings"),
         "knn_bruteforce": similarity_mod.knn_bruteforce_sql("embeddings"),
         # nprobe == nlist probes every cell: the persisted-index scan

@@ -857,3 +857,142 @@ SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b,
 FROM e a JOIN e b ON a.{id_col} < b.{id_col}
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 """
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster collapse (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 50,
+) -> pa.Table:
+    """Collapse dup *pairs* into clusters: connected components via
+    hash-min label propagation, the step after any pair producer
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`, ...) in a
+    training-data dedup pipeline — keep one canonical doc per cluster.
+
+    Returns ``(doc_id, cluster_id, keep)`` for every doc appearing in a
+    pair, ``cluster_id`` = min doc id of its component, ``keep`` = is
+    the canonical doc. Docs in no pair are implicitly kept.
+
+    Scale shape: the iteration state is the EDGE list + one label row
+    per touched doc — never the corpus. Each round is two groupbys over
+    |E|+|V| rows (re-key label to edge sources, then min per target);
+    no joins, no broadcasts, no driver-side graph. Hash-min propagates
+    the component minimum one hop per round, so rounds = component
+    diameter — near-dup clusters are shallow (stars/cliques around a
+    template), so this converges in a handful of rounds; convergence is
+    detected by a scalar ``sum(label)`` aggregate (labels only ever
+    decrease, so an unchanged sum == fixpoint). The reference engine has
+    no dedup at all (closed site list, see
+    /root/reference/src/main/java/searchengine/services — coverage here
+    is the LLM-training-data extension surface).
+    """
+    if isinstance(pairs, pa.Table):
+        pairs_ds = rd.from_arrow(pairs.select([col_a, col_b]))
+    else:
+        pairs_ds = pairs.select_columns([col_a, col_b])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch.column(col_b).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate((a, b)), pa.int64()),
+                "nbr": pa.array(np.concatenate((b, a)), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64()),
+             "keep": pa.array([], pa.bool_())}
+        )
+
+    # Seed label(node) = min(node, min direct neighbor): one groupby, and
+    # already the fixpoint for the common clique/star cluster shapes.
+    def seed_label(batch: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(batch.column("node"), batch.column("min_nbr"))
+        return pa.table({"node": batch.column("node"), "label": lab})
+
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("nbr", alias_name="min_nbr"))
+        .map_batches(seed_label, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    def relabel(group: pa.Table) -> pa.Table:
+        # Group = this node's label row (nbr == -1) + its edge rows.
+        nbrs = group.column("nbr").to_numpy(zero_copy_only=False)
+        labs = group.column("label").to_numpy(zero_copy_only=False)
+        lab = labs[labs >= 0].min()  # exactly one label row per node
+        targets = np.concatenate((nbrs[nbrs >= 0], group.column("node").slice(0, 1).to_numpy()))
+        return pa.table(
+            {"node": pa.array(targets, pa.int64()),
+             "label": pa.array(np.full(len(targets), lab), pa.int64())}
+        )
+
+    for _ in range(max_iters):
+        lab_rows = labels.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "nbr": pa.array(np.full(b.num_rows, -1), pa.int64()),
+                 "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges.map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "nbr": b.column("nbr"),
+                 "label": pa.array(np.full(b.num_rows, -1), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            lab_rows.union(edge_rows)
+            .groupby("node")
+            .map_groups(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    tabs = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tabs)
+    t = pa.table(
+        {
+            "doc_id": t.column("node"),
+            "cluster_id": t.column("label"),
+            "keep": pc.equal(t.column("node"), t.column("label")),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`dup_clusters`: recursive closure over the
+    same pair set (``pairs_sql`` must yield ``doc_a, doc_b`` columns)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id, node = MIN(lab) AS keep
+FROM walk GROUP BY node
+"""

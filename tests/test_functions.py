@@ -446,3 +446,42 @@ def test_asof_join_salted_equals_plain(events_ds, educk):
         educk,
         J.asof_join_sql("events"),
     )
+
+
+def test_dup_clusters_graph_shapes():
+    """Hash-min label propagation: chain (multi-round propagation),
+    star, clique and singleton-pair components all collapse to the
+    component-minimum canonical id."""
+    from search_engine_ray.functions import dedup
+
+    pairs = pa.table(
+        {
+            # chain 1-2-3-4-5 (diameter 4: needs >1 round past the seed),
+            # star 10-{11,12,13}, pair {20,21}
+            "doc_a": pa.array([1, 2, 3, 4, 10, 10, 10, 20], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 5, 11, 12, 13, 21], pa.int64()),
+        }
+    )
+    t = dedup.dup_clusters(pairs)
+    got = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    keep = dict(zip(t.column("doc_id").to_pylist(), t.column("keep").to_pylist()))
+    assert [d for d, k in keep.items() if k] == [1, 10, 20]
+
+
+def test_dup_clusters_oracle(docs_ds, fduck):
+    """Cluster collapse over the exact n-gram pair set matches the
+    recursive-CTE closure over the same pairs."""
+    from search_engine_ray.functions import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs_ds)
+    t = _assert_matches_oracle(
+        dedup.dup_clusters(pairs),
+        fduck,
+        dedup.dup_clusters_sql(dedup.ngram_jaccard_sql("documents")),
+    )
+    assert t.num_rows > 0
+    # every doc in a pair is clustered; canonical == component min
+    nodes = set(pairs.column("doc_a").to_pylist()) | set(pairs.column("doc_b").to_pylist())
+    assert set(t.column("doc_id").to_pylist()) == nodes

@@ -342,6 +342,32 @@ def _dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_documents_ds(sf_dir))
 
 
+# sampling constants shared between queries() and oracle_sql()
+SAMPLE_FRACTION = 0.3
+STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+STRATA_DEFAULT = 0.1
+
+
+def _sample_hash(sf_dir: str):
+    from search_engine_ray.functions import sampling
+
+    return sampling.sample_hash(_documents_ds(sf_dir), SAMPLE_FRACTION)
+
+
+def _sample_stratified(sf_dir: str):
+    from search_engine_ray.functions import sampling
+
+    return sampling.sample_stratified(
+        _documents_ds(sf_dir), STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
+    )
+
+
+def _assign_splits(sf_dir: str):
+    from search_engine_ray.functions import sampling
+
+    return sampling.assign_splits(_documents_ds(sf_dir))
+
+
 def _dedup_clusters(sf_dir: str):
     from search_engine_ray.functions import dedup
 
@@ -523,6 +549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
+        "sample_hash": _sample_hash,
+        "sample_stratified": _sample_stratified,
+        "assign_splits": _assign_splits,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
@@ -545,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray import datagen, oracle
     from search_engine_ray.config import REFERENCE_DF_CUTOFF
     from search_engine_ray.functions import dedup as dedup_mod
+    from search_engine_ray.functions import sampling as sampling_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import joins as joins_mod
@@ -609,6 +639,13 @@ def oracle_sql() -> dict[str, str]:
         # (assignment + cell filter + partial-top-k merge) must equal
         # exhaustive cosine top-k — same oracle as knn_bruteforce
         "knn_ivf_full_probe": similarity_mod.knn_bruteforce_sql("embeddings"),
+        # deterministic md5-threshold sampling: oracle computes the SAME
+        # digest, so these are exact row-set matches, not statistical
+        "sample_hash": sampling_mod.sample_hash_sql("documents", SAMPLE_FRACTION),
+        "sample_stratified": sampling_mod.sample_stratified_sql(
+            "documents", STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
+        ),
+        "assign_splits": sampling_mod.assign_splits_sql("documents"),
         "text_token_counts": ta_mod.token_counts_sql("documents"),
         "text_quality": ta_mod.quality_features_sql("documents"),
         "text_fingerprint": ta_mod.fingerprint_sql("documents"),

@@ -1,0 +1,178 @@
+"""Deterministic sampling and split assignment for training-data
+pipelines over the ``documents`` table: Bernoulli hash-sampling,
+per-stratum rate sampling, and train/val/test split labeling.
+
+All three are pure per-batch maps — ZERO shuffles, no driver state, no
+randomness source: membership is a threshold test on the md5 of
+``"{seed}:{id}"``, so a row's verdict is reproducible across runs,
+cluster sizes, partitionings and engines (the DuckDB oracle computes the
+SAME digest). That determinism is the point at 100 TB: a re-run or a
+resumed partition samples identically, and train/test assignment can be
+recomputed anywhere without carrying a membership table.
+
+The threshold compares the first 15 hex digits of the digest (60 bits)
+against ``floor(fraction * 16^15)`` rendered as a fixed-width hex
+string — a lexicographic compare on lowercase fixed-length hex IS the
+numeric compare, and both Python's ``hexdigest`` and DuckDB's ``md5()``
+emit lowercase hex, so engine and oracle agree bit-for-bit.
+
+The reference engine has no sampling surface (it indexes every crawled
+page); this module is part of the LLM-training-data extension surface
+alongside :mod:`search_engine_ray.functions.dedup`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_HEX_DIGITS = 15  # 60 bits: fraction resolution ~1e-18, far below row counts
+_SPACE = 16 ** _HEX_DIGITS
+
+
+def _hex_threshold(fraction: float) -> str:
+    """``floor(fraction * 16^15)`` as a 15-digit lowercase hex string.
+
+    fraction >= 1.0 returns ``"g"``, which sorts above every hex digest
+    in both Arrow and DuckDB (ASCII compare) — a true keep-all under the
+    strict ``<`` the samplers use."""
+    f = min(max(float(fraction), 0.0), 1.0)
+    if f >= 1.0:
+        return "g"
+    return format(min(int(f * _SPACE), _SPACE - 1), "015x")
+
+
+def _digests(seed: int, ids) -> pa.Array:
+    """First 15 md5 hex digits of ``"{seed}:{id}"`` per id (the id is
+    rendered as a decimal string — identical to the SQL CAST)."""
+    pre = f"{seed}:".encode()
+    return pa.array(
+        [hashlib.md5(pre + str(i).encode()).hexdigest()[:_HEX_DIGITS] for i in ids],
+        pa.string(),
+    )
+
+
+def sample_hash(
+    ds: rd.Dataset,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> rd.Dataset:
+    """Deterministic Bernoulli sample: keep rows whose id-digest falls
+    below the fraction threshold. Pure map — streams at any scale."""
+    thresh = _hex_threshold(fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = _digests(seed, batch.column(id_col).to_pylist())
+        return batch.filter(pc.less(d, pa.scalar(thresh)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_hash_sql(src: str, fraction: float, id_col: str = "doc_id",
+                    seed: int = 42) -> str:
+    """DuckDB oracle for :func:`sample_hash` (same digest, same compare)."""
+    thresh = _hex_threshold(fraction)
+    return f"""
+SELECT * FROM {src}
+WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) < '{thresh}'
+"""
+
+
+def sample_stratified(
+    ds: rd.Dataset,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> rd.Dataset:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    rate (e.g. downsample a crawl-heavy source, keep all of a curated
+    one). Still a pure map — the rate table rides the closure (it is
+    stratum-cardinality-sized, not data-sized); no shuffle, no groupby."""
+    thresholds = {k: _hex_threshold(v) for k, v in fractions.items()}
+    default_t = _hex_threshold(default_fraction)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = _digests(seed, batch.column(id_col).to_pylist())
+        strata = batch.column(stratum_col).to_pylist()
+        t = pa.array([thresholds.get(s, default_t) for s in strata], pa.string())
+        return batch.filter(pc.less(d, t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_stratified_sql(src: str, fractions: dict[str, float],
+                          stratum_col: str = "source", id_col: str = "doc_id",
+                          seed: int = 42, default_fraction: float = 0.0) -> str:
+    """DuckDB oracle for :func:`sample_stratified`."""
+    cases = "\n".join(
+        f"        WHEN '{k}' THEN '{_hex_threshold(v)}'" for k, v in fractions.items()
+    )
+    return f"""
+SELECT * FROM {src}
+WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) <
+    (CASE {stratum_col}
+{cases}
+        ELSE '{_hex_threshold(default_fraction)}'
+    END)
+"""
+
+
+def assign_splits(
+    ds: rd.Dataset,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> rd.Dataset:
+    """Label every row with a deterministic train/val/test split drawn
+    from ``weights`` (must sum to <= 1; remainder falls in the LAST
+    split). A row's split never changes across runs or repartitionings,
+    and membership needs no stored table — the property a 100 TB corpus
+    split actually requires. Pure map, zero shuffle."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    cum, edges = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        edges.append(_hex_threshold(cum))
+
+    def label(batch: pa.Table) -> pa.Table:
+        d = _digests(seed, batch.column(id_col).to_pylist())
+        out = pa.array([names[-1]] * batch.num_rows, pa.string())
+        # assign from the last boundary down so earlier (smaller) bands win
+        for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+            out = pc.if_else(pc.less(d, pa.scalar(edge)), pa.scalar(name), out)
+        return batch.append_column("split", out)
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def assign_splits_sql(src: str, weights: dict[str, float] | None = None,
+                      id_col: str = "doc_id", seed: int = 42) -> str:
+    """DuckDB oracle for :func:`assign_splits`."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        whens.append(f"        WHEN h < '{_hex_threshold(cum)}' THEN '{name}'")
+    body = "\n".join(whens)
+    return f"""
+WITH h AS (
+    SELECT *, substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) AS h
+    FROM {src}
+)
+SELECT * EXCLUDE (h),
+    CASE
+{body}
+        ELSE '{names[-1]}'
+    END AS split
+FROM h
+"""

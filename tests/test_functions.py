@@ -485,3 +485,54 @@ def test_dup_clusters_oracle(docs_ds, fduck):
     # every doc in a pair is clustered; canonical == component min
     nodes = set(pairs.column("doc_a").to_pylist()) | set(pairs.column("doc_b").to_pylist())
     assert set(t.column("doc_id").to_pylist()) == nodes
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_sample_hash_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import sampling
+
+    t = _assert_matches_oracle(
+        sampling.sample_hash(docs_ds, 0.3),
+        fduck,
+        sampling.sample_hash_sql("documents", 0.3),
+    )
+    # Bernoulli(0.3) over 500 docs: loose bounds, deterministic anyway
+    assert 80 < t.num_rows < 220
+
+
+def test_sample_hash_keep_all_and_none(docs_ds, fduck):
+    from search_engine_ray.functions import sampling
+
+    assert sampling.sample_hash(docs_ds, 1.0).count() == docs_ds.count()
+    assert sampling.sample_hash(docs_ds, 0.0).count() == 0
+
+
+def test_sample_stratified_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import sampling
+
+    fr = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    t = _assert_matches_oracle(
+        sampling.sample_stratified(docs_ds, fr, default_fraction=0.1),
+        fduck,
+        sampling.sample_stratified_sql("documents", fr, default_fraction=0.1),
+    )
+    import pyarrow.compute as pc2
+
+    per = dict(zip(*[c.to_pylist() for c in t.group_by("source").aggregate(
+        [("doc_id", "count")]).select(["source", "doc_id_count"]).columns]))
+    assert per["src0"] == 25  # keep-all stratum is exact
+
+
+def test_assign_splits_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import sampling
+
+    t = _assert_matches_oracle(
+        sampling.assign_splits(docs_ds),
+        fduck,
+        sampling.assign_splits_sql("documents"),
+    )
+    assert t.num_rows == docs_ds.count()  # every row labeled exactly once
+    splits = set(t.column("split").to_pylist())
+    assert splits == {"train", "val", "test"}

@@ -342,6 +342,12 @@ def _dedup_simhash(sf_dir: str):
     return dedup.simhash_pairs(_documents_ds(sf_dir))
 
 
+def _pipeline_corpus_prep(sf_dir: str):
+    from search_engine_ray.pipelines import corpus_prep as cp
+
+    return cp.corpus_prep(_documents_ds(sf_dir))
+
+
 # sampling constants shared between queries() and oracle_sql()
 SAMPLE_FRACTION = 0.3
 STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -549,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
+        "pipeline_corpus_prep": _pipeline_corpus_prep,
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
         "assign_splits": _assign_splits,
@@ -575,6 +582,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.config import REFERENCE_DF_CUTOFF
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import sampling as sampling_mod
+    from search_engine_ray.pipelines import corpus_prep as corpus_prep_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import joins as joins_mod
@@ -639,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
         # (assignment + cell filter + partial-top-k merge) must equal
         # exhaustive cosine top-k — same oracle as knn_bruteforce
         "knn_ivf_full_probe": similarity_mod.knn_bruteforce_sql("embeddings"),
+        # the composed cleaning pipeline (quality gate -> exact dedup ->
+        # near-dup cluster collapse -> split assignment) checked
+        # END-TO-END against the composition of its stage oracles
+        "pipeline_corpus_prep": corpus_prep_mod.corpus_prep_sql("documents"),
         # deterministic md5-threshold sampling: oracle computes the SAME
         # digest, so these are exact row-set matches, not statistical
         "sample_hash": sampling_mod.sample_hash_sql("documents", SAMPLE_FRACTION),

@@ -536,3 +536,18 @@ def test_assign_splits_oracle(docs_ds, fduck):
     assert t.num_rows == docs_ds.count()  # every row labeled exactly once
     splits = set(t.column("split").to_pylist())
     assert splits == {"train", "val", "test"}
+
+
+def test_corpus_prep_pipeline_oracle(docs_ds, fduck):
+    """The composed cleaning pipeline (quality gate -> exact dedup ->
+    near-dup cluster collapse -> split assignment) matches the composed
+    SQL oracle end-to-end, and each gate provably removed something."""
+    from search_engine_ray.pipelines import corpus_prep as cp
+
+    t = _assert_matches_oracle(
+        cp.corpus_prep(docs_ds), fduck, cp.corpus_prep_sql("documents")
+    )
+    n_docs = docs_ds.count()
+    assert 0 < t.num_rows < n_docs  # gates actually filtered
+    assert set(t.column_names) == {"doc_id", "source", "lang", "split"}
+    assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}

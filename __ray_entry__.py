@@ -447,6 +447,18 @@ def _text_fingerprint(sf_dir: str):
     )
 
 
+def _text_ngram_counts(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.ngram_counts(_documents_ds(sf_dir))
+
+
+def _text_keywords(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.tfidf_keywords(_documents_ds(sf_dir))
+
+
 def _text_langid(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -563,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
+        "text_ngram_counts": _text_ngram_counts,
+        "text_keywords": _text_keywords,
         "multimodal_features": _multimodal_features,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
@@ -662,6 +676,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ta_mod.quality_features_sql("documents"),
         "text_fingerprint": ta_mod.fingerprint_sql("documents"),
         "text_langid": ta_mod.langid_sql("documents"),
+        "text_ngram_counts": ta_mod.ngram_counts_sql("documents"),
+        "text_keywords": ta_mod.tfidf_keywords_sql("documents"),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
         # the hot-user-safe path must equal the plain sessionization

@@ -282,3 +282,193 @@ class LangId:
         return batch.append_column(
             "lang_pred", pa.array(lang_arr, pa.string())
         )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide n-gram counts (LM-stats / contamination-check primitive)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 2
+NGRAM_MIN_COUNT = 5
+
+
+def ngram_count_rows(batch: pa.Table, n: int = NGRAM_N,
+                     text_col: str = "text") -> pa.Table:
+    """Map-side PARTIAL n-gram counts for one batch: vectorized
+    tokenization (shared with the dedup shingler), window validity by
+    doc-index equality, gram strings via one ``binary_join_element_wise``
+    call, partials via ``value_counts`` — no per-row Python. Emitting
+    (ngram, partial_count) instead of occurrences shrinks the shuffle by
+    the in-batch repetition factor (large, for Zipfian text)."""
+    from .dedup import _flat_word_tokens
+
+    doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+    empty = pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    m = len(doc_idx) - n + 1
+    if m <= 0:
+        return empty
+    valid = np.ones(m, bool)
+    for j in range(1, n):
+        valid &= doc_idx[j : m + j] == doc_idx[:m]
+    if not valid.any():
+        return empty
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
+    vc = grams.value_counts()
+    return pa.table(
+        {"ngram": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def ngram_counts(ds, n: int = NGRAM_N, min_count: int = NGRAM_MIN_COUNT,
+                 text_col: str = "text"):
+    """Corpus-wide n-gram counts >= ``min_count``: in-map partial counts
+    then ONE groupby(ngram) sum — the pre-aggregated shuffle shape. The
+    count floor is applied post-aggregate (a map), so rare-gram rows
+    never ship twice."""
+    import ray.data as rd  # noqa: F401  (Dataset-level op)
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: ngram_count_rows(b, n, text_col), batch_format="pyarrow"
+    )
+    total = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    return total.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"), pa.scalar(min_count))),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_counts_sql(src: str, n: int = NGRAM_N,
+                     min_count: int = NGRAM_MIN_COUNT) -> str:
+    """DuckDB oracle for :func:`ngram_counts` (same tokenizer regex,
+    same windowing as the shingle SQL)."""
+    joins = "".join(f" || ' ' || t[i+{j}]" for j in range(1, n))
+    return f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+g AS (
+    SELECT t[i]{joins} AS ngram
+    FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY ngram HAVING count(*) >= {min_count}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-doc TF-IDF top-k keywords
+# ---------------------------------------------------------------------------
+
+KEYWORDS_K = 5
+
+
+def tfidf_keywords(ds, k: int = KEYWORDS_K, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Top-``k`` TF-IDF keywords per document: ``tf * ln(N / df)`` with
+    the deterministic (score DESC, term ASC) tiebreak.
+
+    Shape: two passes over the raw documents. Pass 1 computes per-doc
+    term frequencies IN-MAP (one ``value_counts`` over doc-salted
+    grams — no per-doc Python) and shuffles only the distinct
+    (doc, term) rows into the df groupby. The df table is
+    vocabulary-sized, orders of magnitude below the corpus (Heaps'
+    law), so it returns to the driver and broadcasts — the same
+    documented threshold as the index's lemma dictionary
+    (pipelines/build.py stage D); above it, swap the broadcast for a
+    term-keyed join. Pass 2 RECOMPUTES tf inside the map and selects
+    each doc's top-k in the same invocation — re-tokenizing is one
+    vectorized pass, and it buys boundary-safety: a doc's rows can
+    never straddle blocks (no reliance on Ray's block-splitting
+    behavior), and nothing doc-count-sized leaves the workers except
+    the k winners per doc.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Count
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from .dedup import _flat_word_tokens
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        if len(doc_idx) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        # count (doc, term) occurrences via value_counts on salted grams
+        salted = pc.binary_join_element_wise(
+            pa.array(ids[doc_idx].astype("U"), pa.string()), flat, "\x00"
+        )
+        vc = salted.value_counts()
+        both = vc.field("values").to_pylist()
+        did, term = zip(*(s.split("\x00", 1) for s in both))
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(did, dtype=np.int64), pa.int64()),
+                "term": pa.array(term, pa.string()),
+                "tf": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64))))
+
+    def topk(raw: pa.Table) -> pa.Table:
+        batch = tf_rows(raw)
+        df_of = ray.get(df_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        terms = batch.column("term").to_pylist()
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.array([df_of[t] for t in terms], np.float64)
+        score = tf * np.log(n_docs / df)
+        # per-doc rank: lexsort by (doc asc, score desc, term asc)
+        order = np.lexsort((np.asarray(terms, object), -score, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], sid[1:] != sid[:-1])))
+        rank = np.arange(len(sid)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(sid)]))))
+        keep = order[rank < k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "term": pa.array(np.asarray(terms, object)[keep], pa.string()),
+                "tfidf": pa.array(_round6(score[keep]), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_keywords_sql(src: str, k: int = KEYWORDS_K,
+                       id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`tfidf_keywords` (same tokenizer, same
+    score, same tiebreak)."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}')) AS term
+    FROM {src}
+),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM {src}),
+scored AS (
+    SELECT tf.{id_col}, tf.term,
+           round(tf.tf * ln(nn.n * 1.0 / df.df), {QUALITY_ROUND}) AS tfidf,
+           row_number() OVER (
+               PARTITION BY tf.{id_col}
+               ORDER BY tf.tf * ln(nn.n * 1.0 / df.df) DESC, tf.term ASC
+           ) AS rk
+    FROM tf JOIN df USING (term), nn
+)
+SELECT {id_col}, term, tfidf FROM scored WHERE rk <= {k}
+"""

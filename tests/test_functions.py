@@ -551,3 +551,37 @@ def test_corpus_prep_pipeline_oracle(docs_ds, fduck):
     assert 0 < t.num_rows < n_docs  # gates actually filtered
     assert set(t.column_names) == {"doc_id", "source", "lang", "split"}
     assert set(t.column("split").to_pylist()) <= {"train", "val", "test"}
+
+
+def test_ngram_counts_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    t = _assert_matches_oracle(
+        ta.ngram_counts(docs_ds), fduck, ta.ngram_counts_sql("documents")
+    )
+    assert t.num_rows > 0
+    assert min(t["n"].to_pylist()) >= ta.NGRAM_MIN_COUNT
+
+
+def test_ngram_counts_trigram_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    _assert_matches_oracle(
+        ta.ngram_counts(docs_ds, n=3, min_count=2),
+        fduck,
+        ta.ngram_counts_sql("documents", n=3, min_count=2),
+    )
+
+
+def test_tfidf_keywords_oracle(docs_ds, fduck):
+    from search_engine_ray.functions import text_analysis as ta
+
+    t = _assert_matches_oracle(
+        ta.tfidf_keywords(docs_ds), fduck, ta.tfidf_keywords_sql("documents")
+    )
+    assert t.num_rows > 0
+    # every non-empty doc contributes at most k keyword rows
+    import collections
+
+    per = collections.Counter(t["doc_id"].to_pylist())
+    assert max(per.values()) <= ta.KEYWORDS_K

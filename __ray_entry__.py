@@ -459,6 +459,21 @@ def _text_keywords(sf_dir: str):
     return ta.tfidf_keywords(_documents_ds(sf_dir))
 
 
+# contamination-check split constants shared with oracle_sql()
+EVAL_FRACTION = 0.1
+EVAL_SEED = 7
+
+
+def _text_contamination(sf_dir: str):
+    from search_engine_ray.functions import sampling
+    from search_engine_ray.functions import text_analysis as ta
+
+    docs = _documents_ds(sf_dir)
+    ev = sampling.sample_hash(docs, EVAL_FRACTION, seed=EVAL_SEED)
+    tr = sampling.sample_hash(docs, EVAL_FRACTION, seed=EVAL_SEED, complement=True)
+    return ta.ngram_contamination(tr, ev)
+
+
 def _text_langid(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -577,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
         "text_keywords": _text_keywords,
+        "text_contamination": _text_contamination,
         "multimodal_features": _multimodal_features,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
@@ -678,6 +694,12 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": ta_mod.langid_sql("documents"),
         "text_ngram_counts": ta_mod.ngram_counts_sql("documents"),
         "text_keywords": ta_mod.tfidf_keywords_sql("documents"),
+        # decontamination: hash-sampled train split vs its complement
+        # eval split, same md5 split predicate on both sides
+        "text_contamination": ta_mod.ngram_contamination_sql(
+            f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED, complement=True)})",
+            f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED)})",
+        ),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
         # the hot-user-safe path must equal the plain sessionization

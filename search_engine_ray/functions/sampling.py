@@ -60,25 +60,30 @@ def sample_hash(
     fraction: float,
     id_col: str = "doc_id",
     seed: int = 42,
+    complement: bool = False,
 ) -> rd.Dataset:
     """Deterministic Bernoulli sample: keep rows whose id-digest falls
-    below the fraction threshold. Pure map — streams at any scale."""
+    below the fraction threshold (``complement=True`` keeps the rest —
+    the two calls partition the input exactly). Pure map — streams at
+    any scale."""
     thresh = _hex_threshold(fraction)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = _digests(seed, batch.column(id_col).to_pylist())
-        return batch.filter(pc.less(d, pa.scalar(thresh)))
+        mask = pc.less(d, pa.scalar(thresh))
+        return batch.filter(pc.invert(mask) if complement else mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def sample_hash_sql(src: str, fraction: float, id_col: str = "doc_id",
-                    seed: int = 42) -> str:
+                    seed: int = 42, complement: bool = False) -> str:
     """DuckDB oracle for :func:`sample_hash` (same digest, same compare)."""
     thresh = _hex_threshold(fraction)
+    op = ">=" if complement else "<"
     return f"""
 SELECT * FROM {src}
-WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) < '{thresh}'
+WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) {op} '{thresh}'
 """
 
 

@@ -472,3 +472,150 @@ scored AS (
 )
 SELECT {id_col}, term, tfidf FROM scored WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Train-vs-eval n-gram contamination check (decontamination primitive)
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 3
+CONTAM_THRESHOLD = 0.5
+
+
+def _distinct_doc_grams(batch: pa.Table, n: int, id_col: str, text_col: str):
+    """Vectorized distinct (doc, n-gram) pairs for one batch: returns
+    (doc_row_idx:int64[M], gram_dictionary:pa.Array, gram_code:int64[M])."""
+    from .dedup import _flat_word_tokens
+
+    doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+    m = len(doc_idx) - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.string()), np.empty(0, np.int64)
+    valid = np.ones(m, bool)
+    for j in range(1, n):
+        valid &= doc_idx[j : m + j] == doc_idx[:m]
+    grams = pc.binary_join_element_wise(*[flat.slice(j, m) for j in range(n)], " ")
+    grams = grams.filter(pa.array(valid))
+    gdoc = doc_idx[:m][valid]
+    d = grams.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    width = np.int64(len(d.dictionary) + 1)
+    keys = np.unique(gdoc * width + codes)
+    return keys // width, d.dictionary, keys % width
+
+
+def ngram_contamination(
+    train_ds,
+    eval_ds,
+    n: int = CONTAM_N,
+    threshold: float = CONTAM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-train-doc n-gram overlap against an evaluation set — the
+    decontamination primitive (flag training docs whose distinct-n-gram
+    overlap fraction with any benchmark text reaches ``threshold``).
+
+    Shape: the eval side is benchmark-sized by definition (orders of
+    magnitude below the training corpus), so its DISTINCT gram set is
+    collected once and broadcast (``ray.put``); the train side is ONE
+    pure map — per batch, distinct (doc, gram) pairs are built
+    vectorized, membership is a single dictionary-level ``pc.is_in``
+    (each unique gram tested once per batch), and per-doc tallies are
+    two ``bincount`` calls. Zero shuffles. Docs with no n-gram (fewer
+    than ``n`` tokens) are not emitted, mirroring the SQL.
+
+    The threshold compare uses the unrounded ``hits/grams`` ratio —
+    both engines divide the same two integers, so the verdict is exact;
+    the emitted ``overlap_frac`` is rounded to 6 decimals like every
+    other ratio column.
+    """
+    import ray
+
+    # eval gram set: distinct per batch in-map, distinct-of-distincts here
+    ev_parts = eval_ds.map_batches(
+        lambda b: pa.table(
+            {"g": _distinct_doc_grams(b, n, id_col, text_col)[1]}
+        ),
+        batch_format="pyarrow",
+    )
+    tabs = [t for t in ray.get(ev_parts.to_arrow_refs()) if t.num_rows]
+    ev_grams = (
+        pc.unique(pa.concat_tables(tabs).column("g").combine_chunks())
+        if tabs
+        else pa.array([], pa.string())
+    )
+    ev_ref = ray.put(ev_grams)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        udoc, gdict, ucode = _distinct_doc_grams(batch, n, id_col, text_col)
+        if len(udoc) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64()),
+                 "overlap_frac": pa.array([], pa.float64()),
+                 "contaminated": pa.array([], pa.bool_())}
+            )
+        hit_dict = pc.is_in(gdict, value_set=ev).to_numpy(zero_copy_only=False)
+        docs, first = np.unique(udoc, return_index=True)
+        n_grams = np.diff(np.concatenate((first, [len(udoc)])))
+        n_hits = np.add.reduceat(hit_dict[ucode].astype(np.int64), first)
+        frac = n_hits / n_grams
+        return pa.table(
+            {
+                id_col: pa.array(ids[docs], pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+                "overlap_frac": pa.array(_round6(frac), pa.float64()),
+                "contaminated": pa.array(frac >= threshold),
+            }
+        )
+
+    return train_ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+
+
+def ngram_contamination_sql(
+    train_src: str,
+    eval_src: str,
+    n: int = CONTAM_N,
+    threshold: float = CONTAM_THRESHOLD,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`ngram_contamination` (same tokenizer,
+    same distinct-gram window, same unrounded threshold compare)."""
+    joins = "".join(f" || ' ' || t[i+{j}]" for j in range(1, n))
+    return f"""
+WITH tr_toks AS (
+    SELECT {id_col}, regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {train_src}
+),
+ev_toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {eval_src}
+),
+trg AS (
+    SELECT DISTINCT {id_col}, t[i]{joins} AS gram
+    FROM tr_toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+),
+evg AS (
+    SELECT DISTINCT t[i]{joins} AS gram
+    FROM ev_toks, UNNEST(range(1, len(t) - {n - 2})) AS r(i)
+    WHERE len(t) >= {n}
+),
+per AS (
+    SELECT {id_col},
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE gram IN (SELECT gram FROM evg)) AS n_hits
+    FROM trg GROUP BY {id_col}
+)
+SELECT {id_col},
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits * 1.0 / n_grams, {QUALITY_ROUND}) AS overlap_frac,
+       n_hits * 1.0 / n_grams >= {threshold} AS contaminated
+FROM per
+"""

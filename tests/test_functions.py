@@ -585,3 +585,45 @@ def test_tfidf_keywords_oracle(docs_ds, fduck):
 
     per = collections.Counter(t["doc_id"].to_pylist())
     assert max(per.values()) <= ta.KEYWORDS_K
+
+
+def test_ngram_contamination_oracle(docs_ds, fduck):
+    """Contamination check of the hash-sampled train split against the
+    complementary eval split, engine vs the composed SQL oracle."""
+    from search_engine_ray.functions import sampling
+    from search_engine_ray.functions import text_analysis as ta
+
+    ev = sampling.sample_hash(docs_ds, 0.1, seed=7)
+    tr = sampling.sample_hash(docs_ds, 0.1, seed=7, complement=True)
+    ev_sql = f"({sampling.sample_hash_sql('documents', 0.1, seed=7)})"
+    tr_sql = f"({sampling.sample_hash_sql('documents', 0.1, seed=7, complement=True)})"
+    t = _assert_matches_oracle(
+        ta.ngram_contamination(tr, ev),
+        fduck,
+        ta.ngram_contamination_sql(tr_sql, ev_sql),
+    )
+    assert t.num_rows > 0
+    # the corpus plants near-dups, so some train docs must be flagged
+    # against an eval split that contains their twins
+    assert any(t["contaminated"].to_pylist())
+    assert not all(t["contaminated"].to_pylist())
+
+
+def test_ngram_contamination_self_is_total():
+    """A doc checked against an eval set containing itself is 100%
+    contaminated; a disjoint doc is 0%."""
+    import ray.data as rd2
+
+    from search_engine_ray.functions import text_analysis as ta
+
+    tr = rd2.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta gamma delta", "zz yy xx ww vv"],
+    }))
+    ev = rd2.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon"],
+    }))
+    t = _table(ta.ngram_contamination(tr, ev)).sort_by("doc_id")
+    assert t["overlap_frac"].to_pylist() == [1.0, 0.0]
+    assert t["contaminated"].to_pylist() == [True, False]

@@ -26,6 +26,11 @@ Scale notes (each op documents its shuffle):
   corpus, documented), plus an IVF-bucketed variant
   (:func:`embedding_dup_pairs_ivf`) whose only shuffle is a cell
   groupby — the scale path.
+- dup_clusters: collapses ANY of the pair sets above into connected
+  components (hash-min label propagation over the edge list, two
+  groupbys per round, scalar-sum convergence) and picks one canonical
+  doc per cluster — the keep/drop step a dedup pipeline actually ends
+  with.
 """
 
 from __future__ import annotations

@@ -489,6 +489,38 @@ def _events_ds(sf_dir: str):
     return rd.read_parquet(os.path.join(_sf_dir(sf_dir), "events.parquet"))
 
 
+def _rel_pricing_summary(sf_dir: str):
+    import ray.data as rd
+
+    from search_engine_ray.functions import relational as rel
+
+    li = rd.read_parquet(
+        os.path.join(_sf_dir(sf_dir), "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    return rel.pricing_summary(li)
+
+
+def _rel_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    from search_engine_ray.functions import relational as rel
+
+    d = _sf_dir(sf_dir)
+    cust = rd.read_parquet(os.path.join(d, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        os.path.join(d, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return rel.top_unshipped_orders(cust, orders, li)
+
+
 def _window_tumbling(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -594,6 +626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_keywords": _text_keywords,
         "text_contamination": _text_contamination,
         "multimodal_features": _multimodal_features,
+        # relational pipelines over the TPC-H-ish side tables
+        "rel_pricing_summary": _rel_pricing_summary,
+        "rel_top_orders": _rel_top_orders,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_sessions_salted": _window_sessions_salted,
@@ -616,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import joins as joins_mod
+    from search_engine_ray.functions import relational as relational_mod
     from search_engine_ray.functions import windows as windows_mod
 
     tag = "sf0.01"
@@ -700,6 +736,11 @@ def oracle_sql() -> dict[str, str]:
             f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED, complement=True)})",
             f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED)})",
         ),
+        # relational: money sums are per-row quantized to int64 before
+        # summing in BOTH engines, so the comparison is exact at any
+        # parallelism / block order (raw float sums drift with order)
+        "rel_pricing_summary": relational_mod.pricing_summary_sql(),
+        "rel_top_orders": relational_mod.top_unshipped_orders_sql(),
         "window_tumbling": windows_mod.tumbling_window_sql("events"),
         "window_sessions": windows_mod.session_windows_sql("events"),
         # the hot-user-safe path must equal the plain sessionization

@@ -1,0 +1,265 @@
+"""Relational pipeline operators over the TPC-H-ish side tables
+(``lineitem`` / ``orders`` / ``customer``) — the proof the engine's
+shuffle shapes cover classic warehouse work, not just text:
+
+- :func:`pricing_summary` (Q1 analog): scan-heavy group-aggregate.
+  Per-batch map-side combine (vectorized expressions + an Arrow
+  ``group_by`` inside the map) collapses each batch to <= |groups| rows,
+  so the ONE global groupby ships a handful of partial rows per block —
+  the pre-aggregated shuffle shape the brief mandates.
+- :func:`top_unshipped_orders` (Q3 analog): selective multi-table join
+  + top-k. The customer segment is the genuinely small side (broadcast
+  as a sorted key array); orders and lineitem meet in ONE orderkey
+  shuffle (tagged-union + vectorized aggregates — no per-group Python,
+  no Dataset.join dependency); top-k is per-batch partial selection +
+  a k-row driver merge, never a global sort.
+
+Money arithmetic is quantized to ``QUANT`` decimals per row BEFORE
+summing (both engines compute bit-identical per-row doubles, quantize
+identically, then sum exact int64) — sums become order-independent, so
+the DuckDB comparison is exact at any parallelism, block order, or
+scale, where raw float sums would drift with addition order. int64
+headroom: ~1e9 rows per group at price magnitude 1e5 before overflow;
+production decimals would use decimal128.
+
+The reference engine has no relational surface (single-table postings,
+/root/reference/src/main/java/searchengine/repositories) — this module
+exists because the driver registers these tables as first-class inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+QUANT = 4
+_Q = 10.0**QUANT
+
+PRICING_CUTOFF = "1998-09-01"
+TOPK_SEGMENT = "BUILDING"
+TOPK_DATE = "1998-06-15"
+TOPK_K = 10
+
+
+def _quant(x: np.ndarray) -> np.ndarray:
+    """Half-up quantization of non-negative money values to QUANT
+    decimals as int64 (identical to the SQL ``floor(x*1e4 + 0.5)``)."""
+    return np.floor(x * _Q + 0.5).astype(np.int64)
+
+
+def _col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch.column(name).to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------------------
+# Q1 analog: pricing summary
+# ---------------------------------------------------------------------------
+
+def pricing_summary(lineitem: rd.Dataset, cutoff: str = PRICING_CUTOFF) -> rd.Dataset:
+    """Per (returnflag, linestatus): row count and exact quantized sums
+    of quantity, base price, discounted price, and charge for rows
+    shipped on or before ``cutoff``."""
+    cut = _dt.datetime.fromisoformat(cutoff)
+    keys = ["l_returnflag", "l_linestatus"]
+    qcols = ["q_qty", "q_base", "q_disc", "q_charge", "n_rows"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less_equal(batch.column("l_shipdate"), pa.scalar(cut)))
+        price = _col(b, "l_extendedprice")
+        disc = _col(b, "l_discount")
+        disc_price = price * (1.0 - disc)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "q_qty": pa.array(_quant(_col(b, "l_quantity")), pa.int64()),
+                "q_base": pa.array(_quant(price), pa.int64()),
+                "q_disc": pa.array(_quant(disc_price), pa.int64()),
+                "q_charge": pa.array(_quant(disc_price * (1.0 + _col(b, "l_tax"))), pa.int64()),
+                "n_rows": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(keys).aggregate([(c, "sum") for c in qcols])
+        return g.select(keys + [f"{c}_sum" for c in qcols]).rename_columns(keys + qcols)
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in qcols])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.array(_col(batch, "q_qty") / _Q, pa.float64()),
+                "sum_base_price": pa.array(_col(batch, "q_base") / _Q, pa.float64()),
+                "sum_disc_price": pa.array(_col(batch, "q_disc") / _Q, pa.float64()),
+                "sum_charge": pa.array(_col(batch, "q_charge") / _Q, pa.float64()),
+                "n_rows": batch.column("n_rows"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary_sql(src: str = "lineitem", cutoff: str = PRICING_CUTOFF) -> str:
+    """DuckDB oracle for :func:`pricing_summary` (same quantization)."""
+    q = int(_Q)
+
+    def s(expr: str) -> str:
+        return f"sum(CAST(floor(({expr}) * {q} + 0.5) AS BIGINT)) / {q}.0"
+
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {s('l_quantity')} AS sum_qty,
+       {s('l_extendedprice')} AS sum_base_price,
+       {s('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {s('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       count(*) AS n_rows
+FROM {src}
+WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 analog: top unshipped orders by revenue for a market segment
+# ---------------------------------------------------------------------------
+
+def top_unshipped_orders(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    segment: str = TOPK_SEGMENT,
+    date: str = TOPK_DATE,
+    k: int = TOPK_K,
+) -> pa.Table:
+    """Top-``k`` orders by revenue (quantized sum of
+    ``l_extendedprice * (1 - l_discount)``) among orders placed before
+    ``date`` by customers in ``segment`` with lineitems shipping after
+    ``date``; deterministic (revenue DESC, orderkey ASC) order."""
+    cut = _dt.datetime.fromisoformat(date)
+
+    seg = customer.map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar(segment)))
+        .select(["c_custkey"])
+        .replace_schema_metadata(None),  # keep block schemas hashable
+        batch_format="pyarrow",
+    )
+    tabs = [t for t in ray.get(seg.to_arrow_refs()) if t.num_rows]
+    ck = np.sort(
+        np.concatenate([_col(t, "c_custkey") for t in tabs])
+        if tabs
+        else np.empty(0, np.int64)
+    )
+    ck_ref = ray.put(ck)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        b = batch.filter(pc.less(batch.column("o_orderdate"), pa.scalar(cut)))
+        custs = _col(b, "o_custkey")
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, custs), 0, len(keys) - 1)
+            b = b.filter(pa.array(keys[pos] == custs))
+        else:
+            b = b.slice(0, 0)
+        n = b.num_rows
+        return pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey"),
+                "q_rev": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "o_date_us": b.column("o_orderdate").cast(pa.int64()),
+                "o_prio": b.column("o_orderpriority"),
+                "is_order": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("l_shipdate"), pa.scalar(cut)))
+        rev = _quant(_col(b, "l_extendedprice") * (1.0 - _col(b, "l_discount")))
+        t = pa.table({"l_orderkey": b.column("l_orderkey"), "q_rev": pa.array(rev, pa.int64())})
+        g = t.group_by(["l_orderkey"]).aggregate([("q_rev", "sum")])
+        n = g.num_rows
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "q_rev": g.column("q_rev_sum"),
+                "o_date_us": pa.array([None] * n, pa.int64()),
+                "o_prio": pa.array([None] * n, pa.string()),
+                "is_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    joined = (
+        orders.map_batches(order_rows, batch_format="pyarrow")
+        .union(lineitem.map_batches(line_rows, batch_format="pyarrow"))
+        .groupby("l_orderkey")
+        .aggregate(
+            Sum("q_rev", alias_name="q_rev"),
+            Max("o_date_us", alias_name="o_date_us"),
+            Max("o_prio", alias_name="o_prio"),
+            Sum("is_order", alias_name="is_order"),
+        )
+    )
+
+    def part_topk(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch.column("is_order"), pa.scalar(0)),
+            pc.greater(batch.column("q_rev"), pa.scalar(0)),
+        )
+        b = batch.filter(keep)
+        rev = _col(b, "q_rev")
+        order = np.lexsort((_col(b, "l_orderkey"), -rev))[:k]
+        b = b.take(order)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "o_orderdate": b.column("o_date_us").cast(pa.timestamp("us")),
+                "o_orderpriority": b.column("o_prio"),
+                "revenue": pa.array(_col(b, "q_rev") / _Q, pa.float64()),
+            }
+        )
+
+    parts = joined.map_batches(part_topk, batch_format="pyarrow")
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_orderpriority": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    t = pa.concat_tables(tabs)
+    order = np.lexsort(
+        (t.column("l_orderkey").to_numpy(zero_copy_only=False),
+         -t.column("revenue").to_numpy(zero_copy_only=False))
+    )[:k]
+    return t.take(order)
+
+
+def top_unshipped_orders_sql(
+    segment: str = TOPK_SEGMENT, date: str = TOPK_DATE, k: int = TOPK_K
+) -> str:
+    """DuckDB oracle for :func:`top_unshipped_orders`."""
+    q = int(_Q)
+    return f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q} + 0.5) AS BIGINT)) / {q}.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{date}'
+  AND l_shipdate > TIMESTAMP '{date}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT {k}
+"""

@@ -627,3 +627,54 @@ def test_ngram_contamination_self_is_total():
     t = _table(ta.ngram_contamination(tr, ev)).sort_by("doc_id")
     assert t["overlap_frac"].to_pylist() == [1.0, 0.0]
     assert t["contaminated"].to_pylist() == [True, False]
+
+
+# ------------------------------------------------------------- relational
+
+
+@pytest.fixture(scope="module")
+def rduck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_pricing_summary_oracle(rduck):
+    from search_engine_ray.functions import relational as rel
+
+    li = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    t = _assert_matches_oracle(
+        rel.pricing_summary(li), rduck, rel.pricing_summary_sql()
+    )
+    assert 0 < t.num_rows <= 8  # |returnflag| x |linestatus| groups
+
+
+def test_top_unshipped_orders_oracle(rduck):
+    from search_engine_ray.functions import relational as rel
+
+    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    t = rel.top_unshipped_orders(cust, orders, li)
+    o = rduck.sql(rel.top_unshipped_orders_sql()).arrow()
+    assert t.cast(o.schema).equals(o)  # ORDER MATTERS for top-k
+    assert t.num_rows == rel.TOPK_K
+    revs = t["revenue"].to_pylist()
+    assert revs == sorted(revs, reverse=True)

@@ -198,32 +198,75 @@ def ngram_jaccard_pairs(
 ) -> pa.Table:
     """Exact near-dup pairs with k-gram Jaccard >= threshold.
 
-    shingle-explode -> groupby(shingle) -> pairs -> groupby(pair) count
-    -> jaccard vs broadcast per-doc shingle sizes. Shingle groups larger
-    than ``max_group`` docs are dropped (a shingle shared by thousands
-    of docs contributes no discriminative pairs); at 100 TB use
-    :func:`minhash_lsh_pairs` instead.
+    shingle-explode -> groupby(shingle HASH BUCKET) -> pairs ->
+    groupby(pair) count -> jaccard vs broadcast per-doc shingle sizes.
+    Grouping by a bounded bucket of the shingle hash instead of the raw
+    shingle keeps the shuffle semantics identical (co-located equal
+    shingles) while cutting per-group Python dispatch from
+    |unique shingles| calls to ``n_buckets`` calls — inside a bucket,
+    shingle runs are found with one dictionary-encode + argsort and
+    multi-doc runs emit their pairs vectorized (measured 33s -> ~3s at
+    5k docs / 32 cpus). Shingle groups larger than ``max_group`` docs
+    are dropped (a shingle shared by thousands of docs contributes no
+    discriminative pairs); at 100 TB use :func:`minhash_lsh_pairs`
+    instead.
     """
+    n_buckets = 1024
+    # materialize: consumed by BOTH the sizes aggregate and the pair
+    # pipeline, and Ray re-executes lazy shuffle inputs (same gotcha as
+    # the build's stage-C materialize, measured there too)
     shingles = ds.map_batches(
         lambda b: _shingle_rows(b, id_col, k), batch_format="pyarrow"
-    )
+    ).materialize()
     sizes_tbl = (
         shingles.groupby(id_col).aggregate(Count(alias_name="n_sh")).to_pandas()
     )
     sizes_ref = ray.put(dict(zip(sizes_tbl[id_col], sizes_tbl["n_sh"])))
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group.column(id_col).to_pylist()))
-        if len(ids) < 2 or len(ids) > max_group:
-            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("shingle").combine_chunks().dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in uniq),
+            np.uint64,
+            len(uniq),
+        )
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        bucket = (uh % np.uint64(n_buckets)).astype(np.int64)[codes]
+        return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
-    pair_counts = (
-        shingles.groupby("shingle")
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        d = group.column("shingle").combine_chunks().dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_all = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        sc, si = codes[order], ids_all[order]
+        starts = np.flatnonzero(np.concatenate(([True], sc[1:] != sc[:-1])))
+        ends = np.concatenate((starts[1:], [len(sc)]))
+        outa: list[np.ndarray] = []
+        outb: list[np.ndarray] = []
+        for run in np.flatnonzero(ends - starts >= 2):
+            ids = np.unique(si[starts[run] : ends[run]])
+            if len(ids) < 2 or len(ids) > max_group:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outa.append(ids[a])
+            outb.append(ids[b])
+        if not outa:
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(outa), pa.int64()),
+             "doc_b": pa.array(np.concatenate(outb), pa.int64())}
+        )
+
+    raw_pairs = (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .materialize()  # chained lazy shuffles re-execute their input
+    )
+    pair_counts = raw_pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="inter")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -384,16 +427,51 @@ def minhash_lsh_pairs(
         max_restarts=0,
     )
 
+    # Group by a bounded hash bucket of (band, band_key) rather than the
+    # raw key: identical co-location semantics, but per-group Python
+    # dispatch drops from |distinct band keys| (≈ bands x n_docs) calls
+    # to n_buckets calls; inside a bucket, key runs are found with one
+    # lexsort and multi-doc runs emit their pairs vectorized.
+    n_buckets = 1024
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = batch.column("band_key").to_numpy(zero_copy_only=False).view(np.uint64)
+        mix = (key * _MIX_P) ^ band
+        return batch.append_column(
+            "bucket", pa.array((mix % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group.column(id_col).to_pylist()))
-        if len(ids) < 2 or len(ids) > max_group:
+        band = group.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group.column("band_key").to_numpy(zero_copy_only=False)
+        ids_all = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, band))
+        b_s, k_s, i_s = band[order], key[order], ids_all[order]
+        brk = np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])))
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(b_s)]))
+        outa: list[np.ndarray] = []
+        outb: list[np.ndarray] = []
+        for run in np.flatnonzero(ends - starts >= 2):
+            ids = np.unique(i_s[starts[run] : ends[run]])
+            if len(ids) < 2 or len(ids) > max_group:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outa.append(ids[a])
+            outb.append(ids[b])
+        if not outa:
             return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pa.table({"doc_a": pa.array(ids[a], pa.int64()), "doc_b": pa.array(ids[b], pa.int64())})
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(outa), pa.int64()),
+             "doc_b": pa.array(np.concatenate(outb), pa.int64())}
+        )
 
     cand = (
-        sig_rows.groupby(["band", "band_key"])
+        sig_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pyarrow")
+        .materialize()  # chained lazy shuffles re-execute their input
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .select_columns(["doc_a", "doc_b"])
@@ -463,8 +541,32 @@ def _verify_pairs_distributed(
             schema=_ATTACH_SCHEMA,
         )
 
-    refs = cand.map_batches(pair_refs, batch_format="pyarrow")
-    docs = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    refs = cand.map_batches(pair_refs, batch_format="pyarrow").materialize()
+
+    # Only docs referenced by some candidate pair need a shingle row:
+    # broadcast the candidate doc-id set (candidate-sized, orders of
+    # magnitude below the corpus) and prune the corpus BEFORE shingling
+    # — cuts the attach shuffle and its per-doc group dispatch from
+    # |corpus| to |docs in candidates|.
+    cd_tabs = [t for t in ray.get(refs.select_columns(["key"]).to_arrow_refs()) if t.num_rows]
+    cand_ids = (
+        np.unique(np.concatenate([t.column("key").to_numpy(zero_copy_only=False) for t in cd_tabs]))
+        if cd_tabs
+        else np.empty(0, np.int64)
+    )
+    cand_ref = ray.put(cand_ids)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cand_ref)
+        if not len(keys):
+            return batch.slice(0, 0)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[pos] == ids))
+
+    docs = ds.map_batches(prune, batch_format="pyarrow").map_batches(
+        shingle_rows, batch_format="pyarrow"
+    )
 
     def attach(group: pa.Table) -> pa.Table:
         side = group.column("side").to_numpy(zero_copy_only=False)
@@ -867,11 +969,15 @@ WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 # Near-dup cluster collapse (connected components over dup pairs)
 # ---------------------------------------------------------------------------
 
+DUP_CLUSTERS_DRIVER_MAX_EDGES = 1_000_000
+
+
 def dup_clusters(
     pairs,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iters: int = 50,
+    driver_max_edges: int = DUP_CLUSTERS_DRIVER_MAX_EDGES,
 ) -> pa.Table:
     """Collapse dup *pairs* into clusters: connected components via
     hash-min label propagation, the step after any pair producer
@@ -911,10 +1017,48 @@ def dup_clusters(
         )
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64()),
              "keep": pa.array([], pa.bool_())}
+        )
+    if n_edges <= driver_max_edges:
+        # Plan adaptivity (same pattern as the build's driver-side
+        # doc-store path): the edge list is candidate-pair-sized, and
+        # below the threshold a driver union-find beats paying the
+        # per-round Dataset-execution overhead of the distributed loop.
+        # Equality of both paths is pinned by test.
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        e = pa.concat_tables(tabs)
+        u = e.column("node").to_numpy(zero_copy_only=False)
+        v = e.column("nbr").to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(u.tolist(), v.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller id so the root IS the component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = np.unique(u)
+        labels = np.fromiter((find(int(x)) for x in nodes), np.int64, len(nodes))
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster_id": pa.array(labels, pa.int64()),
+                "keep": pa.array(nodes == labels),
+            }
         )
 
     # Seed label(node) = min(node, min direct neighbor): one groupby, and

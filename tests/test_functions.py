@@ -462,12 +462,15 @@ def test_dup_clusters_graph_shapes():
             "doc_b": pa.array([2, 3, 4, 5, 11, 12, 13, 21], pa.int64()),
         }
     )
-    t = dedup.dup_clusters(pairs)
+    t = dedup.dup_clusters(pairs)  # driver union-find path (small edges)
     got = dict(zip(t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist()))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
     keep = dict(zip(t.column("doc_id").to_pylist(), t.column("keep").to_pylist()))
     assert [d for d, k in keep.items() if k] == [1, 10, 20]
+    # the distributed label-propagation path must emit the same table
+    td = dedup.dup_clusters(pairs, driver_max_edges=0)
+    assert td.equals(t)
 
 
 def test_dup_clusters_oracle(docs_ds, fduck):
@@ -485,6 +488,8 @@ def test_dup_clusters_oracle(docs_ds, fduck):
     # every doc in a pair is clustered; canonical == component min
     nodes = set(pairs.column("doc_a").to_pylist()) | set(pairs.column("doc_b").to_pylist())
     assert set(t.column("doc_id").to_pylist()) == nodes
+    # distributed path == driver union-find path on real pairs
+    assert dedup.dup_clusters(pairs, driver_max_edges=0).equals(t)
 
 
 # ------------------------------------------------------------- sampling

@@ -459,6 +459,50 @@ def _text_keywords(sf_dir: str):
     return ta.tfidf_keywords(_documents_ds(sf_dir))
 
 
+def _inject_pii(batch):
+    """Deterministically append PII-shaped spans derived from doc_id —
+    the synthetic documents contain no URLs/emails/digits, so without
+    this the redaction oracle would be a vacuous identity check. The
+    SQL mirror in oracle_sql() builds the SAME suffix, so the compare
+    still exercises every pattern byte-exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = pc.cast(batch.column("doc_id"), "string")
+    id_np = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+    mod250 = pc.cast(pa.array(id_np % np.int64(250)), "string")
+    suffix = pc.binary_join_element_wise(
+        " see https://ex.org/d/", ids,
+        " mail p", ids,
+        "@ex.org from 10.0.0.", mod250,
+        " call +1555", pc.utf8_lpad(ids, 7, "0"),
+        "",
+    )
+    text = pc.binary_join_element_wise(
+        pc.fill_null(batch.column("text"), ""), suffix, ""
+    )
+    return batch.set_column(batch.schema.get_field_index("text"), "text", text)
+
+
+# SQL twin of _inject_pii (same literals, same order)
+_INJECT_PII_SQL = (
+    "coalesce(text, '') || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+    " || ' mail p' || CAST(doc_id AS VARCHAR) || '@ex.org from 10.0.0.'"
+    " || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')"
+)
+
+
+def _text_redact(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    cols = ["doc_id"] + [c for c, _, _ in ta.REDACT_PATTERNS] + ["clean_text"]
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.redact(_inject_pii(b)).select(cols), batch_format="pyarrow"
+    )
+
+
 # contamination-check split constants shared with oracle_sql()
 EVAL_FRACTION = 0.1
 EVAL_SEED = 7
@@ -624,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
         "text_keywords": _text_keywords,
+        "text_redact": _text_redact,
         "text_contamination": _text_contamination,
         "multimodal_features": _multimodal_features,
         # relational pipelines over the TPC-H-ish side tables
@@ -730,6 +775,12 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": ta_mod.langid_sql("documents"),
         "text_ngram_counts": ta_mod.ngram_counts_sql("documents"),
         "text_keywords": ta_mod.tfidf_keywords_sql("documents"),
+        # redaction over deterministically PII-injected text (the raw
+        # synthetic docs contain none; both engines build the SAME
+        # doc_id-derived suffix, so every pattern is exercised)
+        "text_redact": ta_mod.redact_sql(
+            "documents", text_expr=_INJECT_PII_SQL
+        ),
         # decontamination: hash-sampled train split vs its complement
         # eval split, same md5 split predicate on both sides
         "text_contamination": ta_mod.ngram_contamination_sql(

@@ -619,3 +619,57 @@ SELECT {id_col},
        n_hits * 1.0 / n_grams >= {threshold} AS contaminated
 FROM per
 """
+
+# ---------------------------------------------------------------------------
+# PII / URL redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+# A standard pre-training cleaning stage the reference has no analog for
+# (its only text transform is the HTML cleaner,
+# ``services/indexation/EntitySaver.java:69-70``): replace URL / email /
+# IPv4 / phone spans with typed placeholder tokens and count what was
+# hit. Pure zero-shuffle vectorized map (RE2 via pyarrow.compute); the
+# DuckDB oracle nests ``regexp_replace(..., 'g')`` in the SAME fixed
+# order over the SAME patterns, so the check is byte-exact. Patterns are
+# applied sequentially URL -> EMAIL -> IP -> PHONE (an email inside a
+# URL is consumed by the URL pass — identical in both engines); counts
+# are taken per pattern on the ORIGINAL text, so overlapping spans count
+# under every pattern they match (again identical by construction).
+
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    # (count column, RE2 pattern, replacement token)
+    ("n_urls", r"https?://[^\s]+", "<URL>"),
+    ("n_emails", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_phones", r"\+\d{7,15}", "<PHONE>"),
+)
+
+
+def redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Adds ``clean_text`` (placeholders substituted, fixed pattern
+    order) and one ``n_*`` count column per :data:`REDACT_PATTERNS`
+    entry. Patterns are lowercase-only for email/URL hosts — text is
+    matched as-is (NOT lowercased) so redaction preserves the
+    surrounding document bytes; uppercase PII variants are out of scope
+    and documented here."""
+    raw = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    clean = raw
+    for col, pat, tok in REDACT_PATTERNS:
+        batch = batch.append_column(col, _count(raw, pat).cast(pa.int64()))
+        clean = pc.replace_substring_regex(clean, pat, tok)
+    return batch.append_column("clean_text", clean)
+
+
+def redact_sql(src: str, id_col: str = "doc_id", text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`redact` over ``text_expr`` (both engines
+    RE2; replacement nesting order == REDACT_PATTERNS order)."""
+    raw = f"coalesce({text_expr}, '')"
+    clean = raw
+    counts = []
+    for col, pat, tok in REDACT_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({raw}, '{pat}')) AS BIGINT) AS {col}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{tok}', 'g')"
+    return (
+        f"SELECT {id_col}, {', '.join(counts)}, {clean} AS clean_text FROM {src}"
+    )

@@ -195,6 +195,47 @@ def test_fingerprint_oracle_and_rolling(docs_ds, fduck):
     assert r[0] != r[2]
 
 
+def test_redact_oracle_crafted(fduck):
+    """Byte-exact redaction parity on crafted strings covering every
+    pattern, multiple hits per row, nulls, near-misses, and the
+    documented out-of-scope uppercase case."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    rows = [
+        "visit https://ex.org/a?q=1 and http://b.co mail a.b+c@ex-mail.org",
+        "ip 10.0.0.255 versions 1.2.3.4 call +4915112345678 or +123456789012345678",
+        None,
+        "no pii 1.2.3 (three octets) @not-an-email plain.text",
+        "HTTPS://UPPER.org u@EX.org",  # uppercase: documented out of scope
+    ]
+    t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+    fduck.register("redact_docs", t)
+    out = _assert_matches_oracle(
+        ta.redact(t).select(
+            ["doc_id", "n_urls", "n_emails", "n_ips", "n_phones", "clean_text"]
+        ),
+        fduck,
+        ta.redact_sql("redact_docs"),
+    )
+    by_id = {r["doc_id"]: r for r in out.to_pylist()}
+    assert by_id[0]["n_urls"] == 2 and by_id[0]["n_emails"] == 1
+    assert "<URL>" in by_id[0]["clean_text"] and "<EMAIL>" in by_id[0]["clean_text"]
+    assert by_id[1]["n_ips"] == 2 and by_id[1]["n_phones"] == 2
+    assert by_id[2]["clean_text"] == ""  # null text -> empty, no hits
+    assert by_id[3]["clean_text"] == rows[3]  # near-misses untouched
+    assert by_id[4]["clean_text"] == rows[4]  # case-sensitive by contract
+
+
+def test_redact_driver_injection(fduck):
+    """The driver's text_redact query (PII injected from doc_id) matches
+    its oracle and actually hits every pattern on every row."""
+    import __ray_entry__ as entry
+
+    t = _table(entry._text_redact(SF_DIR))
+    for col in ("n_urls", "n_emails", "n_ips", "n_phones"):
+        assert min(t[col].to_pylist()) >= 1, col
+
+
 def test_langid_known_languages():
     from search_engine_ray.functions import text_analysis as ta
 

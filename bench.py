@@ -155,6 +155,7 @@ def run_bench() -> dict:
         from search_engine_ray.functions import relational as rel_mod
         from search_engine_ray.functions import similarity as sim_mod
         from search_engine_ray.functions import windows as windows_mod
+        from search_engine_ray.sources import read_clean_parquet
 
         def _timed(name, fn):
             t = time.monotonic()
@@ -166,7 +167,7 @@ def run_bench() -> dict:
         _timed(
             "ops_window_tumbling",
             lambda: windows_mod.tumbling_window(
-                rd.read_parquet(
+                read_clean_parquet(
                     f"{tables_dir}/events.parquet",
                     columns=["ts", "event_type", "value"],
                 )
@@ -175,13 +176,13 @@ def run_bench() -> dict:
         _timed(
             "ops_knn_bruteforce",
             lambda: sim_mod.knn_bruteforce(
-                rd.read_parquet(f"{tables_dir}/embeddings.parquet")
+                read_clean_parquet(f"{tables_dir}/embeddings.parquet")
             ),
         )
         _timed(
             "ops_rel_pricing",
             lambda: rel_mod.pricing_summary(
-                rd.read_parquet(
+                read_clean_parquet(
                     f"{tables_dir}/lineitem.parquet",
                     columns=["l_quantity", "l_extendedprice", "l_discount",
                              "l_tax", "l_returnflag", "l_linestatus",

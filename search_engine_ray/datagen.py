@@ -36,6 +36,32 @@ from . import analyzer
 DATAGEN_VERSION = "1"
 SEED = 42
 BASE_DIR = os.environ.get("SERAY_DATA_DIR", "/tmp/seray_data")
+
+# Resolved once per process. The driver's correctness gate must never
+# die on tmp-dir state (round 2's CORRECTNESS artifact came back empty),
+# so the configured base dir is probed for writability and falls back to
+# a fresh tempdir. Consistency matters only within one process (the
+# oracle SQL strings embed whatever path the queries() side used), so a
+# memoized per-process resolution is exactly right.
+_RESOLVED_BASE: str | None = None
+
+
+def base_dir() -> str:
+    global _RESOLVED_BASE
+    if _RESOLVED_BASE is None:
+        cand = BASE_DIR
+        try:
+            os.makedirs(cand, exist_ok=True)
+            probe = os.path.join(cand, f".probe-{os.getpid()}")
+            with open(probe, "w") as f:
+                f.write("1")
+            os.remove(probe)
+        except OSError:
+            import tempfile
+
+            cand = tempfile.mkdtemp(prefix="seray_data_")
+        _RESOLVED_BASE = cand
+    return _RESOLVED_BASE
 N_FILES = 8
 MAX_TURNS_PER_CONV = 32
 TS_BASE_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
@@ -94,7 +120,7 @@ def n_turns_for_tag(tag: str) -> int:
 
 
 def transcripts_dir(tag: str) -> str:
-    return os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts")
+    return os.path.join(base_dir(), f"v{DATAGEN_VERSION}", tag, "transcripts")
 
 
 def transcripts_files(sf_dir_or_tag: str) -> list[str]:
@@ -116,7 +142,8 @@ def generate(tag: str) -> str:
     params = {"version": DATAGEN_VERSION, "seed": SEED, "n_turns": n_turns_for_tag(tag)}
     if os.path.exists(marker):
         try:
-            if json.load(open(marker)) == params:
+            n_parts = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if json.load(open(marker)) == params and n_parts == N_FILES:
                 return d
         except Exception:
             pass
@@ -240,15 +267,16 @@ def modified_corpus(tag: str) -> tuple[list[str], str]:
     fixed strings (other rows byte-identical). Returns (files, conv_id).
     Cached idempotently beside the base corpus."""
     base_files = transcripts_files(tag)
-    d = os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts_mod")
+    d = modified_corpus_dir(tag)
     marker = os.path.join(d, "_SUCCESS")
     params = {"version": DATAGEN_VERSION, "conv": DELTA_CONV}
     if os.path.exists(marker):
         try:
-            if json.load(open(marker)) == params:
-                return sorted(
-                    os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-                ), DELTA_CONV
+            got = sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+            if json.load(open(marker)) == params and len(got) == len(base_files):
+                return got, DELTA_CONV
         except Exception:
             pass
     import shutil
@@ -285,7 +313,7 @@ def modified_corpus(tag: str) -> tuple[list[str], str]:
 
 
 def modified_corpus_dir(tag: str) -> str:
-    return os.path.join(BASE_DIR, f"v{DATAGEN_VERSION}", tag, "transcripts_mod")
+    return os.path.join(base_dir(), f"v{DATAGEN_VERSION}", tag, "transcripts_mod")
 
 
 # ---------------------------------------------------------------------------

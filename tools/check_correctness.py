@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -71,13 +72,18 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     fails = 0
+    t_total = time.time()
     for name in names:
+        t0 = time.time()
         try:
             got = canon(to_pandas(qs[name](SF_DIR)))
+            t_ray = time.time() - t0
             if name not in osql:
-                print(f"{name}: rows={got[0]} (no_oracle)")
+                print(f"{name}: rows={got[0]} (no_oracle) [{t_ray:.1f}s]")
                 continue
+            t1 = time.time()
             exp = canon(con.execute(osql[name]).df())
+            t_sql = time.time() - t1
             ok = got == exp
             detail = ""
             if not ok:
@@ -87,10 +93,14 @@ def main() -> int:
                     f" hash {'ok' if got[2] == exp[2] else 'MISMATCH'}"
                 )
                 fails += 1
-            print(f"{name}: {'PASS' if ok else 'FAIL'} ({got[0]} rows){detail}")
+            print(
+                f"{name}: {'PASS' if ok else 'FAIL'} ({got[0]} rows)"
+                f"{detail} [ray {t_ray:.1f}s sql {t_sql:.1f}s]"
+            )
         except Exception as e:  # noqa: BLE001
             fails += 1
-            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            print(f"{name}: ERROR {type(e).__name__}: {e} [{time.time() - t0:.1f}s]")
+    print(f"total: {time.time() - t_total:.1f}s for {len(names)} queries")
     ray.shutdown()
     return 1 if fails else 0
 

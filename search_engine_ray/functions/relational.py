@@ -179,6 +179,7 @@ def top_unshipped_orders(
                 "o_date_us": b.column("o_orderdate").cast(pa.int64()),
                 "o_prio": b.column("o_orderpriority"),
                 "is_order": pa.array(np.ones(n, np.int64), pa.int64()),
+                "has_line": pa.array(np.zeros(n, np.int64), pa.int64()),
             }
         )
 
@@ -195,6 +196,11 @@ def top_unshipped_orders(
                 "o_date_us": pa.array([None] * n, pa.int64()),
                 "o_prio": pa.array([None] * n, pa.string()),
                 "is_order": pa.array(np.zeros(n, np.int64), pa.int64()),
+                # lineitem presence is its own indicator: inferring the
+                # inner join from q_rev > 0 would drop an order whose
+                # qualifying lineitems all quantize to zero revenue
+                # (e.g. discount = 1.0) while the SQL oracle keeps it
+                "has_line": pa.array(np.ones(n, np.int64), pa.int64()),
             }
         )
 
@@ -207,13 +213,14 @@ def top_unshipped_orders(
             Max("o_date_us", alias_name="o_date_us"),
             Max("o_prio", alias_name="o_prio"),
             Sum("is_order", alias_name="is_order"),
+            Sum("has_line", alias_name="has_line"),
         )
     )
 
     def part_topk(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater(batch.column("is_order"), pa.scalar(0)),
-            pc.greater(batch.column("q_rev"), pa.scalar(0)),
+            pc.greater(batch.column("has_line"), pa.scalar(0)),
         )
         b = batch.filter(keep)
         rev = _col(b, "q_rev")

@@ -364,10 +364,16 @@ FROM g GROUP BY ngram HAVING count(*) >= {min_count}
 # ---------------------------------------------------------------------------
 
 KEYWORDS_K = 5
+# Max vocabulary the df table may broadcast through the driver — the
+# SAME bound the query planner enforces for its lemma-dictionary preload
+# (search.py _DF_PRELOAD_MAX_LEMMAS); above it tfidf_keywords switches
+# to the term-keyed join path (no driver-sized object anywhere).
+TFIDF_BROADCAST_MAX_TERMS = 2_000_000
 
 
 def tfidf_keywords(ds, k: int = KEYWORDS_K, id_col: str = "doc_id",
-                   text_col: str = "text"):
+                   text_col: str = "text",
+                   broadcast_max_terms: int = TFIDF_BROADCAST_MAX_TERMS):
     """Top-``k`` TF-IDF keywords per document: ``tf * ln(N / df)`` with
     the deterministic (score DESC, term ASC) tiebreak.
 
@@ -376,15 +382,21 @@ def tfidf_keywords(ds, k: int = KEYWORDS_K, id_col: str = "doc_id",
     grams — no per-doc Python) and shuffles only the distinct
     (doc, term) rows into the df groupby. The df table is
     vocabulary-sized, orders of magnitude below the corpus (Heaps'
-    law), so it returns to the driver and broadcasts — the same
-    documented threshold as the index's lemma dictionary
-    (pipelines/build.py stage D); above it, swap the broadcast for a
-    term-keyed join. Pass 2 RECOMPUTES tf inside the map and selects
-    each doc's top-k in the same invocation — re-tokenizing is one
-    vectorized pass, and it buys boundary-safety: a doc's rows can
-    never straddle blocks (no reliance on Ray's block-splitting
-    behavior), and nothing doc-count-sized leaves the workers except
-    the k winners per doc.
+    law), so below ``broadcast_max_terms`` it returns to the driver and
+    broadcasts — the same ENFORCED threshold as the query planner's
+    dictionary preload (search.py). Pass 2 then RECOMPUTES tf inside
+    the map and selects each doc's top-k in the same invocation —
+    re-tokenizing is one vectorized pass, and it buys boundary-safety:
+    a doc's rows can never straddle blocks (no reliance on Ray's
+    block-splitting behavior), and nothing doc-count-sized leaves the
+    workers except the k winners per doc.
+
+    Above the threshold (web-scale vocabularies) nothing returns to the
+    driver: df attaches to the tf rows via a term-bucket groupby (equal
+    terms co-locate; per-group work is one vectorized factorize +
+    bincount per BUCKET, not per term) and per-doc top-k runs in a
+    second doc-bucket groupby. Both paths are pinned equal by test at a
+    forced low threshold.
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -416,12 +428,15 @@ def tfidf_keywords(ds, k: int = KEYWORDS_K, id_col: str = "doc_id",
         )
 
     n_docs = ds.count()
-    df_tbl = (
+    df_agg = (
         ds.map_batches(tf_rows, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Count(alias_name="df"))
-        .to_pandas()
+        .materialize()
     )
+    if df_agg.count() > broadcast_max_terms:
+        return _tfidf_topk_joined(ds, tf_rows, n_docs, k, id_col)
+    df_tbl = df_agg.to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64))))
 
     def topk(raw: pa.Table) -> pa.Table:
@@ -447,6 +462,84 @@ def tfidf_keywords(ds, k: int = KEYWORDS_K, id_col: str = "doc_id",
         )
 
     return ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+def _tfidf_topk_joined(ds, tf_rows_fn, n_docs: int, k: int, id_col: str):
+    """The no-broadcast tfidf path for vocabularies too large to pull to
+    the driver: attach df by co-locating equal terms (bucketed term
+    groupby — same bounded-bucket pattern as the dedup pair emitters),
+    then select per-doc top-k in a doc-bucket groupby. Two shuffles of
+    (doc, term, tf) rows, nothing driver-sized anywhere."""
+    import pandas as pd
+
+    nb = 1024
+
+    def add_tb(batch: pa.Table) -> pa.Table:
+        d = batch.column("term").combine_chunks().dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in uniq),
+            np.uint64, len(uniq),
+        )
+        tb = (uh % np.uint64(nb)).astype(np.int64)[
+            d.indices.to_numpy(zero_copy_only=False)
+        ]
+        return batch.append_column("tb", pa.array(tb, pa.int64()))
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(
+            group.column("term").to_numpy(zero_copy_only=False), sort=False
+        )
+        df = np.bincount(codes, minlength=len(uniq))[codes]
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                "term": group.column("term"),
+                "tf": group.column("tf"),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored_rows = (
+        ds.map_batches(tf_rows_fn, batch_format="pyarrow")
+        .map_batches(add_tb, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .materialize()  # chained lazy shuffles re-execute their inputs
+    )
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "db", pa.array((ids % nb).astype(np.int64), pa.int64())
+        )
+
+    def doc_topk(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        terms = group.column("term").to_pylist()
+        tf = group.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = group.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * np.log(n_docs / df)
+        order = np.lexsort((np.asarray(terms, object), -score, ids))
+        sid = ids[order]
+        starts = np.flatnonzero(np.concatenate(([True], sid[1:] != sid[:-1])))
+        rank = np.arange(len(sid)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(sid)])))
+        )
+        keep = order[rank < k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "term": pa.array(np.asarray(terms, object)[keep], pa.string()),
+                "tfidf": pa.array(_round6(score[keep]), pa.float64()),
+            }
+        )
+
+    return (
+        scored_rows.map_batches(add_db, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(doc_topk, batch_format="pyarrow")
+    )
 
 
 def tfidf_keywords_sql(src: str, k: int = KEYWORDS_K,

@@ -204,15 +204,18 @@ def _scope_remap_lut(
     nt_old, nt_new = len(old_tools) + 1, len(new_tools) + 1
     codes = np.arange(old_space, dtype=np.int64)
     r_old, t_old = codes // nt_old, codes % nt_old
-    # value-by-old-index lookup ('' at index 0 on both axes)
+    # value-by-old-index lookup ('' at index 0 on both axes). A role/tool
+    # present in the old manifest may be ABSENT from the compacted doc
+    # store (a delta tombstoned the last conversation using it): its old
+    # codes are dead — they can never appear in surviving postings — so
+    # they remap to the empty-value code 0 rather than crashing every
+    # compaction retry with .index ValueError.
     r_vals = np.array([""] + old_roles, dtype=object)[r_old]
     t_vals = np.array([""] + old_tools, dtype=object)[t_old]
-    r_new = np.array(
-        [0 if v == "" else new_roles.index(v) + 1 for v in r_vals], np.int64
-    )
-    t_new = np.array(
-        [0 if v == "" else new_tools.index(v) + 1 for v in t_vals], np.int64
-    )
+    r_of = {v: i + 1 for i, v in enumerate(new_roles)}
+    t_of = {v: i + 1 for i, v in enumerate(new_tools)}
+    r_new = np.array([r_of.get(v, 0) for v in r_vals], np.int64)
+    t_new = np.array([t_of.get(v, 0) for v in t_vals], np.int64)
     return r_new * nt_new + t_new
 
 
@@ -260,13 +263,29 @@ def _merge_docs_segments(
         for f in os.listdir(build_mod.docs_dir(out_dir))
         if f.endswith(".parquet")
     )
-    starts = []
+    # skip zero-row files (a base docs part emptied by a prior fold has
+    # no row groups — min() over an empty generator would crash here the
+    # way _merge_index_segments already guards)
+    starts, kept = [], []
     for f in files:
         md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
         ci = md.schema.to_arrow_schema().get_field_index("docid")
         starts.append(
             min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
         )
+        kept.append(f)
+    files = kept
+    if not files:
+        if delta_docs is not None and delta_docs.num_rows:
+            d = delta_docs.select(doc_cols)
+            d = d.take(pc.sort_indices(d.column("docid")))
+            pq.write_table(
+                d, os.path.join(docs_tmp, "docs-00000.parquet"),
+                row_group_size=65_536,
+            )
+        return
     order = np.argsort(np.array(starts, np.int64), kind="stable")
     files = [files[i] for i in order]
     starts = np.array(starts, np.int64)[order]

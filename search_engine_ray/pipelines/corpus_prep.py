@@ -44,6 +44,7 @@ from search_engine_ray.functions.dedup import (
     _md5_col,
     dup_clusters,
     dup_clusters_sql,
+    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
 )
@@ -54,16 +55,30 @@ from search_engine_ray.functions.text_analysis import (
 
 QUALITY_MIN = 0.8
 OUT_COLS = ["doc_id", "source", "lang", "split"]
+# Above this deduped-doc count the default pair producer switches from
+# the exact all-pairs n-gram Jaccard (quadratic in co-shingled docs; its
+# own docstring says "at 100 TB use minhash_lsh_pairs") to MinHash-LSH.
+# At/below it the exact producer is both faster (no signature pass) and
+# an exact answer. Callers can still pass pair_fn explicitly.
+EXACT_PAIRS_MAX_DOCS = 20_000
 
 
 def corpus_prep(
     docs: rd.Dataset,
     quality_min: float = QUALITY_MIN,
     seed: int = 42,
-    pair_fn=ngram_jaccard_pairs,
+    pair_fn=None,
 ) -> rd.Dataset:
     """Run the composed cleaning pipeline; returns ``OUT_COLS`` rows for
-    every surviving document."""
+    every surviving document.
+
+    ``pair_fn=None`` (default) picks the near-dup pair producer by
+    deduped corpus size: exact :func:`ngram_jaccard_pairs` at/below
+    ``EXACT_PAIRS_MAX_DOCS`` docs, :func:`minhash_lsh_pairs` above — so
+    the pipeline a user runs unmodified at 100 TB never takes the
+    all-pairs path (the LSH producer verifies candidates with exact
+    Jaccard at the same threshold; equality of the two-backend pipeline
+    outputs in the recall-1.0 regime is pinned by test)."""
 
     # 1. quality gate: compute features per batch, keep rows >= min.
     def qfilter(batch: pa.Table) -> pa.Table:
@@ -77,9 +92,7 @@ def corpus_prep(
 
     # 2. exact keep-first dedup, payload rides the one md5 shuffle.
     def add_h(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "h", pa.array(_md5_col(batch.column("text").to_pylist()), pa.string())
-        )
+        return batch.append_column("h", _md5_col(batch.column("text")))
 
     def keep_first(group: pa.Table) -> pa.Table:
         i = int(np.argmin(group.column("doc_id").to_numpy(zero_copy_only=False)))
@@ -92,6 +105,12 @@ def corpus_prep(
     ).materialize()  # consumed twice: pair producer + final filter
 
     # 3. near-dup cluster collapse; drop non-canonical cluster members.
+    if pair_fn is None:
+        pair_fn = (
+            ngram_jaccard_pairs
+            if uniq.count() <= EXACT_PAIRS_MAX_DOCS
+            else minhash_lsh_pairs
+        )
     pairs = pair_fn(uniq)
     clusters = dup_clusters(pairs)
     drop_ids = np.sort(

@@ -325,3 +325,26 @@ def test_compact_repeated_cycles(compact_env, tmp_path):
     m = json.load(open(os.path.join(base_out, "build.json")))
     assert [c["mode"] for c in m["compactions"]] == ["minor", "minor", "major"]
     assert len(m["text_overrides"]) == 3
+
+
+def test_scope_remap_dead_values_map_to_empty():
+    """A role/tool present in the old manifest but absent from the
+    compacted doc store (its last conversation was tombstoned) must
+    remap to the empty-value code 0, not crash the compaction retry
+    loop with .index ValueError."""
+    from search_engine_ray.pipelines.compact import _scope_remap_lut
+    from search_engine_ray.stages.encode import scope_code_space
+
+    old_roles, old_tools = ["assistant", "user"], ["bash", "web"]
+    new_roles, new_tools = ["assistant", "user"], ["bash"]  # 'web' died
+    lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
+    assert len(lut) == scope_code_space(old_roles, old_tools)
+    nt_old, nt_new = len(old_tools) + 1, len(new_tools) + 1
+    for r_old, role in enumerate([""] + old_roles):
+        for t_old, tool in enumerate([""] + old_tools):
+            got = lut[r_old * nt_old + t_old]
+            r_new = ([""] + new_roles).index(role) if role in new_roles or role == "" else 0
+            t_new = ([""] + new_tools).index(tool) if tool in new_tools or tool == "" else 0
+            assert got == r_new * nt_new + t_new
+    # surviving pairs keep full fidelity; dead-tool codes fold to tool 0
+    assert lut[1 * nt_old + 2] == 1 * nt_new + 0  # (assistant, web) -> (assistant, '')

@@ -724,3 +724,73 @@ def test_top_unshipped_orders_oracle(rduck):
     assert t.num_rows == rel.TOPK_K
     revs = t["revenue"].to_pylist()
     assert revs == sorted(revs, reverse=True)
+
+
+def test_tfidf_join_path_equals_broadcast(docs_ds):
+    """Forcing broadcast_max_terms below the vocabulary size must route
+    through the term-keyed join path and produce the identical result
+    (the 100 TB-vocabulary regime, exercised at test scale)."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    base = _table(ta.tfidf_keywords(docs_ds))
+    joined = _table(ta.tfidf_keywords(docs_ds, broadcast_max_terms=1))
+    keys = [(c, "ascending") for c in base.column_names]
+    assert base.sort_by(keys).equals(joined.select(base.column_names).sort_by(keys))
+    assert base.num_rows > 0
+
+
+def test_corpus_prep_lsh_backend_equals_exact(docs_ds):
+    """The LSH-backed pipeline (what the size-adaptive default picks
+    above EXACT_PAIRS_MAX_DOCS) equals the exact-backed one in the
+    recall-1.0 regime, and the adaptive default picks LSH when the
+    threshold is forced to zero."""
+    from search_engine_ray.functions.dedup import minhash_lsh_pairs
+    from search_engine_ray.pipelines import corpus_prep as cp
+
+    exact = _table(cp.corpus_prep(docs_ds))  # auto: exact at this scale
+    lsh = _table(cp.corpus_prep(docs_ds, pair_fn=minhash_lsh_pairs))
+    keys = [(c, "ascending") for c in exact.column_names]
+    assert exact.sort_by(keys).equals(lsh.select(exact.column_names).sort_by(keys))
+
+
+def test_dup_clusters_rejects_negative_ids():
+    """Negative doc ids would collide with the -1 label-row sentinel of
+    the distributed propagation — entry must reject them loudly."""
+    from search_engine_ray.functions import dedup
+
+    pairs = pa.table(
+        {"doc_a": pa.array([1, -2], pa.int64()), "doc_b": pa.array([2, 3], pa.int64())}
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.dup_clusters(pairs)
+
+
+def test_top_unshipped_orders_keeps_zero_revenue_order():
+    """An order whose qualifying lineitems all quantize to zero revenue
+    (discount = 1.0) still has lineitems — the inner-join semantics keep
+    it with revenue 0, exactly like the SQL oracle."""
+    import datetime as dt
+
+    from search_engine_ray.functions import relational as rel
+
+    before = dt.datetime.fromisoformat("1998-01-01")
+    after = dt.datetime.fromisoformat("1998-12-31")
+    cust = rd.from_arrow(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array([rel.TOPK_SEGMENT], pa.string()),
+    }))
+    orders = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array([100, 200], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderdate": pa.array([before, before], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+    }))
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([100, 200], pa.int64()),
+        "l_extendedprice": pa.array([1000.0, 1000.0], pa.float64()),
+        "l_discount": pa.array([1.0, 0.5], pa.float64()),  # 100 -> revenue 0
+        "l_shipdate": pa.array([after, after], pa.timestamp("us")),
+    }))
+    t = rel.top_unshipped_orders(cust, orders, li)
+    got = dict(zip(t["l_orderkey"].to_pylist(), t["revenue"].to_pylist()))
+    assert got == {100: 0.0, 200: 500.0}

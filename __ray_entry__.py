@@ -122,6 +122,40 @@ def _search_topk(sf_dir: str, mode: str, enriched: bool = False):
     return df
 
 
+def _search_phrase(sf_dir: str):
+    """Positional phrase queries (mode='phrase'): docs whose
+    surviving-token lemma sequence contains the query lemmas at
+    CONSECUTIVE positions, BM25-ranked — the per-posting position
+    stream (stages/encode.py 'poss') is the physical basis."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.phrase_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_counts(sf_dir: str):
     """Exact pre-pagination result count per reference query (G6)."""
     from search_engine_ray import datagen
@@ -450,6 +484,15 @@ def _knn_ivf_full_probe(sf_dir: str):
     return similarity.knn_ivf(ds, nlist=16, nprobe=16, indexed=indexed)
 
 
+def _knn_filtered(sf_dir: str):
+    """Predicate-constrained ANN: top-k among vectors sharing the
+    query's label (exact filtered brute force — the oracle form; the
+    IVF-pruned variant is pinned equal/recall-tested in pytest)."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_filtered(_embeddings_ds(sf_dir))
+
+
 def _text_token_counts(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -669,6 +712,89 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _real_decode_mask(ids: np.ndarray) -> np.ndarray:
+    """Which synthetic media ids carry REALLY-decodable payloads
+    (PPM image / WAV PCM-16 / y4m — see stages/multimodal.synth_media_table):
+    kind = id%3 (0=image always real, 1=audio real unless id%5==4,
+    2=video real unless id%5==3)."""
+    kind = ids % 3
+    return (
+        (kind == 0)
+        | ((kind == 1) & (ids % 5 != 4))
+        | ((kind == 2) & (ids % 5 != 3))
+    )
+
+
+def _multimodal_real_decode(sf_dir: str):
+    """The REAL-decode subset of the multimodal pipeline with a pinned
+    per-row feature hash — an exact value-hash driver check of the
+    distributed plumbing (actor pool, batching invariance), not just a
+    rows-only count. The oracle is the same pure decode functions run
+    scalar driver-side over the same deterministic payloads, embedded
+    as a VALUES relation."""
+    import hashlib
+
+    ds = _multimodal_features(sf_dir)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        keep = _real_decode_mask(ids)
+        b = batch.filter(pa.array(keep))
+        feats = b.column("feature").to_pylist()
+        h = [
+            hashlib.md5(np.asarray(f, np.float32).tobytes()).hexdigest()
+            for f in feats
+        ]
+        return pa.table(
+            {
+                "media_id": b.column("media_id"),
+                "media_type": b.column("media_type"),
+                "n_bytes": b.column("n_bytes"),
+                "feature_md5": pa.array(h, pa.string()),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _multimodal_real_decode_sql() -> str:
+    """Golden VALUES oracle: the same pure-numpy decoders run
+    STRAIGHT-LINE (scalar, driver-side, no Ray) over the same
+    deterministic payloads — the comparison pins the distributed
+    actor-pool execution to the scalar reference implementation."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.stages import multimodal as mm
+
+    t = pq_.read_table(
+        os.path.join(_sf_dir(ORACLE_TAG), "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    media = mm.synth_media_table(t.column("text").to_pylist(), ids=ids.tolist())
+    keep = _real_decode_mask(ids)
+    media = media.filter(pa.array(keep))
+    ext = mm.MediaFeatureExtractor(backend="ppm")  # real decode or ERROR
+    rows = []
+    for mid, mtype, payload in zip(
+        media.column("media_id").to_pylist(),
+        media.column("media_type").to_pylist(),
+        media.column("payload").to_pylist(),
+    ):
+        f = ext._decode(payload, mtype)
+        rows.append(
+            f"({mid}, '{mtype}', {len(payload)}, "
+            f"'{hashlib.md5(np.asarray(f, np.float32).tobytes()).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(media_id, media_type, n_bytes, feature_md5)"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     return {
@@ -684,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
+        "search_phrase": _search_phrase,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
@@ -697,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _knn_bruteforce,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
+        "knn_filtered": _knn_filtered,
         "pipeline_corpus_prep": _pipeline_corpus_prep,
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
@@ -710,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _text_redact,
         "text_contamination": _text_contamination,
         "multimodal_features": _multimodal_features,
+        "multimodal_real_decode": _multimodal_real_decode,
         # relational pipelines over the TPC-H-ish side tables
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
@@ -777,6 +906,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             [dict(PAGE_QUERY, query_text=datagen.stem(0))],
             PAGE_OFFSET,
         ),
+        "search_phrase": lambda: oracle.phrase_topk_sql(
+            _corpus_src(), datagen.phrase_queries()
+        ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay
         # rank-identical to BM25 over the same modified corpus
@@ -807,6 +939,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # (assignment + cell filter + partial-top-k merge) must equal
         # exhaustive cosine top-k — same oracle as knn_bruteforce
         "knn_ivf_full_probe": lambda: similarity_mod.knn_bruteforce_sql("embeddings"),
+        "knn_filtered": lambda: similarity_mod.knn_filtered_sql("embeddings"),
         # the composed cleaning pipeline (quality gate -> exact dedup ->
         # near-dup cluster collapse -> split assignment) checked
         # END-TO-END against the composition of its stage oracles
@@ -832,6 +965,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         # decontamination: hash-sampled train split vs its complement
         # eval split, same md5 split predicate on both sides
+        # real-decode multimodal subset: golden VALUES from the scalar
+        # reference decode (exact value-hash check of the actor-pool
+        # pipeline; the full multimodal_features stays rows-only because
+        # its opaque payloads are stub-featurized by design)
+        "multimodal_real_decode": _multimodal_real_decode_sql,
         "text_contamination": lambda: ta_mod.ngram_contamination_sql(
             f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED, complement=True)})",
             f"({sampling_mod.sample_hash_sql('documents', EVAL_FRACTION, seed=EVAL_SEED)})",

@@ -116,6 +116,22 @@ def run_bench() -> dict:
     query_s = time.monotonic() - t0
     p95_ms = min(round_p95)
 
+    # phrase-query latency (positions decode + slot intersection), same
+    # 3-round best-of protocol over the fixed phrase set
+    pset = datagen.phrase_queries()
+    phrase_p95: list[float] = []
+    t0 = time.monotonic()
+    for _round in range(3):
+        lat = []
+        for q in pset:
+            tq = time.monotonic()
+            eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+            lat.append(time.monotonic() - tq)
+        lat.sort()
+        phrase_p95.append(lat[int(0.95 * (len(lat) - 1))] * 1000)
+    phrase_s = time.monotonic() - t0
+    phrase_p95_ms = min(phrase_p95)
+
     # Compaction micro-bench (LSM fold of one delta generation, minor =
     # shuffle-free segment merge): measured off the headline value, only
     # at small sf so --scaling legs stay pure build measurements.
@@ -203,6 +219,7 @@ def run_bench() -> dict:
             "stage_c_index": manifest["timings"]["stage_c_s"],
             "stage_d_dict": manifest["timings"]["stage_d_s"],
             "query_set_3x": round(query_s, 3),
+            "phrase_set_3x": round(phrase_s, 3),
             **({"compact_minor": compact_s} if compact_s is not None else {}),
             **ops_s,
         },
@@ -211,6 +228,7 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / build_s, 1),
         "query_p95_ms": round(p95_ms, 1),
+        "phrase_p95_ms": round(phrase_p95_ms, 1),
         "build_samples": build_samples,
     }
     ray.shutdown()

@@ -5,7 +5,7 @@ controllers/ApiController.java:20-47``):
     python -m search_engine_ray build   --input f1.parquet f2.parquet --out DIR
                                         [--partitions N] [--resume]
     python -m search_engine_ray search  --out DIR "query text" [--scope role]
-                                        [--offset N] [--limit N] [--mode bm25|reference]
+                                        [--offset N] [--limit N] [--mode bm25|reference|phrase]
                                         [--snippets]
     python -m search_engine_ray stats   --out DIR
     python -m search_engine_ray reindex --out DIR --conv CONV_ID [CONV_ID ...]
@@ -13,9 +13,12 @@ controllers/ApiController.java:20-47``):
 
 Mapping: build == GET /api/startIndexing, search == GET /api/search,
 stats == GET /api/statistics, reindex == POST /api/indexPage
-(per-conversation). Cancellation (GET /api/stopIndexing) is `ray job
-stop` / Ctrl-C — manifests mark unfinished partitions non-DONE and
-``--resume`` picks the build up from the last checkpoint.
+(per-conversation), stop == GET /api/stopIndexing (cooperative cancel:
+writes a flag the running build honors between analyzer batches;
+in-flight partitions mark FAILED and ``build --resume`` picks the build
+up from the last checkpoint), serve == the HTTP/JSON surface
+(``server.py``; GET /api/search, /api/statistics, /api/stopIndexing,
+POST /api/indexPage).
 
 This module (a CLI entry point) OWNS the Ray session; library code never
 calls ray.init.
@@ -54,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scope", default=None)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "reference"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "reference", "phrase"], default="bm25")
     s.add_argument("--snippets", action="store_true")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
@@ -75,21 +78,36 @@ def main(argv: list[str] | None = None) -> int:
                    help="minor = shuffle-free segment merge (default); "
                         "major = global re-sort that defragments blocking")
 
+    st = sub.add_parser(
+        "stop", help="cooperative build cancel (stopIndexing analog): the "
+        "running build marks in-flight partitions FAILED and exits resumable"
+    )
+    st.add_argument("--out", required=True)
+
+    sv = sub.add_parser("serve", help="HTTP/JSON surface over a built index")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+
     a = p.parse_args(argv)
 
     if a.cmd == "build":
         _init_ray()
         from .config import BuildConfig
-        from .pipelines.build import build_index
+        from .pipelines.build import BuildStopped, build_index
 
-        m = build_index(
-            BuildConfig(
-                input_paths=list(a.input),
-                out_dir=a.out,
-                n_partitions=a.partitions,
-                resume=a.resume,
+        try:
+            m = build_index(
+                BuildConfig(
+                    input_paths=list(a.input),
+                    out_dir=a.out,
+                    n_partitions=a.partitions,
+                    resume=a.resume,
+                )
             )
-        )
+        except BuildStopped as e:
+            print(json.dumps({"state": "STOPPED", "error": str(e)}))
+            return 1
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
     elif a.cmd == "search":
         from .search import SearchEngine
@@ -127,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.compact import compact
 
         print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
+    elif a.cmd == "stop":
+        from .pipelines.build import request_stop
+
+        print(json.dumps(request_stop(a.out)))
+    elif a.cmd == "serve":
+        from .server import serve
+
+        serve(a.out, host=a.host, port=a.port)
     return 0
 
 

@@ -32,7 +32,15 @@ import pyarrow.compute as pc
 
 # Bump whenever tokenization/lemmatization semantics change: baked into
 # partition manifests so a resumed build never mixes analyzer versions.
-ANALYZER_VERSION = "1"
+# 2: analyze_batch additionally emits per-posting token positions
+#    (0-based index into the doc's SURVIVING token sequence) — the
+#    physical basis of phrase queries.
+ANALYZER_VERSION = "2"
+
+# Module-level capability flag checked by the build (protocols.Analyzer):
+# a pluggable analyzer without positions still builds a valid index, just
+# with phrase queries disabled for it.
+HAS_POSITIONS = True
 
 # Word charset: chars outside this fold to a separator (reference charset
 # was [а-я], LemmaFinderImpl.java:115; generalized for transcript text).
@@ -115,6 +123,16 @@ def analyze_query(text: str) -> list[str]:
     return sorted({lemmatize_token(t) for t in tokenize(text)})
 
 
+def analyze_phrase(text: str) -> list[str]:
+    """ORDERED lemma sequence (duplicates kept) for phrase queries: the
+    phrase matches a document iff these lemmas appear at consecutive
+    positions of its surviving-token sequence. Stopwords/short tokens
+    are dropped from the phrase exactly as they are from documents, so
+    "the red fox" matches any doc where lemma 'red' directly precedes
+    lemma 'fox' — the documented (and oracle-shared) semantics."""
+    return [lemmatize_token(t) for t in tokenize(text)]
+
+
 def lemma_hash64(lemma: str) -> int:
     """Stable 63-bit lemma hash (md5 prefix) — the integer primary sort
     key of the physical index. Sorting postings by (lemma_h, docid)
@@ -179,12 +197,17 @@ def lemmatize_unique(tokens: np.ndarray, memo: dict[str, str]) -> np.ndarray:
 def analyze_batch(texts: pa.Array | pa.ChunkedArray, memo: dict[str, str]):
     """Vectorized ``collectLemmas`` over a batch of documents.
 
-    Returns ``(post_doc_idx, post_lemmas, post_tf, doc_len)``:
+    Returns ``(post_doc_idx, post_lemmas, post_tf, doc_len, pos_deltas)``:
     - ``post_doc_idx: int64[np]`` — row index into the batch per posting;
     - ``post_lemmas: object[np]`` — lemma string per posting;
     - ``post_tf: int32[np]`` — term frequency within the document;
     - ``doc_len: int32[n]`` — surviving-token count per document (0 for
-      empty/whitespace-only text — those docs emit no postings).
+      empty/whitespace-only text — those docs emit no postings);
+    - ``pos_deltas: uint64[Σtf]`` — per-posting token positions (0-based
+      index into the doc's surviving-token sequence), delta-encoded
+      WITHIN each posting (first value absolute), concatenated in
+      posting order — ``post_tf`` gives the per-posting value counts.
+      The physical basis of phrase queries.
 
     The heavy lifting is arrow kernels + np.unique on integer codes; the
     only Python loop is over *unique* surface forms (memoized), which is
@@ -194,12 +217,14 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, memo: dict[str, str]):
 
     n = len(texts)
     doc_idx, flat = flatten_tokens(texts)
-    if len(doc_idx) == 0:
+    nt = len(doc_idx)
+    if nt == 0:
         return (
             np.empty(0, np.int64),
             np.empty(0, object),
             np.empty(0, np.int32),
             np.zeros(n, np.int32),
+            np.empty(0, np.uint64),
         )
     surf = flat.to_numpy(zero_copy_only=False)
     codes, uniques = pd.factorize(surf, sort=False)
@@ -212,7 +237,24 @@ def analyze_batch(texts: pa.Array | pa.ChunkedArray, memo: dict[str, str]):
     post_doc_idx = ukey // nl
     post_lemmas = np.asarray(lemma_uniques, dtype=object)[ukey % nl]
     doc_len = np.bincount(doc_idx, minlength=n).astype(np.int32)
-    return post_doc_idx, post_lemmas, tf.astype(np.int32), doc_len
+
+    # positions: doc_idx is nondecreasing (flatten preserves row order),
+    # so token position within its doc = index minus the doc's run start.
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], doc_idx[1:] != doc_idx[:-1]))
+    )
+    run_lens = np.diff(np.concatenate((run_starts, [nt])))
+    tok_pos = np.arange(nt, dtype=np.int64) - np.repeat(run_starts, run_lens)
+    # stable sort by posting key groups each posting's positions in
+    # ascending order; np.unique's sorted ukey order matches exactly.
+    order = np.argsort(key, kind="stable")
+    pos_sorted = tok_pos[order]
+    pos_deltas = pos_sorted.astype(np.uint64)
+    pos_deltas[1:] -= pos_sorted[:-1].astype(np.uint64)
+    post_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+    pos_deltas[post_starts] = pos_sorted[post_starts]
+
+    return post_doc_idx, post_lemmas, tf.astype(np.int32), doc_len, pos_deltas
 
 
 # ---------------------------------------------------------------------------

@@ -69,4 +69,10 @@ class BuildConfig:
     # worker). Above this doc count the broadcast would not fit a
     # worker heap and doc_len rides the shuffle instead (+4 B/posting).
     broadcast_dl_max_docs: int = 200_000_000
+    # Store per-posting token positions in the index (phrase queries).
+    # Positions add ~avg_tf varint bytes per posting to the stage-C
+    # exchange and the index payload (~+20-30% measured); disable for a
+    # leaner term-only index. Automatically off when a pluggable
+    # analyzer lacks HAS_POSITIONS.
+    store_positions: bool = True
     extra: dict = field(default_factory=dict)

@@ -347,3 +347,24 @@ def reference_queries() -> list[dict]:
         {"query_id": f"q-{i:04d}", "query_text": t, "scope": s, "k": 10}
         for i, (t, s) in enumerate(q)
     ]
+
+
+def phrase_queries() -> list[dict]:
+    """Fixed deterministic PHRASE query set: adjacency over hot bigrams,
+    repeated lemmas, single-term degenerate, stopword/punct folding,
+    inflected surface forms, an absent lemma (must return empty), a
+    scoped phrase, and a trigram."""
+    q = [
+        (f"{stem(0)} {stem(1)}", None),             # hot bigram
+        (f"{stem(0)} {stem(0)}", None),             # repeated lemma
+        (f"{stem(4000)}", None),                    # single-term phrase
+        (f"The {stem(1)}, {stem(2)}!", None),       # stopwords + punctuation
+        (f"{stem(2)}s {stem(0)}ed", None),          # inflected surface forms
+        (f"wqxqzq {stem(0)}", None),                # absent lemma -> empty
+        (f"{stem(1)} {stem(0)}", "assistant"),      # scoped phrase
+        (f"{stem(0)} {stem(1)} {stem(2)}", None),   # trigram
+    ]
+    return [
+        {"query_id": f"p-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]

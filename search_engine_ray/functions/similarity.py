@@ -312,3 +312,139 @@ def _knn_ivf_indexed(
             "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — top-k within a metadata predicate (the compound op real
+# vector workloads hit immediately: "nearest neighbors WHERE label = X")
+# ---------------------------------------------------------------------------
+
+def _query_matrix_labeled(ds: rd.Dataset, id_col: str, vec_col: str,
+                          filter_col: str, n_queries: int):
+    import pyarrow.compute as pc
+
+    q = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column(id_col), n_queries)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    return (
+        q[id_col].to_numpy(),
+        _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64)),
+        q[filter_col].to_numpy(),
+    )
+
+
+def knn_filtered(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    n_queries: int = 8,
+    k: int = 5,
+    indexed: tuple[rd.Dataset, np.ndarray] | None = None,
+    nprobe: int | None = None,
+) -> pa.Table:
+    """Predicate-constrained cosine top-k: each query's neighbors are
+    restricted to vectors whose ``filter_col`` equals the query's own
+    value (self excluded). Exact by default (filtered brute force, the
+    oracle form — per-batch partial top-k against the broadcast query
+    matrix, k-row driver merge). Pass a prebuilt ``indexed`` pair from
+    :func:`build_ivf_index` (+ ``nprobe``) for the scale path: the
+    persisted ``cell`` column prunes the scan to the probed cells BEFORE
+    the predicate mask — with ``nprobe == nlist`` the result is pinned
+    exactly equal to the filtered brute force (tests), below it recall
+    is asserted, matching the unfiltered IVF contract."""
+    qids, qmat, qlab = _query_matrix_labeled(ds, id_col, vec_col, filter_col, n_queries)
+
+    probe = None
+    source = ds
+    if indexed is not None:
+        import pyarrow.compute as pc_
+
+        cell_ds, cents = indexed
+        np_ = nprobe if nprobe is not None else len(cents)
+        probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :np_]  # (nq, nprobe)
+        probe_cells = sorted({int(c) for row in probe for c in row})
+        source = cell_ds.map_batches(
+            lambda b: b.filter(
+                pc_.is_in(b.column("cell"), value_set=pa.array(probe_cells, pa.int32()))
+            ),
+            batch_format="pyarrow",
+        )
+    ref = ray.put((qids, qmat, qlab, probe))
+    use_cell = indexed is not None
+
+    class FilteredTopK:
+        def __init__(self):
+            self.qids, self.qmat, self.qlab, self.probe = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            lab = batch.column(filter_col).to_numpy(zero_copy_only=False)
+            cell = (
+                batch.column("cell").to_numpy(zero_copy_only=False)
+                if use_cell
+                else None
+            )
+            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            out_q, out_v, out_c = [], [], []
+            for r, qid in enumerate(self.qids):
+                m = (ids != qid) & (lab == self.qlab[r])
+                if cell is not None:
+                    m &= np.isin(cell, self.probe[r])
+                cand = np.flatnonzero(m)
+                if not len(cand):
+                    continue
+                s = mat[cand] @ self.qmat[r]
+                top = np.lexsort((ids[cand], -s))[:k]
+                out_q.extend([int(qid)] * len(top))
+                out_v.extend(ids[cand][top].tolist())
+                out_c.extend(s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    id_col: pa.array(out_v, pa.int64()),
+                    "cosine": pa.array(out_c, pa.float64()),
+                }
+            )
+
+    cols = [id_col, vec_col, filter_col] + (["cell"] if use_cell else [])
+    parts = source.select_columns(cols).map_batches(
+        FilteredTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    ).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(row[id_col]), round(float(row["cosine"]), 6)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def knn_filtered_sql(src: str, id_col: str = "vec_id", vec_col: str = "embedding",
+                     filter_col: str = "label", n_queries: int = 8, k: int = 5) -> str:
+    """DuckDB oracle for :func:`knn_filtered` (exact filtered cosine)."""
+    return f"""
+WITH e AS (SELECT {id_col}, {filter_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+q AS (SELECT {id_col} AS query_id, {filter_col} AS qlab, v AS qv
+      FROM e WHERE {id_col} < {n_queries}),
+s AS (
+    SELECT q.query_id, e.{id_col}, list_cosine_similarity(q.qv, e.v) AS cos
+    FROM q JOIN e ON e.{id_col} != q.query_id AND e.{filter_col} = q.qlab
+),
+ranked AS (
+    SELECT query_id, {id_col}, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, {id_col}) AS rank
+    FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, {id_col} AS neighbor_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {k}
+"""

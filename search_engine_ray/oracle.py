@@ -147,6 +147,108 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def phrase_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-query PHRASE top-k oracle: a doc matches iff the query's
+    lemma sequence (shared ``analyzer.analyze_phrase``) appears at
+    consecutive positions of the doc's surviving-token sequence —
+    positions come from an ordinal-preserving unnest + row_number over
+    the SAME charset-fold/stopword/lemma rules as the engine; scoring is
+    the standard BM25 over the phrase's distinct lemmas (global df),
+    restricted to matching docs; ties (score DESC, conv_id, turn_idx)."""
+    match_branches = []
+    qterm_rows = []
+    qmeta_rows = []
+    for q in queries:
+        phrase = analyzer.analyze_phrase(q["query_text"])
+        if not phrase:
+            continue
+        qid = q["query_id"]
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        qmeta_rows.append(f"({analyzer._sql_quote(qid)}, {scope}, {q['k']})")
+        for lem in dict.fromkeys(phrase):
+            qterm_rows.append(
+                f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(lem)})"
+            )
+        joins, conds = [], [f"p0.lemma = {analyzer._sql_quote(phrase[0])}"]
+        for j, lem in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN __plem p{j} ON p{j}.conv_id = p0.conv_id "
+                f"AND p{j}.turn_idx = p0.turn_idx AND p{j}.pos = p0.pos + {j} "
+                f"AND p{j}.lemma = {analyzer._sql_quote(lem)}"
+            )
+        match_branches.append(
+            f"SELECT DISTINCT {analyzer._sql_quote(qid)} AS query_id, "
+            f"p0.conv_id, p0.turn_idx FROM __plem p0 {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    if not match_branches:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    matches = " UNION ALL ".join(match_branches)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+__ptoks AS (
+    SELECT conv_id, turn_idx, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS i
+    FROM (SELECT conv_id, turn_idx,
+                 string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                     '{analyzer.NON_WORD_REGEX}', ' ', 'g')), ' ') AS toks
+          FROM {src})
+),
+__plem AS (
+    SELECT conv_id, turn_idx, {analyzer.lemma_case_sql('tok')} AS lemma,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1 AS pos
+    FROM __ptoks
+    WHERE length(tok) >= {analyzer.MIN_TOKEN_LEN}
+      AND tok NOT IN ({analyzer.stopword_sql_list()})
+),
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM (VALUES {', '.join(qmeta_rows)}) qm(query_id, scope, k)),
+qterm AS (SELECT * FROM (VALUES {', '.join(qterm_rows)}) qt(query_id, lemma)),
+matches AS ({matches}),
+scored AS (
+    SELECT m.query_id, m.conv_id, m.turn_idx,
+           sum(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM matches m
+    JOIN qmeta qm ON qm.query_id = m.query_id
+    JOIN roles r ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+    JOIN qterm t ON t.query_id = m.query_id
+    JOIN dict d ON d.lemma = t.lemma
+    JOIN __postings p ON p.lemma = t.lemma
+        AND p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+    JOIN doclen dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN corpus c
+    WHERE qm.scope IS NULL OR r.role = qm.scope
+    GROUP BY m.query_id, m.conv_id, m.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_counts_sql(src: str, queries: list[dict]) -> str:
     """Exact pre-pagination result counts (G6): per query, |union| of
     matching docs (within scope); 0 when any query lemma is missing

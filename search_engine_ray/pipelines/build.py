@@ -64,7 +64,7 @@ from ..state.manifest import (
     write_json_atomic,
 )
 
-CODEC_VERSION = "6"  # 6: per-posting scope-code stream (scps) in index blocks
+CODEC_VERSION = "7"  # 7: per-posting token-position stream (poss) in index blocks
 _VERSIONS = {"analyzer": ANALYZER_VERSION, "codec": CODEC_VERSION}
 
 ANALYSIS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -99,6 +99,38 @@ def partition_input_files(paths: list[str], n_partitions: int | None) -> list[li
         n_partitions = (total >> 28) + 1
     n = min(n_partitions, len(files)) or 1
     return [files[i::n] for i in range(n)]
+
+
+class BuildStopped(RuntimeError):
+    """A cooperative stop (``request_stop``) interrupted the build.
+    In-flight stage-A partitions are marked FAILED; the build resumes
+    cleanly with ``resume=True`` (the reference's ``stopIndexing``
+    semantics, ``IndexationServiceImpl.java:52-63`` — a flag checked
+    cooperatively, not a kill)."""
+
+
+def stop_flag_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "stop.flag")
+
+
+def request_stop(out_dir: str) -> dict:
+    """Ask a running build on ``out_dir`` to stop at the next
+    cooperative checkpoint (between analyzer batches / partitions /
+    stages). The flag lives under the index out_dir, which is shared
+    storage on a real cluster — every analyzer actor sees it. Returns a
+    reference-style response dict."""
+    if not os.path.isdir(out_dir):
+        return {"result": False, "error": f"no index dir at {out_dir}"}
+    with open(stop_flag_path(out_dir), "w") as f:
+        f.write("stop")
+    return {"result": True, "error": None}
+
+
+def clear_stop(out_dir: str) -> None:
+    try:
+        os.remove(stop_flag_path(out_dir))
+    except FileNotFoundError:
+        pass
 
 
 def _fresh_dir(d: str) -> str:
@@ -385,6 +417,14 @@ def build_index(
         if fail_at_stage == point:
             raise RuntimeError(f"injected failure at {point}")
     os.makedirs(cfg.out_dir, exist_ok=True)
+    # a NEW build run supersedes any stale stop request (the reference's
+    # startIndexing-after-stopIndexing flow); test hooks can re-arm it
+    # mid-run via extra["stop_after_batches"]
+    clear_stop(cfg.out_dir)
+
+    def _check_stop(where: str) -> None:
+        if os.path.exists(stop_flag_path(cfg.out_dir)):
+            raise BuildStopped(f"stop requested ({where}); resume with resume=True")
     _settle_fsspec_http_import()
     # pluggable analyzer (protocols.Analyzer): the module path + ITS
     # version enter every lineage key, so a resumed build never mixes
@@ -393,10 +433,15 @@ def build_index(
     if amod:
         import importlib
 
-        _aver = importlib.import_module(amod).ANALYZER_VERSION
+        _amodule = importlib.import_module(amod)
+        _aver = _amodule.ANALYZER_VERSION
         versions = {"analyzer": f"{amod}:{_aver}", "codec": CODEC_VERSION}
+        # a pluggable analyzer without positions builds a valid
+        # (phrase-disabled) index rather than failing
+        positions = cfg.store_positions and getattr(_amodule, "HAS_POSITIONS", False)
     else:
         versions = dict(_VERSIONS)
+        positions = cfg.store_positions
     t0 = time.monotonic()
     timings: dict[str, float] = {}
     parts = partition_input_files(cfg.input_paths, cfg.n_partitions)
@@ -409,6 +454,7 @@ def build_index(
     def _run_part(i: int, files: list[str], overlap: int = 1) -> None:
         pid = f"part-{i:03d}"
         key = lineage_key(files, versions, a_params)
+        _check_stop(f"before stage-A {pid}")
         tp = time.monotonic()
         part_dir = _fresh_dir(os.path.join(stage_a_dir(cfg.out_dir), pid))
         conc = cfg.concurrency
@@ -427,8 +473,11 @@ def build_index(
             ds = ds.map_batches(
                 AnalyzerActor,
                 fn_constructor_kwargs=(
-                    ({"kill_after_batches": cfg.extra["kill_after_batches"]}
-                     if "kill_after_batches" in cfg.extra else {})
+                    {"stop_path": stop_flag_path(cfg.out_dir)}
+                    | ({"kill_after_batches": cfg.extra["kill_after_batches"]}
+                       if "kill_after_batches" in cfg.extra else {})
+                    | ({"stop_after_batches": cfg.extra["stop_after_batches"]}
+                       if "stop_after_batches" in cfg.extra else {})
                     | ({"analyzer_module": amod} if amod else {})
                 ),
                 batch_format="pyarrow",
@@ -446,8 +495,15 @@ def build_index(
             ds.write_parquet(
                 part_dir, partition_cols=["kind"], min_rows_per_file=500_000
             )
-        except Exception:
+        except Exception as e:
             tracker.mark(pid, key, STATE_FAILED, input_files=files)
+            if os.path.exists(stop_flag_path(cfg.out_dir)):
+                # the failure was the cooperative stop firing inside the
+                # analyzer pool: surface the clean signal, FAILED
+                # manifest already makes the partition resumable
+                raise BuildStopped(
+                    f"stop requested (stage-A {pid} aborted); resume with resume=True"
+                ) from e
             raise
         metrics = _dir_stats(part_dir) | {"wall_s": round(time.monotonic() - tp, 3)}
         tracker.mark(pid, key, STATE_DONE, input_files=files, metrics=metrics)
@@ -484,6 +540,7 @@ def build_index(
             for f in futs:
                 f.result()  # re-raises the first partition failure
     timings["stage_a_s"] = round(time.monotonic() - t0, 3)
+    _check_stop("after stage A")
 
     stage_a_files = _stage_a_parquet(cfg.out_dir)
     # Shuffle width for the two sorts: enough blocks to use every core,
@@ -494,7 +551,8 @@ def build_index(
     down_key = lineage_key(
         stage_a_files,
         versions,
-        {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b},
+        {"block_size": cfg.block_size, "k1": cfg.k1, "b": cfg.b,
+         "positions": positions},
     )
     tracker_s = PartitionTracker(os.path.join(cfg.out_dir, "_manifests"), build_id="BCD")
 
@@ -681,6 +739,7 @@ def build_index(
     timings["stage_b_s"] = round(time.monotonic() - tb, 3)
 
     # ---------------- stage C: sorted compressed index -----------------
+    _check_stop("before stage C")
     tc = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
@@ -706,6 +765,12 @@ def build_index(
             )
         sort_cols = ["lemma_h", "docid", "tf"]
         read_cols = ["lemma", "conv_id", "turn_idx", "tf"]
+        if positions:
+            # per-posting position blobs ride the exchange as opaque
+            # bytes (~avg_tf bytes/posting); the encoder block-slices
+            # them without decode
+            sort_cols.append("pos")
+            read_cols.append("pos")
         if not broadcast_dl:
             # oversized-corpus fallback: doc_len and the int32 scope code
             # ride the shuffle (stage A stamps role/tool on posting rows)
@@ -848,6 +913,7 @@ def build_index(
             raise err[0]
     timings["total_s"] = round(time.monotonic() - t0, 3)
 
+    stats["positions"] = bool(positions)
     manifest = {
         "build_key": down_key,
         "versions": versions,

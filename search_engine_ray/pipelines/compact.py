@@ -130,13 +130,18 @@ def _make_block_flattener(
     scope_lut: np.ndarray,
     carry_dl_scope: bool,
     carry_lemma: bool,
+    carry_pos: bool = False,
 ):
     """map_batches fn: index block rows -> surviving flat posting rows.
 
     One vectorized varint pass per column over the whole batch (the
     binary cells of consecutive block rows are contiguous in the Arrow
     data buffer), tombstone masking via two searchsorted's against the
-    winning ranges, scope renumbering via ``scope_lut[old_code]``."""
+    winning ranges, scope renumbering via ``scope_lut[old_code]``.
+    ``carry_pos`` re-emits each posting's position blob (the per-value
+    byte lengths of the decoded deltas locate posting boundaries INSIDE
+    the block cell, so blobs are re-sliced from the original bytes —
+    decode-free round-trip)."""
 
     def flatten(batch: pa.Table) -> pa.Table:
         nblk = batch.num_rows
@@ -147,6 +152,8 @@ def _make_block_flattener(
         ]
         if carry_lemma:
             fields.insert(0, ("lemma", pa.string()))
+        if carry_pos:
+            fields.append(("pos", pa.binary()))
         if carry_dl_scope:
             fields += [("doc_len", pa.int32()), ("scope_code", pa.int32())]
         empty = pa.table(
@@ -183,6 +190,19 @@ def _make_block_flattener(
                 "lemma": lem.take(pa.array(post_idx[keep], pa.int64())),
                 **cols,
             }
+        if carry_pos:
+            from ..state import codec
+            from ..stages.encode import _binary_cells
+
+            pd_, po_ = binary_column_buffers(batch.column("poss"))
+            pbytes = pd_[po_[0] : po_[-1]].tobytes()
+            total = int(tf.sum())
+            deltas = codec.varint_decode(pbytes, total)
+            nb = codec.varint_nbytes(deltas)
+            val_bounds = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+            byte_off = np.concatenate(([0], np.cumsum(nb)))[val_bounds]
+            blobs = _binary_cells(pbytes, byte_off.astype(np.int64))
+            cols["pos"] = blobs.filter(pa.array(keep))
         if carry_dl_scope:
             cols["doc_len"] = pa.array(dl[keep].astype(np.int32), pa.int32())
             cols["scope_code"] = pa.array(
@@ -338,6 +358,7 @@ def _merge_index_segments(
     k1: float,
     b: float,
     block_size: int,
+    with_pos: bool = False,
 ) -> None:
     """Shuffle-free index merge (LSM minor compaction, the segment-merge
     shape of a Lucene merge): the base index files are globally
@@ -383,10 +404,13 @@ def _merge_index_segments(
         delta_ref = ray.put(delta_flat) if delta_flat is not None else None
 
     flatten = _make_block_flattener(
-        tomb_starts, tomb_ends, scope_lut, carry_dl_scope=True, carry_lemma=True
+        tomb_starts, tomb_ends, scope_lut, carry_dl_scope=True,
+        carry_lemma=True, carry_pos=with_pos,
     )
     encode = make_block_encoder(avgdl or 1.0, k1, b, block_size)
     read_cols = ["lemma", "lemma_h", "n", "gaps", "tfs", "dls", "scps"]
+    if with_pos:
+        read_cols.append("poss")
     items = [
         {"path": p, "lo": int(bounds[i]), "hi": int(bounds[i + 1])}
         for i, p in enumerate(files)
@@ -581,6 +605,17 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
     scope_lut = _scope_remap_lut(old_roles, old_tools, new_roles, new_tools)
 
     delta_posts = _read_latest(latest, "postings")
+    # positions survive the fold only if the base index has them AND
+    # every winning-generation posting carries a blob (a pre-positions
+    # generation would leave holes) — otherwise the folded index is
+    # valid but phrase-disabled
+    with_pos = bool(m["stats"].get("positions")) and (
+        delta_posts is None
+        or (
+            "pos" in delta_posts.column_names
+            and delta_posts.column("pos").null_count == 0
+        )
+    )
 
     if mode == "minor":
         delta_flat = None
@@ -593,16 +628,17 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
                 new_roles, new_tools,
             )
             pos = np.searchsorted(dd_ids, dp.column("docid").to_numpy())
-            delta_flat = pa.table(
-                {
-                    "lemma": dp.column("lemma"),
-                    "lemma_h": dp.column("lemma_h"),
-                    "docid": dp.column("docid"),
-                    "tf": dp.column("tf").cast(pa.int32()),
-                    "doc_len": dp.column("doc_len").cast(pa.int32()),
-                    "scope_code": pa.array(dd_codes[pos].astype(np.int32), pa.int32()),
-                }
-            )
+            dcols = {
+                "lemma": dp.column("lemma"),
+                "lemma_h": dp.column("lemma_h"),
+                "docid": dp.column("docid"),
+                "tf": dp.column("tf").cast(pa.int32()),
+            }
+            if with_pos:
+                dcols["pos"] = dp.column("pos")
+            dcols["doc_len"] = dp.column("doc_len").cast(pa.int32())
+            dcols["scope_code"] = pa.array(dd_codes[pos].astype(np.int32), pa.int32())
+            delta_flat = pa.table(dcols)
             keys = np.lexsort(
                 (delta_flat.column("docid").to_numpy(),
                  delta_flat.column("lemma_h").to_numpy())
@@ -610,11 +646,12 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
             delta_flat = delta_flat.take(pa.array(keys, pa.int64())).combine_chunks()
         _merge_index_segments(
             out_dir, index_tmp, delta_flat, tomb_starts, tomb_ends,
-            scope_lut, avgdl, k1, b, block_size,
+            scope_lut, avgdl, k1, b, block_size, with_pos=with_pos,
         )
         return _finish(
             out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
             convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+            positions=with_pos,
         )
 
     # ---- vocabulary broadcast (lemma_h -> lemma) ------------------------
@@ -671,13 +708,18 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
     flat_cols = ["lemma_h", "docid", "tf"]
     if collision:
         flat_cols = ["lemma"] + flat_cols
+    if with_pos:
+        flat_cols.append("pos")
     if not broadcast_dl:
         flat_cols += ["doc_len", "scope_code"]
     read_cols = ["lemma", "lemma_h", "n", "gaps", "tfs", "dls", "scps"]
+    if with_pos:
+        read_cols.append("poss")
     base_flat = rd.read_parquet(build_mod.index_dir(out_dir), columns=read_cols).map_batches(
         _make_block_flattener(
             tomb_starts, tomb_ends, scope_lut,
             carry_dl_scope=not broadcast_dl, carry_lemma=collision,
+            carry_pos=with_pos,
         ),
         batch_format="pyarrow",
         # bounded decode expansion (~128 postings per block row): 32k
@@ -695,6 +737,8 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
         }
         if collision:
             cols = {"lemma": dp.column("lemma"), **cols}
+        if with_pos:
+            cols["pos"] = dp.column("pos")
         if not broadcast_dl:
             # per-posting scope via the winning-gen doc rows (delta-sized)
             dd_ids = delta_docs.column("docid").to_numpy()
@@ -725,12 +769,14 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
     return _finish(
         out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
         convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+        positions=with_pos,
     )
 
 
 def _finish(
     out_dir, jp, m, gens, latest, tmp, docs_tmp, index_tmp, dict_tmp,
     convs_tmp, n_docs, total_len, avgdl, new_roles, new_tools, mode,
+    positions=False,
 ) -> dict:
     """Lemma dictionary (shared stage-D aggregate) + journaled swap —
     identical for both merge modes."""
@@ -745,6 +791,7 @@ def _finish(
         tools=new_tools,
         n_lemmas=n_lemmas,
         n_postings=n_postings,
+        positions=bool(positions),
     )
     overrides = dict(m.get("text_overrides") or {})
     for cid, info in latest.items():

@@ -121,14 +121,23 @@ def reindex_conversations(
     rank_arr = np.array([rank_of[c] for c in conv_col], np.int64)
     docid = make_docids(rank_arr, turn_np)
 
-    post_doc_idx, lemmas, tf, doc_len = analyzer.analyze_batch(
-        slice_tbl.column("text"), {}
-    )
+    got = analyzer.analyze_batch(slice_tbl.column("text"), {})
+    post_doc_idx, lemmas, tf, doc_len = got[:4]
+    pos_deltas = got[4] if len(got) > 4 else None
+    from ..stages.analyze import encode_pos_cells
+
     postings = pa.table(
         {
             "lemma": pa.array(lemmas, pa.string()),
             "docid": pa.array(docid[post_doc_idx], pa.int64()),
             "tf": pa.array(tf, pa.int32()),
+            # per-posting position blobs (phrase queries survive the
+            # delta overlay / compaction fold)
+            "pos": (
+                encode_pos_cells(pos_deltas, tf)
+                if pos_deltas is not None
+                else pa.nulls(len(post_doc_idx), pa.binary())
+            ),
             "doc_len": pa.array(doc_len[post_doc_idx].astype(np.int32), pa.int32()),
         }
     )

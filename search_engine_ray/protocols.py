@@ -46,9 +46,14 @@ class Analyzer(Protocol):
 
     def analyze_batch(
         self, texts: pa.Array | pa.ChunkedArray, memo: dict[str, str]
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, ...]:
         """Vectorized per-batch analysis: ``(post_doc_idx, post_lemmas,
-        post_tf, doc_len)`` — see ``analyzer.analyze_batch``."""
+        post_tf, doc_len[, pos_deltas])`` — see ``analyzer.analyze_batch``.
+        The optional 5th element (per-posting delta-encoded token
+        positions, tf values per posting) enables phrase queries; a
+        module that emits it should set ``HAS_POSITIONS = True`` at
+        module level. A 4-tuple analyzer still builds a valid
+        (phrase-disabled) index."""
         ...
 
     def analyze_query(self, text: str) -> list[str]:

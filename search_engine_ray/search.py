@@ -53,10 +53,37 @@ from .pipelines import build as build_mod
 from .stages.encode import (
     binary_column_buffers,
     decode_block_range,
+    decode_poss_range,
     decode_scps_range,
     scope_code_space,
 )
 from .state.manifest import load_json
+
+
+def _decode_pos_blobs(blobs, tf: np.ndarray) -> np.ndarray:
+    """Flat absolute positions from per-posting delta+varint blobs
+    (``tf`` values per blob) — the delta-generation postings side."""
+    from .state import codec
+
+    buf = b"".join(b or b"" for b in blobs)
+    total = int(tf.sum())
+    deltas = codec.varint_decode(buf, total)
+    cum = np.cumsum(deltas, dtype=np.uint64).view(np.int64)
+    seg = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))[:-1]
+    corr = cum[seg] - deltas[seg].astype(np.int64)
+    return cum - np.repeat(corr, tf)
+
+
+def _take_pos_groups(pos_flat: np.ndarray, tf: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Segmented gather: select posting-position groups ``idx`` (in that
+    order) from a flat position array grouped by per-posting counts
+    ``tf``. Pure numpy — the overlay's filter/reorder primitive."""
+    starts = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))[:-1]
+    cnt = np.asarray(tf, np.int64)[idx]
+    tot = int(cnt.sum())
+    out_off = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    within = np.arange(tot, dtype=np.int64) - np.repeat(out_off, cnt)
+    return pos_flat[np.repeat(starts[idx], cnt) + within]
 
 
 # registered ranking strategies (protocols.Scorer) — the formal scorer
@@ -174,7 +201,10 @@ class SearchEngine:
         bdoc = base.column("docid").to_numpy()
         bdl = base.column("doc_len").to_numpy()
         n_eff, len_eff = self.n_docs, int(self.manifest["stats"]["total_len"])
-        d_docid, d_tf, d_dl, d_lemma = [], [], [], []
+        d_docid, d_tf, d_dl, d_lemma, d_pos = [], [], [], [], []
+        # positions survive the overlay only if EVERY generation carries
+        # them (a pre-positions generation would leave holes)
+        self._delta_positions_ok = bool(self.manifest["stats"].get("positions"))
         dd_docid, dd_role, dd_dl, dd_tool, dd_ts, dd_conv = [], [], [], [], [], []
         for cid, info in latest.items():
             lo, hi = info["range"]
@@ -205,6 +235,10 @@ class SearchEngine:
             d_docid.append(posts.column("docid").to_numpy())
             d_tf.append(posts.column("tf").to_numpy(zero_copy_only=False))
             d_dl.append(posts.column("doc_len").to_numpy(zero_copy_only=False))
+            if "pos" in posts.column_names and posts.column("pos").null_count == 0:
+                d_pos.extend(posts.column("pos").to_pylist())
+            else:  # pre-positions or positionless-analyzer generation
+                self._delta_positions_ok = False
         ranges = sorted(info["range"] for info in latest.values())
         self._tomb_starts = np.array([r[0] for r in ranges], np.int64)
         self._tomb_ends = np.array([r[1] for r in ranges], np.int64)
@@ -217,12 +251,19 @@ class SearchEngine:
             dl = np.concatenate(d_dl).astype(np.int64)
             order = np.lexsort((docid, lem_arr))
             lem_arr, docid, tf, dl = lem_arr[order], docid[order], tf[order], dl[order]
+            with_pos = self._delta_positions_ok and len(d_pos) == len(lem_arr)
+            pos_blobs = (
+                np.asarray(d_pos, dtype=object)[order] if with_pos else None
+            )
             bounds = np.flatnonzero(
                 np.concatenate(([True], lem_arr[1:] != lem_arr[:-1]))
             )
             for i, s in enumerate(bounds):
                 e = bounds[i + 1] if i + 1 < len(bounds) else len(lem_arr)
-                self._delta_lemma[lem_arr[s]] = (docid[s:e], tf[s:e], dl[s:e])
+                pos_flat = (
+                    _decode_pos_blobs(pos_blobs[s:e], tf[s:e]) if with_pos else None
+                )
+                self._delta_lemma[lem_arr[s]] = (docid[s:e], tf[s:e], dl[s:e], pos_flat)
         self._delta_docs = {
             "docid": np.concatenate(dd_docid).astype(np.int64) if dd_docid else np.empty(0, np.int64),
             "role": dd_role,
@@ -247,9 +288,9 @@ class SearchEngine:
             order_d = np.argsort(dd0["docid"], kind="stable")
             sorted_ids = dd0["docid"][order_d]
             code_sorted = doc_codes[order_d]
-            for lem, (di, tfv, dlv) in list(self._delta_lemma.items()):
+            for lem, (di, tfv, dlv, posf) in list(self._delta_lemma.items()):
                 sc = code_sorted[np.searchsorted(sorted_ids, di)]
-                self._delta_lemma[lem] = (di, tfv, dlv, sc)
+                self._delta_lemma[lem] = (di, tfv, dlv, sc, posf)
         # exact corpus-stat adjustments + a safe block-max inflation for
         # unaffected lemmas. Their stored bmw used the base avgdl; the
         # weight tf/(tf + k1*(1-b+b*dl/avgdl)) INCREASES when avgdl grows
@@ -285,23 +326,47 @@ class SearchEngine:
         docid, tf, dl, sc = self._decode_term(
             bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
         )
+        want_pos = bool(
+            self.manifest["stats"].get("positions")
+        ) and self._delta_positions_ok and bl.get("poss") is not None
+        pos_flat = (
+            self._term_positions_full(bl, tf) if want_pos and len(docid) else None
+        )
         if len(docid):
             keep = self._tomb_keep_mask(docid)
+            if pos_flat is not None:
+                pos_flat = _take_pos_groups(pos_flat, tf, np.flatnonzero(keep))
             docid, tf, dl, sc = docid[keep], tf[keep], dl[keep], sc[keep]
         if delta is not None:
+            dpos = delta[4]
+            cat_tf = np.concatenate([tf, delta[1]])
+            if want_pos and dpos is not None:
+                cat_pos = np.concatenate([pos_flat if pos_flat is not None else np.empty(0, np.int64), dpos])
+            else:
+                cat_pos = None
             docid = np.concatenate([docid, delta[0]])
-            tf = np.concatenate([tf, delta[1]])
             dl = np.concatenate([dl, delta[2]])
             sc = np.concatenate([sc, delta[3]])
             order = np.argsort(docid, kind="stable")
-            docid, tf, dl, sc = docid[order], tf[order], dl[order], sc[order]
-        self._block_cache[lem] = self._synth_blocks(docid, tf, dl, sc)
+            if cat_pos is not None:
+                pos_flat = _take_pos_groups(cat_pos, cat_tf, order)
+            else:
+                pos_flat = None
+            docid, dl, sc = docid[order], dl[order], sc[order]
+            tf = cat_tf[order]
+        self._block_cache[lem] = self._synth_blocks(docid, tf, dl, sc, pos_flat)
 
     def _synth_blocks(
-        self, docid: np.ndarray, tf: np.ndarray, dl: np.ndarray, sc: np.ndarray
+        self,
+        docid: np.ndarray,
+        tf: np.ndarray,
+        dl: np.ndarray,
+        sc: np.ndarray,
+        pos_flat: np.ndarray | None = None,
     ) -> dict:
         """Block dict equivalent to a freshly-encoded term: synthetic
-        skip metadata + pre-decoded chunk cache (no varint payloads)."""
+        skip metadata + pre-decoded chunk cache (no varint payloads;
+        ``pos_flat`` = pre-decoded positions, tf values per posting)."""
         bs = int(self.manifest["config"]["block_size"])
         n = len(docid)
         nblk = (n + bs - 1) // bs
@@ -328,6 +393,8 @@ class SearchEngine:
             "tfs": None,
             "dls": None,
             "scps": None,
+            "poss": None,
+            "pos_flat": pos_flat,
             "chunks": chunks,
         }
 
@@ -436,16 +503,25 @@ class SearchEngine:
                 order = pc.sort_indices(sub.column("first_docid"))
                 sub = sub.take(order).combine_chunks()
                 n = sub.column("n").to_numpy()
+                cf = sub.column("block_cf").to_numpy()
                 self._block_cache[lem] = {
                     "first": sub.column("first_docid").to_numpy(),
                     "last": sub.column("last_docid").to_numpy(),
                     "n": n,
                     "cum_n": np.concatenate(([0], np.cumsum(n, dtype=np.int64))),
+                    # cumulative per-block POSITION counts (= Σtf): the
+                    # slicing key of the poss stream (phrase queries)
+                    "cum_cf": np.concatenate(([0], np.cumsum(cf, dtype=np.int64))),
                     "bmw": sub.column("bmw").to_numpy().astype(np.float64),
                     "gaps": binary_column_buffers(sub.column("gaps")),
                     "tfs": binary_column_buffers(sub.column("tfs")),
                     "dls": binary_column_buffers(sub.column("dls")),
                     "scps": binary_column_buffers(sub.column("scps")),
+                    "poss": (
+                        binary_column_buffers(sub.column("poss"))
+                        if "poss" in sub.column_names
+                        else None
+                    ),
                 }
                 if self._has_deltas:
                     self._overlay_delta(lem)
@@ -1016,6 +1092,118 @@ class SearchEngine:
             self._ref_max_relevance = float(m or 1)
         return self._ref_max_relevance
 
+    # ---------------- phrase queries (positions) -----------------------
+
+    @property
+    def has_positions(self) -> bool:
+        """Phrase queries need the per-posting position stream — built
+        into the index when ``BuildConfig.store_positions`` (default)
+        and the analyzer emits positions; with live delta generations
+        every generation must carry them too."""
+        if not self.manifest["stats"].get("positions", False):
+            return False
+        return (not self._has_deltas) or self._delta_positions_ok
+
+    def _term_positions_full(self, bl: dict, tf_full: np.ndarray) -> np.ndarray:
+        """Flat absolute positions of a term's FULL posting list
+        (``tf_full`` = the already-decoded tf stream; posting i owns
+        ``pos[cumsum(tf)[i] : cumsum(tf)[i+1]]``). Memoized per term —
+        ONE varint pass over the poss column."""
+        if bl.get("pos_flat") is not None:  # synthetic overlay blocks
+            return bl["pos_flat"]
+        got = bl.get("pos_full")
+        if got is None:
+            got = decode_poss_range(
+                bl["poss"], bl["cum_cf"], 0, len(bl["first"]), tf_full
+            )
+            bl["pos_full"] = got
+        return got
+
+    def score_phrase(self, phrase: list[str], k: int, scope: str | None = None):
+        """Exact phrase match + BM25 ranking: a doc matches iff the
+        phrase lemmas appear at CONSECUTIVE positions of its
+        surviving-token sequence (the generalization of the reference's
+        only adjacency-aware code, the snippet best-window scan —
+        ``services/search/SnippetCreator.java:84-102``); matches are
+        ranked by BM25 over the phrase's distinct lemmas with the
+        standard (score DESC, docid ASC) tie-break.
+
+        Returns ``(ids, scores, count)`` or ``None`` for no-results
+        (a phrase lemma absent from the corpus). Evaluation is
+        slot-at-a-time set intersection: docid AND-intersection first
+        (rarest term first — candidates shrink before any position
+        work), then per-slot position keys ``(cand_idx << 32) | (pos -
+        slot_offset)`` intersected across slots; positions decode ONLY
+        for the intersected candidates' postings."""
+        distinct = list(dict.fromkeys(phrase))
+        terms = []
+        for lem in distinct:
+            df = self._df_of(lem)
+            if df is None and self._has_deltas and lem in self._delta_lemma:
+                df = 0
+            if df is None:
+                return None  # reference semantics: missing lemma -> none
+            terms.append((lem, df))
+        blocks = self._term_blocks(distinct)
+        if self._has_deltas:
+            terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+            if any(df == 0 for _, df in terms):
+                return None
+
+        # full (docid, tf, dl, sc) decode per distinct lemma
+        data: dict[str, tuple] = {}
+        for lem, _df in terms:
+            bl = blocks[lem]
+            data[lem] = self._decode_term(
+                bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
+            )
+
+        # candidate docids: AND over distinct lemmas, scope-masked
+        lut = self._scope_lut(scope) if scope else None
+        cand = None
+        for lem, _df in sorted(terms, key=lambda t: (t[1], t[0])):
+            docid, _tf, _dl, sc = data[lem]
+            d = docid[lut[sc]] if lut is not None else docid
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+            if not len(cand):
+                break
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        if cand is None or not len(cand):
+            return empty
+
+        # adjacency: per slot j, keys (cand_idx << 32) | (pos - j)
+        shift = np.int64(1) << np.int64(32)
+        cur = None
+        for j, lem in enumerate(phrase):
+            docid, tf, _dl, _sc = data[lem]
+            pos_flat = self._term_positions_full(blocks[lem], tf)
+            pidx = np.searchsorted(docid, cand)  # cand ⊆ docid by AND
+            p = _take_pos_groups(pos_flat, tf, pidx)
+            cnt = tf[pidx].astype(np.int64)
+            cidx = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+            ok = p >= j
+            keys = cidx[ok] * shift + (p[ok] - np.int64(j))
+            cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
+            if not len(cur):
+                return empty
+        matched = cand[np.unique(cur // shift)]
+        count = len(matched)
+
+        # BM25 over the distinct lemmas at matched docs (df-asc term
+        # order — the deterministic summation order of the other modes)
+        score = np.zeros(count, np.float64)
+        k1, b = self.k1, self.b
+        for lem, df in sorted(terms, key=lambda t: (t[1], t[0])):
+            docid, tf, dl, _sc = data[lem]
+            pidx = np.searchsorted(docid, matched)
+            tff = tf[pidx].astype(np.float64)
+            dlf = dl[pidx].astype(np.float64)
+            score += self.idf(df) * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dlf / self.avgdl)
+            )
+        ids, scores = self._topk(matched, score, k)
+        return ids, scores, count
+
     def score_reference(self, terms, scope=None):
         """Reference semantics: drop df>=250 lemmas (D4; all dropped ->
         'too frequent' error), conjunctive AND over the rest (J4),
@@ -1065,12 +1253,29 @@ class SearchEngine:
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
+        k = offset + limit
+        if mode == "phrase":
+            if not self.has_positions:
+                return self._resp(error="no_positions")
+            analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+            if analyze_phrase is None:
+                return self._resp(error="no_positions")
+            phrase = analyze_phrase(query_text)
+            if not phrase:
+                return self._resp(error="empty_query")
+            got = self.score_phrase(phrase, k, scope)
+            if got is None:
+                return self._resp(count=0)
+            ids, scores, count = got
+            ids, scores = ids[offset:], scores[offset:]
+            terms = [(lem, self._df_of(lem) or 0) for lem in dict.fromkeys(phrase)]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
         terms, err = self.plan(query_text)
         if err == "empty_query":
             return self._resp(error="empty_query")
         if err == "no_results":
             return self._resp(count=0)
-        k = offset + limit
         if mode == "reference":
             ids, scores, err = self.score_reference(terms, scope)
             if err:

@@ -1,0 +1,121 @@
+"""HTTP/JSON serving layer — the analog of the reference's REST surface
+(``/root/reference/src/main/java/searchengine/controllers/ApiController.java:20-47``)
+as a dependency-free stdlib ``http.server`` wrapper over the Python API:
+
+- ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
+  [&mode=bm25|reference|phrase][&snippets=1]`` — ``SearchEngine.search``
+  (the reference's ``site`` parameter maps to this engine's ``scope``:
+  a role value or ``tool:<name>``).
+- ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
+- ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
+  (``pipelines/delta.reindex_conversations``); the served engine reloads
+  on success so the new generation is visible to the next query.
+- ``GET /api/stopIndexing`` — cooperative build cancel: writes the stop
+  flag that a running ``build_index`` on the same out_dir honors between
+  batches (``IndexationServiceImpl.java:52-63`` semantics; in-flight
+  partitions mark FAILED and the build stays resumable).
+
+``startIndexing`` is deliberately NOT served: a full build is a cluster
+job (the ``build`` CLI / ``pipelines.build.build_index``), not something
+to fork from a request thread — the reference's in-process crawl thread
+(``IndexationServiceImpl.java:38-50``) has no safe analog on Ray.
+
+The server owns no Ray session; ``SearchEngine`` reads parquet footers
+and decodes blocks in-process. Handler threads share one engine: its
+post-init state is read-mostly (block/decode caches are idempotent
+per-key dict inserts, atomic under the GIL), and the engine swap after a
+re-index is a single attribute store.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .search import SearchEngine
+from .stats import statistics
+
+
+def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
+    """Build (without starting) a ThreadingHTTPServer serving ``out_dir``."""
+    state = {"engine": SearchEngine(out_dir)}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/api/search":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].search(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    offset=int((q.get("offset") or ["0"])[0]),
+                    limit=int((q.get("limit") or ["10"])[0]),
+                    mode=(q.get("mode") or ["bm25"])[0],
+                    with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/statistics":
+                self._send(200, statistics(out_dir))
+            elif u.path == "/api/stopIndexing":
+                from .pipelines import build as build_mod
+
+                self._send(200, build_mod.request_stop(out_dir))
+            else:
+                self._send(404, {"result": False, "error": "unknown_endpoint"})
+
+        def do_POST(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/api/indexPage":
+                convs = q.get("conv") or []
+                if not convs:
+                    self._send(400, {"result": False, "error": "missing conv parameter"})
+                    return
+                from .pipelines import delta as delta_mod
+
+                resp = delta_mod.reindex_conversations(out_dir, convs)
+                if resp["result"]:
+                    with lock:  # new generation -> reload overlay state
+                        state["engine"] = SearchEngine(out_dir)
+                self._send(200 if resp["result"] else 400, resp)
+            else:
+                self._send(404, {"result": False, "error": "unknown_endpoint"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(out_dir: str, host: str = "127.0.0.1", port: int = 8080) -> None:
+    srv = make_server(out_dir, host, port)
+    print(json.dumps({"serving": f"http://{host}:{srv.server_address[1]}", "index": out_dir}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

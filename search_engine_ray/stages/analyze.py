@@ -43,6 +43,11 @@ ANALYZED_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("tf", pa.int32()),
+        # per-posting token positions, delta+varint bytes (tf values per
+        # posting; 0-based over the doc's surviving-token sequence) —
+        # the physical basis of phrase queries. Null for doc rows and
+        # for pluggable analyzers without HAS_POSITIONS.
+        ("pos", pa.binary()),
         ("doc_len", pa.int32()),
         ("role", pa.string()),
         ("tool", pa.string()),
@@ -57,6 +62,24 @@ ANALYZED_SCHEMA = pa.schema(
 )
 
 
+def encode_pos_cells(pos_deltas: np.ndarray, tf: np.ndarray) -> pa.Array:
+    """Per-posting position blobs: ONE varint pass over the whole
+    delta stream, then zero-copy slicing at per-posting boundaries
+    (value counts = tf). Each blob is self-contained (first value
+    absolute within its posting), so downstream stages can concatenate/
+    re-slice blobs without re-encoding."""
+    from ..state import codec
+
+    buf = codec.varint_encode(pos_deltas)
+    nb = codec.varint_nbytes(pos_deltas)
+    cum_vals = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    byte_off = np.concatenate(([0], np.cumsum(nb)))[cum_vals].astype(np.int32)
+    off_buf = pa.array(byte_off).buffers()[1]
+    return pa.Array.from_buffers(
+        pa.binary(), len(tf), [None, off_buf, pa.py_buffer(buf)]
+    )
+
+
 class AnalyzerActor:
     """Stateful analyzer for ``map_batches(AnalyzerActor, batch_format='pyarrow')``."""
 
@@ -64,6 +87,8 @@ class AnalyzerActor:
         self,
         kill_after_batches: int | None = None,
         analyzer_module: str | None = None,
+        stop_path: str | None = None,
+        stop_after_batches: int | None = None,
     ):
         # once per actor process: the memoized surface->lemma cache (the
         # analog of the reference's loaded-once morphology dictionary)
@@ -79,6 +104,13 @@ class AnalyzerActor:
         # test hook (resume tests): hard-kill this worker PROCESS after N
         # batches — a real mid-flight actor death, not an exception
         self._kill_after = kill_after_batches
+        # cooperative cancel (reference stopIndexing semantics): the stop
+        # flag lives under the index out_dir — shared storage on a real
+        # cluster, so every actor sees it; one os.stat per ~2k-row batch
+        self._stop_path = stop_path
+        # test hook: this actor WRITES the stop flag after N batches (a
+        # deterministic mid-build stop request from inside the pool)
+        self._stop_after = stop_after_batches
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._kill_after is not None:
@@ -87,6 +119,16 @@ class AnalyzerActor:
                 import os
 
                 os._exit(1)
+        if self._stop_path is not None:
+            import os
+
+            if self._stop_after is not None:
+                self._stop_after -= 1
+                if self._stop_after < 0:
+                    with open(self._stop_path, "w") as f:
+                        f.write("stop")
+            if os.path.exists(self._stop_path):
+                raise RuntimeError("build stop requested (cooperative cancel)")
         texts = batch.column("text")
         conv = batch.column("conv_id").combine_chunks()
         turn = batch.column("turn_idx").combine_chunks()
@@ -95,10 +137,20 @@ class AnalyzerActor:
         ts = batch.column("ts").combine_chunks()
         n = batch.num_rows
 
-        doc_idx, lemmas, tf, doc_len = self._analyze_batch(texts, self.memo)
+        got = self._analyze_batch(texts, self.memo)
+        # 5-tuple: positions (default analyzer); 4-tuple: a legacy
+        # pluggable analyzer without positions -> pos column stays null
+        # and the build records positions=False for the index
+        doc_idx, lemmas, tf, doc_len = got[:4]
+        pos_deltas = got[4] if len(got) > 4 else None
         npost = len(doc_idx)
         idx = pa.array(doc_idx, pa.int64())
         doc_len_arr = pa.array(doc_len, pa.int32())
+        pos_col = (
+            encode_pos_cells(pos_deltas, tf)
+            if pos_deltas is not None
+            else pa.nulls(npost, pa.binary())
+        )
 
         post_tbl = pa.Table.from_arrays(
             [
@@ -106,6 +158,7 @@ class AnalyzerActor:
                 conv.take(idx),
                 turn.take(idx),
                 pa.array(tf, pa.int32()),
+                pos_col,
                 doc_len_arr.take(idx),
                 role.take(idx),
                 tool.take(idx),
@@ -120,6 +173,7 @@ class AnalyzerActor:
                 conv,
                 turn,
                 pa.array(np.zeros(n, np.int32), pa.int32()),
+                pa.nulls(n, pa.binary()),
                 doc_len_arr,
                 role,
                 tool,

@@ -75,6 +75,11 @@ INDEX_SCHEMA = pa.schema(
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
         ("scps", pa.binary()),
+        # per-posting token-position streams (phrase queries): the
+        # concatenation of each posting's delta+varint position blob
+        # (tf values per posting — block_cf totals the block). Empty
+        # when the build ran without positions.
+        ("poss", pa.binary()),
     ]
 )
 
@@ -189,6 +194,19 @@ def make_block_encoder(
             nb = codec.varint_nbytes(vals)
             cum = np.concatenate(([0], np.cumsum(nb)))
             cells.append(_binary_cells(codec.varint_encode(vals), cum[bounds]))
+
+        # positions: the per-posting blobs are already encoded (each
+        # self-contained: first value absolute within its posting), so
+        # the per-block cell is a pure byte-slice of the shuffled binary
+        # column — no decode, no re-encode.
+        if "pos" in batch.column_names:
+            pdata, poff = binary_column_buffers(batch.column("pos"))
+            pbytes = pdata[poff[0] : poff[-1]].tobytes()
+            cells.append(
+                _binary_cells(pbytes, (poff[bounds] - poff[0]).astype(np.int64))
+            )
+        else:  # positionless build: empty stream per block
+            cells.append(_binary_cells(b"", np.zeros(len(bounds), np.int64)))
 
         # block-max BM25 weight (df-independent part) + per-block partial
         # aggregates (cf = Σtf, max_tf) so the term dictionary is derived
@@ -334,6 +352,30 @@ def decode_block_range(
     correction = cum[seg_start] - gaps[seg_start].astype(np.int64)
     docid = cum - np.repeat(correction, ns)
     return docid, tf, dl, sc
+
+
+def decode_poss_range(
+    poss_buf: tuple[np.ndarray, np.ndarray],
+    cum_cf: np.ndarray,
+    a: int,
+    b: int,
+    tf: np.ndarray,
+) -> np.ndarray:
+    """Token positions of blocks [a, b): ONE varint pass over the poss
+    column slice (``cum_cf`` = cumulative per-block position counts =
+    cumsum of block_cf), then a segmented cumsum keyed on per-POSTING
+    boundaries (``tf`` = per-posting counts within [a, b), i.e. the
+    already-decoded tf stream of the same range). Returns the flat
+    absolute-position array; posting boundaries are ``cumsum(tf)``."""
+    total = int(cum_cf[b] - cum_cf[a])
+    if total == 0:
+        return np.empty(0, np.int64)
+    sd, so = poss_buf
+    deltas = codec.varint_decode(sd[so[a] : so[b]], total)
+    cum = np.cumsum(deltas, dtype=np.uint64).view(np.int64)
+    seg_start = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))[:-1]
+    correction = cum[seg_start] - deltas[seg_start].astype(np.int64)
+    return cum - np.repeat(correction, tf)
 
 
 def decode_scps_range(

@@ -52,7 +52,7 @@ def test_analyze_query_dedup_and_sort():
 
 def test_batch_path_matches_scalar_path():
     texts = [t for t, _ in GOLDEN] + ["wbaba wbabas WBABA, wbaba-s"]
-    doc_idx, lemmas, tf, doc_len = analyzer.analyze_batch(pa.array(texts), {})
+    doc_idx, lemmas, tf, doc_len, _pos = analyzer.analyze_batch(pa.array(texts), {})
     got = [dict() for _ in texts]
     for i, lem, f in zip(doc_idx, lemmas, tf):
         got[int(i)][lem] = int(f)

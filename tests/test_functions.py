@@ -794,3 +794,26 @@ def test_top_unshipped_orders_keeps_zero_revenue_order():
     t = rel.top_unshipped_orders(cust, orders, li)
     got = dict(zip(t["l_orderkey"].to_pylist(), t["revenue"].to_pylist()))
     assert got == {100: 0.0, 200: 500.0}
+
+
+def test_knn_filtered_oracle_and_ivf_paths(emb_ds, fduck):
+    """Filtered ANN: exact filtered brute force matches the SQL oracle;
+    the IVF-pruned path with nprobe == nlist is pinned exactly equal;
+    nprobe < nlist keeps recall >= 0.8 (same contract as unfiltered IVF)."""
+    from search_engine_ray.functions import similarity
+
+    exact = _assert_matches_oracle(
+        similarity.knn_filtered(emb_ds), fduck,
+        similarity.knn_filtered_sql("embeddings"),
+    )
+    assert exact.num_rows > 0
+    indexed = similarity.build_ivf_index(emb_ds, nlist=8)
+    full = similarity.knn_filtered(emb_ds, indexed=indexed, nprobe=8)
+    assert exact.equals(full)  # full probe == exact, including order
+    # filtered search needs a larger probe set than unfiltered for the
+    # same recall (a label's neighbors may cluster in unprobed cells):
+    # measured 0.675/0.775/0.85/0.9 at nprobe 3/4/5/6 of 8 on this data
+    approx = similarity.knn_filtered(emb_ds, indexed=indexed, nprobe=5)
+    want = set(zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()))
+    got = set(zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()))
+    assert len(want & got) / len(want) >= 0.8

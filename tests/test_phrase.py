@@ -1,0 +1,169 @@
+"""Positional phrase queries: analyzer positions, index round-trip,
+ground-truth adjacency, DuckDB oracle parity, delta/compaction
+survival, and the positionless-build degradation path."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from search_engine_ray import analyzer, datagen
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.pipelines import build, compact, delta
+from search_engine_ray.search import SearchEngine
+
+HOT2 = f"{datagen.stem(0)} {datagen.stem(1)}"
+
+
+def _phrase_matches(text: str, phrase: list[str]) -> bool:
+    seq = [analyzer.lemmatize_token(t) for t in analyzer.tokenize(text or "")]
+    m = len(phrase)
+    return any(seq[i : i + m] == phrase for i in range(len(seq) - m + 1))
+
+
+def test_analyze_batch_positions_reconstruct_sequence():
+    """Decoded per-posting positions must reproduce each doc's exact
+    surviving-token lemma sequence (position -> lemma is a bijection)."""
+    texts = ["wbaba wkelo wbaba, The wkeloed", "", "zz aa zz aa zz"]
+    doc_idx, lemmas, tf, doc_len, pos_deltas = analyzer.analyze_batch(
+        pa.array(texts), {}
+    )
+    # absolute positions per posting
+    seg = np.concatenate(([0], np.cumsum(tf)))
+    for d, text in enumerate(texts):
+        want = [analyzer.lemmatize_token(t) for t in analyzer.tokenize(text)]
+        got: dict[int, str] = {}
+        for i in np.flatnonzero(doc_idx == d):
+            deltas = pos_deltas[seg[i] : seg[i + 1]].astype(np.int64)
+            abs_pos = np.cumsum(deltas)
+            assert len(abs_pos) == tf[i]
+            for p in abs_pos:
+                got[int(p)] = lemmas[i]
+        assert [got[p] for p in range(len(want))] == want
+        assert doc_len[d] == len(want)
+
+
+@pytest.fixture(scope="module")
+def phrase_index(ray_session, tiny_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pidx"))
+    m = build.build_index(
+        BuildConfig(input_paths=tiny_corpus, out_dir=out, n_partitions=2)
+    )
+    assert m["stats"]["positions"] is True
+    return out
+
+
+def test_phrase_ground_truth(phrase_index, tiny_corpus):
+    """Engine phrase matches == direct adjacency scan over the corpus,
+    for a hot bigram and a repeated-lemma phrase."""
+    tbl = pads.dataset(tiny_corpus).to_table()
+    rows = list(
+        zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    eng = SearchEngine(phrase_index)
+    for qtext in [HOT2, f"{datagen.stem(0)} {datagen.stem(0)}"]:
+        phrase = analyzer.analyze_phrase(qtext)
+        truth = {(c, t) for c, t, x in rows if _phrase_matches(x, phrase)}
+        r = eng.search(qtext, mode="phrase", limit=100_000)
+        got = {(x["conv_id"], x["turn_idx"]) for x in r["data"].to_pylist()}
+        assert r["count"] == len(truth)
+        assert got == truth
+        assert len(truth) > 0  # the fixture corpus must exercise it
+
+
+def test_phrase_oracle_parity(phrase_index, tiny_corpus, duck):
+    """Engine top-k frame == DuckDB phrase oracle (positions via
+    ordinal unnest + the shared analyzer rule tables)."""
+    from search_engine_ray import oracle
+
+    src = f"read_parquet({[str(p) for p in tiny_corpus]!r})".replace("'", "'")
+    src = "read_parquet([" + ", ".join(f"'{p}'" for p in tiny_corpus) + "])"
+    qs = datagen.phrase_queries()
+    eng = SearchEngine(phrase_index)
+    got = []
+    for q in qs:
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        assert r["result"], (q, r)
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            got.append(
+                (q["query_id"], rank, row["conv_id"], row["turn_idx"], round(row["score"], 6))
+            )
+    exp = [
+        tuple(r)
+        for r in duck.execute(oracle.phrase_topk_sql(src, qs)).fetchall()
+    ]
+    assert sorted(got) == sorted(exp)
+    assert len(got) > 0
+    # the absent-lemma phrase contributed nothing
+    assert not any(g[0] == "p-0005" for g in got)
+
+
+def test_phrase_delta_and_compaction_rank_identity(
+    phrase_index, tiny_corpus, tmp_path_factory
+):
+    """Phrase results over base+delta, minor-compacted, and
+    major-compacted indexes are all rank-identical to a full rebuild of
+    the modified corpus."""
+    mod_files, conv = datagen.modified_corpus("sf0.001")
+    rebuild = str(tmp_path_factory.mktemp("prebuild"))
+    build.build_index(BuildConfig(input_paths=mod_files, out_dir=rebuild, n_partitions=2))
+    eng_m = SearchEngine(rebuild)
+
+    qs = [f"{datagen.stem(3)} {datagen.stem(7)} {datagen.stem(7)}", HOT2]
+
+    def frame(eng, q):
+        r = eng.search(q, mode="phrase", limit=50)
+        assert r["result"]
+        return r["count"], [
+            (x["conv_id"], x["turn_idx"], round(x["score"], 9))
+            for x in r["data"].to_pylist()
+        ]
+
+    dout = str(tmp_path_factory.mktemp("pdelta"))
+    shutil.copytree(phrase_index, dout, dirs_exist_ok=True)
+    assert delta.reindex_conversations(dout, [conv], input_paths=mod_files)["result"]
+    eng_d = SearchEngine(dout)
+    assert eng_d.has_positions
+    for q in qs:
+        assert frame(eng_d, q) == frame(eng_m, q)
+
+    assert compact.compact(dout)["result"]  # minor
+    eng_c = SearchEngine(dout)
+    assert eng_c.has_positions
+    for q in qs:
+        assert frame(eng_c, q) == frame(eng_m, q)
+
+    dout2 = str(tmp_path_factory.mktemp("pdelta2"))
+    shutil.copytree(phrase_index, dout2, dirs_exist_ok=True)
+    assert delta.reindex_conversations(dout2, [conv], input_paths=mod_files)["result"]
+    assert compact.compact(dout2, mode="major")["result"]
+    eng_j = SearchEngine(dout2)
+    for q in qs:
+        assert frame(eng_j, q) == frame(eng_m, q)
+
+
+def test_positionless_build_degrades_cleanly(tiny_corpus, tmp_path_factory):
+    """store_positions=False builds a valid term index whose phrase mode
+    reports no_positions (and whose BM25 results are unchanged)."""
+    out = str(tmp_path_factory.mktemp("noposidx"))
+    m = build.build_index(
+        BuildConfig(
+            input_paths=tiny_corpus, out_dir=out, n_partitions=2,
+            store_positions=False,
+        )
+    )
+    assert m["stats"]["positions"] is False
+    eng = SearchEngine(out)
+    assert not eng.has_positions
+    r = eng.search(HOT2, mode="phrase")
+    assert r["result"] is False and r["error"] == "no_positions"
+    r2 = eng.search(datagen.stem(0), limit=5)
+    assert r2["result"] and r2["data"].num_rows == 5

@@ -34,7 +34,7 @@ def test_analyze_batch_matches_scalar(text):
     """The vectorized Arrow batch path computes exactly the per-doc
     {lemma: tf} map of the scalar path (the golden-test analyzer)."""
     expected = analyzer.analyze(text)
-    doc_idx, lemmas, tf, doc_len = analyzer.analyze_batch(pa.array([text, text]), {})
+    doc_idx, lemmas, tf, doc_len, _pos = analyzer.analyze_batch(pa.array([text, text]), {})
     for d in (0, 1):
         m = doc_idx == d
         got = dict(zip(np.asarray(lemmas)[m].tolist(), tf[m].tolist()))

@@ -139,3 +139,48 @@ def test_resume_after_real_worker_death(tiny_corpus, tiny_index, tmp_path):
     assert m["state"] == "DONE"
     assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
     assert m["stats"] == tiny_index["manifest"]["stats"]
+
+
+def test_graceful_stop_then_resume(tiny_corpus, tiny_index, tmp_path):
+    """Cooperative cancel (stopIndexing analog): an analyzer actor
+    arms the stop flag mid-build, the build exits with BuildStopped and
+    FAILED in-flight partitions; resume completes to an index identical
+    to an uninterrupted build."""
+    out = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=2,
+        extra={"stop_after_batches": 1, "stage_a_overlap": 1},
+    )
+    with pytest.raises(build.BuildStopped, match="resume"):
+        build.build_index(cfg)
+    from search_engine_ray.state.manifest import PartitionTracker
+    import os
+
+    tracker = PartitionTracker(
+        os.path.join(build.stage_a_dir(out), "_manifests"), build_id="A"
+    )
+    states = {m["state"] for m in tracker.all_manifests()}
+    assert "FAILED" in states  # the in-flight partition was marked
+
+    cfg2 = BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=2,
+        resume=True,
+    )
+    manifest = build.build_index(cfg2)  # clears the flag, finishes
+    assert manifest["state"] == "DONE"
+    assert not os.path.exists(build.stop_flag_path(out))
+    assert _decoded_index(out) == _decoded_index(tiny_index["out_dir"])
+
+
+def test_stop_before_build_is_cleared(tiny_corpus, tmp_path):
+    """A stale stop flag from a previous session never blocks a NEW
+    build run (startIndexing-after-stopIndexing semantics)."""
+    import os
+
+    out = str(tmp_path / "idx")
+    os.makedirs(out)
+    assert build.request_stop(out)["result"]
+    m = build.build_index(
+        BuildConfig(input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2)
+    )
+    assert m["state"] == "DONE"

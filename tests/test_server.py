@@ -1,0 +1,98 @@
+"""HTTP/JSON serving layer (server.py — the reference ApiController
+analog): search, statistics, indexPage (live reload), stopIndexing."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.server import make_server
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, tiny_index, tmp_path_factory):
+    import shutil
+
+    # serve a COPY: the indexPage test appends a delta generation and
+    # must not mutate the session-shared index
+    out = str(tmp_path_factory.mktemp("served-idx"))
+    shutil.copytree(tiny_index["out_dir"], out, dirs_exist_ok=True)
+    srv = make_server(out, port=0)  # ephemeral port
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, out
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_search_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/search?query={hot}&limit=3&snippets=1")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert len(got["data"]) == 3
+    assert {"conv_id", "turn_idx", "role", "score", "snippet"} <= set(got["data"][0])
+    # scope + phrase mode round-trip the query params
+    code, got = _get(f"{base}/api/search?query={hot}+{datagen.stem(1)}&mode=phrase&limit=2")
+    assert code == 200 and got["result"] and got["count"] > 0
+
+
+def test_search_endpoint_bad_scope(served):
+    base, _ = served
+    try:
+        urllib.request.urlopen(f"{base}/api/search?query={datagen.stem(0)}&site=nope")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"] == "bad_scope"
+
+
+def test_statistics_endpoint(served):
+    base, _ = served
+    code, got = _get(f"{base}/api/statistics")
+    assert code == 200
+    assert got["total"]["docs"] > 0 and got["per_scope"]
+
+
+def test_stop_indexing_endpoint(served):
+    import os
+
+    base, out = served
+    code, got = _get(f"{base}/api/stopIndexing")
+    assert code == 200 and got["result"]
+    from search_engine_ray.pipelines import build
+
+    assert os.path.exists(build.stop_flag_path(out))
+    build.clear_stop(out)
+
+
+def test_index_page_endpoint_reloads_engine(served):
+    base, out = served
+    # re-index an existing conversation from the build's own inputs
+    conv = "conv-00000000"
+    req = urllib.request.Request(f"{base}/api/indexPage?conv={conv}", method="POST")
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got["result"] and got["generation"] >= 1
+    # served engine reloaded: statistics shows the generation
+    _, st = _get(f"{base}/api/statistics")
+    assert any(g["conv_ids"] == [conv] for g in st["delta_generations"])
+    # unknown conv -> 400, reference-style error body
+    req = urllib.request.Request(f"{base}/api/indexPage?conv=conv-zzz", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "rebuild" in json.loads(e.read())["error"]

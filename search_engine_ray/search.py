@@ -1171,10 +1171,20 @@ class SearchEngine:
         if cand is None or not len(cand):
             return empty
 
-        # adjacency: per slot j, keys (cand_idx << 32) | (pos - j)
+        # adjacency: per slot j, keys (cand_idx << 32) | (pos - j).
+        # Slots evaluate in ASCENDING-df order (intersection is
+        # commutative over slots), and the candidate set SHRINKS after
+        # every slot — a hot slot then gathers/keys positions only for
+        # docs still alive after the rare slots, so a rare+hot phrase
+        # pays rare-sized position work, not hot-sized (hot-hot phrases
+        # are inherently positions-bound; measured at sf1 in
+        # BENCH/BASELINE.md).
         shift = np.int64(1) << np.int64(32)
+        df_of = dict(terms)
+        slot_order = sorted(range(len(phrase)), key=lambda j: (df_of[phrase[j]], j))
         cur = None
-        for j, lem in enumerate(phrase):
+        for j in slot_order:
+            lem = phrase[j]
             docid, tf, _dl, _sc = data[lem]
             pos_flat = self._term_positions_full(blocks[lem], tf)
             pidx = np.searchsorted(docid, cand)  # cand ⊆ docid by AND
@@ -1186,7 +1196,14 @@ class SearchEngine:
             cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
             if not len(cur):
                 return empty
-        matched = cand[np.unique(cur // shift)]
+            alive = np.unique(cur >> np.int64(32))
+            if len(alive) < len(cand):  # shrink + remap key doc-indices
+                cur = (
+                    np.searchsorted(alive, cur >> np.int64(32)) * shift
+                    + (cur & (shift - 1))
+                )
+                cand = cand[alive]
+        matched = cand[np.unique(cur >> np.int64(32))]
         count = len(matched)
 
         # BM25 over the distinct lemmas at matched docs (df-asc term

@@ -156,6 +156,43 @@ def _search_phrase(sf_dir: str):
     return df
 
 
+def _search_near(sf_dir: str):
+    """Proximity (NEAR) queries (mode='near'): every distinct query
+    lemma within a per-query window of consecutive surviving-token
+    positions, BM25-ranked — the unordered slop generalization of the
+    phrase operator over the same position stream."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.near_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            mode="near", near_window=q["window"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_counts(sf_dir: str):
     """Exact pre-pagination result count per reference query (G6)."""
     from search_engine_ray import datagen
@@ -521,6 +558,14 @@ def _text_fingerprint(sf_dir: str):
     )
 
 
+def _text_repetition(sf_dir: str):
+    from search_engine_ray.functions import text_analysis as ta
+
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.repetition_features(b), batch_format="pyarrow"
+    )
+
+
 def _text_ngram_counts(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -811,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "search_phrase": _search_phrase,
+        "search_near": _search_near,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
@@ -834,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
+        "text_repetition": _text_repetition,
         "text_keywords": _text_keywords,
         "text_redact": _text_redact,
         "text_contamination": _text_contamination,
@@ -909,6 +956,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_phrase": lambda: oracle.phrase_topk_sql(
             _corpus_src(), datagen.phrase_queries()
         ),
+        "search_near": lambda: oracle.near_topk_sql(
+            _corpus_src(), datagen.near_queries()
+        ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay
         # rank-identical to BM25 over the same modified corpus
@@ -956,6 +1006,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),
+        "text_repetition": lambda: ta_mod.repetition_features_sql("documents"),
         "text_keywords": lambda: ta_mod.tfidf_keywords_sql("documents"),
         # redaction over deterministically PII-injected text (the raw
         # synthetic docs contain none; both engines build the SAME

@@ -368,3 +368,21 @@ def phrase_queries() -> list[dict]:
         {"query_id": f"p-{i:04d}", "query_text": t, "scope": s, "k": 10}
         for i, (t, s) in enumerate(q)
     ]
+
+
+def near_queries() -> list[dict]:
+    """Fixed deterministic NEAR (proximity) query set: every distinct
+    lemma must occur within ``window`` consecutive surviving-token
+    positions (unordered)."""
+    q = [
+        (f"{stem(0)} {stem(1)}", None, 4),               # hot pair, tight
+        (f"{stem(0)} {stem(5200)}", None, 8),            # hot + rare
+        (f"{stem(50)} {stem(51)} {stem(52)}", None, 6),  # three terms
+        (f"{stem(4000)}", None, 3),                      # single term
+        (f"wqxqzq {stem(0)}", None, 8),                  # absent -> empty
+        (f"{stem(1)} {stem(2)}", "user", 5),             # scoped
+    ]
+    return [
+        {"query_id": f"n-{i:04d}", "query_text": t, "scope": s, "k": 10, "window": w}
+        for i, (t, s, w) in enumerate(q)
+    ]

@@ -542,6 +542,96 @@ def _tfidf_topk_joined(ds, tf_rows_fn, n_docs: int, k: int, id_col: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style duplicate-n-gram quality rule)
+# ---------------------------------------------------------------------------
+
+REPETITION_N = 2
+
+
+def repetition_features(batch: pa.Table, n: int = REPETITION_N,
+                        id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc duplicate-n-gram ratio — the repetition quality signal a
+    training-data pipeline gates on (boilerplate/looping text shows a
+    high fraction of repeated n-grams): ``(doc_id, n_ngrams,
+    n_distinct_ngrams, dup_ngram_ratio = 1 - distinct/total)``. Docs
+    with fewer than ``n`` tokens report zeros. Pure zero-shuffle
+    vectorized map: tokenization shared with the dedup shingler, gram
+    distinctness via one factorize over doc-salted gram codes."""
+    import pandas as pd
+
+    from .dedup import _flat_word_tokens
+
+    ids = batch.column(id_col)
+    nd = batch.num_rows
+    doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+    total = np.zeros(nd, np.int64)
+    distinct = np.zeros(nd, np.int64)
+    m = len(doc_idx) - n + 1
+    if m > 0:
+        valid = doc_idx[: m] == doc_idx[n - 1 :]
+        if valid.any():
+            parts = [flat.slice(j, m) for j in range(n)]
+            args: list = []
+            for j, p in enumerate(parts):
+                if j:
+                    args.append(" ")
+                args.append(p)
+            grams = pc.binary_join_element_wise(*args, "")
+            w_doc = doc_idx[:m][valid]
+            g = grams.filter(pa.array(valid)).to_numpy(zero_copy_only=False)
+            codes, _u = pd.factorize(g, sort=False)
+            total += np.bincount(w_doc, minlength=nd)
+            key = w_doc * np.int64(len(_u)) + codes
+            ukey = np.unique(key)
+            distinct += np.bincount(ukey // len(_u), minlength=nd)
+    ratio = np.zeros(nd, np.float64)
+    nz = total > 0
+    ratio[nz] = _round6(1.0 - distinct[nz] / total[nz].astype(np.float64))
+    return pa.table(
+        {
+            id_col: ids,
+            "n_ngrams": pa.array(total, pa.int64()),
+            "n_distinct_ngrams": pa.array(distinct, pa.int64()),
+            "dup_ngram_ratio": pa.array(ratio, pa.float64()),
+        }
+    )
+
+
+def repetition_features_sql(src: str, n: int = REPETITION_N,
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`repetition_features` (n=2 only: the gram
+    is built with one ``lead`` window over the ordinal token sequence)."""
+    if n != 2:
+        raise ValueError("SQL oracle implemented for n=2 (the default)")
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}')) AS tok,
+           generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}'), 1) AS i
+    FROM {src}
+),
+grams AS (
+    SELECT {id_col},
+           tok || ' ' || lead(tok) OVER (PARTITION BY {id_col} ORDER BY i) AS gram
+    FROM toks
+),
+g2 AS (SELECT {id_col}, gram FROM grams WHERE gram IS NOT NULL),
+agg AS (
+    SELECT d.{id_col},
+           CAST(count(g.gram) AS BIGINT) AS n_ngrams,
+           CAST(count(DISTINCT g.gram) AS BIGINT) AS n_distinct_ngrams
+    FROM {src} d LEFT JOIN g2 g USING ({id_col})
+    GROUP BY d.{id_col}
+)
+SELECT {id_col}, n_ngrams, n_distinct_ngrams,
+       CASE WHEN n_ngrams = 0 THEN 0.0
+            ELSE round(1.0 - n_distinct_ngrams * 1.0 / n_ngrams, {QUALITY_ROUND})
+       END AS dup_ngram_ratio
+FROM agg
+"""
+
+
 def tfidf_keywords_sql(src: str, k: int = KEYWORDS_K,
                        id_col: str = "doc_id") -> str:
     """DuckDB oracle for :func:`tfidf_keywords` (same tokenizer, same

@@ -181,6 +181,59 @@ def phrase_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0
             f"p0.conv_id, p0.turn_idx FROM __plem p0 {' '.join(joins)} "
             f"WHERE {' AND '.join(conds)}"
         )
+    return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
+
+
+def near_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-query NEAR (proximity) top-k oracle: a doc matches iff EVERY
+    distinct query lemma occurs within some ``window`` consecutive
+    surviving-token positions (each query dict carries its ``window``).
+    Anchor semantics mirror the engine exactly: some occurrence ``a`` of
+    any query lemma has, for every lemma, an occurrence in
+    ``[a.pos, a.pos + window - 1]``. Scoring = BM25 over the distinct
+    lemmas at matching docs, same frame as the phrase oracle."""
+    match_branches = []
+    qterm_rows = []
+    qmeta_rows = []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        if not lemmas:
+            continue
+        qid = q["query_id"]
+        w = int(q.get("window", 8))
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        qmeta_rows.append(f"({analyzer._sql_quote(qid)}, {scope}, {q['k']})")
+        for lem in lemmas:
+            qterm_rows.append(
+                f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(lem)})"
+            )
+        in_list = ", ".join(analyzer._sql_quote(l) for l in lemmas)
+        exists = [
+            (
+                f"EXISTS (SELECT 1 FROM __plem t{i} WHERE t{i}.conv_id = a.conv_id "
+                f"AND t{i}.turn_idx = a.turn_idx AND t{i}.lemma = {analyzer._sql_quote(lem)} "
+                f"AND t{i}.pos BETWEEN a.pos AND a.pos + {w - 1})"
+            )
+            for i, lem in enumerate(lemmas)
+        ]
+        match_branches.append(
+            f"SELECT DISTINCT {analyzer._sql_quote(qid)} AS query_id, "
+            f"a.conv_id, a.turn_idx FROM __plem a "
+            f"WHERE a.lemma IN ({in_list}) AND {' AND '.join(exists)}"
+        )
+    return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
+
+
+def _positional_topk_sql(
+    src: str,
+    match_branches: list[str],
+    qmeta_rows: list[str],
+    qterm_rows: list[str],
+    k1: float,
+    b: float,
+) -> str:
+    """Shared skeleton of the position-based oracles (phrase / near):
+    positions CTE + per-query match branches + BM25 scoring frame."""
     if not match_branches:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "

@@ -1221,6 +1221,95 @@ class SearchEngine:
         ids, scores = self._topk(matched, score, k)
         return ids, scores, count
 
+    def score_near(
+        self, lemmas: list[str], window: int, k: int, scope: str | None = None
+    ):
+        """Proximity match + BM25 ranking: a doc matches iff EVERY
+        distinct query lemma occurs within some ``window`` consecutive
+        surviving-token positions (unordered — the slop generalization
+        of the phrase operator; window = len(lemmas) admits any
+        permutation-adjacent cluster).
+
+        Exactness argument for the anchor scan: if a window ``[w, w+W-1]``
+        covers one occurrence of every lemma, then anchoring at the
+        MINIMUM chosen occurrence ``p* >= w`` also works (every chosen
+        occurrence lies in ``[p*, w+W-1] ⊆ [p*, p*+W-1]``), and ``p*``
+        is some lemma's occurrence — so testing every candidate-doc
+        occurrence as an anchor and asking each lemma for an occurrence
+        in ``[anchor, anchor+W-1]`` (one global searchsorted per lemma
+        over doc-major position keys) is exact and fully vectorized.
+
+        Returns ``(ids, scores, count)`` or ``None`` for no-results."""
+        distinct = list(dict.fromkeys(lemmas))
+        terms = []
+        for lem in distinct:
+            df = self._df_of(lem)
+            if df is None and self._has_deltas and lem in self._delta_lemma:
+                df = 0
+            if df is None:
+                return None
+            terms.append((lem, df))
+        blocks = self._term_blocks(distinct)
+        if self._has_deltas:
+            terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+            if any(df == 0 for _, df in terms):
+                return None
+        data: dict[str, tuple] = {}
+        for lem, _df in terms:
+            bl = blocks[lem]
+            data[lem] = self._decode_term(
+                bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
+            )
+        lut = self._scope_lut(scope) if scope else None
+        cand = None
+        for lem, _df in sorted(terms, key=lambda t: (t[1], t[0])):
+            docid, _tf, _dl, sc = data[lem]
+            d = docid[lut[sc]] if lut is not None else docid
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+            if not len(cand):
+                break
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        if cand is None or not len(cand):
+            return empty
+
+        if len(distinct) == 1:
+            matched = cand  # one lemma: any occurrence is its own window
+        else:
+            shift = np.int64(1) << np.int64(32)
+            term_keys: dict[str, np.ndarray] = {}
+            for lem, _df in terms:
+                docid, tf, _dl, _sc = data[lem]
+                pos_flat = self._term_positions_full(blocks[lem], tf)
+                pidx = np.searchsorted(docid, cand)
+                p = _take_pos_groups(pos_flat, tf, pidx)
+                cnt = tf[pidx].astype(np.int64)
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+                term_keys[lem] = cidx * shift + p  # doc-major, sorted
+            anchors = np.sort(np.concatenate(list(term_keys.values())))
+            ok = np.ones(len(anchors), bool)
+            hi = anchors + np.int64(window - 1)
+            for lem, _df in terms:
+                tk = term_keys[lem]
+                lo = np.searchsorted(tk, anchors)
+                loc = np.clip(lo, 0, max(len(tk) - 1, 0))
+                ok &= (lo < len(tk)) & (tk[loc] <= hi)
+                if not ok.any():
+                    return empty
+            matched = cand[np.unique(anchors[ok] >> np.int64(32))]
+        count = len(matched)
+        score = np.zeros(count, np.float64)
+        k1, b = self.k1, self.b
+        for lem, df in sorted(terms, key=lambda t: (t[1], t[0])):
+            docid, tf, dl, _sc = data[lem]
+            pidx = np.searchsorted(docid, matched)
+            tff = tf[pidx].astype(np.float64)
+            dlf = dl[pidx].astype(np.float64)
+            score += self.idf(df) * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dlf / self.avgdl)
+            )
+        ids, scores = self._topk(matched, score, k)
+        return ids, scores, count
+
     def score_reference(self, terms, scope=None):
         """Reference semantics: drop df>=250 lemmas (D4; all dropped ->
         'too frequent' error), conjunctive AND over the rest (J4),
@@ -1262,6 +1351,7 @@ class SearchEngine:
         method: str = "blockmax",
         conjunctive: bool = False,
         with_snippets: bool = False,
+        near_window: int = 8,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -1286,6 +1376,22 @@ class SearchEngine:
             ids, scores, count = got
             ids, scores = ids[offset:], scores[offset:]
             terms = [(lem, self._df_of(lem) or 0) for lem in dict.fromkeys(phrase)]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "near":
+            if not self.has_positions:
+                return self._resp(error="no_positions")
+            lemmas = self._analyzer.analyze_query(query_text)
+            if not lemmas:
+                return self._resp(error="empty_query")
+            if near_window < 1:
+                return self._resp(error="bad_window")
+            got = self.score_near(lemmas, near_window, k, scope)
+            if got is None:
+                return self._resp(count=0)
+            ids, scores, count = got
+            ids, scores = ids[offset:], scores[offset:]
+            terms = [(lem, self._df_of(lem) or 0) for lem in lemmas]
             tbl = self._enrich(ids, scores, terms, with_snippets)
             return {"result": True, "count": int(count), "data": tbl, "error": None}
         terms, err = self.plan(query_text)

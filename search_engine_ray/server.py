@@ -3,7 +3,8 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase][&snippets=1]`` — ``SearchEngine.search``
+  [&mode=bm25|reference|phrase|near][&window=W][&snippets=1]`` —
+  ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
   a role value or ``tool:<name>``).
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
@@ -70,6 +71,7 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     limit=int((q.get("limit") or ["10"])[0]),
                     mode=(q.get("mode") or ["bm25"])[0],
                     with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
+                    near_window=int((q.get("window") or ["8"])[0]),
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -817,3 +817,30 @@ def test_knn_filtered_oracle_and_ivf_paths(emb_ds, fduck):
     want = set(zip(exact["query_id"].to_pylist(), exact["neighbor_id"].to_pylist()))
     got = set(zip(approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()))
     assert len(want & got) / len(want) >= 0.8
+
+
+def test_repetition_features_crafted_and_oracle(docs_ds, fduck):
+    """Duplicate-bigram ratio: crafted strings with known repetition,
+    plus oracle parity over the documents table."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a1 b2 a1 b2 a1 b2",   # grams: 5 total, 2 distinct -> 0.6
+            "w x y z",             # all distinct -> 0.0
+            "solo",                # < 2 tokens -> zeros
+            None,                  # null text -> zeros
+        ], pa.string()),
+    })
+    t = ta.repetition_features(batch)
+    assert t["n_ngrams"].to_pylist() == [5, 3, 0, 0]
+    assert t["n_distinct_ngrams"].to_pylist() == [2, 3, 0, 0]
+    assert t["dup_ngram_ratio"].to_pylist() == [0.6, 0.0, 0.0, 0.0]
+    got = _assert_matches_oracle(
+        docs_ds.map_batches(lambda b: ta.repetition_features(b), batch_format="pyarrow"),
+        fduck, ta.repetition_features_sql("documents"),
+    )
+    assert got.num_rows == docs_ds.count()
+    # the Zipfian corpus has real repetition to exercise the signal
+    assert max(got["dup_ngram_ratio"].to_pylist()) > 0

@@ -167,3 +167,52 @@ def test_positionless_build_degrades_cleanly(tiny_corpus, tmp_path_factory):
     assert r["result"] is False and r["error"] == "no_positions"
     r2 = eng.search(datagen.stem(0), limit=5)
     assert r2["result"] and r2["data"].num_rows == 5
+
+
+def _near_matches(text: str, lemmas: list[str], w: int) -> bool:
+    seq = [analyzer.lemmatize_token(t) for t in analyzer.tokenize(text or "")]
+    want = set(lemmas)
+    for i in range(len(seq)):
+        if set(seq[i : i + w]) >= want:
+            return True
+    return False
+
+
+def test_near_ground_truth_and_window_semantics(phrase_index, tiny_corpus):
+    """NEAR matches == direct window scan; tighter windows are subsets;
+    window = 2 on a bigram equals phrase-OR-reversed-phrase."""
+    tbl = pads.dataset(tiny_corpus).to_table()
+    rows = list(
+        zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    eng = SearchEngine(phrase_index)
+    qtext = f"{datagen.stem(0)} {datagen.stem(1)}"
+    lemmas = analyzer.analyze_query(qtext)
+    got_w = {}
+    for w in (2, 4, 8):
+        truth = {(c, t) for c, t, x in rows if _near_matches(x, lemmas, w)}
+        r = eng.search(qtext, mode="near", near_window=w, limit=100_000)
+        got = {(x["conv_id"], x["turn_idx"]) for x in r["data"].to_pylist()}
+        assert got == truth, f"window={w}"
+        assert r["count"] == len(truth) > 0
+        got_w[w] = got
+    assert got_w[2] <= got_w[4] <= got_w[8]  # monotone in window
+    # window=2 == unordered adjacency == phrase(a b) ∪ phrase(b a)
+    p1 = eng.search(qtext, mode="phrase", limit=100_000)
+    p2 = eng.search(f"{datagen.stem(1)} {datagen.stem(0)}", mode="phrase", limit=100_000)
+    un = {(x["conv_id"], x["turn_idx"]) for x in p1["data"].to_pylist()} | {
+        (x["conv_id"], x["turn_idx"]) for x in p2["data"].to_pylist()
+    }
+    assert got_w[2] == un
+
+
+def test_near_single_term_and_absent(phrase_index):
+    eng = SearchEngine(phrase_index)
+    one = eng.search(datagen.stem(777), mode="near", near_window=3)
+    term = eng.search(datagen.stem(777))
+    assert one["count"] == term["count"]  # single lemma: window trivial
+    assert eng.search(f"wqxqzq {datagen.stem(0)}", mode="near")["count"] == 0

@@ -157,6 +157,7 @@ class SearchEngine:
             self._df = None
         self._df_point_cache: dict[str, int | None] = {}
         self._index = pads.dataset(build_mod.index_dir(out_dir))
+        self._poss_in_schema = "poss" in self._index.schema.names
         self._intervals: list[tuple[int, int, str]] | None = None
         # scope filtering is per-posting: every block carries a scope-code
         # stream (doc-level (role, tool) -> dense code, a pure function of
@@ -478,7 +479,26 @@ class SearchEngine:
             self._intervals = ivs
         return self._intervals
 
-    def _term_blocks(self, lemmas: list[str]) -> dict[str, dict]:
+    _BLOCK_META_COLS = [
+        "lemma", "lemma_h", "first_docid", "last_docid", "n", "bmw",
+        "block_cf", "block_max_tf", "gaps", "tfs", "dls", "scps",
+    ]
+
+    def _term_blocks(
+        self, lemmas: list[str], need_positions: bool = False
+    ) -> dict[str, dict]:
+        # positions load policy: term queries skip the poss column
+        # entirely (~25-30% of index bytes); phrase/near queries load it
+        # with the term; a delta-overlaid positional engine always loads
+        # it (the merge-on-read overlay must fold positions exactly once,
+        # at block load)
+        load_poss = (
+            self._poss_in_schema
+            and (
+                need_positions
+                or (self._has_deltas and bool(self.manifest["stats"].get("positions")))
+            )
+        )
         missing = [l for l in lemmas if l not in self._block_cache]
         if missing:
             # footer-stats file pruning on the integer cluster key, then
@@ -488,15 +508,17 @@ class SearchEngine:
             paths = sorted(
                 {p for mn, mx, p in self._file_intervals() if any(mn <= h <= mx for h in hs)}
             )
+            cols = self._BLOCK_META_COLS + (["poss"] if load_poss else [])
             if paths:
                 tbl = pq.read_table(
                     paths,
+                    columns=cols,
                     filters=[("lemma_h", "in", hs), ("lemma", "in", missing)],
                 )
             else:
                 from .stages.encode import INDEX_SCHEMA
 
-                tbl = INDEX_SCHEMA.empty_table()
+                tbl = INDEX_SCHEMA.empty_table().select(cols)
             lem_arr = tbl.column("lemma")
             for lem in missing:
                 sub = tbl.filter(pc.equal(lem_arr, lem))
@@ -525,7 +547,39 @@ class SearchEngine:
                 }
                 if self._has_deltas:
                     self._overlay_delta(lem)
+        if need_positions:
+            self._attach_poss(lemmas)
         return {l: self._block_cache[l] for l in lemmas}
+
+    def _attach_poss(self, lemmas: list[str]) -> None:
+        """Upgrade cached block entries loaded WITHOUT the poss column
+        (a term query warmed them) — targeted re-read of just
+        (lemma, first_docid, poss) for the upgrade set. Synthetic
+        overlay entries carry pre-decoded ``pos_flat`` instead."""
+        todo = [
+            l for l in lemmas
+            if self._block_cache[l].get("poss") is None
+            and self._block_cache[l].get("pos_flat") is None
+            and self._block_cache[l].get("gaps") is not None
+            and len(self._block_cache[l]["first"])
+        ]
+        if not todo or not self._poss_in_schema:
+            return
+        hs = [analyzer.lemma_hash64(l) for l in todo]
+        paths = sorted(
+            {p for mn, mx, p in self._file_intervals() if any(mn <= h <= mx for h in hs)}
+        )
+        tbl = pq.read_table(
+            paths,
+            columns=["lemma", "first_docid", "poss"],
+            filters=[("lemma_h", "in", hs), ("lemma", "in", todo)],
+        )
+        lem_arr = tbl.column("lemma")
+        for lem in todo:
+            sub = tbl.filter(pc.equal(lem_arr, lem))
+            order = pc.sort_indices(sub.column("first_docid"))
+            sub = sub.take(order).combine_chunks()
+            self._block_cache[lem]["poss"] = binary_column_buffers(sub.column("poss"))
 
     _DECODE_CHUNK = 128  # blocks per cached decode unit
 
@@ -1144,7 +1198,7 @@ class SearchEngine:
             if df is None:
                 return None  # reference semantics: missing lemma -> none
             terms.append((lem, df))
-        blocks = self._term_blocks(distinct)
+        blocks = self._term_blocks(distinct, need_positions=True)
         if self._has_deltas:
             terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
             if any(df == 0 for _, df in terms):
@@ -1249,7 +1303,7 @@ class SearchEngine:
             if df is None:
                 return None
             terms.append((lem, df))
-        blocks = self._term_blocks(distinct)
+        blocks = self._term_blocks(distinct, need_positions=True)
         if self._has_deltas:
             terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
             if any(df == 0 for _, df in terms):

@@ -216,3 +216,21 @@ def test_near_single_term_and_absent(phrase_index):
     term = eng.search(datagen.stem(777))
     assert one["count"] == term["count"]  # single lemma: window trivial
     assert eng.search(f"wqxqzq {datagen.stem(0)}", mode="near")["count"] == 0
+
+
+def test_poss_lazy_load_and_upgrade(phrase_index, tiny_corpus):
+    """Term queries load block metadata WITHOUT the poss stream; a later
+    phrase query on the same (cached) lemmas upgrades them in place and
+    matches a fresh positional engine exactly."""
+    eng = SearchEngine(phrase_index)
+    lem = analyzer.analyze_phrase(HOT2)
+    r_term = eng.search(datagen.stem(0), limit=3)
+    assert r_term["result"]
+    bl = eng._block_cache[lem[0]]
+    assert bl.get("poss") is None  # term query skipped the stream
+    r1 = eng.search(HOT2, mode="phrase", limit=20)
+    assert eng._block_cache[lem[0]].get("poss") is not None  # upgraded
+    fresh = SearchEngine(phrase_index)
+    r2 = fresh.search(HOT2, mode="phrase", limit=20)
+    assert r1["count"] == r2["count"]
+    assert r1["data"].equals(r2["data"])

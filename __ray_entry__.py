@@ -193,6 +193,37 @@ def _search_near(sf_dir: str):
     return df
 
 
+def _term_suggest(sf_dir: str):
+    """Did-you-mean term suggestions: vocabulary lemmas within a
+    Levenshtein edit budget of each probe, ranked (dist, df DESC,
+    lemma) — the spell-correction primitive the reference lacks."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.suggest_queries():
+        t = eng.suggest(q["term"], max_dist=q["max_dist"], k=q["k"])
+        for rank, row in enumerate(t.to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "suggestion": row["suggestion"],
+                    "df": row["df"],
+                    "dist": row["dist"],
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "suggestion", "df", "dist"])
+    df["rank"] = df["rank"].astype("int32")
+    df["df"] = df["df"].astype("int64")
+    df["dist"] = df["dist"].astype("int32")
+    return df
+
+
 def _search_counts(sf_dir: str):
     """Exact pre-pagination result count per reference query (G6)."""
     from search_engine_ray import datagen
@@ -857,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pagination": _search_pagination,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
+        "term_suggest": _term_suggest,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
@@ -958,6 +990,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_near": lambda: oracle.near_topk_sql(
             _corpus_src(), datagen.near_queries()
+        ),
+        "term_suggest": lambda: oracle.suggest_sql(
+            _corpus_src(), datagen.suggest_queries()
         ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay

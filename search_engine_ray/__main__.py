@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="minor = shuffle-free segment merge (default); "
                         "major = global re-sort that defragments blocking")
 
+    sg = sub.add_parser("suggest", help="did-you-mean term suggestions")
+    sg.add_argument("term")
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("--limit", type=int, default=5)
+
     st = sub.add_parser(
         "stop", help="cooperative build cancel (stopIndexing analog): the "
         "running build marks in-flight partitions FAILED and exits resumable"
@@ -148,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.compact import compact
 
         print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
+    elif a.cmd == "suggest":
+        from .search import SearchEngine
+
+        t = SearchEngine(a.out).suggest(a.term, max_dist=a.max_dist, k=a.limit)
+        print(json.dumps({"suggestions": t.to_pylist()}))
     elif a.cmd == "stop":
         from .pipelines.build import request_stop
 

@@ -386,3 +386,21 @@ def near_queries() -> list[dict]:
         {"query_id": f"n-{i:04d}", "query_text": t, "scope": s, "k": 10, "window": w}
         for i, (t, s, w) in enumerate(q)
     ]
+
+
+def suggest_queries() -> list[dict]:
+    """Fixed did-you-mean probes: a one-char deletion of a real lemma,
+    an exact hit, a substitution typo, a token far from the whole
+    vocabulary, and an inflected surface form."""
+    s4000, s777 = stem(4000), stem(777)
+    probes = [
+        s4000[:-1],                      # deletion typo
+        stem(0),                         # exact (dist 0 ranks first)
+        s777[:3] + "x" + s777[4:],       # substitution typo
+        "zzqqxx",                        # far from everything
+        stem(1500) + "s",                # inflected surface form
+    ]
+    return [
+        {"query_id": f"s-{i:04d}", "term": t, "max_dist": 2, "k": 5}
+        for i, t in enumerate(probes)
+    ]

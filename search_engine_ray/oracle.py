@@ -413,3 +413,44 @@ SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
 FROM ranked r
 WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
+
+
+def suggest_sql(src: str, queries: list[dict]) -> str:
+    """Did-you-mean oracle: vocabulary (distinct corpus lemmas, same
+    postings CTEs) within ``max_dist`` Levenshtein edits of each probe
+    token (analyzer-normalized at SQL-build time, mirroring the engine),
+    ranked (dist ASC, df DESC, lemma ASC) top-k. DuckDB's
+    ``levenshtein`` is the unit-cost DP the engine's banded variant
+    computes below its cap."""
+    branches = []
+    for q in queries:
+        toks = analyzer.normalize_text(q["term"] or "").split()
+        if not toks:
+            continue
+        tok = analyzer._sql_quote(toks[0])
+        branches.append(
+            f"SELECT {analyzer._sql_quote(q['query_id'])} AS query_id, "
+            f"lemma, df, levenshtein(lemma, {tok}) AS dist, {q['k']} AS k "
+            f"FROM dict WHERE levenshtein(lemma, {tok}) <= {int(q['max_dist'])}"
+        )
+    if not branches:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS suggestion, CAST(NULL AS BIGINT) AS df, "
+            "CAST(NULL AS INT) AS dist WHERE 1=0"
+        )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, CAST(count(*) AS BIGINT) AS df FROM __postings GROUP BY lemma),
+cand AS ({' UNION ALL '.join(branches)}),
+ranked AS (
+    SELECT query_id, lemma, df, dist, k,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY dist, df DESC, lemma
+           ) AS rk
+    FROM cand
+)
+SELECT query_id, CAST(rk AS INT) AS rank, lemma AS suggestion, df,
+       CAST(dist AS INT) AS dist
+FROM ranked WHERE rk <= k
+"""

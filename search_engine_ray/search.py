@@ -74,6 +74,47 @@ def _decode_pos_blobs(blobs, tf: np.ndarray) -> np.ndarray:
     return cum - np.repeat(corr, tf)
 
 
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein with early exit; returns cap+1 when exceeded.
+    Matches DuckDB's ``levenshtein`` (unit insert/delete/substitute)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        lo = cap + 1
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            if cur[j] < lo:
+                lo = cur[j]
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def _suggest_scan(tok: str, vocab_items, max_dist: int) -> list[tuple[str, int, int]]:
+    """(lemma, df, dist) rows within max_dist of tok — the shared sweep
+    of both suggest paths (in-memory dict / distributed parquet scan)."""
+    out = []
+    lt = len(tok)
+    for lemma, df in vocab_items:
+        if abs(len(lemma) - lt) > max_dist:
+            continue
+        d = _levenshtein_capped(tok, lemma, max_dist)
+        if d <= max_dist:
+            out.append((lemma, int(df), int(d)))
+    return out
+
+
 def _take_pos_groups(pos_flat: np.ndarray, tf: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """Segmented gather: select posting-position groups ``idx`` (in that
     order) from a flat position array grouped by per-posting counts
@@ -1145,6 +1186,76 @@ class SearchEngine:
                 m = pc.max(t.column("doc_len")).as_py()
             self._ref_max_relevance = float(m or 1)
         return self._ref_max_relevance
+
+    # ---------------- fuzzy term suggestions (did-you-mean) -----------
+
+    def suggest(self, term: str, max_dist: int = 2, k: int = 5) -> pa.Table:
+        """Vocabulary terms within ``max_dist`` edits of ``term`` (after
+        the analyzer's charset fold), ranked (distance ASC, df DESC,
+        lemma ASC), top-``k`` — the did-you-mean primitive the reference
+        lacks entirely. Below the dictionary-preload threshold the sweep
+        runs over the in-memory lemma->df dict (banded Levenshtein with
+        a length prefilter — |len diff| > max_dist can never match);
+        above it the SAME per-batch function maps over the
+        lemma-dictionary parquet as a distributed scan with per-block
+        partial top-k (nothing vocabulary-sized on the driver). Both
+        paths are pinned equal by test at a forced low threshold.
+
+        Returns ``(suggestion, df, dist)``. Delta-only lemmas join the
+        vocabulary at the next compaction (suggestions come from the
+        base dictionary)."""
+        toks = analyzer.normalize_text(term or "").split()
+        if not toks:
+            return pa.table(
+                {"suggestion": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
+                 "dist": pa.array([], pa.int32())}
+            )
+        tok = toks[0]
+        if self._df is not None:
+            rows = _suggest_scan(tok, self._df.items(), max_dist)
+            rows.sort(key=lambda r: (r[2], -r[1], r[0]))
+            rows = rows[:k]
+        else:  # distributed dictionary sweep (vocab > preload threshold)
+            import ray.data as _rd
+
+            def part(batch: pa.Table) -> pa.Table:
+                got = _suggest_scan(
+                    tok,
+                    zip(batch.column("lemma").to_pylist(),
+                        batch.column("df").to_pylist()),
+                    max_dist,
+                )
+                got.sort(key=lambda r: (r[2], -r[1], r[0]))
+                got = got[:k]
+                return pa.table(
+                    {"suggestion": pa.array([g[0] for g in got], pa.string()),
+                     "df": pa.array([g[1] for g in got], pa.int64()),
+                     "dist": pa.array([g[2] for g in got], pa.int32())}
+                )
+
+            parts = _rd.read_parquet(
+                build_mod.lemma_dict_path(self.out_dir), columns=["lemma", "df"]
+            ).map_batches(part, batch_format="pyarrow")
+            import ray as _ray
+
+            tabs = [t for t in _ray.get(parts.to_arrow_refs()) if t.num_rows]
+            rows = []
+            for t in tabs:
+                rows.extend(
+                    zip(t.column("suggestion").to_pylist(),
+                        t.column("df").to_pylist(),
+                        t.column("dist").to_pylist())
+                )
+            rows.sort(key=lambda r: (r[2], -r[1], r[0]))
+            rows = rows[:k]
+        return pa.table(
+            {
+                "suggestion": pa.array([r[0] for r in rows], pa.string()),
+                "df": pa.array([int(r[1]) for r in rows], pa.int64()),
+                "dist": pa.array([int(r[2]) for r in rows], pa.int32()),
+            }
+        )
 
     # ---------------- phrase queries (positions) -----------------------
 

@@ -223,3 +223,27 @@ def test_df_point_read_path_identical(engine, tiny_index, monkeypatch):
         assert a["data"].equals(b["data"]), q
     # memoized: second plan of the same lemma hits the cache
     assert "wbababa" in lazy._df_point_cache
+
+
+def test_suggest_semantics_and_scale_path(tiny_index):
+    """Did-you-mean: exact match ranks first at dist 0; ranking is
+    (dist, df DESC, lemma); the distributed dictionary-scan path (vocab
+    above the preload threshold) returns the identical table."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    hot = datagen.stem(0)
+    t = eng.suggest(hot, max_dist=1)
+    assert t["suggestion"][0].as_py() == hot and t["dist"][0].as_py() == 0
+    rows = t.to_pylist()
+    assert rows == sorted(rows, key=lambda r: (r["dist"], -r["df"], r["suggestion"]))
+    # analyzer charset fold applies to the probe
+    assert eng.suggest(hot.upper() + "!", max_dist=1).equals(t)
+    # garbage far from the vocabulary -> empty
+    assert eng.suggest("zzzzzzzzzz", max_dist=2).num_rows == 0
+    # scale path: force the engine above the preload threshold
+    eng2 = SearchEngine(tiny_index["out_dir"])
+    eng2._df = None
+    for q in (hot, datagen.stem(4000)[:-1], "wqxqzq"):
+        assert eng.suggest(q).equals(eng2.suggest(q))

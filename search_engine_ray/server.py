@@ -38,6 +38,62 @@ from urllib.parse import parse_qs, urlparse
 from .search import SearchEngine
 from .stats import statistics
 
+# Minimal statistics-dashboard + search page (the reference's
+# ``templates/index.html`` analog) — dependency-free, served at GET /;
+# all data comes from the JSON endpoints below.
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>ray-transcript-search</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:60rem}
+ input,select{padding:.3rem;margin-right:.4rem}
+ table{border-collapse:collapse;margin-top:1rem;width:100%}
+ td,th{border:1px solid #ccc;padding:.3rem .5rem;text-align:left;font-size:.9rem}
+ .stat{display:inline-block;margin-right:2rem}
+ b.hl{background:#ffec99}
+</style></head><body>
+<h1>ray-transcript-search</h1>
+<div id="stats">loading statistics…</div>
+<form id="f">
+ <input id="q" size="40" placeholder="query text" autofocus>
+ <select id="mode"><option>bm25</option><option>phrase</option>
+  <option>near</option><option>reference</option></select>
+ <input id="scope" size="12" placeholder="scope (role / tool:x)">
+ <input id="limit" size="3" value="10">
+ <button>Search</button>
+</form>
+<div id="count"></div><table id="res"></table>
+<script>
+async function loadStats(){
+ const s = await (await fetch('/api/statistics')).json();
+ const per = Object.entries(s.per_scope).map(([k,v])=>k+': '+v).join(' · ');
+ document.getElementById('stats').innerHTML =
+  '<span class=stat><b>docs</b> '+s.total.docs+'</span>'+
+  '<span class=stat><b>lemmas</b> '+s.total.lemmas+'</span>'+
+  '<span class=stat><b>postings</b> '+s.total.postings+'</span>'+
+  '<span class=stat><b>generations</b> '+s.delta_generations.length+'</span>'+
+  '<div>'+per+'</div>';
+}
+document.getElementById('f').onsubmit = async (e)=>{
+ e.preventDefault();
+ const q=encodeURIComponent(document.getElementById('q').value);
+ const mode=document.getElementById('mode').value;
+ const scope=document.getElementById('scope').value;
+ const limit=document.getElementById('limit').value;
+ let u=`/api/search?query=${q}&mode=${mode}&limit=${limit}&snippets=1`;
+ if(scope) u+=`&site=${encodeURIComponent(scope)}`;
+ const r=await (await fetch(u)).json();
+ document.getElementById('count').textContent =
+   r.result ? r.count+' results' : 'error: '+r.error;
+ const rows=(r.data||[]).map(d=>
+  `<tr><td>${d.conv_id}/${d.turn_idx}</td><td>${d.role}</td>`+
+  `<td>${d.score.toFixed(4)}</td><td>${d.snippet||''}</td></tr>`).join('');
+ document.getElementById('res').innerHTML =
+  rows?'<tr><th>doc</th><th>role</th><th>score</th><th>snippet</th></tr>'+rows:'';
+};
+loadStats();
+</script></body></html>
+"""
+
 
 def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
     """Build (without starting) a ThreadingHTTPServer serving ``out_dir``."""
@@ -59,6 +115,14 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
         def do_GET(self):  # noqa: N802 (stdlib API)
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            if u.path == "/":
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if u.path == "/api/search":
                 query = (q.get("query") or [""])[0]
                 if not query:

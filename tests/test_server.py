@@ -96,3 +96,14 @@ def test_index_page_endpoint_reloads_engine(served):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "rebuild" in json.loads(e.read())["error"]
+
+
+def test_dashboard_page(served):
+    """GET / serves the statistics-dashboard + search page (the
+    reference templates/index.html analog)."""
+    base, _ = served
+    with urllib.request.urlopen(f"{base}/") as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        body = r.read().decode()
+    assert "ray-transcript-search" in body and "/api/search" in body

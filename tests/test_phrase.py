@@ -234,3 +234,48 @@ def test_poss_lazy_load_and_upgrade(phrase_index, tiny_corpus):
     r2 = fresh.search(HOT2, mode="phrase", limit=20)
     assert r1["count"] == r2["count"]
     assert r1["data"].equals(r2["data"])
+
+
+def test_phrase_and_near_random_queries_vs_scan(phrase_index, tiny_corpus):
+    """Randomized (seeded) phrase/near queries over the real corpus:
+    engine result sets equal the direct-scan ground truth for phrases
+    assembled from actual document windows (guaranteed >= 1 match) and
+    from random vocabulary draws (often 0 matches)."""
+    import numpy as np
+
+    tbl = pads.dataset(tiny_corpus).to_table()
+    rows = [
+        (c, t, x)
+        for c, t, x in zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+        if x
+    ]
+    eng = SearchEngine(phrase_index)
+    rng = np.random.default_rng(7)
+    n_checked = 0
+    for _ in range(12):
+        c, t, x = rows[int(rng.integers(0, len(rows)))]
+        seq = [analyzer.lemmatize_token(tok) for tok in analyzer.tokenize(x)]
+        if len(seq) < 2:
+            continue
+        m = int(rng.integers(2, min(4, len(seq)) + 1))
+        start = int(rng.integers(0, len(seq) - m + 1))
+        phrase = seq[start : start + m]
+        qtext = " ".join(phrase)
+        truth = {(cc, tt) for cc, tt, xx in rows
+                 if _phrase_matches(xx, analyzer.analyze_phrase(qtext))}
+        r = eng.search(qtext, mode="phrase", limit=100_000)
+        got = {(row["conv_id"], row["turn_idx"]) for row in r["data"].to_pylist()}
+        assert got == truth and (c, t) in got
+        # near with a random window over the same lemmas
+        w = int(rng.integers(m, m + 4))
+        lem = analyzer.analyze_query(qtext)
+        truth_n = {(cc, tt) for cc, tt, xx in rows if _near_matches(xx, lem, w)}
+        rn = eng.search(qtext, mode="near", near_window=w, limit=100_000)
+        got_n = {(row["conv_id"], row["turn_idx"]) for row in rn["data"].to_pylist()}
+        assert got_n == truth_n and truth <= truth_n or w < m
+        n_checked += 1
+    assert n_checked >= 8

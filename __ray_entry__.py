@@ -193,6 +193,74 @@ def _search_near(sf_dir: str):
     return df
 
 
+def _search_min_match(sf_dir: str):
+    """Minimum-should-match queries: docs containing at least m of the n
+    distinct query lemmas, BM25 over the matched terms only."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.min_match_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            min_match=q["min_match"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
+def _search_prefix(sf_dir: str):
+    """Prefix (wildcard) queries: the prefix expands to at most 32
+    vocabulary lemmas (df DESC) — a contiguous range of the
+    lemma-sorted dictionary — then standard disjunctive BM25."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.prefix_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="prefix")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _term_suggest(sf_dir: str):
     """Did-you-mean term suggestions: vocabulary lemmas within a
     Levenshtein edit budget of each probe, ranked (dist, df DESC,
@@ -889,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
+        "search_min_match": _search_min_match,
+        "search_prefix": _search_prefix,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
@@ -993,6 +1063,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "term_suggest": lambda: oracle.suggest_sql(
             _corpus_src(), datagen.suggest_queries()
+        ),
+        "search_min_match": lambda: oracle.bm25_min_match_sql(
+            _corpus_src(), datagen.min_match_queries()
+        ),
+        "search_prefix": lambda: oracle.prefix_topk_sql(
+            _corpus_src(), datagen.prefix_queries()
         ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay

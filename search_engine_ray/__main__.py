@@ -5,7 +5,7 @@ controllers/ApiController.java:20-47``):
     python -m search_engine_ray build   --input f1.parquet f2.parquet --out DIR
                                         [--partitions N] [--resume]
     python -m search_engine_ray search  --out DIR "query text" [--scope role]
-                                        [--offset N] [--limit N] [--mode bm25|reference|phrase|near]
+                                        [--offset N] [--limit N] [--mode bm25|reference|phrase|near|prefix]
                                         [--snippets]
     python -m search_engine_ray stats   --out DIR
     python -m search_engine_ray reindex --out DIR --conv CONV_ID [CONV_ID ...]
@@ -57,9 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scope", default=None)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near", "prefix"], default="bm25")
     s.add_argument("--near-window", type=int, default=8,
                    help="NEAR mode: max token-window width containing all query lemmas")
+    s.add_argument("--min-match", type=int, default=None,
+                   help="keep docs containing at least m distinct query lemmas")
     s.add_argument("--snippets", action="store_true")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
@@ -129,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=a.mode,
             with_snippets=a.snippets,
             near_window=a.near_window,
+            min_match=a.min_match,
         )
         print(
             json.dumps(

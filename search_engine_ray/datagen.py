@@ -404,3 +404,39 @@ def suggest_queries() -> list[dict]:
         {"query_id": f"s-{i:04d}", "term": t, "max_dist": 2, "k": 5}
         for i, t in enumerate(probes)
     ]
+
+
+def min_match_queries() -> list[dict]:
+    """Minimum-should-match query set: m of n distinct lemmas required."""
+    q = [
+        (f"{stem(50)} {stem(51)} {stem(52)}", None, 2),      # 2 of 3
+        (f"{stem(0)} {stem(4100)} {stem(5200)}", None, 2),   # hot + rares
+        (f"{stem(120)} {stem(480)}", None, 1),               # 1 of 2 == OR
+        # mid-frequency stems: ultra-hot trios produce 6-dp rounded-score
+        # ties whose full-precision order differs between engines (the
+        # documented comparison-protocol boundary — same reason the
+        # reference query set avoids rounded ties)
+        (f"{stem(10)} {stem(11)} {stem(12)}", "assistant", 3),  # all 3, scoped
+        (f"{stem(300)} {stem(301)} {stem(302)} {stem(303)}", None, 3),  # 3 of 4
+    ]
+    return [
+        {"query_id": f"m-{i:04d}", "query_text": t, "scope": s, "k": 10, "min_match": m}
+        for i, (t, s, m) in enumerate(q)
+    ]
+
+
+def prefix_queries() -> list[dict]:
+    """Prefix (wildcard) query set over the stem syllable structure:
+    broad and narrow prefixes, an exact-lemma prefix, a no-match
+    prefix, and a scoped one."""
+    q = [
+        (stem(4000)[:5], None),     # narrow prefix around a mid stem
+        (stem(0)[:4], None),        # broad prefix incl. the ultra-hot lemma
+        (stem(6500), None),         # full-lemma prefix (matches inflections' stems)
+        ("zz", None),               # no vocabulary match -> empty
+        (stem(777)[:5], "user"),    # scoped prefix
+    ]
+    return [
+        {"query_id": f"x-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]

@@ -454,3 +454,152 @@ SELECT query_id, CAST(rk AS INT) AS rank, lemma AS suggestion, df,
        CAST(dist AS INT) AS dist
 FROM ranked WHERE rk <= k
 """
+
+
+def bm25_min_match_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 top-k with minimum-should-match: docs containing at least
+    ``min_match`` DISTINCT query lemmas (each query dict carries its
+    ``min_match``); scoring sums ONLY the matched terms' contributions —
+    exactly the engine's exhaustive msm path. Missing-lemma and scope
+    semantics identical to :func:`bm25_topk_sql`."""
+    metas, lems = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, {scope}, {q['k']}, "
+            f"{len(lemmas)}, {int(q['min_match'])})"
+        )
+        for lem in lemmas:
+            lems.append(f"({analyzer._sql_quote(q['query_id'])}, {analyzer._sql_quote(lem)})")
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, n_terms, m)"
+    qlem = (
+        "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+        if lems
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.m
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+      AND qm.m <= qm.n_terms
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+    HAVING count(*) >= min(q.m)
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
+def prefix_topk_sql(src: str, queries: list[dict], max_expansion: int = 32,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """Prefix (wildcard) top-k oracle: each query's prefix expands to at
+    most ``max_expansion`` vocabulary lemmas by (df DESC, lemma ASC) —
+    the engine's exact expansion rule — then standard disjunctive BM25
+    over the expansion terms."""
+    metas = []
+    for q in queries:
+        toks = analyzer.normalize_text(q["query_text"] or "").split()
+        if not toks:
+            continue
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, "
+            f"{analyzer._sql_quote(toks[0])}, {scope}, {q['k']})"
+        )
+    if not metas:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, prefix, scope, k)"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+exp AS (
+    SELECT query_id, lemma, df FROM (
+        SELECT qm.query_id, d.lemma, d.df,
+               row_number() OVER (
+                   PARTITION BY qm.query_id ORDER BY d.df DESC, d.lemma
+               ) AS rk
+        FROM qmeta qm JOIN dict d ON d.lemma LIKE qm.prefix || '%'
+    ) WHERE rk <= {max_expansion}
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qmeta q
+    JOIN exp t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""

@@ -825,7 +825,8 @@ class SearchEngine:
             yield docid, contrib
 
     @staticmethod
-    def _aggregate(doc_parts, contrib_parts, conjunctive: bool, n_terms: int):
+    def _aggregate(doc_parts, contrib_parts, conjunctive: bool, n_terms: int,
+                   min_match: int | None = None):
         """Sum contributions per docid in fixed term order. Stable
         (radix) argsort keeps each doc's contributions in concatenation
         order == term order, and ``np.add.reduceat`` sums them left to
@@ -848,9 +849,10 @@ class SearchEngine:
         starts = np.flatnonzero(neq)
         uniq = sids[starts]
         scores = np.add.reduceat(sc, starts)
-        if conjunctive:
+        if conjunctive or min_match:
             cnt = np.diff(np.append(starts, len(sids)))
-            keep = cnt == n_terms
+            need = n_terms if conjunctive else int(min_match)
+            keep = cnt >= need
             return uniq[keep], scores[keep]
         return uniq, scores
 
@@ -882,9 +884,13 @@ class SearchEngine:
         s = np.sort(allv, kind="stable")
         return int(1 + np.count_nonzero(np.diff(s)))
 
-    def score_exhaustive(self, terms, scope=None, conjunctive=False):
+    def score_exhaustive(self, terms, scope=None, conjunctive=False,
+                         min_match: int | None = None):
         """Brute-force vectorized scorer (the oracle form: decode every
-        posting of every query term, fixed-order float64 sums)."""
+        posting of every query term, fixed-order float64 sums).
+        ``min_match`` keeps only docs containing at least that many
+        DISTINCT query terms (Lucene minimum-should-match semantics;
+        ``conjunctive`` == min_match = n_terms)."""
         blocks = self._term_blocks([t[0] for t in terms])
         lut = self._scope_lut(scope) if scope else None
         term_data = []
@@ -895,7 +901,9 @@ class SearchEngine:
         for docid, contrib in self._contributions(term_data, lut):
             doc_parts.append(docid)
             contrib_parts.append(contrib)
-        return self._aggregate(doc_parts, contrib_parts, conjunctive, len(terms))
+        return self._aggregate(
+            doc_parts, contrib_parts, conjunctive, len(terms), min_match=min_match
+        )
 
     _CAND_DRIVER_MAX = 4096  # max Σdf of candidate-driving terms
 
@@ -1186,6 +1194,40 @@ class SearchEngine:
                 m = pc.max(t.column("doc_len")).as_py()
             self._ref_max_relevance = float(m or 1)
         return self._ref_max_relevance
+
+    # ---------------- prefix (wildcard) term expansion -----------------
+
+    PREFIX_MIN_LEN = 2
+    PREFIX_MAX_EXPANSION = 32
+
+    def expand_prefix(self, prefix: str, max_expansion: int = PREFIX_MAX_EXPANSION):
+        """Vocabulary lemmas starting with ``prefix`` (analyzer-folded),
+        capped at ``max_expansion`` by (df DESC, lemma ASC) — the
+        wildcard-query expansion step. Below the preload threshold this
+        scans the in-memory dict; above it the LEMMA-SORTED dictionary
+        parquet makes the prefix a contiguous row-group range —
+        ``filters=[('lemma','>=',p),('lemma','<',p+chr(0x10FFFF))]``
+        prunes to the matching groups (no vocabulary-sized driver
+        state). Returns [(lemma, df), ...]."""
+        toks = analyzer.normalize_text(prefix or "").split()
+        if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
+            return []
+        p = toks[0]
+        if self._df is not None:
+            hits = [(l, int(d)) for l, d in self._df.items() if l.startswith(p)]
+        else:
+            t = pq.read_table(
+                build_mod.lemma_dict_path(self.out_dir),
+                columns=["lemma", "df"],
+                filters=[("lemma", ">=", p), ("lemma", "<", p + chr(0x10FFFF))],
+            )
+            hits = [
+                (l, int(d))
+                for l, d in zip(t.column("lemma").to_pylist(), t.column("df").to_pylist())
+                if l.startswith(p)
+            ]
+        hits.sort(key=lambda r: (-r[1], r[0]))
+        return hits[:max_expansion]
 
     # ---------------- fuzzy term suggestions (did-you-mean) -----------
 
@@ -1517,6 +1559,7 @@ class SearchEngine:
         conjunctive: bool = False,
         with_snippets: bool = False,
         near_window: int = 8,
+        min_match: int | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -1541,6 +1584,27 @@ class SearchEngine:
             ids, scores, count = got
             ids, scores = ids[offset:], scores[offset:]
             terms = [(lem, self._df_of(lem) or 0) for lem in dict.fromkeys(phrase)]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "prefix":
+            # wildcard search: expand the prefix to vocabulary terms
+            # (df-desc capped), then standard disjunctive BM25 over the
+            # expansion — block-max pruning applies unchanged
+            exp = self.expand_prefix(query_text)
+            if not exp:
+                toks = analyzer.normalize_text(query_text or "").split()
+                if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
+                    return self._resp(error="empty_query")
+                return self._resp(count=0)
+            terms = sorted(exp, key=lambda t: (t[1], t[0]))
+            if self._has_deltas:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                terms = [(lem, df) for lem, df in terms if df > 0]
+                if not terms:
+                    return self._resp(count=0)
+            ids, scores, count = self.score_blockmax(terms, k, scope, False)
+            ids, scores = ids[offset:], scores[offset:]
             tbl = self._enrich(ids, scores, terms, with_snippets)
             return {"result": True, "count": int(count), "data": tbl, "error": None}
         if mode == "near":
@@ -1575,6 +1639,16 @@ class SearchEngine:
             if scorer is None:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
+        elif min_match is not None:
+            # minimum-should-match routes through the exhaustive scorer
+            # (block-max pruning with an msm floor would need per-window
+            # per-term presence bounds — out of scope; msm queries are a
+            # filtering surface, not the hot path)
+            if not 1 <= min_match <= len(terms):
+                return self._resp(count=0) if min_match > len(terms) else self._resp(error="bad_min_match")
+            ids, scores = self.score_exhaustive(terms, scope, min_match=min_match)
+            count = len(ids)
+            ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":
             ids, scores, count = self.score_blockmax(terms, k, scope, conjunctive)
         else:

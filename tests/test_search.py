@@ -247,3 +247,56 @@ def test_suggest_semantics_and_scale_path(tiny_index):
     eng2._df = None
     for q in (hot, datagen.stem(4000)[:-1], "wqxqzq"):
         assert eng.suggest(q).equals(eng2.suggest(q))
+
+
+def test_min_match_semantics(tiny_index):
+    """minimum-should-match: msm=1 == disjunctive BM25, msm=n ==
+    conjunctive, result sets monotone shrinking in m, and scores equal
+    the sum over matched terms only."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    q = f"{datagen.stem(50)} {datagen.stem(51)} {datagen.stem(52)}"
+    full = eng.search(q, limit=100_000, method="exhaustive")
+    m1 = eng.search(q, limit=100_000, min_match=1)
+    assert m1["count"] == full["count"]
+    assert m1["data"].equals(full["data"])
+    m3 = eng.search(q, limit=100_000, min_match=3)
+    conj = eng.search(q, limit=100_000, method="exhaustive", conjunctive=True)
+    assert m3["count"] == conj["count"]
+    assert m3["data"].equals(conj["data"])
+    counts = [eng.search(q, min_match=m)["count"] for m in (1, 2, 3)]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    # m beyond n terms -> empty result, not an error
+    r = eng.search(q, min_match=4)
+    assert r["result"] and r["count"] == 0
+
+
+def test_prefix_mode_semantics(tiny_index):
+    """Prefix expansion: full-lemma prefix ⊇ exact-term results; the cap
+    orders by (df DESC, lemma); the above-threshold dictionary
+    range-read path equals the dict path; short/no-match prefixes."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    hot = datagen.stem(0)
+    exact = eng.search(hot, limit=100_000)
+    pre = eng.search(hot, mode="prefix", limit=100_000)
+    ids_e = {(r["conv_id"], r["turn_idx"]) for r in exact["data"].to_pylist()}
+    ids_p = {(r["conv_id"], r["turn_idx"]) for r in pre["data"].to_pylist()}
+    assert ids_e <= ids_p and pre["count"] >= exact["count"]
+    exp = eng.expand_prefix(hot[:4])
+    assert exp and exp == sorted(exp, key=lambda t: (-t[1], t[0]))
+    assert all(l.startswith(hot[:4]) for l, _ in exp)
+    # scale path (lemma-sorted dictionary range read) pinned equal
+    eng2 = SearchEngine(tiny_index["out_dir"])
+    eng2._df = None
+    assert eng2.expand_prefix(hot[:4]) == exp
+    r2 = eng2.search(hot[:4], mode="prefix", limit=20)
+    r1 = eng.search(hot[:4], mode="prefix", limit=20)
+    assert r1["count"] == r2["count"] and r1["data"].equals(r2["data"])
+    # no match / too short
+    assert eng.search("zz", mode="prefix")["count"] == 0
+    assert eng.search("z", mode="prefix")["error"] == "empty_query"

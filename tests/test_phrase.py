@@ -279,3 +279,36 @@ def test_phrase_and_near_random_queries_vs_scan(phrase_index, tiny_corpus):
         assert got_n == truth_n and truth <= truth_n or w < m
         n_checked += 1
     assert n_checked >= 8
+
+
+def test_near_delta_and_compaction_rank_identity(
+    phrase_index, tiny_corpus, tmp_path_factory
+):
+    """NEAR results over base+delta and after compaction equal a full
+    rebuild of the modified corpus (positions fold through the overlay
+    for the anchor scan exactly as for phrase)."""
+    mod_files, conv = datagen.modified_corpus("sf0.001")
+    rebuild = str(tmp_path_factory.mktemp("nrebuild"))
+    build.build_index(BuildConfig(input_paths=mod_files, out_dir=rebuild, n_partitions=2))
+    eng_m = SearchEngine(rebuild)
+
+    qs = [(f"{datagen.stem(3)} {datagen.stem(7)}", 4), (HOT2, 5)]
+
+    def frame(eng, q, w):
+        r = eng.search(q, mode="near", near_window=w, limit=50)
+        assert r["result"]
+        return r["count"], [
+            (x["conv_id"], x["turn_idx"], round(x["score"], 9))
+            for x in r["data"].to_pylist()
+        ]
+
+    dout = str(tmp_path_factory.mktemp("ndelta"))
+    shutil.copytree(phrase_index, dout, dirs_exist_ok=True)
+    assert delta.reindex_conversations(dout, [conv], input_paths=mod_files)["result"]
+    eng_d = SearchEngine(dout)
+    for q, w in qs:
+        assert frame(eng_d, q, w) == frame(eng_m, q, w)
+    assert compact.compact(dout)["result"]
+    eng_c = SearchEngine(dout)
+    for q, w in qs:
+        assert frame(eng_c, q, w) == frame(eng_m, q, w)

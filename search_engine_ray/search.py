@@ -1243,9 +1243,12 @@ class SearchEngine:
         partial top-k (nothing vocabulary-sized on the driver). Both
         paths are pinned equal by test at a forced low threshold.
 
-        Returns ``(suggestion, df, dist)``. Delta-only lemmas join the
-        vocabulary at the next compaction (suggestions come from the
-        base dictionary)."""
+        Returns ``(suggestion, df, dist)``. Suggestions reflect the BASE
+        dictionary: delta-only lemmas join at the next compaction, and a
+        lemma whose every posting was tombstoned by a live delta may
+        still be suggested with its stale df until then (a vocabulary
+        hint, not a result set — searching it simply returns 0 docs;
+        drift is bounded by the delta volume)."""
         toks = analyzer.normalize_text(term or "").split()
         if not toks:
             return pa.table(

@@ -312,3 +312,20 @@ def test_near_delta_and_compaction_rank_identity(
     eng_c = SearchEngine(dout)
     for q, w in qs:
         assert frame(eng_c, q, w) == frame(eng_m, q, w)
+
+
+def test_phrase_pagination_and_tool_scope(phrase_index):
+    """Offset/limit slicing on phrase results, and tool: scopes flow
+    through the positional modes via the shared scope-code LUT."""
+    eng = SearchEngine(phrase_index)
+    full = eng.search(HOT2, mode="phrase", limit=30)
+    page = eng.search(HOT2, mode="phrase", offset=10, limit=20)
+    assert page["count"] == full["count"]
+    assert page["data"].equals(full["data"].slice(10, 20))
+    scoped = eng.search(HOT2, mode="phrase", scope="tool:tool-search", limit=1000)
+    assert scoped["result"]
+    assert 0 < scoped["count"] < full["count"]
+    assert all(r["tool"] == "tool-search" for r in scoped["data"].to_pylist())
+    nearsc = eng.search(HOT2, mode="near", near_window=5, scope="tool:tool-search", limit=1000)
+    assert nearsc["result"] and nearsc["count"] >= scoped["count"]
+    assert eng.search(HOT2, mode="phrase", scope="nope")["error"] == "bad_scope"

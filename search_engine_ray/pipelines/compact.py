@@ -298,12 +298,21 @@ def _merge_docs_segments(
         kept.append(f)
     files = kept
     if not files:
+        # the normal path's write_parquet creates docs_tmp; this one must
+        os.makedirs(docs_tmp, exist_ok=True)
         if delta_docs is not None and delta_docs.num_rows:
             d = delta_docs.select(doc_cols)
             d = d.take(pc.sort_indices(d.column("docid")))
             pq.write_table(
                 d, os.path.join(docs_tmp, "docs-00000.parquet"),
                 row_group_size=65_536,
+            )
+        else:  # degenerate: no surviving docs at all — keep schema
+            pq.write_table(
+                pq.read_table(
+                    build_mod.docs_dir(out_dir), columns=doc_cols
+                ).slice(0, 0),
+                os.path.join(docs_tmp, "docs-00000.parquet"),
             )
         return
     order = np.argsort(np.array(starts, np.int64), kind="stable")

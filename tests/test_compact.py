@@ -348,3 +348,40 @@ def test_scope_remap_dead_values_map_to_empty():
             assert got == r_new * nt_new + t_new
     # surviving pairs keep full fidelity; dead-tool codes fold to tool 0
     assert lut[1 * nt_old + 2] == 1 * nt_new + 0  # (assistant, web) -> (assistant, '')
+
+
+def test_merge_docs_segments_all_empty_base(tmp_path, ray_session):
+    """A base doc store whose every file is zero-row (emptied by prior
+    folds) must not crash the segment merge: the delta docs become the
+    whole new store, docid-sorted; with no delta an empty same-schema
+    store is written."""
+    import numpy as np
+
+    from search_engine_ray.pipelines import build as build_mod
+    from search_engine_ray.pipelines.compact import _merge_docs_segments
+
+    out = str(tmp_path / "idx")
+    doc_cols = ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts", "docid"]
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("doc_len", pa.int32()),
+        ("tool", pa.string()), ("ts", pa.timestamp("us")), ("docid", pa.int64()),
+    ])
+    os.makedirs(build_mod.docs_dir(out))
+    pq.write_table(schema.empty_table(), os.path.join(build_mod.docs_dir(out), "d0.parquet"))
+    delta = pa.table({
+        "conv_id": pa.array(["c"], pa.string()),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["user"], pa.string()),
+        "doc_len": pa.array([3], pa.int32()),
+        "tool": pa.array([""], pa.string()),
+        "ts": pa.array([0], pa.timestamp("us")),
+        "docid": pa.array([7], pa.int64()),
+    })
+    t1 = str(tmp_path / "t1")
+    _merge_docs_segments(out, t1, delta, np.array([], np.int64), np.array([], np.int64), doc_cols)
+    got = pq.read_table(t1)
+    assert got.num_rows == 1 and got.column("docid").to_pylist() == [7]
+    t2 = str(tmp_path / "t2")
+    _merge_docs_segments(out, t2, None, np.array([], np.int64), np.array([], np.int64), doc_cols)
+    assert pq.read_table(t2).num_rows == 0

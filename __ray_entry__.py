@@ -343,6 +343,37 @@ def _search_pagination(sf_dir: str):
     return df
 
 
+def _search_facets(sf_dir: str):
+    """Faceted result counts: per reference query, matching-doc counts
+    grouped by role and by tool over the FULL matching set (the grouped
+    generalization of the exact count G6 — faceted navigation over the
+    reference's site-filter analog)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.facets(q["query_text"], scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "facet": row["facet"],
+                    "value": row["value"],
+                    "n_docs": row["n_docs"],
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "facet", "value", "n_docs"])
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
 def _delta_search(sf_dir: str):
     """Incremental re-index (S4 / POST /api/indexPage analog), driver
     checked: base index + one delta generation over a deterministically
@@ -954,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
+        "search_facets": _search_facets,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -1050,6 +1082,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_topk_reference": lambda: oracle.reference_topk_sql(_corpus_src(), qs),
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
+        "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_pagination": lambda: oracle.bm25_page_sql(
             _corpus_src(),
             [dict(PAGE_QUERY, query_text=datagen.stem(0))],

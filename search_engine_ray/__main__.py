@@ -82,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="minor = shuffle-free segment merge (default); "
                         "major = global re-sort that defragments blocking")
 
+    fc = sub.add_parser(
+        "facets", help="per-role/per-tool matching-doc counts for a query "
+        "(faceted navigation over the full result set)"
+    )
+    fc.add_argument("query")
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--scope", default=None)
+    fc.add_argument("--conjunctive", action="store_true")
+
     sg = sub.add_parser("suggest", help="did-you-mean term suggestions")
     sg.add_argument("term")
     sg.add_argument("--out", required=True)
@@ -132,6 +141,23 @@ def main(argv: list[str] | None = None) -> int:
             with_snippets=a.snippets,
             near_window=a.near_window,
             min_match=a.min_match,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "facets":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).facets(
+            a.query, scope=a.scope, conjunctive=a.conjunctive
         )
         print(
             json.dumps(

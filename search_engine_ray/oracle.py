@@ -336,6 +336,54 @@ FROM qmeta qm LEFT JOIN counts c USING (query_id)
 """
 
 
+def facets_sql(src: str, queries: list[dict]) -> str:
+    """Faceted result counts: per query, matching-doc counts grouped by
+    role and by tool (empty string = no tool) — the grouped
+    generalization of ``bm25_counts_sql``. Same matching semantics:
+    union of docs containing any query lemma, any missing lemma -> no
+    rows for that query, scope filter on role."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           coalesce(tool, '') AS tool FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+withmeta AS (
+    SELECT m.query_id, r.role, r.tool
+    FROM matched m JOIN meta r
+      ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+)
+SELECT query_id, 'role' AS facet, role AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM withmeta GROUP BY 1, 3
+UNION ALL
+SELECT query_id, 'tool' AS facet, tool AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM withmeta GROUP BY 1, 3
+"""
+
+
 def bm25_page_sql(src: str, queries: list[dict], offset: int) -> str:
     """Pagination oracle (T3): ranks strictly after ``offset`` from the
     same deterministic total order."""

@@ -1171,6 +1171,96 @@ class SearchEngine:
             return int(len(inter))
         return self._union_count(parts)
 
+    # ---------------- faceted result counts -----------------------------
+
+    def _code_pairs(self) -> list[tuple[str, str]]:
+        """Dense scope code -> (role, tool) decode table: the inverse of
+        ``_pair_code``. O(#roles x #tools + #delta pairs) — independent
+        of corpus size (same scale argument as ``_scope_lut``)."""
+        roles = self.manifest["stats"].get("roles", [])
+        tools = self.manifest["stats"].get("tools", [])
+        nt = len(tools) + 1
+        pairs = [
+            ("" if ri == 0 else roles[ri - 1], "" if ti == 0 else tools[ti - 1])
+            for ri in range(len(roles) + 1)
+            for ti in range(nt)
+        ]
+        extra = sorted(self._extra_pairs.items(), key=lambda kv: kv[1])
+        pairs.extend(p for p, _ in extra)
+        return pairs
+
+    def facets(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Faceted navigation over the reference's site-filter analog:
+        per-role and per-tool document counts over the FULL matching set
+        (not just the returned page) — the grouped generalization of the
+        exact result count (G6). Uses the same gaps+scps decode as the
+        scoped counting path: a doc's scope code is a doc property, so
+        the first posting seen for each unique doc carries its (role,
+        tool); counts are a bincount over the dense code space and the
+        code->value decode is O(#roles x #tools), never corpus-sized.
+
+        -> {'result': bool, 'count': int (matching docs), 'data':
+        pa.Table(facet, value, n_docs), 'error': str|None}. ``value`` ==
+        '' groups docs with no tool (every doc has a role in practice).
+        """
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": FACETS_SCHEMA.empty_table()}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": FACETS_SCHEMA.empty_table()}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": FACETS_SCHEMA.empty_table(), "error": None}
+        blocks = self._term_blocks([t[0] for t in terms])
+        lut = self._scope_lut(scope) if scope else None
+        d_parts, s_parts = [], []
+        for lem, _df in terms:
+            bl = blocks[lem]
+            docid, sc = self._decode_term_docids_sc(bl, bl.setdefault("chunks", {}))
+            if lut is not None:
+                keep = lut[sc]
+                docid, sc = docid[keep], sc[keep]
+            d_parts.append(docid)
+            s_parts.append(sc)
+        ids = np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
+        if not len(ids):
+            return {"result": True, "count": 0, "data": FACETS_SCHEMA.empty_table(), "error": None}
+        scs = np.concatenate(s_parts)
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        neq = np.empty(len(sids), bool)
+        neq[0] = True
+        np.not_equal(sids[1:], sids[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        codes = scs[order][starts]
+        if conjunctive:
+            cnt = np.diff(np.append(starts, len(sids)))
+            codes = codes[cnt >= len(terms)]
+        pairs = self._code_pairs()
+        per_code = np.bincount(codes, minlength=len(pairs))
+        role_counts: dict[str, int] = {}
+        tool_counts: dict[str, int] = {}
+        for code in np.flatnonzero(per_code):
+            r, t = pairs[code]
+            n = int(per_code[code])
+            role_counts[r] = role_counts.get(r, 0) + n
+            tool_counts[t] = tool_counts.get(t, 0) + n
+        rows = [("role", v, n) for v, n in role_counts.items()]
+        rows += [("tool", v, n) for v, n in tool_counts.items()]
+        rows.sort()
+        tbl = pa.table(
+            {
+                "facet": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([r[1] for r in rows], pa.string()),
+                "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
+
     # ---------------- reference-parity scorer (G3/G4, D4, J4) ----------
 
     def _max_relevance(self) -> float:
@@ -1835,6 +1925,10 @@ class SearchEngine:
             tbl = tbl.append_column("snippet", pa.array(snips, pa.string()))
         return tbl
 
+
+FACETS_SCHEMA = pa.schema(
+    [("facet", pa.string()), ("value", pa.string()), ("n_docs", pa.int64())]
+)
 
 RESULT_SCHEMA = pa.schema(
     [

@@ -7,6 +7,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
   a role value or ``tool:<name>``).
+- ``GET /api/facets?query=...[&site=<scope>][&conjunctive=1]`` —
+  ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
+  the FULL result set (faceted navigation).
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
@@ -136,6 +139,25 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     mode=(q.get("mode") or ["bm25"])[0],
                     with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
                     near_window=int((q.get("window") or ["8"])[0]),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/facets":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].facets(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -35,6 +35,10 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert s["total"]["docs"] == m["stats"]["n_docs"]
     assert set(s["per_scope"]) == set(m["stats"]["roles"])
 
+    f = _run(["facets", datagen.stem(0), "--out", out])
+    assert f["result"] and f["count"] == r["count"]
+    assert sum(x["n_docs"] for x in f["data"] if x["facet"] == "role") == f["count"]
+
     conv = r["data"][0]["conv_id"]
     d = _run(["reindex", "--out", out, "--conv", conv])
     assert d["result"] and d["generation"] == 1

@@ -229,3 +229,18 @@ def test_delta_novel_scope_values(delta_env, tiny_corpus, tmp_path):
         rb = rebuilt.search(hot, scope=scope, limit=10)
         assert ra["count"] == rb["count"], scope
         assert ra["data"].equals(rb["data"]), scope
+
+
+def test_delta_facets_identical_to_rebuild(delta_env):
+    """Faceted counts fold through the overlay exactly: per-posting
+    scope codes of delta postings (synthetic blocks, scps=None decode
+    fallback) and tombstone-masked base postings group identically to a
+    fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.reference_queries():
+        ra = overlay.facets(q["query_text"], scope=q["scope"])
+        rb = rebuilt.facets(q["query_text"], scope=q["scope"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]

@@ -300,3 +300,51 @@ def test_prefix_mode_semantics(tiny_index):
     # no match / too short
     assert eng.search("zz", mode="prefix")["count"] == 0
     assert eng.search("z", mode="prefix")["error"] == "empty_query"
+
+
+def test_facets_vs_duckdb_oracle(engine, duck):
+    """Faceted matching-doc counts (grouped G6) == the SQL oracle's
+    role/tool groupings over the same matching semantics, per query."""
+    sql = oracle.facets_sql(oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, set] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["facet"], r["value"], r["n_docs"])
+        )
+    for q in QUERIES:
+        r = engine.facets(q["query_text"], scope=q["scope"])
+        assert r["result"], q
+        got = {
+            (row["facet"], row["value"], row["n_docs"])
+            for row in r["data"].to_pylist()
+        }
+        assert got == by_q.get(q["query_id"], set()), q["query_text"]
+
+
+def test_facets_semantics(engine):
+    q = QUERIES[3]["query_text"]  # ultra-hot single term
+    r = engine.facets(q)
+    tbl = r["data"].to_pylist()
+    # role facet counts partition the full matching set
+    role_total = sum(x["n_docs"] for x in tbl if x["facet"] == "role")
+    tool_total = sum(x["n_docs"] for x in tbl if x["facet"] == "tool")
+    assert role_total == r["count"] == tool_total
+    assert r["count"] == engine.search(q, limit=1)["count"]
+    # scoped facets only ever see that role
+    scoped = engine.facets(q, scope="user")
+    for row in scoped["data"].to_pylist():
+        if row["facet"] == "role":
+            assert row["value"] == "user"
+    assert scoped["count"] <= r["count"]
+    # conjunctive <= disjunctive, and equals the conjunctive search count
+    two = QUERIES[2]["query_text"]
+    conj = engine.facets(two, conjunctive=True)
+    disj = engine.facets(two)
+    assert conj["count"] <= disj["count"]
+    assert conj["count"] == engine.search(two, limit=1, conjunctive=True)["count"]
+    # reference error semantics
+    assert engine.facets("wqxqzq")["count"] == 0
+    assert engine.facets("wqxqzq")["data"].num_rows == 0
+    assert engine.facets("the and of")["error"] == "empty_query"
+    assert engine.facets("x", scope="nosuchrole")["error"] == "bad_scope"

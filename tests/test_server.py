@@ -107,3 +107,15 @@ def test_dashboard_page(served):
         assert "text/html" in r.headers["Content-Type"]
         body = r.read().decode()
     assert "ray-transcript-search" in body and "/api/search" in body
+
+
+def test_facets_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/facets?query={hot}")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert {"facet", "value", "n_docs"} <= set(got["data"][0])
+    role_total = sum(r["n_docs"] for r in got["data"] if r["facet"] == "role")
+    assert role_total == got["count"]
+    code2, scoped = _get(f"{base}/api/facets?query={hot}&site=user")
+    assert code2 == 200 and scoped["count"] <= got["count"]

@@ -343,6 +343,42 @@ def _search_pagination(sf_dir: str):
     return df
 
 
+def _search_exclude(sf_dir: str):
+    """NOT-term exclusion queries: BM25 top-k minus docs containing any
+    analyzed lemma of the query's exclude text (boolean NOT — the
+    filtering surface the reference's query language lacks)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.exclude_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            exclude=q["exclude_text"], conjunctive=q["conjunctive"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_facets(sf_dir: str):
     """Faceted result counts: per reference query, matching-doc counts
     grouped by role and by tool over the FULL matching set (the grouped
@@ -986,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "search_facets": _search_facets,
+        "search_exclude": _search_exclude,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -1083,6 +1120,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
+        "search_exclude": lambda: oracle.bm25_exclude_sql(
+            _corpus_src(), datagen.exclude_queries()
+        ),
         "search_pagination": lambda: oracle.bm25_page_sql(
             _corpus_src(),
             [dict(PAGE_QUERY, query_text=datagen.stem(0))],

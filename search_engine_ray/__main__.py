@@ -62,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="NEAR mode: max token-window width containing all query lemmas")
     s.add_argument("--min-match", type=int, default=None,
                    help="keep docs containing at least m distinct query lemmas")
+    s.add_argument("--exclude", default=None,
+                   help="NOT terms: drop docs containing any of these lemmas")
     s.add_argument("--snippets", action="store_true")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
@@ -141,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
             with_snippets=a.snippets,
             near_window=a.near_window,
             min_match=a.min_match,
+            exclude=a.exclude,
         )
         print(
             json.dumps(

@@ -440,3 +440,32 @@ def prefix_queries() -> list[dict]:
         {"query_id": f"x-{i:04d}", "query_text": t, "scope": s, "k": 10}
         for i, (t, s) in enumerate(q)
     ]
+
+
+def exclude_queries() -> list[dict]:
+    """NOT-term exclusion query set: positive terms (mid-frequency to
+    keep 6-dp rounded-score ties out of the comparison protocol, same
+    boundary the min-match set documents) minus various NOT sides —
+    rare, hot, absent (no-op), stopword-only (no-op), self (empties the
+    result), multi-term, scoped, and conjunctive-composed."""
+    q = [
+        (f"{stem(4000)}", f"{stem(0)}", None, False),          # minus the ultra-hot lemma
+        (f"{stem(120)} {stem(480)}", f"{stem(5200)}", None, False),  # minus a rare lemma
+        (f"{stem(300)}", "wqxqzq", None, False),               # absent NOT -> plain search
+        (f"{stem(301)}", "the and of", None, False),           # stopword NOT -> plain search
+        (f"{stem(777)}", f"{stem(777)}", None, False),         # self-exclusion -> empty
+        (f"{stem(10)} {stem(11)}", f"{stem(12)} {stem(13)}", None, False),  # multi NOT
+        (f"{stem(2048)}", f"{stem(1)}", "assistant", False),   # scoped + NOT
+        (f"{stem(50)} {stem(51)}", f"{stem(0)}ed", None, True),  # conjunctive + inflected NOT
+    ]
+    return [
+        {
+            "query_id": f"n-{i:04d}",
+            "query_text": t,
+            "exclude_text": x,
+            "scope": s,
+            "k": 10,
+            "conjunctive": c,
+        }
+        for i, (t, x, s, c) in enumerate(q)
+    ]

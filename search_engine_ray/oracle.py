@@ -336,6 +336,98 @@ FROM qmeta qm LEFT JOIN counts c USING (query_id)
 """
 
 
+def bm25_exclude_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """NOT-term exclusion oracle: standard BM25 top-k (same skeleton as
+    ``bm25_topk_sql``) minus docs containing ANY analyzed lemma of the
+    query's ``exclude_text`` (``NOT EXISTS`` over the postings — an
+    exclude lemma absent from the corpus excludes nothing, mirroring the
+    engine's no-op semantics for missing NOT terms). Per-query
+    ``conjunctive`` composes via a match-count floor (``need`` =
+    n_terms, else 1)."""
+    metas, lrows, xrows = [], [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        need = len(lemmas) if q.get("conjunctive") else 1
+        metas.append(f"({qid}, {scope}, {q['k']}, {len(lemmas)}, {need})")
+        for lem in lemmas:
+            lrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+        for lem in dict.fromkeys(analyzer.analyze_query(q.get("exclude_text") or "")):
+            xrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+    qmeta = (
+        "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, n_terms, need)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lrows) + ") ql(query_id, lemma)"
+        if lrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    qexcl = (
+        "(VALUES " + ", ".join(xrows) + ") qx(query_id, lemma)"
+        if xrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) qx"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qexcl AS (SELECT * FROM {qexcl}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.need
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE (q.scope IS NULL OR r.role = q.scope)
+      AND NOT EXISTS (
+          SELECT 1 FROM qexcl x
+          JOIN __postings e ON e.lemma = x.lemma
+              AND e.conv_id = p.conv_id AND e.turn_idx = p.turn_idx
+          WHERE x.query_id = q.query_id
+      )
+    GROUP BY q.query_id, p.conv_id, p.turn_idx, q.need
+    HAVING count(*) >= q.need
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def facets_sql(src: str, queries: list[dict]) -> str:
     """Faceted result counts: per query, matching-doc counts grouped by
     role and by tool (empty string = no tool) — the grouped

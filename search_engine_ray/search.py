@@ -1171,6 +1171,37 @@ class SearchEngine:
             return int(len(inter))
         return self._union_count(parts)
 
+    # ---------------- NOT-term exclusion --------------------------------
+
+    def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
+        """Sorted unique docids containing ANY lemma of ``exclude_text``
+        (the NOT side of a boolean query). None = exclusion analyzes to
+        nothing (pure stopwords/punct) and the query runs unmodified;
+        lemmas absent from the corpus exclude nothing (no reference
+        missing-lemma semantics here — NOT of an absent term is a no-op,
+        mirroring the SQL ``NOT EXISTS``). Gaps-only decode (tf/dl varint
+        passes skipped), same cost shape as scoring the excluded terms."""
+        lemmas = self._analyzer.analyze_query(exclude_text)
+        if not lemmas:
+            return None
+        present = [
+            lem
+            for lem in dict.fromkeys(lemmas)
+            if self._df_of(lem) is not None
+            or (self._has_deltas and lem in self._delta_lemma)
+        ]
+        if not present:
+            return np.empty(0, np.int64)
+        blocks = self._term_blocks(present)
+        parts = [
+            self._decode_term_docids(blocks[lem], blocks[lem].setdefault("chunks", {}))
+            for lem in present
+        ]
+        allv = np.concatenate(parts)
+        if not len(allv):
+            return allv
+        return np.unique(allv)
+
     # ---------------- faceted result counts -----------------------------
 
     def _code_pairs(self) -> list[tuple[str, str]]:
@@ -1653,11 +1684,18 @@ class SearchEngine:
         with_snippets: bool = False,
         near_window: int = 8,
         min_match: int | None = None,
+        exclude: str | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
         ``data`` columns: (conv_id, turn_idx, role, tool, ts, score
         [, snippet]). ``scope`` is a role value or ``"tool:<name>"``.
+        ``exclude`` is NOT-term text: docs containing ANY of its analyzed
+        lemmas are dropped from the result set (and the exact count)
+        BEFORE top-k — supported for the bm25 mode (composes with
+        ``conjunctive``/``min_match``; like min_match it routes through
+        the exhaustive scorer: threading an exclusion mask into block-max
+        candidate windows is out of scope for a filtering surface).
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
@@ -1732,14 +1770,21 @@ class SearchEngine:
             if scorer is None:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
-        elif min_match is not None:
-            # minimum-should-match routes through the exhaustive scorer
-            # (block-max pruning with an msm floor would need per-window
-            # per-term presence bounds — out of scope; msm queries are a
-            # filtering surface, not the hot path)
-            if not 1 <= min_match <= len(terms):
+        elif min_match is not None or exclude is not None:
+            # minimum-should-match / NOT-exclusion route through the
+            # exhaustive scorer (block-max pruning with an msm floor or
+            # an exclusion mask would need per-window per-term presence
+            # bounds — out of scope; these are filtering surfaces, not
+            # the hot path)
+            if min_match is not None and not 1 <= min_match <= len(terms):
                 return self._resp(count=0) if min_match > len(terms) else self._resp(error="bad_min_match")
-            ids, scores = self.score_exhaustive(terms, scope, min_match=min_match)
+            ids, scores = self.score_exhaustive(
+                terms, scope, conjunctive, min_match=min_match
+            )
+            excl = self._exclusion_docids(exclude) if exclude is not None else None
+            if excl is not None and len(excl) and len(ids):
+                keep = ~np.isin(ids, excl, assume_unique=False)
+                ids, scores = ids[keep], scores[keep]
             count = len(ids)
             ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":

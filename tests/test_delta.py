@@ -244,3 +244,19 @@ def test_delta_facets_identical_to_rebuild(delta_env):
         assert ra["result"] == rb["result"], q["query_id"]
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
+def test_delta_exclude_identical_to_rebuild(delta_env):
+    """NOT-term exclusion folds through the overlay exactly: the
+    exclusion docid set is decoded from the same tombstone-masked,
+    delta-merged blocks as scoring."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.exclude_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]

@@ -348,3 +348,39 @@ def test_facets_semantics(engine):
     assert engine.facets("wqxqzq")["data"].num_rows == 0
     assert engine.facets("the and of")["error"] == "empty_query"
     assert engine.facets("x", scope="nosuchrole")["error"] == "bad_scope"
+
+
+def test_exclude_semantics(engine):
+    hot, rare = datagen.stem(0), datagen.stem(4000)
+    plain = engine.search(rare, limit=1000)
+    # NOT of an absent/stopword-only term is a no-op
+    for noop in ("wqxqzq", "the and of !!!"):
+        r = engine.search(rare, limit=1000, exclude=noop)
+        assert r["count"] == plain["count"]
+        assert r["data"].equals(plain["data"])
+    # self-exclusion empties the result
+    assert engine.search(rare, exclude=rare)["count"] == 0
+    # excluded docs are exactly those containing the NOT lemma
+    exc = engine.search(rare, limit=1000, exclude=hot)
+    hot_ids = {
+        (r["conv_id"], r["turn_idx"])
+        for r in engine.search(hot, limit=100_000)["data"].to_pylist()
+    }
+    exc_ids = {(r["conv_id"], r["turn_idx"]) for r in exc["data"].to_pylist()}
+    plain_ids = {(r["conv_id"], r["turn_idx"]) for r in plain["data"].to_pylist()}
+    assert exc_ids == plain_ids - hot_ids
+    assert exc["count"] == plain["count"] - len(plain_ids & hot_ids)
+    # surviving rows keep their scores and relative order
+    kept = [r for r in plain["data"].to_pylist()
+            if (r["conv_id"], r["turn_idx"]) not in hot_ids]
+    got = exc["data"].to_pylist()
+    assert [(r["conv_id"], r["turn_idx"], r["score"]) for r in got] == [
+        (r["conv_id"], r["turn_idx"], r["score"]) for r in kept
+    ]
+    # composes with scope and conjunctive
+    sc = engine.search(rare, scope="user", limit=1000, exclude=hot)
+    assert sc["count"] <= exc["count"]
+    two = f"{datagen.stem(120)} {datagen.stem(480)}"
+    cj = engine.search(two, conjunctive=True, limit=1000, exclude=hot)
+    dj = engine.search(two, limit=1000, exclude=hot)
+    assert cj["count"] <= dj["count"]

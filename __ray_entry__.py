@@ -379,6 +379,42 @@ def _search_exclude(sf_dir: str):
     return df
 
 
+def _search_ts_range(sf_dir: str):
+    """Timestamp-range-filtered BM25 queries: inclusive ts bounds applied
+    to the full matching set before the count and top-k (the 'recent
+    conversations' predicate a transcript corpus hits constantly)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.ts_range_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            ts_min=q["ts_min"], ts_max=q["ts_max"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_facets(sf_dir: str):
     """Faceted result counts: per reference query, matching-doc counts
     grouped by role and by tool over the FULL matching set (the grouped
@@ -1023,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pagination": _search_pagination,
         "search_facets": _search_facets,
         "search_exclude": _search_exclude,
+        "search_ts_range": _search_ts_range,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -1122,6 +1159,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_exclude": lambda: oracle.bm25_exclude_sql(
             _corpus_src(), datagen.exclude_queries()
+        ),
+        "search_ts_range": lambda: oracle.bm25_ts_range_sql(
+            _corpus_src(), datagen.ts_range_queries()
         ),
         "search_pagination": lambda: oracle.bm25_page_sql(
             _corpus_src(),

@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep docs containing at least m distinct query lemmas")
     s.add_argument("--exclude", default=None,
                    help="NOT terms: drop docs containing any of these lemmas")
+    s.add_argument("--ts-min", default=None,
+                   help="inclusive ISO-8601 lower bound on the turn ts")
+    s.add_argument("--ts-max", default=None,
+                   help="inclusive ISO-8601 upper bound on the turn ts")
     s.add_argument("--snippets", action="store_true")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
@@ -144,6 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             near_window=a.near_window,
             min_match=a.min_match,
             exclude=a.exclude,
+            ts_min=a.ts_min,
+            ts_max=a.ts_max,
         )
         print(
             json.dumps(

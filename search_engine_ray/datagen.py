@@ -469,3 +469,31 @@ def exclude_queries() -> list[dict]:
         }
         for i, (t, x, s, c) in enumerate(q)
     ]
+
+
+def ts_range_queries() -> list[dict]:
+    """Timestamp-range query set over the corpus's deterministic ts
+    layout (``ts = TS_BASE + conv_num*1h + turn_idx*1min``, TS_BASE =
+    2026-01-01T00:00:00 naive UTC): bounded windows, one-sided bounds,
+    an everything-window (== plain search), and a pre-corpus window
+    (empty). ISO strings are interpreted naive-UTC by BOTH engines."""
+    q = [
+        (f"{stem(0)}", None, "2026-01-01T05:00:00", "2026-01-02T16:00:00"),
+        (f"{stem(4000)}", None, "2026-01-01T00:00:00", None),   # everything
+        (f"{stem(120)} {stem(480)}", None, None, "2026-01-03T00:00:00"),  # max only
+        (f"{stem(300)}", None, "2026-01-02T00:00:00", None),    # min only
+        (f"{stem(0)}", "user", "2026-01-01T03:00:00", "2026-01-04T00:00:00"),  # scoped
+        (f"{stem(777)}", None, "2025-01-01T00:00:00", "2025-12-31T00:00:00"),  # pre-corpus -> empty
+        (f"{stem(10)} {stem(11)}", None, "2026-01-01T07:30:00", "2026-01-02T02:15:30"),  # sub-minute bound
+    ]
+    return [
+        {
+            "query_id": f"t-{i:04d}",
+            "query_text": t,
+            "scope": s,
+            "k": 10,
+            "ts_min": lo,
+            "ts_max": hi,
+        }
+        for i, (t, s, lo, hi) in enumerate(q)
+    ]

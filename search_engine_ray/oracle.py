@@ -428,6 +428,84 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_ts_range_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Timestamp-range-filtered BM25 top-k oracle: the standard skeleton
+    with per-query INCLUSIVE ts bounds (NULL bound = unbounded side).
+    The engine interprets the same ISO strings as naive-UTC epoch-µs, so
+    the predicate is bit-identical on both sides."""
+    metas, lrows = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        lo = "NULL" if q.get("ts_min") is None else f"TIMESTAMP '{q['ts_min']}'"
+        hi = "NULL" if q.get("ts_max") is None else f"TIMESTAMP '{q['ts_max']}'"
+        metas.append(f"({qid}, {scope}, {q['k']}, {len(lemmas)}, {lo}, {hi})")
+        for lem in lemmas:
+            lrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, scope, k, n_terms, ts_min, ts_max)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lrows) + ") ql(query_id, lemma)"
+        if lrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (SELECT conv_id, turn_idx, role, ts FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.ts_min, qm.ts_max
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE (q.scope IS NULL OR r.role = q.scope)
+      AND (q.ts_min IS NULL OR r.ts >= q.ts_min)
+      AND (q.ts_max IS NULL OR r.ts <= q.ts_max)
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def facets_sql(src: str, queries: list[dict]) -> str:
     """Faceted result counts: per query, matching-doc counts grouped by
     role and by tool (empty string = no tool) — the grouped

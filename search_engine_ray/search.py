@@ -1171,6 +1171,53 @@ class SearchEngine:
             return int(len(inter))
         return self._union_count(parts)
 
+    # ---------------- timestamp-range filter ----------------------------
+
+    @staticmethod
+    def _ts_us(v) -> int | None:
+        """Normalize a ts bound to int64 epoch microseconds: int passes
+        through, ISO-8601 strings and datetimes are interpreted as UTC
+        when naive (the corpus ts column is tz-naive UTC)."""
+        if v is None:
+            return None
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        from datetime import datetime, timezone
+
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+
+    def _ts_of_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Epoch-µs ts per (live) docid, vectorized. Below the enrichment
+        point-read threshold this is a searchsorted against the preloaded
+        forward index (which already folds the delta overlay); above it,
+        a row-group-pruned (docid, ts) column read of the docid-sorted
+        doc store bounded by the matched docid range — 16 B/doc of IO,
+        never the whole store. At 10^12 docs a standing time predicate
+        should instead ride the BUILD as a partition key (date-sharded
+        index segments pruned at plan time); this engine-side filter is
+        the exact generic fallback."""
+        if not len(ids):
+            return np.empty(0, np.int64)
+        if self._has_deltas or self.n_docs <= self._POINT_READ_MIN_DOCS:
+            fwd = self._forward()
+            docids, ts = fwd[0], fwd[6]
+            pos = np.searchsorted(docids, ids)
+            return ts[pos]
+        lo, hi = int(ids.min()), int(ids.max())
+        t = pq.read_table(
+            build_mod.docs_dir(self.out_dir),
+            columns=["docid", "ts"],
+            filters=[("docid", ">=", lo), ("docid", "<=", hi)],
+        )
+        docids = t.column("docid").to_numpy()
+        ts = t.column("ts").combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(docids, ids)
+        return ts[pos]
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -1685,6 +1732,8 @@ class SearchEngine:
         near_window: int = 8,
         min_match: int | None = None,
         exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -1696,6 +1745,10 @@ class SearchEngine:
         ``conjunctive``/``min_match``; like min_match it routes through
         the exhaustive scorer: threading an exclusion mask into block-max
         candidate windows is out of scope for a filtering surface).
+        ``ts_min``/``ts_max`` (int epoch-µs, ISO-8601 string, or
+        datetime; INCLUSIVE bounds, SQL ``BETWEEN`` semantics) keep only
+        turns whose ``ts`` falls in the range — same exhaustive routing,
+        applied to the full matching set before the count and top-k.
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
@@ -1770,12 +1823,12 @@ class SearchEngine:
             if scorer is None:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
-        elif min_match is not None or exclude is not None:
-            # minimum-should-match / NOT-exclusion route through the
-            # exhaustive scorer (block-max pruning with an msm floor or
-            # an exclusion mask would need per-window per-term presence
-            # bounds — out of scope; these are filtering surfaces, not
-            # the hot path)
+        elif min_match is not None or exclude is not None or ts_min is not None or ts_max is not None:
+            # minimum-should-match / NOT-exclusion / ts-range route
+            # through the exhaustive scorer (block-max pruning with an
+            # msm floor or a filter mask would need per-window per-term
+            # presence bounds — out of scope; these are filtering
+            # surfaces, not the hot path)
             if min_match is not None and not 1 <= min_match <= len(terms):
                 return self._resp(count=0) if min_match > len(terms) else self._resp(error="bad_min_match")
             ids, scores = self.score_exhaustive(
@@ -1785,6 +1838,14 @@ class SearchEngine:
             if excl is not None and len(excl) and len(ids):
                 keep = ~np.isin(ids, excl, assume_unique=False)
                 ids, scores = ids[keep], scores[keep]
+            if (ts_min is not None or ts_max is not None) and len(ids):
+                tss = self._ts_of_ids(ids)
+                m = np.ones(len(ids), bool)
+                if ts_min is not None:
+                    m &= tss >= self._ts_us(ts_min)
+                if ts_max is not None:
+                    m &= tss <= self._ts_us(ts_max)
+                ids, scores = ids[m], scores[m]
             count = len(ids)
             ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":

@@ -140,6 +140,8 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
                     near_window=int((q.get("window") or ["8"])[0]),
                     exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -260,3 +260,18 @@ def test_delta_exclude_identical_to_rebuild(delta_env):
         assert ra["result"] == rb["result"], q["query_id"]
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
+def test_delta_ts_range_identical_to_rebuild(delta_env):
+    """The ts filter reads the overlay-folded forward index when deltas
+    exist (delta rows win, tombstoned rows dropped) — pinned identical
+    to a fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.ts_range_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            ts_min=q["ts_min"], ts_max=q["ts_max"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            ts_min=q["ts_min"], ts_max=q["ts_max"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]

@@ -384,3 +384,57 @@ def test_exclude_semantics(engine):
     cj = engine.search(two, conjunctive=True, limit=1000, exclude=hot)
     dj = engine.search(two, limit=1000, exclude=hot)
     assert cj["count"] <= dj["count"]
+
+
+def test_ts_range_semantics(engine):
+    hot = datagen.stem(0)
+    plain = engine.search(hot, limit=100_000)
+    # everything-window == plain search
+    allw = engine.search(hot, limit=100_000, ts_min="2026-01-01T00:00:00")
+    assert allw["count"] == plain["count"] and allw["data"].equals(plain["data"])
+    # pre-corpus window -> empty
+    assert engine.search(hot, ts_max="2025-12-31T00:00:00")["count"] == 0
+    # bounded window: every surviving row's ts falls inside (inclusive)
+    import datetime as dt
+
+    lo, hi = "2026-01-01T05:00:00", "2026-01-02T16:00:00"
+    win = engine.search(hot, limit=100_000, ts_min=lo, ts_max=hi)
+    lo_dt = dt.datetime.fromisoformat(lo)
+    hi_dt = dt.datetime.fromisoformat(hi)
+    for row in win["data"].to_pylist():
+        assert lo_dt <= row["ts"] <= hi_dt
+    assert 0 < win["count"] < plain["count"]
+    # the window is exactly the plain rows whose ts is inside
+    keep = [
+        r for r in plain["data"].to_pylist() if lo_dt <= r["ts"] <= hi_dt
+    ]
+    got = win["data"].to_pylist()
+    assert [(r["conv_id"], r["turn_idx"], r["score"]) for r in got] == [
+        (r["conv_id"], r["turn_idx"], r["score"]) for r in keep
+    ]
+    # int epoch-µs bounds behave identically to their ISO forms
+    lo_us = int(lo_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    hi_us = int(hi_dt.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    win2 = engine.search(hot, limit=100_000, ts_min=lo_us, ts_max=hi_us)
+    assert win2["count"] == win["count"] and win2["data"].equals(win["data"])
+    # composes with exclusion
+    both = engine.search(
+        hot, limit=100_000, ts_min=lo, ts_max=hi, exclude=datagen.stem(1)
+    )
+    assert both["count"] <= win["count"]
+
+
+def test_ts_range_point_read_path_identical(tiny_index):
+    """Above the point-read threshold the ts filter switches to a
+    row-group-pruned (docid, ts) read of the doc store; pinned equal to
+    the preloaded-forward-index path."""
+    a = SearchEngine(tiny_index["out_dir"])
+    b = SearchEngine(tiny_index["out_dir"])
+    b._POINT_READ_MIN_DOCS = 0  # force the pruned-read path
+    for q in datagen.ts_range_queries():
+        ra = a.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                      ts_min=q["ts_min"], ts_max=q["ts_max"])
+        rb = b.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                      ts_min=q["ts_min"], ts_max=q["ts_max"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]

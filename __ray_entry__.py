@@ -732,6 +732,46 @@ def _knn_filtered(sf_dir: str):
     return similarity.knn_filtered(_embeddings_ds(sf_dir))
 
 
+KMEANS_K = 8
+
+
+def _cluster_assign(sf_dir: str):
+    """Max-cosine cluster assignment against the deterministic seed
+    centroids (the id-sorted first k vectors) — the one step of k-means
+    that is bit-comparable across engines, so it carries an exact
+    oracle; the full distributed Lloyd's fit is pinned by pytest
+    (float mean summation order is engine-specific by nature)."""
+    from search_engine_ray.functions import similarity
+
+    ds = _embeddings_ds(sf_dir)
+    cents = similarity.seed_centroids(ds, KMEANS_K)
+    return similarity.kmeans_assign(ds, cents)
+
+
+def _cluster_kmeans(sf_dir: str):
+    """Full distributed spherical k-means (Lloyd's over the whole
+    corpus, per-batch kxd partial sums) -> per-cluster sizes. Rows-only
+    driver check by design: converged centroids depend on float64 mean
+    summation order; the fit's invariants (monotone objective, fixpoint
+    assignment, parity with a driver-side reference run) are pinned in
+    tests/test_functions.py."""
+    import pandas as pd
+
+    from search_engine_ray.functions import similarity
+
+    ds = _embeddings_ds(sf_dir)
+    cents, _obj = similarity.kmeans_fit(ds, k=KMEANS_K, iters=4)
+    a = similarity.kmeans_assign(ds, cents).to_pandas()
+    out = (
+        a.groupby("cluster", as_index=False)
+        .agg(n=("vec_id", "size"), mean_cos=("cosine", "mean"))
+        .sort_values("cluster")
+    )
+    out["n"] = out["n"].astype("int64")
+    out["mean_cos"] = out["mean_cos"].round(4)
+    return out
+
+
 def _text_token_counts(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -1079,6 +1119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
         "knn_filtered": _knn_filtered,
+        "cluster_assign": _cluster_assign,
+        "cluster_kmeans": _cluster_kmeans,
         "pipeline_corpus_prep": _pipeline_corpus_prep,
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
@@ -1214,6 +1256,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # exhaustive cosine top-k — same oracle as knn_bruteforce
         "knn_ivf_full_probe": lambda: similarity_mod.knn_bruteforce_sql("embeddings"),
         "knn_filtered": lambda: similarity_mod.knn_filtered_sql("embeddings"),
+        # seed-centroid assignment is the bit-comparable k-means step
+        # (cluster_kmeans itself is rows-only: converged centroids
+        # depend on float64 mean summation order)
+        "cluster_assign": lambda: similarity_mod.kmeans_assign_sql(
+            "embeddings", KMEANS_K
+        ),
         # the composed cleaning pipeline (quality gate -> exact dedup ->
         # near-dup cluster collapse -> split assignment) checked
         # END-TO-END against the composition of its stage oracles

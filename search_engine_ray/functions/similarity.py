@@ -448,3 +448,156 @@ SELECT query_id, CAST(rank AS INT) AS rank, {id_col} AS neighbor_id,
        round(cos, 6) AS cosine
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (spherical / cosine geometry) — the clustering
+# primitive for embedding-space curation (SemDeDup-style cells, topic
+# bucketing, stratified curation). train_centroids above fits on a
+# driver-side SAMPLE (the IVF coarse quantizer); kmeans_fit runs Lloyd's
+# over the FULL corpus: one map pass per iteration emitting k x d partial
+# sums per batch — nothing corpus-sized ever reaches the driver.
+# ---------------------------------------------------------------------------
+
+def seed_centroids(
+    ds: rd.Dataset, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic initial centroids: the id-sorted first ``k``
+    vectors, L2-normalized. SQL-expressible (``WHERE id < k``), so
+    assignment against these seeds has an exact DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    q = ds.map_batches(
+        lambda b: b.filter(pc.less(b.column(id_col), k)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    return _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+
+
+def kmeans_assign(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Assign every vector to its max-cosine centroid (ties -> lowest
+    cluster id, matching ``row_number() OVER (ORDER BY cos DESC,
+    cluster)``). Pure map: centroids broadcast once (ray.put), each
+    batch is one (nb x d) @ (d x k) matmul — zero shuffles, streams at
+    any corpus size. -> Dataset(id, cluster:int32, cosine:round6)."""
+    cref = ray.put(_normalize(np.asarray(centroids, np.float64)))
+
+    class Assign:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            sims = mat @ self.cents.T  # (nb, k)
+            cl = np.argmax(sims, axis=1)  # first max == lowest cluster id
+            cos = sims[np.arange(len(cl)), cl]
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster": pa.array(cl.astype(np.int32), pa.int32()),
+                    "cosine": pa.array(np.round(cos, 6), pa.float64()),
+                }
+            )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    )
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    k: int = 8,
+    iters: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[float]]:
+    """Distributed spherical k-means (Lloyd's) over the FULL embedding
+    column. Init = :func:`seed_centroids` (deterministic). Each
+    iteration is ONE ``map_batches`` pass: a batch assigns its vectors
+    (argmax cosine) and emits per-cluster partials (count, float64
+    sum-vector, cosine mass, batch min id) — k rows x d floats per
+    batch, never the corpus. The driver combines partials in sorted
+    (cluster, min_id) order so the float64 reduction order is
+    deterministic at any block layout; empty clusters keep their
+    previous centroid; new centroids are re-normalized (spherical
+    k-means — the objective Σ cos(x, c_assigned) is non-decreasing
+    under these updates). Returns (centroids, per-iteration objective).
+    At 10^12 vectors: iters map passes, k x d driver state — the same
+    shape Meta's SemDeDup pipeline uses for its cluster step."""
+    cents = seed_centroids(ds, k, id_col, vec_col)
+    objective: list[float] = []
+    src = ds.select_columns([id_col, vec_col])
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        class Partials:
+            def __init__(self):
+                self.cents = ray.get(cref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                mat = _normalize(
+                    np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+                )
+                sims = mat @ self.cents.T
+                cl = np.argmax(sims, axis=1)
+                cos = sims[np.arange(len(cl)), cl]
+                rows_c, rows_n, rows_v, rows_m, rows_s = [], [], [], [], []
+                for j in np.unique(cl):
+                    m = cl == j
+                    rows_c.append(int(j))
+                    rows_n.append(int(m.sum()))
+                    rows_v.append(mat[m].sum(axis=0).tolist())
+                    rows_m.append(int(ids[m].min()))
+                    rows_s.append(float(cos[m].sum()))
+                return pa.table(
+                    {
+                        "cluster": pa.array(rows_c, pa.int32()),
+                        "n": pa.array(rows_n, pa.int64()),
+                        "vsum": pa.array(rows_v, pa.list_(pa.float64())),
+                        "min_id": pa.array(rows_m, pa.int64()),
+                        "cos_sum": pa.array(rows_s, pa.float64()),
+                    }
+                )
+
+        parts = src.map_batches(
+            Partials, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        ).to_pandas().sort_values(["cluster", "min_id"])
+        objective.append(float(parts["cos_sum"].to_numpy().sum()))
+        new = cents.copy()
+        for j, g in parts.groupby("cluster"):
+            vs = np.stack(g["vsum"].to_numpy())
+            new[int(j)] = vs.sum(axis=0) / g["n"].to_numpy().sum()
+        cents = _normalize(new)
+    return cents, objective
+
+
+def kmeans_assign_sql(
+    src: str, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle for :func:`kmeans_assign` over :func:`seed_centroids`
+    (centroids = the ``id < k`` vectors; list_cosine_similarity is
+    normalization-invariant, so raw vectors give the same cosines)."""
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+c AS (SELECT {id_col} AS cluster, v AS cv FROM e WHERE {id_col} < {k}),
+s AS (
+    SELECT e.{id_col}, c.cluster, list_cosine_similarity(c.cv, e.v) AS cos
+    FROM e CROSS JOIN c
+),
+ranked AS (
+    SELECT {id_col}, cluster, cos,
+           row_number() OVER (
+               PARTITION BY {id_col} ORDER BY cos DESC, cluster
+           ) AS rn
+    FROM s
+)
+SELECT {id_col}, CAST(cluster AS INT) AS cluster, round(cos, 6) AS cosine
+FROM ranked WHERE rn = 1
+"""

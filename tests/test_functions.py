@@ -844,3 +844,61 @@ def test_repetition_features_crafted_and_oracle(docs_ds, fduck):
     assert got.num_rows == docs_ds.count()
     # the Zipfian corpus has real repetition to exercise the signal
     assert max(got["dup_ngram_ratio"].to_pylist()) > 0
+
+
+# --------------------------- k-means clustering ---------------------------
+
+
+def test_kmeans_assign_matches_oracle(emb_ds, fduck):
+    from search_engine_ray.functions import similarity
+
+    cents = similarity.seed_centroids(emb_ds, 4)
+    got = similarity.kmeans_assign(emb_ds, cents).to_pandas()
+    exp = fduck.execute(
+        similarity.kmeans_assign_sql("embeddings", 4)
+    ).fetch_df()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    exp = exp.sort_values("vec_id").reset_index(drop=True)
+    assert (got["vec_id"] == exp["vec_id"]).all()
+    assert (got["cluster"].astype("int64") == exp["cluster"].astype("int64")).all()
+    assert np.allclose(got["cosine"], exp["cosine"], atol=2e-6)
+
+
+def test_kmeans_fit_invariants(emb_ds):
+    """Distributed Lloyd's: (1) the spherical objective is monotonically
+    non-decreasing across iterations; (2) the distributed fit matches a
+    driver-side numpy reference with the same seed-centroid init (the
+    corpus is small enough to hold, so the partial-sum machinery itself
+    is what's under test); (3) the returned centroids are a fixpoint for
+    assignment (re-assigning against them reproduces the last
+    iteration's assignment)."""
+    from search_engine_ray.functions import similarity
+    from search_engine_ray.functions.similarity import _normalize
+
+    k, iters = 4, 5
+    cents, obj = similarity.kmeans_fit(emb_ds, k=k, iters=iters)
+    assert len(obj) == iters
+    assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:])), obj
+
+    # driver-side reference run (same init, exact means)
+    df = emb_ds.to_pandas().sort_values("vec_id")
+    x = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    c = x[:k].copy()
+    for _ in range(iters):
+        a = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    # same assignment (argmax gaps dwarf float64 summation-order drift)
+    got = np.argmax(x @ cents.T, axis=1)
+    ref = np.argmax(x @ c.T, axis=1)
+    assert (got == ref).all()
+    assert np.allclose(cents, c, atol=1e-9)
+
+    # fixpoint: one more assignment pass against the returned centroids
+    # is exactly what kmeans_assign computes
+    assigned = similarity.kmeans_assign(emb_ds, cents).to_pandas().sort_values("vec_id")
+    assert (assigned["cluster"].to_numpy() == got).all()
+    assert len(set(assigned["cluster"])) > 1  # corpus isn't degenerate

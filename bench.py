@@ -132,6 +132,34 @@ def run_bench() -> dict:
     phrase_s = time.monotonic() - t0
     phrase_p95_ms = min(phrase_p95)
 
+    # filtering-surface latency (NOT exclusion / ts-range / facets — the
+    # exhaustive-scorer-routed query families), same 3-round best-of
+    # protocol. These decode full posting lists by design, so their p95
+    # sits above the block-max term p95.
+    fset = []
+    for q in datagen.exclude_queries():
+        fset.append(lambda e, q=q: e.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            exclude=q["exclude_text"], conjunctive=q["conjunctive"]))
+    for q in datagen.ts_range_queries():
+        fset.append(lambda e, q=q: e.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            ts_min=q["ts_min"], ts_max=q["ts_max"]))
+    for q in qset[:8]:
+        fset.append(lambda e, q=q: e.facets(q["query_text"], scope=q["scope"]))
+    filter_p95: list[float] = []
+    t0 = time.monotonic()
+    for _round in range(3):
+        lat = []
+        for fn in fset:
+            tq = time.monotonic()
+            fn(eng)
+            lat.append(time.monotonic() - tq)
+        lat.sort()
+        filter_p95.append(lat[int(0.95 * (len(lat) - 1))] * 1000)
+    filter_s = time.monotonic() - t0
+    filter_p95_ms = min(filter_p95)
+
     # Compaction micro-bench (LSM fold of one delta generation, minor =
     # shuffle-free segment merge): measured off the headline value, only
     # at small sf so --scaling legs stay pure build measurements.
@@ -176,7 +204,7 @@ def run_bench() -> dict:
         def _timed(name, fn):
             t = time.monotonic()
             r = fn()
-            if hasattr(r, "count"):
+            if isinstance(r, rd.Dataset):
                 r.count()  # drive the lazy pipeline to completion
             ops_s[name] = round(time.monotonic() - t, 3)
 
@@ -193,6 +221,13 @@ def run_bench() -> dict:
             "ops_knn_bruteforce",
             lambda: sim_mod.knn_bruteforce(
                 read_clean_parquet(f"{tables_dir}/embeddings.parquet")
+            ),
+        )
+        _timed(
+            "ops_kmeans_fit",
+            lambda: sim_mod.kmeans_fit(
+                read_clean_parquet(f"{tables_dir}/embeddings.parquet"),
+                k=8, iters=2,
             ),
         )
         _timed(
@@ -220,6 +255,7 @@ def run_bench() -> dict:
             "stage_d_dict": manifest["timings"]["stage_d_s"],
             "query_set_3x": round(query_s, 3),
             "phrase_set_3x": round(phrase_s, 3),
+            "filter_set_3x": round(filter_s, 3),
             **({"compact_minor": compact_s} if compact_s is not None else {}),
             **ops_s,
         },
@@ -229,6 +265,7 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_turns / build_s, 1),
         "query_p95_ms": round(p95_ms, 1),
         "phrase_p95_ms": round(phrase_p95_ms, 1),
+        "filter_p95_ms": round(filter_p95_ms, 1),
         "build_samples": build_samples,
     }
     ray.shutdown()

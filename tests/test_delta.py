@@ -134,6 +134,58 @@ def test_delta_avgdl_growth_rank_identical(delta_env, tiny_corpus):
     _compare_engines(overlay, rebuilt)
 
 
+
+# NOTE: the three *_identical_to_rebuild tests below (and the two
+# above) compare the SHARED delta_env overlay against its generation-1
+# rebuild, so they must run BEFORE test_second_generation_wins /
+# test_delta_novel_scope_values, which append further generations to
+# the same base_out (the module is intentionally sequential: later
+# tests exercise multi-generation state).
+def test_delta_facets_identical_to_rebuild(delta_env):
+    """Faceted counts fold through the overlay exactly: per-posting
+    scope codes of delta postings (synthetic blocks, scps=None decode
+    fallback) and tombstone-masked base postings group identically to a
+    fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.reference_queries():
+        ra = overlay.facets(q["query_text"], scope=q["scope"])
+        rb = rebuilt.facets(q["query_text"], scope=q["scope"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
+def test_delta_exclude_identical_to_rebuild(delta_env):
+    """NOT-term exclusion folds through the overlay exactly: the
+    exclusion docid set is decoded from the same tombstone-masked,
+    delta-merged blocks as scoring."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.exclude_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
+def test_delta_ts_range_identical_to_rebuild(delta_env):
+    """The ts filter reads the overlay-folded forward index when deltas
+    exist (delta rows win, tombstoned rows dropped) — pinned identical
+    to a fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.ts_range_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            ts_min=q["ts_min"], ts_max=q["ts_max"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            ts_min=q["ts_min"], ts_max=q["ts_max"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
 def test_delta_turn_idx_out_of_range():
     import numpy as np
 
@@ -229,49 +281,3 @@ def test_delta_novel_scope_values(delta_env, tiny_corpus, tmp_path):
         rb = rebuilt.search(hot, scope=scope, limit=10)
         assert ra["count"] == rb["count"], scope
         assert ra["data"].equals(rb["data"]), scope
-
-
-def test_delta_facets_identical_to_rebuild(delta_env):
-    """Faceted counts fold through the overlay exactly: per-posting
-    scope codes of delta postings (synthetic blocks, scps=None decode
-    fallback) and tombstone-masked base postings group identically to a
-    fresh rebuild of the modified corpus."""
-    overlay = SearchEngine(delta_env["base_out"])
-    rebuilt = SearchEngine(delta_env["rebuilt_out"])
-    for q in datagen.reference_queries():
-        ra = overlay.facets(q["query_text"], scope=q["scope"])
-        rb = rebuilt.facets(q["query_text"], scope=q["scope"])
-        assert ra["result"] == rb["result"], q["query_id"]
-        assert ra["count"] == rb["count"], q["query_id"]
-        assert ra["data"].equals(rb["data"]), q["query_id"]
-
-
-def test_delta_exclude_identical_to_rebuild(delta_env):
-    """NOT-term exclusion folds through the overlay exactly: the
-    exclusion docid set is decoded from the same tombstone-masked,
-    delta-merged blocks as scoring."""
-    overlay = SearchEngine(delta_env["base_out"])
-    rebuilt = SearchEngine(delta_env["rebuilt_out"])
-    for q in datagen.exclude_queries():
-        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
-                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
-        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
-                            exclude=q["exclude_text"], conjunctive=q["conjunctive"])
-        assert ra["result"] == rb["result"], q["query_id"]
-        assert ra["count"] == rb["count"], q["query_id"]
-        assert ra["data"].equals(rb["data"]), q["query_id"]
-
-
-def test_delta_ts_range_identical_to_rebuild(delta_env):
-    """The ts filter reads the overlay-folded forward index when deltas
-    exist (delta rows win, tombstoned rows dropped) — pinned identical
-    to a fresh rebuild of the modified corpus."""
-    overlay = SearchEngine(delta_env["base_out"])
-    rebuilt = SearchEngine(delta_env["rebuilt_out"])
-    for q in datagen.ts_range_queries():
-        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
-                            ts_min=q["ts_min"], ts_max=q["ts_max"])
-        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
-                            ts_min=q["ts_min"], ts_max=q["ts_max"])
-        assert ra["count"] == rb["count"], q["query_id"]
-        assert ra["data"].equals(rb["data"]), q["query_id"]

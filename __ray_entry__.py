@@ -581,6 +581,46 @@ def _role_stats(sf_dir: str):
     return ds.groupby("role").aggregate(Count(alias_name="n_docs"))
 
 
+def _conv_stats(sf_dir: str):
+    """Per-conversation rollup (map-side combine -> ONE conv_id groupby
+    of group-sized partials): turn/tool counts, first/last ts, total
+    text characters."""
+    from search_engine_ray import datagen
+    from search_engine_ray.functions import aggregates
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    return aggregates.conv_stats(read_transcripts(datagen.transcripts_files(sf_dir)))
+
+
+def _role_top_lemmas(sf_dir: str):
+    """Grouped top-k: per-role top-10 lemmas by document frequency —
+    analyzer in the map, pre-counted (role, lemma) partials, one global
+    groupby, per-block partial top-k + tiny driver merge."""
+    from search_engine_ray import datagen
+    from search_engine_ray.functions import aggregates
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    return aggregates.role_top_lemmas(
+        read_transcripts(datagen.transcripts_files(sf_dir), columns=["role", "text"])
+    )
+
+
+def _doclen_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the documents' text length via a
+    value-counts histogram (the exact sibling of a quantile sketch —
+    shuffles |distinct lengths| rows, never the corpus)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.column_quantiles(
+        _documents_ds(sf_dir),
+        lambda b: pc.utf8_length(pc.fill_null(b.column("text"), "")).to_numpy(
+            zero_copy_only=False
+        ),
+    )
+
+
 def _transcripts_roundtrip(sf_dir: str):
     """Per-row invariant: the engine-read corpus, all columns."""
     from search_engine_ray import datagen
@@ -1100,6 +1140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": _search_facets,
         "search_exclude": _search_exclude,
         "search_ts_range": _search_ts_range,
+        "conv_stats": _conv_stats,
+        "role_top_lemmas": _role_top_lemmas,
+        "doclen_quantiles": _doclen_quantiles,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -1159,6 +1202,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     CORRECTNESS_r02.json came back ``{}``)."""
     from search_engine_ray import datagen, oracle
     from search_engine_ray.config import REFERENCE_DF_CUTOFF
+    from search_engine_ray.functions import aggregates as aggregates_mod
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import sampling as sampling_mod
     from search_engine_ray.pipelines import corpus_prep as corpus_prep_mod
@@ -1204,6 +1248,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_ts_range": lambda: oracle.bm25_ts_range_sql(
             _corpus_src(), datagen.ts_range_queries()
+        ),
+        "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
+        "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),
+        "doclen_quantiles": lambda: aggregates_mod.column_quantiles_sql(
+            "documents", "length(coalesce(text, ''))"
         ),
         "search_pagination": lambda: oracle.bm25_page_sql(
             _corpus_src(),

@@ -1,0 +1,266 @@
+"""Corpus-analytics aggregates: per-conversation rollups, per-role top
+lemmas (grouped top-k), and exact distributed quantiles of an integer
+expression. All three are the map-side-combine shape: a vectorized
+per-batch partial aggregate (Arrow ``group_by`` / ``value_counts``)
+shrinks each block to at-most-|groups| rows BEFORE the one global
+``groupby`` — the only shuffle ships group-sized partials, never rows.
+Reference analog: the statistics surface
+(``services/statistics/StatisticsServiceImpl.java:33-79``) exposes only
+global and per-site totals; these are its corpus-scale generalizations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+
+def conv_stats(ds: rd.Dataset) -> rd.Dataset:
+    """Per-conversation rollup over the transcripts table: turn count,
+    tool-call count, first/last ts, total text characters. One shuffle
+    of per-batch (conv_id, partials) rows; at 10^12 turns each block
+    contributes at most its distinct-conv count of rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        tool = pc.fill_null(batch.column("tool"), "")
+        t = pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "n_turns": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "n_tool_turns": pc.cast(pc.not_equal(tool, ""), pa.int64()),
+                "first_us": ts_us,
+                "last_us": ts_us,
+                "total_chars": pc.cast(
+                    pc.utf8_length(pc.fill_null(batch.column("text"), "")), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["conv_id"]).aggregate(
+            [
+                ("n_turns", "sum"),
+                ("n_tool_turns", "sum"),
+                ("first_us", "min"),
+                ("last_us", "max"),
+                ("total_chars", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["conv_id", "n_turns", "n_tool_turns", "first_us", "last_us", "total_chars"]
+        )
+
+    agg = (
+        ds.select_columns(["conv_id", "turn_idx", "role", "tool", "ts", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tool_turns", alias_name="n_tool_turns"),
+            Min("first_us", alias_name="first_us"),
+            Max("last_us", alias_name="last_us"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "n_turns": pc.cast(batch.column("n_turns"), pa.int64()),
+                "n_tool_turns": pc.cast(batch.column("n_tool_turns"), pa.int64()),
+                "first_ts": pc.cast(batch.column("first_us"), pa.timestamp("us")),
+                "last_ts": pc.cast(batch.column("last_us"), pa.timestamp("us")),
+                "total_chars": pc.cast(batch.column("total_chars"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_stats_sql(src: str) -> str:
+    """DuckDB oracle for :func:`conv_stats` (length() and utf8_length
+    both count codepoints)."""
+    return f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (WHERE tool IS NOT NULL AND tool != '') AS BIGINT)
+           AS n_tool_turns,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_chars
+FROM {src}
+GROUP BY conv_id
+"""
+
+
+def role_top_lemmas(ds: rd.Dataset, k: int = 10) -> pa.Table:
+    """Per-role top-k lemmas by document frequency (grouped top-k). The
+    analyzer runs in the map (same actor-memoized rule tables as the
+    index build), each batch emits pre-counted (role, lemma, df)
+    partials, ONE global groupby sums them, and per-block partial top-k
+    selection + a (k x #roles)-row driver merge avoids pulling the
+    vocab-sized grouped table to the driver. Tie-break (df DESC, lemma
+    ASC). -> pa.Table(role, rank, lemma, df)."""
+    from .. import analyzer
+
+    class Partial:
+        def __init__(self):
+            self.memo: dict[str, str] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            post_doc_idx, post_lemmas, _tf, _dl, _pos = analyzer.analyze_batch(
+                batch.column("text"), self.memo
+            )
+            roles = pc.fill_null(batch.column("role"), "").to_numpy(
+                zero_copy_only=False
+            )
+            t = pa.table(
+                {
+                    "role": pa.array(roles[post_doc_idx], pa.string()),
+                    "lemma": pa.array(post_lemmas, pa.string()),
+                    "df": pa.array(np.ones(len(post_lemmas), np.int64), pa.int64()),
+                }
+            )
+            g = t.group_by(["role", "lemma"]).aggregate([("df", "sum")])
+            return g.rename_columns(["role", "lemma", "df"])
+
+    grouped = (
+        ds.select_columns(["role", "text"])
+        .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        .groupby(["role", "lemma"])
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        roles = batch.column("role").to_numpy(zero_copy_only=False)
+        lemmas = batch.column("lemma").to_numpy(zero_copy_only=False)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = []
+        for r in np.unique(roles):
+            idx = np.flatnonzero(roles == r)
+            order = idx[np.lexsort((lemmas[idx], -df[idx]))[:k]]
+            keep.extend(order.tolist())
+        keep.sort()
+        return batch.take(pa.array(keep, pa.int64()))
+
+    parts = grouped.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for role, g in parts.groupby("role"):
+        g = g.sort_values(["df", "lemma"], ascending=[False, True]).head(k)
+        for rank, (_, r_) in enumerate(g.iterrows(), start=1):
+            rows.append((role, rank, r_["lemma"], int(r_["df"])))
+    rows.sort()
+    return pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], pa.string()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "lemma": pa.array([r[2] for r in rows], pa.string()),
+            "df": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def role_top_lemmas_sql(src: str, k: int = 10) -> str:
+    """DuckDB oracle for :func:`role_top_lemmas` (same analyzer CTEs)."""
+    from .. import analyzer
+
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+meta AS (SELECT conv_id, turn_idx, coalesce(role, '') AS role FROM {src}),
+per AS (
+    SELECT m.role, p.lemma, count(*) AS df
+    FROM __postings p
+    JOIN meta m ON m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
+    GROUP BY m.role, p.lemma
+),
+ranked AS (
+    SELECT role, lemma, df,
+           row_number() OVER (PARTITION BY role ORDER BY df DESC, lemma) AS rank
+    FROM per
+)
+SELECT role, CAST(rank AS INT) AS rank, lemma, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# quantile fractions as integer (num, den) pairs so the rank rule
+# rank = ceil(q * n) = (num*n + den - 1) // den is exact integer math in
+# BOTH engines (0.9 * n in float can straddle an integer boundary)
+DEFAULT_QUANTILES: tuple[tuple[int, int], ...] = (
+    (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)
+)
+
+
+def column_quantiles(
+    ds: rd.Dataset,
+    expr,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+) -> pa.Table:
+    """Exact distributed quantiles of a bounded-cardinality integer
+    expression via a value-counts histogram: each batch emits
+    (value, count) partials (``expr(batch) -> int array``), one global
+    groupby sums them, and the driver resolves quantiles from the
+    cumulative counts of the (small) distinct-value table. Quantile
+    rule: value at 1-based rank ``ceil(q*n)`` of the sorted multiset —
+    the classic discrete quantile, integer-exact on both engines.
+    -> pa.Table(q, value). At 10^12 rows the shuffled table is
+    |distinct values|, not |rows| — for unbounded-cardinality columns
+    bucket the expression first (this is the exact sibling of a t-digest
+    sketch, applicable whenever the value domain is small)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(expr(batch), np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("value")
+    )
+    vals = hist["value"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for num, den in quantiles:
+        out_q.append(num / den)
+        if n == 0:
+            out_v.append(None)
+            continue
+        rank = (num * n + den - 1) // den  # ceil(q*n), exact
+        out_v.append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def column_quantiles_sql(
+    src: str,
+    sql_expr: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB oracle for :func:`column_quantiles` — the same explicit
+    rank rule in integer math (NOT quantile_disc, whose positioning
+    convention differs)."""
+    qrows = ", ".join(f"({num}/{den}.0, {num}, {den})" for num, den in quantiles)
+    return f"""
+WITH vals AS (SELECT {sql_expr} AS v FROM {src}),
+counts AS (SELECT v, count(*) AS n FROM vals GROUP BY v),
+cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS c FROM counts),
+tot AS (SELECT count(*) AS n FROM vals),
+quants AS (SELECT * FROM (VALUES {qrows}) q(q, num, den))
+SELECT q.q AS q,
+       (SELECT min(v) FROM cum
+        WHERE c >= (q.num * t.n + q.den - 1) // q.den) AS value
+FROM quants q CROSS JOIN tot t
+"""

@@ -902,3 +902,55 @@ def test_kmeans_fit_invariants(emb_ds):
     assigned = similarity.kmeans_assign(emb_ds, cents).to_pandas().sort_values("vec_id")
     assert (assigned["cluster"].to_numpy() == got).all()
     assert len(set(assigned["cluster"])) > 1  # corpus isn't degenerate
+
+
+# --------------------------- corpus aggregates ----------------------------
+
+
+def test_column_quantiles_exact_rule():
+    """The rank rule (value at 1-based rank ceil(q*n)) on a crafted
+    multiset, checked against a direct sorted-array lookup, including
+    fractions whose float form straddles integer boundaries."""
+    from search_engine_ray.functions import aggregates
+
+    vals = np.repeat(np.arange(10, dtype=np.int64), [1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    rng = np.random.default_rng(3)
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    qs = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100), (1, 1))
+    got = aggregates.column_quantiles(
+        ds, lambda b: b.column("v").to_numpy(zero_copy_only=False), qs
+    ).to_pylist()
+    s = np.sort(vals)
+    n = len(s)
+    for row, (num, den) in zip(got, qs):
+        rank = (num * n + den - 1) // den
+        assert row["value"] == int(s[rank - 1]), (num, den)
+        assert row["q"] == num / den
+
+
+def test_conv_stats_invariants(tiny_corpus):
+    from search_engine_ray.functions import aggregates
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(tiny_corpus)
+    total = ds.count()
+    t = aggregates.conv_stats(ds).to_pandas()
+    assert int(t["n_turns"].sum()) == total
+    assert (t["n_tool_turns"] <= t["n_turns"]).all()
+    assert (t["first_ts"] <= t["last_ts"]).all()
+    assert t["conv_id"].is_unique
+
+
+def test_role_top_lemmas_shape(tiny_corpus):
+    from search_engine_ray.functions import aggregates
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    t = aggregates.role_top_lemmas(
+        read_transcripts(tiny_corpus, columns=["role", "text"]), k=5
+    ).to_pandas()
+    for role, g in t.groupby("role"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        df = g.sort_values("rank")["df"].to_numpy()
+        assert (df[:-1] >= df[1:]).all()
+        assert len(g) <= 5

@@ -96,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--out", required=True)
     fc.add_argument("--scope", default=None)
     fc.add_argument("--conjunctive", action="store_true")
+    fc.add_argument("--exclude", default=None)
+    fc.add_argument("--ts-min", default=None)
+    fc.add_argument("--ts-max", default=None)
 
     sg = sub.add_parser("suggest", help="did-you-mean term suggestions")
     sg.add_argument("term")
@@ -166,7 +169,8 @@ def main(argv: list[str] | None = None) -> int:
         from .search import SearchEngine
 
         resp = SearchEngine(a.out).facets(
-            a.query, scope=a.scope, conjunctive=a.conjunctive
+            a.query, scope=a.scope, conjunctive=a.conjunctive,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
         )
         print(
             json.dumps(

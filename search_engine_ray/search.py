@@ -1272,6 +1272,9 @@ class SearchEngine:
         query_text: str,
         scope: str | None = None,
         conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
     ) -> dict:
         """Faceted navigation over the reference's site-filter analog:
         per-role and per-tool document counts over the FULL matching set
@@ -1281,6 +1284,10 @@ class SearchEngine:
         the first posting seen for each unique doc carries its (role,
         tool); counts are a bincount over the dense code space and the
         code->value decode is O(#roles x #tools), never corpus-sized.
+        Composes with the other filtering surfaces: ``exclude`` NOT
+        terms and inclusive ``ts_min``/``ts_max`` bounds apply to the
+        matching set before grouping (pinned equal to the search-path
+        filters by test).
 
         -> {'result': bool, 'count': int (matching docs), 'data':
         pa.Table(facet, value, n_docs), 'error': str|None}. ``value`` ==
@@ -1315,9 +1322,24 @@ class SearchEngine:
         np.not_equal(sids[1:], sids[:-1], out=neq[1:])
         starts = np.flatnonzero(neq)
         codes = scs[order][starts]
+        uniq = sids[starts]
         if conjunctive:
             cnt = np.diff(np.append(starts, len(sids)))
-            codes = codes[cnt >= len(terms)]
+            keep = cnt >= len(terms)
+            codes, uniq = codes[keep], uniq[keep]
+        if exclude is not None and len(uniq):
+            excl = self._exclusion_docids(exclude)
+            if excl is not None and len(excl):
+                keep = ~np.isin(uniq, excl, assume_unique=False)
+                codes, uniq = codes[keep], uniq[keep]
+        if (ts_min is not None or ts_max is not None) and len(uniq):
+            tss = self._ts_of_ids(uniq)
+            m = np.ones(len(uniq), bool)
+            if ts_min is not None:
+                m &= tss >= self._ts_us(ts_min)
+            if ts_max is not None:
+                m &= tss <= self._ts_us(ts_max)
+            codes, uniq = codes[m], uniq[m]
         pairs = self._code_pairs()
         per_code = np.bincount(codes, minlength=len(pairs))
         role_counts: dict[str, int] = {}

@@ -85,8 +85,16 @@ document.getElementById('f').onsubmit = async (e)=>{
  let u=`/api/search?query=${q}&mode=${mode}&limit=${limit}&snippets=1`;
  if(scope) u+=`&site=${encodeURIComponent(scope)}`;
  const r=await (await fetch(u)).json();
+ let facetLine='';
+ if(r.result && mode==='bm25'){
+  let fu=`/api/facets?query=${q}`;
+  if(scope) fu+=`&site=${encodeURIComponent(scope)}`;
+  const f=await (await fetch(fu)).json();
+  if(f.result) facetLine=' — '+(f.data||[]).map(x=>
+    `${x.facet}:${x.value||'(none)'} ${x.n_docs}`).join(' · ');
+ }
  document.getElementById('count').textContent =
-   r.result ? r.count+' results' : 'error: '+r.error;
+   r.result ? r.count+' results'+facetLine : 'error: '+r.error;
  const rows=(r.data||[]).map(d=>
   `<tr><td>${d.conv_id}/${d.turn_idx}</td><td>${d.role}</td>`+
   `<td>${d.score.toFixed(4)}</td><td>${d.snippet||''}</td></tr>`).join('');
@@ -161,6 +169,9 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     query,
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

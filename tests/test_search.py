@@ -438,3 +438,25 @@ def test_ts_range_point_read_path_identical(tiny_index):
                       ts_min=q["ts_min"], ts_max=q["ts_max"])
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
+def test_facets_compose_with_filters(engine):
+    """Faceting a FILTERED result set: facets(exclude=/ts bounds) is
+    pinned equal to the search-path filters — role totals always equal
+    the filtered exact count."""
+    hot, other = datagen.stem(0), datagen.stem(1)
+    f = engine.facets(hot, exclude=other)
+    s = engine.search(hot, limit=1, exclude=other)
+    assert f["count"] == s["count"]
+    assert sum(r["n_docs"] for r in f["data"].to_pylist() if r["facet"] == "role") == f["count"]
+    lo, hi = "2026-01-01T05:00:00", "2026-01-02T16:00:00"
+    f2 = engine.facets(hot, ts_min=lo, ts_max=hi)
+    s2 = engine.search(hot, limit=1, ts_min=lo, ts_max=hi)
+    assert f2["count"] == s2["count"] < engine.facets(hot)["count"]
+    # all three compose
+    f3 = engine.facets(hot, exclude=other, ts_min=lo, ts_max=hi, scope="user")
+    s3 = engine.search(hot, limit=1, exclude=other, ts_min=lo, ts_max=hi, scope="user")
+    assert f3["count"] == s3["count"]
+    for row in f3["data"].to_pylist():
+        if row["facet"] == "role":
+            assert row["value"] == "user"

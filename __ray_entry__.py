@@ -343,6 +343,40 @@ def _search_pagination(sf_dir: str):
     return df
 
 
+def _search_boolean(sf_dir: str):
+    """Boolean search-box queries (mode='auto'): quoted phrases = AND
+    filters, -tokens = NOT terms, loose text = disjunctive BM25 — the
+    composed query-language layer over the positional/posting
+    primitives."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.auto_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="auto")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_exclude(sf_dir: str):
     """NOT-term exclusion queries: BM25 top-k minus docs containing any
     analyzed lemma of the query's exclude text (boolean NOT — the
@@ -1139,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pagination": _search_pagination,
         "search_facets": _search_facets,
         "search_exclude": _search_exclude,
+        "search_boolean": _search_boolean,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1248,6 +1283,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_ts_range": lambda: oracle.bm25_ts_range_sql(
             _corpus_src(), datagen.ts_range_queries()
+        ),
+        "search_boolean": lambda: oracle.auto_topk_sql(
+            _corpus_src(), datagen.auto_queries()
         ),
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),

@@ -497,3 +497,26 @@ def ts_range_queries() -> list[dict]:
         }
         for i, (t, s, lo, hi) in enumerate(q)
     ]
+
+
+def auto_queries() -> list[dict]:
+    """Boolean search-box query set (mode='auto'): quoted phrases as
+    AND filters, -tokens as NOT terms, loose text as disjunctive BM25
+    signals — in every combination, plus missing-lemma and empty-result
+    edges. Mid-frequency loose stems keep 6-dp rounded-score ties out
+    of the comparison protocol."""
+    q = [
+        (f'"{stem(0)} {stem(1)}"', None),                       # phrase filter alone
+        (f'"{stem(0)} {stem(1)}" {stem(4000)}', None),          # phrase + loose signal
+        (f"{stem(120)} {stem(480)} -{stem(0)}", None),          # loose + NOT
+        (f'"{stem(0)} {stem(1)}" -{stem(4100)}', None),         # phrase + NOT
+        (f'"{stem(1)} {stem(2)}" "{stem(0)} {stem(1)}"', None), # two phrases AND
+        (f'"wqxqzq {stem(0)}"', None),                          # missing phrase lemma -> none
+        (f'"{stem(0)} {stem(1)}" {stem(300)}', "assistant"),    # scoped
+        (f"{stem(300)} -wqxqzq", None),                         # NOT absent == plain
+        (f'"{stem(4100)}" -{stem(4100)}', None),                # self-negation -> empty
+    ]
+    return [
+        {"query_id": f"b-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]

@@ -302,6 +302,138 @@ WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
 """
 
 
+def auto_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Boolean search-box oracle (mode='auto'): the generator parses
+    each raw query with the ENGINE'S parser (quoted phrases / -NOT
+    tokens / loose text), so syntax and analysis cannot drift.
+    Candidates = INTERSECT of the phrase match sets (or the loose-lemma
+    union when no phrases), minus NOT EXISTS of the exclusion lemmas;
+    scoring = BM25 over all distinct positive lemmas at the candidates
+    (a loose lemma absent from a doc contributes nothing — same as the
+    engine's add-0). The qok gate mirrors missing-lemma semantics: any
+    positive lemma absent from the corpus -> no rows for that query."""
+    from .search import parse_boolean_query
+
+    qmeta_rows, qterm_rows, branches = [], [], []
+    for q in queries:
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        phrases_raw, loose_text, excl_text = parse_boolean_query(q["query_text"])
+        phrases = [p for p in (analyzer.analyze_phrase(x) for x in phrases_raw) if p]
+        loose = analyzer.analyze_query(loose_text) if loose_text else []
+        excl = analyzer.analyze_query(excl_text) if excl_text else []
+        pos = list(dict.fromkeys([l for ph in phrases for l in ph] + loose))
+        if not pos:
+            continue
+        qmeta_rows.append(f"({qid}, {scope}, {q['k']}, {len(pos)})")
+        for lem in pos:
+            qterm_rows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+        sels = []
+        for ph in phrases:
+            joins = []
+            for j, lem in enumerate(ph[1:], start=1):
+                joins.append(
+                    f"JOIN __plem p{j} ON p{j}.conv_id = p0.conv_id "
+                    f"AND p{j}.turn_idx = p0.turn_idx AND p{j}.pos = p0.pos + {j} "
+                    f"AND p{j}.lemma = {analyzer._sql_quote(ph[j])}"
+                )
+            sels.append(
+                f"SELECT DISTINCT p0.conv_id, p0.turn_idx FROM __plem p0 "
+                f"{' '.join(joins)} WHERE p0.lemma = {analyzer._sql_quote(ph[0])}"
+            )
+        if not sels:
+            in_list = ", ".join(analyzer._sql_quote(l) for l in loose)
+            sels.append(
+                f"SELECT DISTINCT conv_id, turn_idx FROM __postings "
+                f"WHERE lemma IN ({in_list})"
+            )
+        base = " INTERSECT ".join(f"({s})" for s in sels)
+        notp = ""
+        if excl:
+            xin = ", ".join(analyzer._sql_quote(l) for l in excl)
+            notp = (
+                " WHERE NOT EXISTS (SELECT 1 FROM __postings e "
+                "WHERE e.lemma IN (" + xin + ") AND e.conv_id = m.conv_id "
+                "AND e.turn_idx = m.turn_idx)"
+            )
+        branches.append(
+            f"SELECT {qid} AS query_id, m.conv_id, m.turn_idx "
+            f"FROM ({base}) m{notp}"
+        )
+    if not branches:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    matches = " UNION ALL ".join(branches)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+__ptoks AS (
+    SELECT conv_id, turn_idx, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS i
+    FROM (SELECT conv_id, turn_idx,
+                 string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                     '{analyzer.NON_WORD_REGEX}', ' ', 'g')), ' ') AS toks
+          FROM {src})
+),
+__plem AS (
+    SELECT conv_id, turn_idx, {analyzer.lemma_case_sql('tok')} AS lemma,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1 AS pos
+    FROM __ptoks
+    WHERE length(tok) >= {analyzer.MIN_TOKEN_LEN}
+      AND tok NOT IN ({analyzer.stopword_sql_list()})
+),
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM (VALUES {', '.join(qmeta_rows)}) qm(query_id, scope, k, n_terms)),
+qlem AS (SELECT * FROM (VALUES {', '.join(qterm_rows)}) ql(query_id, lemma)),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k FROM qmeta qm
+    WHERE qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matches AS ({matches}),
+scored AS (
+    SELECT q.query_id, m.conv_id, m.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN matches m ON m.query_id = q.query_id
+    JOIN roles r ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+        AND p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+    JOIN doclen dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, m.conv_id, m.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_counts_sql(src: str, queries: list[dict]) -> str:
     """Exact pre-pagination result counts (G6): per query, |union| of
     matching docs (within scope); 0 when any query lemma is missing

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -72,6 +73,22 @@ def _decode_pos_blobs(blobs, tf: np.ndarray) -> np.ndarray:
     seg = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))[:-1]
     corr = cum[seg] - deltas[seg].astype(np.int64)
     return cum - np.repeat(corr, tf)
+
+
+_QUOTE_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_boolean_query(text: str) -> tuple[list[str], str, str]:
+    """Search-box boolean syntax -> (quoted phrases, loose-term text,
+    NOT-term text). Double-quoted segments are exact-phrase constraints;
+    bare tokens prefixed ``-`` are NOT terms; everything else is loose
+    disjunctive text. ``-"..."`` (negated phrases) is not supported —
+    the minus binds to bare tokens only."""
+    phrases = [m.group(1) for m in _QUOTE_RE.finditer(text or "")]
+    rest = _QUOTE_RE.sub(" ", text or "").split()
+    exclude = " ".join(t[1:] for t in rest if t.startswith("-") and len(t) > 1)
+    loose = " ".join(t for t in rest if not (t.startswith("-") and len(t) > 1))
+    return phrases, loose, exclude
 
 
 def _levenshtein_capped(a: str, b: str, cap: int) -> int:
@@ -1529,12 +1546,141 @@ class SearchEngine:
         standard (score DESC, docid ASC) tie-break.
 
         Returns ``(ids, scores, count)`` or ``None`` for no-results
-        (a phrase lemma absent from the corpus). Evaluation is
-        slot-at-a-time set intersection: docid AND-intersection first
-        (rarest term first — candidates shrink before any position
-        work), then per-slot position keys ``(cand_idx << 32) | (pos -
-        slot_offset)`` intersected across slots; positions decode ONLY
-        for the intersected candidates' postings."""
+        (a phrase lemma absent from the corpus)."""
+        got = self._phrase_matches(phrase, scope)
+        if got is None:
+            return None
+        matched, terms, data = got
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        if not len(matched):
+            return empty
+        score = self._bm25_at(terms, data, matched, present=True)
+        ids, scores = self._topk(matched, score, len(matched) if k is None else k)
+        return ids, scores, len(matched)
+
+    def _bm25_at(self, terms, data, matched: np.ndarray, present: bool = False):
+        """BM25 sum over ``terms`` at the sorted docids ``matched``
+        (df-asc term order — the deterministic summation order of every
+        mode). ``present=True`` asserts matched ⊆ each term's posting
+        list (phrase AND guarantees it); otherwise absent terms add 0.0
+        (a float64 no-op, same as the candidate-driven scorer)."""
+        score = np.zeros(len(matched), np.float64)
+        k1, b = self.k1, self.b
+        for lem, df in sorted(terms, key=lambda t: (t[1], t[0])):
+            docid, tf, dl, _sc = data[lem]
+            if not len(docid):
+                continue
+            pidx = np.searchsorted(docid, matched)
+            if present:
+                sel = slice(None)
+                pc_ = pidx
+            else:
+                pc_ = np.clip(pidx, 0, len(docid) - 1)
+                hit = docid[pc_] == matched
+                sel = np.flatnonzero(hit)
+                pc_ = pc_[sel]
+            tff = tf[pc_].astype(np.float64)
+            dlf = dl[pc_].astype(np.float64)
+            contrib = self.idf(df) * (tff * (k1 + 1.0)) / (
+                tff + k1 * (1.0 - b + b * dlf / self.avgdl)
+            )
+            if present:
+                score += contrib
+            else:
+                score[sel] += contrib
+        return score
+
+    def score_auto(
+        self,
+        phrases: list[list[str]],
+        loose: list[str],
+        exclude_text: str | None,
+        k: int,
+        scope: str | None = None,
+    ):
+        """Boolean search-box evaluation (mode='auto'): candidates =
+        docs matching EVERY quoted phrase (AND of exact-phrase match
+        sets) — or, with no phrases, the disjunctive union of the loose
+        lemmas' docs — minus the NOT-term docs; score = BM25 over ALL
+        distinct positive lemmas (phrase + loose) at the candidates,
+        loose lemmas adding 0.0 where absent (phrases act as FILTERS,
+        loose terms as ranking signals — Lucene's quoted-clause
+        semantics). Any positive lemma absent from the corpus -> no
+        results (reference missing-lemma semantics, every mode).
+        Returns ``(ids, scores, count)`` or ``None``."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        all_terms: dict[str, int] = {}
+        matched = None
+        data_all: dict[str, tuple] = {}
+        for ph in phrases:
+            got = self._phrase_matches(ph, scope)
+            if got is None:
+                return None
+            m, terms, data = got
+            all_terms.update(dict(terms))
+            data_all.update(data)
+            matched = m if matched is None else np.intersect1d(
+                matched, m, assume_unique=True
+            )
+            if not len(matched):
+                return empty
+        if loose:
+            lterms = []
+            for lem in dict.fromkeys(loose):
+                df = self._df_of(lem)
+                if df is None and self._has_deltas and lem in self._delta_lemma:
+                    df = 0
+                if df is None:
+                    return None
+                lterms.append((lem, df))
+            blocks = self._term_blocks([t[0] for t in lterms])
+            if self._has_deltas:
+                lterms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in lterms]
+                if any(df == 0 for _, df in lterms):
+                    return None
+            lut = self._scope_lut(scope) if scope else None
+            parts = []
+            for lem, df in lterms:
+                bl = blocks[lem]
+                dec = self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))
+                data_all[lem] = dec
+                all_terms[lem] = df
+                if matched is None:  # no phrases: loose docs are the candidates
+                    docid, _tf, _dl, sc = dec
+                    parts.append(docid[lut[sc]] if lut is not None else docid)
+            if matched is None:
+                if not parts:
+                    return empty
+                allv = np.concatenate(parts)
+                if not len(allv):
+                    return empty
+                matched = np.unique(allv)
+        if matched is None or not len(matched):
+            return empty
+        if exclude_text:
+            excl = self._exclusion_docids(exclude_text)
+            if excl is not None and len(excl):
+                keep = ~np.isin(matched, excl, assume_unique=False)
+                matched = matched[keep]
+                if not len(matched):
+                    return empty
+        terms = sorted(all_terms.items(), key=lambda t: (t[1], t[0]))
+        score = self._bm25_at(terms, data_all, matched, present=False)
+        ids, scores = self._topk(matched, score, k)
+        return ids, scores, len(matched)
+
+    def _phrase_matches(self, phrase: list[str], scope: str | None = None):
+        """Match side of the phrase operator: ``(matched_docids, terms,
+        data)`` with ``matched`` sorted, ``terms`` = distinct (lemma,
+        effective df), ``data`` = full per-lemma decodes (chunk-memoized
+        in the block cache — callers scoring afterwards pay no second
+        varint pass). ``None`` = a phrase lemma is absent (reference
+        missing-lemma semantics). Evaluation is slot-at-a-time set
+        intersection: docid AND-intersection first (rarest term first —
+        candidates shrink before any position work), then per-slot
+        position keys ``(cand_idx << 32) | (pos - slot_offset)``
+        intersected across slots; positions decode ONLY for the
+        intersected candidates' postings."""
         distinct = list(dict.fromkeys(phrase))
         terms = []
         for lem in distinct:
@@ -1567,7 +1713,7 @@ class SearchEngine:
             cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
             if not len(cand):
                 break
-        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        empty = (np.empty(0, np.int64), terms, data)
         if cand is None or not len(cand):
             return empty
 
@@ -1604,22 +1750,7 @@ class SearchEngine:
                 )
                 cand = cand[alive]
         matched = cand[np.unique(cur >> np.int64(32))]
-        count = len(matched)
-
-        # BM25 over the distinct lemmas at matched docs (df-asc term
-        # order — the deterministic summation order of the other modes)
-        score = np.zeros(count, np.float64)
-        k1, b = self.k1, self.b
-        for lem, df in sorted(terms, key=lambda t: (t[1], t[0])):
-            docid, tf, dl, _sc = data[lem]
-            pidx = np.searchsorted(docid, matched)
-            tff = tf[pidx].astype(np.float64)
-            dlf = dl[pidx].astype(np.float64)
-            score += self.idf(df) * (tff * (k1 + 1.0)) / (
-                tff + k1 * (1.0 - b + b * dlf / self.avgdl)
-            )
-        ids, scores = self._topk(matched, score, k)
-        return ids, scores, count
+        return matched, terms, data
 
     def score_near(
         self, lemmas: list[str], window: int, k: int, scope: str | None = None
@@ -1827,6 +1958,33 @@ class SearchEngine:
             ids, scores, count = got
             ids, scores = ids[offset:], scores[offset:]
             terms = [(lem, self._df_of(lem) or 0) for lem in lemmas]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "auto":
+            # boolean search-box syntax: "quoted phrases" are AND
+            # filters, -tokens are NOT terms, the rest is loose
+            # disjunctive BM25 text (parse_boolean_query)
+            phrases_raw, loose_text, excl_text = parse_boolean_query(query_text)
+            analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+            phrases = []
+            for p in phrases_raw:
+                ph = analyze_phrase(p) if analyze_phrase is not None else None
+                if ph is None and p.strip():
+                    return self._resp(error="no_positions")
+                if ph:
+                    phrases.append(ph)
+            if phrases and not self.has_positions:
+                return self._resp(error="no_positions")
+            loose = self._analyzer.analyze_query(loose_text) if loose_text else []
+            if not phrases and not loose:
+                return self._resp(error="empty_query")
+            got = self.score_auto(phrases, loose, excl_text or None, k, scope)
+            if got is None:
+                return self._resp(count=0)
+            ids, scores, count = got
+            ids, scores = ids[offset:], scores[offset:]
+            pos_lemmas = dict.fromkeys([l for ph in phrases for l in ph] + loose)
+            terms = [(lem, self._df_of(lem) or 0) for lem in pos_lemmas]
             tbl = self._enrich(ids, scores, terms, with_snippets)
             return {"result": True, "count": int(count), "data": tbl, "error": None}
         terms, err = self.plan(query_text)

@@ -58,8 +58,8 @@ _INDEX_HTML = """<!doctype html>
 <div id="stats">loading statistics…</div>
 <form id="f">
  <input id="q" size="40" placeholder="query text" autofocus>
- <select id="mode"><option>bm25</option><option>phrase</option>
-  <option>near</option><option>reference</option></select>
+ <select id="mode"><option>bm25</option><option>auto</option>
+  <option>phrase</option><option>near</option><option>reference</option></select>
  <input id="scope" size="12" placeholder="scope (role / tool:x)">
  <input id="limit" size="3" value="10">
  <button>Search</button>

@@ -460,3 +460,63 @@ def test_facets_compose_with_filters(engine):
     for row in f3["data"].to_pylist():
         if row["facet"] == "role":
             assert row["value"] == "user"
+
+
+def test_parse_boolean_query():
+    from search_engine_ray.search import parse_boolean_query
+
+    ph, loose, excl = parse_boolean_query('"a b" c -d "e" -f g')
+    assert ph == ["a b", "e"]
+    assert loose.split() == ["c", "g"]
+    assert excl.split() == ["d", "f"]
+    assert parse_boolean_query("") == ([], "", "")
+    assert parse_boolean_query("plain words") == ([], "plain words", "")
+    # a bare dash is not an exclusion
+    assert parse_boolean_query("a - b")[1].split() == ["a", "-", "b"]
+
+
+def test_auto_mode_identities(engine):
+    hot, nxt, rare = datagen.stem(0), datagen.stem(1), datagen.stem(4000)
+    # single-phrase auto == mode=phrase exactly (same match set, same
+    # distinct-lemma BM25, same tie-break)
+    a = engine.search(f'"{hot} {nxt}"', limit=20, mode="auto")
+    p = engine.search(f"{hot} {nxt}", limit=20, mode="phrase")
+    assert a["count"] == p["count"] and a["data"].equals(p["data"])
+    # loose-only auto == plain bm25
+    a2 = engine.search(rare, limit=50, mode="auto")
+    b2 = engine.search(rare, limit=50)
+    assert a2["count"] == b2["count"] and a2["data"].equals(b2["data"])
+    # loose + NOT == search(exclude=)
+    a3 = engine.search(f"{rare} -{hot}", limit=50, mode="auto")
+    b3 = engine.search(rare, limit=50, exclude=hot)
+    assert a3["count"] == b3["count"] and a3["data"].equals(b3["data"])
+    # phrase + loose: candidates never grow, scores never shrink
+    a4 = engine.search(f'"{hot} {nxt}" {rare}', limit=1000, mode="auto")
+    assert a4["count"] == a["count"]
+    base = {(r["conv_id"], r["turn_idx"]): r["score"]
+            for r in engine.search(f'"{hot} {nxt}"', limit=1000, mode="auto")["data"].to_pylist()}
+    for r in a4["data"].to_pylist():
+        assert r["score"] >= base[(r["conv_id"], r["turn_idx"])] - 1e-12
+    # missing loose lemma -> no results; all-stopword -> empty_query
+    assert engine.search(f'"{hot} {nxt}" wqxqzq', mode="auto")["count"] == 0
+    assert engine.search('-only "the and"', mode="auto")["error"] == "empty_query"
+    # self-negating phrase -> empty result set
+    assert engine.search(f'"{rare}" -{rare}', mode="auto")["count"] == 0
+
+
+def test_auto_mode_vs_duckdb_oracle(engine, duck):
+    sql = oracle.auto_topk_sql(oracle.transcripts_rel("sf0.001"), datagen.auto_queries())
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in datagen.auto_queries():
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            mode="auto")["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6

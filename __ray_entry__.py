@@ -377,6 +377,75 @@ def _search_boolean(sf_dir: str):
     return df
 
 
+def _search_conversations(sf_dir: str):
+    """Conversation-level ranking: conversations ranked by their best
+    matching turn's BM25 score (max-passage aggregation) with
+    matching-turn counts — the grouped generalization of turn search
+    (the analog of grouping the reference's page results by site)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.conv_queries():
+        r = eng.search_conversations(q["query_text"], scope=q["scope"], limit=q["k"])
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "n_turns": row["n_turns"],
+                    "best_turn_idx": row["best_turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "conv_id", "n_turns", "best_turn_idx", "score"]
+    )
+    df["rank"] = df["rank"].astype("int32")
+    df["n_turns"] = df["n_turns"].astype("int64")
+    df["best_turn_idx"] = df["best_turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
+def _search_collapse(sf_dir: str):
+    """Field collapsing (result diversification): top-k keeping at most
+    ``collapse`` turns per conversation, chosen per conversation by
+    (score DESC, turn_idx) before the global rank."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.collapse_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], collapse=q["collapse"]
+        )
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_exclude(sf_dir: str):
     """NOT-term exclusion queries: BM25 top-k minus docs containing any
     analyzed lemma of the query's exclude text (boolean NOT — the
@@ -1174,6 +1243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": _search_facets,
         "search_exclude": _search_exclude,
         "search_boolean": _search_boolean,
+        "search_conversations": _search_conversations,
+        "search_collapse": _search_collapse,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1286,6 +1357,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_boolean": lambda: oracle.auto_topk_sql(
             _corpus_src(), datagen.auto_queries()
+        ),
+        "search_conversations": lambda: oracle.conv_topk_sql(
+            _corpus_src(), datagen.conv_queries()
+        ),
+        "search_collapse": lambda: oracle.bm25_collapse_sql(
+            _corpus_src(), datagen.collapse_queries()
         ),
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="inclusive ISO-8601 lower bound on the turn ts")
     s.add_argument("--ts-max", default=None,
                    help="inclusive ISO-8601 upper bound on the turn ts")
+    s.add_argument("--collapse", type=int, default=None,
+                   help="field collapsing: keep at most N turns per conversation")
+    s.add_argument("--group-by-conv", action="store_true",
+                   help="rank CONVERSATIONS by their best matching turn "
+                        "(max-passage aggregation) instead of turns")
     s.add_argument("--snippets", action="store_true")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
@@ -141,19 +146,25 @@ def main(argv: list[str] | None = None) -> int:
         from .search import SearchEngine
 
         eng = SearchEngine(a.out)
-        resp = eng.search(
-            a.query,
-            scope=a.scope,
-            offset=a.offset,
-            limit=a.limit,
-            mode=a.mode,
-            with_snippets=a.snippets,
-            near_window=a.near_window,
-            min_match=a.min_match,
-            exclude=a.exclude,
-            ts_min=a.ts_min,
-            ts_max=a.ts_max,
-        )
+        if a.group_by_conv:
+            resp = eng.search_conversations(
+                a.query, scope=a.scope, offset=a.offset, limit=a.limit,
+            )
+        else:
+            resp = eng.search(
+                a.query,
+                scope=a.scope,
+                offset=a.offset,
+                limit=a.limit,
+                mode=a.mode,
+                with_snippets=a.snippets,
+                near_window=a.near_window,
+                min_match=a.min_match,
+                exclude=a.exclude,
+                ts_min=a.ts_min,
+                ts_max=a.ts_max,
+                collapse=a.collapse,
+            )
         print(
             json.dumps(
                 {

@@ -520,3 +520,37 @@ def auto_queries() -> list[dict]:
         {"query_id": f"b-{i:04d}", "query_text": t, "scope": s, "k": 10}
         for i, (t, s) in enumerate(q)
     ]
+
+
+def conv_queries() -> list[dict]:
+    """Conversation-level (grouped) ranking query set: conversations
+    ranked by their best matching turn (max-passage aggregation), with
+    matching-turn counts. Mid-frequency stems keep 6-dp rounded-score
+    ties out of the comparison protocol (the documented boundary)."""
+    q = [
+        (f"{stem(4000)}", None),                 # single mid-freq term
+        (f"{stem(120)} {stem(480)}", None),      # disjunctive pair
+        (f"{stem(300)} {stem(2048)}", "assistant"),  # scoped
+        (f"{stem(50)} {stem(51)} {stem(52)}", None),  # three terms
+        ("wqxqzq", None),                        # missing lemma -> none
+    ]
+    return [
+        {"query_id": f"c-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
+def collapse_queries() -> list[dict]:
+    """Field-collapsing query set: top-k with at most ``collapse`` turns
+    per conversation (result diversification). Same mid-frequency-stem
+    tie policy as the other filtering-surface sets."""
+    q = [
+        (f"{stem(4000)}", None, 1),              # strictest collapse
+        (f"{stem(120)} {stem(480)}", None, 2),
+        (f"{stem(300)}", "assistant", 1),        # scoped + collapse
+        (f"{stem(2048)} {stem(2049)}", None, 3),
+    ]
+    return [
+        {"query_id": f"g-{i:04d}", "query_text": t, "scope": s, "k": 10, "collapse": m}
+        for i, (t, s, m) in enumerate(q)
+    ]

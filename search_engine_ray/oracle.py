@@ -434,6 +434,164 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def conv_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Conversation-level ranking oracle: per-turn BM25 over the full
+    matching set (same scored frame as :func:`bm25_topk_sql`), grouped
+    by conversation — conv score = max turn score (max-passage), plus
+    the matching-turn count and the best turn's index (row_number over
+    (score DESC, turn_idx) per conversation, the engine's exact-tie
+    rule). Conversation rank tie-break: (score DESC, conv_id)."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+conv AS (
+    SELECT query_id, conv_id, max(score) AS score, count(*) AS n_turns
+    FROM scored GROUP BY query_id, conv_id
+),
+best AS (
+    SELECT query_id, conv_id, turn_idx,
+           row_number() OVER (
+               PARTITION BY query_id, conv_id ORDER BY score DESC, turn_idx
+           ) AS rn
+    FROM scored
+),
+ranked AS (
+    SELECT c.query_id, c.conv_id, c.score, c.n_turns, bt.turn_idx AS best_turn_idx,
+           row_number() OVER (
+               PARTITION BY c.query_id ORDER BY c.score DESC, c.conv_id
+           ) AS rank
+    FROM conv c
+    JOIN best bt ON bt.query_id = c.query_id AND bt.conv_id = c.conv_id AND bt.rn = 1
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(best_turn_idx AS INT) AS best_turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
+def bm25_collapse_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Field-collapsing oracle: per-turn BM25 over the full matching
+    set, then at most ``m`` turns per conversation survive — chosen per
+    conversation by (score DESC, turn_idx), the engine's collapse rule —
+    before the global top-k rank over (score DESC, conv_id, turn_idx).
+    ``m`` comes per query (``collapse`` key)."""
+    metas, lems = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        scope = "NULL" if q["scope"] is None else f"'{q['scope']}'"
+        metas.append(
+            f"('{q['query_id']}', {scope}, {q['k']}, {len(lemmas)}, {q['collapse']})"
+        )
+        for lem in lemmas:
+            lems.append(f"('{q['query_id']}', '{lem}')")
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, n_terms, m)"
+    qlem = (
+        "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+        if lems
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.m
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+collapsed AS (
+    SELECT query_id, conv_id, turn_idx, score
+    FROM (
+        SELECT query_id, conv_id, turn_idx, score,
+               row_number() OVER (
+                   PARTITION BY query_id, conv_id ORDER BY score DESC, turn_idx
+               ) AS rn
+        FROM scored
+    ) s
+    WHERE rn <= (SELECT m FROM qok q WHERE q.query_id = s.query_id)
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM collapsed
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_counts_sql(src: str, queries: list[dict]) -> str:
     """Exact pre-pagination result counts (G6): per query, |union| of
     matching docs (within scope); 0 when any query lemma is missing

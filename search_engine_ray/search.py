@@ -48,7 +48,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from . import analyzer
-from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF
+from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF, TURN_BITS
 from .docid import split_docids
 from .pipelines import build as build_mod
 from .stages.encode import (
@@ -891,6 +891,29 @@ class SearchEngine:
         return ids[sel], scores[sel]
 
     @staticmethod
+    def _collapse_per_conv(ids: np.ndarray, scores: np.ndarray, m: int):
+        """Field collapsing: keep each conversation's top-``m`` turns by
+        (score DESC, turn_idx ASC). ``ids`` arrive docid-sorted (the
+        exhaustive scorer's output), so conversations are contiguous
+        runs — one lexsort re-orders within runs by score, a boundary
+        scan numbers each turn's within-conversation rank, survivors
+        restore docid order for the downstream top-k tie-break."""
+        if not len(ids):
+            return ids, scores
+        cr = ids >> np.int64(TURN_BITS)
+        o = np.lexsort((ids, -scores, cr))
+        crs = cr[o]
+        neq = np.empty(len(crs), bool)
+        neq[0] = True
+        np.not_equal(crs[1:], crs[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        occ = np.arange(len(o)) - np.repeat(
+            starts, np.diff(np.append(starts, len(o)))
+        )
+        keep = np.sort(o[occ < m])
+        return ids[keep], scores[keep]
+
+    @staticmethod
     def _union_count(parts: list[np.ndarray]) -> int:
         """|union| of docid arrays via radix sort (no quicksort unique)."""
         if not parts:
@@ -1377,6 +1400,74 @@ class SearchEngine:
             }
         )
         return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
+
+    def search_conversations(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        offset: int = 0,
+        limit: int = DEFAULT_PAGE_SIZE,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Conversation-level ranking: group the turn-level BM25 matching
+        set by conversation and rank conversations by their best turn's
+        score (max-passage aggregation — the standard passage-to-document
+        rule), carrying the matching-turn count and the best turn's
+        index. The analog of grouping the reference's page results by
+        site; Elasticsearch ships the same shape as a ``top_hits``
+        collapse.
+
+        Evaluation rides the exhaustive scorer's sorted full matching
+        set: docid order IS (conv_id, turn_idx) order, so grouping is a
+        boundary scan (``reduceat`` max / count per contiguous conv run
+        — no shuffle, no hash map) and the best turn is the FIRST
+        turn-index position achieving the group max (deterministic at
+        exact float ties; both engines compute bit-identical sums for
+        identical (tf, dl) turn pairs, so the tie-break agrees).
+        Conversation tie-break: (score DESC, conv_id ASC) — conv_rank
+        ascending is conv_id-lexicographic by construction (docid.py).
+
+        -> {'result', 'count' (matching CONVERSATIONS), 'data':
+        pa.Table(conv_id, n_turns, best_turn_idx, score), 'error'}.
+        Missing-lemma semantics match every other mode (any absent query
+        lemma -> zero results)."""
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": CONV_RESULT_SCHEMA.empty_table()}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": CONV_RESULT_SCHEMA.empty_table()}
+        empty_ok = {"result": True, "count": 0, "data": CONV_RESULT_SCHEMA.empty_table(), "error": None}
+        if err == "no_results":
+            return empty_ok
+        ids, scores = self.score_exhaustive(terms, scope, conjunctive)
+        if not len(ids):
+            return empty_ok
+        cr = ids >> np.int64(TURN_BITS)
+        neq = np.empty(len(cr), bool)
+        neq[0] = True
+        np.not_equal(cr[1:], cr[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        counts = np.diff(np.append(starts, len(cr)))
+        cmax = np.maximum.reduceat(scores, starts)
+        is_max = scores == np.repeat(cmax, counts)
+        pos = np.where(is_max, np.arange(len(cr), dtype=np.int64), len(cr))
+        best_pos = np.minimum.reduceat(pos, starts)
+        count = len(starts)
+        k = offset + limit
+        win_rank, win_scores = self._topk(cr[starts], cmax, k)
+        gi = np.searchsorted(cr[starts], win_rank)
+        win_rank, win_scores, gi = win_rank[offset:], win_scores[offset:], gi[offset:]
+        best_doc = ids[best_pos[gi]]
+        et = self._enrich(best_doc, win_scores, terms, False)
+        tbl = pa.table(
+            {
+                "conv_id": et.column("conv_id"),
+                "n_turns": pa.array(counts[gi].astype(np.int64), pa.int64()),
+                "best_turn_idx": et.column("turn_idx"),
+                "score": et.column("score"),
+            }
+        )
+        return {"result": True, "count": int(count), "data": tbl, "error": None}
 
     # ---------------- reference-parity scorer (G3/G4, D4, J4) ----------
 
@@ -1887,6 +1978,7 @@ class SearchEngine:
         exclude: str | None = None,
         ts_min=None,
         ts_max=None,
+        collapse: int | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -1902,9 +1994,17 @@ class SearchEngine:
         datetime; INCLUSIVE bounds, SQL ``BETWEEN`` semantics) keep only
         turns whose ``ts`` falls in the range — same exhaustive routing,
         applied to the full matching set before the count and top-k.
+        ``collapse`` is field collapsing on the conversation (the
+        Elasticsearch ``collapse`` shape): at most that many turns per
+        conversation survive into the count and top-k, chosen per
+        conversation by (score DESC, turn_idx ASC) — result
+        diversification; same exhaustive routing, applied AFTER the
+        other filters.
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
+        if collapse is not None and collapse < 1:
+            return self._resp(error="bad_collapse")
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -2003,7 +2103,8 @@ class SearchEngine:
             if scorer is None:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
-        elif min_match is not None or exclude is not None or ts_min is not None or ts_max is not None:
+        elif (min_match is not None or exclude is not None or ts_min is not None
+              or ts_max is not None or collapse is not None):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -2026,6 +2127,8 @@ class SearchEngine:
                 if ts_max is not None:
                     m &= tss <= self._ts_us(ts_max)
                 ids, scores = ids[m], scores[m]
+            if collapse is not None:
+                ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)
             ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":
@@ -2214,6 +2317,15 @@ class SearchEngine:
 
 FACETS_SCHEMA = pa.schema(
     [("facet", pa.string()), ("value", pa.string()), ("n_docs", pa.int64())]
+)
+
+CONV_RESULT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("best_turn_idx", pa.int32()),
+        ("score", pa.float64()),
+    ]
 )
 
 RESULT_SCHEMA = pa.schema(

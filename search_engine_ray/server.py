@@ -3,10 +3,12 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase|near][&window=W][&snippets=1]`` —
-  ``SearchEngine.search``
+  [&mode=bm25|reference|phrase|near|auto][&window=W][&snippets=1]
+  [&collapse=M][&group=conv]`` — ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
-  a role value or ``tool:<name>``).
+  a role value or ``tool:<name>``; ``collapse=M`` keeps at most M turns
+  per conversation; ``group=conv`` ranks conversations by their best
+  matching turn via ``SearchEngine.search_conversations``).
 - ``GET /api/facets?query=...[&site=<scope>][&conjunctive=1]`` —
   ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
   the FULL result set (faceted navigation).
@@ -139,18 +141,28 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                 if not query:
                     self._send(400, {"result": False, "error": "empty_query"})
                     return
-                resp = state["engine"].search(
-                    query,
-                    scope=(q.get("site") or q.get("scope") or [None])[0],
-                    offset=int((q.get("offset") or ["0"])[0]),
-                    limit=int((q.get("limit") or ["10"])[0]),
-                    mode=(q.get("mode") or ["bm25"])[0],
-                    with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
-                    near_window=int((q.get("window") or ["8"])[0]),
-                    exclude=(q.get("exclude") or [None])[0],
-                    ts_min=(q.get("ts_min") or [None])[0],
-                    ts_max=(q.get("ts_max") or [None])[0],
-                )
+                collapse_s = (q.get("collapse") or [None])[0]
+                if (q.get("group") or ["turn"])[0] in ("conv", "conversation"):
+                    resp = state["engine"].search_conversations(
+                        query,
+                        scope=(q.get("site") or q.get("scope") or [None])[0],
+                        offset=int((q.get("offset") or ["0"])[0]),
+                        limit=int((q.get("limit") or ["10"])[0]),
+                    )
+                else:
+                    resp = state["engine"].search(
+                        query,
+                        scope=(q.get("site") or q.get("scope") or [None])[0],
+                        offset=int((q.get("offset") or ["0"])[0]),
+                        limit=int((q.get("limit") or ["10"])[0]),
+                        mode=(q.get("mode") or ["bm25"])[0],
+                        with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
+                        near_window=int((q.get("window") or ["8"])[0]),
+                        exclude=(q.get("exclude") or [None])[0],
+                        ts_min=(q.get("ts_min") or [None])[0],
+                        ts_max=(q.get("ts_max") or [None])[0],
+                        collapse=int(collapse_s) if collapse_s else None,
+                    )
                 self._send(
                     200 if resp["result"] else 400,
                     {

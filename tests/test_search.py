@@ -520,3 +520,115 @@ def test_auto_mode_vs_duckdb_oracle(engine, duck):
         for g, e in zip(got, exp):
             assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def _conv_ground_truth(engine, query, scope=None):
+    """Direct grouping of the exhaustive full matching set: per conv
+    (n_turns, max score, best turn = lowest turn_idx at the exact max)."""
+    full = engine.search(query, scope=scope, limit=10**7, method="exhaustive")
+    by_conv: dict[str, dict] = {}
+    for row in full["data"].to_pylist():
+        c = by_conv.setdefault(row["conv_id"], {"n": 0, "best": None, "turn": None})
+        c["n"] += 1
+        if c["best"] is None or row["score"] > c["best"] or (
+            row["score"] == c["best"] and row["turn_idx"] < c["turn"]
+        ):
+            c["best"], c["turn"] = row["score"], row["turn_idx"]
+    return by_conv
+
+
+def test_search_conversations_matches_direct_grouping(engine):
+    for query, scope in [
+        (datagen.stem(4000), None),
+        (f"{datagen.stem(120)} {datagen.stem(480)}", None),
+        (datagen.stem(300), "assistant"),
+    ]:
+        truth = _conv_ground_truth(engine, query, scope)
+        ranked = sorted(truth.items(), key=lambda kv: (-kv[1]["best"], kv[0]))
+        r = engine.search_conversations(query, scope=scope, limit=10)
+        assert r["count"] == len(truth)
+        rows = r["data"].to_pylist()
+        assert len(rows) == min(10, len(truth))
+        for row, (cid, t) in zip(rows, ranked):
+            assert row["conv_id"] == cid
+            assert row["n_turns"] == t["n"]
+            assert row["best_turn_idx"] == t["turn"]
+            assert row["score"] == t["best"]  # same float64 pipeline
+
+
+def test_search_conversations_semantics(engine):
+    # missing lemma -> zero conversations; stopwords -> empty_query;
+    # bad scope -> error; pagination slices the same ranking
+    assert engine.search_conversations("wqxqzq")["count"] == 0
+    assert engine.search_conversations("the and of")["error"] == "empty_query"
+    assert engine.search_conversations("x", scope="nosuchrole")["error"] == "bad_scope"
+    full = engine.search_conversations(datagen.stem(4000), limit=10)["data"].to_pylist()
+    page = engine.search_conversations(
+        datagen.stem(4000), offset=5, limit=5
+    )["data"].to_pylist()
+    assert page == full[5:]
+
+
+def test_collapse_identities(engine):
+    hot = datagen.stem(0)
+    # collapse larger than any conversation == plain search
+    a = engine.search(hot, limit=20, collapse=10**6)
+    b = engine.search(hot, limit=20)
+    assert a["count"] == b["count"] and a["data"].equals(b["data"])
+    # collapse=1 result rows == conversation ranking's best turns
+    c1 = engine.search(hot, limit=10, collapse=1)
+    conv = engine.search_conversations(hot, limit=10)
+    assert c1["count"] == conv["count"]
+    got = [(r["conv_id"], r["turn_idx"], r["score"]) for r in c1["data"].to_pylist()]
+    exp = [(r["conv_id"], r["best_turn_idx"], r["score"]) for r in conv["data"].to_pylist()]
+    assert got == exp
+    # per-conversation cap holds at every m, and counts are monotone in m
+    prev = 0
+    for m in (1, 2, 3):
+        r = engine.search(hot, limit=1000, collapse=m)
+        per = {}
+        for row in r["data"].to_pylist():
+            per[row["conv_id"]] = per.get(row["conv_id"], 0) + 1
+        assert max(per.values()) <= m
+        assert r["count"] >= prev
+        prev = r["count"]
+    # collapse=0 is an error
+    assert engine.search(hot, collapse=0)["error"] == "bad_collapse"
+
+
+def test_conv_and_collapse_vs_duckdb_oracle(engine, duck):
+    src = oracle.transcripts_rel("sf0.001")
+    sql = oracle.conv_topk_sql(src, datagen.conv_queries())
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in datagen.conv_queries():
+        got = engine.search_conversations(
+            q["query_text"], scope=q["scope"], limit=q["k"]
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert g["conv_id"] == e["conv_id"]
+            assert g["n_turns"] == e["n_turns"]
+            assert g["best_turn_idx"] == e["best_turn_idx"]
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+    sql = oracle.bm25_collapse_sql(src, datagen.collapse_queries())
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in datagen.collapse_queries():
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], collapse=q["collapse"]
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6

@@ -46,6 +46,15 @@ def test_search_endpoint(served):
     # scope + phrase mode round-trip the query params
     code, got = _get(f"{base}/api/search?query={hot}+{datagen.stem(1)}&mode=phrase&limit=2")
     assert code == 200 and got["result"] and got["count"] > 0
+    # field collapsing caps per-conversation rows
+    code, got = _get(f"{base}/api/search?query={hot}&collapse=1&limit=50")
+    assert code == 200 and got["result"]
+    convs = [r["conv_id"] for r in got["data"]]
+    assert len(convs) == len(set(convs))
+    # conversation grouping returns the conv-level schema
+    code, got = _get(f"{base}/api/search?query={hot}&group=conv&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert {"conv_id", "n_turns", "best_turn_idx", "score"} <= set(got["data"][0])
 
 
 def test_search_endpoint_bad_scope(served):

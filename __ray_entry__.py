@@ -934,6 +934,14 @@ def _text_quality(sf_dir: str):
     )
 
 
+def _text_lm_score(sf_dir: str):
+    """Add-alpha bigram LM quality score (CCNet-style self-perplexity
+    filtering signal) per document."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.lm_score(_documents_ds(sf_dir))
+
+
 def _text_fingerprint(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -1276,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_splits": _assign_splits,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
+        "text_lm_score": _text_lm_score,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -1439,6 +1448,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "assign_splits": lambda: sampling_mod.assign_splits_sql("documents"),
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
+        "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

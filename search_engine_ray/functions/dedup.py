@@ -139,6 +139,8 @@ def _flat_word_tokens(texts) -> tuple[np.ndarray, pa.Array]:
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    if pa.types.is_null(texts.type):  # an all-null block types as null
+        return np.empty(0, np.int64), pa.array([], pa.string())
     arr = pc.fill_null(texts, "")
     arr = pc.utf8_lower(arr)
     arr = pc.replace_substring_regex(arr, "[^a-z0-9]+", " ")

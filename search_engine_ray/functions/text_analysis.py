@@ -856,3 +856,357 @@ def redact_sql(src: str, id_col: str = "doc_id", text_expr: str = "text") -> str
     return (
         f"SELECT {id_col}, {', '.join(counts)}, {clean} AS clean_text FROM {src}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (CCNet-style perplexity filtering)
+# ---------------------------------------------------------------------------
+
+LM_ALPHA = 0.5
+# Max (unigram + bigram) model size the counts may broadcast through the
+# driver — the same enforced bound as TFIDF_BROADCAST_MAX_TERMS; above
+# it lm_score switches to the gram-keyed join path (nothing driver-sized
+# anywhere). CCNet prunes its KenLM the same way at web scale.
+LM_BROADCAST_MAX_GRAMS = 2_000_000
+
+
+def _lm_term_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Per-doc LM term multiplicities for one batch — the map-side
+    partial of the joined path and the vectorization backbone of the
+    broadcast path. Emits (doc, gram, mult, kind) rows with kind:
+    0 = bigram numerator (+mult * ln(c2[gram] + a)),
+    1 = context denominator (-mult * ln(c1[gram] + a*V)),
+    2 = first-token numerator (+ln(c1[gram] + a)); the per-doc constant
+    -ln(N + a*V) for the first token attaches at aggregation. One
+    value_counts per kind over doc-salted grams — no per-row Python."""
+    from .dedup import _flat_word_tokens
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "gram": pa.array([], pa.string()),
+            "mult": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.int8()),
+        }
+    )
+    m = len(doc_idx)
+    if m == 0:
+        return empty
+    ids_str = pa.array(ids[doc_idx].astype("U"), pa.string())
+    out_id, out_gram, out_mult, out_kind = [], [], [], []
+
+    def emit(salted: pa.Array, kind: int) -> None:
+        vc = salted.value_counts()
+        both = vc.field("values").to_pylist()
+        did, gram = zip(*(s.split("\x00", 1) for s in both))
+        out_id.append(np.asarray(did, dtype=np.int64))
+        out_gram.append(pa.array(gram, pa.string()))
+        out_mult.append(vc.field("counts").cast(pa.int64()).to_numpy(zero_copy_only=False))
+        out_kind.append(np.full(len(both), kind, np.int8))
+
+    # first token of each doc (kind 2, mult always 1)
+    is_first = np.ones(m, bool)
+    is_first[1:] = doc_idx[1:] != doc_idx[:-1]
+    fsel = pa.array(is_first)
+    emit(pc.binary_join_element_wise(ids_str.filter(fsel), flat.filter(fsel), "\x00"), 2)
+    # bigram windows valid within one doc (kinds 0 and 1)
+    if m >= 2:
+        w = m - 1
+        valid = pa.array(doc_idx[1:] == doc_idx[:w])
+        prev, cur = flat.slice(0, w), flat.slice(1, w)
+        bi = pc.binary_join_element_wise(prev, cur, " ")
+        sal = pc.binary_join_element_wise(ids_str.slice(0, w), bi, "\x00").filter(valid)
+        if len(sal):
+            emit(sal, 0)
+            emit(
+                pc.binary_join_element_wise(
+                    ids_str.slice(0, w), prev, "\x00"
+                ).filter(valid),
+                1,
+            )
+    return pa.table(
+        {
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "gram": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_gram]),
+            "mult": pa.array(np.concatenate(out_mult), pa.int64()),
+            "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+        }
+    )
+
+
+def lm_score(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = LM_ALPHA,
+    broadcast_max_grams: int = LM_BROADCAST_MAX_GRAMS,
+):
+    """Per-document add-alpha bigram language-model score — the
+    perplexity-style quality signal CCNet/Gopher-class pipelines filter
+    on, with the LM trained on the corpus itself (self-perplexity):
+
+        lp(doc) = ln p(t0) + sum_i ln p(t_i | t_{i-1}),
+        p(t0) = (c1[t0]+a) / (N+a*V),
+        p(v|u) = (c2[u v]+a) / (c1[u]+a*V)
+
+    over the shared ``[a-z0-9]+`` token stream (no stopword filter —
+    the LM wants function words). Returns a Dataset of (id, n_tokens,
+    avg_logprob = round6(lp/T); empty docs score 0.0 with T=0).
+
+    Shape: unigram+bigram counts via :func:`ngram_counts` (in-map
+    partials, one groupby each); N and V are scalar aggregates. Below
+    ``broadcast_max_grams`` the model broadcasts once (``ray.put``) and
+    scoring is ONE pure map — per-batch lookups run over each batch's
+    DICTIONARY (unique grams), not token occurrences. Above it, nothing
+    returns to the driver: per-doc (gram, mult, kind) partials attach
+    counts in a gram-bucket groupby and fold in a doc groupby (the
+    tfidf joined-path pattern); both paths pinned equal by test at a
+    forced low threshold."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # ONE counting pass over the corpus: unigram and bigram partials
+    # share a groupby because their key spaces are disjoint (bigram keys
+    # contain a space, unigram keys cannot) — the model splits back out
+    # of the vocabulary-sized aggregate, not the corpus.
+    def gram_rows(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [ngram_count_rows(b, 1, text_col), ngram_count_rows(b, 2, text_col)]
+        )
+
+    counts = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def _side(want_bigrams: bool):
+        def pick(b: pa.Table) -> pa.Table:
+            has_space = pc.match_substring(b.column("ngram"), " ")
+            return b.filter(has_space if want_bigrams else pc.invert(has_space))
+
+        return counts.map_batches(pick, batch_format="pyarrow").materialize()
+
+    uni, bi = _side(False), _side(True)
+    v = uni.count()
+    n_total = int(uni.sum("n")) if v else 0
+    if v + bi.count() > broadcast_max_grams:
+        return _lm_score_joined(ds, uni, bi, n_total, v, alpha, id_col, text_col)
+    c1 = ray.put(dict(zip(*(uni.to_pandas()[c] for c in ("ngram", "n")))))
+    c2 = ray.put(dict(zip(*(bi.to_pandas()[c] for c in ("ngram", "n")))))
+
+    def _lookup(arr: pa.Array, counts: dict) -> np.ndarray:
+        d = arr.combine_chunks().dictionary_encode() if isinstance(arr, pa.ChunkedArray) else arr.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        cu = np.fromiter((counts.get(g, 0) for g in uniq), np.float64, len(uniq))
+        return cu[d.indices.to_numpy(zero_copy_only=False)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .dedup import _flat_word_tokens
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        c1d, c2d = ray.get(c1), ray.get(c2)
+        doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        m = len(doc_idx)
+        lp = np.zeros(len(ids), np.float64)
+        ntok = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        if m:
+            cu = _lookup(flat, c1d)
+            is_first = np.ones(m, bool)
+            is_first[1:] = doc_idx[1:] != doc_idx[:-1]
+            contrib = np.empty(m, np.float64)
+            contrib[is_first] = np.log(
+                (cu[is_first] + alpha) / (n_total + alpha * v)
+            )
+            if m >= 2:
+                w = m - 1
+                valid = doc_idx[1:] == doc_idx[:w]
+                bi_g = pc.binary_join_element_wise(flat.slice(0, w), flat.slice(1, w), " ")
+                cb = _lookup(bi_g, c2d)
+                rest = np.flatnonzero(~is_first)
+                contrib[rest] = np.log(
+                    (cb[rest - 1] + alpha) / (cu[rest - 1] + alpha * v)
+                )
+            np.add.at(lp, doc_idx, contrib)
+        avg = np.divide(lp, ntok, out=np.zeros_like(lp), where=ntok > 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "avg_logprob": pa.array(_round6(avg), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _lm_score_joined(ds, uni, bi, n_total: int, v: int, alpha: float,
+                     id_col: str, text_col: str):
+    """No-broadcast lm_score: per-doc (gram, mult, kind) partials UNION
+    the (gram, count) model rows into ONE gram-bucket groupby that
+    attaches counts (bigram keys contain a space, unigram keys cannot —
+    disjoint key spaces), then a doc-bucket groupby folds the per-doc
+    sum. Two bounded-bucket shuffles, nothing driver-sized."""
+    import pandas as pd
+    import ray.data as rd
+
+    nb = 1024
+
+    def _bucket_of(arr: pa.Array) -> np.ndarray:
+        d = arr.combine_chunks().dictionary_encode() if isinstance(arr, pa.ChunkedArray) else arr.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in uniq),
+            np.uint64, len(uniq),
+        )
+        return (uh % np.uint64(nb)).astype(np.int64)[
+            d.indices.to_numpy(zero_copy_only=False)
+        ]
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        t = _lm_term_rows(batch, id_col, text_col)
+        return t.append_column("gb", pa.array(_bucket_of(t.column("gram")), pa.int64()))
+
+    def model_rows(batch: pa.Table) -> pa.Table:
+        # kind 3 = model row; mult carries the corpus count
+        return pa.table(
+            {
+                id_col: pa.array(np.full(len(batch), -1, np.int64), pa.int64()),
+                "gram": batch.column("ngram"),
+                "mult": batch.column("n").cast(pa.int64()),
+                "kind": pa.array(np.full(len(batch), 3, np.int8), pa.int8()),
+                "gb": pa.array(_bucket_of(batch.column("ngram")), pa.int64()),
+            }
+        )
+
+    terms = ds.map_batches(term_rows, batch_format="pyarrow")
+    model = uni.union(bi).map_batches(model_rows, batch_format="pyarrow")
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        mult = group.column("mult").to_numpy(zero_copy_only=False)
+        grams = group.column("gram").to_numpy(zero_copy_only=False)
+        is_model = kind == 3
+        codes, uniq = pd.factorize(grams, sort=False)
+        c_of = np.zeros(len(uniq), np.float64)
+        c_of[codes[is_model]] = mult[is_model]
+        c = c_of[codes[~is_model]]
+        k = kind[~is_model]
+        m = mult[~is_model].astype(np.float64)
+        term = np.where(
+            k == 0, m * np.log(c + alpha),
+            np.where(
+                k == 1, -m * np.log(c + alpha * v),
+                np.log(c + alpha) - np.log(n_total + alpha * v),
+            ),
+        )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)[~is_model]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "term": pa.array(term, pa.float64()),
+            }
+        )
+
+    partial = (
+        terms.union(model).groupby("gb").map_groups(attach, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        from .dedup import _flat_word_tokens
+
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx, _ = _flat_word_tokens(batch.column(text_col))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(
+                    np.bincount(doc_idx, minlength=len(ids)).astype(np.int64), pa.int64()
+                ),
+                "term": pa.array(np.zeros(len(ids), np.float64), pa.float64()),
+            }
+        )
+
+    base = ds.map_batches(tok_counts, batch_format="pyarrow")
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        t = batch.select([id_col, "n_tokens", "term"])
+        return t.append_column("db", pa.array((ids % nb).astype(np.int64), pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        term = group.column("term").to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(ids, sort=True)
+        lp = np.zeros(len(uniq), np.float64)
+        # deterministic fold: sum per doc in sorted-term order so the
+        # reduction is block-layout independent
+        order = np.lexsort((term, codes))
+        np.add.at(lp, codes[order], term[order])
+        nt = np.zeros(len(uniq), np.int64)
+        np.maximum.at(nt, codes, ntok)
+        avg = np.divide(lp, nt, out=np.zeros_like(lp), where=nt > 0)
+        return pa.table(
+            {
+                id_col: pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "avg_logprob": pa.array(_round6(avg), pa.float64()),
+            }
+        )
+
+    return (
+        base.union(partial)
+        .map_batches(add_db, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def lm_score_sql(src: str, id_col: str = "doc_id",
+                 alpha: float = LM_ALPHA) -> str:
+    """DuckDB oracle for :func:`lm_score` (same tokenizer regex, same
+    add-alpha bigram model, same first-token unigram term)."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS did,
+           regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+occ AS (
+    SELECT did, t[i] AS tok, i
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+uni AS (SELECT tok, count(*) AS c FROM occ GROUP BY tok),
+tot AS (
+    SELECT (SELECT count(*) FROM occ) AS n_tok,
+           (SELECT count(*) FROM uni) AS v
+),
+big AS (
+    SELECT o1.did, o1.i, o1.tok AS w1, o2.tok AS w2
+    FROM occ o1 JOIN occ o2 ON o2.did = o1.did AND o2.i = o1.i + 1
+),
+bigc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+contrib AS (
+    SELECT o.did,
+           CASE WHEN o.i = 1
+                THEN ln((u.c + {alpha}) / (t.n_tok + {alpha} * t.v))
+                ELSE ln((bc.c + {alpha}) / (up.c + {alpha} * t.v)) END AS lp
+    FROM occ o
+    JOIN uni u ON u.tok = o.tok
+    LEFT JOIN big b ON b.did = o.did AND b.i = o.i - 1
+    LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    LEFT JOIN uni up ON up.tok = b.w1
+    CROSS JOIN tot t
+),
+agg AS (SELECT did, count(*) AS n_tokens, sum(lp) AS s FROM contrib GROUP BY did)
+SELECT d.{id_col} AS {id_col},
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(a.s / a.n_tokens, 0.0), 6) AS avg_logprob
+FROM {src} d LEFT JOIN agg a ON a.did = d.{id_col}
+"""

@@ -954,3 +954,80 @@ def test_role_top_lemmas_shape(tiny_corpus):
         df = g.sort_values("rank")["df"].to_numpy()
         assert (df[:-1] >= df[1:]).all()
         assert len(g) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_vs_oracle(docs_ds, fduck):
+    from search_engine_ray.functions.text_analysis import lm_score, lm_score_sql
+
+    got = (
+        _table(lm_score(docs_ds))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        fduck.execute(lm_score_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert (got["n_tokens"].values == exp["n_tokens"].values).all()
+    assert np.abs(got["avg_logprob"].values - exp["avg_logprob"].values).max() <= 2e-6
+
+
+def test_lm_score_joined_path_pinned_equal(docs_ds):
+    from search_engine_ray.functions.text_analysis import lm_score
+
+    a = (
+        _table(lm_score(docs_ds))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _table(lm_score(docs_ds, broadcast_max_grams=10))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    assert (a["n_tokens"].values == b["n_tokens"].values).all()
+    assert np.abs(a["avg_logprob"].values - b["avg_logprob"].values).max() == 0.0
+
+
+def test_lm_score_crafted():
+    """Hand-checkable corpus: 'a b a b' + 'a b' + '' under add-0.5.
+    Unigrams: a:3 b:3 (N=6, V=2); bigrams: 'a b':3, 'b a':1."""
+    import math
+
+    from search_engine_ray.functions.text_analysis import lm_score
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "a b a b"},
+            {"doc_id": 1, "text": "A   b!"},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": None},
+        ]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in _table(lm_score(ds)).to_pylist()
+    }
+    a = 0.5
+    p_first = math.log((3 + a) / (6 + a * 2))   # c1[a]=3
+    p_ab = math.log((3 + a) / (3 + a * 2))      # c2[a b]=3, c1[a]=3
+    p_ba = math.log((1 + a) / (3 + a * 2))      # c2[b a]=1, c1[b]=3
+    exp0 = (p_first + p_ab + p_ba + p_ab) / 4
+    exp1 = (p_first + p_ab) / 2
+    assert rows[0]["n_tokens"] == 4 and abs(rows[0]["avg_logprob"] - round(exp0, 6)) <= 1e-9
+    assert rows[1]["n_tokens"] == 2 and abs(rows[1]["avg_logprob"] - round(exp1, 6)) <= 1e-9
+    assert rows[2]["n_tokens"] == 0 and rows[2]["avg_logprob"] == 0.0
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] == 0.0

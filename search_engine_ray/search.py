@@ -2078,6 +2078,14 @@ class SearchEngine:
             loose = self._analyzer.analyze_query(loose_text) if loose_text else []
             if not phrases and not loose:
                 return self._resp(error="empty_query")
+            if not phrases:
+                # no phrase filters: the query IS disjunctive BM25 (+
+                # optional NOT) — ride the block-max path (or the
+                # exhaustive exclusion route), don't full-decode here
+                return self.search(
+                    loose_text, scope=scope, offset=offset, limit=limit,
+                    with_snippets=with_snippets, exclude=excl_text or None,
+                )
             got = self.score_auto(phrases, loose, excl_text or None, k, scope)
             if got is None:
                 return self._resp(count=0)

@@ -186,6 +186,34 @@ def test_delta_ts_range_identical_to_rebuild(delta_env):
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
+def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
+    """The round-3 grouped/boolean surfaces fold through the overlay
+    exactly: conversation-level ranking (max-passage grouping of the
+    overlay-folded matching set), field collapsing, and auto-mode
+    boolean queries all pinned identical to a fresh rebuild of the
+    modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.conv_queries():
+        ra = overlay.search_conversations(q["query_text"], scope=q["scope"], limit=q["k"])
+        rb = rebuilt.search_conversations(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+    for q in datagen.collapse_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            collapse=q["collapse"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            collapse=q["collapse"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+    for q in datagen.auto_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="auto")
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="auto")
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_turn_idx_out_of_range():
     import numpy as np
 

@@ -446,6 +446,40 @@ def _search_collapse(sf_dir: str):
     return df
 
 
+def _search_ordered(sf_dir: str):
+    """Timestamp-ordered result pages ("latest matching turns"): ranking
+    by ts instead of relevance, BM25 score carried for display."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.order_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], order_by=q["order_by"]
+        )
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "ts": row["ts"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "ts", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_exclude(sf_dir: str):
     """NOT-term exclusion queries: BM25 top-k minus docs containing any
     analyzed lemma of the query's exclude text (boolean NOT — the
@@ -1253,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boolean": _search_boolean,
         "search_conversations": _search_conversations,
         "search_collapse": _search_collapse,
+        "search_ordered": _search_ordered,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1372,6 +1407,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_collapse": lambda: oracle.bm25_collapse_sql(
             _corpus_src(), datagen.collapse_queries()
+        ),
+        "search_ordered": lambda: oracle.bm25_order_sql(
+            _corpus_src(), datagen.order_queries()
         ),
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),

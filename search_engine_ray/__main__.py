@@ -70,6 +70,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="inclusive ISO-8601 upper bound on the turn ts")
     s.add_argument("--collapse", type=int, default=None,
                    help="field collapsing: keep at most N turns per conversation")
+    s.add_argument("--order-by", choices=["score", "ts_desc", "ts_asc"],
+                   default="score",
+                   help="rank by relevance (default) or by turn timestamp")
     s.add_argument("--group-by-conv", action="store_true",
                    help="rank CONVERSATIONS by their best matching turn "
                         "(max-passage aggregation) instead of turns")
@@ -164,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 ts_min=a.ts_min,
                 ts_max=a.ts_max,
                 collapse=a.collapse,
+                order_by=a.order_by,
             )
         print(
             json.dumps(

@@ -554,3 +554,20 @@ def collapse_queries() -> list[dict]:
         {"query_id": f"g-{i:04d}", "query_text": t, "scope": s, "k": 10, "collapse": m}
         for i, (t, s, m) in enumerate(q)
     ]
+
+
+def order_queries() -> list[dict]:
+    """Timestamp-ordered result set ("latest matching turns"): ranking
+    by ts instead of relevance, both directions, scoped and not. ts ties
+    (minute-granularity synthetic data) break by (conv_id, turn_idx) in
+    both engines, so any stem works — score is carried, not ranked on."""
+    q = [
+        (f"{stem(4000)}", None, "ts_desc"),
+        (f"{stem(120)} {stem(480)}", None, "ts_desc"),
+        (f"{stem(300)}", "assistant", "ts_desc"),
+        (f"{stem(2048)}", None, "ts_asc"),
+    ]
+    return [
+        {"query_id": f"o-{i:04d}", "query_text": t, "scope": s, "k": 10, "order_by": o}
+        for i, (t, s, o) in enumerate(q)
+    ]

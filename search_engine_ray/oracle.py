@@ -592,6 +592,78 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_order_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Timestamp-ordered search oracle: the standard scored frame, but
+    rank = row_number over (dirn * epoch_us(ts) DESC, conv_id, turn_idx)
+    with dirn = +1 for ts_desc / -1 for ts_asc per query — the engine's
+    exact ts key and docid tie-break. BM25 score is carried (rounded),
+    not ranked on."""
+    metas, lems = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        scope = "NULL" if q["scope"] is None else f"'{q['scope']}'"
+        dirn = 1 if q["order_by"] == "ts_desc" else -1
+        metas.append(
+            f"('{q['query_id']}', {scope}, {q['k']}, {len(lemmas)}, {dirn})"
+        )
+        for lem in lemmas:
+            lems.append(f"('{q['query_id']}', '{lem}')")
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, n_terms, dirn)"
+    qlem = "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role, ts FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.dirn
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx, any_value(r.ts) AS ts,
+           any_value(q.dirn) AS dirn,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, ts, score,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dirn * epoch_us(ts) DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx, ts,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_counts_sql(src: str, queries: list[dict]) -> str:
     """Exact pre-pagination result counts (G6): per query, |union| of
     matching docs (within scope); 0 when any query lemma is missing

@@ -1979,6 +1979,7 @@ class SearchEngine:
         ts_min=None,
         ts_max=None,
         collapse: int | None = None,
+        order_by: str = "score",
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -1999,12 +2000,17 @@ class SearchEngine:
         conversation survive into the count and top-k, chosen per
         conversation by (score DESC, turn_idx ASC) — result
         diversification; same exhaustive routing, applied AFTER the
-        other filters.
+        other filters. ``order_by`` = 'score' (default) | 'ts_desc' |
+        'ts_asc' sorts the result page by turn timestamp instead of
+        relevance ("latest matching turns", the canonical transcript
+        ordering) — ranking key only; ``score`` still carries BM25.
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
         if collapse is not None and collapse < 1:
             return self._resp(error="bad_collapse")
+        if order_by not in ("score", "ts_desc", "ts_asc"):
+            return self._resp(error="bad_order")
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -2112,7 +2118,7 @@ class SearchEngine:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
         elif (min_match is not None or exclude is not None or ts_min is not None
-              or ts_max is not None or collapse is not None):
+              or ts_max is not None or collapse is not None or order_by != "score"):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -2138,7 +2144,19 @@ class SearchEngine:
             if collapse is not None:
                 ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)
-            ids, scores = self._topk(ids, scores, k)
+            if order_by != "score":
+                # rank by turn timestamp: top-k on the ts key (exact in
+                # float64 — epoch-µs < 2^53), ties by docid ASC ==
+                # (conv_id, turn_idx) ASC; BM25 scores re-attached to
+                # the winners by position (ids stay docid-sorted through
+                # every filter above)
+                tss = self._ts_of_ids(ids).astype(np.float64)
+                key = tss if order_by == "ts_desc" else -tss
+                sel_ids, _ = self._topk(ids, key, k)
+                scores = scores[np.searchsorted(ids, sel_ids)]
+                ids = sel_ids
+            else:
+                ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":
             ids, scores, count = self.score_blockmax(terms, k, scope, conjunctive)
         else:

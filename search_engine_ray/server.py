@@ -162,6 +162,7 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         ts_min=(q.get("ts_min") or [None])[0],
                         ts_max=(q.get("ts_max") or [None])[0],
                         collapse=int(collapse_s) if collapse_s else None,
+                        order_by=(q.get("order") or ["score"])[0],
                     )
                 self._send(
                     200 if resp["result"] else 400,

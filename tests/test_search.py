@@ -632,3 +632,50 @@ def test_conv_and_collapse_vs_duckdb_oracle(engine, duck):
         for g, e in zip(got, exp):
             assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def test_order_by_ts(engine):
+    hot = datagen.stem(0)
+    base = engine.search(hot, limit=10**6)
+    # ts_desc: same matching set, ordered by ts desc with docid tie-break
+    rd_ = engine.search(hot, limit=10**6, order_by="ts_desc")
+    assert rd_["count"] == base["count"]
+    rows = rd_["data"].to_pylist()
+    keys = [(r["ts"], r["conv_id"], r["turn_idx"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (t[0].timestamp() * -1, t[1], t[2]))
+    # ts_asc is the exact reverse ordering rule (not just reversed rows)
+    ra = engine.search(hot, limit=10**6, order_by="ts_asc")["data"].to_pylist()
+    akeys = [(r["ts"], r["conv_id"], r["turn_idx"]) for r in ra]
+    assert akeys == sorted(akeys, key=lambda t: (t[0].timestamp(), t[1], t[2]))
+    # result SET identical either way; scores are the BM25 values
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == {
+        (r["conv_id"], r["turn_idx"]) for r in ra
+    }
+    by_doc = {(r["conv_id"], r["turn_idx"]): r["score"]
+              for r in base["data"].to_pylist()}
+    for r in rows:
+        assert r["score"] == by_doc[(r["conv_id"], r["turn_idx"])]
+    # composes with filters; bad order errors
+    f = engine.search(hot, limit=5, order_by="ts_desc", collapse=1)
+    per = [r["conv_id"] for r in f["data"].to_pylist()]
+    assert len(per) == len(set(per))
+    assert engine.search(hot, order_by="nope")["error"] == "bad_order"
+
+
+def test_order_by_vs_duckdb_oracle(engine, duck):
+    sql = oracle.bm25_order_sql(oracle.transcripts_rel("sf0.001"), datagen.order_queries())
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in datagen.order_queries():
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by=q["order_by"])["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert g["ts"] == e["ts"]
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6

@@ -212,6 +212,13 @@ def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
         assert ra["result"] == rb["result"], q["query_id"]
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+    for q in datagen.order_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by=q["order_by"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by=q["order_by"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
 def test_delta_turn_idx_out_of_range():

@@ -261,6 +261,41 @@ def _search_prefix(sf_dir: str):
     return df
 
 
+def _search_fuzzy(sf_dir: str):
+    """Fuzzy (edit-distance) queries: each token expands to at most 16
+    vocabulary lemmas within its Levenshtein budget (the suggest rule:
+    dist ASC, df DESC, lemma ASC), then standard disjunctive BM25 over
+    the deduplicated expansion union."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.fuzzy_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="fuzzy", fuzzy_dist=q["dist"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _term_suggest(sf_dir: str):
     """Did-you-mean term suggestions: vocabulary lemmas within a
     Levenshtein edit budget of each probe, ranked (dist, df DESC,
@@ -323,6 +358,42 @@ def _search_pagination(sf_dir: str):
     eng = SearchEngine(out)
     r = eng.search(
         datagen.stem(0), offset=PAGE_OFFSET, limit=PAGE_QUERY["k"] - PAGE_OFFSET
+    )
+    import pandas as pd
+
+    rows = [
+        {
+            "query_id": PAGE_QUERY["query_id"],
+            "rank": PAGE_OFFSET + i + 1,
+            "conv_id": row["conv_id"],
+            "turn_idx": row["turn_idx"],
+            "score": round(row["score"], 6),
+        }
+        for i, row in enumerate(r["data"].to_pylist())
+    ]
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
+def _search_cursor(sf_dir: str):
+    """Cursor (search_after) deep pagination: page 2 fetched with the
+    last row of page 1 as the (score, conv_id, turn_idx) cursor must
+    equal offset pagination's ranks 11..30 — the deep-paging shape that
+    scales (no whole-prefix re-rank per page)."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    p1 = eng.search(datagen.stem(0), limit=PAGE_OFFSET)
+    last = p1["data"].to_pylist()[-1]
+    r = eng.search(
+        datagen.stem(0),
+        limit=PAGE_QUERY["k"] - PAGE_OFFSET,
+        search_after=(last["score"], last["conv_id"], last["turn_idx"]),
     )
     import pandas as pd
 
@@ -567,6 +638,37 @@ def _search_facets(sf_dir: str):
     rows = []
     for q in datagen.reference_queries():
         r = eng.facets(q["query_text"], scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "facet": row["facet"],
+                    "value": row["value"],
+                    "n_docs": row["n_docs"],
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "facet", "value", "n_docs"])
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
+def _search_facets_day(sf_dir: str):
+    """Date-histogram facet: per reference query, matching-doc counts
+    per UTC calendar day over the FULL matching set (the Elasticsearch
+    ``date_histogram`` shape; same matching semantics as search_facets,
+    ts lookup via the two-regime per-doc path)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.facets(q["query_text"], scope=q["scope"], by=("day",))
         if not r["result"]:
             continue
         for row in r["data"].to_pylist():
@@ -1282,7 +1384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
+        "search_cursor": _search_cursor,
         "search_facets": _search_facets,
+        "search_facets_day": _search_facets_day,
         "search_exclude": _search_exclude,
         "search_boolean": _search_boolean,
         "search_conversations": _search_conversations,
@@ -1297,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_suggest": _term_suggest,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
+        "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         # training-data operators (documents / embeddings tables)
@@ -1393,6 +1498,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
+        "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
         "search_exclude": lambda: oracle.bm25_exclude_sql(
             _corpus_src(), datagen.exclude_queries()
         ),
@@ -1421,6 +1527,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             [dict(PAGE_QUERY, query_text=datagen.stem(0))],
             PAGE_OFFSET,
         ),
+        # the cursor is page 1's boundary row, so "strictly after the
+        # cursor" IS "rank > offset" on the deterministic total order
+        "search_cursor": lambda: oracle.bm25_page_sql(
+            _corpus_src(),
+            [dict(PAGE_QUERY, query_text=datagen.stem(0))],
+            PAGE_OFFSET,
+        ),
         "search_phrase": lambda: oracle.phrase_topk_sql(
             _corpus_src(), datagen.phrase_queries()
         ),
@@ -1435,6 +1548,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_prefix": lambda: oracle.prefix_topk_sql(
             _corpus_src(), datagen.prefix_queries()
+        ),
+        "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
+            _corpus_src(), datagen.fuzzy_queries()
         ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay

@@ -57,9 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scope", default=None)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near", "prefix", "auto"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near", "prefix", "fuzzy", "auto"], default="bm25")
     s.add_argument("--near-window", type=int, default=8,
                    help="NEAR mode: max token-window width containing all query lemmas")
+    s.add_argument("--fuzzy-dist", type=int, default=1,
+                   help="fuzzy mode: Levenshtein edit budget per query token (0-3)")
     s.add_argument("--min-match", type=int, default=None,
                    help="keep docs containing at least m distinct query lemmas")
     s.add_argument("--exclude", default=None,
@@ -73,6 +75,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--order-by", choices=["score", "ts_desc", "ts_asc"],
                    default="score",
                    help="rank by relevance (default) or by turn timestamp")
+    s.add_argument("--after", nargs=3, metavar=("SCORE", "CONV_ID", "TURN_IDX"),
+                   default=None,
+                   help="cursor pagination: the last row of the previous page; "
+                        "returns results strictly after it in the relevance order")
     s.add_argument("--group-by-conv", action="store_true",
                    help="rank CONVERSATIONS by their best matching turn "
                         "(max-passage aggregation) instead of turns")
@@ -107,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--exclude", default=None)
     fc.add_argument("--ts-min", default=None)
     fc.add_argument("--ts-max", default=None)
+    fc.add_argument("--by", default="role,tool",
+                    help="comma-joined facet groupings: role, tool, day "
+                         "(day = per-UTC-calendar-day date histogram)")
 
     sg = sub.add_parser("suggest", help="did-you-mean term suggestions")
     sg.add_argument("term")
@@ -162,12 +171,14 @@ def main(argv: list[str] | None = None) -> int:
                 mode=a.mode,
                 with_snippets=a.snippets,
                 near_window=a.near_window,
+                fuzzy_dist=a.fuzzy_dist,
                 min_match=a.min_match,
                 exclude=a.exclude,
                 ts_min=a.ts_min,
                 ts_max=a.ts_max,
                 collapse=a.collapse,
                 order_by=a.order_by,
+                search_after=tuple(a.after) if a.after else None,
             )
         print(
             json.dumps(
@@ -185,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
 
         resp = SearchEngine(a.out).facets(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
-            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max, by=a.by,
         )
         print(
             json.dumps(

@@ -442,6 +442,27 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def fuzzy_queries() -> list[dict]:
+    """Fuzzy (edit-distance) query set: typo probes that expand against
+    the dense stem vocabulary — deletion/substitution typos, a dist-0
+    exact probe (identity with plain bm25 on a self-lemma stem), a
+    two-token mix of typo + exact, a far-from-everything token (empty),
+    and a scoped wider-budget probe."""
+    s777 = stem(777)
+    q = [
+        (stem(4000)[:-1], None, 1),                    # deletion typo
+        (s777[:3] + "x" + s777[4:], None, 1),          # substitution typo
+        (stem(50), None, 0),                           # dist 0 == exact term
+        (f"{stem(120)[:-1]} {stem(480)}", None, 1),    # typo + exact, two tokens
+        ("zzqqxx", None, 1),                           # far from vocabulary -> empty
+        (stem(1500)[:-1], "user", 2),                  # scoped, wider budget
+    ]
+    return [
+        {"query_id": f"f-{i:04d}", "query_text": t, "scope": s, "k": 10, "dist": d}
+        for i, (t, s, d) in enumerate(q)
+    ]
+
+
 def exclude_queries() -> list[dict]:
     """NOT-term exclusion query set: positive terms (mid-frequency to
     keep 6-dp rounded-score ties out of the comparison protocol, same

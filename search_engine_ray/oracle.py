@@ -1183,3 +1183,132 @@ SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
 FROM ranked r
 WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
 """
+
+
+def fuzzy_topk_sql(src: str, queries: list[dict], max_expansion: int = 16,
+                   k1: float = 1.2, b: float = 0.75) -> str:
+    """Fuzzy (edit-distance) top-k oracle: each query token expands to
+    at most ``max_expansion`` vocabulary lemmas within its Levenshtein
+    budget, ranked (dist ASC, df DESC, lemma ASC) per token — the
+    engine's exact suggest()-backed expansion rule — then standard
+    disjunctive BM25 over the per-query DEDUPLICATED union of the
+    expansions (a lemma reachable from two tokens scores once)."""
+    metas, toks_rows = [], []
+    for q in queries:
+        toks = analyzer.normalize_text(q["query_text"] or "").split()
+        if not toks:
+            continue
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, {scope}, {q['k']}, "
+            f"{int(q['dist'])})"
+        )
+        for tok in toks:
+            toks_rows.append(
+                f"({analyzer._sql_quote(q['query_id'])}, {analyzer._sql_quote(tok)})"
+            )
+    if not metas:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, scope, k, dist)"
+    qtok = "(VALUES " + ", ".join(toks_rows) + ") qt(query_id, tok)"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qtok AS (SELECT * FROM {qtok}),
+exp AS (
+    SELECT DISTINCT query_id, lemma, df FROM (
+        SELECT qt.query_id, d.lemma, d.df,
+               row_number() OVER (
+                   PARTITION BY qt.query_id, qt.tok
+                   ORDER BY levenshtein(d.lemma, qt.tok), d.df DESC, d.lemma
+               ) AS rk
+        FROM qtok qt
+        JOIN qmeta qm ON qm.query_id = qt.query_id
+        JOIN dict d ON levenshtein(d.lemma, qt.tok) <= qm.dist
+    ) WHERE rk <= {max_expansion}
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qmeta q
+    JOIN exp t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""
+
+
+def facets_day_sql(src: str, queries: list[dict]) -> str:
+    """Date-histogram facet oracle: matching-doc counts per UTC calendar
+    day (facet='day', value='YYYY-MM-DD') — the same matching semantics
+    as :func:`facets_sql` (union of docs containing any query lemma,
+    missing lemma -> no rows, scope filter on role); the day is the
+    DATE truncation of the corpus's naive-UTC ``ts``, matching the
+    engine's epoch-µs floor-division."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role, ts FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+withmeta AS (
+    SELECT m.query_id, r.ts
+    FROM matched m JOIN meta r
+      ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+)
+SELECT query_id, 'day' AS facet,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM withmeta GROUP BY 1, 3
+"""

@@ -1315,6 +1315,7 @@ class SearchEngine:
         exclude: str | None = None,
         ts_min=None,
         ts_max=None,
+        by=("role", "tool"),
     ) -> dict:
         """Faceted navigation over the reference's site-filter analog:
         per-role and per-tool document counts over the FULL matching set
@@ -1329,10 +1330,26 @@ class SearchEngine:
         matching set before grouping (pinned equal to the search-path
         filters by test).
 
+        ``by`` selects the groupings: any subset of 'role', 'tool' and
+        'day' (a comma-joined string is accepted). 'day' is the date
+        histogram — matching-doc counts per UTC calendar day
+        (``floor(epoch_us / 86_400e6)``, rendered YYYY-MM-DD), the
+        Elasticsearch ``date_histogram`` shape; its per-doc ts lookup
+        rides the same two-regime path as the ts-range filter
+        (forward-index searchsorted below the enrichment threshold, a
+        row-group-pruned (docid, ts) read above it — at 10^12 docs a
+        standing date facet should instead ride a build-time date
+        partition key, same note as the ts filter).
+
         -> {'result': bool, 'count': int (matching docs), 'data':
         pa.Table(facet, value, n_docs), 'error': str|None}. ``value`` ==
         '' groups docs with no tool (every doc has a role in practice).
         """
+        if isinstance(by, str):
+            by = tuple(v.strip() for v in by.split(",") if v.strip())
+        by = tuple(by)
+        if not by or not set(by) <= {"role", "tool", "day"}:
+            return {**self._resp(error="bad_facet"), "data": FACETS_SCHEMA.empty_table()}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": FACETS_SCHEMA.empty_table()}
         terms, err = self.plan(query_text)
@@ -1380,17 +1397,32 @@ class SearchEngine:
             if ts_max is not None:
                 m &= tss <= self._ts_us(ts_max)
             codes, uniq = codes[m], uniq[m]
-        pairs = self._code_pairs()
-        per_code = np.bincount(codes, minlength=len(pairs))
-        role_counts: dict[str, int] = {}
-        tool_counts: dict[str, int] = {}
-        for code in np.flatnonzero(per_code):
-            r, t = pairs[code]
-            n = int(per_code[code])
-            role_counts[r] = role_counts.get(r, 0) + n
-            tool_counts[t] = tool_counts.get(t, 0) + n
-        rows = [("role", v, n) for v, n in role_counts.items()]
-        rows += [("tool", v, n) for v, n in tool_counts.items()]
+        rows: list[tuple[str, str, int]] = []
+        if "role" in by or "tool" in by:
+            pairs = self._code_pairs()
+            per_code = np.bincount(codes, minlength=len(pairs))
+            role_counts: dict[str, int] = {}
+            tool_counts: dict[str, int] = {}
+            for code in np.flatnonzero(per_code):
+                r, t = pairs[code]
+                n = int(per_code[code])
+                role_counts[r] = role_counts.get(r, 0) + n
+                tool_counts[t] = tool_counts.get(t, 0) + n
+            if "role" in by:
+                rows += [("role", v, n) for v, n in role_counts.items()]
+            if "tool" in by:
+                rows += [("tool", v, n) for v, n in tool_counts.items()]
+        if "day" in by and len(uniq):
+            # date histogram: one bucket per UTC calendar day of the
+            # matching docs' ts (epoch-µs floor-division — exact for the
+            # naive-UTC timestamps the corpus carries)
+            tss = self._ts_of_ids(uniq)
+            days = (tss // 86_400_000_000).astype(np.int64)
+            du, dc = np.unique(days, return_counts=True)
+            rows += [
+                ("day", str(v), int(n))
+                for v, n in zip(du.astype("datetime64[D]").astype(str), dc)
+            ]
         rows.sort()
         tbl = pa.table(
             {
@@ -1400,6 +1432,30 @@ class SearchEngine:
             }
         )
         return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
+
+    def _cursor_docid(self, conv_id, turn_idx) -> int | None:
+        """(conv_id, turn_idx) -> docid for the search_after cursor, or
+        None when the conversation is unknown / turn_idx out of range.
+        Resolves the conv rank from the loaded forward index when
+        present, else the conv sidecar (rank order == sorted conv_id
+        order, so this is a binary-searchable list; at 10^12 docs the
+        lookup becomes a row-group-pruned read of the same sorted
+        sidecar instead of a full load — one string per conversation is
+        the documented small side everywhere else too)."""
+        try:
+            turn_idx = int(turn_idx)
+        except (TypeError, ValueError):
+            return None
+        if not 0 <= turn_idx < (1 << TURN_BITS):
+            return None
+        convs = (
+            self._fwd[3] if self._fwd is not None
+            else build_mod._load_sorted_convs(self.out_dir)
+        )
+        idx = pc.index(convs, pa.scalar(str(conv_id))).as_py()
+        if idx < 0:
+            return None
+        return (idx << TURN_BITS) | turn_idx
 
     def search_conversations(
         self,
@@ -1497,6 +1553,7 @@ class SearchEngine:
 
     PREFIX_MIN_LEN = 2
     PREFIX_MAX_EXPANSION = 32
+    FUZZY_MAX_EXPANSION = 16
 
     def expand_prefix(self, prefix: str, max_expansion: int = PREFIX_MAX_EXPANSION):
         """Vocabulary lemmas starting with ``prefix`` (analyzer-folded),
@@ -1974,12 +2031,14 @@ class SearchEngine:
         conjunctive: bool = False,
         with_snippets: bool = False,
         near_window: int = 8,
+        fuzzy_dist: int = 1,
         min_match: int | None = None,
         exclude: str | None = None,
         ts_min=None,
         ts_max=None,
         collapse: int | None = None,
         order_by: str = "score",
+        search_after: tuple | list | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -2004,9 +2063,25 @@ class SearchEngine:
         'ts_asc' sorts the result page by turn timestamp instead of
         relevance ("latest matching turns", the canonical transcript
         ordering) — ranking key only; ``score`` still carries BM25.
+        ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
+        pagination: return results STRICTLY AFTER that row in the
+        relevance total order (score DESC, conv_id, turn_idx) — the
+        Elasticsearch ``search_after`` shape. Feed it the last row of
+        the previous page; page N+1 via cursor is pinned identical to
+        ``offset=N*limit`` (the offset route re-ranks the whole result
+        prefix every page — at deep offsets the cursor is what scales).
+        Requires ``offset == 0`` and the default score order; composes
+        with the other exhaustive-routed filters; ``count`` stays the
+        full matching count.
         """
         if not self.valid_scope(scope):
             return self._resp(error="bad_scope")
+        if search_after is not None and (
+            offset != 0 or order_by != "score"
+            or not isinstance(search_after, (tuple, list))
+            or len(search_after) != 3
+        ):
+            return self._resp(error="bad_cursor")
         if collapse is not None and collapse < 1:
             return self._resp(error="bad_collapse")
         if order_by not in ("score", "ts_desc", "ts_asc"):
@@ -2040,6 +2115,47 @@ class SearchEngine:
                     return self._resp(error="empty_query")
                 return self._resp(count=0)
             terms = sorted(exp, key=lambda t: (t[1], t[0]))
+            if self._has_deltas:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                terms = [(lem, df) for lem, df in terms if df > 0]
+                if not terms:
+                    return self._resp(count=0)
+            ids, scores, count = self.score_blockmax(terms, k, scope, False)
+            ids, scores = ids[offset:], scores[offset:]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "fuzzy":
+            # fuzzy term search (Lucene FuzzyQuery rewrite semantics):
+            # each analyzer-normalized query token expands to at most
+            # FUZZY_MAX_EXPANSION vocabulary lemmas within ``fuzzy_dist``
+            # Levenshtein edits, ranked (dist ASC, df DESC, lemma ASC) —
+            # exactly the suggest() rule, so BOTH dictionary regimes
+            # (in-memory preload / distributed parquet sweep) ride the
+            # already-pinned-equal scan — then standard disjunctive
+            # block-max BM25 over the deduplicated expansion union.
+            # Tokens are charset-folded but NOT lemmatized (the probe is
+            # matched against the lemma vocabulary directly, like
+            # suggest); a token with no expansion contributes nothing.
+            # With a live delta overlay the expansion reflects the BASE
+            # dictionary (suggest's documented boundary — delta-only
+            # lemmas join at the next compaction); expanded terms' df
+            # and postings DO fold through the overlay below.
+            if not 0 <= fuzzy_dist <= 3:
+                return self._resp(error="bad_fuzzy_dist")
+            toks = analyzer.normalize_text(query_text or "").split()
+            if not toks:
+                return self._resp(error="empty_query")
+            seen: dict[str, int] = {}
+            for tok in toks:
+                t = self.suggest(tok, max_dist=fuzzy_dist,
+                                 k=self.FUZZY_MAX_EXPANSION)
+                for lem, df in zip(t.column("suggestion").to_pylist(),
+                                   t.column("df").to_pylist()):
+                    seen.setdefault(lem, int(df))
+            if not seen:
+                return self._resp(count=0)
+            terms = sorted(seen.items(), key=lambda t: (t[1], t[0]))
             if self._has_deltas:
                 blocks = self._term_blocks([t[0] for t in terms])
                 terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
@@ -2118,7 +2234,8 @@ class SearchEngine:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
         elif (min_match is not None or exclude is not None or ts_min is not None
-              or ts_max is not None or collapse is not None or order_by != "score"):
+              or ts_max is not None or collapse is not None or order_by != "score"
+              or search_after is not None):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -2144,6 +2261,22 @@ class SearchEngine:
             if collapse is not None:
                 ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)
+            if search_after is not None:
+                # cursor pagination: keep rows STRICTLY AFTER the cursor
+                # in the (score DESC, docid ASC) total order. The cursor
+                # score is the engine's own float64 from the previous
+                # page (JSON round-trips it exactly), so equality at the
+                # boundary is bit-exact; ties resolve on the docid.
+                s0, conv0, turn0 = search_after
+                d0 = self._cursor_docid(conv0, turn0)
+                try:
+                    s0 = float(s0)
+                except (TypeError, ValueError):
+                    d0 = None
+                if d0 is None:
+                    return self._resp(error="bad_cursor")
+                keep = (scores < s0) | ((scores == s0) & (ids > d0))
+                ids, scores = ids[keep], scores[keep]
             if order_by != "score":
                 # rank by turn timestamp: top-k on the ts key (exact in
                 # float64 — epoch-µs < 2^53), ties by docid ASC ==

@@ -3,15 +3,17 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase|near|auto][&window=W][&snippets=1]
+  [&mode=bm25|reference|phrase|near|prefix|fuzzy|auto][&window=W][&fuzzy=D]
+  [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
   [&collapse=M][&group=conv]`` — ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
   a role value or ``tool:<name>``; ``collapse=M`` keeps at most M turns
   per conversation; ``group=conv`` ranks conversations by their best
   matching turn via ``SearchEngine.search_conversations``).
-- ``GET /api/facets?query=...[&site=<scope>][&conjunctive=1]`` —
-  ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
-  the FULL result set (faceted navigation).
+- ``GET /api/facets?query=...[&site=<scope>][&conjunctive=1][&by=role,tool,day]``
+  — ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
+  the FULL result set (faceted navigation); ``by=day`` adds the
+  per-UTC-calendar-day date histogram.
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
@@ -61,7 +63,8 @@ _INDEX_HTML = """<!doctype html>
 <form id="f">
  <input id="q" size="40" placeholder="query text" autofocus>
  <select id="mode"><option>bm25</option><option>auto</option>
-  <option>phrase</option><option>near</option><option>reference</option></select>
+  <option>phrase</option><option>near</option><option>prefix</option>
+  <option>fuzzy</option><option>reference</option></select>
  <input id="scope" size="12" placeholder="scope (role / tool:x)">
  <input id="limit" size="3" value="10">
  <button>Search</button>
@@ -158,11 +161,16 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         mode=(q.get("mode") or ["bm25"])[0],
                         with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
                         near_window=int((q.get("window") or ["8"])[0]),
+                        fuzzy_dist=int((q.get("fuzzy") or ["1"])[0]),
                         exclude=(q.get("exclude") or [None])[0],
                         ts_min=(q.get("ts_min") or [None])[0],
                         ts_max=(q.get("ts_max") or [None])[0],
                         collapse=int(collapse_s) if collapse_s else None,
                         order_by=(q.get("order") or ["score"])[0],
+                        search_after=(
+                            tuple((q.get("after") or [""])[0].split(",", 2))
+                            if q.get("after") else None
+                        ),
                     )
                 self._send(
                     200 if resp["result"] else 400,
@@ -185,6 +193,7 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     exclude=(q.get("exclude") or [None])[0],
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
+                    by=(q.get("by") or ["role,tool"])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -154,6 +154,11 @@ def test_delta_facets_identical_to_rebuild(delta_env):
         assert ra["result"] == rb["result"], q["query_id"]
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+        # the date histogram rides _ts_of_ids, where delta rows win
+        da = overlay.facets(q["query_text"], scope=q["scope"], by=("day",))
+        db = rebuilt.facets(q["query_text"], scope=q["scope"], by=("day",))
+        assert da["count"] == db["count"], q["query_id"]
+        assert da["data"].equals(db["data"]), q["query_id"]
 
 
 def test_delta_exclude_identical_to_rebuild(delta_env):

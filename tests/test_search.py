@@ -302,6 +302,69 @@ def test_prefix_mode_semantics(tiny_index):
     assert eng.search("z", mode="prefix")["error"] == "empty_query"
 
 
+def test_fuzzy_mode_semantics(tiny_index):
+    """Fuzzy expansion: dist-0 on a self-lemma stem == plain bm25; a
+    typo probe's matching set ⊇ the intended lemma's exact results;
+    the distributed-dictionary scale path equals the dict path;
+    garbage/budget/empty edge semantics."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    st = datagen.stem(50)  # its own lemma (self-lemma stem)
+    exact = eng.search(st, limit=100_000)
+    f0 = eng.search(st, mode="fuzzy", fuzzy_dist=0, limit=100_000)
+    assert f0["count"] == exact["count"] and f0["data"].equals(exact["data"])
+    # deletion typo: expansion within dist 1 includes the intended lemma,
+    # so the exact matching set is a subset of the fuzzy (disjunctive) set
+    typo = datagen.stem(4000)[:-1]
+    ef = eng.search(datagen.stem(4000), limit=100_000)
+    ff = eng.search(typo, mode="fuzzy", fuzzy_dist=1, limit=100_000)
+    ids_e = {(r["conv_id"], r["turn_idx"]) for r in ef["data"].to_pylist()}
+    ids_f = {(r["conv_id"], r["turn_idx"]) for r in ff["data"].to_pylist()}
+    assert ids_e <= ids_f and ff["count"] >= ef["count"]
+    # distributed-dictionary path (suggest's parquet sweep) pinned equal
+    eng2 = SearchEngine(tiny_index["out_dir"])
+    eng2._df = None
+    r2 = eng2.search(typo, mode="fuzzy", fuzzy_dist=1, limit=20)
+    r1 = eng.search(typo, mode="fuzzy", fuzzy_dist=1, limit=20)
+    assert r1["count"] == r2["count"] and r1["data"].equals(r2["data"])
+    # far-from-vocabulary probe: empty result set, not an error
+    g = eng.search("zzqqxx", mode="fuzzy", fuzzy_dist=1)
+    assert g["result"] and g["count"] == 0
+    # edit budget validated; empty probe is an error
+    assert eng.search(st, mode="fuzzy", fuzzy_dist=4)["error"] == "bad_fuzzy_dist"
+    assert eng.search("  ", mode="fuzzy")["error"] == "empty_query"
+    # scoped fuzzy only ever returns that role
+    sc = eng.search(typo, mode="fuzzy", fuzzy_dist=1, scope="user", limit=50)
+    assert all(r["role"] == "user" for r in sc["data"].to_pylist())
+
+
+def test_fuzzy_vs_duckdb_oracle(engine, duck):
+    """Fuzzy top-k rank identity vs the SQL oracle (per-token
+    levenshtein expansion with the (dist, df DESC, lemma) cap rule,
+    deduplicated disjunctive BM25) at sf0.001."""
+    fq = datagen.fuzzy_queries()
+    sql = oracle.fuzzy_topk_sql(oracle.transcripts_rel("sf0.001"), fq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in fq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            mode="fuzzy", fuzzy_dist=q["dist"],
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_facets_vs_duckdb_oracle(engine, duck):
     """Faceted matching-doc counts (grouped G6) == the SQL oracle's
     role/tool groupings over the same matching semantics, per query."""
@@ -320,6 +383,87 @@ def test_facets_vs_duckdb_oracle(engine, duck):
             for row in r["data"].to_pylist()
         }
         assert got == by_q.get(q["query_id"], set()), q["query_text"]
+
+
+def test_search_after_cursor(engine):
+    """Cursor (search_after) pagination: page N+1 via the previous
+    page's boundary row == offset pagination; walking the cursor to
+    exhaustion reproduces the full deterministic order exactly once;
+    bad cursors and illegal compositions error."""
+    q = QUERIES[3]["query_text"]  # ultra-hot single term
+    p1 = engine.search(q, limit=10)
+    last = p1["data"].to_pylist()[-1]
+    cur = (last["score"], last["conv_id"], last["turn_idx"])
+    by_cursor = engine.search(q, limit=10, search_after=cur)
+    by_offset = engine.search(q, offset=10, limit=10)
+    assert by_cursor["count"] == by_offset["count"] == p1["count"]
+    assert by_cursor["data"].equals(by_offset["data"])
+    # full walk: every matching doc exactly once, in the total order
+    full = engine.search(q, limit=p1["count"])["data"].to_pylist()
+    seen, cursor, pages = [], None, 0
+    while True:
+        r = engine.search(q, limit=7, search_after=cursor)
+        rows = r["data"].to_pylist()
+        if not rows:
+            break
+        seen += rows
+        cursor = (rows[-1]["score"], rows[-1]["conv_id"], rows[-1]["turn_idx"])
+        pages += 1
+        assert pages <= p1["count"]  # termination guard
+    assert [(x["conv_id"], x["turn_idx"]) for x in seen] == [
+        (x["conv_id"], x["turn_idx"]) for x in full
+    ]
+    # composes with the other exhaustive-routed filters (scope)
+    s1 = engine.search(q, scope="user", limit=5)
+    srows = s1["data"].to_pylist()
+    scur = (srows[-1]["score"], srows[-1]["conv_id"], srows[-1]["turn_idx"])
+    s2c = engine.search(q, scope="user", limit=5, search_after=scur)
+    s2o = engine.search(q, scope="user", offset=5, limit=5)
+    assert s2c["data"].equals(s2o["data"])
+    # error surfaces
+    assert engine.search(q, search_after=(1.0, "no-such-conv", 0))["error"] == "bad_cursor"
+    assert engine.search(q, search_after=("x", srows[0]["conv_id"], 0))["error"] == "bad_cursor"
+    assert engine.search(q, offset=3, search_after=cur)["error"] == "bad_cursor"
+    assert engine.search(q, order_by="ts_desc", search_after=cur)["error"] == "bad_cursor"
+    assert engine.search(q, search_after=(1.0,))["error"] == "bad_cursor"
+
+
+def test_facets_day_vs_duckdb_oracle(engine, duck):
+    """Date-histogram facet == the SQL oracle's per-UTC-day groupings
+    over the same matching semantics, per query."""
+    sql = oracle.facets_day_sql(oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, set] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add((r["value"], r["n_docs"]))
+    for q in QUERIES:
+        r = engine.facets(q["query_text"], scope=q["scope"], by=("day",))
+        assert r["result"], q
+        got = {(row["value"], row["n_docs"]) for row in r["data"].to_pylist()}
+        assert got == by_q.get(q["query_id"], set()), q["query_text"]
+
+
+def test_facets_day_semantics(engine):
+    q = QUERIES[3]["query_text"]  # ultra-hot single term
+    r = engine.facets(q, by=("day",))
+    tbl = r["data"].to_pylist()
+    assert tbl and all(x["facet"] == "day" for x in tbl)
+    # day buckets partition the full matching set, values are ISO dates
+    assert sum(x["n_docs"] for x in tbl) == r["count"]
+    assert all(len(x["value"]) == 10 and x["value"][4] == "-" for x in tbl)
+    # comma-joined string form == tuple form, composes with role/tool
+    rs = engine.facets(q, by="role,day")
+    facets_seen = {x["facet"] for x in rs["data"].to_pylist()}
+    assert facets_seen == {"role", "day"}
+    assert [x for x in rs["data"].to_pylist() if x["facet"] == "day"] == tbl
+    # a ts window spanning exactly one bucket reproduces that bucket's count
+    lo = tbl[0]["value"] + "T00:00:00"
+    hi = tbl[0]["value"] + "T23:59:59.999999"
+    win = engine.facets(q, by=("day",), ts_min=lo, ts_max=hi)
+    assert win["count"] == tbl[0]["n_docs"]
+    # unknown grouping is an error
+    assert engine.facets(q, by=("week",))["error"] == "bad_facet"
+    assert engine.facets(q, by=())["error"] == "bad_facet"
 
 
 def test_facets_semantics(engine):

@@ -46,6 +46,20 @@ def test_search_endpoint(served):
     # scope + phrase mode round-trip the query params
     code, got = _get(f"{base}/api/search?query={hot}+{datagen.stem(1)}&mode=phrase&limit=2")
     assert code == 200 and got["result"] and got["count"] > 0
+    # fuzzy mode + edit budget round-trip (deletion typo of a mid stem)
+    typo = datagen.stem(4000)[:-1]
+    code, got = _get(f"{base}/api/search?query={typo}&mode=fuzzy&fuzzy=1&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
+    # cursor pagination round-trips &after=score,conv,turn == offset page 2
+    code, p1 = _get(f"{base}/api/search?query={hot}&limit=3")
+    lastrow = p1["data"][-1]
+    after = f"{lastrow['score']!r},{lastrow['conv_id']},{lastrow['turn_idx']}"
+    code, got = _get(f"{base}/api/search?query={hot}&limit=3&after={after}")
+    code, off = _get(f"{base}/api/search?query={hot}&limit=3&offset=3")
+    assert code == 200 and got["result"]
+    assert [(r["conv_id"], r["turn_idx"]) for r in got["data"]] == [
+        (r["conv_id"], r["turn_idx"]) for r in off["data"]
+    ]
     # field collapsing caps per-conversation rows
     code, got = _get(f"{base}/api/search?query={hot}&collapse=1&limit=50")
     assert code == 200 and got["result"]

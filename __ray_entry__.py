@@ -414,6 +414,42 @@ def _search_cursor(sf_dir: str):
     return df
 
 
+def _search_mlt(sf_dir: str):
+    """More-like-this: the probe turn's top tf·idf lemmas become a
+    disjunctive BM25 query, probe excluded — the Elasticsearch
+    more_like_this discovery surface."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.mlt_queries():
+        r = eng.more_like_this(
+            q["conv_id"], q["turn_idx"], scope=q["scope"], limit=q["k"],
+            max_terms=q["max_terms"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_boolean(sf_dir: str):
     """Boolean search-box queries (mode='auto'): quoted phrases = AND
     filters, -tokens = NOT terms, loose text = disjunctive BM25 — the
@@ -1385,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "search_cursor": _search_cursor,
+        "search_mlt": _search_mlt,
         "search_facets": _search_facets,
         "search_facets_day": _search_facets_day,
         "search_exclude": _search_exclude,
@@ -1551,6 +1588,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
             _corpus_src(), datagen.fuzzy_queries()
+        ),
+        "search_mlt": lambda: oracle.mlt_topk_sql(
+            _corpus_src(), datagen.mlt_queries()
         ),
         "delta_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
         # compaction folds the generation away; results must stay

@@ -117,6 +117,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-joined facet groupings: role, tool, day "
                          "(day = per-UTC-calendar-day date histogram)")
 
+    ml = sub.add_parser(
+        "mlt", help="more-like-this: rank documents similar to one turn "
+        "(its top tf-idf lemmas become a disjunctive BM25 query)"
+    )
+    ml.add_argument("conv_id")
+    ml.add_argument("turn_idx", type=int)
+    ml.add_argument("--out", required=True)
+    ml.add_argument("--scope", default=None)
+    ml.add_argument("--offset", type=int, default=0)
+    ml.add_argument("--limit", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+
     sg = sub.add_parser("suggest", help="did-you-mean term suggestions")
     sg.add_argument("term")
     sg.add_argument("--out", required=True)
@@ -197,6 +209,24 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).facets(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max, by=a.by,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "mlt":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).more_like_this(
+            a.conv_id, a.turn_idx, scope=a.scope, offset=a.offset,
+            limit=a.limit, max_terms=a.max_terms,
         )
         print(
             json.dumps(

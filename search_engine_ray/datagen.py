@@ -463,6 +463,24 @@ def fuzzy_queries() -> list[dict]:
     ]
 
 
+def mlt_queries() -> list[dict]:
+    """More-like-this probes: (conv, turn) pairs stable across every
+    scale tag (the leading conversation draws share the seeded rng
+    stream, so these convs/turns exist at all sfs), one scoped."""
+    q = [
+        ("conv-00000000", 0, None),
+        ("conv-00000002", 0, None),
+        ("conv-00000005", 1, None),
+        ("conv-00000001", 0, "assistant"),
+        ("conv-00000003", 0, None),
+    ]
+    return [
+        {"query_id": f"l-{i:04d}", "conv_id": c, "turn_idx": t, "scope": s,
+         "k": 10, "max_terms": 25}
+        for i, (c, t, s) in enumerate(q)
+    ]
+
+
 def exclude_queries() -> list[dict]:
     """NOT-term exclusion query set: positive terms (mid-frequency to
     keep 6-dp rounded-score ties out of the comparison protocol, same

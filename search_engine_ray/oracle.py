@@ -1312,3 +1312,90 @@ SELECT query_id, 'day' AS facet,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM withmeta GROUP BY 1, 3
 """
+
+
+def mlt_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """More-like-this oracle: the probe turn's per-lemma tf comes from
+    the shared analyzer CTEs (identical to the indexed tf), each
+    corpus lemma is weighted tf * ln(1+(n_docs-df+0.5)/(df+0.5)) — the
+    engine's one idf — and the top ``max_terms`` by (weight DESC,
+    lemma ASC) feed a standard disjunctive BM25, with the probe turn
+    excluded from the ranked set."""
+    metas = []
+    for q in queries:
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, "
+            f"{analyzer._sql_quote(q['conv_id'])}, {int(q['turn_idx'])}, "
+            f"{int(q['max_terms'])}, {scope}, {q['k']})"
+        )
+    if not metas:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, conv_id, turn_idx, max_terms, scope, k)"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+ptf AS (
+    SELECT qm.query_id, l.lemma, count(*) AS tf
+    FROM qmeta qm JOIN __lem l
+      ON l.conv_id = qm.conv_id AND l.turn_idx = qm.turn_idx
+    GROUP BY 1, 2
+),
+sel AS (
+    SELECT query_id, lemma, df FROM (
+        SELECT p.query_id, p.lemma, d.df, qm.max_terms,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY p.tf * ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC,
+                            p.lemma
+               ) AS rk
+        FROM ptf p
+        JOIN dict d ON d.lemma = p.lemma
+        JOIN qmeta qm ON qm.query_id = p.query_id
+        CROSS JOIN corpus c
+    ) WHERE rk <= max_terms
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qmeta q
+    JOIN sel t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE (q.scope IS NULL OR r.role = q.scope)
+      AND NOT (p.conv_id = q.conv_id AND p.turn_idx = q.turn_idx)
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""

@@ -1457,6 +1457,94 @@ class SearchEngine:
             return None
         return (idx << TURN_BITS) | turn_idx
 
+    def _text_of(self, conv_id: str, turn_idx: int) -> str | None:
+        """One turn's text, or None when absent — a predicate-pushdown
+        point read of the transcripts parquet (the snippet path's
+        lookup, narrowed to one (conv, turn)); re-indexed conversations
+        read from their delta generation's input files, so the text
+        always matches the CURRENT index view."""
+        dpaths = getattr(self, "_delta_text_paths", {})
+        paths = list(dpaths.get(conv_id) or self.transcripts_paths)
+        t = pads.dataset(paths).to_table(
+            filter=(pads.field("conv_id") == str(conv_id))
+            & (pads.field("turn_idx") == int(turn_idx)),
+            columns=["text"],
+        )
+        if not t.num_rows:
+            return None
+        return t.column("text")[0].as_py() or ""
+
+    MLT_MAX_TERMS = 25
+
+    def more_like_this(
+        self,
+        conv_id: str,
+        turn_idx: int,
+        scope: str | None = None,
+        offset: int = 0,
+        limit: int = DEFAULT_PAGE_SIZE,
+        max_terms: int = MLT_MAX_TERMS,
+    ) -> dict:
+        """More-like-this (the Elasticsearch ``more_like_this`` shape):
+        rank documents similar to one probe turn. The probe's analyzed
+        lemma sequence yields per-lemma tf; each corpus-present lemma is
+        weighted ``tf * idf`` (the BM25 idf, ``ln(1+(N-df+0.5)/(df+0.5))``
+        — one consistent idf across the engine) and the top
+        ``max_terms`` by (weight DESC, lemma ASC) become a standard
+        disjunctive BM25 query, with the probe turn itself excluded
+        from the results and the exact count.
+
+        Term selection reflects tf over the probe's analyzed token
+        stream — identical to the indexed tf, so the SQL oracle derives
+        the same selection from its analyzer CTEs. Routed through the
+        exhaustive scorer (MLT is a discovery surface, not the hot
+        path; block-max applies unchanged if needed — the selected
+        terms are ordinary dictionary terms).
+
+        -> the standard search response; ``error='not_found'`` when the
+        probe (conv_id, turn_idx) has no text in the current view."""
+        if not self.valid_scope(scope):
+            return self._resp(error="bad_scope")
+        text = self._text_of(conv_id, turn_idx)
+        if text is None:
+            return self._resp(error="not_found")
+        analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+        seq = (
+            analyze_phrase(text)
+            if analyze_phrase is not None
+            else self._analyzer.analyze_query(text)
+        )
+        if not seq:
+            return self._resp(count=0)
+        from collections import Counter
+
+        weighted = []
+        for lem, tf in Counter(seq).items():
+            df = self._df_of(lem)
+            if df:
+                weighted.append((-tf * self.idf(df), lem, df))
+        weighted.sort()
+        sel = [(lem, df) for _w, lem, df in weighted[:max_terms]]
+        if not sel:
+            return self._resp(count=0)
+        terms = sorted(sel, key=lambda t: (t[1], t[0]))
+        if self._has_deltas:
+            blocks = self._term_blocks([t[0] for t in terms])
+            terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+            terms = [(lem, df) for lem, df in terms if df > 0]
+            if not terms:
+                return self._resp(count=0)
+        src = self._cursor_docid(conv_id, turn_idx)
+        ids, scores = self.score_exhaustive(terms, scope, False)
+        if src is not None and len(ids):
+            keep = ids != src
+            ids, scores = ids[keep], scores[keep]
+        count = len(ids)
+        ids, scores = self._topk(ids, scores, offset + limit)
+        ids, scores = ids[offset:], scores[offset:]
+        tbl = self._enrich(ids, scores, terms, False)
+        return {"result": True, "count": int(count), "data": tbl, "error": None}
+
     def search_conversations(
         self,
         query_text: str,

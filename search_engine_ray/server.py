@@ -10,6 +10,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   a role value or ``tool:<name>``; ``collapse=M`` keeps at most M turns
   per conversation; ``group=conv`` ranks conversations by their best
   matching turn via ``SearchEngine.search_conversations``).
+- ``GET /api/mlt?conv=<conv_id>&turn=<turn_idx>[&site=<scope>][&limit=N]
+  [&max_terms=M]`` — ``SearchEngine.more_like_this``: rank documents
+  similar to one turn (its top tf·idf lemmas as a disjunctive BM25
+  query, probe excluded).
 - ``GET /api/facets?query=...[&site=<scope>][&conjunctive=1][&by=role,tool,day]``
   — ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
   the FULL result set (faceted navigation); ``by=day`` adds the
@@ -172,6 +176,28 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                             if q.get("after") else None
                         ),
                     )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/mlt":
+                conv = (q.get("conv") or [""])[0]
+                if not conv:
+                    self._send(400, {"result": False, "error": "not_found"})
+                    return
+                resp = state["engine"].more_like_this(
+                    conv,
+                    int((q.get("turn") or ["0"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    offset=int((q.get("offset") or ["0"])[0]),
+                    limit=int((q.get("limit") or ["10"])[0]),
+                    max_terms=int((q.get("max_terms") or ["25"])[0]),
+                )
                 self._send(
                     200 if resp["result"] else 400,
                     {

@@ -428,6 +428,52 @@ def test_search_after_cursor(engine):
     assert engine.search(q, search_after=(1.0,))["error"] == "bad_cursor"
 
 
+def test_more_like_this_semantics(engine):
+    """MLT: probe excluded from results and count; match-set count is
+    monotone in max_terms (disjunctive union grows); offset slices the
+    same deterministic order; error surfaces."""
+    probe = datagen.mlt_queries()[0]
+    c, t = probe["conv_id"], probe["turn_idx"]
+    r = engine.more_like_this(c, t, limit=50)
+    assert r["result"] and r["count"] > 0
+    assert all((x["conv_id"], x["turn_idx"]) != (c, t) for x in r["data"].to_pylist())
+    small = engine.more_like_this(c, t, max_terms=3)
+    assert small["count"] <= r["count"]
+    page = engine.more_like_this(c, t, offset=5, limit=5)
+    assert page["data"].to_pylist() == r["data"].to_pylist()[5:10]
+    # scoped MLT only returns that role
+    sc = engine.more_like_this(c, t, scope="user", limit=20)
+    assert all(x["role"] == "user" for x in sc["data"].to_pylist())
+    assert engine.more_like_this("no-such-conv", 0)["error"] == "not_found"
+    assert engine.more_like_this(c, 10_000)["error"] == "not_found"
+    assert engine.more_like_this(c, t, scope="nope")["error"] == "bad_scope"
+
+
+def test_mlt_vs_duckdb_oracle(engine, duck):
+    """MLT rank identity vs the SQL oracle (per-probe tf from the shared
+    analyzer CTEs, tf·idf top-max_terms selection with the (weight DESC,
+    lemma) rule, probe-excluded BM25) at sf0.001."""
+    mq = datagen.mlt_queries()
+    sql = oracle.mlt_topk_sql(oracle.transcripts_rel("sf0.001"), mq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in mq:
+        got = engine.more_like_this(
+            q["conv_id"], q["turn_idx"], scope=q["scope"], limit=q["k"],
+            max_terms=q["max_terms"],
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_facets_day_vs_duckdb_oracle(engine, duck):
     """Date-histogram facet == the SQL oracle's per-UTC-day groupings
     over the same matching semantics, per query."""

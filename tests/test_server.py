@@ -60,6 +60,14 @@ def test_search_endpoint(served):
     assert [(r["conv_id"], r["turn_idx"]) for r in got["data"]] == [
         (r["conv_id"], r["turn_idx"]) for r in off["data"]
     ]
+    # more-like-this endpoint: probe excluded, standard result shape
+    probe = got["data"][0] if got["data"] else p1["data"][0]
+    code, ml = _get(f"{base}/api/mlt?conv={probe['conv_id']}&turn={probe['turn_idx']}&limit=3")
+    assert code == 200 and ml["result"] and ml["count"] > 0
+    assert all(
+        (r["conv_id"], r["turn_idx"]) != (probe["conv_id"], probe["turn_idx"])
+        for r in ml["data"]
+    )
     # field collapsing caps per-conversation rows
     code, got = _get(f"{base}/api/search?query={hot}&collapse=1&limit=50")
     assert code == 200 and got["result"]

@@ -106,10 +106,23 @@ document.getElementById('f').onsubmit = async (e)=>{
    r.result ? r.count+' results'+facetLine : 'error: '+r.error;
  const rows=(r.data||[]).map(d=>
   `<tr><td>${d.conv_id}/${d.turn_idx}</td><td>${d.role}</td>`+
-  `<td>${d.score.toFixed(4)}</td><td>${d.snippet||''}</td></tr>`).join('');
+  `<td>${d.score.toFixed(4)}</td><td>${d.snippet||''}</td>`+
+  `<td><a href="#" onclick="return mlt('${d.conv_id}',${d.turn_idx})">similar</a></td></tr>`).join('');
  document.getElementById('res').innerHTML =
-  rows?'<tr><th>doc</th><th>role</th><th>score</th><th>snippet</th></tr>'+rows:'';
+  rows?'<tr><th>doc</th><th>role</th><th>score</th><th>snippet</th><th></th></tr>'+rows:'';
 };
+async function mlt(conv, turn){
+ const r=await (await fetch(`/api/mlt?conv=${encodeURIComponent(conv)}&turn=${turn}&limit=10`)).json();
+ document.getElementById('count').textContent =
+   r.result ? r.count+' similar to '+conv+'/'+turn : 'error: '+r.error;
+ const rows=(r.data||[]).map(d=>
+  `<tr><td>${d.conv_id}/${d.turn_idx}</td><td>${d.role}</td>`+
+  `<td>${d.score.toFixed(4)}</td><td></td>`+
+  `<td><a href="#" onclick="return mlt('${d.conv_id}',${d.turn_idx})">similar</a></td></tr>`).join('');
+ document.getElementById('res').innerHTML =
+  rows?'<tr><th>doc</th><th>role</th><th>score</th><th></th><th></th></tr>'+rows:'';
+ return false;
+}
 loadStats();
 </script></body></html>
 """

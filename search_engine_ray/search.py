@@ -1499,7 +1499,11 @@ class SearchEngine:
         the same selection from its analyzer CTEs. Routed through the
         exhaustive scorer (MLT is a discovery surface, not the hot
         path; block-max applies unchanged if needed — the selected
-        terms are ordinary dictionary terms).
+        terms are ordinary dictionary terms). With a live delta overlay
+        the df lookups reflect the BASE dictionary (the suggest/fuzzy
+        boundary: a probe lemma first introduced by a delta generation
+        is skipped until compaction), while the selected terms' postings
+        and df DO fold through the overlay.
 
         -> the standard search response; ``error='not_found'`` when the
         probe (conv_id, turn_idx) has no text in the current view."""

@@ -39,6 +39,32 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert f["result"] and f["count"] == r["count"]
     assert sum(x["n_docs"] for x in f["data"] if x["facet"] == "role") == f["count"]
 
+    fd = _run(["facets", datagen.stem(0), "--out", out, "--by", "day"])
+    assert fd["result"] and fd["count"] == r["count"]
+    assert sum(x["n_docs"] for x in fd["data"]) == fd["count"]
+    assert all(x["facet"] == "day" for x in fd["data"])
+
+    fz = _run(["search", datagen.stem(4000)[:-1], "--out", out,
+               "--mode", "fuzzy", "--fuzzy-dist", "1", "--limit", "3"])
+    assert fz["result"] and fz["count"] > 0
+
+    last = r["data"][-1]
+    cu = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
+               "--after", repr(last["score"]), last["conv_id"], str(last["turn_idx"])])
+    of = _run(["search", datagen.stem(0), "--out", out, "--limit", "3", "--offset", "3"])
+    assert cu["result"] and [
+        (x["conv_id"], x["turn_idx"]) for x in cu["data"]
+    ] == [(x["conv_id"], x["turn_idx"]) for x in of["data"]]
+
+    probe = r["data"][0]
+    ml = _run(["mlt", probe["conv_id"], str(probe["turn_idx"]), "--out", out,
+               "--limit", "3"])
+    assert ml["result"] and ml["count"] > 0
+    assert all(
+        (x["conv_id"], x["turn_idx"]) != (probe["conv_id"], probe["turn_idx"])
+        for x in ml["data"]
+    )
+
     conv = r["data"][0]["conv_id"]
     d = _run(["reindex", "--out", out, "--conv", conv])
     assert d["result"] and d["generation"] == 1

@@ -450,6 +450,45 @@ def _search_mlt(sf_dir: str):
     return df
 
 
+def _search_sig_terms(sf_dir: str):
+    """Significant-terms aggregation: per probe query, the top lemmas
+    most overrepresented in the matching set vs the corpus background
+    (JLH score), query lemmas excluded — one distributed gaps-only scan
+    of the index segments per call (the Elasticsearch
+    ``significant_terms`` discovery surface)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.sig_queries():
+        r = eng.significant_terms(q["query_text"], scope=q["scope"], k=q["k"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": row["rank"],
+                    "lemma": row["lemma"],
+                    "fg_docs": row["fg_docs"],
+                    "bg_docs": row["bg_docs"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "lemma", "fg_docs", "bg_docs", "score"]
+    )
+    df["rank"] = df["rank"].astype("int32")
+    df["fg_docs"] = df["fg_docs"].astype("int64")
+    df["bg_docs"] = df["bg_docs"].astype("int64")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_boolean(sf_dir: str):
     """Boolean search-box queries (mode='auto'): quoted phrases = AND
     filters, -tokens = NOT terms, loose text = disjunctive BM25 — the
@@ -1424,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mlt": _search_mlt,
         "search_facets": _search_facets,
         "search_facets_day": _search_facets_day,
+        "search_sig_terms": _search_sig_terms,
         "search_exclude": _search_exclude,
         "search_boolean": _search_boolean,
         "search_conversations": _search_conversations,
@@ -1536,6 +1576,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
+        "search_sig_terms": lambda: oracle.significant_terms_sql(
+            _corpus_src(), datagen.sig_queries()
+        ),
         "search_exclude": lambda: oracle.bm25_exclude_sql(
             _corpus_src(), datagen.exclude_queries()
         ),

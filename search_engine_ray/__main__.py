@@ -117,6 +117,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-joined facet groupings: role, tool, day "
                          "(day = per-UTC-calendar-day date histogram)")
 
+    sq = sub.add_parser(
+        "sigterms", help="significant-terms aggregation: lemmas most "
+        "overrepresented in the query's matching set vs the corpus "
+        "background (JLH score; distributed index-segment scan)"
+    )
+    sq.add_argument("query")
+    sq.add_argument("--out", required=True)
+    sq.add_argument("--scope", default=None)
+    sq.add_argument("--conjunctive", action="store_true")
+    sq.add_argument("--exclude", default=None)
+    sq.add_argument("--ts-min", default=None)
+    sq.add_argument("--ts-max", default=None)
+    sq.add_argument("--limit", type=int, default=10)
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: rank documents similar to one turn "
         "(its top tf-idf lemmas become a disjunctive BM25 query)"
@@ -209,6 +223,25 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).facets(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max, by=a.by,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "sigterms":
+        _init_ray()  # the fg scan is a Ray Data job over the index segments
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).significant_terms(
+            a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
         )
         print(
             json.dumps(

@@ -388,6 +388,25 @@ def near_queries() -> list[dict]:
     ]
 
 
+def sig_queries() -> list[dict]:
+    """Fixed significant-terms probes: matching-set sizes from rare to
+    ultra-hot, a two-term union, a scoped set, an absent lemma (must
+    return empty), and an inflected surface form that folds to its
+    stem's lemma."""
+    q = [
+        (f"{stem(4000)}", None),             # mid-frequency matching set
+        (f"{stem(0)}", None),                # ultra-hot: fg ~ corpus-wide
+        (f"{stem(120)} {stem(480)}", None),  # two-term union
+        (f"{stem(2048)}", "assistant"),      # scoped (role = site analog)
+        ("wqxqzq", None),                    # absent from corpus -> empty
+        (f"{stem(1500)}s", None),            # plural folds to stem lemma
+    ]
+    return [
+        {"query_id": f"g-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def suggest_queries() -> list[dict]:
     """Fixed did-you-mean probes: a one-char deletion of a real lemma,
     an exact hit, a substitution typo, a token far from the whole

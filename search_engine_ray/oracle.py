@@ -916,6 +916,74 @@ FROM withmeta GROUP BY 1, 3
 """
 
 
+def significant_terms_sql(src: str, queries: list[dict]) -> str:
+    """Significant-terms oracle: per query, the top-k lemmas by JLH
+    score ``(fg% - bg%) * (fg% / bg%)`` over the matching set (same
+    matching semantics as ``facets_sql``/``bm25_counts_sql``: union of
+    docs containing any query lemma, scope on role, any missing lemma
+    -> no rows), query lemmas excluded, ties (score DESC, lemma ASC).
+    The score expression mirrors the engine's exact float64 op sequence
+    (one division per rate, then subtract / divide / multiply)."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (SELECT count(*) AS n_docs FROM {src}),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+fgtot AS (SELECT query_id, count(*) AS n_fg FROM matched GROUP BY query_id),
+fg AS (
+    SELECT m.query_id, p.lemma, count(*) AS fg
+    FROM matched m
+    JOIN __postings p ON p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT f.query_id, f.lemma, f.fg, d.df AS bg,
+           ((f.fg * 1.0 / t.n_fg) - (d.df * 1.0 / c.n_docs))
+           * ((f.fg * 1.0 / t.n_fg) / (d.df * 1.0 / c.n_docs)) AS score
+    FROM fg f
+    JOIN dict d ON d.lemma = f.lemma
+    JOIN fgtot t ON t.query_id = f.query_id
+    CROSS JOIN corpus c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qterm qt
+        WHERE qt.query_id = f.query_id AND qt.lemma = f.lemma
+    )
+),
+ranked AS (
+    SELECT query_id, lemma, fg, bg, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, lemma
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, lemma,
+       CAST(fg AS BIGINT) AS fg_docs, CAST(bg AS BIGINT) AS bg_docs,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_page_sql(src: str, queries: list[dict], offset: int) -> str:
     """Pagination oracle (T3): ranks strictly after ``offset`` from the
     same deterministic total order."""

@@ -1307,6 +1307,63 @@ class SearchEngine:
         pairs.extend(p for p, _ in extra)
         return pairs
 
+    def _matching_set(
+        self,
+        terms: list[tuple[str, int]],
+        scope: str | None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Unique matching docids (ascending) + each doc's dense scope
+        code, after ALL the composable filtering surfaces (scope LUT,
+        conjunctive floor, NOT-term exclusion, inclusive ts bounds) —
+        the shared matching frame behind ``facets`` and
+        ``significant_terms``. Gaps+scps decode only (no tf/dl varint
+        pass); a doc's scope code rides the first posting seen for it."""
+        blocks = self._term_blocks([t[0] for t in terms])
+        lut = self._scope_lut(scope) if scope else None
+        d_parts, s_parts = [], []
+        for lem, _df in terms:
+            bl = blocks[lem]
+            docid, sc = self._decode_term_docids_sc(bl, bl.setdefault("chunks", {}))
+            if lut is not None:
+                keep = lut[sc]
+                docid, sc = docid[keep], sc[keep]
+            d_parts.append(docid)
+            s_parts.append(sc)
+        ids = np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
+        if not len(ids):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        scs = np.concatenate(s_parts)
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        neq = np.empty(len(sids), bool)
+        neq[0] = True
+        np.not_equal(sids[1:], sids[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        codes = scs[order][starts]
+        uniq = sids[starts]
+        if conjunctive:
+            cnt = np.diff(np.append(starts, len(sids)))
+            keep = cnt >= len(terms)
+            codes, uniq = codes[keep], uniq[keep]
+        if exclude is not None and len(uniq):
+            excl = self._exclusion_docids(exclude)
+            if excl is not None and len(excl):
+                keep = ~np.isin(uniq, excl, assume_unique=False)
+                codes, uniq = codes[keep], uniq[keep]
+        if (ts_min is not None or ts_max is not None) and len(uniq):
+            tss = self._ts_of_ids(uniq)
+            m = np.ones(len(uniq), bool)
+            if ts_min is not None:
+                m &= tss >= self._ts_us(ts_min)
+            if ts_max is not None:
+                m &= tss <= self._ts_us(ts_max)
+            codes, uniq = codes[m], uniq[m]
+        return uniq, codes
+
     def facets(
         self,
         query_text: str,
@@ -1357,46 +1414,9 @@ class SearchEngine:
             return {**self._resp(error="empty_query"), "data": FACETS_SCHEMA.empty_table()}
         if err == "no_results":
             return {"result": True, "count": 0, "data": FACETS_SCHEMA.empty_table(), "error": None}
-        blocks = self._term_blocks([t[0] for t in terms])
-        lut = self._scope_lut(scope) if scope else None
-        d_parts, s_parts = [], []
-        for lem, _df in terms:
-            bl = blocks[lem]
-            docid, sc = self._decode_term_docids_sc(bl, bl.setdefault("chunks", {}))
-            if lut is not None:
-                keep = lut[sc]
-                docid, sc = docid[keep], sc[keep]
-            d_parts.append(docid)
-            s_parts.append(sc)
-        ids = np.concatenate(d_parts) if d_parts else np.empty(0, np.int64)
-        if not len(ids):
+        uniq, codes = self._matching_set(terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
             return {"result": True, "count": 0, "data": FACETS_SCHEMA.empty_table(), "error": None}
-        scs = np.concatenate(s_parts)
-        order = np.argsort(ids, kind="stable")
-        sids = ids[order]
-        neq = np.empty(len(sids), bool)
-        neq[0] = True
-        np.not_equal(sids[1:], sids[:-1], out=neq[1:])
-        starts = np.flatnonzero(neq)
-        codes = scs[order][starts]
-        uniq = sids[starts]
-        if conjunctive:
-            cnt = np.diff(np.append(starts, len(sids)))
-            keep = cnt >= len(terms)
-            codes, uniq = codes[keep], uniq[keep]
-        if exclude is not None and len(uniq):
-            excl = self._exclusion_docids(exclude)
-            if excl is not None and len(excl):
-                keep = ~np.isin(uniq, excl, assume_unique=False)
-                codes, uniq = codes[keep], uniq[keep]
-        if (ts_min is not None or ts_max is not None) and len(uniq):
-            tss = self._ts_of_ids(uniq)
-            m = np.ones(len(uniq), bool)
-            if ts_min is not None:
-                m &= tss >= self._ts_us(ts_min)
-            if ts_max is not None:
-                m &= tss <= self._ts_us(ts_max)
-            codes, uniq = codes[m], uniq[m]
         rows: list[tuple[str, str, int]] = []
         if "role" in by or "tool" in by:
             pairs = self._code_pairs()
@@ -1432,6 +1452,182 @@ class SearchEngine:
             }
         )
         return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
+
+    def significant_terms(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        k: int = 10,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Significant-terms aggregation (the Elasticsearch
+        ``significant_terms`` shape): vocabulary lemmas most
+        OVERREPRESENTED in the query's matching set vs the whole-corpus
+        background, ranked by the JLH score ``(fg% - bg%) * (fg% / bg%)``
+        (fg% = fg_docs / |matching set|, bg% = df / n_docs), ties broken
+        (score DESC, lemma ASC); the query's own lemmas are excluded.
+
+        Foreground counts come from ONE distributed Ray Data scan of the
+        CURRENT index segments: each batch of posting blocks decodes its
+        gaps stream only (the counting decode — tf/dl/poss untouched and
+        column-pruned out of the read), marks members of the broadcast
+        matching-docid set with one searchsorted, per-block member
+        counts fold by ``reduceat`` (encoder invariant: every block has
+        n >= 1), and the batch emits vocabulary-bounded (lemma, fg, bg)
+        partials into ONE groupby — bg = Σ block n IS the lemma's df, so
+        no dictionary broadcast and nothing corpus-sized anywhere.
+        Per-block partial top-k keeps the driver merge at k rows per
+        grouped block. The matching-docid set is the documented
+        broadcast side (``ray.put`` once, zero-copy ``ray.get`` per
+        batch); a standing significant-terms surface over corpus-sized
+        matching sets should semi-join on a docid-bucketed key instead.
+
+        Requires a generation-free index (``error='needs_compaction'``
+        when a delta overlay exists — base segments don't reflect delta
+        postings; fold them first). Composes with the other filtering
+        surfaces like ``facets``.
+
+        -> {'result', 'count' (matching docs), 'data':
+        pa.Table(rank, lemma, fg_docs, bg_docs, score), 'error'}
+        """
+        empty = SIG_TERMS_SCHEMA.empty_table()
+        if self._has_deltas:
+            return {**self._resp(error="needs_compaction"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        m_ref = ray.put(np.ascontiguousarray(uniq))
+        n_fg = float(len(uniq))
+        n_docs = float(self.n_docs)
+        qlems = sorted({t[0] for t in terms})
+        kk = int(k)
+
+        def fg_partials(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            from search_engine_ray.stages.encode import (
+                binary_column_buffers,
+                decode_gaps_range,
+            )
+
+            n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(n):
+                return pa.table(
+                    {
+                        "lemma": pa.array([], pa.string()),
+                        "fg": pa.array([], pa.int64()),
+                        "bg": pa.array([], pa.int64()),
+                    }
+                )
+            cum = np.concatenate(([0], np.cumsum(n)))
+            docids = decode_gaps_range(
+                binary_column_buffers(batch.column("gaps")), cum, 0, len(n)
+            )
+            m = _ray.get(m_ref)  # zero-copy plasma view, shared per node
+            pos = np.searchsorted(m, docids)
+            member = np.zeros(len(docids), bool)
+            inb = pos < len(m)
+            member[inb] = m[pos[inb]] == docids[inb]
+            fg = np.add.reduceat(member.astype(np.int64), cum[:-1])
+            t = pa.table(
+                {
+                    "lemma": batch.column("lemma"),
+                    "fg": pa.array(fg, pa.int64()),
+                    "bg": pa.array(n, pa.int64()),
+                }
+            )
+            g = t.group_by("lemma").aggregate([("fg", "sum"), ("bg", "sum")])
+            return g.rename_columns(["lemma", "fg", "bg"])
+
+        _empty_scored = pa.schema(
+            [
+                ("lemma", pa.string()),
+                ("fg", pa.int64()),
+                ("bg", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ).empty_table()
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.invert(
+                    pc.is_in(
+                        batch.column("lemma"),
+                        value_set=pa.array(qlems, pa.string()),
+                    )
+                ),
+                pc.greater(batch.column("fg"), 0),
+            )
+            b = batch.filter(keep)
+            if not b.num_rows:
+                return _empty_scored
+            fg = b.column("fg").to_numpy(zero_copy_only=False).astype(np.float64)
+            bg = b.column("bg").to_numpy(zero_copy_only=False).astype(np.float64)
+            # the exact op sequence the SQL oracle mirrors: one division
+            # per rate, then (fgp - bgp) * (fgp / bgp) — IEEE-identical
+            fgp = fg / n_fg
+            bgp = bg / n_docs
+            score = (fgp - bgp) * (fgp / bgp)
+            lem = b.column("lemma").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((lem, -score))[:kk]
+            return pa.table(
+                {
+                    "lemma": pa.array(lem[sel], pa.string()),
+                    "fg": pa.array(
+                        b.column("fg").to_numpy(zero_copy_only=False)[sel], pa.int64()
+                    ),
+                    "bg": pa.array(
+                        b.column("bg").to_numpy(zero_copy_only=False)[sel], pa.int64()
+                    ),
+                    "score": pa.array(score[sel], pa.float64()),
+                }
+            )
+
+        parts = (
+            rd.read_parquet(
+                build_mod.index_dir(self.out_dir), columns=["lemma", "n", "gaps"]
+            )
+            .map_batches(fg_partials, batch_format="pyarrow")
+            .groupby("lemma")
+            .aggregate(Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"))
+            .map_batches(score_topk, batch_format="pyarrow")
+            .to_pandas()
+        )
+        parts = parts.sort_values(
+            ["score", "lemma"], ascending=[False, True], kind="mergesort"
+        ).head(kk)
+        data = pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(parts) + 1, dtype=np.int32), pa.int32()
+                ),
+                "lemma": pa.array(parts["lemma"].tolist(), pa.string()),
+                "fg_docs": pa.array(
+                    parts["fg"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "bg_docs": pa.array(
+                    parts["bg"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "score": pa.array(parts["score"].to_numpy(), pa.float64()),
+            }
+        )
+        return {"result": True, "count": int(len(uniq)), "data": data, "error": None}
 
     def _cursor_docid(self, conv_id, turn_idx) -> int | None:
         """(conv_id, turn_idx) -> docid for the search_after cursor, or
@@ -2568,6 +2764,16 @@ class SearchEngine:
 
 FACETS_SCHEMA = pa.schema(
     [("facet", pa.string()), ("value", pa.string()), ("n_docs", pa.int64())]
+)
+
+SIG_TERMS_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int32()),
+        ("lemma", pa.string()),
+        ("fg_docs", pa.int64()),
+        ("bg_docs", pa.int64()),
+        ("score", pa.float64()),
+    ]
 )
 
 CONV_RESULT_SCHEMA = pa.schema(

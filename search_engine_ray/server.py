@@ -18,6 +18,12 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   — ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
   the FULL result set (faceted navigation); ``by=day`` adds the
   per-UTC-calendar-day date histogram.
+- ``GET /api/significant?query=...[&site=<scope>][&conjunctive=1]
+  [&exclude=...][&ts_min=&ts_max=][&limit=K]`` —
+  ``SearchEngine.significant_terms``: lemmas most overrepresented in the
+  query's matching set vs the corpus background (JLH score; the fg scan
+  is a Ray Data job over the index segments; Ray auto-initialises in the
+  serving process on first use).
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
@@ -233,6 +239,29 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
                     by=(q.get("by") or ["role,tool"])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/significant":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].significant_terms(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    k=int((q.get("limit") or ["10"])[0]),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

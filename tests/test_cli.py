@@ -65,6 +65,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
         for x in ml["data"]
     )
 
+    sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
+    assert sg["result"] and sg["count"] == r["count"]
+    assert sg["data"] and len(sg["data"]) <= 5
+    assert {"rank", "lemma", "fg_docs", "bg_docs", "score"} <= set(sg["data"][0])
+
     conv = r["data"][0]["conv_id"]
     d = _run(["reindex", "--out", out, "--conv", conv])
     assert d["result"] and d["generation"] == 1

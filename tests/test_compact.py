@@ -167,6 +167,25 @@ def test_compact_rank_identical(compact_env):
     assert mine and any("second rewrite" in x["snippet"] or "<b>" in x["snippet"] for x in mine)
 
 
+def test_compact_sig_terms_identical_to_rebuild(compact_env):
+    """significant_terms over the COMPACTED (generation-free) index ==
+    the same surface over a fresh rebuild of the final corpus — the
+    folded segments feed the distributed fg scan exactly; the overlay
+    itself refuses with needs_compaction."""
+    overlay = SearchEngine(compact_env["base_out"])
+    assert overlay.significant_terms(datagen.stem(0))["error"] == "needs_compaction"
+    out = _fresh_overlay_copy(compact_env, "compacted-sig")
+    assert compact.compact(out)["result"]
+    compacted = SearchEngine(out)
+    rebuilt = SearchEngine(compact_env["rebuilt_out"])
+    for probe in (datagen.stem(0), datagen.stem(2), datagen.stem(11)):
+        a = compacted.significant_terms(probe)
+        b = rebuilt.significant_terms(probe)
+        assert a["result"] and b["result"]
+        assert a["count"] == b["count"], probe
+        assert a["data"].equals(b["data"]), probe
+
+
 def test_compact_physical_equivalence(compact_env):
     """No conv was dropped, so the compacted (minor/segment-merge) index
     must decode to EXACTLY the rebuild's postings (same docids, tfs,

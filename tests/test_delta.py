@@ -226,6 +226,18 @@ def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_sig_terms_requires_compaction(delta_env):
+    """significant_terms scans the index SEGMENTS, which a delta overlay
+    does not reflect — the honest contract is an explicit
+    needs_compaction error (fold the generations first), while a fresh
+    rebuild of the modified corpus serves the surface directly."""
+    overlay = SearchEngine(delta_env["base_out"])
+    r = overlay.significant_terms(datagen.stem(0))
+    assert not r["result"] and r["error"] == "needs_compaction"
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    assert rebuilt.significant_terms(datagen.stem(0))["result"]
+
+
 def test_delta_turn_idx_out_of_range():
     import numpy as np
 

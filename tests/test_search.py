@@ -385,6 +385,59 @@ def test_facets_vs_duckdb_oracle(engine, duck):
         assert got == by_q.get(q["query_id"], set()), q["query_text"]
 
 
+def test_sig_terms_vs_duckdb_oracle(engine, duck):
+    """Significant-terms top-k (JLH lift vs the corpus background, fg
+    from the distributed index-segment scan) == the SQL oracle sharing
+    the facets matching semantics, per probe query."""
+    sigs = datagen.sig_queries()
+    sql = oracle.significant_terms_sql(oracle.transcripts_rel("sf0.001"), sigs)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in sigs:
+        r = engine.significant_terms(q["query_text"], scope=q["scope"], k=q["k"])
+        assert r["result"], q
+        got = r["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), q["query_text"]
+        for g, e in zip(got, exp):
+            assert g["rank"] == e["rank"]
+            assert g["lemma"] == e["lemma"], (q["query_text"], g, e)
+            assert g["fg_docs"] == e["fg_docs"]
+            assert g["bg_docs"] == e["bg_docs"]
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def test_sig_terms_semantics(engine):
+    """Matching frame == facets' (same count), query lemmas excluded,
+    fg <= count and fg <= bg, dense ranks, error semantics, conjunctive
+    subset."""
+    hot = datagen.stem(0)
+    r = engine.significant_terms(hot)
+    assert r["result"] and r["count"] == engine.facets(hot)["count"]
+    data = r["data"].to_pylist()
+    assert data, "hot matching set must surface co-occurring lemmas"
+    qlems = set(engine._analyzer.analyze_query(hot))
+    for row in data:
+        assert row["lemma"] not in qlems
+        assert 0 < row["fg_docs"] <= r["count"]
+        assert row["fg_docs"] <= row["bg_docs"]
+    assert [row["rank"] for row in data] == list(range(1, len(data) + 1))
+    scoped = engine.significant_terms(hot, scope="user")
+    assert scoped["count"] == engine.facets(hot, scope="user")["count"]
+    absent = engine.significant_terms("wqxqzq")
+    assert absent["result"] and absent["count"] == 0 and absent["data"].num_rows == 0
+    assert engine.significant_terms("...")["error"] == "empty_query"
+    assert engine.significant_terms(hot, scope="nope")["error"] == "bad_scope"
+    two = f"{datagen.stem(120)} {datagen.stem(480)}"
+    conj = engine.significant_terms(two, conjunctive=True)
+    disj = engine.significant_terms(two)
+    assert conj["result"] and conj["count"] <= disj["count"]
+
+
 def test_search_after_cursor(engine):
     """Cursor (search_after) pagination: page N+1 via the previous
     page's boundary row == offset pagination; walking the cursor to

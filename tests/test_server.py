@@ -96,6 +96,21 @@ def test_statistics_endpoint(served):
     assert got["total"]["docs"] > 0 and got["per_scope"]
 
 
+def test_significant_endpoint(served):
+    """Significant-terms over live HTTP: standard row shape, query
+    lemma excluded, count == the facets matching frame. Runs BEFORE the
+    indexPage test (a delta generation flips the surface to
+    needs_compaction by contract)."""
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/significant?query={hot}&limit=5")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert got["data"] and len(got["data"]) <= 5
+    assert {"rank", "lemma", "fg_docs", "bg_docs", "score"} <= set(got["data"][0])
+    code, fc = _get(f"{base}/api/facets?query={hot}")
+    assert got["count"] == fc["count"]
+
+
 def test_stop_indexing_endpoint(served):
     import os
 

@@ -1249,6 +1249,16 @@ def _text_contamination(sf_dir: str):
     return ta.ngram_contamination(tr, ev)
 
 
+def _text_dsir_weights(sf_dir: str):
+    """DSIR importance weights (hashed-n-gram target/raw log-likelihood
+    ratio; Xie et al. 2023) — the domain-mixing resampling signal; the
+    target split is the deterministic md5-threshold sample so the SQL
+    oracle reproduces it exactly."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.dsir_weights(_documents_ds(sf_dir))
+
+
 def _text_langid(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -1502,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
         "text_lm_score": _text_lm_score,
+        "text_dsir_weights": _text_dsir_weights,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -1686,6 +1697,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
+        "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

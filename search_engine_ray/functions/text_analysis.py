@@ -1210,3 +1210,232 @@ SELECT d.{id_col} AS {id_col},
        round(coalesce(a.s / a.n_tokens, 0.0), 6) AS avg_logprob
 FROM {src} d LEFT JOIN agg a ON a.did = d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 10_000
+DSIR_ALPHA = 0.5
+DSIR_TARGET_FRACTION = 0.1
+DSIR_TARGET_SEED = 11
+
+# per-worker-process gram -> 32-bit md5 prefix memo (vocabulary-bounded:
+# the same grams recur in every batch, so md5 runs once per gram per
+# process — the _LEMMA_H_MEMO pattern)
+_DSIR_HASH_MEMO: dict[str, int] = {}
+
+
+def _bucket_of(grams: pa.Array, buckets: int) -> np.ndarray:
+    """Vectorized hashed-feature bucket: int(md5(gram)[:8], 16) % buckets
+    — hash only the batch's UNIQUE grams (dictionary encode, memoized per
+    process) and broadcast through the codes. The SQL twin is
+    ``('0x' || substr(md5(gram), 1, 8))::UBIGINT % buckets``."""
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    if not len(grams):
+        return np.empty(0, np.int64)
+    d = grams.dictionary_encode()
+    memo = _DSIR_HASH_MEMO
+    get = memo.get
+    uniq = d.dictionary.to_pylist()
+    h = np.empty(len(uniq), np.int64)
+    for i, g in enumerate(uniq):
+        v = get(g)
+        if v is None:
+            v = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            memo[g] = v
+        h[i] = v
+    return (h % buckets)[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def _dsir_features(texts, buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, bucket) of each doc's hashed unigram AND bigram features
+    over the shared ``[a-z0-9]+`` stream — the DSIR feature space (word
+    uni+bigrams hashed into a fixed bucket count)."""
+    from .dedup import _flat_word_tokens
+
+    doc_idx, flat = _flat_word_tokens(texts)
+    m = len(doc_idx)
+    if m == 0:
+        return doc_idx, np.empty(0, np.int64)
+    parts_i = [doc_idx]
+    parts_b = [_bucket_of(flat, buckets)]
+    if m >= 2:
+        w = m - 1
+        valid = doc_idx[1:] == doc_idx[:w]
+        if valid.any():
+            sel = pa.array(valid)
+            bi = pc.binary_join_element_wise(
+                flat.slice(0, w).filter(sel), flat.slice(1, w).filter(sel), " "
+            )
+            parts_i.append(doc_idx[:w][valid])
+            parts_b.append(_bucket_of(bi, buckets))
+    return np.concatenate(parts_i), np.concatenate(parts_b)
+
+
+def dsir_weights(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    target_fraction: float = DSIR_TARGET_FRACTION,
+    target_seed: int = DSIR_TARGET_SEED,
+):
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by the
+    log-likelihood ratio of a TARGET hashed-n-gram bag-of-words model
+    over the RAW model — the domain-mixing signal training-data
+    pipelines resample on (keep raw docs that look like the curated
+    target). Features are word unigrams + bigrams hashed into a FIXED
+    bucket count; the target split is the deterministic md5-threshold
+    sample (:func:`sampling.sample_hash` predicate, so the oracle
+    reproduces it exactly) and raw is the full corpus:
+
+        lr(b)  = ln((c_tgt[b]+a) / (T_tgt+a*B)) - ln((c_raw[b]+a) / (T_raw+a*B))
+        w(doc) = avg over the doc's feature occurrences of lr(bucket)
+
+    Returns a Dataset of (id, n_feats, dsir_logratio = round6(avg);
+    featureless docs score 0.0 with n_feats 0).
+
+    Shape: ONE counting pass over the corpus (per-batch bincount
+    partials -> one bucket groupby; target membership is the same pure
+    digest predicate, so both histograms share the pass), the B-row
+    histogram returns to the driver (bucket-count-bounded BY
+    CONSTRUCTION — B is a parameter, never data-sized — this is hashing
+    the unbounded vocabulary INTO a fixed model size, the paper's own
+    scale device), the per-bucket log-ratio vector broadcasts once via
+    ``ray.put``, and scoring is ONE pure map. No shuffle touches
+    anything corpus-sized at any corpus scale."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .sampling import _digests, _hex_threshold
+
+    thresh = _hex_threshold(target_fraction)
+    b_count = int(buckets)
+
+    def hist_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        doc_idx, bkt = _dsir_features(batch.column(text_col), b_count)
+        is_t = pc.less(
+            _digests(target_seed, ids.to_pylist()), pa.scalar(thresh)
+        ).to_numpy(zero_copy_only=False)
+        n_raw = np.bincount(bkt, minlength=b_count)
+        n_tgt = (
+            np.bincount(bkt[is_t[doc_idx]], minlength=b_count)
+            if len(bkt)
+            else np.zeros(b_count, np.int64)
+        )
+        nz = np.flatnonzero(n_raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_raw": pa.array(n_raw[nz].astype(np.int64), pa.int64()),
+                "n_tgt": pa.array(n_tgt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(hist_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_raw", alias_name="n_raw"), Sum("n_tgt", alias_name="n_tgt"))
+        .to_pandas()  # <= buckets rows: parameter-bounded, never data-sized
+    )
+    c_raw = np.zeros(b_count, np.float64)
+    c_tgt = np.zeros(b_count, np.float64)
+    if len(hist):
+        bidx = hist["bucket"].to_numpy().astype(np.int64)
+        c_raw[bidx] = hist["n_raw"].to_numpy().astype(np.float64)
+        c_tgt[bidx] = hist["n_tgt"].to_numpy().astype(np.float64)
+    t_raw, t_tgt = float(c_raw.sum()), float(c_tgt.sum())
+    # the exact op sequence the SQL oracle mirrors: one division per
+    # rate, ln each, subtract — IEEE-identical per bucket
+    lr = np.log((c_tgt + alpha) / (t_tgt + alpha * b_count)) - np.log(
+        (c_raw + alpha) / (t_raw + alpha * b_count)
+    )
+    lr_ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_idx, bkt = _dsir_features(batch.column(text_col), b_count)
+        v = ray.get(lr_ref)  # zero-copy plasma view, shared per node
+        acc = np.zeros(len(ids), np.float64)
+        nf = np.bincount(doc_idx, minlength=len(ids)).astype(np.int64)
+        if len(bkt):
+            np.add.at(acc, doc_idx, v[bkt])
+        avg = np.divide(acc, nf, out=np.zeros_like(acc), where=nf > 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_feats": pa.array(nf, pa.int64()),
+                "dsir_logratio": pa.array(_round6(avg), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_sql(
+    src: str,
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    target_fraction: float = DSIR_TARGET_FRACTION,
+    target_seed: int = DSIR_TARGET_SEED,
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights` (same tokenizer regex, same
+    md5 bucket hash, same md5-threshold target split, same smoothing)."""
+    from .sampling import _HEX_DIGITS, _hex_threshold
+
+    thresh = _hex_threshold(target_fraction)
+    return f"""
+WITH toks AS (
+    SELECT {id_col} AS did,
+           regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+occ AS (
+    SELECT did, t[i] AS tok, i
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+feat AS (
+    SELECT did, tok AS gram FROM occ
+    UNION ALL
+    SELECT o1.did, o1.tok || ' ' || o2.tok AS gram
+    FROM occ o1 JOIN occ o2 ON o2.did = o1.did AND o2.i = o1.i + 1
+),
+fb AS (
+    SELECT did,
+           CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % {buckets} AS BIGINT) AS b
+    FROM feat
+),
+tgt AS (
+    SELECT {id_col} AS did FROM {src}
+    WHERE substr(md5('{target_seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) < '{thresh}'
+),
+hist AS (
+    SELECT b, count(*) AS n_raw,
+           count(*) FILTER (WHERE did IN (SELECT did FROM tgt)) AS n_tgt
+    FROM fb GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM hist),
+lr AS (
+    SELECT b,
+           ln((n_tgt + {alpha}) / (t.t_tgt + {alpha} * {buckets}))
+           - ln((n_raw + {alpha}) / (t.t_raw + {alpha} * {buckets})) AS lr
+    FROM hist CROSS JOIN tot t
+),
+agg AS (
+    SELECT fb.did, count(*) AS n_feats, sum(l.lr) AS s
+    FROM fb JOIN lr l ON l.b = fb.b
+    GROUP BY fb.did
+)
+SELECT d.{id_col} AS {id_col},
+       CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+       round(coalesce(a.s / a.n_feats, 0.0), 6) AS dsir_logratio
+FROM {src} d LEFT JOIN agg a ON a.did = d.{id_col}
+"""

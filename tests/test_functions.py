@@ -1002,6 +1002,63 @@ def test_lm_score_joined_path_pinned_equal(docs_ds):
     assert np.abs(a["avg_logprob"].values - b["avg_logprob"].values).max() == 0.0
 
 
+def test_dsir_weights_vs_oracle(docs_ds, fduck):
+    from search_engine_ray.functions.text_analysis import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    got = (
+        _table(dsir_weights(docs_ds))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        fduck.execute(dsir_weights_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert (got["n_feats"].values == exp["n_feats"].values).all()
+    assert np.abs(got["dsir_logratio"].values - exp["dsir_logratio"].values).max() <= 2e-6
+
+
+def test_dsir_weights_semantics():
+    """Feature count = 2T-1 (uni+bi), empty/null docs 0, and docs made
+    of target-dominant tokens outrank raw-dominant ones (the resampling
+    direction the operator exists for)."""
+    from search_engine_ray.functions import sampling
+    from search_engine_ray.functions.text_analysis import dsir_weights
+
+    # ids whose md5 digest puts them in / out of the 50% target split
+    digs = sampling._digests(11, list(range(20))).to_pylist()
+    thresh = sampling._hex_threshold(0.5)
+    in_t = [i for i in range(20) if digs[i] < thresh]
+    out_t = [i for i in range(20) if digs[i] >= thresh]
+    assert in_t and out_t
+    rows = [{"doc_id": i, "text": "zzz zzz" if i in in_t else "qqq qqq"}
+            for i in range(20)]
+    rows += [{"doc_id": 100, "text": ""}, {"doc_id": 101, "text": None},
+             {"doc_id": 102, "text": "a b c"}]
+    ds = rd.from_items(rows)
+    got = {r["doc_id"]: r for r in _table(
+        dsir_weights(ds, target_fraction=0.5)
+    ).to_pylist()}
+    assert got[102]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    for i in (100, 101):
+        assert got[i]["n_feats"] == 0 and got[i]["dsir_logratio"] == 0.0
+    # target-looking docs carry strictly higher importance weights
+    assert got[in_t[0]]["dsir_logratio"] > got[out_t[0]]["dsir_logratio"]
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in _table(
+        dsir_weights(ds, target_fraction=0.5)
+    ).to_pylist()}
+    assert again == got
+
+
 def test_lm_score_crafted():
     """Hand-checkable corpus: 'a b a b' + 'a b' + '' under add-0.5.
     Unigrams: a:3 b:3 (N=6, V=2); bigrams: 'a b':3, 'b a':1."""

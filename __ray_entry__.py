@@ -626,6 +626,40 @@ def _search_ordered(sf_dir: str):
     return df
 
 
+def _search_rrf(sf_dir: str):
+    """Hybrid relevance+recency ranking (order_by='rrf'): reciprocal-
+    rank fusion (k=60) of the BM25 and ts-descending rankings of each
+    reference query's matching set — the Elasticsearch RRF retriever
+    shape; score carries the fused value."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], order_by="rrf")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_exclude(sf_dir: str):
     """NOT-term exclusion queries: BM25 top-k minus docs containing any
     analyzed lemma of the query's exclude text (boolean NOT — the
@@ -1479,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_conversations": _search_conversations,
         "search_collapse": _search_collapse,
         "search_ordered": _search_ordered,
+        "search_rrf": _search_rrf,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1608,6 +1643,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_ordered": lambda: oracle.bm25_order_sql(
             _corpus_src(), datagen.order_queries()
         ),
+        "search_rrf": lambda: oracle.rrf_topk_sql(_corpus_src(), qs),
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),
         "doclen_quantiles": lambda: aggregates_mod.column_quantiles_sql(

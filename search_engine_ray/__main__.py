@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="inclusive ISO-8601 upper bound on the turn ts")
     s.add_argument("--collapse", type=int, default=None,
                    help="field collapsing: keep at most N turns per conversation")
-    s.add_argument("--order-by", choices=["score", "ts_desc", "ts_asc"],
+    s.add_argument("--order-by", choices=["score", "ts_desc", "ts_asc", "rrf"],
                    default="score",
                    help="rank by relevance (default) or by turn timestamp")
     s.add_argument("--after", nargs=3, metavar=("SCORE", "CONV_ID", "TURN_IDX"),

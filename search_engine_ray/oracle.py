@@ -664,6 +664,77 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def rrf_topk_sql(src: str, queries: list[dict], rrf_k: int = 60,
+                 k1: float = 1.2, b: float = 0.75) -> str:
+    """Hybrid relevance+recency oracle (``order_by='rrf'``):
+    reciprocal-rank fusion of the BM25 ranking and the ts-descending
+    ranking of the same matching set — fused = 1/(K + r_rel) +
+    1/(K + r_ts) with docid-ASC (== (conv_id, turn_idx)-ASC) rank ties;
+    each term is one IEEE division of exact integers, so the fused
+    doubles are bit-identical to the engine's."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role, ts FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx, any_value(r.ts) AS ts,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+fused AS (
+    SELECT query_id, conv_id, turn_idx,
+           1.0 / ({rrf_k} + row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ))
+           + 1.0 / ({rrf_k} + row_number() OVER (
+               PARTITION BY query_id ORDER BY epoch_us(ts) DESC, conv_id, turn_idx
+           )) AS fscore
+    FROM scored
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, fscore,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY fscore DESC, conv_id, turn_idx
+           ) AS rank
+    FROM fused
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(fscore, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_counts_sql(src: str, queries: list[dict]) -> str:
     """Exact pre-pagination result counts (G6): per query, |union| of
     matching docs (within scope); 0 when any query lemma is missing

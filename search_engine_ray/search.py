@@ -49,6 +49,10 @@ import pyarrow.parquet as pq
 
 from . import analyzer
 from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF, TURN_BITS
+
+# reciprocal-rank-fusion constant (order_by='rrf'): the standard k=60
+# from Cormack/Clarke/Büttcher (2009), the Elasticsearch default
+RRF_K = 60
 from .docid import split_docids
 from .pipelines import build as build_mod
 from .stages.encode import (
@@ -2351,6 +2355,9 @@ class SearchEngine:
         'ts_asc' sorts the result page by turn timestamp instead of
         relevance ("latest matching turns", the canonical transcript
         ordering) — ranking key only; ``score`` still carries BM25.
+        ``order_by='rrf'`` is hybrid relevance+recency: reciprocal-rank
+        fusion (k=60) of the BM25 and ts-descending rankings of the
+        same matching set — there ``score`` carries the fused value.
         ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
         pagination: return results STRICTLY AFTER that row in the
         relevance total order (score DESC, conv_id, turn_idx) — the
@@ -2372,7 +2379,7 @@ class SearchEngine:
             return self._resp(error="bad_cursor")
         if collapse is not None and collapse < 1:
             return self._resp(error="bad_collapse")
-        if order_by not in ("score", "ts_desc", "ts_asc"):
+        if order_by not in ("score", "ts_desc", "ts_asc", "rrf"):
             return self._resp(error="bad_order")
         k = offset + limit
         if mode == "phrase":
@@ -2565,7 +2572,7 @@ class SearchEngine:
                     return self._resp(error="bad_cursor")
                 keep = (scores < s0) | ((scores == s0) & (ids > d0))
                 ids, scores = ids[keep], scores[keep]
-            if order_by != "score":
+            if order_by in ("ts_desc", "ts_asc"):
                 # rank by turn timestamp: top-k on the ts key (exact in
                 # float64 — epoch-µs < 2^53), ties by docid ASC ==
                 # (conv_id, turn_idx) ASC; BM25 scores re-attached to
@@ -2576,6 +2583,23 @@ class SearchEngine:
                 sel_ids, _ = self._topk(ids, key, k)
                 scores = scores[np.searchsorted(ids, sel_ids)]
                 ids = sel_ids
+            elif order_by == "rrf":
+                # hybrid relevance+recency: reciprocal-rank fusion of
+                # the BM25 ranking and the ts-descending ranking of the
+                # SAME filtered matching set (the Elasticsearch RRF
+                # retriever shape): fused = 1/(K + r_rel) + 1/(K + r_ts)
+                # with dense 1-based ranks and docid-ASC ties. Ranks are
+                # integers, each term is ONE IEEE division, and the sum
+                # is commutative at swapped ranks — bit-identical to the
+                # SQL oracle; the fused value IS the returned score.
+                n = len(ids)
+                tss = self._ts_of_ids(ids).astype(np.float64)
+                rel = np.empty(n, np.int64)
+                rel[np.lexsort((ids, -scores))] = np.arange(1, n + 1)
+                rec = np.empty(n, np.int64)
+                rec[np.lexsort((ids, -tss))] = np.arange(1, n + 1)
+                fused = 1.0 / (RRF_K + rel) + 1.0 / (RRF_K + rec)
+                ids, scores = self._topk(ids, fused, k)
             else:
                 ids, scores = self._topk(ids, scores, k)
         elif method == "blockmax":

@@ -224,6 +224,14 @@ def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
                             order_by=q["order_by"])
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
+    # RRF fusion rides the same overlay-folded scored frame + ts lookup
+    for q in datagen.reference_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by="rrf")
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by="rrf")
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
 def test_delta_sig_terms_requires_compaction(delta_env):

@@ -905,6 +905,55 @@ def test_order_by_ts(engine):
     assert engine.search(hot, order_by="nope")["error"] == "bad_order"
 
 
+def test_order_by_rrf(engine):
+    """RRF fusion semantics: same matching set as relevance ranking,
+    fused score recomputed directly from the engine's own relevance and
+    recency orders, monotone rank order, collapse composition."""
+    hot = datagen.stem(0)
+    base = engine.search(hot, limit=10**6)
+    rel_rank = {
+        (r["conv_id"], r["turn_idx"]): i
+        for i, r in enumerate(base["data"].to_pylist(), start=1)
+    }
+    ts_rank = {
+        (r["conv_id"], r["turn_idx"]): i
+        for i, r in enumerate(
+            engine.search(hot, limit=10**6, order_by="ts_desc")["data"].to_pylist(),
+            start=1,
+        )
+    }
+    fused = engine.search(hot, limit=10**6, order_by="rrf")
+    assert fused["count"] == base["count"]
+    rows = fused["data"].to_pylist()
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} == set(rel_rank)
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        assert r["score"] == 1.0 / (60 + rel_rank[key]) + 1.0 / (60 + ts_rank[key])
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    f = engine.search(hot, limit=5, order_by="rrf", collapse=1)
+    per = [r["conv_id"] for r in f["data"].to_pylist()]
+    assert len(per) == len(set(per))
+
+
+def test_rrf_vs_duckdb_oracle(engine, duck):
+    sql = oracle.rrf_topk_sql(oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in QUERIES:
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            order_by="rrf")["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_text"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
 def test_order_by_vs_duckdb_oracle(engine, duck):
     sql = oracle.bm25_order_sql(oracle.transcripts_rel("sf0.001"), datagen.order_queries())
     rows = duck.execute(sql).fetch_arrow_table().to_pylist()

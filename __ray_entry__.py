@@ -1293,6 +1293,15 @@ def _text_dsir_weights(sf_dir: str):
     return ta.dsir_weights(_documents_ds(sf_dir))
 
 
+def _text_collocations(sf_dir: str):
+    """Top-k bigram collocations by PMI (Church & Hanks 1990) — corpus
+    association mining with a no-broadcast marginal-attach join (the
+    lm_score bounded-bucket pattern)."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.pmi_collocations(_documents_ds(sf_dir))
+
+
 def _text_langid(sf_dir: str):
     from search_engine_ray.functions import text_analysis as ta
 
@@ -1548,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
+        "text_collocations": _text_collocations,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -1734,6 +1744,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
+        "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

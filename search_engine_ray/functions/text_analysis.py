@@ -1439,3 +1439,274 @@ SELECT d.{id_col} AS {id_col},
        round(coalesce(a.s / a.n_feats, 0.0), 6) AS dsir_logratio
 FROM {src} d LEFT JOIN agg a ON a.did = d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_collocations(
+    ds,
+    text_col: str = "text",
+    k: int = PMI_TOP_K,
+    min_count: int = PMI_MIN_COUNT,
+):
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic corpus-analytics signal for multiword expressions (Church &
+    Hanks 1990):
+
+        pmi(w1 w2) = ln( (c12/N2) / ((c1/N1) * (c2/N1)) )
+
+    over the shared ``[a-z0-9]+`` occurrence stream, keeping bigrams
+    with ``c12 >= min_count`` (the standard noise floor — a hapax pair
+    of two hapax words maximizes raw PMI). Ties (pmi DESC, bigram ASC).
+    -> pa.Table(rank, bigram, n_pair, n_w1, n_w2, pmi).
+
+    Shape — NOTHING vocabulary-sized ever returns to the driver: ONE
+    counting pass feeds one groupby (unigram and bigram partials share
+    it — disjoint key spaces), totals are scalar aggregates, and the
+    unigram marginals attach without any broadcast: each thresholded
+    bigram emits TWO half-rows keyed by its slot word, unigram lookup
+    rows ride the same bounded-bucket groupby (the lm_score joined-path
+    pattern), a bigram groupby recombines the halves, and scoring +
+    per-block partial top-k leaves a k-row driver merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [ngram_count_rows(b, 1, text_col), ngram_count_rows(b, 2, text_col)]
+        )
+
+    counts = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def _side(want_bigrams: bool):
+        def pick(b: pa.Table) -> pa.Table:
+            has_space = pc.match_substring(b.column("ngram"), " ")
+            return b.filter(has_space if want_bigrams else pc.invert(has_space))
+
+        return counts.map_batches(pick, batch_format="pyarrow").materialize()
+
+    uni, bi = _side(False), _side(True)
+    if not uni.count():
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int32()),
+                "bigram": pa.array([], pa.string()),
+                "n_pair": pa.array([], pa.int64()),
+                "n_w1": pa.array([], pa.int64()),
+                "n_w2": pa.array([], pa.int64()),
+                "pmi": pa.array([], pa.float64()),
+            }
+        )
+    n1 = float(uni.sum("n"))
+    n2 = float(bi.sum("n")) if bi.count() else 0.0
+    nb = 1024
+
+    def _gb(arr) -> np.ndarray:
+        d = arr.combine_chunks().dictionary_encode() if isinstance(arr, pa.ChunkedArray) else arr.dictionary_encode()
+        uq = d.dictionary.to_pylist()
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little") for s in uq),
+            np.uint64, len(uq),
+        )
+        return (uh % np.uint64(nb)).astype(np.int64)[
+            d.indices.to_numpy(zero_copy_only=False)
+        ]
+
+    def half_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch.column("n"), min_count))
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.string()),
+                    "c12": pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int8()),
+                    "c": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "gb": pa.array([], pa.int64()),
+                }
+            )
+        words = pc.split_pattern(b.column("ngram"), " ")
+        w1 = pc.list_element(words, 0)
+        w2 = pc.list_element(words, 1)
+        c12 = b.column("n").cast(pa.int64())
+        parts = []
+        for slot, key in ((0, w1), (1, w2)):
+            parts.append(
+                pa.table(
+                    {
+                        "key": key,
+                        "bigram": b.column("ngram"),
+                        "c12": c12,
+                        "slot": pa.array(np.full(b.num_rows, slot, np.int8), pa.int8()),
+                        "c": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                        "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts).combine_chunks()
+        return t.append_column("gb", pa.array(_gb(t.column("key")), pa.int64()))
+
+    def lookup_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "key": batch.column("ngram"),
+                "bigram": pa.array([""] * n, pa.string()),
+                "c12": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "slot": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "c": batch.column("n").cast(pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+        return t.append_column("gb", pa.array(_gb(t.column("key")), pa.int64()))
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        cs = group.column("c").to_numpy(zero_copy_only=False)
+        is_lut = kind == 1
+        codes, uq = pd.factorize(keys, sort=False)
+        c_of = np.zeros(len(uq), np.int64)
+        c_of[codes[is_lut]] = cs[is_lut]
+        half = ~is_lut
+        att = c_of[codes[half]]
+        slot = group.column("slot").to_numpy(zero_copy_only=False)[half]
+        return pa.table(
+            {
+                "bigram": pa.array(
+                    group.column("bigram").to_numpy(zero_copy_only=False)[half],
+                    pa.string(),
+                ),
+                "c12": pa.array(
+                    group.column("c12").to_numpy(zero_copy_only=False)[half], pa.int64()
+                ),
+                "c1": pa.array(np.where(slot == 0, att, 0), pa.int64()),
+                "c2": pa.array(np.where(slot == 1, att, 0), pa.int64()),
+            }
+        )
+
+    halves = bi.map_batches(half_rows, batch_format="pyarrow")
+    luts = uni.map_batches(lookup_rows, batch_format="pyarrow")
+    joined = (
+        halves.union(luts)
+        .groupby("gb")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(
+            Max("c12", alias_name="c12"),
+            Sum("c1", alias_name="c1"),
+            Sum("c2", alias_name="c2"),
+        )
+    )
+
+    _empty_scored = pa.schema(
+        [
+            ("bigram", pa.string()),
+            ("c12", pa.int64()),
+            ("c1", pa.int64()),
+            ("c2", pa.int64()),
+            ("pmi", pa.float64()),
+        ]
+    ).empty_table()
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _empty_scored
+        c12 = batch.column("c12").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        # the exact op sequence the SQL oracle mirrors
+        pmi = np.log((c12 / n2) / ((c1 / n1) * (c2 / n1)))
+        big = batch.column("bigram").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((big, -pmi))[:k]
+        return pa.table(
+            {
+                "bigram": pa.array(big[sel], pa.string()),
+                "c12": pa.array(
+                    batch.column("c12").to_numpy(zero_copy_only=False)[sel], pa.int64()
+                ),
+                "c1": pa.array(
+                    batch.column("c1").to_numpy(zero_copy_only=False)[sel], pa.int64()
+                ),
+                "c2": pa.array(
+                    batch.column("c2").to_numpy(zero_copy_only=False)[sel], pa.int64()
+                ),
+                "pmi": pa.array(pmi[sel], pa.float64()),
+            }
+        )
+
+    parts = joined.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # nothing above the min_count floor
+        parts = _empty_scored.to_pandas()
+    parts = parts.sort_values(
+        ["pmi", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(parts) + 1, dtype=np.int32), pa.int32()),
+            "bigram": pa.array(parts["bigram"].tolist(), pa.string()),
+            "n_pair": pa.array(parts["c12"].to_numpy().astype(np.int64), pa.int64()),
+            "n_w1": pa.array(parts["c1"].to_numpy().astype(np.int64), pa.int64()),
+            "n_w2": pa.array(parts["c2"].to_numpy().astype(np.int64), pa.int64()),
+            "pmi": pa.array(_round6(parts["pmi"].to_numpy()), pa.float64()),
+        }
+    )
+
+
+def pmi_collocations_sql(
+    src: str, k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> str:
+    """DuckDB oracle for :func:`pmi_collocations` (same tokenizer regex,
+    same totals, same score op order)."""
+    return f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+occ AS (
+    SELECT row_number() OVER () AS did, t FROM toks
+),
+o AS (
+    SELECT did, t[i] AS tok, i
+    FROM occ, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+uni AS (SELECT tok AS g, count(*) AS c FROM o GROUP BY tok),
+n1 AS (SELECT count(*) AS n FROM o),
+big AS (
+    SELECT o1.tok AS w1, o2.tok AS w2, count(*) AS c12
+    FROM o o1 JOIN o o2 ON o2.did = o1.did AND o2.i = o1.i + 1
+    GROUP BY 1, 2
+),
+n2 AS (SELECT sum(c12) AS n FROM big),
+scored AS (
+    SELECT w1 || ' ' || w2 AS bigram, c12, u1.c AS c1, u2.c AS c2,
+           ln((c12 * 1.0 / n2.n) / ((u1.c * 1.0 / n1.n) * (u2.c * 1.0 / n1.n))) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.g = w1
+    JOIN uni u2 ON u2.g = w2
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE c12 >= {min_count}
+),
+ranked AS (
+    SELECT bigram, c12, c1, c2, pmi,
+           row_number() OVER (ORDER BY pmi DESC, bigram) AS rank
+    FROM scored
+)
+SELECT CAST(rank AS INT) AS rank, bigram,
+       CAST(c12 AS BIGINT) AS n_pair, CAST(c1 AS BIGINT) AS n_w1,
+       CAST(c2 AS BIGINT) AS n_w2, round(pmi, 6) AS pmi
+FROM ranked WHERE rank <= {k}
+"""

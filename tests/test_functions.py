@@ -1059,6 +1059,42 @@ def test_dsir_weights_semantics():
     assert again == got
 
 
+def test_pmi_collocations_vs_oracle(docs_ds, fduck):
+    from search_engine_ray.functions.text_analysis import (
+        pmi_collocations,
+        pmi_collocations_sql,
+    )
+
+    got = pmi_collocations(docs_ds).to_pandas()
+    exp = fduck.execute(pmi_collocations_sql("documents")).df()
+    assert len(got) == len(exp)
+    for c in ("rank", "bigram", "n_pair", "n_w1", "n_w2"):
+        assert (got[c].values == exp[c].values).all(), c
+    assert np.abs(got["pmi"].values - exp["pmi"].values).max() <= 2e-6
+
+
+def test_pmi_collocations_crafted():
+    """Hand-checkable: 5x 'p q' -> one surviving bigram with
+    pmi = ln((5/5) / ((5/10) * (5/10))) = ln 4."""
+    import math
+
+    from search_engine_ray.functions.text_analysis import pmi_collocations
+
+    ds = rd.from_items([{"doc_id": i, "text": "p q"} for i in range(5)])
+    t = pmi_collocations(ds).to_pylist()
+    assert len(t) == 1
+    r = t[0]
+    assert r["rank"] == 1 and r["bigram"] == "p q"
+    assert (r["n_pair"], r["n_w1"], r["n_w2"]) == (5, 5, 5)
+    assert abs(r["pmi"] - round(math.log(4), 6)) <= 1e-9
+    # below the min_count floor nothing survives
+    ds2 = rd.from_items([{"doc_id": i, "text": "p q"} for i in range(4)])
+    assert pmi_collocations(ds2).num_rows == 0
+    # empty corpus degenerates cleanly
+    ds3 = rd.from_items([{"doc_id": 0, "text": ""}])
+    assert pmi_collocations(ds3).num_rows == 0
+
+
 def test_lm_score_crafted():
     """Hand-checkable corpus: 'a b a b' + 'a b' + '' under add-0.5.
     Unigrams: a:3 b:3 (N=6, V=2); bigrams: 'a b':3, 'b a':1."""

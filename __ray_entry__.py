@@ -626,6 +626,41 @@ def _search_ordered(sf_dir: str):
     return df
 
 
+def _search_synonyms(sf_dir: str):
+    """Query-time synonym expansion (Lucene SynonymQuery 'expand'
+    rewrite): each query lemma expands to itself plus its mapped
+    synonyms (both sides analyzer-normalized), disjunctive BM25 over
+    the deduplicated union."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.synonym_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       synonyms=q["synonyms"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_rrf(sf_dir: str):
     """Hybrid relevance+recency ranking (order_by='rrf'): reciprocal-
     rank fusion (k=60) of the BM25 and ts-descending rankings of each
@@ -1523,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_collapse": _search_collapse,
         "search_ordered": _search_ordered,
         "search_rrf": _search_rrf,
+        "search_synonyms": _search_synonyms,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1654,6 +1690,14 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             _corpus_src(), datagen.order_queries()
         ),
         "search_rrf": lambda: oracle.rrf_topk_sql(_corpus_src(), qs),
+        # the engine's expansion union == the analyzed lemma set of the
+        # pre-expanded oracle_text, so the standard BM25 skeleton IS the
+        # synonym oracle
+        "search_synonyms": lambda: oracle.bm25_topk_sql(
+            _corpus_src(),
+            [dict(q, query_text=q["oracle_text"])
+             for q in datagen.synonym_queries()],
+        ),
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),
         "doclen_quantiles": lambda: aggregates_mod.column_quantiles_sql(

@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--order-by", choices=["score", "ts_desc", "ts_asc", "rrf"],
                    default="score",
                    help="rank by relevance (default) or by turn timestamp")
+    s.add_argument("--synonyms", default=None,
+                   help="query-time synonym mapping 'key=v1|v2;key2=v3' "
+                        "(Lucene SynonymQuery expand rewrite, bm25 mode)")
     s.add_argument("--after", nargs=3, metavar=("SCORE", "CONV_ID", "TURN_IDX"),
                    default=None,
                    help="cursor pagination: the last row of the previous page; "
@@ -181,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
     elif a.cmd == "search":
-        from .search import SearchEngine
+        from .search import SearchEngine, parse_synonyms_arg
 
         eng = SearchEngine(a.out)
         if a.group_by_conv:
@@ -205,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
                 collapse=a.collapse,
                 order_by=a.order_by,
                 search_after=tuple(a.after) if a.after else None,
+                synonyms=parse_synonyms_arg(a.synonyms),
             )
         print(
             json.dumps(

@@ -388,6 +388,36 @@ def near_queries() -> list[dict]:
     ]
 
 
+def synonym_queries() -> list[dict]:
+    """Query-time synonym-expansion probes. ``oracle_text`` is the
+    pre-expanded query whose analyzed lemma set equals the engine's
+    expansion — every synonym word here EXISTS in the corpus because
+    the shared BM25 oracle skeleton requires all lemmas present (the
+    engine's drop-absent-expansion semantics are pinned by pytest)."""
+    q = [
+        # rare query joined by an ultra-hot synonym
+        (stem(6500), {stem(6500): [stem(0)]},
+         f"{stem(6500)} {stem(0)}", None),
+        # one term of a pair expands two ways
+        (f"{stem(4000)} {stem(120)}", {stem(4000): [stem(4001), stem(4002)]},
+         f"{stem(4000)} {stem(120)} {stem(4001)} {stem(4002)}", None),
+        # inflected mapping KEY folds through the analyzer to the lemma
+        # (stem(120)+'s' lemmatizes back to stem(120)'s own base lemma)
+        (f"{stem(120)}s", {f"{stem(120)}s": [stem(300)]},
+         f"{stem(120)}s {stem(300)}", None),
+        # scoped expansion
+        (stem(2048), {stem(2048): [stem(2049)]},
+         f"{stem(2048)} {stem(2049)}", "assistant"),
+        # a mapping keyed on a lemma the query lacks is a no-op
+        (stem(50), {stem(999): [stem(0)]}, stem(50), None),
+    ]
+    return [
+        {"query_id": f"y-{i:04d}", "query_text": t, "synonyms": syn,
+         "oracle_text": ot, "scope": s, "k": 10}
+        for i, (t, syn, ot, s) in enumerate(q)
+    ]
+
+
 def sig_queries() -> list[dict]:
     """Fixed significant-terms probes: matching-set sizes from rare to
     ultra-hot, a two-term union, a scoped set, an absent lemma (must

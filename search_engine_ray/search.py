@@ -82,6 +82,21 @@ def _decode_pos_blobs(blobs, tf: np.ndarray) -> np.ndarray:
 _QUOTE_RE = re.compile(r'"([^"]*)"')
 
 
+def parse_synonyms_arg(s: str | None) -> dict[str, list[str]] | None:
+    """CLI/HTTP synonym-mapping syntax: ``key=v1|v2;key2=v3`` ->
+    {key: [v1, v2], key2: [v3]}. Empty/None -> None (no expansion)."""
+    if not s:
+        return None
+    out: dict[str, list[str]] = {}
+    for part in s.split(";"):
+        part = part.strip()
+        if not part or "=" not in part:
+            continue
+        key, _, vals = part.partition("=")
+        out[key.strip()] = [v.strip() for v in vals.split("|") if v.strip()]
+    return out or None
+
+
 def parse_boolean_query(text: str) -> tuple[list[str], str, str]:
     """Search-box boolean syntax -> (quoted phrases, loose-term text,
     NOT-term text). Double-quoted segments are exact-phrase constraints;
@@ -2331,6 +2346,7 @@ class SearchEngine:
         collapse: int | None = None,
         order_by: str = "score",
         search_after: tuple | list | None = None,
+        synonyms: dict | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -2358,6 +2374,16 @@ class SearchEngine:
         ``order_by='rrf'`` is hybrid relevance+recency: reciprocal-rank
         fusion (k=60) of the BM25 and ts-descending rankings of the
         same matching set — there ``score`` carries the fused value.
+        ``synonyms`` (bm25 mode only) is a query-time synonym mapping
+        {word: [synonym, ...]} — both sides pass through the analyzer,
+        each query lemma expands to itself plus its mapped synonyms,
+        and ranking is standard disjunctive BM25 over the deduplicated
+        expansion union (the Lucene SynonymQuery "expand" rewrite);
+        expansion lemmas absent from the corpus are dropped (an
+        all-absent expansion returns count 0, not the reference's
+        missing-lemma empty result — the mapping exists to RESCUE
+        misses). Composes with every exhaustive-routed filter since it
+        only rewrites the term set.
         ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
         pagination: return results STRICTLY AFTER that row in the
         relevance total order (score DESC, conv_id, turn_idx) — the
@@ -2381,6 +2407,8 @@ class SearchEngine:
             return self._resp(error="bad_collapse")
         if order_by not in ("score", "ts_desc", "ts_asc", "rrf"):
             return self._resp(error="bad_order")
+        if synonyms is not None and mode != "bm25":
+            return self._resp(error="bad_synonyms")
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -2512,7 +2540,46 @@ class SearchEngine:
             terms = [(lem, self._df_of(lem) or 0) for lem in pos_lemmas]
             tbl = self._enrich(ids, scores, terms, with_snippets)
             return {"result": True, "count": int(count), "data": tbl, "error": None}
-        terms, err = self.plan(query_text)
+        if synonyms is not None:
+            # query-time synonym expansion: analyzer-normalize BOTH
+            # mapping sides, expand each query lemma to itself + its
+            # synonyms, drop expansion lemmas absent from the corpus,
+            # dedupe, df-ascending — then fall through to the standard
+            # bm25 routing (blockmax or the exhaustive filter route)
+            lemmas = self._analyzer.analyze_query(query_text)
+            if not lemmas:
+                return self._resp(error="empty_query")
+            norm_map: dict[str, list[str]] = {}
+            for key, vals in synonyms.items():
+                klems = self._analyzer.analyze_query(str(key))
+                if len(klems) != 1:
+                    return self._resp(error="bad_synonyms")
+                exp = []
+                for v in vals if isinstance(vals, (list, tuple)) else (vals,):
+                    exp.extend(self._analyzer.analyze_query(str(v)))
+                norm_map[klems[0]] = exp
+            seen: dict[str, None] = {}
+            for lem in lemmas:
+                seen.setdefault(lem)
+                for s in norm_map.get(lem, ()):
+                    seen.setdefault(s)
+            terms = []
+            for lem in seen:
+                df = self._df_of(lem)
+                if df is None and self._has_deltas and lem in self._delta_lemma:
+                    df = 0
+                if df is not None:
+                    terms.append((lem, df))
+            if self._has_deltas and terms:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                terms = [(lem, df) for lem, df in terms if df > 0]
+            if not terms:
+                return self._resp(count=0)
+            terms.sort(key=lambda t: (t[1], t[0]))
+            err = None
+        else:
+            terms, err = self.plan(query_text)
         if err == "empty_query":
             return self._resp(error="empty_query")
         if err == "no_results":

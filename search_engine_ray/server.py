@@ -52,7 +52,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from .search import SearchEngine
+from .search import SearchEngine, parse_synonyms_arg
 from .stats import statistics
 
 # Minimal statistics-dashboard + search page (the reference's
@@ -193,6 +193,9 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         search_after=(
                             tuple((q.get("after") or [""])[0].split(",", 2))
                             if q.get("after") else None
+                        ),
+                        synonyms=parse_synonyms_arg(
+                            (q.get("synonyms") or [None])[0]
                         ),
                     )
                 self._send(

@@ -65,6 +65,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
         for x in ml["data"]
     )
 
+    # synonym expansion: absent term rescued by a mapped present one
+    sy = _run(["search", "wqxqzq", "--out", out, "--limit", "3",
+               "--synonyms", f"wqxqzq={datagen.stem(0)}"])
+    assert sy["result"] and sy["count"] == r["count"]
+
     sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
     assert sg["result"] and sg["count"] == r["count"]
     assert sg["data"] and len(sg["data"]) <= 5

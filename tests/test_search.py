@@ -905,6 +905,60 @@ def test_order_by_ts(engine):
     assert engine.search(hot, order_by="nope")["error"] == "bad_order"
 
 
+def test_synonyms_vs_duckdb_oracle(engine, duck):
+    """Synonym-expanded results == plain BM25 over the pre-expanded
+    oracle text (the engine's expansion union IS that analyzed set)."""
+    sq = datagen.synonym_queries()
+    sql = oracle.bm25_topk_sql(
+        oracle.transcripts_rel("sf0.001"),
+        [dict(q, query_text=q["oracle_text"]) for q in sq],
+    )
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in sq:
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            synonyms=q["synonyms"])["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+def test_synonyms_semantics(engine):
+    """No-op mappings leave results identical; absent query terms are
+    RESCUED by present synonyms; absent synonyms are dropped; malformed
+    mappings error; expansion == querying the joined text."""
+    hot, rare = datagen.stem(0), datagen.stem(6500)
+    plain = engine.search(rare, limit=10)
+    noop = engine.search(rare, limit=10, synonyms={datagen.stem(999): [hot]})
+    assert noop["count"] == plain["count"] and noop["data"].equals(plain["data"])
+    # absent query lemma + present synonym == searching the synonym
+    rescued = engine.search("wqxqzq", limit=10, synonyms={"wqxqzq": [hot]})
+    direct = engine.search(hot, limit=10)
+    assert rescued["count"] == direct["count"]
+    assert rescued["data"].equals(direct["data"])
+    # absent synonym is a no-op (NOT the reference's empty-result rule)
+    dropped = engine.search(rare, limit=10, synonyms={rare: ["wqxqzq"]})
+    assert dropped["count"] == plain["count"] and dropped["data"].equals(plain["data"])
+    # expansion union == analyzing the joined text
+    exp = engine.search(rare, limit=10, synonyms={rare: [hot]})
+    joined = engine.search(f"{rare} {hot}", limit=10)
+    assert exp["count"] == joined["count"] and exp["data"].equals(joined["data"])
+    # all-absent expansion -> count 0; multi-word keys error; non-bm25 errors
+    assert engine.search("wqxqzq", limit=5, synonyms={"wqxqzq": ["wqxqzqx"]})["count"] == 0
+    assert engine.search(hot, synonyms={"a b": [rare]})["error"] == "bad_synonyms"
+    assert engine.search(hot, mode="phrase", synonyms={hot: [rare]})["error"] == "bad_synonyms"
+    # composes with the exhaustive filter route (collapse)
+    c = engine.search(rare, limit=5, synonyms={rare: [hot]}, collapse=1)
+    per = [r["conv_id"] for r in c["data"].to_pylist()]
+    assert len(per) == len(set(per))
+
+
 def test_order_by_rrf(engine):
     """RRF fusion semantics: same matching set as relevance ranking,
     fused score recomputed directly from the engine's own relevance and

@@ -68,6 +68,11 @@ def test_search_endpoint(served):
         (r["conv_id"], r["turn_idx"]) != (probe["conv_id"], probe["turn_idx"])
         for r in ml["data"]
     )
+    # synonym expansion round-trips &synonyms= (absent term rescued)
+    code, sy = _get(
+        f"{base}/api/search?query=wqxqzq&limit=3&synonyms=wqxqzq%3D{hot}"
+    )
+    assert code == 200 and sy["result"] and sy["count"] == p1["count"]
     # field collapsing caps per-conversation rows
     code, got = _get(f"{base}/api/search?query={hot}&collapse=1&limit=50")
     assert code == 200 and got["result"]

@@ -1004,6 +1004,20 @@ def _doclen_quantiles(sf_dir: str):
     )
 
 
+def _search_scan(sf_dir: str):
+    """Streaming regex scan over the transcript corpus (the non-indexed
+    grep fallback): one zero-shuffle map_batches pass, RE2 on both
+    sides."""
+    from search_engine_ray import datagen
+    from search_engine_ray.functions import text_analysis as ta
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(
+        datagen.transcripts_files(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    return ta.regex_scan(ds, datagen.scan_patterns())
+
+
 def _transcripts_roundtrip(sf_dir: str):
     """Per-row invariant: the engine-read corpus, all columns."""
     from search_engine_ray import datagen
@@ -1559,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ordered": _search_ordered,
         "search_rrf": _search_rrf,
         "search_synonyms": _search_synonyms,
+        "search_scan": _search_scan,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1690,6 +1705,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             _corpus_src(), datagen.order_queries()
         ),
         "search_rrf": lambda: oracle.rrf_topk_sql(_corpus_src(), qs),
+        "search_scan": lambda: ta_mod.regex_scan_sql(
+            _corpus_src(), datagen.scan_patterns()
+        ),
         # the engine's expansion union == the analyzed lemma set of the
         # pre-expanded oracle_text, so the standard BM25 skeleton IS the
         # synonym oracle

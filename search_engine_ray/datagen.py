@@ -388,6 +388,18 @@ def near_queries() -> list[dict]:
     ]
 
 
+def scan_patterns() -> dict[str, str]:
+    """Fixed RE2 probes for the streaming regex scan: a word-boundary
+    inflected form, a digit run, a case-insensitive literal, and an
+    optional-suffix alternation."""
+    return {
+        "s-0000": rf"\b{stem(0)}ed\b",
+        "s-0001": r"[0-9]{3,}",
+        "s-0002": rf"(?i){stem(777).upper()}",
+        "s-0003": rf"\b{stem(4000)}(s|ing)?\b",
+    }
+
+
 def synonym_queries() -> list[dict]:
     """Query-time synonym-expansion probes. ``oracle_text`` is the
     pre-expanded query whose analyzed lemma set equals the engine's

@@ -1710,3 +1710,55 @@ SELECT CAST(rank AS INT) AS rank, bigram,
        CAST(c2 AS BIGINT) AS n_w2, round(pmi, 6) AS pmi
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming regex scan (the non-indexed grep fallback)
+# ---------------------------------------------------------------------------
+
+
+def regex_scan(ds, patterns: dict[str, str], text_col: str = "text",
+               keep_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Grep-style streaming scan: rows whose ``text_col`` contains a
+    match of each RE2 pattern — the non-indexed fallback query every
+    engine ships for predicates the inverted index can't serve
+    (substring/regex search). One ``map_batches`` pass, zero shuffle;
+    per-pattern matching is pyarrow's C++ RE2 kernel (compiled once per
+    call inside the kernel), so the scan streams at any corpus size.
+    ``patterns`` maps query_id -> pattern; DuckDB's ``regexp_matches``
+    is RE2 too, so the oracle is semantics-identical down to flags like
+    ``(?i)``. -> Dataset(query_id, *keep_cols)."""
+    items = sorted(patterns.items())
+
+    def match(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if pa.types.is_null(text.type):  # an all-null block types as null
+            text = pa.array([""] * batch.num_rows, pa.string())
+        else:
+            text = pc.fill_null(text, "")
+        outs = []
+        for qid, pat in items:
+            b = batch.filter(pc.match_substring_regex(text, pat))
+            outs.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * b.num_rows, pa.string()),
+                        **{c: b.column(c) for c in keep_cols},
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def regex_scan_sql(src: str, patterns: dict[str, str],
+                   keep_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> str:
+    """DuckDB oracle for :func:`regex_scan` (RE2 on both sides)."""
+    cols = ", ".join(keep_cols)
+    parts = [
+        f"SELECT '{qid}' AS query_id, {cols} FROM {src} "
+        f"WHERE regexp_matches(coalesce(text, ''), '{pat.replace(chr(39), chr(39) * 2)}')"
+        for qid, pat in sorted(patterns.items())
+    ]
+    return "\nUNION ALL\n".join(parts)

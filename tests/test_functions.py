@@ -1073,6 +1073,46 @@ def test_pmi_collocations_vs_oracle(docs_ds, fduck):
     assert np.abs(got["pmi"].values - exp["pmi"].values).max() <= 2e-6
 
 
+def test_regex_scan_crafted():
+    """Crafted strings: boundary, case-insensitive flag, digit runs,
+    null text; plus sf0.001 oracle parity on the documents table."""
+    from search_engine_ray.functions.text_analysis import regex_scan
+
+    ds = rd.from_items(
+        [
+            {"conv_id": "a", "turn_idx": 0, "text": "walked fast"},
+            {"conv_id": "a", "turn_idx": 1, "text": "walk now"},
+            {"conv_id": "b", "turn_idx": 0, "text": "WALKED 1234"},
+            {"conv_id": "b", "turn_idx": 1, "text": None},
+        ]
+    )
+    got = regex_scan(
+        ds, {"q1": r"\bwalked\b", "q2": r"(?i)walked", "q3": r"[0-9]{3,}"}
+    ).to_pandas()
+    rows = {(r.query_id, r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert rows == {
+        ("q1", "a", 0),
+        ("q2", "a", 0), ("q2", "b", 0),
+        ("q3", "b", 0),
+    }
+
+
+def test_regex_scan_vs_oracle(docs_ds, fduck):
+    from search_engine_ray.functions.text_analysis import regex_scan, regex_scan_sql
+
+    pats = {"q1": r"(?i)the", "q2": r"[a-z]+ing\b"}
+    got = regex_scan(
+        docs_ds, pats, keep_cols=("doc_id",)
+    ).to_pandas().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    exp = (
+        fduck.execute(regex_scan_sql("documents", pats, keep_cols=("doc_id",)))
+        .df().sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["query_id"].values == exp["query_id"].values).all()
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+
+
 def test_pmi_collocations_crafted():
     """Hand-checkable: 5x 'p q' -> one surviving bigram with
     pmi = ln((5/5) / ((5/10) * (5/10))) = ln 4."""

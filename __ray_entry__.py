@@ -1342,6 +1342,15 @@ def _text_dsir_weights(sf_dir: str):
     return ta.dsir_weights(_documents_ds(sf_dir))
 
 
+def _text_heavy_hitters(sf_dir: str):
+    """Exact top-k frequent tokens via two bounded-memory passes
+    (Misra-Gries candidates -> exact recount, certified by the MG
+    guarantee; full-groupby fallback when certification fails)."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.heavy_hitters(_documents_ds(sf_dir))
+
+
 def _text_collocations(sf_dir: str):
     """Top-k bigram collocations by PMI (Church & Hanks 1990) — corpus
     association mining with a no-broadcast marginal-attach join (the
@@ -1609,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
         "text_collocations": _text_collocations,
+        "text_heavy_hitters": _text_heavy_hitters,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -1807,6 +1817,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
+        "text_heavy_hitters": lambda: ta_mod.heavy_hitters_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

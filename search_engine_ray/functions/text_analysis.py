@@ -1762,3 +1762,195 @@ def regex_scan_sql(src: str, patterns: dict[str, str],
         for qid, pat in sorted(patterns.items())
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass Misra-Gries: candidates, then recount)
+# ---------------------------------------------------------------------------
+
+HH_TOP_K = 20
+HH_CANDIDATES = 256      # Misra-Gries parameter k' (per-block summary size)
+HH_MAX_CANDIDATES = 65_536  # merged-candidate cap before the full fallback
+
+
+def heavy_hitters(
+    ds,
+    k: int = HH_TOP_K,
+    text_col: str = "text",
+    n_candidates: int = HH_CANDIDATES,
+):
+    """EXACT top-k most frequent word tokens in two bounded-memory
+    passes — the classic sketch-then-recount shape (Misra-Gries 1982)
+    that avoids a vocabulary-sized groupby at any corpus size:
+
+    Pass 1: each block compresses its exact token counts into a
+    Misra-Gries(k') summary — keep the k' largest, subtract the
+    (k'+1)-th largest, clip at zero — so per-block error <= n_block/(k'+1)
+    and summed error <= N/(k'+1); ONE groupby folds the summaries (they
+    are k'-rows-per-block, never corpus-sized) and every positive-weight
+    token becomes a candidate. Any token with true count > N/(k'+1) is
+    guaranteed to survive.
+
+    Pass 2: the candidate list broadcasts (``ray.put``) and each block
+    emits EXACT candidate counts (one ``index_in`` + bincount); one tiny
+    groupby sums them. The result is certified exact when the k-th
+    candidate count exceeds N/(k'+1) (no non-candidate can displace it);
+    otherwise — or when skew floods the merged candidate set past
+    ``HH_MAX_CANDIDATES`` — the operator falls back to the full
+    groupby top-k, which is always correct (the documented skew escape
+    hatch). Both paths return identical tables by construction.
+
+    -> pa.Table(rank, token, n)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_word_tokens
+
+    # " " cannot be a [a-z0-9]+ token — it carries the per-block total
+    TOTAL_KEY = " "
+
+    def summaries(batch: pa.Table) -> pa.Table:
+        _, flat = _flat_word_tokens(batch.column(text_col))
+        m = len(flat)
+        if m == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "w": pa.array([], pa.int64())}
+            )
+        vc = flat.value_counts()
+        toks = vc.field("values")
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cnt) > n_candidates:
+            # MG compression: subtract the (k'+1)-th largest, clip at 0
+            kth1 = np.partition(cnt, len(cnt) - n_candidates - 1)[
+                len(cnt) - n_candidates - 1
+            ]
+            w = cnt - kth1
+            keep = w > 0
+            toks, w = toks.filter(pa.array(keep)), w[keep]
+        else:
+            w = cnt
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks,
+                     pa.array([TOTAL_KEY], pa.string())]
+                ),
+                "w": pa.array(np.concatenate([w, [m]]), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(summaries, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # <= blocks x k' rows, k'-bounded in practice
+    )
+    if merged.empty:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int32()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    total_mask = merged["token"] == TOTAL_KEY
+    n_total = int(merged.loc[total_mask, "w"].sum())
+    cands = merged.loc[~total_mask, "token"].tolist()
+    bound = n_total / (n_candidates + 1)
+
+    def _finish(tokens: np.ndarray, counts: np.ndarray) -> pa.Table:
+        sel = np.lexsort((tokens, -counts))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32), pa.int32()),
+                "token": pa.array(tokens[sel], pa.string()),
+                "n": pa.array(counts[sel], pa.int64()),
+            }
+        )
+
+    if len(cands) <= HH_MAX_CANDIDATES:
+        cand_ref = ray.put(pa.array(sorted(cands), pa.string()))
+
+        def recount(batch: pa.Table) -> pa.Table:
+            cset = ray.get(cand_ref)
+            _, flat = _flat_word_tokens(batch.column(text_col))
+            if not len(flat):
+                return pa.table(
+                    {"i": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+                )
+            idx = pc.index_in(flat, value_set=cset)
+            iv = idx.to_numpy(zero_copy_only=False)
+            iv = iv[~np.isnan(iv)].astype(np.int64) if iv.dtype.kind == "f" else iv[
+                idx.is_valid().to_numpy(zero_copy_only=False)
+            ]
+            n = np.bincount(iv, minlength=len(cset))
+            nz = np.flatnonzero(n)
+            return pa.table(
+                {
+                    "i": pa.array(nz.astype(np.int64), pa.int64()),
+                    "n": pa.array(n[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        exact = (
+            ds.map_batches(recount, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        cand_sorted = np.asarray(sorted(cands), dtype=object)
+        counts = np.zeros(len(cand_sorted), np.int64)
+        if len(exact):
+            counts[exact["i"].to_numpy().astype(np.int64)] = exact["n"].to_numpy()
+        out = _finish(cand_sorted, counts)
+        kth = int(out.column("n")[-1].as_py()) if out.num_rows else 0
+        if kth > bound:
+            # certified: every non-candidate has count <= N/(k'+1) by
+            # the MG guarantee, so none can displace the k-th
+            return out
+        # certification failed (flat distributions): the guarantee
+        # can't rule out a non-candidate displacing the top-k
+    # full fallback — always correct
+    def token_rows(batch: pa.Table) -> pa.Table:
+        return ngram_count_rows(batch, 1, text_col).rename_columns(["token", "n"])
+
+    grouped = (
+        ds.map_batches(token_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((toks, -n))[:k]
+        return pa.table(
+            {
+                "token": pa.array(toks[sel], pa.string()),
+                "n": pa.array(n[sel], pa.int64()),
+            }
+        )
+
+    parts = grouped.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return _finish(
+        parts["token"].to_numpy().astype(object), parts["n"].to_numpy().astype(np.int64)
+    )
+
+
+def heavy_hitters_sql(src: str, k: int = HH_TOP_K) -> str:
+    """DuckDB oracle for :func:`heavy_hitters` (same tokenizer, exact
+    global counts, same (n DESC, token ASC) tie rule)."""
+    return f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+occ AS (SELECT unnest(t) AS tok FROM toks),
+cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+ranked AS (
+    SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM cnt
+)
+SELECT CAST(rank AS INT) AS rank, tok AS token, CAST(n AS BIGINT) AS n
+FROM ranked WHERE rank <= {k}
+"""

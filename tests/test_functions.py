@@ -1113,6 +1113,41 @@ def test_regex_scan_vs_oracle(docs_ds, fduck):
     assert (got["doc_id"].values == exp["doc_id"].values).all()
 
 
+def test_heavy_hitters_vs_oracle(docs_ds, fduck):
+    """Certified two-pass path AND the forced full-groupby fallback both
+    equal the exact SQL top-k."""
+    from search_engine_ray.functions.text_analysis import (
+        heavy_hitters,
+        heavy_hitters_sql,
+    )
+
+    exp = fduck.execute(heavy_hitters_sql("documents")).df()
+    for n_cand in (256, 2):  # 2 can't certify -> fallback
+        got = heavy_hitters(docs_ds, n_candidates=n_cand).to_pandas()
+        assert len(got) == len(exp)
+        assert (got["rank"].values == exp["rank"].values).all()
+        assert (got["token"].values == exp["token"].values).all(), n_cand
+        assert (got["n"].values == exp["n"].values).all(), n_cand
+
+
+def test_heavy_hitters_crafted_skew():
+    """A block with more distinct tokens than the MG parameter forces
+    per-block truncation; the dominant token must still come out with
+    its EXACT count (the recount pass), and empty corpora degenerate."""
+    from search_engine_ray.functions.text_analysis import heavy_hitters
+
+    filler = " ".join(f"tok{i:03d}" for i in range(300))
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": ("hot " * 500) + filler},
+         {"doc_id": 1, "text": "hot hot cold"}]
+    )
+    t = heavy_hitters(ds, k=2, n_candidates=16).to_pylist()
+    assert t[0] == {"rank": 1, "token": "hot", "n": 502}
+    assert heavy_hitters(
+        rd.from_items([{"doc_id": 0, "text": None}])
+    ).num_rows == 0
+
+
 def test_pmi_collocations_crafted():
     """Hand-checkable: 5x 'p q' -> one surviving bigram with
     pmi = ln((5/5) / ((5/10) * (5/10))) = ln 4."""

@@ -1004,6 +1004,22 @@ def _doclen_quantiles(sf_dir: str):
     )
 
 
+def _search_percolate(sf_dir: str):
+    """Percolation (reverse search / the Elasticsearch percolator):
+    every transcript turn probes the registered query set in one
+    zero-shuffle analyzer pass; conjunctive containment, optional role
+    scope."""
+    from search_engine_ray import datagen
+    from search_engine_ray.functions import percolate as perc
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(
+        datagen.transcripts_files(sf_dir),
+        columns=["conv_id", "turn_idx", "role", "text"],
+    )
+    return perc.percolate(ds, datagen.percolate_queries())
+
+
 def _search_scan(sf_dir: str):
     """Streaming regex scan over the transcript corpus (the non-indexed
     grep fallback): one zero-shuffle map_batches pass, RE2 on both
@@ -1583,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rrf": _search_rrf,
         "search_synonyms": _search_synonyms,
         "search_scan": _search_scan,
+        "search_percolate": _search_percolate,
         "search_ts_range": _search_ts_range,
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
@@ -1658,6 +1675,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import joins as joins_mod
+    from search_engine_ray.functions import percolate as percolate_mod
     from search_engine_ray.functions import relational as relational_mod
     from search_engine_ray.functions import windows as windows_mod
 
@@ -1717,6 +1735,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_rrf": lambda: oracle.rrf_topk_sql(_corpus_src(), qs),
         "search_scan": lambda: ta_mod.regex_scan_sql(
             _corpus_src(), datagen.scan_patterns()
+        ),
+        "search_percolate": lambda: percolate_mod.percolate_sql(
+            _corpus_src(), datagen.percolate_queries()
         ),
         # the engine's expansion union == the analyzed lemma set of the
         # pre-expanded oracle_text, so the standard BM25 skeleton IS the

@@ -388,6 +388,24 @@ def near_queries() -> list[dict]:
     ]
 
 
+def percolate_queries() -> list[dict]:
+    """Registered-query probes for the percolator: single-term, a
+    conjunctive pair, scoped, inflected surface form, absent lemma
+    (matches nothing), stopword-only (analyzes to nothing)."""
+    q = [
+        (stem(4000), None),
+        (f"{stem(120)} {stem(480)}", None),
+        (stem(2048), "assistant"),
+        (f"{stem(1500)}s", None),
+        ("wqxqzq", None),
+        ("the and", None),
+    ]
+    return [
+        {"query_id": f"pc-{i:04d}", "query_text": t, "scope": s}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def scan_patterns() -> dict[str, str]:
     """Fixed RE2 probes for the streaming regex scan: a word-boundary
     inflected form, a digit run, a case-insensitive literal, and an

@@ -905,6 +905,42 @@ def test_order_by_ts(engine):
     assert engine.search(hot, order_by="nope")["error"] == "bad_order"
 
 
+def test_percolate_matches_conjunctive_search(engine, tiny_corpus, duck):
+    """Percolation (reverse search) row set per registered query == the
+    forward engine's conjunctive matching set (count and identity), the
+    SQL oracle agrees, and absent/stopword queries match nothing."""
+    from search_engine_ray.functions import percolate as perc
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(
+        tiny_corpus, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    qs = datagen.percolate_queries()
+    got = perc.percolate(ds, qs).to_pandas()
+    by_q = {
+        qid: {(r.conv_id, r.turn_idx) for r in g.itertuples()}
+        for qid, g in got.groupby("query_id")
+    }
+    for q in qs:
+        rows = by_q.get(q["query_id"], set())
+        r = engine.search(
+            q["query_text"], scope=q["scope"], limit=10**6, conjunctive=True
+        )
+        if r["error"] is not None or r["count"] == 0:
+            assert not rows, q["query_id"]
+            continue
+        fwd = {(x["conv_id"], x["turn_idx"]) for x in r["data"].to_pylist()}
+        assert rows == fwd, q["query_id"]
+    exp = duck.execute(
+        perc.percolate_sql(oracle.transcripts_rel("sf0.001"), qs)
+    ).df()
+    exp_rows = {
+        (r.query_id, r.conv_id, r.turn_idx) for r in exp.itertuples()
+    }
+    got_rows = {(r.query_id, r.conv_id, r.turn_idx) for r in got.itertuples()}
+    assert got_rows == exp_rows
+
+
 def test_synonyms_vs_duckdb_oracle(engine, duck):
     """Synonym-expanded results == plain BM25 over the pre-expanded
     oracle text (the engine's expansion union IS that analyzed set)."""

@@ -230,6 +230,26 @@ def run_bench() -> dict:
                 k=8, iters=2,
             ),
         )
+        # sf-scaled round-3 additions: significant-terms is one
+        # distributed gaps-only scan of the just-built index (the
+        # ultra-hot probe maximizes the broadcast matching set);
+        # percolation is one analyzer pass over the whole corpus
+        _timed(
+            "ops_sig_terms",
+            lambda: eng.significant_terms(datagen.stem(0))["data"] and None,
+        )
+        from search_engine_ray.functions import percolate as perc_mod
+        from search_engine_ray.sources.transcripts import read_transcripts
+
+        _timed(
+            "ops_percolate",
+            lambda: perc_mod.percolate(
+                read_transcripts(
+                    files, columns=["conv_id", "turn_idx", "role", "text"]
+                ),
+                datagen.percolate_queries(),
+            ),
+        )
         _timed(
             "ops_rel_pricing",
             lambda: rel_mod.pricing_summary(

@@ -1358,6 +1358,15 @@ def _text_dsir_weights(sf_dir: str):
     return ta.dsir_weights(_documents_ds(sf_dir))
 
 
+def _text_dup_windows(sf_dir: str):
+    """Exact cross-document duplicated-window detection (the substring
+    dedup signal, Lee et al. 2022): per-doc fraction of W-token windows
+    whose md5 key occurs >= 2 times anywhere in the corpus."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.dup_window_ratio(_documents_ds(sf_dir))
+
+
 def _text_heavy_hitters(sf_dir: str):
     """Exact top-k frequent tokens via two bounded-memory passes
     (Misra-Gries candidates -> exact recount, certified by the MG
@@ -1636,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_weights": _text_dsir_weights,
         "text_collocations": _text_collocations,
         "text_heavy_hitters": _text_heavy_hitters,
+        "text_dup_windows": _text_dup_windows,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -1839,6 +1849,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
         "text_heavy_hitters": lambda: ta_mod.heavy_hitters_sql("documents"),
+        "text_dup_windows": lambda: ta_mod.dup_window_ratio_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

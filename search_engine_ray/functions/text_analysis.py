@@ -1954,3 +1954,184 @@ ranked AS (
 SELECT CAST(rank AS INT) AS rank, tok AS token, CAST(n AS BIGINT) AS n
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-window detection (exact substring-dup signal)
+# ---------------------------------------------------------------------------
+
+DUPWIN_W = 5
+
+
+def dup_window_ratio(
+    ds,
+    window: int = DUPWIN_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact duplicated-window detection ACROSS documents — the signal
+    behind exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at a
+    fixed window length: a W-token window is DUPLICATED when its md5
+    key occurs >= 2 times anywhere in the corpus (any document,
+    including its own). Per document: (id, n_windows, n_dup_windows,
+    dup_window_ratio) — the per-doc fraction of duplicated spans a
+    dedup pipeline would cut or downweight.
+
+    Shape: one tokenize pass emits window rows (md5-hex key, key
+    bucket, doc, 1) plus a per-doc window-count row riding the same
+    unified schema (kind flag); ONE bucket groupby computes global
+    per-key totals entirely within each group (keys are
+    bucket-contained by construction) and folds them to per-doc dup
+    partials; ONE doc groupby sums. This op is inherently the heavy
+    exchange of exact substring dedup (~one row per corpus token — the
+    known cost of the method, suffix-array-scale work); MinHash /
+    SimHash in ``functions/dedup.py`` are its cheap approximate
+    siblings, and both stages here move only pre-shaped fixed-width
+    rows, never documents."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_word_tokens, _md5_col
+
+    nb = 1024
+    w_ = int(window)
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        m = len(doc_idx)
+        n_win_doc = np.zeros(len(ids), np.int64)
+        parts_kb, parts_h, parts_doc, parts_mult, parts_kind = [], [], [], [], []
+        if m >= w_:
+            span = m - w_ + 1
+            valid = doc_idx[:span] == doc_idx[w_ - 1 :]
+            if valid.any():
+                sel = pa.array(valid)
+                joined = pc.binary_join_element_wise(
+                    *(flat.slice(j, span).filter(sel) for j in range(w_)), " "
+                )
+                h = _md5_col(joined)
+                docs_local = doc_idx[:span][valid]
+                np.add.at(n_win_doc, docs_local, 1)
+                # vectorized bucket from the hex digests: fixed 32-char
+                # rows -> (n, 32) byte view, first 8 nibbles to an int
+                hh = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+                raw = np.frombuffer(hh.buffers()[2], np.uint8)
+                mat = raw[: 32 * len(hh)].reshape(-1, 32)[:, :8].astype(np.int64)
+                nib = np.where(mat >= 97, mat - 87, mat - 48)
+                hb = (nib @ (16 ** np.arange(7, -1, -1, dtype=np.int64))) % nb
+                parts_kb.append(hb)
+                parts_h.append(h)
+                parts_doc.append(ids[docs_local])
+                parts_mult.append(np.ones(len(hb), np.int64))
+                parts_kind.append(np.zeros(len(hb), np.int8))
+        # per-doc window-count rows (every doc, including zero-window)
+        parts_kb.append((ids % nb).astype(np.int64))
+        parts_h.append(pa.array([""] * len(ids), pa.string()))
+        parts_doc.append(ids)
+        parts_mult.append(n_win_doc)
+        parts_kind.append(np.ones(len(ids), np.int8))
+        return pa.table(
+            {
+                "kb": pa.array(np.concatenate(parts_kb), pa.int64()),
+                "h": pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                     for p in parts_h]
+                ),
+                "doc": pa.array(np.concatenate(parts_doc), pa.int64()),
+                "mult": pa.array(np.concatenate(parts_mult), pa.int64()),
+                "kind": pa.array(np.concatenate(parts_kind), pa.int8()),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        mult = group.column("mult").to_numpy(zero_copy_only=False)
+        is_win = kind == 0
+        out_doc = [doc[~is_win]]
+        out_nw = [mult[~is_win]]
+        out_nd = [np.zeros(int((~is_win).sum()), np.int64)]
+        if is_win.any():
+            h = group.column("h").to_numpy(zero_copy_only=False)[is_win]
+            codes, _uq = pd.factorize(h, sort=False)
+            tot = np.bincount(codes, weights=mult[is_win]).astype(np.int64)
+            dup = tot[codes] >= 2
+            dcodes, duq = pd.factorize(doc[is_win][dup], sort=False)
+            nd = np.zeros(len(duq), np.int64)
+            np.add.at(nd, dcodes, mult[is_win][dup])
+            out_doc.append(duq.astype(np.int64))
+            out_nw.append(np.zeros(len(duq), np.int64))
+            out_nd.append(nd)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_doc), pa.int64()),
+                "n_windows": pa.array(np.concatenate(out_nw), pa.int64()),
+                "n_dup_windows": pa.array(np.concatenate(out_nd), pa.int64()),
+            }
+        )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        nw = batch.column("n_windows").to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch.column("n_dup_windows").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        r = np.divide(nd, nw, out=np.zeros_like(nd), where=nw > 0)
+        return batch.append_column(
+            "dup_window_ratio", pa.array(_round6(r), pa.float64())
+        )
+
+    return (
+        ds.map_batches(win_rows, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("n_dup_windows", alias_name="n_dup_windows"),
+        )
+        .map_batches(ratio, batch_format="pyarrow")
+    )
+
+
+def dup_window_ratio_sql(
+    src: str, window: int = DUPWIN_W, id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`dup_window_ratio` (same tokenizer, the
+    window text built with chained ``lead`` — a window crossing the doc
+    end concatenates NULL and drops — and the SAME md5 key, so even a
+    hypothetical digest collision is mirrored)."""
+    leads = " || ' ' || ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY {id_col} ORDER BY i)"
+        for j in range(1, window)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}')) AS tok,
+           generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}'), 1) AS i
+    FROM {src}
+),
+wins AS (
+    SELECT {id_col}, md5(tok || ' ' || {leads}) AS h FROM toks
+),
+w2 AS (SELECT {id_col}, h FROM wins WHERE h IS NOT NULL),
+hc AS (SELECT h, count(*) AS c FROM w2 GROUP BY h),
+agg AS (
+    SELECT d.{id_col},
+           CAST(count(w.h) AS BIGINT) AS n_windows,
+           CAST(count(CASE WHEN hc.c >= 2 THEN 1 END) AS BIGINT) AS n_dup_windows
+    FROM {src} d
+    LEFT JOIN w2 w USING ({id_col})
+    LEFT JOIN hc ON hc.h = w.h
+    GROUP BY d.{id_col}
+)
+SELECT {id_col}, n_windows, n_dup_windows,
+       CASE WHEN n_windows = 0 THEN 0.0
+            ELSE round(n_dup_windows * 1.0 / n_windows, {QUALITY_ROUND})
+       END AS dup_window_ratio
+FROM agg
+"""

@@ -1113,6 +1113,57 @@ def test_regex_scan_vs_oracle(docs_ds, fduck):
     assert (got["doc_id"].values == exp["doc_id"].values).all()
 
 
+def test_dup_window_ratio_vs_oracle(docs_ds, fduck):
+    from search_engine_ray.functions.text_analysis import (
+        dup_window_ratio,
+        dup_window_ratio_sql,
+    )
+
+    got = (
+        dup_window_ratio(docs_ds).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = (
+        fduck.execute(dup_window_ratio_sql("documents")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("doc_id", "n_windows", "n_dup_windows"):
+        assert (got[c].values == exp[c].values).all(), c
+    assert np.abs(
+        got["dup_window_ratio"].values - exp["dup_window_ratio"].values
+    ).max() <= 2e-6
+    assert (got["n_dup_windows"] > 0).any()  # the synthetic dups register
+
+
+def test_dup_window_ratio_crafted():
+    """Two docs sharing one exact 5-token span are both flagged for
+    exactly that window; intra-doc repetition of a window counts as
+    duplication too; sub-window docs have zero windows."""
+    from search_engine_ray.functions.text_analysis import dup_window_ratio
+
+    shared = "alpha beta gamma delta epsilon"
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": f"{shared} unique0 tail0"},
+            {"doc_id": 1, "text": f"lead1 {shared} unique1"},
+            {"doc_id": 2, "text": "totally different words here now indeed"},
+            {"doc_id": 3, "text": "tiny doc"},
+            # 'x y z w v' appears twice WITHIN one doc
+            {"doc_id": 4, "text": "x y z w v x y z w v"},
+        ]
+    )
+    rows = {r["doc_id"]: r for r in dup_window_ratio(ds).to_pandas().to_dict("records")}
+    assert rows[0]["n_windows"] == 3 and rows[0]["n_dup_windows"] == 1
+    assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_dup_windows"] == 0
+    assert rows[3]["n_windows"] == 0 and rows[3]["dup_window_ratio"] == 0.0
+    # doc 4: 10 tokens -> 6 windows; 'x y z w v' occurs at pos 0 and 5;
+    # windows 1..4 are unique singletons
+    assert rows[4]["n_windows"] == 6 and rows[4]["n_dup_windows"] == 2
+    assert rows[4]["dup_window_ratio"] == round(2 / 6, 6)
+
+
 def test_heavy_hitters_vs_oracle(docs_ds, fduck):
     """Certified two-pass path AND the forced full-groupby fallback both
     equal the exact SQL top-k."""

@@ -108,8 +108,10 @@ document.getElementById('f').onsubmit = async (e)=>{
   if(f.result) facetLine=' — '+(f.data||[]).map(x=>
     `${x.facet}:${x.value||'(none)'} ${x.n_docs}`).join(' · ');
  }
- document.getElementById('count').textContent =
-   r.result ? r.count+' results'+facetLine : 'error: '+r.error;
+ document.getElementById('count').innerHTML =
+   r.result ? r.count+' results'+facetLine+(mode==='bm25'&&r.count>0?
+     ` — <a href="#" onclick="return sig('${q}','${encodeURIComponent(scope)}')">significant terms</a>`:'')
+   : 'error: '+r.error;
  const rows=(r.data||[]).map(d=>
   `<tr><td>${d.conv_id}/${d.turn_idx}</td><td>${d.role}</td>`+
   `<td>${d.score.toFixed(4)}</td><td>${d.snippet||''}</td>`+
@@ -117,6 +119,20 @@ document.getElementById('f').onsubmit = async (e)=>{
  document.getElementById('res').innerHTML =
   rows?'<tr><th>doc</th><th>role</th><th>score</th><th>snippet</th><th></th></tr>'+rows:'';
 };
+async function sig(q, scope){
+ document.getElementById('count').textContent='computing significant terms…';
+ let u=`/api/significant?query=${q}&limit=10`;
+ if(scope) u+=`&site=${scope}`;
+ const r=await (await fetch(u)).json();
+ document.getElementById('count').textContent =
+   r.result ? 'terms overrepresented in '+r.count+' matching docs' : 'error: '+r.error;
+ const rows=(r.data||[]).map(d=>
+  `<tr><td>${d.rank}</td><td>${d.lemma}</td><td>${d.fg_docs}</td>`+
+  `<td>${d.bg_docs}</td><td>${d.score.toFixed(4)}</td></tr>`).join('');
+ document.getElementById('res').innerHTML =
+  rows?'<tr><th>#</th><th>lemma</th><th>fg docs</th><th>bg docs</th><th>JLH</th></tr>'+rows:'';
+ return false;
+}
 async function mlt(conv, turn){
  const r=await (await fetch(`/api/mlt?conv=${encodeURIComponent(conv)}&turn=${turn}&limit=10`)).json();
  document.getElementById('count').textContent =

@@ -13,12 +13,15 @@ controllers/ApiController.java:20-47``):
 
 Mapping: build == GET /api/startIndexing, search == GET /api/search,
 stats == GET /api/statistics, reindex == POST /api/indexPage
-(per-conversation), stop == GET /api/stopIndexing (cooperative cancel:
-writes a flag the running build honors between analyzer batches;
-in-flight partitions mark FAILED and ``build --resume`` picks the build
-up from the last checkpoint), serve == the HTTP/JSON surface
-(``server.py``; GET /api/search, /api/statistics, /api/stopIndexing,
-POST /api/indexPage).
+(per-conversation), delete == POST _delete_by_query (ES parity — the
+reference has only truncate-all; matching turns are tombstoned via a
+delta generation and fold at the next compaction), stop == GET
+/api/stopIndexing (cooperative cancel: writes a flag the running build
+honors between analyzer batches; in-flight partitions mark FAILED and
+``build --resume`` picks the build up from the last checkpoint),
+serve == the HTTP/JSON surface (``server.py``; GET /api/search,
+/api/statistics, /api/stopIndexing, POST /api/indexPage,
+/api/deleteByQuery).
 
 This module (a CLI entry point) OWNS the Ray session; library code never
 calls ray.init.
@@ -94,6 +97,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--conv", nargs="+", required=True)
     r.add_argument("--input", nargs="*", default=None)
+
+    dq = sub.add_parser(
+        "delete", help="delete-by-query (ES _delete_by_query parity): "
+        "tombstone every matching turn via a delta generation; the next "
+        "compaction folds the delete into the base"
+    )
+    dq.add_argument("query")
+    dq.add_argument("--out", required=True)
+    dq.add_argument("--scope", default=None)
+    dq.add_argument("--conjunctive", action="store_true")
 
     c = sub.add_parser(
         "compact", help="fold delta generations into the base index (LSM merge)"
@@ -284,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.delta import reindex_conversations
 
         print(json.dumps(reindex_conversations(a.out, list(a.conv), input_paths=a.input)))
+    elif a.cmd == "delete":
+        from .pipelines.delta import delete_by_query
+
+        print(json.dumps(delete_by_query(
+            a.out, a.query, scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "compact":
         _init_ray()
         from .pipelines.compact import compact

@@ -467,6 +467,18 @@ def sig_queries() -> list[dict]:
     ]
 
 
+def delete_probes() -> list[dict]:
+    """Fixed delete-by-query probes, applied SEQUENTIALLY (the second
+    delete stacks on the first's generations): a mid-frequency unscoped
+    delete, then a scoped one — both deterministic functions of the
+    vocabulary so the SQL oracle can mirror the union-of-matches
+    exclusion over the original corpus."""
+    return [
+        {"query_text": stem(300), "scope": None, "conjunctive": False},
+        {"query_text": stem(2048), "scope": "user", "conjunctive": False},
+    ]
+
+
 def suggest_queries() -> list[dict]:
     """Fixed did-you-mean probes: a one-char deletion of a real lemma,
     an exact hit, a substitution typo, a token far from the whole

@@ -1538,3 +1538,40 @@ SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
 FROM ranked r
 WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
 """
+
+
+def deleted_src_sql(src: str, probes: list[dict]) -> str:
+    """Corpus-minus-deletes relation: ``src`` with every turn matching
+    any delete probe removed — the SQL twin of
+    ``pipelines/delta.delete_by_query``'s matching semantics (analyzed
+    query lemmas, disjunctive containment, optional role scope, and the
+    reference's any-missing-lemma -> that probe deletes nothing rule).
+    Because delete never rewrites text, sequential engine deletes equal
+    one union-of-matches exclusion over the original corpus, so the
+    returned relation feeds any oracle above (e.g. ``bm25_topk_sql``)
+    as its ``src``. The inner WITH re-derives the analyzer CTEs over the
+    ORIGINAL corpus; DuckDB scopes it inside the parenthesized subquery,
+    shadowing the caller's CTEs of the same names."""
+    preds = []
+    for p in probes:
+        lemmas = analyzer.analyze_query(p["query_text"])
+        if not lemmas:
+            continue
+        in_list = ", ".join(f"'{lem}'" for lem in lemmas)
+        scope_pred = (
+            f" AND s.role = '{p['scope']}'" if p.get("scope") else ""
+        )
+        preds.append(
+            "((SELECT count(DISTINCT lemma) FROM __postings "
+            f"WHERE lemma IN ({in_list})) = {len(lemmas)}"
+            " AND EXISTS (SELECT 1 FROM __postings p "
+            "WHERE p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx "
+            f"AND p.lemma IN ({in_list})){scope_pred})"
+        )
+    if not preds:
+        return src
+    cond = " OR ".join(preds)
+    return (
+        f"(WITH {analyzer.postings_ctes_sql(src)} "
+        f"SELECT s.* FROM {src} s WHERE NOT ({cond}))"
+    )

@@ -71,55 +71,52 @@ def list_generations(out_dir: str) -> list[dict]:
     return sorted(out, key=lambda m: m["generation"])
 
 
-def reindex_conversations(
-    out_dir: str,
-    conv_ids: list[str],
-    input_paths: list[str] | None = None,
-) -> dict:
-    """Re-analyze ``conv_ids`` from ``input_paths`` (default: the build's
-    inputs) and append one delta generation. Returns a reference-style
-    response dict: ``{"result": bool, "error": str|None, "generation":
-    int|None}``."""
-    m = load_json(build_mod.build_manifest_path(out_dir))
-    if not m:
-        return {"result": False, "error": "no build manifest", "generation": None}
-    paths = input_paths or m["config"]["input_paths"]
-
-    convs = build_mod._load_sorted_convs(out_dir)
-    convs_np = np.asarray(convs.to_pylist(), dtype=object)
-    ranks = np.searchsorted(convs_np, np.asarray(conv_ids, dtype=object))
-    for cid, r in zip(conv_ids, ranks):
-        if r >= len(convs_np) or convs_np[r] != cid:
-            # reference: out-of-scope page -> {"result": false, error}
-            return {
-                "result": False,
-                "error": f"conversation {cid!r} not in index (full rebuild required)",
-                "generation": None,
-            }
-
-    # old per-conv turn counts + token mass from the docid-sorted doc
-    # store (pruned range read per conv at scale; column read here)
+def _base_old_counts(out_dir: str, ranges: list[tuple[int, int]]) -> tuple[int, int]:
+    """(old_turns, old_len) of the tombstoned ranges vs the immutable
+    base doc store (pruned range read per conv at scale; column read
+    here). Informational lineage — the overlay and compaction both
+    recompute exact stats from base + winning-generation docs."""
     dtab = pq.read_table(build_mod.docs_dir(out_dir), columns=["docid", "doc_len"])
     base_docids = dtab.column("docid").to_numpy()
     base_dl = dtab.column("doc_len").to_numpy()
-    ranges = [(int(r) << TURN_BITS, (int(r) + 1) << TURN_BITS) for r in ranks]
     old_turns = old_len = 0
     for lo, hi in ranges:
         a, b = np.searchsorted(base_docids, lo), np.searchsorted(base_docids, hi)
         old_turns += int(b - a)
         old_len += int(base_dl[a:b].sum())
+    return old_turns, old_len
 
-    # fresh analysis of the slice (filter-pushdown read)
+
+def _analyze_convs(
+    paths: list[str],
+    conv_ids: list[str],
+    rank_of: dict[str, int],
+    keep_docids: np.ndarray | None = None,
+):
+    """Fresh analysis of ``conv_ids`` read from ``paths`` (filter-pushdown
+    read), optionally restricted to ``keep_docids`` (sorted int64 — the
+    delete-by-query survivor set). -> (postings, docs, n_rows, new_len)."""
     src = pads.dataset(paths)
     slice_tbl = src.to_table(
         filter=pads.field("conv_id").isin(conv_ids),
         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    rank_of = {c: int(r) for c, r in zip(conv_ids, ranks)}
     conv_col = slice_tbl.column("conv_id").to_pylist()
     turn_np = slice_tbl.column("turn_idx").to_numpy(zero_copy_only=False)
     rank_arr = np.array([rank_of[c] for c in conv_col], np.int64)
     docid = make_docids(rank_arr, turn_np)
+    if keep_docids is not None:
+        # survivors only: a dropped turn's text stays in the source files
+        # (delete never rewrites inputs) — it is simply not re-emitted
+        pos = np.searchsorted(keep_docids, docid)
+        posc = np.clip(pos, 0, max(len(keep_docids) - 1, 0))
+        keep = (
+            (keep_docids[posc] == docid)
+            if len(keep_docids)
+            else np.zeros(len(docid), bool)
+        )
+        slice_tbl = slice_tbl.filter(pa.array(keep))
+        docid = docid[keep]
 
     got = analyzer.analyze_batch(slice_tbl.column("text"), {})
     post_doc_idx, lemmas, tf, doc_len = got[:4]
@@ -152,7 +149,22 @@ def reindex_conversations(
             "ts": slice_tbl.column("ts"),
         }
     )
+    return postings, docs, int(slice_tbl.num_rows), int(doc_len.sum())
 
+
+def _write_generation(
+    out_dir: str,
+    conv_ids: list[str],
+    ranges: list[tuple[int, int]],
+    postings: pa.Table,
+    docs: pa.Table,
+    paths: list[str],
+    new_turns: int,
+    new_len: int,
+    extra: dict | None = None,
+) -> int:
+    """Append one DONE delta generation atomically (tmp dir + rename)."""
+    old_turns, old_len = _base_old_counts(out_dir, ranges)
     gens = list_generations(out_dir)
     gen = (gens[-1]["generation"] + 1) if gens else 1
     gdir = os.path.join(delta_dir(out_dir), f"gen-{gen:04d}")
@@ -166,17 +178,164 @@ def reindex_conversations(
     manifest = {
         "generation": gen,
         "conv_ids": list(conv_ids),
-        "tombstones": ranges,
+        "tombstones": [list(r) for r in ranges],
         "old_turns": old_turns,
         "old_len": old_len,
-        "new_turns": int(slice_tbl.num_rows),
-        "new_len": int(doc_len.sum()),
+        "new_turns": new_turns,
+        "new_len": new_len,
         "analyzer_version": analyzer.ANALYZER_VERSION,
         "input_paths": list(paths),  # snippet/text source for these convs
         "state": "DONE",
+        **(extra or {}),
     }
     write_json_atomic(os.path.join(tmp, "manifest.json"), manifest)
     if os.path.exists(gdir):
         shutil.rmtree(gdir)
     os.replace(tmp, gdir)
+    return gen
+
+
+def reindex_conversations(
+    out_dir: str,
+    conv_ids: list[str],
+    input_paths: list[str] | None = None,
+) -> dict:
+    """Re-analyze ``conv_ids`` from ``input_paths`` (default: the build's
+    inputs) and append one delta generation. Returns a reference-style
+    response dict: ``{"result": bool, "error": str|None, "generation":
+    int|None}``."""
+    m = load_json(build_mod.build_manifest_path(out_dir))
+    if not m:
+        return {"result": False, "error": "no build manifest", "generation": None}
+    paths = input_paths or m["config"]["input_paths"]
+
+    convs = build_mod._load_sorted_convs(out_dir)
+    convs_np = np.asarray(convs.to_pylist(), dtype=object)
+    ranks = np.searchsorted(convs_np, np.asarray(conv_ids, dtype=object))
+    for cid, r in zip(conv_ids, ranks):
+        if r >= len(convs_np) or convs_np[r] != cid:
+            # reference: out-of-scope page -> {"result": false, error}
+            return {
+                "result": False,
+                "error": f"conversation {cid!r} not in index (full rebuild required)",
+                "generation": None,
+            }
+
+    ranges = [(int(r) << TURN_BITS, (int(r) + 1) << TURN_BITS) for r in ranks]
+    rank_of = {c: int(r) for c, r in zip(conv_ids, ranks)}
+    postings, docs, new_turns, new_len = _analyze_convs(paths, conv_ids, rank_of)
+    gen = _write_generation(
+        out_dir, conv_ids, ranges, postings, docs, paths, new_turns, new_len
+    )
     return {"result": True, "error": None, "generation": gen}
+
+
+def delete_by_query(
+    out_dir: str,
+    query_text: str,
+    scope: str | None = None,
+    conjunctive: bool = False,
+) -> dict:
+    """Delete every turn matching ``query_text`` from the index — the
+    Elasticsearch ``_delete_by_query`` lifecycle operation (the reference
+    has only truncate-all, ``SURVEY.md §2.1 S7``; this is its surgical
+    sibling). No base file is rewritten: each affected conversation gets
+    a delta generation carrying its SURVIVING turns only (re-analyzed
+    from the conversation's current text source), with the standard
+    whole-conv tombstone range masking the stale base rows — so search
+    over base+delete-generation is rank-identical to a full rebuild of
+    the corpus minus the matched turns (tests/test_delete.py), the
+    overlay machinery needs zero changes, and the next compaction folds
+    the delete away like any re-index. Matching semantics are exactly
+    the search engine's matching set (disjunctive by default,
+    ``conjunctive=True`` for AND, optional ``scope``, any missing lemma
+    -> zero matches — the reference's rule), computed on the overlay so
+    deletes stack on prior deltas/deletes.
+
+    At scale the matched-docid set is conversation-bounded per
+    generation (the delete rewrites only affected convs' postings, never
+    the corpus); a corpus-sized delete is a rebuild, and callers should
+    treat it as one.
+
+    -> {"result", "error", "deleted" (turns), "generations": [int, ...]}
+    """
+    from ..search import SearchEngine
+
+    if not load_json(build_mod.build_manifest_path(out_dir)):
+        return {"result": False, "error": "no build manifest",
+                "deleted": 0, "generations": []}
+    eng = SearchEngine(out_dir)
+    if not eng.valid_scope(scope):
+        return {"result": False, "error": "bad_scope", "deleted": 0, "generations": []}
+    terms, err = eng.plan(query_text)
+    if err == "empty_query":
+        return {"result": False, "error": "empty_query", "deleted": 0, "generations": []}
+    if err or not terms:  # missing lemma -> nothing matches (reference rule)
+        return {"result": True, "error": None, "deleted": 0, "generations": []}
+    matched, _sc = eng._matching_set(terms, scope, conjunctive)
+    if matched.size == 0:
+        return {"result": True, "error": None, "deleted": 0, "generations": []}
+    matched = np.sort(matched.astype(np.int64))
+
+    convs_np = np.asarray(build_mod._load_sorted_convs(out_dir).to_pylist(), dtype=object)
+    ranks = np.unique(matched >> TURN_BITS).astype(np.int64)
+    conv_ids = [str(convs_np[int(r)]) for r in ranks]
+    rank_of = {c: int(r) for c, r in zip(conv_ids, ranks)}
+
+    # current live docids per conv: winning generation docs if the conv
+    # was re-indexed/deleted before, else the base doc-store range —
+    # surviving set = live minus matched (prior deletes stay deleted)
+    latest: dict[str, dict] = {}
+    for g in list_generations(out_dir):
+        for cid, rng in zip(g["conv_ids"], g["tombstones"]):
+            latest[cid] = {"range": tuple(rng), "dir": g["_dir"],
+                           "input_paths": g.get("input_paths")}
+    base_ids = pq.read_table(
+        build_mod.docs_dir(out_dir), columns=["docid"]
+    ).column("docid").to_numpy()
+    m = load_json(build_mod.build_manifest_path(out_dir))
+    default_paths = tuple(m["config"]["input_paths"])
+
+    # one generation per distinct text source (a generation's
+    # input_paths is its convs' snippet/text source — mixing sources in
+    # one generation would serve stale text)
+    groups: dict[tuple, list[str]] = {}
+    live_parts: dict[str, np.ndarray] = {}
+    for cid, r in rank_of.items():
+        lo, hi = r << TURN_BITS, (r + 1) << TURN_BITS
+        info = latest.get(cid)
+        if info is not None:
+            ids = pq.read_table(
+                os.path.join(info["dir"], "docs.parquet"), columns=["docid"]
+            ).column("docid").to_numpy()
+            ids = ids[(ids >= lo) & (ids < hi)]
+            key = tuple(info["input_paths"] or default_paths)
+        else:
+            a, b = np.searchsorted(base_ids, lo), np.searchsorted(base_ids, hi)
+            ids = base_ids[a:b]
+            key = default_paths
+        live_parts[cid] = np.sort(ids.astype(np.int64))
+        groups.setdefault(key, []).append(cid)
+
+    deleted = 0
+    gens_out: list[int] = []
+    for key, cids in groups.items():
+        live = np.concatenate([live_parts[c] for c in cids])
+        live.sort()
+        hit = live[np.isin(live, matched)]
+        keep = np.setdiff1d(live, matched, assume_unique=True)
+        deleted += int(hit.size)
+        postings, docs, new_turns, new_len = _analyze_convs(
+            list(key), cids, rank_of, keep_docids=keep
+        )
+        ranges = [(rank_of[c] << TURN_BITS, (rank_of[c] + 1) << TURN_BITS) for c in cids]
+        gens_out.append(
+            _write_generation(
+                out_dir, cids, ranges, postings, docs, list(key),
+                new_turns, new_len,
+                extra={"op": "delete_by_query", "query": query_text,
+                       "scope": scope, "conjunctive": bool(conjunctive),
+                       "deleted_turns": int(hit.size)},
+            )
+        )
+    return {"result": True, "error": None, "deleted": deleted, "generations": gens_out}

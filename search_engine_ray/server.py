@@ -28,6 +28,11 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
   on success so the new generation is visible to the next query.
+- ``POST /api/deleteByQuery?query=...[&site=<scope>][&conjunctive=1]``
+  — delete-by-query (``pipelines/delta.delete_by_query``; the ES
+  ``_delete_by_query`` parity op): every matching turn is tombstoned via
+  a delta generation and the served engine reloads on success; the next
+  compaction folds the delete into the base.
 - ``GET /api/stopIndexing`` — cooperative build cancel: writes the stop
   flag that a running ``build_index`` on the same out_dir honors between
   batches (``IndexationServiceImpl.java:52-63`` semantics; in-flight
@@ -312,6 +317,25 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
 
                 resp = delta_mod.reindex_conversations(out_dir, convs)
                 if resp["result"]:
+                    with lock:  # new generation -> reload overlay state
+                        state["engine"] = SearchEngine(out_dir)
+                self._send(200 if resp["result"] else 400, resp)
+            elif u.path == "/api/deleteByQuery":
+                # ES POST _delete_by_query parity: tombstone every turn
+                # matching the query (delta generation; compaction folds)
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                from .pipelines import delta as delta_mod
+
+                resp = delta_mod.delete_by_query(
+                    out_dir,
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                if resp["result"] and resp["generations"]:
                     with lock:  # new generation -> reload overlay state
                         state["engine"] = SearchEngine(out_dir)
                 self._send(200 if resp["result"] else 400, resp)

@@ -80,3 +80,13 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert d["result"] and d["generation"] == 1
     r2 = _run(["search", datagen.stem(0), "--out", out, "--limit", "3"])
     assert r2["result"]
+
+    # delete-by-query stacks a generation on the reindex and empties the
+    # probe's matching set (ES _delete_by_query parity)
+    probe2 = datagen.stem(40)
+    dcount = _run(["search", probe2, "--out", out, "--limit", "1"])["count"]
+    assert dcount > 0
+    dl = _run(["delete", probe2, "--out", out])
+    assert dl["result"] and dl["deleted"] == dcount and dl["generations"]
+    r3 = _run(["search", probe2, "--out", out, "--limit", "1"])
+    assert r3["result"] and r3["count"] == 0

@@ -170,3 +170,37 @@ def test_facets_endpoint(served):
     assert role_total == got["count"]
     code2, scoped = _get(f"{base}/api/facets?query={hot}&site=user")
     assert code2 == 200 and scoped["count"] <= got["count"]
+
+
+def test_delete_by_query_endpoint(served):
+    """POST /api/deleteByQuery (ES _delete_by_query parity): matching
+    turns disappear from search, the served engine reloads, and an
+    empty/no-match query degrades gracefully. Runs LAST in the module —
+    it tombstones real turns."""
+    base, _ = served
+    probe = datagen.stem(40)
+    _, before = _get(f"{base}/api/search?query={probe}&limit=1")
+    assert before["count"] > 0
+    req = urllib.request.Request(
+        f"{base}/api/deleteByQuery?query={probe}", method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got["result"] and got["deleted"] == before["count"]
+    assert got["generations"]
+    _, after = _get(f"{base}/api/search?query={probe}&limit=1")
+    assert after["count"] == 0
+    # no-match delete: result true, zero generations, engine untouched
+    req = urllib.request.Request(
+        f"{base}/api/deleteByQuery?query=wqxqzq", method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got["result"] and got["deleted"] == 0 and got["generations"] == []
+    # empty query -> 400
+    req = urllib.request.Request(f"{base}/api/deleteByQuery", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -883,6 +883,42 @@ def _ref_query_frame(eng):
     return df
 
 
+def _delete_search(sf_dir: str):
+    """Delete-by-query (the ES ``_delete_by_query`` lifecycle parity,
+    pipelines/delta.delete_by_query), driver checked: after the two
+    deterministic delete probes run sequentially (the second stacks on
+    the first's generations), the reference-query results must be
+    rank-identical to BM25 over the corpus minus the union of matched
+    turns (the oracle excludes them in SQL via the shared analyzer
+    CTEs — oracle.deleted_src_sql)."""
+    import json
+    import shutil
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines import delta as delta_mod
+    from search_engine_ray.search import SearchEngine
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    base_out = _ensure_build(sf_dir)
+    dout = os.path.join(_build_root(), f"{tag}-deleted")
+    marker = os.path.join(dout, "delete_probes_done.json")
+    if not os.path.exists(marker):
+        if os.path.exists(dout):
+            shutil.rmtree(dout)
+        shutil.copytree(base_out, dout)
+        results = []
+        for p in datagen.delete_probes():
+            resp = delta_mod.delete_by_query(
+                dout, p["query_text"], scope=p["scope"],
+                conjunctive=p["conjunctive"],
+            )
+            assert resp["result"], resp
+            results.append(resp)
+        with open(marker, "w") as f:
+            json.dump(results, f)
+    return _ref_query_frame(SearchEngine(dout))
+
+
 def _compact_search(sf_dir: str):
     """Compaction (LSM fold of delta generations into the base,
     pipelines/compact.py), driver checked: reindex one modified
@@ -1358,6 +1394,26 @@ def _text_dsir_weights(sf_dir: str):
     return ta.dsir_weights(_documents_ds(sf_dir))
 
 
+def _text_dsir_resample(sf_dir: str):
+    """Gumbel-top-k importance resampling (the DSIR selection step):
+    deterministic md5-uniform Gumbel noise added to the dsir_logratio,
+    top-k without replacement proportional to exp(weight) — the SQL
+    oracle reproduces the selfsame draw."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.dsir_resample(_documents_ds(sf_dir))
+
+
+def _pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing (training-batch construction):
+    each doc's placement in the packed fixed-length training stream;
+    packing restarts per id-range group (the scale/resume device) so
+    the whole op is one bounded groupby of integer rows."""
+    from search_engine_ray.functions import packing
+
+    return packing.pack_sequences(_documents_ds(sf_dir))
+
+
 def _text_dup_windows(sf_dir: str):
     """Exact cross-document duplicated-window detection (the substring
     dedup signal, Lee et al. 2022): per-doc fraction of W-token windows
@@ -1621,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
+        "delete_search": _delete_search,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -1643,6 +1700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
+        "text_dsir_resample": _text_dsir_resample,
+        "pack_sequences": _pack_sequences,
         "text_collocations": _text_collocations,
         "text_heavy_hitters": _text_heavy_hitters,
         "text_dup_windows": _text_dup_windows,
@@ -1685,6 +1744,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import joins as joins_mod
+    from search_engine_ray.functions import packing as packing_mod
     from search_engine_ray.functions import percolate as percolate_mod
     from search_engine_ray.functions import relational as relational_mod
     from search_engine_ray.functions import windows as windows_mod
@@ -1799,6 +1859,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # compaction folds the generation away; results must stay
         # rank-identical to BM25 over the same modified corpus
         "compact_search": lambda: oracle.bm25_topk_sql(_mod_src(), qs),
+        # delete-by-query: BM25 over the corpus minus the union of turns
+        # matched by the deterministic delete probes (same analyzer CTEs)
+        "delete_search": lambda: oracle.bm25_topk_sql(
+            oracle.deleted_src_sql(_corpus_src(), datagen.delete_probes()), qs
+        ),
         # training-data operators over the driver's pre-registered views.
         # Rows-only (no oracle entry): knn_ivf and dedup_embedding_ivf
         # are approximate by design (recall vs their exact oracle-checked
@@ -1847,6 +1912,8 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
+        "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),
+        "pack_sequences": lambda: packing_mod.pack_sequences_sql("documents"),
         "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
         "text_heavy_hitters": lambda: ta_mod.heavy_hitters_sql("documents"),
         "text_dup_windows": lambda: ta_mod.dup_window_ratio_sql("documents"),

@@ -1441,6 +1441,109 @@ FROM {src} d LEFT JOIN agg a ON a.did = d.{id_col}
 """
 
 
+DSIR_RESAMPLE_K = 100
+DSIR_RESAMPLE_SEED = 77
+
+
+def dsir_resample(
+    ds,
+    k: int = DSIR_RESAMPLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = DSIR_RESAMPLE_SEED,
+    **dsir_kwargs,
+) -> "pa.Table":
+    """Gumbel-top-k importance resampling — the SELECTION step of DSIR
+    (Xie et al. 2023): drawing k docs without replacement with
+    probability proportional to ``exp(log_w)`` is exactly taking the
+    top k of ``log_w + Gumbel noise`` (the Gumbel-top-k trick, Vieira
+    2014). The noise is DETERMINISTIC — ``u(doc) = (md5_60bit("{seed}:
+    {id}") + 0.5) / 16^15`` and ``g = -ln(-ln(u))`` — so the draw is
+    reproducible across runs, partitionings, cluster sizes and engines
+    (sampling.py's md5-threshold device, graduated from Bernoulli
+    membership to a full priority draw), and the DuckDB oracle
+    reproduces the SELFSAME sample. ``log_w`` is the per-doc
+    ``dsir_logratio`` (round6 on both sides).
+
+    Shape: :func:`dsir_weights`' one counting pass + one scoring map,
+    then a per-block partial top-k keyed on the noisy priority — only k
+    rows per block reach the driver merge, nothing corpus-sized
+    anywhere. Ties (key DESC, id ASC).
+
+    -> pa.Table(rank, <id_col>, dsir_logratio, resample_key)."""
+    from .sampling import _HEX_DIGITS, _digests
+
+    space = float(16 ** _HEX_DIGITS)  # 2^60, exactly representable
+    scored = dsir_weights(ds, id_col=id_col, text_col=text_col, **dsir_kwargs)
+
+    def keyed_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lw = batch.column("dsir_logratio").to_numpy(zero_copy_only=False)
+        hexes = _digests(seed, ids.tolist()).to_pylist()
+        v = np.array([int(h, 16) for h in hexes], np.uint64).astype(np.float64)
+        u = (v + 0.5) / space
+        key = lw + (-np.log(-np.log(u)))
+        order = np.lexsort((ids, -key))[: int(k)]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "dsir_logratio": pa.array(lw[order], pa.float64()),
+                "resample_key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    parts = scored.map_batches(keyed_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["resample_key", id_col], ascending=[False, True]
+    ).head(int(k))
+    n = len(parts)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), pa.int32()),
+            id_col: pa.array(parts[id_col].to_numpy().astype(np.int64), pa.int64()),
+            "dsir_logratio": pa.array(
+                parts["dsir_logratio"].to_numpy(), pa.float64()
+            ),
+            "resample_key": pa.array(
+                _round6(parts["resample_key"].to_numpy()), pa.float64()
+            ),
+        }
+    )
+
+
+def dsir_resample_sql(
+    src: str,
+    k: int = DSIR_RESAMPLE_K,
+    id_col: str = "doc_id",
+    seed: int = DSIR_RESAMPLE_SEED,
+    **dsir_kwargs,
+) -> str:
+    """DuckDB oracle for :func:`dsir_resample`: the dsir_weights oracle
+    as a CTE, the SAME md5-uniform -> Gumbel transform, the same
+    (key DESC, id ASC) top-k."""
+    from .sampling import _HEX_DIGITS
+
+    space = int(16 ** _HEX_DIGITS)
+    w = dsir_weights_sql(src, id_col=id_col, **dsir_kwargs)
+    return f"""
+WITH w AS ({w}),
+keyed AS (
+    SELECT {id_col}, dsir_logratio,
+           dsir_logratio + (-ln(-ln(
+               (('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)),
+                 1, {_HEX_DIGITS}))::UBIGINT + 0.5) / {space}.0
+           ))) AS key
+    FROM w
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY key DESC, {id_col}) AS rank FROM keyed
+)
+SELECT CAST(rank AS INT) AS rank, {id_col}, dsir_logratio,
+       round(key, 6) AS resample_key
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # PMI collocations (corpus-level bigram association mining)
 # ---------------------------------------------------------------------------

@@ -1026,6 +1026,75 @@ def test_dsir_weights_vs_oracle(docs_ds, fduck):
     assert np.abs(got["dsir_logratio"].values - exp["dsir_logratio"].values).max() <= 2e-6
 
 
+def test_dsir_resample_vs_oracle_and_block_invariance(docs_ds, fduck):
+    """The Gumbel-top-k draw is a deterministic function of (weights,
+    ids): identical to the SQL oracle's draw (same md5-uniform noise),
+    and invariant to block structure (the per-block partial top-k merge
+    loses nothing)."""
+    from search_engine_ray.functions.text_analysis import (
+        dsir_resample,
+        dsir_resample_sql,
+    )
+
+    got = dsir_resample(docs_ds, k=25).to_pandas()
+    exp = fduck.execute(dsir_resample_sql("documents", k=25)).df()
+    assert len(got) == len(exp) == 25
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert (got["rank"].values == exp["rank"].values).all()
+    assert np.abs(got["resample_key"].values - exp["resample_key"].values).max() <= 2e-6
+    assert len(set(got["doc_id"])) == 25  # without replacement
+    rep = dsir_resample(docs_ds.repartition(7), k=25).to_pandas()
+    assert (rep["doc_id"].values == got["doc_id"].values).all()
+
+
+def test_pack_sequences_semantics_and_oracle(docs_ds, fduck):
+    """Concat-and-chunk packing: crafted boundary cases (doc spanning a
+    sequence boundary, empty doc at a boundary, group restart) plus the
+    exact SQL oracle over the documents table, invariant to block
+    structure."""
+    from search_engine_ray.functions.packing import (
+        pack_sequences,
+        pack_sequences_sql,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d"},        # 4 toks: seq 0 [0,4)
+        {"doc_id": 1, "text": "e f g"},          # start 4, spans seq 0->1
+        {"doc_id": 2, "text": ""},               # empty: sits at offset 7
+        {"doc_id": 3, "text": "h i j k l"},      # start 7, spans 1->2
+        {"doc_id": 10, "text": "m n"},           # NEW group (group_size 10)
+    ]
+    got = {r["doc_id"]: r for r in _table(
+        pack_sequences(rd.from_items(rows), max_len=5, group_size=10)
+    ).to_pylist()}
+    assert got[0] == {"doc_id": 0, "n_tokens": 4, "pack_group": 0,
+                      "start_offset": 0, "first_seq": 0, "last_seq": 0}
+    assert got[1]["start_offset"] == 4 and (got[1]["first_seq"], got[1]["last_seq"]) == (0, 1)
+    assert got[2]["n_tokens"] == 0 and got[2]["first_seq"] == got[2]["last_seq"] == 1
+    assert (got[3]["first_seq"], got[3]["last_seq"]) == (1, 2)
+    assert got[10]["pack_group"] == 1 and got[10]["start_offset"] == 0
+
+    a = (_table(pack_sequences(docs_ds)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (fduck.execute(pack_sequences_sql("documents")).df()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert len(a) == len(b)
+    for col in ("doc_id", "n_tokens", "pack_group", "start_offset",
+                "first_seq", "last_seq"):
+        assert (a[col].values == b[col].values).all(), col
+    c = (_table(pack_sequences(docs_ds.repartition(7))).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert (c["start_offset"].values == a["start_offset"].values).all()
+
+    import pytest as _pytest
+
+    # Ray wraps the worker-side ValueError in RayTaskError
+    with _pytest.raises(Exception, match="non-negative"):
+        _table(pack_sequences(rd.from_items([{"doc_id": -1, "text": "x"}])))
+    with _pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs_ds, max_len=0)
+
+
 def test_dsir_weights_semantics():
     """Feature count = 2T-1 (uni+bi), empty/null docs 0, and docs made
     of target-dominant tokens outrank raw-dominant ones (the resampling

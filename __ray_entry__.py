@@ -1404,6 +1404,26 @@ def _text_dsir_resample(sf_dir: str):
     return ta.dsir_resample(_documents_ds(sf_dir))
 
 
+def _text_distinct_tokens(sf_dir: str):
+    """Exact corpus-distinct word-token count (the ES cardinality
+    aggregation at precision=exact): one pre-aggregated vocabulary
+    groupby, distributed group count — nothing vocab-sized on the
+    driver. hll_registers/hll_estimate is the constant-memory sibling."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.distinct_tokens(_documents_ds(sf_dir))
+
+
+def _text_distinct_hll(sf_dir: str):
+    """HyperLogLog register table (Flajolet et al. 2007) — the sketch
+    STATE is deterministic (md5) and exact-checkable against SQL even
+    though the estimate it yields is approximate; one parameter-bounded
+    groupby, nothing vocabulary-sized shuffles."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.hll_registers(_documents_ds(sf_dir))
+
+
 def _pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (training-batch construction):
     each doc's placement in the packed fixed-length training stream;
@@ -1702,6 +1722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_resample": _text_dsir_resample,
         "pack_sequences": _pack_sequences,
+        "text_distinct_tokens": _text_distinct_tokens,
+        "text_distinct_hll": _text_distinct_hll,
         "text_collocations": _text_collocations,
         "text_heavy_hitters": _text_heavy_hitters,
         "text_dup_windows": _text_dup_windows,
@@ -1914,6 +1936,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),
         "pack_sequences": lambda: packing_mod.pack_sequences_sql("documents"),
+        "text_distinct_tokens": lambda: ta_mod.distinct_tokens_sql("documents"),
+        # the HLL register TABLE is deterministic and exact-checkable
+        # even though the estimate it yields is approximate
+        "text_distinct_hll": lambda: ta_mod.hll_registers_sql("documents"),
         "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
         "text_heavy_hitters": lambda: ta_mod.heavy_hitters_sql("documents"),
         "text_dup_windows": lambda: ta_mod.dup_window_ratio_sql("documents"),

@@ -360,6 +360,169 @@ FROM g GROUP BY ngram HAVING count(*) >= {min_count}
 
 
 # ---------------------------------------------------------------------------
+# Cardinality: exact distinct-token count + HyperLogLog scale sibling
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers: sigma = 1.04/sqrt(2^p) ~ 1.6% relative error
+
+# per-worker-process token -> md5-64bit memo (the fingerprint pattern)
+_HLL_TOKEN_MEMO: dict[str, int] = {}
+
+
+def distinct_tokens(ds, text_col: str = "text") -> pa.Table:
+    """EXACT corpus-distinct word-token count (the ES ``cardinality``
+    aggregation at precision = exact): in-map block-deduped partial
+    counts feed one groupby(token) — the same pre-aggregated exchange
+    :func:`ngram_counts` uses, the honest cost of exactness (the
+    vocabulary shuffles once) — and the group COUNT is taken
+    distributed (``Dataset.count`` over the grouped rows); nothing
+    vocabulary-sized returns to the driver. -> 1-row
+    pa.Table(n_distinct). :func:`hll_distinct_tokens` is the
+    constant-memory approximate sibling for when the vocabulary itself
+    is too large to shuffle."""
+    n = ngram_counts(ds, n=1, min_count=1, text_col=text_col).count()
+    return pa.table({"n_distinct": pa.array([int(n)], pa.int64())})
+
+
+def distinct_tokens_sql(src: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+)
+SELECT CAST(count(DISTINCT t[i]) AS BIGINT) AS n_distinct
+FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+"""
+
+
+def _hll_hash(tokens: list[str]) -> np.ndarray:
+    """md5-64bit per token, memoized per worker process (block-unique
+    inputs, so the loop is vocabulary- not occurrence-sized)."""
+    memo = _HLL_TOKEN_MEMO
+    out = np.empty(len(tokens), np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            if len(memo) < 4_000_000:  # bound worker memory
+                memo[t] = h
+        out[i] = h
+    return out
+
+
+def hll_registers(ds, p: int = HLL_P, text_col: str = "text"):
+    """HyperLogLog register table over the corpus word tokens (Flajolet
+    et al. 2007) — the constant-memory distinct-count sketch every
+    analytics engine ships (ES ``cardinality``, Redis PFCOUNT): register
+    ``b`` holds the max over tokens hashing to bucket ``b`` of
+    (1 + leading-zero count of the remaining 64-p hash bits).
+
+    DETERMINISTIC (md5-based, no RNG): the same corpus yields the same
+    registers at any parallelism, and the DuckDB oracle reproduces the
+    register table EXACTLY — an approximate sketch whose sketch state is
+    exact-checkable. Shape: each block emits its nonzero (bucket, rank)
+    partials from block-unique tokens; ONE groupby(bucket) max folds
+    them (<= 2^p rows, parameter-bounded like the DSIR histogram);
+    nothing vocabulary-sized shuffles — that is the point vs
+    :func:`distinct_tokens`. -> Dataset of (bucket, register), nonzero
+    registers only, bucket-ascending after sort."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    wbits = 64 - p
+    wmask = np.uint64((1 << wbits) - 1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from .dedup import _flat_word_tokens
+
+        _doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        toks = pc.unique(flat).to_pylist()
+        if not toks:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "register": pa.array([], pa.int64())}
+            )
+        h = _hll_hash(toks)
+        idx = (h >> np.uint64(wbits)).astype(np.int64)
+        w = h & wmask
+        # rank = leading zeros of the wbits-wide remainder + 1
+        #      = wbits - bit_length(w) + 1   (w == 0 -> wbits + 1)
+        bl = np.zeros(len(w), np.int64)
+        nz = w > 0
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        # float log2 can round UP at 2^k - 1 boundaries (bl would then
+        # overshoot bit_length by 1): exact check 2^(bl-1) <= w
+        shift = np.maximum(bl - 1, 0).astype(np.uint64)
+        too_big = nz & (bl > 0) & ((np.uint64(1) << shift) > w)
+        bl[too_big] -= 1
+        rank = wbits - bl + 1
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, idx, rank)
+        nzb = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nzb.astype(np.int64), pa.int64()),
+                "register": pa.array(regs[nzb], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("register", alias_name="register"))
+        .sort("bucket")
+    )
+
+
+def hll_registers_sql(src: str, p: int = HLL_P) -> str:
+    """DuckDB oracle for :func:`hll_registers` — same md5-64bit hash,
+    same bucket/rank split; ``length(bin(w)) == bit_length(w)`` exactly
+    (integer, no float log), nonzero registers only."""
+    wbits = 64 - p
+    wspace = 1 << wbits
+    return f"""
+WITH toks AS (
+    SELECT regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}') AS t
+    FROM {src}
+),
+tok AS (
+    SELECT DISTINCT t[i] AS tok
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+),
+h AS (
+    SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok
+),
+ranked AS (
+    SELECT CAST(h // {wspace} AS BIGINT) AS bucket,
+           CAST({wbits} - CASE WHEN h % {wspace} = 0 THEN 0
+                ELSE length(bin(h % {wspace})) END + 1 AS BIGINT) AS rank
+    FROM h
+)
+SELECT bucket, CAST(max(rank) AS BIGINT) AS register
+FROM ranked GROUP BY bucket ORDER BY bucket
+"""
+
+
+def hll_estimate(registers: pa.Table, p: int = HLL_P) -> float:
+    """Standard HLL estimator over a (bucket, register) table (nonzero
+    rows): alpha_m bias correction + small-range linear counting (the
+    64-bit hash makes large-range correction unnecessary below ~2^57
+    distinct). Driver-side scalar math over <= 2^p rows."""
+    m = 1 << p
+    regs = np.zeros(m, np.float64)
+    if registers.num_rows:
+        regs[registers.column("bucket").to_numpy()] = (
+            registers.column("register").to_numpy().astype(np.float64)
+        )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
 # Per-doc TF-IDF top-k keywords
 # ---------------------------------------------------------------------------
 

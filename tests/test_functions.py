@@ -1095,6 +1095,70 @@ def test_pack_sequences_semantics_and_oracle(docs_ds, fduck):
         pack_sequences(docs_ds, max_len=0)
 
 
+def test_distinct_tokens_and_hll(docs_ds, fduck):
+    """Exact distinct == COUNT(DISTINCT); HLL registers == the SQL
+    register table bit-for-bit; the estimate lands within the 3-sigma
+    HLL band of the exact count; registers invariant to block layout."""
+    from search_engine_ray.functions.text_analysis import (
+        HLL_P,
+        distinct_tokens,
+        distinct_tokens_sql,
+        hll_estimate,
+        hll_registers,
+        hll_registers_sql,
+    )
+
+    exact = distinct_tokens(docs_ds).column("n_distinct")[0].as_py()
+    sql_exact = fduck.execute(distinct_tokens_sql("documents")).df()
+    assert exact == int(sql_exact["n_distinct"][0]) > 0
+
+    regs = _table(hll_registers(docs_ds))
+    sql_regs = fduck.execute(hll_registers_sql("documents")).df()
+    got = regs.to_pandas()
+    assert (got["bucket"].values == sql_regs["bucket"].values).all()
+    assert (got["register"].values == sql_regs["register"].values).all()
+    rep = _table(hll_registers(docs_ds.repartition(7))).to_pandas()
+    assert (rep["register"].values == got["register"].values).all()
+
+    est = hll_estimate(regs)
+    sigma = 1.04 / np.sqrt(1 << HLL_P)
+    assert abs(est - exact) <= max(3 * sigma * exact, 2.0)
+
+
+def test_hll_high_cardinality_regime():
+    """20k distinct synthetic tokens — well past linear counting — stay
+    inside the 3-sigma band, and the register table equals a pure-python
+    bit_length reference (pins the float-log2 boundary correction)."""
+    import hashlib as _hl
+
+    from search_engine_ray.functions.text_analysis import (
+        HLL_P,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 20_000
+    rows = [
+        {"doc_id": i, "text": " ".join(f"tok{i}x{j}" for j in range(20))}
+        for i in range(n // 20)
+    ]
+    ds = rd.from_items(rows)
+    regs = _table(hll_registers(ds))
+    # pure-python reference registers
+    m, wbits = 1 << HLL_P, 64 - HLL_P
+    ref = [0] * m
+    for i in range(n // 20):
+        for j in range(20):
+            h = int(_hl.md5(f"tok{i}x{j}".encode()).hexdigest()[:16], 16)
+            b, w = h >> wbits, h & ((1 << wbits) - 1)
+            ref[b] = max(ref[b], wbits - w.bit_length() + 1)
+    got = {r["bucket"]: r["register"] for r in regs.to_pylist()}
+    assert got == {b: r for b, r in enumerate(ref) if r}
+    est = hll_estimate(regs)
+    sigma = 1.04 / np.sqrt(m)
+    assert abs(est - n) <= 3 * sigma * n
+
+
 def test_dsir_weights_semantics():
     """Feature count = 2T-1 (uni+bi), empty/null docs 0, and docs made
     of target-dominant tokens outrank raw-dominant ones (the resampling

@@ -798,6 +798,33 @@ def _search_facets(sf_dir: str):
     return df
 
 
+def _search_metrics(sf_dir: str):
+    """Stats + exact nearest-rank percentiles over the matching set (the
+    ES stats / percentiles aggregations on a query): per sig-probe
+    query, (n_docs, min, max, sum, avg, p50/p90/p99) of doc_len and
+    epoch-µs ts — integer percentile math mirrored exactly in SQL."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.sig_queries():
+        r = eng.metrics(q["query_text"], scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": q["query_id"], **row})
+    cols = ["query_id", "field", "n_docs", "v_min", "v_max",
+            "v_avg", "p50", "p90", "p99"]
+    df = pd.DataFrame(rows, columns=cols)
+    for c in cols[2:]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _search_facets_day(sf_dir: str):
     """Date-histogram facet: per reference query, matching-doc counts
     per UTC calendar day over the FULL matching set (the Elasticsearch
@@ -1674,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cursor": _search_cursor,
         "search_mlt": _search_mlt,
         "search_facets": _search_facets,
+        "search_metrics": _search_metrics,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
         "search_exclude": _search_exclude,
@@ -1802,6 +1830,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
+        "search_metrics": lambda: oracle.metrics_sql(
+            _corpus_src(), datagen.sig_queries()
+        ),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
         "search_sig_terms": lambda: oracle.significant_terms_sql(
             _corpus_src(), datagen.sig_queries()

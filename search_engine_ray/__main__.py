@@ -133,6 +133,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-joined facet groupings: role, tool, day "
                          "(day = per-UTC-calendar-day date histogram)")
 
+    mt = sub.add_parser(
+        "metrics", help="stats + exact nearest-rank percentiles of "
+        "doc_len / ts over the query's FULL matching set "
+        "(ES stats/percentiles aggregations)"
+    )
+    mt.add_argument("query")
+    mt.add_argument("--out", required=True)
+    mt.add_argument("--scope", default=None)
+    mt.add_argument("--conjunctive", action="store_true")
+    mt.add_argument("--exclude", default=None)
+    mt.add_argument("--ts-min", default=None)
+    mt.add_argument("--ts-max", default=None)
+    mt.add_argument("--fields", default="doc_len,ts")
+
     sq = sub.add_parser(
         "sigterms", help="significant-terms aggregation: lemmas most "
         "overrepresented in the query's matching set vs the corpus "
@@ -240,6 +254,25 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).facets(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max, by=a.by,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "metrics":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).metrics(
+            a.query, scope=a.scope, conjunctive=a.conjunctive,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+            fields=a.fields,
         )
         print(
             json.dumps(

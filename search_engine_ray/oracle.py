@@ -1575,3 +1575,71 @@ def deleted_src_sql(src: str, probes: list[dict]) -> str:
         f"(WITH {analyzer.postings_ctes_sql(src)} "
         f"SELECT s.* FROM {src} s WHERE NOT ({cond}))"
     )
+
+
+def metrics_sql(src: str, queries: list[dict],
+                percentiles: tuple = (50, 90, 99)) -> str:
+    """Stats + exact nearest-rank percentiles over the matching set
+    (oracle for ``SearchEngine.metrics``): same matching semantics as
+    :func:`facets_sql`, fields doc_len (count of __lem per doc) and ts
+    (epoch-µs); percentile = value at 1-based rank ``(q*n + 99) // 100``
+    of the ascending values and v_avg = floor(exact_sum / n) via a
+    HUGEINT sum (epoch-µs sums overflow int64) — all integer math,
+    identical to the engine."""
+    qmeta, qlem = _queries_values(queries)
+    pct_cases = ", ".join(
+        f"CAST(max(CASE WHEN rn = ({q} * n + 99) // 100 THEN v END) AS BIGINT) AS p{q}"
+        for q in percentiles
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           epoch_us(ts) AS ts_us
+    FROM {src}
+),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+vals AS (
+    SELECT m.query_id, 'doc_len' AS field, CAST(d.dl AS BIGINT) AS v
+    FROM matched m JOIN doclen d
+      ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+    UNION ALL
+    SELECT m.query_id, 'ts' AS field, CAST(r.ts_us AS BIGINT) AS v
+    FROM matched m JOIN meta r
+      ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id, field ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY query_id, field) AS n
+    FROM vals
+)
+SELECT query_id, field,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(v) AS BIGINT) AS v_min,
+       CAST(max(v) AS BIGINT) AS v_max,
+       CAST(sum(CAST(v AS HUGEINT)) // count(*) AS BIGINT) AS v_avg,
+       {pct_cases}
+FROM ranked GROUP BY query_id, field
+"""

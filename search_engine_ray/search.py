@@ -1277,6 +1277,109 @@ class SearchEngine:
         pos = np.searchsorted(docids, ids)
         return ts[pos]
 
+    def _dl_of_ids(self, ids: np.ndarray) -> np.ndarray:
+        """doc_len per (live) docid — the doc_len twin of
+        :meth:`_ts_of_ids`: a row-group-pruned (docid, doc_len) column
+        read bounded by the matched docid range; under a delta overlay
+        the read folds tombstones and splices the delta doc rows (delta
+        volume is reindexed-conv-sized)."""
+        if not len(ids):
+            return np.empty(0, np.int64)
+        lo, hi = int(ids.min()), int(ids.max())
+        t = pq.read_table(
+            build_mod.docs_dir(self.out_dir),
+            columns=["docid", "doc_len"],
+            filters=[("docid", ">=", lo), ("docid", "<=", hi)],
+        )
+        docids = t.column("docid").to_numpy()
+        dl = t.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+        if self._has_deltas:
+            keep = self._tomb_keep_mask(docids)
+            dd = self._delta_docs
+            docids = np.concatenate([docids[keep], dd["docid"]])
+            dl = np.concatenate([dl[keep], dd["dl"]])
+            order = np.argsort(docids, kind="stable")
+            docids, dl = docids[order], dl[order]
+        pos = np.searchsorted(docids, ids)
+        return dl[pos]
+
+    def metrics(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+        fields=("doc_len", "ts"),
+        percentiles=(50, 90, 99),
+    ) -> dict:
+        """Stats + exact percentiles aggregation over the FULL matching
+        set (the Elasticsearch ``stats`` / ``percentiles`` aggregations
+        on a query): per field, (n_docs, min, max, avg, p50, p90, p99)
+        of the matching docs' values. Fields: ``doc_len`` (indexed
+        token count) and ``ts`` (epoch-µs). All outputs are EXACT
+        integers: percentile = nearest-rank, the value at 1-based rank
+        ``(q*n + 99) // 100`` of the ascending values, and ``v_avg`` is
+        the floor mean over the EXACT big-integer sum (epoch-µs sums
+        overflow int64 — the engine accumulates chunked Python ints,
+        the oracle sums HUGEINT; a float mean would instead inherit
+        engine-specific summation-order rounding). ES defaults to
+        t-digest approximation for percentiles; exactness is cheap here
+        because the values ride the same matching-set-sized driver
+        frame ``facets`` already uses — at corpus-sized standing
+        aggregations swap in a fixed-width histogram sketch, the same
+        note as the HLL cardinality sibling. Composes with all the
+        filtering surfaces.
+
+        -> {'result', 'count', 'data': pa.Table(field, n_docs, v_min,
+        v_max, v_avg, p50, p90, p99), 'error'}"""
+        if isinstance(fields, str):
+            fields = tuple(v.strip() for v in fields.split(",") if v.strip())
+        fields = tuple(fields)
+        empty = METRICS_SCHEMA.empty_table()
+        if not fields or not set(fields) <= {"doc_len", "ts"}:
+            return {**self._resp(error="bad_field"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, codes = self._matching_set(terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        rows = []
+        for field in fields:
+            v = np.sort(
+                self._dl_of_ids(uniq) if field == "doc_len" else self._ts_of_ids(uniq)
+            )
+            n = len(v)
+            # exact big-int sum: chunked int64 partials of (v - v_min)
+            # (each chunk bounded well below 2^63), Python-int total
+            base = int(v[0])
+            total = base * n + sum(
+                int((v[i: i + 10_000] - base).sum())
+                for i in range(0, n, 10_000)
+            )
+            pcts = [int(v[(int(q) * n + 99) // 100 - 1]) for q in percentiles]
+            rows.append((field, n, base, int(v[-1]), total // n, *pcts))
+        rows.sort()
+        tbl = pa.table(
+            {
+                "field": pa.array([r[0] for r in rows], pa.string()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "v_min": pa.array([r[2] for r in rows], pa.int64()),
+                "v_max": pa.array([r[3] for r in rows], pa.int64()),
+                "v_avg": pa.array([r[4] for r in rows], pa.int64()),
+                "p50": pa.array([r[5] for r in rows], pa.int64()),
+                "p90": pa.array([r[6] for r in rows], pa.int64()),
+                "p99": pa.array([r[7] for r in rows], pa.int64()),
+            }
+        )
+        return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -2855,6 +2958,19 @@ class SearchEngine:
 
 FACETS_SCHEMA = pa.schema(
     [("facet", pa.string()), ("value", pa.string()), ("n_docs", pa.int64())]
+)
+
+METRICS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("n_docs", pa.int64()),
+        ("v_min", pa.int64()),
+        ("v_max", pa.int64()),
+        ("v_avg", pa.int64()),
+        ("p50", pa.int64()),
+        ("p90", pa.int64()),
+        ("p99", pa.int64()),
+    ]
 )
 
 SIG_TERMS_SCHEMA = pa.schema(

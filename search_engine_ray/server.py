@@ -18,6 +18,11 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   — ``SearchEngine.facets``: per-role/per-tool matching-doc counts over
   the FULL result set (faceted navigation); ``by=day`` adds the
   per-UTC-calendar-day date histogram.
+- ``GET /api/metrics?query=...[&site=<scope>][&conjunctive=1]
+  [&exclude=...][&ts_min=&ts_max=][&fields=doc_len,ts]`` —
+  ``SearchEngine.metrics``: stats + exact nearest-rank percentiles of
+  doc_len / epoch-µs ts over the query's FULL matching set (the ES
+  ``stats`` / ``percentiles`` aggregations on a query).
 - ``GET /api/significant?query=...[&site=<scope>][&conjunctive=1]
   [&exclude=...][&ts_min=&ts_max=][&limit=K]`` —
   ``SearchEngine.significant_terms``: lemmas most overrepresented in the
@@ -263,6 +268,29 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
                     by=(q.get("by") or ["role,tool"])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/metrics":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].metrics(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
+                    fields=(q.get("fields") or ["doc_len,ts"])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -70,6 +70,13 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--synonyms", f"wqxqzq={datagen.stem(0)}"])
     assert sy["result"] and sy["count"] == r["count"]
 
+    mx = _run(["metrics", datagen.stem(0), "--out", out])
+    assert mx["result"] and mx["count"] == r["count"]
+    assert {x["field"] for x in mx["data"]} == {"doc_len", "ts"}
+    dl = next(x for x in mx["data"] if x["field"] == "doc_len")
+    assert dl["v_min"] <= dl["p50"] <= dl["p90"] <= dl["p99"] <= dl["v_max"]
+    assert dl["n_docs"] == mx["count"]
+
     sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
     assert sg["result"] and sg["count"] == r["count"]
     assert sg["data"] and len(sg["data"]) <= 5

@@ -234,6 +234,26 @@ def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_metrics_identical_to_rebuild(delta_env):
+    """The stats/percentiles aggregation folds through the overlay
+    exactly: _dl_of_ids splices delta doc rows over tombstone-masked
+    base rows, _ts_of_ids rides the overlay forward index — pinned
+    identical to a fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.reference_queries():
+        ra = overlay.metrics(q["query_text"], scope=q["scope"])
+        rb = rebuilt.metrics(q["query_text"], scope=q["scope"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+    # error paths
+    assert overlay.metrics(datagen.stem(0), fields=("nope",))["error"] == "bad_field"
+    assert overlay.metrics("", )["error"] == "empty_query"
+    r = overlay.metrics("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
+
+
 def test_delta_sig_terms_requires_compaction(delta_env):
     """significant_terms scans the index SEGMENTS, which a delta overlay
     does not reflect — the honest contract is an explicit

@@ -172,6 +172,18 @@ def test_facets_endpoint(served):
     assert code2 == 200 and scoped["count"] <= got["count"]
 
 
+def test_metrics_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/metrics?query={hot}")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert {x["field"] for x in got["data"]} == {"doc_len", "ts"}
+    row = next(x for x in got["data"] if x["field"] == "ts")
+    assert row["v_min"] <= row["p50"] <= row["p99"] <= row["v_max"]
+    code, fc = _get(f"{base}/api/facets?query={hot}")
+    assert got["count"] == fc["count"]
+
+
 def test_delete_by_query_endpoint(served):
     """POST /api/deleteByQuery (ES _delete_by_query parity): matching
     turns disappear from search, the served engine reloads, and an

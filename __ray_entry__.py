@@ -1219,6 +1219,25 @@ def _knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(_embeddings_ds(sf_dir))
 
 
+def _embed_quantize(sf_dir: str):
+    """Scalar (int8-range) quantization codes for the embedding column
+    (FAISS SQ8 / Lucene scalar-quantizer parity): deterministic affine
+    per-dimension map, exact integer oracle on the long code frame."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.quantize_embeddings(_embeddings_ds(sf_dir))
+
+
+def _knn_quantized(sf_dir: str):
+    """Brute-force cosine top-k over the dequantized int8 codes — the
+    compressed-memory sibling of knn_bruteforce (approximate by
+    construction; recall vs the exact float path pinned by pytest,
+    codes exactness driver-gated via embed_quantize)."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_quantized(_embeddings_ds(sf_dir))
+
+
 def _knn_ivf(sf_dir: str):
     from search_engine_ray.functions import similarity
 
@@ -1735,6 +1754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
+        "embed_quantize": _embed_quantize,
+        "knn_quantized": _knn_quantized,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
         "knn_filtered": _knn_filtered,
@@ -1939,6 +1960,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "dedup_embedding": lambda: dedup_mod.embedding_dup_sql("embeddings"),
         "knn_bruteforce": lambda: similarity_mod.knn_bruteforce_sql("embeddings"),
+        # knn_quantized is approximate by design (recall pinned in
+        # pytest); the quantization CODES are exact-oracled here
+        "embed_quantize": lambda: similarity_mod.quantize_embeddings_sql("embeddings"),
         # nprobe == nlist probes every cell: the persisted-index scan
         # (assignment + cell filter + partial-top-k merge) must equal
         # exhaustive cosine top-k — same oracle as knn_bruteforce

@@ -601,3 +601,168 @@ ranked AS (
 SELECT {id_col}, CAST(cluster AS INT) AS cluster, round(cos, 6) AS cosine
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8 codes) — the memory-scale path for vectors
+# ---------------------------------------------------------------------------
+
+
+def _dim_minmax(ds: rd.Dataset, vec_col: str):
+    """Global per-dimension (min, max) in TWO tiny steps: per-block
+    partials (one d-sized row pair per block) fold through one
+    groupby(dim) — d rows return to the driver (parameter-bounded, the
+    DSIR-histogram shape). -> (vmin, vmax) float64 arrays."""
+    from ray.data.aggregate import Max, Min
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(mat.shape[1], dtype=np.int64), pa.int64()),
+                "vmin": pa.array(mat.min(axis=0), pa.float64()),
+                "vmax": pa.array(mat.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    return mm["vmin"].to_numpy(), mm["vmax"].to_numpy()
+
+
+def quantize_embeddings(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Scalar (int8-range) quantization of the embedding column — the
+    standard 4x memory compression vector stores apply before ANN
+    (FAISS SQ8 / Lucene scalar quantizer): per dimension, an affine map
+    of [min, max] onto integer codes 0..255,
+
+        code = clip(floor((x - min) / (max - min) * 255), 0, 255)
+
+    with a constant dimension (max == min) coding to 0. DETERMINISTIC
+    float64 math in a fixed op order, so the DuckDB oracle reproduces
+    every code exactly. Two passes: the d-sized min/max fold
+    (:func:`_dim_minmax`, parameter-bounded), then one pure map — the
+    (min, max) vectors ride ``ray.put`` once. Returns the LONG code
+    frame (id, dim, code) so the oracle compares integer rows;
+    :func:`knn_quantized` consumes the same codes reconstructed
+    (dequantized) for search, with recall vs the exact float path
+    pinned by test."""
+    vmin, vmax = _dim_minmax(ds, vec_col)
+    ref = ray.put((vmin, vmax))
+
+    def codes(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        scale = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (mat - lo) / scale
+        t[:, scale == 0] = 0.0
+        c = np.clip(np.floor(t * 255.0), 0, 255).astype(np.int64)
+        d = mat.shape[1]
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ids)), pa.int64()),
+                "code": pa.array(c.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(codes, batch_format="pyarrow")
+
+
+def quantize_embeddings_sql(src: str, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`quantize_embeddings` — same float64
+    widening, same op order ((x - min) / (max - min) * 255, floor,
+    clip), same constant-dimension rule."""
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+x AS (
+    SELECT {id_col}, i - 1 AS dim, v[i] AS x
+    FROM e, UNNEST(range(1, len(v) + 1)) AS r(i)
+),
+mm AS (SELECT dim, min(x) AS vmin, max(x) AS vmax FROM x GROUP BY dim)
+SELECT x.{id_col}, CAST(x.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN mm.vmax = mm.vmin THEN 0
+            ELSE least(255, greatest(0, floor((x.x - mm.vmin) / (mm.vmax - mm.vmin) * 255.0)))
+       END AS BIGINT) AS code
+FROM x JOIN mm ON mm.dim = x.dim
+"""
+
+
+def knn_quantized(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    k: int = 5,
+) -> pa.Table:
+    """Brute-force cosine top-k over the DEQUANTIZED int8 codes
+    (x_hat = min + (code + 0.5)/256 * (max - min), the reconstruction
+    midpoint): the compressed-memory sibling of :func:`knn_bruteforce` —
+    same per-block partial top-k shape, 4x smaller resident vectors at
+    scale. Approximate by construction; recall vs the exact float path
+    is pinned by test (the driver-gated exactness lives on the CODES,
+    :func:`quantize_embeddings`). Queries stay full-precision (the
+    asymmetric-distance convention)."""
+    vmin, vmax = _dim_minmax(ds, vec_col)
+    qids, qmat = _query_matrix(ds, id_col, vec_col, n_queries)
+    ref = ray.put((vmin, vmax, qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lo, hi, qi, qm = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        scale = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (mat - lo) / scale
+        t[:, scale == 0] = 0.0
+        c = np.clip(np.floor(t * 255.0), 0, 255)
+        deq = lo + (c + 0.5) / 256.0 * scale
+        deq = _normalize(deq)
+        sims = qm @ deq.T
+        out_q, out_v, out_c = [], [], []
+        for r, qid in enumerate(qi):
+            s = sims[r]
+            cand = np.flatnonzero(ids != qid)
+            if not len(cand):
+                continue
+            top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(row[id_col]), round(float(row["cosine"]), 6)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

@@ -1026,6 +1026,40 @@ def test_dsir_weights_vs_oracle(docs_ds, fduck):
     assert np.abs(got["dsir_logratio"].values - exp["dsir_logratio"].values).max() <= 2e-6
 
 
+def test_quantize_embeddings_and_knn_recall(emb_ds, fduck):
+    """int8 scalar quantization: codes equal the SQL oracle exactly and
+    are invariant to block layout; dequantized brute-force knn keeps
+    high recall vs the exact float path (the compression is 4x, the
+    synthetic embeddings are well-separated)."""
+    from search_engine_ray.functions.similarity import (
+        knn_bruteforce,
+        knn_quantized,
+        quantize_embeddings,
+        quantize_embeddings_sql,
+    )
+
+    got = (_table(quantize_embeddings(emb_ds)).to_pandas()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    exp = (fduck.execute(quantize_embeddings_sql("embeddings")).df()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["code"].values == exp["code"].values).all()
+    assert got["code"].min() >= 0 and got["code"].max() <= 255
+    rep = (_table(quantize_embeddings(emb_ds.repartition(7))).to_pandas()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    assert (rep["code"].values == got["code"].values).all()
+
+    exact = knn_bruteforce(emb_ds, k=5).to_pandas()
+    quant = knn_quantized(emb_ds, k=5).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        e = set(g["neighbor_id"])
+        qn = set(quant[quant["query_id"] == qid]["neighbor_id"])
+        hits += len(e & qn)
+        total += len(e)
+    assert total and hits / total >= 0.8, f"SQ8 recall {hits}/{total}"
+
+
 def test_dsir_resample_vs_oracle_and_block_invariance(docs_ds, fduck):
     """The Gumbel-top-k draw is a deterministic function of (weights,
     ids): identical to the SQL oracle's draw (same md5-uniform noise),

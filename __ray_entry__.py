@@ -825,6 +825,42 @@ def _search_metrics(sf_dir: str):
     return df
 
 
+def _search_top_hits(sf_dir: str):
+    """Top hits per bucket (the ES top_hits sub-aggregation under a
+    terms bucket): the 3 best-scoring matching turns per role for every
+    reference query, exhaustive BM25 scores, engine tie-break."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.top_hits(q["query_text"], by="role", per_group=3, scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "group": row["group"],
+                    "grank": row["grank"],
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "group", "grank", "conv_id", "turn_idx", "score"]
+    )
+    df["grank"] = df["grank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_facets_day(sf_dir: str):
     """Date-histogram facet: per reference query, matching-doc counts
     per UTC calendar day over the FULL matching set (the Elasticsearch
@@ -1721,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mlt": _search_mlt,
         "search_facets": _search_facets,
         "search_metrics": _search_metrics,
+        "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
         "search_exclude": _search_exclude,
@@ -1854,6 +1891,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_metrics": lambda: oracle.metrics_sql(
             _corpus_src(), datagen.sig_queries()
         ),
+        "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
         "search_sig_terms": lambda: oracle.significant_terms_sql(
             _corpus_src(), datagen.sig_queries()

@@ -147,6 +147,20 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--ts-max", default=None)
     mt.add_argument("--fields", default="doc_len,ts")
 
+    th = sub.add_parser(
+        "tophits", help="top hits per bucket (ES top_hits under a terms "
+        "bucket): the m best-scoring matching turns per role/tool value"
+    )
+    th.add_argument("query")
+    th.add_argument("--out", required=True)
+    th.add_argument("--by", choices=["role", "tool"], default="role")
+    th.add_argument("--per-group", type=int, default=3)
+    th.add_argument("--scope", default=None)
+    th.add_argument("--conjunctive", action="store_true")
+    th.add_argument("--exclude", default=None)
+    th.add_argument("--ts-min", default=None)
+    th.add_argument("--ts-max", default=None)
+
     sq = sub.add_parser(
         "sigterms", help="significant-terms aggregation: lemmas most "
         "overrepresented in the query's matching set vs the corpus "
@@ -273,6 +287,25 @@ def main(argv: list[str] | None = None) -> int:
             a.query, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
             fields=a.fields,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "tophits":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).top_hits(
+            a.query, by=a.by, per_group=a.per_group, scope=a.scope,
+            conjunctive=a.conjunctive, exclude=a.exclude,
+            ts_min=a.ts_min, ts_max=a.ts_max,
         )
         print(
             json.dumps(

@@ -1643,3 +1643,61 @@ SELECT query_id, field,
        {pct_cases}
 FROM ranked GROUP BY query_id, field
 """
+
+
+def top_hits_sql(src: str, queries: list[dict], by: str = "role",
+                 per_group: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """Top hits per bucket (oracle for ``SearchEngine.top_hits``): the
+    BM25 scored frame partitioned by the group value, row_number with
+    the engine's tie-break, ``per_group`` rows kept per bucket."""
+    qmeta, qlem = _queries_values(queries)
+    gcol = "coalesce(r.role, '')" if by == "role" else "coalesce(r.tool, '')"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (SELECT conv_id, turn_idx, role, tool FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx, {gcol} AS grp,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+    SELECT query_id, grp, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id, grp
+               ORDER BY score DESC, conv_id, turn_idx
+           ) AS grank
+    FROM scored
+)
+SELECT query_id, grp AS "group", CAST(grank AS INT) AS grank,
+       conv_id, turn_idx, round(score, 6) AS score
+FROM ranked WHERE grank <= {per_group}
+"""

@@ -1380,6 +1380,69 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
 
+    def top_hits(
+        self,
+        query_text: str,
+        by: str = "role",
+        per_group: int = 3,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Top hits per bucket (the Elasticsearch ``top_hits``
+        sub-aggregation under a ``terms`` bucket): the ``per_group``
+        best-scoring matching turns for EVERY value of ``by`` ('role'
+        or 'tool') in one pass — \"show me the best match per role\".
+        Scores are the exhaustive BM25 frame (same float64 summation
+        order as the oracle); the matching set and its per-doc scope
+        codes come from the shared ``_matching_set`` frame, so every
+        filtering surface composes; grouping is a vectorized lexsort +
+        boundary scan (the ``_collapse_per_conv`` device generalized to
+        arbitrary group keys). Ties (score DESC, conv_id, turn_idx);
+        groups ascending. -> {'result', 'count' (matching docs),
+        'data': pa.Table(group, grank, conv_id, turn_idx, role, tool,
+        ts, score), 'error'}"""
+        empty = TOP_HITS_SCHEMA.empty_table()
+        if by not in ("role", "tool"):
+            return {**self._resp(error="bad_group"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, codes = self._matching_set(terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        ids2, scores2 = self.score_exhaustive(terms, scope, conjunctive)
+        scores_u = scores2[np.searchsorted(ids2, uniq)]
+        pairs = self._code_pairs()
+        vals = np.array([p[0 if by == "role" else 1] for p in pairs], object)[codes]
+        guniq, ginv = np.unique(vals, return_inverse=True)
+        o = np.lexsort((uniq, -scores_u, ginv))
+        gs = ginv[o]
+        neq = np.empty(len(gs), bool)
+        neq[0] = True
+        np.not_equal(gs[1:], gs[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        occ = np.arange(len(o)) - np.repeat(
+            starts, np.diff(np.append(starts, len(o)))
+        )
+        sel = occ < int(per_group)
+        osel = o[sel]
+        tbl = self._enrich(uniq[osel], scores_u[osel], terms, False)
+        tbl = pa.table(
+            {
+                "group": pa.array(vals[osel], pa.string()),
+                "grank": pa.array((occ[sel] + 1).astype(np.int32), pa.int32()),
+                **{c: tbl.column(c) for c in tbl.column_names},
+            }
+        )
+        return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -2958,6 +3021,19 @@ class SearchEngine:
 
 FACETS_SCHEMA = pa.schema(
     [("facet", pa.string()), ("value", pa.string()), ("n_docs", pa.int64())]
+)
+
+TOP_HITS_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("grank", pa.int32()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("score", pa.float64()),
+    ]
 )
 
 METRICS_SCHEMA = pa.schema(

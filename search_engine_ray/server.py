@@ -23,6 +23,11 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.metrics``: stats + exact nearest-rank percentiles of
   doc_len / epoch-µs ts over the query's FULL matching set (the ES
   ``stats`` / ``percentiles`` aggregations on a query).
+- ``GET /api/tophits?query=...[&by=role|tool][&per_group=M]
+  [&site=<scope>][&conjunctive=1][&exclude=...][&ts_min=&ts_max=]`` —
+  ``SearchEngine.top_hits``: the M best-scoring matching turns per
+  role/tool value (the ES ``top_hits`` sub-aggregation under a
+  ``terms`` bucket).
 - ``GET /api/significant?query=...[&site=<scope>][&conjunctive=1]
   [&exclude=...][&ts_min=&ts_max=][&limit=K]`` —
   ``SearchEngine.significant_terms``: lemmas most overrepresented in the
@@ -291,6 +296,30 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
                     fields=(q.get("fields") or ["doc_len,ts"])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/tophits":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].top_hits(
+                    query,
+                    by=(q.get("by") or ["role"])[0],
+                    per_group=int((q.get("per_group") or ["3"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

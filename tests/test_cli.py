@@ -77,6 +77,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert dl["v_min"] <= dl["p50"] <= dl["p90"] <= dl["p99"] <= dl["v_max"]
     assert dl["n_docs"] == mx["count"]
 
+    th = _run(["tophits", datagen.stem(0), "--out", out, "--per-group", "2"])
+    assert th["result"] and th["count"] == r["count"]
+    for g in {x["group"] for x in th["data"]}:
+        ranks = [x["grank"] for x in th["data"] if x["group"] == g]
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+
     sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
     assert sg["result"] and sg["count"] == r["count"]
     assert sg["data"] and len(sg["data"]) <= 5

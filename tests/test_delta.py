@@ -252,6 +252,18 @@ def test_delta_metrics_identical_to_rebuild(delta_env):
     assert overlay.metrics("", )["error"] == "empty_query"
     r = overlay.metrics("wqxqzq")
     assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
+    # top-hits-per-bucket rides the same overlay-folded frames
+    for q in datagen.reference_queries():
+        ta = overlay.top_hits(q["query_text"], scope=q["scope"], per_group=2)
+        tb = rebuilt.top_hits(q["query_text"], scope=q["scope"], per_group=2)
+        assert ta["count"] == tb["count"], q["query_id"]
+        assert ta["data"].equals(tb["data"]), q["query_id"]
+    tt = overlay.top_hits(datagen.stem(0), by="tool", per_group=1)
+    rt = rebuilt.top_hits(datagen.stem(0), by="tool", per_group=1)
+    assert tt["data"].equals(rt["data"])
+    assert (tt["data"].column("grank").to_pylist()
+            == [1] * tt["data"].num_rows)
+    assert overlay.top_hits(datagen.stem(0), by="nope")["error"] == "bad_group"
 
 
 def test_delta_sig_terms_requires_compaction(delta_env):

@@ -184,6 +184,18 @@ def test_metrics_endpoint(served):
     assert got["count"] == fc["count"]
 
 
+def test_tophits_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/tophits?query={hot}&per_group=2")
+    assert code == 200 and got["result"] and got["count"] > 0
+    groups = {x["group"] for x in got["data"]}
+    assert groups  # at least one role bucket
+    for g in groups:
+        ranks = [x["grank"] for x in got["data"] if x["group"] == g]
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+
+
 def test_delete_by_query_endpoint(served):
     """POST /api/deleteByQuery (ES _delete_by_query parity): matching
     turns disappear from search, the served engine reloads, and an

@@ -193,6 +193,19 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--max-dist", type=int, default=2)
     sg.add_argument("--limit", type=int, default=5)
 
+    sn = sub.add_parser(
+        "snapshot", help="manifest-pinned index snapshot (hardlink where "
+        "possible; ES snapshot-API parity)"
+    )
+    sn.add_argument("--out", required=True)
+    sn.add_argument("--dest", required=True)
+
+    rs = sub.add_parser(
+        "restore", help="verify + materialize a snapshot at a fresh dir"
+    )
+    rs.add_argument("--snap", required=True)
+    rs.add_argument("--dest", required=True)
+
     st = sub.add_parser(
         "stop", help="cooperative build cancel (stopIndexing analog): the "
         "running build marks in-flight partitions FAILED and exits resumable"
@@ -378,6 +391,14 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SearchEngine(a.out).suggest(a.term, max_dist=a.max_dist, k=a.limit)
         print(json.dumps({"suggestions": t.to_pylist()}))
+    elif a.cmd == "snapshot":
+        from .pipelines.snapshot import snapshot
+
+        print(json.dumps(snapshot(a.out, a.dest)))
+    elif a.cmd == "restore":
+        from .pipelines.snapshot import restore
+
+        print(json.dumps(restore(a.snap, a.dest)))
     elif a.cmd == "stop":
         from .pipelines.build import request_stop
 

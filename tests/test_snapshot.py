@@ -1,0 +1,109 @@
+"""Snapshot / restore (the ES snapshot-API parity lifecycle op,
+pipelines/snapshot.py): a restored index serves rank-identically to the
+source at snapshot time — including surviving a post-snapshot
+delete-by-query mutation of the original — verify detects torn
+snapshots, and restore never clobbers a live index."""
+
+import os
+
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.pipelines import delta, snapshot
+from search_engine_ray.search import SearchEngine
+
+
+def _results(eng):
+    out = {}
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        out[q["query_id"]] = (r["count"], r["data"])
+    return out
+
+
+def test_snapshot_restore_rank_identical(tiny_index, tmp_path):
+    src = tiny_index["out_dir"]
+    snap = str(tmp_path / "snap")
+    r = snapshot.snapshot(src, snap)
+    assert r["result"] and r["n_files"] > 0 and r["bytes"] > 0
+    v = snapshot.verify_snapshot(snap)
+    assert v["result"] and v["n_files"] == r["n_files"]
+
+    before = _results(SearchEngine(src))
+
+    # mutate a COPY of the original after the snapshot (delete-by-query)
+    import shutil
+
+    mutated = str(tmp_path / "mutated")
+    shutil.copytree(src, mutated)
+    resp = delta.delete_by_query(mutated, datagen.stem(0))
+    assert resp["result"] and resp["deleted"] > 0
+    assert SearchEngine(mutated).search(datagen.stem(0), limit=1)["count"] == 0
+
+    dest = str(tmp_path / "restored")
+    rr = snapshot.restore(snap, dest)
+    assert rr["result"] and rr["n_files"] == r["n_files"]
+    after = _results(SearchEngine(dest))
+    assert set(before) == set(after)
+    for qid in before:
+        assert before[qid][0] == after[qid][0], qid
+        assert before[qid][1].equals(after[qid][1]), qid
+
+
+def test_snapshot_with_delta_generations(tiny_index, tmp_path):
+    """A snapshot taken WITH live delta generations restores the same
+    LSM state (generation set included, overlay served identically)."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    shutil.copytree(tiny_index["out_dir"], src)
+    resp = delta.delete_by_query(src, datagen.stem(41))
+    assert resp["result"] and resp["generations"]
+    snap = str(tmp_path / "snap")
+    assert snapshot.snapshot(src, snap)["result"]
+    dest = str(tmp_path / "restored")
+    assert snapshot.restore(snap, dest)["result"]
+    a, b = SearchEngine(src), SearchEngine(dest)
+    assert b._has_deltas
+    for q in datagen.reference_queries():
+        ra = a.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        rb = b.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert ra["count"] == rb["count"] and ra["data"].equals(rb["data"])
+
+
+def test_snapshot_guards(tiny_index, tmp_path):
+    src = tiny_index["out_dir"]
+    snap = str(tmp_path / "snap")
+    assert snapshot.snapshot(src, snap)["result"]
+    # existing destination refused
+    assert snapshot.snapshot(src, snap)["error"] == "destination exists"
+    # no manifest -> refused
+    bad = snapshot.snapshot(str(tmp_path / "nothing"), str(tmp_path / "s2"))
+    assert not bad["result"] and "manifest" in bad["error"]
+    # torn snapshot detected (truncate one file)
+    man = os.path.join(snap, "snapshot.json")
+    assert os.path.exists(man)
+    import json
+
+    files = json.load(open(man))["files"]
+    victim = next(rel for rel, size in files if size > 0 and rel != "snapshot.json")
+    vp = os.path.join(snap, victim)
+    # hardlinked file: REPLACE (never truncate in place — that would
+    # corrupt the linked source index too)
+    os.unlink(vp)
+    with open(vp, "wb") as f:
+        f.write(b"x")
+    v = snapshot.verify_snapshot(snap)
+    assert not v["result"] and victim in v["changed"]
+    # restore refuses a corrupt snapshot
+    rr = snapshot.restore(snap, str(tmp_path / "r2"))
+    assert not rr["result"]
+    # restore refuses a non-empty destination
+    good = str(tmp_path / "snapgood")
+    assert snapshot.snapshot(src, good)["result"]
+    occupied = tmp_path / "occupied"
+    occupied.mkdir()
+    (occupied / "keep.txt").write_text("do not clobber")
+    rr2 = snapshot.restore(good, str(occupied))
+    assert not rr2["result"] and "not empty" in rr2["error"]
+    assert (occupied / "keep.txt").read_text() == "do not clobber"

@@ -982,6 +982,41 @@ def _delete_search(sf_dir: str):
     return _ref_query_frame(SearchEngine(dout))
 
 
+def _update_search(sf_dir: str):
+    """Update-by-query (the ES ``_update_by_query`` parity,
+    pipelines/delta.update_by_query): after the two deterministic
+    regex-rewrite probes run sequentially (the second stacks on the
+    first's generations and is scoped), the reference-query results must
+    be rank-identical to BM25 over the corpus with the same sequential
+    rewrites applied in SQL (oracle.updated_src_sql)."""
+    import json
+    import shutil
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines import delta as delta_mod
+    from search_engine_ray.search import SearchEngine
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    base_out = _ensure_build(sf_dir)
+    dout = os.path.join(_build_root(), f"{tag}-updated")
+    marker = os.path.join(dout, "update_probes_done.json")
+    if not os.path.exists(marker):
+        if os.path.exists(dout):
+            shutil.rmtree(dout)
+        shutil.copytree(base_out, dout)
+        results = []
+        for p in datagen.update_probes():
+            resp = delta_mod.update_by_query(
+                dout, p["query_text"], p["pattern"], p["replacement"],
+                scope=p["scope"], conjunctive=p["conjunctive"],
+            )
+            assert resp["result"], resp
+            results.append(resp)
+        with open(marker, "w") as f:
+            json.dump(results, f)
+    return _ref_query_frame(SearchEngine(dout))
+
+
 def _compact_search(sf_dir: str):
     """Compaction (LSM fold of delta generations into the base,
     pipelines/compact.py), driver checked: reindex one modified
@@ -1782,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_search": _delta_search,
         "compact_search": _compact_search,
         "delete_search": _delete_search,
+        "update_search": _update_search,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram,
@@ -1975,6 +2011,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # matched by the deterministic delete probes (same analyzer CTEs)
         "delete_search": lambda: oracle.bm25_topk_sql(
             oracle.deleted_src_sql(_corpus_src(), datagen.delete_probes()), qs
+        ),
+        # update-by-query: BM25 over the corpus with the probes' regex
+        # rewrites applied sequentially to their matched turns
+        "update_search": lambda: oracle.bm25_topk_sql(
+            oracle.updated_src_sql(_corpus_src(), datagen.update_probes()), qs
         ),
         # training-data operators over the driver's pre-registered views.
         # Rows-only (no oracle entry): knn_ivf and dedup_embedding_ivf

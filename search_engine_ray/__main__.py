@@ -15,7 +15,11 @@ Mapping: build == GET /api/startIndexing, search == GET /api/search,
 stats == GET /api/statistics, reindex == POST /api/indexPage
 (per-conversation), delete == POST _delete_by_query (ES parity — the
 reference has only truncate-all; matching turns are tombstoned via a
-delta generation and fold at the next compaction), stop == GET
+delta generation and fold at the next compaction), update == POST
+_update_by_query (regex-rewrite matching turns' text in the index; the
+transformed slice is stored inside the generation as the convs' text
+source), snapshot/restore == the ES snapshot API (manifest-pinned
+hardlink backup + verified restore), stop == GET
 /api/stopIndexing (cooperative cancel: writes a flag the running build
 honors between analyzer batches; in-flight partitions mark FAILED and
 ``build --resume`` picks the build up from the last checkpoint),
@@ -107,6 +111,18 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--out", required=True)
     dq.add_argument("--scope", default=None)
     dq.add_argument("--conjunctive", action="store_true")
+
+    uq = sub.add_parser(
+        "update", help="update-by-query (ES _update_by_query parity): "
+        "regex-rewrite every matching turn's text in the index via a "
+        "delta generation (retroactive redaction); compaction folds it"
+    )
+    uq.add_argument("query")
+    uq.add_argument("--pattern", required=True, help="RE2 pattern to rewrite")
+    uq.add_argument("--replacement", required=True)
+    uq.add_argument("--out", required=True)
+    uq.add_argument("--scope", default=None)
+    uq.add_argument("--conjunctive", action="store_true")
 
     c = sub.add_parser(
         "compact", help="fold delta generations into the base index (LSM merge)"
@@ -381,6 +397,12 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(delete_by_query(
             a.out, a.query, scope=a.scope, conjunctive=a.conjunctive)))
+    elif a.cmd == "update":
+        from .pipelines.delta import update_by_query
+
+        print(json.dumps(update_by_query(
+            a.out, a.query, a.pattern, a.replacement,
+            scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "compact":
         _init_ray()
         from .pipelines.compact import compact

@@ -479,6 +479,20 @@ def delete_probes() -> list[dict]:
     ]
 
 
+def update_probes() -> list[dict]:
+    """Fixed update-by-query probes, applied SEQUENTIALLY: rewrite every
+    surface form of a mid-frequency stem (case-insensitive, word prefix)
+    to a fresh token in all matching turns — the retroactive-redaction
+    shape — then a scoped rewrite stacking on the first's generations."""
+    s1, s2 = stem(320), stem(2049)
+    return [
+        {"query_text": s1, "scope": None, "conjunctive": False,
+         "pattern": r"(?i)\b" + s1 + r"\w*", "replacement": "updtokena"},
+        {"query_text": s2, "scope": "assistant", "conjunctive": False,
+         "pattern": r"(?i)\b" + s2 + r"\w*", "replacement": "updtokenb"},
+    ]
+
+
 def suggest_queries() -> list[dict]:
     """Fixed did-you-mean probes: a one-char deletion of a real lemma,
     an exact hit, a substitution typo, a token far from the whole

@@ -1701,3 +1701,39 @@ SELECT query_id, grp AS "group", CAST(grank AS INT) AS grank,
        conv_id, turn_idx, round(score, 6) AS score
 FROM ranked WHERE grank <= {per_group}
 """
+
+
+def updated_src_sql(src: str, probes: list[dict]) -> str:
+    """Corpus-after-updates relation: ``src`` with each update probe's
+    matched turns rewritten by its RE2 ``regexp_replace(text, pattern,
+    replacement, 'g')`` — the SQL twin of
+    ``pipelines/delta.update_by_query``. Probes fold SEQUENTIALLY (each
+    probe's matching runs the analyzer CTEs over the PREVIOUS probe's
+    output relation, exactly like the engine re-matching the rewritten
+    overlay); non-matched rows keep their original (possibly NULL)
+    text. Feeds any oracle above as its ``src``."""
+    out = src
+    for p in probes:
+        lemmas = analyzer.analyze_query(p["query_text"])
+        if not lemmas:
+            continue
+        in_list = ", ".join(f"'{lem}'" for lem in lemmas)
+        scope_pred = (
+            f" AND s.role = '{p['scope']}'" if p.get("scope") else ""
+        )
+        matched = (
+            "((SELECT count(DISTINCT lemma) FROM __postings "
+            f"WHERE lemma IN ({in_list})) = {len(lemmas)}"
+            " AND EXISTS (SELECT 1 FROM __postings p "
+            "WHERE p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx "
+            f"AND p.lemma IN ({in_list})){scope_pred})"
+        )
+        out = (
+            f"(WITH {analyzer.postings_ctes_sql(out)} "
+            "SELECT s.conv_id, s.turn_idx, s.role, "
+            f"CASE WHEN {matched} THEN regexp_replace(coalesce(s.text, ''), "
+            f"'{p['pattern']}', '{p['replacement']}', 'g') "
+            "ELSE s.text END AS text, s.tool, s.ts "
+            f"FROM {out} s)"
+        )
+    return out

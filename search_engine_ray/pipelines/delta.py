@@ -87,15 +87,15 @@ def _base_old_counts(out_dir: str, ranges: list[tuple[int, int]]) -> tuple[int, 
     return old_turns, old_len
 
 
-def _analyze_convs(
+def _read_slice(
     paths: list[str],
     conv_ids: list[str],
     rank_of: dict[str, int],
     keep_docids: np.ndarray | None = None,
-):
-    """Fresh analysis of ``conv_ids`` read from ``paths`` (filter-pushdown
-    read), optionally restricted to ``keep_docids`` (sorted int64 — the
-    delete-by-query survivor set). -> (postings, docs, n_rows, new_len)."""
+) -> tuple[pa.Table, np.ndarray]:
+    """Filter-pushdown read of ``conv_ids`` from ``paths``, canonically
+    sorted, optionally restricted to ``keep_docids`` (sorted int64 — the
+    delete/update survivor set). -> (slice_tbl, docid)."""
     src = pads.dataset(paths)
     slice_tbl = src.to_table(
         filter=pads.field("conv_id").isin(conv_ids),
@@ -117,6 +117,23 @@ def _analyze_convs(
         )
         slice_tbl = slice_tbl.filter(pa.array(keep))
         docid = docid[keep]
+    return slice_tbl, docid
+
+
+def _analyze_convs(
+    paths: list[str],
+    conv_ids: list[str],
+    rank_of: dict[str, int],
+    keep_docids: np.ndarray | None = None,
+    slice_tbl: pa.Table | None = None,
+    docid: np.ndarray | None = None,
+):
+    """Fresh analysis of ``conv_ids`` — read from ``paths`` unless a
+    pre-built (slice_tbl, docid) pair is given (the update-by-query
+    path, which transforms text before analysis).
+    -> (postings, docs, n_rows, new_len)."""
+    if slice_tbl is None:
+        slice_tbl, docid = _read_slice(paths, conv_ids, rank_of, keep_docids)
 
     got = analyzer.analyze_batch(slice_tbl.column("text"), {})
     post_doc_idx, lemmas, tf, doc_len = got[:4]
@@ -162,8 +179,13 @@ def _write_generation(
     new_turns: int,
     new_len: int,
     extra: dict | None = None,
+    source_tbl: pa.Table | None = None,
 ) -> int:
-    """Append one DONE delta generation atomically (tmp dir + rename)."""
+    """Append one DONE delta generation atomically (tmp dir + rename).
+    ``source_tbl`` (update-by-query): the transformed conv slice is
+    stored INSIDE the generation as ``source.parquet`` and becomes the
+    generation's text source (``input_paths``) — snippets and later
+    re-analyses of these convs read the transformed text."""
     old_turns, old_len = _base_old_counts(out_dir, ranges)
     gens = list_generations(out_dir)
     gen = (gens[-1]["generation"] + 1) if gens else 1
@@ -175,6 +197,9 @@ def _write_generation(
     pq.write_table(postings.sort_by([("lemma", "ascending"), ("docid", "ascending")]),
                    os.path.join(tmp, "postings.parquet"))
     pq.write_table(docs, os.path.join(tmp, "docs.parquet"))
+    if source_tbl is not None:
+        pq.write_table(source_tbl, os.path.join(tmp, "source.parquet"))
+        paths = [os.path.join(gdir, "source.parquet")]
     manifest = {
         "generation": gen,
         "conv_ids": list(conv_ids),
@@ -230,51 +255,31 @@ def reindex_conversations(
     return {"result": True, "error": None, "generation": gen}
 
 
-def delete_by_query(
+def _resolve_matches(
     out_dir: str,
     query_text: str,
-    scope: str | None = None,
-    conjunctive: bool = False,
-) -> dict:
-    """Delete every turn matching ``query_text`` from the index — the
-    Elasticsearch ``_delete_by_query`` lifecycle operation (the reference
-    has only truncate-all, ``SURVEY.md §2.1 S7``; this is its surgical
-    sibling). No base file is rewritten: each affected conversation gets
-    a delta generation carrying its SURVIVING turns only (re-analyzed
-    from the conversation's current text source), with the standard
-    whole-conv tombstone range masking the stale base rows — so search
-    over base+delete-generation is rank-identical to a full rebuild of
-    the corpus minus the matched turns (tests/test_delete.py), the
-    overlay machinery needs zero changes, and the next compaction folds
-    the delete away like any re-index. Matching semantics are exactly
-    the search engine's matching set (disjunctive by default,
-    ``conjunctive=True`` for AND, optional ``scope``, any missing lemma
-    -> zero matches — the reference's rule), computed on the overlay so
-    deletes stack on prior deltas/deletes.
-
-    At scale the matched-docid set is conversation-bounded per
-    generation (the delete rewrites only affected convs' postings, never
-    the corpus); a corpus-sized delete is a rebuild, and callers should
-    treat it as one.
-
-    -> {"result", "error", "deleted" (turns), "generations": [int, ...]}
-    """
+    scope: str | None,
+    conjunctive: bool,
+):
+    """Shared delete/update front half: overlay matching set -> affected
+    conversations grouped by their CURRENT text source, with each conv's
+    live docid set. Returns ``(early_response, None)`` for error/no-op
+    cases, else ``(None, (matched, rank_of, groups, live_parts))``."""
     from ..search import SearchEngine
 
     if not load_json(build_mod.build_manifest_path(out_dir)):
-        return {"result": False, "error": "no build manifest",
-                "deleted": 0, "generations": []}
+        return {"result": False, "error": "no build manifest"}, None
     eng = SearchEngine(out_dir)
     if not eng.valid_scope(scope):
-        return {"result": False, "error": "bad_scope", "deleted": 0, "generations": []}
+        return {"result": False, "error": "bad_scope"}, None
     terms, err = eng.plan(query_text)
     if err == "empty_query":
-        return {"result": False, "error": "empty_query", "deleted": 0, "generations": []}
+        return {"result": False, "error": "empty_query"}, None
     if err or not terms:  # missing lemma -> nothing matches (reference rule)
-        return {"result": True, "error": None, "deleted": 0, "generations": []}
+        return {"result": True, "error": None}, None
     matched, _sc = eng._matching_set(terms, scope, conjunctive)
     if matched.size == 0:
-        return {"result": True, "error": None, "deleted": 0, "generations": []}
+        return {"result": True, "error": None}, None
     matched = np.sort(matched.astype(np.int64))
 
     convs_np = np.asarray(build_mod._load_sorted_convs(out_dir).to_pylist(), dtype=object)
@@ -283,8 +288,8 @@ def delete_by_query(
     rank_of = {c: int(r) for c, r in zip(conv_ids, ranks)}
 
     # current live docids per conv: winning generation docs if the conv
-    # was re-indexed/deleted before, else the base doc-store range —
-    # surviving set = live minus matched (prior deletes stay deleted)
+    # was re-indexed/deleted/updated before, else the base doc-store
+    # range — prior deletes stay deleted, prior updates stay transformed
     latest: dict[str, dict] = {}
     for g in list_generations(out_dir):
         for cid, rng in zip(g["conv_ids"], g["tombstones"]):
@@ -316,6 +321,42 @@ def delete_by_query(
             key = default_paths
         live_parts[cid] = np.sort(ids.astype(np.int64))
         groups.setdefault(key, []).append(cid)
+    return None, (matched, rank_of, groups, live_parts)
+
+
+def delete_by_query(
+    out_dir: str,
+    query_text: str,
+    scope: str | None = None,
+    conjunctive: bool = False,
+) -> dict:
+    """Delete every turn matching ``query_text`` from the index — the
+    Elasticsearch ``_delete_by_query`` lifecycle operation (the reference
+    has only truncate-all, ``SURVEY.md §2.1 S7``; this is its surgical
+    sibling). No base file is rewritten: each affected conversation gets
+    a delta generation carrying its SURVIVING turns only (re-analyzed
+    from the conversation's current text source), with the standard
+    whole-conv tombstone range masking the stale base rows — so search
+    over base+delete-generation is rank-identical to a full rebuild of
+    the corpus minus the matched turns (tests/test_delete.py), the
+    overlay machinery needs zero changes, and the next compaction folds
+    the delete away like any re-index. Matching semantics are exactly
+    the search engine's matching set (disjunctive by default,
+    ``conjunctive=True`` for AND, optional ``scope``, any missing lemma
+    -> zero matches — the reference's rule), computed on the overlay so
+    deletes stack on prior deltas/deletes.
+
+    At scale the matched-docid set is conversation-bounded per
+    generation (the delete rewrites only affected convs' postings, never
+    the corpus); a corpus-sized delete is a rebuild, and callers should
+    treat it as one.
+
+    -> {"result", "error", "deleted" (turns), "generations": [int, ...]}
+    """
+    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive)
+    if resp is not None:
+        return {**resp, "deleted": 0, "generations": []}
+    matched, rank_of, groups, live_parts = st
 
     deleted = 0
     gens_out: list[int] = []
@@ -339,3 +380,75 @@ def delete_by_query(
             )
         )
     return {"result": True, "error": None, "deleted": deleted, "generations": gens_out}
+
+
+def update_by_query(
+    out_dir: str,
+    query_text: str,
+    pattern: str,
+    replacement: str,
+    scope: str | None = None,
+    conjunctive: bool = False,
+) -> dict:
+    """Regex-rewrite every turn matching ``query_text`` IN THE INDEX —
+    the Elasticsearch ``_update_by_query`` lifecycle operation (with a
+    painless-script analog of ``regexp_replace(text, pattern,
+    replacement)``): the retroactive-redaction primitive a training-data
+    pipeline needs when PII or a leaked secret is found in an
+    already-built index. Matching semantics are delete_by_query's
+    (overlay matching set, scope, missing-lemma rule); each affected
+    conversation is re-read from its CURRENT text source, its matched
+    turns' text is rewritten through pyarrow's RE2
+    ``replace_substring_regex`` (global), the whole conversation is
+    re-analyzed from the transformed text, and the TRANSFORMED SLICE IS
+    STORED INSIDE THE GENERATION (``source.parquet``) as its text source
+    — so snippets serve rewritten text, later deletes/updates of these
+    convs start from the rewritten state, and compaction folds the
+    update like any re-index. Search over base+update-generation is
+    rank-identical to a full rebuild over the rewritten corpus
+    (tests/test_update.py); the SQL oracle applies the same RE2
+    rewrite to the same matched set (``oracle.updated_src_sql``).
+
+    Same scale contract as delete: per-generation work is
+    conversation-bounded; a corpus-sized rewrite is a rebuild.
+
+    -> {"result", "error", "updated" (turns), "generations": [int, ...]}
+    """
+    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive)
+    if resp is not None:
+        return {**resp, "updated": 0, "generations": []}
+    matched, rank_of, groups, live_parts = st
+
+    updated = 0
+    gens_out: list[int] = []
+    for key, cids in groups.items():
+        live = np.concatenate([live_parts[c] for c in cids])
+        live.sort()
+        slice_tbl, docid = _read_slice(list(key), cids, rank_of, keep_docids=live)
+        hit_mask = np.isin(docid, matched)
+        updated += int(hit_mask.sum())
+        orig = slice_tbl.column("text").combine_chunks()
+        rewritten = pc.replace_substring_regex(
+            pc.fill_null(orig, ""), pattern, replacement
+        )
+        # non-matched rows keep their ORIGINAL (possibly null) text
+        new_text = pc.if_else(pa.array(hit_mask), rewritten, orig)
+        slice_tbl = slice_tbl.set_column(
+            slice_tbl.schema.get_field_index("text"), "text", new_text
+        )
+        postings, docs, new_turns, new_len = _analyze_convs(
+            list(key), cids, rank_of, slice_tbl=slice_tbl, docid=docid
+        )
+        ranges = [(rank_of[c] << TURN_BITS, (rank_of[c] + 1) << TURN_BITS) for c in cids]
+        gens_out.append(
+            _write_generation(
+                out_dir, cids, ranges, postings, docs, list(key),
+                new_turns, new_len,
+                extra={"op": "update_by_query", "query": query_text,
+                       "pattern": pattern, "replacement": replacement,
+                       "scope": scope, "conjunctive": bool(conjunctive),
+                       "updated_turns": int(hit_mask.sum())},
+                source_tbl=slice_tbl,
+            )
+        )
+    return {"result": True, "error": None, "updated": updated, "generations": gens_out}

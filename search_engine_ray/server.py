@@ -38,6 +38,12 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
   on success so the new generation is visible to the next query.
+- ``POST /api/updateByQuery?query=...&pattern=...&replacement=...
+  [&site=<scope>][&conjunctive=1]`` — update-by-query
+  (``pipelines/delta.update_by_query``; ES ``_update_by_query`` parity):
+  every matching turn's text is regex-rewritten via a delta generation
+  whose stored ``source.parquet`` becomes the convs' text source; the
+  served engine reloads on success.
 - ``POST /api/deleteByQuery?query=...[&site=<scope>][&conjunctive=1]``
   — delete-by-query (``pipelines/delta.delete_by_query``; the ES
   ``_delete_by_query`` parity op): every matching turn is tombstoned via
@@ -374,6 +380,28 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
 
                 resp = delta_mod.reindex_conversations(out_dir, convs)
                 if resp["result"]:
+                    with lock:  # new generation -> reload overlay state
+                        state["engine"] = SearchEngine(out_dir)
+                self._send(200 if resp["result"] else 400, resp)
+            elif u.path == "/api/updateByQuery":
+                # ES POST _update_by_query parity: regex-rewrite every
+                # matching turn's text (delta generation; compaction folds)
+                query = (q.get("query") or [""])[0]
+                pattern = (q.get("pattern") or [""])[0]
+                if not query or not pattern:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                from .pipelines import delta as delta_mod
+
+                resp = delta_mod.update_by_query(
+                    out_dir,
+                    query,
+                    pattern,
+                    (q.get("replacement") or [""])[0],
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                if resp["result"] and resp["generations"]:
                     with lock:  # new generation -> reload overlay state
                         state["engine"] = SearchEngine(out_dir)
                 self._send(200 if resp["result"] else 400, resp)

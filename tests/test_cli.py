@@ -94,6 +94,17 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     r2 = _run(["search", datagen.stem(0), "--out", out, "--limit", "3"])
     assert r2["result"]
 
+    # update-by-query: rewrite a term's surface forms in matching turns
+    upd = datagen.stem(44)
+    ucount = _run(["search", upd, "--out", out, "--limit", "1"])["count"]
+    assert ucount > 0
+    ur = _run(["update", upd, "--out", out,
+               "--pattern", r"(?i)\b" + upd + r"\w*",
+               "--replacement", "xclitok"])
+    assert ur["result"] and ur["updated"] == ucount and ur["generations"]
+    assert _run(["search", upd, "--out", out, "--limit", "1"])["count"] == 0
+    assert _run(["search", "xclitok", "--out", out, "--limit", "1"])["count"] == ucount
+
     # delete-by-query stacks a generation on the reindex and empties the
     # probe's matching set (ES _delete_by_query parity)
     probe2 = datagen.stem(40)

@@ -196,6 +196,29 @@ def test_tophits_endpoint(served):
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
 
 
+def test_update_by_query_endpoint(served):
+    """POST /api/updateByQuery (ES _update_by_query parity): matched
+    turns' text is regex-rewritten, the old term stops matching, the
+    replacement becomes searchable, and the served engine reloads.
+    Runs late in the module — it mutates the served index."""
+    base, _ = served
+    probe = datagen.stem(43)
+    _, before = _get(f"{base}/api/search?query={probe}&limit=1")
+    assert before["count"] > 0
+    pattern = urllib.parse.quote(r"(?i)\b" + probe + r"\w*")
+    req = urllib.request.Request(
+        f"{base}/api/updateByQuery?query={probe}&pattern={pattern}"
+        f"&replacement=xupdhttp", method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read())
+    assert got["result"] and got["updated"] == before["count"]
+    _, after = _get(f"{base}/api/search?query={probe}&limit=1")
+    assert after["count"] == 0
+    _, neu = _get(f"{base}/api/search?query=xupdhttp&limit=1")
+    assert neu["count"] == before["count"]
+
+
 def test_delete_by_query_endpoint(served):
     """POST /api/deleteByQuery (ES _delete_by_query parity): matching
     turns disappear from search, the served engine reloads, and an

@@ -825,6 +825,48 @@ def _search_metrics(sf_dir: str):
     return df
 
 
+def _search_explain(sf_dir: str):
+    """Per-term BM25 score breakdown for ONE document (the ES
+    ``_explain`` API): per probe (query, conv, turn), rows (lemma, df,
+    tf, dl, idf, weight) in plan order (df ASC, lemma ASC), weight 0
+    where the doc lacks the term; the full-precision total is pinned
+    bit-identical to ``search()``'s score by pytest."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for p in datagen.explain_queries():
+        r = eng.explain(p["query_text"], p["conv_id"], p["turn_idx"])
+        if not r["result"] or r["count"] == 0:
+            continue
+        for i, row in enumerate(r["data"].to_pylist()):
+            rows.append(
+                {
+                    "query_id": p["query_id"],
+                    "rank": i + 1,
+                    "lemma": row["lemma"],
+                    "df": row["df"],
+                    "tf": row["tf"],
+                    "dl": row["dl"],
+                    "idf": round(row["idf"], 6),
+                    "weight": round(row["weight"], 6),
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "lemma", "df", "tf", "dl", "idf", "weight"]
+    )
+    df["rank"] = df["rank"].astype("int32")
+    for c in ("df", "tf", "dl"):
+        df[c] = df[c].astype("int64")
+    for c in ("idf", "weight"):
+        df[c] = df[c].astype("float64")
+    return df
+
+
 def _search_top_hits(sf_dir: str):
     """Top hits per bucket (the ES top_hits sub-aggregation under a
     terms bucket): the 3 best-scoring matching turns per role for every
@@ -1792,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_mlt": _search_mlt,
         "search_facets": _search_facets,
         "search_metrics": _search_metrics,
+        "search_explain": _search_explain,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -1926,6 +1969,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_metrics": lambda: oracle.metrics_sql(
             _corpus_src(), datagen.sig_queries()
+        ),
+        "search_explain": lambda: oracle.explain_sql(
+            _corpus_src(), datagen.explain_queries()
         ),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),

@@ -177,6 +177,16 @@ def main(argv: list[str] | None = None) -> int:
     th.add_argument("--ts-min", default=None)
     th.add_argument("--ts-max", default=None)
 
+    xp = sub.add_parser(
+        "explain", help="per-term BM25 score breakdown for ONE document "
+        "(ES _explain): (lemma, df, tf, dl, idf, weight) in plan order; "
+        "total is bit-identical to search()'s score for the doc"
+    )
+    xp.add_argument("query")
+    xp.add_argument("conv_id")
+    xp.add_argument("turn_idx", type=int)
+    xp.add_argument("--out", required=True)
+
     sq = sub.add_parser(
         "sigterms", help="significant-terms aggregation: lemmas most "
         "overrepresented in the query's matching set vs the corpus "
@@ -342,6 +352,22 @@ def main(argv: list[str] | None = None) -> int:
                     "result": resp["result"],
                     "count": resp["count"],
                     "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "explain":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).explain(a.query, a.conv_id, a.turn_idx)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "total": resp["total"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

@@ -586,6 +586,25 @@ def mlt_queries() -> list[dict]:
     ]
 
 
+def explain_queries() -> list[dict]:
+    """Explain probes: (query, conv, turn) triples stable across scale
+    tags (the leading conversation draws share the seeded rng stream,
+    so these convs/turns exist at all sfs). Queries use corpus
+    vocabulary so every lemma resolves; the probe doc need NOT match
+    every term — tf=0 rows are the point of ``_explain``."""
+    q = [
+        (f"{stem(120)} {stem(480)}", "conv-00000000", 0),
+        (f"{stem(0)}", "conv-00000002", 0),
+        (f"{stem(0)} {stem(4000)}", "conv-00000005", 1),
+        (f"The {stem(300)}, and {stem(301)}!", "conv-00000001", 0),
+        (f"{stem(1)} {stem(2)} {stem(3)}", "conv-00000003", 0),
+    ]
+    return [
+        {"query_id": f"x-{i:04d}", "query_text": t, "conv_id": c, "turn_idx": n}
+        for i, (t, c, n) in enumerate(q)
+    ]
+
+
 def exclude_queries() -> list[dict]:
     """NOT-term exclusion query set: positive terms (mid-frequency to
     keep 6-dp rounded-score ties out of the comparison protocol, same

@@ -1703,6 +1703,85 @@ FROM ranked WHERE grank <= {per_group}
 """
 
 
+def explain_sql(src: str, probes: list[dict],
+                k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-probe per-term BM25 breakdown (the ES ``_explain`` API): for
+    each (query, conv, turn) probe one row per query lemma in plan
+    order (df ASC, lemma ASC) with (df, tf, dl, idf, weight) — tf and
+    weight 0 where the doc lacks the term. Probes with any lemma absent
+    from the corpus yield no rows (the engine's no_results rule), as do
+    unknown (conv, turn) docs (not_found). 6-dp rounding on the floats
+    (idf/weight are single expressions but ``ln(1+x)`` vs ``log1p``
+    differ in the last bits — the established protocol; full-precision
+    identity vs the scorer is pinned by pytest)."""
+    metas, lems = [], []
+    for p in probes:
+        lemmas = analyzer.analyze_query(p["query_text"])
+        metas.append(
+            f"('{p['query_id']}', '{p['conv_id']}', {p['turn_idx']}, {len(lemmas)})"
+        )
+        for lem in lemmas:
+            lems.append(f"('{p['query_id']}', '{lem}')")
+    qmeta = (
+        "(VALUES " + ", ".join(metas) + ") qm(query_id, conv_id, turn_idx, n_terms)"
+    )
+    qlem = "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.*
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+      AND EXISTS (SELECT 1 FROM {src} s
+                  WHERE s.conv_id = qm.conv_id AND s.turn_idx = qm.turn_idx)
+),
+docdl AS (
+    SELECT q.query_id, COALESCE(d.dl, 0) AS dl
+    FROM qok q LEFT JOIN doclen d
+      ON d.conv_id = q.conv_id AND d.turn_idx = q.turn_idx
+),
+rows_ AS (
+    SELECT q.query_id, t.lemma, t.df,
+           COALESCE(p.tf, 0) AS tf, dd.dl,
+           ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5)) AS idf,
+           CASE WHEN p.tf IS NULL THEN 0.0
+                ELSE ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * ({k1} + 1.0))
+                     / (p.tf + {k1} * (1.0 - {b} + {b} * dd.dl / c.avgdl))
+           END AS weight
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN docdl dd ON dd.query_id = q.query_id
+    LEFT JOIN __postings p
+      ON p.lemma = t.lemma AND p.conv_id = q.conv_id AND p.turn_idx = q.turn_idx
+    CROSS JOIN corpus c
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY df, lemma) AS INT) AS rank,
+       lemma, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+       CAST(dl AS BIGINT) AS dl,
+       round(idf, 6) AS idf, round(weight, 6) AS weight
+FROM rows_
+"""
+
+
 def updated_src_sql(src: str, probes: list[dict]) -> str:
     """Corpus-after-updates relation: ``src`` with each update probe's
     matched turns rewritten by its RE2 ``regexp_replace(text, pattern,

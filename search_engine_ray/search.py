@@ -1443,6 +1443,79 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
 
+    def explain(self, query_text: str, conv_id: str, turn_idx: int) -> dict:
+        """Score breakdown for ONE document (the Elasticsearch
+        ``_explain`` API): per query term, in plan order (df-ascending
+        then lemma), the tuple (lemma, df, tf, dl, idf, weight) where
+        ``weight`` is the exact BM25 contribution —
+
+            idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+            weight = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+        (0.0 where the doc lacks the term) — and ``total`` is the
+        float64 sum in that same order, bit-identical to the exhaustive
+        scorer and therefore to ``search()``'s score for this doc.
+        Decodes only the query terms' postings (overlay-folded), one
+        searchsorted per term; the doc's existence is validated against
+        the live doc store (overlay-aware). -> {'result', 'count' (1|0),
+        'data': pa.Table(lemma, df, tf, dl, idf, weight), 'total',
+        'error'}"""
+        empty = EXPLAIN_SCHEMA.empty_table()
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty, "total": 0.0}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty,
+                    "total": 0.0, "error": None}
+        did = self._cursor_docid(conv_id, turn_idx)
+        if did is None:
+            return {**self._resp(error="not_found"), "data": empty, "total": 0.0}
+        docid = np.int64(did)
+        ids = np.array([docid], np.int64)
+        alive = True
+        if self._has_deltas and not self._tomb_keep_mask(ids)[0]:
+            alive = bool(np.isin(ids, self._delta_docs["docid"])[0])
+        else:
+            t = pq.read_table(
+                build_mod.docs_dir(self.out_dir),
+                columns=["docid"],
+                filters=[("docid", "==", int(docid))],
+            )
+            alive = t.num_rows > 0
+        if not alive:
+            return {**self._resp(error="not_found"), "data": empty, "total": 0.0}
+        dl = float(self._dl_of_ids(ids)[0])
+        blocks = self._term_blocks([t[0] for t in terms])
+        k1, b = self.k1, self.b
+        rows, total = [], 0.0
+        for lem, df in terms:
+            bl = blocks[lem]
+            d, tf_arr, _dl, _sc = self._decode_term(
+                bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
+            )
+            pos = int(np.searchsorted(d, docid))
+            tf = int(tf_arr[pos]) if pos < len(d) and d[pos] == docid else 0
+            idf = self.idf(df)
+            w = (
+                idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+                if tf
+                else 0.0
+            )
+            total += w
+            rows.append((lem, int(df), tf, int(dl), idf, w))
+        tbl = pa.table(
+            {
+                "lemma": pa.array([r0[0] for r0 in rows], pa.string()),
+                "df": pa.array([r0[1] for r0 in rows], pa.int64()),
+                "tf": pa.array([r0[2] for r0 in rows], pa.int64()),
+                "dl": pa.array([r0[3] for r0 in rows], pa.int64()),
+                "idf": pa.array([r0[4] for r0 in rows], pa.float64()),
+                "weight": pa.array([r0[5] for r0 in rows], pa.float64()),
+            }
+        )
+        return {"result": True, "count": 1, "data": tbl,
+                "total": float(total), "error": None}
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -3076,5 +3149,16 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+EXPLAIN_SCHEMA = pa.schema(
+    [
+        ("lemma", pa.string()),
+        ("df", pa.int64()),
+        ("tf", pa.int64()),
+        ("dl", pa.int64()),
+        ("idf", pa.float64()),
+        ("weight", pa.float64()),
     ]
 )

@@ -28,6 +28,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.top_hits``: the M best-scoring matching turns per
   role/tool value (the ES ``top_hits`` sub-aggregation under a
   ``terms`` bucket).
+- ``GET /api/explain?query=...&conv=<conv_id>&turn=<turn_idx>`` —
+  ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
+  document (the ES ``_explain`` API); ``total`` is bit-identical to
+  ``search()``'s score for that doc.
 - ``GET /api/significant?query=...[&site=<scope>][&conjunctive=1]
   [&exclude=...][&ts_min=&ts_max=][&limit=K]`` —
   ``SearchEngine.significant_terms``: lemmas most overrepresented in the
@@ -333,6 +337,25 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "result": resp["result"],
                         "count": resp["count"],
                         "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/explain":
+                query = (q.get("query") or [""])[0]
+                conv = (q.get("conv") or [""])[0]
+                if not query or not conv:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].explain(
+                    query, conv, int((q.get("turn") or ["0"])[0])
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "total": resp["total"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

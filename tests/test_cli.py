@@ -83,6 +83,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
         ranks = [x["grank"] for x in th["data"] if x["group"] == g]
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
 
+    xc, xt = r["data"][0]["conv_id"], r["data"][0]["turn_idx"]
+    xp = _run(["explain", datagen.stem(0), xc, str(xt), "--out", out])
+    assert xp["result"] and xp["count"] == 1
+    assert xp["total"] == r["data"][0]["score"]
+    assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
+
     sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
     assert sg["result"] and sg["count"] == r["count"]
     assert sg["data"] and len(sg["data"]) <= 5

@@ -266,6 +266,30 @@ def test_delta_metrics_identical_to_rebuild(delta_env):
     assert overlay.top_hits(datagen.stem(0), by="nope")["error"] == "bad_group"
 
 
+
+def test_delta_explain_identical_to_rebuild(delta_env):
+    """explain() folds through the overlay exactly: df from the
+    merged posting counts, tf/dl from the overlay-folded decode,
+    totals bit-identical to a fresh rebuild of the modified corpus —
+    including probes ON the re-indexed conversation itself."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    probes = list(datagen.explain_queries())
+    # probe the re-indexed conversation's rewritten first turn too
+    probes.append({"query_id": "x-delta", "query_text": datagen.stem(7),
+                   "conv_id": delta_env["conv"], "turn_idx": 0})
+    for p in probes:
+        ra = overlay.explain(p["query_text"], p["conv_id"], p["turn_idx"])
+        rb = rebuilt.explain(p["query_text"], p["conv_id"], p["turn_idx"])
+        assert ra["result"] == rb["result"], p["query_id"]
+        assert ra["count"] == rb["count"], p["query_id"]
+        assert ra["total"] == rb["total"], p["query_id"]
+        assert ra["data"].equals(rb["data"]), p["query_id"]
+    # the rewritten turn now contains stem(7) twice -> tf == 2 there
+    ex = overlay.explain(datagen.stem(7), delta_env["conv"], 0)
+    assert ex["count"] == 1 and ex["data"].column("tf").to_pylist() == [2]
+
+
 def test_delta_sig_terms_requires_compaction(delta_env):
     """significant_terms scans the index SEGMENTS, which a delta overlay
     does not reflect — the honest contract is an explicit

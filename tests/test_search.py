@@ -1061,3 +1061,84 @@ def test_order_by_vs_duckdb_oracle(engine, duck):
             assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
             assert g["ts"] == e["ts"]
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
+
+
+# ---------------- explain (the ES _explain API) ------------------------
+
+
+def test_explain_total_bit_identical_to_search(engine):
+    """explain()'s total is the SAME float64 the scorer produces — per
+    top result of every reference query, exact equality (not approx):
+    the per-term weights are computed with the scorer's op order and
+    summed in plan order, the _aggregate reduceat order."""
+    checked = 0
+    for q in QUERIES:
+        r = engine.search(q["query_text"], scope=q["scope"], limit=5)
+        for row in r["data"].to_pylist():
+            ex = engine.explain(q["query_text"], row["conv_id"], row["turn_idx"])
+            assert ex["result"] and ex["count"] == 1
+            if q["scope"] is None:
+                # scoped search scores only in-scope postings, but
+                # explain is scope-free by contract (ES _explain has no
+                # filter context contribution) — compare unscoped only
+                assert ex["total"] == row["score"], q["query_text"]
+            checked += 1
+            # plan order: df ascending then lemma lexical
+            d = ex["data"]
+            pairs = list(zip(d.column("df").to_pylist(), d.column("lemma").to_pylist()))
+            assert pairs == sorted(pairs)
+            # total == sum of weights in row order
+            assert ex["total"] == float(np.sum(np.array(d.column("weight").to_pylist(), np.float64)))
+    assert checked > 5
+
+
+def test_explain_partial_match_and_errors(engine):
+    """tf=0 rows for terms the doc lacks; not_found / empty_query /
+    no_results paths."""
+    one = datagen.stem(120)
+    q = f"{one} {datagen.stem(480)}"
+    r1 = engine.search(one, limit=50)["data"].to_pylist()
+    found_partial = False
+    for row in r1:
+        ex = engine.explain(q, row["conv_id"], row["turn_idx"])
+        w = ex["data"].column("weight").to_pylist()
+        tf = ex["data"].column("tf").to_pylist()
+        for wi, ti in zip(w, tf):
+            assert (wi == 0.0) == (ti == 0)
+        if 0.0 in w:
+            found_partial = True
+            break
+    assert found_partial
+    cid = r1[0]["conv_id"]
+    assert engine.explain(q, "no-such-conv", 0)["error"] == "not_found"
+    assert engine.explain(q, cid, 10**9)["error"] == "not_found"
+    assert engine.explain(q, cid, -1)["error"] == "not_found"
+    assert engine.explain("   ", cid, 0)["error"] == "empty_query"
+    e = engine.explain("wqxqzq", cid, 0)
+    assert e["result"] and e["count"] == 0 and e["data"].num_rows == 0
+
+
+def test_explain_vs_duckdb_oracle(engine, duck):
+    """Per-term breakdown (df, tf, dl, idf, weight) in plan order ==
+    the SQL oracle at sf0.001, per probe."""
+    probes = datagen.explain_queries()
+    sql = oracle.explain_sql(oracle.transcripts_rel("sf0.001"), probes)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    n_checked = 0
+    for p in probes:
+        ex = engine.explain(p["query_text"], p["conv_id"], p["turn_idx"])
+        got = ex["data"].to_pylist() if ex["count"] else []
+        exp = by_q.get(p["query_id"], [])
+        assert len(got) == len(exp), (p["query_id"], len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert g["lemma"] == e["lemma"]
+            assert g["df"] == e["df"] and g["tf"] == e["tf"] and g["dl"] == e["dl"]
+            assert abs(round(g["idf"], 6) - e["idf"]) <= 2e-6
+            assert abs(round(g["weight"], 6) - e["weight"]) <= 2e-6
+            n_checked += 1
+    assert n_checked >= 8

@@ -184,6 +184,24 @@ def test_metrics_endpoint(served):
     assert got["count"] == fc["count"]
 
 
+def test_explain_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, sr = _get(f"{base}/api/search?query={hot}&limit=1")
+    assert code == 200 and sr["data"]
+    conv, turn = sr["data"][0]["conv_id"], sr["data"][0]["turn_idx"]
+    code, got = _get(f"{base}/api/explain?query={hot}&conv={conv}&turn={turn}")
+    assert code == 200 and got["result"] and got["count"] == 1
+    assert got["total"] == sr["data"][0]["score"]
+    assert {"lemma", "df", "tf", "dl", "idf", "weight"} <= set(got["data"][0])
+    try:
+        _get(f"{base}/api/explain?query={hot}&conv=nope&turn=0")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"] == "not_found"
+
+
 def test_tophits_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

@@ -867,6 +867,38 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_rank_eval(sf_dir: str):
+    """Ranked-retrieval evaluation (the ES ``_rank_eval`` API): per
+    sig-probe query, integer metrics of the SERVED top-k page against
+    the deterministic pseudo-assessor grading over the full matching
+    set — n_hits, n_rel, n_rel_ret, first_rel_rank (MRR's integer
+    core), graded-gain sums retrieved vs ideal. All hash-compared
+    columns are exact integers; the float P/R/MRR conveniences are
+    derived, never compared."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.sig_queries():
+        r = eng.rank_eval(q["query_text"], scope=q["scope"], k=q["k"])
+        if not r["result"] or not r["data"].num_rows:
+            continue
+        row = r["data"].to_pylist()[0]
+        if row["n_hits"] == 0:
+            continue
+        rows.append({"query_id": q["query_id"], **row})
+    cols = ["query_id", "k", "n_hits", "n_rel", "n_rel_ret",
+            "first_rel_rank", "gain_top", "gain_ideal"]
+    df = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _search_top_hits(sf_dir: str):
     """Top hits per bucket (the ES top_hits sub-aggregation under a
     terms bucket): the 3 best-scoring matching turns per role for every
@@ -1835,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": _search_facets,
         "search_metrics": _search_metrics,
         "search_explain": _search_explain,
+        "search_rank_eval": _search_rank_eval,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -1972,6 +2005,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_explain": lambda: oracle.explain_sql(
             _corpus_src(), datagen.explain_queries()
+        ),
+        "search_rank_eval": lambda: oracle.rank_eval_sql(
+            _corpus_src(), datagen.sig_queries()
         ),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),

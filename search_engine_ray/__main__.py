@@ -187,6 +187,16 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    re_ = sub.add_parser(
+        "rankeval", help="ranked-retrieval evaluation (ES _rank_eval): "
+        "served top-k page vs the deterministic pseudo-assessor grading "
+        "over the matching set — integer metric cores plus P/R/MRR"
+    )
+    re_.add_argument("query")
+    re_.add_argument("--out", required=True)
+    re_.add_argument("--scope", default=None)
+    re_.add_argument("--k", type=int, default=10)
+
     sq = sub.add_parser(
         "sigterms", help="significant-terms aggregation: lemmas most "
         "overrepresented in the query's matching set vs the corpus "
@@ -368,6 +378,24 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "rankeval":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).rank_eval(a.query, scope=a.scope, k=a.k)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "precision": resp["precision"],
+                    "recall": resp["recall"],
+                    "mrr": resp["mrr"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

@@ -1816,3 +1816,106 @@ def updated_src_sql(src: str, probes: list[dict]) -> str:
             f"FROM {out} s)"
         )
     return out
+
+
+def rank_eval_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Ranked-retrieval evaluation twin (the ES ``_rank_eval`` shape):
+    per query, integer metrics of the BM25 top-k page (the ``ranked``
+    CTE shared with ``bm25_topk_sql`` — rank identity is already pinned
+    there) against the deterministic pseudo-assessor grading
+    ``(turn_idx + length(conv_id)) % 3`` over the query's full matching
+    set. ``gain_ideal`` sums the k best pool gains ordered by rating
+    DESC only — ties at the cut share a rating, so the subset sum is
+    tie-insensitive and no float discount enters the comparison."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+),
+rated AS (
+    SELECT query_id, conv_id, turn_idx,
+           (turn_idx + length(conv_id)) % 3 AS rating
+    FROM scored
+),
+ideal AS (
+    SELECT query_id, rating,
+           row_number() OVER (PARTITION BY query_id ORDER BY rating DESC) AS rn
+    FROM rated
+),
+pool AS (
+    SELECT i.query_id,
+           count(*) FILTER (WHERE i.rating > 0) AS n_rel,
+           coalesce(sum(CASE WHEN i.rn <= q.k
+                             THEN (CAST(1 AS BIGINT) << i.rating) - 1
+                             ELSE 0 END), 0) AS gain_ideal
+    FROM ideal i JOIN qok q ON q.query_id = i.query_id
+    GROUP BY i.query_id
+),
+hr AS (
+    SELECT h.query_id, h.rank, rt.rating
+    FROM ranked h
+    JOIN qok q ON q.query_id = h.query_id
+    JOIN rated rt ON rt.query_id = h.query_id
+        AND rt.conv_id = h.conv_id AND rt.turn_idx = h.turn_idx
+    WHERE h.rank <= q.k
+),
+perq AS (
+    SELECT query_id,
+           count(*) AS n_hits,
+           count(*) FILTER (WHERE rating > 0) AS n_rel_ret,
+           coalesce(min(rank) FILTER (WHERE rating > 0), 0) AS first_rel_rank,
+           sum((CAST(1 AS BIGINT) << rating) - 1) AS gain_top
+    FROM hr GROUP BY query_id
+)
+SELECT p.query_id, CAST(q.k AS BIGINT) AS k,
+       CAST(p.n_hits AS BIGINT) AS n_hits,
+       CAST(l.n_rel AS BIGINT) AS n_rel,
+       CAST(p.n_rel_ret AS BIGINT) AS n_rel_ret,
+       CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+       CAST(p.gain_top AS BIGINT) AS gain_top,
+       CAST(l.gain_ideal AS BIGINT) AS gain_ideal
+FROM perq p
+JOIN pool l ON l.query_id = p.query_id
+JOIN qok q ON q.query_id = p.query_id
+"""

@@ -1516,6 +1516,115 @@ class SearchEngine:
         return {"result": True, "count": 1, "data": tbl,
                 "total": float(total), "error": None}
 
+    def rank_eval(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        k: int = 10,
+        rating_of=None,
+    ) -> dict:
+        """Ranked-retrieval evaluation for ONE query (the Elasticsearch
+        ``_rank_eval`` API): score the SERVED top-k page (the real
+        ``search()`` path, block-max and all) against a rated judgment
+        set and report the classic metrics. The judgment set is the
+        query's full matching set (the candidate pool an assessor would
+        be shown) graded by ``rating_of`` — default grade
+        ``(turn_idx + len(conv_id)) % 3`` in {0,1,2}, a deterministic
+        pseudo-assessor both this engine and the SQL oracle can compute
+        exactly. All hash-compared outputs are INTEGERS (gain
+        ``2^rating - 1`` per doc, the standard graded-relevance gain);
+        the float conveniences (precision@k, recall@k, MRR) are derived
+        from them and returned alongside, never compared:
+
+        - ``n_hits``      — retrieved rows (≤ k)
+        - ``n_rel``       — judged-relevant docs (rating > 0) in the pool
+        - ``n_rel_ret``   — of those, how many the page retrieved
+        - ``first_rel_rank`` — 1-based rank of the first relevant hit
+          (0 = none); MRR = 1/first_rel_rank
+        - ``gain_top``    — Σ gain over the retrieved page
+        - ``gain_ideal``  — Σ gain over the k best-rated pool docs (the
+          DCG numerator pair without the log discount, which would drag
+          float summation order into the comparison; ties at the cut
+          share a rating, so the sum needs no tie-break)
+
+        Cost: one served search + the matching-set frame ``facets``
+        already carries (gaps+scps decode, no tf/dl pass) + an
+        O(#convs) sidecar length pass — nothing corpus-row-sized on the
+        driver beyond the documented matching-set regime.
+        -> {'result', 'count' (pool size), 'data': 1-row pa.Table,
+        'precision', 'recall', 'mrr', 'error'}"""
+        empty = RANK_EVAL_SCHEMA.empty_table()
+        zero = {"precision": 0.0, "recall": 0.0, "mrr": 0.0}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty, **zero}
+        if k <= 0:
+            return {**self._resp(error="bad_k"), "data": empty, **zero}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty, **zero}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty,
+                    "error": None, **zero}
+        uniq, _codes = self._matching_set(terms, scope)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty,
+                    "error": None, **zero}
+        convs = (
+            self._fwd[3] if self._fwd is not None
+            else build_mod._load_sorted_convs(self.out_dir)
+        )
+        conv_len = pc.utf8_length(convs).to_numpy().astype(np.int64)
+        conv_rank, turn = split_docids(uniq)
+        if rating_of is None:
+            pool_rating = (turn.astype(np.int64) + conv_len[conv_rank]) % 3
+        else:
+            pool_rating = np.asarray(
+                rating_of(convs.take(pa.array(conv_rank)), turn), np.int64
+            )
+        pool_gain = (np.int64(1) << pool_rating) - 1
+        n_rel = int((pool_rating > 0).sum())
+        top = np.sort(pool_gain)[::-1][:k]
+        gain_ideal = int(top.sum())
+        served = self.search(query_text, scope=scope, limit=k)
+        if not served["result"]:
+            return {**self._resp(error=served["error"]), "data": empty, **zero}
+        hits = served["data"]
+        n_hits = hits.num_rows
+        if rating_of is None:
+            hit_rating = (
+                hits.column("turn_idx").to_numpy().astype(np.int64)
+                + pc.utf8_length(hits.column("conv_id")).to_numpy().astype(np.int64)
+            ) % 3
+        else:
+            hit_rating = np.asarray(
+                rating_of(hits.column("conv_id"),
+                          hits.column("turn_idx").to_numpy()), np.int64
+            )
+        gain_top = int(((np.int64(1) << hit_rating) - 1).sum())
+        rel_ranks = np.flatnonzero(hit_rating > 0)
+        n_rel_ret = int(len(rel_ranks))
+        first_rel = int(rel_ranks[0]) + 1 if n_rel_ret else 0
+        tbl = pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_hits": pa.array([n_hits], pa.int64()),
+                "n_rel": pa.array([n_rel], pa.int64()),
+                "n_rel_ret": pa.array([n_rel_ret], pa.int64()),
+                "first_rel_rank": pa.array([first_rel], pa.int64()),
+                "gain_top": pa.array([gain_top], pa.int64()),
+                "gain_ideal": pa.array([gain_ideal], pa.int64()),
+            }
+        )
+        return {
+            "result": True,
+            "count": int(len(uniq)),
+            "data": tbl,
+            "precision": n_rel_ret / k,
+            "recall": n_rel_ret / n_rel if n_rel else 0.0,
+            "mrr": 1.0 / first_rel if first_rel else 0.0,
+            "error": None,
+        }
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -3149,6 +3258,18 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+RANK_EVAL_SCHEMA = pa.schema(
+    [
+        ("k", pa.int64()),
+        ("n_hits", pa.int64()),
+        ("n_rel", pa.int64()),
+        ("n_rel_ret", pa.int64()),
+        ("first_rel_rank", pa.int64()),
+        ("gain_top", pa.int64()),
+        ("gain_ideal", pa.int64()),
     ]
 )
 

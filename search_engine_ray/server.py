@@ -32,6 +32,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/rankEval?query=...[&site=<scope>][&k=K]`` —
+  ``SearchEngine.rank_eval``: the served top-k page scored against the
+  deterministic pseudo-assessor grading of the matching set (the ES
+  ``_rank_eval`` API) — integer metric cores plus P/R/MRR.
 - ``GET /api/significant?query=...[&site=<scope>][&conjunctive=1]
   [&exclude=...][&ts_min=&ts_max=][&limit=K]`` —
   ``SearchEngine.significant_terms``: lemmas most overrepresented in the
@@ -356,6 +360,28 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/rankEval":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].rank_eval(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    k=int((q.get("k") or ["10"])[0]),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "precision": resp["precision"],
+                        "recall": resp["recall"],
+                        "mrr": resp["mrr"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

@@ -89,6 +89,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    rv = _run(["rankeval", datagen.stem(0), "--out", out, "--k", "5"])
+    assert rv["result"] and rv["count"] == r["count"]
+    row = rv["data"][0]
+    assert row["k"] == 5 and row["n_hits"] <= 5
+    assert rv["precision"] == row["n_rel_ret"] / 5
+
     sg = _run(["sigterms", datagen.stem(0), "--out", out, "--limit", "5"])
     assert sg["result"] and sg["count"] == r["count"]
     assert sg["data"] and len(sg["data"]) <= 5

@@ -290,6 +290,19 @@ def test_delta_explain_identical_to_rebuild(delta_env):
     assert ex["count"] == 1 and ex["data"].column("tf").to_pylist() == [2]
 
 
+def test_delta_rank_eval_identical_to_rebuild(delta_env):
+    """rank_eval rides the overlay-folded matching set and the served
+    page — both already pinned overlay-exact — so its integer metric
+    rows equal a fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.sig_queries():
+        ra = overlay.rank_eval(q["query_text"], scope=q["scope"], k=q["k"])
+        rb = rebuilt.rank_eval(q["query_text"], scope=q["scope"], k=q["k"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_sig_terms_requires_compaction(delta_env):
     """significant_terms scans the index SEGMENTS, which a delta overlay
     does not reflect — the honest contract is an explicit

@@ -1142,3 +1142,69 @@ def test_explain_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["weight"], 6) - e["weight"]) <= 2e-6
             n_checked += 1
     assert n_checked >= 8
+
+
+def test_rank_eval_internal_consistency(engine):
+    """The integer metric cores are mutually consistent and the derived
+    P/R/MRR match their definitions; the page's gains re-derive from
+    the served rows by the pseudo-assessor formula."""
+    checked = 0
+    for q in datagen.sig_queries():
+        r = engine.rank_eval(q["query_text"], scope=q["scope"], k=q["k"])
+        assert r["result"], q["query_id"]
+        if not r["data"].num_rows:
+            assert r["count"] == 0
+            continue
+        row = r["data"].to_pylist()[0]
+        assert row["k"] == q["k"]
+        assert 0 <= row["n_hits"] <= row["k"]
+        assert row["n_rel_ret"] <= min(row["n_hits"], row["n_rel"])
+        assert row["gain_top"] <= row["gain_ideal"]
+        assert (row["first_rel_rank"] > 0) == (row["n_rel_ret"] > 0)
+        assert r["precision"] == row["n_rel_ret"] / row["k"]
+        if row["n_rel"]:
+            assert r["recall"] == row["n_rel_ret"] / row["n_rel"]
+        if row["first_rel_rank"]:
+            assert r["mrr"] == 1.0 / row["first_rel_rank"]
+        served = engine.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        gains = 0
+        first = 0
+        nrr = 0
+        for i, h in enumerate(served["data"].to_pylist()):
+            rating = (h["turn_idx"] + len(h["conv_id"])) % 3
+            gains += (1 << rating) - 1
+            if rating > 0:
+                nrr += 1
+                first = first or i + 1
+        assert row["gain_top"] == gains
+        assert row["n_rel_ret"] == nrr and row["first_rel_rank"] == first
+        checked += 1
+    assert checked >= 4
+
+
+def test_rank_eval_vs_duckdb_oracle(engine, duck):
+    """Integer metric rows == the SQL twin at sf0.001, per probe."""
+    probes = datagen.sig_queries()
+    sql = oracle.rank_eval_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = {r["query_id"]: r for r in duck.execute(sql).fetch_arrow_table().to_pylist()}
+    n = 0
+    for p in probes:
+        r = engine.rank_eval(p["query_text"], scope=p["scope"], k=p["k"])
+        got = r["data"].to_pylist()[0] if r["data"].num_rows and r["data"].to_pylist()[0]["n_hits"] else None
+        e = exp.get(p["query_id"])
+        assert (got is None) == (e is None), p["query_id"]
+        if got is None:
+            continue
+        for c in ("k", "n_hits", "n_rel", "n_rel_ret",
+                  "first_rel_rank", "gain_top", "gain_ideal"):
+            assert got[c] == e[c], (p["query_id"], c, got[c], e[c])
+        n += 1
+    assert n >= 4
+
+
+def test_rank_eval_errors(engine):
+    assert engine.rank_eval("  ")["error"] == "empty_query"
+    assert engine.rank_eval("x", scope="no-such-role")["error"] == "bad_scope"
+    assert engine.rank_eval("x", k=0)["error"] == "bad_k"
+    r = engine.rank_eval("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0

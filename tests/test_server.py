@@ -202,6 +202,22 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_rank_eval_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/rankEval?query={hot}&k=5")
+    assert code == 200 and got["result"] and got["count"] > 0
+    row = got["data"][0]
+    assert row["k"] == 5 and row["n_hits"] <= 5
+    assert got["precision"] == row["n_rel_ret"] / 5
+    assert row["gain_top"] <= row["gain_ideal"]
+    try:
+        _get(f"{base}/api/rankEval?query={hot}&scope=no-such-role")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_tophits_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

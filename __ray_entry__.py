@@ -867,6 +867,31 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_termvectors(sf_dir: str):
+    """Per-document term statistics (the ES ``_termvectors`` API with
+    term_statistics=true): per probe doc, every distinct lemma with its
+    tf (re-analyzed from the overlay-aware text source), corpus df and
+    doc length — all exact integers vs the shared analyzer-CTE twin."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for p in datagen.termvector_probes():
+        r = eng.termvectors(p["conv_id"], p["turn_idx"])
+        if not r["result"] or not r["count"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": p["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "lemma", "tf", "df", "dl"])
+    for c in ("tf", "df", "dl"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _search_rank_eval(sf_dir: str):
     """Ranked-retrieval evaluation (the ES ``_rank_eval`` API): per
     sig-probe query, integer metrics of the SERVED top-k page against
@@ -1868,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_metrics": _search_metrics,
         "search_explain": _search_explain,
         "search_rank_eval": _search_rank_eval,
+        "search_termvectors": _search_termvectors,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -2008,6 +2034,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_rank_eval": lambda: oracle.rank_eval_sql(
             _corpus_src(), datagen.sig_queries()
+        ),
+        "search_termvectors": lambda: oracle.termvectors_sql(
+            _corpus_src(), datagen.termvector_probes()
         ),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),

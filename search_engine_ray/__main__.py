@@ -187,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    tv = sub.add_parser(
+        "termvectors", help="per-document term statistics (ES "
+        "_termvectors): every distinct lemma of the doc's current text "
+        "with tf, corpus df and doc length"
+    )
+    tv.add_argument("conv_id")
+    tv.add_argument("turn_idx", type=int)
+    tv.add_argument("--out", required=True)
+
     re_ = sub.add_parser(
         "rankeval", help="ranked-retrieval evaluation (ES _rank_eval): "
         "served top-k page vs the deterministic pseudo-assessor grading "
@@ -378,6 +387,21 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "termvectors":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).termvectors(a.conv_id, a.turn_idx)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

@@ -605,6 +605,18 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def termvector_probes() -> list[dict]:
+    """Term-vector probes: the explain set's (conv, turn) pairs (stable
+    across scale tags — leading conversation draws share the seeded rng
+    stream) plus turn 2 of the first conversation."""
+    docs = [(p["conv_id"], p["turn_idx"]) for p in explain_queries()]
+    docs.append(("conv-00000000", 2))
+    return [
+        {"query_id": f"tv-{i:04d}", "conv_id": c, "turn_idx": n}
+        for i, (c, n) in enumerate(dict.fromkeys(docs))
+    ]
+
+
 def exclude_queries() -> list[dict]:
     """NOT-term exclusion query set: positive terms (mid-frequency to
     keep 6-dp rounded-score ties out of the comparison protocol, same

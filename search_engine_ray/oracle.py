@@ -1919,3 +1919,29 @@ FROM perq p
 JOIN pool l ON l.query_id = p.query_id
 JOIN qok q ON q.query_id = p.query_id
 """
+
+
+def termvectors_sql(src: str, probes: list[dict]) -> str:
+    """Per-document term statistics twin (the ES ``_termvectors``
+    shape): for each probe (conv_id, turn_idx), every distinct lemma of
+    the doc with its tf (this doc), df (corpus) and dl (this doc) from
+    the shared analyzer CTEs. Probes naming unknown docs simply join to
+    nothing — the engine's not_found rows are skipped by the wrapper."""
+    vals = ", ".join(
+        f"('{p['query_id']}', '{p['conv_id']}', {int(p['turn_idx'])})"
+        for p in probes
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+probes AS (SELECT * FROM (VALUES {vals}) pr(query_id, conv_id, turn_idx))
+SELECT pr.query_id, p.lemma, CAST(p.tf AS BIGINT) AS tf,
+       CAST(d.df AS BIGINT) AS df, CAST(dl.dl AS BIGINT) AS dl
+FROM probes pr
+JOIN __postings p ON p.conv_id = pr.conv_id AND p.turn_idx = pr.turn_idx
+JOIN dict d ON d.lemma = p.lemma
+JOIN doclen dl ON dl.conv_id = pr.conv_id AND dl.turn_idx = pr.turn_idx
+"""

@@ -1625,6 +1625,58 @@ class SearchEngine:
             "error": None,
         }
 
+    def termvectors(self, conv_id: str, turn_idx: int) -> dict:
+        """Per-document term statistics (the Elasticsearch
+        ``_termvectors`` API with ``term_statistics=true``): one row per
+        distinct lemma of the document's CURRENT text — (lemma, tf, df,
+        dl) sorted by lemma. tf and dl come from re-analyzing the
+        overlay-aware text source with the index's own analyzer (the ES
+        behavior for non-stored fields), so they always reflect the
+        served index view — update-by-query rewrites and delta
+        re-indexes included; df is the overlay-exact merged posting
+        count (the query planner's rule). Cost: one point text read +
+        one single-doc analyzer pass + one dictionary lookup per
+        distinct lemma — nothing corpus-sized. -> {'result', 'count'
+        (1|0), 'data': pa.Table(lemma, tf, df, dl), 'error'}"""
+        empty = TERMVECTORS_SCHEMA.empty_table()
+        did = self._cursor_docid(conv_id, turn_idx)
+        if did is None:
+            return {**self._resp(error="not_found"), "data": empty}
+        ids = np.array([np.int64(did)], np.int64)
+        if self._has_deltas and not self._tomb_keep_mask(ids)[0]:
+            alive = bool(np.isin(ids, self._delta_docs["docid"])[0])
+        else:
+            t = pq.read_table(
+                build_mod.docs_dir(self.out_dir),
+                columns=["docid"],
+                filters=[("docid", "==", int(did))],
+            )
+            alive = t.num_rows > 0
+        if not alive:
+            return {**self._resp(error="not_found"), "data": empty}
+        text = self._text_of(conv_id, turn_idx) or ""
+        res = self._analyzer.analyze_batch(pa.array([text], pa.string()), {})
+        _idx, lemmas, tfs, dlen = res[0], res[1], res[2], res[3]
+        if not len(lemmas):
+            return {"result": True, "count": 1, "data": empty, "error": None}
+        dl = int(dlen[0])
+        order = np.argsort(lemmas, kind="stable")
+        lemmas, tfs = lemmas[order], tfs[order]
+        if self._has_deltas:
+            blocks = self._term_blocks([str(x) for x in lemmas])
+            dfs = [int(blocks[str(x)]["cum_n"][-1]) for x in lemmas]
+        else:
+            dfs = [int(self._df_of(str(x)) or 0) for x in lemmas]
+        tbl = pa.table(
+            {
+                "lemma": pa.array([str(x) for x in lemmas], pa.string()),
+                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "dl": pa.array([dl] * len(lemmas), pa.int64()),
+            }
+        )
+        return {"result": True, "count": 1, "data": tbl, "error": None}
+
     # ---------------- NOT-term exclusion --------------------------------
 
     def _exclusion_docids(self, exclude_text: str) -> np.ndarray | None:
@@ -3258,6 +3310,15 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+TERMVECTORS_SCHEMA = pa.schema(
+    [
+        ("lemma", pa.string()),
+        ("tf", pa.int64()),
+        ("df", pa.int64()),
+        ("dl", pa.int64()),
     ]
 )
 

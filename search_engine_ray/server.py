@@ -32,6 +32,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/termvectors?conv=<conv_id>&turn=<turn_idx>`` —
+  ``SearchEngine.termvectors``: per-document term statistics (the ES
+  ``_termvectors`` API) — every distinct lemma of the doc's current
+  text with tf, corpus df and doc length.
 - ``GET /api/rankEval?query=...[&site=<scope>][&k=K]`` —
   ``SearchEngine.rank_eval``: the served top-k page scored against the
   deterministic pseudo-assessor grading of the matching set (the ES
@@ -360,6 +364,23 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/termvectors":
+                conv = (q.get("conv") or [""])[0]
+                if not conv:
+                    self._send(400, {"result": False, "error": "not_found"})
+                    return
+                resp = state["engine"].termvectors(
+                    conv, int((q.get("turn") or ["0"])[0])
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

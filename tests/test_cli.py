@@ -89,6 +89,10 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    tv = _run(["termvectors", xc, str(xt), "--out", out])
+    assert tv["result"] and tv["count"] == 1
+    assert sum(x["tf"] for x in tv["data"]) == tv["data"][0]["dl"]
+
     rv = _run(["rankeval", datagen.stem(0), "--out", out, "--k", "5"])
     assert rv["result"] and rv["count"] == r["count"]
     row = rv["data"][0]

@@ -303,6 +303,26 @@ def test_delta_rank_eval_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_termvectors_identical_to_rebuild(delta_env):
+    """termvectors re-analyzes the overlay-aware text source and folds
+    df through the merged posting counts — rows identical to a fresh
+    rebuild, INCLUDING a probe on the re-indexed conversation (tf
+    reflects the rewritten text: stem(7) now appears twice in turn 0)."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    probes = list(datagen.termvector_probes())
+    probes.append({"query_id": "tv-delta",
+                   "conv_id": delta_env["conv"], "turn_idx": 0})
+    for p in probes:
+        ra = overlay.termvectors(p["conv_id"], p["turn_idx"])
+        rb = rebuilt.termvectors(p["conv_id"], p["turn_idx"])
+        assert ra["result"] == rb["result"], p["query_id"]
+        assert ra["count"] == rb["count"], p["query_id"]
+        assert ra["data"].equals(rb["data"]), p["query_id"]
+    tv = overlay.termvectors(delta_env["conv"], 0)["data"].to_pylist()
+    assert next(x["tf"] for x in tv if x["lemma"] == datagen.stem(7)) == 2
+
+
 def test_delta_sig_terms_requires_compaction(delta_env):
     """significant_terms scans the index SEGMENTS, which a delta overlay
     does not reflect — the honest contract is an explicit

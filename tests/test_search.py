@@ -1208,3 +1208,51 @@ def test_rank_eval_errors(engine):
     assert engine.rank_eval("x", k=0)["error"] == "bad_k"
     r = engine.rank_eval("wqxqzq")
     assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
+
+
+def test_termvectors_vs_duckdb_oracle(engine, duck):
+    """Per-doc (lemma, tf, df, dl) rows == the analyzer-CTE twin at
+    sf0.001, per probe; sum(tf) == dl; rows sorted by lemma."""
+    probes = datagen.termvector_probes()
+    sql = oracle.termvectors_sql(oracle.transcripts_rel("sf0.001"), probes)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["lemma"])
+    n = 0
+    for p in probes:
+        r = engine.termvectors(p["conv_id"], p["turn_idx"])
+        got = r["data"].to_pylist() if r["count"] else []
+        exp = by_q.get(p["query_id"], [])
+        assert len(got) == len(exp), p["query_id"]
+        assert sum(g["tf"] for g in got) == (got[0]["dl"] if got else 0)
+        lem = [g["lemma"] for g in got]
+        assert lem == sorted(lem)
+        for g, e in zip(got, exp):
+            assert (g["lemma"], g["tf"], g["df"], g["dl"]) == (
+                e["lemma"], e["tf"], e["df"], e["dl"]
+            ), p["query_id"]
+            n += 1
+    assert n >= 20
+
+
+def test_termvectors_agrees_with_explain(engine):
+    """For a query term present in a doc, explain()'s (df, tf, dl) row
+    equals the termvectors row for that lemma."""
+    q = datagen.stem(120)
+    hit = engine.search(q, limit=1)["data"].to_pylist()[0]
+    tvr = engine.termvectors(hit["conv_id"], hit["turn_idx"])
+    ex = engine.explain(q, hit["conv_id"], hit["turn_idx"])
+    exrow = ex["data"].to_pylist()[0]
+    tvrow = next(x for x in tvr["data"].to_pylist() if x["lemma"] == exrow["lemma"])
+    assert (tvrow["tf"], tvrow["df"], tvrow["dl"]) == (
+        exrow["tf"], exrow["df"], exrow["dl"]
+    )
+
+
+def test_termvectors_errors(engine):
+    assert engine.termvectors("no-such-conv", 0)["error"] == "not_found"
+    assert engine.termvectors("conv-00000000", 10**9)["error"] == "not_found"
+    assert engine.termvectors("conv-00000000", -1)["error"] == "not_found"

@@ -202,6 +202,23 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_termvectors_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, sr = _get(f"{base}/api/search?query={hot}&limit=1")
+    conv, turn = sr["data"][0]["conv_id"], sr["data"][0]["turn_idx"]
+    code, got = _get(f"{base}/api/termvectors?conv={conv}&turn={turn}")
+    assert code == 200 and got["result"] and got["count"] == 1
+    assert {"lemma", "tf", "df", "dl"} <= set(got["data"][0])
+    assert any(x["lemma"] == hot for x in got["data"])
+    try:
+        _get(f"{base}/api/termvectors?conv=nope&turn=0")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"] == "not_found"
+
+
 def test_rank_eval_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

@@ -867,6 +867,45 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_export(sf_dir: str):
+    """Matching-set export (the ES scroll + reindex shape): per probe,
+    export every matching turn to partitioned parquet via the
+    distributed broadcast-semi-join scan, read the files back, and
+    return the full transcript rows — row set == the SQL matching-set
+    join, text byte-equal."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    base = os.path.join("/tmp/seray_exports", tag)
+    frames = []
+    for q in datagen.export_queries():
+        dest = os.path.join(base, q["query_id"])
+        shutil.rmtree(dest, ignore_errors=True)
+        r = eng.export(q["query_text"], dest, scope=q["scope"])
+        if not r["result"] or r["count"] == 0:
+            continue
+        t = pads.dataset(dest).to_table(
+            columns=["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+        )
+        df = t.to_pandas()
+        assert len(df) == r["count"]
+        df.insert(0, "query_id", q["query_id"])
+        frames.append(df)
+    cols = ["query_id", "conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    res = pd.concat(frames, ignore_index=True)[cols]
+    return res.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def _search_termvectors(sf_dir: str):
     """Per-document term statistics (the ES ``_termvectors`` API with
     term_statistics=true): per probe doc, every distinct lemma with its
@@ -1894,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_explain": _search_explain,
         "search_rank_eval": _search_rank_eval,
         "search_termvectors": _search_termvectors,
+        "search_export": _search_export,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -2037,6 +2077,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_termvectors": lambda: oracle.termvectors_sql(
             _corpus_src(), datagen.termvector_probes()
+        ),
+        "search_export": lambda: oracle.export_sql(
+            _corpus_src(), datagen.export_queries()
         ),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),

@@ -187,6 +187,20 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    ex = sub.add_parser(
+        "export", help="matching-set export (ES scroll + reindex): "
+        "stream every matching turn to partitioned parquet via a "
+        "distributed broadcast-semi-join scan of the text sources"
+    )
+    ex.add_argument("query")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--dest", required=True)
+    ex.add_argument("--scope", default=None)
+    ex.add_argument("--conjunctive", action="store_true")
+    ex.add_argument("--exclude", default=None)
+    ex.add_argument("--ts-min", default=None)
+    ex.add_argument("--ts-max", default=None)
+
     tv = sub.add_parser(
         "termvectors", help="per-document term statistics (ES "
         "_termvectors): every distinct lemma of the doc's current text "
@@ -388,6 +402,25 @@ def main(argv: list[str] | None = None) -> int:
                     "error": resp["error"],
                     "total": resp["total"],
                     "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "export":
+        _init_ray()  # the export scan is a Ray Data job over the sources
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).export(
+            a.query, a.dest, scope=a.scope, conjunctive=a.conjunctive,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "path": resp["path"],
+                    "error": resp["error"],
                 },
                 default=str,
             )

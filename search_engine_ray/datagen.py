@@ -605,6 +605,21 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def export_queries() -> list[dict]:
+    """Matching-set export probes: a mid-frequency unscoped slice, a
+    scoped slice, and a two-term union — bounded matching sets so the
+    exported parquet stays test-sized at every sf tag."""
+    q = [
+        (f"{stem(4000)}", None),
+        (f"{stem(2048)}", "assistant"),
+        (f"{stem(120)} {stem(480)}", None),
+    ]
+    return [
+        {"query_id": f"e-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def termvector_probes() -> list[dict]:
     """Term-vector probes: the explain set's (conv, turn) pairs (stable
     across scale tags — leading conversation draws share the seeded rng

@@ -1945,3 +1945,39 @@ JOIN __postings p ON p.conv_id = pr.conv_id AND p.turn_idx = pr.turn_idx
 JOIN dict d ON d.lemma = p.lemma
 JOIN doclen dl ON dl.conv_id = pr.conv_id AND dl.turn_idx = pr.turn_idx
 """
+
+
+def export_sql(src: str, queries: list[dict]) -> str:
+    """Matching-set export twin (the ES scroll/reindex shape): every
+    source row whose doc matches the query (any-lemma disjunction,
+    optional role scope, the engine's missing-lemma -> empty rule),
+    with its full transcript columns."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matchd AS (
+    SELECT DISTINCT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+)
+SELECT m.query_id, s.conv_id, s.turn_idx, s.role, s.tool, s.ts, s.text
+FROM matchd m
+JOIN {src} s ON s.conv_id = m.conv_id AND s.turn_idx = m.turn_idx
+"""

@@ -53,7 +53,7 @@ from .config import DEFAULT_PAGE_SIZE, REFERENCE_DF_CUTOFF, TURN_BITS
 # reciprocal-rank-fusion constant (order_by='rrf'): the standard k=60
 # from Cormack/Clarke/Büttcher (2009), the Elasticsearch default
 RRF_K = 60
-from .docid import split_docids
+from .docid import make_docid_attacher, split_docids
 from .pipelines import build as build_mod
 from .stages.encode import (
     binary_column_buffers,
@@ -1676,6 +1676,99 @@ class SearchEngine:
             }
         )
         return {"result": True, "count": 1, "data": tbl, "error": None}
+
+    def export(
+        self,
+        query_text: str,
+        dest: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Matching-set export (the Elasticsearch scroll + reindex
+        shape): stream EVERY turn whose doc matches the query to
+        partitioned Parquet under ``dest`` — the corpus-slice
+        extraction a training-data pipeline runs after retrieval-style
+        filtering ("give me all turns mentioning X as a dataset").
+
+        The matching docids come from the overlay-folded postings
+        (gaps+scps decode — the ``facets`` frame, matching-set-sized);
+        the text/metadata rows are then scanned DISTRIBUTED from the
+        generation-correct text sources with a map-side broadcast
+        semi-join (the sorted id set rides ONE ``ray.put``; membership
+        is a C-level searchsorted per batch — no shuffle, no driver
+        materialization of the exported text, Ray's streaming executor
+        writes as it scans). Re-indexed conversations read from their
+        delta generation's sources, so exported text == served text;
+        tombstoned docs are absent from the overlay-folded matching
+        set. Scale note: the broadcast id set is matching-set-sized —
+        at a corpus-sized matching set swap the broadcast for a hash
+        semi-join against a docid-keyed Dataset (the build's stage-C
+        exchange shape); same documented threshold regime as the other
+        matching-set surfaces. -> {'result', 'count', 'path', 'error'};
+        refuses an existing non-empty ``dest`` (the snapshot guard)."""
+        import ray
+
+        from .sources.transcripts import TRANSCRIPT_COLUMNS, read_transcripts
+
+        if os.path.isdir(dest) and os.listdir(dest):
+            return {**self._resp(error="dest_exists"), "path": dest}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "path": dest}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "path": dest}
+        if err == "no_results":
+            return {"result": True, "count": 0, "path": dest, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "path": dest, "error": None}
+        convs = (
+            self._fwd[3] if self._fwd is not None
+            else build_mod._load_sorted_convs(self.out_dir)
+        )
+        conv_rank, _turn = split_docids(uniq)
+        dpaths = getattr(self, "_delta_text_paths", {})
+        groups: dict[tuple, list[int]] = {}
+        if dpaths:
+            id_convs = convs.take(pa.array(conv_rank)).to_pylist()
+            for did, c in zip(uniq, id_convs):
+                key = tuple(dpaths.get(c) or self.transcripts_paths)
+                groups.setdefault(key, []).append(int(did))
+        else:
+            groups[tuple(self.transcripts_paths)] = [int(x) for x in uniq]
+        convs_ref = ray.put(convs)
+        parts = []
+        for paths, ids in groups.items():
+            ids_ref = ray.put(np.sort(np.array(ids, np.int64)))
+
+            def member(batch: pa.Table, ref=ids_ref) -> pa.Table:
+                ids_sorted = ray.get(ref)
+                d = batch.column("docid").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ids_sorted, d)
+                pos[pos >= len(ids_sorted)] = 0
+                keep = ids_sorted[pos] == d
+                return batch.filter(pa.array(keep)).drop_columns(["docid"])
+
+            ds = (
+                read_transcripts(list(paths), columns=TRANSCRIPT_COLUMNS)
+                .map_batches(
+                    make_docid_attacher(convs_ref), batch_format="pyarrow"
+                )
+                .map_batches(member, batch_format="pyarrow")
+            )
+            parts.append(ds)
+        out = parts[0]
+        for ds in parts[1:]:
+            out = out.union(ds)
+        os.makedirs(dest, exist_ok=True)
+        out.write_parquet(dest)
+        return {"result": True, "count": int(len(uniq)), "path": dest,
+                "error": None}
 
     # ---------------- NOT-term exclusion --------------------------------
 

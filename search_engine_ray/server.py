@@ -32,6 +32,11 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/export?query=...&dest=<dir>[&site=<scope>][&conjunctive=1]
+  [&exclude=...][&ts_min=&ts_max=]`` — ``SearchEngine.export``: stream
+  every matching turn to partitioned Parquet under ``dest`` (the ES
+  scroll + reindex shape; a distributed Ray Data broadcast-semi-join
+  scan of the generation-correct text sources).
 - ``GET /api/termvectors?conv=<conv_id>&turn=<turn_idx>`` —
   ``SearchEngine.termvectors``: per-document term statistics (the ES
   ``_termvectors`` API) — every distinct lemma of the doc's current
@@ -365,6 +370,29 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "error": resp["error"],
                         "total": resp["total"],
                         "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/export":
+                query = (q.get("query") or [""])[0]
+                dest = (q.get("dest") or [""])[0]
+                if not query or not dest:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].export(
+                    query, dest,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "path": resp["path"],
+                        "error": resp["error"],
                     },
                 )
             elif u.path == "/api/termvectors":

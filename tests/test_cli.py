@@ -89,6 +89,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    xd = str(tmp_path / "exported")
+    xr = _run(["export", datagen.stem(0), "--out", out, "--dest", xd])
+    assert xr["result"] and xr["count"] == r["count"]
+    import pyarrow.dataset as pads
+    assert pads.dataset(xd).count_rows() == xr["count"]
+
     tv = _run(["termvectors", xc, str(xt), "--out", out])
     assert tv["result"] and tv["count"] == 1
     assert sum(x["tf"] for x in tv["data"]) == tv["data"][0]["dl"]

@@ -323,6 +323,40 @@ def test_delta_termvectors_identical_to_rebuild(delta_env):
     assert next(x["tf"] for x in tv if x["lemma"] == datagen.stem(7)) == 2
 
 
+def test_delta_export_serves_generation_correct_text(delta_env, tmp_path):
+    """export routes each matching conv to its generation's text source:
+    the overlay export equals a fresh-rebuild export row-for-row (text
+    included), and the re-indexed conversation's rewritten turns export
+    the NEW text."""
+    import pyarrow.dataset as pads
+
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    q = datagen.stem(7)  # the rewritten turn contains stem(7) twice
+
+    def dump(eng, dest):
+        r = eng.export(q, str(dest))
+        assert r["result"]
+        if r["count"] == 0:
+            return None, 0
+        t = (
+            pads.dataset(str(dest))
+            .to_table(columns=["conv_id", "turn_idx", "role", "tool", "ts", "text"])
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        return t, r["count"]
+
+    a, na = dump(overlay, tmp_path / "overlay")
+    b, nb = dump(rebuilt, tmp_path / "rebuilt")
+    assert na == nb and na > 0
+    assert a.equals(b)
+    mine = a[a["conv_id"] == delta_env["conv"]]
+    assert len(mine) > 0
+    assert any(mine["text"].str.count(datagen.stem(7)) >= 2)
+
+
 def test_delta_sig_terms_requires_compaction(delta_env):
     """significant_terms scans the index SEGMENTS, which a delta overlay
     does not reflect — the honest contract is an explicit

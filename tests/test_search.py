@@ -4,6 +4,7 @@ match the independent DuckDB BM25 oracle, and the reference's error /
 scope / pagination semantics hold."""
 
 import numpy as np
+import pyarrow.dataset as pads
 import pytest
 
 from search_engine_ray import datagen, oracle
@@ -1256,3 +1257,50 @@ def test_termvectors_errors(engine):
     assert engine.termvectors("no-such-conv", 0)["error"] == "not_found"
     assert engine.termvectors("conv-00000000", 10**9)["error"] == "not_found"
     assert engine.termvectors("conv-00000000", -1)["error"] == "not_found"
+
+
+def test_export_matches_oracle_row_set(engine, duck, tmp_path):
+    """Exported parquet row set == the SQL matching-set join at
+    sf0.001 — (conv, turn, role, tool, ts) exact and text byte-equal —
+    and count == the pre-pagination matching count."""
+    probes = datagen.export_queries()
+    sql = oracle.export_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pandas()
+    for p in probes:
+        dest = str(tmp_path / p["query_id"])
+        r = engine.export(p["query_text"], dest, scope=p["scope"])
+        assert r["result"], p["query_id"]
+        e = (
+            exp[exp["query_id"] == p["query_id"]]
+            .drop(columns=["query_id"])
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert r["count"] == len(e), p["query_id"]
+        got = (
+            pads.dataset(dest)
+            .to_table(columns=["conv_id", "turn_idx", "role", "tool", "ts", "text"])
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(e[got.columns.tolist()]), p["query_id"]
+        assert r["count"] == engine.search(p["query_text"], scope=p["scope"])["count"]
+
+
+def test_export_guards_and_filters(engine, tmp_path):
+    d1 = str(tmp_path / "a")
+    r = engine.export(datagen.stem(4000), d1)
+    assert r["result"] and r["count"] > 0
+    # refuses a non-empty dest
+    assert engine.export(datagen.stem(4000), d1)["error"] == "dest_exists"
+    assert engine.export("  ", str(tmp_path / "b"))["error"] == "empty_query"
+    assert engine.export("x", str(tmp_path / "c"), scope="nope")["error"] == "bad_scope"
+    r0 = engine.export("wqxqzq", str(tmp_path / "d"))
+    assert r0["result"] and r0["count"] == 0
+    # conjunctive export is the AND subset of the disjunctive one
+    q = f"{datagen.stem(120)} {datagen.stem(480)}"
+    dj = engine.export(q, str(tmp_path / "e"))
+    cj = engine.export(q, str(tmp_path / "f"), conjunctive=True)
+    assert cj["count"] <= dj["count"]
+    assert cj["count"] == engine.search(q, conjunctive=True)["count"]

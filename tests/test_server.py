@@ -202,6 +202,22 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_export_endpoint(served, tmp_path):
+    base, _ = served
+    hot = datagen.stem(0)
+    dest = str(tmp_path / "srv_export")
+    code, got = _get(f"{base}/api/export?query={hot}&dest={dest}")
+    assert code == 200 and got["result"] and got["count"] > 0
+    import pyarrow.dataset as pads
+    assert pads.dataset(dest).count_rows() == got["count"]
+    try:
+        _get(f"{base}/api/export?query={hot}&dest={dest}")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert json.loads(e.read())["error"] == "dest_exists"
+
+
 def test_termvectors_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

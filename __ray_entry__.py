@@ -867,6 +867,33 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_composite(sf_dir: str):
+    """Composite aggregation (the ES ``composite`` shape): per probe,
+    one page of occurring (role, tool) pair buckets of the matching
+    set in composite key order, strictly after the probe's after key —
+    the paginated-bucket surface; all-integer counts vs the row-value
+    comparison SQL twin."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.composite_queries():
+        r = eng.facets_composite(
+            q["query_text"], scope=q["scope"], size=q["k"], after=q["after"]
+        )
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": q["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "role", "tool", "n_docs"])
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df
+
+
 def _search_export(sf_dir: str):
     """Matching-set export (the ES scroll + reindex shape): per probe,
     export every matching turn to partitioned parquet via the
@@ -1934,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_eval": _search_rank_eval,
         "search_termvectors": _search_termvectors,
         "search_export": _search_export,
+        "search_composite": _search_composite,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -2080,6 +2108,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_export": lambda: oracle.export_sql(
             _corpus_src(), datagen.export_queries()
+        ),
+        "search_composite": lambda: oracle.composite_sql(
+            _corpus_src(), datagen.composite_queries()
         ),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),

@@ -187,6 +187,18 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    cp = sub.add_parser(
+        "composite", help="composite aggregation (ES composite): paged "
+        "(role, tool) pair buckets of the matching set in key order, "
+        "resumable strictly after --after-role/--after-tool"
+    )
+    cp.add_argument("query")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--scope", default=None)
+    cp.add_argument("--size", type=int, default=10)
+    cp.add_argument("--after-role", default=None)
+    cp.add_argument("--after-tool", default="")
+
     ex = sub.add_parser(
         "export", help="matching-set export (ES scroll + reindex): "
         "stream every matching turn to partitioned parquet via a "
@@ -401,6 +413,25 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "composite":
+        from .search import SearchEngine
+
+        after = (a.after_role, a.after_tool) if a.after_role is not None else None
+        resp = SearchEngine(a.out).facets_composite(
+            a.query, scope=a.scope, size=a.size, after=after
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "after_key": resp["after_key"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

@@ -605,6 +605,25 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def composite_queries() -> list[dict]:
+    """Composite-aggregation probes: page 1 and an after-resumed page
+    of the ultra-hot matching set, an uncapped page, a scoped page, and
+    an absent lemma (no rows). The after key is a constant that exists
+    at every sf (strictly-after semantics need no existence anyway)."""
+    q = [
+        (f"{stem(0)}", None, 3, None),
+        (f"{stem(0)}", None, 3, ("assistant", "")),
+        (f"{stem(4000)}", None, 100, None),
+        (f"{stem(2048)}", "assistant", 5, None),
+        ("wqxqzq", None, 5, None),
+    ]
+    return [
+        {"query_id": f"c-{i:04d}", "query_text": t, "scope": s,
+         "k": k, "after": a}
+        for i, (t, s, k, a) in enumerate(q)
+    ]
+
+
 def export_queries() -> list[dict]:
     """Matching-set export probes: a mid-frequency unscoped slice, a
     scoped slice, and a two-term union — bounded matching sets so the

@@ -1981,3 +1981,69 @@ SELECT m.query_id, s.conv_id, s.turn_idx, s.role, s.tool, s.ts, s.text
 FROM matchd m
 JOIN {src} s ON s.conv_id = m.conv_id AND s.turn_idx = m.turn_idx
 """
+
+
+def composite_sql(src: str, queries: list[dict]) -> str:
+    """Composite-aggregation twin (the ES ``composite`` shape): per
+    query, the occurring (role, tool) pair buckets of the matching set
+    in composite key order (role ASC, tool ASC), strictly after the
+    probe's ``after`` key, capped at the probe's page size (rides the
+    qmeta ``k`` column). DuckDB's row-value comparison mirrors the
+    engine's tuple compare exactly."""
+    qmeta, qlem = _queries_values(queries)
+    afters = ", ".join(
+        "('{qid}', {has}, '{ar}', '{at}')".format(
+            qid=q["query_id"],
+            has=1 if q.get("after") else 0,
+            ar=(q.get("after") or ("", ""))[0],
+            at=(q.get("after") or ("", ""))[1],
+        )
+        for q in queries
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           coalesce(tool, '') AS tool FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+afters AS (SELECT * FROM (VALUES {afters}) af(query_id, has_after, after_role, after_tool)),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+buckets AS (
+    SELECT m.query_id, r.role, r.tool, CAST(count(*) AS BIGINT) AS n_docs
+    FROM matched m JOIN meta r
+      ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+    GROUP BY 1, 2, 3
+),
+filtered AS (
+    SELECT b.* FROM buckets b JOIN afters a ON a.query_id = b.query_id
+    WHERE a.has_after = 0 OR (b.role, b.tool) > (a.after_role, a.after_tool)
+),
+paged AS (
+    SELECT f.*, row_number() OVER (
+        PARTITION BY query_id ORDER BY role, tool
+    ) AS rn
+    FROM filtered f
+)
+SELECT p.query_id, p.role, p.tool, p.n_docs
+FROM paged p JOIN qok q ON q.query_id = p.query_id
+WHERE p.rn <= q.k
+"""

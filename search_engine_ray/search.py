@@ -1965,6 +1965,75 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
 
+    def facets_composite(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+        size: int = 10,
+        after: tuple | list | None = None,
+    ) -> dict:
+        """Paginated multi-source bucket aggregation (the Elasticsearch
+        ``composite`` aggregation): the (role, tool) PAIR buckets that
+        actually occur in the FULL matching set, in the deterministic
+        composite key order (role ASC, tool ASC), one page of ``size``
+        buckets per call, resuming STRICTLY AFTER the ``after`` key —
+        the aggregation analog of ``search_after``, the shape that lets
+        a consumer stream an unbounded bucket space page by page
+        without deep-offset re-aggregation. Unlike ``facets`` (two
+        independent one-source groupings), composite emits occurring
+        pairs. Same cost shape as ``facets``: a bincount over the dense
+        scope-code space + an O(#roles x #tools) decode — the bucket
+        space never exceeds the code space, so pagination here is an
+        API contract, not a memory need (at 10^12 docs with
+        high-cardinality sources the per-page cut is what keeps the
+        response bounded). Composes with every filtering surface.
+        -> {'result', 'count' (matching docs), 'data': pa.Table(role,
+        tool, n_docs), 'after_key': (role, tool) | None, 'error'}"""
+        empty = COMPOSITE_SCHEMA.empty_table()
+        if size <= 0:
+            return {**self._resp(error="bad_size"), "data": empty,
+                    "after_key": None}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty,
+                    "after_key": None}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty,
+                    "after_key": None}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty,
+                    "after_key": None, "error": None}
+        uniq, codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty,
+                    "after_key": None, "error": None}
+        pairs = self._code_pairs()
+        per_code = np.bincount(codes, minlength=len(pairs))
+        buckets = sorted(
+            (pairs[c][0], pairs[c][1], int(per_code[c]))
+            for c in np.flatnonzero(per_code)
+        )
+        if after is not None:
+            ak = (str(after[0]), str(after[1]))
+            buckets = [b for b in buckets if (b[0], b[1]) > ak]
+        page = buckets[:size]
+        tbl = pa.table(
+            {
+                "role": pa.array([b[0] for b in page], pa.string()),
+                "tool": pa.array([b[1] for b in page], pa.string()),
+                "n_docs": pa.array([b[2] for b in page], pa.int64()),
+            }
+        )
+        after_key = (page[-1][0], page[-1][1]) if len(page) == size else None
+        return {"result": True, "count": int(len(uniq)), "data": tbl,
+                "after_key": after_key, "error": None}
+
     def significant_terms(
         self,
         query_text: str,
@@ -3403,6 +3472,14 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+COMPOSITE_SCHEMA = pa.schema(
+    [
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("n_docs", pa.int64()),
     ]
 )
 

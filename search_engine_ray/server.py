@@ -32,6 +32,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/composite?query=...[&size=N][&after_role=&after_tool=]
+  [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.facets_composite``:
+  paged (role, tool) pair buckets of the matching set in composite key
+  order (the ES ``composite`` aggregation); ``after_key`` resumes.
 - ``GET /api/export?query=...&dest=<dir>[&site=<scope>][&conjunctive=1]
   [&exclude=...][&ts_min=&ts_max=]`` — ``SearchEngine.export``: stream
   every matching turn to partitioned Parquet under ``dest`` (the ES
@@ -369,6 +373,30 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/composite":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                ar = (q.get("after_role") or [None])[0]
+                after = (ar, (q.get("after_tool") or [""])[0]) if ar is not None else None
+                resp = state["engine"].facets_composite(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    size=int((q.get("size") or ["10"])[0]),
+                    after=after,
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "after_key": resp["after_key"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

@@ -89,6 +89,16 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    cpg = _run(["composite", datagen.stem(0), "--out", out, "--size", "2"])
+    assert cpg["result"] and len(cpg["data"]) <= 2
+    if cpg["after_key"]:
+        cp2 = _run(["composite", datagen.stem(0), "--out", out, "--size", "2",
+                    "--after-role", cpg["after_key"][0],
+                    "--after-tool", cpg["after_key"][1]])
+        assert cp2["result"]
+        assert all((x["role"], x["tool"]) > tuple(cpg["after_key"])
+                   for x in cp2["data"])
+
     xd = str(tmp_path / "exported")
     xr = _run(["export", datagen.stem(0), "--out", out, "--dest", xd])
     assert xr["result"] and xr["count"] == r["count"]

@@ -323,6 +323,23 @@ def test_delta_termvectors_identical_to_rebuild(delta_env):
     assert next(x["tf"] for x in tv if x["lemma"] == datagen.stem(7)) == 2
 
 
+def test_delta_composite_identical_to_rebuild(delta_env):
+    """facets_composite rides the overlay-folded matching codes — paged
+    buckets equal a fresh rebuild, including an after-resumed page."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.composite_queries():
+        ra = overlay.facets_composite(
+            q["query_text"], scope=q["scope"], size=q["k"], after=q["after"]
+        )
+        rb = rebuilt.facets_composite(
+            q["query_text"], scope=q["scope"], size=q["k"], after=q["after"]
+        )
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["after_key"] == rb["after_key"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_export_serves_generation_correct_text(delta_env, tmp_path):
     """export routes each matching conv to its generation's text source:
     the overlay export equals a fresh-rebuild export row-for-row (text

@@ -1304,3 +1304,60 @@ def test_export_guards_and_filters(engine, tmp_path):
     cj = engine.export(q, str(tmp_path / "f"), conjunctive=True)
     assert cj["count"] <= dj["count"]
     assert cj["count"] == engine.search(q, conjunctive=True)["count"]
+
+
+def test_composite_vs_duckdb_oracle(engine, duck):
+    """Paged (role, tool) buckets == the row-value-comparison SQL twin
+    at sf0.001, per probe — counts, key order, after-filter and page
+    cut all exact."""
+    probes = datagen.composite_queries()
+    sql = oracle.composite_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: (r["role"], r["tool"]))
+    n = 0
+    for p in probes:
+        r = engine.facets_composite(
+            p["query_text"], scope=p["scope"], size=p["k"], after=p["after"]
+        )
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        for g, x in zip(got, e):
+            assert (g["role"], g["tool"], g["n_docs"]) == (
+                x["role"], x["tool"], x["n_docs"]
+            ), p["query_id"]
+            n += 1
+    assert n >= 6
+
+
+def test_composite_pagination_walk(engine):
+    """Walking pages of size 2 via after_key reassembles the uncapped
+    bucket list exactly, and after_key is None on the last page."""
+    q = datagen.stem(0)
+    full = engine.facets_composite(q, size=10_000)
+    assert full["after_key"] is None
+    walked, after, guard = [], None, 0
+    while True:
+        page = engine.facets_composite(q, size=2, after=after)
+        walked.extend(page["data"].to_pylist())
+        if page["after_key"] is None:
+            break
+        after = page["after_key"]
+        guard += 1
+        assert guard < 1000
+    # the last full page can leave a phantom after_key; walked may end
+    # with an empty page but the concatenation must equal the full list
+    assert walked == full["data"].to_pylist()
+    assert sum(b["n_docs"] for b in walked) == full["count"]
+
+
+def test_composite_errors(engine):
+    assert engine.facets_composite("  ")["error"] == "empty_query"
+    assert engine.facets_composite("x", scope="nope")["error"] == "bad_scope"
+    assert engine.facets_composite("x", size=0)["error"] == "bad_size"
+    r = engine.facets_composite("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["after_key"] is None

@@ -202,6 +202,24 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_composite_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/composite?query={hot}&size=2")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert len(got["data"]) <= 2
+    keys = [(x["role"], x["tool"]) for x in got["data"]]
+    assert keys == sorted(keys)
+    if got["after_key"]:
+        ar, at = got["after_key"]
+        code, nxt = _get(
+            f"{base}/api/composite?query={hot}&size=2&after_role={ar}&after_tool={at}"
+        )
+        assert code == 200
+        nkeys = [(x["role"], x["tool"]) for x in nxt["data"]]
+        assert all(k > (ar, at) for k in nkeys)
+
+
 def test_export_endpoint(served, tmp_path):
     base, _ = served
     hot = datagen.stem(0)

@@ -2066,17 +2066,21 @@ class SearchEngine:
         batch); a standing significant-terms surface over corpus-sized
         matching sets should semi-join on a docid-bucketed key instead.
 
-        Requires a generation-free index (``error='needs_compaction'``
-        when a delta overlay exists — base segments don't reflect delta
-        postings; fold them first). Composes with the other filtering
-        surfaces like ``facets``.
+        Delta overlays fold exactly: the base-segment scan carries the
+        tombstone ranges as a second broadcast and counts only LIVE
+        postings (both fg membership and the per-block df partial), so
+        re-indexed conversations' stale base postings never contribute;
+        lemmas the overlay touches (``_delta_lemma``) are excluded from
+        the distributed top-k and re-scored driver-side from their
+        merged (overlay-folded) posting decode — delta-sized work, the
+        same frames the query path already memoizes. Results are pinned
+        identical to a fresh rebuild of the modified corpus. Composes
+        with the other filtering surfaces like ``facets``.
 
         -> {'result', 'count' (matching docs), 'data':
         pa.Table(rank, lemma, fg_docs, bg_docs, score), 'error'}
         """
         empty = SIG_TERMS_SCHEMA.empty_table()
-        if self._has_deltas:
-            return {**self._resp(error="needs_compaction"), "data": empty}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": empty}
         terms, err = self.plan(query_text)
@@ -2098,6 +2102,14 @@ class SearchEngine:
         n_docs = float(self.n_docs)
         qlems = sorted({t[0] for t in terms})
         kk = int(k)
+        overlay = self._has_deltas
+        tomb_ref = (
+            ray.put((np.ascontiguousarray(self._tomb_starts),
+                     np.ascontiguousarray(self._tomb_ends)))
+            if overlay else None
+        )
+        touched = sorted(set(self._delta_lemma) - set(qlems)) if overlay else []
+        skip_lems = sorted(set(qlems) | set(touched))
 
         def fg_partials(batch: pa.Table) -> pa.Table:
             import ray as _ray
@@ -2125,12 +2137,24 @@ class SearchEngine:
             member = np.zeros(len(docids), bool)
             inb = pos < len(m)
             member[inb] = m[pos[inb]] == docids[inb]
+            ts, te = _ray.get(tomb_ref) if tomb_ref is not None else (None, None)
+            if ts is not None and len(ts):
+                # overlay: count LIVE postings only — stale base postings
+                # of re-indexed/deleted conversations are masked by the
+                # broadcast tombstone ranges (the _tomb_keep_mask rule)
+                idx = np.searchsorted(ts, docids, side="right") - 1
+                idxc = np.clip(idx, 0, len(ts) - 1)
+                live = ~((idx >= 0) & (docids < te[idxc]))
+                member &= live
+                bg = np.add.reduceat(live.astype(np.int64), cum[:-1])
+            else:
+                bg = n
             fg = np.add.reduceat(member.astype(np.int64), cum[:-1])
             t = pa.table(
                 {
                     "lemma": batch.column("lemma"),
                     "fg": pa.array(fg, pa.int64()),
-                    "bg": pa.array(n, pa.int64()),
+                    "bg": pa.array(bg, pa.int64()),
                 }
             )
             g = t.group_by("lemma").aggregate([("fg", "sum"), ("bg", "sum")])
@@ -2150,7 +2174,7 @@ class SearchEngine:
                 pc.invert(
                     pc.is_in(
                         batch.column("lemma"),
-                        value_set=pa.array(qlems, pa.string()),
+                        value_set=pa.array(skip_lems, pa.string()),
                     )
                 ),
                 pc.greater(batch.column("fg"), 0),
@@ -2190,6 +2214,34 @@ class SearchEngine:
             .map_batches(score_topk, batch_format="pyarrow")
             .to_pandas()
         )
+        if touched:
+            # overlay-touched lemmas: exact merged (overlay-folded)
+            # postings decode — delta-sized lemma set, df-bounded work
+            # per lemma (the same frames the query path memoizes)
+            import pandas as pd
+
+            blocks = self._term_blocks(touched)
+            rows = []
+            for lem in touched:
+                bl = blocks[lem]
+                d = self._decode_term_docids(bl, bl.setdefault("chunks", {}))
+                if not len(d):
+                    continue
+                p2 = np.searchsorted(uniq, d)
+                inb2 = p2 < len(uniq)
+                fg_v = int((uniq[p2[inb2]] == d[inb2]).sum())
+                if not fg_v:
+                    continue
+                fgp = fg_v / n_fg
+                bgp = len(d) / n_docs
+                rows.append(
+                    (lem, fg_v, len(d), (fgp - bgp) * (fgp / bgp))
+                )
+            if rows:
+                parts = pd.concat(
+                    [parts, pd.DataFrame(rows, columns=["lemma", "fg", "bg", "score"])],
+                    ignore_index=True,
+                )
         parts = parts.sort_values(
             ["score", "lemma"], ascending=[False, True], kind="mergesort"
         ).head(kk)

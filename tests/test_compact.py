@@ -171,9 +171,13 @@ def test_compact_sig_terms_identical_to_rebuild(compact_env):
     """significant_terms over the COMPACTED (generation-free) index ==
     the same surface over a fresh rebuild of the final corpus — the
     folded segments feed the distributed fg scan exactly; the overlay
-    itself refuses with needs_compaction."""
+    serves the same rows BEFORE compaction too (the tombstone-masked
+    scan + touched-lemma driver fold)."""
     overlay = SearchEngine(compact_env["base_out"])
-    assert overlay.significant_terms(datagen.stem(0))["error"] == "needs_compaction"
+    ov = overlay.significant_terms(datagen.stem(0))
+    assert ov["result"]
+    rb0 = SearchEngine(compact_env["rebuilt_out"]).significant_terms(datagen.stem(0))
+    assert ov["data"].equals(rb0["data"])
     out = _fresh_overlay_copy(compact_env, "compacted-sig")
     assert compact.compact(out)["result"]
     compacted = SearchEngine(out)

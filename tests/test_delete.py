@@ -111,6 +111,12 @@ def test_delete_rank_identical_to_filtered_rebuild(del_env):
         fb = rebuilt.facets(q["query_text"], scope=q["scope"])
         assert fa["count"] == fb["count"], q["query_id"]
         assert fa["data"].equals(fb["data"]), q["query_id"]
+    # significant_terms folds the delete overlay (tombstone-masked scan
+    # + driver re-score of touched lemmas) — identical to the rebuild
+    sa = overlay.significant_terms(datagen.stem(0), k=10)
+    sb = rebuilt.significant_terms(datagen.stem(0), k=10)
+    assert sa["count"] == sb["count"]
+    assert sa["data"].equals(sb["data"])
 
 
 def test_delete_stacks_on_prior_delete(del_env, tiny_corpus):
@@ -241,6 +247,13 @@ def test_delete_whole_conversation(tmp_path, ray_session):
         reng.search("ordinary words", mode="phrase")
     assert pa_["count"] == pb_["count"]
     assert pa_["data"].equals(pb_["data"])
+    # sig_terms over the overlay: c-a's fully-tombstoned vocabulary must
+    # never surface (pure scan-mask path — the conv has NO delta rows),
+    # and the fold equals the rebuild exactly
+    sa = eng.significant_terms("ordinary", k=10)
+    sb = reng.significant_terms("ordinary", k=10)
+    assert sa["data"].equals(sb["data"])
+    assert "zapruder" not in sa["data"].column("lemma").to_pylist()
 
 
 def test_delete_after_reindex_uses_fresh_text(del_env, tiny_corpus, tmp_path):

@@ -374,16 +374,24 @@ def test_delta_export_serves_generation_correct_text(delta_env, tmp_path):
     assert any(mine["text"].str.count(datagen.stem(7)) >= 2)
 
 
-def test_delta_sig_terms_requires_compaction(delta_env):
-    """significant_terms scans the index SEGMENTS, which a delta overlay
-    does not reflect — the honest contract is an explicit
-    needs_compaction error (fold the generations first), while a fresh
-    rebuild of the modified corpus serves the surface directly."""
+def test_delta_sig_terms_identical_to_rebuild(delta_env):
+    """significant_terms folds the overlay exactly: the base-segment
+    scan masks tombstoned postings (fg AND the df partial), and
+    overlay-touched lemmas re-score driver-side from their merged
+    posting decode — (rank, lemma, fg, bg, score) rows identical to a
+    fresh rebuild of the modified corpus, integer counts AND float
+    scores (same IEEE op order on both paths)."""
     overlay = SearchEngine(delta_env["base_out"])
-    r = overlay.significant_terms(datagen.stem(0))
-    assert not r["result"] and r["error"] == "needs_compaction"
     rebuilt = SearchEngine(delta_env["rebuilt_out"])
-    assert rebuilt.significant_terms(datagen.stem(0))["result"]
+    for q in datagen.sig_queries():
+        ra = overlay.significant_terms(q["query_text"], scope=q["scope"], k=q["k"])
+        rb = rebuilt.significant_terms(q["query_text"], scope=q["scope"], k=q["k"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+    # the rewritten conversation's new vocabulary is visible to the
+    # overlay scan: probing a lemma only the delta contains must not
+    # crash and must match the rebuild (covered above via equality)
 
 
 def test_delta_turn_idx_out_of_range():

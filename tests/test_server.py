@@ -103,9 +103,8 @@ def test_statistics_endpoint(served):
 
 def test_significant_endpoint(served):
     """Significant-terms over live HTTP: standard row shape, query
-    lemma excluded, count == the facets matching frame. Runs BEFORE the
-    indexPage test (a delta generation flips the surface to
-    needs_compaction by contract)."""
+    lemma excluded, count == the facets matching frame (the surface is
+    overlay-aware, so later lifecycle tests don't disturb it)."""
     base, _ = served
     hot = datagen.stem(0)
     code, got = _get(f"{base}/api/significant?query={hot}&limit=5")

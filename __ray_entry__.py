@@ -867,6 +867,73 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_federated(sf_dir: str):
+    """Federated (shard-parallel) search: the corpus is conv-hash-split
+    into TWO shard corpora, each built as an independent index, and the
+    reference query set runs through FederatedEngine with merged global
+    stats — compared against the MONOLITHIC BM25 SQL oracle over the
+    full corpus, which makes the sharding-correctness invariant
+    (federated == monolithic, rank and score) a driver-checked fact."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from search_engine_ray import datagen
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.federate import FederatedEngine
+    from search_engine_ray.pipelines import build
+    from search_engine_ray.state.manifest import load_json
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    files = datagen.transcripts_files(tag)
+    root = os.path.join("/tmp/seray_builds", f"{tag}-fed")
+    os.makedirs(root, exist_ok=True)
+    shard_files = [os.path.join(root, f"shard{i}.parquet") for i in range(2)]
+    if not all(os.path.exists(f) for f in shard_files):
+        t = pads.dataset(files).to_table()
+        conv = t.column("conv_id").to_pylist()
+        assign = [
+            int(hashlib.md5(c.encode()).hexdigest(), 16) % 2 for c in conv
+        ]
+        for i, f in enumerate(shard_files):
+            pq.write_table(
+                t.filter(pa.array([a == i for a in assign])), f
+            )
+    shard_outs = []
+    for i, f in enumerate(shard_files):
+        out = os.path.join(root, f"idx{i}")
+        m = load_json(build.build_manifest_path(out))
+        if not m or m.get("state") != "DONE":
+            build.build_index(BuildConfig(
+                input_paths=[f], out_dir=out,
+                n_partitions=4, concurrency=4,
+            ))
+        shard_outs.append(out)
+    fed = FederatedEngine(shard_outs)
+    rows = []
+    for q in datagen.reference_queries():
+        r = fed.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append({
+                "query_id": q["query_id"],
+                "rank": rank,
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "score": round(row["score"], 6),
+            })
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id",
+                                     "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_composite(sf_dir: str):
     """Composite aggregation (the ES ``composite`` shape): per probe,
     one page of occurring (role, tool) pair buckets of the matching
@@ -1962,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_termvectors": _search_termvectors,
         "search_export": _search_export,
         "search_composite": _search_composite,
+        "search_federated": _search_federated,
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
@@ -2112,6 +2180,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_composite": lambda: oracle.composite_sql(
             _corpus_src(), datagen.composite_queries()
         ),
+        # federated search vs the MONOLITHIC oracle: the sharding
+        # invariant (two shard indexes == one union index) is the check
+        "search_federated": lambda: oracle.bm25_topk_sql(_corpus_src(), qs),
         "search_top_hits": lambda: oracle.top_hits_sql(_corpus_src(), qs),
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
         "search_sig_terms": lambda: oracle.significant_terms_sql(

@@ -187,6 +187,19 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    fs = sub.add_parser(
+        "fsearch", help="federated search across shard indexes (merged "
+        "global stats; bit-identical to one index over the union)"
+    )
+    fs.add_argument("query")
+    fs.add_argument("--outs", required=True,
+                    help="comma-separated shard index dirs")
+    fs.add_argument("--scope", default=None)
+    fs.add_argument("--offset", type=int, default=0)
+    fs.add_argument("--limit", type=int, default=10)
+    fs.add_argument("--conjunctive", action="store_true")
+    fs.add_argument("--snippets", action="store_true")
+
     cp = sub.add_parser(
         "composite", help="composite aggregation (ES composite): paged "
         "(role, tool) pair buckets of the matching set in key order, "
@@ -413,6 +426,26 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "fsearch":
+        from .federate import FederatedEngine
+
+        resp = FederatedEngine(
+            [d for d in a.outs.split(",") if d]
+        ).search(
+            a.query, scope=a.scope, offset=a.offset, limit=a.limit,
+            conjunctive=a.conjunctive, with_snippets=a.snippets,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

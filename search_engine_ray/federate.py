@@ -1,0 +1,190 @@
+"""Federated (shard-parallel) search — the multi-shard serving shape.
+
+The reference serves one MySQL-backed index
+(`/root/reference/src/main/java/searchengine/services/search/SearchServiceImpl.java:40-66`
+scores a site-filtered slice of a single `index` table). At 10^12 turns
+an index is never one artifact: the corpus is range-partitioned into
+SHARDS, each built independently (possibly on different nodes, possibly
+at different times), and a query fans out to every shard and merges.
+This module provides exactly that — and the correctness property that
+makes sharding safe:
+
+    **federated(shards) is BIT-IDENTICAL to one index built over the
+    union of the shards' corpora** — same counts, same top-k docs, same
+    float64 BM25 scores, same tie-breaks.
+
+That holds because every score input is globalized before any shard
+scores a posting:
+
+- ``N = Σ n_docs_i`` and ``avgdl = (Σ total_len_i) / N`` — the shard
+  manifests store ``total_len`` as an exact integer, so the merged
+  division is the very same float64 op the monolithic build performs;
+- per-term ``df = Σ df_i`` (each shard's overlay-exact merged posting
+  count — delta generations fold per shard before summation);
+- the reference's missing-lemma rule applies to the FEDERATION: a lemma
+  absent from every shard empties the result, a lemma absent from SOME
+  shards simply contributes nothing there (its docs lack it);
+- plan order (df ASC, lemma ASC) is computed on the merged dfs, so each
+  shard sums per-doc contributions in the monolithic term order (the
+  ``_aggregate`` reduceat order), keeping float64 summation bit-exact;
+- the global page merge re-applies the total order (score DESC, conv_id
+  ASC, turn_idx ASC) over the per-shard top-(offset+limit) prefixes —
+  per-shard prefixes suffice because shards partition the doc space.
+
+Scale shape: each shard scores only its own postings (the exhaustive
+scorer here — the per-shard work is the same as a single-index query at
+1/S the corpus), the driver merges S × (offset+limit) enriched rows,
+and nothing corpus-sized crosses shard boundaries. Shards with live
+delta generations fold their overlays exactly as single-index serving
+does (scores stay bit-identical to the rebuilt union — pinned by test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .config import DEFAULT_PAGE_SIZE
+from .search import RESULT_SCHEMA, SearchEngine
+
+
+class FederatedEngine:
+    """Search over multiple independent shard indexes with merged
+    global statistics. Shards must share the analyzer module and BM25
+    parameters (validated at construction — scoring parity is undefined
+    otherwise)."""
+
+    def __init__(self, out_dirs: list[str]):
+        if not out_dirs:
+            raise ValueError("FederatedEngine needs at least one shard")
+        self.shards = [SearchEngine(d) for d in out_dirs]
+        s0 = self.shards[0]
+        for s in self.shards[1:]:
+            if s.manifest["config"].get("analyzer_module") != s0.manifest[
+                "config"
+            ].get("analyzer_module") or (s.k1, s.b) != (s0.k1, s0.b):
+                raise ValueError(
+                    "shards disagree on analyzer/BM25 config — "
+                    "federated scoring would be undefined"
+                )
+        self.n_docs = sum(s.n_docs for s in self.shards)
+        total_len = 0
+        for s in self.shards:
+            if s._has_deltas:
+                # the overlay-corrected length sum: avgdl was computed as
+                # len_eff / n_eff with len_eff an exact int; float64
+                # round-trips integers < 2^52 exactly, so this recovers it
+                total_len += int(round(s.avgdl * s.n_docs))
+            else:
+                total_len += int(s.manifest["stats"]["total_len"])
+        # the monolithic build's own division (build.py stage B):
+        # avgdl = float(total_len) / n_docs
+        self.avgdl = (float(total_len) / self.n_docs) if self.n_docs else 1.0
+
+    def valid_scope(self, scope: str | None) -> bool:
+        return scope is None or any(s.valid_scope(scope) for s in self.shards)
+
+    def _merged_terms(self, query_text: str):
+        """(terms df-ascending-then-lexical with MERGED dfs, error) —
+        the federation-level plan(). Per shard the df is the
+        overlay-exact merged posting count (the single-index plan()
+        rule); a lemma absent everywhere -> the reference's
+        missing-lemma empty result."""
+        lemmas = self.shards[0]._analyzer.analyze_query(query_text)
+        if not lemmas:
+            return [], "empty_query"
+        uniq = list(dict.fromkeys(lemmas))
+        per_shard: list[dict[str, int]] = []
+        for s in self.shards:
+            dfs: dict[str, int] = {}
+            present = [
+                lem for lem in uniq
+                if s._df_of(lem) is not None
+                or (s._has_deltas and lem in s._delta_lemma)
+            ]
+            if present and s._has_deltas:
+                blocks = s._term_blocks(present)
+                for lem in present:
+                    dfs[lem] = int(blocks[lem]["cum_n"][-1])
+            else:
+                for lem in present:
+                    dfs[lem] = int(s._df_of(lem))
+            per_shard.append(dfs)
+        terms = []
+        for lem in uniq:
+            df = sum(d.get(lem, 0) for d in per_shard)
+            if df == 0:
+                return [], "no_results"
+            terms.append((lem, df))
+        terms.sort(key=lambda t: (t[1], t[0]))
+        return terms, None
+
+    def search(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        offset: int = 0,
+        limit: int = DEFAULT_PAGE_SIZE,
+        conjunctive: bool = False,
+        with_snippets: bool = False,
+    ) -> dict:
+        """Fan-out BM25 search, rank- and score-identical to a
+        monolithic index over the shards' combined corpus. -> the
+        single-index ``search()`` response shape."""
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0,
+                    "data": RESULT_SCHEMA.empty_table(), "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0,
+                    "data": RESULT_SCHEMA.empty_table(),
+                    "error": None if ok else err}
+        need = offset + limit
+        total = 0
+        tables = []
+        for s in self.shards:
+            if scope is not None and not s.valid_scope(scope):
+                continue  # the scope value does not occur in this shard
+            sterms = [
+                (lem, df) for lem, df in terms
+                if s._df_of(lem) is not None
+                or (s._has_deltas and lem in s._delta_lemma)
+            ]
+            if conjunctive and len(sterms) < len(terms):
+                continue  # a shard missing a lemma cannot satisfy AND
+            if not sterms:
+                continue
+            # pass only the shard-present terms (absent terms have no
+            # postings here and would contribute nothing — dropping them
+            # preserves the monolithic reduceat order for shard docs);
+            # dfs stay MERGED, so idf is global
+            save = (s.n_docs, s.avgdl)
+            s.n_docs, s.avgdl = self.n_docs, self.avgdl
+            try:
+                ids, scores = s.score_exhaustive(
+                    sterms, scope=scope, conjunctive=conjunctive
+                )
+            finally:
+                s.n_docs, s.avgdl = save
+            total += int(len(ids))
+            if not len(ids):
+                continue
+            sel = np.lexsort((ids, -scores))[:need]
+            tables.append(s._enrich(ids[sel], scores[sel], terms, with_snippets))
+        if not tables:
+            return {"result": True, "count": total,
+                    "data": RESULT_SCHEMA.empty_table(), "error": None}
+        merged = pa.concat_tables(tables)
+        conv = np.asarray(merged.column("conv_id").to_pylist(), dtype=np.str_)
+        turn = merged.column("turn_idx").to_numpy(zero_copy_only=False)
+        score = merged.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv, -score))[offset: offset + limit]
+        page = merged.take(pa.array(order))
+        return {"result": True, "count": total, "data": page, "error": None}
+
+
+def federated_search(out_dirs: list[str], query_text: str, **kwargs) -> dict:
+    """One-shot convenience wrapper (builds the merged stats each call —
+    hold a ``FederatedEngine`` for serving)."""
+    return FederatedEngine(out_dirs).search(query_text, **kwargs)

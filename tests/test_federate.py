@@ -1,0 +1,182 @@
+"""Federated (shard-parallel) search: the sharding-correctness property
+— federated(shards) is BIT-IDENTICAL to a monolithic index over the
+union of the shards' corpora (counts, top-k docs, float64 BM25 scores,
+tie-breaks). This is the invariant that makes range-partitioned serving
+safe at 10^12 turns."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.federate import FederatedEngine
+from search_engine_ray.pipelines import build, delta
+from search_engine_ray.search import SearchEngine
+
+QUERIES = datagen.reference_queries()
+
+
+def _split_by_conv(files, out_dir, n_shards=2):
+    """Deterministic conv-hash split of a corpus into shard corpora —
+    the range-partitioning stand-in (any disjoint cover works)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(files).to_table()
+    conv = t.column("conv_id").to_pylist()
+    assign = [
+        int(hashlib.md5(c.encode()).hexdigest(), 16) % n_shards for c in conv
+    ]
+    outs = []
+    for i in range(n_shards):
+        mask = pa.array([a == i for a in assign])
+        f = f"{out_dir}/shard{i}.parquet"
+        pq.write_table(t.filter(mask), f)
+        outs.append(f)
+    return outs
+
+
+@pytest.fixture(scope="module")
+def fed_env(tiny_corpus, tiny_index, ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("fed")
+    shard_files = _split_by_conv(tiny_corpus, str(root), 2)
+    shard_outs = []
+    for i, f in enumerate(shard_files):
+        out = str(root / f"idx{i}")
+        build.build_index(BuildConfig(
+            input_paths=[f], out_dir=out, n_partitions=2, concurrency=2
+        ))
+        shard_outs.append(out)
+    return {
+        "mono": SearchEngine(tiny_index["out_dir"]),
+        "fed": FederatedEngine(shard_outs),
+        "shard_outs": shard_outs,
+        "shard_files": shard_files,
+    }
+
+
+def test_merged_stats_bit_identical(fed_env):
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    assert fed.n_docs == mono.n_docs
+    assert fed.avgdl == mono.avgdl  # exact: same ints, same division
+
+
+def test_federated_rank_and_score_identical(fed_env):
+    """Every reference query: count, page rows and float64 scores equal
+    the monolithic engine bit-for-bit (exhaustive method on both sides
+    — blockmax equivalence to exhaustive is pinned elsewhere)."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    for q in QUERIES:
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                         method="exhaustive")
+        rf = fed.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert rf["result"] == rm["result"], q["query_id"]
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+
+
+def test_federated_pagination_and_conjunctive(fed_env):
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    hot = datagen.stem(0)
+    for off in (0, 5, 17):
+        rm = mono.search(hot, offset=off, limit=7, method="exhaustive")
+        rf = fed.search(hot, offset=off, limit=7)
+        assert rf["data"].equals(rm["data"]), off
+    q = f"{datagen.stem(120)} {datagen.stem(480)}"
+    rm = mono.search(q, conjunctive=True, method="exhaustive")
+    rf = fed.search(q, conjunctive=True)
+    assert rf["count"] == rm["count"]
+    assert rf["data"].equals(rm["data"])
+
+
+def test_federated_error_paths(fed_env):
+    fed = fed_env["fed"]
+    assert fed.search("  ")["error"] == "empty_query"
+    assert not fed.search("x", scope="no-such-role")["result"]
+    r = fed.search("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
+    # a lemma present in only SOME shards still scores globally
+    mono = fed_env["mono"]
+    rare = datagen.stem(5200)
+    rm = mono.search(rare, method="exhaustive")
+    rf = fed.search(rare)
+    assert rf["count"] == rm["count"] and rf["data"].equals(rm["data"])
+
+
+def test_federated_with_delta_shard(fed_env, tmp_path):
+    """A shard with a live delta generation federates exactly: re-index
+    one conversation in shard 0 from modified text, rebuild the same
+    modification monolithically, and the federation still matches the
+    monolithic engine bit-for-bit."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    s0_out = fed_env["shard_outs"][0]
+    mut_out = str(tmp_path / "idx0-mut")
+    shutil.copytree(s0_out, mut_out)
+    # pick a conv from shard 0 and rewrite its first turn
+    t0 = pads.dataset(fed_env["shard_files"][0]).to_table()
+    conv = t0.column("conv_id")[0].as_py()
+    mask = pa.compute.equal(t0.column("conv_id"), pa.scalar(conv))
+    slice_ = t0.filter(mask)
+    texts = slice_.column("text").to_pylist()
+    texts[0] = f"{datagen.stem(7)} rewritten {datagen.stem(7)}"
+    mod = slice_.set_column(
+        slice_.column_names.index("text"), "text",
+        pa.array(texts, pa.string()),
+    )
+    mod_file = str(tmp_path / "mod.parquet")
+    pq.write_table(mod, mod_file)
+    resp = delta.reindex_conversations(mut_out, [conv], [mod_file])
+    assert resp["result"]
+    fed = FederatedEngine([mut_out, fed_env["shard_outs"][1]])
+    # monolithic rebuild over (full corpus with the same rewrite)
+    full = pads.dataset(fed_env["mono"].transcripts_paths).to_table()
+    keep = pa.compute.not_equal(full.column("conv_id"), pa.scalar(conv))
+    rebuilt_corpus = pa.concat_tables(
+        [full.filter(keep).select(mod.column_names), mod]
+    )
+    rb_file = str(tmp_path / "rebuilt.parquet")
+    pq.write_table(rebuilt_corpus, rb_file)
+    rb_out = str(tmp_path / "rebuilt-idx")
+    build.build_index(BuildConfig(
+        input_paths=[rb_file], out_dir=rb_out, n_partitions=2, concurrency=2
+    ))
+    mono = SearchEngine(rb_out)
+    assert fed.n_docs == mono.n_docs
+    assert fed.avgdl == mono.avgdl
+    for q in [*QUERIES[:6], {"query_id": "x", "query_text": datagen.stem(7),
+                             "scope": None, "k": 10}]:
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=10,
+                         method="exhaustive")
+        rf = fed.search(q["query_text"], scope=q["scope"], limit=10)
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+
+
+def test_federated_cli(fed_env):
+    """fsearch subcommand over the two shard indexes == the monolithic
+    search CLI's rows (subprocess, real argv)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    outs = ",".join(fed_env["shard_outs"])
+    hot = datagen.stem(0)
+    p = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "fsearch", hot,
+         "--outs", outs, "--limit", "5"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = _json.loads(p.stdout.strip().splitlines()[-1])
+    rm = fed_env["mono"].search(hot, limit=5, method="exhaustive")
+    assert got["result"] and got["count"] == rm["count"]
+    exp = rm["data"].to_pylist()
+    assert len(got["data"]) == len(exp)
+    for g, e in zip(got["data"], exp):
+        assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+        assert abs(g["score"] - e["score"]) < 1e-12

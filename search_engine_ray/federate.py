@@ -184,6 +184,83 @@ class FederatedEngine:
         return {"result": True, "count": total, "data": page, "error": None}
 
 
+    def facets(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        by=("role", "tool"),
+    ) -> dict:
+        """Federated faceted counts: per-shard matching-set facet rows
+        sum per (facet, value) — exact because shards partition the doc
+        space — and re-sort into the monolithic (facet, value) order,
+        so the merged table is identical to one index over the union.
+        Missing-lemma rule applies at the federation level (a shard
+        missing a lemma contributes 0 to every bucket, mirroring the
+        monolithic union-of-postings matching set)."""
+        from .search import FACETS_SCHEMA
+
+        empty = FACETS_SCHEMA.empty_table()
+        if isinstance(by, str):
+            by = tuple(v.strip() for v in by.split(",") if v.strip())
+        by = tuple(by)
+        if not by or not set(by) <= {"role", "tool", "day"}:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_facet"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0, "data": empty,
+                    "error": None if ok else err}
+        total = 0
+        agg: dict[tuple[str, str], int] = {}
+        for s in self.shards:
+            if scope is not None and not s.valid_scope(scope):
+                continue
+            # shard-present subset of the merged terms (the shard-local
+            # missing-lemma rule must NOT apply — a lemma absent here is
+            # simply lacked by every shard doc, union semantics)
+            sterms = [
+                (lem, df) for lem, df in terms
+                if s._df_of(lem) is not None
+                or (s._has_deltas and lem in s._delta_lemma)
+            ]
+            if not sterms or (conjunctive and len(sterms) < len(terms)):
+                continue
+            uniq, codes = s._matching_set(sterms, scope, conjunctive)
+            if not len(uniq):
+                continue
+            total += int(len(uniq))
+            if "role" in by or "tool" in by:
+                pairs = s._code_pairs()
+                per_code = np.bincount(codes, minlength=len(pairs))
+                for code in np.flatnonzero(per_code):
+                    r_, t_ = pairs[code]
+                    n = int(per_code[code])
+                    if "role" in by:
+                        agg[("role", r_)] = agg.get(("role", r_), 0) + n
+                    if "tool" in by:
+                        agg[("tool", t_)] = agg.get(("tool", t_), 0) + n
+            if "day" in by:
+                tss = s._ts_of_ids(uniq)
+                days = (tss // 86_400_000_000).astype(np.int64)
+                du, dc = np.unique(days, return_counts=True)
+                for v, n in zip(du.astype("datetime64[D]").astype(str), dc):
+                    agg[("day", str(v))] = agg.get(("day", str(v)), 0) + int(n)
+        rows = sorted((f, v, n) for (f, v), n in agg.items())
+        tbl = pa.table(
+            {
+                "facet": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([r[1] for r in rows], pa.string()),
+                "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        return {"result": True, "count": total, "data": tbl, "error": None}
+
+
 def federated_search(out_dirs: list[str], query_text: str, **kwargs) -> dict:
     """One-shot convenience wrapper (builds the merged stats each call —
     hold a ``FederatedEngine`` for serving)."""

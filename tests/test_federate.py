@@ -180,3 +180,24 @@ def test_federated_cli(fed_env):
     for g, e in zip(got["data"], exp):
         assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
         assert abs(g["score"] - e["score"]) < 1e-12
+
+
+def test_federated_facets_identical_to_monolithic(fed_env):
+    """Federated facet counts (role / tool / day) == the monolithic
+    facets table for every reference query — per-shard matching frames
+    sum exactly because shards partition the doc space; shard-partial
+    lemmas keep union semantics (no shard-local missing-lemma rule)."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    for q in QUERIES:
+        fm = mono.facets(q["query_text"], scope=q["scope"],
+                         by=("role", "tool", "day"))
+        ff = fed.facets(q["query_text"], scope=q["scope"],
+                        by=("role", "tool", "day"))
+        assert ff["result"] == fm["result"], q["query_id"]
+        assert ff["count"] == fm["count"], q["query_id"]
+        assert ff["data"].equals(fm["data"]), q["query_id"]
+    # error paths mirror the single-index surface
+    assert fed.facets("x", by=("nope",))["error"] == "bad_facet"
+    assert fed.facets("  ")["error"] == "empty_query"
+    r = fed.facets("wqxqzq")
+    assert r["result"] and r["count"] == 0

@@ -250,6 +250,17 @@ def run_bench() -> dict:
                 datagen.percolate_queries(),
             ),
         )
+        # matching-set export: the distributed broadcast-semi-join scan
+        # of the text sources (mid-frequency slice — bounded output)
+        import shutil as _sh
+
+        _export_dest = f"/tmp/seray_bench_export_{tag}"
+        _sh.rmtree(_export_dest, ignore_errors=True)
+        _timed(
+            "ops_export",
+            lambda: eng.export(datagen.stem(4000), _export_dest) and None,
+        )
+        _sh.rmtree(_export_dest, ignore_errors=True)
         _timed(
             "ops_rel_pricing",
             lambda: rel_mod.pricing_summary(

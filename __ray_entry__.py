@@ -867,6 +867,35 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _suggest_query(sf_dir: str):
+    """Whole-query did-you-mean (the ES phrase-suggester shape): per
+    probe, the per-token best suggestion rows (exact-lemma presence
+    wins, else the (dist, df DESC, lemma) rule within max_dist);
+    unfixable tokens (engine dist -1) are dropped to mirror the SQL
+    twin's no-candidate behavior."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.suggest_query_probes():
+        r = eng.suggest_query(q["query_text"], max_dist=q["max_dist"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            if row["dist"] < 0:
+                continue
+            rows.append({"query_id": q["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "pos", "token",
+                                     "suggestion", "df", "dist"])
+    for c, t in (("pos", "int32"), ("df", "int64"), ("dist", "int32")):
+        df[c] = df[c].astype(t)
+    return df
+
+
 def _search_federated(sf_dir: str):
     """Federated (shard-parallel) search: the corpus is conv-hash-split
     into TWO shard corpora, each built as an independent index, and the
@@ -2049,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
+        "suggest_query": _suggest_query,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_fuzzy": _search_fuzzy,
@@ -2246,6 +2276,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "term_suggest": lambda: oracle.suggest_sql(
             _corpus_src(), datagen.suggest_queries()
+        ),
+        "suggest_query": lambda: oracle.suggest_query_sql(
+            _corpus_src(), datagen.suggest_query_probes()
         ),
         "search_min_match": lambda: oracle.bm25_min_match_sql(
             _corpus_src(), datagen.min_match_queries()

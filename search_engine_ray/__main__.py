@@ -187,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    dy = sub.add_parser(
+        "didyoumean", help="whole-query did-you-mean (ES phrase "
+        "suggester): per-token best vocabulary suggestion; prints the "
+        "corrected query"
+    )
+    dy.add_argument("query")
+    dy.add_argument("--out", required=True)
+    dy.add_argument("--max-dist", type=int, default=2)
+
     fs = sub.add_parser(
         "fsearch", help="federated search across shard indexes (merged "
         "global stats; bit-identical to one index over the union)"
@@ -426,6 +435,23 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "didyoumean":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).suggest_query(a.query, max_dist=a.max_dist)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "corrected": resp["corrected"],
+                    "changed": resp["changed"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

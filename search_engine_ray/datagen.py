@@ -605,6 +605,26 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def suggest_query_probes() -> list[dict]:
+    """Whole-query did-you-mean probes: deterministic typo mutations of
+    corpus stems (char swap, char drop, trailing junk), a clean query
+    (all dist 0), an inflected surface (present via its lemma), a
+    stopword-laced query, and an unfixable token."""
+    s120, s480, s300 = stem(120), stem(480), stem(300)
+    q = [
+        (f"{s120[:-1]} {s480}", 2),                 # dropped last char
+        (f"{s120[0]}{s120[2]}{s120[1]}{s120[3:]} the {s300}", 2),  # swap + stopword
+        (f"{s480}xq {s300}", 2),                     # trailing junk
+        (f"{s120} {s480}", 2),                       # clean
+        (f"{stem(1500)}s and {s300}", 1),            # plural folds to stem
+        ("wqxqzqwq", 1),                             # unfixable at dist 1
+    ]
+    return [
+        {"query_id": f"dq-{i:04d}", "query_text": t, "max_dist": d}
+        for i, (t, d) in enumerate(q)
+    ]
+
+
 def composite_queries() -> list[dict]:
     """Composite-aggregation probes: page 1 and an after-resumed page
     of the ultra-hot matching set, an uncapped page, a scoped page, and

@@ -2047,3 +2047,54 @@ SELECT p.query_id, p.role, p.tool, p.n_docs
 FROM paged p JOIN qok q ON q.query_id = p.query_id
 WHERE p.rn <= q.k
 """
+
+
+def suggest_query_sql(src: str, queries: list[dict]) -> str:
+    """Whole-query did-you-mean twin (the ES phrase-suggester shape):
+    tokenization/stopword filtering happens HERE at build time with the
+    same analyzer module the engine uses; per surviving token the
+    candidate set is (exact-lemma row) UNION (vocabulary within
+    max_dist edits of the normalized token), ranked (exact-lemma first,
+    dist ASC, df DESC, lemma ASC) take 1. Tokens with no candidate at
+    all emit nothing (the engine's dist = -1 rows are dropped by the
+    wrapper)."""
+    branches = []
+    for q in queries:
+        toks = [
+            t for t in analyzer.normalize_text(q["query_text"] or "").split()
+            if len(t) >= analyzer.MIN_TOKEN_LEN and t not in analyzer._STOPSET
+        ]
+        for pos, tok in enumerate(toks):
+            lem = analyzer.lemmatize_token(tok)
+            qt = analyzer._sql_quote(tok)
+            ql = analyzer._sql_quote(lem)
+            branches.append(
+                f"SELECT {analyzer._sql_quote(q['query_id'])} AS query_id, "
+                f"{pos} AS pos, {qt} AS token, lemma, df, "
+                f"CASE WHEN lemma = {ql} THEN 0 ELSE 1 END AS not_exact, "
+                f"levenshtein(lemma, {qt}) AS dist "
+                f"FROM dict WHERE lemma = {ql} "
+                f"OR levenshtein(lemma, {qt}) <= {int(q.get('max_dist', 2))}"
+            )
+    if not branches:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS pos, "
+            "CAST(NULL AS VARCHAR) AS token, CAST(NULL AS VARCHAR) AS suggestion, "
+            "CAST(NULL AS BIGINT) AS df, CAST(NULL AS INT) AS dist WHERE 1=0"
+        )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, CAST(count(*) AS BIGINT) AS df FROM __postings GROUP BY lemma),
+cand AS ({' UNION ALL '.join(branches)}),
+ranked AS (
+    SELECT query_id, pos, token, lemma, df, dist,
+           row_number() OVER (
+               PARTITION BY query_id, pos
+               ORDER BY not_exact, dist, df DESC, lemma
+           ) AS rk
+    FROM cand
+)
+SELECT query_id, CAST(pos AS INT) AS pos, token, lemma AS suggestion,
+       df, CAST(dist AS INT) AS dist
+FROM ranked WHERE rk = 1
+"""

@@ -137,6 +137,23 @@ def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     return prev[lb]
 
 
+def _lev(a: str, b: str) -> int:
+    """Exact unbounded Levenshtein (unit costs) — the dist column's
+    contract; DuckDB's ``levenshtein`` is the same DP."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _suggest_scan(tok: str, vocab_items, max_dist: int) -> list[tuple[str, int, int]]:
     """(lemma, df, dist) rows within max_dist of tok — the shared sweep
     of both suggest paths (in-memory dict / distributed parquet scan)."""
@@ -2578,6 +2595,68 @@ class SearchEngine:
             }
         )
 
+    def suggest_query(self, query_text: str, max_dist: int = 2) -> dict:
+        """Whole-query did-you-mean (the Elasticsearch phrase-suggester
+        shape, one candidate per token): normalize + stopword/length
+        filter the raw query with the index's analyzer rules, then per
+        surviving token — if its LEMMA is in the dictionary the token
+        needs no rescue (the lemma is the suggestion, its own df rides
+        along); otherwise the ``suggest`` rule picks the best
+        vocabulary candidate by (distance ASC, df DESC, lemma ASC)
+        within ``max_dist`` edits of the normalized token; a token with
+        no candidate at all keeps itself (dist -1, df 0 — visible but
+        unfixable). ``dist`` is always the EXACT unbounded edit
+        distance between suggestion and token (an inflected present
+        token legitimately shows dist > 0: 'running' -> lemma 'run').
+        ``corrected`` joins the suggestions in token order — feed it
+        back to ``search``. Base-dictionary semantics like ``suggest``
+        (delta drift bounded, documented there). -> {'result',
+        'corrected', 'changed': bool, 'count' (surviving tokens),
+        'data': pa.Table(pos, token, suggestion, df, dist), 'error'}"""
+        toks = [
+            t for t in analyzer.normalize_text(query_text or "").split()
+            if len(t) >= analyzer.MIN_TOKEN_LEN and t not in analyzer._STOPSET
+        ]
+        empty = SUGGEST_QUERY_SCHEMA.empty_table()
+        if not toks:
+            return {**self._resp(error="empty_query"), "data": empty,
+                    "corrected": "", "changed": False}
+        rows = []
+        for pos, tok in enumerate(toks):
+            lem = analyzer.lemmatize_token(tok)
+            df = self._df_of(lem)
+            if df is not None:
+                rows.append((pos, tok, lem, int(df), _lev(lem, tok)))
+                continue
+            cand = self.suggest(tok, max_dist=max_dist, k=1)
+            if cand.num_rows:
+                rows.append((
+                    pos, tok,
+                    cand.column("suggestion")[0].as_py(),
+                    int(cand.column("df")[0].as_py()),
+                    _lev(cand.column("suggestion")[0].as_py(), tok),
+                ))
+            else:
+                rows.append((pos, tok, tok, 0, -1))
+        corrected = " ".join(r[2] for r in rows)
+        tbl = pa.table(
+            {
+                "pos": pa.array([r[0] for r in rows], pa.int32()),
+                "token": pa.array([r[1] for r in rows], pa.string()),
+                "suggestion": pa.array([r[2] for r in rows], pa.string()),
+                "df": pa.array([r[3] for r in rows], pa.int64()),
+                "dist": pa.array([r[4] for r in rows], pa.int32()),
+            }
+        )
+        return {
+            "result": True,
+            "count": len(rows),
+            "corrected": corrected,
+            "changed": any(r[1] != r[2] for r in rows),
+            "data": tbl,
+            "error": None,
+        }
+
     # ---------------- phrase queries (positions) -----------------------
 
     @property
@@ -3524,6 +3603,16 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+SUGGEST_QUERY_SCHEMA = pa.schema(
+    [
+        ("pos", pa.int32()),
+        ("token", pa.string()),
+        ("suggestion", pa.string()),
+        ("df", pa.int64()),
+        ("dist", pa.int32()),
     ]
 )
 

@@ -32,6 +32,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/didYouMean?query=...[&max_dist=D]`` —
+  ``SearchEngine.suggest_query``: whole-query did-you-mean (the ES
+  phrase-suggester shape) — per-token best vocabulary suggestion plus
+  the joined ``corrected`` query.
 - ``GET /api/composite?query=...[&size=N][&after_role=&after_tool=]
   [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.facets_composite``:
   paged (role, tool) pair buckets of the matching set in composite key
@@ -373,6 +377,25 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/didYouMean":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].suggest_query(
+                    query, max_dist=int((q.get("max_dist") or ["2"])[0])
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "corrected": resp["corrected"],
+                        "changed": resp["changed"],
+                        "count": resp["count"],
+                        "error": resp["error"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

@@ -89,6 +89,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    dy = _run(["didyoumean", f"{datagen.stem(0)[:-1]}x {datagen.stem(11)}",
+               "--out", out])
+    assert dy["result"] and dy["changed"]
+    assert datagen.stem(0) in dy["corrected"]
+
     cpg = _run(["composite", datagen.stem(0), "--out", out, "--size", "2"])
     assert cpg["result"] and len(cpg["data"]) <= 2
     if cpg["after_key"]:

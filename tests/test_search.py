@@ -1361,3 +1361,47 @@ def test_composite_errors(engine):
     assert engine.facets_composite("x", size=0)["error"] == "bad_size"
     r = engine.facets_composite("wqxqzq")
     assert r["result"] and r["count"] == 0 and r["after_key"] is None
+
+
+def test_suggest_query_vs_duckdb_oracle(engine, duck):
+    """Per-token best-suggestion rows == the exact-lemma-first SQL twin
+    at sf0.001 (unfixable dist=-1 rows dropped on the engine side, the
+    twin's no-candidate behavior)."""
+    probes = datagen.suggest_query_probes()
+    sql = oracle.suggest_query_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["pos"])
+    n = 0
+    for p in probes:
+        r = engine.suggest_query(p["query_text"], max_dist=p["max_dist"])
+        got = [x for x in r["data"].to_pylist() if x["dist"] >= 0]
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        for g, x in zip(got, e):
+            assert (g["pos"], g["token"], g["suggestion"], g["df"], g["dist"]) \
+                == (x["pos"], x["token"], x["suggestion"], x["df"], x["dist"]), \
+                p["query_id"]
+            n += 1
+    assert n >= 8
+
+
+def test_suggest_query_behavior(engine):
+    """Clean queries come back unchanged; a typo'd stem is rescued to a
+    vocabulary lemma; the corrected string re-searches successfully."""
+    clean = f"{datagen.stem(120)} {datagen.stem(480)}"
+    r = engine.suggest_query(clean)
+    assert r["result"] and not r["changed"] and r["corrected"]
+    typo = f"{datagen.stem(120)[:-1]} {datagen.stem(480)}"
+    r2 = engine.suggest_query(typo)
+    assert r2["changed"]
+    rs = engine.search(r2["corrected"])
+    assert rs["result"] and rs["count"] > 0
+    # stopword-only -> empty_query; unfixable keeps itself with dist -1
+    assert engine.suggest_query("the and of")["error"] == "empty_query"
+    r3 = engine.suggest_query("wqxqzqwq", max_dist=1)
+    row = r3["data"].to_pylist()[0]
+    assert row["suggestion"] == row["token"] and row["dist"] == -1

@@ -201,6 +201,15 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_didyoumean_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/didYouMean?query={hot}x%20{datagen.stem(11)}")
+    assert code == 200 and got["result"] and got["changed"]
+    assert hot in got["corrected"]
+    assert {"pos", "token", "suggestion", "df", "dist"} <= set(got["data"][0])
+
+
 def test_composite_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

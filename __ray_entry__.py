@@ -867,6 +867,39 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_boosted(sf_dir: str):
+    """Query-time term boosting (the Lucene term^w weight): per probe,
+    BM25 top-k with per-lemma idf pre-scaling — scores compared at the
+    standard 6-dp rounding vs the parenthesization-mirrored SQL twin."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.boost_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       boosts=q["boosts"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append({
+                "query_id": q["query_id"],
+                "rank": rank,
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "score": round(row["score"], 6),
+            })
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id",
+                                     "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _suggest_query(sf_dir: str):
     """Whole-query did-you-mean (the ES phrase-suggester shape): per
     probe, the per-token best suggestion rows (exact-lemma presence
@@ -2079,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_near": _search_near,
         "term_suggest": _term_suggest,
         "suggest_query": _suggest_query,
+        "search_boosted": _search_boosted,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_fuzzy": _search_fuzzy,
@@ -2279,6 +2313,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "suggest_query": lambda: oracle.suggest_query_sql(
             _corpus_src(), datagen.suggest_query_probes()
+        ),
+        "search_boosted": lambda: oracle.bm25_boosted_sql(
+            _corpus_src(), datagen.boost_queries()
         ),
         "search_min_match": lambda: oracle.bm25_min_match_sql(
             _corpus_src(), datagen.min_match_queries()

@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--synonyms", default=None,
                    help="query-time synonym mapping 'key=v1|v2;key2=v3' "
                         "(Lucene SynonymQuery expand rewrite, bm25 mode)")
+    s.add_argument("--boost", default=None,
+                   help="query-time term boosting 'term=2.5;other=0.5' "
+                        "(Lucene term^w weight, bm25 mode)")
     s.add_argument("--after", nargs=3, metavar=("SCORE", "CONV_ID", "TURN_IDX"),
                    default=None,
                    help="cursor pagination: the last row of the previous page; "
@@ -331,7 +334,7 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
     elif a.cmd == "search":
-        from .search import SearchEngine, parse_synonyms_arg
+        from .search import SearchEngine, parse_boosts_arg, parse_synonyms_arg
 
         eng = SearchEngine(a.out)
         if a.group_by_conv:
@@ -356,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
                 order_by=a.order_by,
                 search_after=tuple(a.after) if a.after else None,
                 synonyms=parse_synonyms_arg(a.synonyms),
+                boosts=parse_boosts_arg(a.boost),
             )
         print(
             json.dumps(

@@ -605,6 +605,26 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def boost_queries() -> list[dict]:
+    """Query-time term-boosting probes: upweight the rare term of a
+    two-term query, downweight the hot one, a boost key that is not a
+    query term (no-op), an inflected boost key folding to a query
+    lemma, a 1.0 boost (bitwise no-op), and a scoped boosted query."""
+    q = [
+        (f"{stem(120)} {stem(480)}", None, {stem(480): 3.0}),
+        (f"{stem(120)} {stem(480)}", None, {stem(120): 0.25}),
+        (f"{stem(300)}", None, {stem(999): 5.0}),
+        (f"{stem(1500)} {stem(301)}", None, {f"{stem(1500)}s": 2.5}),
+        (f"{stem(10)} {stem(11)}", None, {stem(10): 1.0}),
+        (f"{stem(2048)} {stem(50)}", "assistant", {stem(50): 4.0}),
+    ]
+    return [
+        {"query_id": f"b-{i:04d}", "query_text": t, "scope": s,
+         "k": 10, "boosts": bo}
+        for i, (t, s, bo) in enumerate(q)
+    ]
+
+
 def suggest_query_probes() -> list[dict]:
     """Whole-query did-you-mean probes: deterministic typo mutations of
     corpus stems (char swap, char drop, trailing junk), a clean query

@@ -2098,3 +2098,83 @@ SELECT query_id, CAST(pos AS INT) AS pos, token, lemma AS suggestion,
        df, CAST(dist AS INT) AS dist
 FROM ranked WHERE rk = 1
 """
+
+
+def bm25_boosted_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Query-time term-boosting twin (the Lucene ``term^w`` weight):
+    the standard BM25 top-k skeleton with each term's contribution
+    multiplied by its per-(query, lemma) boost FIRST — the SQL
+    parenthesization ``((ln(...) * boost) * tf_part) / denom`` mirrors
+    the engine's pre-scaled-idf op order exactly, and coalesce(1.0)
+    keeps unboosted terms bitwise-identical to the plain oracle. Boost
+    keys are analyzer-normalized at build time like the synonyms
+    mapping."""
+    qmeta, qlem = _queries_values(queries)
+    brows = []
+    for q in queries:
+        for key, w in (q.get("boosts") or {}).items():
+            klems = analyzer.analyze_query(str(key))
+            if len(klems) == 1:
+                brows.append(
+                    f"('{q['query_id']}', '{klems[0]}', {float(w)!r})"
+                )
+    boosts = (
+        "(VALUES " + ", ".join(brows) + ") bs(query_id, lemma, boost)"
+        if brows
+        else "(SELECT NULL AS query_id, NULL AS lemma, "
+             "CAST(NULL AS DOUBLE) AS boost WHERE 1=0) bs"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+boosts AS (SELECT * FROM {boosts}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df,
+           coalesce(bs.boost, 1.0) AS boost
+    FROM qlem ql
+    JOIN dict d ON ql.lemma = d.lemma
+    LEFT JOIN boosts bs ON bs.query_id = ql.query_id AND bs.lemma = ql.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(((ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5)) * t.boost)
+                * (p.tf * ({k1} + 1.0)))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""

@@ -97,6 +97,26 @@ def parse_synonyms_arg(s: str | None) -> dict[str, list[str]] | None:
     return out or None
 
 
+def parse_boosts_arg(s: str | None) -> dict[str, float] | None:
+    """CLI/HTTP boost syntax: ``term=2.5;other=0.5`` -> {term: 2.5,
+    other: 0.5}. Empty/None -> None (no boosting); unparseable weights
+    are kept as strings so ``search`` reports ``bad_boosts`` instead of
+    silently dropping them."""
+    if not s:
+        return None
+    out: dict[str, object] = {}
+    for part in s.split(";"):
+        part = part.strip()
+        if not part or "=" not in part:
+            continue
+        key, _, val = part.partition("=")
+        try:
+            out[key.strip()] = float(val.strip())
+        except ValueError:
+            out[key.strip()] = val.strip()
+    return out or None
+
+
 def parse_boolean_query(text: str) -> tuple[list[str], str, str]:
     """Search-box boolean syntax -> (quoted phrases, loose-term text,
     NOT-term text). Double-quoted segments are exact-phrase constraints;
@@ -961,18 +981,26 @@ class SearchEngine:
         return int(1 + np.count_nonzero(np.diff(s)))
 
     def score_exhaustive(self, terms, scope=None, conjunctive=False,
-                         min_match: int | None = None):
+                         min_match: int | None = None,
+                         boosts: dict | None = None):
         """Brute-force vectorized scorer (the oracle form: decode every
         posting of every query term, fixed-order float64 sums).
         ``min_match`` keeps only docs containing at least that many
         DISTINCT query terms (Lucene minimum-should-match semantics;
-        ``conjunctive`` == min_match = n_terms)."""
+        ``conjunctive`` == min_match = n_terms). ``boosts`` is a
+        query-time per-lemma multiplicative weight (the Lucene
+        ``term^w`` boost): applied as a pre-scaled idf — ONE float64
+        multiply per term before any posting work, so a boost of 1.0 is
+        an exact no-op (x*1.0 == x bit-for-bit)."""
         blocks = self._term_blocks([t[0] for t in terms])
         lut = self._scope_lut(scope) if scope else None
         term_data = []
         for lem, df in terms:
             bl = blocks[lem]
-            term_data.append((self.idf(df), self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))))
+            idf = self.idf(df)
+            if boosts and lem in boosts:
+                idf = idf * float(boosts[lem])
+            term_data.append((idf, self._decode_term(bl, 0, len(bl["first"]), bl.setdefault("chunks", {}))))
         doc_parts, contrib_parts = [], []
         for docid, contrib in self._contributions(term_data, lut):
             doc_parts.append(docid)
@@ -3040,6 +3068,7 @@ class SearchEngine:
         order_by: str = "score",
         search_after: tuple | list | None = None,
         synonyms: dict | None = None,
+        boosts: dict | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -3077,6 +3106,15 @@ class SearchEngine:
         missing-lemma empty result — the mapping exists to RESCUE
         misses). Composes with every exhaustive-routed filter since it
         only rewrites the term set.
+        ``boosts`` (bm25 mode only) is query-time per-term boosting
+        {word: weight} — the Lucene ``term^w`` weight: each boosted
+        lemma's idf is pre-scaled by its positive factor (ONE float64
+        multiply per term, so weight 1.0 is an exact bitwise no-op),
+        then standard disjunctive BM25; keys pass through the analyzer
+        (each must analyze to exactly one lemma). Routes through the
+        exhaustive scorer like the other filtering surfaces (block-max
+        upper bounds are computed for unboosted idf) and composes with
+        them.
         ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
         pagination: return results STRICTLY AFTER that row in the
         relevance total order (score DESC, conv_id, turn_idx) — the
@@ -3102,6 +3140,26 @@ class SearchEngine:
             return self._resp(error="bad_order")
         if synonyms is not None and mode != "bm25":
             return self._resp(error="bad_synonyms")
+        if boosts is not None:
+            # query-time term boosting (the Lucene term^w weight):
+            # analyzer-normalize the keys, require positive finite
+            # factors; bm25 mode only (a boost rewrites idf, which the
+            # reference scorer and positional modes do not carry)
+            if mode != "bm25":
+                return self._resp(error="bad_boosts")
+            norm_boosts: dict[str, float] = {}
+            for key, w in boosts.items():
+                try:
+                    w = float(w)
+                except (TypeError, ValueError):
+                    return self._resp(error="bad_boosts")
+                if not (w > 0.0 and math.isfinite(w)):
+                    return self._resp(error="bad_boosts")
+                klems = self._analyzer.analyze_query(str(key))
+                if len(klems) != 1:
+                    return self._resp(error="bad_boosts")
+                norm_boosts[klems[0]] = w
+            boosts = norm_boosts
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -3290,7 +3348,7 @@ class SearchEngine:
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
         elif (min_match is not None or exclude is not None or ts_min is not None
               or ts_max is not None or collapse is not None or order_by != "score"
-              or search_after is not None):
+              or search_after is not None or boosts is not None):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -3299,7 +3357,7 @@ class SearchEngine:
             if min_match is not None and not 1 <= min_match <= len(terms):
                 return self._resp(count=0) if min_match > len(terms) else self._resp(error="bad_min_match")
             ids, scores = self.score_exhaustive(
-                terms, scope, conjunctive, min_match=min_match
+                terms, scope, conjunctive, min_match=min_match, boosts=boosts
             )
             excl = self._exclusion_docids(exclude) if exclude is not None else None
             if excl is not None and len(excl) and len(ids):

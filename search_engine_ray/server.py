@@ -98,7 +98,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from .search import SearchEngine, parse_synonyms_arg
+from .search import SearchEngine, parse_boosts_arg, parse_synonyms_arg
 from .stats import statistics
 
 # Minimal statistics-dashboard + search page (the reference's
@@ -258,6 +258,9 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         ),
                         synonyms=parse_synonyms_arg(
                             (q.get("synonyms") or [None])[0]
+                        ),
+                        boosts=parse_boosts_arg(
+                            (q.get("boost") or [None])[0]
                         ),
                     )
                 self._send(

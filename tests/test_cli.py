@@ -89,6 +89,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    bq = f"{datagen.stem(10)} {datagen.stem(11)}"
+    b1 = _run(["search", bq, "--out", out, "--limit", "5",
+               "--boost", f"{datagen.stem(11)}=1.0"])
+    b0 = _run(["search", bq, "--out", out, "--limit", "5"])
+    assert b1["result"] and b1["data"] == b0["data"]  # 1.0 = exact no-op
+
     dy = _run(["didyoumean", f"{datagen.stem(0)[:-1]}x {datagen.stem(11)}",
                "--out", out])
     assert dy["result"] and dy["changed"]

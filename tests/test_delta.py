@@ -323,6 +323,20 @@ def test_delta_termvectors_identical_to_rebuild(delta_env):
     assert next(x["tf"] for x in tv if x["lemma"] == datagen.stem(7)) == 2
 
 
+def test_delta_boosts_identical_to_rebuild(delta_env):
+    """Boosted search rides the overlay-folded exhaustive scorer with
+    merged dfs — boosted pages equal a fresh rebuild bit-for-bit."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.boost_queries():
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            boosts=q["boosts"])
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            boosts=q["boosts"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_composite_identical_to_rebuild(delta_env):
     """facets_composite rides the overlay-folded matching codes — paged
     buckets equal a fresh rebuild, including an after-resumed page."""

@@ -1405,3 +1405,66 @@ def test_suggest_query_behavior(engine):
     r3 = engine.suggest_query("wqxqzqwq", max_dist=1)
     row = r3["data"].to_pylist()[0]
     assert row["suggestion"] == row["token"] and row["dist"] == -1
+
+
+def test_boosts_one_is_bitwise_noop(engine):
+    """boost 1.0 multiplies idf by 1.0 — an exact float64 no-op — so
+    the boosted result table is BIT-IDENTICAL to the plain search."""
+    for q in QUERIES[:6]:
+        plain = engine.search(q["query_text"], scope=q["scope"], limit=10,
+                              method="exhaustive")
+        lem = engine._analyzer.analyze_query(q["query_text"])[0]
+        boosted = engine.search(q["query_text"], scope=q["scope"], limit=10,
+                                boosts={lem: 1.0})
+        assert boosted["count"] == plain["count"], q["query_id"]
+        assert boosted["data"].equals(plain["data"]), q["query_id"]
+
+
+def test_boosts_vs_duckdb_oracle(engine, duck):
+    """Boosted top-k == the parenthesization-mirrored SQL twin at
+    sf0.001 (6-dp rounded scores, exact ranks)."""
+    probes = datagen.boost_queries()
+    sql = oracle.bm25_boosted_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    n = 0
+    for p in probes:
+        r = engine.search(p["query_text"], scope=p["scope"], limit=p["k"],
+                          boosts=p["boosts"])
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        for i, (g, x) in enumerate(zip(got, e)):
+            assert (g["conv_id"], g["turn_idx"]) == (x["conv_id"], x["turn_idx"]), \
+                (p["query_id"], i)
+            assert abs(round(g["score"], 6) - x["score"]) <= 2e-6
+            n += 1
+    assert n >= 20
+
+
+def test_boosts_semantics_and_errors(engine):
+    """Upweighting a term raises docs rich in it; errors on bad input;
+    composes with the other exhaustive-routed filters."""
+    a, b = datagen.stem(120), datagen.stem(480)
+    q = f"{a} {b}"
+    plain = engine.search(q, limit=30)["data"].to_pylist()
+    heavy = engine.search(q, limit=30, boosts={b: 50.0})["data"].to_pylist()
+    # under a massive boost, the top doc must contain the boosted term
+    top = heavy[0]
+    ex = engine.explain(q, top["conv_id"], top["turn_idx"])
+    tf_b = next(r for r in ex["data"].to_pylist() if r["lemma"] ==
+                engine._analyzer.analyze_query(b)[0])["tf"]
+    assert tf_b > 0
+    assert [(r["conv_id"], r["turn_idx"]) for r in heavy] != \
+        [(r["conv_id"], r["turn_idx"]) for r in plain]
+    assert engine.search(q, boosts={a: 0.0})["error"] == "bad_boosts"
+    assert engine.search(q, boosts={a: -1})["error"] == "bad_boosts"
+    assert engine.search(q, boosts={a: "x"})["error"] == "bad_boosts"
+    assert engine.search(q, boosts={"two words": 2.0})["error"] == "bad_boosts"
+    assert engine.search(q, mode="phrase", boosts={a: 2.0})["error"] == "bad_boosts"
+    rc = engine.search(q, boosts={b: 3.0}, conjunctive=True)
+    assert rc["result"] and rc["count"] == engine.search(q, conjunctive=True)["count"]

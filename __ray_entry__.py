@@ -867,6 +867,32 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_histogram(sf_dir: str):
+    """Fixed-interval histogram aggregation (the ES ``histogram`` /
+    fixed-interval ``date_histogram``): per probe, matching-doc counts
+    per (v // interval) * interval bucket over doc_len or epoch-µs ts
+    — pure integer math, hash-exact vs the SQL twin."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.histogram_queries():
+        r = eng.histogram(q["query_text"], field=q["field"],
+                          interval=q["interval"], scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": q["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "bucket", "n_docs"])
+    for c in ("bucket", "n_docs"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _search_boosted(sf_dir: str):
     """Query-time term boosting (the Lucene term^w weight): per probe,
     BM25 top-k with per-lemma idf pre-scaling — scores compared at the
@@ -2113,6 +2139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_suggest": _term_suggest,
         "suggest_query": _suggest_query,
         "search_boosted": _search_boosted,
+        "search_histogram": _search_histogram,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_fuzzy": _search_fuzzy,
@@ -2316,6 +2343,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_boosted": lambda: oracle.bm25_boosted_sql(
             _corpus_src(), datagen.boost_queries()
+        ),
+        "search_histogram": lambda: oracle.histogram_sql(
+            _corpus_src(), datagen.histogram_queries()
         ),
         "search_min_match": lambda: oracle.bm25_min_match_sql(
             _corpus_src(), datagen.min_match_queries()

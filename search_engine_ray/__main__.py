@@ -190,6 +190,17 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    hg = sub.add_parser(
+        "histogram", help="fixed-interval numeric bucket counts over "
+        "the matching set (ES histogram agg; field doc_len or ts)"
+    )
+    hg.add_argument("query")
+    hg.add_argument("--out", required=True)
+    hg.add_argument("--field", choices=["doc_len", "ts"], default="doc_len")
+    hg.add_argument("--interval", type=int, default=10)
+    hg.add_argument("--scope", default=None)
+    hg.add_argument("--conjunctive", action="store_true")
+
     dy = sub.add_parser(
         "didyoumean", help="whole-query did-you-mean (ES phrase "
         "suggester): per-token best vocabulary suggestion; prints the "
@@ -439,6 +450,24 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "histogram":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).histogram(
+            a.query, field=a.field, interval=a.interval, scope=a.scope,
+            conjunctive=a.conjunctive,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

@@ -605,6 +605,25 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def histogram_queries() -> list[dict]:
+    """Histogram probes: doc_len buckets of the ultra-hot set (fine and
+    coarse intervals), a scoped doc_len histogram, a fixed 7-day ts
+    histogram, and an absent lemma (empty)."""
+    week_us = 7 * 86_400_000_000
+    q = [
+        (f"{stem(0)}", "doc_len", 8, None),
+        (f"{stem(0)}", "doc_len", 64, None),
+        (f"{stem(2048)}", "doc_len", 16, "assistant"),
+        (f"{stem(4000)}", "ts", week_us, None),
+        ("wqxqzq", "doc_len", 8, None),
+    ]
+    return [
+        {"query_id": f"h-{i:04d}", "query_text": t, "field": f,
+         "interval": n, "scope": s, "k": 10}
+        for i, (t, f, n, s) in enumerate(q)
+    ]
+
+
 def boost_queries() -> list[dict]:
     """Query-time term-boosting probes: upweight the rare term of a
     two-term query, downweight the hot one, a boost key that is not a

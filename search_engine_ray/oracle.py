@@ -2178,3 +2178,58 @@ SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
 FROM ranked r
 WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
+
+
+def histogram_sql(src: str, queries: list[dict]) -> str:
+    """Fixed-interval histogram twin (the ES ``histogram`` /
+    fixed-interval ``date_histogram`` shape): per query, matching-doc
+    counts grouped by ``(v // interval) * interval`` over doc_len or
+    epoch-µs ts — pure integer math on both sides. Probes carry their
+    own field and interval."""
+    qmeta, qlem = _queries_values(queries)
+    frows = ", ".join(
+        f"('{q['query_id']}', '{q['field']}', {int(q['interval'])})"
+        for q in queries
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS dl
+    FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (
+    SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+fields AS (SELECT * FROM (VALUES {frows}) fl(query_id, field, interval)),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matchd AS (
+    SELECT DISTINCT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+),
+vals AS (
+    SELECT m.query_id, f.interval,
+           CASE WHEN f.field = 'doc_len' THEN coalesce(dl.dl, 0)
+                ELSE mt.ts_us END AS v
+    FROM matchd m
+    JOIN fields f ON f.query_id = m.query_id
+    LEFT JOIN doclen dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    JOIN meta mt ON mt.conv_id = m.conv_id AND mt.turn_idx = m.turn_idx
+)
+SELECT query_id, (v // interval) * interval AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM vals GROUP BY 1, 2
+"""

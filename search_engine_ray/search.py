@@ -2010,6 +2010,59 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(codes)), "data": tbl, "error": None}
 
+    def histogram(
+        self,
+        query_text: str,
+        field: str = "doc_len",
+        interval: int = 10,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Fixed-interval numeric bucket counts over the FULL matching
+        set (the Elasticsearch ``histogram`` aggregation; on ``ts`` it
+        is the fixed-interval ``date_histogram`` — the calendar-day
+        variant lives in ``facets(by=('day',))``). ``bucket = (v //
+        interval) * interval`` — pure integer math, so every count is
+        hash-exact; empty buckets are omitted (ES ``min_doc_count=1``
+        semantics). Values ride the same matching-set frames ``metrics``
+        uses (``_dl_of_ids`` / ``_ts_of_ids``, overlay-aware); composes
+        with every filtering surface. -> {'result', 'count', 'data':
+        pa.Table(bucket, n_docs), 'error'}"""
+        empty = HISTOGRAM_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {**self._resp(error="bad_field"), "data": empty}
+        if not isinstance(interval, int) or interval <= 0:
+            return {**self._resp(error="bad_interval"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        v = (
+            self._dl_of_ids(uniq) if field == "doc_len"
+            else self._ts_of_ids(uniq)
+        ).astype(np.int64)
+        buckets = (v // interval) * interval
+        bu, bc = np.unique(buckets, return_counts=True)
+        tbl = pa.table(
+            {
+                "bucket": pa.array(bu, pa.int64()),
+                "n_docs": pa.array(bc.astype(np.int64), pa.int64()),
+            }
+        )
+        return {"result": True, "count": int(len(uniq)), "data": tbl,
+                "error": None}
+
     def facets_composite(
         self,
         query_text: str,
@@ -3661,6 +3714,13 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+HISTOGRAM_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_docs", pa.int64()),
     ]
 )
 

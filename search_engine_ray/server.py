@@ -32,6 +32,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/histogram?query=...[&field=doc_len|ts][&interval=N]
+  [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.histogram``:
+  fixed-interval numeric bucket counts over the matching set (the ES
+  ``histogram`` aggregation).
 - ``GET /api/didYouMean?query=...[&max_dist=D]`` —
   ``SearchEngine.suggest_query``: whole-query did-you-mean (the ES
   phrase-suggester shape) — per-token best vocabulary suggestion plus
@@ -380,6 +384,27 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/histogram":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].histogram(
+                    query,
+                    field=(q.get("field") or ["doc_len"])[0],
+                    interval=int((q.get("interval") or ["10"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

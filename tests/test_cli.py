@@ -89,6 +89,9 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    hg = _run(["histogram", datagen.stem(0), "--out", out, "--interval", "16"])
+    assert hg["result"] and sum(x["n_docs"] for x in hg["data"]) == hg["count"]
+
     bq = f"{datagen.stem(10)} {datagen.stem(11)}"
     b1 = _run(["search", bq, "--out", out, "--limit", "5",
                "--boost", f"{datagen.stem(11)}=1.0"])

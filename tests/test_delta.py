@@ -323,6 +323,20 @@ def test_delta_termvectors_identical_to_rebuild(delta_env):
     assert next(x["tf"] for x in tv if x["lemma"] == datagen.stem(7)) == 2
 
 
+def test_delta_histogram_identical_to_rebuild(delta_env):
+    """histogram rides the overlay-folded matching set + the spliced
+    per-doc value frames — buckets equal a fresh rebuild exactly."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.histogram_queries():
+        ra = overlay.histogram(q["query_text"], field=q["field"],
+                               interval=q["interval"], scope=q["scope"])
+        rb = rebuilt.histogram(q["query_text"], field=q["field"],
+                               interval=q["interval"], scope=q["scope"])
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_boosts_identical_to_rebuild(delta_env):
     """Boosted search rides the overlay-folded exhaustive scorer with
     merged dfs — boosted pages equal a fresh rebuild bit-for-bit."""

@@ -1468,3 +1468,40 @@ def test_boosts_semantics_and_errors(engine):
     assert engine.search(q, mode="phrase", boosts={a: 2.0})["error"] == "bad_boosts"
     rc = engine.search(q, boosts={b: 3.0}, conjunctive=True)
     assert rc["result"] and rc["count"] == engine.search(q, conjunctive=True)["count"]
+
+
+def test_histogram_vs_duckdb_oracle(engine, duck):
+    """Bucket counts == the integer floor-division SQL twin at sf0.001;
+    sum over buckets == the matching count; buckets ascending."""
+    probes = datagen.histogram_queries()
+    sql = oracle.histogram_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["bucket"])
+    n = 0
+    for p in probes:
+        r = engine.histogram(p["query_text"], field=p["field"],
+                             interval=p["interval"], scope=p["scope"])
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        assert sum(g["n_docs"] for g in got) == r["count"]
+        bks = [g["bucket"] for g in got]
+        assert bks == sorted(bks)
+        for g, x in zip(got, e):
+            assert (g["bucket"], g["n_docs"]) == (x["bucket"], x["n_docs"]), \
+                p["query_id"]
+            n += 1
+    assert n >= 8
+
+
+def test_histogram_errors(engine):
+    assert engine.histogram("x", field="nope")["error"] == "bad_field"
+    assert engine.histogram("x", interval=0)["error"] == "bad_interval"
+    assert engine.histogram("x", scope="nope")["error"] == "bad_scope"
+    assert engine.histogram("  ")["error"] == "empty_query"
+    r = engine.histogram("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0

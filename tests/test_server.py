@@ -201,6 +201,15 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_histogram_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/histogram?query={hot}&interval=16")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert sum(x["n_docs"] for x in got["data"]) == got["count"]
+    assert all(x["bucket"] % 16 == 0 for x in got["data"])
+
+
 def test_didyoumean_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

@@ -867,6 +867,28 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _search_analyze(sf_dir: str):
+    """Analysis introspection (the ES ``_analyze`` API): crafted probe
+    texts through the engine's Arrow-kernel analyzer chain vs the
+    independent DuckDB lower/RE2/suffix-CASE twin — (pos, token,
+    lemma) rows, pos being the positional-index coordinate."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for p in datagen.analyze_probes():
+        r = eng.analyze(p["text"])
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": p["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "pos", "token", "lemma"])
+    df["pos"] = df["pos"].astype("int32")
+    return df
+
+
 def _search_histogram(sf_dir: str):
     """Fixed-interval histogram aggregation (the ES ``histogram`` /
     fixed-interval ``date_histogram``): per probe, matching-doc counts
@@ -2140,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_query": _suggest_query,
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
+        "search_analyze": _search_analyze,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_fuzzy": _search_fuzzy,
@@ -2347,6 +2370,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_histogram": lambda: oracle.histogram_sql(
             _corpus_src(), datagen.histogram_queries()
         ),
+        "search_analyze": lambda: oracle.analyze_sql(datagen.analyze_probes()),
         "search_min_match": lambda: oracle.bm25_min_match_sql(
             _corpus_src(), datagen.min_match_queries()
         ),

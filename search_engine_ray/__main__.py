@@ -190,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    az = sub.add_parser(
+        "analyze", help="analysis introspection (ES _analyze): run text "
+        "through the index's analyzer chain — (pos, token, lemma) per "
+        "surviving token; pos is the positional-index coordinate"
+    )
+    az.add_argument("text")
+    az.add_argument("--out", required=True)
+
     hg = sub.add_parser(
         "histogram", help="fixed-interval numeric bucket counts over "
         "the matching set (ES histogram agg; field doc_len or ts)"
@@ -450,6 +458,21 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "analyze":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).analyze(a.text)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

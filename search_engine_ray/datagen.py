@@ -605,6 +605,26 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def analyze_probes() -> list[dict]:
+    """Analyze-API probes: fixed crafted texts exercising every
+    analyzer rule — punctuation folding, case, stopwords, min-length,
+    digits, suffix-rule lemmatization (plural/ing/ed), apostrophes,
+    unicode fold, and whitespace-only (zero rows)."""
+    texts = [
+        "The Quick-Brown FOXES were running!!  42 times, OK?",
+        f"{stem(120)}s and {stem(480)}ing; {stem(300)}ed...",
+        "a an of to x y",                 # stopwords + sub-min-length only
+        "don't  CAN'T  it's  o'clock",    # apostrophe folds to space
+        "café naïve résumé",  # unicode folds at non-ascii
+        "   ",
+        "under_score.dot/slash:colon,comma",
+    ]
+    return [
+        {"query_id": f"az-{i:04d}", "text": t}
+        for i, t in enumerate(texts)
+    ]
+
+
 def histogram_queries() -> list[dict]:
     """Histogram probes: doc_len buckets of the ultra-hot set (fine and
     coarse intervals), a scoped doc_len histogram, a fixed 7-day ts

@@ -2233,3 +2233,45 @@ SELECT query_id, (v // interval) * interval AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM vals GROUP BY 1, 2
 """
+
+
+def analyze_sql(probes: list[dict]) -> str:
+    """Analysis-introspection twin (the ES ``_analyze`` shape): the
+    probe texts run through the SQL analyzer chain — DuckDB lower/RE2
+    fold/split + the generated suffix-rule CASE — independently of the
+    engine's Arrow kernels; ``pos`` is the surviving-token ordinal (the
+    positional index coordinate). Needs no source relation at all."""
+    vals = ", ".join(
+        f"({analyzer._sql_quote(p['query_id'])}, {analyzer._sql_quote(p['text'])})"
+        for p in probes
+    )
+    return f"""
+WITH probes AS (SELECT * FROM (VALUES {vals}) p(query_id, txt)),
+s AS (
+    SELECT query_id,
+           string_split(trim(regexp_replace(lower(txt),
+               '{analyzer.NON_WORD_REGEX}', ' ', 'g')), ' ') AS toks
+    FROM probes
+),
+nums AS (
+    -- DuckDB's generate_series takes no lateral refs: a fixed 1..512
+    -- series cross-joined then length-filtered (probe texts are short)
+    SELECT CAST(i AS INT) AS i FROM generate_series(1, 512) g(i)
+),
+tok AS (
+    SELECT query_id, n.i AS raw_i, toks[n.i] AS tok
+    FROM s CROSS JOIN nums n
+    WHERE n.i <= len(toks)
+),
+surv AS (
+    SELECT query_id, tok,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY raw_i
+           ) - 1 AS INT) AS pos
+    FROM tok
+    WHERE length(tok) >= {analyzer.MIN_TOKEN_LEN}
+      AND tok NOT IN ({analyzer.stopword_sql_list()})
+)
+SELECT query_id, pos, tok AS token, {analyzer.lemma_case_sql('tok')} AS lemma
+FROM surv
+"""

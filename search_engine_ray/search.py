@@ -1670,6 +1670,30 @@ class SearchEngine:
             "error": None,
         }
 
+    def analyze(self, text: str) -> dict:
+        """Analysis introspection (the Elasticsearch ``_analyze`` API):
+        run arbitrary text through the index's OWN analyzer chain and
+        return one row per SURVIVING token — (pos, token, lemma) where
+        ``pos`` is the surviving-token ordinal, the exact coordinate
+        the positional index stores (phrase/near queries match on it).
+        Pure per-call compute, no index access beyond the analyzer
+        module binding. -> {'result', 'count', 'data': pa.Table(pos,
+        token, lemma), 'error'}"""
+        toks = [
+            t for t in analyzer.normalize_text(text or "").split()
+            if len(t) >= analyzer.MIN_TOKEN_LEN and t not in analyzer._STOPSET
+        ]
+        lems = [self._analyzer.analyze_query(t) or [t] for t in toks]
+        tbl = pa.table(
+            {
+                "pos": pa.array(range(len(toks)), pa.int32()),
+                "token": pa.array(toks, pa.string()),
+                "lemma": pa.array([l[0] for l in lems], pa.string()),
+            }
+        )
+        return {"result": True, "count": len(toks), "data": tbl,
+                "error": None}
+
     def termvectors(self, conv_id: str, turn_idx: int) -> dict:
         """Per-document term statistics (the Elasticsearch
         ``_termvectors`` API with ``term_statistics=true``): one row per

@@ -32,6 +32,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/analyze?text=...`` — ``SearchEngine.analyze``: analysis
+  introspection (the ES ``_analyze`` API) — (pos, token, lemma) per
+  surviving token of the index's analyzer chain.
 - ``GET /api/histogram?query=...[&field=doc_len|ts][&interval=N]
   [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.histogram``:
   fixed-interval numeric bucket counts over the matching set (the ES
@@ -384,6 +387,18 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/analyze":
+                text = (q.get("text") or [""])[0]
+                resp = state["engine"].analyze(text)
+                self._send(
+                    200,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

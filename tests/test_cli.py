@@ -89,6 +89,10 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    az = _run(["analyze", "The Quick FOXES ran!", "--out", out])
+    assert az["result"] and [x["token"] for x in az["data"]] == \
+        ["quick", "foxes", "ran"]
+
     hg = _run(["histogram", datagen.stem(0), "--out", out, "--interval", "16"])
     assert hg["result"] and sum(x["n_docs"] for x in hg["data"]) == hg["count"]
 

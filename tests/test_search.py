@@ -1505,3 +1505,44 @@ def test_histogram_errors(engine):
     assert engine.histogram("  ")["error"] == "empty_query"
     r = engine.histogram("wqxqzq")
     assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
+
+
+def test_analyze_vs_duckdb_oracle(engine, duck):
+    """(pos, token, lemma) rows == the independent DuckDB analyzer
+    twin for every crafted probe — the tokenizer/stopword/suffix-rule
+    chain cross-checked implementation-against-implementation."""
+    probes = datagen.analyze_probes()
+    sql = oracle.analyze_sql(probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["pos"])
+    n = 0
+    for p in probes:
+        got = engine.analyze(p["text"])["data"].to_pylist()
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        for g, x in zip(got, e):
+            assert (g["pos"], g["token"], g["lemma"]) == \
+                (x["pos"], x["token"], x["lemma"]), p["query_id"]
+            n += 1
+    assert n >= 12
+    # pos IS the positional coordinate: analyze of an indexed doc's
+    # text matches the analyzed stream the phrase index stores
+    r0 = engine.analyze("")
+    assert r0["result"] and r0["count"] == 0
+
+
+def test_analyze_matches_indexed_positions(engine):
+    """analyze() of a real doc's text reproduces the doc's term
+    frequencies exactly (cross-check vs termvectors' re-analysis)."""
+    hit = engine.search(datagen.stem(0), limit=1)["data"].to_pylist()[0]
+    text = engine._text_of(hit["conv_id"], hit["turn_idx"])
+    az = engine.analyze(text)["data"].to_pylist()
+    tv = engine.termvectors(hit["conv_id"], hit["turn_idx"])["data"].to_pylist()
+    from collections import Counter
+    counts = Counter(r["lemma"] for r in az)
+    assert counts == {r["lemma"]: r["tf"] for r in tv}
+    assert [r["pos"] for r in az] == list(range(len(az)))

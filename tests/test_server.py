@@ -201,6 +201,13 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_analyze_endpoint(served):
+    base, _ = served
+    code, got = _get(f"{base}/api/analyze?text=The%20Quick%20FOXES%20ran!")
+    assert code == 200 and got["result"] and got["count"] == 3
+    assert [x["lemma"] for x in got["data"]] == ["quick", "fox", "ran"]
+
+
 def test_histogram_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

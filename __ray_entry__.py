@@ -867,6 +867,29 @@ def _search_explain(sf_dir: str):
     return df
 
 
+def _term_complete(sf_dir: str):
+    """Completion suggester (ES suggest-as-you-type): per probe prefix,
+    the top-k dictionary lemmas in the contiguous lemma-sorted range,
+    ranked (df DESC, lemma ASC) — all-integer df compare."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for p in datagen.complete_probes():
+        r = eng.complete(p["prefix"], k=p["k"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": p["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "lemma", "df"])
+    df["df"] = df["df"].astype("int64")
+    return df
+
+
 def _search_analyze(sf_dir: str):
     """Analysis introspection (the ES ``_analyze`` API): crafted probe
     texts through the engine's Arrow-kernel analyzer chain vs the
@@ -2163,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
         "search_analyze": _search_analyze,
+        "term_complete": _term_complete,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_fuzzy": _search_fuzzy,
@@ -2371,6 +2395,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             _corpus_src(), datagen.histogram_queries()
         ),
         "search_analyze": lambda: oracle.analyze_sql(datagen.analyze_probes()),
+        "term_complete": lambda: oracle.complete_sql(
+            _corpus_src(), datagen.complete_probes()
+        ),
         "search_min_match": lambda: oracle.bm25_min_match_sql(
             _corpus_src(), datagen.min_match_queries()
         ),

@@ -190,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
     xp.add_argument("turn_idx", type=int)
     xp.add_argument("--out", required=True)
 
+    co = sub.add_parser(
+        "complete", help="completion suggester (ES suggest-as-you-type): "
+        "top-k vocabulary lemmas for a prefix, ranked df desc"
+    )
+    co.add_argument("prefix")
+    co.add_argument("--out", required=True)
+    co.add_argument("--k", type=int, default=10)
+
     az = sub.add_parser(
         "analyze", help="analysis introspection (ES _analyze): run text "
         "through the index's analyzer chain — (pos, token, lemma) per "
@@ -458,6 +466,21 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "total": resp["total"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "complete":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).complete(a.prefix, k=a.k)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
                     "data": resp["data"].to_pylist(),
                 },
                 default=str,

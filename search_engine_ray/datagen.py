@@ -605,6 +605,24 @@ def explain_queries() -> list[dict]:
     ]
 
 
+def complete_probes() -> list[dict]:
+    """Completion-suggester probes: a hot stem family prefix, a longer
+    rarer prefix, the shared 'w' stem-alphabet prefix (big range, small
+    k), a no-match prefix, and a sub-minimum prefix (skipped both
+    sides)."""
+    q = [
+        (stem(0)[:4], 10),
+        (stem(120)[:5], 10),
+        ("wb", 5),
+        ("zzqx", 10),
+        ("w", 10),
+    ]
+    return [
+        {"query_id": f"cp-{i:04d}", "prefix": p, "k": k}
+        for i, (p, k) in enumerate(q)
+    ]
+
+
 def analyze_probes() -> list[dict]:
     """Analyze-API probes: fixed crafted texts exercising every
     analyzer rule — punctuation folding, case, stopwords, min-length,

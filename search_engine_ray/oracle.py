@@ -2275,3 +2275,42 @@ surv AS (
 SELECT query_id, pos, tok AS token, {analyzer.lemma_case_sql('tok')} AS lemma
 FROM surv
 """
+
+
+def complete_sql(src: str, probes: list[dict]) -> str:
+    """Completion-suggester twin: per probe prefix (analyzer-folded at
+    build time, sub-minimum prefixes skipped — the engine's
+    short_prefix guard), the top-k dictionary lemmas in the contiguous
+    prefix range ranked (df DESC, lemma ASC)."""
+    from .search import SearchEngine
+
+    branches = []
+    for p in probes:
+        toks = analyzer.normalize_text(p["prefix"] or "").split()
+        if not toks or len(toks[0]) < SearchEngine.PREFIX_MIN_LEN:
+            continue
+        pre = analyzer._sql_quote(toks[0])
+        branches.append(
+            f"SELECT {analyzer._sql_quote(p['query_id'])} AS query_id, "
+            f"lemma, df, {int(p['k'])} AS k "
+            f"FROM dict WHERE lemma LIKE {pre[:-1]}%' "
+        )
+    if not branches:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, "
+            "CAST(NULL AS VARCHAR) AS lemma, CAST(NULL AS BIGINT) AS df "
+            "WHERE 1=0"
+        )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, CAST(count(*) AS BIGINT) AS df FROM __postings GROUP BY lemma),
+cand AS ({' UNION ALL '.join(branches)}),
+ranked AS (
+    SELECT query_id, lemma, df, k,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY df DESC, lemma
+           ) AS rk
+    FROM cand
+)
+SELECT query_id, lemma, df FROM ranked WHERE rk <= k
+"""

@@ -2627,6 +2627,30 @@ class SearchEngine:
         hits.sort(key=lambda r: (-r[1], r[0]))
         return hits[:max_expansion]
 
+    def complete(self, prefix: str, k: int = 10) -> dict:
+        """Completion suggester (the Elasticsearch suggest-as-you-type
+        shape, df-weighted): the top-``k`` vocabulary lemmas starting
+        with the analyzer-folded prefix, ranked (df DESC, lemma ASC) —
+        a public surface over ``expand_prefix``'s contiguous
+        lemma-sorted dictionary range (row-group-pruned above the
+        preload threshold, nothing vocabulary-sized on the driver).
+        -> {'result', 'count' (matches before the cap), 'data':
+        pa.Table(lemma, df), 'error'}"""
+        empty = COMPLETE_SCHEMA.empty_table()
+        toks = analyzer.normalize_text(prefix or "").split()
+        if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
+            return {**self._resp(error="short_prefix"), "data": empty}
+        hits = self.expand_prefix(prefix, max_expansion=1 << 30)
+        page = hits[:k]
+        tbl = pa.table(
+            {
+                "lemma": pa.array([h[0] for h in page], pa.string()),
+                "df": pa.array([h[1] for h in page], pa.int64()),
+            }
+        )
+        return {"result": True, "count": len(hits), "data": tbl,
+                "error": None}
+
     # ---------------- fuzzy term suggestions (did-you-mean) -----------
 
     def suggest(self, term: str, max_dist: int = 2, k: int = 5) -> pa.Table:
@@ -3738,6 +3762,13 @@ RESULT_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("score", pa.float64()),
+    ]
+)
+
+COMPLETE_SCHEMA = pa.schema(
+    [
+        ("lemma", pa.string()),
+        ("df", pa.int64()),
     ]
 )
 

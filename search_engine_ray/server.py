@@ -32,6 +32,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.explain``: per-term BM25 score breakdown for ONE
   document (the ES ``_explain`` API); ``total`` is bit-identical to
   ``search()``'s score for that doc.
+- ``GET /api/complete?prefix=...[&k=K]`` — ``SearchEngine.complete``:
+  completion suggester (suggest-as-you-type) — top-k vocabulary lemmas
+  for the prefix, ranked (df DESC, lemma ASC).
 - ``GET /api/analyze?text=...`` — ``SearchEngine.analyze``: analysis
   introspection (the ES ``_analyze`` API) — (pos, token, lemma) per
   surviving token of the index's analyzer chain.
@@ -387,6 +390,20 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         "count": resp["count"],
                         "error": resp["error"],
                         "total": resp["total"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/complete":
+                prefix = (q.get("prefix") or [""])[0]
+                resp = state["engine"].complete(
+                    prefix, k=int((q.get("k") or ["10"])[0])
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
                         "data": resp["data"].to_pylist(),
                     },
                 )

@@ -89,6 +89,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert xp["total"] == r["data"][0]["score"]
     assert xp["data"] and all(x["tf"] >= 0 for x in xp["data"])
 
+    co = _run(["complete", datagen.stem(0)[:4], "--out", out, "--k", "5"])
+    assert co["result"] and co["data"]
+    dfs = [x["df"] for x in co["data"]]
+    assert dfs == sorted(dfs, reverse=True)
+
     az = _run(["analyze", "The Quick FOXES ran!", "--out", out])
     assert az["result"] and [x["token"] for x in az["data"]] == \
         ["quick", "foxes", "ran"]

@@ -201,6 +201,19 @@ def test_explain_endpoint(served):
         assert json.loads(e.read())["error"] == "not_found"
 
 
+def test_complete_endpoint(served):
+    base, _ = served
+    pre = datagen.stem(0)[:4]
+    code, got = _get(f"{base}/api/complete?prefix={pre}&k=5")
+    assert code == 200 and got["result"] and got["data"]
+    assert all(x["lemma"].startswith(pre) for x in got["data"])
+    try:
+        _get(f"{base}/api/complete?prefix=w")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_analyze_endpoint(served):
     base, _ = served
     code, got = _get(f"{base}/api/analyze?text=The%20Quick%20FOXES%20ran!")

@@ -261,6 +261,63 @@ class FederatedEngine:
         return {"result": True, "count": total, "data": tbl, "error": None}
 
 
+    def complete(self, prefix: str, k: int = 10) -> dict:
+        """Federated completion suggester: per-shard prefix ranges merge
+        by summing df per lemma — exact, because a lemma's global df is
+        the sum of its per-shard dfs over a disjoint corpus partition —
+        then the monolithic (df DESC, lemma ASC) cut. Pinned identical
+        to one index over the union."""
+        from .search import COMPLETE_SCHEMA
+
+        agg: dict[str, int] = {}
+        total = 0
+        err = None
+        for s in self.shards:
+            r = s.complete(prefix, k=1 << 30)
+            if not r["result"]:
+                err = r["error"]
+                continue
+            for row in r["data"].to_pylist():
+                agg[row["lemma"]] = agg.get(row["lemma"], 0) + row["df"]
+        if not agg and err:
+            return {"result": False, "count": 0,
+                    "data": COMPLETE_SCHEMA.empty_table(), "error": err}
+        hits = sorted(agg.items(), key=lambda r: (-r[1], r[0]))
+        total = len(hits)
+        page = hits[:k]
+        tbl = pa.table(
+            {
+                "lemma": pa.array([h[0] for h in page], pa.string()),
+                "df": pa.array([h[1] for h in page], pa.int64()),
+            }
+        )
+        return {"result": True, "count": total, "data": tbl, "error": None}
+
+    def suggest(self, term: str, max_dist: int = 2, k: int = 5):
+        """Federated did-you-mean: per-shard candidate sweeps merge by
+        summing df per suggestion (dist is a pure string property, so
+        any shard's dist for a lemma is THE dist), then the monolithic
+        (dist ASC, df DESC, lemma ASC) cut. Pinned identical to one
+        index over the union."""
+        agg: dict[str, tuple[int, int]] = {}
+        for s in self.shards:
+            t = s.suggest(term, max_dist=max_dist, k=1 << 30)
+            for row in t.to_pylist():
+                df0, _ = agg.get(row["suggestion"], (0, row["dist"]))
+                agg[row["suggestion"]] = (df0 + row["df"], row["dist"])
+        rows = sorted(
+            ((lem, df, dist) for lem, (df, dist) in agg.items()),
+            key=lambda r: (r[2], -r[1], r[0]),
+        )[:k]
+        return pa.table(
+            {
+                "suggestion": pa.array([r[0] for r in rows], pa.string()),
+                "df": pa.array([r[1] for r in rows], pa.int64()),
+                "dist": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+
+
 def federated_search(out_dirs: list[str], query_text: str, **kwargs) -> dict:
     """One-shot convenience wrapper (builds the merged stats each call —
     hold a ``FederatedEngine`` for serving)."""

@@ -201,3 +201,21 @@ def test_federated_facets_identical_to_monolithic(fed_env):
     assert fed.facets("  ")["error"] == "empty_query"
     r = fed.facets("wqxqzq")
     assert r["result"] and r["count"] == 0
+
+
+def test_federated_dictionary_surfaces(fed_env):
+    """complete() and suggest() federate exactly: per-shard sweeps
+    merged by summed df reproduce the monolithic rankings."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    for pre, k in ((datagen.stem(0)[:4], 10), (datagen.stem(120)[:5], 10),
+                   ("wb", 5), ("zzqx", 10)):
+        rm = mono.complete(pre, k=k)
+        rf = fed.complete(pre, k=k)
+        assert rf["result"] == rm["result"], pre
+        assert rf["count"] == rm["count"], pre
+        assert rf["data"].equals(rm["data"]), pre
+    assert fed.complete("w")["error"] == "short_prefix"
+    for term in (datagen.stem(0)[:-1] + "x", "datbase", datagen.stem(120)):
+        tm = mono.suggest(term, max_dist=2, k=5)
+        tf_ = fed.suggest(term, max_dist=2, k=5)
+        assert tf_.equals(tm), term

@@ -1001,51 +1001,26 @@ def _suggest_query(sf_dir: str):
 
 
 def _search_federated(sf_dir: str):
-    """Federated (shard-parallel) search: the corpus is conv-hash-split
-    into TWO shard corpora, each built as an independent index, and the
-    reference query set runs through FederatedEngine with merged global
-    stats — compared against the MONOLITHIC BM25 SQL oracle over the
-    full corpus, which makes the sharding-correctness invariant
-    (federated == monolithic, rank and score) a driver-checked fact."""
-    import hashlib
-
+    """Federated (shard-parallel) search over the SHARDED BUILD
+    lifecycle: ONE distributed hash-split Ray Data pass partitions the
+    corpus by conversation (``pipelines.shard.build_sharded`` — nothing
+    corpus-sized on the driver), each shard builds its own resumable
+    index, and the reference query set runs through FederatedEngine
+    with merged global stats — compared against the MONOLITHIC BM25 SQL
+    oracle over the full corpus, which makes the sharding-correctness
+    invariant (federated == monolithic, rank and score) a
+    driver-checked fact."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
 
     from search_engine_ray import datagen
-    from search_engine_ray.config import BuildConfig
     from search_engine_ray.federate import FederatedEngine
-    from search_engine_ray.pipelines import build
-    from search_engine_ray.state.manifest import load_json
+    from search_engine_ray.pipelines.shard import build_sharded
 
     tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
     files = datagen.transcripts_files(tag)
-    root = os.path.join("/tmp/seray_builds", f"{tag}-fed")
-    os.makedirs(root, exist_ok=True)
-    shard_files = [os.path.join(root, f"shard{i}.parquet") for i in range(2)]
-    if not all(os.path.exists(f) for f in shard_files):
-        t = pads.dataset(files).to_table()
-        conv = t.column("conv_id").to_pylist()
-        assign = [
-            int(hashlib.md5(c.encode()).hexdigest(), 16) % 2 for c in conv
-        ]
-        for i, f in enumerate(shard_files):
-            pq.write_table(
-                t.filter(pa.array([a == i for a in assign])), f
-            )
-    shard_outs = []
-    for i, f in enumerate(shard_files):
-        out = os.path.join(root, f"idx{i}")
-        m = load_json(build.build_manifest_path(out))
-        if not m or m.get("state") != "DONE":
-            build.build_index(BuildConfig(
-                input_paths=[f], out_dir=out,
-                n_partitions=4, concurrency=4,
-            ))
-        shard_outs.append(out)
-    fed = FederatedEngine(shard_outs)
+    root = os.path.join("/tmp/seray_builds", f"{tag}-sharded")
+    r = build_sharded(files, root, n_shards=2, n_partitions=4, concurrency=4)
+    fed = FederatedEngine(r["shard_outs"])
     rows = []
     for q in datagen.reference_queries():
         r = fed.search(q["query_text"], scope=q["scope"], limit=q["k"])

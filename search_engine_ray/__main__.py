@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--resume", action="store_true")
+    b.add_argument("--shards", type=int, default=1,
+                   help="hash-split the corpus by conversation and build "
+                        "one index per shard under OUT/idx<i> (serve with "
+                        "fsearch --outs); 1 = a single monolithic index")
 
     s = sub.add_parser("search", help="BM25 top-k query (search analog)")
     s.add_argument("query")
@@ -347,6 +351,18 @@ def main(argv: list[str] | None = None) -> int:
         from .config import BuildConfig
         from .pipelines.build import BuildStopped, build_index
 
+        if a.shards > 1:
+            from .pipelines.shard import build_sharded
+
+            r = build_sharded(
+                list(a.input), a.out, n_shards=a.shards,
+                n_partitions=a.partitions, resume=True,
+            )
+            print(json.dumps({
+                "result": r["result"], "shard_outs": r["shard_outs"],
+                "built": r["built"], "error": r["error"],
+            }))
+            return 0 if r["result"] else 1
         try:
             m = build_index(
                 BuildConfig(

@@ -219,3 +219,72 @@ def test_federated_dictionary_surfaces(fed_env):
         tm = mono.suggest(term, max_dist=2, k=5)
         tf_ = fed.suggest(term, max_dist=2, k=5)
         assert tf_.equals(tm), term
+
+
+def test_build_sharded_matches_monolithic(fed_env, tmp_path, tiny_corpus):
+    """The full sharded lifecycle: ONE distributed hash-split pass ->
+    per-shard resumable builds -> federated serving rank- and
+    score-identical to the monolithic index; a re-run builds nothing;
+    deleting one shard's index rebuilds ONLY that shard."""
+    from search_engine_ray.pipelines.shard import build_sharded, shard_of
+
+    root = str(tmp_path / "sharded")
+    r = build_sharded(tiny_corpus, root, n_shards=2)
+    assert r["result"] and sorted(r["built"]) == [0, 1]
+    fed = FederatedEngine(r["shard_outs"])
+    mono = fed_env["mono"]
+    assert fed.n_docs == mono.n_docs and fed.avgdl == mono.avgdl
+    for q in QUERIES[:8]:
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                         method="exhaustive")
+        rf = fed.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+    # the split rule is the documented deterministic assignment
+    import pyarrow.dataset as pads
+
+    for i in (0, 1):
+        t = pads.dataset(f"{root}/corpus/shard={i}").to_table(
+            columns=["conv_id"]
+        )
+        assert all(shard_of(c, 2) == i
+                   for c in set(t.column("conv_id").to_pylist()))
+    # idempotent re-run: nothing rebuilds
+    assert build_sharded(tiny_corpus, root, n_shards=2)["built"] == []
+    # blast radius: losing one shard's index rebuilds only that shard
+    import shutil
+
+    shutil.rmtree(r["shard_outs"][1])
+    r3 = build_sharded(tiny_corpus, root, n_shards=2)
+    assert r3["built"] == [1]
+    fed2 = FederatedEngine(r3["shard_outs"])
+    rm = mono.search(datagen.stem(0), limit=5, method="exhaustive")
+    assert fed2.search(datagen.stem(0), limit=5)["data"].equals(rm["data"])
+
+
+def test_build_sharded_cli(tiny_corpus, tmp_path):
+    """build --shards N end-to-end in a real subprocess, then fsearch
+    over the produced shard indexes."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "cli-sharded")
+    p = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "build",
+         "--input", *tiny_corpus, "--out", root, "--shards", "2",
+         "--partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert got["result"] and sorted(got["built"]) == [0, 1]
+    q = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "fsearch",
+         datagen.stem(0), "--outs", ",".join(got["shard_outs"]),
+         "--limit", "3"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert q.returncode == 0, q.stderr[-2000:]
+    res = _json.loads(q.stdout.strip().splitlines()[-1])
+    assert res["result"] and res["count"] > 0 and len(res["data"]) == 3

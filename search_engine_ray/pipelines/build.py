@@ -458,9 +458,9 @@ def build_index(
         tp = time.monotonic()
         part_dir = _fresh_dir(os.path.join(stage_a_dir(cfg.out_dir), pid))
         conc = cfg.concurrency
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         if conc is None:  # auto-size: see BuildConfig.concurrency
             part_bytes = sum(os.path.getsize(f) for f in files)
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
             # cap the pool at HALF the cores divided by the number of
             # overlapped partition executions: the read/decompress/write
             # tasks feeding and draining each pool need the rest
@@ -468,6 +468,13 @@ def build_index(
             # — a near-full pool starves its own IO; a full pool
             # deadlocks outright)
             conc = max(1, min(max(1, ncpu // (2 * overlap)), (part_bytes >> 22) + 1))
+        elif overlap > 1 and conc * overlap * 2 > ncpu:
+            # an EXPLICIT concurrency must obey the same safety bound
+            # when executions overlap: overlap x conc actors with no
+            # cores left for reads/writes is the outright-deadlock mode
+            # (reproduced: concurrency=4, overlap=2, 8 cpus — both
+            # stage-A datasets stall at spin-up forever)
+            conc = max(1, ncpu // (2 * overlap))
         try:
             ds = rd.read_parquet(files, columns=ANALYSIS_COLUMNS)
             ds = ds.map_batches(

@@ -114,16 +114,9 @@ def build_sharded(
                 os.path.join(sd, f) for f in os.listdir(sd)
                 if f.endswith(".parquet")
             )
-            # stage_a_overlap=1: the sharded lifecycle's parallelism
-            # unit is the SHARD, not intra-build partition overlap —
-            # and two overlapped stage-A executions over the split's
-            # many small files can starve each other in Ray Data's
-            # scheduler (observed: both datasets stall at spin-up;
-            # overlap=1 builds the same shard in ~13 s at 8 cpus)
             build_mod.build_index(BuildConfig(
                 input_paths=files, out_dir=out,
                 n_partitions=n_partitions, concurrency=concurrency,
-                extra={"stage_a_overlap": 1},
             ))
             built.append(sid)
         shard_outs.append(out)

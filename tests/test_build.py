@@ -247,3 +247,26 @@ def test_shuffled_scope_code_path_identical(tiny_index, tmp_path, tiny_corpus):
         rb = eng_b.search("wbababa wcacaca", scope=scope, limit=10)
         assert ra["count"] == rb["count"]
         assert ra["data"].equals(rb["data"]), scope
+
+
+def test_explicit_concurrency_overlap_respects_safety_bound(tiny_corpus, tmp_path, ray_session):
+    """Regression: an EXPLICIT concurrency combined with overlapped
+    stage-A executions used to bypass the pool safety bound — overlap x
+    conc actors with no cores left for reads/writes deadlocks Ray
+    Data's scheduler outright (both datasets stall at spin-up forever;
+    reproduced with concurrency=4, overlap=2, 8 cpus). The bound now
+    caps explicit pools too: this build would hang without it."""
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.pipelines import build
+
+    out = str(tmp_path / "overlap-guard")
+    m = build.build_index(BuildConfig(
+        input_paths=tiny_corpus, out_dir=out,
+        n_partitions=4, concurrency=8,          # 8 x 2 overlapped = 16 actors at 4 cpus
+        extra={"stage_a_overlap": 2},
+    ))
+    assert m["state"] == "DONE"
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    assert SearchEngine(out).search(datagen.stem(0), limit=3)["count"] > 0

@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--conv", nargs="+", required=True)
     r.add_argument("--input", nargs="*", default=None)
+    r.add_argument("--shards", type=int, default=1,
+                   help=">1: --out is a sharded-build root; each conv "
+                        "routes to its owning shard's index")
 
     dq = sub.add_parser(
         "delete", help="delete-by-query (ES _delete_by_query parity): "
@@ -118,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     dq.add_argument("--out", required=True)
     dq.add_argument("--scope", default=None)
     dq.add_argument("--conjunctive", action="store_true")
+    dq.add_argument("--shards", type=int, default=1,
+                    help=">1: --out is a sharded-build root; union "
+                         "matching semantics across the shard indexes")
 
     uq = sub.add_parser(
         "update", help="update-by-query (ES _update_by_query parity): "
@@ -685,14 +691,28 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(statistics(a.out)))
     elif a.cmd == "reindex":
-        from .pipelines.delta import reindex_conversations
+        if a.shards > 1:
+            from .pipelines.shard import reindex_sharded
 
-        print(json.dumps(reindex_conversations(a.out, list(a.conv), input_paths=a.input)))
+            print(json.dumps(reindex_sharded(
+                a.out, a.shards, list(a.conv), input_paths=a.input)))
+        else:
+            from .pipelines.delta import reindex_conversations
+
+            print(json.dumps(reindex_conversations(
+                a.out, list(a.conv), input_paths=a.input)))
     elif a.cmd == "delete":
-        from .pipelines.delta import delete_by_query
+        if a.shards > 1:
+            from .pipelines.shard import delete_by_query_sharded
 
-        print(json.dumps(delete_by_query(
-            a.out, a.query, scope=a.scope, conjunctive=a.conjunctive)))
+            print(json.dumps(delete_by_query_sharded(
+                a.out, a.shards, a.query, scope=a.scope,
+                conjunctive=a.conjunctive)))
+        else:
+            from .pipelines.delta import delete_by_query
+
+            print(json.dumps(delete_by_query(
+                a.out, a.query, scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "update":
         from .pipelines.delta import update_by_query
 

@@ -260,11 +260,21 @@ def _resolve_matches(
     query_text: str,
     scope: str | None,
     conjunctive: bool,
+    skip_missing_lemmas: bool = False,
 ):
     """Shared delete/update front half: overlay matching set -> affected
     conversations grouped by their CURRENT text source, with each conv's
     live docid set. Returns ``(early_response, None)`` for error/no-op
-    cases, else ``(None, (matched, rank_of, groups, live_parts))``."""
+    cases, else ``(None, (matched, rank_of, groups, live_parts))``.
+
+    ``skip_missing_lemmas`` replaces the reference's shard-LOCAL
+    missing-lemma refusal with union semantics: absent lemmas are
+    dropped from the plan instead of emptying the match (the sharded
+    delete router uses this AFTER establishing global presence — a
+    shard missing one term of a disjunctive query must still delete its
+    matches of the present terms, exactly like the federated matching
+    set). Conjunctive stays exact: a shard missing any lemma can hold
+    no conjunctive match, so it no-ops."""
     from ..search import SearchEngine
 
     if not load_json(build_mod.build_manifest_path(out_dir)):
@@ -275,6 +285,23 @@ def _resolve_matches(
     terms, err = eng.plan(query_text)
     if err == "empty_query":
         return {"result": False, "error": "empty_query"}, None
+    if err and skip_missing_lemmas:
+        lemmas = list(dict.fromkeys(eng._analyzer.analyze_query(query_text)))
+        present = []
+        for lem in lemmas:
+            df = eng._df_of(lem)
+            if df is None and eng._has_deltas and lem in eng._delta_lemma:
+                df = 0
+            if df is not None:
+                present.append((lem, df))
+        if eng._has_deltas and present:
+            blocks = eng._term_blocks([t[0] for t in present])
+            present = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in present]
+            present = [(l, d) for l, d in present if d > 0]
+        if not present or (conjunctive and len(present) < len(lemmas)):
+            return {"result": True, "error": None}, None
+        terms = sorted(present, key=lambda t: (t[1], t[0]))
+        err = None
     if err or not terms:  # missing lemma -> nothing matches (reference rule)
         return {"result": True, "error": None}, None
     matched, _sc = eng._matching_set(terms, scope, conjunctive)
@@ -329,6 +356,7 @@ def delete_by_query(
     query_text: str,
     scope: str | None = None,
     conjunctive: bool = False,
+    skip_missing_lemmas: bool = False,
 ) -> dict:
     """Delete every turn matching ``query_text`` from the index — the
     Elasticsearch ``_delete_by_query`` lifecycle operation (the reference
@@ -353,7 +381,8 @@ def delete_by_query(
 
     -> {"result", "error", "deleted" (turns), "generations": [int, ...]}
     """
-    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive)
+    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive,
+                                skip_missing_lemmas=skip_missing_lemmas)
     if resp is not None:
         return {**resp, "deleted": 0, "generations": []}
     matched, rank_of, groups, live_parts = st

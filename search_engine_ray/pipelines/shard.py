@@ -78,6 +78,83 @@ def split_corpus(input_paths, out_dir: str, n_shards: int) -> list[str]:
     ]
 
 
+def reindex_sharded(
+    out_root: str,
+    n_shards: int,
+    conv_ids: list[str],
+    input_paths: list[str] | None = None,
+) -> dict:
+    """Sharded single-conversation upsert: route each conversation to
+    its owning shard by the split rule and append a delta generation
+    THERE — the other shards are untouched (the blast-radius property
+    again: an upsert touches exactly the shards that own the convs).
+    Federated serving reflects the deltas immediately (delta-shard
+    federation is pinned rank-identical to a monolithic rebuild).
+    -> {'result', 'generations': {shard_id: gen}, 'error'}"""
+    from . import delta as delta_mod
+
+    groups: dict[int, list[str]] = {}
+    for c in conv_ids:
+        groups.setdefault(shard_of(c, n_shards), []).append(c)
+    gens: dict[int, int] = {}
+    for sid, convs in sorted(groups.items()):
+        out = os.path.join(out_root, f"idx{sid}")
+        r = delta_mod.reindex_conversations(out, convs, input_paths)
+        if not r["result"]:
+            return {"result": False, "generations": gens,
+                    "error": f"shard {sid}: {r['error']}"}
+        gens[sid] = r["generation"]
+    return {"result": True, "generations": gens, "error": None}
+
+
+def delete_by_query_sharded(out_root: str, n_shards: int, query_text: str,
+                            scope: str | None = None,
+                            conjunctive: bool = False) -> dict:
+    """Sharded delete-by-query with UNION matching semantics: the
+    missing-lemma rule evaluates against the federation dictionary (a
+    lemma absent from EVERY shard empties the delete, the monolithic
+    rule), then each shard deletes its matches of its PRESENT terms
+    (``skip_missing_lemmas`` — a shard missing one term of a
+    disjunctive query still deletes its matches of the others, exactly
+    the federated matching set; conjunctive shards missing any lemma
+    no-op). Matching sets are disjoint by construction, so the union of
+    per-shard deletes IS the monolithic delete — pinned by test against
+    a monolithic delete + rebuild. -> {'result', 'deleted' (total),
+    'per_shard': {shard_id: n}, 'error'}"""
+    from ..federate import FederatedEngine
+    from . import delta as delta_mod
+
+    outs = [
+        os.path.join(out_root, f"idx{i}") for i in range(n_shards)
+        if os.path.isdir(os.path.join(out_root, f"idx{i}"))
+    ]
+    if not outs:
+        return {"result": False, "deleted": 0, "per_shard": {},
+                "error": "no shard indexes"}
+    _terms, err = FederatedEngine(outs)._merged_terms(query_text)
+    if err == "empty_query":
+        return {"result": False, "deleted": 0, "per_shard": {},
+                "error": "empty_query"}
+    if err:  # a lemma absent from every shard -> the monolithic no-op
+        return {"result": True, "deleted": 0, "per_shard": {}, "error": None}
+    total = 0
+    per: dict[int, int] = {}
+    for out in outs:
+        sid = int(os.path.basename(out)[3:])
+        r = delta_mod.delete_by_query(out, query_text, scope=scope,
+                                      conjunctive=conjunctive,
+                                      skip_missing_lemmas=True)
+        if not r["result"] and r["error"] == "bad_scope":
+            continue  # the scope value does not occur in this shard
+        if not r["result"]:
+            return {"result": False, "deleted": total, "per_shard": per,
+                    "error": f"shard {sid}: {r['error']}"}
+        if r.get("deleted"):
+            per[sid] = int(r["deleted"])
+            total += int(r["deleted"])
+    return {"result": True, "deleted": total, "per_shard": per, "error": None}
+
+
 def build_sharded(
     input_paths,
     out_root: str,

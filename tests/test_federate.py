@@ -288,3 +288,101 @@ def test_build_sharded_cli(tiny_corpus, tmp_path):
     assert q.returncode == 0, q.stderr[-2000:]
     res = _json.loads(q.stdout.strip().splitlines()[-1])
     assert res["result"] and res["count"] > 0 and len(res["data"]) == 3
+
+
+def test_sharded_lifecycle_mutations(tiny_corpus, tmp_path, fed_env):
+    """Routed mutations on the sharded lifecycle: delete-by-query with
+    UNION matching semantics (a shard missing one disjunctive term
+    still deletes its matches of the others — pinned equal to the same
+    delete on a monolithic index), the absent-everywhere no-op, and
+    reindex routed to exactly the owning shard."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.shard import (
+        build_sharded, delete_by_query_sharded, reindex_sharded, shard_of,
+    )
+
+    root = str(tmp_path / "mut-sharded")
+    r = build_sharded(tiny_corpus, root, n_shards=2)
+    shards = [SearchEngine(o) for o in r["shard_outs"]]
+    # a lemma present in exactly ONE shard (rare stems concentrate)
+    lone = next(
+        datagen.stem(i) for i in range(4200, 6000)
+        if (shards[0]._df_of(datagen.stem(i)) is None)
+        != (shards[1]._df_of(datagen.stem(i)) is None)
+    )
+    q = f"{lone} {datagen.stem(4000)}"
+    # absent-everywhere -> the monolithic no-op
+    nz = delete_by_query_sharded(root, 2, "wqxqzq")
+    assert nz["result"] and nz["deleted"] == 0
+    dr = delete_by_query_sharded(root, 2, q)
+    assert dr["result"] and dr["deleted"] > 0
+    assert len(dr["per_shard"]) == 2  # stem(4000) matches in both shards
+    # the monolithic twin: same delete on a copy of the mono index
+    mono_out = str(tmp_path / "mono-copy")
+    shutil.copytree(fed_env["mono"].out_dir, mono_out)
+    from search_engine_ray.pipelines import delta
+
+    dm = delta.delete_by_query(mono_out, q)
+    assert dm["result"] and dm["deleted"] == dr["deleted"]
+    fed = FederatedEngine(r["shard_outs"])
+    mono = SearchEngine(mono_out)
+    assert fed.n_docs == mono.n_docs and fed.avgdl == mono.avgdl
+    for probe in (q, lone, datagen.stem(4000), datagen.stem(0)):
+        rm = mono.search(probe, limit=10, method="exhaustive")
+        rf = fed.search(probe, limit=10)
+        assert rf["count"] == rm["count"], probe
+        assert rf["data"].equals(rm["data"]), probe
+    # reindex routes to exactly the owning shard
+    conv = shards[0].search(datagen.stem(0), limit=1)["data"].to_pylist()[0]["conv_id"]
+    sid = shard_of(conv, 2)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(tiny_corpus).to_table()
+    sl = t.filter(pa.compute.equal(t.column("conv_id"), pa.scalar(conv)))
+    texts = sl.column("text").to_pylist()
+    texts[0] = f"{datagen.stem(7)} routed {datagen.stem(7)}"
+    mod = sl.set_column(sl.column_names.index("text"), "text",
+                        pa.array(texts, pa.string()))
+    mf = str(tmp_path / "routed-mod.parquet")
+    pq.write_table(mod, mf)
+    rr = reindex_sharded(root, 2, [conv], [mf])
+    assert rr["result"] and list(rr["generations"]) == [sid]
+    fed2 = FederatedEngine(r["shard_outs"])
+    hits = fed2.search(datagen.stem(7), limit=50)["data"].to_pylist()
+    assert any(h["conv_id"] == conv and h["turn_idx"] == 0 for h in hits)
+
+
+def test_sharded_mutation_cli(tiny_corpus, tmp_path):
+    """delete --shards / reindex --shards route through the sharded
+    lifecycle in real subprocesses."""
+    import json as _json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "cli-mut")
+    p = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "build",
+         "--input", *tiny_corpus, "--out", root, "--shards", "2",
+         "--partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    d = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "delete",
+         datagen.stem(40), "--out", root, "--shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert d.returncode == 0, d.stderr[-2000:]
+    got = _json.loads(d.stdout.strip().splitlines()[-1])
+    assert got["result"] and got["deleted"] > 0
+    outs = ",".join(f"{root}/idx{i}" for i in range(2))
+    q = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "fsearch",
+         datagen.stem(40), "--outs", outs],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    res = _json.loads(q.stdout.strip().splitlines()[-1])
+    assert res["result"] and res["count"] == 0  # deleted everywhere

@@ -136,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
     uq.add_argument("--out", required=True)
     uq.add_argument("--scope", default=None)
     uq.add_argument("--conjunctive", action="store_true")
+    uq.add_argument("--shards", type=int, default=1,
+                    help=">1: --out is a sharded-build root; union "
+                         "matching semantics across the shard indexes")
 
     c = sub.add_parser(
         "compact", help="fold delta generations into the base index (LSM merge)"
@@ -714,11 +717,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(delete_by_query(
                 a.out, a.query, scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "update":
-        from .pipelines.delta import update_by_query
+        if a.shards > 1:
+            from .pipelines.shard import update_by_query_sharded
 
-        print(json.dumps(update_by_query(
-            a.out, a.query, a.pattern, a.replacement,
-            scope=a.scope, conjunctive=a.conjunctive)))
+            print(json.dumps(update_by_query_sharded(
+                a.out, a.shards, a.query, a.pattern, a.replacement,
+                scope=a.scope, conjunctive=a.conjunctive)))
+        else:
+            from .pipelines.delta import update_by_query
+
+            print(json.dumps(update_by_query(
+                a.out, a.query, a.pattern, a.replacement,
+                scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "compact":
         _init_ray()
         from .pipelines.compact import compact

@@ -418,6 +418,7 @@ def update_by_query(
     replacement: str,
     scope: str | None = None,
     conjunctive: bool = False,
+    skip_missing_lemmas: bool = False,
 ) -> dict:
     """Regex-rewrite every turn matching ``query_text`` IN THE INDEX —
     the Elasticsearch ``_update_by_query`` lifecycle operation (with a
@@ -443,7 +444,8 @@ def update_by_query(
 
     -> {"result", "error", "updated" (turns), "generations": [int, ...]}
     """
-    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive)
+    resp, st = _resolve_matches(out_dir, query_text, scope, conjunctive,
+                                skip_missing_lemmas=skip_missing_lemmas)
     if resp is not None:
         return {**resp, "updated": 0, "generations": []}
     matched, rank_of, groups, live_parts = st

@@ -155,6 +155,49 @@ def delete_by_query_sharded(out_root: str, n_shards: int, query_text: str,
     return {"result": True, "deleted": total, "per_shard": per, "error": None}
 
 
+def update_by_query_sharded(out_root: str, n_shards: int, query_text: str,
+                            pattern: str, replacement: str,
+                            scope: str | None = None,
+                            conjunctive: bool = False) -> dict:
+    """Sharded update-by-query: the delete router's union matching
+    semantics applied to the regex-rewrite lifecycle op — every shard
+    rewrites ITS matches of its present terms (retroactive redaction
+    across the whole sharded corpus in one call). -> {'result',
+    'updated' (total), 'per_shard': {shard_id: n}, 'error'}"""
+    from ..federate import FederatedEngine
+    from . import delta as delta_mod
+
+    outs = [
+        os.path.join(out_root, f"idx{i}") for i in range(n_shards)
+        if os.path.isdir(os.path.join(out_root, f"idx{i}"))
+    ]
+    if not outs:
+        return {"result": False, "updated": 0, "per_shard": {},
+                "error": "no shard indexes"}
+    _terms, err = FederatedEngine(outs)._merged_terms(query_text)
+    if err == "empty_query":
+        return {"result": False, "updated": 0, "per_shard": {},
+                "error": "empty_query"}
+    if err:
+        return {"result": True, "updated": 0, "per_shard": {}, "error": None}
+    total = 0
+    per: dict[int, int] = {}
+    for out in outs:
+        sid = int(os.path.basename(out)[3:])
+        r = delta_mod.update_by_query(out, query_text, pattern, replacement,
+                                      scope=scope, conjunctive=conjunctive,
+                                      skip_missing_lemmas=True)
+        if not r["result"] and r["error"] == "bad_scope":
+            continue
+        if not r["result"]:
+            return {"result": False, "updated": total, "per_shard": per,
+                    "error": f"shard {sid}: {r['error']}"}
+        if r.get("updated"):
+            per[sid] = int(r["updated"])
+            total += int(r["updated"])
+    return {"result": True, "updated": total, "per_shard": per, "error": None}
+
+
 def build_sharded(
     input_paths,
     out_root: str,

@@ -386,3 +386,37 @@ def test_sharded_mutation_cli(tiny_corpus, tmp_path):
     )
     res = _json.loads(q.stdout.strip().splitlines()[-1])
     assert res["result"] and res["count"] == 0  # deleted everywhere
+
+
+def test_sharded_update_matches_monolithic(tiny_corpus, tmp_path, fed_env):
+    """update-by-query routed across shards == the same rewrite on a
+    monolithic index: totals equal, federated serving row-identical
+    (rewritten text included via the delta text sources)."""
+    import shutil
+
+    from search_engine_ray.pipelines import delta
+    from search_engine_ray.pipelines.shard import (
+        build_sharded, update_by_query_sharded,
+    )
+
+    root = str(tmp_path / "upd-sharded")
+    r = build_sharded(tiny_corpus, root, n_shards=2)
+    q = datagen.stem(40)
+    pat = rf"(?i)\b{datagen.stem(40)}\w*"
+    ur = update_by_query_sharded(root, 2, q, pat, "xredactedx")
+    assert ur["result"] and ur["updated"] > 0
+    mono_out = str(tmp_path / "upd-mono")
+    shutil.copytree(fed_env["mono"].out_dir, mono_out)
+    um = delta.update_by_query(mono_out, q, pat, "xredactedx")
+    assert um["result"] and um["updated"] == ur["updated"]
+    fed = FederatedEngine([f"{root}/idx0", f"{root}/idx1"])
+    mono = SearchEngine(mono_out)
+    for probe in (q, "xredactedx", datagen.stem(0)):
+        rm = mono.search(probe, limit=10, method="exhaustive",
+                         with_snippets=True)
+        rf = fed.search(probe, limit=10, with_snippets=True)
+        assert rf["count"] == rm["count"], probe
+        assert rf["data"].equals(rm["data"]), probe
+    # absent-everywhere no-op
+    nz = update_by_query_sharded(root, 2, "wqxqzq", pat, "x")
+    assert nz["result"] and nz["updated"] == 0

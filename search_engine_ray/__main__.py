@@ -149,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--mode", choices=["minor", "major"], default="minor",
                    help="minor = shuffle-free segment merge (default); "
                         "major = global re-sort that defragments blocking")
+    c.add_argument("--shards", type=int, default=1,
+                   help=">1: --out is a sharded-build root; every shard "
+                        "folds independently")
 
     fc = sub.add_parser(
         "facets", help="per-role/per-tool matching-doc counts for a query "
@@ -731,9 +734,15 @@ def main(argv: list[str] | None = None) -> int:
                 scope=a.scope, conjunctive=a.conjunctive)))
     elif a.cmd == "compact":
         _init_ray()
-        from .pipelines.compact import compact
+        if a.shards > 1:
+            from .pipelines.shard import compact_sharded
 
-        print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
+            print(json.dumps(compact_sharded(
+                a.out, a.shards, resume=a.resume, mode=a.mode)))
+        else:
+            from .pipelines.compact import compact
+
+            print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
     elif a.cmd == "suggest":
         from .search import SearchEngine
 

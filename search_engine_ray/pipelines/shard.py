@@ -198,6 +198,31 @@ def update_by_query_sharded(out_root: str, n_shards: int, query_text: str,
     return {"result": True, "updated": total, "per_shard": per, "error": None}
 
 
+def compact_sharded(out_root: str, n_shards: int, *, resume: bool = False,
+                    mode: str = "minor") -> dict:
+    """Fold every shard's delta generations into its base — shards with
+    no generations no-op (compact's own contract). Each shard compacts
+    independently (the crash-journaled swap is per shard), so a failure
+    quarantines one shard and ``resume=True`` finishes it. -> {'result',
+    'compacted': [shard ids with generations folded], 'error'}"""
+    from . import compact as compact_mod
+    from . import delta as delta_mod
+
+    done: list[int] = []
+    for sid in range(n_shards):
+        out = os.path.join(out_root, f"idx{sid}")
+        if not os.path.isdir(out):
+            continue
+        had = bool(delta_mod.list_generations(out))
+        r = compact_mod.compact(out, resume=resume, mode=mode)
+        if not r["result"]:
+            return {"result": False, "compacted": done,
+                    "error": f"shard {sid}: {r.get('error')}"}
+        if had:
+            done.append(sid)
+    return {"result": True, "compacted": done, "error": None}
+
+
 def build_sharded(
     input_paths,
     out_root: str,

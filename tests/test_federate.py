@@ -420,3 +420,35 @@ def test_sharded_update_matches_monolithic(tiny_corpus, tmp_path, fed_env):
     # absent-everywhere no-op
     nz = update_by_query_sharded(root, 2, "wqxqzq", pat, "x")
     assert nz["result"] and nz["updated"] == 0
+
+
+def test_sharded_compaction_folds_everything(tiny_corpus, tmp_path, fed_env):
+    """compact_sharded folds every shard's generations: post-compaction
+    no shard has deltas, and the federation still serves the mutated
+    corpus identically (delete survives the fold)."""
+    from search_engine_ray.pipelines import delta
+    from search_engine_ray.pipelines.shard import (
+        build_sharded, compact_sharded, delete_by_query_sharded,
+    )
+
+    root = str(tmp_path / "cmp-sharded")
+    r = build_sharded(tiny_corpus, root, n_shards=2)
+    q = datagen.stem(40)
+    dr = delete_by_query_sharded(root, 2, q)
+    assert dr["result"] and dr["deleted"] > 0
+    fed_before = FederatedEngine(r["shard_outs"])
+    pages = {
+        probe: fed_before.search(probe, limit=10)["data"]
+        for probe in (q, datagen.stem(0), datagen.stem(120))
+    }
+    cr = compact_sharded(root, 2)
+    assert cr["result"] and sorted(cr["compacted"]) == sorted(dr["per_shard"])
+    for out in r["shard_outs"]:
+        assert not delta.list_generations(out)
+    fed_after = FederatedEngine(r["shard_outs"])
+    assert fed_after.n_docs == fed_before.n_docs
+    for probe, before in pages.items():
+        after = fed_after.search(probe, limit=10)["data"]
+        assert after.equals(before), probe
+    # idempotent: nothing left to fold
+    assert compact_sharded(root, 2)["compacted"] == []

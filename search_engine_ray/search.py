@@ -1782,7 +1782,9 @@ class SearchEngine:
 
         from .sources.transcripts import TRANSCRIPT_COLUMNS, read_transcripts
 
-        if os.path.isdir(dest) and os.listdir(dest):
+        if os.path.exists(dest) and (
+            not os.path.isdir(dest) or os.listdir(dest)
+        ):
             return {**self._resp(error="dest_exists"), "path": dest}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "path": dest}
@@ -2637,6 +2639,8 @@ class SearchEngine:
         -> {'result', 'count' (matches before the cap), 'data':
         pa.Table(lemma, df), 'error'}"""
         empty = COMPLETE_SCHEMA.empty_table()
+        if k <= 0:
+            return {**self._resp(error="bad_k"), "data": empty}
         toks = analyzer.normalize_text(prefix or "").split()
         if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
             return {**self._resp(error="short_prefix"), "data": empty}

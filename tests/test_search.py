@@ -1576,3 +1576,11 @@ def test_complete_vs_duckdb_oracle(engine, duck):
     assert n >= 10
     assert engine.complete("w")["error"] == "short_prefix"
     assert engine.complete("  ")["error"] == "short_prefix"
+
+
+def test_export_dest_file_and_complete_bad_k_guards(engine, tmp_path):
+    f = tmp_path / "afile"
+    f.write_text("x")
+    assert engine.export(datagen.stem(4000), str(f))["error"] == "dest_exists"
+    assert engine.complete(datagen.stem(0)[:4], k=0)["error"] == "bad_k"
+    assert engine.complete(datagen.stem(0)[:4], k=-3)["error"] == "bad_k"

@@ -280,6 +280,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--exclude", default=None)
     ex.add_argument("--ts-min", default=None)
     ex.add_argument("--ts-max", default=None)
+    ex.add_argument("--columns", nargs="+", default=None,
+                    help="project the exported schema (ES reindex "
+                         "_source filtering); conv_id/turn_idx always ride")
 
     tv = sub.add_parser(
         "termvectors", help="per-document term statistics (ES "
@@ -610,6 +613,7 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).export(
             a.query, a.dest, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+            columns=a.columns,
         )
         print(
             json.dumps(

@@ -1755,6 +1755,7 @@ class SearchEngine:
         exclude: str | None = None,
         ts_min=None,
         ts_max=None,
+        columns: list[str] | None = None,
     ) -> dict:
         """Matching-set export (the Elasticsearch scroll + reindex
         shape): stream EVERY turn whose doc matches the query to
@@ -1776,12 +1777,25 @@ class SearchEngine:
         at a corpus-sized matching set swap the broadcast for a hash
         semi-join against a docid-keyed Dataset (the build's stage-C
         exchange shape); same documented threshold regime as the other
-        matching-set surfaces. -> {'result', 'count', 'path', 'error'};
+        matching-set surfaces. ``columns`` projects the exported schema
+        (the ES reindex ``_source`` filtering — column pruning starts
+        at the read, so dropped columns never leave storage); conv_id
+        and turn_idx are always read for the semi-join and included in
+        the output. -> {'result', 'count', 'path', 'error'};
         refuses an existing non-empty ``dest`` (the snapshot guard)."""
         import ray
 
         from .sources.transcripts import TRANSCRIPT_COLUMNS, read_transcripts
 
+        if columns is None:
+            columns = list(TRANSCRIPT_COLUMNS)
+        else:
+            if not set(columns) <= set(TRANSCRIPT_COLUMNS):
+                return {**self._resp(error="bad_columns"), "path": dest}
+            columns = ["conv_id", "turn_idx"] + [
+                c for c in TRANSCRIPT_COLUMNS
+                if c in columns and c not in ("conv_id", "turn_idx")
+            ]
         if os.path.exists(dest) and (
             not os.path.isdir(dest) or os.listdir(dest)
         ):
@@ -1826,7 +1840,7 @@ class SearchEngine:
                 return batch.filter(pa.array(keep)).drop_columns(["docid"])
 
             ds = (
-                read_transcripts(list(paths), columns=TRANSCRIPT_COLUMNS)
+                read_transcripts(list(paths), columns=columns)
                 .map_batches(
                     make_docid_attacher(convs_ref), batch_format="pyarrow"
                 )

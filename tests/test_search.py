@@ -1584,3 +1584,16 @@ def test_export_dest_file_and_complete_bad_k_guards(engine, tmp_path):
     assert engine.export(datagen.stem(4000), str(f))["error"] == "dest_exists"
     assert engine.complete(datagen.stem(0)[:4], k=0)["error"] == "bad_k"
     assert engine.complete(datagen.stem(0)[:4], k=-3)["error"] == "bad_k"
+
+
+def test_export_column_projection(engine, tmp_path):
+    """columns= prunes the exported schema at the read (the ES reindex
+    _source filtering); conv_id/turn_idx always ride for the join."""
+    d = str(tmp_path / "proj")
+    r = engine.export(datagen.stem(4000), d, columns=["text"])
+    assert r["result"] and r["count"] > 0
+    t = pads.dataset(d).to_table()
+    assert set(t.column_names) == {"conv_id", "turn_idx", "text"}
+    assert t.num_rows == r["count"]
+    assert engine.export("x", str(tmp_path / "bad"),
+                         columns=["nope"])["error"] == "bad_columns"

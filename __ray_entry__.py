@@ -261,6 +261,42 @@ def _search_prefix(sf_dir: str):
     return df
 
 
+def _search_wildcard(sf_dir: str):
+    """Wildcard term queries (Lucene WildcardQuery rewrite): the
+    pattern (``*``/``?``) expands to at most 32 vocabulary lemmas by
+    (df DESC, lemma ASC), then standard disjunctive BM25 over the
+    expansion. Engine and oracle build the regex with the SHARED
+    ``analyzer.wildcard_parse`` and both match with RE2."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.wildcard_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="wildcard")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_fuzzy(sf_dir: str):
     """Fuzzy (edit-distance) queries: each token expands to at most 16
     vocabulary lemmas within its Levenshtein budget (the suggest rule:
@@ -2164,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_complete": _term_complete,
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
+        "search_wildcard": _search_wildcard,
         "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
@@ -2378,6 +2415,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_prefix": lambda: oracle.prefix_topk_sql(
             _corpus_src(), datagen.prefix_queries()
+        ),
+        "search_wildcard": lambda: oracle.wildcard_topk_sql(
+            _corpus_src(), datagen.wildcard_queries()
         ),
         "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
             _corpus_src(), datagen.fuzzy_queries()

@@ -108,6 +108,45 @@ def lemmatize_token(tok: str) -> str:
     return tok
 
 
+WILDCARD_MIN_LITERALS = 2
+
+
+def wildcard_parse(pattern: str) -> tuple[str, str] | None:
+    """Parse a Lucene-style wildcard term pattern (``*`` = any run of
+    chars, ``?`` = exactly one char) into ``(re2_regex, literal_prefix)``.
+    Literal characters pass through the same charset fold as
+    ``normalize_text`` (lowercase; anything outside ``[a-z0-9]`` other
+    than the two wildcard metachars folds to a token break) so
+    ``Run-*`` matches the same vocabulary as a query for ``run``
+    would reach. Only the first folded token is used (a term-level
+    operator, like prefix). The regex is UNANCHORED — callers anchor
+    for full-term matching (the engine wraps ``^(?:...)$``, the SQL
+    twin uses DuckDB ``regexp_full_match``; both are RE2, so the
+    semantics are identical by construction). ``literal_prefix`` is
+    the run of literal chars before the first metachar — the
+    lemma-sorted dictionary range prune, empty for a leading
+    wildcard. Returns None when no token survives the fold or fewer
+    than ``WILDCARD_MIN_LITERALS`` literal chars remain (the
+    ``a*``-style full-vocabulary scans Lucene's MIN_PREFIX guards
+    against)."""
+    import re
+
+    # NON_WORD_REGEX with the wildcard metachars carved out of the fold
+    folded = re.sub(r"[^a-z0-9*?]+", " ", (pattern or "").lower())
+    toks = folded.split()
+    if not toks:
+        return None
+    tok = toks[0]
+    if sum(1 for c in tok if c not in "*?") < WILDCARD_MIN_LITERALS:
+        return None
+    # literal chars are [a-z0-9] by construction: no escaping needed
+    rx = "".join(".*" if c == "*" else "." if c == "?" else c for c in tok)
+    i = 0
+    while i < len(tok) and tok[i] not in "*?":
+        i += 1
+    return rx, tok[:i]
+
+
 def analyze(text: str) -> dict[str, int]:
     """Per-document lemma -> tf map (reference ``collectLemmas``)."""
     counts: dict[str, int] = {}

@@ -547,6 +547,28 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def wildcard_queries() -> list[dict]:
+    """Wildcard query set over the stem syllable structure: a
+    trailing-star prefix shape, a single-char ``?`` hole, a LEADING
+    wildcard (suffix match across the whole 32-way final-syllable
+    class — exercises the df-DESC expansion cap), a metachar-free
+    pattern (degenerates to an exact dictionary term), a scoped mixed
+    pattern, and a no-match pattern."""
+    s4000, s777, s50 = stem(4000), stem(777), stem(50)
+    q = [
+        (s4000[:3] + "*", None),                 # trailing star (prefix shape)
+        (s4000[:3] + "?" + s4000[4:], None),     # ? hole mid-lemma
+        ("*" + stem(6500)[-2:], None),           # leading wildcard, cap hit
+        (s50, None),                             # no metachars -> exact term
+        ("w?" + s777[2:4] + "*", "user"),        # scoped mixed ?/* (matches s777)
+        ("zz*qq", None),                         # no vocabulary match -> empty
+    ]
+    return [
+        {"query_id": f"wc-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def fuzzy_queries() -> list[dict]:
     """Fuzzy (edit-distance) query set: typo probes that expand against
     the dense stem vocabulary — deletion/substitution typos, a dist-0

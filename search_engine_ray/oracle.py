@@ -1324,6 +1324,86 @@ WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
 """
 
 
+def wildcard_topk_sql(src: str, queries: list[dict], max_expansion: int = 32,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Wildcard top-k oracle: each query's pattern (``*``/``?``
+    metachars) expands to at most ``max_expansion`` vocabulary lemmas
+    by (df DESC, lemma ASC) — the engine's exact rewrite-cap rule —
+    then standard disjunctive BM25 over the expansion. The regex is
+    built by the SHARED ``analyzer.wildcard_parse`` and matched with
+    DuckDB ``regexp_full_match`` (RE2, the same engine as the pyarrow
+    kernel the search side uses — identical semantics by
+    construction). Unparseable patterns (the engine's ``bad_pattern``
+    guard) are skipped, mirroring the wrapper's skip of non-result
+    responses."""
+    metas = []
+    for q in queries:
+        parsed = analyzer.wildcard_parse(q["query_text"])
+        if parsed is None:
+            continue
+        rx, _ = parsed
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, "
+            f"{analyzer._sql_quote(rx)}, {scope}, {q['k']})"
+        )
+    if not metas:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    qmeta = "(VALUES " + ", ".join(metas) + ") qm(query_id, pat, scope, k)"
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+exp AS (
+    SELECT query_id, lemma, df FROM (
+        SELECT qm.query_id, d.lemma, d.df,
+               row_number() OVER (
+                   PARTITION BY qm.query_id ORDER BY d.df DESC, d.lemma
+               ) AS rk
+        FROM qmeta qm JOIN dict d ON regexp_full_match(d.lemma, qm.pat)
+    ) WHERE rk <= {max_expansion}
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qmeta q
+    JOIN exp t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""
+
+
 def fuzzy_topk_sql(src: str, queries: list[dict], max_expansion: int = 16,
                    k1: float = 1.2, b: float = 0.75) -> str:
     """Fuzzy (edit-distance) top-k oracle: each query token expands to

@@ -2643,6 +2643,48 @@ class SearchEngine:
         hits.sort(key=lambda r: (-r[1], r[0]))
         return hits[:max_expansion]
 
+    WILDCARD_MAX_EXPANSION = 32
+
+    def expand_wildcard(self, pattern: str,
+                        max_expansion: int = WILDCARD_MAX_EXPANSION):
+        """Vocabulary lemmas matching a Lucene-style wildcard pattern
+        (``*`` any run, ``?`` one char; anchored over the whole lemma),
+        capped at ``max_expansion`` by (df DESC, lemma ASC) — the same
+        rewrite cap rule as ``expand_prefix``. Below the preload
+        threshold the match is one vectorized RE2 pass over the
+        in-memory vocabulary (pyarrow ``match_substring_regex`` with
+        explicit anchors); above it the lemma-sorted dictionary parquet
+        is range-pruned to the pattern's literal prefix (a leading
+        wildcard scans the whole dictionary — bounded by the dictionary,
+        never the corpus) and the same kernel filters the pruned read.
+        Returns ``[(lemma, df), ...]``, or None for an unparseable /
+        under-literal pattern (``analyzer.wildcard_parse``'s guard)."""
+        parsed = analyzer.wildcard_parse(pattern)
+        if parsed is None:
+            return None
+        rx, lit = parsed
+        anchored = "^(?:" + rx + ")$"
+        if self._df is not None:
+            keys = pa.array(list(self._df.keys()), pa.string())
+            mask = pc.match_substring_regex(keys, anchored)
+            hits = [(l, int(self._df[l]))
+                    for l in pc.filter(keys, mask).to_pylist()]
+        else:
+            filters = None
+            if lit:
+                filters = [("lemma", ">=", lit),
+                           ("lemma", "<", lit + chr(0x10FFFF))]
+            t = pq.read_table(
+                build_mod.lemma_dict_path(self.out_dir),
+                columns=["lemma", "df"], filters=filters,
+            )
+            t = t.filter(pc.match_substring_regex(t.column("lemma"), anchored))
+            hits = [(l, int(d))
+                    for l, d in zip(t.column("lemma").to_pylist(),
+                                    t.column("df").to_pylist())]
+        hits.sort(key=lambda r: (-r[1], r[0]))
+        return hits[:max_expansion]
+
     def complete(self, prefix: str, k: int = 10) -> dict:
         """Completion suggester (the Elasticsearch suggest-as-you-type
         shape, df-weighted): the top-``k`` vocabulary lemmas starting
@@ -3306,6 +3348,29 @@ class SearchEngine:
                 toks = analyzer.normalize_text(query_text or "").split()
                 if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
                     return self._resp(error="empty_query")
+                return self._resp(count=0)
+            terms = sorted(exp, key=lambda t: (t[1], t[0]))
+            if self._has_deltas:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                terms = [(lem, df) for lem, df in terms if df > 0]
+                if not terms:
+                    return self._resp(count=0)
+            ids, scores, count = self.score_blockmax(terms, k, scope, False)
+            ids, scores = ids[offset:], scores[offset:]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "wildcard":
+            # wildcard term query (Lucene WildcardQuery rewrite): the
+            # pattern expands to at most WILDCARD_MAX_EXPANSION
+            # vocabulary lemmas by (df DESC, lemma ASC) — prefix's cap
+            # rule — then standard disjunctive block-max BM25 over the
+            # expansion. A pattern with no metachars degenerates to an
+            # exact dictionary-term query (Lucene semantics).
+            exp = self.expand_wildcard(query_text)
+            if exp is None:
+                return self._resp(error="bad_pattern")
+            if not exp:
                 return self._resp(count=0)
             terms = sorted(exp, key=lambda t: (t[1], t[0]))
             if self._has_deltas:

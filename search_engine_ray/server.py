@@ -3,7 +3,7 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase|near|prefix|fuzzy|auto][&window=W][&fuzzy=D]
+  [&mode=bm25|reference|phrase|near|prefix|wildcard|fuzzy|auto][&window=W][&fuzzy=D]
   [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
   [&collapse=M][&group=conv]`` — ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:

@@ -48,6 +48,10 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "fuzzy", "--fuzzy-dist", "1", "--limit", "3"])
     assert fz["result"] and fz["count"] > 0
 
+    wc = _run(["search", datagen.stem(0)[:4] + "*", "--out", out,
+               "--mode", "wildcard", "--limit", "3"])
+    assert wc["result"] and wc["count"] > 0
+
     last = r["data"][-1]
     cu = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
                "--after", repr(last["score"]), last["conv_id"], str(last["turn_idx"])])

@@ -366,6 +366,76 @@ def test_fuzzy_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
 
 
+def test_wildcard_mode_semantics(tiny_index):
+    """Wildcard expansion: a metachar-free pattern == plain bm25 on
+    that term; a trailing star == prefix mode on the same literal; the
+    (df DESC, lemma) cap rule; leading-wildcard and ``?`` matching;
+    the above-threshold dictionary range-read path equals the dict
+    path; bad-pattern / no-match guards."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    hot = datagen.stem(0)
+    # no metachars -> exact dictionary-term query (Lucene semantics);
+    # the stem must be its own lemma for identity with plain bm25
+    lem = eng._analyzer.analyze_query(hot)[0] if hasattr(eng, "_analyzer") else hot
+    exact = eng.search(lem, limit=100_000)
+    wc = eng.search(lem, mode="wildcard", limit=100_000)
+    assert wc["count"] == exact["count"] and wc["data"].equals(exact["data"])
+    # trailing star == prefix mode on the same literal
+    pre = eng.search(hot[:4], mode="prefix", limit=50)
+    star = eng.search(hot[:4] + "*", mode="wildcard", limit=50)
+    assert star["count"] == pre["count"] and star["data"].equals(pre["data"])
+    # expansion obeys the cap ordering and the pattern anchors
+    exp = eng.expand_wildcard("*" + hot[-2:])
+    assert exp and exp == sorted(exp, key=lambda t: (-t[1], t[0]))
+    assert all(l.endswith(hot[-2:]) for l, _ in exp)
+    hole = eng.expand_wildcard(hot[:3] + "?" + hot[4:])
+    assert all(len(l) == len(hot) and l[:3] == hot[:3] and l[4:] == hot[4:]
+               for l, _ in hole)
+    assert any(l == hot for l, _ in hole) or eng._df_of(hot) is None
+    # scale path (literal-prefix range read + RE2 filter) pinned equal
+    eng2 = SearchEngine(tiny_index["out_dir"])
+    eng2._df = None
+    assert eng2.expand_wildcard(hot[:4] + "*") == eng.expand_wildcard(hot[:4] + "*")
+    assert eng2.expand_wildcard("*" + hot[-2:]) == exp  # leading: full-dict scan
+    r2 = eng2.search(hot[:4] + "*", mode="wildcard", limit=20)
+    assert r2["count"] == star["count"]
+    # guards: under-literal / unparseable / no-match
+    assert eng.search("a*", mode="wildcard")["error"] == "bad_pattern"
+    assert eng.search("*", mode="wildcard")["error"] == "bad_pattern"
+    assert eng.search("zz*qq", mode="wildcard")["count"] == 0
+
+
+def test_wildcard_vs_duckdb_oracle(engine, duck):
+    """Wildcard top-k rank identity vs the SQL oracle (shared
+    wildcard_parse regex, RE2 on both sides, (df DESC, lemma) cap,
+    disjunctive BM25) at sf0.001."""
+    wq = datagen.wildcard_queries()
+    sql = oracle.wildcard_topk_sql(oracle.transcripts_rel("sf0.001"), wq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in wq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], mode="wildcard",
+        )
+        if got["error"]:
+            assert q["query_id"] not in by_q
+            continue
+        got = got["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_facets_vs_duckdb_oracle(engine, duck):
     """Faceted matching-doc counts (grouped G6) == the SQL oracle's
     role/tool groupings over the same matching semantics, per query."""

@@ -50,6 +50,10 @@ def test_search_endpoint(served):
     typo = datagen.stem(4000)[:-1]
     code, got = _get(f"{base}/api/search?query={typo}&mode=fuzzy&fuzzy=1&limit=3")
     assert code == 200 and got["result"] and got["count"] > 0
+    # wildcard mode round-trips (the metachars are URL-safe enough for
+    # a bare query param: * is unreserved, ? only terminates the PATH)
+    code, got = _get(f"{base}/api/search?query={hot[:4]}*&mode=wildcard&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
     # cursor pagination round-trips &after=score,conv,turn == offset page 2
     code, p1 = _get(f"{base}/api/search?query={hot}&limit=3")
     lastrow = p1["data"][-1]

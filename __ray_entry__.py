@@ -261,6 +261,45 @@ def _search_prefix(sf_dir: str):
     return df
 
 
+def _search_decay(sf_dir: str):
+    """Function-score recency decay (ES function_score, boost_mode
+    multiply): each matching turn's BM25 score is multiplied by its
+    ts-distance decay factor (gauss/exp/linear); constants folded to
+    one float64 each and mirrored exactly by the SQL twin."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.decay_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            decay={"origin": q["origin"], "scale": q["scale"],
+                   "shape": q["shape"], "rate": q["rate"],
+                   "offset": q["offset"]},
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_wildcard(sf_dir: str):
     """Wildcard term queries (Lucene WildcardQuery rewrite): the
     pattern (``*``/``?``) expands to at most 32 vocabulary lemmas by
@@ -2201,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_wildcard": _search_wildcard,
+        "search_decay": _search_decay,
         "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
@@ -2418,6 +2458,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_wildcard": lambda: oracle.wildcard_topk_sql(
             _corpus_src(), datagen.wildcard_queries()
+        ),
+        "search_decay": lambda: oracle.bm25_decay_sql(
+            _corpus_src(), datagen.decay_queries()
         ),
         "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
             _corpus_src(), datagen.fuzzy_queries()

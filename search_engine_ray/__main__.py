@@ -92,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--boost", default=None,
                    help="query-time term boosting 'term=2.5;other=0.5' "
                         "(Lucene term^w weight, bm25 mode)")
+    s.add_argument("--decay", default=None,
+                   help="function-score recency decay "
+                        "'origin=ISO;scale=SECONDS[;shape=gauss|exp|linear]"
+                        "[;rate=0.5][;offset=0]' (ES function_score, "
+                        "boost_mode multiply, bm25 mode)")
     s.add_argument("--after", nargs=3, metavar=("SCORE", "CONV_ID", "TURN_IDX"),
                    default=None,
                    help="cursor pagination: the last row of the previous page; "
@@ -392,7 +397,9 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
     elif a.cmd == "search":
-        from .search import SearchEngine, parse_boosts_arg, parse_synonyms_arg
+        from .search import (
+            SearchEngine, parse_boosts_arg, parse_decay_arg, parse_synonyms_arg,
+        )
 
         eng = SearchEngine(a.out)
         if a.group_by_conv:
@@ -418,6 +425,7 @@ def main(argv: list[str] | None = None) -> int:
                 search_after=tuple(a.after) if a.after else None,
                 synonyms=parse_synonyms_arg(a.synonyms),
                 boosts=parse_boosts_arg(a.boost),
+                decay=parse_decay_arg(a.decay),
             )
         print(
             json.dumps(

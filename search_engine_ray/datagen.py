@@ -547,6 +547,35 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def decay_queries() -> list[dict]:
+    """Function-score recency-decay probes over the deterministic ts
+    layout (TS_BASE 2026-01-01, conv_num*1h + turn_idx*1min): all three
+    shapes, an offset plateau, a scoped probe, and a linear probe whose
+    zero tail is actually reached (scale/(1-rate) spans less than the
+    corpus) so score-0 ties exercise the docid tie-break."""
+    q = [
+        (stem(0), None, "gauss", "2026-01-02T00:00:00", 86400.0, 0.5, 0.0),
+        (stem(4000), None, "exp", "2026-01-05T12:00:00", 259200.0, 0.3, 0.0),
+        (stem(120), None, "linear", "2026-01-01T12:00:00", 43200.0, 0.5, 0.0),
+        (stem(777), "user", "gauss", "2026-01-03T06:00:00", 172800.0, 0.5, 3600.0),
+        (f"{stem(10)} {stem(11)}", None, "exp", "2026-01-01T00:00:00", 86400.0, 0.5, 7200.0),
+    ]
+    return [
+        {
+            "query_id": f"dk-{i:04d}",
+            "query_text": t,
+            "scope": s,
+            "k": 10,
+            "shape": sh,
+            "origin": o,
+            "scale": sc,
+            "rate": r,
+            "offset": off,
+        }
+        for i, (t, s, sh, o, sc, r, off) in enumerate(q)
+    ]
+
+
 def wildcard_queries() -> list[dict]:
     """Wildcard query set over the stem syllable structure: a
     trailing-star prefix shape, a single-char ``?`` hole, a LEADING

@@ -1175,6 +1175,116 @@ FROM ranked WHERE rk <= k
 """
 
 
+def bm25_decay_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Function-score recency-decay BM25 top-k oracle: the standard
+    skeleton with each matching turn's summed BM25 score multiplied by
+    its ts-distance decay factor. The shape constant (gauss 2σ²-style
+    denominator / exp λ / linear L) and the epoch-µs origin are folded
+    to ONE float64 each in Python — the SAME arithmetic the engine
+    runs — and inlined via repr (shortest round-trip, so DuckDB parses
+    the identical double); the factor expression mirrors the engine's
+    op order exactly: x = greatest(abs(ts_f - origin_f)/1e6 - off, 0),
+    then exp(-(x*x)/c) | exp(c*x) | greatest((c-x)/c, 0)."""
+    import math as _math
+    from datetime import datetime, timezone
+
+    metas, lrows = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        dt = datetime.fromisoformat(q["origin"])
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        origin_f = float(int(dt.timestamp() * 1_000_000))
+        scale_s, rate = float(q["scale"]), float(q.get("rate", 0.5))
+        off_s = float(q.get("offset", 0.0))
+        shape = q.get("shape", "gauss")
+        c1 = (-(scale_s * scale_s) / _math.log(rate) if shape == "gauss"
+              else _math.log(rate) / scale_s if shape == "exp"
+              else scale_s / (1.0 - rate))
+        metas.append(
+            f"({qid}, {scope}, {q['k']}, {len(lemmas)}, "
+            f"{analyzer._sql_quote(shape)}, {origin_f!r}, {c1!r}, {off_s!r})"
+        )
+        for lem in lemmas:
+            lrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, scope, k, n_terms, shape, origin_f, c1, off_s)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lrows) + ") ql(query_id, lemma)"
+        if lrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.* FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+dx AS (
+    SELECT s.query_id, s.conv_id, s.turn_idx, s.score, q.shape, q.c1,
+           greatest(abs(CAST(m.ts_us AS DOUBLE) - q.origin_f) / 1000000.0
+                    - q.off_s, 0.0) AS x
+    FROM scored s
+    JOIN qok q ON q.query_id = s.query_id
+    JOIN meta m ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+),
+decayed AS (
+    SELECT query_id, conv_id, turn_idx,
+           score * (CASE shape
+                    WHEN 'gauss' THEN exp(-(x * x) / c1)
+                    WHEN 'exp' THEN exp(c1 * x)
+                    ELSE greatest((c1 - x) / c1, 0.0) END) AS score
+    FROM dx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM decayed
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_min_match_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 top-k with minimum-should-match: docs containing at least
     ``min_match`` DISTINCT query lemmas (each query dict carries its

@@ -117,6 +117,25 @@ def parse_boosts_arg(s: str | None) -> dict[str, float] | None:
     return out or None
 
 
+def parse_decay_arg(s: str | None) -> dict | None:
+    """CLI/HTTP decay syntax:
+    ``origin=2026-01-02T00:00:00;scale=86400;shape=gauss;rate=0.5;offset=0``
+    -> the ``search(decay=...)`` dict. Empty/None -> None (no decay);
+    values pass through as strings (``search`` validates and reports
+    ``bad_decay`` for anything malformed — scale/rate/offset accept
+    numeric strings there via ``float()``)."""
+    if not s:
+        return None
+    out: dict[str, str] = {}
+    for part in s.split(";"):
+        part = part.strip()
+        if not part or "=" not in part:
+            continue
+        key, _, val = part.partition("=")
+        out[key.strip()] = val.strip()
+    return out or None
+
+
 def parse_boolean_query(text: str) -> tuple[list[str], str, str]:
     """Search-box boolean syntax -> (quoted phrases, loose-term text,
     NOT-term text). Double-quoted segments are exact-phrase constraints;
@@ -3230,6 +3249,7 @@ class SearchEngine:
         search_after: tuple | list | None = None,
         synonyms: dict | None = None,
         boosts: dict | None = None,
+        decay: dict | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -3276,6 +3296,25 @@ class SearchEngine:
         exhaustive scorer like the other filtering surfaces (block-max
         upper bounds are computed for unboosted idf) and composes with
         them.
+        ``decay`` (bm25 mode only) is function-score recency decay (the
+        Elasticsearch ``function_score`` decay shape, boost_mode
+        multiply): ``{"origin": ts, "scale": seconds, "shape":
+        "gauss"|"exp"|"linear", "rate": 0.5, "offset": seconds}`` —
+        each matching turn's BM25 score is multiplied by a factor of
+        its ts distance ``x = max(|ts - origin|sec - offset, 0)``:
+        gauss ``exp(-x²/c)`` (c = -scale²/ln rate), exp ``exp(λx)``
+        (λ = ln rate / scale), linear ``max((L-x)/L, 0)``
+        (L = scale/(1-rate)); at distance ``scale`` the factor is
+        exactly ``rate``. ``origin`` is explicit (int epoch-µs / ISO /
+        datetime — no hidden "now", so results are reproducible);
+        constants are folded driver-side into ONE float64 each, and
+        the factor is a single multiply on the summed BM25 score, so
+        the SQL twin inlining the same constants matches to float64
+        rounding. Routes through the exhaustive scorer like the other
+        filtering surfaces and composes with them (applied AFTER
+        exclusion/ts filters, BEFORE collapse — collapse diversifies
+        by the FINAL score); linear's zero tail keeps rows (score 0),
+        it never changes ``count``.
         ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
         pagination: return results STRICTLY AFTER that row in the
         relevance total order (score DESC, conv_id, turn_idx) — the
@@ -3321,6 +3360,28 @@ class SearchEngine:
                     return self._resp(error="bad_boosts")
                 norm_boosts[klems[0]] = w
             boosts = norm_boosts
+        decay_t: tuple | None = None
+        if decay is not None:
+            # function-score recency decay: validate + fold the shape
+            # constant to ONE float64 driver-side (the SQL twin inlines
+            # the same repr-round-tripped constant)
+            if mode != "bm25" or not isinstance(decay, dict):
+                return self._resp(error="bad_decay")
+            try:
+                origin_us = self._ts_us(decay["origin"])
+                scale_s = float(decay["scale"])
+                rate = float(decay.get("rate", 0.5))
+                off_s = float(decay.get("offset", 0.0))
+                shape = decay.get("shape", "gauss")
+            except (KeyError, TypeError, ValueError):
+                return self._resp(error="bad_decay")
+            if (origin_us is None or not scale_s > 0.0 or not 0.0 < rate < 1.0
+                    or off_s < 0.0 or shape not in ("gauss", "exp", "linear")):
+                return self._resp(error="bad_decay")
+            c1 = (-(scale_s * scale_s) / math.log(rate) if shape == "gauss"
+                  else math.log(rate) / scale_s if shape == "exp"
+                  else scale_s / (1.0 - rate))
+            decay_t = (shape, float(origin_us), c1, off_s)
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -3532,7 +3593,8 @@ class SearchEngine:
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
         elif (min_match is not None or exclude is not None or ts_min is not None
               or ts_max is not None or collapse is not None or order_by != "score"
-              or search_after is not None or boosts is not None):
+              or search_after is not None or boosts is not None
+              or decay_t is not None):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -3555,6 +3617,20 @@ class SearchEngine:
                 if ts_max is not None:
                     m &= tss <= self._ts_us(ts_max)
                 ids, scores = ids[m], scores[m]
+            if decay_t is not None and len(ids):
+                # one multiply per matching doc; x in SECONDS (float64)
+                # with the exact op order the SQL twin mirrors:
+                # abs(ts_f - origin_f) / 1e6, minus offset, clamp, shape
+                shape, origin_f, c1, off_s = decay_t
+                x = np.abs(self._ts_of_ids(ids).astype(np.float64) - origin_f) / 1e6
+                x = np.maximum(x - off_s, 0.0)
+                if shape == "gauss":
+                    factor = np.exp(-(x * x) / c1)
+                elif shape == "exp":
+                    factor = np.exp(c1 * x)
+                else:
+                    factor = np.maximum((c1 - x) / c1, 0.0)
+                scores = scores * factor
             if collapse is not None:
                 ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)

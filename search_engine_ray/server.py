@@ -5,7 +5,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
   [&mode=bm25|reference|phrase|near|prefix|wildcard|fuzzy|auto][&window=W][&fuzzy=D]
   [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
-  [&collapse=M][&group=conv]`` — ``SearchEngine.search``
+  [&collapse=M][&group=conv]
+  [&decay=origin%3DISO%3Bscale%3DSECONDS[%3Bshape%3D...][%3Brate%3D...]]``
+  — ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
   a role value or ``tool:<name>``; ``collapse=M`` keeps at most M turns
   per conversation; ``group=conv`` ranks conversations by their best
@@ -108,7 +110,9 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from .search import SearchEngine, parse_boosts_arg, parse_synonyms_arg
+from .search import (
+    SearchEngine, parse_boosts_arg, parse_decay_arg, parse_synonyms_arg,
+)
 from .stats import statistics
 
 # Minimal statistics-dashboard + search page (the reference's
@@ -271,6 +275,9 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         ),
                         boosts=parse_boosts_arg(
                             (q.get("boost") or [None])[0]
+                        ),
+                        decay=parse_decay_arg(
+                            (q.get("decay") or [None])[0]
                         ),
                     )
                 self._send(

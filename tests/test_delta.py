@@ -191,6 +191,24 @@ def test_delta_ts_range_identical_to_rebuild(delta_env):
         assert ra["count"] == rb["count"], q["query_id"]
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
+def test_delta_decay_identical_to_rebuild(delta_env):
+    """Function-score decay multiplies by ts from the overlay-folded
+    forward index (delta rows win, tombstoned rows dropped) — pinned
+    identical to a fresh rebuild of the modified corpus across all
+    three shapes."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.decay_queries():
+        spec = {"origin": q["origin"], "scale": q["scale"],
+                "shape": q["shape"], "rate": q["rate"], "offset": q["offset"]}
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            decay=spec)
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            decay=spec)
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
     """The round-3 grouped/boolean surfaces fold through the overlay
     exactly: conversation-level ranking (max-passage grouping of the

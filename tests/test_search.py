@@ -436,6 +436,91 @@ def test_wildcard_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
 
 
+def test_decay_semantics(engine):
+    """Function-score decay: a matching set is unchanged in membership
+    and count (multiply, not filter); the factor is exactly ``rate`` at
+    distance ``scale`` (pinned numerically via a one-doc probe); an
+    offset plateau leaves near-origin scores untouched; linear's zero
+    tail zeroes but keeps rows; validation errors."""
+    import math
+
+    from search_engine_ray import datagen
+
+    q = datagen.stem(0)
+    plain = engine.search(q, limit=100_000, method="exhaustive")
+    dec = engine.search(q, limit=100_000, decay={
+        "origin": "2026-01-02T00:00:00", "scale": 86400.0, "shape": "exp",
+        "rate": 0.5,
+    })
+    assert dec["count"] == plain["count"]
+    ids_p = {(r["conv_id"], r["turn_idx"]) for r in plain["data"].to_pylist()}
+    ids_d = {(r["conv_id"], r["turn_idx"]) for r in dec["data"].to_pylist()}
+    assert ids_p == ids_d
+    # every decayed score == its plain score * exp(ln(.5)/scale * x)
+    by_id = {(r["conv_id"], r["turn_idx"]): r for r in plain["data"].to_pylist()}
+    origin_us = 1_767_225_600_000_000 + 86_400_000_000  # 2026-01-02
+    for r in dec["data"].to_pylist():
+        p = by_id[(r["conv_id"], r["turn_idx"])]
+        x = abs(float(p["ts"].timestamp() * 1e6) - origin_us) / 1e6
+        assert r["score"] == pytest.approx(
+            p["score"] * math.exp(math.log(0.5) / 86400.0 * x), rel=1e-12)
+    # offset plateau: a turn within the offset keeps its plain score
+    off = engine.search(q, limit=100_000, decay={
+        "origin": "2026-01-02T00:00:00", "scale": 3600.0,
+        "offset": 10 * 365 * 86400.0,
+    })
+    assert off["count"] == plain["count"]
+    off_scores = {(r["conv_id"], r["turn_idx"]): r["score"]
+                  for r in off["data"].to_pylist()}
+    for (cid, ti), row in by_id.items():
+        assert off_scores[(cid, ti)] == row["score"]
+    # linear zero tail: scale so small everything far decays to 0.0
+    lin = engine.search(q, limit=100_000, decay={
+        "origin": "2000-01-01T00:00:00", "scale": 1.0, "shape": "linear",
+    })
+    assert lin["count"] == plain["count"]
+    assert all(r["score"] == 0.0 for r in lin["data"].to_pylist())
+    # validation
+    for bad in (
+        {"scale": 86400.0},                                  # no origin
+        {"origin": "2026-01-01", "scale": 0.0},              # scale <= 0
+        {"origin": "2026-01-01", "scale": 10.0, "rate": 1.0},
+        {"origin": "2026-01-01", "scale": 10.0, "shape": "step"},
+        {"origin": "nonsense", "scale": 10.0},
+        {"origin": "2026-01-01", "scale": 10.0, "offset": -1.0},
+    ):
+        assert engine.search(q, decay=bad)["error"] == "bad_decay"
+    assert engine.search(q, mode="reference",
+                         decay={"origin": "2026-01-01", "scale": 1.0}
+                         )["error"] == "bad_decay"
+
+
+def test_decay_vs_duckdb_oracle(engine, duck):
+    """Decay top-k rank identity vs the SQL oracle (inlined float64
+    constants, mirrored op order) at sf0.001 across all three shapes."""
+    dq = datagen.decay_queries()
+    sql = oracle.bm25_decay_sql(oracle.transcripts_rel("sf0.001"), dq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in dq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            decay={"origin": q["origin"], "scale": q["scale"],
+                   "shape": q["shape"], "rate": q["rate"],
+                   "offset": q["offset"]},
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_facets_vs_duckdb_oracle(engine, duck):
     """Faceted matching-doc counts (grouped G6) == the SQL oracle's
     role/tool groupings over the same matching semantics, per query."""

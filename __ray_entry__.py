@@ -261,6 +261,44 @@ def _search_prefix(sf_dir: str):
     return df
 
 
+def _search_rescore(sf_dir: str):
+    """Two-phase rescore (ES rescore window): BM25 top-window, then the
+    window re-ranked by qw*bm25 + rw*exact-phrase BM25 of the rescore
+    query (0 for window docs without the adjacent phrase)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.rescore_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            rescore={"query": q["rescore"], "window": q["window"],
+                     "query_weight": q["query_weight"],
+                     "rescore_weight": q["rescore_weight"]},
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_decay(sf_dir: str):
     """Function-score recency decay (ES function_score, boost_mode
     multiply): each matching turn's BM25 score is multiplied by its
@@ -2241,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix": _search_prefix,
         "search_wildcard": _search_wildcard,
         "search_decay": _search_decay,
+        "search_rescore": _search_rescore,
         "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
@@ -2461,6 +2500,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_decay": lambda: oracle.bm25_decay_sql(
             _corpus_src(), datagen.decay_queries()
+        ),
+        "search_rescore": lambda: oracle.rescore_topk_sql(
+            _corpus_src(), datagen.rescore_queries()
         ),
         "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
             _corpus_src(), datagen.fuzzy_queries()

@@ -92,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--boost", default=None,
                    help="query-time term boosting 'term=2.5;other=0.5' "
                         "(Lucene term^w weight, bm25 mode)")
+    s.add_argument("--rescore", default=None,
+                   help="two-phase rescore "
+                        "'query=PHRASE[;window=50][;query_weight=1]"
+                        "[;rescore_weight=1]' (ES rescore window: top-W "
+                        "re-ranked by qw*bm25 + rw*phrase BM25)")
     s.add_argument("--decay", default=None,
                    help="function-score recency decay "
                         "'origin=ISO;scale=SECONDS[;shape=gauss|exp|linear]"
@@ -398,7 +403,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
     elif a.cmd == "search":
         from .search import (
-            SearchEngine, parse_boosts_arg, parse_decay_arg, parse_synonyms_arg,
+            SearchEngine, parse_boosts_arg, parse_kv_arg, parse_synonyms_arg,
         )
 
         eng = SearchEngine(a.out)
@@ -425,7 +430,8 @@ def main(argv: list[str] | None = None) -> int:
                 search_after=tuple(a.after) if a.after else None,
                 synonyms=parse_synonyms_arg(a.synonyms),
                 boosts=parse_boosts_arg(a.boost),
-                decay=parse_decay_arg(a.decay),
+                decay=parse_kv_arg(a.decay),
+                rescore=parse_kv_arg(a.rescore),
             )
         print(
             json.dumps(

@@ -547,6 +547,34 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def rescore_queries() -> list[dict]:
+    """Two-phase rescore probes: a hot-bigram phrase promoting exact
+    adjacency inside a single-term base window, a reversed-order phrase
+    (different match set), a single-term rescore phrase, an
+    absent-lemma phrase (base order scaled by qw — the no-boost
+    fallback), and a scoped probe with non-default weights."""
+    q = [
+        (stem(0), f"{stem(0)} {stem(1)}", 50, 1.0, 2.0, None),
+        (f"{stem(0)} {stem(1)}", f"{stem(1)} {stem(0)}", 30, 1.0, 1.5, None),
+        (stem(4000), f"{stem(4000)}", 20, 0.5, 3.0, None),
+        (stem(0), f"wqxqzq {stem(0)}", 25, 1.0, 5.0, None),
+        (stem(1), f"{stem(1)} {stem(2)}", 40, 2.0, 0.5, "assistant"),
+    ]
+    return [
+        {
+            "query_id": f"rs-{i:04d}",
+            "query_text": t,
+            "rescore": r,
+            "window": w,
+            "query_weight": qw,
+            "rescore_weight": rw,
+            "scope": s,
+            "k": 10,
+        }
+        for i, (t, r, w, qw, rw, s) in enumerate(q)
+    ]
+
+
 def decay_queries() -> list[dict]:
     """Function-score recency-decay probes over the deterministic ts
     layout (TS_BASE 2026-01-01, conv_num*1h + turn_idx*1min): all three

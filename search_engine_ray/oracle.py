@@ -302,6 +302,165 @@ WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
 """
 
 
+def rescore_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
+    """Two-phase rescore oracle: phase one is the standard BM25
+    skeleton (missing-lemma qok gate) ranked per query and cut at the
+    rescore ``window``; phase two recomputes each window doc's final
+    score as ``qw*bm25 + rw*COALESCE(phrase_bm25, 0)``, where
+    ``phrase_bm25`` is the exact-adjacency BM25 of the rescore query's
+    lemma sequence (the phrase oracle's ordinal-preserving position
+    CTE, restricted to window docs), then re-ranks and cuts at ``k``.
+    A rescore-phrase lemma absent from the corpus simply produces no
+    match rows — base order scaled by ``qw``, the engine's exact
+    fallback. The multiply-referenced CTEs are MATERIALIZED: ``win``
+    feeds both pscored and finals, and DuckDB otherwise re-inlines the
+    whole scoring chain per reference (measured 10x at sf0.001)."""
+    metas, lrows, prrows, branches = [], [], [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        phrase = analyzer.analyze_phrase(q["rescore"])
+        if not phrase:
+            continue
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({qid}, {scope}, {q['k']}, {len(lemmas)}, {int(q['window'])}, "
+            f"{float(q.get('query_weight', 1.0))!r}, "
+            f"{float(q.get('rescore_weight', 1.0))!r})"
+        )
+        for lem in lemmas:
+            lrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+        for lem in dict.fromkeys(phrase):
+            prrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+        joins = []
+        for j, lem in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN __plem p{j} ON p{j}.conv_id = p0.conv_id "
+                f"AND p{j}.turn_idx = p0.turn_idx AND p{j}.pos = p0.pos + {j} "
+                f"AND p{j}.lemma = {analyzer._sql_quote(lem)}"
+            )
+        branches.append(
+            f"SELECT DISTINCT {qid} AS query_id, p0.conv_id, p0.turn_idx "
+            f"FROM __plem p0 {' '.join(joins)} "
+            f"WHERE p0.lemma = {analyzer._sql_quote(phrase[0])}"
+        )
+    if not metas:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, scope, k, n_terms, win, qw, rw)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lrows) + ") ql(query_id, lemma)"
+        if lrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    prlem = "(VALUES " + ", ".join(prrows) + ") pr(query_id, lemma)"
+    matches = " UNION ALL ".join(branches)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+__ptoks AS (
+    SELECT conv_id, turn_idx, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS i
+    FROM (SELECT conv_id, turn_idx,
+                 string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                     '{analyzer.NON_WORD_REGEX}', ' ', 'g')), ' ') AS toks
+          FROM {src})
+),
+__plem AS MATERIALIZED (
+    SELECT conv_id, turn_idx, {analyzer.lemma_case_sql('tok')} AS lemma,
+           row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1 AS pos
+    FROM __ptoks
+    WHERE length(tok) >= {analyzer.MIN_TOKEN_LEN}
+      AND tok NOT IN ({analyzer.stopword_sql_list()})
+),
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+prlem AS (SELECT * FROM {prlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.* FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+scored AS MATERIALIZED (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+win AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT s.*, row_number() OVER (
+            PARTITION BY s.query_id ORDER BY s.score DESC, s.conv_id, s.turn_idx
+        ) AS base_rank
+        FROM scored s
+    ) JOIN qok q USING (query_id)
+    WHERE base_rank <= q.win
+),
+pmatch AS ({matches}),
+pscored AS MATERIALIZED (
+    SELECT w.query_id, w.conv_id, w.turn_idx,
+           sum(ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM win w
+    JOIN pmatch m ON m.query_id = w.query_id
+        AND m.conv_id = w.conv_id AND m.turn_idx = w.turn_idx
+    JOIN prlem t ON t.query_id = w.query_id
+    JOIN dict d ON d.lemma = t.lemma
+    JOIN __postings p ON p.lemma = t.lemma
+        AND p.conv_id = w.conv_id AND p.turn_idx = w.turn_idx
+    JOIN doclen dl ON dl.conv_id = w.conv_id AND dl.turn_idx = w.turn_idx
+    CROSS JOIN corpus c
+    GROUP BY w.query_id, w.conv_id, w.turn_idx
+),
+finals AS (
+    SELECT w.query_id, w.conv_id, w.turn_idx,
+           w.qw * w.score + w.rw * COALESCE(p.score, 0.0) AS score
+    FROM win w
+    LEFT JOIN pscored p ON p.query_id = w.query_id
+        AND p.conv_id = w.conv_id AND p.turn_idx = w.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM finals
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def auto_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
     """Boolean search-box oracle (mode='auto'): the generator parses
     each raw query with the ENGINE'S parser (quoted phrases / -NOT

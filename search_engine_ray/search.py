@@ -117,7 +117,7 @@ def parse_boosts_arg(s: str | None) -> dict[str, float] | None:
     return out or None
 
 
-def parse_decay_arg(s: str | None) -> dict | None:
+def parse_kv_arg(s: str | None) -> dict | None:
     """CLI/HTTP decay syntax:
     ``origin=2026-01-02T00:00:00;scale=86400;shape=gauss;rate=0.5;offset=0``
     -> the ``search(decay=...)`` dict. Empty/None -> None (no decay);
@@ -3250,6 +3250,7 @@ class SearchEngine:
         synonyms: dict | None = None,
         boosts: dict | None = None,
         decay: dict | None = None,
+        rescore: dict | None = None,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -3296,6 +3297,23 @@ class SearchEngine:
         exhaustive scorer like the other filtering surfaces (block-max
         upper bounds are computed for unboosted idf) and composes with
         them.
+        ``rescore`` (bm25 mode only) is two-phase query rescoring (the
+        Elasticsearch ``rescore`` window shape): ``{"query": text,
+        "window": 50, "query_weight": 1.0, "rescore_weight": 1.0}`` —
+        phase one ranks the matching set by standard disjunctive BM25
+        and takes the top-``window``; phase two re-ranks ONLY that
+        window by ``qw*bm25 + rw*phrase_score``, where ``phrase_score``
+        is the exact-phrase BM25 of the rescore query's lemma sequence
+        (``mode='phrase'`` semantics over the window docs; a window doc
+        without the adjacent phrase adds 0). Needs a positions build; a
+        rescore-phrase lemma absent from the corpus boosts nothing
+        (base order stands, scaled by ``query_weight``); ``count``
+        stays the full matching count. Requires ``window >= offset +
+        limit`` (the page must come from the reordered window — the
+        beyond-window tail keeps base order in ES and is out of scope
+        here) and does not compose with the other rewrite/filter
+        surfaces (synonyms/boosts/decay/min_match/exclude/ts/collapse/
+        order_by/search_after) — ``bad_rescore`` otherwise.
         ``decay`` (bm25 mode only) is function-score recency decay (the
         Elasticsearch ``function_score`` decay shape, boost_mode
         multiply): ``{"origin": ts, "scale": seconds, "shape":
@@ -3382,6 +3400,35 @@ class SearchEngine:
                   else math.log(rate) / scale_s if shape == "exp"
                   else scale_s / (1.0 - rate))
             decay_t = (shape, float(origin_us), c1, off_s)
+        rescore_t: tuple | None = None
+        if rescore is not None:
+            # two-phase rescore: validate the window/weights, analyze
+            # the rescore query as an ORDERED phrase (its exact-match
+            # BM25 is the phase-two signal)
+            if (mode != "bm25" or not isinstance(rescore, dict)
+                    or min_match is not None or exclude is not None
+                    or ts_min is not None or ts_max is not None
+                    or collapse is not None or order_by != "score"
+                    or search_after is not None or boosts is not None
+                    or synonyms is not None or decay is not None):
+                return self._resp(error="bad_rescore")
+            if not self.has_positions:
+                return self._resp(error="no_positions")
+            try:
+                rq = str(rescore["query"])
+                window = int(rescore.get("window", 50))
+                qw = float(rescore.get("query_weight", 1.0))
+                rw = float(rescore.get("rescore_weight", 1.0))
+            except (KeyError, TypeError, ValueError):
+                return self._resp(error="bad_rescore")
+            if (window < 1 or window < offset + limit
+                    or not (math.isfinite(qw) and math.isfinite(rw))):
+                return self._resp(error="bad_rescore")
+            analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+            rphrase = analyze_phrase(rq) if analyze_phrase is not None else None
+            if not rphrase:
+                return self._resp(error="bad_rescore")
+            rescore_t = (rphrase, window, qw, rw)
         k = offset + limit
         if mode == "phrase":
             if not self.has_positions:
@@ -3591,6 +3638,34 @@ class SearchEngine:
             if scorer is None:
                 return self._resp(error="unknown_mode")
             ids, scores, count = scorer(self, terms, k, scope, conjunctive)
+        elif rescore_t is not None:
+            # two-phase rescore: phase one = standard disjunctive
+            # block-max BM25 top-WINDOW (the full count rides along);
+            # phase two = one vectorized searchsorted of the window ids
+            # into the rescore phrase's match set (decoded once via the
+            # memoized term blocks) + a BM25-at-docs pass over the hits
+            # — nothing beyond the window is ever rescored
+            rphrase, window, qw, rw = rescore_t
+            ids, scores, count = self.score_blockmax(
+                terms, window, scope, conjunctive
+            )
+            final = qw * scores
+            got = self._phrase_matches(rphrase, scope)
+            if got is not None and len(ids):
+                matched, pterms, pdata = got
+                if len(matched):
+                    order = np.argsort(ids)
+                    sids = ids[order]
+                    pos = np.clip(
+                        np.searchsorted(matched, sids), 0, len(matched) - 1
+                    )
+                    hit = matched[pos] == sids
+                    if hit.any():
+                        ps = self._bm25_at(pterms, pdata, sids[hit], present=True)
+                        add = np.zeros(len(sids), np.float64)
+                        add[hit] = rw * ps
+                        final[order] += add
+            ids, scores = self._topk(ids, final, k)
         elif (min_match is not None or exclude is not None or ts_min is not None
               or ts_max is not None or collapse is not None or order_by != "score"
               or search_after is not None or boosts is not None

@@ -111,7 +111,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .search import (
-    SearchEngine, parse_boosts_arg, parse_decay_arg, parse_synonyms_arg,
+    SearchEngine, parse_boosts_arg, parse_kv_arg, parse_synonyms_arg,
 )
 from .stats import statistics
 
@@ -276,8 +276,11 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         boosts=parse_boosts_arg(
                             (q.get("boost") or [None])[0]
                         ),
-                        decay=parse_decay_arg(
+                        decay=parse_kv_arg(
                             (q.get("decay") or [None])[0]
+                        ),
+                        rescore=parse_kv_arg(
+                            (q.get("rescore") or [None])[0]
                         ),
                     )
                 self._send(

@@ -56,6 +56,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--decay", "origin=2026-01-02T00:00:00;scale=86400;shape=exp"])
     assert dk["result"] and dk["count"] == r["count"]
 
+    rsq = f"query={datagen.stem(0)} {datagen.stem(1)};window=50;rescore_weight=2"
+    rc = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
+               "--rescore", rsq])
+    assert rc["result"] and rc["count"] == r["count"]
+
     last = r["data"][-1]
     cu = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
                "--after", repr(last["score"]), last["conv_id"], str(last["turn_idx"])])

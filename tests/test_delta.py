@@ -209,6 +209,24 @@ def test_delta_decay_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_rescore_identical_to_rebuild(delta_env):
+    """Rescore composes blockmax + the positional phrase matcher, both
+    of which fold the delta overlay — pinned identical to a fresh
+    rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.rescore_queries():
+        spec = {"query": q["rescore"], "window": q["window"],
+                "query_weight": q["query_weight"],
+                "rescore_weight": q["rescore_weight"]}
+        ra = overlay.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            rescore=spec)
+        rb = rebuilt.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            rescore=spec)
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_grouped_surfaces_identical_to_rebuild(delta_env):
     """The round-3 grouped/boolean surfaces fold through the overlay
     exactly: conversation-level ranking (max-passage grouping of the

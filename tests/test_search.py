@@ -436,6 +436,87 @@ def test_wildcard_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
 
 
+def test_rescore_semantics(engine):
+    """Two-phase rescore: final score == qw*bm25 + rw*phrase_score
+    reconstructed from the independent bm25 and phrase modes; rw=0 is
+    a no-op re-rank; an absent rescore-phrase lemma leaves base order
+    scaled by qw; count invariance; validation errors."""
+    from search_engine_ray import datagen
+
+    q, ph = datagen.stem(0), f"{datagen.stem(0)} {datagen.stem(1)}"
+    plain = engine.search(q, limit=100_000)
+    # rw=0, full window: identical ranking, scores exactly qw*bm25
+    r0 = engine.search(q, limit=100_000, rescore={
+        "query": ph, "window": 200_000, "rescore_weight": 0.0})
+    assert r0["count"] == plain["count"]
+    assert [
+        (r["conv_id"], r["turn_idx"]) for r in r0["data"].to_pylist()
+    ] == [(r["conv_id"], r["turn_idx"]) for r in plain["data"].to_pylist()]
+    # exact reconstruction: final == qw*bm25 + rw*phrase for every row
+    qw, rw = 1.0, 2.0
+    rs = engine.search(q, limit=100_000, rescore={
+        "query": ph, "window": 200_000,
+        "query_weight": qw, "rescore_weight": rw})
+    assert rs["count"] == plain["count"]
+    base = {(r["conv_id"], r["turn_idx"]): r["score"]
+            for r in plain["data"].to_pylist()}
+    phr = {(r["conv_id"], r["turn_idx"]): r["score"]
+           for r in engine.search(ph, mode="phrase",
+                                  limit=100_000)["data"].to_pylist()}
+    boosted = 0
+    for r in rs["data"].to_pylist():
+        key = (r["conv_id"], r["turn_idx"])
+        want = qw * base[key] + rw * phr.get(key, 0.0)
+        assert r["score"] == want, key
+        boosted += key in phr
+    assert boosted > 0  # the phrase actually promotes something
+    # absent rescore-phrase lemma: base order stands, scaled by qw
+    ab = engine.search(q, limit=100_000, rescore={
+        "query": f"wqxqzq {q}", "window": 200_000, "query_weight": 2.0})
+    assert [
+        (r["conv_id"], r["turn_idx"]) for r in ab["data"].to_pylist()
+    ] == [(r["conv_id"], r["turn_idx"]) for r in plain["data"].to_pylist()]
+    assert all(r["score"] == 2.0 * base[(r["conv_id"], r["turn_idx"])]
+               for r in ab["data"].to_pylist())
+    # validation
+    assert engine.search(q, limit=20, rescore={
+        "query": ph, "window": 10})["error"] == "bad_rescore"  # window < k
+    assert engine.search(q, rescore={"query": "the !"})["error"] == "bad_rescore"
+    assert engine.search(q, rescore={"window": 5})["error"] == "bad_rescore"
+    assert engine.search(q, mode="phrase",
+                         rescore={"query": ph})["error"] == "bad_rescore"
+    assert engine.search(q, rescore={"query": ph},
+                         decay={"origin": "2026-01-01", "scale": 1.0}
+                         )["error"] == "bad_rescore"
+
+
+def test_rescore_vs_duckdb_oracle(engine, duck):
+    """Rescore top-k rank identity vs the SQL oracle (windowed base
+    ranking + adjacency phrase BM25 + weighted recombination) at
+    sf0.001."""
+    rq = datagen.rescore_queries()
+    sql = oracle.rescore_topk_sql(oracle.transcripts_rel("sf0.001"), rq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in rq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            rescore={"query": q["rescore"], "window": q["window"],
+                     "query_weight": q["query_weight"],
+                     "rescore_weight": q["rescore_weight"]},
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_decay_semantics(engine):
     """Function-score decay: a matching set is unchanged in membership
     and count (multiply, not filter); the factor is exactly ``rate`` at

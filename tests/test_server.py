@@ -58,6 +58,10 @@ def test_search_endpoint(served):
     dec = "origin%3D2026-01-02T00%3A00%3A00%3Bscale%3D86400%3Bshape%3Dexp"
     code, got = _get(f"{base}/api/search?query={hot}&limit=3&decay={dec}")
     assert code == 200 and got["result"] and got["count"] > 0
+    # two-phase rescore round-trips
+    rsq = f"query%3D{hot}%20{datagen.stem(1)}%3Bwindow%3D50"
+    code, got = _get(f"{base}/api/search?query={hot}&limit=3&rescore={rsq}")
+    assert code == 200 and got["result"] and got["count"] > 0
     # cursor pagination round-trips &after=score,conv,turn == offset page 2
     code, p1 = _get(f"{base}/api/search?query={hot}&limit=3")
     lastrow = p1["data"][-1]

@@ -264,6 +264,10 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--limit", type=int, default=10)
     fs.add_argument("--conjunctive", action="store_true")
     fs.add_argument("--snippets", action="store_true")
+    fs.add_argument("--decay", default=None,
+                    help="function-score recency decay (same syntax as "
+                         "'search --decay'; per-shard multiply == the "
+                         "monolithic result)")
 
     cp = sub.add_parser(
         "composite", help="composite aggregation (ES composite): paged "
@@ -584,11 +588,14 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "fsearch":
         from .federate import FederatedEngine
 
+        from .search import parse_kv_arg
+
         resp = FederatedEngine(
             [d for d in a.outs.split(",") if d]
         ).search(
             a.query, scope=a.scope, offset=a.offset, limit=a.limit,
             conjunctive=a.conjunctive, with_snippets=a.snippets,
+            decay=parse_kv_arg(a.decay),
         )
         print(
             json.dumps(

@@ -127,13 +127,27 @@ class FederatedEngine:
         limit: int = DEFAULT_PAGE_SIZE,
         conjunctive: bool = False,
         with_snippets: bool = False,
+        decay: dict | None = None,
     ) -> dict:
         """Fan-out BM25 search, rank- and score-identical to a
         monolithic index over the shards' combined corpus. -> the
-        single-index ``search()`` response shape."""
+        single-index ``search()`` response shape. ``decay`` is the
+        single-index function-score recency decay: the factor is a pure
+        per-doc function of GLOBAL constants, so applying it to each
+        shard's scores before the merge is exactly the monolithic
+        multiply (pinned by test)."""
+        from .search import decay_factor, decay_params
+
         if not self.valid_scope(scope):
             return {"result": False, "count": 0,
                     "data": RESULT_SCHEMA.empty_table(), "error": "bad_scope"}
+        decay_t = None
+        if decay is not None:
+            decay_t = decay_params(decay, self.shards[0]._ts_us)
+            if decay_t is None:
+                return {"result": False, "count": 0,
+                        "data": RESULT_SCHEMA.empty_table(),
+                        "error": "bad_decay"}
         terms, err = self._merged_terms(query_text)
         if err:
             ok = err == "no_results"
@@ -170,6 +184,8 @@ class FederatedEngine:
             total += int(len(ids))
             if not len(ids):
                 continue
+            if decay_t is not None:
+                scores = scores * decay_factor(s._ts_of_ids(ids), decay_t)
             sel = np.lexsort((ids, -scores))[:need]
             tables.append(s._enrich(ids[sel], scores[sel], terms, with_snippets))
         if not tables:

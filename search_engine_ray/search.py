@@ -117,6 +117,45 @@ def parse_boosts_arg(s: str | None) -> dict[str, float] | None:
     return out or None
 
 
+def decay_params(decay, ts_us_fn) -> tuple | None:
+    """Validate a ``search(decay=...)`` spec and fold its shape constant
+    to one float64 — ``(shape, origin_f, c1, off_s)`` — or None when
+    malformed (the caller's ``bad_decay``). Shared by the single-index
+    engine and the federated fan-out (the constants are GLOBAL, so a
+    per-shard multiply merges exactly)."""
+    if not isinstance(decay, dict):
+        return None
+    try:
+        origin_us = ts_us_fn(decay["origin"])
+        scale_s = float(decay["scale"])
+        rate = float(decay.get("rate", 0.5))
+        off_s = float(decay.get("offset", 0.0))
+        shape = decay.get("shape", "gauss")
+    except (KeyError, TypeError, ValueError):
+        return None
+    if (origin_us is None or not scale_s > 0.0 or not 0.0 < rate < 1.0
+            or off_s < 0.0 or shape not in ("gauss", "exp", "linear")):
+        return None
+    c1 = (-(scale_s * scale_s) / math.log(rate) if shape == "gauss"
+          else math.log(rate) / scale_s if shape == "exp"
+          else scale_s / (1.0 - rate))
+    return (shape, float(origin_us), c1, off_s)
+
+
+def decay_factor(tss: np.ndarray, decay_t: tuple) -> np.ndarray:
+    """The per-doc decay multiplier for epoch-µs timestamps ``tss`` —
+    x in SECONDS (float64) with the exact op order the SQL twin
+    mirrors: abs(ts_f - origin_f)/1e6, minus offset, clamp, shape."""
+    shape, origin_f, c1, off_s = decay_t
+    x = np.abs(tss.astype(np.float64) - origin_f) / 1e6
+    x = np.maximum(x - off_s, 0.0)
+    if shape == "gauss":
+        return np.exp(-(x * x) / c1)
+    if shape == "exp":
+        return np.exp(c1 * x)
+    return np.maximum((c1 - x) / c1, 0.0)
+
+
 def parse_kv_arg(s: str | None) -> dict | None:
     """CLI/HTTP decay syntax:
     ``origin=2026-01-02T00:00:00;scale=86400;shape=gauss;rate=0.5;offset=0``
@@ -3383,23 +3422,11 @@ class SearchEngine:
             # function-score recency decay: validate + fold the shape
             # constant to ONE float64 driver-side (the SQL twin inlines
             # the same repr-round-tripped constant)
-            if mode != "bm25" or not isinstance(decay, dict):
+            if mode != "bm25":
                 return self._resp(error="bad_decay")
-            try:
-                origin_us = self._ts_us(decay["origin"])
-                scale_s = float(decay["scale"])
-                rate = float(decay.get("rate", 0.5))
-                off_s = float(decay.get("offset", 0.0))
-                shape = decay.get("shape", "gauss")
-            except (KeyError, TypeError, ValueError):
+            decay_t = decay_params(decay, self._ts_us)
+            if decay_t is None:
                 return self._resp(error="bad_decay")
-            if (origin_us is None or not scale_s > 0.0 or not 0.0 < rate < 1.0
-                    or off_s < 0.0 or shape not in ("gauss", "exp", "linear")):
-                return self._resp(error="bad_decay")
-            c1 = (-(scale_s * scale_s) / math.log(rate) if shape == "gauss"
-                  else math.log(rate) / scale_s if shape == "exp"
-                  else scale_s / (1.0 - rate))
-            decay_t = (shape, float(origin_us), c1, off_s)
         rescore_t: tuple | None = None
         if rescore is not None:
             # two-phase rescore: validate the window/weights, analyze
@@ -3693,19 +3720,9 @@ class SearchEngine:
                     m &= tss <= self._ts_us(ts_max)
                 ids, scores = ids[m], scores[m]
             if decay_t is not None and len(ids):
-                # one multiply per matching doc; x in SECONDS (float64)
-                # with the exact op order the SQL twin mirrors:
-                # abs(ts_f - origin_f) / 1e6, minus offset, clamp, shape
-                shape, origin_f, c1, off_s = decay_t
-                x = np.abs(self._ts_of_ids(ids).astype(np.float64) - origin_f) / 1e6
-                x = np.maximum(x - off_s, 0.0)
-                if shape == "gauss":
-                    factor = np.exp(-(x * x) / c1)
-                elif shape == "exp":
-                    factor = np.exp(c1 * x)
-                else:
-                    factor = np.maximum((c1 - x) / c1, 0.0)
-                scores = scores * factor
+                # one multiply per matching doc (decay_factor mirrors
+                # the SQL twin's op order exactly)
+                scores = scores * decay_factor(self._ts_of_ids(ids), decay_t)
             if collapse is not None:
                 ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)

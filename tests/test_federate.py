@@ -77,6 +77,23 @@ def test_federated_rank_and_score_identical(fed_env):
         assert rf["data"].equals(rm["data"]), q["query_id"]
 
 
+def test_federated_decay_identical_to_monolithic(fed_env):
+    """Function-score decay is a per-doc multiply with GLOBAL constants,
+    so the per-shard application merges bit-identically to the
+    monolithic engine; bad specs error at the federation level."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    for q in datagen.decay_queries():
+        spec = {"origin": q["origin"], "scale": q["scale"],
+                "shape": q["shape"], "rate": q["rate"], "offset": q["offset"]}
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                         decay=spec)
+        rf = fed.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                        decay=spec)
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+    assert fed.search("x", decay={"scale": 1.0})["error"] == "bad_decay"
+
+
 def test_federated_pagination_and_conjunctive(fed_env):
     mono, fed = fed_env["mono"], fed_env["fed"]
     hot = datagen.stem(0)
@@ -180,6 +197,16 @@ def test_federated_cli(fed_env):
     for g, e in zip(got["data"], exp):
         assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
         assert abs(g["score"] - e["score"]) < 1e-12
+    # --decay round-trips through the fsearch CLI
+    p = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "fsearch", hot,
+         "--outs", outs, "--limit", "5",
+         "--decay", "origin=2026-01-02T00:00:00;scale=86400;shape=exp"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert got["result"] and got["count"] == rm["count"]
 
 
 def test_federated_facets_identical_to_monolithic(fed_env):

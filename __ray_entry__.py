@@ -261,6 +261,41 @@ def _search_prefix(sf_dir: str):
     return df
 
 
+def _search_near_ordered(sf_dir: str):
+    """Ordered proximity (Lucene SpanNearQuery in_order): the query's
+    ordered lemma sequence must appear at strictly increasing positions
+    within a window-token span; BM25 over the distinct lemmas at
+    matching docs."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.near_ordered_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="near", near_window=q["window"], in_order=True)
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_rescore(sf_dir: str):
     """Two-phase rescore (ES rescore window): BM25 top-window, then the
     window re-ranked by qw*bm25 + rw*exact-phrase BM25 of the rescore
@@ -2280,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": _search_wildcard,
         "search_decay": _search_decay,
         "search_rescore": _search_rescore,
+        "search_near_ordered": _search_near_ordered,
         "search_fuzzy": _search_fuzzy,
         "delta_search": _delta_search,
         "compact_search": _compact_search,
@@ -2503,6 +2539,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_rescore": lambda: oracle.rescore_topk_sql(
             _corpus_src(), datagen.rescore_queries()
+        ),
+        "search_near_ordered": lambda: oracle.near_ordered_topk_sql(
+            _corpus_src(), datagen.near_ordered_queries()
         ),
         "search_fuzzy": lambda: oracle.fuzzy_topk_sql(
             _corpus_src(), datagen.fuzzy_queries()

@@ -71,6 +71,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near", "prefix", "wildcard", "fuzzy", "auto"], default="bm25")
     s.add_argument("--near-window", type=int, default=8,
                    help="NEAR mode: max token-window width containing all query lemmas")
+    s.add_argument("--in-order", action="store_true",
+                   help="NEAR mode: lemmas must appear in query order "
+                        "(Lucene SpanNearQuery in_order)")
     s.add_argument("--fuzzy-dist", type=int, default=1,
                    help="fuzzy mode: Levenshtein edit budget per query token (0-3)")
     s.add_argument("--min-match", type=int, default=None,
@@ -424,6 +427,7 @@ def main(argv: list[str] | None = None) -> int:
                 mode=a.mode,
                 with_snippets=a.snippets,
                 near_window=a.near_window,
+                in_order=a.in_order,
                 fuzzy_dist=a.fuzzy_dist,
                 min_match=a.min_match,
                 exclude=a.exclude,

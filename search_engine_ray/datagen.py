@@ -547,6 +547,28 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def near_ordered_queries() -> list[dict]:
+    """Ordered-proximity (SpanNear in_order) probes: a hot ordered
+    pair vs its REVERSE (different match sets — the order constraint at
+    work), a trigram, a repeated-lemma chain (strictly increasing
+    positions of one lemma), a single-term degenerate, an absent lemma
+    (empty), and a scoped probe."""
+    q = [
+        (f"{stem(0)} {stem(1)}", None, 4),
+        (f"{stem(1)} {stem(0)}", None, 4),
+        (f"{stem(50)} {stem(51)} {stem(52)}", None, 8),
+        (f"{stem(0)} {stem(0)}", None, 5),
+        (f"{stem(4000)}", None, 3),
+        (f"wqxqzq {stem(0)}", None, 6),
+        (f"{stem(0)} {stem(1)}", "user", 6),
+    ]
+    return [
+        {"query_id": f"no-{i:04d}", "query_text": t, "scope": s, "k": 10,
+         "window": w}
+        for i, (t, s, w) in enumerate(q)
+    ]
+
+
 def rescore_queries() -> list[dict]:
     """Two-phase rescore probes: a hot-bigram phrase promoting exact
     adjacency inside a single-term base window, a reversed-order phrase

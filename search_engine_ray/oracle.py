@@ -224,6 +224,53 @@ def near_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.7
     return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
 
 
+def near_ordered_topk_sql(src: str, queries: list[dict], k1: float = 1.2,
+                          b: float = 0.75) -> str:
+    """Ordered-proximity (SpanNear in_order) top-k oracle: a doc
+    matches iff the query's ORDERED lemma sequence (shared
+    ``analyzer.analyze_phrase`` — duplicates kept) appears at strictly
+    increasing positions within a ``window``-token span. The match is
+    a nested-EXISTS chain anchored at every occurrence of the first
+    lemma (existential == the engine's greedy smallest-next chain:
+    taking the minimal valid next occurrence preserves feasibility);
+    scoring is BM25 over the DISTINCT lemmas at matching docs, the
+    shared positional frame."""
+    match_branches = []
+    qterm_rows = []
+    qmeta_rows = []
+    for q in queries:
+        phrase = analyzer.analyze_phrase(q["query_text"])
+        if not phrase:
+            continue
+        qid = q["query_id"]
+        w = int(q.get("window", 8))
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        qmeta_rows.append(f"({analyzer._sql_quote(qid)}, {scope}, {q['k']})")
+        for lem in dict.fromkeys(phrase):
+            qterm_rows.append(
+                f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(lem)})"
+            )
+
+        def chain(j: int, prev: str) -> str:
+            cond = (
+                f"t{j}.conv_id = a.conv_id AND t{j}.turn_idx = a.turn_idx "
+                f"AND t{j}.lemma = {analyzer._sql_quote(phrase[j])} "
+                f"AND t{j}.pos > {prev}.pos AND t{j}.pos <= a.pos + {w - 1}"
+            )
+            inner = chain(j + 1, f"t{j}") if j + 1 < len(phrase) else ""
+            return (f"EXISTS (SELECT 1 FROM __plem t{j} WHERE {cond}"
+                    f"{' AND ' + inner if inner else ''})")
+
+        head = f"a.lemma = {analyzer._sql_quote(phrase[0])}"
+        if len(phrase) > 1:
+            head += " AND " + chain(1, "a")
+        match_branches.append(
+            f"SELECT DISTINCT {analyzer._sql_quote(qid)} AS query_id, "
+            f"a.conv_id, a.turn_idx FROM __plem a WHERE {head}"
+        )
+    return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
+
+
 def _positional_topk_sql(
     src: str,
     match_branches: list[str],

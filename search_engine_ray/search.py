@@ -3148,13 +3148,25 @@ class SearchEngine:
         return matched, terms, data
 
     def score_near(
-        self, lemmas: list[str], window: int, k: int, scope: str | None = None
+        self, lemmas: list[str], window: int, k: int, scope: str | None = None,
+        in_order: bool = False,
     ):
         """Proximity match + BM25 ranking: a doc matches iff EVERY
         distinct query lemma occurs within some ``window`` consecutive
         surviving-token positions (unordered — the slop generalization
         of the phrase operator; window = len(lemmas) admits any
         permutation-adjacent cluster).
+
+        ``in_order=True`` (Lucene SpanNearQuery in_order): the lemmas
+        must additionally appear in the GIVEN sequence order — a doc
+        matches iff some strictly-increasing position chain p_0 < p_1 <
+        ... < p_{m-1} follows ``lemmas`` with p_{m-1} <= p_0+window-1
+        (``lemmas`` is then the ordered, duplicate-keeping sequence).
+        The matcher is the greedy smallest-next chain, exact because
+        taking the minimal valid next occurrence always preserves
+        feasibility (it maximizes the remaining window); ordered
+        matching with window == len(lemmas) and no repeats degenerates
+        toward phrase (adjacent == a chain of consecutive positions).
 
         Exactness argument for the anchor scan: if a window ``[w, w+W-1]``
         covers one occurrence of every lemma, then anchoring at the
@@ -3198,7 +3210,7 @@ class SearchEngine:
         if cand is None or not len(cand):
             return empty
 
-        if len(distinct) == 1:
+        if len(lemmas) == 1 or (not in_order and len(distinct) == 1):
             matched = cand  # one lemma: any occurrence is its own window
         else:
             shift = np.int64(1) << np.int64(32)
@@ -3211,17 +3223,38 @@ class SearchEngine:
                 cnt = tf[pidx].astype(np.int64)
                 cidx = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
                 term_keys[lem] = cidx * shift + p  # doc-major, sorted
-            anchors = np.sort(np.concatenate(list(term_keys.values())))
-            ok = np.ones(len(anchors), bool)
-            hi = anchors + np.int64(window - 1)
-            for lem, _df in terms:
-                tk = term_keys[lem]
-                lo = np.searchsorted(tk, anchors)
-                loc = np.clip(lo, 0, max(len(tk) - 1, 0))
-                ok &= (lo < len(tk)) & (tk[loc] <= hi)
-                if not ok.any():
-                    return empty
-            matched = cand[np.unique(anchors[ok] >> np.int64(32))]
+            if in_order:
+                # greedy smallest-next chain from every occurrence of
+                # the FIRST sequence lemma; key arithmetic keeps the
+                # doc prefix, so nxt <= hi simultaneously enforces
+                # same-doc and within-window; ok is AND-sticky (a dead
+                # chain never revives on garbage cur values)
+                anchors = term_keys[lemmas[0]]
+                ok = np.ones(len(anchors), bool)
+                hi = anchors + np.int64(window - 1)
+                cur = anchors
+                for lem in lemmas[1:]:
+                    tk = term_keys[lem]
+                    idx = np.searchsorted(tk, cur, side="right")
+                    idxc = np.clip(idx, 0, max(len(tk) - 1, 0))
+                    nxt = tk[idxc]
+                    ok &= (idx < len(tk)) & (nxt <= hi)
+                    if not ok.any():
+                        return empty
+                    cur = nxt
+                matched = cand[np.unique(anchors[ok] >> np.int64(32))]
+            else:
+                anchors = np.sort(np.concatenate(list(term_keys.values())))
+                ok = np.ones(len(anchors), bool)
+                hi = anchors + np.int64(window - 1)
+                for lem, _df in terms:
+                    tk = term_keys[lem]
+                    lo = np.searchsorted(tk, anchors)
+                    loc = np.clip(lo, 0, max(len(tk) - 1, 0))
+                    ok &= (lo < len(tk)) & (tk[loc] <= hi)
+                    if not ok.any():
+                        return empty
+                matched = cand[np.unique(anchors[ok] >> np.int64(32))]
         count = len(matched)
         score = np.zeros(count, np.float64)
         k1, b = self.k1, self.b
@@ -3278,6 +3311,7 @@ class SearchEngine:
         conjunctive: bool = False,
         with_snippets: bool = False,
         near_window: int = 8,
+        in_order: bool = False,
         fuzzy_dist: int = 1,
         min_match: int | None = None,
         exclude: str | None = None,
@@ -3562,12 +3596,23 @@ class SearchEngine:
         if mode == "near":
             if not self.has_positions:
                 return self._resp(error="no_positions")
-            lemmas = self._analyzer.analyze_query(query_text)
+            if in_order:
+                # ordered proximity (Lucene SpanNearQuery in_order):
+                # the ORDERED, duplicate-keeping lemma sequence — query
+                # order is the matching constraint, so the sorted-dedup
+                # analyze_query would destroy the semantics
+                analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+                if analyze_phrase is None:
+                    return self._resp(error="no_positions")
+                lemmas = analyze_phrase(query_text)
+            else:
+                lemmas = self._analyzer.analyze_query(query_text)
             if not lemmas:
                 return self._resp(error="empty_query")
             if near_window < 1:
                 return self._resp(error="bad_window")
-            got = self.score_near(lemmas, near_window, k, scope)
+            got = self.score_near(lemmas, near_window, k, scope,
+                                  in_order=in_order)
             if got is None:
                 return self._resp(count=0)
             ids, scores, count = got

@@ -260,6 +260,7 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         mode=(q.get("mode") or ["bm25"])[0],
                         with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
                         near_window=int((q.get("window") or ["8"])[0]),
+                        in_order=(q.get("in_order") or ["0"])[0] in ("1", "true"),
                         fuzzy_dist=int((q.get("fuzzy") or ["1"])[0]),
                         exclude=(q.get("exclude") or [None])[0],
                         ts_min=(q.get("ts_min") or [None])[0],

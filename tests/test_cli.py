@@ -61,6 +61,13 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--rescore", rsq])
     assert rc["result"] and rc["count"] == r["count"]
 
+    no = _run(["search", f"{datagen.stem(0)} {datagen.stem(1)}", "--out", out,
+               "--mode", "near", "--near-window", "4", "--in-order",
+               "--limit", "3"])
+    nu = _run(["search", f"{datagen.stem(0)} {datagen.stem(1)}", "--out", out,
+               "--mode", "near", "--near-window", "4", "--limit", "3"])
+    assert no["result"] and 0 < no["count"] <= nu["count"]
+
     last = r["data"][-1]
     cu = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
                "--after", repr(last["score"]), last["conv_id"], str(last["turn_idx"])])

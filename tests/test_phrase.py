@@ -210,6 +210,91 @@ def test_near_ground_truth_and_window_semantics(phrase_index, tiny_corpus):
     assert got_w[2] == un
 
 
+def _ordered_matches(text: str, seq: list[str], w: int) -> bool:
+    toks = [analyzer.lemmatize_token(t) for t in analyzer.tokenize(text or "")]
+    # existential ordered chain within a w-token span, anchored at every
+    # occurrence of seq[0]; greedy smallest-next is exact
+    for a, tok in enumerate(toks):
+        if tok != seq[0]:
+            continue
+        cur = a
+        ok = True
+        for lem in seq[1:]:
+            nxt = next((j for j in range(cur + 1, min(a + w, len(toks)))
+                        if toks[j] == lem), None)
+            if nxt is None:
+                ok = False
+                break
+            cur = nxt
+        if ok:
+            return True
+    return False
+
+
+def test_near_ordered_semantics(phrase_index, tiny_corpus, duck):
+    """Ordered NEAR (SpanNear in_order): matches == direct ordered-chain
+    scan; ordered ⊆ unordered at the same window; window == len(seq)
+    equals PHRASE exactly (strictly increasing positions in an m-span
+    are consecutive); the reverse order is a different set; repeated
+    lemmas chain strictly; absent lemma empty; DuckDB oracle parity."""
+    from search_engine_ray import oracle
+
+    tbl = pads.dataset(tiny_corpus).to_table()
+    rows = list(zip(tbl.column("conv_id").to_pylist(),
+                    tbl.column("turn_idx").to_pylist(),
+                    tbl.column("text").to_pylist()))
+    eng = SearchEngine(phrase_index)
+    qtext = HOT2
+    seq = analyzer.analyze_phrase(qtext)
+    for w in (2, 4, 8):
+        truth = {(c, t) for c, t, x in rows if _ordered_matches(x, seq, w)}
+        r = eng.search(qtext, mode="near", near_window=w, in_order=True,
+                       limit=100_000)
+        got = {(x["conv_id"], x["turn_idx"]) for x in r["data"].to_pylist()}
+        assert got == truth, f"window={w}"
+        un = eng.search(qtext, mode="near", near_window=w, limit=100_000)
+        unset = {(x["conv_id"], x["turn_idx"]) for x in un["data"].to_pylist()}
+        assert got <= unset
+    # window == len(seq): ordered near IS phrase (count and rows)
+    po = eng.search(qtext, mode="near", near_window=len(seq), in_order=True,
+                    limit=100_000)
+    ph = eng.search(qtext, mode="phrase", limit=100_000)
+    assert po["count"] == ph["count"] and po["data"].equals(ph["data"])
+    # reverse order: a genuinely different matching set
+    rev = f"{datagen.stem(1)} {datagen.stem(0)}"
+    rrev = eng.search(rev, mode="near", near_window=4, in_order=True,
+                      limit=100_000)
+    seq_r = analyzer.analyze_phrase(rev)
+    truth_r = {(c, t) for c, t, x in rows if _ordered_matches(x, seq_r, 4)}
+    assert {(x["conv_id"], x["turn_idx"])
+            for x in rrev["data"].to_pylist()} == truth_r
+    # repeated lemma: strictly increasing chain of the same lemma
+    rep = f"{datagen.stem(0)} {datagen.stem(0)}"
+    seq_rep = analyzer.analyze_phrase(rep)
+    rr = eng.search(rep, mode="near", near_window=5, in_order=True,
+                    limit=100_000)
+    truth_rep = {(c, t) for c, t, x in rows if _ordered_matches(x, seq_rep, 5)}
+    assert {(x["conv_id"], x["turn_idx"])
+            for x in rr["data"].to_pylist()} == truth_rep
+    assert eng.search(f"wqxqzq {datagen.stem(0)}", mode="near",
+                      in_order=True)["count"] == 0
+    # DuckDB oracle parity over the same corpus
+    src = "read_parquet([" + ", ".join(f"'{p}'" for p in tiny_corpus) + "])"
+    qs = datagen.near_ordered_queries()
+    got_rows = []
+    for q in qs:
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="near", near_window=q["window"], in_order=True)
+        assert r["result"], (q, r)
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            got_rows.append((q["query_id"], rank, row["conv_id"],
+                             row["turn_idx"], round(row["score"], 6)))
+    exp = [tuple(r) for r in
+           duck.execute(oracle.near_ordered_topk_sql(src, qs)).fetchall()]
+    assert sorted(got_rows) == sorted(exp)
+    assert len(got_rows) > 0
+
+
 def test_near_single_term_and_absent(phrase_index):
     eng = SearchEngine(phrase_index)
     one = eng.search(datagen.stem(777), mode="near", near_window=3)

@@ -62,6 +62,10 @@ def test_search_endpoint(served):
     rsq = f"query%3D{hot}%20{datagen.stem(1)}%3Bwindow%3D50"
     code, got = _get(f"{base}/api/search?query={hot}&limit=3&rescore={rsq}")
     assert code == 200 and got["result"] and got["count"] > 0
+    # ordered proximity round-trips &in_order=1
+    code, got = _get(f"{base}/api/search?query={hot}+{datagen.stem(1)}"
+                     f"&mode=near&window=4&in_order=1&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
     # cursor pagination round-trips &after=score,conv,turn == offset page 2
     code, p1 = _get(f"{base}/api/search?query={hot}&limit=3")
     lastrow = p1["data"][-1]

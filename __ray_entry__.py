@@ -598,6 +598,43 @@ def _search_mlt(sf_dir: str):
     return df
 
 
+def _search_rare_terms(sf_dir: str):
+    """Rare-terms aggregation: per probe query, the long-tail lemmas of
+    the matching set whose global df <= max_doc_count, ranked df ASC —
+    the same one-distributed-scan frame as significant_terms (the ES
+    ``rare_terms`` bucket); all compared columns integers."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.rare_terms_queries():
+        r = eng.rare_terms(q["query_text"], scope=q["scope"], k=q["k"],
+                           max_doc_count=q["max_doc_count"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": row["rank"],
+                    "lemma": row["lemma"],
+                    "fg_docs": row["fg_docs"],
+                    "bg_docs": row["bg_docs"],
+                }
+            )
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "lemma", "fg_docs", "bg_docs"]
+    )
+    df["rank"] = df["rank"].astype("int32")
+    df["fg_docs"] = df["fg_docs"].astype("int64")
+    df["bg_docs"] = df["bg_docs"].astype("int64")
+    return df
+
+
 def _search_sig_terms(sf_dir: str):
     """Significant-terms aggregation: per probe query, the top lemmas
     most overrepresented in the matching set vs the corpus background
@@ -2289,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_top_hits": _search_top_hits,
         "search_facets_day": _search_facets_day,
         "search_sig_terms": _search_sig_terms,
+        "search_rare_terms": _search_rare_terms,
         "search_exclude": _search_exclude,
         "search_boolean": _search_boolean,
         "search_conversations": _search_conversations,
@@ -2452,6 +2490,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_facets_day": lambda: oracle.facets_day_sql(_corpus_src(), qs),
         "search_sig_terms": lambda: oracle.significant_terms_sql(
             _corpus_src(), datagen.sig_queries()
+        ),
+        "search_rare_terms": lambda: oracle.rare_terms_sql(
+            _corpus_src(), datagen.rare_terms_queries()
         ),
         "search_exclude": lambda: oracle.bm25_exclude_sql(
             _corpus_src(), datagen.exclude_queries()

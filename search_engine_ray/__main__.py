@@ -334,6 +334,21 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--ts-max", default=None)
     sq.add_argument("--limit", type=int, default=10)
 
+    rt = sub.add_parser(
+        "rareterms", help="rare-terms aggregation: long-tail lemmas of "
+        "the query's matching set whose global df <= --max-doc-count, "
+        "ranked df ASC (same distributed index-segment scan as sigterms)"
+    )
+    rt.add_argument("query")
+    rt.add_argument("--out", required=True)
+    rt.add_argument("--scope", default=None)
+    rt.add_argument("--conjunctive", action="store_true")
+    rt.add_argument("--exclude", default=None)
+    rt.add_argument("--ts-min", default=None)
+    rt.add_argument("--ts-max", default=None)
+    rt.add_argument("--max-doc-count", type=int, default=10)
+    rt.add_argument("--limit", type=int, default=10)
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: rank documents similar to one turn "
         "(its top tf-idf lemmas become a disjunctive BM25 query)"
@@ -690,6 +705,26 @@ def main(argv: list[str] | None = None) -> int:
 
         resp = SearchEngine(a.out).significant_terms(
             a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "rareterms":
+        _init_ray()  # the fg scan is a Ray Data job over the index segments
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).rare_terms(
+            a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
+            max_doc_count=a.max_doc_count,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
         )
         print(

@@ -467,6 +467,26 @@ def sig_queries() -> list[dict]:
     ]
 
 
+def rare_terms_queries() -> list[dict]:
+    """Rare-terms probes: matching sets from mid-frequency to ultra-hot
+    with df ceilings that actually admit long-tail lemmas, a tight
+    ceiling on a hot set (mostly-empty result), a scoped probe, and an
+    absent lemma (empty)."""
+    q = [
+        (f"{stem(4000)}", None, 20),
+        (f"{stem(0)}", None, 10),
+        (f"{stem(120)} {stem(480)}", None, 15),
+        (f"{stem(0)}", None, 1),               # tight ceiling
+        (f"{stem(2048)}", "assistant", 25),    # scoped
+        ("wqxqzq", None, 10),                  # absent -> empty
+    ]
+    return [
+        {"query_id": f"rt-{i:04d}", "query_text": t, "scope": s, "k": 10,
+         "max_doc_count": m}
+        for i, (t, s, m) in enumerate(q)
+    ]
+
+
 def delete_probes() -> list[dict]:
     """Fixed delete-by-query probes, applied SEQUENTIALLY (the second
     delete stacks on the first's generations): a mid-frequency unscoped

@@ -1261,6 +1261,87 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def rare_terms_sql(src: str, queries: list[dict]) -> str:
+    """Rare-terms oracle: per query, the lemmas occurring in the
+    matching set whose GLOBAL df <= the query's ``max_doc_count``,
+    query lemmas excluded, ranked (df ASC, lemma ASC), top-k — the
+    engine's exact rule over the same matching semantics as
+    ``significant_terms_sql``. Every compared column is an integer."""
+    metas, lems = [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        metas.append(
+            f"({analyzer._sql_quote(q['query_id'])}, {scope}, {q['k']}, "
+            f"{len(lemmas)}, {int(q['max_doc_count'])})"
+        )
+        for lem in lemmas:
+            lems.append(
+                f"({analyzer._sql_quote(q['query_id'])}, {analyzer._sql_quote(lem)})"
+            )
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, scope, k, n_terms, maxdc)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lems) + ") ql(query_id, lemma)"
+        if lems
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope, qm.k, qm.maxdc FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+fg AS (
+    SELECT m.query_id, p.lemma, count(*) AS fg
+    FROM matched m
+    JOIN __postings p ON p.conv_id = m.conv_id AND p.turn_idx = m.turn_idx
+    GROUP BY 1, 2
+),
+rare AS (
+    SELECT f.query_id, f.lemma, f.fg, d.df AS bg
+    FROM fg f
+    JOIN dict d ON d.lemma = f.lemma
+    JOIN qok q ON q.query_id = f.query_id
+    WHERE d.df <= q.maxdc
+      AND NOT EXISTS (
+          SELECT 1 FROM qterm qt
+          WHERE qt.query_id = f.query_id AND qt.lemma = f.lemma
+      )
+),
+ranked AS (
+    SELECT query_id, lemma, fg, bg,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY bg, lemma
+           ) AS rank
+    FROM rare
+)
+SELECT query_id, CAST(rank AS INT) AS rank, lemma,
+       CAST(fg AS BIGINT) AS fg_docs, CAST(bg AS BIGINT) AS bg_docs
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_page_sql(src: str, queries: list[dict], offset: int) -> str:
     """Pagination oracle (T3): ranks strictly after ``offset`` from the
     same deterministic total order."""

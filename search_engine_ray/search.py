@@ -2230,6 +2230,112 @@ class SearchEngine:
         return {"result": True, "count": int(len(uniq)), "data": tbl,
                 "after_key": after_key, "error": None}
 
+    def _fg_bg_grouped(self, uniq: np.ndarray):
+        """ONE distributed Ray Data scan of the CURRENT index segments
+        -> a grouped Dataset of exact (lemma, fg, bg) rows: fg = the
+        lemma's LIVE postings inside the broadcast matching-docid set
+        ``uniq`` (ray.put once, zero-copy per batch), bg = the lemma's
+        LIVE df (overlay tombstone ranges ride as a second broadcast and
+        mask stale base postings on BOTH counts). Each batch decodes its
+        gaps stream only (tf/dl/poss column-pruned out of the read) and
+        emits vocabulary-bounded partials into one groupby. Lemmas the
+        overlay TOUCHES (``_delta_lemma``) are not corrected here — the
+        caller must skip them in its final map and fold them driver-side
+        via ``_touched_fg_bg`` (delta-sized work). Shared by
+        ``significant_terms`` and ``rare_terms`` — the matching-set
+        term-aggregation family."""
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        m_ref = ray.put(np.ascontiguousarray(uniq))
+        overlay = self._has_deltas
+        tomb_ref = (
+            ray.put((np.ascontiguousarray(self._tomb_starts),
+                     np.ascontiguousarray(self._tomb_ends)))
+            if overlay else None
+        )
+        touched = sorted(self._delta_lemma) if overlay else []
+
+        def fg_partials(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            from search_engine_ray.stages.encode import (
+                binary_column_buffers,
+                decode_gaps_range,
+            )
+
+            n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(n):
+                return pa.table(
+                    {
+                        "lemma": pa.array([], pa.string()),
+                        "fg": pa.array([], pa.int64()),
+                        "bg": pa.array([], pa.int64()),
+                    }
+                )
+            cum = np.concatenate(([0], np.cumsum(n)))
+            docids = decode_gaps_range(
+                binary_column_buffers(batch.column("gaps")), cum, 0, len(n)
+            )
+            m = _ray.get(m_ref)  # zero-copy plasma view, shared per node
+            pos = np.searchsorted(m, docids)
+            member = np.zeros(len(docids), bool)
+            inb = pos < len(m)
+            member[inb] = m[pos[inb]] == docids[inb]
+            ts, te = _ray.get(tomb_ref) if tomb_ref is not None else (None, None)
+            if ts is not None and len(ts):
+                # overlay: count LIVE postings only — stale base postings
+                # of re-indexed/deleted conversations are masked by the
+                # broadcast tombstone ranges (the _tomb_keep_mask rule)
+                idx = np.searchsorted(ts, docids, side="right") - 1
+                idxc = np.clip(idx, 0, len(ts) - 1)
+                live = ~((idx >= 0) & (docids < te[idxc]))
+                member &= live
+                bg = np.add.reduceat(live.astype(np.int64), cum[:-1])
+            else:
+                bg = n
+            fg = np.add.reduceat(member.astype(np.int64), cum[:-1])
+            t = pa.table(
+                {
+                    "lemma": batch.column("lemma"),
+                    "fg": pa.array(fg, pa.int64()),
+                    "bg": pa.array(bg, pa.int64()),
+                }
+            )
+            g = t.group_by("lemma").aggregate([("fg", "sum"), ("bg", "sum")])
+            return g.rename_columns(["lemma", "fg", "bg"])
+
+        ds = (
+            rd.read_parquet(
+                build_mod.index_dir(self.out_dir), columns=["lemma", "n", "gaps"]
+            )
+            .map_batches(fg_partials, batch_format="pyarrow")
+            .groupby("lemma")
+            .aggregate(Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"))
+        )
+        return ds, touched
+
+    def _touched_fg_bg(self, touched: list[str], uniq: np.ndarray):
+        """Exact (lemma, fg, bg) rows for overlay-touched lemmas from
+        their merged (overlay-folded) posting decode — delta-sized lemma
+        set, df-bounded work per lemma (the frames the query path
+        memoizes). Lemmas with no live postings are dropped."""
+        if not touched:
+            return []
+        blocks = self._term_blocks(touched)
+        rows = []
+        for lem in touched:
+            bl = blocks[lem]
+            d = self._decode_term_docids(bl, bl.setdefault("chunks", {}))
+            if not len(d):
+                continue
+            p2 = np.searchsorted(uniq, d)
+            inb2 = p2 < len(uniq)
+            fg_v = int((uniq[p2[inb2]] == d[inb2]).sum())
+            rows.append((lem, fg_v, len(d)))
+        return rows
+
     def significant_terms(
         self,
         query_text: str,
@@ -2289,72 +2395,13 @@ class SearchEngine:
         )
         if not len(uniq):
             return {"result": True, "count": 0, "data": empty, "error": None}
-        import ray
-        import ray.data as rd
-        from ray.data.aggregate import Sum
-
-        m_ref = ray.put(np.ascontiguousarray(uniq))
+        grouped, touched_all = self._fg_bg_grouped(uniq)
         n_fg = float(len(uniq))
         n_docs = float(self.n_docs)
         qlems = sorted({t[0] for t in terms})
         kk = int(k)
-        overlay = self._has_deltas
-        tomb_ref = (
-            ray.put((np.ascontiguousarray(self._tomb_starts),
-                     np.ascontiguousarray(self._tomb_ends)))
-            if overlay else None
-        )
-        touched = sorted(set(self._delta_lemma) - set(qlems)) if overlay else []
+        touched = sorted(set(touched_all) - set(qlems))
         skip_lems = sorted(set(qlems) | set(touched))
-
-        def fg_partials(batch: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            from search_engine_ray.stages.encode import (
-                binary_column_buffers,
-                decode_gaps_range,
-            )
-
-            n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-            if not len(n):
-                return pa.table(
-                    {
-                        "lemma": pa.array([], pa.string()),
-                        "fg": pa.array([], pa.int64()),
-                        "bg": pa.array([], pa.int64()),
-                    }
-                )
-            cum = np.concatenate(([0], np.cumsum(n)))
-            docids = decode_gaps_range(
-                binary_column_buffers(batch.column("gaps")), cum, 0, len(n)
-            )
-            m = _ray.get(m_ref)  # zero-copy plasma view, shared per node
-            pos = np.searchsorted(m, docids)
-            member = np.zeros(len(docids), bool)
-            inb = pos < len(m)
-            member[inb] = m[pos[inb]] == docids[inb]
-            ts, te = _ray.get(tomb_ref) if tomb_ref is not None else (None, None)
-            if ts is not None and len(ts):
-                # overlay: count LIVE postings only — stale base postings
-                # of re-indexed/deleted conversations are masked by the
-                # broadcast tombstone ranges (the _tomb_keep_mask rule)
-                idx = np.searchsorted(ts, docids, side="right") - 1
-                idxc = np.clip(idx, 0, len(ts) - 1)
-                live = ~((idx >= 0) & (docids < te[idxc]))
-                member &= live
-                bg = np.add.reduceat(live.astype(np.int64), cum[:-1])
-            else:
-                bg = n
-            fg = np.add.reduceat(member.astype(np.int64), cum[:-1])
-            t = pa.table(
-                {
-                    "lemma": batch.column("lemma"),
-                    "fg": pa.array(fg, pa.int64()),
-                    "bg": pa.array(bg, pa.int64()),
-                }
-            )
-            g = t.group_by("lemma").aggregate([("fg", "sum"), ("bg", "sum")])
-            return g.rename_columns(["lemma", "fg", "bg"])
 
         _empty_scored = pa.schema(
             [
@@ -2400,38 +2447,26 @@ class SearchEngine:
                 }
             )
 
-        parts = (
-            rd.read_parquet(
-                build_mod.index_dir(self.out_dir), columns=["lemma", "n", "gaps"]
-            )
-            .map_batches(fg_partials, batch_format="pyarrow")
-            .groupby("lemma")
-            .aggregate(Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"))
-            .map_batches(score_topk, batch_format="pyarrow")
-            .to_pandas()
-        )
+        parts = grouped.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            # an all-empty Ray Data result drops the schema entirely —
+            # reinstate the columns so the fold/sort below stays typed
+            import pandas as _pd
+
+            parts = _pd.DataFrame(columns=["lemma", "fg", "bg", "score"])
         if touched:
-            # overlay-touched lemmas: exact merged (overlay-folded)
-            # postings decode — delta-sized lemma set, df-bounded work
-            # per lemma (the same frames the query path memoizes)
+            # overlay-touched lemmas folded driver-side from the merged
+            # (overlay-folded) decode, scored with the same op sequence
             import pandas as pd
 
-            blocks = self._term_blocks(touched)
             rows = []
-            for lem in touched:
-                bl = blocks[lem]
-                d = self._decode_term_docids(bl, bl.setdefault("chunks", {}))
-                if not len(d):
-                    continue
-                p2 = np.searchsorted(uniq, d)
-                inb2 = p2 < len(uniq)
-                fg_v = int((uniq[p2[inb2]] == d[inb2]).sum())
+            for lem, fg_v, bg_v in self._touched_fg_bg(touched, uniq):
                 if not fg_v:
                     continue
                 fgp = fg_v / n_fg
-                bgp = len(d) / n_docs
+                bgp = bg_v / n_docs
                 rows.append(
-                    (lem, fg_v, len(d), (fgp - bgp) * (fgp / bgp))
+                    (lem, fg_v, bg_v, (fgp - bgp) * (fgp / bgp))
                 )
             if rows:
                 parts = pd.concat(
@@ -2454,6 +2489,124 @@ class SearchEngine:
                     parts["bg"].to_numpy().astype(np.int64), pa.int64()
                 ),
                 "score": pa.array(parts["score"].to_numpy(), pa.float64()),
+            }
+        )
+        return {"result": True, "count": int(len(uniq)), "data": data, "error": None}
+
+    def rare_terms(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        k: int = 10,
+        max_doc_count: int = 10,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Rare-terms aggregation (the Elasticsearch ``rare_terms``
+        bucket): vocabulary lemmas occurring in the query's matching
+        set whose GLOBAL (live) df is at most ``max_doc_count`` —
+        long-tail terms ordinary ``terms`` buckets bury — ranked
+        (bg ASC, lemma ASC), top-``k``; the query's own lemmas are
+        excluded. Rides the same ONE-distributed-scan frame as
+        ``significant_terms`` (``_fg_bg_grouped``): per-block gaps-only
+        decode, broadcast matching set, vocabulary-bounded partials
+        into one groupby, per-block partial top-k, tombstone-masked
+        with overlay-touched lemmas folded driver-side — so the delta
+        overlay is exact. Composes with the filtering surfaces like
+        ``facets``. All compared columns are integers.
+
+        -> {'result', 'count' (matching docs), 'data':
+        pa.Table(rank, lemma, fg_docs, bg_docs), 'error'}"""
+        empty = RARE_TERMS_SCHEMA.empty_table()
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        if k < 1 or max_doc_count < 1:
+            return {**self._resp(error="bad_k" if k < 1 else "bad_max_doc_count"),
+                    "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        import pandas as pd
+
+        grouped, touched_all = self._fg_bg_grouped(uniq)
+        qlems = sorted({t[0] for t in terms})
+        kk, maxdc = int(k), int(max_doc_count)
+        touched = sorted(set(touched_all) - set(qlems))
+        skip_lems = sorted(set(qlems) | set(touched))
+
+        _empty_rare = pa.schema(
+            [("lemma", pa.string()), ("fg", pa.int64()), ("bg", pa.int64())]
+        ).empty_table()
+
+        def rare_topk(batch: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.and_(
+                    pc.invert(
+                        pc.is_in(
+                            batch.column("lemma"),
+                            value_set=pa.array(skip_lems, pa.string()),
+                        )
+                    ),
+                    pc.greater(batch.column("fg"), 0),
+                ),
+                pc.less_equal(batch.column("bg"), maxdc),
+            )
+            b = batch.filter(keep)
+            if not b.num_rows:
+                return _empty_rare
+            lem = b.column("lemma").to_numpy(zero_copy_only=False)
+            bg = b.column("bg").to_numpy(zero_copy_only=False)
+            sel = np.lexsort((lem, bg))[:kk]
+            return pa.table(
+                {
+                    "lemma": pa.array(lem[sel], pa.string()),
+                    "fg": pa.array(
+                        b.column("fg").to_numpy(zero_copy_only=False)[sel],
+                        pa.int64(),
+                    ),
+                    "bg": pa.array(bg[sel], pa.int64()),
+                }
+            )
+
+        parts = grouped.map_batches(rare_topk, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            # an all-empty Ray Data result drops the schema entirely —
+            # reinstate the columns so the fold/sort below stays typed
+            parts = pd.DataFrame(columns=["lemma", "fg", "bg"])
+        rows = [
+            (lem, fg_v, bg_v)
+            for lem, fg_v, bg_v in self._touched_fg_bg(touched, uniq)
+            if fg_v > 0 and bg_v <= maxdc
+        ]
+        if rows:
+            parts = pd.concat(
+                [parts, pd.DataFrame(rows, columns=["lemma", "fg", "bg"])],
+                ignore_index=True,
+            )
+        parts = parts.sort_values(
+            ["bg", "lemma"], ascending=[True, True], kind="mergesort"
+        ).head(kk)
+        data = pa.table(
+            {
+                "rank": pa.array(
+                    np.arange(1, len(parts) + 1, dtype=np.int32), pa.int32()
+                ),
+                "lemma": pa.array(parts["lemma"].tolist(), pa.string()),
+                "fg_docs": pa.array(
+                    parts["fg"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "bg_docs": pa.array(
+                    parts["bg"].to_numpy().astype(np.int64), pa.int64()
+                ),
             }
         )
         return {"result": True, "count": int(len(uniq)), "data": data, "error": None}
@@ -4038,6 +4191,15 @@ SIG_TERMS_SCHEMA = pa.schema(
         ("fg_docs", pa.int64()),
         ("bg_docs", pa.int64()),
         ("score", pa.float64()),
+    ]
+)
+
+RARE_TERMS_SCHEMA = pa.schema(
+    [
+        ("rank", pa.int32()),
+        ("lemma", pa.string()),
+        ("fg_docs", pa.int64()),
+        ("bg_docs", pa.int64()),
     ]
 )
 

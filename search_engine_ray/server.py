@@ -71,6 +71,11 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   query's matching set vs the corpus background (JLH score; the fg scan
   is a Ray Data job over the index segments; Ray auto-initialises in the
   serving process on first use).
+- ``GET /api/rareTerms?query=...[&site=<scope>][&conjunctive=1]
+  [&max_doc_count=N][&limit=K]`` — ``SearchEngine.rare_terms``: the
+  matching set's long-tail lemmas with global df <= N, ranked df ASC
+  (the ES ``rare_terms`` bucket; same distributed scan as
+  /api/significant).
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
@@ -566,6 +571,30 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
                     k=int((q.get("limit") or ["10"])[0]),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/rareTerms":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].rare_terms(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    k=int((q.get("limit") or ["10"])[0]),
+                    max_doc_count=int((q.get("max_doc_count") or ["10"])[0]),
                     exclude=(q.get("exclude") or [None])[0],
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],

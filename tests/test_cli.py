@@ -163,6 +163,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert sg["data"] and len(sg["data"]) <= 5
     assert {"rank", "lemma", "fg_docs", "bg_docs", "score"} <= set(sg["data"][0])
 
+    rt = _run(["rareterms", datagen.stem(0), "--out", out,
+               "--max-doc-count", "20", "--limit", "5"])
+    assert rt["result"] and rt["count"] == r["count"]
+    assert all(x["bg_docs"] <= 20 for x in rt["data"])
+
     conv = r["data"][0]["conv_id"]
     d = _run(["reindex", "--out", out, "--conv", conv])
     assert d["result"] and d["generation"] == 1

@@ -458,6 +458,22 @@ def test_delta_sig_terms_identical_to_rebuild(delta_env):
     # crash and must match the rebuild (covered above via equality)
 
 
+def test_delta_rare_terms_identical_to_rebuild(delta_env):
+    """rare_terms rides the same overlay-masked scan + driver fold as
+    significant_terms — (rank, lemma, fg, bg) rows identical to a fresh
+    rebuild of the modified corpus (all-integer compare)."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    for q in datagen.rare_terms_queries():
+        ra = overlay.rare_terms(q["query_text"], scope=q["scope"], k=q["k"],
+                                max_doc_count=q["max_doc_count"])
+        rb = rebuilt.rare_terms(q["query_text"], scope=q["scope"], k=q["k"],
+                                max_doc_count=q["max_doc_count"])
+        assert ra["result"] == rb["result"], q["query_id"]
+        assert ra["count"] == rb["count"], q["query_id"]
+        assert ra["data"].equals(rb["data"]), q["query_id"]
+
+
 def test_delta_turn_idx_out_of_range():
     import numpy as np
 

@@ -648,6 +648,59 @@ def test_sig_terms_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
 
 
+def test_rare_terms_vs_duckdb_oracle(engine, duck):
+    """Rare-terms top-k (long-tail lemmas of the matching set, global
+    df <= ceiling, fg from the same distributed scan) == the SQL
+    oracle, per probe query — all compared columns integers."""
+    rts = datagen.rare_terms_queries()
+    sql = oracle.rare_terms_sql(oracle.transcripts_rel("sf0.001"), rts)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in rts:
+        r = engine.rare_terms(q["query_text"], scope=q["scope"], k=q["k"],
+                              max_doc_count=q["max_doc_count"])
+        assert r["result"], q
+        got = r["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), q["query_text"]
+        for g, e in zip(got, exp):
+            assert (g["rank"], g["lemma"], g["fg_docs"], g["bg_docs"]) == (
+                e["rank"], e["lemma"], e["fg_docs"], e["bg_docs"]
+            ), (q["query_text"], g, e)
+
+
+def test_rare_terms_semantics(engine):
+    """df ceiling honored (every bg <= ceiling), result sets monotone in
+    the ceiling, query lemmas excluded, fg <= bg, bg ascending, error
+    paths."""
+    from search_engine_ray import datagen
+
+    q = datagen.stem(0)
+    qlem = engine._analyzer.analyze_query(q)
+    r20 = engine.rare_terms(q, k=100, max_doc_count=20)
+    assert r20["result"] and r20["count"] > 0
+    rows = r20["data"].to_pylist()
+    assert rows, "hot matching set must touch some long-tail lemma"
+    assert all(x["bg_docs"] <= 20 for x in rows)
+    assert all(x["fg_docs"] >= 1 and x["fg_docs"] <= x["bg_docs"] for x in rows)
+    assert all(x["lemma"] not in qlem for x in rows)
+    bgs = [x["bg_docs"] for x in rows]
+    assert bgs == sorted(bgs)
+    r5 = engine.rare_terms(q, k=100, max_doc_count=5)
+    assert {x["lemma"] for x in r5["data"].to_pylist()} <= {
+        x["lemma"] for x in rows
+    }
+    assert engine.rare_terms(q, k=0)["error"] == "bad_k"
+    assert engine.rare_terms(q, max_doc_count=0)["error"] == "bad_max_doc_count"
+    assert engine.rare_terms("wqxqzq")["count"] == 0
+    assert engine.rare_terms("the !")["error"] == "empty_query"
+    assert engine.rare_terms(q, scope="nope")["error"] == "bad_scope"
+
+
 def test_sig_terms_semantics(engine):
     """Matching frame == facets' (same count), query lemmas excluded,
     fg <= count and fg <= bg, dense ranks, error semantics, conjunctive

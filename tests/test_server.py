@@ -129,6 +129,10 @@ def test_significant_endpoint(served):
     assert {"rank", "lemma", "fg_docs", "bg_docs", "score"} <= set(got["data"][0])
     code, fc = _get(f"{base}/api/facets?query={hot}")
     assert got["count"] == fc["count"]
+    # rare-terms endpoint: same matching frame, all bg under the ceiling
+    code, rt = _get(f"{base}/api/rareTerms?query={hot}&max_doc_count=20&limit=5")
+    assert code == 200 and rt["result"] and rt["count"] == fc["count"]
+    assert all(x["bg_docs"] <= 20 for x in rt["data"])
 
 
 def test_stop_indexing_endpoint(served):

@@ -122,6 +122,41 @@ def _search_topk(sf_dir: str, mode: str, enriched: bool = False):
     return df
 
 
+def _search_msearch(sf_dir: str):
+    """Multi-search (ES _msearch): the whole reference query set runs
+    as ONE engine batch; the oracle is the plain per-query BM25 twin,
+    so the driver row pins batch semantics == per-query semantics."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    qs = datagen.reference_queries()
+    reqs = [{"query": q["query_text"], "scope": q["scope"], "limit": q["k"]}
+            for q in qs]
+    rows = []
+    for q, r in zip(qs, eng.msearch(reqs)):
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_phrase(sf_dir: str):
     """Positional phrase queries (mode='phrase'): docs whose
     surviving-token lemma sequence contains the query lemmas at
@@ -2309,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_roundtrip": _transcripts_roundtrip,
         "df_cutoff_lemmas": _df_cutoff_lemmas,
         "search_topk_bm25": lambda sf: _search_topk(sf, "bm25"),
+        "search_msearch": _search_msearch,
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         "search_counts": _search_counts,
@@ -2461,6 +2497,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             f"WHERE df >= {REFERENCE_DF_CUTOFF}"
         ),
         "search_topk_bm25": lambda: oracle.bm25_topk_sql(_corpus_src(), qs),
+        # msearch is a pure batching surface: the oracle IS the
+        # per-query BM25 twin — the driver row pins batch == per-query
+        "search_msearch": lambda: oracle.bm25_topk_sql(_corpus_src(), qs),
         "search_topk_reference": lambda: oracle.reference_topk_sql(_corpus_src(), qs),
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),

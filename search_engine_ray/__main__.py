@@ -334,6 +334,16 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--ts-max", default=None)
     sq.add_argument("--limit", type=int, default=10)
 
+    ms = sub.add_parser(
+        "msearch", help="multi-search (ES _msearch): a JSON array of "
+        "search-request dicts runs as one engine batch; one response "
+        "per request, line-level errors in place"
+    )
+    ms.add_argument("requests", help="JSON array: "
+                    "'[{\"query\": \"...\", \"limit\": 5}, ...]' "
+                    "(pass '-' to read the array from stdin)")
+    ms.add_argument("--out", required=True)
+
     rt = sub.add_parser(
         "rareterms", help="rare-terms aggregation: long-tail lemmas of "
         "the query's matching set whose global df <= --max-doc-count, "
@@ -714,6 +724,34 @@ def main(argv: list[str] | None = None) -> int:
                     "count": resp["count"],
                     "error": resp["error"],
                     "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "msearch":
+        from .search import SearchEngine
+
+        raw = sys.stdin.read() if a.requests == "-" else a.requests
+        try:
+            reqs = json.loads(raw)
+            assert isinstance(reqs, list)
+        except Exception:
+            print(json.dumps({"result": False, "error": "bad_requests"}))
+            return 1
+        resps = SearchEngine(a.out).msearch(reqs)
+        print(
+            json.dumps(
+                {
+                    "result": True,
+                    "responses": [
+                        {
+                            "result": r["result"],
+                            "count": r["count"],
+                            "error": r["error"],
+                            "data": r["data"].to_pylist(),
+                        }
+                        for r in resps
+                    ],
                 },
                 default=str,
             )

@@ -3980,6 +3980,34 @@ class SearchEngine:
         tbl = self._enrich(ids, scores, terms, with_snippets)
         return {"result": True, "count": int(count), "data": tbl, "error": None}
 
+    def msearch(self, requests: list[dict]) -> list[dict]:
+        """Multi-search (the Elasticsearch ``_msearch`` batch surface):
+        run a list of search requests against ONE engine view and
+        return one standard ``search()`` response per request,
+        order-preserving. Line-level error semantics: an invalid
+        request yields its error response IN PLACE and the batch never
+        aborts (the ES per-line failure shape). Each request is a
+        kwargs dict with ``query`` plus any ``search()`` parameter.
+        Batch amortization is structural: term block decodes, scope
+        LUTs, the forward index and enrichment frames are all memoized
+        per engine, so lemmas shared across the batch decode ONCE —
+        the per-request HTTP path pays that cache warm-up per process
+        lifetime, msearch guarantees it within the batch."""
+        out = []
+        for req in requests:
+            if not isinstance(req, dict) or "query" not in req:
+                out.append(self._resp(error="bad_request"))
+                continue
+            kw = dict(req)
+            qtext = kw.pop("query")
+            try:
+                out.append(self.search(qtext, **kw))
+            except TypeError:
+                # unknown parameter name — a malformed line, not a batch
+                # failure
+                out.append(self._resp(error="bad_request"))
+        return out
+
     def _resp(self, count: int = 0, error: str | None = None) -> dict:
         return {
             "result": error is None,

@@ -77,6 +77,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   (the ES ``rare_terms`` bucket; same distributed scan as
   /api/significant).
 - ``GET /api/statistics`` — :func:`search_engine_ray.stats.statistics`.
+- ``POST /api/msearch`` (JSON array body of search-request dicts) —
+  ``SearchEngine.msearch``: the ES ``_msearch`` batch surface; one
+  standard response per request, line-level errors in place.
 - ``POST /api/indexPage?conv=<conv_id>`` — incremental re-index
   (``pipelines/delta.reindex_conversations``); the served engine reloads
   on success so the new generation is visible to the next query.
@@ -620,7 +623,35 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
         def do_POST(self):  # noqa: N802
             u = urlparse(self.path)
             q = parse_qs(u.query)
-            if u.path == "/api/indexPage":
+            if u.path == "/api/msearch":
+                # ES POST _msearch parity: JSON array body of request
+                # dicts ({"query": ..., plus any search() parameter});
+                # line-level errors come back in place, the batch never
+                # aborts
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(n) or b"[]")
+                    assert isinstance(body, list)
+                except Exception:
+                    self._send(400, {"result": False, "error": "bad_body"})
+                    return
+                resps = state["engine"].msearch(body)
+                self._send(
+                    200,
+                    {
+                        "result": True,
+                        "responses": [
+                            {
+                                "result": r["result"],
+                                "count": r["count"],
+                                "error": r["error"],
+                                "data": r["data"].to_pylist(),
+                            }
+                            for r in resps
+                        ],
+                    },
+                )
+            elif u.path == "/api/indexPage":
                 convs = q.get("conv") or []
                 if not convs:
                     self._send(400, {"result": False, "error": "missing conv parameter"})

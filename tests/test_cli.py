@@ -168,6 +168,15 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert rt["result"] and rt["count"] == r["count"]
     assert all(x["bg_docs"] <= 20 for x in rt["data"])
 
+    import json as _json
+    ms = _run(["msearch", _json.dumps([
+        {"query": datagen.stem(0), "limit": 3},
+        {"bad": "line"},
+    ]), "--out", out])
+    assert ms["result"] and len(ms["responses"]) == 2
+    assert ms["responses"][0]["count"] == r["count"]
+    assert ms["responses"][1]["error"] == "bad_request"
+
     conv = r["data"][0]["conv_id"]
     d = _run(["reindex", "--out", out, "--conv", conv])
     assert d["result"] and d["generation"] == 1

@@ -648,6 +648,38 @@ def test_sig_terms_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6
 
 
+def test_msearch_semantics(engine):
+    """Multi-search: batch responses == the same requests run
+    individually (order-preserving, mixed modes in one batch), and
+    line-level error semantics — a malformed line errors IN PLACE
+    without aborting the batch."""
+    from search_engine_ray import datagen
+
+    hot, ph = datagen.stem(0), f"{datagen.stem(0)} {datagen.stem(1)}"
+    reqs = [
+        {"query": hot, "limit": 5},
+        {"query": ph, "mode": "phrase", "limit": 3},
+        {"query": hot[:4] + "*", "mode": "wildcard", "limit": 3},
+        {"limit": 3},                                  # missing query
+        {"query": hot, "no_such_param": 1},            # unknown kwarg
+        {"query": hot, "scope": "nope"},               # engine error
+        {"query": f"{hot} {datagen.stem(1)}", "min_match": 2, "limit": 4},
+    ]
+    batch = engine.msearch(reqs)
+    assert len(batch) == len(reqs)
+    for req, got in zip(reqs, batch):
+        if "query" not in req or "no_such_param" in req:
+            assert got["error"] == "bad_request"
+            continue
+        kw = dict(req)
+        solo = engine.search(kw.pop("query"), **kw)
+        assert got["result"] == solo["result"]
+        assert got["count"] == solo["count"]
+        assert got["error"] == solo["error"]
+        assert got["data"].equals(solo["data"])
+    assert engine.msearch([]) == []
+
+
 def test_rare_terms_vs_duckdb_oracle(engine, duck):
     """Rare-terms top-k (long-tail lemmas of the matching set, global
     df <= ceiling, fg from the same distributed scan) == the SQL

@@ -133,6 +133,20 @@ def test_significant_endpoint(served):
     code, rt = _get(f"{base}/api/rareTerms?query={hot}&max_doc_count=20&limit=5")
     assert code == 200 and rt["result"] and rt["count"] == fc["count"]
     assert all(x["bg_docs"] <= 20 for x in rt["data"])
+    # msearch: JSON-array POST body, line-level errors in place
+    body = json.dumps([
+        {"query": hot, "limit": 2},
+        {"nope": 1},
+    ]).encode()
+    req = urllib.request.Request(
+        f"{base}/api/msearch", data=body, method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        ms = json.loads(r.read())
+    assert ms["result"] and len(ms["responses"]) == 2
+    assert ms["responses"][0]["count"] == fc["count"]
+    assert ms["responses"][1]["error"] == "bad_request"
 
 
 def test_stop_indexing_endpoint(served):

@@ -1869,6 +1869,31 @@ def _knn_quantized(sf_dir: str):
     return similarity.knn_quantized(_embeddings_ds(sf_dir))
 
 
+def _embed_pq_codes(sf_dir: str):
+    """Product-quantization codes (Jegou et al. 2011) over the SEED
+    codebooks (id < n_cents, the SQL-expressible fit-free codebook —
+    the cluster_assign device): per contiguous subspace the argmin-L2
+    centroid code; exact integer oracle on the long (id, sub, code)
+    frame with the engine's left-to-right float64 op order mirrored
+    verbatim in SQL."""
+    from search_engine_ray.functions import similarity
+
+    ds = _embeddings_ds(sf_dir)
+    cents = similarity.pq_seed_codebooks(ds)
+    return similarity.pq_encode(ds, cents)
+
+
+def _knn_pq(sf_dir: str):
+    """Asymmetric-distance (ADC) top-k over FITTED PQ codebooks — the
+    FAISS IVF-PQ inner loop (m table lookups per database vector).
+    Approximate by construction; recall vs the exact float path and
+    Lloyd's SSE monotonicity pinned by pytest; codes exactness
+    driver-gated via embed_pq_codes."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_pq(_embeddings_ds(sf_dir))
+
+
 def _knn_ivf(sf_dir: str):
     from search_engine_ray.functions import similarity
 
@@ -2405,6 +2430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
         "embed_quantize": _embed_quantize,
+        "embed_pq_codes": _embed_pq_codes,
+        "knn_pq": _knn_pq,
         "knn_quantized": _knn_quantized,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,
@@ -2668,6 +2695,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # knn_quantized is approximate by design (recall pinned in
         # pytest); the quantization CODES are exact-oracled here
         "embed_quantize": lambda: similarity_mod.quantize_embeddings_sql("embeddings"),
+        # knn_pq has no SQL entry (approximate by design — recall pinned
+        # by pytest); the exactness row is the CODE frame below
+        "embed_pq_codes": lambda: similarity_mod.pq_encode_sql("embeddings"),
         # nprobe == nlist probes every cell: the persisted-index scan
         # (assignment + cell filter + partial-top-k merge) must equal
         # exhaustive cosine top-k — same oracle as knn_bruteforce

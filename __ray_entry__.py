@@ -408,6 +408,42 @@ def _search_decay(sf_dir: str):
     return df
 
 
+def _search_regexp(sf_dir: str):
+    """Regexp term queries (Lucene RegexpQuery rewrite): the pattern
+    expands against the lemma dictionary (anchored RE2, at most 32
+    lemmas by df DESC, lemma ASC), then standard disjunctive BM25 over
+    the expansion. Engine and oracle validate/lowercase with the
+    SHARED ``analyzer.regexp_parse`` and both match with RE2."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.regexp_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="regexp")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_wildcard(sf_dir: str):
     """Wildcard term queries (Lucene WildcardQuery rewrite): the
     pattern (``*``/``?``) expands to at most 32 vocabulary lemmas by
@@ -2412,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_min_match": _search_min_match,
         "search_prefix": _search_prefix,
         "search_wildcard": _search_wildcard,
+        "search_regexp": _search_regexp,
         "search_decay": _search_decay,
         "search_rescore": _search_rescore,
         "search_near_ordered": _search_near_ordered,
@@ -2640,6 +2677,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_wildcard": lambda: oracle.wildcard_topk_sql(
             _corpus_src(), datagen.wildcard_queries()
+        ),
+        "search_regexp": lambda: oracle.regexp_topk_sql(
+            _corpus_src(), datagen.regexp_queries()
         ),
         "search_decay": lambda: oracle.bm25_decay_sql(
             _corpus_src(), datagen.decay_queries()

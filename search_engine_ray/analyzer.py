@@ -147,6 +147,51 @@ def wildcard_parse(pattern: str) -> tuple[str, str] | None:
     return rx, tok[:i]
 
 
+REGEXP_ALLOWED = frozenset("abcdefghijklmnopqrstuvwxyz0123456789"
+                           ".*+?()[]{}|^$-,\\")
+
+
+def regexp_parse(pattern: str) -> tuple[str, str] | None:
+    """Parse a Lucene-RegexpQuery-style term pattern into
+    ``(re2_regex, literal_prefix)``. The pattern matches the WHOLE
+    lemma (callers anchor: the engine wraps ``^(?:...)$``, the SQL
+    twin uses DuckDB ``regexp_full_match`` — both RE2, so semantics
+    are identical by construction, the same argument as
+    ``wildcard_parse``). The pattern is lowercased (the analyzer's
+    charset fold); beyond that it is used verbatim, restricted to a
+    conservative charset both RE2 deployments treat identically
+    (letters/digits + ``. * + ? ( ) [ ] { } | ^ $ - , \\``) — anything
+    else (whitespace, unicode, ``/`` delimiters) rejects rather than
+    silently folding, because a regexp is syntax, not text.
+    ``literal_prefix`` is the leading run of plain ``[a-z0-9]`` chars
+    not modified by a following quantifier — the lemma-sorted
+    dictionary range prune (empty when the pattern starts with
+    syntax). Returns None (the engine's ``bad_pattern``) when the
+    charset check or the RE2 compile fails, or when the pattern is
+    empty. Lucene's ``a*``-style full-dictionary scans are allowed —
+    the scan is bounded by the dictionary, never the corpus — matching
+    RegexpQuery, which has no MIN_PREFIX guard."""
+    p = (pattern or "").lower()
+    if not p or any(c not in REGEXP_ALLOWED for c in p):
+        return None
+    try:
+        # the authoritative RE2 compile check: the exact kernel the
+        # engine's expansion scan uses (a non-empty probe array —
+        # the kernel skips compilation entirely on empty input)
+        pc.match_substring_regex(pa.array(["x"], pa.string()),
+                                 "^(?:" + p + ")$")
+    except Exception:
+        return None
+    i = 0
+    while i < len(p) and (p[i].isalnum() and p[i].isascii()):
+        # a literal is prefix-safe only if the NEXT char doesn't
+        # quantify it (`ab*` must prune on 'a', not 'ab')
+        if i + 1 < len(p) and p[i + 1] in "*+?{":
+            break
+        i += 1
+    return p, p[:i]
+
+
 def analyze(text: str) -> dict[str, int]:
     """Per-document lemma -> tf map (reference ``collectLemmas``)."""
     counts: dict[str, int] = {}

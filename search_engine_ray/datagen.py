@@ -668,6 +668,30 @@ def wildcard_queries() -> list[dict]:
     ]
 
 
+def regexp_queries() -> list[dict]:
+    """Regexp query set over the stem syllable structure: a char-class
+    pattern (several sibling stems), an alternation, a ``{n}``
+    quantifier repeat, dot holes, a syntax-leading pattern (no
+    literal-prefix prune — full-dictionary scan), a scoped probe, and
+    a no-match pattern. The INVALID pattern (unbalanced class) is
+    exercised by pytest's bad_pattern test, not here — the oracle
+    skips it by construction so it would pin nothing."""
+    s0, s777, s4000 = stem(0), stem(777), stem(4000)
+    q = [
+        (s0[:5] + "[bl][ae]", None),            # char class: stems 0/1/10/11...
+        (f"w({s0[1:3]}|{s777[1:3]}){s777[3:]}", None),  # alternation
+        ("w(" + s0[1:3] + "){2}" + s0[5:], None),       # {2} quantifier = stem 0
+        (s4000[:2] + "." + s4000[3] + ".ba", None),     # dot holes (stem 4000 class)
+        (".*" + stem(6500)[-3:], None),          # syntax-leading, suffix class
+        (s777[:4] + ".la", "user"),              # scoped dot hole
+        ("zz+q", None),                          # no vocabulary match -> empty
+    ]
+    return [
+        {"query_id": f"rx-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def fuzzy_queries() -> list[dict]:
     """Fuzzy (edit-distance) query set: typo probes that expand against
     the dense stem vocabulary — deletion/substitution typos, a dist-0

@@ -1733,16 +1733,43 @@ def wildcard_topk_sql(src: str, queries: list[dict], max_expansion: int = 32,
     construction). Unparseable patterns (the engine's ``bad_pattern``
     guard) are skipped, mirroring the wrapper's skip of non-result
     responses."""
-    metas = []
+    parsed = []
     for q in queries:
-        parsed = analyzer.wildcard_parse(q["query_text"])
-        if parsed is None:
-            continue
-        rx, _ = parsed
-        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        w = analyzer.wildcard_parse(q["query_text"])
+        if w is not None:
+            parsed.append((q["query_id"], w[0], q["scope"], q["k"]))
+    return _regex_rewrite_topk_sql(src, parsed, max_expansion, k1, b)
+
+
+def regexp_topk_sql(src: str, queries: list[dict], max_expansion: int = 32,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """Regexp top-k oracle (Lucene RegexpQuery rewrite): identical
+    body to the wildcard twin — the anchored-RE2 dictionary rewrite,
+    df-DESC capped at ``max_expansion``, then disjunctive BM25 — with
+    the pattern validated/lowercased by the SHARED
+    ``analyzer.regexp_parse``. Invalid patterns (the engine's
+    ``bad_pattern`` guard) are skipped, mirroring the wrapper."""
+    parsed = []
+    for q in queries:
+        w = analyzer.regexp_parse(q["query_text"])
+        if w is not None:
+            parsed.append((q["query_id"], w[0], q["scope"], q["k"]))
+    return _regex_rewrite_topk_sql(src, parsed, max_expansion, k1, b)
+
+
+def _regex_rewrite_topk_sql(src: str, parsed: list[tuple],
+                            max_expansion: int, k1: float, b: float) -> str:
+    """Shared body of the regex-rewrite query oracles (wildcard /
+    regexp): ``parsed`` rows are (query_id, anchored-ready RE2 regex,
+    scope|None, k) — the dictionary expands per query via DuckDB
+    ``regexp_full_match`` with the engine's (df DESC, lemma ASC) cap,
+    then standard disjunctive BM25 over the expansion."""
+    metas = []
+    for query_id, rx, scope_v, qk in parsed:
+        scope = "NULL" if scope_v is None else analyzer._sql_quote(scope_v)
         metas.append(
-            f"({analyzer._sql_quote(q['query_id'])}, "
-            f"{analyzer._sql_quote(rx)}, {scope}, {q['k']})"
+            f"({analyzer._sql_quote(query_id)}, "
+            f"{analyzer._sql_quote(rx)}, {scope}, {qk})"
         )
     if not metas:
         return (

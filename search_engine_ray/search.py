@@ -2896,6 +2896,47 @@ class SearchEngine:
         hits.sort(key=lambda r: (-r[1], r[0]))
         return hits[:max_expansion]
 
+    REGEXP_MAX_EXPANSION = 32
+
+    def expand_regexp(self, pattern: str,
+                      max_expansion: int = REGEXP_MAX_EXPANSION):
+        """Vocabulary lemmas matching a Lucene-RegexpQuery-style
+        pattern (anchored over the whole lemma), capped at
+        ``max_expansion`` by (df DESC, lemma ASC) — the same rewrite
+        cap rule as ``expand_wildcard``, and the same two dictionary
+        regimes: one vectorized RE2 pass over the in-memory vocabulary
+        below the preload threshold, a literal-prefix range-pruned
+        scan of the lemma-sorted dictionary parquet above it (a
+        pattern opening with syntax scans the whole dictionary —
+        bounded by the dictionary, never the corpus). Returns
+        ``[(lemma, df), ...]``, or None for an invalid pattern
+        (``analyzer.regexp_parse``'s charset/RE2-compile guard)."""
+        parsed = analyzer.regexp_parse(pattern)
+        if parsed is None:
+            return None
+        rx, lit = parsed
+        anchored = "^(?:" + rx + ")$"
+        if self._df is not None:
+            keys = pa.array(list(self._df.keys()), pa.string())
+            mask = pc.match_substring_regex(keys, anchored)
+            hits = [(l, int(self._df[l]))
+                    for l in pc.filter(keys, mask).to_pylist()]
+        else:
+            filters = None
+            if lit:
+                filters = [("lemma", ">=", lit),
+                           ("lemma", "<", lit + chr(0x10FFFF))]
+            t = pq.read_table(
+                build_mod.lemma_dict_path(self.out_dir),
+                columns=["lemma", "df"], filters=filters,
+            )
+            t = t.filter(pc.match_substring_regex(t.column("lemma"), anchored))
+            hits = [(l, int(d))
+                    for l, d in zip(t.column("lemma").to_pylist(),
+                                    t.column("df").to_pylist())]
+        hits.sort(key=lambda r: (-r[1], r[0]))
+        return hits[:max_expansion]
+
     def complete(self, prefix: str, k: int = 10) -> dict:
         """Completion suggester (the Elasticsearch suggest-as-you-type
         shape, df-weighted): the top-``k`` vocabulary lemmas starting
@@ -3690,6 +3731,29 @@ class SearchEngine:
             # expansion. A pattern with no metachars degenerates to an
             # exact dictionary-term query (Lucene semantics).
             exp = self.expand_wildcard(query_text)
+            if exp is None:
+                return self._resp(error="bad_pattern")
+            if not exp:
+                return self._resp(count=0)
+            terms = sorted(exp, key=lambda t: (t[1], t[0]))
+            if self._has_deltas:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                terms = [(lem, df) for lem, df in terms if df > 0]
+                if not terms:
+                    return self._resp(count=0)
+            ids, scores, count = self.score_blockmax(terms, k, scope, False)
+            ids, scores = ids[offset:], scores[offset:]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "regexp":
+            # regexp term query (Lucene RegexpQuery rewrite): the
+            # pattern expands to at most REGEXP_MAX_EXPANSION
+            # vocabulary lemmas by (df DESC, lemma ASC) — wildcard's
+            # cap rule — then standard disjunctive block-max BM25 over
+            # the expansion. Invalid patterns (charset / RE2 compile)
+            # are bad_pattern, like wildcard's guard.
+            exp = self.expand_regexp(query_text)
             if exp is None:
                 return self._resp(error="bad_pattern")
             if not exp:

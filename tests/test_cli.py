@@ -52,6 +52,10 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "wildcard", "--limit", "3"])
     assert wc["result"] and wc["count"] > 0
 
+    rx = _run(["search", datagen.stem(0)[:4] + "[a-z]+", "--out", out,
+               "--mode", "regexp", "--limit", "3"])
+    assert rx["result"] and rx["count"] == wc["count"]
+
     dk = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
                "--decay", "origin=2026-01-02T00:00:00;scale=86400;shape=exp"])
     assert dk["result"] and dk["count"] == r["count"]

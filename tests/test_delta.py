@@ -474,6 +474,30 @@ def test_delta_rare_terms_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_regex_rewrite_identical_to_rebuild(delta_env):
+    """Wildcard and regexp rewrites fold through the overlay exactly
+    when the pattern's expansion is under the cap and its lemmas live
+    in the BASE dictionary (the documented expansion boundary —
+    delta-only lemmas join the dictionary at compaction): expansion
+    df remaps through _term_blocks, postings/tombstones fold, and the
+    page equals a fresh rebuild of the modified corpus."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    hot = datagen.stem(0)
+    probes = [
+        ("wildcard", hot[:5] + "*"),
+        ("wildcard", hot[:4] + "?" + hot[5:]),
+        ("regexp", hot[:5] + "[a-z]+"),
+        ("regexp", hot[:-1] + "[" + hot[-1] + "x]"),
+    ]
+    for mode, pat in probes:
+        ra = overlay.search(pat, mode=mode, limit=10)
+        rb = rebuilt.search(pat, mode=mode, limit=10)
+        assert ra["result"] and rb["result"], (mode, pat)
+        assert ra["count"] == rb["count"], (mode, pat)
+        assert ra["data"].equals(rb["data"]), (mode, pat)
+
+
 def test_delta_turn_idx_out_of_range():
     import numpy as np
 

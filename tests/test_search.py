@@ -436,6 +436,79 @@ def test_wildcard_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
 
 
+def test_regexp_mode_semantics(tiny_index):
+    """Regexp expansion (Lucene RegexpQuery rewrite): a syntax-free
+    pattern == plain bm25 on that term; ``lit.*`` == wildcard
+    ``lit*``; char-class / alternation / quantifier matching against
+    the stem vocabulary; the above-threshold literal-prefix
+    range-read path pinned equal to the dict path; invalid-pattern /
+    no-match guards."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(tiny_index["out_dir"])
+    hot = datagen.stem(0)
+    lem = eng._analyzer.analyze_query(hot)[0] if hasattr(eng, "_analyzer") else hot
+    exact = eng.search(lem, limit=100_000)
+    rx = eng.search(lem, mode="regexp", limit=100_000)
+    assert rx["count"] == exact["count"] and rx["data"].equals(exact["data"])
+    # lit.* == wildcard lit*
+    wc = eng.search(hot[:4] + "*", mode="wildcard", limit=50)
+    dot = eng.search(hot[:4] + ".*", mode="regexp", limit=50)
+    assert dot["count"] == wc["count"] and dot["data"].equals(wc["data"])
+    # char class: anchored, matches only the allowed alternatives
+    exp = eng.expand_regexp(hot[:-1] + "[" + hot[-1] + "x]")
+    assert exp and all(l[:-1] == hot[:-1] and l[-1] in (hot[-1], "x")
+                       for l, _ in exp)
+    assert exp == sorted(exp, key=lambda t: (-t[1], t[0]))
+    # quantifier: w(ba){2}ba == the literal stem 0 (wbababa)
+    quant = eng.expand_regexp("w(" + hot[1:3] + "){2}" + hot[5:])
+    assert any(l == hot for l, _ in quant)
+    # alternation reaches two distinct stems
+    other = datagen.stem(777)
+    alt = eng.expand_regexp("(" + hot + "|" + other + ")")
+    assert {l for l, _ in alt} >= {hot, other}
+    # scale path (literal-prefix range read + RE2 filter) pinned equal
+    eng2 = SearchEngine(tiny_index["out_dir"])
+    eng2._df = None
+    pat = hot[:4] + "[a-z]+"
+    assert eng2.expand_regexp(pat) == eng.expand_regexp(pat)
+    assert eng2.expand_regexp(".*" + hot[-2:]) == eng.expand_regexp(".*" + hot[-2:])
+    # guards: RE2-invalid / charset-violating / empty / no-match
+    assert eng.search("w[ab", mode="regexp")["error"] == "bad_pattern"
+    assert eng.search("a b", mode="regexp")["error"] == "bad_pattern"
+    assert eng.search("", mode="regexp")["error"] == "bad_pattern"
+    assert eng.search("zz+q", mode="regexp")["count"] == 0
+
+
+def test_regexp_vs_duckdb_oracle(engine, duck):
+    """Regexp top-k rank identity vs the SQL oracle (shared
+    regexp_parse validation, RE2 on both sides, (df DESC, lemma) cap,
+    disjunctive BM25) at sf0.001."""
+    rq = datagen.regexp_queries()
+    sql = oracle.regexp_topk_sql(oracle.transcripts_rel("sf0.001"), rq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in rq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], mode="regexp",
+        )
+        if got["error"]:
+            assert q["query_id"] not in by_q
+            continue
+        got = got["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
 def test_rescore_semantics(engine):
     """Two-phase rescore: final score == qw*bm25 + rw*phrase_score
     reconstructed from the independent bm25 and phrase modes; rw=0 is

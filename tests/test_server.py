@@ -54,6 +54,10 @@ def test_search_endpoint(served):
     # a bare query param: * is unreserved, ? only terminates the PATH)
     code, got = _get(f"{base}/api/search?query={hot[:4]}*&mode=wildcard&limit=3")
     assert code == 200 and got["result"] and got["count"] > 0
+    # regexp mode round-trips (class brackets URL-encoded)
+    code, got = _get(
+        f"{base}/api/search?query={hot[:4]}%5Ba-z%5D%2B&mode=regexp&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
     # function-score decay round-trips (the ; and = are URL-encoded)
     dec = "origin%3D2026-01-02T00%3A00%3A00%3Bscale%3D86400%3Bshape%3Dexp"
     code, got = _get(f"{base}/api/search?query={hot}&limit=3&decay={dec}")

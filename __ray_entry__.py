@@ -2244,6 +2244,72 @@ def _rel_top_orders(sf_dir: str):
     return rel.top_unshipped_orders(cust, orders, li)
 
 
+def _rel_region_revenue(sf_dir: str):
+    """TPC-H Q5 analog over the generic hash_join operator: two
+    key-partitioned shuffle joins (orders⋈customer, lineitem⋈result)
+    + a broadcast supplier join + the intra-region nation constraint,
+    map-side-combined into a <=25-key groupby. Exact at any block
+    order (per-row int64 quantization)."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.region_revenue(
+        read_clean_parquet(os.path.join(d, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"]),
+        read_clean_parquet(os.path.join(d, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]),
+        read_clean_parquet(os.path.join(d, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"]),
+        read_clean_parquet(os.path.join(d, "nation.parquet")),
+        read_clean_parquet(os.path.join(d, "region.parquet")),
+    )
+
+
+def _join_hash(sf_dir: str):
+    """The generic partitioned-shuffle hash join, driver-graded
+    directly: orders ⋈ customer on custkey (forced shuffle plan — the
+    plan that must be right at 100 TB; the broadcast plan is pinned
+    equal by pytest)."""
+    from search_engine_ray.functions.joins import hash_join
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    orders = read_clean_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_clean_parquet(
+        os.path.join(d, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    return hash_join(orders, cust, "o_custkey", "c_custkey",
+                     how="inner", mode="shuffle")
+
+
+def _join_hash_left(sf_dir: str):
+    """Left-outer broadcast hash join with real unmatched rows: orders
+    LEFT JOIN the customers of one nation — the null-padding path."""
+    from search_engine_ray.functions.joins import hash_join
+    from search_engine_ray.sources import read_clean_parquet
+    import pyarrow.compute as pc
+
+    d = _sf_dir(sf_dir)
+    orders = read_clean_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_clean_parquet(
+        os.path.join(d, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_nationkey"), 7)),
+        batch_format="pyarrow",
+    )
+    return hash_join(orders, cust, "o_custkey", "c_custkey",
+                     how="left", mode="broadcast")
+
+
 def _window_tumbling(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -2502,6 +2568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational pipelines over the TPC-H-ish side tables
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
+        "rel_region_revenue": _rel_region_revenue,
+        "join_hash": _join_hash,
+        "join_hash_left": _join_hash_left,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_sessions_salted": _window_sessions_salted,
@@ -2800,6 +2869,17 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # parallelism / block order (raw float sums drift with order)
         "rel_pricing_summary": lambda: relational_mod.pricing_summary_sql(),
         "rel_top_orders": lambda: relational_mod.top_unshipped_orders_sql(),
+        "rel_region_revenue": lambda: relational_mod.region_revenue_sql(),
+        "join_hash": lambda: (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
+            "c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_hash_left": lambda: (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
+            "c_mktsegment FROM orders LEFT JOIN "
+            "(SELECT * FROM customer WHERE c_nationkey = 7) c "
+            "ON o_custkey = c_custkey"
+        ),
         "window_tumbling": lambda: windows_mod.tumbling_window_sql("events"),
         "window_sessions": lambda: windows_mod.session_windows_sql("events"),
         # the hot-user-safe path must equal the plain sessionization

@@ -1,8 +1,9 @@
-"""Temporal joins over the ``events`` table — the as-of join a
-training-data / analytics pipeline needs that neither the reference nor
-Ray Data provides natively (SURVEY.md §2.9; prompt custom-operator
-recipe (a): a composition of map_batches + groupby().map_groups, with
-the partitioning assumption documented).
+"""Join operators — the general equi-join (:func:`hash_join`,
+broadcast + partitioned-shuffle plans) and the temporal as-of join over
+the ``events`` table — that neither the reference nor Ray Data 2.49
+provides natively (SURVEY.md §2.9; prompt custom-operator recipe (a): a
+composition of map_batches + groupby().map_groups, with the
+partitioning assumption documented).
 
 ``asof_join``: for every LEFT event (e.g. each ``purchase``), the most
 recent RIGHT event (e.g. the preceding ``click``) of the SAME user with
@@ -23,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 LEFT_TYPE = "purchase"
@@ -300,6 +302,159 @@ _ASOF_SCHEMA = pa.schema(
         ("prior_value", pa.float64()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Generic equi-join (broadcast hash join / partitioned shuffle join)
+# ---------------------------------------------------------------------------
+
+# Same scale bound the query planner enforces for its dictionary preload
+# (search.py DICT_PRELOAD_MAX_TERMS rationale): a side above this never
+# returns to the driver.
+BROADCAST_MAX_ROWS = 2_000_000
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Deterministic hash bucket of an integer key column (nulls bucket
+    to 0 — they can never match, any bucket is safe). Fibonacci-mix
+    then modulo: adjacent keys spread across buckets, so range-clustered
+    FK blocks don't all land in one bucket."""
+    k = pc.fill_null(key, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    h = (k.astype(np.uint64) * _HASH_MULT) >> np.uint64(17)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    mode: str = "auto",
+    n_buckets: int = 64,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> rd.Dataset:
+    """Distributed equi-join — the general relational join Ray Data
+    2.49 has no native operator for (prompt custom-operator recipe (a)).
+
+    Two physical plans, pinned equal by test:
+
+    - ``broadcast`` — the small-side plan: the right side materializes
+      to ONE Arrow table, ``ray.put`` once, and every left batch joins
+      against it with the Acero hash-join kernel (``pa.Table.join``) —
+      zero shuffles, the left side streams. Guarded by
+      ``broadcast_max_rows`` (the planner's 2M bound): above it the
+      call refuses rather than building a corpus-sized driver object.
+    - ``shuffle`` — the scale plan: a partitioned hash join. Both
+      sides are tagged, null-padded to one canonical schema, bucketed
+      by a Fibonacci-mixed hash of the key, and met in ONE
+      ``groupby('__b')`` exchange; each bucket group splits by tag and
+      joins with the SAME Acero kernel. Work per group is one
+      vectorized C++ join over a 1/``n_buckets`` slice — O(n_buckets)
+      Python dispatches total, never per-key. Size ``n_buckets`` so a
+      bucket (|left|+|right| rows / n_buckets) fits a worker heap; a
+      single pathological hot KEY still lands one bucket — FK joins
+      are bounded per key, many-to-many hot keys need salting (the
+      ``asof_join_salted`` pattern) which this operator does not do.
+
+    ``mode='auto'`` picks broadcast when ``right.count() <=
+    broadcast_max_rows`` else shuffle. ``how`` is ``'inner'`` or
+    ``'left'`` (left outer). The shuffle plan requires an INTEGER key
+    (the vectorized bucket hash); broadcast joins any Acero-joinable
+    key type. Non-key column names must be disjoint across sides;
+    the output carries all left columns plus the right side's non-key
+    columns (the key under its LEFT name), in that order. Null keys
+    never match (SQL semantics — the Acero kernel's behavior on both
+    plans). Row order is not significant (hash-partitioned output).
+    """
+    right_on = right_on or left_on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"bad mode {mode!r}")
+    join_type = "inner" if how == "inner" else "left outer"
+
+    ls, rs = left.schema(), right.schema()
+    lf = list(zip(ls.names, ls.types))
+    if left_on not in ls.names:
+        raise ValueError(f"left key {left_on!r} not in {ls.names}")
+    if right_on not in rs.names:
+        raise ValueError(f"right key {right_on!r} not in {rs.names}")
+    rf = [(n, t) for n, t in zip(rs.names, rs.types) if n != right_on]
+    overlap = {n for n, _ in rf} & set(ls.names)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint: {sorted(overlap)}")
+
+    if mode == "auto":
+        mode = "broadcast" if right.count() <= broadcast_max_rows else "shuffle"
+
+    if mode == "broadcast":
+        tabs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+        rt = (
+            pa.concat_tables(tabs).combine_chunks()
+            if tabs
+            else pa.schema([pa.field(n, t) for n, t in zip(rs.names, rs.types)]).empty_table()
+        )
+        if rt.num_rows > broadcast_max_rows:
+            raise ValueError(
+                f"broadcast side has {rt.num_rows} rows > {broadcast_max_rows}; "
+                "use mode='shuffle'"
+            )
+        rt_ref = ray.put(rt.replace_schema_metadata(None))
+
+        def bjoin(b: pa.Table) -> pa.Table:
+            out = b.replace_schema_metadata(None).join(
+                ray.get(rt_ref), keys=left_on, right_keys=right_on,
+                join_type=join_type,
+            )
+            return out.select([n for n, _ in lf] + [n for n, _ in rf])
+
+        return left.map_batches(bjoin, batch_format="pyarrow")
+
+    # ---- shuffle (partitioned hash join) ----
+    kt_l = dict(lf)[left_on]
+    kt_r = dict(zip(rs.names, rs.types))[right_on]
+    if not (pa.types.is_integer(kt_l) and pa.types.is_integer(kt_r)):
+        raise ValueError(
+            f"shuffle join needs integer keys, got {kt_l}/{kt_r} "
+            "(use mode='broadcast' for other key types)"
+        )
+    l_names = [n for n, _ in lf]
+    r_names = [n for n, _ in rf]
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        cols: dict = {n: b.column(n) for n in l_names}
+        for n, t in rf:
+            cols[n] = pa.nulls(b.num_rows, t)
+        cols["__tag"] = pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
+        cols["__b"] = _bucket_of(b.column(left_on), n_buckets)
+        return pa.table(cols)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        key = b.column(right_on).cast(kt_l)
+        cols = {}
+        for n, t in lf:
+            cols[n] = key if n == left_on else pa.nulls(b.num_rows, t)
+        for n, _ in rf:
+            cols[n] = b.column(n)
+        cols["__tag"] = pa.array(np.ones(b.num_rows, np.int8), pa.int8())
+        cols["__b"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        tag = g.column("__tag")
+        lt = g.filter(pc.equal(tag, pa.scalar(0, pa.int8()))).select(l_names)
+        rt = g.filter(pc.equal(tag, pa.scalar(1, pa.int8()))).select(
+            [left_on] + r_names
+        )
+        out = lt.join(rt, keys=left_on, join_type=join_type)
+        return out.select(l_names + r_names).combine_chunks()
+
+    tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join_sql(

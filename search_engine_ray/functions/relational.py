@@ -252,6 +252,166 @@ def top_unshipped_orders(
     return t.take(order)
 
 
+# ---------------------------------------------------------------------------
+# Q5 analog: revenue by nation for intra-region customer/supplier pairs
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1995-01-01"
+Q5_TO = "1996-01-01"
+
+
+def region_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+    region_name: str = Q5_REGION,
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+    join_mode: str = "auto",
+) -> pa.Table:
+    """Quantized revenue by nation (``n_name``, revenue DESC, name ASC)
+    for orders placed in [date_from, date_to) where customer and
+    supplier sit in the SAME nation of ``region_name`` — the classic
+    multi-join + group-aggregate warehouse shape (TPC-H Q5), expressed
+    over the generic :func:`~.joins.hash_join` operator:
+
+    - nation ⋈ region resolves driver-side (25 x 5 rows — constant).
+    - orders(date-pruned) ⋈ customer(region-pruned) is join #1 —
+      customer is corpus-scale at 100 TB, so this is an honest
+      key-partitioned shuffle join, never a broadcast of customers.
+    - lineitem ⋈ that result on orderkey is join #2 — the fact-fact
+      exchange, the join that dominates; only three integer columns
+      plus the quantized revenue ship.
+    - supplier is the genuinely small side (1/15th of customer in
+      TPC-H): joined by ``join_mode`` ('auto' broadcasts under the 2M
+      bound, shuffles above), then the intra-region constraint
+      ``c_nationkey == s_nationkey`` filters.
+    - revenue pre-aggregates per batch (Arrow group_by) before the
+      final <= 25-key groupby — the map-side-combine shuffle shape.
+
+    Money is per-row quantized int64 (module header): sums are
+    order-independent, the DuckDB twin is exact at any block layout.
+    """
+    from .joins import hash_join
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+
+    # constant-sized dims: 5 regions x 25 nations
+    rt = pa.concat_tables(
+        [t for t in ray.get(region.to_arrow_refs()) if t.num_rows])
+    nt = pa.concat_tables(
+        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows])
+    rkeys = {
+        r["r_regionkey"] for r in rt.to_pylist() if r["r_name"] == region_name
+    }
+    nmap = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nt.to_pylist()
+        if r["n_regionkey"] in rkeys
+    }
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.float64())})
+    if not nmap:
+        return empty
+    nk_arr = pa.array(sorted(nmap), pa.int32())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey"), value_set=nk_arr))
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_nationkey": b.column("c_nationkey")})
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+        )
+        b = b.filter(keep)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey")})
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        rev = _quant(_col(b, "l_extendedprice") * (1.0 - _col(b, "l_discount")))
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "q_rev": pa.array(rev, pa.int64())})
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("s_nationkey"), value_set=nk_arr))
+        return pa.table({"s_suppkey": b.column("s_suppkey"),
+                         "s_nationkey": b.column("s_nationkey")})
+
+    cust = customer.map_batches(cust_rows, batch_format="pyarrow")
+    ords = orders.map_batches(order_rows, batch_format="pyarrow")
+    line = lineitem.map_batches(line_rows, batch_format="pyarrow")
+    supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
+
+    j1 = hash_join(ords, cust, "o_custkey", "c_custkey",
+                   mode="shuffle" if join_mode == "auto" else join_mode)
+    j1 = j1.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(line, j1, "l_orderkey", "o_orderkey",
+                   mode="shuffle" if join_mode == "auto" else join_mode)
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("c_nationkey"), b.column("s_nationkey")))
+        t = pa.table({"c_nationkey": b.column("c_nationkey"),
+                      "q_rev": b.column("q_rev")})
+        g = t.group_by(["c_nationkey"]).aggregate([("q_rev", "sum")])
+        return g.rename_columns(["c_nationkey", "q_rev"])
+
+    agg = (
+        j3.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("q_rev", alias_name="q_rev"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    rows = sorted(
+        (
+            (-int(q), nmap[int(nk)])
+            for nk, q in zip(_col(t, "c_nationkey"), _col(t, "q_rev"))
+        ),
+    )
+    return pa.table({
+        "n_name": pa.array([n for _, n in rows], pa.string()),
+        "revenue": pa.array([-q / _Q for q, _ in rows], pa.float64()),
+    })
+
+
+def region_revenue_sql(
+    region_name: str = Q5_REGION,
+    date_from: str = Q5_FROM,
+    date_to: str = Q5_TO,
+) -> str:
+    """DuckDB oracle for :func:`region_revenue` (same quantization)."""
+    q = int(_Q)
+    return f"""
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q} + 0.5) AS BIGINT)) / {q}.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def top_unshipped_orders_sql(
     segment: str = TOPK_SEGMENT, date: str = TOPK_DATE, k: int = TOPK_K
 ) -> str:

@@ -683,7 +683,7 @@ def rduck():
     import duckdb
 
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -724,6 +724,131 @@ def test_top_unshipped_orders_oracle(rduck):
     assert t.num_rows == rel.TOPK_K
     revs = t["revenue"].to_pylist()
     assert revs == sorted(revs, reverse=True)
+
+
+def _sorted(t: pa.Table) -> pa.Table:
+    return t.sort_by([(c, "ascending") for c in t.column_names])
+
+
+def test_hash_join_plans_equal_and_oracle(rduck):
+    """The broadcast and partitioned-shuffle plans of hash_join are
+    pinned equal to each other and to the SQL join, for inner and for
+    left-outer (with genuinely unmatched left rows)."""
+    from search_engine_ray.functions.joins import hash_join
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    cols = "o_orderkey, o_custkey, o_totalprice, c_nationkey, c_mktsegment"
+    inner_sql = (f"SELECT {cols} FROM orders "
+                 "JOIN customer ON o_custkey = c_custkey")
+    got = {}
+    for mode in ("broadcast", "shuffle"):
+        got[mode] = _sorted(_table(
+            hash_join(orders, cust, "o_custkey", "c_custkey",
+                      how="inner", mode=mode, n_buckets=8)))
+    assert got["broadcast"].equals(got["shuffle"])
+    o = rduck.sql(inner_sql).arrow()
+    assert got["shuffle"].equals(_sorted(o.cast(got["shuffle"].schema)))
+
+    import pyarrow.compute as _pc
+
+    csub = cust.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("c_nationkey"), 7)),
+        batch_format="pyarrow")
+    left_sql = (f"SELECT {cols} FROM orders LEFT JOIN "
+                "(SELECT * FROM customer WHERE c_nationkey = 7) c "
+                "ON o_custkey = c_custkey")
+    for mode in ("broadcast", "shuffle"):
+        t = _sorted(_table(
+            hash_join(orders, csub, "o_custkey", "c_custkey",
+                      how="left", mode=mode, n_buckets=8)))
+        assert t.column("c_mktsegment").null_count > 0  # real unmatched rows
+        o = rduck.sql(left_sql).arrow()
+        assert t.equals(_sorted(o.cast(t.schema))), mode
+
+
+def test_hash_join_many_to_many_null_keys_and_auto():
+    """Duplicate keys on BOTH sides produce the full per-key cartesian;
+    null keys match nothing on either plan (SQL semantics); auto mode
+    picks broadcast under the bound."""
+    import duckdb
+
+    from search_engine_ray.functions.joins import hash_join
+
+    lt = pa.table({
+        "k": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    rt = pa.table({
+        "k2": pa.array([1, 1, 1, None, 4], pa.int64()),
+        "rv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    for how, sqlhow in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        exp = _sorted(con.sql(
+            f"SELECT k, lv, rv FROM lt {sqlhow} rt ON k = k2").arrow())
+        for mode in ("broadcast", "shuffle", "auto"):
+            t = _sorted(_table(hash_join(
+                rd.from_arrow(lt), rd.from_arrow(rt), "k", "k2",
+                how=how, mode=mode, n_buckets=4)))
+            assert t.equals(exp.cast(t.schema)), (how, mode)
+    con.close()
+
+
+def test_hash_join_guards():
+    """Loud failures: bad how/mode, missing keys, overlapping non-key
+    columns, non-integer shuffle key, broadcast side over the bound."""
+    from search_engine_ray.functions.joins import hash_join
+
+    lt = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": ["x"]}))
+    rs = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "w": ["y"]}))
+    rstr = rd.from_arrow(pa.table({"k": pa.array(["a"]), "w": ["y"]}))
+    rdup = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()), "v": ["y"]}))
+    with pytest.raises(ValueError, match="how"):
+        hash_join(lt, rs, "k", how="outer")
+    with pytest.raises(ValueError, match="mode"):
+        hash_join(lt, rs, "k", mode="sort")
+    with pytest.raises(ValueError, match="not in"):
+        hash_join(lt, rs, "missing")
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(lt, rdup, "k")
+    with pytest.raises(ValueError, match="integer keys"):
+        hash_join(lt, rstr, "k", mode="shuffle")
+    with pytest.raises(ValueError, match="broadcast side"):
+        hash_join(lt, rs, "k", mode="broadcast", broadcast_max_rows=0)
+
+
+def test_region_revenue_oracle(rduck):
+    """Q5 analog vs the SQL oracle — ORDER MATTERS (revenue DESC,
+    name ASC), exact by per-row int64 quantization; and the all-shuffle
+    plan equals the all-broadcast plan."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/nation.parquet"),
+        rd.read_parquet(f"{SF_DIR}/region.parquet"),
+    )
+    t = rel.region_revenue(*args)
+    o = rduck.sql(rel.region_revenue_sql()).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    assert rel.region_revenue(*args, join_mode="broadcast").cast(o.schema).equals(o)
+    # unknown region -> empty, schema intact
+    e = rel.region_revenue(*args, region_name="ATLANTIS")
+    assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
 def test_tfidf_join_path_equals_broadcast(docs_ds):

@@ -1194,6 +1194,73 @@ def _search_histogram(sf_dir: str):
     return df
 
 
+def _search_filters_agg(sf_dir: str):
+    """Filters aggregation (the ES ``filters`` agg): per probe, one
+    count per named filter bucket (all emitted, zero included),
+    optionally within a base query's matching set."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for p in datagen.filters_agg_queries():
+        r = eng.filters_agg(p["filters"], query_text=p["base"],
+                            scope=p["scope"])
+        if not r["result"]:
+            continue
+        t = r["data"]
+        parts.append(t.add_column(
+            0, "probe_id", pa.array([p["probe_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
+def _search_adjacency(sf_dir: str):
+    """Adjacency-matrix aggregation (the ES ``adjacency_matrix`` agg):
+    per probe, per-filter counts + upper-triangular ``a&b``
+    intersection counts, zero buckets omitted."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for p in datagen.adjacency_queries():
+        r = eng.adjacency_matrix(p["filters"], scope=p["scope"])
+        if not r["result"]:
+            continue
+        t = r["data"]
+        parts.append(t.add_column(
+            0, "probe_id", pa.array([p["probe_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
+def _search_histogram_pipeline(sf_dir: str):
+    """Pipeline aggregations over the fixed-interval histogram (ES
+    cumulative_sum / derivative / moving_fn): gap-filled bucket axis,
+    running sum, lag difference (NULL first), trailing-3 mean at 6 dp
+    (tie-free round — see the engine docstring)."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for q in datagen.histogram_pipeline_queries():
+        r = eng.histogram_pipeline(q["query_text"], field=q["field"],
+                                   interval=q["interval"], window=3,
+                                   scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            continue
+        t = r["data"]
+        parts.append(t.add_column(
+            0, "query_id", pa.array([q["query_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
 def _search_boosted(sf_dir: str):
     """Query-time term boosting (the Lucene term^w weight): per probe,
     BM25 top-k with per-lemma idf pre-scaling — scores compared at the
@@ -2509,6 +2576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_query": _suggest_query,
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
+        "search_filters_agg": _search_filters_agg,
+        "search_adjacency": _search_adjacency,
+        "search_histogram_pipeline": _search_histogram_pipeline,
         "search_analyze": _search_analyze,
         "term_complete": _term_complete,
         "search_min_match": _search_min_match,
@@ -2733,6 +2803,15 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_histogram": lambda: oracle.histogram_sql(
             _corpus_src(), datagen.histogram_queries()
+        ),
+        "search_filters_agg": lambda: oracle.filters_agg_sql(
+            _corpus_src(), datagen.filters_agg_queries()
+        ),
+        "search_adjacency": lambda: oracle.adjacency_matrix_sql(
+            _corpus_src(), datagen.adjacency_queries()
+        ),
+        "search_histogram_pipeline": lambda: oracle.histogram_pipeline_sql(
+            _corpus_src(), datagen.histogram_pipeline_queries(), window=3
         ),
         "search_analyze": lambda: oracle.analyze_sql(datagen.analyze_probes()),
         "term_complete": lambda: oracle.complete_sql(

@@ -245,6 +245,31 @@ def main(argv: list[str] | None = None) -> int:
     hg.add_argument("--interval", type=int, default=10)
     hg.add_argument("--scope", default=None)
     hg.add_argument("--conjunctive", action="store_true")
+    hg.add_argument("--pipeline", action="store_true",
+                    help="emit cumulative_sum/derivative/moving-avg "
+                    "pipeline aggs over the gap-filled bucket axis")
+    hg.add_argument("--window", type=int, default=3,
+                    help="moving-average trailing window (with --pipeline)")
+
+    fa = sub.add_parser(
+        "filtersagg", help="named-filter bucket counts (ES filters agg): "
+        "FILTERS is a JSON object {key: query-text}"
+    )
+    fa.add_argument("filters")
+    fa.add_argument("--out", required=True)
+    fa.add_argument("--base", default=None,
+                    help="count buckets within this base query's matching set")
+    fa.add_argument("--scope", default=None)
+    fa.add_argument("--conjunctive", action="store_true")
+
+    am = sub.add_parser(
+        "adjmatrix", help="filter co-occurrence counts (ES adjacency_matrix "
+        "agg): FILTERS is a JSON object {key: query-text}"
+    )
+    am.add_argument("filters")
+    am.add_argument("--out", required=True)
+    am.add_argument("--scope", default=None)
+    am.add_argument("--conjunctive", action="store_true")
 
     dy = sub.add_parser(
         "didyoumean", help="whole-query did-you-mean (ES phrase "
@@ -582,10 +607,17 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "histogram":
         from .search import SearchEngine
 
-        resp = SearchEngine(a.out).histogram(
-            a.query, field=a.field, interval=a.interval, scope=a.scope,
-            conjunctive=a.conjunctive,
-        )
+        eng = SearchEngine(a.out)
+        if a.pipeline:
+            resp = eng.histogram_pipeline(
+                a.query, field=a.field, interval=a.interval,
+                window=a.window, scope=a.scope, conjunctive=a.conjunctive,
+            )
+        else:
+            resp = eng.histogram(
+                a.query, field=a.field, interval=a.interval, scope=a.scope,
+                conjunctive=a.conjunctive,
+            )
         print(
             json.dumps(
                 {
@@ -717,6 +749,33 @@ def main(argv: list[str] | None = None) -> int:
             a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
         )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd in ("filtersagg", "adjmatrix"):
+        from .search import SearchEngine
+
+        try:
+            flt = json.loads(a.filters)
+            assert isinstance(flt, dict)
+        except Exception:
+            print(json.dumps({"result": False, "error": "bad_filters"}))
+            return 1
+        eng = SearchEngine(a.out)
+        if a.cmd == "filtersagg":
+            resp = eng.filters_agg(flt, query_text=a.base, scope=a.scope,
+                                   conjunctive=a.conjunctive)
+        else:
+            resp = eng.adjacency_matrix(flt, scope=a.scope,
+                                        conjunctive=a.conjunctive)
         print(
             json.dumps(
                 {

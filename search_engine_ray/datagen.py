@@ -807,6 +807,56 @@ def histogram_queries() -> list[dict]:
     ]
 
 
+def filters_agg_queries() -> list[dict]:
+    """Filters-aggregation probes: independent named buckets over
+    hot/mid/absent terms (the absent one pins the always-emitted zero
+    bucket), a base-query intersection probe, a scoped probe, and a
+    multi-term (union-semantics) filter."""
+    q = [
+        ({"hot": stem(0), "mid": stem(4000), "none": "wqxqzq"}, None, None),
+        ({"a": stem(0), "b": stem(1)}, stem(4000), None),
+        ({"x": stem(10), "y": stem(11)}, None, "assistant"),
+        ({"two": f"{stem(120)} {stem(480)}", "one": stem(120)}, None, None),
+    ]
+    return [
+        {"probe_id": f"fa-{i:04d}", "filters": f, "base": b, "scope": s}
+        for i, (f, b, s) in enumerate(q)
+    ]
+
+
+def adjacency_queries() -> list[dict]:
+    """Adjacency-matrix probes: hot x hot (dense intersections), a
+    disjoint-ish trio incl. an absent filter (omitted zero buckets),
+    and a scoped pair."""
+    q = [
+        ({"a": stem(0), "b": stem(1), "c": stem(2)}, None),
+        ({"p": stem(4000), "q": stem(4001), "z": "wqxqzq"}, None),
+        ({"u": stem(10), "v": stem(11)}, "user"),
+    ]
+    return [
+        {"probe_id": f"am-{i:04d}", "filters": f, "base": None, "scope": s}
+        for i, (f, s) in enumerate(q)
+    ]
+
+
+def histogram_pipeline_queries() -> list[dict]:
+    """Pipeline-agg probes: the histogram probes' doc_len shapes (fine
+    interval — gaps exist to be zero-filled) plus a scoped one and a
+    weekly ts axis; window 3 throughout (the tie-free regime)."""
+    week_us = 7 * 86_400_000_000
+    q = [
+        (f"{stem(0)}", "doc_len", 8, None),
+        (f"{stem(4000)}", "doc_len", 16, None),
+        (f"{stem(2048)}", "doc_len", 16, "assistant"),
+        (f"{stem(120)}", "ts", week_us, None),
+    ]
+    return [
+        {"query_id": f"hp-{i:04d}", "query_text": t, "field": f,
+         "interval": n, "scope": s, "k": 10}
+        for i, (t, f, n, s) in enumerate(q)
+    ]
+
+
 def boost_queries() -> list[dict]:
     """Query-time term-boosting probes: upweight the rare term of a
     two-term query, downweight the hot one, a boost key that is not a

@@ -1193,6 +1193,172 @@ FROM withmeta GROUP BY 1, 3
 """
 
 
+def _agg_filter_queries(probes: list[dict]) -> list[dict]:
+    """Flatten filters-agg / adjacency probes into ONE ordinary query
+    set (query_id = '<probe>##<key>'; the base query is '##base') so
+    the standard matched-set CTE machinery applies unchanged."""
+    out = []
+    for p in probes:
+        if p.get("base") is not None:
+            out.append({"query_id": f"{p['probe_id']}##base",
+                        "query_text": p["base"], "scope": p["scope"], "k": 0})
+        for key in sorted(p["filters"]):
+            out.append({"query_id": f"{p['probe_id']}##{key}",
+                        "query_text": p["filters"][key],
+                        "scope": p["scope"], "k": 0})
+    return out
+
+
+_MATCHED_CTE = """
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+)"""
+
+
+def filters_agg_sql(src: str, probes: list[dict]) -> str:
+    """Filters-aggregation twin (the ES ``filters`` agg): per probe,
+    one count per named filter bucket — ALL named buckets emitted,
+    zero included — optionally intersected with the probe's base
+    query's matching set. Matching semantics shared with
+    ``facets_sql`` (union of docs containing any lemma, all lemmas
+    must exist, scope on role)."""
+    qmeta, qlem = _queries_values(_agg_filter_queries(probes))
+    prows = ", ".join(
+        f"({analyzer._sql_quote(p['probe_id'])}, {analyzer._sql_quote(k)}, "
+        f"{analyzer._sql_quote(p['probe_id'] + '##' + k)}, "
+        + (f"{analyzer._sql_quote(p['probe_id'] + '##base')})"
+           if p.get("base") is not None else "NULL)")
+        for p in probes for k in sorted(p["filters"])
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),{_MATCHED_CTE},
+pairs AS (SELECT * FROM (VALUES {prows}) pr(pid, key, fid, bid)),
+cnt AS (
+    SELECT pr.pid, pr.key, CAST(count(*) AS BIGINT) AS n
+    FROM pairs pr
+    JOIN matched f ON f.query_id = pr.fid
+    WHERE pr.bid IS NULL OR EXISTS (
+        SELECT 1 FROM matched b WHERE b.query_id = pr.bid
+          AND b.conv_id = f.conv_id AND b.turn_idx = f.turn_idx)
+    GROUP BY 1, 2
+)
+SELECT pr.pid AS probe_id, pr.key, coalesce(c.n, 0) AS n_docs
+FROM pairs pr LEFT JOIN cnt c ON c.pid = pr.pid AND c.key = pr.key
+"""
+
+
+def adjacency_matrix_sql(src: str, probes: list[dict]) -> str:
+    """Adjacency-matrix twin (the ES ``adjacency_matrix`` agg): per
+    probe, one count per named filter plus one per ``a&b`` pair
+    (upper-triangular intersection); zero buckets omitted entirely
+    (inner-join counts never emit empty groups — ES semantics)."""
+    qmeta, qlem = _queries_values(_agg_filter_queries(probes))
+    srows, xrows = [], []
+    for p in probes:
+        keys = sorted(p["filters"])
+        for i, a in enumerate(keys):
+            srows.append(
+                f"({analyzer._sql_quote(p['probe_id'])}, "
+                f"{analyzer._sql_quote(a)}, "
+                f"{analyzer._sql_quote(p['probe_id'] + '##' + a)})"
+            )
+            for b in keys[i + 1:]:
+                xrows.append(
+                    f"({analyzer._sql_quote(p['probe_id'])}, "
+                    f"{analyzer._sql_quote(a + '&' + b)}, "
+                    f"{analyzer._sql_quote(p['probe_id'] + '##' + a)}, "
+                    f"{analyzer._sql_quote(p['probe_id'] + '##' + b)})"
+                )
+    singles = "(VALUES " + ", ".join(srows) + ") s1(pid, key, fid)"
+    crosses = (
+        "(VALUES " + ", ".join(xrows) + ") s2(pid, key, fa, fb)"
+        if xrows
+        else "(SELECT NULL AS pid, NULL AS key, NULL AS fa, NULL AS fb WHERE 1=0) s2"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),{_MATCHED_CTE}
+SELECT s1.pid AS probe_id, s1.key, CAST(count(*) AS BIGINT) AS n_docs
+FROM {singles} JOIN matched f ON f.query_id = s1.fid
+GROUP BY 1, 2
+UNION ALL
+SELECT s2.pid AS probe_id, s2.key, CAST(count(*) AS BIGINT) AS n_docs
+FROM {crosses}
+JOIN matched a ON a.query_id = s2.fa
+JOIN matched b ON b.query_id = s2.fb
+ AND b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+GROUP BY 1, 2
+"""
+
+
+def histogram_pipeline_sql(src: str, queries: list[dict],
+                           window: int = 3) -> str:
+    """Pipeline-aggregation twin over the fixed-interval histogram
+    (the ES cumulative_sum / derivative / moving_fn shapes): the
+    sparse histogram gap-fills to the min..max bucket axis with zero
+    counts, then window functions — running sum, lag difference (NULL
+    first), trailing-``window``-inclusive mean rounded to 6 dp (the
+    engine docstring's tie-free argument makes the round direction
+    irrelevant for window < 128)."""
+    inner = histogram_sql(src, queries)
+    ivals = ", ".join(
+        f"({analyzer._sql_quote(q['query_id'])}, {int(q['interval'])})"
+        for q in queries
+    )
+    return f"""
+WITH hb AS ({inner}),
+ivals AS (SELECT * FROM (VALUES {ivals}) iv(query_id, interval)),
+rng AS (
+    SELECT h.query_id, iv.interval,
+           min(h.bucket) AS mn, max(h.bucket) AS mx
+    FROM hb h JOIN ivals iv ON iv.query_id = h.query_id
+    GROUP BY 1, 2
+),
+-- generate_series takes no lateral refs in DuckDB: fixed series,
+-- cross-join + filter (the ES search.max_buckets bound = 65536)
+nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 65535) g(i)),
+axis AS (
+    SELECT r.query_id, r.mn + n.i * r.interval AS bucket
+    FROM rng r CROSS JOIN nums n
+    WHERE n.i <= (r.mx - r.mn) // r.interval
+),
+fill AS (
+    SELECT a.query_id, a.bucket, coalesce(h.n_docs, 0) AS n_docs
+    FROM axis a LEFT JOIN hb h
+      ON h.query_id = a.query_id AND h.bucket = a.bucket
+)
+SELECT query_id, bucket, n_docs,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       n_docs - lag(n_docs) OVER w AS deriv,
+       round(avg(n_docs * 1.0) OVER (
+           PARTITION BY query_id ORDER BY bucket
+           ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW), 6) AS mavg
+FROM fill
+WINDOW w AS (PARTITION BY query_id ORDER BY bucket)
+"""
+
+
 def significant_terms_sql(src: str, queries: list[dict]) -> str:
     """Significant-terms oracle: per query, the top-k lemmas by JLH
     score ``(fg% - bg%) * (fg% / bg%)`` over the matching set (same

@@ -2161,6 +2161,196 @@ class SearchEngine:
         return {"result": True, "count": int(len(uniq)), "data": tbl,
                 "error": None}
 
+    MAX_AGG_FILTERS = 100        # the ES adjacency_matrix default cap
+    MAX_PIPELINE_BUCKETS = 65_536  # the ES search.max_buckets default
+
+    def filters_agg(
+        self,
+        filters: dict[str, str],
+        query_text: str | None = None,
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Named-filter bucket counts (the Elasticsearch ``filters``
+        aggregation): each entry of ``filters`` is an independent query
+        over this view; its bucket counts the docs matching it — ALL
+        named buckets are emitted, zero or not (ES semantics), in key
+        order. With ``query_text`` the buckets count within the BASE
+        query's matching set (|filter ∩ base| — the agg-under-a-query
+        shape ES runs it in). ``scope``/``conjunctive`` apply to every
+        matching set. A filter whose text analyzes to nothing is
+        ``bad_filter`` (ES rejects an empty filter body); a filter
+        whose lemmas are absent from the corpus counts 0. Matching
+        sets ride the memoized gaps-only decode — lemmas shared
+        between filters (or with the base) decode once per view.
+        -> {'result', 'count' (base matching docs; 0 with no base),
+        'data': pa.Table(key, n_docs), 'error'}"""
+        empty = FILTERS_AGG_SCHEMA.empty_table()
+        if not isinstance(filters, dict) or not filters:
+            return {**self._resp(error="bad_filter"), "data": empty}
+        if len(filters) > self.MAX_AGG_FILTERS:
+            return {**self._resp(error="too_many_filters"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        base_ids = None
+        n_base = 0
+        if query_text is not None:
+            terms, err = self.plan(query_text)
+            if err == "empty_query":
+                return {**self._resp(error="empty_query"), "data": empty}
+            if err == "no_results":
+                base_ids = np.empty(0, np.int64)
+            else:
+                base_ids, _ = self._matching_set(terms, scope, conjunctive)
+            n_base = int(len(base_ids))
+        rows = []
+        for key in sorted(filters):
+            terms, err = self.plan(str(filters[key]))
+            if err == "empty_query":
+                return {**self._resp(error="bad_filter"), "data": empty}
+            if err == "no_results":
+                rows.append((key, 0))
+                continue
+            ids, _ = self._matching_set(terms, scope, conjunctive)
+            if base_ids is not None and len(ids):
+                ids = ids[np.isin(ids, base_ids, assume_unique=True)]
+            rows.append((key, int(len(ids))))
+        tbl = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": n_base, "data": tbl, "error": None}
+
+    def adjacency_matrix(
+        self,
+        filters: dict[str, str],
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Filter co-occurrence counts (the Elasticsearch
+        ``adjacency_matrix`` aggregation): one bucket per named filter
+        and one per pair ``a&b`` (a < b, the ES key separator) counting
+        docs matching BOTH — the upper-triangular intersection matrix.
+        Buckets with zero docs are omitted entirely (ES semantics —
+        the response carries only occurring cells). Matching sets are
+        ascending-unique docid arrays, so each intersection is one
+        vectorized ``np.isin`` over already-decoded frames.
+        -> {'result', 'count' (docs in the union), 'data':
+        pa.Table(key, n_docs), 'error'}"""
+        empty = FILTERS_AGG_SCHEMA.empty_table()
+        if not isinstance(filters, dict) or not filters:
+            return {**self._resp(error="bad_filter"), "data": empty}
+        if len(filters) > self.MAX_AGG_FILTERS:
+            return {**self._resp(error="too_many_filters"), "data": empty}
+        if any("&" in k for k in filters):
+            return {**self._resp(error="bad_filter"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        sets: dict[str, np.ndarray] = {}
+        for key in sorted(filters):
+            terms, err = self.plan(str(filters[key]))
+            if err == "empty_query":
+                return {**self._resp(error="bad_filter"), "data": empty}
+            if err == "no_results":
+                sets[key] = np.empty(0, np.int64)
+                continue
+            ids, _ = self._matching_set(terms, scope, conjunctive)
+            sets[key] = ids
+        keys = sorted(sets)
+        rows = [(k, int(len(sets[k]))) for k in keys if len(sets[k])]
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                sa, sb = sets[a], sets[b]
+                if len(sa) and len(sb):
+                    n = int(np.isin(sa, sb, assume_unique=True).sum())
+                    if n:
+                        rows.append((f"{a}&{b}", n))
+        rows.sort()
+        union = (
+            np.unique(np.concatenate([s for s in sets.values() if len(s)]))
+            if any(len(s) for s in sets.values()) else ()
+        )
+        tbl = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": int(len(union)), "data": tbl,
+                "error": None}
+
+    def histogram_pipeline(
+        self,
+        query_text: str,
+        field: str = "doc_len",
+        interval: int = 10,
+        window: int = 3,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Pipeline aggregations over the fixed-interval histogram (the
+        Elasticsearch ``cumulative_sum`` / ``derivative`` / ``moving_fn``
+        bucket post-transforms): the sparse histogram is first
+        GAP-FILLED to the full min..max bucket axis with zero counts
+        (ES pipeline aggs require ``min_doc_count=0`` for exactly this
+        reason), then per bucket:
+
+        - ``cum_docs`` — running sum of counts (cumulative_sum),
+        - ``deriv`` — count minus the previous bucket's (derivative;
+          NULL on the first bucket, matching ES emitting none),
+        - ``mavg`` — trailing-window mean INCLUDING the current bucket
+          (moving_fn unweightedAvg with the window clamped at the
+          axis start), rounded to 6 dp. The rounded value is
+          tie-free for any window < 128: a half-tie at the 6th
+          decimal needs the reduced denominator divisible by 2^7, so
+          engine/SQL round-half direction can never diverge.
+
+        Bounded by ``MAX_PIPELINE_BUCKETS`` filled buckets (the ES
+        ``search.max_buckets`` guard — a microsecond-interval ts
+        histogram would otherwise materialize an unbounded axis).
+        -> {'result', 'count', 'data': pa.Table(bucket, n_docs,
+        cum_docs, deriv, mavg), 'error'}"""
+        empty = HISTOGRAM_PIPELINE_SCHEMA.empty_table()
+        if not isinstance(window, int) or not 1 <= window < 128:
+            return {**self._resp(error="bad_window"), "data": empty}
+        base = self.histogram(query_text, field=field, interval=interval,
+                              scope=scope, conjunctive=conjunctive,
+                              exclude=exclude, ts_min=ts_min, ts_max=ts_max)
+        if not base["result"]:
+            return {**base, "data": empty}
+        hb = base["data"]
+        if hb.num_rows == 0:
+            return {**base, "data": empty}
+        bu = hb.column("bucket").to_numpy()
+        bc = hb.column("n_docs").to_numpy()
+        n_axis = (int(bu[-1]) - int(bu[0])) // interval + 1
+        if n_axis > self.MAX_PIPELINE_BUCKETS:
+            return {**self._resp(error="too_many_buckets"), "data": empty}
+        axis = bu[0] + np.arange(n_axis, dtype=np.int64) * interval
+        filled = np.zeros(n_axis, np.int64)
+        filled[(bu - bu[0]) // interval] = bc
+        cum = np.cumsum(filled)
+        deriv = np.empty(n_axis, np.int64)
+        deriv[1:] = np.diff(filled)
+        deriv[0] = 0
+        shifted = np.zeros(n_axis, np.int64)
+        if n_axis > window:
+            shifted[window:] = cum[:-window]
+        win_sum = cum - shifted
+        width = np.minimum(np.arange(1, n_axis + 1), window)
+        mavg = np.round(win_sum / width, 6)
+        tbl = pa.table({
+            "bucket": pa.array(axis, pa.int64()),
+            "n_docs": pa.array(filled, pa.int64()),
+            "cum_docs": pa.array(cum, pa.int64()),
+            "deriv": pa.array(deriv, pa.int64(),
+                              mask=np.arange(n_axis) == 0),
+            "mavg": pa.array(mavg, pa.float64()),
+        })
+        return {"result": True, "count": base["count"], "data": tbl,
+                "error": None}
+
     def facets_composite(
         self,
         query_text: str,
@@ -4326,6 +4516,23 @@ HISTOGRAM_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
         ("n_docs", pa.int64()),
+    ]
+)
+
+FILTERS_AGG_SCHEMA = pa.schema(
+    [
+        ("key", pa.string()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+HISTOGRAM_PIPELINE_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("cum_docs", pa.int64()),
+        ("deriv", pa.int64()),
+        ("mavg", pa.float64()),
     ]
 )
 

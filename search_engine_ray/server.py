@@ -44,6 +44,13 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.histogram``:
   fixed-interval numeric bucket counts over the matching set (the ES
   ``histogram`` aggregation).
+- ``GET /api/histogramPipeline?query=...[&field=][&interval=][&window=]`` —
+  cumulative_sum / derivative / moving-avg pipeline aggs over the
+  gap-filled histogram.
+- ``GET /api/filtersAgg?filters=<json>[&query=base][&site=]`` — named
+  filter bucket counts (ES ``filters`` agg).
+- ``GET /api/adjacencyMatrix?filters=<json>[&site=]`` — filter
+  co-occurrence counts (ES ``adjacency_matrix``).
 - ``GET /api/didYouMean?query=...[&max_dist=D]`` —
   ``SearchEngine.suggest_query``: whole-query did-you-mean (the ES
   phrase-suggester shape) — per-token best vocabulary suggestion plus
@@ -450,6 +457,57 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
                 )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/histogramPipeline":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].histogram_pipeline(
+                    query,
+                    field=(q.get("field") or ["doc_len"])[0],
+                    interval=int((q.get("interval") or ["10"])[0]),
+                    window=int((q.get("window") or ["3"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path in ("/api/filtersAgg", "/api/adjacencyMatrix"):
+                import json as _json
+
+                try:
+                    flt = _json.loads((q.get("filters") or ["{}"])[0])
+                    assert isinstance(flt, dict) and flt
+                except Exception:
+                    self._send(400, {"result": False, "error": "bad_filters"})
+                    return
+                scope = (q.get("site") or q.get("scope") or [None])[0]
+                conj = (q.get("conjunctive") or ["0"])[0] in ("1", "true")
+                if u.path == "/api/filtersAgg":
+                    resp = state["engine"].filters_agg(
+                        flt, query_text=(q.get("query") or [None])[0],
+                        scope=scope, conjunctive=conj,
+                    )
+                else:
+                    resp = state["engine"].adjacency_matrix(
+                        flt, scope=scope, conjunctive=conj,
+                    )
                 self._send(
                     200 if resp["result"] else 400,
                     {

@@ -56,6 +56,19 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "regexp", "--limit", "3"])
     assert rx["result"] and rx["count"] == wc["count"]
 
+    import json as _json
+
+    flt = _json.dumps({"h": datagen.stem(0), "n": "wqxqzq"})
+    fa = _run(["filtersagg", flt, "--out", out])
+    assert fa["result"] and {x["key"] for x in fa["data"]} == {"h", "n"}
+    am = _run(["adjmatrix", _json.dumps({"a": datagen.stem(0),
+                                         "b": datagen.stem(1)}), "--out", out])
+    assert am["result"] and any("&" in x["key"] for x in am["data"])
+    hp = _run(["histogram", datagen.stem(0), "--out", out,
+               "--pipeline", "--window", "3", "--interval", "8"])
+    assert hp["result"] and hp["data"][0]["deriv"] is None
+    assert hp["data"][-1]["cum_docs"] == hp["count"]
+
     dk = _run(["search", datagen.stem(0), "--out", out, "--limit", "3",
                "--decay", "origin=2026-01-02T00:00:00;scale=86400;shape=exp"])
     assert dk["result"] and dk["count"] == r["count"]

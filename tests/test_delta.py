@@ -474,6 +474,27 @@ def test_delta_rare_terms_identical_to_rebuild(delta_env):
         assert ra["data"].equals(rb["data"]), q["query_id"]
 
 
+def test_delta_filter_aggs_identical_to_rebuild(delta_env):
+    """filters_agg / adjacency_matrix / histogram_pipeline fold through
+    the overlay exactly: every named bucket count, intersection cell
+    and gap-filled pipeline row equals a fresh rebuild of the modified
+    corpus (they all ride _matching_set + the doc-len/ts frames, which
+    are overlay-aware)."""
+    overlay = SearchEngine(delta_env["base_out"])
+    rebuilt = SearchEngine(delta_env["rebuilt_out"])
+    flt = {"h": datagen.stem(0), "m": datagen.stem(1), "x": datagen.stem(2)}
+    for eng_call in (
+        lambda e: e.filters_agg(flt),
+        lambda e: e.filters_agg(flt, query_text=datagen.stem(1)),
+        lambda e: e.adjacency_matrix(flt),
+        lambda e: e.histogram_pipeline(datagen.stem(0), interval=8, window=3),
+    ):
+        ra, rb = eng_call(overlay), eng_call(rebuilt)
+        assert ra["result"] and rb["result"]
+        assert ra["count"] == rb["count"]
+        assert ra["data"].equals(rb["data"])
+
+
 def test_delta_regex_rewrite_identical_to_rebuild(delta_env):
     """Wildcard and regexp rewrites fold through the overlay exactly
     when the pattern's expansion is under the cap and its lemmas live

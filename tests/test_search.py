@@ -1895,6 +1895,112 @@ def test_histogram_vs_duckdb_oracle(engine, duck):
 def test_histogram_errors(engine):
     assert engine.histogram("x", field="nope")["error"] == "bad_field"
     assert engine.histogram("x", interval=0)["error"] == "bad_interval"
+
+
+def test_filters_agg_vs_duckdb_oracle(engine, duck):
+    """Named bucket counts == the matched-set intersection twin at
+    sf0.001 — all named buckets emitted (zero included), base-query
+    intersection honored, keys ascending."""
+    probes = datagen.filters_agg_queries()
+    sql = oracle.filters_agg_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_p: dict[str, dict] = {}
+    for r in exp:
+        by_p.setdefault(r["probe_id"], {})[r["key"]] = r["n_docs"]
+    for p in probes:
+        r = engine.filters_agg(p["filters"], query_text=p["base"],
+                               scope=p["scope"])
+        assert r["result"], p["probe_id"]
+        got = {x["key"]: x["n_docs"] for x in r["data"].to_pylist()}
+        assert got == by_p[p["probe_id"]], p["probe_id"]
+        assert set(got) == set(p["filters"])  # every bucket present
+        keys = r["data"].column("key").to_pylist()
+        assert keys == sorted(keys)
+
+
+def test_filters_agg_semantics(engine):
+    """The zero bucket is emitted; a base query bounds every bucket by
+    its own matching count; bad inputs error loudly."""
+    hot, mid = datagen.stem(0), datagen.stem(4000)
+    r = engine.filters_agg({"n": "wqxqzq", "h": hot})
+    assert {x["key"]: x["n_docs"] for x in r["data"].to_pylist()}["n"] == 0
+    base_n = engine.search(mid, limit=1)["count"]
+    rb = engine.filters_agg({"h": hot}, query_text=mid)
+    assert rb["count"] == base_n
+    assert all(x["n_docs"] <= base_n for x in rb["data"].to_pylist())
+    assert engine.filters_agg({})["error"] == "bad_filter"
+    assert engine.filters_agg({"x": "!!"})["error"] == "bad_filter"
+    assert engine.filters_agg({"x": hot}, scope="nope")["error"] == "bad_scope"
+    big = {str(i): hot for i in range(101)}
+    assert engine.filters_agg(big)["error"] == "too_many_filters"
+
+
+def test_adjacency_matrix_vs_duckdb_oracle(engine, duck):
+    """Per-filter + pairwise-intersection counts == the SQL twin; zero
+    buckets omitted; pair counts bounded by their singles."""
+    probes = datagen.adjacency_queries()
+    sql = oracle.adjacency_matrix_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_p: dict[str, dict] = {}
+    for r in exp:
+        by_p.setdefault(r["probe_id"], {})[r["key"]] = r["n_docs"]
+    for p in probes:
+        r = engine.adjacency_matrix(p["filters"], scope=p["scope"])
+        assert r["result"], p["probe_id"]
+        got = {x["key"]: x["n_docs"] for x in r["data"].to_pylist()}
+        assert got == by_p.get(p["probe_id"], {}), p["probe_id"]
+        for k, n in got.items():
+            assert n > 0
+            if "&" in k:
+                a, b = k.split("&")
+                assert n <= got[a] and n <= got[b]
+    assert engine.adjacency_matrix({"a&b": "x"})["error"] == "bad_filter"
+
+
+def test_histogram_pipeline_vs_duckdb_oracle(engine, duck):
+    """Gap-filled axis + cumulative/derivative/moving-avg == the SQL
+    window-function twin at sf0.001, including the NULL first
+    derivative and the 6-dp moving average."""
+    probes = datagen.histogram_pipeline_queries()
+    sql = oracle.histogram_pipeline_sql(
+        oracle.transcripts_rel("sf0.001"), probes, window=3)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["bucket"])
+    for p in probes:
+        r = engine.histogram_pipeline(p["query_text"], field=p["field"],
+                                      interval=p["interval"], window=3,
+                                      scope=p["scope"])
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        for g, x in zip(got, e):
+            assert g["bucket"] == x["bucket"]
+            assert g["n_docs"] == x["n_docs"]
+            assert g["cum_docs"] == x["cum_docs"]
+            assert g["deriv"] == x["deriv"]
+            assert g["mavg"] == x["mavg"], (p["query_id"], g["bucket"])
+        if got:
+            assert got[0]["deriv"] is None
+            assert got[-1]["cum_docs"] == r["count"]
+            # contiguous axis: every interval step present
+            bks = [g["bucket"] for g in got]
+            assert all(b2 - b1 == p["interval"]
+                       for b1, b2 in zip(bks, bks[1:]))
+
+
+def test_histogram_pipeline_errors(engine):
+    hot = datagen.stem(0)
+    assert engine.histogram_pipeline(hot, window=0)["error"] == "bad_window"
+    assert engine.histogram_pipeline(hot, window=128)["error"] == "bad_window"
+    assert engine.histogram_pipeline(hot, field="nope")["error"] == "bad_field"
+    assert (engine.histogram_pipeline(hot, field="ts", interval=1)["error"]
+            == "too_many_buckets")
+    r = engine.histogram_pipeline("wqxqzq")
+    assert r["result"] and r["count"] == 0 and r["data"].num_rows == 0
     assert engine.histogram("x", scope="nope")["error"] == "bad_scope"
     assert engine.histogram("  ")["error"] == "empty_query"
     r = engine.histogram("wqxqzq")

@@ -268,6 +268,34 @@ def test_histogram_endpoint(served):
     assert all(x["bucket"] % 16 == 0 for x in got["data"])
 
 
+def test_filter_agg_endpoints(served):
+    base, _ = served
+    import json as _json
+    from urllib.parse import quote
+
+    hot, other = datagen.stem(0), datagen.stem(1)
+    flt = quote(_json.dumps({"h": hot, "o": other, "n": "wqxqzq"}))
+    code, got = _get(f"{base}/api/filtersAgg?filters={flt}")
+    assert code == 200 and got["result"]
+    d = {x["key"]: x["n_docs"] for x in got["data"]}
+    assert set(d) == {"h", "o", "n"} and d["n"] == 0 and d["h"] > 0
+    code, got = _get(f"{base}/api/adjacencyMatrix?filters={flt}")
+    assert code == 200 and got["result"]
+    keys = {x["key"] for x in got["data"]}
+    assert "h&o" in keys and "n" not in keys  # zero buckets omitted
+    code, got = _get(
+        f"{base}/api/histogramPipeline?query={hot}&interval=8&window=3")
+    assert code == 200 and got["result"]
+    assert got["data"][0]["deriv"] is None
+    assert got["data"][-1]["cum_docs"] == got["count"]
+    try:
+        _get(f"{base}/api/filtersAgg?filters=notjson")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert not json.loads(e.read())["result"]
+
+
 def test_didyoumean_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

@@ -2003,6 +2003,17 @@ def _knn_ivf(sf_dir: str):
     return similarity.knn_ivf(_embeddings_ds(sf_dir))
 
 
+def _knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (FAISS IndexIVFPQ, by_residual=False): coarse cells
+    prune each query's scan to nprobe/nlist of the corpus, ADC over PQ
+    codes scores within them — memory AND compute scale levers
+    compounding. Approximate by design (rows-only); the nprobe==nlist
+    degeneracy to knn_pq and recall vs exact are pinned by pytest."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.knn_ivfpq(_embeddings_ds(sf_dir))
+
+
 def _knn_ivf_full_probe(sf_dir: str):
     """IVF with nprobe == nlist: every query probes EVERY cell, so the
     cell-partitioned scan must reproduce exhaustive cosine top-k exactly
@@ -2605,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": _embed_quantize,
         "embed_pq_codes": _embed_pq_codes,
         "knn_pq": _knn_pq,
+        "knn_ivfpq": _knn_ivfpq,
         "knn_quantized": _knn_quantized,
         "knn_ivf": _knn_ivf,
         "knn_ivf_full_probe": _knn_ivf_full_probe,

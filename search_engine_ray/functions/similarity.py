@@ -1068,3 +1068,90 @@ def knn_pq(
             "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def knn_ivfpq(
+    ds: rd.Dataset, m: int = 16, n_cents: int = 64, iters: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_queries: int = 8, k: int = 5,
+    nlist: int = 16, nprobe: int = 4,
+) -> pa.Table:
+    """IVF-PQ ANN — the composition that IS the FAISS memory-AND-compute
+    scale path (IndexIVFPQ, ``by_residual=False``): the coarse IVF
+    quantizer prunes each query's scan to its ``nprobe`` nearest of
+    ``nlist`` cells, and within the probed cells vectors score by ADC
+    over their PQ codes (m table lookups instead of d multiply-adds).
+    At 10^12 vectors the two levers compound: codes shrink memory
+    ~16x (m bytes vs 4d) and cells shrink compute nprobe/nlist —
+    neither alone suffices. Raw-vector PQ (not FAISS's default
+    residual encoding) keeps the codes identical to :func:`pq_encode`'s
+    driver-gated exact frame; residual PQ would buy accuracy at the
+    cost of per-cell codebook state and is noted as the next rung.
+
+    One map pass per query set: coarse centroids + codebooks + query
+    ADC tables broadcast once (ray.put); per batch the cell assign,
+    the code assign and the masked ADC lookups are all vectorized;
+    then the standard per-block partial top-k + k-row driver merge.
+    ``nprobe == nlist`` degenerates to :func:`knn_pq` EXACTLY (no
+    cell is pruned — the pinned composition identity); approximate
+    otherwise (recall vs the exact float path asserted by test, with
+    :func:`knn_pq`'s near-tie-neighbor analysis applying on top of
+    the IVF pruning loss)."""
+    coarse = train_centroids(ds, vec_col, nlist, id_col=id_col)
+    cents, _sse = pq_fit(ds, m, n_cents, iters, id_col, vec_col)
+    qids, qmat = _query_matrix(ds, id_col, vec_col, n_queries)
+    qn = _normalize_seq(np.asarray(qmat, np.float64))
+    mm, kk, dsub = cents.shape
+    qsubs = qn.reshape(len(qn), mm, dsub)
+    tables = np.einsum("qsd,skd->qsk", qsubs, cents)
+    probe = np.argsort(-(qn @ coarse.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    ref = ray.put((coarse, cents, qids, tables, probe))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        crs, cb, qi, tabs, prb = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize_seq(
+            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        cell = np.argmax(mat @ crs.T, axis=1)
+        mm_, kk_, ds_ = cb.shape
+        subs = mat.reshape(len(mat), mm_, ds_)
+        codes = np.empty((len(mat), mm_), np.int64)
+        for s in range(mm_):
+            codes[:, s] = np.argmin(_pq_dists(subs[:, s, :], cb[s]), axis=1)
+        sims = tabs[:, np.arange(mm_)[None, :], codes].sum(axis=2)  # (n_q, n)
+        out_q, out_v, out_c = [], [], []
+        for r, qid in enumerate(qi):
+            cand = np.flatnonzero(np.isin(cell, prb[r]) & (ids != qid))
+            if not len(cand):
+                continue
+            s = sims[r]
+            top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_c.extend(s[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    ).to_pandas()
+    rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        for rank, (_, row) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), rank, int(row[id_col]), round(float(row["cosine"]), 6)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int32()),
+            "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

@@ -1252,6 +1252,42 @@ def test_pq_codes_fit_and_adc_recall(emb_ds, fduck):
     assert total and hits / total >= 0.5, f"PQ recall {hits}/{total}"
 
 
+def test_ivfpq_full_probe_identity_and_recall(emb_ds):
+    """IVF-PQ composition: (1) nprobe == nlist prunes nothing, so the
+    result is EXACTLY knn_pq (the composition identity — cell assign
+    and code assign are independent); (2) pruned probes keep useful
+    recall vs the exact float path (IVF loss stacks on the corpus's
+    PQ near-tie bound — see test_pq_codes_fit_and_adc_recall); (3)
+    results are invariant to block layout (per-block partial top-k
+    merge loses nothing)."""
+    from search_engine_ray.functions.similarity import (
+        knn_bruteforce,
+        knn_ivfpq,
+        knn_pq,
+    )
+
+    full = knn_ivfpq(emb_ds, k=5, nlist=8, nprobe=8)
+    plain = knn_pq(emb_ds, k=5)
+    assert full.equals(plain)
+
+    pruned = knn_ivfpq(emb_ds, k=5, nlist=8, nprobe=3)
+    rep = knn_ivfpq(emb_ds.repartition(7), k=5, nlist=8, nprobe=3)
+    assert pruned.equals(rep)
+
+    exact = knn_bruteforce(emb_ds, k=5).to_pandas()
+    apq = pruned.to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        e = set(g["neighbor_id"])
+        qn = set(apq[apq["query_id"] == qid]["neighbor_id"])
+        hits += len(e & qn)
+        total += len(e)
+    # PQ alone pins >= 0.5 on this corpus; 3/8 cell pruning loses more
+    # by design — the bar pins the composition finds real neighbors,
+    # not that the synthetic near-tie corpus is IVF-PQ-friendly
+    assert total and hits / total >= 0.35, f"IVF-PQ recall {hits}/{total}"
+
+
 def test_dsir_resample_vs_oracle_and_block_invariance(docs_ds, fduck):
     """The Gumbel-top-k draw is a deterministic function of (weights,
     ids): identical to the SQL oracle's draw (same md5-uniform noise),

@@ -2388,6 +2388,16 @@ def _join_hash_left(sf_dir: str):
                      how="left", mode="broadcast")
 
 
+def _join_interval(sf_dir: str):
+    """Range join (point-in-interval containment): purchases paired
+    with every same-user click-anchored 2h interval containing them —
+    time-bucket interval replication, one (user, bucket) exchange, no
+    dedup needed (a point lives in exactly one bucket)."""
+    from search_engine_ray.functions.joins import interval_join
+
+    return interval_join(_events_ds(sf_dir))
+
+
 def _window_tumbling(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -2658,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
+        "join_interval": _join_interval,
         "join_asof_salted": _join_asof_salted,
     }
 
@@ -2977,6 +2988,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_sessions_salted": lambda: windows_mod.session_windows_sql("events"),
         "window_sliding": lambda: windows_mod.sliding_window_sql("events"),
         "join_asof": lambda: joins_mod.asof_join_sql("events"),
+        "join_interval": lambda: joins_mod.interval_join_sql("events"),
         # the hot-user-safe path must equal the plain as-of join
         "join_asof_salted": lambda: joins_mod.asof_join_sql("events"),
     }

@@ -472,6 +472,32 @@ def test_session_windows_salted_equals_plain(events_ds, educk):
         W.session_windows_salted(events_ds, gap_minutes=120, salt_hours=1)
 
 
+def test_interval_join_oracle_and_bucket_invariance(events_ds, educk):
+    """Range join vs the integer-bound SQL twin; the bucket size is a
+    pure distribution knob — results identical across bucket choices
+    (incl. a bucket smaller than the window, where every interval
+    replicates 3+ times); inclusive bounds at both edges."""
+    from search_engine_ray.functions import joins as J
+
+    t = _assert_matches_oracle(
+        J.interval_join(events_ds), educk, J.interval_join_sql("events")
+    )
+    assert t.num_rows > 0
+    # many-to-many: at least one purchase inside two click intervals
+    import collections
+    c = collections.Counter(t.column("event_id").to_pylist())
+    assert max(c.values()) >= 2
+    for bh in (1, 24):
+        t2 = _table(J.interval_join(events_ds, bucket_hours=bh))
+        keys = [(c_, "ascending") for c_ in t.column_names]
+        assert t.sort_by(keys).equals(t2.sort_by(keys)), bh
+    # inclusive containment: every pair satisfies the bounds
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    st = t.column("interval_start").cast(pa.int64()).to_numpy()
+    win = 2 * 3_600 * 1_000_000
+    assert ((st <= ts) & (ts <= st + win)).all()
+
+
 def test_asof_join_salted_equals_plain(events_ds, educk):
     from search_engine_ray.functions import joins as J
 

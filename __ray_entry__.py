@@ -1194,6 +1194,28 @@ def _search_histogram(sf_dir: str):
     return df
 
 
+def _search_percentile_ranks(sf_dir: str):
+    """Inverse percentiles (ES percentile_ranks): per probe value, the
+    count of matching docs with field <= value — integer-only frame
+    (the derived percent can 6-dp half-tie, so it is never hashed)."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for q in datagen.percentile_ranks_queries():
+        r = eng.percentile_ranks(q["query_text"], q["values"],
+                                 field=q["field"], scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            continue
+        t = r["data"].select(["value", "n_le", "n_docs"])
+        parts.append(t.add_column(
+            0, "query_id", pa.array([q["query_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
 def _search_filters_agg(sf_dir: str):
     """Filters aggregation (the ES ``filters`` agg): per probe, one
     count per named filter bucket (all emitted, zero included),
@@ -2598,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
         "search_filters_agg": _search_filters_agg,
+        "search_percentile_ranks": _search_percentile_ranks,
         "search_adjacency": _search_adjacency,
         "search_histogram_pipeline": _search_histogram_pipeline,
         "search_analyze": _search_analyze,
@@ -2829,6 +2852,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_filters_agg": lambda: oracle.filters_agg_sql(
             _corpus_src(), datagen.filters_agg_queries()
+        ),
+        "search_percentile_ranks": lambda: oracle.percentile_ranks_sql(
+            _corpus_src(), datagen.percentile_ranks_queries()
         ),
         "search_adjacency": lambda: oracle.adjacency_matrix_sql(
             _corpus_src(), datagen.adjacency_queries()

@@ -251,6 +251,18 @@ def main(argv: list[str] | None = None) -> int:
     hg.add_argument("--window", type=int, default=3,
                     help="moving-average trailing window (with --pipeline)")
 
+    pr = sub.add_parser(
+        "pranks", help="inverse percentiles (ES percentile_ranks): per "
+        "probe value, matching docs with field <= value"
+    )
+    pr.add_argument("query")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--values", required=True,
+                    help="comma-separated probe values")
+    pr.add_argument("--field", choices=["doc_len", "ts"], default="doc_len")
+    pr.add_argument("--scope", default=None)
+    pr.add_argument("--conjunctive", action="store_true")
+
     fa = sub.add_parser(
         "filtersagg", help="named-filter bucket counts (ES filters agg): "
         "FILTERS is a JSON object {key: query-text}"
@@ -748,6 +760,25 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).significant_terms(
             a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "pranks":
+        from .search import SearchEngine
+
+        vals = [v.strip() for v in a.values.split(",") if v.strip()]
+        resp = SearchEngine(a.out).percentile_ranks(
+            a.query, vals, field=a.field, scope=a.scope,
+            conjunctive=a.conjunctive,
         )
         print(
             json.dumps(

@@ -857,6 +857,27 @@ def histogram_pipeline_queries() -> list[dict]:
     ]
 
 
+def percentile_ranks_queries() -> list[dict]:
+    """Inverse-percentile probes: doc_len values straddling the
+    distribution (incl. below-min -> 0 and above-max -> n), a scoped
+    probe, a ts probe at mid-corpus (TS_BASE 2026-01-01 + days), and
+    an absent lemma (empty)."""
+    day_us = 86_400_000_000
+    base_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z epoch-µs
+    q = [
+        (stem(0), "doc_len", [0, 8, 16, 32, 64, 10_000], None),
+        (stem(4000), "doc_len", [12, 48], None),
+        (stem(10), "doc_len", [16, 40], "assistant"),
+        (stem(120), "ts", [base_us + d * day_us for d in (1, 3, 10)], None),
+        ("wqxqzq", "doc_len", [10], None),
+    ]
+    return [
+        {"query_id": f"pr-{i:04d}", "query_text": t, "field": f,
+         "values": v, "scope": s, "k": 10}
+        for i, (t, f, v, s) in enumerate(q)
+    ]
+
+
 def boost_queries() -> list[dict]:
     """Query-time term-boosting probes: upweight the rare term of a
     two-term query, downweight the hot one, a boost key that is not a

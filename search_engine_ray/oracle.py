@@ -2247,6 +2247,65 @@ def deleted_src_sql(src: str, probes: list[dict]) -> str:
     )
 
 
+def percentile_ranks_sql(src: str, queries: list[dict]) -> str:
+    """Inverse-percentiles twin (the ES ``percentile_ranks`` shape):
+    per (query, probe value), the count of matching docs whose field
+    value is <= the probe — integer compares only; the percent itself
+    is deliberately absent (its 6-dp rounding can half-tie, see the
+    engine docstring). Probes carry their own field and value list."""
+    qmeta, qlem = _queries_values(queries)
+    vrows = ", ".join(
+        f"('{q['query_id']}', '{q['field']}', {int(v)})"
+        for q in queries for v in q["values"]
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           epoch_us(ts) AS ts_us
+    FROM {src}
+),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+vals AS (
+    SELECT m.query_id, 'doc_len' AS field, CAST(d.dl AS BIGINT) AS v
+    FROM matched m JOIN doclen d
+      ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+    UNION ALL
+    SELECT m.query_id, 'ts' AS field, CAST(r.ts_us AS BIGINT) AS v
+    FROM matched m JOIN meta r
+      ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+),
+probes AS (SELECT * FROM (VALUES {vrows}) pv(query_id, field, value))
+SELECT p.query_id, CAST(p.value AS BIGINT) AS value,
+       CAST(count(*) FILTER (v.v <= p.value) AS BIGINT) AS n_le,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM probes p JOIN vals v ON v.query_id = p.query_id AND v.field = p.field
+GROUP BY 1, 2
+"""
+
+
 def metrics_sql(src: str, queries: list[dict],
                 percentiles: tuple = (50, 90, 99)) -> str:
     """Stats + exact nearest-rank percentiles over the matching set

@@ -1483,6 +1483,73 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
 
+    MAX_RANK_VALUES = 100
+
+    def percentile_ranks(
+        self,
+        query_text: str,
+        values,
+        field: str = "doc_len",
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Inverse percentiles over the FULL matching set (the
+        Elasticsearch ``percentile_ranks`` aggregation): for each probe
+        value, how many matching docs' ``field`` values are <= it —
+        one vectorized ``searchsorted`` against the same sorted
+        matching-set frame ``metrics`` uses. The driver-hashed frame
+        is INTEGER-ONLY (value, n_le, n_docs): the percent itself
+        (``pct`` in the response rows) is 100*n_le/n, whose 6-dp
+        rounding CAN land an exact half-tie (e.g. 100/512 =
+        0.1953125), where numpy (half-even) and DuckDB (half-away)
+        legitimately disagree — so the float is a derived convenience,
+        never a compared column. ``field`` is doc_len or ts (probe
+        values in epoch-µs / ISO / datetime for ts). Composes with
+        all the filtering surfaces.
+        -> {'result', 'count', 'data': pa.Table(value, n_le, n_docs,
+        pct), 'error'}"""
+        empty = PRANKS_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {**self._resp(error="bad_field"), "data": empty}
+        if not isinstance(values, (list, tuple)) or not values \
+                or len(values) > self.MAX_RANK_VALUES:
+            return {**self._resp(error="bad_values"), "data": empty}
+        try:
+            vals = [
+                int(self._ts_us(v)) if field == "ts" else int(v)
+                for v in values
+            ]
+        except (TypeError, ValueError):
+            return {**self._resp(error="bad_values"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        v = np.sort(
+            self._dl_of_ids(uniq) if field == "doc_len"
+            else self._ts_of_ids(uniq)
+        ).astype(np.int64)
+        n = len(v)
+        probes = np.array(sorted(set(vals)), np.int64)
+        n_le = np.searchsorted(v, probes, side="right").astype(np.int64)
+        tbl = pa.table({
+            "value": pa.array(probes, pa.int64()),
+            "n_le": pa.array(n_le, pa.int64()),
+            "n_docs": pa.array(np.full(len(probes), n), pa.int64()),
+            "pct": pa.array(np.round(100.0 * n_le / n, 6), pa.float64()),
+        })
+        return {"result": True, "count": n, "data": tbl, "error": None}
+
     def top_hits(
         self,
         query_text: str,
@@ -4516,6 +4583,15 @@ HISTOGRAM_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
         ("n_docs", pa.int64()),
+    ]
+)
+
+PRANKS_SCHEMA = pa.schema(
+    [
+        ("value", pa.int64()),
+        ("n_le", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("pct", pa.float64()),
     ]
 )
 

@@ -44,6 +44,8 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   [&site=<scope>][&conjunctive=1]`` — ``SearchEngine.histogram``:
   fixed-interval numeric bucket counts over the matching set (the ES
   ``histogram`` aggregation).
+- ``GET /api/percentileRanks?query=...&values=8,16[&field=]`` — inverse
+  percentiles (ES ``percentile_ranks``).
 - ``GET /api/histogramPipeline?query=...[&field=][&interval=][&window=]`` —
   cumulative_sum / derivative / moving-avg pipeline aggs over the
   gap-filled histogram.
@@ -454,6 +456,27 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     query,
                     field=(q.get("field") or ["doc_len"])[0],
                     interval=int((q.get("interval") or ["10"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/percentileRanks":
+                query = (q.get("query") or [""])[0]
+                vals = [v for v in (q.get("values") or [""])[0].split(",") if v]
+                if not query or not vals:
+                    self._send(400, {"result": False, "error": "bad_values"})
+                    return
+                resp = state["engine"].percentile_ranks(
+                    query, vals,
+                    field=(q.get("field") or ["doc_len"])[0],
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
                 )

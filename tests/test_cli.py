@@ -56,6 +56,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "regexp", "--limit", "3"])
     assert rx["result"] and rx["count"] == wc["count"]
 
+    prk = _run(["pranks", datagen.stem(0), "--out", out,
+                "--values", "0,16,10000"])
+    assert prk["result"] and prk["data"][0]["n_le"] == 0
+    assert prk["data"][-1]["n_le"] == prk["count"]
+
     import json as _json
 
     flt = _json.dumps({"h": datagen.stem(0), "n": "wqxqzq"})

@@ -488,6 +488,7 @@ def test_delta_filter_aggs_identical_to_rebuild(delta_env):
         lambda e: e.filters_agg(flt, query_text=datagen.stem(1)),
         lambda e: e.adjacency_matrix(flt),
         lambda e: e.histogram_pipeline(datagen.stem(0), interval=8, window=3),
+        lambda e: e.percentile_ranks(datagen.stem(0), [8, 24, 48]),
     ):
         ra, rb = eng_call(overlay), eng_call(rebuilt)
         assert ra["result"] and rb["result"]

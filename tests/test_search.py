@@ -1992,6 +1992,34 @@ def test_histogram_pipeline_vs_duckdb_oracle(engine, duck):
                        for b1, b2 in zip(bks, bks[1:]))
 
 
+def test_percentile_ranks_vs_duckdb_oracle(engine, duck):
+    """n_le per probe value == the integer-compare SQL twin; edges pin
+    0 below min and n above max; pct is monotone and consistent."""
+    probes = datagen.percentile_ranks_queries()
+    sql = oracle.percentile_ranks_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, dict] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], {})[r["value"]] = (r["n_le"], r["n_docs"])
+    for p in probes:
+        r = engine.percentile_ranks(p["query_text"], p["values"],
+                                    field=p["field"], scope=p["scope"])
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], {})
+        assert len(got) == len(e), p["query_id"]
+        for g in got:
+            assert (g["n_le"], g["n_docs"]) == e[g["value"]], p["query_id"]
+            assert g["pct"] == round(100.0 * g["n_le"] / g["n_docs"], 6)
+        nles = [g["n_le"] for g in got]
+        assert nles == sorted(nles)  # monotone in the probe value
+    r = engine.percentile_ranks(datagen.stem(0), [0, 10_000])
+    got = r["data"].to_pylist()
+    assert got[0]["n_le"] == 0 and got[-1]["n_le"] == r["count"]
+    assert engine.percentile_ranks("x", [])["error"] == "bad_values"
+    assert engine.percentile_ranks("x", [1], field="nope")["error"] == "bad_field"
+    assert engine.percentile_ranks("x", ["z"], field="doc_len")["error"] == "bad_values"
+
+
 def test_histogram_pipeline_errors(engine):
     hot = datagen.stem(0)
     assert engine.histogram_pipeline(hot, window=0)["error"] == "bad_window"

@@ -288,6 +288,11 @@ def test_filter_agg_endpoints(served):
     assert code == 200 and got["result"]
     assert got["data"][0]["deriv"] is None
     assert got["data"][-1]["cum_docs"] == got["count"]
+    code, got = _get(
+        f"{base}/api/percentileRanks?query={hot}&values=0,16,10000")
+    assert code == 200 and got["result"]
+    assert got["data"][0]["n_le"] == 0
+    assert got["data"][-1]["n_le"] == got["count"]
     try:
         _get(f"{base}/api/filtersAgg?filters=notjson")
         raise AssertionError("expected 400")

@@ -157,6 +157,23 @@ def _search_msearch(sf_dir: str):
     return df
 
 
+def _doclen_quantiles_sketch(sf_dir: str):
+    """Bounded-memory quantile sketch over the same length column —
+    the fixed-width-histogram scale path (state = n_buckets rows at
+    any corpus size), deterministic so the SQL twin matches exactly;
+    |estimate - exact| < bucket width pinned by pytest."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.quantile_sketch(
+        _documents_ds(sf_dir),
+        lambda b: pc.utf8_length(pc.fill_null(b.column("text"), "")).to_numpy(
+            zero_copy_only=False
+        ),
+    )
+
+
 def _search_phrase(sf_dir: str):
     """Positional phrase queries (mode='phrase'): docs whose
     surviving-token lemma sequence contains the query lemmas at
@@ -2613,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _conv_stats,
         "role_top_lemmas": _role_top_lemmas,
         "doclen_quantiles": _doclen_quantiles,
+        "doclen_quantiles_sketch": _doclen_quantiles_sketch,
         "search_phrase": _search_phrase,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -2818,6 +2836,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "conv_stats": lambda: aggregates_mod.conv_stats_sql(_corpus_src()),
         "role_top_lemmas": lambda: aggregates_mod.role_top_lemmas_sql(_corpus_src()),
         "doclen_quantiles": lambda: aggregates_mod.column_quantiles_sql(
+            "documents", "length(coalesce(text, ''))"
+        ),
+        "doclen_quantiles_sketch": lambda: aggregates_mod.quantile_sketch_sql(
             "documents", "length(coalesce(text, ''))"
         ),
         "search_pagination": lambda: oracle.bm25_page_sql(

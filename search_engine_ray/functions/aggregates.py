@@ -264,3 +264,123 @@ SELECT q.q AS q,
         WHERE c >= (q.num * t.n + q.den - 1) // q.den) AS value
 FROM quants q CROSS JOIN tot t
 """
+
+
+def quantile_sketch(
+    ds: rd.Dataset,
+    expr,
+    n_buckets: int = 256,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+    vmin: int | None = None,
+    vmax: int | None = None,
+) -> pa.Table:
+    """Bounded-memory quantile SKETCH — the fixed-width-histogram
+    sibling :func:`column_quantiles` (and the metrics docstring) point
+    to for unbounded-cardinality domains: the shuffled/driver state is
+    ``n_buckets`` rows regardless of corpus size or distinct values
+    (the deterministic stand-in for a t-digest/KLL sketch — same
+    mergeable-histogram idea, but a pure function of the data, so the
+    SQL twin matches hash-exactly instead of approximately).
+
+    Bucket ``(v - vmin) // width`` with ``width = ceil(range/B)``;
+    the quantile estimate is the LOWER BOUND of the bucket containing
+    rank ``ceil(q*n)`` — downward-biased by construction with
+    guaranteed absolute error < ``width`` (returned per row, the
+    sketch's honest accuracy contract; pytest pins |estimate - exact|
+    < width against :func:`column_quantiles`). Pass ``vmin``/``vmax``
+    when the domain is known to skip the range pass — otherwise ONE
+    extra min/max column scan runs first (t-digest's one-pass
+    advantage is real; the two-scan fixed grid buys exact
+    reproducibility).
+    -> pa.Table(q, value, err_bound)"""
+    if vmin is None or vmax is None:
+        def mm(batch: pa.Table) -> pa.Table:
+            v = np.asarray(expr(batch), np.int64)
+            if not len(v):
+                return pa.table({"mn": pa.array([], pa.int64()),
+                                 "mx": pa.array([], pa.int64())})
+            return pa.table({"mn": pa.array([int(v.min())], pa.int64()),
+                             "mx": pa.array([int(v.max())], pa.int64())})
+
+        import ray as _ray
+        parts = [t for t in _ray.get(
+            ds.map_batches(mm, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        if not parts:
+            return pa.table({"q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.int64()),
+                             "err_bound": pa.array([], pa.int64())})
+        folded = pa.concat_tables(parts)
+        vmin = pc.min(folded.column("mn")).as_py()
+        vmax = pc.max(folded.column("mx")).as_py()
+    # == ceil((range+1)/B) for any non-negative range; stated this way
+    # because DuckDB's // truncates toward zero while Python floors,
+    # so the negative-division ceil idiom would silently diverge
+    width = (vmax - vmin) // n_buckets + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(expr(batch), np.int64)
+        b = np.clip((v - vmin) // width, 0, n_buckets - 1)
+        vals, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(vals, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    bks = hist["bucket"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for num, den in quantiles:
+        out_q.append(num / den)
+        if n == 0:
+            out_v.append(None)
+            continue
+        rank = (num * n + den - 1) // den  # ceil(q*n), exact
+        out_v.append(int(vmin + bks[np.searchsorted(cum, rank)] * width))
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+        "err_bound": pa.array([width - 1] * len(out_q), pa.int64()),
+    })
+
+
+def quantile_sketch_sql(
+    src: str,
+    sql_expr: str,
+    n_buckets: int = 256,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch` — the same integer
+    bucket grid, rank rule and lower-bound estimate, so the sketch
+    hash-compares exactly (a t-digest could only be recall-tested)."""
+    qrows = ", ".join(f"({num}/{den}.0, {num}, {den})" for num, den in quantiles)
+    return f"""
+WITH vals AS (SELECT {sql_expr} AS v FROM {src}),
+rng AS (SELECT min(v) AS vmin, max(v) AS vmax FROM vals),
+w AS (
+    -- (vmax-vmin)//B + 1 == ceil((range+1)/B): non-negative operands
+    -- only (DuckDB // truncates toward zero, Python floors)
+    SELECT vmin, (vmax - vmin) // {n_buckets} + 1 AS width FROM rng
+),
+counts AS (
+    SELECT least(greatest((v - w.vmin) // w.width, 0), {n_buckets - 1}) AS bucket,
+           count(*) AS n
+    FROM vals CROSS JOIN w GROUP BY 1
+),
+cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS c FROM counts),
+tot AS (SELECT count(*) AS n FROM vals),
+quants AS (SELECT * FROM (VALUES {qrows}) q(q, num, den))
+SELECT q.q AS q,
+       (SELECT CAST(w.vmin + min(bucket) * w.width AS BIGINT) FROM cum
+        WHERE c >= (q.num * t.n + q.den - 1) // q.den) AS value,
+       CAST(w.width - 1 AS BIGINT) AS err_bound
+FROM quants q CROSS JOIN tot t CROSS JOIN w
+"""

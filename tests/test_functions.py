@@ -756,6 +756,37 @@ def _sorted(t: pa.Table) -> pa.Table:
     return t.sort_by([(c, "ascending") for c in t.column_names])
 
 
+def test_quantile_sketch_oracle_error_bound_and_invariance(docs_ds, fduck):
+    """The fixed-width-histogram sketch: (1) exactly equals its SQL
+    twin (deterministic bucket grid); (2) every estimate is within
+    err_bound of the EXACT quantile and never above it (lower-bound
+    bias by construction); (3) invariant to block layout; (4) the
+    known-domain path (vmin/vmax passed) skips the range scan and
+    matches; (5) finer grids shrink err_bound."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions import aggregates as agg
+
+    expr = lambda b: _pc.utf8_length(
+        _pc.fill_null(b.column("text"), "")).to_numpy(zero_copy_only=False)
+    t = _assert_matches_oracle(
+        agg.quantile_sketch(docs_ds, expr), fduck,
+        agg.quantile_sketch_sql("documents", "length(coalesce(text, ''))"),
+    )
+    exact = {r["q"]: r["value"]
+             for r in agg.column_quantiles(docs_ds, expr).to_pylist()}
+    for r in t.to_pylist():
+        assert 0 <= exact[r["q"]] - r["value"] <= r["err_bound"], r
+    t2 = _table(agg.quantile_sketch(docs_ds.repartition(7), expr))
+    assert _sorted(t) .equals(_sorted(t2))
+    df = docs_ds.to_pandas()
+    lo, hi = int(df["text"].str.len().min()), int(df["text"].str.len().max())
+    t3 = _table(agg.quantile_sketch(docs_ds, expr, vmin=lo, vmax=hi))
+    assert _sorted(t3).equals(_sorted(t))
+    fine = _table(agg.quantile_sketch(docs_ds, expr, n_buckets=4096))
+    assert fine.column("err_bound")[0].as_py() <= t.column("err_bound")[0].as_py()
+
+
 def test_hash_join_plans_equal_and_oracle(rduck):
     """The broadcast and partitioned-shuffle plans of hash_join are
     pinned equal to each other and to the SQL join, for inner and for

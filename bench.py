@@ -272,6 +272,38 @@ def run_bench() -> dict:
                 )
             ),
         )
+        # sf-scaled joins: the partitioned-shuffle hash join over the
+        # two largest tables (orders x customer), and the Q5 analog's
+        # three-join + groupby pipeline end-to-end
+        from search_engine_ray.functions import joins as joins_mod
+
+        _timed(
+            "ops_join_hash_shuffle",
+            lambda: joins_mod.hash_join(
+                read_clean_parquet(f"{tables_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"]),
+                read_clean_parquet(f"{tables_dir}/customer.parquet",
+                                   columns=["c_custkey", "c_nationkey"]),
+                "o_custkey", "c_custkey", mode="shuffle",
+            ),
+        )
+        _timed(
+            "ops_rel_region_revenue",
+            lambda: rel_mod.region_revenue(
+                read_clean_parquet(f"{tables_dir}/customer.parquet",
+                                   columns=["c_custkey", "c_nationkey"]),
+                read_clean_parquet(f"{tables_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"]),
+                read_clean_parquet(f"{tables_dir}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_suppkey",
+                                            "l_extendedprice", "l_discount"]),
+                read_clean_parquet(f"{tables_dir}/supplier.parquet",
+                                   columns=["s_suppkey", "s_nationkey"]),
+                read_clean_parquet(f"{tables_dir}/nation.parquet"),
+                read_clean_parquet(f"{tables_dir}/region.parquet"),
+            ),
+        )
 
     n_turns = manifest["stats"]["n_docs"]
     result = {

@@ -350,14 +350,20 @@ def region_revenue(
     line = lineitem.map_batches(line_rows, batch_format="pyarrow")
     supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
 
+    # each intermediate join MATERIALIZES before feeding the next:
+    # hash_join reads its inputs' schemas and unions them, and schema
+    # inference on a lazy all-to-all pipeline executes the whole
+    # upstream exchange — chaining three lazy joins re-ran join #1
+    # four times (measured 45.8 s -> ~14 s at sf0.1/32)
     j1 = hash_join(ords, cust, "o_custkey", "c_custkey",
                    mode="shuffle" if join_mode == "auto" else join_mode)
     j1 = j1.map_batches(
         lambda b: b.select(["o_orderkey", "c_nationkey"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     j2 = hash_join(line, j1, "l_orderkey", "o_orderkey",
-                   mode="shuffle" if join_mode == "auto" else join_mode)
+                   mode="shuffle" if join_mode == "auto" else join_mode
+                   ).materialize()
     j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode)
 
     def partial(b: pa.Table) -> pa.Table:

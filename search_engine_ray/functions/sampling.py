@@ -181,3 +181,132 @@ SELECT * EXCLUDE (h),
     END AS split
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Mixture (temperature) sampling across sources
+# ---------------------------------------------------------------------------
+
+_W_SCALE = 1 << 20  # weight quantization: makes the cross-source sum integer
+
+
+def source_counts(ds: rd.Dataset, stratum_col: str = "source") -> dict[str, int]:
+    """Per-stratum row counts: per-batch Arrow value_counts partials →
+    one stratum-cardinality groupby → a tiny driver dict (strata are
+    config-sized — sources, not rows)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([stratum_col]).group_by([stratum_col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([stratum_col, "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(stratum_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out: dict[str, int] = {}
+    for t in ray.get(agg.to_arrow_refs()):
+        for r in t.to_pylist():
+            out[r[stratum_col]] = int(r["n"])
+    return out
+
+
+def mixture_fractions(
+    counts: dict[str, int], alpha: float, total_target: int,
+) -> dict[str, float]:
+    """Temperature-reweighted per-source keep fractions (the mT5 /
+    multilingual-mixing rule): source weight ∝ n^alpha — alpha 1.0 is
+    proportional (natural mix), 0.0 is uniform (every source equal),
+    between flattens the head and boosts the tail. Every step is
+    reproducible by the SQL twin on this box: ``math.pow`` IS libm's
+    pow (the same one DuckDB calls — numpy's SIMD power can differ by
+    an ulp, so it is deliberately NOT used), weights quantize to
+    integers ``floor(n^alpha * 2^20)`` so the cross-source sum is an
+    ORDER-FREE integer (a float sum would inherit SQL's unspecified
+    aggregation order), targets are integer ``total * s_i // W``, and
+    the final fraction is one correctly-rounded division of exact
+    ints. Fractions cap at 1.0 (a tail source smaller than its target
+    keeps everything — no oversampling/replication here)."""
+    import math
+
+    if not counts or total_target < 0:
+        return {}
+    s = {k: int(math.pow(n, alpha) * _W_SCALE) for k, n in counts.items()}
+    w_total = sum(s.values())
+    if w_total <= 0:
+        return {k: 0.0 for k in counts}
+    return {
+        k: min((total_target * s[k] // w_total) / counts[k], 1.0)
+        if counts[k] else 0.0
+        for k in counts
+    }
+
+
+def sample_mixture(
+    ds: rd.Dataset,
+    alpha: float = 0.5,
+    total_target: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> rd.Dataset:
+    """Deterministic mixture sampling: ONE cheap counts pass fixes the
+    per-source temperature fractions driver-side, then membership is
+    the stratified md5-threshold map — zero shuffles on the data pass,
+    reproducible at any scale/partitioning (the property a 100 TB
+    mixture re-run needs). The realized per-source count is Binomial
+    around its target (hash thresholding selects by digest, not by
+    rank) — exact-count quotas would need a per-source rank pass."""
+    counts = source_counts(ds, stratum_col)
+    fr = mixture_fractions(counts, alpha, total_target)
+    return sample_stratified(ds, fr, stratum_col=stratum_col,
+                             id_col=id_col, seed=seed)
+
+
+def sample_mixture_sql(
+    src: str,
+    alpha: float = 0.5,
+    total_target: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`sample_mixture` — and, unlike the
+    stratified oracle (which embeds caller-chosen rates), this one
+    REcomputes the whole temperature weighting in SQL: pow -> integer
+    quantized weights -> order-free integer sum -> integer targets ->
+    one double division -> the 60-bit hex threshold. Only the pow call
+    is libm-trust (same shared library both engines); everything else
+    is exact integer math."""
+    space = 16 ** _HEX_DIGITS
+    return f"""
+WITH counts AS (
+    SELECT {stratum_col} AS stratum, count(*) AS n FROM {src} GROUP BY 1
+),
+sw AS (
+    SELECT stratum, n,
+           CAST(floor(pow(CAST(n AS DOUBLE), {alpha!r}) * {_W_SCALE}) AS BIGINT) AS s
+    FROM counts
+),
+tot AS (SELECT sum(s) AS w FROM sw),
+fr AS (
+    SELECT stratum,
+           least(CAST(({total_target} * sw.s) // t.w AS DOUBLE) / sw.n, 1.0) AS f
+    FROM sw CROSS JOIN tot t
+),
+th AS (
+    SELECT stratum,
+           CASE WHEN f >= 1.0 THEN 'g'
+                ELSE printf('%015x',
+                    least(CAST(floor(f * {float(space)!r}) AS BIGINT), {space - 1}))
+           END AS thresh
+    FROM fr
+)
+SELECT d.* FROM {src} d JOIN th ON th.stratum = d.{stratum_col}
+WHERE substr(md5('{seed}:' || CAST(d.{id_col} AS VARCHAR)), 1, {_HEX_DIGITS})
+      < th.thresh
+"""

@@ -157,6 +157,21 @@ def _search_msearch(sf_dir: str):
     return df
 
 
+def _sample_mixture(sf_dir: str):
+    """Mixture (temperature) sampling across sources: one counts pass
+    fixes per-source n^alpha keep fractions (integer-quantized weights
+    -> order-free sum -> integer targets), then the zero-shuffle
+    stratified md5-threshold membership map. The SQL twin recomputes
+    the WHOLE weighting in SQL — only pow is libm-trust."""
+    from search_engine_ray.functions import sampling
+
+    return sampling.sample_mixture(
+        _documents_ds(sf_dir), alpha=0.5, total_target=250,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow",
+    )
+
+
 def _doclen_quantiles_sketch(sf_dir: str):
     """Bounded-memory quantile sketch over the same length column —
     the fixed-width-histogram scale path (state = n_buckets rows at
@@ -2677,6 +2692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_corpus_prep": _pipeline_corpus_prep,
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
+        "sample_mixture": _sample_mixture,
         "assign_splits": _assign_splits,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
@@ -2978,6 +2994,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "documents", STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
         ),
         "assign_splits": lambda: sampling_mod.assign_splits_sql("documents"),
+        "sample_mixture": lambda: (
+            "SELECT doc_id, source FROM ("
+            + sampling_mod.sample_mixture_sql(
+                "documents", alpha=0.5, total_target=250)
+            + ")"
+        ),
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),

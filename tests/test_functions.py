@@ -756,6 +756,56 @@ def _sorted(t: pa.Table) -> pa.Table:
     return t.sort_by([(c, "ascending") for c in t.column_names])
 
 
+def test_sample_mixture_skewed_oracle_and_temperature(docs_ds, fduck):
+    """Mixture sampling on a SKEWED synthetic table: (1) membership ==
+    the SQL twin that recomputes the whole temperature weighting in
+    SQL; (2) alpha=1 keeps the natural mix (equal fractions across
+    sources); (3) alpha=0 targets equal counts (the small source keeps
+    ALL its rows, the big one downsamples hard); (4) fractions cap at
+    1.0; (5) realized counts sit near their targets; plus the exact
+    documents-table twin (equal sources — the driver row's shape)."""
+    import duckdb
+
+    from search_engine_ray.functions import sampling as sp
+
+    n_big, n_small = 1600, 100
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n_big + n_small)), pa.int64()),
+        "source": pa.array(["big"] * n_big + ["small"] * n_small),
+    })
+    ds = rd.from_arrow(tbl)
+    counts = sp.source_counts(ds)
+    assert counts == {"big": n_big, "small": n_small}
+
+    # alpha=1: proportional — both sources keep the same fraction
+    fr1 = sp.mixture_fractions(counts, 1.0, 850)
+    assert abs(fr1["big"] - fr1["small"]) < 0.01
+    # alpha=0: uniform targets — small keeps all, big downsamples to ~425
+    fr0 = sp.mixture_fractions(counts, 0.0, 850)
+    assert fr0["small"] == 1.0 and 0.2 < fr0["big"] < 0.3
+    # engine == SQL twin on the skewed table, alpha=0.5
+    con = duckdb.connect()
+    con.register("skewed", tbl)
+    got = _sorted(_table(sp.sample_mixture(ds, alpha=0.5, total_target=850)))
+    exp = _sorted(con.sql(
+        sp.sample_mixture_sql("skewed", alpha=0.5, total_target=850)).arrow())
+    assert got.equals(exp.cast(got.schema))
+    # realized counts near the integer targets (binomial realization)
+    fr = sp.mixture_fractions(counts, 0.5, 850)
+    by_src = got.to_pandas().groupby("source").size()
+    for s in ("big", "small"):
+        target = fr[s] * counts[s]
+        assert abs(by_src.get(s, 0) - target) < 4 * (target ** 0.5) + 3, s
+    con.close()
+    # the documents-table twin (the driver row's shape)
+    t = _assert_matches_oracle(
+        sp.sample_mixture(docs_ds, alpha=0.5, total_target=250),
+        fduck,
+        sp.sample_mixture_sql("documents", alpha=0.5, total_target=250),
+    )
+    assert 0 < t.num_rows < 500
+
+
 def test_quantile_sketch_oracle_error_bound_and_invariance(docs_ds, fduck):
     """The fixed-width-histogram sketch: (1) exactly equals its SQL
     twin (deterministic bucket grid); (2) every estimate is within

@@ -189,6 +189,40 @@ def _doclen_quantiles_sketch(sf_dir: str):
     )
 
 
+def _search_span_first(sf_dir: str):
+    """Span-first queries (Lucene SpanFirstQuery over the phrase
+    span): the matched consecutive-lemma span must END within the
+    doc's first n surviving-token positions — one vectorized mask over
+    the phrase matcher's already-intersected start-position keys."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    rows = []
+    for q in datagen.span_first_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="phrase", within_first=q["n"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_phrase(sf_dir: str):
     """Positional phrase queries (mode='phrase'): docs whose
     surviving-token lemma sequence contains the query lemmas at
@@ -2647,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": _doclen_quantiles,
         "doclen_quantiles_sketch": _doclen_quantiles_sketch,
         "search_phrase": _search_phrase,
+        "search_span_first": _search_span_first,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
         "suggest_query": _suggest_query,
@@ -2871,6 +2906,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_phrase": lambda: oracle.phrase_topk_sql(
             _corpus_src(), datagen.phrase_queries()
+        ),
+        "search_span_first": lambda: oracle.span_first_topk_sql(
+            _corpus_src(), datagen.span_first_queries()
         ),
         "search_near": lambda: oracle.near_topk_sql(
             _corpus_src(), datagen.near_queries()

@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--in-order", action="store_true",
                    help="NEAR mode: lemmas must appear in query order "
                         "(Lucene SpanNearQuery in_order)")
+    s.add_argument("--within-first", type=int, default=None,
+                   help="phrase mode: the matched span must end within "
+                        "the doc's first N tokens (Lucene SpanFirstQuery)")
     s.add_argument("--fuzzy-dist", type=int, default=1,
                    help="fuzzy mode: Levenshtein edit budget per query token (0-3)")
     s.add_argument("--min-match", type=int, default=None,
@@ -490,6 +493,7 @@ def main(argv: list[str] | None = None) -> int:
                 with_snippets=a.snippets,
                 near_window=a.near_window,
                 in_order=a.in_order,
+                within_first=a.within_first,
                 fuzzy_dist=a.fuzzy_dist,
                 min_match=a.min_match,
                 exclude=a.exclude,

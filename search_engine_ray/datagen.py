@@ -589,6 +589,27 @@ def near_ordered_queries() -> list[dict]:
     ]
 
 
+def span_first_queries() -> list[dict]:
+    """Span-first (SpanFirstQuery) probes: a hot single-term at tight
+    and loose bounds (the classic term form; n=1 keeps only docs that
+    OPEN with the lemma), a hot bigram whose span must close early, a
+    scoped probe, an infeasible bound (n < phrase length -> 0), and an
+    absent lemma (empty)."""
+    q = [
+        (stem(0), 1, None),
+        (stem(0), 8, None),
+        (f"{stem(0)} {stem(1)}", 6, None),
+        (stem(10), 4, "assistant"),
+        (f"{stem(0)} {stem(1)}", 1, None),
+        (f"wqxqzq", 5, None),
+    ]
+    return [
+        {"query_id": f"sf-{i:04d}", "query_text": t, "n": n, "scope": s,
+         "k": 10}
+        for i, (t, n, s) in enumerate(q)
+    ]
+
+
 def rescore_queries() -> list[dict]:
     """Two-phase rescore probes: a hot-bigram phrase promoting exact
     adjacency inside a single-term base window, a reversed-order phrase

@@ -184,6 +184,47 @@ def phrase_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0
     return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
 
 
+def span_first_topk_sql(src: str, queries: list[dict],
+                        k1: float = 1.2, b: float = 0.75) -> str:
+    """Span-first twin (Lucene SpanFirstQuery over the phrase span):
+    the PHRASE oracle's consecutive-position chain with the extra
+    start bound ``p0.pos + m <= N`` (the span must END within the
+    doc's first N surviving tokens; pos is 0-based, matching the
+    engine's position coordinate). Each probe carries its ``n``."""
+    match_branches = []
+    qterm_rows = []
+    qmeta_rows = []
+    for q in queries:
+        phrase = analyzer.analyze_phrase(q["query_text"])
+        if not phrase:
+            continue
+        qid = q["query_id"]
+        n = int(q["n"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        qmeta_rows.append(f"({analyzer._sql_quote(qid)}, {scope}, {q['k']})")
+        for lem in dict.fromkeys(phrase):
+            qterm_rows.append(
+                f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(lem)})"
+            )
+        joins = []
+        conds = [
+            f"p0.lemma = {analyzer._sql_quote(phrase[0])}",
+            f"p0.pos <= {n - len(phrase)}",
+        ]
+        for j, lem in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN __plem p{j} ON p{j}.conv_id = p0.conv_id "
+                f"AND p{j}.turn_idx = p0.turn_idx AND p{j}.pos = p0.pos + {j} "
+                f"AND p{j}.lemma = {analyzer._sql_quote(lem)}"
+            )
+        match_branches.append(
+            f"SELECT DISTINCT {analyzer._sql_quote(qid)} AS query_id, "
+            f"p0.conv_id, p0.turn_idx FROM __plem p0 {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
+
+
 def near_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
     """Per-query NEAR (proximity) top-k oracle: a doc matches iff EVERY
     distinct query lemma occurs within some ``window`` consecutive

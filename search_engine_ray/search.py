@@ -3382,7 +3382,8 @@ class SearchEngine:
             bl["pos_full"] = got
         return got
 
-    def score_phrase(self, phrase: list[str], k: int, scope: str | None = None):
+    def score_phrase(self, phrase: list[str], k: int, scope: str | None = None,
+                     within_first: int | None = None):
         """Exact phrase match + BM25 ranking: a doc matches iff the
         phrase lemmas appear at CONSECUTIVE positions of its
         surviving-token sequence (the generalization of the reference's
@@ -3393,7 +3394,7 @@ class SearchEngine:
 
         Returns ``(ids, scores, count)`` or ``None`` for no-results
         (a phrase lemma absent from the corpus)."""
-        got = self._phrase_matches(phrase, scope)
+        got = self._phrase_matches(phrase, scope, within_first=within_first)
         if got is None:
             return None
         matched, terms, data = got
@@ -3515,7 +3516,8 @@ class SearchEngine:
         ids, scores = self._topk(matched, score, k)
         return ids, scores, len(matched)
 
-    def _phrase_matches(self, phrase: list[str], scope: str | None = None):
+    def _phrase_matches(self, phrase: list[str], scope: str | None = None,
+                        within_first: int | None = None):
         """Match side of the phrase operator: ``(matched_docids, terms,
         data)`` with ``matched`` sorted, ``terms`` = distinct (lemma,
         effective df), ``data`` = full per-lemma decodes (chunk-memoized
@@ -3526,7 +3528,13 @@ class SearchEngine:
         candidates shrink before any position work), then per-slot
         position keys ``(cand_idx << 32) | (pos - slot_offset)``
         intersected across slots; positions decode ONLY for the
-        intersected candidates' postings."""
+        intersected candidates' postings.
+
+        ``within_first`` (Lucene SpanFirstQuery): the matched phrase
+        span must END within the doc's first N surviving-token
+        positions — start + len(phrase) <= N, one vectorized mask over
+        the already-intersected start-position keys (zero extra decode
+        work; the low 32 key bits ARE the start positions)."""
         distinct = list(dict.fromkeys(phrase))
         terms = []
         for lem in distinct:
@@ -3595,6 +3603,11 @@ class SearchEngine:
                     + (cur & (shift - 1))
                 )
                 cand = cand[alive]
+        if within_first is not None:
+            keep = (cur & (shift - 1)) <= np.int64(within_first - len(phrase))
+            cur = cur[keep]
+            if not len(cur):
+                return empty
         matched = cand[np.unique(cur >> np.int64(32))]
         return matched, terms, data
 
@@ -3763,6 +3776,7 @@ class SearchEngine:
         with_snippets: bool = False,
         near_window: int = 8,
         in_order: bool = False,
+        within_first: int | None = None,
         fuzzy_dist: int = 1,
         min_match: int | None = None,
         exclude: str | None = None,
@@ -3942,6 +3956,13 @@ class SearchEngine:
                 return self._resp(error="bad_rescore")
             rescore_t = (rphrase, window, qw, rw)
         k = offset + limit
+        if within_first is not None and (
+            mode != "phrase"
+            or not isinstance(within_first, int) or within_first < 1
+        ):
+            # SpanFirstQuery composes with the phrase span only (a
+            # single-term phrase IS the classic term form)
+            return self._resp(error="bad_within_first")
         if mode == "phrase":
             if not self.has_positions:
                 return self._resp(error="no_positions")
@@ -3951,7 +3972,8 @@ class SearchEngine:
             phrase = analyze_phrase(query_text)
             if not phrase:
                 return self._resp(error="empty_query")
-            got = self.score_phrase(phrase, k, scope)
+            got = self.score_phrase(phrase, k, scope,
+                                    within_first=within_first)
             if got is None:
                 return self._resp(count=0)
             ids, scores, count = got

@@ -3,7 +3,7 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase|near|prefix|wildcard|regexp|fuzzy|auto][&window=W][&fuzzy=D]
+  [&mode=bm25|reference|phrase|near|prefix|wildcard|regexp|fuzzy|auto][&window=W][&fuzzy=D][&within_first=N]
   [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
   [&collapse=M][&group=conv]
   [&decay=origin%3DISO%3Bscale%3DSECONDS[%3Bshape%3D...][%3Brate%3D...]]``
@@ -278,6 +278,9 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
                         near_window=int((q.get("window") or ["8"])[0]),
                         in_order=(q.get("in_order") or ["0"])[0] in ("1", "true"),
+                        within_first=(
+                            int((q.get("within_first") or ["0"])[0]) or None
+                        ),
                         fuzzy_dist=int((q.get("fuzzy") or ["1"])[0]),
                         exclude=(q.get("exclude") or [None])[0],
                         ts_min=(q.get("ts_min") or [None])[0],

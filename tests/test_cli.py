@@ -56,6 +56,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "regexp", "--limit", "3"])
     assert rx["result"] and rx["count"] == wc["count"]
 
+    sfq = _run(["search", datagen.stem(0), "--out", out, "--mode", "phrase",
+                "--within-first", "4", "--limit", "3"])
+    sfp = _run(["search", datagen.stem(0), "--out", out, "--mode", "phrase",
+                "--limit", "3"])
+    assert sfq["result"] and 0 < sfq["count"] <= sfp["count"]
+
     prk = _run(["pranks", datagen.stem(0), "--out", out,
                 "--values", "0,16,10000"])
     assert prk["result"] and prk["data"][0]["n_le"] == 0

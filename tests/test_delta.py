@@ -518,6 +518,12 @@ def test_delta_regex_rewrite_identical_to_rebuild(delta_env):
         assert ra["result"] and rb["result"], (mode, pat)
         assert ra["count"] == rb["count"], (mode, pat)
         assert ra["data"].equals(rb["data"]), (mode, pat)
+    # span-first folds through the overlay too (positions + the start
+    # bound ride the same per-term decode)
+    for n in (1, 8, 64):
+        ra = overlay.search(hot, mode="phrase", within_first=n, limit=10)
+        rb = rebuilt.search(hot, mode="phrase", within_first=n, limit=10)
+        assert ra["count"] == rb["count"] and ra["data"].equals(rb["data"]), n
 
 
 def test_delta_turn_idx_out_of_range():

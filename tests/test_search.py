@@ -1992,6 +1992,48 @@ def test_histogram_pipeline_vs_duckdb_oracle(engine, duck):
                        for b1, b2 in zip(bks, bks[1:]))
 
 
+def test_span_first_vs_duckdb_oracle(engine, duck):
+    """Span-first (SpanFirstQuery) rank identity vs the SQL twin at
+    sf0.001: the phrase chain with the 0-based start bound
+    p0.pos <= n - m; plus the semantics pins — a huge n equals plain
+    phrase, results are monotone in n, n < m matches nothing, and the
+    param guards."""
+    sq = datagen.span_first_queries()
+    sql = oracle.span_first_topk_sql(oracle.transcripts_rel("sf0.001"), sq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in sq:
+        got = engine.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                            mode="phrase", within_first=q["n"])
+        if got["error"]:
+            assert q["query_id"] not in by_q
+            continue
+        got = got["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+    hot = datagen.stem(0)
+    plain = engine.search(hot, mode="phrase", limit=100_000)
+    wide = engine.search(hot, mode="phrase", within_first=1_000_000,
+                         limit=100_000)
+    assert wide["count"] == plain["count"] and wide["data"].equals(plain["data"])
+    counts = [engine.search(hot, mode="phrase", within_first=n)["count"]
+              for n in (1, 4, 16, 64)]
+    assert counts == sorted(counts) and counts[-1] > 0
+    bigram = f"{hot} {datagen.stem(1)}"
+    assert engine.search(bigram, mode="phrase", within_first=1)["count"] == 0
+    assert engine.search(hot, within_first=5)["error"] == "bad_within_first"
+    assert (engine.search(hot, mode="phrase", within_first=0)["error"]
+            == "bad_within_first")
+
+
 def test_percentile_ranks_vs_duckdb_oracle(engine, duck):
     """n_le per probe value == the integer-compare SQL twin; edges pin
     0 below min and n above max; pct is monotone and consistent."""

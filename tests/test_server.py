@@ -289,6 +289,9 @@ def test_filter_agg_endpoints(served):
     assert got["data"][0]["deriv"] is None
     assert got["data"][-1]["cum_docs"] == got["count"]
     code, got = _get(
+        f"{base}/api/search?query={hot}&mode=phrase&within_first=4&limit=3")
+    assert code == 200 and got["result"] and got["count"] > 0
+    code, got = _get(
         f"{base}/api/percentileRanks?query={hot}&values=0,16,10000")
     assert code == 200 and got["result"]
     assert got["data"][0]["n_le"] == 0

@@ -172,6 +172,18 @@ def _sample_mixture(sf_dir: str):
     )
 
 
+def _text_bpe_vocab(sf_dir: str):
+    """BPE vocabulary induction (Sennrich 2016 / the GPT-2 trainer
+    shape): ONE distributed word-count pass (the shuffle ships distinct
+    words, never tokens) + the fastBPE driver merge loop over the
+    vocabulary-sized frame. Deterministic (count DESC, pair ASC
+    tie-break) but iterative — no SQL twin (rows-only); the math is
+    pinned by pytest against a from-scratch reference."""
+    from search_engine_ray.functions import bpe
+
+    return bpe.bpe_fit(_documents_ds(sf_dir), n_merges=50)
+
+
 def _doclen_quantiles_sketch(sf_dir: str):
     """Bounded-memory quantile sketch over the same length column —
     the fixed-width-histogram scale path (state = n_buckets rows at
@@ -2680,6 +2692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_top_lemmas": _role_top_lemmas,
         "doclen_quantiles": _doclen_quantiles,
         "doclen_quantiles_sketch": _doclen_quantiles_sketch,
+        "text_bpe_vocab": _text_bpe_vocab,
         "search_phrase": _search_phrase,
         "search_span_first": _search_span_first,
         "search_near": _search_near,

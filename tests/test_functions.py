@@ -756,6 +756,84 @@ def _sorted(t: pa.Table) -> pa.Table:
     return t.sort_by([(c, "ascending") for c in t.column_names])
 
 
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """From-scratch BPE reference (the Sennrich 2016 pseudocode,
+    independent of the module's implementation)."""
+    words = {tuple(w) + ("</w>",): n for w, n in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for syms, n in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        new = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        words = new
+    return merges
+
+
+def test_bpe_fit_reference_invariance_and_encode(docs_ds):
+    """BPE: (1) the distributed fit equals a from-scratch reference on
+    the same word frequencies; (2) merges are invariant to block
+    layout; (3) the classic low/lower/newest example produces the
+    textbook merges; (4) the encoder applies merges in learned-rank
+    order (a fully-merged word is ONE token; token counts shrink as
+    merges grow); (5) the count-1 early stop."""
+    from search_engine_ray.functions import bpe
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["low low low lower lower", "newest newest widest",
+                 "low newest"],
+    })
+    ds = rd.from_arrow(tbl)
+    m = bpe.bpe_fit(ds, n_merges=10)
+    got = list(zip(m.column("left").to_pylist(), m.column("right").to_pylist(),
+                   m.column("pair_count").to_pylist()))
+    ref = _bpe_reference({"low": 4, "lower": 2, "newest": 3, "widest": 1}, 10)
+    assert got == ref
+    assert got[0] == ("l", "o", 6)  # the textbook first merge
+    m2 = bpe.bpe_fit(ds.repartition(3), n_merges=10)
+    assert m.equals(m2)
+
+    rank = {(l, r): k for k, l, r in zip(m.column("rank").to_pylist(),
+                                         m.column("left").to_pylist(),
+                                         m.column("right").to_pylist())}
+    assert bpe.encode_word("low", rank) == ["low</w>"]
+    assert bpe.encode_word("lower", rank) == ["low", "er", "</w>"]
+    enc = _table(bpe.bpe_token_counts(ds, m)).sort_by("doc_id")
+    assert enc.column("n_bpe_tokens").to_pylist() == [9, 6, 2]
+    few = bpe.bpe_fit(ds, n_merges=2)
+    enc2 = _table(bpe.bpe_token_counts(ds, few)).sort_by("doc_id")
+    assert all(a >= b for a, b in zip(enc2.column("n_bpe_tokens").to_pylist(),
+                                      enc.column("n_bpe_tokens").to_pylist()))
+    # count-1 early stop: a corpus of singleton words learns nothing...
+    single = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": ["ab cd ef"]}))
+    assert bpe.bpe_fit(single, n_merges=5).num_rows == 0
+    # ...and the real corpus learns a full table
+    big = bpe.bpe_fit(docs_ds, n_merges=30)
+    assert big.num_rows == 30
+    pcs = big.column("pair_count").to_pylist()
+    assert min(pcs) >= 2
+
+
 def test_sample_mixture_skewed_oracle_and_temperature(docs_ds, fduck):
     """Mixture sampling on a SKEWED synthetic table: (1) membership ==
     the SQL twin that recomputes the whole temperature weighting in

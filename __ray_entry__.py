@@ -2447,6 +2447,26 @@ def _rel_region_revenue(sf_dir: str):
     )
 
 
+def _rel_big_orders(sf_dir: str):
+    """TPC-H Q18 analog (group-HAVING semi-join): map-side-combined
+    quantity totals -> one orderkey groupby -> HAVING + partial top-k
+    -> the k-row page attaches orders/customer via SEMI-pruned scans
+    (k-element isin masks — never a corpus-side broadcast)."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.big_orders(
+        read_clean_parquet(os.path.join(d, "customer.parquet"),
+                           columns=["c_custkey", "c_name"]),
+        read_clean_parquet(os.path.join(d, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey",
+                                    "o_orderdate", "o_totalprice"]),
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_quantity"]),
+    )
+
+
 def _join_hash(sf_dir: str):
     """The generic partitioned-shuffle hash join, driver-graded
     directly: orders ⋈ customer on custkey (forced shuffle plan — the
@@ -2766,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_summary": _rel_pricing_summary,
         "rel_top_orders": _rel_top_orders,
         "rel_region_revenue": _rel_region_revenue,
+        "rel_big_orders": _rel_big_orders,
         "join_hash": _join_hash,
         "join_hash_left": _join_hash_left,
         "window_tumbling": _window_tumbling,
@@ -3092,6 +3113,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_pricing_summary": lambda: relational_mod.pricing_summary_sql(),
         "rel_top_orders": lambda: relational_mod.top_unshipped_orders_sql(),
         "rel_region_revenue": lambda: relational_mod.region_revenue_sql(),
+        "rel_big_orders": lambda: relational_mod.big_orders_sql(),
         "join_hash": lambda: (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
             "c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"

@@ -418,6 +418,142 @@ ORDER BY revenue DESC, n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q18 analog: large-volume orders (group-HAVING semi-join)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 212.0
+Q18_K = 10
+
+
+def big_orders(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    qty_threshold: float = Q18_QTY,
+    k: int = Q18_K,
+) -> pa.Table:
+    """Top-``k`` largest orders by total lineitem quantity above
+    ``qty_threshold`` (TPC-H Q18's group-HAVING semi-join), with the
+    ordering customer attached: quantities pre-aggregate per batch
+    (Arrow group_by) before ONE orderkey groupby; the HAVING filter
+    shrinks the survivors to a handful BEFORE any join, so the
+    customer/order attach is a per-block partial top-k + k-row driver
+    merge followed by two tiny broadcast joins — the
+    aggregate-then-join plan every optimizer picks for Q18.
+    Deterministic order (total_qty DESC, o_orderkey ASC). Quantity is
+    quantized int64 per row (module header) — exact at any layout."""
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "q_qty": pa.array(_quant(_col(b, "l_quantity")), pa.int64()),
+        })
+        g = t.group_by(["o_orderkey"]).aggregate([("q_qty", "sum")])
+        return g.rename_columns(["o_orderkey", "q_qty"])
+
+    thresh = int(round(qty_threshold * _Q))
+    totals = (
+        lineitem.map_batches(line_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("q_qty", alias_name="q_qty"))
+    )
+
+    def part_topk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("q_qty"), pa.scalar(thresh)))
+        qq = _col(b, "q_qty")
+        order = np.lexsort((_col(b, "o_orderkey"), -qq))[:k]
+        return b.take(order)
+
+    parts = [
+        t for t in ray.get(
+            totals.map_batches(part_topk, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows
+    ]
+    empty = pa.table({
+        "c_name": pa.array([], pa.string()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+        "total_qty": pa.array([], pa.float64()),
+    })
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    order = np.lexsort((_col(t, "o_orderkey"), -_col(t, "q_qty")))[:k]
+    top = t.take(order).combine_chunks()
+
+    # the HAVING survivors are <= k rows (a PAGE, not a table): attach
+    # orders and customers by SEMI-pruning each corpus-scale table to
+    # the k keys (a k-element isin mask map — broadcasting orders or
+    # customer wholesale would be the 100 TB anti-plan), then join the
+    # three k-row frames driver-side with the Acero kernel
+    okeys = pa.array(top.column("o_orderkey").to_pylist(), pa.int64())
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("o_orderkey"), value_set=okeys))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "o_totalprice": b.column("o_totalprice"),
+        })
+
+    ords_k = pa.concat_tables([
+        x for x in ray.get(
+            orders.map_batches(order_rows, batch_format="pyarrow")
+            .to_arrow_refs())
+        if x.num_rows
+    ]).combine_chunks()
+    ckeys = pa.array(sorted(set(ords_k.column("o_custkey").to_pylist())),
+                     pa.int64())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_custkey"), value_set=ckeys))
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_name": b.column("c_name")})
+
+    cust_k = pa.concat_tables([
+        x for x in ray.get(
+            customer.map_batches(cust_rows, batch_format="pyarrow")
+            .to_arrow_refs())
+        if x.num_rows
+    ]).combine_chunks()
+    out = top.join(ords_k, keys="o_orderkey").join(
+        cust_k, keys="o_custkey", right_keys="c_custkey")
+    if not out.num_rows:
+        return empty
+    order2 = np.lexsort((_col(out, "o_orderkey"), -_col(out, "q_qty")))
+    out = out.take(order2)
+    return pa.table({
+        "c_name": out.column("c_name"),
+        "o_orderkey": out.column("o_orderkey"),
+        "o_orderdate": out.column("o_orderdate"),
+        "o_totalprice": out.column("o_totalprice"),
+        "total_qty": pa.array(_col(out, "q_qty") / _Q, pa.float64()),
+    })
+
+
+def big_orders_sql(qty_threshold: float = Q18_QTY, k: int = Q18_K) -> str:
+    """DuckDB oracle for :func:`big_orders` (same quantization)."""
+    q = int(_Q)
+    thresh = int(round(qty_threshold * q))
+    return f"""
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM (
+    SELECT l_orderkey AS o_orderkey,
+           sum(CAST(floor(l_quantity * {q} + 0.5) AS BIGINT)) AS q_qty,
+           sum(CAST(floor(l_quantity * {q} + 0.5) AS BIGINT)) / {q}.0 AS total_qty
+    FROM lineitem GROUP BY 1 HAVING q_qty > {thresh}
+) t
+JOIN orders USING (o_orderkey)
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT {k}
+"""
+
+
 def top_unshipped_orders_sql(
     segment: str = TOPK_SEGMENT, date: str = TOPK_DATE, k: int = TOPK_K
 ) -> str:

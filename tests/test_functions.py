@@ -1036,6 +1036,30 @@ def test_region_revenue_oracle(rduck):
     assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
+def test_big_orders_oracle(rduck):
+    """Q18 analog vs the SQL oracle — ORDER MATTERS (total_qty DESC,
+    orderkey ASC); every returned order exceeds the HAVING threshold;
+    an impossible threshold returns the empty frame with schema."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_name"]),
+        rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_totalprice"]),
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+    )
+    t = rel.big_orders(*args)
+    o = rduck.sql(rel.big_orders_sql()).arrow()
+    assert t.num_rows == rel.Q18_K
+    assert t.cast(o.schema).equals(o)
+    assert min(t.column("total_qty").to_pylist()) > rel.Q18_QTY
+    e = rel.big_orders(*args, qty_threshold=1e9)
+    assert e.num_rows == 0 and "c_name" in e.column_names
+
+
 def test_tfidf_join_path_equals_broadcast(docs_ds):
     """Forcing broadcast_max_terms below the vocabulary size must route
     through the term-keyed join path and produce the identical result

@@ -64,7 +64,11 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search", help="BM25 top-k query (search analog)")
     s.add_argument("query")
-    s.add_argument("--out", required=True)
+    s.add_argument("--out", default=None)
+    s.add_argument("--alias", default=None,
+                   help="serve via an alias from --registry instead of --out")
+    s.add_argument("--registry", default=None,
+                   help="alias registry dir (with --alias)")
     s.add_argument("--scope", default=None)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
@@ -253,6 +257,15 @@ def main(argv: list[str] | None = None) -> int:
                     "pipeline aggs over the gap-filled bucket axis")
     hg.add_argument("--window", type=int, default=3,
                     help="moving-average trailing window (with --pipeline)")
+
+    al = sub.add_parser(
+        "alias", help="index aliases (ES alias API): atomic name->index "
+        "swap — rebuild into a fresh dir, repoint the serving name"
+    )
+    al.add_argument("action", choices=["set", "rm", "list"])
+    al.add_argument("name", nargs="?", default=None)
+    al.add_argument("target", nargs="?", default=None)
+    al.add_argument("--registry", required=True)
 
     pr = sub.add_parser(
         "pranks", help="inverse percentiles (ES percentile_ranks): per "
@@ -478,7 +491,21 @@ def main(argv: list[str] | None = None) -> int:
             SearchEngine, parse_boosts_arg, parse_kv_arg, parse_synonyms_arg,
         )
 
-        eng = SearchEngine(a.out)
+        out = a.out
+        if a.alias is not None:
+            from .state.aliases import alias_resolve
+
+            if not a.registry:
+                print(json.dumps({"result": False, "error": "no_registry"}))
+                return 1
+            out = alias_resolve(a.registry, a.alias)
+            if out is None:
+                print(json.dumps({"result": False, "error": "unknown_alias"}))
+                return 1
+        if out is None:
+            print(json.dumps({"result": False, "error": "no_out"}))
+            return 1
+        eng = SearchEngine(out)
         if a.group_by_conv:
             resp = eng.search_conversations(
                 a.query, scope=a.scope, offset=a.offset, limit=a.limit,
@@ -776,6 +803,22 @@ def main(argv: list[str] | None = None) -> int:
                 default=str,
             )
         )
+    elif a.cmd == "alias":
+        from .state import aliases as al_mod
+
+        if a.action == "list":
+            print(json.dumps({"result": True,
+                              "aliases": al_mod.alias_list(a.registry)}))
+        elif a.action == "set":
+            if not a.name or not a.target:
+                print(json.dumps({"result": False, "error": "bad_args"}))
+                return 1
+            print(json.dumps(al_mod.alias_set(a.registry, a.name, a.target)))
+        else:
+            if not a.name:
+                print(json.dumps({"result": False, "error": "bad_args"}))
+                return 1
+            print(json.dumps(al_mod.alias_delete(a.registry, a.name)))
     elif a.cmd == "pranks":
         from .search import SearchEngine
 

@@ -56,6 +56,36 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                "--mode", "regexp", "--limit", "3"])
     assert rx["result"] and rx["count"] == wc["count"]
 
+    # aliases: atomic name->index swap (ES alias API); search rides the
+    # alias, a swap to a manifest-less dir refuses, rm + unknown error
+    import pathlib
+
+    reg = str(pathlib.Path(out).parent / "reg")
+    av = _run(["alias", "set", "serving", out, "--registry", reg])
+    assert av["result"] and av["previous"] is None
+    ra = _run(["search", datagen.stem(0), "--alias", "serving",
+               "--registry", reg, "--limit", "3"])
+    assert ra["result"] and ra["count"] == r["count"]
+    assert ra["data"] == [
+        {k: v for k, v in row.items() if k != "snippet"} for row in r["data"][:3]
+    ]
+    lst = _run(["alias", "list", "--registry", reg])
+    assert list(lst["aliases"]) == ["serving"]
+    bad = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "alias", "set", "x",
+         str(out) + "_nope", "--registry", reg],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert json.loads(bad.stdout.strip().splitlines()[-1])["error"] == "no_index"
+    rm = _run(["alias", "rm", "serving", "--registry", reg])
+    assert rm["result"] and rm["previous"] == os.path.abspath(out)
+    gone = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "search", "x",
+         "--alias", "serving", "--registry", reg],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert json.loads(gone.stdout.strip().splitlines()[-1])["error"] == "unknown_alias"
+
     sfq = _run(["search", datagen.stem(0), "--out", out, "--mode", "phrase",
                 "--within-first", "4", "--limit", "3"])
     sfp = _run(["search", datagen.stem(0), "--out", out, "--mode", "phrase",

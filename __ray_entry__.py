@@ -172,6 +172,16 @@ def _sample_mixture(sf_dir: str):
     )
 
 
+def _pipeline_quality_mixture(sf_dir: str):
+    """CCNet quality-bucketed sampling (Wenzek 2020): corpus-self LM
+    scores -> tercile buckets via the bounded-memory quantile sketch ->
+    per-bucket md5-threshold rates — composed ENTIRELY from
+    already-oracled ops, and the twin recomposes the same SQL."""
+    from search_engine_ray.pipelines import corpus_prep as cp
+
+    return cp.quality_mixture(_documents_ds(sf_dir))
+
+
 def _text_bpe_vocab(sf_dir: str):
     """BPE vocabulary induction (Sennrich 2016 / the GPT-2 trainer
     shape): ONE distributed word-count pass (the shuffle ships distinct
@@ -1270,6 +1280,40 @@ def _search_histogram(sf_dir: str):
     for c in ("bucket", "n_docs"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def _search_mget(sf_dir: str):
+    """Batch point fetch (ES _mget): request-ordered rows, misses echo
+    the key with found=False; text equality per turn IS the north-rule
+    per-row invariant, driver-checked here directly."""
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    return eng.mget(datagen.mget_probes())["data"]
+
+
+def _search_matrix_stats(sf_dir: str):
+    """Matrix-stats aggregation (ES matrix_stats, doc_len x ts): exact
+    integer cores over shift-by-min values — quadratic sums as decimal
+    strings (BIGINT overflows, DOUBLE rounds); the derived cov/corr
+    floats are response-only (pytest-pinned)."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for q in datagen.matrix_stats_queries():
+        r = eng.matrix_stats(q["query_text"], scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            continue
+        t = r["data"].select(
+            ["n_docs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"])
+        parts.append(t.add_column(
+            0, "query_id", pa.array([q["query_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
 
 
 def _search_percentile_ranks(sf_dir: str):
@@ -2713,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": _doclen_quantiles,
         "doclen_quantiles_sketch": _doclen_quantiles_sketch,
         "text_bpe_vocab": _text_bpe_vocab,
+        "pipeline_quality_mixture": _pipeline_quality_mixture,
         "search_phrase": _search_phrase,
         "search_span_first": _search_span_first,
         "search_near": _search_near,
@@ -2722,6 +2767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_histogram": _search_histogram,
         "search_filters_agg": _search_filters_agg,
         "search_percentile_ranks": _search_percentile_ranks,
+        "search_matrix_stats": _search_matrix_stats,
+        "search_mget": _search_mget,
         "search_adjacency": _search_adjacency,
         "search_histogram_pipeline": _search_histogram_pipeline,
         "search_analyze": _search_analyze,
@@ -2965,6 +3012,20 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_percentile_ranks": lambda: oracle.percentile_ranks_sql(
             _corpus_src(), datagen.percentile_ranks_queries()
         ),
+        "search_matrix_stats": lambda: oracle.matrix_stats_sql(
+            _corpus_src(), datagen.matrix_stats_queries()
+        ),
+        "search_mget": lambda: (
+            "SELECT p.conv_id, CAST(p.turn_idx AS INT) AS turn_idx, "
+            "s.conv_id IS NOT NULL AS found, s.role, s.tool, s.ts, s.text "
+            "FROM (VALUES "
+            + ", ".join(
+                f"('{c}', {t})" for c, t in datagen.mget_probes()
+            )
+            + ") p(conv_id, turn_idx) LEFT JOIN "
+            + _corpus_src()
+            + " s ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx"
+        ),
         "search_adjacency": lambda: oracle.adjacency_matrix_sql(
             _corpus_src(), datagen.adjacency_queries()
         ),
@@ -3059,6 +3120,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # near-dup cluster collapse -> split assignment) checked
         # END-TO-END against the composition of its stage oracles
         "pipeline_corpus_prep": lambda: corpus_prep_mod.corpus_prep_sql("documents"),
+        "pipeline_quality_mixture": lambda: corpus_prep_mod.quality_mixture_sql(
+            "documents"
+        ),
         # deterministic md5-threshold sampling: oracle computes the SAME
         # digest, so these are exact row-set matches, not statistical
         "sample_hash": lambda: sampling_mod.sample_hash_sql("documents", SAMPLE_FRACTION),

@@ -258,6 +258,22 @@ def main(argv: list[str] | None = None) -> int:
     hg.add_argument("--window", type=int, default=3,
                     help="moving-average trailing window (with --pipeline)")
 
+    mg = sub.add_parser(
+        "mget", help="batch point fetch (ES _mget): DOCS is a JSON array "
+        "of [conv_id, turn_idx] pairs; misses echo the key, found=false"
+    )
+    mg.add_argument("docs")
+    mg.add_argument("--out", required=True)
+
+    mx = sub.add_parser(
+        "matrixstats", help="covariance/correlation of doc_len x ts over "
+        "the matching set (ES matrix_stats agg)"
+    )
+    mx.add_argument("query")
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--scope", default=None)
+    mx.add_argument("--conjunctive", action="store_true")
+
     al = sub.add_parser(
         "alias", help="index aliases (ES alias API): atomic name->index "
         "swap — rebuild into a fresh dir, repoint the serving name"
@@ -791,6 +807,44 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).significant_terms(
             a.query, scope=a.scope, conjunctive=a.conjunctive, k=a.limit,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "mget":
+        from .search import SearchEngine
+
+        try:
+            docs = json.loads(a.docs)
+            assert isinstance(docs, list)
+        except Exception:
+            print(json.dumps({"result": False, "error": "bad_docs"}))
+            return 1
+        resp = SearchEngine(a.out).mget(docs)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "matrixstats":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).matrix_stats(
+            a.query, scope=a.scope, conjunctive=a.conjunctive,
         )
         print(
             json.dumps(

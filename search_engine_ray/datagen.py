@@ -878,6 +878,36 @@ def histogram_pipeline_queries() -> list[dict]:
     ]
 
 
+def mget_probes() -> list[tuple[str, int]]:
+    """_mget probes: present turns of dense-from-0 convs, an
+    out-of-range turn (found=False), and an unknown conv
+    (found=False) — request order is the response order."""
+    return [
+        ("conv-00000000", 0),
+        ("conv-00000002", 1),
+        ("conv-00000001", 0),
+        ("conv-00000000", 9999),
+        ("conv-99999999", 0),
+    ]
+
+
+def matrix_stats_queries() -> list[dict]:
+    """Matrix-stats probes: the ultra-hot set (largest frame), a
+    mid-frequency set, a two-term union, a scoped probe, and an
+    absent lemma (empty)."""
+    q = [
+        (stem(0), None),
+        (stem(4000), None),
+        (f"{stem(120)} {stem(480)}", None),
+        (stem(10), "assistant"),
+        ("wqxqzq", None),
+    ]
+    return [
+        {"query_id": f"mx-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def percentile_ranks_queries() -> list[dict]:
     """Inverse-percentile probes: doc_len values straddling the
     distribution (incl. below-min -> 0 and above-max -> n), a scoped

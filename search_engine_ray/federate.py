@@ -277,6 +277,154 @@ class FederatedEngine:
         return {"result": True, "count": total, "data": tbl, "error": None}
 
 
+    def _shard_matching(self, s, terms, scope, conjunctive):
+        """One shard's matching docids for federation-level ``terms``:
+        the shard-present subset (union semantics — the shard-local
+        missing-lemma rule must NOT apply), with the conjunctive rule
+        requiring every term present on the shard."""
+        sterms = [
+            (lem, df) for lem, df in terms
+            if s._df_of(lem) is not None
+            or (s._has_deltas and lem in s._delta_lemma)
+        ]
+        if not sterms or (conjunctive and len(sterms) < len(terms)):
+            return np.empty(0, np.int64)
+        uniq, _codes = s._matching_set(sterms, scope, conjunctive)
+        return uniq
+
+    def filters_agg(
+        self,
+        filters: dict[str, str],
+        query_text: str | None = None,
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated filters aggregation: per-shard bucket counts SUM
+        per key — exact because shards partition the doc space, and the
+        base-query intersection is shard-local (a doc lives in exactly
+        one shard, so |filter ∩ base| = Σ per-shard intersections).
+        Missing-lemma and empty-filter rules apply at the FEDERATION
+        level (a filter whose lemmas exist on any shard is live
+        everywhere; one analyzing to nothing is ``bad_filter``), so the
+        result is pinned identical to one index over the union."""
+        from .search import FILTERS_AGG_SCHEMA, SearchEngine
+
+        empty = FILTERS_AGG_SCHEMA.empty_table()
+        if not isinstance(filters, dict) or not filters:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_filter"}
+        if len(filters) > SearchEngine.MAX_AGG_FILTERS:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "too_many_filters"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        fterms: dict[str, list | None] = {}
+        for key in sorted(filters):
+            terms, err = self._merged_terms(str(filters[key]))
+            if err == "empty_query":
+                return {"result": False, "count": 0, "data": empty,
+                        "error": "bad_filter"}
+            fterms[key] = None if err else terms
+        bterms = None
+        has_base = query_text is not None
+        if has_base:
+            bterms, berr = self._merged_terms(query_text)
+            if berr == "empty_query":
+                return {"result": False, "count": 0, "data": empty,
+                        "error": "empty_query"}
+            if berr:
+                bterms = None  # no_results: empty base set
+        counts = {k: 0 for k in fterms}
+        n_base = 0
+        for s in self.shards:
+            if scope is not None and not s.valid_scope(scope):
+                continue
+            base_ids = None
+            if has_base:
+                base_ids = (
+                    self._shard_matching(s, bterms, scope, conjunctive)
+                    if bterms is not None else np.empty(0, np.int64)
+                )
+                n_base += int(len(base_ids))
+            for key, terms in fterms.items():
+                if terms is None:
+                    continue
+                ids = self._shard_matching(s, terms, scope, conjunctive)
+                if base_ids is not None and len(ids):
+                    ids = ids[np.isin(ids, base_ids, assume_unique=True)]
+                counts[key] += int(len(ids))
+        rows = sorted(counts.items())
+        tbl = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": n_base, "data": tbl, "error": None}
+
+    def adjacency_matrix(
+        self,
+        filters: dict[str, str],
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated adjacency matrix: singles AND pairwise
+        intersections are shard-local (one shard owns each doc), so
+        every cell sums across shards exactly; zero cells are omitted
+        after the merge (a cell empty on every shard is empty
+        globally — the monolithic omission rule)."""
+        from .search import FILTERS_AGG_SCHEMA, SearchEngine
+
+        empty = FILTERS_AGG_SCHEMA.empty_table()
+        if not isinstance(filters, dict) or not filters:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_filter"}
+        if len(filters) > SearchEngine.MAX_AGG_FILTERS:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "too_many_filters"}
+        if any("&" in k for k in filters):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_filter"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        fterms: dict[str, list | None] = {}
+        for key in sorted(filters):
+            terms, err = self._merged_terms(str(filters[key]))
+            if err == "empty_query":
+                return {"result": False, "count": 0, "data": empty,
+                        "error": "bad_filter"}
+            fterms[key] = None if err else terms
+        keys = sorted(fterms)
+        agg: dict[str, int] = {}
+        union_total = 0
+        for s in self.shards:
+            if scope is not None and not s.valid_scope(scope):
+                continue
+            sets = {
+                k: (self._shard_matching(s, t, scope, conjunctive)
+                    if t is not None else np.empty(0, np.int64))
+                for k, t in fterms.items()
+            }
+            live = [x for x in sets.values() if len(x)]
+            if live:
+                union_total += int(len(np.unique(np.concatenate(live))))
+            for i, a in enumerate(keys):
+                if len(sets[a]):
+                    agg[a] = agg.get(a, 0) + int(len(sets[a]))
+                for b in keys[i + 1:]:
+                    if len(sets[a]) and len(sets[b]):
+                        n = int(np.isin(sets[a], sets[b],
+                                        assume_unique=True).sum())
+                        if n:
+                            agg[f"{a}&{b}"] = agg.get(f"{a}&{b}", 0) + n
+        rows = sorted(agg.items())
+        tbl = pa.table({
+            "key": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": union_total, "data": tbl,
+                "error": None}
+
     def complete(self, prefix: str, k: int = 10) -> dict:
         """Federated completion suggester: per-shard prefix ranges merge
         by summing df per lemma — exact, because a lemma's global df is

@@ -2347,6 +2347,69 @@ GROUP BY 1, 2
 """
 
 
+def matrix_stats_sql(src: str, queries: list[dict]) -> str:
+    """Matrix-stats twin (the ES ``matrix_stats`` two-field shape):
+    exact integer cores over SHIFT-BY-MIN doc_len/ts values of the
+    matching set (covariance is shift-invariant; shifting keeps the
+    squared-µs sums inside HUGEINT). The quadratic sums emit as
+    DECIMAL STRINGS (a BIGINT overflows, a DOUBLE rounds); the derived
+    cov/corr floats are response-only on the engine side and absent
+    here — the percentile_ranks precedent."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           epoch_us(ts) AS ts_us
+    FROM {src}
+),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+vals AS (
+    SELECT m.query_id,
+           CAST(d.dl AS BIGINT) AS xv, CAST(r.ts_us AS BIGINT) AS yv
+    FROM matched m
+    JOIN doclen d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+    JOIN meta r ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+),
+shifted AS (
+    SELECT query_id,
+           xv - min(xv) OVER (PARTITION BY query_id) AS x,
+           yv - min(yv) OVER (PARTITION BY query_id) AS y
+    FROM vals
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sum_xx,
+       CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS sum_yy,
+       CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sum_xy
+FROM shifted GROUP BY 1
+"""
+
+
 def metrics_sql(src: str, queries: list[dict],
                 percentiles: tuple = (50, 90, 99)) -> str:
     """Stats + exact nearest-rank percentiles over the matching set

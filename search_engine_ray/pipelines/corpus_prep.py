@@ -163,3 +163,128 @@ final AS (
 )
 SELECT * FROM ({splits}) s
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-bucketed mixture (the CCNet head/middle/tail pipeline)
+# ---------------------------------------------------------------------------
+
+QUALITY_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+_Q_SCALE = 1_000_000  # avg_logprob is round6 — x1e6 is an exact integer
+
+
+def quality_mixture(
+    ds: rd.Dataset,
+    rates: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> rd.Dataset:
+    """The CCNet quality-bucketed sampling pipeline (Wenzek et al.
+    2020): score every doc with the corpus-self bigram LM
+    (:func:`~.functions.text_analysis.lm_score`), split the score
+    distribution into head/middle/tail terciles, and keep each bucket
+    at its own rate — the canonical 'keep the fluent text, downsample
+    the junk' mixture. Composed ENTIRELY from already-oracled ops:
+
+    1. ``lm_score`` — the distributed LM (one groupby per gram order);
+       its round-6 ``avg_logprob`` scales to an EXACT integer ``q``
+       (x1e6 — a 6-dp double is within 1e-10 of the integer, so the
+       round never sits near a half).
+    2. tercile boundaries via :func:`~.functions.aggregates.
+       quantile_sketch` — the bounded-memory fixed-grid sketch
+       (distinct scores ~ doc count, so the exact value-counts
+       quantile would shuffle a corpus-sized table; the sketch ships
+       4096 rows and is still deterministic + SQL-recomputable).
+    3. bucket assign — one pure VALUE-BASED compare map (tail < b1 <=
+       middle < b2 <= head; value compares, never ranks, so ties are
+       deterministic on both engines).
+    4. membership — the zero-shuffle stratified md5 threshold.
+
+    The scored frame MATERIALIZES once before fanning into the sketch
+    and the bucket map (the region_revenue lesson: schema inference on
+    a lazy all-to-all pipeline re-executes it).
+    -> Dataset(id_col, bucket) of the kept docs."""
+    from search_engine_ray.functions.aggregates import quantile_sketch
+    from search_engine_ray.functions.text_analysis import lm_score
+
+    rates = dict(QUALITY_RATES if rates is None else rates)
+
+    scored = lm_score(ds, id_col=id_col, text_col=text_col)
+
+    def add_q(b: pa.Table) -> pa.Table:
+        v = b.column("avg_logprob").to_numpy(zero_copy_only=False)
+        q = np.round(v * _Q_SCALE).astype(np.int64)
+        return b.append_column("q", pa.array(q, pa.int64()))
+
+    scored = scored.map_batches(add_q, batch_format="pyarrow").materialize()
+    bounds = quantile_sketch(
+        scored,
+        lambda b: b.column("q").to_numpy(zero_copy_only=False),
+        n_buckets=4096,
+        quantiles=((1, 3), (2, 3)),
+    )
+    b1, b2 = bounds.column("value").to_pylist()
+
+    def assign(b: pa.Table) -> pa.Table:
+        q = b.column("q").to_numpy(zero_copy_only=False)
+        bucket = np.where(q < b1, "tail", np.where(q < b2, "middle", "head"))
+        return pa.table({
+            id_col: b.column(id_col),
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    bucketed = scored.map_batches(assign, batch_format="pyarrow")
+    return _sampling.sample_stratified(
+        bucketed, rates, stratum_col="bucket", id_col=id_col, seed=seed,
+    )
+
+
+def quality_mixture_sql(
+    src: str,
+    rates: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`quality_mixture` — composes the SAME
+    building-block SQL (lm_score twin -> the sketch's integer grid ->
+    value-based terciles -> md5 thresholds), so the driver checks the
+    whole composition."""
+    from search_engine_ray.functions.aggregates import quantile_sketch_sql
+    from search_engine_ray.functions.sampling import (
+        _HEX_DIGITS, _hex_threshold,
+    )
+    from search_engine_ray.functions.text_analysis import lm_score_sql
+
+    rates = dict(QUALITY_RATES if rates is None else rates)
+    sketch = quantile_sketch_sql(
+        "scored_q", "q", n_buckets=4096, quantiles=((1, 3), (2, 3)),
+    )
+    cases = "\n".join(
+        f"        WHEN '{k}' THEN '{_hex_threshold(v)}'"
+        for k, v in rates.items()
+    )
+    return f"""
+WITH scored AS ({lm_score_sql(src, id_col=id_col)}),
+scored_q AS (
+    SELECT {id_col},
+           CAST(round(avg_logprob * {_Q_SCALE}) AS BIGINT) AS q
+    FROM scored
+),
+bounds AS (SELECT * FROM ({sketch})),
+b1 AS (SELECT value AS v FROM bounds WHERE abs(q - 1.0/3) < 1e-9),
+b2 AS (SELECT value AS v FROM bounds WHERE abs(q - 2.0/3) < 1e-9),
+bucketed AS (
+    SELECT s.{id_col},
+           CASE WHEN s.q < (SELECT v FROM b1) THEN 'tail'
+                WHEN s.q < (SELECT v FROM b2) THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored_q s
+)
+SELECT {id_col}, bucket FROM bucketed
+WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) <
+    (CASE bucket
+{cases}
+        ELSE '{_hex_threshold(0.0)}'
+    END)
+"""

@@ -1483,6 +1483,158 @@ class SearchEngine:
         )
         return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
 
+    MAX_MGET = 1024
+
+    def mget(self, docs) -> dict:
+        """Batch point fetch (the Elasticsearch ``_mget`` API): one row
+        per requested (conv_id, turn_idx) IN REQUEST ORDER, each either
+        found=True with the doc's enrichment columns and CURRENT text
+        (overlay-aware — update-by-query rewrites and delta re-indexes
+        included, tombstoned docs are not found; the termvectors
+        aliveness rule) or found=False with the echoed key and nulls
+        (ES echoes the _id of misses). Cost: one docid resolve + one
+        batched enrichment lookup + one point text read per found doc —
+        nothing corpus-sized. -> {'result', 'count' (found docs),
+        'data': pa.Table(conv_id, turn_idx, found, role, tool, ts,
+        text), 'error'}"""
+        empty = MGET_SCHEMA.empty_table()
+        if not isinstance(docs, (list, tuple)) or not docs \
+                or len(docs) > self.MAX_MGET:
+            return {**self._resp(error="bad_docs"), "data": empty}
+        pairs = []
+        for d in docs:
+            if isinstance(d, dict):
+                d = (d.get("conv_id"), d.get("turn_idx"))
+            if (not isinstance(d, (list, tuple)) or len(d) != 2
+                    or not isinstance(d[0], str)):
+                return {**self._resp(error="bad_docs"), "data": empty}
+            try:
+                pairs.append((d[0], int(d[1])))
+            except (TypeError, ValueError):
+                return {**self._resp(error="bad_docs"), "data": empty}
+        dids = [self._cursor_docid(c, t) for c, t in pairs]
+        cand = np.array(sorted({int(x) for x in dids if x is not None}),
+                        np.int64)
+        alive: set[int] = set()
+        if len(cand):
+            if self._has_deltas:
+                keep = self._tomb_keep_mask(cand)
+                alive |= {int(x) for x in cand[keep]}
+                dead = cand[~keep]
+                if len(dead):
+                    alive |= {
+                        int(x) for x in
+                        dead[np.isin(dead, self._delta_docs["docid"])]
+                    }
+            else:
+                t = pq.read_table(
+                    build_mod.docs_dir(self.out_dir), columns=["docid"],
+                    filters=[("docid", "in", [int(x) for x in cand])],
+                )
+                alive |= {int(x) for x in t.column("docid").to_pylist()}
+        found_ids = np.array(
+            sorted({int(x) for x in dids if x is not None and int(x) in alive}),
+            np.int64,
+        )
+        meta: dict[int, tuple] = {}
+        if len(found_ids):
+            enr = self._enrich(found_ids, np.zeros(len(found_ids)), [], False)
+            for did, r in zip(found_ids, enr.to_pylist()):
+                meta[int(did)] = (r["role"], r["tool"], r["ts"])
+        rows = []
+        n_found = 0
+        for (c, t), did in zip(pairs, dids):
+            if did is None or int(did) not in meta:
+                rows.append((c, t, False, None, None, None, None))
+                continue
+            role, tool, ts = meta[int(did)]
+            rows.append((c, t, True, role, tool, ts,
+                         self._text_of(c, t) or ""))
+            n_found += 1
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "found": pa.array([r[2] for r in rows], pa.bool_()),
+            "role": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[6] for r in rows], pa.string()),
+        })
+        return {"result": True, "count": n_found, "data": tbl, "error": None}
+
+    def matrix_stats(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Covariance/correlation between doc_len and ts over the FULL
+        matching set (the Elasticsearch ``matrix_stats`` aggregation on
+        two fields — "do longer turns cluster later?"). The
+        driver-hashed frame carries EXACT INTEGER cores only: n and the
+        sums of x, y, x², y², x·y over values SHIFTED by the matching
+        set's own minima (covariance/correlation are shift-invariant,
+        and shifting keeps the squared epoch-µs sums finite — raw ts²
+        sums overflow even HUGEINT at corpus counts). The quadratic
+        sums exceed int64, so they travel as DECIMAL STRINGS (exact on
+        both engines — a float column would round and a BIGINT would
+        overflow); the engine accumulates chunked Python ints (the
+        ``metrics`` device). The derived ``cov``/``corr`` floats ride
+        the response only (pytest-pinned), never the hash — the
+        percentile_ranks precedent.
+        -> {'result', 'count', 'data': pa.Table(n_docs, sum_x, sum_y,
+        sum_xx, sum_yy, sum_xy, cov, corr), 'error'}"""
+        empty = MATRIX_STATS_SCHEMA.empty_table()
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        x = self._dl_of_ids(uniq).astype(np.int64)
+        y = self._ts_of_ids(uniq).astype(np.int64)
+        x = x - x.min()
+        y = y - y.min()
+        n = len(x)
+
+        def exact_dot(u: np.ndarray, v: np.ndarray) -> int:
+            # arbitrary-precision Σ u_i·v_i: squared shifted-µs values
+            # exceed int64, so the products are Python ints (tolist
+            # materializes ints once; matching-set-sized driver work —
+            # the same cost class as metrics' percentile sort)
+            return sum(a * b for a, b in zip(u.tolist(), v.tolist()))
+
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = exact_dot(x, x)
+        syy = exact_dot(y, y)
+        sxy = exact_dot(x, y)
+        # derived floats: ONE fixed op sequence, response-only
+        mean_x, mean_y = sx / n, sy / n
+        cov = sxy / n - mean_x * mean_y
+        var_x = sxx / n - mean_x * mean_x
+        var_y = syy / n - mean_y * mean_y
+        denom = math.sqrt(var_x) * math.sqrt(var_y)
+        corr = cov / denom if denom > 0 else 0.0
+        tbl = pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_x": pa.array([sx], pa.int64()),
+            "sum_y": pa.array([sy], pa.int64()),
+            "sum_xx": pa.array([str(sxx)], pa.string()),
+            "sum_yy": pa.array([str(syy)], pa.string()),
+            "sum_xy": pa.array([str(sxy)], pa.string()),
+            "cov": pa.array([round(cov, 6)], pa.float64()),
+            "corr": pa.array([round(corr, 6)], pa.float64()),
+        })
+        return {"result": True, "count": n, "data": tbl, "error": None}
+
     MAX_RANK_VALUES = 100
 
     def percentile_ranks(
@@ -4605,6 +4757,31 @@ HISTOGRAM_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
         ("n_docs", pa.int64()),
+    ]
+)
+
+MGET_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("found", pa.bool_()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ]
+)
+
+MATRIX_STATS_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("sum_x", pa.int64()),
+        ("sum_y", pa.int64()),
+        ("sum_xx", pa.string()),
+        ("sum_yy", pa.string()),
+        ("sum_xy", pa.string()),
+        ("cov", pa.float64()),
+        ("corr", pa.float64()),
     ]
 )
 

@@ -46,6 +46,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``histogram`` aggregation).
 - ``GET /api/percentileRanks?query=...&values=8,16[&field=]`` — inverse
   percentiles (ES ``percentile_ranks``).
+- ``GET /api/matrixStats?query=...[&site=]`` — doc_len x ts
+  covariance/correlation over the matching set (ES ``matrix_stats``).
+- ``GET /api/mget?docs=<json [[conv,turn],...]>`` — batch point fetch
+  (ES ``_mget``); misses echo the key with found=false.
 - ``GET /api/histogramPipeline?query=...[&field=][&interval=][&window=]`` —
   cumulative_sum / derivative / moving-avg pipeline aggs over the
   gap-filled histogram.
@@ -459,6 +463,44 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     query,
                     field=(q.get("field") or ["doc_len"])[0],
                     interval=int((q.get("interval") or ["10"])[0]),
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/mget":
+                import json as _json
+
+                try:
+                    docs = _json.loads((q.get("docs") or ["[]"])[0])
+                    assert isinstance(docs, list) and docs
+                except Exception:
+                    self._send(400, {"result": False, "error": "bad_docs"})
+                    return
+                resp = state["engine"].mget(docs)
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/matrixStats":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].matrix_stats(
+                    query,
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
                 )

@@ -92,6 +92,16 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                 "--limit", "3"])
     assert sfq["result"] and 0 < sfq["count"] <= sfp["count"]
 
+    mgr = _run(["mget", '[["conv-00000000", 0], ["conv-99999999", 0]]',
+                "--out", out])
+    assert mgr["result"] and mgr["count"] == 1
+    assert mgr["data"][0]["found"] and not mgr["data"][1]["found"]
+    assert mgr["data"][0]["text"]
+
+    mxs = _run(["matrixstats", datagen.stem(0), "--out", out])
+    assert mxs["result"] and mxs["data"][0]["n_docs"] == mxs["count"]
+    assert -1.0 <= mxs["data"][0]["corr"] <= 1.0
+
     prk = _run(["pranks", datagen.stem(0), "--out", out,
                 "--values", "0,16,10000"])
     assert prk["result"] and prk["data"][0]["n_le"] == 0

@@ -489,6 +489,9 @@ def test_delta_filter_aggs_identical_to_rebuild(delta_env):
         lambda e: e.adjacency_matrix(flt),
         lambda e: e.histogram_pipeline(datagen.stem(0), interval=8, window=3),
         lambda e: e.percentile_ranks(datagen.stem(0), [8, 24, 48]),
+        lambda e: e.matrix_stats(datagen.stem(0)),
+        lambda e: e.mget([(datagen.DELTA_CONV, 0), (datagen.DELTA_CONV, 1),
+                          ("conv-00000002", 0), ("conv-99999999", 0)]),
     ):
         ra, rb = eng_call(overlay), eng_call(rebuilt)
         assert ra["result"] and rb["result"]

@@ -230,6 +230,40 @@ def test_federated_facets_identical_to_monolithic(fed_env):
     assert r["result"] and r["count"] == 0
 
 
+def test_federated_filter_aggs_identical_to_monolithic(fed_env):
+    """Federated filters_agg / adjacency_matrix == the monolithic
+    tables: bucket counts and pairwise intersection cells are
+    shard-local (one shard owns each doc) and sum exactly; the
+    base-query intersection, zero-bucket emission/omission rules and
+    error paths all mirror the single-index surface."""
+    from search_engine_ray import datagen
+
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    flt = {"h": datagen.stem(0), "m": datagen.stem(1),
+           "x": datagen.stem(2), "none": "wqxqzq"}
+    for kwargs in (
+        {},
+        {"query_text": datagen.stem(4000)},
+        {"scope": "assistant"},
+        {"conjunctive": True},
+    ):
+        fm = mono.filters_agg(flt, **kwargs)
+        ff = fed.filters_agg(flt, **kwargs)
+        assert ff["result"] == fm["result"], kwargs
+        assert ff["count"] == fm["count"], kwargs
+        assert ff["data"].equals(fm["data"]), kwargs
+    am = mono.adjacency_matrix(flt)
+    af = fed.adjacency_matrix(flt)
+    assert af["count"] == am["count"] and af["data"].equals(am["data"])
+    ams = mono.adjacency_matrix(flt, scope="user")
+    afs = fed.adjacency_matrix(flt, scope="user")
+    assert afs["count"] == ams["count"] and afs["data"].equals(ams["data"])
+    assert fed.filters_agg({})["error"] == "bad_filter"
+    assert fed.filters_agg({"x": "!!"})["error"] == "bad_filter"
+    assert fed.adjacency_matrix({"a&b": "x"})["error"] == "bad_filter"
+    assert fed.filters_agg(flt, scope="nope")["error"] == "bad_scope"
+
+
 def test_federated_dictionary_surfaces(fed_env):
     """complete() and suggest() federate exactly: per-shard sweeps
     merged by summed df reproduce the monolithic rankings."""

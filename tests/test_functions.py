@@ -788,6 +788,31 @@ def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
     return merges
 
 
+def test_quality_mixture_oracle_and_buckets(docs_ds, fduck):
+    """CCNet quality mixture: membership == the fully-recomposed SQL
+    twin (LM twin -> sketch grid -> value terciles -> md5 thresholds);
+    rate-1.0 head keeps every head doc; all three buckets occur; the
+    composition is invariant to block layout."""
+    from search_engine_ray.pipelines import corpus_prep as cp
+
+    t = _assert_matches_oracle(
+        cp.quality_mixture(docs_ds), fduck,
+        cp.quality_mixture_sql("documents"),
+    )
+    buckets = set(t.column("bucket").to_pylist())
+    assert buckets == {"head", "middle", "tail"}
+    # head rate is 1.0: every head doc of the full bucketing survives
+    n_head = len([b for b in t.column("bucket").to_pylist() if b == "head"])
+    full = _table(cp.quality_mixture(
+        docs_ds, rates={"head": 1.0, "middle": 1.0, "tail": 1.0}))
+    n_head_full = len(
+        [b for b in full.column("bucket").to_pylist() if b == "head"])
+    assert n_head == n_head_full
+    assert full.num_rows == docs_ds.count()  # rate-1 everywhere keeps all
+    t2 = _table(cp.quality_mixture(docs_ds.repartition(7)))
+    assert _sorted(t).equals(_sorted(t2))
+
+
 def test_bpe_fit_reference_invariance_and_encode(docs_ds):
     """BPE: (1) the distributed fit equals a from-scratch reference on
     the same word frequencies; (2) merges are invariant to block

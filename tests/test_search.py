@@ -1992,6 +1992,67 @@ def test_histogram_pipeline_vs_duckdb_oracle(engine, duck):
                        for b1, b2 in zip(bks, bks[1:]))
 
 
+def test_mget_semantics(engine, duck):
+    """_mget: request order preserved, misses echo the key with
+    found=False, found rows carry the source row's exact role/tool/ts/
+    text (the north-rule per-turn text-equality invariant, checked
+    directly against the corpus parquet), guards reject bad shapes."""
+    probes = datagen.mget_probes()
+    r = engine.mget(probes)
+    assert r["result"]
+    rows = r["data"].to_pylist()
+    assert [(x["conv_id"], x["turn_idx"]) for x in rows] == list(probes)
+    src = oracle.transcripts_rel("sf0.001")
+    for x in rows:
+        hit = duck.execute(
+            f"SELECT role, tool, ts, text FROM {src} "
+            "WHERE conv_id = ? AND turn_idx = ?",
+            [x["conv_id"], x["turn_idx"]],
+        ).fetchall()
+        if x["found"]:
+            role, tool, ts, text = hit[0]
+            assert x["text"] == text and x["role"] == role
+            assert x["ts"] == ts
+        else:
+            assert not hit
+            assert x["text"] is None and x["role"] is None
+    assert r["count"] == sum(1 for x in rows if x["found"])
+    assert engine.mget([])["error"] == "bad_docs"
+    assert engine.mget([("c",)])["error"] == "bad_docs"
+    assert engine.mget([(1, 2)])["error"] == "bad_docs"
+    d = engine.mget([{"conv_id": "conv-00000000", "turn_idx": 0}])
+    assert d["result"] and d["data"].to_pylist()[0]["found"]
+
+
+def test_matrix_stats_vs_duckdb_oracle(engine, duck):
+    """Exact integer cores (shift-by-min, decimal-string quadratics)
+    == the HUGEINT SQL twin; the derived cov/corr floats match a
+    from-scratch numpy recomputation and corr stays in [-1, 1]."""
+    probes = datagen.matrix_stats_queries()
+    sql = oracle.matrix_stats_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = {r["query_id"]: r
+           for r in duck.execute(sql).fetch_arrow_table().to_pylist()}
+    import numpy as _np
+
+    for p in probes:
+        r = engine.matrix_stats(p["query_text"], scope=p["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            assert p["query_id"] not in exp
+            continue
+        g = r["data"].to_pylist()[0]
+        e = exp[p["query_id"]]
+        for c in ("n_docs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            assert g[c] == e[c], (p["query_id"], c)
+        n, sx, sy = g["n_docs"], g["sum_x"], g["sum_y"]
+        sxx, syy, sxy = int(g["sum_xx"]), int(g["sum_yy"]), int(g["sum_xy"])
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx, vy = sxx / n - (sx / n) ** 2, syy / n - (sy / n) ** 2
+        den = _np.sqrt(vx) * _np.sqrt(vy)
+        corr = cov / den if den > 0 else 0.0
+        assert g["cov"] == round(cov, 6)
+        assert abs(g["corr"] - corr) < 2e-6 and -1.0 <= g["corr"] <= 1.0
+
+
 def test_span_first_vs_duckdb_oracle(engine, duck):
     """Span-first (SpanFirstQuery) rank identity vs the SQL twin at
     sf0.001: the phrase chain with the 0-based start bound

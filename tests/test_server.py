@@ -291,6 +291,15 @@ def test_filter_agg_endpoints(served):
     code, got = _get(
         f"{base}/api/search?query={hot}&mode=phrase&within_first=4&limit=3")
     assert code == 200 and got["result"] and got["count"] > 0
+    from urllib.parse import quote as _quote
+
+    docs = _quote('[["conv-00000000", 0], ["conv-99999999", 0]]')
+    code, got = _get(f"{base}/api/mget?docs={docs}")
+    assert code == 200 and got["result"] and got["count"] == 1
+    assert got["data"][0]["found"] and not got["data"][1]["found"]
+    code, got = _get(f"{base}/api/matrixStats?query={hot}")
+    assert code == 200 and got["result"]
+    assert got["data"][0]["n_docs"] == got["count"]
     code, got = _get(
         f"{base}/api/percentileRanks?query={hot}&values=0,16,10000")
     assert code == 200 and got["result"]

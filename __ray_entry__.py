@@ -1338,6 +1338,28 @@ def _search_percentile_ranks(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def _search_range_agg(sf_dir: str):
+    """Range aggregation (ES range / date_range): per probe, one count
+    per requested half-open [from, to) bucket — all buckets emitted in
+    request order (ridx), overlaps counted independently."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for q in datagen.range_agg_queries():
+        r = eng.range_agg(q["query_text"], q["ranges"],
+                          field=q["field"], scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            continue
+        t = r["data"]
+        parts.append(t.add_column(
+            0, "query_id", pa.array([q["query_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
 def _search_filters_agg(sf_dir: str):
     """Filters aggregation (the ES ``filters`` agg): per probe, one
     count per named filter bucket (all emitted, zero included),
@@ -2766,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
         "search_filters_agg": _search_filters_agg,
+        "search_range_agg": _search_range_agg,
         "search_percentile_ranks": _search_percentile_ranks,
         "search_matrix_stats": _search_matrix_stats,
         "search_mget": _search_mget,
@@ -3008,6 +3031,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_filters_agg": lambda: oracle.filters_agg_sql(
             _corpus_src(), datagen.filters_agg_queries()
+        ),
+        "search_range_agg": lambda: oracle.range_agg_sql(
+            _corpus_src(), datagen.range_agg_queries()
         ),
         "search_percentile_ranks": lambda: oracle.percentile_ranks_sql(
             _corpus_src(), datagen.percentile_ranks_queries()

@@ -265,6 +265,18 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("docs")
     mg.add_argument("--out", required=True)
 
+    rg = sub.add_parser(
+        "rangeagg", help="custom-boundary bucket counts over the matching "
+        "set (ES range/date_range agg): RANGES is a JSON array of "
+        "[from, to] pairs, null = open side, to exclusive"
+    )
+    rg.add_argument("query")
+    rg.add_argument("ranges")
+    rg.add_argument("--out", required=True)
+    rg.add_argument("--field", default="doc_len", choices=["doc_len", "ts"])
+    rg.add_argument("--scope", default=None)
+    rg.add_argument("--conjunctive", action="store_true")
+
     mx = sub.add_parser(
         "matrixstats", help="covariance/correlation of doc_len x ts over "
         "the matching set (ES matrix_stats agg)"
@@ -829,6 +841,30 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"result": False, "error": "bad_docs"}))
             return 1
         resp = SearchEngine(a.out).mget(docs)
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "rangeagg":
+        from .search import SearchEngine
+
+        try:
+            ranges = json.loads(a.ranges)
+            assert isinstance(ranges, list)
+        except Exception:
+            print(json.dumps({"result": False, "error": "bad_ranges"}))
+            return 1
+        resp = SearchEngine(a.out).range_agg(
+            a.query, ranges, field=a.field, scope=a.scope,
+            conjunctive=a.conjunctive,
+        )
         print(
             json.dumps(
                 {

@@ -908,6 +908,30 @@ def matrix_stats_queries() -> list[dict]:
     ]
 
 
+def range_agg_queries() -> list[dict]:
+    """Range-aggregation probes: custom doc_len buckets over the hot
+    set (incl. an OVERLAPPING and an open-ended range), a mid set, a
+    date_range probe in epoch-µs (bounds as days past TS_BASE), a
+    scoped count-all bucket, and an absent lemma (empty)."""
+    day_us = 86_400_000_000
+    base_us = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z epoch-µs
+    q = [
+        (stem(0), "doc_len",
+         [(None, 8), (8, 16), (16, None), (4, 12)], None),
+        (stem(4000), "doc_len", [(0, 10), (10, None)], None),
+        (stem(120), "ts",
+         [(None, base_us + day_us), (base_us + day_us, base_us + 3 * day_us),
+          (base_us + 3 * day_us, None)], None),
+        (stem(10), "doc_len", [(None, None)], "assistant"),
+        ("wqxqzq", "doc_len", [(0, 10)], None),
+    ]
+    return [
+        {"query_id": f"rg-{i:04d}", "query_text": t, "field": f,
+         "ranges": r, "scope": s, "k": 10}
+        for i, (t, f, r, s) in enumerate(q)
+    ]
+
+
 def percentile_ranks_queries() -> list[dict]:
     """Inverse-percentile probes: doc_len values straddling the
     distribution (incl. below-min -> 0 and above-max -> n), a scoped

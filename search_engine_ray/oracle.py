@@ -3068,6 +3068,86 @@ FROM vals GROUP BY 1, 2
 """
 
 
+def range_agg_sql(src: str, queries: list[dict]) -> str:
+    """Range-aggregation twin (the ES ``range`` / ``date_range``
+    shape): per query, matching-doc counts per half-open [from, to)
+    bucket over doc_len or epoch-µs ts — from inclusive, to exclusive,
+    NULL = open side. EVERY requested bucket emits (zero or not) for
+    queries whose lemmas all exist (the engine's all-buckets rule);
+    ``ridx`` carries the request order through the hash. Probes carry
+    their own field and integer bounds."""
+    qmeta, qlem = _queries_values(queries)
+    frows = ", ".join(
+        f"('{q['query_id']}', '{q['field']}')" for q in queries
+    )
+    rrows = []
+    for q in queries:
+        for i, (lo, hi) in enumerate(q["ranges"]):
+            lo_s = "CAST(NULL AS BIGINT)" if lo is None else str(int(lo))
+            hi_s = "CAST(NULL AS BIGINT)" if hi is None else str(int(hi))
+            key = f"{'*' if lo is None else int(lo)}-" \
+                  f"{'*' if hi is None else int(hi)}"
+            rrows.append(f"('{q['query_id']}', {i}, '{key}', {lo_s}, {hi_s})")
+    ranges_rel = ", ".join(rrows)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS dl
+    FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (
+    SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+fields AS (SELECT * FROM (VALUES {frows}) fl(query_id, field)),
+rngs AS (
+    SELECT * FROM (VALUES {ranges_rel}) rr(query_id, ridx, key, rfrom, rto)
+),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matchd AS (
+    SELECT DISTINCT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+),
+vals AS (
+    SELECT m.query_id,
+           CASE WHEN f.field = 'doc_len' THEN coalesce(dl.dl, 0)
+                ELSE mt.ts_us END AS v
+    FROM matchd m
+    JOIN fields f ON f.query_id = m.query_id
+    LEFT JOIN doclen dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    JOIN meta mt ON mt.conv_id = m.conv_id AND mt.turn_idx = m.turn_idx
+),
+counts AS (
+    SELECT r.query_id, r.ridx, CAST(count(*) AS BIGINT) AS n
+    FROM rngs r
+    JOIN vals v ON v.query_id = r.query_id
+       AND (r.rfrom IS NULL OR v.v >= r.rfrom)
+       AND (r.rto IS NULL OR v.v < r.rto)
+    GROUP BY 1, 2
+)
+SELECT r.query_id, CAST(r.ridx AS BIGINT) AS ridx, r.key,
+       r.rfrom AS range_from, r.rto AS range_to,
+       coalesce(c.n, 0) AS n_docs
+FROM rngs r
+JOIN qok q ON q.query_id = r.query_id
+JOIN (SELECT query_id FROM vals GROUP BY 1) nz ON nz.query_id = r.query_id
+LEFT JOIN counts c ON c.query_id = r.query_id AND c.ridx = r.ridx
+"""
+
+
 def analyze_sql(probes: list[dict]) -> str:
     """Analysis-introspection twin (the ES ``_analyze`` shape): the
     probe texts run through the SQL analyzer chain — DuckDB lower/RE2

@@ -2380,6 +2380,89 @@ class SearchEngine:
         return {"result": True, "count": int(len(uniq)), "data": tbl,
                 "error": None}
 
+    MAX_AGG_RANGES = 100
+
+    def range_agg(
+        self,
+        query_text: str,
+        ranges,
+        field: str = "doc_len",
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Arbitrary-boundary bucket counts over the FULL matching set
+        (the Elasticsearch ``range`` aggregation; on ``ts`` it is
+        ``date_range`` with ISO/epoch-µs bounds). Each range is
+        ``(from_, to)`` — from INCLUSIVE, to EXCLUSIVE, either side
+        open with ``None`` (ES half-open semantics: a value on a shared
+        boundary lands in exactly one of two adjacent buckets).
+        Overlapping ranges are legal and count independently (ES
+        allows them). ALL requested buckets are emitted IN REQUEST
+        ORDER, zero or not (ES emits every range); ``ridx`` pins the
+        order through the driver's column-sorted hash. Cost: one sort
+        of the matching-set values + two ``searchsorted`` probes per
+        range — the same frame ``metrics``/``histogram`` ride,
+        overlay-aware, composing with every filtering surface.
+        -> {'result', 'count', 'data': pa.Table(ridx, key, range_from,
+        range_to, n_docs), 'error'}"""
+        empty = RANGE_AGG_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {**self._resp(error="bad_field"), "data": empty}
+        if not isinstance(ranges, (list, tuple)) or not ranges \
+                or len(ranges) > self.MAX_AGG_RANGES:
+            return {**self._resp(error="bad_ranges"), "data": empty}
+        bounds: list[tuple[int | None, int | None]] = []
+        try:
+            for r in ranges:
+                if isinstance(r, dict):
+                    r = (r.get("from"), r.get("to"))
+                if not isinstance(r, (list, tuple)) or len(r) != 2:
+                    raise ValueError
+                lo, hi = (
+                    None if v is None
+                    else int(self._ts_us(v)) if field == "ts"
+                    else int(v)
+                    for v in r
+                )
+                if lo is not None and hi is not None and lo >= hi:
+                    raise ValueError
+                bounds.append((lo, hi))
+        except (TypeError, ValueError):
+            return {**self._resp(error="bad_ranges"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        v = np.sort(
+            self._dl_of_ids(uniq) if field == "doc_len"
+            else self._ts_of_ids(uniq)
+        ).astype(np.int64)
+        n = len(v)
+        rows = []
+        for i, (lo, hi) in enumerate(bounds):
+            a = 0 if lo is None else int(np.searchsorted(v, lo, "left"))
+            b = n if hi is None else int(np.searchsorted(v, hi, "left"))
+            key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            rows.append((i, key, lo, hi, max(0, b - a)))
+        tbl = pa.table({
+            "ridx": pa.array([r[0] for r in rows], pa.int64()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "range_from": pa.array([r[2] for r in rows], pa.int64()),
+            "range_to": pa.array([r[3] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": n, "data": tbl, "error": None}
+
     MAX_AGG_FILTERS = 100        # the ES adjacency_matrix default cap
     MAX_PIPELINE_BUCKETS = 65_536  # the ES search.max_buckets default
 
@@ -4756,6 +4839,16 @@ COMPLETE_SCHEMA = pa.schema(
 HISTOGRAM_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+RANGE_AGG_SCHEMA = pa.schema(
+    [
+        ("ridx", pa.int64()),
+        ("key", pa.string()),
+        ("range_from", pa.int64()),
+        ("range_to", pa.int64()),
         ("n_docs", pa.int64()),
     ]
 )

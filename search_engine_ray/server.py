@@ -46,6 +46,9 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``histogram`` aggregation).
 - ``GET /api/percentileRanks?query=...&values=8,16[&field=]`` — inverse
   percentiles (ES ``percentile_ranks``).
+- ``GET /api/rangeAgg?query=...&ranges=<json [[from,to],...]>[&field=]``
+  — custom-boundary bucket counts (ES ``range``/``date_range`` agg);
+  ``null`` = open side, ``to`` exclusive, all buckets emitted.
 - ``GET /api/matrixStats?query=...[&site=]`` — doc_len x ts
   covariance/correlation over the matching set (ES ``matrix_stats``).
 - ``GET /api/mget?docs=<json [[conv,turn],...]>`` — batch point fetch
@@ -485,6 +488,35 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     self._send(400, {"result": False, "error": "bad_docs"})
                     return
                 resp = state["engine"].mget(docs)
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/rangeAgg":
+                import json as _json
+
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                try:
+                    ranges = _json.loads((q.get("ranges") or ["[]"])[0])
+                    assert isinstance(ranges, list) and ranges
+                except Exception:
+                    self._send(400, {"result": False, "error": "bad_ranges"})
+                    return
+                resp = state["engine"].range_agg(
+                    query,
+                    ranges,
+                    field=(q.get("field") or ["doc_len"])[0],
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
                 self._send(
                     200 if resp["result"] else 400,
                     {

@@ -98,6 +98,11 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert mgr["data"][0]["found"] and not mgr["data"][1]["found"]
     assert mgr["data"][0]["text"]
 
+    rga = _run(["rangeagg", datagen.stem(0), '[[null, 12], [12, null]]',
+                "--out", out])
+    assert rga["result"] and len(rga["data"]) == 2
+    assert sum(x["n_docs"] for x in rga["data"]) == rga["count"]
+
     mxs = _run(["matrixstats", datagen.stem(0), "--out", out])
     assert mxs["result"] and mxs["data"][0]["n_docs"] == mxs["count"]
     assert -1.0 <= mxs["data"][0]["corr"] <= 1.0

@@ -1897,6 +1897,64 @@ def test_histogram_errors(engine):
     assert engine.histogram("x", interval=0)["error"] == "bad_interval"
 
 
+def test_range_agg_vs_duckdb_oracle(engine, duck):
+    """Half-open [from, to) bucket counts == the SQL twin at sf0.001 —
+    all requested buckets emitted in request order (zero included),
+    overlaps counted independently, open sides unbounded."""
+    probes = datagen.range_agg_queries()
+    sql = oracle.range_agg_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in exp:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["ridx"])
+    n = 0
+    for p in probes:
+        r = engine.range_agg(p["query_text"], p["ranges"],
+                             field=p["field"], scope=p["scope"])
+        got = r["data"].to_pylist() if r["result"] else []
+        e = by_q.get(p["query_id"], [])
+        assert len(got) == len(e), p["query_id"]
+        if got:
+            assert len(got) == len(p["ranges"])  # every bucket present
+        for g, x in zip(got, e):
+            assert (g["ridx"], g["key"], g["range_from"], g["range_to"],
+                    g["n_docs"]) == (x["ridx"], x["key"], x["range_from"],
+                                     x["range_to"], x["n_docs"]), p["query_id"]
+            n += 1
+    assert n >= 8
+
+
+def test_range_agg_semantics(engine):
+    """Adjacent half-open buckets partition: [*,m)+[m,*) == [*,*) ==
+    the matching count; an ISO date_range bound equals its epoch-µs
+    twin; guards reject malformed ranges."""
+    hot = datagen.stem(0)
+    full = engine.range_agg(hot, [(None, None)])
+    assert full["result"] and full["count"] > 0
+    assert full["data"].column("n_docs")[0].as_py() == full["count"]
+    m = 12
+    split = engine.range_agg(hot, [(None, m), (m, None)])
+    parts = split["data"].column("n_docs").to_pylist()
+    assert sum(parts) == full["count"] and all(p >= 0 for p in parts)
+    base_us = 1_767_225_600_000_000 + 86_400_000_000  # 2026-01-02 UTC
+    r_int = engine.range_agg(hot, [(None, base_us)], field="ts")
+    r_iso = engine.range_agg(hot, [(None, "2026-01-02T00:00:00")], field="ts")
+    assert r_int["data"].column("n_docs").to_pylist() == \
+        r_iso["data"].column("n_docs").to_pylist()
+    assert engine.range_agg(hot, [])["error"] == "bad_ranges"
+    assert engine.range_agg(hot, [(5, 5)])["error"] == "bad_ranges"
+    assert engine.range_agg(hot, [(8, 2)])["error"] == "bad_ranges"
+    assert engine.range_agg(hot, [("x", 2)])["error"] == "bad_ranges"
+    assert engine.range_agg(hot, [(0, 5)], field="nope")["error"] == "bad_field"
+    assert engine.range_agg(hot, [(0, 5)], scope="nope")["error"] == "bad_scope"
+    assert engine.range_agg("wqxqzq", [(0, 5)])["count"] == 0
+    dicted = engine.range_agg(hot, [{"from": None, "to": m},
+                                    {"from": m, "to": None}])
+    assert dicted["data"].column("n_docs").to_pylist() == parts
+
+
 def test_filters_agg_vs_duckdb_oracle(engine, duck):
     """Named bucket counts == the matched-set intersection twin at
     sf0.001 — all named buckets emitted (zero included), base-query

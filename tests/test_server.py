@@ -297,6 +297,10 @@ def test_filter_agg_endpoints(served):
     code, got = _get(f"{base}/api/mget?docs={docs}")
     assert code == 200 and got["result"] and got["count"] == 1
     assert got["data"][0]["found"] and not got["data"][1]["found"]
+    rngs = _quote('[[null, 12], [12, null]]')
+    code, got = _get(f"{base}/api/rangeAgg?query={hot}&ranges={rngs}")
+    assert code == 200 and got["result"] and len(got["data"]) == 2
+    assert sum(x["n_docs"] for x in got["data"]) == got["count"]
     code, got = _get(f"{base}/api/matrixStats?query={hot}")
     assert code == 200 and got["result"]
     assert got["data"][0]["n_docs"] == got["count"]

@@ -496,6 +496,42 @@ def _search_decay(sf_dir: str):
     return df
 
 
+def _search_boosting(sf_dir: str):
+    """Boosting query (ES `boosting` compound): docs matching the
+    negative side stay in the results with score x negative_boost —
+    demotion, the middle ground exclude= can't express; the SQL twin
+    runs the same single CASE multiply over the BM25 skeleton."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    rows = []
+    for q in datagen.boosting_queries():
+        r = eng.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            negative=q["negative"], negative_boost=q["negative_boost"],
+        )
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_regexp(sf_dir: str):
     """Regexp term queries (Lucene RegexpQuery rewrite): the pattern
     expands against the lemma dictionary (anchored RE2, at most 32
@@ -2119,6 +2155,15 @@ def _knn_bruteforce(sf_dir: str):
     return similarity.knn_bruteforce(_embeddings_ds(sf_dir))
 
 
+def _knn_range(sf_dir: str):
+    """Radius search (FAISS range_search): every neighbor with cosine
+    >= threshold per probe — one broadcast + one scan, no shuffle, no
+    top-k merge; exact float64 oracle."""
+    from search_engine_ray.functions import similarity
+
+    return similarity.range_search(_embeddings_ds(sf_dir))
+
+
 def _embed_quantize(sf_dir: str):
     """Scalar (int8-range) quantization codes for the embedding column
     (FAISS SQ8 / Lucene scalar-quantizer parity): deterministic affine
@@ -2801,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_wildcard": _search_wildcard,
         "search_regexp": _search_regexp,
         "search_decay": _search_decay,
+        "search_boosting": _search_boosting,
         "search_rescore": _search_rescore,
         "search_near_ordered": _search_near_ordered,
         "search_fuzzy": _search_fuzzy,
@@ -2817,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
+        "knn_range": _knn_range,
         "embed_quantize": _embed_quantize,
         "embed_pq_codes": _embed_pq_codes,
         "knn_pq": _knn_pq,
@@ -3074,6 +3121,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_regexp": lambda: oracle.regexp_topk_sql(
             _corpus_src(), datagen.regexp_queries()
         ),
+        "search_boosting": lambda: oracle.bm25_boosting_sql(
+            _corpus_src(), datagen.boosting_queries()
+        ),
         "search_decay": lambda: oracle.bm25_decay_sql(
             _corpus_src(), datagen.decay_queries()
         ),
@@ -3125,6 +3175,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "dedup_embedding": lambda: dedup_mod.embedding_dup_sql("embeddings"),
         "knn_bruteforce": lambda: similarity_mod.knn_bruteforce_sql("embeddings"),
+        "knn_range": lambda: similarity_mod.range_search_sql("embeddings"),
         # knn_quantized is approximate by design (recall pinned in
         # pytest); the quantization CODES are exact-oracled here
         "embed_quantize": lambda: similarity_mod.quantize_embeddings_sql("embeddings"),

@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep docs containing at least m distinct query lemmas")
     s.add_argument("--exclude", default=None,
                    help="NOT terms: drop docs containing any of these lemmas")
+    s.add_argument("--negative", default=None,
+                   help="boosting query: demote docs containing any of "
+                        "these lemmas (score x --negative-boost)")
+    s.add_argument("--negative-boost", type=float, default=0.5,
+                   help="demotion factor in [0, 1] for --negative matches")
     s.add_argument("--ts-min", default=None,
                    help="inclusive ISO-8601 lower bound on the turn ts")
     s.add_argument("--ts-max", default=None,
@@ -561,6 +566,8 @@ def main(argv: list[str] | None = None) -> int:
                 boosts=parse_boosts_arg(a.boost),
                 decay=parse_kv_arg(a.decay),
                 rescore=parse_kv_arg(a.rescore),
+                negative=a.negative,
+                negative_boost=a.negative_boost,
             )
         print(
             json.dumps(

@@ -908,6 +908,26 @@ def matrix_stats_queries() -> list[dict]:
     ]
 
 
+def boosting_queries() -> list[dict]:
+    """Boosting-query probes (ES `boosting`): demote a mid term under
+    the hot query, crush (0.1) the hot term under a two-term query, an
+    absent-lemma negative (no-op == plain bm25), nb=0 zeroing, a scoped
+    probe, and nb=1.0 (bitwise no-op)."""
+    q = [
+        (stem(0), None, stem(120), 0.5),
+        (f"{stem(120)} {stem(480)}", None, stem(0), 0.1),
+        (stem(4000), None, "wqxqzq", 0.5),
+        (stem(10), None, stem(11), 0.0),
+        (stem(0), "assistant", stem(300), 0.25),
+        (stem(120), None, stem(10), 1.0),
+    ]
+    return [
+        {"query_id": f"ng-{i:04d}", "query_text": t, "scope": s,
+         "negative": n, "negative_boost": nb, "k": 10}
+        for i, (t, s, n, nb) in enumerate(q)
+    ]
+
+
 def range_agg_queries() -> list[dict]:
     """Range-aggregation probes: custom doc_len buckets over the hot
     set (incl. an OVERLAPPING and an open-ended range), a mid set, a

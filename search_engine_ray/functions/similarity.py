@@ -89,6 +89,83 @@ def knn_bruteforce(
     )
 
 
+def range_search(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    threshold: float = 0.35,
+) -> pa.Table:
+    """Radius (range) search — EVERY neighbor with cosine >= threshold
+    per probe query (the FAISS ``range_search`` / sklearn
+    ``radius_neighbors`` shape, the "give me all near-duplicates of
+    THIS doc" query knn's fixed k can't express). Query set = ``id <
+    n_queries``, self-matches excluded. One broadcast of the bounded
+    query matrix (ray.put once) + ONE scan: each batch emits its own
+    rows' matches — no shuffle, no top-k merge, and unlike knn no
+    driver-side rank pass at all; output size is threshold-bounded
+    (the caller owns picking a threshold whose result fits — the same
+    contract as embedding_dup_pairs). The threshold compare uses the
+    UNROUNDED float64 cosine on both engines (the dedup precedent);
+    the emitted column rounds half-away like DuckDB ``round``.
+    Deterministic output order (query_id, neighbor_id).
+    -> pa.Table(query_id, neighbor_id, cosine)."""
+    qids, qmat = _query_matrix(ds, id_col, vec_col, n_queries)
+    ref = ray.put((qids, qmat))
+
+    class RangeFinder:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(
+                np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+            )
+            sims = self.qmat @ mat.T  # (nq, nb)
+            keep = sims >= threshold
+            keep &= ids[None, :] != self.qids[:, None]  # no self-match
+            r, c = np.nonzero(keep)
+            return pa.table(
+                {
+                    "query_id": pa.array(self.qids[r], pa.int64()),
+                    "neighbor_id": pa.array(ids[c], pa.int64()),
+                    "cosine": pa.array(
+                        np.floor(sims[r, c] * 1e6 + 0.5) / 1e6, pa.float64()
+                    ),
+                }
+            )
+
+    out = ds.select_columns([id_col, vec_col]).map_batches(
+        RangeFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+    )
+    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(parts)
+    return tbl.sort_by([("query_id", "ascending"), ("neighbor_id", "ascending")])
+
+
+def range_search_sql(src: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_queries: int = 8,
+                     threshold: float = 0.35) -> str:
+    """DuckDB oracle for :func:`range_search` (exact float64 cosine,
+    unrounded threshold compare, rounded emit)."""
+    return f"""
+WITH e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+q AS (SELECT {id_col} AS query_id, v AS qv FROM e WHERE {id_col} < {n_queries}),
+s AS (
+    SELECT q.query_id, e.{id_col} AS neighbor_id,
+           list_cosine_similarity(q.qv, e.v) AS cos
+    FROM q JOIN e ON e.{id_col} != q.query_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+FROM s WHERE cos >= {threshold}
+"""
+
+
 def knn_bruteforce_sql(src: str, id_col: str = "vec_id", vec_col: str = "embedding",
                        n_queries: int = 8, k: int = 5) -> str:
     """DuckDB oracle (float64 cosine on the CASTed list, same rounding

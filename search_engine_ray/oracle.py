@@ -1779,6 +1779,106 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_boosting_sql(src: str, queries: list[dict], k1: float = 1.2,
+                      b: float = 0.75) -> str:
+    """Boosting-query (ES ``boosting`` compound) top-k oracle: the
+    standard BM25 skeleton with each matching turn's summed score
+    multiplied by ``negative_boost`` when the doc contains ANY analyzed
+    lemma of the query's negative side (one CASE multiply — the
+    engine's exact op), unchanged otherwise. Negative lemmas absent
+    from the corpus demote nothing (the exclude no-op rule: the
+    negative side joins through postings, so absent lemmas simply
+    match no rows)."""
+    metas, lrows, nrows = [], [], []
+    for q in queries:
+        lemmas = analyzer.analyze_query(q["query_text"])
+        qid = analyzer._sql_quote(q["query_id"])
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        nb = float(q.get("negative_boost", 0.5))
+        metas.append(f"({qid}, {scope}, {q['k']}, {len(lemmas)}, {nb!r})")
+        for lem in lemmas:
+            lrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+        for lem in dict.fromkeys(analyzer.analyze_query(q["negative"])):
+            nrows.append(f"({qid}, {analyzer._sql_quote(lem)})")
+    qmeta = (
+        "(VALUES " + ", ".join(metas)
+        + ") qm(query_id, scope, k, n_terms, nb)"
+    )
+    qlem = (
+        "(VALUES " + ", ".join(lrows) + ") ql(query_id, lemma)"
+        if lrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) ql"
+    )
+    nlem = (
+        "(VALUES " + ", ".join(nrows) + ") nl(query_id, lemma)"
+        if nrows
+        else "(SELECT NULL AS query_id, NULL AS lemma WHERE 1=0) nl"
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+nlem AS (SELECT * FROM {nlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.* FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+negmatch AS (
+    SELECT DISTINCT nl.query_id, p.conv_id, p.turn_idx
+    FROM nlem nl JOIN __postings p ON p.lemma = nl.lemma
+),
+scored AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY q.query_id, p.conv_id, p.turn_idx
+),
+demoted AS (
+    SELECT s.query_id, s.conv_id, s.turn_idx,
+           s.score * (CASE WHEN n.conv_id IS NOT NULL THEN q.nb
+                           ELSE 1.0 END) AS score
+    FROM scored s
+    JOIN qok q ON q.query_id = s.query_id
+    LEFT JOIN negmatch n ON n.query_id = s.query_id
+         AND n.conv_id = s.conv_id AND n.turn_idx = s.turn_idx
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM demoted
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
+"""
+
+
 def bm25_min_match_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 top-k with minimum-should-match: docs containing at least
     ``min_match`` DISTINCT query lemmas (each query dict carries its

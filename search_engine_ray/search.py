@@ -4024,6 +4024,8 @@ class SearchEngine:
         boosts: dict | None = None,
         decay: dict | None = None,
         rescore: dict | None = None,
+        negative: str | None = None,
+        negative_boost: float = 0.5,
     ) -> dict:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
@@ -4106,6 +4108,15 @@ class SearchEngine:
         exclusion/ts filters, BEFORE collapse — collapse diversifies
         by the FINAL score); linear's zero tail keeps rows (score 0),
         it never changes ``count``.
+        ``negative``/``negative_boost`` (bm25 mode only) is the ES
+        ``boosting`` compound query: docs containing ANY analyzed lemma
+        of ``negative`` stay in the result set but their score is
+        multiplied by ``negative_boost`` in [0, 1] — demotion, the
+        middle ground ``exclude`` can't express. Absent-lemma negatives
+        demote nothing (exclude's no-op rule); a negative that analyzes
+        to nothing is ``bad_negative`` (ES rejects an empty negative
+        body). Never changes ``count``; composes with the other
+        exhaustive-routed surfaces.
         ``search_after`` = (score, conv_id, turn_idx) is cursor (deep)
         pagination: return results STRICTLY AFTER that row in the
         relevance total order (score DESC, conv_id, turn_idx) — the
@@ -4131,6 +4142,24 @@ class SearchEngine:
             return self._resp(error="bad_order")
         if synonyms is not None and mode != "bm25":
             return self._resp(error="bad_synonyms")
+        if negative is not None:
+            # boosting query (the ES `boosting` compound): docs matching
+            # the negative query stay IN the result set but their score
+            # is multiplied by negative_boost in [0, 1] — demotion, the
+            # middle ground exclude= can't express. bm25 mode only; the
+            # negative side must analyze to >= 1 token (ES rejects an
+            # empty negative body); absent-lemma negatives demote
+            # nothing (exclude's no-op rule, NOT the missing-lemma
+            # rule — the negative side is a filter, not the query).
+            try:
+                negative_boost = float(negative_boost)
+            except (TypeError, ValueError):
+                return self._resp(error="bad_negative")
+            if (mode != "bm25" or not isinstance(negative, str)
+                    or not (0.0 <= negative_boost <= 1.0)):
+                return self._resp(error="bad_negative")
+            if not self._analyzer.analyze_query(negative):
+                return self._resp(error="bad_negative")
         if boosts is not None:
             # query-time term boosting (the Lucene term^w weight):
             # analyzer-normalize the keys, require positive finite
@@ -4171,7 +4200,8 @@ class SearchEngine:
                     or ts_min is not None or ts_max is not None
                     or collapse is not None or order_by != "score"
                     or search_after is not None or boosts is not None
-                    or synonyms is not None or decay is not None):
+                    or synonyms is not None or decay is not None
+                    or negative is not None):
                 return self._resp(error="bad_rescore")
             if not self.has_positions:
                 return self._resp(error="no_positions")
@@ -4472,7 +4502,7 @@ class SearchEngine:
         elif (min_match is not None or exclude is not None or ts_min is not None
               or ts_max is not None or collapse is not None or order_by != "score"
               or search_after is not None or boosts is not None
-              or decay_t is not None):
+              or decay_t is not None or negative is not None):
             # minimum-should-match / NOT-exclusion / ts-range route
             # through the exhaustive scorer (block-max pruning with an
             # msm floor or a filter mask would need per-window per-term
@@ -4499,6 +4529,15 @@ class SearchEngine:
                 # one multiply per matching doc (decay_factor mirrors
                 # the SQL twin's op order exactly)
                 scores = scores * decay_factor(self._ts_of_ids(ids), decay_t)
+            if negative is not None and len(ids):
+                # boosting-query demotion: one conditional multiply per
+                # matching doc (commutes with decay — both are score
+                # multiplies; the SQL twin runs the same CASE)
+                neg = self._exclusion_docids(negative)
+                if neg is not None and len(neg):
+                    demoted = np.isin(ids, neg, assume_unique=False)
+                    scores = np.where(
+                        demoted, scores * negative_boost, scores)
             if collapse is not None:
                 ids, scores = self._collapse_per_conv(ids, scores, collapse)
             count = len(ids)

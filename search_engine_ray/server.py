@@ -5,7 +5,7 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
   [&mode=bm25|reference|phrase|near|prefix|wildcard|regexp|fuzzy|auto][&window=W][&fuzzy=D][&within_first=N]
   [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
-  [&collapse=M][&group=conv]
+  [&collapse=M][&group=conv][&negative=...&negative_boost=0.5]
   [&decay=origin%3DISO%3Bscale%3DSECONDS[%3Bshape%3D...][%3Brate%3D...]]``
   — ``SearchEngine.search``
   (the reference's ``site`` parameter maps to this engine's ``scope``:
@@ -290,6 +290,10 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         ),
                         fuzzy_dist=int((q.get("fuzzy") or ["1"])[0]),
                         exclude=(q.get("exclude") or [None])[0],
+                        negative=(q.get("negative") or [None])[0],
+                        negative_boost=float(
+                            (q.get("negative_boost") or ["0.5"])[0]
+                        ),
                         ts_min=(q.get("ts_min") or [None])[0],
                         ts_max=(q.get("ts_max") or [None])[0],
                         collapse=int(collapse_s) if collapse_s else None,

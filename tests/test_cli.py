@@ -92,6 +92,13 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
                 "--limit", "3"])
     assert sfq["result"] and 0 < sfq["count"] <= sfp["count"]
 
+    ngq = _run(["search", datagen.stem(0), "--out", out, "--negative",
+                datagen.stem(120), "--negative-boost", "1.0", "--limit", "3"])
+    assert ngq["result"] and ngq["count"] == r["count"]
+    assert ngq["data"] == [
+        {k: v for k, v in row.items() if k != "snippet"} for row in r["data"][:3]
+    ]
+
     mgr = _run(["mget", '[["conv-00000000", 0], ["conv-99999999", 0]]',
                 "--out", out])
     assert mgr["result"] and mgr["count"] == 1

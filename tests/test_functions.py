@@ -139,6 +139,29 @@ def test_knn_bruteforce_oracle(emb_ds, fduck):
     assert t.num_rows == 8 * 5  # n_queries * k
 
 
+def test_range_search_oracle(emb_ds, fduck):
+    """Radius search == the exact float64 cosine SQL twin; every row
+    clears the threshold; a top-k row above the radius is in the range
+    result (knn ∩ radius consistency); impossible radius -> empty."""
+    from search_engine_ray.functions import similarity
+
+    t = _assert_matches_oracle(
+        similarity.range_search(emb_ds), fduck,
+        similarity.range_search_sql("embeddings"),
+    )
+    assert t.num_rows > 0
+    assert all(c >= 0.35 - 1e-9 for c in t["cosine"].to_pylist())
+    rng = {(q, n) for q, n in zip(t["query_id"].to_pylist(),
+                                  t["neighbor_id"].to_pylist())}
+    bf = _table(similarity.knn_bruteforce(emb_ds))
+    for q, n, c in zip(bf["query_id"].to_pylist(),
+                       bf["neighbor_id"].to_pylist(),
+                       bf["cosine"].to_pylist()):
+        if c >= 0.36:  # clear of the rounded-boundary ulp zone
+            assert (q, n) in rng
+    assert similarity.range_search(emb_ds, threshold=1.01).num_rows == 0
+
+
 def test_knn_ivf_recall(emb_ds):
     """IVF is approximate; assert recall@k vs brute force."""
     from search_engine_ray.functions import similarity

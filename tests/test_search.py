@@ -675,6 +675,66 @@ def test_decay_vs_duckdb_oracle(engine, duck):
             assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
 
 
+def test_boosting_vs_duckdb_oracle(engine, duck):
+    """Boosting-query top-k rank identity vs the SQL twin (one CASE
+    multiply over the BM25 skeleton) at sf0.001 — demotion, crush,
+    absent-negative no-op, nb=0 zeroing, scoped, nb=1 bitwise no-op."""
+    bq = datagen.boosting_queries()
+    sql = oracle.bm25_boosting_sql(oracle.transcripts_rel("sf0.001"), bq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in bq:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            negative=q["negative"], negative_boost=q["negative_boost"],
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+
+
+def test_boosting_semantics(engine):
+    """nb=1.0 and an absent negative are exact no-ops; demotion never
+    changes the count; nb=0 floors demoted docs below every undemoted
+    one; guards reject non-bm25 modes, out-of-range factors, and a
+    negative that analyzes to nothing."""
+    hot, mid = datagen.stem(0), datagen.stem(120)
+    plain = engine.search(hot, limit=10)
+    noop1 = engine.search(hot, limit=10, negative=mid, negative_boost=1.0)
+    noop2 = engine.search(hot, limit=10, negative="wqxqzq")
+    assert noop1["data"].equals(plain["data"])
+    assert noop2["data"].equals(plain["data"])
+    dem = engine.search(hot, limit=10, negative=mid, negative_boost=0.5)
+    assert dem["count"] == plain["count"]
+    zero = engine.search(hot, limit=plain["count"], negative=mid,
+                         negative_boost=0.0)
+    scores = zero["data"].column("score").to_pylist()
+    neg_set = {(r["conv_id"], r["turn_idx"])
+               for r in engine.search(f"{hot} {mid}", conjunctive=True,
+                                      limit=plain["count"])["data"].to_pylist()}
+    if neg_set:
+        for r in zero["data"].to_pylist():
+            if (r["conv_id"], r["turn_idx"]) in neg_set:
+                assert r["score"] == 0.0
+        assert scores == sorted(scores, reverse=True)
+    assert engine.search(hot, mode="phrase", negative=mid)["error"] \
+        == "bad_negative"
+    assert engine.search(hot, negative=mid, negative_boost=1.5)["error"] \
+        == "bad_negative"
+    assert engine.search(hot, negative=mid, negative_boost=-0.1)["error"] \
+        == "bad_negative"
+    assert engine.search(hot, negative="!!")["error"] == "bad_negative"
+    assert engine.search(hot, negative=mid, rescore={"query": hot})["error"] \
+        == "bad_rescore"
+
+
 def test_facets_vs_duckdb_oracle(engine, duck):
     """Faceted matching-doc counts (grouped G6) == the SQL oracle's
     role/tool groupings over the same matching semantics, per query."""

@@ -43,6 +43,10 @@ def test_search_endpoint(served):
     assert code == 200 and got["result"] and got["count"] > 0
     assert len(got["data"]) == 3
     assert {"conv_id", "turn_idx", "role", "score", "snippet"} <= set(got["data"][0])
+    # boosting query: a demoted result set has the same count
+    code, ng = _get(f"{base}/api/search?query={hot}&limit=3"
+                    f"&negative={datagen.stem(120)}&negative_boost=0.5")
+    assert code == 200 and ng["result"] and ng["count"] == got["count"]
     # scope + phrase mode round-trip the query params
     code, got = _get(f"{base}/api/search?query={hot}+{datagen.stem(1)}&mode=phrase&limit=2")
     assert code == 200 and got["result"] and got["count"] > 0

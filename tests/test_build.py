@@ -165,6 +165,47 @@ def test_collision_fallback_index_identical(tiny_index, tmp_path, tiny_corpus):
     assert da.equals(db)
 
 
+def test_distributed_vocab_path_identical(tiny_index, tmp_path, tiny_corpus):
+    """The distributed dictionary-page vocabulary pass (post_bytes above
+    the driver threshold -> per-file-group Ray tasks) must produce the
+    same index and dictionary as the driver-side read — forced here with
+    driver_small_post_bytes=0; also composed with the forced-collision
+    fallback (the superset vocab must still trip the lemma-in-shuffle
+    path)."""
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.stages.encode import decode_block
+
+    def canon(d):
+        idx = pq.read_table(build.index_dir(d))
+        per: dict[str, list] = {}
+        for row in idx.to_pylist():
+            dec = decode_block(row["gaps"], row["tfs"], row["dls"], row["n"])
+            per.setdefault(row["lemma"], []).append(dec)
+        out = {}
+        for lem, runs in per.items():
+            runs.sort(key=lambda r: r[0][0])
+            out[lem] = tuple(
+                np.concatenate([r[i] for r in runs]).tolist() for i in range(3)
+            )
+        return out
+
+    out = str(tmp_path / "distvocab")
+    build.build_index(BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2,
+        driver_small_post_bytes=0,
+    ))
+    assert canon(out) == canon(tiny_index["out_dir"])
+    assert pq.read_table(build.lemma_dict_path(out)).equals(
+        pq.read_table(build.lemma_dict_path(tiny_index["out_dir"])))
+
+    out2 = str(tmp_path / "distvocab-collide")
+    build.build_index(BuildConfig(
+        input_paths=tiny_corpus, out_dir=out2, n_partitions=2, concurrency=2,
+        driver_small_post_bytes=0, extra={"force_lemma_in_shuffle": True},
+    ))
+    assert canon(out2) == canon(tiny_index["out_dir"])
+
+
 def test_join_docids_path_identical(tiny_index, tmp_path, tiny_corpus):
     """The beyond-broadcast docid path (distributed dense-rank table +
     hash join on conv_id) must produce the same index as the broadcast

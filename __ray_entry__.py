@@ -2137,6 +2137,16 @@ def _dedup_clusters(sf_dir: str):
     return dedup.dup_clusters(pairs)
 
 
+def _dedup_semantic(sf_dir: str):
+    """SemDeDup (Abbas 2023): kmeans-cluster-scoped exact cosine pairs
+    -> connected components -> keep the min-id canonical per group; the
+    cluster scoping is what makes embedding dedup tractable at 10^12
+    vectors (all-pairs only within a cluster)."""
+    from search_engine_ray.functions import dedup
+
+    return dedup.semantic_dedup(_embeddings_ds(sf_dir))
+
+
 def _dedup_embedding(sf_dir: str):
     from search_engine_ray.functions import dedup
 
@@ -2860,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "dedup_semantic": _dedup_semantic,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_ivf": _dedup_embedding_ivf,
         "knn_bruteforce": _knn_bruteforce,
@@ -3170,6 +3181,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "dedup_simhash": lambda: dedup_mod.simhash_sql("documents"),
         # cluster collapse composes over the oracle-checked exact pair
         # set; the closure is a recursive CTE over the same pairs
+        "dedup_semantic": lambda: dedup_mod.semantic_dedup_sql("embeddings"),
         "dedup_clusters": lambda: dedup_mod.dup_clusters_sql(
             dedup_mod.ngram_jaccard_sql("documents")
         ),

@@ -997,6 +997,128 @@ FROM e a JOIN e b ON a.{id_col} < b.{id_col}
 WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 """
 
+def semantic_dedup(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+    centroids: "np.ndarray | None" = None,
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal that
+    makes embedding dedup tractable at corpus scale by scoping the
+    quadratic cosine comparison to k-means CLUSTERS — all-pairs only
+    WITHIN a cluster (cross-cluster near-dups are, by construction of
+    the clustering, rare enough to ignore; that approximation is the
+    whole point of the method). Pipeline, every stage already oracled
+    on its own:
+
+    1. assign — :func:`~.similarity.kmeans_assign`'s rule (one
+       broadcast matmul map, argmax cosine, ties to the lowest
+       cluster; inlined so the same map carries the vector into the
+       groupby). Default centroids = :func:`~.similarity.
+       seed_centroids`, the deterministic SQL-recomputable choice —
+       pass fitted :func:`~.similarity.kmeans_fit` centroids for the
+       production shape, same downstream semantics.
+    2. pairs — ``groupby(cluster).map_groups``: per cluster one
+       normalized matmul, emit a<b pairs with UNROUNDED float64
+       cosine >= threshold (the dedup-precedent compare). At 10^12
+       vectors k scales with n (SemDeDup uses ~100k clusters) so the
+       per-cluster frame stays bounded — the shuffle ships each
+       vector exactly once.
+    3. collapse — :func:`dup_clusters` connected components,
+       keep = the min-id canonical doc per component.
+
+    -> pa.Table(doc_id, cluster_id, keep) for every doc in a pair
+    (docs in no pair are implicitly kept — the dup_clusters
+    contract), sorted by doc_id."""
+    from .similarity import _normalize, seed_centroids
+
+    if centroids is None:
+        centroids = seed_centroids(ds, k, id_col, vec_col)
+    cref = ray.put(_normalize(np.asarray(centroids, np.float64)))
+    vecs = ds.select_columns([id_col, vec_col])
+
+    # assignment rule identical to kmeans_assign (argmax cosine, first
+    # max == lowest cluster id — pinned equal by test); inlined here so
+    # ONE map both assigns and carries the vector into the groupby
+    def _with_vec(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(
+            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        sims = mat @ ray.get(cref).T
+        cl = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl.astype(np.int32), pa.int32()),
+            vec_col: batch.column(vec_col),
+        })
+
+    def _cluster_pairs(group: pa.Table) -> pa.Table:
+        from .similarity import _normalize
+
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(
+            np.stack(group.column(vec_col).to_pylist()).astype(np.float64)
+        )
+        sims = mat @ mat.T
+        keep = sims >= threshold
+        keep &= ids[None, :] > ids[:, None]  # a < b, no self
+        r, c = np.nonzero(keep)
+        return pa.table({
+            "doc_a": pa.array(ids[r], pa.int64()),
+            "doc_b": pa.array(ids[c], pa.int64()),
+        })
+
+    pairs = (
+        vecs.map_batches(_with_vec, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_cluster_pairs, batch_format="pyarrow")
+    )
+    labs = dup_clusters(pairs)
+    return labs.sort_by([("doc_id", "ascending")])
+
+
+def semantic_dedup_sql(
+    src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = EMBEDDING_COSINE_THRESHOLD,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (seed centroids = the
+    ``id < k`` vectors, the same rule kmeans_assign_sql pins): assign
+    by max cosine (ties -> lowest cluster), within-cluster a<b pairs
+    over the unrounded float64 cosine, then the shared recursive-CTE
+    component closure."""
+    pairs_sql = f"""
+WITH e0 AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+c0 AS (SELECT {id_col} AS cluster, v AS cv FROM e0 WHERE {id_col} < {k}),
+s0 AS (
+    SELECT e0.{id_col}, c0.cluster,
+           list_cosine_similarity(c0.cv, e0.v) AS cos
+    FROM e0 CROSS JOIN c0
+),
+asg AS (
+    SELECT {id_col}, cluster FROM (
+        SELECT {id_col}, cluster,
+               row_number() OVER (
+                   PARTITION BY {id_col} ORDER BY cos DESC, cluster
+               ) AS rn
+        FROM s0
+    ) WHERE rn = 1
+)
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+FROM asg a
+JOIN asg b ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+JOIN e0 ea ON ea.{id_col} = a.{id_col}
+JOIN e0 eb ON eb.{id_col} = b.{id_col}
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+    return dup_clusters_sql(f"SELECT * FROM ({pairs_sql})")
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster collapse (connected components over dup pairs)
 # ---------------------------------------------------------------------------

@@ -162,6 +162,36 @@ def test_range_search_oracle(emb_ds, fduck):
     assert similarity.range_search(emb_ds, threshold=1.01).num_rows == 0
 
 
+def test_semantic_dedup_oracle(emb_ds, fduck):
+    """SemDeDup labels == the SQL twin (seed-centroid assign ->
+    within-cluster pairs -> recursive closure); pairs are a SUBSET of
+    the unscoped all-pairs producer at the same threshold (the scoping
+    approximation only ever DROPS cross-cluster pairs); keep is the
+    min-id canonical; the fitted-centroid path runs end-to-end."""
+    from search_engine_ray.functions import dedup, similarity
+
+    t = _assert_matches_oracle(
+        dedup.semantic_dedup(emb_ds), fduck,
+        dedup.semantic_dedup_sql("embeddings"),
+    )
+    assert t.num_rows > 0
+    by_cluster: dict[int, list] = {}
+    for r in t.to_pylist():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert min(x["doc_id"] for x in rows) == cid
+        assert sum(x["keep"] for x in rows) == 1
+        assert next(x for x in rows if x["keep"])["doc_id"] == cid
+    sem_docs = {r["doc_id"] for r in t.to_pylist()}
+    allp = dedup.embedding_dup_pairs(emb_ds)
+    all_docs = set(allp.column("vec_a").to_pylist()) \
+        | set(allp.column("vec_b").to_pylist())
+    assert sem_docs <= all_docs
+    cents, obj = similarity.kmeans_fit(emb_ds, k=4, iters=2)
+    fitted = dedup.semantic_dedup(emb_ds, k=4, centroids=cents)
+    assert set(fitted.column_names) == {"doc_id", "cluster_id", "keep"}
+
+
 def test_knn_ivf_recall(emb_ds):
     """IVF is approximate; assert recall@k vs brute force."""
     from search_engine_ray.functions import similarity

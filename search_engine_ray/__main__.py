@@ -357,6 +357,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="function-score recency decay (same syntax as "
                          "'search --decay'; per-shard multiply == the "
                          "monolithic result)")
+    fs.add_argument("--exclude", default=None,
+                    help="NOT terms (shard-local == monolithic)")
+    fs.add_argument("--ts-min", default=None)
+    fs.add_argument("--ts-max", default=None)
+    fs.add_argument("--negative", default=None,
+                    help="boosting query: demote matching docs")
+    fs.add_argument("--negative-boost", type=float, default=0.5)
 
     cp = sub.add_parser(
         "composite", help="composite aggregation (ES composite): paged "
@@ -734,7 +741,9 @@ def main(argv: list[str] | None = None) -> int:
         ).search(
             a.query, scope=a.scope, offset=a.offset, limit=a.limit,
             conjunctive=a.conjunctive, with_snippets=a.snippets,
-            decay=parse_kv_arg(a.decay),
+            decay=parse_kv_arg(a.decay), exclude=a.exclude,
+            ts_min=a.ts_min, ts_max=a.ts_max,
+            negative=a.negative, negative_boost=a.negative_boost,
         )
         print(
             json.dumps(

@@ -128,6 +128,11 @@ class FederatedEngine:
         conjunctive: bool = False,
         with_snippets: bool = False,
         decay: dict | None = None,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+        negative: str | None = None,
+        negative_boost: float = 0.5,
     ) -> dict:
         """Fan-out BM25 search, rank- and score-identical to a
         monolithic index over the shards' combined corpus. -> the
@@ -135,7 +140,14 @@ class FederatedEngine:
         single-index function-score recency decay: the factor is a pure
         per-doc function of GLOBAL constants, so applying it to each
         shard's scores before the merge is exactly the monolithic
-        multiply (pinned by test)."""
+        multiply (pinned by test). ``exclude`` / ``ts_min``/``ts_max``
+        / ``negative``+``negative_boost`` are the single-index per-DOC
+        filter/demotion surfaces — a doc's lemmas and metadata live
+        entirely in its owning shard, so shard-local application IS the
+        monolithic semantics (exclusion docids, inclusive ts bounds,
+        boosting-query demotion all pinned equal by test); validation
+        (bad_negative) and the exclude/negative analyzer no-op rules
+        are federation-level, shared via the shards' common analyzer."""
         from .search import decay_factor, decay_params
 
         if not self.valid_scope(scope):
@@ -148,6 +160,19 @@ class FederatedEngine:
                 return {"result": False, "count": 0,
                         "data": RESULT_SCHEMA.empty_table(),
                         "error": "bad_decay"}
+        if negative is not None:
+            try:
+                negative_boost = float(negative_boost)
+            except (TypeError, ValueError):
+                return {"result": False, "count": 0,
+                        "data": RESULT_SCHEMA.empty_table(),
+                        "error": "bad_negative"}
+            if (not isinstance(negative, str)
+                    or not (0.0 <= negative_boost <= 1.0)
+                    or not self.shards[0]._analyzer.analyze_query(negative)):
+                return {"result": False, "count": 0,
+                        "data": RESULT_SCHEMA.empty_table(),
+                        "error": "bad_negative"}
         terms, err = self._merged_terms(query_text)
         if err:
             ok = err == "no_results"
@@ -181,11 +206,30 @@ class FederatedEngine:
                 )
             finally:
                 s.n_docs, s.avgdl = save
+            if exclude is not None and len(ids):
+                excl = s._exclusion_docids(exclude)
+                if excl is not None and len(excl):
+                    keep = ~np.isin(ids, excl, assume_unique=False)
+                    ids, scores = ids[keep], scores[keep]
+            if (ts_min is not None or ts_max is not None) and len(ids):
+                tss = s._ts_of_ids(ids)
+                m = np.ones(len(ids), bool)
+                if ts_min is not None:
+                    m &= tss >= s._ts_us(ts_min)
+                if ts_max is not None:
+                    m &= tss <= s._ts_us(ts_max)
+                ids, scores = ids[m], scores[m]
             total += int(len(ids))
             if not len(ids):
                 continue
             if decay_t is not None:
                 scores = scores * decay_factor(s._ts_of_ids(ids), decay_t)
+            if negative is not None:
+                neg = s._exclusion_docids(negative)
+                if neg is not None and len(neg):
+                    demoted = np.isin(ids, neg, assume_unique=False)
+                    scores = np.where(
+                        demoted, scores * negative_boost, scores)
             sel = np.lexsort((ids, -scores))[:need]
             tables.append(s._enrich(ids[sel], scores[sel], terms, with_snippets))
         if not tables:
@@ -276,6 +320,182 @@ class FederatedEngine:
         )
         return {"result": True, "count": total, "data": tbl, "error": None}
 
+
+    def _shard_field_values(self, s, terms, scope, conjunctive, field):
+        """One shard's matching-set field values (doc_len or epoch-µs
+        ts) as int64 — the per-shard frame every additive aggregation
+        merges; empty array when the shard matches nothing."""
+        uniq = self._shard_matching(s, terms, scope, conjunctive)
+        if not len(uniq):
+            return np.empty(0, np.int64)
+        v = s._dl_of_ids(uniq) if field == "doc_len" else s._ts_of_ids(uniq)
+        return v.astype(np.int64)
+
+    def histogram(
+        self,
+        query_text: str,
+        field: str = "doc_len",
+        interval: int = 10,
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated histogram: the bucket function ``(v // interval) *
+        interval`` is per-DOC, so per-shard bucket counts SUM exactly —
+        the merge ships n_buckets integers per shard, never values.
+        Pinned identical to the monolithic table."""
+        from .search import HISTOGRAM_SCHEMA
+
+        empty = HISTOGRAM_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_field"}
+        if not isinstance(interval, int) or interval <= 0:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_interval"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0, "data": empty,
+                    "error": None if ok else err}
+        agg: dict[int, int] = {}
+        total = 0
+        for s in self.shards:
+            v = self._shard_field_values(s, terms, scope, conjunctive, field)
+            if not len(v):
+                continue
+            total += int(len(v))
+            bu, bc = np.unique((v // interval) * interval, return_counts=True)
+            for b, c in zip(bu.tolist(), bc.tolist()):
+                agg[b] = agg.get(b, 0) + c
+        rows = sorted(agg.items())
+        tbl = pa.table({
+            "bucket": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": total, "data": tbl, "error": None}
+
+    def range_agg(
+        self,
+        query_text: str,
+        ranges,
+        field: str = "doc_len",
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated range aggregation: half-open bucket membership is
+        per-DOC, so per-shard searchsorted counts SUM exactly (the merge
+        ships n_ranges integers per shard). Validation and the
+        all-buckets/request-order rules mirror the single index."""
+        from .search import RANGE_AGG_SCHEMA, SearchEngine, parse_agg_ranges
+
+        empty = RANGE_AGG_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_field"}
+        if not isinstance(ranges, (list, tuple)) or not ranges \
+                or len(ranges) > SearchEngine.MAX_AGG_RANGES:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_ranges"}
+        bounds = parse_agg_ranges(ranges, field, self.shards[0]._ts_us)
+        if bounds is None:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_ranges"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0, "data": empty,
+                    "error": None if ok else err}
+        counts = np.zeros(len(bounds), np.int64)
+        total = 0
+        for s in self.shards:
+            v = self._shard_field_values(s, terms, scope, conjunctive, field)
+            if not len(v):
+                continue
+            total += int(len(v))
+            v.sort()
+            for i, (lo, hi) in enumerate(bounds):
+                a = 0 if lo is None else int(np.searchsorted(v, lo, "left"))
+                b = len(v) if hi is None else int(np.searchsorted(v, hi, "left"))
+                counts[i] += max(0, b - a)
+        if total == 0:
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        rows = [
+            (i, f"{'*' if lo is None else lo}-{'*' if hi is None else hi}",
+             lo, hi, int(counts[i]))
+            for i, (lo, hi) in enumerate(bounds)
+        ]
+        tbl = pa.table({
+            "ridx": pa.array([r[0] for r in rows], pa.int64()),
+            "key": pa.array([r[1] for r in rows], pa.string()),
+            "range_from": pa.array([r[2] for r in rows], pa.int64()),
+            "range_to": pa.array([r[3] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[4] for r in rows], pa.int64()),
+        })
+        return {"result": True, "count": total, "data": tbl, "error": None}
+
+    def percentile_ranks(
+        self,
+        query_text: str,
+        values,
+        field: str = "doc_len",
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated inverse percentiles: ``n_le`` per probe value is a
+        per-DOC predicate count, so per-shard searchsorted tallies SUM
+        exactly; the derived pct divides the summed tallies once (the
+        monolithic op order). Merge ships n_values integers per shard."""
+        from .search import PRANKS_SCHEMA, SearchEngine
+
+        empty = PRANKS_SCHEMA.empty_table()
+        if field not in ("doc_len", "ts"):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_field"}
+        if not isinstance(values, (list, tuple)) or not values \
+                or len(values) > SearchEngine.MAX_RANK_VALUES:
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_values"}
+        try:
+            vals = [
+                int(self.shards[0]._ts_us(v)) if field == "ts" else int(v)
+                for v in values
+            ]
+        except (TypeError, ValueError):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_values"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0, "data": empty,
+                    "error": None if ok else err}
+        probes = np.array(sorted(set(vals)), np.int64)
+        n_le = np.zeros(len(probes), np.int64)
+        total = 0
+        for s in self.shards:
+            v = self._shard_field_values(s, terms, scope, conjunctive, field)
+            if not len(v):
+                continue
+            total += int(len(v))
+            v.sort()
+            n_le += np.searchsorted(v, probes, side="right").astype(np.int64)
+        if total == 0:
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        tbl = pa.table({
+            "value": pa.array(probes, pa.int64()),
+            "n_le": pa.array(n_le, pa.int64()),
+            "n_docs": pa.array(np.full(len(probes), total), pa.int64()),
+            "pct": pa.array(np.round(100.0 * n_le / total, 6), pa.float64()),
+        })
+        return {"result": True, "count": total, "data": tbl, "error": None}
 
     def _shard_matching(self, s, terms, scope, conjunctive):
         """One shard's matching docids for federation-level ``terms``:
@@ -424,6 +644,32 @@ class FederatedEngine:
         })
         return {"result": True, "count": union_total, "data": tbl,
                 "error": None}
+
+    def mget(self, docs) -> dict:
+        """Federated batch point fetch: each (conv_id, turn_idx) lives
+        in exactly ONE shard (the conv-hash split), so every shard runs
+        the same request and a row is found iff its owner found it —
+        the merge keeps, per request slot, the found row if any shard
+        produced one (at most one can). Request order, miss echoing and
+        the bad_docs guards are the single-index rules, applied once at
+        the federation level by the first shard's validator."""
+        from .search import MGET_SCHEMA
+
+        per_shard = [s.mget(docs) for s in self.shards]
+        first = per_shard[0]
+        if not first["result"]:
+            return {**first, "data": MGET_SCHEMA.empty_table()}
+        rows = [t["data"].to_pylist() for t in per_shard]
+        merged, n_found = [], 0
+        for slot in zip(*rows):
+            hit = next((r for r in slot if r["found"]), slot[0])
+            merged.append(hit)
+            n_found += bool(hit["found"])
+        tbl = pa.table({
+            name: pa.array([r[name] for r in merged], MGET_SCHEMA.field(name).type)
+            for name in MGET_SCHEMA.names
+        })
+        return {"result": True, "count": n_found, "data": tbl, "error": None}
 
     def complete(self, prefix: str, k: int = 10) -> dict:
         """Federated completion suggester: per-shard prefix ranges merge

@@ -156,6 +156,33 @@ def decay_factor(tss: np.ndarray, decay_t: tuple) -> np.ndarray:
     return np.maximum((c1 - x) / c1, 0.0)
 
 
+def parse_agg_ranges(ranges, field: str, ts_us_fn):
+    """Validate/normalize a range-aggregation spec: [(from, to) | {'from':
+    , 'to':}] with None = open side, from < to, ts bounds via the shared
+    ISO/epoch-µs normalizer. -> list[(lo, hi)] ints-or-None, or None if
+    malformed (the caller's ``bad_ranges``). Shared by the single-index
+    and federated engines."""
+    bounds: list[tuple[int | None, int | None]] = []
+    try:
+        for r in ranges:
+            if isinstance(r, dict):
+                r = (r.get("from"), r.get("to"))
+            if not isinstance(r, (list, tuple)) or len(r) != 2:
+                return None
+            lo, hi = (
+                None if v is None
+                else int(ts_us_fn(v)) if field == "ts"
+                else int(v)
+                for v in r
+            )
+            if lo is not None and hi is not None and lo >= hi:
+                return None
+            bounds.append((lo, hi))
+    except (TypeError, ValueError):
+        return None
+    return bounds
+
+
 def parse_kv_arg(s: str | None) -> dict | None:
     """CLI/HTTP decay syntax:
     ``origin=2026-01-02T00:00:00;scale=86400;shape=gauss;rate=0.5;offset=0``
@@ -2414,23 +2441,8 @@ class SearchEngine:
         if not isinstance(ranges, (list, tuple)) or not ranges \
                 or len(ranges) > self.MAX_AGG_RANGES:
             return {**self._resp(error="bad_ranges"), "data": empty}
-        bounds: list[tuple[int | None, int | None]] = []
-        try:
-            for r in ranges:
-                if isinstance(r, dict):
-                    r = (r.get("from"), r.get("to"))
-                if not isinstance(r, (list, tuple)) or len(r) != 2:
-                    raise ValueError
-                lo, hi = (
-                    None if v is None
-                    else int(self._ts_us(v)) if field == "ts"
-                    else int(v)
-                    for v in r
-                )
-                if lo is not None and hi is not None and lo >= hi:
-                    raise ValueError
-                bounds.append((lo, hi))
-        except (TypeError, ValueError):
+        bounds = parse_agg_ranges(ranges, field, self._ts_us)
+        if bounds is None:
             return {**self._resp(error="bad_ranges"), "data": empty}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": empty}

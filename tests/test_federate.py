@@ -94,6 +94,34 @@ def test_federated_decay_identical_to_monolithic(fed_env):
     assert fed.search("x", decay={"scale": 1.0})["error"] == "bad_decay"
 
 
+def test_federated_filters_and_boosting_identical(fed_env):
+    """exclude / ts bounds / boosting demotion are per-DOC surfaces —
+    a doc's lemmas and metadata live in its owning shard, so the
+    shard-local application merges identically to the monolithic
+    engine, including counts; composition (exclude + ts + negative in
+    one query) and the federation-level bad_negative guard hold."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    hot, mid = datagen.stem(0), datagen.stem(120)
+    cases = [
+        {"exclude": mid},
+        {"exclude": "wqxqzq"},                      # absent -> no-op
+        {"ts_min": "2026-01-01T05:00:00", "ts_max": "2026-01-02T16:00:00"},
+        {"negative": mid, "negative_boost": 0.25},
+        {"negative": "wqxqzq"},                     # absent -> no-op
+        {"negative": mid, "negative_boost": 1.0},   # bitwise no-op
+        {"exclude": datagen.stem(300), "ts_min": "2026-01-01T03:00:00",
+         "negative": mid, "negative_boost": 0.5},
+    ]
+    for kw in cases:
+        rm = mono.search(hot, limit=10, method="exhaustive", **kw)
+        rf = fed.search(hot, limit=10, **kw)
+        assert rf["count"] == rm["count"], kw
+        assert rf["data"].equals(rm["data"]), kw
+    assert fed.search(hot, negative="!!")["error"] == "bad_negative"
+    assert fed.search(hot, negative=mid, negative_boost=2.0)["error"] \
+        == "bad_negative"
+
+
 def test_federated_pagination_and_conjunctive(fed_env):
     mono, fed = fed_env["mono"], fed_env["fed"]
     hot = datagen.stem(0)
@@ -207,6 +235,18 @@ def test_federated_cli(fed_env):
     assert p.returncode == 0, p.stderr[-2000:]
     got = _json.loads(p.stdout.strip().splitlines()[-1])
     assert got["result"] and got["count"] == rm["count"]
+    # --negative at 1.0 is a no-op: same rows as the plain fsearch page
+    p = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "fsearch", hot,
+         "--outs", outs, "--limit", "5",
+         "--negative", datagen.stem(120), "--negative-boost", "1.0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    got = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert got["result"] and got["count"] == rm["count"]
+    for g, e in zip(got["data"], exp):
+        assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
 
 
 def test_federated_facets_identical_to_monolithic(fed_env):
@@ -262,6 +302,53 @@ def test_federated_filter_aggs_identical_to_monolithic(fed_env):
     assert fed.filters_agg({"x": "!!"})["error"] == "bad_filter"
     assert fed.adjacency_matrix({"a&b": "x"})["error"] == "bad_filter"
     assert fed.filters_agg(flt, scope="nope")["error"] == "bad_scope"
+
+
+def test_federated_value_aggs_identical_to_monolithic(fed_env):
+    """histogram / range_agg / percentile_ranks federate by ADDITIVE
+    per-shard merges (bucket counts, half-open-range tallies, n_le
+    predicate counts — all per-doc functions), pinned identical to the
+    monolithic tables including counts, empty matches, and guards."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    hot, mid = datagen.stem(0), datagen.stem(4000)
+    for q, kw in [(hot, {}), (mid, {}), (hot, {"scope": "user"}),
+                  (hot, {"field": "ts", "interval": 86_400_000_000}),
+                  ("wqxqzq", {})]:
+        hm = mono.histogram(q, **kw)
+        hf = fed.histogram(q, **kw)
+        assert hf["count"] == hm["count"], (q, kw)
+        assert hf["data"].equals(hm["data"]), (q, kw)
+    rngs = [(None, 8), (8, 16), (16, None), (4, 12)]
+    for q, kw in [(hot, {}), (hot, {"scope": "assistant"}), ("wqxqzq", {})]:
+        rm = mono.range_agg(q, rngs, **kw)
+        rf = fed.range_agg(q, rngs, **kw)
+        assert rf["count"] == rm["count"], (q, kw)
+        assert rf["data"].equals(rm["data"]), (q, kw)
+    vals = [0, 8, 16, 10_000]
+    for q in (hot, mid, "wqxqzq"):
+        pm = mono.percentile_ranks(q, vals)
+        pf = fed.percentile_ranks(q, vals)
+        assert pf["count"] == pm["count"], q
+        assert pf["data"].equals(pm["data"]), q
+    assert fed.histogram(hot, interval=0)["error"] == "bad_interval"
+    assert fed.range_agg(hot, [(9, 1)])["error"] == "bad_ranges"
+    assert fed.percentile_ranks(hot, [])["error"] == "bad_values"
+    assert fed.histogram(hot, field="nope")["error"] == "bad_field"
+
+
+def test_federated_mget_identical_to_monolithic(fed_env):
+    """Each doc lives in exactly one shard, so the per-slot found-row
+    merge reproduces the monolithic _mget response — order, misses,
+    texts, and the bad_docs guard."""
+    from search_engine_ray import datagen as dg
+
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    probes = dg.mget_probes()
+    rm, rf = mono.mget(probes), fed.mget(probes)
+    assert rf["count"] == rm["count"]
+    assert rf["data"].equals(rm["data"])
+    assert fed.mget([])["error"] == "bad_docs"
+    assert fed.mget([("x",)])["error"] == "bad_docs"
 
 
 def test_federated_dictionary_surfaces(fed_env):

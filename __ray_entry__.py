@@ -1318,6 +1318,33 @@ def _search_histogram(sf_dir: str):
     return df
 
 
+def _search_cardinality(sf_dir: str):
+    """Exact cardinality aggregation (ES ``cardinality``): per probe
+    and field, COUNT(DISTINCT value) over the matching set — conv /
+    role / tool / UTC day / doc_len / ts, hash-exact vs the SQL twin
+    (ES's HLL approximation is the corpus-scale sibling,
+    text_analysis.distinct_hll)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    rows = []
+    for q in datagen.cardinality_queries():
+        r = eng.cardinality(q["query_text"], fields=q["fields"],
+                            scope=q["scope"])
+        if not r["result"]:
+            continue
+        for row in r["data"].to_pylist():
+            rows.append({"query_id": q["query_id"], **row})
+    df = pd.DataFrame(rows, columns=["query_id", "field", "n_distinct",
+                                     "n_docs"])
+    for c in ("n_distinct", "n_docs"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def _search_mget(sf_dir: str):
     """Batch point fetch (ES _mget): request-ordered rows, misses echo
     the key with found=False; text equality per turn IS the north-rule
@@ -2842,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_query": _suggest_query,
         "search_boosted": _search_boosted,
         "search_histogram": _search_histogram,
+        "search_cardinality": _search_cardinality,
         "search_filters_agg": _search_filters_agg,
         "search_range_agg": _search_range_agg,
         "search_percentile_ranks": _search_percentile_ranks,
@@ -3086,6 +3114,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_histogram": lambda: oracle.histogram_sql(
             _corpus_src(), datagen.histogram_queries()
+        ),
+        "search_cardinality": lambda: oracle.cardinality_sql(
+            _corpus_src(), datagen.cardinality_queries()
         ),
         "search_filters_agg": lambda: oracle.filters_agg_sql(
             _corpus_src(), datagen.filters_agg_queries()

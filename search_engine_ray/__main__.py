@@ -207,6 +207,20 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--ts-max", default=None)
     mt.add_argument("--fields", default="doc_len,ts")
 
+    cd = sub.add_parser(
+        "cardinality", help="exact distinct-value counts over the "
+        "query's FULL matching set (ES cardinality aggregation): "
+        "conv / role / tool / day / doc_len / ts"
+    )
+    cd.add_argument("query")
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--scope", default=None)
+    cd.add_argument("--conjunctive", action="store_true")
+    cd.add_argument("--exclude", default=None)
+    cd.add_argument("--ts-min", default=None)
+    cd.add_argument("--ts-max", default=None)
+    cd.add_argument("--fields", default="conv")
+
     th = sub.add_parser(
         "tophits", help="top hits per bucket (ES top_hits under a terms "
         "bucket): the m best-scoring matching turns per role/tool value"
@@ -593,6 +607,25 @@ def main(argv: list[str] | None = None) -> int:
         resp = SearchEngine(a.out).facets(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max, by=a.by,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "cardinality":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).cardinality(
+            a.query, scope=a.scope, conjunctive=a.conjunctive,
+            exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
+            fields=a.fields,
         )
         print(
             json.dumps(

@@ -828,6 +828,23 @@ def histogram_queries() -> list[dict]:
     ]
 
 
+def cardinality_queries() -> list[dict]:
+    """Cardinality probes: every field over the ultra-hot set, a
+    scoped conv/day probe, a mid-term conv/tool probe, and an absent
+    lemma (empty)."""
+    q = [
+        (stem(0), "conv,role,tool,day,doc_len,ts", None),
+        (stem(2048), "conv,day", "assistant"),
+        (stem(4000), "conv,tool", None),
+        ("wqxqzq", "conv", None),
+    ]
+    return [
+        {"query_id": f"c-{i:04d}", "query_text": t, "fields": f,
+         "scope": s, "k": 10}
+        for i, (t, f, s) in enumerate(q)
+    ]
+
+
 def filters_agg_queries() -> list[dict]:
     """Filters-aggregation probes: independent named buckets over
     hot/mid/absent terms (the absent one pins the always-emitted zero

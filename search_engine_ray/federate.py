@@ -502,15 +502,91 @@ class FederatedEngine:
         the shard-present subset (union semantics — the shard-local
         missing-lemma rule must NOT apply), with the conjunctive rule
         requiring every term present on the shard."""
+        return self._shard_matching_codes(s, terms, scope, conjunctive)[0]
+
+    def _shard_matching_codes(self, s, terms, scope, conjunctive):
+        """``_shard_matching`` plus each doc's dense scope code (the
+        shard-LOCAL code space — cross-shard merges must decode codes to
+        VALUES before comparing)."""
         sterms = [
             (lem, df) for lem, df in terms
             if s._df_of(lem) is not None
             or (s._has_deltas and lem in s._delta_lemma)
         ]
         if not sterms or (conjunctive and len(sterms) < len(terms)):
-            return np.empty(0, np.int64)
-        uniq, _codes = s._matching_set(sterms, scope, conjunctive)
-        return uniq
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return s._matching_set(sterms, scope, conjunctive)
+
+    def cardinality(
+        self,
+        query_text: str,
+        fields=("conv",),
+        scope: str | None = None,
+        conjunctive: bool = False,
+    ) -> dict:
+        """Federated exact cardinality with two merge laws, both exact:
+        ``conv`` is OWNERSHIP-additive — the conv-hash split makes
+        conversations shard-disjoint, so per-shard distinct-conv counts
+        SUM; every other field merges by DISTINCT-SET union — the merge
+        ships each shard's distinct VALUES (decoded, never shard-local
+        codes), bounded by field cardinality for role/tool/day/doc_len.
+        For ``ts`` (distinct values ~ matching-set-sized) the scale
+        path is the HLL register merge (text_analysis.distinct_hll);
+        the exact union here is the small-federation sibling. Pinned
+        identical to the monolithic engine."""
+        from .search import CARDINALITY_SCHEMA, SearchEngine, split_docids
+
+        if isinstance(fields, str):
+            fields = tuple(v.strip() for v in fields.split(",") if v.strip())
+        fields = tuple(fields)
+        empty = CARDINALITY_SCHEMA.empty_table()
+        if not fields or not set(fields) <= set(SearchEngine.CARDINALITY_FIELDS):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_field"}
+        if not self.valid_scope(scope):
+            return {"result": False, "count": 0, "data": empty,
+                    "error": "bad_scope"}
+        terms, err = self._merged_terms(query_text)
+        if err:
+            ok = err == "no_results"
+            return {"result": ok, "count": 0, "data": empty,
+                    "error": None if ok else err}
+        want = set(fields)
+        total, conv_n = 0, 0
+        sets: dict[str, set] = {f: set() for f in want - {"conv"}}
+        for s in self.shards:
+            uniq, codes = self._shard_matching_codes(
+                s, terms, scope, conjunctive)
+            if not len(uniq):
+                continue
+            total += int(len(uniq))
+            if "conv" in want:
+                conv_n += int(len(np.unique(split_docids(uniq)[0])))
+            if "role" in want or "tool" in want:
+                pairs = s._code_pairs()
+                for c in np.unique(codes):
+                    if "role" in want:
+                        sets["role"].add(pairs[c][0])
+                    if "tool" in want:
+                        sets["tool"].add(pairs[c][1])
+            for f in ("day", "doc_len", "ts"):
+                if f in want:
+                    v = (s._dl_of_ids(uniq) if f == "doc_len"
+                         else s._ts_of_ids(uniq)).astype(np.int64)
+                    if f == "day":
+                        v = v // 86_400_000_000
+                    sets[f].update(np.unique(v).tolist())
+        if total == 0:
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        rows = sorted(
+            (f, conv_n if f == "conv" else len(sets[f])) for f in want
+        )
+        tbl = pa.table({
+            "field": pa.array([r[0] for r in rows], pa.string()),
+            "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
+            "n_docs": pa.array([total] * len(rows), pa.int64()),
+        })
+        return {"result": True, "count": total, "data": tbl, "error": None}
 
     def filters_agg(
         self,

@@ -3168,6 +3168,73 @@ FROM vals GROUP BY 1, 2
 """
 
 
+def cardinality_sql(src: str, queries: list[dict]) -> str:
+    """Exact-cardinality twin (the ES ``cardinality`` aggregation):
+    per (query, field), COUNT(DISTINCT value) over the matching set —
+    conv_id / role / tool (the stored ``''`` counts as a value on both
+    sides) / UTC epoch-day / doc_len / epoch-µs ts. Values compare as
+    VARCHAR (the CASE union type); distinctness is unaffected because
+    each field's int->text map is injective."""
+    qmeta, qlem = _queries_values(queries)
+    frows = ", ".join(
+        f"('{q['query_id']}', '{f}')"
+        for q in queries for f in q["fields"].split(",")
+    )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS dl
+    FROM __lem GROUP BY conv_id, turn_idx
+),
+meta AS (
+    SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us FROM {src}
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+fields AS (SELECT * FROM (VALUES {frows}) fl(query_id, field)),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matchd AS (
+    SELECT DISTINCT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+),
+counts AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM matchd GROUP BY 1
+),
+vals AS (
+    SELECT m.query_id, f.field,
+           CASE f.field
+                WHEN 'conv' THEN m.conv_id
+                WHEN 'role' THEN mt.role
+                WHEN 'tool' THEN mt.tool
+                WHEN 'day' THEN CAST(mt.ts_us // 86400000000 AS VARCHAR)
+                WHEN 'doc_len' THEN CAST(coalesce(dl.dl, 0) AS VARCHAR)
+                ELSE CAST(mt.ts_us AS VARCHAR) END AS v
+    FROM matchd m
+    JOIN fields f ON f.query_id = m.query_id
+    LEFT JOIN doclen dl ON dl.conv_id = m.conv_id AND dl.turn_idx = m.turn_idx
+    JOIN meta mt ON mt.conv_id = m.conv_id AND mt.turn_idx = m.turn_idx
+)
+SELECT v.query_id, v.field,
+       CAST(count(DISTINCT v.v) AS BIGINT) AS n_distinct,
+       c.n_docs
+FROM vals v JOIN counts c ON c.query_id = v.query_id
+GROUP BY 1, 2, 4
+"""
+
+
 def range_agg_sql(src: str, queries: list[dict]) -> str:
     """Range-aggregation twin (the ES ``range`` / ``date_range``
     shape): per query, matching-doc counts per half-open [from, to)

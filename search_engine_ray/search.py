@@ -2407,6 +2407,84 @@ class SearchEngine:
         return {"result": True, "count": int(len(uniq)), "data": tbl,
                 "error": None}
 
+    CARDINALITY_FIELDS = ("conv", "role", "tool", "day", "doc_len", "ts")
+
+    def _cardinality_values(self, uniq: np.ndarray, codes: np.ndarray,
+                            field: str) -> np.ndarray:
+        """The matching set's per-doc values for one cardinality field,
+        as int64 codes whose distinctness equals the surface value's
+        distinctness (role/tool ride the dense scope-code decode — the
+        code->value map is injective per axis only after decoding, so
+        each axis projects its own index stream)."""
+        if field == "conv":
+            return split_docids(uniq)[0]
+        if field in ("role", "tool"):
+            pairs = self._code_pairs()
+            vals = np.array(
+                [p[0] if field == "role" else p[1] for p in pairs],
+                dtype=object,
+            )[codes]
+            _, inv = np.unique(vals, return_inverse=True)
+            return inv.astype(np.int64)
+        v = (
+            self._dl_of_ids(uniq) if field == "doc_len"
+            else self._ts_of_ids(uniq)
+        ).astype(np.int64)
+        return v // 86_400_000_000 if field == "day" else v
+
+    def cardinality(
+        self,
+        query_text: str,
+        fields=("conv",),
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Distinct-value counts over the FULL matching set (the
+        Elasticsearch ``cardinality`` aggregation, exact): per field,
+        ``n_distinct`` = COUNT(DISTINCT value) among matching docs.
+        Fields: ``conv`` (conversations), ``role``/``tool`` (dense
+        scope-code decode — ``''`` is a value, matching SQL's
+        COUNT(DISTINCT) over the stored empty string), ``day`` (UTC
+        epoch-day of ts), ``doc_len``, ``ts``. Exactness is cheap here
+        because the values ride the same matching-set-sized frames
+        ``metrics``/``facets`` use; ES defaults to HLL approximation —
+        at corpus-sized standing aggregations the repo's HLL sibling is
+        ``text_analysis.distinct_hll`` (same sketch, register-merge).
+        Composes with every filtering surface. -> {'result', 'count',
+        'data': pa.Table(field, n_distinct, n_docs), 'error'}"""
+        if isinstance(fields, str):
+            fields = tuple(v.strip() for v in fields.split(",") if v.strip())
+        fields = tuple(fields)
+        empty = CARDINALITY_SCHEMA.empty_table()
+        if not fields or not set(fields) <= set(self.CARDINALITY_FIELDS):
+            return {**self._resp(error="bad_field"), "data": empty}
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max
+        )
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        rows = sorted(
+            (f, int(len(np.unique(self._cardinality_values(uniq, codes, f)))))
+            for f in set(fields)
+        )
+        tbl = pa.table({
+            "field": pa.array([r[0] for r in rows], pa.string()),
+            "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
+            "n_docs": pa.array([len(uniq)] * len(rows), pa.int64()),
+        })
+        return {"result": True, "count": int(len(uniq)), "data": tbl,
+                "error": None}
+
     MAX_AGG_RANGES = 100
 
     def range_agg(
@@ -4890,6 +4968,14 @@ COMPLETE_SCHEMA = pa.schema(
 HISTOGRAM_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+CARDINALITY_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("n_distinct", pa.int64()),
         ("n_docs", pa.int64()),
     ]
 )

@@ -25,6 +25,10 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   ``SearchEngine.metrics``: stats + exact nearest-rank percentiles of
   doc_len / epoch-µs ts over the query's FULL matching set (the ES
   ``stats`` / ``percentiles`` aggregations on a query).
+- ``GET /api/cardinality?query=...[&fields=conv,role][&site=][&conjunctive=1]
+  [&exclude=][&ts_min=&ts_max=]`` — ``SearchEngine.cardinality``: exact
+  distinct-value counts (ES ``cardinality`` aggregation) over the
+  matching set; fields conv / role / tool / day / doc_len / ts.
 - ``GET /api/tophits?query=...[&by=role|tool][&per_group=M]
   [&site=<scope>][&conjunctive=1][&exclude=...][&ts_min=&ts_max=]`` —
   ``SearchEngine.top_hits``: the M best-scoring matching turns per
@@ -382,6 +386,29 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
                     fields=(q.get("fields") or ["doc_len,ts"])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/cardinality":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].cardinality(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                    exclude=(q.get("exclude") or [None])[0],
+                    ts_min=(q.get("ts_min") or [None])[0],
+                    ts_max=(q.get("ts_max") or [None])[0],
+                    fields=(q.get("fields") or ["conv"])[0],
                 )
                 self._send(
                     200 if resp["result"] else 400,

@@ -177,6 +177,12 @@ def test_cli_build_search_stats(tiny_corpus, tmp_path):
     assert dl["v_min"] <= dl["p50"] <= dl["p90"] <= dl["p99"] <= dl["v_max"]
     assert dl["n_docs"] == mx["count"]
 
+    cd = _run(["cardinality", datagen.stem(0), "--out", out,
+               "--fields", "conv,role"])
+    assert cd["result"] and cd["count"] == r["count"]
+    assert [x["field"] for x in cd["data"]] == ["conv", "role"]
+    assert all(0 < x["n_distinct"] <= cd["count"] for x in cd["data"])
+
     th = _run(["tophits", datagen.stem(0), "--out", out, "--per-group", "2"])
     assert th["result"] and th["count"] == r["count"]
     for g in {x["group"] for x in th["data"]}:

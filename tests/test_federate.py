@@ -336,6 +336,24 @@ def test_federated_value_aggs_identical_to_monolithic(fed_env):
     assert fed.histogram(hot, field="nope")["error"] == "bad_field"
 
 
+def test_federated_cardinality_identical_to_monolithic(fed_env):
+    """conv cardinality merges by OWNERSHIP (conv-disjoint shards sum
+    their distinct-conv counts); every other field by distinct-VALUE
+    set union — both pinned identical to the monolithic engine."""
+    mono, fed = fed_env["mono"], fed_env["fed"]
+    hot, mid = datagen.stem(0), datagen.stem(4000)
+    flds = "conv,role,tool,day,doc_len,ts"
+    for q, kw in [(hot, {"fields": flds}), (mid, {"fields": flds}),
+                  (hot, {"fields": "conv,day", "scope": "user"}),
+                  ("wqxqzq", {"fields": "conv"})]:
+        cm = mono.cardinality(q, **kw)
+        cf = fed.cardinality(q, **kw)
+        assert cf["count"] == cm["count"], (q, kw)
+        assert cf["data"].equals(cm["data"]), (q, kw)
+    assert fed.cardinality(hot, fields="nope")["error"] == "bad_field"
+    assert fed.cardinality(hot, scope="nope")["error"] == "bad_scope"
+
+
 def test_federated_mget_identical_to_monolithic(fed_env):
     """Each doc lives in exactly one shard, so the per-slot found-row
     merge reproduces the monolithic _mget response — order, misses,

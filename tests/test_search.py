@@ -1957,6 +1957,52 @@ def test_histogram_errors(engine):
     assert engine.histogram("x", interval=0)["error"] == "bad_interval"
 
 
+def test_cardinality_vs_duckdb_oracle(engine, duck):
+    """Exact distinct counts per field == COUNT(DISTINCT ...) at
+    sf0.001 — conv / role / tool / day / doc_len / ts, with n_docs the
+    matching count on every row."""
+    probes = datagen.cardinality_queries()
+    sql = oracle.cardinality_sql(oracle.transcripts_rel("sf0.001"), probes)
+    exp = {
+        (r["query_id"], r["field"]): (r["n_distinct"], r["n_docs"])
+        for r in duck.execute(sql).fetch_arrow_table().to_pylist()
+    }
+    n = 0
+    for p in probes:
+        r = engine.cardinality(p["query_text"], fields=p["fields"],
+                               scope=p["scope"])
+        got = r["data"].to_pylist() if r["result"] else []
+        want_fields = sorted(set(p["fields"].split(",")))
+        if (p["query_id"], want_fields[0]) not in exp:
+            assert got == [] and r["count"] == 0
+            continue
+        assert [g["field"] for g in got] == want_fields
+        for g in got:
+            assert (g["n_distinct"], g["n_docs"]) == \
+                exp[(p["query_id"], g["field"])], (p["query_id"], g["field"])
+            assert g["n_docs"] == r["count"]
+            n += 1
+    assert n >= 9
+
+
+def test_cardinality_semantics(engine):
+    """ts distinctness bounds every other field; conv <= n_docs;
+    filter composition shrinks or holds each distinct count; guards."""
+    hot = datagen.stem(0)
+    r = engine.cardinality(hot, fields="conv,role,tool,day,doc_len,ts")
+    d = {g["field"]: g["n_distinct"] for g in r["data"].to_pylist()}
+    assert d["conv"] <= r["count"] and d["ts"] <= r["count"]
+    assert max(d["role"], d["tool"], d["day"], d["doc_len"]) <= d["ts"]
+    rs = engine.cardinality(hot, fields="conv", scope="user")
+    assert rs["data"].to_pylist()[0]["n_distinct"] <= d["conv"]
+    rx = engine.cardinality(hot, fields="conv", exclude=datagen.stem(120))
+    assert rx["data"].to_pylist()[0]["n_distinct"] <= d["conv"]
+    assert engine.cardinality(hot, fields="nope")["error"] == "bad_field"
+    assert engine.cardinality(hot, fields=())["error"] == "bad_field"
+    assert engine.cardinality(hot, scope="nope")["error"] == "bad_scope"
+    assert engine.cardinality("")["error"] == "empty_query"
+
+
 def test_range_agg_vs_duckdb_oracle(engine, duck):
     """Half-open [from, to) bucket counts == the SQL twin at sf0.001 —
     all requested buckets emitted in request order (zero included),

@@ -225,6 +225,20 @@ def test_metrics_endpoint(served):
     assert got["count"] == fc["count"]
 
 
+def test_cardinality_endpoint(served):
+    base, _ = served
+    hot = datagen.stem(0)
+    code, got = _get(f"{base}/api/cardinality?query={hot}&fields=conv,tool")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert [x["field"] for x in got["data"]] == ["conv", "tool"]
+    assert all(0 < x["n_distinct"] <= got["count"] for x in got["data"])
+    try:
+        _get(f"{base}/api/cardinality?query={hot}&fields=nope")
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_explain_endpoint(served):
     base, _ = served
     hot = datagen.stem(0)

@@ -1660,6 +1660,54 @@ def _search_export(sf_dir: str):
     return res.sort_values(["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+EXPORT_SLICES = 3
+
+
+def _search_export_sliced(sf_dir: str):
+    """Sliced matching-set export (the ES *sliced scroll*): each probe
+    exports S=3 slices independently (docid % S == slice_id), each row
+    tagged with its slice — the oracle recomputes the docid from its
+    public dense-rank formula, so the compare pins disjointness, the
+    union, AND the exact membership function per row."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    base = os.path.join("/tmp/seray_exports_sliced", tag)
+    frames = []
+    for q in datagen.export_queries():
+        for sl in range(EXPORT_SLICES):
+            dest = os.path.join(base, q["query_id"], str(sl))
+            shutil.rmtree(dest, ignore_errors=True)
+            r = eng.export(q["query_text"], dest, scope=q["scope"],
+                           slice_id=sl, slice_max=EXPORT_SLICES)
+            if not r["result"] or r["count"] == 0:
+                continue
+            t = pads.dataset(dest).to_table(
+                columns=["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+            )
+            df = t.to_pandas()
+            assert len(df) == r["count"]
+            df.insert(0, "slice_id", sl)
+            df.insert(0, "query_id", q["query_id"])
+            frames.append(df)
+    cols = ["query_id", "slice_id", "conv_id", "turn_idx", "role", "tool",
+            "ts", "text"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    res = pd.concat(frames, ignore_index=True)[cols]
+    res["slice_id"] = res["slice_id"].astype("int64")
+    return res.sort_values(
+        ["query_id", "conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 def _search_termvectors(sf_dir: str):
     """Per-document term statistics (the ES ``_termvectors`` API with
     term_statistics=true): per probe doc, every distinct lemma with its
@@ -2840,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_eval": _search_rank_eval,
         "search_termvectors": _search_termvectors,
         "search_export": _search_export,
+        "search_export_sliced": _search_export_sliced,
         "search_composite": _search_composite,
         "search_federated": _search_federated,
         "search_top_hits": _search_top_hits,
@@ -3026,6 +3075,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_export": lambda: oracle.export_sql(
             _corpus_src(), datagen.export_queries()
+        ),
+        "search_export_sliced": lambda: oracle.export_sliced_sql(
+            _corpus_src(), datagen.export_queries(), EXPORT_SLICES
         ),
         "search_composite": lambda: oracle.composite_sql(
             _corpus_src(), datagen.composite_queries()

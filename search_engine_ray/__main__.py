@@ -407,6 +407,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--columns", nargs="+", default=None,
                     help="project the exported schema (ES reindex "
                          "_source filtering); conv_id/turn_idx always ride")
+    ex.add_argument("--slice", default=None, metavar="I,MAX",
+                    help="sliced scroll: export only docs with "
+                         "docid %% MAX == I — slices are disjoint, "
+                         "union = full export, each re-runnable alone")
 
     tv = sub.add_parser(
         "termvectors", help="per-document term statistics (ES "
@@ -812,10 +816,18 @@ def main(argv: list[str] | None = None) -> int:
         _init_ray()  # the export scan is a Ray Data job over the sources
         from .search import SearchEngine
 
+        sl_id = sl_max = None
+        if a.slice is not None:
+            try:
+                sl_id, sl_max = (int(v) for v in a.slice.split(","))
+            except ValueError:
+                print(json.dumps({"result": False, "count": 0,
+                                  "path": a.dest, "error": "bad_slice"}))
+                return 1
         resp = SearchEngine(a.out).export(
             a.query, a.dest, scope=a.scope, conjunctive=a.conjunctive,
             exclude=a.exclude, ts_min=a.ts_min, ts_max=a.ts_max,
-            columns=a.columns,
+            columns=a.columns, slice_id=sl_id, slice_max=sl_max,
         )
         print(
             json.dumps(

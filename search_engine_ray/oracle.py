@@ -2916,6 +2916,56 @@ JOIN {src} s ON s.conv_id = m.conv_id AND s.turn_idx = m.turn_idx
 """
 
 
+def export_sliced_sql(src: str, queries: list[dict], slices: int) -> str:
+    """Sliced-export twin (the ES *sliced scroll*): the full export row
+    set PLUS each row's slice assignment ``docid % slices``, where the
+    docid is recomputed in SQL from its public formula — ``(dense rank
+    of conv_id over the WHOLE corpus's distinct conv_ids, 0-based) *
+    2^TURN_BITS + turn_idx`` (docid.py:33; the rank is over ALL corpus
+    conversations, matching or not — the build assigns ranks before any
+    query exists). Checking slice_id per row pins disjointness AND the
+    exact membership function, not just the union."""
+    from .config import TURN_BITS
+
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+convs AS (
+    SELECT conv_id,
+           dense_rank() OVER (ORDER BY conv_id) - 1 AS crank
+    FROM (SELECT DISTINCT conv_id FROM {src})
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope
+    FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matchd AS (
+    SELECT DISTINCT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+)
+SELECT m.query_id,
+       (c.crank * {1 << TURN_BITS} + s.turn_idx) % {int(slices)} AS slice_id,
+       s.conv_id, s.turn_idx, s.role, s.tool, s.ts, s.text
+FROM matchd m
+JOIN {src} s ON s.conv_id = m.conv_id AND s.turn_idx = m.turn_idx
+JOIN convs c ON c.conv_id = m.conv_id
+"""
+
+
 def composite_sql(src: str, queries: list[dict]) -> str:
     """Composite-aggregation twin (the ES ``composite`` shape): per
     query, the occurring (role, tool) pair buckets of the matching set

@@ -2060,12 +2060,25 @@ class SearchEngine:
         ts_min=None,
         ts_max=None,
         columns: list[str] | None = None,
+        slice_id: int | None = None,
+        slice_max: int | None = None,
     ) -> dict:
         """Matching-set export (the Elasticsearch scroll + reindex
         shape): stream EVERY turn whose doc matches the query to
         partitioned Parquet under ``dest`` — the corpus-slice
         extraction a training-data pipeline runs after retrieval-style
         filtering ("give me all turns mentioning X as a dataset").
+
+        ``slice_id``/``slice_max`` (both or neither; ``0 <= id < max``,
+        ``max >= 2``) select ONE slice of the matching set — the ES
+        *sliced scroll*: membership is ``docid % slice_max ==
+        slice_id``, a pure function of the deterministic docid, so the
+        S slices are disjoint, their union is exactly the full export,
+        and each can run (or RE-run, after a failure) in its own
+        process with no coordination — the resumable-parallel-extract
+        primitive for corpus-sized exports. Per-slice counts are
+        near-uniform because docids stripe conversations' turns across
+        residues.
 
         The matching docids come from the overlay-folded postings
         (gaps+scps decode — the ``facets`` frame, matching-set-sized);
@@ -2106,6 +2119,13 @@ class SearchEngine:
             return {**self._resp(error="dest_exists"), "path": dest}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "path": dest}
+        if (slice_id is None) != (slice_max is None):
+            return {**self._resp(error="bad_slice"), "path": dest}
+        if slice_max is not None and not (
+            isinstance(slice_id, int) and isinstance(slice_max, int)
+            and slice_max >= 2 and 0 <= slice_id < slice_max
+        ):
+            return {**self._resp(error="bad_slice"), "path": dest}
         terms, err = self.plan(query_text)
         if err == "empty_query":
             return {**self._resp(error="empty_query"), "path": dest}
@@ -2114,6 +2134,8 @@ class SearchEngine:
         uniq, _codes = self._matching_set(
             terms, scope, conjunctive, exclude, ts_min, ts_max
         )
+        if slice_max is not None and len(uniq):
+            uniq = uniq[(uniq % slice_max) == slice_id]
         if not len(uniq):
             return {"result": True, "count": 0, "path": dest, "error": None}
         convs = (

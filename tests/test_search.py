@@ -1742,6 +1742,60 @@ def test_export_matches_oracle_row_set(engine, duck, tmp_path):
         assert r["count"] == engine.search(p["query_text"], scope=p["scope"])["count"]
 
 
+def test_export_sliced(engine, tmp_path):
+    """ES sliced scroll: slices are disjoint, their union is exactly
+    the full export, every row satisfies docid % max == slice_id
+    (checked via the public docid formula on re-read rows), and a
+    re-run of one slice is independent of the others; guards."""
+    from search_engine_ray.config import TURN_BITS
+
+    q = datagen.stem(4000)
+    full = str(tmp_path / "full")
+    rf = engine.export(q, full)
+    whole = (
+        pads.dataset(full).to_table(columns=["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    parts, S = [], 3
+    for sl in range(S):
+        dest = str(tmp_path / f"s{sl}")
+        r = engine.export(q, dest, slice_id=sl, slice_max=S)
+        assert r["result"]
+        if r["count"] == 0:
+            continue
+        df = (
+            pads.dataset(dest).to_table(columns=["conv_id", "turn_idx"])
+            .to_pandas()
+        )
+        assert len(df) == r["count"]
+        df["slice"] = sl
+        parts.append(df)
+    import pandas as pd
+
+    got = pd.concat(parts, ignore_index=True)
+    assert len(got) == rf["count"] == len(whole)
+    key = got["conv_id"] + ":" + got["turn_idx"].astype(str)
+    assert key.is_unique  # disjoint
+    assert set(key) == set(whole["conv_id"] + ":" + whole["turn_idx"].astype(str))
+    # slice membership uses the rank over the full CORPUS conv set —
+    # read it from the build, not from the matching subset
+    from search_engine_ray.pipelines import build as build_mod
+
+    convs = build_mod._load_sorted_convs(engine.out_dir).to_pylist()
+    crank = {c: i for i, c in enumerate(convs)}
+    docids = got["conv_id"].map(crank).astype("int64") * (1 << TURN_BITS) \
+        + got["turn_idx"].astype("int64")
+    assert ((docids % S) == got["slice"]).all()
+    # re-run one slice alone -> identical rows
+    dest2 = str(tmp_path / "rerun")
+    r2 = engine.export(q, dest2, slice_id=1, slice_max=S)
+    assert r2["count"] == int((got["slice"] == 1).sum())
+    for bad in [(0, 1), (-1, 3), (3, 3), (1, None)]:
+        assert engine.export(
+            q, str(tmp_path / "bad"), slice_id=bad[0], slice_max=bad[1]
+        )["error"] == "bad_slice"
+
+
 def test_export_guards_and_filters(engine, tmp_path):
     d1 = str(tmp_path / "a")
     r = engine.export(datagen.stem(4000), d1)

@@ -2555,6 +2555,19 @@ def _text_dup_windows(sf_dir: str):
     return ta.dup_window_ratio(_documents_ds(sf_dir))
 
 
+def _text_line_dedup(sf_dir: str):
+    """Corpus-wide line-level dedup (the RefinedWeb/CCNet rewrite
+    transform): deterministic 8-word line-ification of the single-line
+    documents corpus, then keep only the globally-first occurrence of
+    every >= 15-char line; returns each doc's rewritten text with
+    line counts — text byte-equal to the SQL twin."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.line_dedup(
+        ta.lineify_words(_documents_ds(sf_dir))
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _text_heavy_hitters(sf_dir: str):
     """Exact top-k frequent tokens via two bounded-memory passes
     (Misra-Gries candidates -> exact recount, certified by the MG
@@ -2978,6 +2991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_collocations": _text_collocations,
         "text_heavy_hitters": _text_heavy_hitters,
         "text_dup_windows": _text_dup_windows,
+        "text_line_dedup": _text_line_dedup,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -3321,6 +3335,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_collocations": lambda: ta_mod.pmi_collocations_sql("documents"),
         "text_heavy_hitters": lambda: ta_mod.heavy_hitters_sql("documents"),
         "text_dup_windows": lambda: ta_mod.dup_window_ratio_sql("documents"),
+        "text_line_dedup": lambda: ta_mod.line_dedup_sql(
+            ta_mod.lineify_words_rel("documents")
+        ),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

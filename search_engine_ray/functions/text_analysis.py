@@ -2401,3 +2401,250 @@ SELECT {id_col}, n_windows, n_dup_windows,
        END AS dup_window_ratio
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (the RefinedWeb / CCNet line-dedup transform)
+# ---------------------------------------------------------------------------
+
+LINE_DEDUP_MIN_CHARS = 15
+_LINE_KEY_BITS = 32
+
+
+def _md5_bucket(h: pa.Array, nb: int) -> np.ndarray:
+    """Vectorized bucket from md5 hex digests: fixed 32-char rows ->
+    (n, 32) byte view, first 8 nibbles to an int, mod nb."""
+    hh = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    raw = np.frombuffer(hh.buffers()[2], np.uint8)
+    mat = raw[: 32 * len(hh)].reshape(-1, 32)[:, :8].astype(np.int64)
+    nib = np.where(mat >= 97, mat - 87, mat - 48)
+    return (nib @ (16 ** np.arange(7, -1, -1, dtype=np.int64))) % nb
+
+
+def line_dedup(
+    ds,
+    min_chars: int = LINE_DEDUP_MIN_CHARS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide line-level deduplication — the REWRITE transform of
+    RefinedWeb / CCNet line dedup (Penedo 2023 §3.3; CCNet's
+    paragraph-hash dedup, Wenzek 2020): a newline-delimited line
+    PARTICIPATES when ``len(line) >= min_chars``; among all corpus
+    occurrences of the same line (md5 key — the same exact-key
+    convention as ``exact_dedup``), only the globally-FIRST
+    (doc_id ASC, line_idx ASC) survives, and every other occurrence is
+    cut from its document. Short lines never dedup (cutting every
+    ``''`` or ``Yes.`` corpus-wide would shred documents — CCNet's
+    length floor). Docs whose every line is cut survive as empty text
+    (the caller's quality gate drops them — composition, not policy).
+    -> Dataset(id, text, n_lines, n_kept).
+
+    Shape — two LINE-sized exchanges; document text shuffles once:
+    (1) one explode map emits (bucket, h, key) for participating lines
+    only, ``key = doc_id << 32 | line_idx`` in one int64 (doc_id must
+    fit 31 bits, line_idx 32 — validated loudly, the dup_clusters
+    sentinel rule); a 1024-way md5-bucket groupby finds, per h, every
+    occurrence EXCEPT the min key (one lexsort inside the bucket; keys
+    are bucket-contained by construction) and emits only DROP rows —
+    state proportional to duplicated lines, not the corpus;
+    (2) drops + docs ride one tagged-union doc-bucket groupby and each
+    doc rewrites by masking its dropped line indices (one split + join
+    per doc — per-doc sequential string work, the BPE-encode note).
+    Nothing corpus-sized ever sits on the driver."""
+    from .dedup import _md5_col
+
+    nb = 1024
+    mc = int(min_chars)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError(
+                f"{id_col} outside [0, 2**31) — cannot pack line keys")
+        txt = pc.fill_null(batch.column(text_col), "")
+        lines = pc.split_pattern(txt, "\n")
+        lines = (
+            lines.combine_chunks() if isinstance(lines, pa.ChunkedArray)
+            else lines
+        )
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        if len(flat) and int(counts.max()) >= (1 << _LINE_KEY_BITS):
+            raise ValueError("line_idx outside [0, 2**32) — cannot pack")
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])) \
+            if len(counts) else np.empty(0, np.int64)
+        line_idx = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) >= mc
+        sel = pa.array(keep)
+        part = flat.filter(sel)
+        h = _md5_col(part)
+        key = (ids[doc_idx[keep]] << _LINE_KEY_BITS) | line_idx[keep]
+        return pa.table({
+            "kb": pa.array(_md5_bucket(h, nb), pa.int64()),
+            "h": h,
+            "key": pa.array(key, pa.int64()),
+        })
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        codes, _uq = pd.factorize(h, sort=False)
+        order = np.lexsort((key, codes))
+        first = np.empty(len(order), bool)
+        first[0:1] = True
+        np.not_equal(codes[order][1:], codes[order][:-1], out=first[1:])
+        dropped = key[order][~first]
+        return pa.table({
+            id_col: pa.array(dropped >> _LINE_KEY_BITS, pa.int64()),
+            "li": pa.array(dropped & ((1 << _LINE_KEY_BITS) - 1), pa.int64()),
+        })
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "db": pa.array(ids % nb, pa.int64()),
+            id_col: batch.column(id_col),
+            "li": batch.column("li"),
+            text_col: pa.array([None] * len(batch), pa.string()),
+        })
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "db": pa.array(ids % nb, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "li": pa.array(np.full(len(ids), -1), pa.int64()),
+            text_col: pc.fill_null(batch.column(text_col), ""),
+        })
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        li = group.column("li").to_numpy(zero_copy_only=False)
+        txt = group.column(text_col)
+        is_doc = li < 0
+        drops: dict[int, list[int]] = {}
+        for d, x in zip(ids[~is_doc].tolist(), li[~is_doc].tolist()):
+            drops.setdefault(d, []).append(x)
+        out_id, out_t, out_nl, out_nk = [], [], [], []
+        for j in np.flatnonzero(is_doc).tolist():
+            d = int(ids[j])
+            lines = (txt[j].as_py() or "").split("\n")
+            cut = set(drops.get(d, ()))
+            kept = [x for i, x in enumerate(lines) if i not in cut]
+            out_id.append(d)
+            out_t.append("\n".join(kept))
+            out_nl.append(len(lines))
+            out_nk.append(len(kept))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            text_col: pa.array(out_t, pa.string()),
+            "n_lines": pa.array(out_nl, pa.int64()),
+            "n_kept": pa.array(out_nk, pa.int64()),
+        })
+
+    drops_ds = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .map_batches(tag_drop, batch_format="pyarrow")
+    )
+    docs_ds = ds.map_batches(tag_doc, batch_format="pyarrow")
+    return (
+        docs_ds.union(drops_ds)
+        .groupby("db")
+        .map_groups(rewrite, batch_format="pyarrow")
+    )
+
+
+def lineify_words(ds, n: int = 8, text_col: str = "text"):
+    """Deterministic line-ification: re-join each doc's
+    space-separated words into newline-delimited lines of ``n`` words
+    (the pre-step that gives the single-line synthetic documents a
+    line structure for :func:`line_dedup`; SQL twin
+    :func:`lineify_words_rel`). Zero-shuffle map; the per-doc chunk
+    join is per-doc sequential string work."""
+    nn = int(n)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col), "")
+        out = []
+        for t in txt.to_pylist():
+            w = t.split(" ")
+            out.append("\n".join(
+                " ".join(w[i: i + nn]) for i in range(0, len(w), nn)
+            ))
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lineify_words_rel(src: str, n: int = 8, id_col: str = "doc_id") -> str:
+    """SQL relation (id, text) where each doc's words are re-joined
+    into newline-delimited lines of ``n`` words — the deterministic
+    line-ification the driver query applies to the single-line
+    documents corpus before line dedup (both engines share it)."""
+    return f"""(
+    WITH w AS (
+        SELECT {id_col},
+               unnest(string_split(coalesce(text, ''), ' ')) AS word,
+               generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS i
+        FROM {src}
+    ),
+    l AS (
+        SELECT {id_col}, (i - 1) // {int(n)} AS line_idx,
+               string_agg(word, ' ' ORDER BY i) AS line
+        FROM w GROUP BY 1, 2
+    )
+    SELECT {id_col}, string_agg(line, chr(10) ORDER BY line_idx) AS text
+    FROM l GROUP BY 1
+)"""
+
+
+def line_dedup_sql(
+    src: str,
+    min_chars: int = LINE_DEDUP_MIN_CHARS,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`line_dedup`: the same split / md5-key /
+    keep-globally-first (doc ASC, line_idx ASC) / rejoin pipeline in
+    SQL — ``row_number() OVER (PARTITION BY md5(line))`` is the
+    keep-first rule; short lines get rn=1 unconditionally (they never
+    participate). ``src`` is any (id, text) relation — compose with
+    :func:`lineify_words_rel` for the single-line documents corpus."""
+    return f"""
+WITH lines AS (
+    SELECT {id_col},
+           unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+           generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) - 1
+               AS line_idx
+    FROM {src}
+),
+ranked AS (
+    SELECT *,
+           CASE WHEN length(line) >= {int(min_chars)}
+                THEN row_number() OVER (
+                    PARTITION BY md5(line) ORDER BY {id_col}, line_idx)
+                ELSE 1 END AS rn
+    FROM lines
+),
+kept AS (SELECT * FROM ranked WHERE rn = 1),
+agg AS (
+    SELECT {id_col},
+           string_agg(line, chr(10) ORDER BY line_idx) AS text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY 1
+),
+nl AS (
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lines
+    FROM lines GROUP BY 1
+)
+SELECT n.{id_col}, coalesce(a.text, '') AS text, n.n_lines,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM nl n LEFT JOIN agg a ON a.{id_col} = n.{id_col}
+"""

@@ -1932,3 +1932,84 @@ def test_lm_score_crafted():
     assert rows[1]["n_tokens"] == 2 and abs(rows[1]["avg_logprob"] - round(exp1, 6)) <= 1e-9
     assert rows[2]["n_tokens"] == 0 and rows[2]["avg_logprob"] == 0.0
     assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] == 0.0
+
+
+# ------------------------------------------------------- line dedup
+
+
+def test_line_dedup_crafted_vs_oracle():
+    """Keep-globally-first semantics on crafted docs: within-doc dup
+    cut, cross-doc dup cut at the later (doc, line) key, short lines
+    immune, empty text survives as one (kept) empty line."""
+    import duckdb
+
+    from search_engine_ray.functions.text_analysis import (
+        line_dedup,
+        line_dedup_sql,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "the quick brown fox jumps\nshort\nthe quick brown fox jumps"
+            "\nunique first-doc line here",
+            "the quick brown fox jumps\nanother unique line here\nshort",
+            "",
+            "unique first-doc line here\nshort\nshort",
+        ],
+    })
+    got = (
+        line_dedup(rd.from_arrow(docs)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("crafted", docs)
+    exp = (
+        con.execute(line_dedup_sql("crafted")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    assert got[exp.columns.tolist()].equals(exp)
+    r = {x["doc_id"]: x for x in got.to_dict("records")}
+    assert r[0]["text"].count("the quick brown fox jumps") == 1
+    assert "the quick brown fox jumps" not in r[1]["text"]
+    assert r[3]["text"] == "short\nshort"  # cross-doc dup cut, shorts kept
+    assert (r[2]["text"], r[2]["n_lines"], r[2]["n_kept"]) == ("", 1, 1)
+
+
+def test_line_dedup_corpus_vs_oracle_and_block_invariance(docs_ds, fduck):
+    """The full lineified-documents pipeline == the SQL twin at
+    sf0.001 (text byte-equal), and the result is invariant to block
+    layout (the keep-first rule is a global property, not an
+    artifact of batch boundaries)."""
+    from search_engine_ray.functions.text_analysis import (
+        line_dedup,
+        line_dedup_sql,
+        lineify_words,
+        lineify_words_rel,
+    )
+
+    got = _assert_matches_oracle(
+        line_dedup(lineify_words(docs_ds)),
+        fduck,
+        line_dedup_sql(lineify_words_rel("documents")),
+    )
+    assert got.num_rows > 0
+    dropped = pa.compute.sum(
+        pa.compute.subtract(got.column("n_lines"), got.column("n_kept"))
+    ).as_py()
+    assert dropped > 0  # the synthetic corpus does contain dup lines
+    rechunked = line_dedup(lineify_words(docs_ds.repartition(7)))
+    a = _table(rechunked).sort_by([("doc_id", "ascending")])
+    assert a.equals(got.sort_by([("doc_id", "ascending")]))
+
+
+def test_line_dedup_guards():
+    from search_engine_ray.functions.text_analysis import line_dedup
+
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "text": ["x" * 20],
+    }))
+    with pytest.raises(Exception, match="doc_id outside"):
+        line_dedup(bad).to_pandas()

@@ -279,6 +279,42 @@ def _search_phrase(sf_dir: str):
     return df
 
 
+def _search_phrase_prefix(sf_dir: str):
+    """Match-phrase-prefix (mode='phrase_prefix', ES
+    match_phrase_prefix — search-as-you-type): the query's last token
+    expands to <= 32 vocabulary lemmas by the prefix cap rule and must
+    follow the fixed lemma phrase at consecutive positions; BM25 over
+    the fixed lemmas (the prefix slot filters)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.phrase_prefix_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="phrase_prefix")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_near(sf_dir: str):
     """Proximity (NEAR) queries (mode='near'): every distinct query
     lemma within a per-query window of consecutive surviving-token
@@ -2925,6 +2961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_vocab": _text_bpe_vocab,
         "pipeline_quality_mixture": _pipeline_quality_mixture,
         "search_phrase": _search_phrase,
+        "search_phrase_prefix": _search_phrase_prefix,
         "search_span_first": _search_span_first,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -3162,6 +3199,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_phrase": lambda: oracle.phrase_topk_sql(
             _corpus_src(), datagen.phrase_queries()
+        ),
+        "search_phrase_prefix": lambda: oracle.phrase_prefix_topk_sql(
+            _corpus_src(), datagen.phrase_prefix_queries()
         ),
         "search_span_first": lambda: oracle.span_first_topk_sql(
             _corpus_src(), datagen.span_first_queries()

@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--scope", default=None)
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--limit", type=int, default=10)
-    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "near", "prefix", "wildcard", "regexp", "fuzzy", "auto"], default="bm25")
+    s.add_argument("--mode", choices=["bm25", "reference", "phrase", "phrase_prefix", "near", "prefix", "wildcard", "regexp", "fuzzy", "auto"], default="bm25")
     s.add_argument("--near-window", type=int, default=8,
                    help="NEAR mode: max token-window width containing all query lemmas")
     s.add_argument("--in-order", action="store_true",

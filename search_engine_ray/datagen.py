@@ -567,6 +567,30 @@ def prefix_queries() -> list[dict]:
     ]
 
 
+def phrase_prefix_queries() -> list[dict]:
+    """match_phrase_prefix probes (search-as-you-type): the LAST token
+    is a prefix, the preceding tokens an exact phrase — hot bigram +
+    broad prefix, phrase + narrow prefix, inflected fixed slot,
+    full-lemma prefix, no-expansion prefix (count 0), absent fixed
+    lemma (count 0), scoped, trigram-fixed chain, and stopword noise
+    in the fixed part."""
+    q = [
+        (f"{stem(0)} {stem(1)[:4]}", None),            # hot + broad prefix
+        (f"{stem(1)} {stem(4000)[:5]}", None),         # narrow prefix
+        (f"{stem(2)}s {stem(0)[:4]}", None),           # inflected fixed slot
+        (f"{stem(0)} {stem(6500)}", None),             # full-lemma prefix
+        (f"{stem(0)} zz", None),                       # no expansion -> 0
+        (f"wqxqzq {stem(0)[:4]}", None),               # absent fixed -> 0
+        (f"{stem(1)} {stem(0)[:4]}", "assistant"),     # scoped
+        (f"{stem(0)} {stem(1)} {stem(2)[:4]}", None),  # trigram fixed
+        (f"The {stem(1)}, {stem(2)[:4]}", None),       # stopword + punct fold
+    ]
+    return [
+        {"query_id": f"pp-{i:04d}", "query_text": t, "scope": s, "k": 10}
+        for i, (t, s) in enumerate(q)
+    ]
+
+
 def near_ordered_queries() -> list[dict]:
     """Ordered-proximity (SpanNear in_order) probes: a hot ordered
     pair vs its REVERSE (different match sets — the order constraint at

@@ -184,6 +184,77 @@ def phrase_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0
     return _positional_topk_sql(src, match_branches, qmeta_rows, qterm_rows, k1, b)
 
 
+def phrase_prefix_topk_sql(src: str, queries: list[dict],
+                           max_expansion: int = 32,
+                           k1: float = 1.2, b: float = 0.75) -> str:
+    """Match-phrase-prefix twin (ES ``match_phrase_prefix``): the
+    PHRASE oracle's consecutive-position chain whose FINAL slot matches
+    ANY lemma of the last token's LIKE expansion — ranked (df DESC,
+    lemma ASC) and capped at ``max_expansion``, the engine's exact
+    ``expand_prefix`` rule, computed IN SQL over the same dictionary
+    (``prefix_topk_sql``'s expansion CTE). Scoring is BM25 over the
+    fixed distinct lemmas only (the prefix slot filters — the engine's
+    documented score_auto phrase-as-filter precedent)."""
+    match_branches: list[str] = []
+    qterm_rows: list[str] = []
+    qmeta_rows: list[str] = []
+    pfx_rows: list[str] = []
+    for q in queries:
+        toks = (q["query_text"] or "").split()
+        if len(toks) < 2:
+            continue
+        phrase = analyzer.analyze_phrase(" ".join(toks[:-1]))
+        norm = analyzer.normalize_text(toks[-1]).split()
+        if not phrase or not norm or len(norm[0]) < 2:
+            continue  # mirror the engine's bad_query / empty_query guards
+        qid = q["query_id"]
+        scope = "NULL" if q["scope"] is None else analyzer._sql_quote(q["scope"])
+        qmeta_rows.append(f"({analyzer._sql_quote(qid)}, {scope}, {q['k']})")
+        for lem in dict.fromkeys(phrase):
+            qterm_rows.append(
+                f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(lem)})"
+            )
+        pfx_rows.append(
+            f"({analyzer._sql_quote(qid)}, {analyzer._sql_quote(norm[0])})"
+        )
+        joins, conds = [], [f"p0.lemma = {analyzer._sql_quote(phrase[0])}"]
+        for j, lem in enumerate(phrase[1:], start=1):
+            joins.append(
+                f"JOIN __plem p{j} ON p{j}.conv_id = p0.conv_id "
+                f"AND p{j}.turn_idx = p0.turn_idx AND p{j}.pos = p0.pos + {j} "
+                f"AND p{j}.lemma = {analyzer._sql_quote(lem)}"
+            )
+        jl = len(phrase)
+        joins.append(
+            f"JOIN __plem p{jl} ON p{jl}.conv_id = p0.conv_id "
+            f"AND p{jl}.turn_idx = p0.turn_idx AND p{jl}.pos = p0.pos + {jl} "
+            f"JOIN __ppexp e ON e.query_id = {analyzer._sql_quote(qid)} "
+            f"AND e.lemma = p{jl}.lemma"
+        )
+        match_branches.append(
+            f"SELECT DISTINCT {analyzer._sql_quote(qid)} AS query_id, "
+            f"p0.conv_id, p0.turn_idx FROM __plem p0 {' '.join(joins)} "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    extra = ""
+    if pfx_rows:
+        extra = f"""__ppfx AS (
+    SELECT * FROM (VALUES {', '.join(pfx_rows)}) px(query_id, prefix)
+),
+__ppexp AS (
+    SELECT query_id, lemma FROM (
+        SELECT px.query_id, d.lemma,
+               row_number() OVER (
+                   PARTITION BY px.query_id ORDER BY d.df DESC, d.lemma
+               ) AS rk
+        FROM __ppfx px JOIN dict d ON d.lemma LIKE px.prefix || '%'
+    ) WHERE rk <= {max_expansion}
+)"""
+    return _positional_topk_sql(
+        src, match_branches, qmeta_rows, qterm_rows, k1, b, extra_ctes=extra
+    )
+
+
 def span_first_topk_sql(src: str, queries: list[dict],
                         k1: float = 1.2, b: float = 0.75) -> str:
     """Span-first twin (Lucene SpanFirstQuery over the phrase span):
@@ -319,9 +390,13 @@ def _positional_topk_sql(
     qterm_rows: list[str],
     k1: float,
     b: float,
+    extra_ctes: str = "",
 ) -> str:
     """Shared skeleton of the position-based oracles (phrase / near):
-    positions CTE + per-query match branches + BM25 scoring frame."""
+    positions CTE + per-query match branches + BM25 scoring frame.
+    ``extra_ctes`` (optional, comma-terminated handled here) is spliced
+    AFTER the ``dict`` CTE so expansion CTEs can rank by global df
+    (phrase_prefix's LIKE expansion)."""
     if not match_branches:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
@@ -352,6 +427,7 @@ corpus AS (
     FROM {src}
 ),
 dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+{extra_ctes + (',' if extra_ctes else '')}
 doclen AS (
     SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
 ),

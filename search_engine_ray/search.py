@@ -3752,6 +3752,31 @@ class SearchEngine:
         ids, scores = self._topk(matched, score, len(matched) if k is None else k)
         return ids, scores, len(matched)
 
+    def score_phrase_prefix(self, phrase: list[str], alts: list[str], k: int,
+                            scope: str | None = None):
+        """Match-phrase-prefix (the Elasticsearch ``match_phrase_prefix``
+        / Lucene MultiPhraseQuery rewrite): a doc matches iff the fixed
+        lemma sequence appears at consecutive positions with ANY of the
+        ``alts`` lemmas (the prefix expansion) at the following
+        position. The prefix slot FILTERS, the fixed lemmas SCORE —
+        ``score_auto``'s phrase-as-filter precedent keeps the score a
+        pure function of the fixed phrase, so typing one more prefix
+        character never re-ranks the already-typed words.
+
+        Returns ``(ids, scores, count)`` or ``None`` when a FIXED lemma
+        is absent (reference missing-lemma semantics; a dead expansion
+        lemma just drops from the alternatives)."""
+        got = self._phrase_matches(phrase, scope, last_alts=alts)
+        if got is None:
+            return None
+        matched, terms, data = got
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64), 0)
+        if not len(matched):
+            return empty
+        score = self._bm25_at(terms, data, matched, present=True)
+        ids, scores = self._topk(matched, score, len(matched) if k is None else k)
+        return ids, scores, len(matched)
+
     def _bm25_at(self, terms, data, matched: np.ndarray, present: bool = False):
         """BM25 sum over ``terms`` at the sorted docids ``matched``
         (df-asc term order — the deterministic summation order of every
@@ -3864,7 +3889,8 @@ class SearchEngine:
         return ids, scores, len(matched)
 
     def _phrase_matches(self, phrase: list[str], scope: str | None = None,
-                        within_first: int | None = None):
+                        within_first: int | None = None,
+                        last_alts: list[str] | None = None):
         """Match side of the phrase operator: ``(matched_docids, terms,
         data)`` with ``matched`` sorted, ``terms`` = distinct (lemma,
         effective df), ``data`` = full per-lemma decodes (chunk-memoized
@@ -3891,7 +3917,8 @@ class SearchEngine:
             if df is None:
                 return None  # reference semantics: missing lemma -> none
             terms.append((lem, df))
-        blocks = self._term_blocks(distinct, need_positions=True)
+        alts = [a for a in (last_alts or []) if a not in set(distinct)]
+        blocks = self._term_blocks(distinct + alts, need_positions=True)
         if self._has_deltas:
             terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
             if any(df == 0 for _, df in terms):
@@ -3904,6 +3931,21 @@ class SearchEngine:
             data[lem] = self._decode_term(
                 bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
             )
+        alive_alts: list[str] = []
+        if last_alts is not None:
+            # the final slot matches ANY of the alternative lemmas
+            # (match_phrase_prefix's expansion set). Dead alternatives
+            # (overlay-tombstoned) drop silently — unlike a missing
+            # FIXED lemma, one dead expansion doesn't kill the query.
+            for lem in dict.fromkeys(last_alts):
+                bl = blocks[lem]
+                if self._has_deltas and int(bl["cum_n"][-1]) == 0:
+                    continue
+                if lem not in data:
+                    data[lem] = self._decode_term(
+                        bl, 0, len(bl["first"]), bl.setdefault("chunks", {})
+                    )
+                alive_alts.append(lem)
 
         # candidate docids: AND over distinct lemmas, scope-masked
         lut = self._scope_lut(scope) if scope else None
@@ -3917,6 +3959,17 @@ class SearchEngine:
         empty = (np.empty(0, np.int64), terms, data)
         if cand is None or not len(cand):
             return empty
+        if last_alts is not None:
+            # shrink candidates to docs containing SOME alternative
+            # before any position work (the fixed slots' AND precedent);
+            # cand is already scope-masked by the fixed slots, so the
+            # union needs no LUT pass of its own
+            if not alive_alts:
+                return empty
+            union = np.unique(np.concatenate([data[a][0] for a in alive_alts]))
+            cand = np.intersect1d(cand, union, assume_unique=True)
+            if not len(cand):
+                return empty
 
         # adjacency: per slot j, keys (cand_idx << 32) | (pos - j).
         # Slots evaluate in ASCENDING-df order (intersection is
@@ -3950,6 +4003,40 @@ class SearchEngine:
                     + (cur & (shift - 1))
                 )
                 cand = cand[alive]
+        if last_alts is not None:
+            # the alternatives slot evaluates LAST — after every fixed
+            # slot has shrunk the candidates, each alternative gathers
+            # positions only for still-alive docs (a broad expansion
+            # pays shrunk-candidate position work, not expansion-df
+            # work). Keys across alternatives are naturally disjoint
+            # (one lemma per position), unioned and sorted once.
+            j = np.int64(len(phrase))
+            alt_parts = []
+            for lem in alive_alts:
+                docid, tf, _dl, _sc = data[lem]
+                if not len(docid):
+                    continue
+                pidx = np.searchsorted(docid, cand)
+                pc_ = np.clip(pidx, 0, len(docid) - 1)
+                hit = np.flatnonzero(docid[pc_] == cand)
+                if not len(hit):
+                    continue
+                sel = pc_[hit]
+                pos_flat = self._term_positions_full(blocks[lem], tf)
+                p = _take_pos_groups(pos_flat, tf, sel)
+                cnt = tf[sel].astype(np.int64)
+                cidx = np.repeat(hit.astype(np.int64), cnt)
+                ok = p >= j
+                alt_parts.append(cidx[ok] * shift + (p[ok] - j))
+            if not alt_parts:
+                return empty
+            keys = np.unique(np.concatenate(alt_parts))
+            if cur is None:
+                cur = keys
+            else:
+                cur = np.intersect1d(cur, keys, assume_unique=True)
+            if not len(cur):
+                return empty
         if within_first is not None:
             keep = (cur & (shift - 1)) <= np.int64(within_first - len(phrase))
             cur = cur[keep]
@@ -4351,6 +4438,43 @@ class SearchEngine:
                 return self._resp(error="empty_query")
             got = self.score_phrase(phrase, k, scope,
                                     within_first=within_first)
+            if got is None:
+                return self._resp(count=0)
+            ids, scores, count = got
+            ids, scores = ids[offset:], scores[offset:]
+            terms = [(lem, self._df_of(lem) or 0) for lem in dict.fromkeys(phrase)]
+            tbl = self._enrich(ids, scores, terms, with_snippets)
+            return {"result": True, "count": int(count), "data": tbl, "error": None}
+        if mode == "phrase_prefix":
+            # match-phrase-prefix (ES match_phrase_prefix — the
+            # search-as-you-type surface): the query's LAST whitespace
+            # token is a prefix that expands to at most
+            # PREFIX_MAX_EXPANSION vocabulary lemmas by the
+            # (df DESC, lemma ASC) cap rule (expand_prefix — mode
+            # 'prefix''s exact expansion, shared code, both dictionary
+            # regimes); the preceding tokens are an exact phrase, and a
+            # doc matches iff that fixed lemma sequence appears
+            # consecutively with ANY expansion lemma at the following
+            # position. The prefix slot filters, the fixed lemmas score
+            # (BM25) — a single-token query is mode='prefix''s job.
+            if not self.has_positions:
+                return self._resp(error="no_positions")
+            analyze_phrase = getattr(self._analyzer, "analyze_phrase", None)
+            if analyze_phrase is None:
+                return self._resp(error="no_positions")
+            toks = (query_text or "").split()
+            if len(toks) < 2:
+                return self._resp(error="bad_query")
+            phrase = analyze_phrase(" ".join(toks[:-1]))
+            if not phrase:
+                return self._resp(error="empty_query")
+            norm_last = analyzer.normalize_text(toks[-1]).split()
+            if not norm_last or len(norm_last[0]) < self.PREFIX_MIN_LEN:
+                return self._resp(error="empty_query")
+            exp = self.expand_prefix(norm_last[0])
+            if not exp:
+                return self._resp(count=0)
+            got = self.score_phrase_prefix(phrase, [l for l, _ in exp], k, scope)
             if got is None:
                 return self._resp(count=0)
             ids, scores, count = got

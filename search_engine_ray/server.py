@@ -3,7 +3,7 @@
 as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 
 - ``GET /api/search?query=...[&site=<scope>][&offset=N][&limit=N]
-  [&mode=bm25|reference|phrase|near|prefix|wildcard|regexp|fuzzy|auto][&window=W][&fuzzy=D][&within_first=N]
+  [&mode=bm25|reference|phrase|phrase_prefix|near|prefix|wildcard|regexp|fuzzy|auto][&window=W][&fuzzy=D][&within_first=N]
   [&after=<score>,<conv_id>,<turn_idx>][&snippets=1]
   [&collapse=M][&group=conv][&negative=...&negative_boost=0.5]
   [&decay=origin%3DISO%3Bscale%3DSECONDS[%3Bshape%3D...][%3Brate%3D...]]``

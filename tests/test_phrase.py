@@ -106,6 +106,128 @@ def test_phrase_oracle_parity(phrase_index, tiny_corpus, duck):
     assert not any(g[0] == "p-0005" for g in got)
 
 
+def test_phrase_prefix_ground_truth(phrase_index, tiny_corpus):
+    """mode='phrase_prefix' matches == direct scan: the fixed lemma
+    sequence followed by ANY lemma of the engine's capped prefix
+    expansion (the cap rule is part of the semantics, so truth uses
+    expand_prefix's own set)."""
+    tbl = pads.dataset(tiny_corpus).to_table()
+    rows = list(
+        zip(
+            tbl.column("conv_id").to_pylist(),
+            tbl.column("turn_idx").to_pylist(),
+            tbl.column("text").to_pylist(),
+        )
+    )
+    eng = SearchEngine(phrase_index)
+    for qtext in [
+        f"{datagen.stem(0)} {datagen.stem(1)[:4]}",
+        f"{datagen.stem(1)} {datagen.stem(0)[:4]}",
+    ]:
+        toks = qtext.split()
+        fixed = analyzer.analyze_phrase(" ".join(toks[:-1]))
+        exp = {l for l, _ in eng.expand_prefix(toks[-1])}
+        assert exp, qtext
+
+        def matches(text: str) -> bool:
+            seq = [analyzer.lemmatize_token(t) for t in analyzer.tokenize(text or "")]
+            m = len(fixed)
+            return any(
+                seq[i : i + m] == fixed and seq[i + m] in exp
+                for i in range(len(seq) - m)
+            )
+
+        truth = {(c, t) for c, t, x in rows if matches(x)}
+        r = eng.search(qtext, mode="phrase_prefix", limit=100_000)
+        assert r["result"], r
+        got = {(x["conv_id"], x["turn_idx"]) for x in r["data"].to_pylist()}
+        assert r["count"] == len(truth)
+        assert got == truth
+        assert len(truth) > 0  # the fixture corpus must exercise it
+
+
+def test_phrase_prefix_oracle_parity(phrase_index, tiny_corpus, duck):
+    """Engine phrase_prefix top-k frame == the DuckDB twin (phrase
+    chain + LIKE expansion capped (df DESC, lemma ASC) in SQL)."""
+    from search_engine_ray import oracle
+
+    src = "read_parquet([" + ", ".join(f"'{p}'" for p in tiny_corpus) + "])"
+    qs = datagen.phrase_prefix_queries()
+    eng = SearchEngine(phrase_index)
+    got = []
+    for q in qs:
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="phrase_prefix")
+        assert r["result"], (q, r)
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            got.append(
+                (q["query_id"], rank, row["conv_id"], row["turn_idx"],
+                 round(row["score"], 6))
+            )
+    exp = [
+        tuple(r)
+        for r in duck.execute(oracle.phrase_prefix_topk_sql(src, qs)).fetchall()
+    ]
+    assert sorted(got) == sorted(exp)
+    assert len(got) > 0
+    # the no-expansion and absent-fixed probes contributed nothing
+    assert not any(g[0] in ("pp-0004", "pp-0005") for g in got)
+
+
+def test_phrase_prefix_guards_and_score_semantics(phrase_index):
+    """Single-token query -> bad_query (mode='prefix''s job); short
+    prefix -> empty_query; the score is BM25 over the FIXED lemmas only
+    (prefix slot filters): every matched doc of 'stem0 <pfx>' scores
+    exactly its score under the pure single-term query at that doc."""
+    eng = SearchEngine(phrase_index)
+    assert eng.search("abc", mode="phrase_prefix")["error"] == "bad_query"
+    assert (
+        eng.search(f"{datagen.stem(0)} z", mode="phrase_prefix")["error"]
+        == "empty_query"
+    )
+    qtext = f"{datagen.stem(0)} {datagen.stem(1)[:4]}"
+    r = eng.search(qtext, mode="phrase_prefix", limit=100)
+    assert r["result"] and r["count"] > 0
+    base = eng.search(datagen.stem(0), mode="bm25", limit=100_000)
+    base_scores = {
+        (x["conv_id"], x["turn_idx"]): x["score"] for x in base["data"].to_pylist()
+    }
+    for x in r["data"].to_pylist():
+        assert x["score"] == base_scores[(x["conv_id"], x["turn_idx"])]
+
+
+def test_phrase_prefix_delta_rank_identity(
+    phrase_index, tiny_corpus, tmp_path_factory
+):
+    """phrase_prefix over base+delta == a full rebuild of the modified
+    corpus (positions + expansion dfs fold through the overlay)."""
+    mod_files, conv = datagen.modified_corpus("sf0.001")
+    rebuild = str(tmp_path_factory.mktemp("pprebuild"))
+    build.build_index(
+        BuildConfig(input_paths=mod_files, out_dir=rebuild, n_partitions=2)
+    )
+    eng_m = SearchEngine(rebuild)
+
+    dout = str(tmp_path_factory.mktemp("ppdelta"))
+    shutil.copytree(phrase_index, dout, dirs_exist_ok=True)
+    assert delta.reindex_conversations(dout, [conv], input_paths=mod_files)["result"]
+    eng_d = SearchEngine(dout)
+
+    def frame(eng, q):
+        r = eng.search(q, mode="phrase_prefix", limit=50)
+        assert r["result"]
+        return r["count"], [
+            (x["conv_id"], x["turn_idx"], round(x["score"], 9))
+            for x in r["data"].to_pylist()
+        ]
+
+    for q in [
+        f"{datagen.stem(0)} {datagen.stem(1)[:5]}",
+        f"{datagen.stem(3)} {datagen.stem(7)[:5]}",
+    ]:
+        assert frame(eng_d, q) == frame(eng_m, q)
+
+
 def test_phrase_delta_and_compaction_rank_identity(
     phrase_index, tiny_corpus, tmp_path_factory
 ):

@@ -315,6 +315,41 @@ def _search_phrase_prefix(sf_dir: str):
     return df
 
 
+def _search_dis_max(sf_dir: str):
+    """Disjunction-max compound queries (Lucene DisjunctionMaxQuery /
+    ES dis_max): per-sub disjunctive BM25 frames combined per doc as
+    max + tie_breaker * (sum - max) over the union matching set;
+    per-sub missing-lemma semantics."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.dis_max_queries():
+        r = eng.dis_max(q["queries"], tie_breaker=q["tie_breaker"],
+                        scope=q["scope"], limit=q["k"])
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_near(sf_dir: str):
     """Proximity (NEAR) queries (mode='near'): every distinct query
     lemma within a per-query window of consecutive surviving-token
@@ -2962,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_quality_mixture": _pipeline_quality_mixture,
         "search_phrase": _search_phrase,
         "search_phrase_prefix": _search_phrase_prefix,
+        "search_dis_max": _search_dis_max,
         "search_span_first": _search_span_first,
         "search_near": _search_near,
         "term_suggest": _term_suggest,
@@ -3202,6 +3238,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "search_phrase_prefix": lambda: oracle.phrase_prefix_topk_sql(
             _corpus_src(), datagen.phrase_prefix_queries()
+        ),
+        "search_dis_max": lambda: oracle.dis_max_topk_sql(
+            _corpus_src(), datagen.dis_max_queries()
         ),
         "search_span_first": lambda: oracle.span_first_topk_sql(
             _corpus_src(), datagen.span_first_queries()

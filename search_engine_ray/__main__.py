@@ -235,6 +235,18 @@ def main(argv: list[str] | None = None) -> int:
     th.add_argument("--ts-min", default=None)
     th.add_argument("--ts-max", default=None)
 
+    dx = sub.add_parser(
+        "dismax", help="disjunction-max compound query (Lucene "
+        "DisjunctionMaxQuery / ES dis_max): per-sub BM25 frames combined "
+        "per doc as max + tie_breaker*(sum - max) over the union"
+    )
+    dx.add_argument("queries", nargs="+", help="subquery texts")
+    dx.add_argument("--out", required=True)
+    dx.add_argument("--tie-breaker", type=float, default=0.0)
+    dx.add_argument("--scope", default=None)
+    dx.add_argument("--offset", type=int, default=0)
+    dx.add_argument("--limit", type=int, default=10)
+
     xp = sub.add_parser(
         "explain", help="per-term BM25 score breakdown for ONE document "
         "(ES _explain): (lemma, df, tf, dl, idf, weight) in plan order; "
@@ -668,6 +680,24 @@ def main(argv: list[str] | None = None) -> int:
             a.query, by=a.by, per_group=a.per_group, scope=a.scope,
             conjunctive=a.conjunctive, exclude=a.exclude,
             ts_min=a.ts_min, ts_max=a.ts_max,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "dismax":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).dis_max(
+            a.queries, tie_breaker=a.tie_breaker, scope=a.scope,
+            offset=a.offset, limit=a.limit,
         )
         print(
             json.dumps(

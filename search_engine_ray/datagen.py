@@ -591,6 +591,25 @@ def phrase_prefix_queries() -> list[dict]:
     ]
 
 
+def dis_max_queries() -> list[dict]:
+    """Disjunction-max probes: pure max (tb=0), mixed multi-term subs,
+    tb=1 (degenerates to the plain sum), an absent-lemma sub (drops —
+    the other sub still matches), a scoped probe, and three subs."""
+    q = [
+        ([stem(0), stem(1)], 0.0, None),                      # pure max
+        ([f"{stem(0)} {stem(1)}", stem(2)], 0.3, None),       # multi-term sub
+        ([stem(50), f"{stem(51)} {stem(52)}"], 1.0, None),    # tb=1 == sum
+        ([stem(0), f"wqxqzq {stem(1)}"], 0.5, None),          # absent sub drops
+        ([stem(1), stem(2)], 0.25, "user"),                   # scoped
+        ([stem(0), stem(1), stem(2)], 0.1, None),             # three subs
+    ]
+    return [
+        {"query_id": f"dm-{i:04d}", "queries": qs, "tie_breaker": tb,
+         "scope": s, "k": 10}
+        for i, (qs, tb, s) in enumerate(q)
+    ]
+
+
 def near_ordered_queries() -> list[dict]:
     """Ordered-proximity (SpanNear in_order) probes: a hot ordered
     pair vs its REVERSE (different match sets — the order constraint at

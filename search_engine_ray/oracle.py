@@ -147,6 +147,101 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def dis_max_topk_sql(src: str, probes: list[dict],
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Disjunction-max twin (Lucene DisjunctionMaxQuery / ES
+    ``dis_max``): per (probe, sub) the standard BM25 skeleton with the
+    PER-SUB missing-lemma gate (a sub with any absent lemma matches
+    nothing; the others still contribute), combined per doc as
+    ``max(s) + tie_breaker * (sum(s) - max(s))`` over the union of the
+    sub matching sets. ``tie_breaker`` is inlined repr-round-tripped
+    (the decay-constant rule); the compared score column is round-6
+    (SQL SUM order across subs is unspecified — the boosted 6-dp
+    protocol)."""
+    metas, subs, lems = [], [], []
+    for p in probes:
+        pid = p["query_id"]
+        scope = "NULL" if p["scope"] is None else analyzer._sql_quote(p["scope"])
+        tb = float(p["tie_breaker"])
+        metas.append(
+            f"({analyzer._sql_quote(pid)}, {scope}, {p['k']}, {tb!r})"
+        )
+        for si, qt in enumerate(p["queries"]):
+            lemmas = analyzer.analyze_query(qt or "")
+            subs.append(f"({analyzer._sql_quote(pid)}, {si}, {len(lemmas)})")
+            for lem in lemmas:
+                lems.append(
+                    f"({analyzer._sql_quote(pid)}, {si}, {analyzer._sql_quote(lem)})"
+                )
+    if not metas or not lems:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS query_id, CAST(NULL AS INT) AS rank, "
+            "CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS INT) AS turn_idx, "
+            "CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+        )
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+corpus AS (
+    SELECT count(*) AS n_docs,
+           (SELECT count(*) FROM __lem) * 1.0 / count(*) AS avgdl
+    FROM {src}
+),
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+roles AS (SELECT conv_id, turn_idx, role FROM {src}),
+qmeta AS (SELECT * FROM (VALUES {', '.join(metas)}) qm(query_id, scope, k, tb)),
+qsub AS (SELECT * FROM (VALUES {', '.join(subs)}) qs(query_id, sub_idx, n_terms)),
+qlem AS (SELECT * FROM (VALUES {', '.join(lems)}) ql(query_id, sub_idx, lemma)),
+qterm AS (
+    SELECT ql.query_id, ql.sub_idx, ql.lemma, d.df
+    FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+sub_ok AS (
+    SELECT qs.query_id, qs.sub_idx
+    FROM qsub qs
+    WHERE qs.n_terms > 0
+      AND qs.n_terms = (
+          SELECT count(*) FROM qterm t
+          WHERE t.query_id = qs.query_id AND t.sub_idx = qs.sub_idx
+      )
+),
+scored_sub AS (
+    SELECT t.query_id, t.sub_idx, p.conv_id, p.turn_idx,
+           sum(ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+               * (p.tf * ({k1} + 1.0))
+               / (p.tf + {k1} * (1.0 - {b} + {b} * dl.dl / c.avgdl))) AS score
+    FROM sub_ok s
+    JOIN qterm t ON t.query_id = s.query_id AND t.sub_idx = s.sub_idx
+    JOIN qmeta qm ON qm.query_id = s.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN doclen dl ON dl.conv_id = p.conv_id AND dl.turn_idx = p.turn_idx
+    JOIN roles r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    CROSS JOIN corpus c
+    WHERE qm.scope IS NULL OR r.role = qm.scope
+    GROUP BY t.query_id, t.sub_idx, p.conv_id, p.turn_idx
+),
+combined AS (
+    SELECT s.query_id, s.conv_id, s.turn_idx,
+           max(s.score) + qm.tb * (sum(s.score) - max(s.score)) AS score
+    FROM scored_sub s JOIN qmeta qm ON qm.query_id = s.query_id
+    GROUP BY s.query_id, s.conv_id, s.turn_idx, qm.tb
+),
+ranked AS (
+    SELECT query_id, conv_id, turn_idx, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, conv_id, turn_idx
+           ) AS rank
+    FROM combined
+)
+SELECT query_id, CAST(rank AS INT) AS rank, conv_id, turn_idx,
+       round(score, 6) AS score
+FROM ranked r
+WHERE rank <= (SELECT k FROM qmeta q WHERE q.query_id = r.query_id)
+"""
+
+
 def phrase_topk_sql(src: str, queries: list[dict], k1: float = 1.2, b: float = 0.75) -> str:
     """Per-query PHRASE top-k oracle: a doc matches iff the query's
     lemma sequence (shared ``analyzer.analyze_phrase``) appears at

@@ -1729,6 +1729,95 @@ class SearchEngine:
         })
         return {"result": True, "count": n, "data": tbl, "error": None}
 
+    DIS_MAX_MAX_QUERIES = 8
+
+    def dis_max(
+        self,
+        queries: list[str],
+        tie_breaker: float = 0.0,
+        scope: str | None = None,
+        offset: int = 0,
+        limit: int = DEFAULT_PAGE_SIZE,
+    ) -> dict:
+        """Disjunction-max compound query (Lucene DisjunctionMaxQuery /
+        the Elasticsearch ``dis_max`` compound): every subquery is a
+        standard disjunctive BM25 query evaluated on the exhaustive
+        frame; a doc's combined score is ``best_sub + tie_breaker *
+        (sum of its OTHER sub scores)`` — ``tie_breaker=0`` is the pure
+        best-field max, ``tie_breaker=1`` degenerates to the plain sum
+        of sub scores. The matching set is the UNION of the subquery
+        matching sets (the exact pre-pagination count).
+
+        Missing-lemma semantics are PER SUBQUERY: a sub containing any
+        corpus-absent lemma matches nothing (the reference rule applied
+        to that sub alone — ES: that clause simply has no matches) and
+        the other subs still contribute; a subquery that analyzes to no
+        lemmas at all is ``bad_dis_max`` (ES rejects an empty clause
+        body). Per-sub scores are the engine's exact BM25 float64s and
+        the combine accumulates sums in subquery order; the SQL twin's
+        SUM order is unspecified, so the driver-compared score column
+        is round-6 (the ``search_boosted`` 6-dp protocol)."""
+        if (
+            not isinstance(queries, (list, tuple))
+            or not 1 <= len(queries) <= self.DIS_MAX_MAX_QUERIES
+            or not all(isinstance(q, str) for q in queries)
+        ):
+            return self._resp(error="bad_dis_max")
+        try:
+            tb = float(tie_breaker)
+        except (TypeError, ValueError):
+            return self._resp(error="bad_dis_max")
+        if not (0.0 <= tb <= 1.0) or tb != tb:
+            return self._resp(error="bad_dis_max")
+        if not self.valid_scope(scope):
+            return self._resp(error="bad_scope")
+        sub_frames: list[tuple[np.ndarray, np.ndarray]] = []
+        all_terms: dict[str, int] = {}
+        for qt in queries:
+            lemmas = self._analyzer.analyze_query(qt or "")
+            if not lemmas:
+                return self._resp(error="bad_dis_max")
+            terms, ok = [], True
+            for lem in lemmas:
+                df = self._df_of(lem)
+                if df is None and self._has_deltas and lem in self._delta_lemma:
+                    df = 0
+                if df is None:
+                    ok = False
+                    break
+                terms.append((lem, df))
+            if ok and self._has_deltas:
+                blocks = self._term_blocks([t[0] for t in terms])
+                terms = [(lem, int(blocks[lem]["cum_n"][-1])) for lem, _ in terms]
+                ok = all(df > 0 for _, df in terms)
+            if not ok:
+                continue  # this sub matches nothing; others still count
+            terms = sorted(terms, key=lambda t: (t[1], t[0]))
+            ids_i, scores_i = self.score_exhaustive(terms, scope)
+            if len(ids_i):
+                sub_frames.append((ids_i, scores_i))
+            for lem, df in terms:
+                all_terms.setdefault(lem, df)
+        if not sub_frames:
+            return self._resp(count=0)
+        ids = np.concatenate([f[0] for f in sub_frames])
+        sc = np.concatenate([f[1] for f in sub_frames])
+        order = np.argsort(ids, kind="stable")
+        sids, ssc = ids[order], sc[order]
+        neq = np.empty(len(sids), bool)
+        neq[0] = True
+        np.not_equal(sids[1:], sids[:-1], out=neq[1:])
+        starts = np.flatnonzero(neq)
+        uniq = sids[starts]
+        sums = np.add.reduceat(ssc, starts)
+        maxs = np.maximum.reduceat(ssc, starts)
+        score = maxs + tb * (sums - maxs)
+        top_ids, top_sc = self._topk(uniq, score, offset + limit)
+        top_ids, top_sc = top_ids[offset:], top_sc[offset:]
+        terms_sorted = sorted(all_terms.items(), key=lambda t: (t[1], t[0]))
+        tbl = self._enrich(top_ids, top_sc, terms_sorted, False)
+        return {"result": True, "count": int(len(uniq)), "data": tbl, "error": None}
+
     def top_hits(
         self,
         query_text: str,

@@ -29,6 +29,7 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
   [&exclude=][&ts_min=&ts_max=]`` — ``SearchEngine.cardinality``: exact
   distinct-value counts (ES ``cardinality`` aggregation) over the
   matching set; fields conv / role / tool / day / doc_len / ts.
+- ``GET /api/disMax?q=<sub1>&q=<sub2>...[&tie=T][&site=<scope>][&offset=N][&limit=N]``
 - ``GET /api/tophits?query=...[&by=role|tool][&per_group=M]
   [&site=<scope>][&conjunctive=1][&exclude=...][&ts_min=&ts_max=]`` —
   ``SearchEngine.top_hits``: the M best-scoring matching turns per
@@ -409,6 +410,30 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     ts_min=(q.get("ts_min") or [None])[0],
                     ts_max=(q.get("ts_max") or [None])[0],
                     fields=(q.get("fields") or ["conv"])[0],
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/disMax":
+                # repeated &q= params are the subqueries
+                subs = q.get("q") or []
+                try:
+                    tb = float((q.get("tie") or ["0.0"])[0])
+                except ValueError:
+                    self._send(400, {"result": False, "error": "bad_dis_max"})
+                    return
+                resp = state["engine"].dis_max(
+                    subs,
+                    tie_breaker=tb,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    offset=int((q.get("offset") or ["0"])[0]),
+                    limit=int((q.get("limit") or ["10"])[0]),
                 )
                 self._send(
                     200 if resp["result"] else 400,

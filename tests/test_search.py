@@ -2446,3 +2446,72 @@ def test_export_column_projection(engine, tmp_path):
     assert t.num_rows == r["count"]
     assert engine.export("x", str(tmp_path / "bad"),
                          columns=["nope"])["error"] == "bad_columns"
+
+
+def test_dis_max_vs_duckdb_oracle(engine, duck):
+    """Disjunction-max top-k rank identity vs the SQL twin (per-sub
+    BM25 skeleton with per-sub missing-lemma gates, combined as
+    max + tb*(sum - max)) at sf0.001."""
+    dq = datagen.dis_max_queries()
+    sql = oracle.dis_max_topk_sql(oracle.transcripts_rel("sf0.001"), dq)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    for q in dq:
+        got = engine.dis_max(
+            q["queries"], tie_breaker=q["tie_breaker"],
+            scope=q["scope"], limit=q["k"],
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp), (q["query_id"], len(got), len(exp))
+        for rank, (g, e) in enumerate(zip(got, exp), start=1):
+            assert e["rank"] == rank
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert abs(round(g["score"], 6) - e["score"]) <= 2e-6, q["query_id"]
+    assert any(by_q.values())
+
+
+def test_dis_max_semantics(engine):
+    """Identities and guards: a single-sub dis_max is BITWISE the plain
+    search (max + tb*(sum-max) == s + tb*0.0); an absent-lemma sub
+    drops without affecting the others; the union count equals the
+    disjunctive BM25 count of the merged term set; tb=0 scores are a
+    lower bound of tb>0 scores per doc; malformed requests error."""
+    hot, second = datagen.stem(0), datagen.stem(1)
+    plain = engine.search(hot, method="exhaustive", limit=10)
+    for tb in (0.0, 0.5, 1.0):
+        solo = engine.dis_max([hot], tie_breaker=tb, limit=10)
+        assert solo["count"] == plain["count"]
+        for a, b in zip(solo["data"].to_pylist(), plain["data"].to_pylist()):
+            assert (a["conv_id"], a["turn_idx"]) == (b["conv_id"], b["turn_idx"])
+            assert a["score"] == b["score"]  # exact float64 equality
+
+    pair = engine.dis_max([hot, second], tie_breaker=0.3, limit=10)
+    with_absent = engine.dis_max([hot, second, f"wqxqzq {second}"],
+                                 tie_breaker=0.3, limit=10)
+    assert pair["count"] == with_absent["count"]
+    assert pair["data"].equals(with_absent["data"])
+
+    union = engine.search(f"{hot} {second}", method="exhaustive",
+                          limit=1)["count"]
+    assert pair["count"] == union
+
+    lo = engine.dis_max([hot, second], tie_breaker=0.0, limit=10)
+    hi = engine.dis_max([hot, second], tie_breaker=1.0, limit=10)
+    lo_s = {(x["conv_id"], x["turn_idx"]): x["score"]
+            for x in lo["data"].to_pylist()}
+    for x in hi["data"].to_pylist():
+        key = (x["conv_id"], x["turn_idx"])
+        if key in lo_s:
+            assert x["score"] >= lo_s[key] - 1e-12
+
+    assert engine.dis_max([], tie_breaker=0.0)["error"] == "bad_dis_max"
+    assert engine.dis_max([hot] * 9)["error"] == "bad_dis_max"
+    assert engine.dis_max([hot], tie_breaker=-0.1)["error"] == "bad_dis_max"
+    assert engine.dis_max([hot], tie_breaker=1.5)["error"] == "bad_dis_max"
+    assert engine.dis_max([hot, "..."])["error"] == "bad_dis_max"
+    assert engine.dis_max([hot], scope="nope")["error"] == "bad_scope"
+    assert engine.dis_max(["wqxqzq"], tie_breaker=0.0)["count"] == 0

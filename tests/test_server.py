@@ -478,3 +478,22 @@ def test_delete_by_query_endpoint(served):
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_dis_max_endpoint(served):
+    base, _ = served
+    hot, second = datagen.stem(0), datagen.stem(1)
+    code, got = _get(f"{base}/api/disMax?q={hot}&q={second}&tie=0.3&limit=5")
+    assert code == 200 and got["result"] and got["count"] > 0
+    assert len(got["data"]) <= 5
+    assert {"conv_id", "turn_idx", "score"} <= set(got["data"][0])
+    code2, single = _get(f"{base}/api/disMax?q={hot}&limit=5")
+    assert code2 == 200 and single["result"]
+    for bad_url in (f"{base}/api/disMax?q={hot}&tie=1.5",
+                    f"{base}/api/disMax?tie=0.2"):
+        try:
+            urllib.request.urlopen(bad_url)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["error"] == "bad_dis_max"

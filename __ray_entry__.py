@@ -2463,6 +2463,21 @@ def _text_quality(sf_dir: str):
     )
 
 
+def _text_gopher(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021 App. A1.1): the
+    published-threshold filter family (word count, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, required-stopword
+    hits) + the composite keep flag, one zero-shuffle vectorized map."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    cols = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "bullet_ratio", "ellipsis_ratio", "alpha_word_ratio",
+            "n_stop_hits", "gopher_keep"]
+    return _documents_ds(sf_dir).map_batches(
+        lambda b: ta.gopher_rules(b).select(cols), batch_format="pyarrow"
+    )
+
+
 def _text_lm_score(sf_dir: str):
     """Add-alpha bigram LM quality score (CCNet-style self-perplexity
     filtering signal) per document."""
@@ -3055,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_splits": _assign_splits,
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
+        "text_gopher": _text_gopher,
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_resample": _text_dsir_resample,
@@ -3403,6 +3419,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
+        "text_gopher": lambda: ta_mod.gopher_rules_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),

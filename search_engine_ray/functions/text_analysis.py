@@ -125,6 +125,152 @@ FROM {src}
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1)
+# ---------------------------------------------------------------------------
+
+# the paper's published document-filter thresholds, verbatim
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1       # '#' or '...' per word
+GOPHER_MAX_BULLET_RATIO = 0.9       # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3     # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8   # words containing >= 1 letter
+GOPHER_MIN_STOP_HITS = 2            # distinct required stop words present
+# the paper's 8-word required-stopword list
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_BULLET_RE = r"(?m)^[ \t]*[-*•‣▪]"
+_GOPHER_ELLIPSIS_RE = r"(?m)(\.\.\.|…)$"
+_GOPHER_ALPHA_WORD_RE = r"\S*[a-zA-Z]\S*"
+
+
+def gopher_rules(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021 App. A1.1) — the
+    published-threshold filter family a web-scale training pipeline
+    runs before any model-based scoring. One zero-shuffle vectorized
+    map (RE2 count kernels + integer arithmetic); every ratio is ONE
+    division of exact integer counts, so the SQL twin's doubles match
+    bitwise and the keep flags compare exactly (flags evaluate on the
+    UNROUNDED ratios; the emitted ratio columns are round-6 like the
+    other quality features).
+
+    Words are whitespace tokens (the paper's convention); mean word
+    length = non-whitespace chars / words; symbols are ``#`` and
+    non-overlapping ``...``; bullets/ellipses are per-LINE rules
+    ((?m) anchors); stop hits count DISTINCT members of the paper's
+    8-word list present as whole words."""
+    txt = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+    low = pc.utf8_lower(txt)
+
+    def cnt(arr, pattern):
+        return _count(arr, pattern).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    n_words = cnt(txt, WS_TOKEN_REGEX)
+    nonws_chars = (
+        pc.utf8_length(pc.replace_substring_regex(txt, r"\s", ""))
+        .cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    n_symbols = cnt(txt, "#") + cnt(txt, r"\.\.\.")
+    # 1 + newline count ('' is one line) — a LITERAL count, not an
+    # empty-match '(?m)^' scan (empty-match counting is the one spot
+    # where regex engines legitimately disagree)
+    n_lines = cnt(txt, r"\n") + 1
+    n_bullet = cnt(txt, _GOPHER_BULLET_RE)
+    n_ellipsis = cnt(txt, _GOPHER_ELLIPSIS_RE)
+    n_alpha_words = cnt(txt, _GOPHER_ALPHA_WORD_RE)
+    stop_hits = np.zeros(len(txt), np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_hits += (
+            pc.match_substring_regex(low, rf"\b{w}\b")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    dw = np.maximum(n_words, 1).astype(np.float64)
+    dl = np.maximum(n_lines, 1).astype(np.float64)
+    mean_wl = nonws_chars * 1.0 / dw
+    symbol_ratio = n_symbols * 1.0 / dw
+    bullet_ratio = n_bullet * 1.0 / dl
+    ellipsis_ratio = n_ellipsis * 1.0 / dl
+    alpha_ratio = n_alpha_words * 1.0 / dw
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio < GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio < GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_ratio > GOPHER_MIN_ALPHA_WORD_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    out = batch
+    for name, arr in (
+        ("n_words", pa.array(n_words)),
+        ("mean_word_len", pa.array(_round6(mean_wl))),
+        ("symbol_ratio", pa.array(_round6(symbol_ratio))),
+        ("bullet_ratio", pa.array(_round6(bullet_ratio))),
+        ("ellipsis_ratio", pa.array(_round6(ellipsis_ratio))),
+        ("alpha_word_ratio", pa.array(_round6(alpha_ratio))),
+        ("n_stop_hits", pa.array(stop_hits)),
+        ("gopher_keep", pa.array(keep)),
+    ):
+        if name in out.column_names:
+            out = out.set_column(out.column_names.index(name), name, arr)
+        else:
+            out = out.append_column(name, arr)
+    return out
+
+
+def gopher_rules_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`gopher_rules` — same RE2 patterns, same
+    single-division op order (integer counts * 1.0 / greatest(n, 1)),
+    keep flags on the unrounded ratios."""
+    txt = "coalesce(text, '')"
+    low = f"lower({txt})"
+    n_words = f"len(regexp_extract_all({txt}, '{WS_TOKEN_REGEX}'))"
+    nonws = f"length(regexp_replace({txt}, '\\s', '', 'g'))"
+    n_sym = (
+        f"(len(regexp_extract_all({txt}, '#'))"
+        f" + len(regexp_extract_all({txt}, '\\.\\.\\.')))"
+    )
+    n_lines = f"(1 + len(regexp_extract_all({txt}, '\\n')))"
+    n_bullet = f"len(regexp_extract_all({txt}, '{_GOPHER_BULLET_RE}'))"
+    n_ellipsis = f"len(regexp_extract_all({txt}, '{_GOPHER_ELLIPSIS_RE}'))"
+    n_alpha = f"len(regexp_extract_all({txt}, '{_GOPHER_ALPHA_WORD_RE}'))"
+    stop_hits = " + ".join(
+        f"CAST(regexp_matches({low}, '\\b{w}\\b') AS BIGINT)"
+        for w in GOPHER_STOPWORDS
+    )
+    dw, dl = f"greatest({n_words}, 1)", f"greatest({n_lines}, 1)"
+    r = QUALITY_ROUND
+    keep = (
+        f"({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS}"
+        f" AND {nonws} * 1.0 / {dw} >= {GOPHER_MIN_MEAN_WORD_LEN}"
+        f" AND {nonws} * 1.0 / {dw} <= {GOPHER_MAX_MEAN_WORD_LEN}"
+        f" AND {n_sym} * 1.0 / {dw} < {GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND {n_bullet} * 1.0 / {dl} < {GOPHER_MAX_BULLET_RATIO}"
+        f" AND {n_ellipsis} * 1.0 / {dl} < {GOPHER_MAX_ELLIPSIS_RATIO}"
+        f" AND {n_alpha} * 1.0 / {dw} > {GOPHER_MIN_ALPHA_WORD_RATIO}"
+        f" AND ({stop_hits}) >= {GOPHER_MIN_STOP_HITS})"
+    )
+    return f"""
+SELECT {id_col},
+       CAST({n_words} AS BIGINT) AS n_words,
+       round({nonws} * 1.0 / {dw}, {r}) AS mean_word_len,
+       round({n_sym} * 1.0 / {dw}, {r}) AS symbol_ratio,
+       round({n_bullet} * 1.0 / {dl}, {r}) AS bullet_ratio,
+       round({n_ellipsis} * 1.0 / {dl}, {r}) AS ellipsis_ratio,
+       round({n_alpha} * 1.0 / {dw}, {r}) AS alpha_word_ratio,
+       CAST({stop_hits} AS BIGINT) AS n_stop_hits,
+       {keep} AS gopher_keep
+FROM {src}
+"""
+
+
 def token_counts_sql(src: str, id_col: str = "doc_id") -> str:
     low = "lower(coalesce(text, ''))"
     return (

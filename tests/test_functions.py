@@ -2013,3 +2013,75 @@ def test_line_dedup_guards():
     }))
     with pytest.raises(Exception, match="doc_id outside"):
         line_dedup(bad).to_pandas()
+
+
+def test_gopher_rules_crafted_vs_oracle(fduck):
+    """Gopher quality rules (Rae et al. 2021 A1.1) on crafted texts
+    exercising EVERY branch: a clean keeper, too-short, mean-word-len
+    bounds, symbol (# / ...) ratio, bullet lines, ellipsis lines,
+    non-alpha words, missing required stopwords, null/empty text."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    keeper = " ".join(
+        ["the", "be", "to", "of", "and", "that", "have", "with"] * 7
+    )  # 56 words, all alpha, mean len ~3.2, no symbols
+    rows = [
+        keeper,                                          # 0: keep
+        "the be short doc",                              # 1: < 50 words
+        " ".join(["ab"] * 60) + " the be",               # 2: mean word len < 3
+        " ".join(["w" * 12] * 60) + " the be",           # 3: mean word len > 10
+        keeper + " " + " ".join(["#"] * 10),             # 4: symbol ratio >= 0.1
+        "\n".join(["- " + keeper[:20]] * 10) + "\n" + keeper,  # 5: bullets (10/11)
+        "\n".join([keeper[:30] + "..."] * 5) + "\n" + keeper,  # 6: ellipsis (5/6)
+        " ".join(["1234"] * 40) + " " + keeper,          # 7: alpha ratio <= 0.8
+        " ".join(["xray"] * 60),                         # 8: no stopwords
+        None,                                            # 9: null text
+        "",                                              # 10: empty
+        keeper + " line…\nmore " + keeper,               # 11: unicode ellipsis line
+    ]
+    t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+    fduck.register("gopher_docs", t)
+    cols = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "bullet_ratio", "ellipsis_ratio", "alpha_word_ratio",
+            "n_stop_hits", "gopher_keep"]
+    out = _assert_matches_oracle(
+        ta.gopher_rules(t).select(cols),
+        fduck,
+        ta.gopher_rules_sql("gopher_docs", id_col="doc_id"),
+    )
+    by = {r["doc_id"]: r for r in out.to_pylist()}
+    assert by[0]["gopher_keep"] is True
+    for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        assert by[i]["gopher_keep"] is False, i
+    assert by[1]["n_words"] == 4
+    assert by[4]["symbol_ratio"] >= 0.1
+    assert by[5]["bullet_ratio"] > 0.9
+    assert by[6]["ellipsis_ratio"] > 0.3
+    assert by[7]["alpha_word_ratio"] <= 0.8
+    assert by[8]["n_stop_hits"] == 0
+    assert by[9]["n_words"] == 0 and by[10]["n_words"] == 0
+    assert by[11]["ellipsis_ratio"] > 0.0  # unicode … counted as a line end
+
+
+def test_gopher_rules_corpus_vs_oracle(docs_ds, fduck):
+    """Full-corpus Gopher frame == the SQL twin over the documents
+    table (the driver query's exact shape), block-layout invariant."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    cols = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+            "bullet_ratio", "ellipsis_ratio", "alpha_word_ratio",
+            "n_stop_hits", "gopher_keep"]
+    _assert_matches_oracle(
+        docs_ds.map_batches(
+            lambda b: ta.gopher_rules(b).select(cols), batch_format="pyarrow"
+        ),
+        fduck,
+        ta.gopher_rules_sql("documents"),
+    )
+    _assert_matches_oracle(
+        docs_ds.repartition(7).map_batches(
+            lambda b: ta.gopher_rules(b).select(cols), batch_format="pyarrow"
+        ),
+        fduck,
+        ta.gopher_rules_sql("documents"),
+    )

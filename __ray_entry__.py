@@ -2478,6 +2478,16 @@ def _text_gopher(sf_dir: str):
     )
 
 
+def _text_winnow(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): per doc,
+    the rightmost-min md5 k-gram key of every w-window of consecutive
+    gram hashes — the guaranteed-coverage local fingerprint set corpus
+    dedup consumes; zero-shuffle map."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.winnow_fingerprints(_documents_ds(sf_dir))
+
+
 def _text_lm_score(sf_dir: str):
     """Add-alpha bigram LM quality score (CCNet-style self-perplexity
     filtering signal) per document."""
@@ -3071,6 +3081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": _text_token_counts,
         "text_quality": _text_quality,
         "text_gopher": _text_gopher,
+        "text_winnow": _text_winnow,
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_resample": _text_dsir_resample,
@@ -3420,6 +3431,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_gopher": lambda: ta_mod.gopher_rules_sql("documents"),
+        "text_winnow": lambda: ta_mod.winnow_fingerprints_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),

@@ -348,6 +348,178 @@ def fingerprint_sql(src: str, id_col: str = "doc_id") -> str:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # k-gram length (word tokens)
+WINNOW_W = 4  # winnowing window (guarantee threshold t = w + k - 1)
+
+
+def winnow_fingerprints(
+    ds,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS selector): md5 keys over word-token k-grams; in every
+    window of ``w`` consecutive k-gram hashes select the MINIMUM (ties
+    -> the RIGHTMOST occurrence, the paper's robust-winnowing rule),
+    deduplicated — any two documents sharing a token run of length
+    >= w + k - 1 are GUARANTEED to share a selected fingerprint, and
+    the density is ~2/(w+1) of all grams. A doc with fewer than ``w``
+    k-grams (but >= 1) emits its single global-min gram so short docs
+    stay fingerprintable.
+
+    Returns rows (id, pos, fp): 0-based k-gram start position over the
+    doc's word tokens + the full md5 hex key. One zero-shuffle
+    vectorized map (each row IS a document, so windows never cross
+    batch boundaries); the window minimum compares the first 16 hex
+    nibbles as uint64 — the SQL twin orders by ``substring(h, 1, 16)``,
+    the identical total preorder on fixed-width lowercase hex, with the
+    same rightmost tie-break, so even prefix collisions mirror.
+
+    Scale: selected fingerprints are the INPUT the corpus-level dedup
+    ops consume (bucket-groupby on fp — exact_dedup's shape); this op
+    itself ships nothing."""
+    from .dedup import _flat_word_tokens, _md5_col
+
+    k_, w_ = int(k), int(w)
+    if k_ < 1 or w_ < 1:
+        raise ValueError("winnow_fingerprints requires k >= 1 and w >= 1")
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        m = len(doc_idx)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.string()),
+            }
+        )
+        if m < k_:
+            return empty
+        span = m - k_ + 1
+        valid = doc_idx[:span] == doc_idx[k_ - 1 :]
+        if not valid.any():
+            return empty
+        sel_mask = pa.array(valid)
+        joined = pc.binary_join_element_wise(
+            *(flat.slice(j, span).filter(sel_mask) for j in range(k_)), " "
+        )
+        h = _md5_col(joined)
+        hh = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+        # first 16 nibbles -> uint64 comparison key (mirrors the twin's
+        # substring(h, 1, 16) lexicographic order exactly)
+        raw = np.frombuffer(hh.buffers()[2], np.uint8)
+        mat = raw[: 32 * len(hh)].reshape(-1, 32)[:, :16].astype(np.uint64)
+        nib = np.where(mat >= 97, mat - 87, mat - 48)
+        hk = nib @ (np.uint64(16) ** np.arange(15, -1, -1, dtype=np.uint64))
+        gdoc = doc_idx[:span][valid]  # batch-local doc index per gram
+        # gram position within its doc = global token offset - doc start
+        tok_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+        first_tok = np.full(len(ids), -1, np.int64)
+        first_tok[doc_idx[tok_starts]] = tok_starts
+        gpos = np.flatnonzero(valid) - first_tok[gdoc]
+
+        n = len(hk)
+        seg_starts = np.flatnonzero(np.diff(gdoc, prepend=-1))
+        seg_len = np.diff(np.append(seg_starts, n))
+        selected = []
+        if n >= w_:
+            win = np.lib.stride_tricks.sliding_window_view(hk, w_)
+            wvalid = gdoc[: n - w_ + 1] == gdoc[w_ - 1 :]
+            if wvalid.any():
+                # rightmost min: argmin over the REVERSED window
+                idx = w_ - 1 - np.argmin(win[:, ::-1], axis=1)
+                sel = np.arange(n - w_ + 1, dtype=np.int64) + idx
+                selected.append(np.unique(sel[wvalid]))
+        short = seg_len < w_
+        if short.any():
+            # short docs: the single global-min gram, rightmost tie
+            mins = np.minimum.reduceat(hk, seg_starts)
+            eq = hk == np.repeat(mins, seg_len)
+            pos_or = np.where(eq, np.arange(n, dtype=np.int64), -1)
+            last_eq = np.maximum.reduceat(pos_or, seg_starts)
+            selected.append(last_eq[short])
+        if not selected:
+            return empty
+        sel = np.unique(np.concatenate(selected))
+        return pa.table(
+            {
+                id_col: pa.array(ids[gdoc[sel]], pa.int64()),
+                "pos": pa.array(gpos[sel], pa.int64()),
+                "fp": hh.take(pa.array(sel)),
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow")
+
+
+def winnow_fingerprints_sql(
+    src: str, k: int = WINNOW_K, w: int = WINNOW_W, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`: chained-lead k-gram
+    text (the dup_window_ratio device) + the SAME md5 key; window
+    membership by a positional self-join, full windows only (HAVING
+    count = w), winner = row_number() over (ORDER BY substring(h,1,16)
+    ASC, pos DESC) — the engine's uint64-prefix key and rightmost
+    tie-break; short docs (< w grams) contribute their global min by
+    the same rank rule."""
+    leads = " || ' ' || ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY {id_col} ORDER BY i)"
+        for j in range(1, k)
+    )
+    gram_text = f"tok || ' ' || {leads}" if k > 1 else "tok"
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}')) AS tok,
+           generate_subscripts(regexp_extract_all(lower(coalesce(text, '')), '{WORD_REGEX}'), 1) AS i
+    FROM {src}
+),
+grams AS (
+    SELECT {id_col}, CAST(i - 1 AS BIGINT) AS pos, md5({gram_text}) AS h
+    FROM toks QUALIFY h IS NOT NULL
+),
+gcnt AS (SELECT {id_col}, count(*) AS ng FROM grams GROUP BY {id_col}),
+pairs AS (
+    SELECT g1.{id_col} AS {id_col}, g1.pos AS s, g2.pos AS pos, g2.h AS h
+    FROM grams g1
+    JOIN grams g2 ON g2.{id_col} = g1.{id_col}
+        AND g2.pos BETWEEN g1.pos AND g1.pos + {w - 1}
+),
+fullw AS (
+    SELECT {id_col}, s FROM pairs GROUP BY {id_col}, s HAVING count(*) = {w}
+),
+winner AS (
+    SELECT p.{id_col}, p.pos, p.h,
+           row_number() OVER (
+               PARTITION BY p.{id_col}, p.s
+               ORDER BY substring(p.h, 1, 16) ASC, p.pos DESC
+           ) AS rn
+    FROM pairs p JOIN fullw f ON f.{id_col} = p.{id_col} AND f.s = p.s
+),
+short_sel AS (
+    SELECT g.{id_col}, g.pos, g.h,
+           row_number() OVER (
+               PARTITION BY g.{id_col}
+               ORDER BY substring(g.h, 1, 16) ASC, g.pos DESC
+           ) AS rn
+    FROM grams g JOIN gcnt c ON c.{id_col} = g.{id_col}
+    WHERE c.ng < {w}
+)
+SELECT DISTINCT {id_col}, pos, h AS fp FROM winner WHERE rn = 1
+UNION
+SELECT {id_col}, pos, h AS fp FROM short_sel WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Language ID (n-gram/stopword heuristic) — rows-only oracle
 # ---------------------------------------------------------------------------
 

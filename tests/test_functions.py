@@ -2085,3 +2085,71 @@ def test_gopher_rules_corpus_vs_oracle(docs_ds, fduck):
         fduck,
         ta.gopher_rules_sql("documents"),
     )
+
+
+def test_winnow_crafted_vs_oracle_and_guarantee(fduck):
+    """Winnowing (Schleimer 2003): crafted docs pin the SQL twin, the
+    w+k-1 shared-substring guarantee, the rightmost-min tie rule (a
+    repeated gram ties with itself), short-doc fallback, density."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1 tokens
+    rows = [
+        f"one two three {shared} four five six",       # 0: shares with 1
+        f"{shared} nine ten eleven twelve thirteen",   # 1: shares with 0
+        "only three tokens here",                      # 2: 4 toks, 1 gram
+        "tok",                                         # 3: < k tokens, no grams
+        None,                                          # 4: null
+        "rep rep rep rep rep rep rep rep rep rep",     # 5: all grams identical
+    ]
+    t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+    fduck.register("winnow_docs", t)
+    import ray.data as rd
+
+    out = _assert_matches_oracle(
+        ta.winnow_fingerprints(rd.from_arrow(t)),
+        fduck,
+        ta.winnow_fingerprints_sql("winnow_docs"),
+    )
+    rows_out = out.to_pylist()
+    by_doc: dict[int, list] = {}
+    for r in rows_out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # guarantee: docs 0 and 1 share a 7-token run -> share a fingerprint
+    fp0 = {r["fp"] for r in by_doc[0]}
+    fp1 = {r["fp"] for r in by_doc[1]}
+    assert fp0 & fp1
+    # short doc (1 gram < w): exactly its one gram selected at pos 0
+    assert [(r["pos"]) for r in by_doc[2]] == [0]
+    # no-gram docs emit nothing
+    assert 3 not in by_doc and 4 not in by_doc
+    # all-identical grams: ONE fingerprint value; rightmost-min tie rule
+    # means each window selects its last slot -> every pos from w-1 on
+    assert len({r["fp"] for r in by_doc[5]}) == 1
+    assert sorted(r["pos"] for r in by_doc[5]) == [3, 4, 5, 6]
+    # density sanity: selections are a strict subset of all grams
+    assert len(by_doc[0]) < len(rows[0].split()) - 3
+
+
+def test_winnow_corpus_block_invariance(docs_ds, fduck):
+    """Full-corpus winnowing == the SQL twin, invariant under block
+    layout (each row is a doc, so windows never cross batches)."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    _assert_matches_oracle(
+        ta.winnow_fingerprints(docs_ds), fduck,
+        ta.winnow_fingerprints_sql("documents"),
+    )
+    _assert_matches_oracle(
+        ta.winnow_fingerprints(docs_ds.repartition(7)), fduck,
+        ta.winnow_fingerprints_sql("documents"),
+    )
+
+
+def test_winnow_guards():
+    from search_engine_ray.functions import text_analysis as ta
+
+    with pytest.raises(ValueError):
+        ta.winnow_fingerprints(None, k=0)
+    with pytest.raises(ValueError):
+        ta.winnow_fingerprints(None, w=0)

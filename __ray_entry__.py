@@ -1427,6 +1427,29 @@ def _search_mget(sf_dir: str):
     return eng.mget(datagen.mget_probes())["data"]
 
 
+def _search_extended_stats(sf_dir: str):
+    """Extended-stats aggregation (ES extended_stats) per integer field
+    (doc_len, epoch-µs ts) over the matching set: exact integer cores
+    (n/min/max + shift-by-min sum and square-sum as decimal strings);
+    derived avg/variance/std floats are response-only."""
+    import pyarrow as pa
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    eng = SearchEngine(_ensure_build(sf_dir))
+    parts = []
+    for q in datagen.matrix_stats_queries():
+        r = eng.extended_stats(q["query_text"], scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            continue
+        t = r["data"].select(
+            ["field", "n_docs", "vmin", "vmax", "sum_shift", "sumsq_shift"])
+        parts.append(t.add_column(
+            0, "query_id", pa.array([q["query_id"]] * t.num_rows, pa.string())))
+    return pa.concat_tables(parts)
+
+
 def _search_matrix_stats(sf_dir: str):
     """Matrix-stats aggregation (ES matrix_stats, doc_len x ts): exact
     integer cores over shift-by-min values — quadratic sums as decimal
@@ -3034,6 +3057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_range_agg": _search_range_agg,
         "search_percentile_ranks": _search_percentile_ranks,
         "search_matrix_stats": _search_matrix_stats,
+        "search_extended_stats": _search_extended_stats,
         "search_mget": _search_mget,
         "search_adjacency": _search_adjacency,
         "search_histogram_pipeline": _search_histogram_pipeline,
@@ -3300,6 +3324,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             _corpus_src(), datagen.percentile_ranks_queries()
         ),
         "search_matrix_stats": lambda: oracle.matrix_stats_sql(
+            _corpus_src(), datagen.matrix_stats_queries()
+        ),
+        "search_extended_stats": lambda: oracle.extended_stats_sql(
             _corpus_src(), datagen.matrix_stats_queries()
         ),
         "search_mget": lambda: (

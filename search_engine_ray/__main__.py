@@ -317,6 +317,15 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--scope", default=None)
     mx.add_argument("--conjunctive", action="store_true")
 
+    xs = sub.add_parser(
+        "extstats", help="extended stats per field (ES extended_stats): "
+        "n/min/max/avg/variance/std ± 2-sigma bounds over the matching set"
+    )
+    xs.add_argument("query")
+    xs.add_argument("--out", required=True)
+    xs.add_argument("--scope", default=None)
+    xs.add_argument("--conjunctive", action="store_true")
+
     al = sub.add_parser(
         "alias", help="index aliases (ES alias API): atomic name->index "
         "swap — rebuild into a fresh dir, repoint the serving name"
@@ -971,6 +980,23 @@ def main(argv: list[str] | None = None) -> int:
         from .search import SearchEngine
 
         resp = SearchEngine(a.out).matrix_stats(
+            a.query, scope=a.scope, conjunctive=a.conjunctive,
+        )
+        print(
+            json.dumps(
+                {
+                    "result": resp["result"],
+                    "count": resp["count"],
+                    "error": resp["error"],
+                    "data": resp["data"].to_pylist(),
+                },
+                default=str,
+            )
+        )
+    elif a.cmd == "extstats":
+        from .search import SearchEngine
+
+        resp = SearchEngine(a.out).extended_stats(
             a.query, scope=a.scope, conjunctive=a.conjunctive,
         )
         print(

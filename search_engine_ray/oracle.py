@@ -2681,6 +2681,71 @@ FROM shifted GROUP BY 1
 """
 
 
+def extended_stats_sql(src: str, queries: list[dict]) -> str:
+    """Extended-stats twin (ES ``extended_stats`` per field): exact
+    integer cores only — n/vmin/vmax + SHIFT-BY-MIN sum and square-sum
+    as DECIMAL STRINGS (the matrix_stats device); the engine's derived
+    avg/variance/std floats are response-only and absent here."""
+    qmeta, qlem = _queries_values(queries)
+    return f"""
+WITH {analyzer.postings_ctes_sql(src)},
+dict AS (SELECT lemma, count(*) AS df FROM __postings GROUP BY lemma),
+meta AS (
+    SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+           epoch_us(ts) AS ts_us
+    FROM {src}
+),
+doclen AS (
+    SELECT conv_id, turn_idx, count(*) AS dl FROM __lem GROUP BY conv_id, turn_idx
+),
+qmeta AS (SELECT * FROM {qmeta}),
+qlem AS (SELECT * FROM {qlem}),
+qterm AS (
+    SELECT ql.query_id, ql.lemma FROM qlem ql JOIN dict d ON ql.lemma = d.lemma
+),
+qok AS (
+    SELECT qm.query_id, qm.scope FROM qmeta qm
+    WHERE qm.n_terms > 0
+      AND qm.n_terms = (SELECT count(*) FROM qterm t WHERE t.query_id = qm.query_id)
+),
+matched AS (
+    SELECT q.query_id, p.conv_id, p.turn_idx
+    FROM qok q
+    JOIN qterm t ON t.query_id = q.query_id
+    JOIN __postings p ON p.lemma = t.lemma
+    JOIN meta r ON r.conv_id = p.conv_id AND r.turn_idx = p.turn_idx
+    WHERE q.scope IS NULL OR r.role = q.scope
+    GROUP BY 1, 2, 3
+),
+vals AS (
+    SELECT m.query_id,
+           CAST(d.dl AS BIGINT) AS xv, CAST(r.ts_us AS BIGINT) AS yv
+    FROM matched m
+    JOIN doclen d ON d.conv_id = m.conv_id AND d.turn_idx = m.turn_idx
+    JOIN meta r ON r.conv_id = m.conv_id AND r.turn_idx = m.turn_idx
+),
+shifted AS (
+    SELECT query_id, xv, yv,
+           xv - min(xv) OVER (PARTITION BY query_id) AS x,
+           yv - min(yv) OVER (PARTITION BY query_id) AS y
+    FROM vals
+)
+SELECT query_id, 'doc_len' AS field,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(xv) AS BIGINT) AS vmin, CAST(max(xv) AS BIGINT) AS vmax,
+       CAST(CAST(sum(x) AS HUGEINT) AS VARCHAR) AS sum_shift,
+       CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sumsq_shift
+FROM shifted GROUP BY query_id
+UNION ALL
+SELECT query_id, 'ts' AS field,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(yv) AS BIGINT) AS vmin, CAST(max(yv) AS BIGINT) AS vmax,
+       CAST(CAST(sum(y) AS HUGEINT) AS VARCHAR) AS sum_shift,
+       CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS sumsq_shift
+FROM shifted GROUP BY query_id
+"""
+
+
 def metrics_sql(src: str, queries: list[dict],
                 percentiles: tuple = (50, 90, 99)) -> str:
     """Stats + exact nearest-rank percentiles over the matching set

@@ -1662,6 +1662,69 @@ class SearchEngine:
         })
         return {"result": True, "count": n, "data": tbl, "error": None}
 
+    def extended_stats(
+        self,
+        query_text: str,
+        scope: str | None = None,
+        conjunctive: bool = False,
+        exclude: str | None = None,
+        ts_min=None,
+        ts_max=None,
+    ) -> dict:
+        """Extended-stats aggregation over the matching set (the
+        Elasticsearch ``extended_stats`` shape: count/min/max/avg/sum/
+        sum_of_squares/variance/std_deviation + the avg±2σ bounds) for
+        BOTH integer fields (doc_len, epoch-µs ts), one row per field.
+        The driver-hashed frame carries EXACT INTEGER cores only —
+        n/vmin/vmax plus SHIFT-BY-MIN sum and square-sum (variance is
+        shift-invariant and shifting keeps squared-µs sums inside
+        HUGEINT; the square sums travel as DECIMAL STRINGS, the
+        ``matrix_stats`` device) — while avg/variance/std/bounds ride
+        the response only (the percentile_ranks precedent). Composes
+        with every filtering surface via the shared ``_matching_set``
+        frame; the delta overlay folds through ``_dl_of_ids`` /
+        ``_ts_of_ids`` like ``metrics``."""
+        empty = EXT_STATS_SCHEMA.empty_table()
+        if not self.valid_scope(scope):
+            return {**self._resp(error="bad_scope"), "data": empty}
+        terms, err = self.plan(query_text)
+        if err == "empty_query":
+            return {**self._resp(error="empty_query"), "data": empty}
+        if err == "no_results":
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        uniq, _codes = self._matching_set(
+            terms, scope, conjunctive, exclude, ts_min, ts_max)
+        if not len(uniq):
+            return {"result": True, "count": 0, "data": empty, "error": None}
+        n = len(uniq)
+        rows: dict[str, list] = {k: [] for k in EXT_STATS_SCHEMA.names}
+        for field, vals in (
+            ("doc_len", self._dl_of_ids(uniq).astype(np.int64)),
+            ("ts", self._ts_of_ids(uniq).astype(np.int64)),
+        ):
+            vmin, vmax = int(vals.min()), int(vals.max())
+            sh = vals - vmin
+            s = int(sh.sum(dtype=object)) if n else 0
+            # arbitrary-precision Σ v², the matrix_stats exact_dot device
+            ss = sum(a * a for a in sh.tolist())
+            mean_sh = s / n
+            var = ss / n - mean_sh * mean_sh
+            std = math.sqrt(var) if var > 0 else 0.0
+            avg = vmin + mean_sh
+            rows["field"].append(field)
+            rows["n_docs"].append(n)
+            rows["vmin"].append(vmin)
+            rows["vmax"].append(vmax)
+            rows["sum_shift"].append(str(s))
+            rows["sumsq_shift"].append(str(ss))
+            rows["avg"].append(round(avg, 6))
+            rows["variance"].append(round(var, 6))
+            rows["std_deviation"].append(round(std, 6))
+            rows["std_upper"].append(round(avg + 2.0 * std, 6))
+            rows["std_lower"].append(round(avg - 2.0 * std, 6))
+        tbl = pa.table(rows, schema=EXT_STATS_SCHEMA)
+        return {"result": True, "count": n, "data": tbl, "error": None}
+
     MAX_RANK_VALUES = 100
 
     def percentile_ranks(
@@ -5234,6 +5297,22 @@ MGET_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("ts", pa.timestamp("us")),
         ("text", pa.string()),
+    ]
+)
+
+EXT_STATS_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("n_docs", pa.int64()),
+        ("vmin", pa.int64()),
+        ("vmax", pa.int64()),
+        ("sum_shift", pa.string()),
+        ("sumsq_shift", pa.string()),
+        ("avg", pa.float64()),
+        ("variance", pa.float64()),
+        ("std_deviation", pa.float64()),
+        ("std_upper", pa.float64()),
+        ("std_lower", pa.float64()),
     ]
 )
 

@@ -54,6 +54,7 @@ as a dependency-free stdlib ``http.server`` wrapper over the Python API:
 - ``GET /api/rangeAgg?query=...&ranges=<json [[from,to],...]>[&field=]``
   — custom-boundary bucket counts (ES ``range``/``date_range`` agg);
   ``null`` = open side, ``to`` exclusive, all buckets emitted.
+- ``GET /api/extendedStats?query=...[&site=]`` — per-field extended stats
 - ``GET /api/matrixStats?query=...[&site=]`` — doc_len x ts
   covariance/correlation over the matching set (ES ``matrix_stats``).
 - ``GET /api/mget?docs=<json [[conv,turn],...]>`` — batch point fetch
@@ -588,6 +589,25 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                     self._send(400, {"result": False, "error": "empty_query"})
                     return
                 resp = state["engine"].matrix_stats(
+                    query,
+                    scope=(q.get("site") or q.get("scope") or [None])[0],
+                    conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),
+                )
+                self._send(
+                    200 if resp["result"] else 400,
+                    {
+                        "result": resp["result"],
+                        "count": resp["count"],
+                        "error": resp["error"],
+                        "data": resp["data"].to_pylist(),
+                    },
+                )
+            elif u.path == "/api/extendedStats":
+                query = (q.get("query") or [""])[0]
+                if not query:
+                    self._send(400, {"result": False, "error": "empty_query"})
+                    return
+                resp = state["engine"].extended_stats(
                     query,
                     scope=(q.get("site") or q.get("scope") or [None])[0],
                     conjunctive=(q.get("conjunctive") or ["0"])[0] in ("1", "true"),

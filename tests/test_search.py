@@ -2515,3 +2515,54 @@ def test_dis_max_semantics(engine):
     assert engine.dis_max([hot, "..."])["error"] == "bad_dis_max"
     assert engine.dis_max([hot], scope="nope")["error"] == "bad_scope"
     assert engine.dis_max(["wqxqzq"], tie_breaker=0.0)["count"] == 0
+
+
+def test_extended_stats_vs_duckdb_oracle(engine, duck):
+    """Extended-stats integer cores == the SQL twin (per-field
+    shift-by-min sums, square sums as decimal strings) at sf0.001."""
+    qs = datagen.matrix_stats_queries()
+    sql = oracle.extended_stats_sql(oracle.transcripts_rel("sf0.001"), qs)
+    exp = {
+        (r["query_id"], r["field"]): r
+        for r in duck.execute(sql).fetch_arrow_table().to_pylist()
+    }
+    n_checked = 0
+    for q in qs:
+        r = engine.extended_stats(q["query_text"], scope=q["scope"])
+        if not r["result"] or r["data"].num_rows == 0:
+            assert not any(k[0] == q["query_id"] for k in exp)
+            continue
+        for row in r["data"].to_pylist():
+            e = exp[(q["query_id"], row["field"])]
+            for c in ("n_docs", "vmin", "vmax", "sum_shift", "sumsq_shift"):
+                assert row[c] == e[c], (q["query_id"], row["field"], c)
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_extended_stats_semantics(engine):
+    """Cores match a direct numpy recomputation on the matching set;
+    derived floats are consistent; filters compose; guards error."""
+    hot = datagen.stem(0)
+    r = engine.extended_stats(hot)
+    assert r["result"] and r["data"].num_rows == 2
+    rows = {x["field"]: x for x in r["data"].to_pylist()}
+    terms, err = engine.plan(hot)
+    assert err is None
+    uniq, _ = engine._matching_set(terms, None, False, None, None, None)
+    dl = engine._dl_of_ids(uniq).astype(np.int64)
+    row = rows["doc_len"]
+    assert row["n_docs"] == len(dl) == r["count"]
+    assert row["vmin"] == dl.min() and row["vmax"] == dl.max()
+    sh = (dl - dl.min()).tolist()
+    assert int(row["sum_shift"]) == sum(sh)
+    assert int(row["sumsq_shift"]) == sum(v * v for v in sh)
+    assert abs(row["variance"] - float(np.var(np.array(sh)))) <= 1e-6
+    assert row["std_lower"] <= row["avg"] <= row["std_upper"]
+    ts_row = rows["ts"]
+    assert ts_row["n_docs"] == r["count"] and ts_row["vmax"] >= ts_row["vmin"]
+    scoped = engine.extended_stats(hot, scope="user")
+    assert scoped["result"] and scoped["count"] <= r["count"]
+    assert engine.extended_stats("...")["error"] == "empty_query"
+    assert engine.extended_stats(hot, scope="nope")["error"] == "bad_scope"
+    assert engine.extended_stats("wqxqzq")["count"] == 0

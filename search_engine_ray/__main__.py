@@ -62,6 +62,19 @@ def main(argv: list[str] | None = None) -> int:
                         "one index per shard under OUT/idx<i> (serve with "
                         "fsearch --outs); 1 = a single monolithic index")
 
+    sp = sub.add_parser(
+        "split", help="split every shard by a factor (ES _split index "
+        "API): N -> N*factor shards under DEST, routing stays "
+        "md5(conv) %% new_n (a consistent refinement — each old shard "
+        "re-splits only its OWN stored slice); source shards must be "
+        "generation-free (compact first)"
+    )
+    sp.add_argument("--root", required=True, help="existing sharded deployment root")
+    sp.add_argument("--shards", type=int, required=True, help="current shard count")
+    sp.add_argument("--dest", required=True, help="new deployment root")
+    sp.add_argument("--factor", type=int, default=2)
+    sp.add_argument("--partitions", type=int, default=2)
+
     s = sub.add_parser("search", help="BM25 top-k query (search analog)")
     s.add_argument("query")
     s.add_argument("--out", default=None)
@@ -565,6 +578,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"state": "STOPPED", "error": str(e)}))
             return 1
         print(json.dumps({"state": m["state"], "stats": m["stats"], "timings": m["timings"]}))
+    elif a.cmd == "split":
+        _init_ray()
+        from .pipelines.shard import split_shards
+
+        r = split_shards(
+            a.root, a.shards, a.dest, factor=a.factor,
+            n_partitions=a.partitions,
+        )
+        print(json.dumps({
+            "result": r["result"], "n_shards": r["n_shards"],
+            "shard_outs": r["shard_outs"], "built": r["built"],
+            "error": r["error"],
+        }))
+        return 0 if r["result"] else 1
     elif a.cmd == "search":
         from .search import (
             SearchEngine, parse_boosts_arg, parse_kv_arg, parse_synonyms_arg,

@@ -223,6 +223,80 @@ def compact_sharded(out_root: str, n_shards: int, *, resume: bool = False,
     return {"result": True, "compacted": done, "error": None}
 
 
+def split_shards(
+    out_root: str,
+    n_shards: int,
+    dest_root: str,
+    factor: int = 2,
+    n_partitions: int = 2,
+    concurrency: int = 2,
+    resume: bool = True,
+) -> dict:
+    """Split every shard by ``factor`` (the Elasticsearch ``_split``
+    index API at the deployment level): n_shards -> n_shards*factor
+    under ``dest_root``, with the global routing rule staying
+    ``md5(conv) % new_n`` — a CONSISTENT refinement, because
+    ``m % N == i`` implies ``m % (N*f) ∈ {i, i+N, …, i+(f-1)N}``, so
+    each old shard's stored corpus slice maps exactly onto ``f`` new
+    shards and the split reads ONLY that slice (blast radius = one
+    shard; never a full-corpus pass — the property that makes resharding
+    survivable at 10^12 turns). Per old shard: one Ray Data re-split
+    pass over its ``corpus/shard=<i>`` files with the new-n assigner,
+    then independent new-shard builds (DONE-skip resume at both levels,
+    like ``build_sharded``). Old shards must be generation-free (ES
+    requires the split source read-only) — compact first.
+    -> {'result', 'n_shards' (new), 'shard_outs', 'built', 'error'}"""
+    if n_shards < 1 or int(factor) < 2:
+        return {"result": False, "n_shards": 0, "shard_outs": [],
+                "built": [], "error": "bad_factor"}
+    from . import delta as delta_mod
+
+    factor = int(factor)
+    new_n = n_shards * factor
+    old_corpus = os.path.join(out_root, "corpus")
+    for i in range(n_shards):
+        old_out = os.path.join(out_root, f"idx{i}")
+        if os.path.isdir(old_out) and delta_mod.list_generations(old_out):
+            return {"result": False, "n_shards": 0, "shard_outs": [],
+                    "built": [],
+                    "error": f"shard {i} has pending delta generations"
+                             " — compact before splitting"}
+    dest_corpus = os.path.join(dest_root, "corpus")
+    for i in range(n_shards):
+        sd = os.path.join(old_corpus, f"shard={i}")
+        if not os.path.isdir(sd):
+            continue  # empty shard: nothing to re-split
+        children = [os.path.join(dest_corpus, f"shard={i + t * n_shards}")
+                    for t in range(factor)]
+        if resume and any(os.path.isdir(c) for c in children):
+            continue  # this shard's re-split already landed
+        files = sorted(
+            os.path.join(sd, f) for f in os.listdir(sd)
+            if f.endswith(".parquet")
+        )
+        split_corpus(files, dest_corpus, new_n)
+    shard_outs, built = [], []
+    for j in range(new_n):
+        sd = os.path.join(dest_corpus, f"shard={j}")
+        if not os.path.isdir(sd):
+            continue
+        out = os.path.join(dest_root, f"idx{j}")
+        m = load_json(build_mod.build_manifest_path(out))
+        if not (resume and m and m.get("state") == "DONE"):
+            files = sorted(
+                os.path.join(sd, f) for f in os.listdir(sd)
+                if f.endswith(".parquet")
+            )
+            build_mod.build_index(BuildConfig(
+                input_paths=files, out_dir=out,
+                n_partitions=n_partitions, concurrency=concurrency,
+            ))
+            built.append(j)
+        shard_outs.append(out)
+    return {"result": True, "n_shards": new_n, "shard_outs": shard_outs,
+            "built": built, "error": None}
+
+
 def build_sharded(
     input_paths,
     out_root: str,

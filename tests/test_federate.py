@@ -618,3 +618,62 @@ def test_sharded_compaction_folds_everything(tiny_corpus, tmp_path, fed_env):
         assert after.equals(before), probe
     # idempotent: nothing left to fold
     assert compact_sharded(root, 2)["compacted"] == []
+
+
+def test_split_shards_matches_monolithic(fed_env, tmp_path, tiny_corpus):
+    """ES _split parity: 2 shards -> 4 by factor 2 reading ONLY each
+    old shard's stored slice; routing md5(conv) % 4 is the consistent
+    refinement of % 2 (child residues {i, i+2}); federated serving over
+    the 4 shards stays bit-identical to the monolithic engine; resume
+    rebuilds only a lost child; guards (bad factor, pending
+    generations) refuse."""
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.pipelines.shard import (
+        build_sharded, shard_of, split_shards,
+    )
+
+    root = str(tmp_path / "presplit")
+    r = build_sharded(tiny_corpus, root, n_shards=2)
+    assert r["result"]
+    dest = str(tmp_path / "postsplit")
+    s = split_shards(root, 2, dest, factor=2)
+    assert s["result"] and s["n_shards"] == 4, s
+    assert len(s["shard_outs"]) == len(s["built"]) == 4
+    # consistent-refinement routing: every conv in child j satisfies
+    # md5 % 4 == j AND md5 % 2 == j % 2 (it came from parent j % 2)
+    for j in range(4):
+        t = pads.dataset(f"{dest}/corpus/shard={j}").to_table(
+            columns=["conv_id"])
+        convs = set(t.column("conv_id").to_pylist())
+        assert convs, j
+        assert all(shard_of(c, 4) == j for c in convs)
+        assert all(shard_of(c, 2) == j % 2 for c in convs)
+    mono = fed_env["mono"]
+    fed4 = FederatedEngine(s["shard_outs"])
+    assert fed4.n_docs == mono.n_docs and fed4.avgdl == mono.avgdl
+    for q in QUERIES[:8]:
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                         method="exhaustive")
+        rf = fed4.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+    # resume: nothing rebuilds on a re-run; losing one child rebuilds it
+    assert split_shards(root, 2, dest, factor=2)["built"] == []
+    shutil.rmtree(s["shard_outs"][3])
+    s3 = split_shards(root, 2, dest, factor=2)
+    assert s3["built"] == [3]
+    # guards
+    assert split_shards(root, 2, str(tmp_path / "x"), factor=1)["error"] == "bad_factor"
+    from search_engine_ray.pipelines import delta as delta_mod
+
+    conv = next(iter(
+        set(pads.dataset(f"{root}/corpus/shard=0").to_table(
+            columns=["conv_id"]).column("conv_id").to_pylist())
+    ))
+    assert delta_mod.reindex_conversations(
+        f"{root}/idx0", [conv], input_paths=list(tiny_corpus))["result"]
+    bad = split_shards(root, 2, str(tmp_path / "y"), factor=2)
+    assert not bad["result"] and "pending" in bad["error"]

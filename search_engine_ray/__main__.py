@@ -75,6 +75,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--factor", type=int, default=2)
     sp.add_argument("--partitions", type=int, default=2)
 
+    sh = sub.add_parser(
+        "shrink", help="merge shards by a factor (ES _shrink index API): "
+        "N -> N/factor shards under DEST — child j's corpus is exactly "
+        "the union of parents {j, j+new_n, ...} (md5 %% N refines "
+        "%% new_n), so no re-split pass runs at all (hardlinked slices); "
+        "source shards must be generation-free"
+    )
+    sh.add_argument("--root", required=True)
+    sh.add_argument("--shards", type=int, required=True)
+    sh.add_argument("--dest", required=True)
+    sh.add_argument("--factor", type=int, default=2)
+    sh.add_argument("--partitions", type=int, default=2)
+
     s = sub.add_parser("search", help="BM25 top-k query (search analog)")
     s.add_argument("query")
     s.add_argument("--out", default=None)
@@ -583,6 +596,20 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.shard import split_shards
 
         r = split_shards(
+            a.root, a.shards, a.dest, factor=a.factor,
+            n_partitions=a.partitions,
+        )
+        print(json.dumps({
+            "result": r["result"], "n_shards": r["n_shards"],
+            "shard_outs": r["shard_outs"], "built": r["built"],
+            "error": r["error"],
+        }))
+        return 0 if r["result"] else 1
+    elif a.cmd == "shrink":
+        _init_ray()
+        from .pipelines.shard import shrink_shards
+
+        r = shrink_shards(
             a.root, a.shards, a.dest, factor=a.factor,
             n_partitions=a.partitions,
         )

@@ -297,6 +297,79 @@ def split_shards(
             "built": built, "error": None}
 
 
+def shrink_shards(
+    out_root: str,
+    n_shards: int,
+    dest_root: str,
+    factor: int = 2,
+    n_partitions: int = 2,
+    concurrency: int = 2,
+    resume: bool = True,
+) -> dict:
+    """Merge shards by ``factor`` (the Elasticsearch ``_shrink`` index
+    API): n_shards -> n_shards/factor (factor must divide n_shards),
+    routing stays ``md5(conv) % new_n``. Because ``new_n | N``,
+    ``m % N == i`` already implies ``m % new_n == i % new_n`` — child
+    ``j``'s corpus is EXACTLY the union of parents ``{j, j+new_n, …}``,
+    so the shrink needs NO re-split pass at all: parent slice files
+    hardlink (copy-fallback) into the child corpus dirs and each child
+    builds from them (DONE-skip resume per child). Generation-free
+    source guard, like ``split_shards`` (ES read-only rule).
+    -> {'result', 'n_shards' (new), 'shard_outs', 'built', 'error'}"""
+    factor = int(factor)
+    if n_shards < 1 or factor < 2 or n_shards % factor != 0:
+        return {"result": False, "n_shards": 0, "shard_outs": [],
+                "built": [], "error": "bad_factor"}
+    from . import delta as delta_mod
+
+    new_n = n_shards // factor
+    old_corpus = os.path.join(out_root, "corpus")
+    for i in range(n_shards):
+        old_out = os.path.join(out_root, f"idx{i}")
+        if os.path.isdir(old_out) and delta_mod.list_generations(old_out):
+            return {"result": False, "n_shards": 0, "shard_outs": [],
+                    "built": [],
+                    "error": f"shard {i} has pending delta generations"
+                             " — compact before shrinking"}
+    dest_corpus = os.path.join(dest_root, "corpus")
+    shard_outs, built = [], []
+    for j in range(new_n):
+        parents = [os.path.join(old_corpus, f"shard={j + t * new_n}")
+                   for t in range(factor)]
+        parents = [p for p in parents if os.path.isdir(p)]
+        if not parents:
+            continue  # all parents empty: empty child
+        cd = os.path.join(dest_corpus, f"shard={j}")
+        if not (resume and os.path.isdir(cd)):
+            os.makedirs(cd, exist_ok=True)
+            for t, p in enumerate(parents):
+                for f in sorted(os.listdir(p)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    dst = os.path.join(cd, f"p{t}-{f}")
+                    try:
+                        os.link(os.path.join(p, f), dst)
+                    except OSError:
+                        import shutil
+
+                        shutil.copy2(os.path.join(p, f), dst)
+        out = os.path.join(dest_root, f"idx{j}")
+        m = load_json(build_mod.build_manifest_path(out))
+        if not (resume and m and m.get("state") == "DONE"):
+            files = sorted(
+                os.path.join(cd, f) for f in os.listdir(cd)
+                if f.endswith(".parquet")
+            )
+            build_mod.build_index(BuildConfig(
+                input_paths=files, out_dir=out,
+                n_partitions=n_partitions, concurrency=concurrency,
+            ))
+            built.append(j)
+        shard_outs.append(out)
+    return {"result": True, "n_shards": new_n, "shard_outs": shard_outs,
+            "built": built, "error": None}
+
+
 def build_sharded(
     input_paths,
     out_root: str,

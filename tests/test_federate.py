@@ -677,3 +677,41 @@ def test_split_shards_matches_monolithic(fed_env, tmp_path, tiny_corpus):
         f"{root}/idx0", [conv], input_paths=list(tiny_corpus))["result"]
     bad = split_shards(root, 2, str(tmp_path / "y"), factor=2)
     assert not bad["result"] and "pending" in bad["error"]
+
+
+def test_shrink_shards_matches_monolithic(fed_env, tmp_path, tiny_corpus):
+    """ES _shrink parity: 4 shards -> 2 by factor 2 with NO re-split
+    pass (md5 % 4 refines % 2, so child j's corpus is exactly the
+    union of parents {j, j+2} — hardlinked slices); 2-shard federation
+    bit-identical to monolithic; split then shrink round-trips; bad
+    factor refused."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.pipelines.shard import (
+        build_sharded, shard_of, shrink_shards, split_shards,
+    )
+
+    root4 = str(tmp_path / "four")
+    assert build_sharded(tiny_corpus, root4, n_shards=4)["result"]
+    dest = str(tmp_path / "two")
+    s = shrink_shards(root4, 4, dest, factor=2)
+    assert s["result"] and s["n_shards"] == 2, s
+    for j in range(2):
+        convs = set(
+            pads.dataset(f"{dest}/corpus/shard={j}").to_table(
+                columns=["conv_id"]).column("conv_id").to_pylist()
+        )
+        assert convs and all(shard_of(c, 2) == j for c in convs)
+    mono = fed_env["mono"]
+    fed2 = FederatedEngine(s["shard_outs"])
+    assert fed2.n_docs == mono.n_docs and fed2.avgdl == mono.avgdl
+    for q in QUERIES[:6]:
+        rm = mono.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                         method="exhaustive")
+        rf = fed2.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        assert rf["count"] == rm["count"], q["query_id"]
+        assert rf["data"].equals(rm["data"]), q["query_id"]
+    # idempotent re-run
+    assert shrink_shards(root4, 4, dest, factor=2)["built"] == []
+    # guards: factor must divide
+    assert shrink_shards(root4, 4, str(tmp_path / "z"), factor=3)["error"] == "bad_factor"

@@ -2501,6 +2501,17 @@ def _text_gopher(sf_dir: str):
     )
 
 
+def _text_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes self-classification (the GPT-3-style
+    classifier-based quality/domain filter): one distributed counting
+    pass fits per-source token models, one broadcast map scores every
+    doc; all log-probs quantized 1e-6 half-up so the per-doc sums are
+    order-free int64 and the twin recomputes the whole model in SQL."""
+    from search_engine_ray.functions import classify
+
+    return classify.nb_classify(_documents_ds(sf_dir))
+
+
 def _text_winnow(sf_dir: str):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): per doc,
     the rightmost-min md5 k-gram key of every w-window of consecutive
@@ -3106,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_gopher": _text_gopher,
         "text_winnow": _text_winnow,
+        "text_nb_classify": _text_nb_classify,
         "text_lm_score": _text_lm_score,
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_resample": _text_dsir_resample,
@@ -3159,6 +3171,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.pipelines import corpus_prep as corpus_prep_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
+    from search_engine_ray.functions import classify as classify_mod
     from search_engine_ray.functions import joins as joins_mod
     from search_engine_ray.functions import packing as packing_mod
     from search_engine_ray.functions import percolate as percolate_mod
@@ -3459,6 +3472,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_gopher": lambda: ta_mod.gopher_rules_sql("documents"),
         "text_winnow": lambda: ta_mod.winnow_fingerprints_sql("documents"),
+        "text_nb_classify": lambda: classify_mod.nb_classify_sql("documents"),
         "text_lm_score": lambda: ta_mod.lm_score_sql("documents"),
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),

@@ -2698,6 +2698,19 @@ def _text_line_dedup(sf_dir: str):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _text_span_dedup(sf_dir: str):
+    """Corpus-wide duplicated-SPAN removal (the ExactSubstr rewrite,
+    Lee et al. 2022): every non-first occurrence of a duplicated
+    8-token window marks its positions dropped; docs come back as the
+    space-rejoin of surviving tokens — text byte-equal to the SQL
+    twin, undeduped docs byte-identical to their input."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.span_dedup(
+        _documents_ds(sf_dir)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _text_heavy_hitters(sf_dir: str):
     """Exact top-k frequent tokens via two bounded-memory passes
     (Misra-Gries candidates -> exact recount, certified by the MG
@@ -3128,6 +3141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_heavy_hitters": _text_heavy_hitters,
         "text_dup_windows": _text_dup_windows,
         "text_line_dedup": _text_line_dedup,
+        "text_span_dedup": _text_span_dedup,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -3487,6 +3501,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_line_dedup": lambda: ta_mod.line_dedup_sql(
             ta_mod.lineify_words_rel("documents")
         ),
+        "text_span_dedup": lambda: ta_mod.span_dedup_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

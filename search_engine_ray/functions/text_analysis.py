@@ -2966,3 +2966,234 @@ SELECT n.{id_col}, coalesce(a.text, '') AS text, n.n_lines,
        coalesce(a.n_kept, 0) AS n_kept
 FROM nl n LEFT JOIN agg a ON a.{id_col} = n.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide duplicated-span removal (the ExactSubstr rewrite transform)
+# ---------------------------------------------------------------------------
+
+SPAN_DEDUP_W = 8
+
+
+def span_dedup(
+    ds,
+    window: int = SPAN_DEDUP_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide duplicated-SPAN removal — the REWRITE transform of
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove every repeated
+    >=50-BPE-token span, keeping one occurrence; ``window`` here is the
+    word-token analog, the suffix-array length floor): a W-token
+    window is DUPLICATED when its md5 key (the ``dup_window_ratio``
+    gram convention — tokens joined with a single space) occurs >= 2
+    times anywhere in the corpus; among all occurrences of the same
+    key only the globally-FIRST (doc ASC, pos ASC) survives, and every
+    other occurrence marks its W token positions dropped.  A token
+    position is cut iff ANY non-first duplicated window covers it —
+    overlapping duplicate runs collapse to the first window's tokens
+    exactly as the suffix-array method collapses a repeated region to
+    one copy.  Tokens are the SPACE-SPLIT word stream and the output
+    text is the space-rejoin of kept tokens — a lossless round trip
+    for arbitrary input (split('' )/' '.join invert each other even on
+    empty strings and runs of spaces), so an undeduped doc comes back
+    byte-identical.  -> Dataset(id, text, n_tokens, n_kept).
+
+    Shape — identical to :func:`line_dedup`, two WINDOW-sized
+    exchanges, document text shuffles once: (1) one explode map emits
+    (bucket, h, key) per FULL window only, ``key = doc_id << 32 |
+    pos`` (doc_id validated into 31 bits, pos 32 — the dup_clusters
+    loud-sentinel rule); a 1024-way md5-bucket groupby keeps, per h,
+    every occurrence EXCEPT the min key and emits only DROP
+    window-starts — state proportional to duplicated windows, not the
+    corpus; (2) drops + docs ride one tagged-union doc-bucket groupby
+    and each doc masks the union of its dropped [pos, pos+W) ranges
+    (per-doc sequential string work, the BPE-encode note).  Nothing
+    corpus-sized ever sits on the driver.  This is the transform
+    sibling of :func:`dup_window_ratio` (the per-doc signal) and
+    :func:`line_dedup` (the line-granular rewrite)."""
+    from .dedup import _md5_col
+
+    w_ = int(window)
+    if w_ < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    nb = 1024
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+            raise ValueError(
+                f"{id_col} outside [0, 2**31) — cannot pack span keys")
+        txt = pc.fill_null(batch.column(text_col), "")
+        toks = pc.split_pattern(txt, " ")
+        toks = (
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        if len(flat) and int(counts.max()) >= (1 << _LINE_KEY_BITS):
+            raise ValueError("token pos outside [0, 2**32) — cannot pack")
+        m = len(flat)
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        if m < w_:
+            return pa.table({
+                "kb": pa.array([], pa.int64()),
+                "h": pa.array([], pa.string()),
+                "key": pa.array([], pa.int64()),
+            })
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(m, dtype=np.int64) - starts[doc_idx]
+        span = m - w_ + 1
+        # a window is FULL iff its first and last token share a doc
+        valid = doc_idx[:span] == doc_idx[w_ - 1:]
+        sel = pa.array(valid)
+        joined = pc.binary_join_element_wise(
+            *(flat.slice(j, span).filter(sel) for j in range(w_)), " "
+        )
+        h = _md5_col(joined)
+        key = (ids[doc_idx[:span][valid]] << _LINE_KEY_BITS) | pos[:span][valid]
+        return pa.table({
+            "kb": pa.array(_md5_bucket(h, nb), pa.int64()),
+            "h": h,
+            "key": pa.array(key, pa.int64()),
+        })
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        codes, _uq = pd.factorize(h, sort=False)
+        order = np.lexsort((key, codes))
+        first = np.empty(len(order), bool)
+        first[0:1] = True
+        np.not_equal(codes[order][1:], codes[order][:-1], out=first[1:])
+        dropped = key[order][~first]
+        return pa.table({
+            id_col: pa.array(dropped >> _LINE_KEY_BITS, pa.int64()),
+            "ws": pa.array(dropped & ((1 << _LINE_KEY_BITS) - 1), pa.int64()),
+        })
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "db": pa.array(ids % nb, pa.int64()),
+            id_col: batch.column(id_col),
+            "ws": batch.column("ws"),
+            text_col: pa.array([None] * len(batch), pa.string()),
+        })
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "db": pa.array(ids % nb, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "ws": pa.array(np.full(len(ids), -1), pa.int64()),
+            text_col: pc.fill_null(batch.column(text_col), ""),
+        })
+
+    def rewrite(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        ws = group.column("ws").to_numpy(zero_copy_only=False)
+        txt = group.column(text_col)
+        is_doc = ws < 0
+        drops: dict[int, list[int]] = {}
+        for d, s in zip(ids[~is_doc].tolist(), ws[~is_doc].tolist()):
+            drops.setdefault(d, []).append(s)
+        out_id, out_t, out_nt, out_nk = [], [], [], []
+        for j in np.flatnonzero(is_doc).tolist():
+            d = int(ids[j])
+            toks = (txt[j].as_py() or "").split(" ")
+            n = len(toks)
+            starts_d = drops.get(d)
+            if starts_d:
+                cut = np.zeros(n, bool)
+                for s in starts_d:
+                    cut[s:s + w_] = True
+                kept = [t for t, c in zip(toks, cut) if not c]
+            else:
+                kept = toks
+            out_id.append(d)
+            out_t.append(" ".join(kept))
+            out_nt.append(n)
+            out_nk.append(len(kept))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            text_col: pa.array(out_t, pa.string()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "n_kept": pa.array(out_nk, pa.int64()),
+        })
+
+    drops_ds = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .map_batches(tag_drop, batch_format="pyarrow")
+    )
+    docs_ds = ds.map_batches(tag_doc, batch_format="pyarrow")
+    return (
+        docs_ds.union(drops_ds)
+        .groupby("db")
+        .map_groups(rewrite, batch_format="pyarrow")
+    )
+
+
+def span_dedup_sql(
+    src: str, window: int = SPAN_DEDUP_W, id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for :func:`span_dedup`: the same space-split
+    token stream, the same chained-``lead`` window text and md5 key
+    (a window crossing the doc end concatenates NULL and drops — the
+    engine's full-window mask), ``row_number() OVER (PARTITION BY h
+    ORDER BY doc, pos)`` as the keep-globally-first rule, dropped
+    window-starts expanded to positions with ``range(window)``, and
+    the space-rejoin of surviving tokens."""
+    w_ = int(window)
+    if w_ < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    leads = " || ' ' || ".join(
+        f"lead(word, {j}) OVER (PARTITION BY {id_col} ORDER BY i)"
+        for j in range(1, w_)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(string_split(coalesce(text, ''), ' ')) AS word,
+           generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1
+               AS i
+    FROM {src}
+),
+wins AS (
+    SELECT {id_col}, i, md5(word || ' ' || {leads}) AS h FROM toks
+),
+ranked AS (
+    SELECT {id_col}, i,
+           row_number() OVER (PARTITION BY h ORDER BY {id_col}, i) AS rn
+    FROM wins WHERE h IS NOT NULL
+),
+dropw AS (SELECT {id_col}, i FROM ranked WHERE rn > 1),
+droppos AS (
+    SELECT DISTINCT {id_col}, dropw.i + r.j AS i
+    FROM dropw CROSS JOIN range({w_}) AS r(j)
+),
+kept AS (
+    SELECT t.{id_col}, t.word, t.i
+    FROM toks t
+    ANTI JOIN droppos d ON d.{id_col} = t.{id_col} AND d.i = t.i
+),
+agg AS (
+    SELECT {id_col}, string_agg(word, ' ' ORDER BY i) AS text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY 1
+),
+nt AS (
+    SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY 1
+)
+SELECT n.{id_col}, coalesce(a.text, '') AS text, n.n_tokens,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM nt n LEFT JOIN agg a ON a.{id_col} = n.{id_col}
+"""

@@ -2221,3 +2221,89 @@ def test_nb_model_and_unseen_semantics(ray_session):
             cl.nb_fit(rd.from_arrow(train))
     finally:
         cl.NB_BROADCAST_MAX_ROWS = old
+
+
+def test_span_dedup_crafted_vs_oracle():
+    """Keep-globally-first semantics on crafted docs: cross-doc dup
+    span cut at the later (doc, pos) key, within-doc overlapping
+    duplicate run collapses to the first window, empty text and
+    shorter-than-window docs unchanged, and the space split/join round
+    trip is lossless on runs of spaces."""
+    import duckdb
+
+    from search_engine_ray.functions.text_analysis import (
+        span_dedup,
+        span_dedup_sql,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a b c d e f g h tail one two",        # first occurrence
+            "x y a b c d e f g h z",               # later occurrence cut
+            "p p p p p p p p p p",                 # overlapping self-run
+            "",                                     # empty
+            "double  space   run a b c d e f g h",  # space runs + dup
+        ],
+    })
+    got = (
+        span_dedup(rd.from_arrow(docs)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("crafted", docs)
+    exp = (
+        con.execute(span_dedup_sql("crafted")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    assert got[exp.columns.tolist()].equals(exp)
+    r = {x["doc_id"]: x for x in got.to_dict("records")}
+    assert r[0]["text"] == "a b c d e f g h tail one two"  # survivor intact
+    assert r[1]["text"] == "x y z"
+    # the 10-token all-p run: windows at 0,1,2 share one key; the first
+    # survives, windows 1 and 2 drop positions 1..9 -> one token left
+    assert (r[2]["text"], r[2]["n_kept"]) == ("p", 1)
+    assert (r[3]["text"], r[3]["n_tokens"], r[3]["n_kept"]) == ("", 1, 1)
+    assert r[4]["text"] == "double  space   run"  # space runs preserved
+
+
+def test_span_dedup_corpus_vs_oracle_and_block_invariance(docs_ds, fduck):
+    """Full documents corpus == the SQL twin at sf0.001 (text
+    byte-equal), invariant to block layout, and the synthetic corpus
+    does contain duplicated 8-token spans (the transform is
+    substantive, not a no-op)."""
+    from search_engine_ray.functions.text_analysis import (
+        span_dedup,
+        span_dedup_sql,
+    )
+
+    got = _assert_matches_oracle(
+        span_dedup(docs_ds), fduck, span_dedup_sql("documents")
+    )
+    assert got.num_rows > 0
+    dropped = pa.compute.sum(
+        pa.compute.subtract(got.column("n_tokens"), got.column("n_kept"))
+    ).as_py()
+    assert dropped > 0
+    rechunked = span_dedup(docs_ds.repartition(7))
+    a = _table(rechunked).sort_by([("doc_id", "ascending")])
+    assert a.equals(got.sort_by([("doc_id", "ascending")]))
+
+
+def test_span_dedup_guards():
+    from search_engine_ray.functions.text_analysis import (
+        span_dedup,
+        span_dedup_sql,
+    )
+
+    with pytest.raises(ValueError, match="window"):
+        span_dedup(None, window=1)
+    with pytest.raises(ValueError, match="window"):
+        span_dedup_sql("documents", window=0)
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "text": ["a b c d e f g h"],
+    }))
+    with pytest.raises(Exception, match="2\\*\\*31"):
+        span_dedup(bad).materialize()

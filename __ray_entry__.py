@@ -122,6 +122,43 @@ def _search_topk(sf_dir: str, mode: str, enriched: bool = False):
     return df
 
 
+def _search_highlight(sf_dir: str):
+    """ES highlight with number_of_fragments=0: BM25 top-k where each
+    hit carries its WHOLE cleaned text with every query-lemma word
+    wrapped in <b></b> — a pure per-word function (the 240-char
+    best-window snippet cut stays presentation-layer, pytest-pinned),
+    byte-equal to the SQL twin's word/separator-interleave assembly."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.reference_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"],
+                       mode="bm25", with_snippets="full")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append({
+                "query_id": q["query_id"],
+                "rank": rank,
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "score": round(row["score"], 6),
+                "highlighted": row["highlighted"],
+            })
+    df = pd.DataFrame(rows, columns=[
+        "query_id", "rank", "conv_id", "turn_idx", "score", "highlighted",
+    ])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_msearch(sf_dir: str):
     """Multi-search (ES _msearch): the whole reference query set runs
     as ONE engine batch; the oracle is the plain per-query BM25 twin,
@@ -3034,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_msearch": _search_msearch,
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
+        "search_highlight": _search_highlight,
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "search_cursor": _search_cursor,
@@ -3224,6 +3262,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_msearch": lambda: oracle.bm25_topk_sql(_corpus_src(), qs),
         "search_topk_reference": lambda: oracle.reference_topk_sql(_corpus_src(), qs),
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
+        "search_highlight": lambda: oracle.bm25_topk_highlight_sql(_corpus_src(), qs),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_metrics": lambda: oracle.metrics_sql(

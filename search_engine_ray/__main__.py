@@ -151,6 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="rank CONVERSATIONS by their best matching turn "
                         "(max-passage aggregation) instead of turns")
     s.add_argument("--snippets", action="store_true")
+    s.add_argument("--highlight", action="store_true",
+                   help="ES highlight (number_of_fragments=0): the whole "
+                        "cleaned text with query-lemma words in <b></b>")
 
     t = sub.add_parser("stats", help="index statistics (statistics analog)")
     t.add_argument("--out", required=True)
@@ -650,7 +653,7 @@ def main(argv: list[str] | None = None) -> int:
                 offset=a.offset,
                 limit=a.limit,
                 mode=a.mode,
-                with_snippets=a.snippets,
+                with_snippets="full" if a.highlight else a.snippets,
                 near_window=a.near_window,
                 in_order=a.in_order,
                 within_first=a.within_first,

@@ -66,3 +66,12 @@ def create_snippets(text: str, query_lemmas: set[str], max_len: int = SNIPPET_LE
         snip = snip[:last].rstrip()
     snip = re.sub(r"^[^<A-Za-z0-9]+", "", snip)
     return snip
+
+
+def highlight_full(text: str, query_lemmas: set[str]) -> str:
+    """ES ``highlight`` with ``number_of_fragments: 0``: the WHOLE
+    cleaned field highlighted — no best-window cut, so the output is a
+    pure per-word function (clean, then wrap every query-lemma word)
+    and SQL-twin-able exactly (the window cut in
+    :func:`create_snippets` is presentation-layer, pytest-pinned)."""
+    return highlight(_clean(text), query_lemmas)

@@ -147,6 +147,76 @@ WHERE rank <= (SELECT k FROM qok q WHERE q.query_id = r.query_id)
 """
 
 
+def bm25_topk_highlight_sql(src: str, queries: list[dict],
+                            k1: float = 1.2, b: float = 0.75) -> str:
+    """:func:`bm25_topk_sql` + a ``highlighted`` column per hit — the
+    ES ``highlight`` (``number_of_fragments: 0``) twin: the hit's text
+    cleaned (``\\s+`` collapsed to one space, trimmed — both engines
+    RE2-class ASCII whitespace; the synthetic corpus carries no unicode
+    whitespace), then EVERY maximal ``[A-Za-z0-9]+`` word run whose
+    lowercased form is >= MIN_TOKEN_LEN chars, not a stopword, and
+    lemmatizes into the query's analyzed lemma set is wrapped in
+    ``<b></b>``.  Reconstruction is the exact word/separator
+    interleave: ``regexp_extract_all`` gives the word runs,
+    ``str_split_regex`` by the same pattern gives the n+1 separators,
+    and an ordered ``string_agg`` re-zips them — byte-lossless for
+    arbitrary text, so the compared column is the engine's
+    ``highlight_full`` output verbatim."""
+    from .analyzer import MIN_TOKEN_LEN, lemma_case_sql, stopword_sql_list
+
+    base = bm25_topk_sql(src, queries, k1=k1, b=b)
+    _, qlem_rel = _queries_values(queries)
+    wr = "[A-Za-z0-9]+"
+    return f"""
+WITH hits AS ({base}),
+qlem AS (SELECT * FROM {qlem_rel}),
+htext AS (
+    SELECT h.query_id, h.rank, h.conv_id, h.turn_idx, h.score,
+           trim(regexp_replace(coalesce(s.text, ''), '\\s+', ' ', 'g')) AS ct
+    FROM hits h JOIN {src} s
+      ON s.conv_id = h.conv_id AND s.turn_idx = h.turn_idx
+),
+hwords AS (
+    SELECT query_id, conv_id, turn_idx,
+           unnest(regexp_extract_all(ct, '{wr}')) AS w,
+           generate_subscripts(regexp_extract_all(ct, '{wr}'), 1) AS j
+    FROM htext
+),
+hseps AS (
+    SELECT query_id, conv_id, turn_idx,
+           unnest(str_split_regex(ct, '{wr}')) AS s,
+           generate_subscripts(str_split_regex(ct, '{wr}'), 1) AS j
+    FROM htext
+),
+pieces AS (
+    SELECT query_id, conv_id, turn_idx, 2 * j - 1 AS ord, s AS piece
+    FROM hseps
+    UNION ALL
+    SELECT hw.query_id, hw.conv_id, hw.turn_idx, 2 * hw.j AS ord,
+           CASE WHEN length(lower(hw.w)) >= {MIN_TOKEN_LEN}
+                 AND lower(hw.w) NOT IN ({stopword_sql_list()})
+                 AND EXISTS (
+                     SELECT 1 FROM qlem ql
+                     WHERE ql.query_id = hw.query_id
+                       AND ql.lemma = {lemma_case_sql('lower(hw.w)')}
+                 )
+                THEN '<b>' || hw.w || '</b>' ELSE hw.w END AS piece
+    FROM hwords hw
+),
+assembled AS (
+    SELECT query_id, conv_id, turn_idx,
+           string_agg(piece, '' ORDER BY ord) AS highlighted
+    FROM pieces GROUP BY 1, 2, 3
+)
+SELECT t.query_id, t.rank, t.conv_id, t.turn_idx, t.score,
+       coalesce(a.highlighted, '') AS highlighted
+FROM htext t
+LEFT JOIN assembled a
+  ON a.query_id = t.query_id AND a.conv_id = t.conv_id
+ AND a.turn_idx = t.turn_idx
+"""
+
+
 def dis_max_topk_sql(src: str, probes: list[dict],
                      k1: float = 1.2, b: float = 0.75) -> str:
     """Disjunction-max twin (Lucene DisjunctionMaxQuery / ES

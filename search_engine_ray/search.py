@@ -4359,7 +4359,7 @@ class SearchEngine:
         mode: str = "bm25",
         method: str = "blockmax",
         conjunctive: bool = False,
-        with_snippets: bool = False,
+        with_snippets: bool | str = False,
         near_window: int = 8,
         in_order: bool = False,
         within_first: int | None = None,
@@ -4381,7 +4381,11 @@ class SearchEngine:
         """-> {'result': bool, 'count': int, 'data': pa.Table, 'error': str|None}
 
         ``data`` columns: (conv_id, turn_idx, role, tool, ts, score
-        [, snippet]). ``scope`` is a role value or ``"tool:<name>"``.
+        [, snippet | highlighted]). ``scope`` is a role value or
+        ``"tool:<name>"``. ``with_snippets``: True = 240-char
+        best-window snippet; ``"full"`` = ES highlight with
+        ``number_of_fragments: 0`` — the whole cleaned text with every
+        query-lemma word wrapped in <b></b> (column ``highlighted``).
         ``exclude`` is NOT-term text: docs containing ANY of its analyzed
         lemmas are dropped from the result set (and the exact count)
         BEFORE top-k — supported for the bm25 mode (composes with
@@ -5124,7 +5128,8 @@ class SearchEngine:
             np.array([r[3] for r in rows], np.int64),
         )
 
-    def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms, with_snippets: bool) -> pa.Table:
+    def _enrich(self, ids: np.ndarray, scores: np.ndarray, terms,
+                with_snippets: bool | str) -> pa.Table:
         """J6: broadcast-small-side join of the k winners back to the
         doc store / transcripts source for (conv_id, role, tool, ts
         [, text]) — the analog of the reference enriching every result
@@ -5154,7 +5159,11 @@ class SearchEngine:
         }
         tbl = pa.table(cols)
         if with_snippets and len(ids):
-            from .functions.snippets import create_snippets
+            # True -> 240-char best-window snippet (the reference's
+            # SnippetCreator presentation rule); "full" -> ES highlight
+            # with number_of_fragments=0 (the whole cleaned field
+            # highlighted — a pure per-word function, SQL-twin-able)
+            from .functions.snippets import create_snippets, highlight_full
 
             # re-indexed convs read their text from their delta's input
             # paths; everything else from the build's inputs
@@ -5179,11 +5188,20 @@ class SearchEngine:
                     }
                 )
             lemmas = {t[0] for t in terms}
-            snips = [
-                create_snippets(tlut.get((c, int(t)), ""), lemmas)
-                for c, t in zip(conv_ids, turn_idx)
-            ]
-            tbl = tbl.append_column("snippet", pa.array(snips, pa.string()))
+            if with_snippets == "full":
+                vals = [
+                    highlight_full(tlut.get((c, int(t)), ""), lemmas)
+                    for c, t in zip(conv_ids, turn_idx)
+                ]
+                tbl = tbl.append_column(
+                    "highlighted", pa.array(vals, pa.string()))
+            else:
+                snips = [
+                    create_snippets(tlut.get((c, int(t)), ""), lemmas)
+                    for c, t in zip(conv_ids, turn_idx)
+                ]
+                tbl = tbl.append_column(
+                    "snippet", pa.array(snips, pa.string()))
         return tbl
 
 

@@ -288,7 +288,11 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                         offset=int((q.get("offset") or ["0"])[0]),
                         limit=int((q.get("limit") or ["10"])[0]),
                         mode=(q.get("mode") or ["bm25"])[0],
-                        with_snippets=(q.get("snippets") or ["0"])[0] in ("1", "true"),
+                        with_snippets=(
+                            "full"
+                            if (q.get("snippets") or ["0"])[0] == "full"
+                            else (q.get("snippets") or ["0"])[0] in ("1", "true")
+                        ),
                         near_window=int((q.get("window") or ["8"])[0]),
                         in_order=(q.get("in_order") or ["0"])[0] in ("1", "true"),
                         within_first=(

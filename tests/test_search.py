@@ -2566,3 +2566,60 @@ def test_extended_stats_semantics(engine):
     assert engine.extended_stats("...")["error"] == "empty_query"
     assert engine.extended_stats(hot, scope="nope")["error"] == "bad_scope"
     assert engine.extended_stats("wqxqzq")["count"] == 0
+
+
+def test_highlight_full_vs_oracle(engine, duck):
+    """ES highlight (number_of_fragments=0): the engine's per-hit
+    highlighted full text is BYTE-equal to the SQL twin's
+    word/separator-interleave assembly over the probe set, and the
+    rank/score protocol is untouched."""
+    sql = oracle.bm25_topk_highlight_sql(
+        oracle.transcripts_rel("sf0.001"), QUERIES)
+    rows = duck.execute(sql).fetch_arrow_table().to_pylist()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rank"])
+    n_marked = 0
+    for q in QUERIES:
+        got = engine.search(
+            q["query_text"], scope=q["scope"], limit=q["k"],
+            with_snippets="full",
+        )["data"].to_pylist()
+        exp = by_q.get(q["query_id"], [])
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert (g["conv_id"], g["turn_idx"]) == (e["conv_id"], e["turn_idx"])
+            assert g["highlighted"] == e["highlighted"]
+            n_marked += g["highlighted"].count("<b>")
+    assert n_marked > 0  # the hits really do carry marked words
+
+
+def test_highlight_full_semantics(engine):
+    """Every <b>-wrapped word lemmatizes into the query's analyzed
+    lemma set; unwrapping reproduces the cleaned text exactly; the
+    boolean snippet mode still returns the 240-char column."""
+    import re
+
+    from search_engine_ray import analyzer
+    from search_engine_ray.functions.snippets import _clean
+
+    q = next(x for x in QUERIES if x["scope"] is None)
+    lemmas = set(analyzer.analyze_query(q["query_text"]))
+    r = engine.search(q["query_text"], limit=5, with_snippets="full")
+    src = pads.dataset(engine.transcripts_paths).to_table(
+        columns=["conv_id", "turn_idx", "text"])
+    lut = {(c, t): x for c, t, x in zip(
+        src.column("conv_id").to_pylist(),
+        src.column("turn_idx").to_pylist(),
+        src.column("text").to_pylist())}
+    for row in r["data"].to_pylist():
+        h = row["highlighted"]
+        for w in re.findall(r"<b>(.*?)</b>", h):
+            assert analyzer.lemmatize_token(w.lower()) in lemmas, w
+        plain = h.replace("<b>", "").replace("</b>", "")
+        assert plain == _clean(lut[(row["conv_id"], row["turn_idx"])])
+    rs = engine.search(q["query_text"], limit=5, with_snippets=True)
+    assert "snippet" in rs["data"].column_names
+    assert "highlighted" not in rs["data"].column_names

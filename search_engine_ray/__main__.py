@@ -551,6 +551,14 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--snap", required=True)
     rs.add_argument("--dest", required=True)
 
+    fl = sub.add_parser(
+        "follow", help="one incremental follower-sync pulse from a leader "
+        "index (ES cross-cluster-replication analog): bootstrap full "
+        "link-copy, then per-pulse deltas only"
+    )
+    fl.add_argument("--leader", required=True)
+    fl.add_argument("--dest", required=True)
+
     st = sub.add_parser(
         "stop", help="cooperative build cancel (stopIndexing analog): the "
         "running build marks in-flight partitions FAILED and exits resumable"
@@ -1259,6 +1267,10 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.snapshot import restore
 
         print(json.dumps(restore(a.snap, a.dest)))
+    elif a.cmd == "follow":
+        from .pipelines.snapshot import follow
+
+        print(json.dumps(follow(a.leader, a.dest)))
     elif a.cmd == "stop":
         from .pipelines.build import request_stop
 

@@ -128,3 +128,104 @@ def restore(snap_dir: str, dest: str) -> dict:
         os.rmdir(dest)  # empty by the check above
     os.replace(tmp, dest)
     return {"result": True, "error": None, "n_files": len(man["files"])}
+
+
+# ---------------------------------------------------------------------------
+# Follower replication (the ES cross-cluster-replication analog)
+# ---------------------------------------------------------------------------
+
+FOLLOW_MANIFEST = "follow.json"
+
+
+def _file_identity(root: str) -> dict[str, tuple[int, int]]:
+    """relpath -> (size, mtime_ns). Index files are immutable once DONE
+    and swaps land by atomic rename (new inode), so (size, mtime_ns)
+    identifies content; hardlinked copies share both, making a
+    just-synced follower read as identical."""
+    out: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, root)
+            if rel == FOLLOW_MANIFEST:
+                continue
+            st = os.stat(p)
+            out[rel] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def follow(leader_dir: str, follower_dir: str) -> dict:
+    """One incremental sync pulse of the ES cross-cluster-replication
+    shape: make ``follower_dir`` an exact replica of ``leader_dir``'s
+    current LSM state, shipping ONLY what changed since the last pulse.
+    First call bootstraps (full link-copy, the snapshot device); later
+    calls diff by file identity (relpath, size, mtime_ns — sound
+    because index files are immutable once DONE and every swap lands by
+    atomic rename): new leader files (a fresh delta generation, a
+    compacted base) are linked in, follower files the leader retired
+    (folded generations, swapped-out segments) are deleted.  Blast
+    radius of a pulse = the delta, never the index — the property that
+    makes following a 10^12-turn leader affordable.
+
+    Consistency: refused while the leader's build is not DONE or a
+    compaction swap journal is live (mid-swap state must never
+    replicate), and the leader's identity map is re-read after the copy
+    — if it moved during the pulse the sync reports ``leader moved``
+    and the caller re-pulses (each pulse is idempotent and
+    crash-resumable: rerunning converges by identity).  Copy order is
+    adds-then-deletes, so a crash leaves a superset of a valid state
+    that the next pulse prunes.  -> {"result", "error",
+    "bootstrapped", "n_copied", "n_deleted"}."""
+    from . import compact as compact_mod
+
+    resp = {"result": False, "error": None, "bootstrapped": False,
+            "n_copied": 0, "n_deleted": 0}
+    m = load_json(build_mod.build_manifest_path(leader_dir))
+    if not m:
+        resp["error"] = "no leader build manifest"
+        return resp
+    if m.get("state") != "DONE":
+        resp["error"] = f"leader build state {m.get('state')!r} != DONE"
+        return resp
+    journal = load_json(compact_mod.journal_path(leader_dir))
+    if journal:
+        resp["error"] = "leader compaction swap in flight"
+        return resp
+
+    before = _file_identity(leader_dir)
+    os.makedirs(follower_dir, exist_ok=True)
+    have = _file_identity(follower_dir)
+
+    # adds first (a crash leaves a prunable superset, never a hole);
+    # the follower is not served DURING a pulse — pulse, then swap
+    # readers, the single-box analog of ES's follower checkpoint
+    n_copied = 0
+    for rel, ident in sorted(before.items()):
+        if have.get(rel) == ident:
+            continue
+        dst = os.path.join(follower_dir, rel)
+        if rel in have:
+            os.unlink(dst)
+        _link_or_copy(os.path.join(leader_dir, rel), dst)
+        n_copied += 1
+    n_deleted = 0
+    for rel in sorted(set(have) - set(before)):
+        os.unlink(os.path.join(follower_dir, rel))
+        n_deleted += 1
+    # prune now-empty dirs (retired generations)
+    for dirpath, dirs, files in os.walk(follower_dir, topdown=False):
+        if not dirs and not files and dirpath != follower_dir:
+            os.rmdir(dirpath)
+
+    after = _file_identity(leader_dir)
+    if after != before:
+        resp["error"] = "leader moved during pulse — re-pulse"
+        return resp
+    write_json_atomic(
+        os.path.join(follower_dir, FOLLOW_MANIFEST),
+        {"leader": os.path.abspath(leader_dir),
+         "n_files": len(before)},
+    )
+    resp.update(result=True, bootstrapped=not have,
+                n_copied=n_copied, n_deleted=n_deleted)
+    return resp

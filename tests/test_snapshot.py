@@ -107,3 +107,93 @@ def test_snapshot_guards(tiny_index, tmp_path):
     rr2 = snapshot.restore(good, str(occupied))
     assert not rr2["result"] and "not empty" in rr2["error"]
     assert (occupied / "keep.txt").read_text() == "do not clobber"
+
+
+def test_follow_bootstrap_and_incremental(tiny_index, tmp_path):
+    """CCR follower pulses: bootstrap replicates the leader exactly;
+    after a leader delta mutation one pulse ships ONLY the new
+    generation (n_copied tiny vs bootstrap); after leader compaction a
+    pulse retires the folded generation on the follower; every pulse
+    leaves the follower rank-identical to the leader; a no-op pulse
+    copies and deletes nothing."""
+    import shutil
+
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines.snapshot import follow
+
+    leader = str(tmp_path / "leader")
+    shutil.copytree(tiny_index["out_dir"], leader)
+    fol = str(tmp_path / "follower")
+
+    r0 = follow(leader, fol)
+    assert r0["result"] and r0["bootstrapped"] and r0["n_copied"] > 0
+    a, b = _results(SearchEngine(leader)), _results(SearchEngine(fol))
+    for qid in a:
+        assert a[qid][0] == b[qid][0] and a[qid][1].equals(b[qid][1]), qid
+
+    # leader mutates: delete-by-query appends a delta generation
+    resp = delta.delete_by_query(leader, datagen.stem(41))
+    assert resp["result"] and resp["generations"]
+    r1 = follow(leader, fol)
+    assert r1["result"] and not r1["bootstrapped"]
+    assert 0 < r1["n_copied"] < r0["n_copied"] / 2  # delta-sized pulse
+    eng_f = SearchEngine(fol)
+    assert eng_f._has_deltas
+    a, b = _results(SearchEngine(leader)), _results(eng_f)
+    for qid in a:
+        assert a[qid][0] == b[qid][0] and a[qid][1].equals(b[qid][1]), qid
+
+    # leader compacts: the generation folds into the base
+    c = compact_mod.compact(leader)
+    assert c["result"], c
+    r2 = follow(leader, fol)
+    assert r2["result"] and r2["n_deleted"] > 0  # retired gen pruned
+    assert not SearchEngine(fol)._has_deltas
+    a, b = _results(SearchEngine(leader)), _results(SearchEngine(fol))
+    for qid in a:
+        assert a[qid][0] == b[qid][0] and a[qid][1].equals(b[qid][1]), qid
+
+    # idempotent no-op pulse
+    r3 = follow(leader, fol)
+    assert r3["result"] and r3["n_copied"] == 0 and r3["n_deleted"] == 0
+
+
+def test_follow_guards(tiny_index, tmp_path):
+    """No leader manifest refused; live compaction journal refused; a
+    crash-torn follower (file deleted mid-state) converges on the next
+    pulse."""
+    import os as _os
+
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines.snapshot import follow
+    from search_engine_ray.state.manifest import write_json_atomic as _wj
+
+    assert "manifest" in follow(str(tmp_path / "nope"), str(tmp_path / "f"))["error"]
+
+    import shutil
+
+    leader = str(tmp_path / "leader")
+    shutil.copytree(tiny_index["out_dir"], leader)
+    jp = compact_mod.journal_path(leader)
+    _wj(jp, {"state": "SWAPPING", "entries": []})
+    r = follow(leader, str(tmp_path / "f2"))
+    assert not r["result"] and "swap in flight" in r["error"]
+    _os.unlink(jp)
+
+    fol = str(tmp_path / "f3")
+    assert follow(leader, fol)["result"]
+    # tear the follower: remove one index file, truncate another
+    victims = []
+    for dirpath, _d, files in _os.walk(fol):
+        for f in files:
+            p = _os.path.join(dirpath, f)
+            if p.endswith(".parquet"):
+                victims.append(p)
+        if len(victims) >= 2:
+            break
+    _os.unlink(victims[0])
+    r = follow(leader, fol)
+    assert r["result"] and r["n_copied"] >= 1
+    a, b = _results(SearchEngine(leader)), _results(SearchEngine(fol))
+    for qid in a:
+        assert a[qid][0] == b[qid][0] and a[qid][1].equals(b[qid][1]), qid

@@ -2703,6 +2703,17 @@ def _text_distinct_hll(sf_dir: str):
     return ta.hll_registers(_documents_ds(sf_dir))
 
 
+def _chunk_documents(sf_dir: str):
+    """Sliding-window document chunking (the RAG/embedding
+    context-window splitter): chunk k covers space-split tokens
+    [k*stride, k*stride+size), overlap carries context across
+    boundaries, chunks never cross documents; text byte-equal to the
+    SQL twin's ordered string_agg per window."""
+    from search_engine_ray.functions import packing
+
+    return packing.chunk_documents(_documents_ds(sf_dir))
+
+
 def _pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing (training-batch construction):
     each doc's placement in the packed fixed-length training stream;
@@ -3173,6 +3184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_weights": _text_dsir_weights,
         "text_dsir_resample": _text_dsir_resample,
         "pack_sequences": _pack_sequences,
+        "chunk_documents": _chunk_documents,
         "text_distinct_tokens": _text_distinct_tokens,
         "text_distinct_hll": _text_distinct_hll,
         "text_collocations": _text_collocations,
@@ -3530,6 +3542,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_dsir_weights": lambda: ta_mod.dsir_weights_sql("documents"),
         "text_dsir_resample": lambda: ta_mod.dsir_resample_sql("documents"),
         "pack_sequences": lambda: packing_mod.pack_sequences_sql("documents"),
+        "chunk_documents": lambda: packing_mod.chunk_documents_sql("documents"),
         "text_distinct_tokens": lambda: ta_mod.distinct_tokens_sql("documents"),
         # the HLL register TABLE is deterministic and exact-checkable
         # even though the estimate it yields is approximate

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .text_analysis import WORD_REGEX, token_counts
@@ -127,4 +128,129 @@ SELECT {id_col}, n_tokens, pack_group,
        CAST(start_offset // {max_len} AS BIGINT) AS first_seq,
        CAST((start_offset + greatest(n_tokens, 1) - 1) // {max_len} AS BIGINT) AS last_seq
 FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Overlapping fixed-size chunking (the RAG / embedding context-window op)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(
+    ds,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window document chunking — the context-window splitter
+    every embedding / RAG / long-context ingestion pipeline runs
+    (LangChain's token splitter shape): chunk k covers tokens
+    ``[k*stride, k*stride + size)`` of the SPACE-SPLIT word stream
+    (``stride < size`` = overlap carrying context across boundaries),
+    and a doc emits ``1 + ceil(max(0, n - size) / stride)`` chunks —
+    the first window always, then one per stride until a window
+    reaches the end; every doc (even empty) emits >= 1 chunk so no
+    text is silently dropped.  -> Dataset(id, chunk_idx, text,
+    n_tokens) where n_tokens is the chunk's own token count.
+
+    Zero-shuffle fully-vectorized map: per batch one split, integer
+    chunk geometry in numpy, one flat ``take`` gather and one
+    ``binary_join`` re-join — no per-row Python.  Unlike
+    :func:`pack_sequences` (concat-and-chunk for TRAINING batches,
+    docs spanning boundaries), chunks here never cross documents —
+    retrieval wants provenance, so (id, chunk_idx) is the chunk's
+    stable address at any corpus scale."""
+    size_, stride_ = int(size), int(stride)
+    if size_ < 1 or stride_ < 1 or stride_ > size_:
+        raise ValueError(
+            f"need 1 <= stride <= size, got size={size}, stride={stride}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.fill_null(batch.column(text_col), "")
+        toks = pc.split_pattern(txt, " ")
+        toks = (
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        flat = toks.flatten()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        n_chunks = np.where(
+            counts <= size_, 1,
+            1 + (counts - size_ + stride_ - 1) // stride_,
+        )
+        total = int(n_chunks.sum())
+        chunk_doc = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk_starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total, dtype=np.int64) - chunk_starts[chunk_doc]
+        begin = chunk_idx * stride_
+        end = np.minimum(begin + size_, counts[chunk_doc])
+        lens = end - begin
+        out_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        # flat gather indices: doc base + [begin, end) per chunk
+        base = off[:-1][chunk_doc] + begin
+        idx = np.arange(int(out_off[-1]), dtype=np.int64) \
+            - np.repeat(out_off[:-1], lens) + np.repeat(base, lens)
+        kept = flat.take(pa.array(idx, pa.int64()))
+        # int32 list offsets bound one batch's gathered tokens to 2^31
+        # — pa.array raises loudly on overflow (shrink batch_size then)
+        chunks = pa.ListArray.from_arrays(pa.array(out_off, pa.int32()), kept)
+        return pa.table({
+            id_col: pa.array(ids[chunk_doc], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            text_col: pc.binary_join(chunks, " "),
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents_sql(
+    src: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`chunk_documents`: the same space-split
+    token stream, the same chunk-count formula, ``generate_series``
+    chunk indices, and an ordered ``string_agg`` over each window —
+    integer geometry only, so the twin is exact to the byte."""
+    size_, stride_ = int(size), int(stride)
+    if size_ < 1 or stride_ < 1 or stride_ > size_:
+        raise ValueError(
+            f"need 1 <= stride <= size, got size={size}, stride={stride}")
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(string_split(coalesce(text, ''), ' ')) AS word,
+           generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1
+               AS i
+    FROM {src}
+),
+nt AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY 1),
+nc AS (
+    SELECT {id_col},
+           CASE WHEN n <= {size_} THEN 1
+                ELSE 1 + (n - {size_} + {stride_} - 1) // {stride_}
+           END AS n_chunks
+    FROM nt
+),
+chunks AS (
+    SELECT {id_col}, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+    FROM nc
+)
+SELECT c.{id_col}, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       string_agg(t.word, ' ' ORDER BY t.i) AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM chunks c
+JOIN toks t
+  ON t.{id_col} = c.{id_col}
+ AND t.i >= c.chunk_idx * {stride_}
+ AND t.i < c.chunk_idx * {stride_} + {size_}
+GROUP BY 1, 2
 """

@@ -2307,3 +2307,88 @@ def test_span_dedup_guards():
     }))
     with pytest.raises(Exception, match="2\\*\\*31"):
         span_dedup(bad).materialize()
+
+
+def test_chunk_documents_crafted_vs_oracle():
+    """Chunk geometry on crafted docs: overlap windows, the
+    first-window-always rule (empty and shorter-than-size docs emit
+    exactly one chunk), space runs preserved inside a chunk, and the
+    1 + ceil((n-size)/stride) count formula."""
+    import duckdb
+
+    from search_engine_ray.functions.packing import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            " ".join(f"t{i}" for i in range(150)),
+            "short doc",
+            "",
+            "a  b   c " * 30,
+        ],
+    })
+    got = (
+        chunk_documents(rd.from_arrow(docs), size=16, stride=12).to_pandas()
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("crafted", docs)
+    exp = (
+        con.execute(chunk_documents_sql("crafted", size=16, stride=12)).df()
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    con.close()
+    assert got[exp.columns.tolist()].equals(exp)
+    per_doc = got.groupby("doc_id").size().to_dict()
+    # doc0: n=150 -> 1 + ceil(134/12) = 13 chunks; empties/shorts: 1
+    assert per_doc == {0: 13, 1: 1, 2: 1, 3: 15}
+    d0 = got[got.doc_id == 0].reset_index(drop=True)
+    # overlap: chunk 1 starts at token 12 and re-carries tokens 12..15
+    assert d0.loc[0, "text"].split(" ")[12:] == d0.loc[1, "text"].split(" ")[:4]
+    assert (got[got.doc_id == 2].n_tokens == 1).all()  # the [''] token
+
+
+def test_chunk_documents_corpus_and_guards(docs_ds, fduck):
+    """Full corpus == the twin at sf0.001 (text byte-equal), block
+    layout invariant; reassembling non-overlapped chunk prefixes
+    reproduces every doc; bad geometry refused."""
+    from search_engine_ray.functions.packing import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    got = _assert_matches_oracle(
+        chunk_documents(docs_ds), fduck, chunk_documents_sql("documents")
+    )
+    assert got.num_rows > 0
+    rechunked = chunk_documents(docs_ds.repartition(7))
+    a = _table(rechunked).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")])
+    assert a.equals(got.sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")]))
+    # stride-prefix reassembly: joining each chunk's first `stride`
+    # tokens (all of the last chunk) rebuilds the original text
+    import collections
+
+    from search_engine_ray.functions.packing import CHUNK_STRIDE
+
+    parts = collections.defaultdict(dict)
+    for r in got.to_pylist():
+        parts[r["doc_id"]][r["chunk_idx"]] = r["text"]
+    texts = {
+        r["doc_id"]: r["text"] or ""
+        for r in _table(docs_ds).select(["doc_id", "text"]).to_pylist()
+    }
+    for d, ch in parts.items():
+        toks = []
+        for k in sorted(ch):
+            w = ch[k].split(" ")
+            toks.extend(w[:CHUNK_STRIDE] if k < max(ch) else w)
+        assert " ".join(toks) == texts[d], d
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs_ds, size=8, stride=9)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents_sql("documents", size=0, stride=0)

@@ -152,7 +152,9 @@ def _quantize_logs(model: dict):
         return np.floor(np.log(x) * NB_Q + 0.5).astype(np.int64)
 
     denom = tot + NB_ALPHA * v
-    unseen = q(NB_ALPHA / denom)
+    # v == 0 (a corpus with no tokens at all): no token rows exist, so
+    # the unseen row is unreachable — zeros instead of log(alpha/0)
+    unseen = q(NB_ALPHA / denom) if v else np.zeros(len(labels), np.int64)
     qrows: dict[str, np.ndarray] = {}
     for lab, tok, cnt in zip(lab_col, tok_col, cnt_col):
         row = qrows.get(tok)

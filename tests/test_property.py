@@ -98,3 +98,103 @@ def test_decode_block_range_matches_per_block(blocks, rnd):
     for j, (n, (ids, tf, dl)) in enumerate(zip(ns, truth)):
         d1 = decode_block(gaps_cells[j], tfs_cells[j], dls_cells[j], n)
         assert (d1[0] == ids).all() and (d1[1] == tf).all() and (d1[2] == dl).all()
+
+
+# ---------------------------------------------------------------------------
+# Random-corpus engine == SQL-twin pins for the rewrite/chunk operators
+# ---------------------------------------------------------------------------
+
+_tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_tok, max_size=24).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+
+
+def _duck_vs_engine(docs_texts, engine_ds_fn, sql_fn):
+    import duckdb
+
+    import ray.data as rd
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs_texts)), pa.int64()),
+        "text": pa.array(docs_texts, pa.string()),
+    })
+    got = engine_ds_fn(rd.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    exp = con.execute(sql_fn("corpus")).df()
+    con.close()
+    cols = list(exp.columns)
+    key = [c for c in ("doc_id", "chunk_idx") if c in cols]
+    got = got[cols].sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got.equals(exp), (got, exp)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_span_dedup_random_corpus_matches_twin(ray_session, texts):
+    """span_dedup == its DuckDB twin on ARBITRARY small corpora over a
+    5-token alphabet (dense duplicate collisions by construction):
+    keep-globally-first, overlap collapse, short/empty docs — the
+    whole semantics, not just the crafted cases."""
+    from search_engine_ray.functions.text_analysis import (
+        span_dedup,
+        span_dedup_sql,
+    )
+
+    _duck_vs_engine(
+        texts,
+        lambda ds: span_dedup(ds, window=3),
+        lambda src: span_dedup_sql(src, window=3),
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(_corpus)
+def test_chunk_documents_random_corpus_matches_twin(ray_session, texts):
+    from search_engine_ray.functions.packing import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    _duck_vs_engine(
+        texts,
+        lambda ds: chunk_documents(ds, size=5, stride=3),
+        lambda src: chunk_documents_sql(src, size=5, stride=3),
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), _doc),
+        min_size=2, max_size=10,
+    )
+)
+def test_nb_classify_random_corpus_matches_twin(ray_session, rows):
+    """nb_classify == its model-recomputing SQL twin on arbitrary
+    labeled corpora — priors, smoothing denominators, the quantized
+    log-prob sums and the argmax tie-break all mirror exactly."""
+    import duckdb
+
+    import ray.data as rd
+
+    from search_engine_ray.functions.classify import (
+        nb_classify,
+        nb_classify_sql,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    got = nb_classify(rd.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    exp = con.execute(nb_classify_sql("corpus")).df()
+    con.close()
+    cols = list(exp.columns)
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp), (got, exp)

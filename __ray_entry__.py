@@ -2330,6 +2330,15 @@ def _sample_stratified(sf_dir: str):
     )
 
 
+def _sample_balanced(sf_dir: str):
+    """Group-balanced downsampling: cap every source at 10 docs by
+    md5(seed:id) rank — the count-based curation sibling of the
+    rate-based stratified sampler; exact row-set oracle."""
+    from search_engine_ray.functions import sampling
+
+    return sampling.sample_balanced(_documents_ds(sf_dir), 10)
+
+
 def _assign_splits(sf_dir: str):
     from search_engine_ray.functions import sampling
 
@@ -3173,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_corpus_prep": _pipeline_corpus_prep,
         "sample_hash": _sample_hash,
         "sample_stratified": _sample_stratified,
+        "sample_balanced": _sample_balanced,
         "sample_mixture": _sample_mixture,
         "assign_splits": _assign_splits,
         "text_token_counts": _text_token_counts,
@@ -3527,6 +3537,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "documents", STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
         ),
         "assign_splits": lambda: sampling_mod.assign_splits_sql("documents"),
+        "sample_balanced": lambda: sampling_mod.sample_balanced_sql("documents", 10),
         "sample_mixture": lambda: (
             "SELECT doc_id, source FROM ("
             + sampling_mod.sample_mixture_sql(

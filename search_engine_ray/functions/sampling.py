@@ -310,3 +310,112 @@ SELECT d.* FROM {src} d JOIN th ON th.stratum = d.{stratum_col}
 WHERE substr(md5('{seed}:' || CAST(d.{id_col} AS VARCHAR)), 1, {_HEX_DIGITS})
       < th.thresh
 """
+
+
+# ---------------------------------------------------------------------------
+# Balanced cap sampling (keep at most N per group by hash rank)
+# ---------------------------------------------------------------------------
+
+BALANCED_BROADCAST_MAX_IDS = 2_000_000  # enforced kept-id broadcast bound
+
+
+def sample_balanced(
+    ds: rd.Dataset,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> rd.Dataset:
+    """Group-balanced downsampling — cap every group (source, cluster,
+    domain) at ``n_per_group`` rows, the curation move that stops a
+    crawl-heavy source or a mega-cluster from dominating a training
+    mix (the cluster-balancing step of SemDeDup-style pipelines;
+    :func:`sample_stratified` is its RATE-based sibling, this one is
+    COUNT-based).  Deterministic: a group keeps its ``n_per_group``
+    rows of smallest ``md5(seed:id)`` digest, (digest, id)-ordered —
+    reproducible at any block layout, partitioning or cluster size,
+    and recomputable by the SQL twin bit-for-bit.
+
+    Scale shape: a per-batch map prunes each (batch, group) to its
+    partial top-N CANDIDATE KEYS only — (group, digest, id), never the
+    rows — so the single groupby exchange carries <= N x groups x
+    blocks key rows; the fold emits the global winners and the kept-id
+    set broadcasts once (``ray.put``) to a membership filter map.  The
+    broadcast is N x n_groups ids, bounded by construction and
+    enforced at ``BALANCED_BROADCAST_MAX_IDS`` (the planner's 2M rule)
+    — above it, the filter belongs in an id-keyed join, refused loudly
+    rather than silently materialized."""
+    import numpy as np
+    import ray
+
+    n = int(n_per_group)
+    if n < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        d = _digests(seed, ids.to_pylist())
+        t = pa.table({
+            "g": batch.column(group_col),
+            "d": d,
+            id_col: ids,
+        }).sort_by([("g", "ascending"), ("d", "ascending"),
+                    (id_col, "ascending")])
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        keep = np.concatenate([
+            np.arange(s, min(s + n, e)) for s, e in zip(starts, ends)
+        ]) if len(g) else np.empty(0, np.int64)
+        return t.take(pa.array(keep, pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        return group.sort_by(
+            [("d", "ascending"), (id_col, "ascending")]
+        ).slice(0, n)
+
+    kept_tbl = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+        .select_columns([id_col])
+    )
+    kept_ids = set()
+    for b in kept_tbl.iter_batches(batch_format="pyarrow"):
+        kept_ids.update(b.column(id_col).to_pylist())
+        if len(kept_ids) > BALANCED_BROADCAST_MAX_IDS:
+            raise ValueError(
+                f"kept-id set exceeds the {BALANCED_BROADCAST_MAX_IDS} "
+                "broadcast bound — use an id-keyed join filter at this "
+                "group count"
+            )
+    ref = ray.put(kept_ids)
+
+    def member(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pa.array([i in ks for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(member, batch_format="pyarrow")
+
+
+def sample_balanced_sql(src: str, n_per_group: int,
+                        group_col: str = "source",
+                        id_col: str = "doc_id", seed: int = 42) -> str:
+    """DuckDB oracle for :func:`sample_balanced`: ``row_number()`` over
+    the same (digest, id) order within each group, capped at N."""
+    n = int(n_per_group)
+    if n < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    return f"""
+SELECT * EXCLUDE (rn) FROM (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY {group_col}
+               ORDER BY substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)),
+                               1, {_HEX_DIGITS}),
+                        {id_col}
+           ) AS rn
+    FROM {src}
+) WHERE rn <= {n}
+"""

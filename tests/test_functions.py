@@ -2392,3 +2392,38 @@ def test_chunk_documents_corpus_and_guards(docs_ds, fduck):
         chunk_documents(docs_ds, size=8, stride=9)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents_sql("documents", size=0, stride=0)
+
+
+def test_sample_balanced_vs_oracle(docs_ds, fduck):
+    """Count-based group cap == the row_number-over-(digest, id) SQL
+    twin (exact row set, all columns); every group capped at N; block
+    layout invariant; a cap above every group size is the identity;
+    guards refuse bad N and an exceeded broadcast bound."""
+    from search_engine_ray.functions import sampling
+
+    got = _assert_matches_oracle(
+        sampling.sample_balanced(docs_ds, 7), fduck,
+        sampling.sample_balanced_sql("documents", 7),
+    )
+    import collections
+
+    per = collections.Counter(got.column("source").to_pylist())
+    assert per and max(per.values()) <= 7
+    total = _table(docs_ds).num_rows
+    # some group exceeds the cap at sf0.001 (25 docs/source) -> shrinks
+    assert got.num_rows < total
+    rechunked = sampling.sample_balanced(docs_ds.repartition(7), 7)
+    a = _table(rechunked).sort_by([("doc_id", "ascending")])
+    assert a.equals(got.sort_by([("doc_id", "ascending")]))
+    # cap >= max group size: identity row set
+    all_kept = _table(sampling.sample_balanced(docs_ds, 10_000))
+    assert all_kept.num_rows == total
+    with pytest.raises(ValueError, match="n_per_group"):
+        sampling.sample_balanced(docs_ds, 0)
+    old = sampling.BALANCED_BROADCAST_MAX_IDS
+    try:
+        sampling.BALANCED_BROADCAST_MAX_IDS = 3
+        with pytest.raises(ValueError, match="broadcast bound"):
+            sampling.sample_balanced(docs_ds, 7).materialize()
+    finally:
+        sampling.BALANCED_BROADCAST_MAX_IDS = old

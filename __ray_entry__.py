@@ -159,6 +159,55 @@ def _search_highlight(sf_dir: str):
     return df
 
 
+REINDEX_QUERY_STEM_I = 3  # mid-df filter stem for the reindex slice
+
+
+def _reindex_search(sf_dir: str):
+    """Reindex-by-query (ES _reindex with a query): extract every turn
+    matching a filter query into a new corpus slice (membership by
+    re-analysis, one zero-shuffle stateful map), build a fresh index
+    over it, and run the probe set — results must equal BM25 over the
+    SQL-filtered corpus (the shared analyzer CTE chain deciding the
+    same membership)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines.reindex import reindex_by_query
+    from search_engine_ray.search import SearchEngine
+
+    tag = sf_dir if "/" not in sf_dir else datagen.sf_tag_of_dir(sf_dir)
+    files = datagen.transcripts_files(tag)
+    dest = os.path.join(_build_root(), f"{tag}-reindexq")
+    fq = datagen.stem(REINDEX_QUERY_STEM_I)
+    try:
+        r = reindex_by_query(files, fq, dest)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(dest, ignore_errors=True)
+        r = reindex_by_query(files, fq, dest)
+    if not r["result"]:
+        raise RuntimeError(f"reindex_by_query failed: {r}")
+    eng = SearchEngine(dest)
+    rows = []
+    for q in datagen.reference_queries():
+        rr = eng.search(q["query_text"], scope=q["scope"], limit=q["k"])
+        for rank, row in enumerate(rr["data"].to_pylist(), start=1):
+            rows.append({
+                "query_id": q["query_id"],
+                "rank": rank,
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "score": round(row["score"], 6),
+            })
+    df = pd.DataFrame(
+        rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_msearch(sf_dir: str):
     """Multi-search (ES _msearch): the whole reference query set runs
     as ONE engine batch; the oracle is the plain per-query BM25 twin,
@@ -3092,6 +3141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_topk_reference": lambda sf: _search_topk(sf, "reference"),
         "search_enriched": lambda sf: _search_topk(sf, "bm25", enriched=True),
         "search_highlight": _search_highlight,
+        "reindex_search": _reindex_search,
         "search_counts": _search_counts,
         "search_pagination": _search_pagination,
         "search_cursor": _search_cursor,
@@ -3243,6 +3293,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import sampling as sampling_mod
     from search_engine_ray.pipelines import corpus_prep as corpus_prep_mod
+    from search_engine_ray.pipelines import reindex as reindex_mod
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import classify as classify_mod
@@ -3285,6 +3336,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "search_topk_reference": lambda: oracle.reference_topk_sql(_corpus_src(), qs),
         "search_enriched": lambda: oracle.bm25_topk_enriched_sql(_corpus_src(), qs),
         "search_highlight": lambda: oracle.bm25_topk_highlight_sql(_corpus_src(), qs),
+        "reindex_search": lambda: oracle.bm25_topk_sql(
+            reindex_mod.reindexed_src_sql(
+                _corpus_src(), datagen.stem(REINDEX_QUERY_STEM_I)
+            ),
+            qs,
+        ),
         "search_counts": lambda: oracle.bm25_counts_sql(_corpus_src(), qs),
         "search_facets": lambda: oracle.facets_sql(_corpus_src(), qs),
         "search_metrics": lambda: oracle.metrics_sql(

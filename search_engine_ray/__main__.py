@@ -551,6 +551,17 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--snap", required=True)
     rs.add_argument("--dest", required=True)
 
+    rq = sub.add_parser(
+        "reindex-query", help="ES _reindex with a query: extract matching "
+        "turns (membership by re-analysis) into a new corpus slice and "
+        "build a fresh index over it"
+    )
+    rq.add_argument("--input", required=True, nargs="+")
+    rq.add_argument("--query", required=True)
+    rq.add_argument("--dest", required=True)
+    rq.add_argument("--scope", default=None)
+    rq.add_argument("--partitions", type=int, default=None)
+
     fl = sub.add_parser(
         "follow", help="one incremental follower-sync pulse from a leader "
         "index (ES cross-cluster-replication analog): bootstrap full "
@@ -1271,6 +1282,15 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.snapshot import follow
 
         print(json.dumps(follow(a.leader, a.dest)))
+    elif a.cmd == "reindex-query":
+        _init_ray()
+        import glob as _glob
+
+        from .pipelines.reindex import reindex_by_query
+
+        paths = [p for pat in a.input for p in sorted(_glob.glob(pat)) or [pat]]
+        print(json.dumps(reindex_by_query(
+            paths, a.query, a.dest, scope=a.scope, n_partitions=a.partitions)))
     elif a.cmd == "stop":
         from .pipelines.build import request_stop
 

@@ -2982,6 +2982,19 @@ def _window_tumbling(sf_dir: str):
     return windows.tumbling_window(_events_ds(sf_dir))
 
 
+FUNNEL_DRIVER_STEPS = ("signup", "view", "purchase") * 3  # depth variance
+
+
+def _window_funnel(sf_dir: str):
+    """Strict-sequence funnel (the product-analytics primitive): per
+    user the greedy-earliest 9-step chain (three signup->view->purchase
+    cycles — repeated steps exercise the strictly-after rule); one row
+    per user with steps_completed and nullable step timestamps."""
+    from search_engine_ray.functions import windows
+
+    return windows.funnel(_events_ds(sf_dir), steps=FUNNEL_DRIVER_STEPS)
+
+
 def _window_sessions(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -3270,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_hash_left": _join_hash_left,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
+        "window_funnel": _window_funnel,
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
@@ -3663,6 +3677,8 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "window_tumbling": lambda: windows_mod.tumbling_window_sql("events"),
         "window_sessions": lambda: windows_mod.session_windows_sql("events"),
+        "window_funnel": lambda: windows_mod.funnel_sql(
+            "events", FUNNEL_DRIVER_STEPS),
         # the hot-user-safe path must equal the plain sessionization
         "window_sessions_salted": lambda: windows_mod.session_windows_sql("events"),
         "window_sliding": lambda: windows_mod.sliding_window_sql("events"),

@@ -348,3 +348,132 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), {_ROUND}) AS sum_value
 FROM tagged GROUP BY user_id, sess
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered event-sequence completion per user)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def funnel(
+    ds: rd.Dataset,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Strict-sequence funnel — the product-analytics primitive (which
+    users did signup THEN view THEN purchase, in order): per user, the
+    GREEDY-EARLIEST chain over the (ts, event_id) total order — step 1
+    matches the user's first step-1 event, step k the first step-k
+    event strictly after step k-1's match.  With no conversion window,
+    greedy-earliest is optimal (the minimal valid next occurrence
+    maximizes what can still follow — the span_first argument), so
+    "completed k steps" is a well-defined property of the event set,
+    not of scan order.  -> one row per user: (user, steps_completed,
+    ts_1..ts_k nullable step timestamps).
+
+    One shuffle (groupby user — the sessionization exchange); the
+    per-group scan is a k-pass flatnonzero over the sorted order, k =
+    len(steps).  Repeated step names are allowed (signup -> view ->
+    view = two distinct views); empty steps refused."""
+    steps = tuple(steps)
+    if not steps or any(not s for s in steps):
+        raise ValueError("steps must be a non-empty tuple of event types")
+    k = len(steps)
+
+    def scan(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        types = np.asarray(g.column(type_col).to_pylist(), dtype=object)
+        us = g.column(ts_col).cast(pa.int64()).to_numpy()
+        hit_ts: list[int | None] = []
+        pos = -1
+        for s in steps:
+            idxs = np.flatnonzero(types == s)
+            idxs = idxs[idxs > pos]
+            if len(idxs) == 0:
+                break
+            pos = int(idxs[0])
+            hit_ts.append(int(us[pos]))
+        done = len(hit_ts)
+        cols = {
+            user_col: pa.array([g.column(user_col)[0].as_py()], pa.int64()),
+            "steps_completed": pa.array([done], pa.int64()),
+        }
+        for j in range(k):
+            cols[f"ts_{j + 1}"] = pa.array(
+                [hit_ts[j] if j < done else None], pa.int64()
+            ).cast(pa.timestamp("us"))
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([user_col, ts_col, type_col, id_col])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(user_col)
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+def funnel_sql(
+    src: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`funnel`: chained row_number CTEs — step
+    k's candidates join strictly after step k-1's match in the same
+    (ts, event_id) order, rn = 1 is the greedy-earliest pick."""
+    steps = tuple(steps)
+    if not steps or any(not s for s in steps):
+        raise ValueError("steps must be a non-empty tuple of event types")
+    ctes = []
+    for j, s in enumerate(steps, start=1):
+        if j == 1:
+            body = f"""
+    SELECT {user_col}, ts, {id_col} FROM (
+        SELECT {user_col}, ts, {id_col},
+               row_number() OVER (
+                   PARTITION BY {user_col} ORDER BY ts, {id_col}) AS rn
+        FROM {src} WHERE event_type = '{s}'
+    ) WHERE rn = 1"""
+        else:
+            body = f"""
+    SELECT {user_col}, ts, {id_col} FROM (
+        SELECT e.{user_col}, e.ts, e.{id_col},
+               row_number() OVER (
+                   PARTITION BY e.{user_col} ORDER BY e.ts, e.{id_col}) AS rn
+        FROM {src} e
+        JOIN s{j - 1} p ON p.{user_col} = e.{user_col}
+         AND (e.ts > p.ts OR (e.ts = p.ts AND e.{id_col} > p.{id_col}))
+        WHERE e.event_type = '{s}'
+    ) WHERE rn = 1"""
+        ctes.append(f"s{j} AS ({body}\n)")
+    ts_cols = ",\n       ".join(
+        f"s{j}.ts AS ts_{j}" for j in range(1, len(steps) + 1)
+    )
+    depth = " ".join(
+        f"WHEN s{j}.{user_col} IS NOT NULL THEN {j}"
+        for j in range(len(steps), 0, -1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN s{j} ON s{j}.{user_col} = u.{user_col}"
+        for j in range(1, len(steps) + 1)
+    )
+    return f"""
+WITH {",".join(ctes)},
+users AS (SELECT DISTINCT {user_col} FROM {src})
+SELECT u.{user_col},
+       CAST(CASE {depth} ELSE 0 END AS BIGINT) AS steps_completed,
+       {ts_cols}
+FROM users u
+{joins}
+"""

@@ -2427,3 +2427,74 @@ def test_sample_balanced_vs_oracle(docs_ds, fduck):
             sampling.sample_balanced(docs_ds, 7).materialize()
     finally:
         sampling.BALANCED_BROADCAST_MAX_IDS = old
+
+
+def test_funnel_vs_oracle(events_ds, educk):
+    """Greedy-earliest strict-sequence funnel == the chained-row_number
+    SQL twin on the events corpus (one row per user, step timestamps
+    exact), block-layout invariant, with the repeated-step chain
+    exercising the strictly-after rule."""
+    from search_engine_ray.functions import windows
+
+    steps = ("signup", "view", "purchase") * 3
+    got = _assert_matches_oracle(
+        windows.funnel(events_ds, steps=steps), educk,
+        windows.funnel_sql("events", steps),
+    )
+    assert got.num_rows > 0
+    rechunked = windows.funnel(events_ds.repartition(5), steps=steps)
+    a = _table(rechunked).sort_by([("user_id", "ascending")])
+    assert a.equals(got.sort_by([("user_id", "ascending")]))
+
+
+def test_funnel_crafted_semantics(ray_session):
+    """Hand-checkable chains: order matters (view before signup does
+    not count), ties at equal ts break by event_id, a user with no
+    step-1 event completes 0, repeated steps need DISTINCT later
+    events, and every user gets exactly one row."""
+    import duckdb
+
+    from search_engine_ray.functions import windows
+
+    ev = pa.table({
+        "event_id": pa.array(list(range(10)), pa.int64()),
+        "ts": pa.array([1000, 2000, 3000, 400, 500, 1000, 1000, 7000,
+                        600, 800], pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 4, 4], pa.int64()),
+        "event_type": [
+            "signup", "view", "purchase",       # u1: full chain
+            "view", "signup",                    # u2: view BEFORE signup
+            "signup", "view", "view",            # u3: tie -> eid order
+            "view", "purchase",                  # u4: no signup at all
+        ],
+        "value": pa.array([0.0] * 10, pa.float64()),
+        "props": pa.array([""] * 10, pa.string()),
+    })
+    steps = ("signup", "view", "view")
+    got = {
+        r["user_id"]: r
+        for r in _table(
+            windows.funnel(rd.from_arrow(ev), steps=steps)).to_pylist()
+    }
+    assert len(got) == 4
+    assert got[1]["steps_completed"] == 2  # one view only, second missing
+    assert got[2]["steps_completed"] == 1  # the later signup matches...
+    assert got[2]["ts_1"] is not None and got[2]["ts_2"] is None
+    # u3: signup at ts=1000/eid=5, the SAME-ts view eid=6 is strictly
+    # after by the event_id tie-break, then the ts=7000 view
+    assert got[3]["steps_completed"] == 3
+    assert got[3]["ts_2"] == got[3]["ts_1"]  # same-ts view, eid-after
+    assert got[3]["ts_3"] is not None
+    assert got[4]["steps_completed"] == 0
+    assert got[4]["ts_1"] is None
+    con = duckdb.connect()
+    con.register("crafted", ev)
+    exp = con.execute(windows.funnel_sql("crafted", steps)).df()
+    con.close()
+    assert len(exp) == 4
+    for r in exp.to_dict("records"):
+        assert got[r["user_id"]]["steps_completed"] == r["steps_completed"]
+    with pytest.raises(ValueError, match="steps"):
+        windows.funnel(None, steps=())
+    with pytest.raises(ValueError, match="steps"):
+        windows.funnel_sql("events", steps=("a", ""))

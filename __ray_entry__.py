@@ -2995,6 +2995,16 @@ def _window_funnel(sf_dir: str):
     return windows.funnel(_events_ds(sf_dir), steps=FUNNEL_DRIVER_STEPS)
 
 
+def _window_retention(sf_dir: str):
+    """Cohort retention (the come-back half of the product-analytics
+    pair): cohort = UTC epoch-day of the user's first signup; distinct
+    active users per (cohort_day, day_offset 0..14) — exact integer
+    counts, additive across shards."""
+    from search_engine_ray.functions import windows
+
+    return windows.retention(_events_ds(sf_dir))
+
+
 def _window_sessions(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -3284,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_funnel": _window_funnel,
+        "window_retention": _window_retention,
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
@@ -3679,6 +3690,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_sessions": lambda: windows_mod.session_windows_sql("events"),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
+        "window_retention": lambda: windows_mod.retention_sql("events"),
         # the hot-user-safe path must equal the plain sessionization
         "window_sessions_salted": lambda: windows_mod.session_windows_sql("events"),
         "window_sliding": lambda: windows_mod.sliding_window_sql("events"),

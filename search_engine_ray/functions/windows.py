@@ -477,3 +477,120 @@ SELECT u.{user_col},
 FROM users u
 {joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (distinct active users per cohort-day x day-offset)
+# ---------------------------------------------------------------------------
+
+RETENTION_ANCHOR = "signup"
+RETENTION_HORIZON_DAYS = 14
+
+
+def retention(
+    ds: rd.Dataset,
+    anchor: str = RETENTION_ANCHOR,
+    horizon_days: int = RETENTION_HORIZON_DAYS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """Cohort retention — the other half of the product-analytics pair
+    (:func:`funnel` answers "did the sequence happen", this answers
+    "did they come back"): a user's cohort is the UTC day of their
+    FIRST ``anchor`` event; for each day offset 0..horizon the user is
+    RETAINED iff they have ANY event on cohort_day + offset.  -> one
+    row per (cohort_day, day_offset) with the DISTINCT-user count —
+    exact integers, so counts merge additively across shards (users
+    are cohort-unique) and the SQL twin matches bit-for-bit.
+
+    Shape: ONE user-key shuffle; each group reduces to its <= horizon+1
+    (cohort, offset, 1) pairs in one vectorized pass (epoch-day
+    arithmetic on int64 — no calendar library), then a tiny groupby
+    sums — the exchange after the user shuffle is cohort x horizon
+    sized, never event-sized.  Users with no anchor event contribute
+    nothing (they have no cohort)."""
+    from ray.data.aggregate import Sum
+
+    h = int(horizon_days)
+    if h < 0:
+        raise ValueError(f"horizon_days must be >= 0, got {horizon_days}")
+    if not anchor:
+        raise ValueError("anchor event type must be non-empty")
+    us_day = 86_400_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        us = group.column(ts_col).cast(pa.int64()).to_numpy()
+        types = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        anch = us[types == anchor]
+        if len(anch) == 0:
+            return pa.table({
+                "cohort_day": pa.array([], pa.int64()),
+                "day_offset": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        cohort = int(anch.min()) // us_day
+        offs = np.unique(us // us_day - cohort)
+        offs = offs[(offs >= 0) & (offs <= h)]
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(offs), cohort), pa.int64()),
+            "day_offset": pa.array(offs, pa.int64()),
+            "n": pa.array(np.ones(len(offs), np.int64)),
+        })
+
+    counted = (
+        ds.select_columns([user_col, ts_col, type_col])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": pc.multiply(
+                b.column("cohort_day"), pa.scalar(us_day, pa.int64())
+            ).cast(pa.timestamp("us")),
+            "day_offset": b.column("day_offset").cast(pa.int64()),
+            "n_users": b.column("n_users").cast(pa.int64()),
+        })
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_sql(
+    src: str,
+    anchor: str = RETENTION_ANCHOR,
+    horizon_days: int = RETENTION_HORIZON_DAYS,
+    user_col: str = "user_id",
+) -> str:
+    """DuckDB oracle for :func:`retention`: first-anchor epoch-day per
+    user (the same int64 floor-division day rule — no calendar
+    functions, so both engines share the arithmetic), day offsets via
+    the same subtraction, COUNT(DISTINCT user)."""
+    h = int(horizon_days)
+    if h < 0:
+        raise ValueError(f"horizon_days must be >= 0, got {horizon_days}")
+    if not anchor:
+        raise ValueError("anchor event type must be non-empty")
+    return f"""
+WITH cohorts AS (
+    SELECT {user_col},
+           min(epoch_us(ts)) // 86400000000 AS cohort_day
+    FROM {src} WHERE event_type = '{anchor}' GROUP BY 1
+),
+hits AS (
+    SELECT DISTINCT c.{user_col}, c.cohort_day,
+           epoch_us(e.ts) // 86400000000 - c.cohort_day AS day_offset
+    FROM {src} e JOIN cohorts c ON c.{user_col} = e.{user_col}
+)
+SELECT make_timestamp(CAST(cohort_day * 86400000000 AS BIGINT)) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM hits
+WHERE day_offset BETWEEN 0 AND {h}
+GROUP BY 1, 2
+"""

@@ -2498,3 +2498,34 @@ def test_funnel_crafted_semantics(ray_session):
         windows.funnel(None, steps=())
     with pytest.raises(ValueError, match="steps"):
         windows.funnel_sql("events", steps=("a", ""))
+
+
+def test_retention_vs_oracle(events_ds, educk):
+    """Cohort retention == the epoch-day-arithmetic SQL twin (exact
+    distinct-user counts per (cohort_day, day_offset)); block layout
+    invariant; offset 0 counts every cohorted user (their anchor day
+    is active by definition); horizon clips offsets."""
+    from search_engine_ray.functions import windows
+
+    got = _assert_matches_oracle(
+        windows.retention(events_ds), educk, windows.retention_sql("events")
+    )
+    assert got.num_rows > 0
+    rechunked = windows.retention(events_ds.repartition(5))
+    a = _table(rechunked).sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")])
+    assert a.equals(got.sort_by(
+        [("cohort_day", "ascending"), ("day_offset", "ascending")]))
+    rows = got.to_pylist()
+    offs = {r["day_offset"] for r in rows}
+    assert offs and max(offs) <= 14 and 0 in offs
+    # offset-0 totals == number of distinct cohorted (signup) users
+    n0 = sum(r["n_users"] for r in rows if r["day_offset"] == 0)
+    n_sig = educk.execute(
+        "SELECT count(DISTINCT user_id) FROM events "
+        "WHERE event_type = 'signup'").fetchone()[0]
+    assert n0 == n_sig
+    with pytest.raises(ValueError, match="horizon"):
+        windows.retention(events_ds, horizon_days=-1)
+    with pytest.raises(ValueError, match="anchor"):
+        windows.retention_sql("events", anchor="")

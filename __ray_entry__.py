@@ -258,6 +258,17 @@ def _sample_mixture(sf_dir: str):
     )
 
 
+def _pipeline_chunk_prep(sf_dir: str):
+    """RAG-ingestion composition: duplicated-span removal (ExactSubstr
+    rewrite) -> overlapping chunking -> chunk-level keep-first exact
+    dedup; (doc_id, chunk_idx, n_copies) per surviving chunk — the
+    three already-oracled stages composed by streaming, twin composed
+    by relation nesting."""
+    from search_engine_ray.pipelines import corpus_prep
+
+    return corpus_prep.chunk_prep(_documents_ds(sf_dir))
+
+
 def _pipeline_quality_mixture(sf_dir: str):
     """CCNet quality-bucketed sampling (Wenzek 2020): corpus-self LM
     scores -> tercile buckets via the bounded-memory quantile sketch ->
@@ -3198,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles_sketch": _doclen_quantiles_sketch,
         "text_bpe_vocab": _text_bpe_vocab,
         "pipeline_quality_mixture": _pipeline_quality_mixture,
+        "pipeline_chunk_prep": _pipeline_chunk_prep,
         "search_phrase": _search_phrase,
         "search_phrase_prefix": _search_phrase_prefix,
         "search_dis_max": _search_dis_max,
@@ -3609,6 +3621,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # near-dup cluster collapse -> split assignment) checked
         # END-TO-END against the composition of its stage oracles
         "pipeline_corpus_prep": lambda: corpus_prep_mod.corpus_prep_sql("documents"),
+        "pipeline_chunk_prep": lambda: corpus_prep_mod.chunk_prep_sql("documents"),
         "pipeline_quality_mixture": lambda: corpus_prep_mod.quality_mixture_sql(
             "documents"
         ),

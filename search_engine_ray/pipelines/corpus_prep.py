@@ -288,3 +288,115 @@ WHERE substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, {_HEX_DIGITS}) <
         ELSE '{_hex_threshold(0.0)}'
     END)
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed chunk-prep pipeline: span dedup -> chunk -> chunk-level dedup
+# ---------------------------------------------------------------------------
+
+_CHUNK_KEY_BITS = 32
+
+
+def chunk_prep(
+    ds: rd.Dataset,
+    window: int | None = None,
+    size: int | None = None,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """The RAG-ingestion composition: corpus-wide duplicated-SPAN
+    removal (ExactSubstr rewrite) -> overlapping fixed-size chunking ->
+    chunk-level keep-first exact dedup — cut repeated regions first so
+    chunk boundaries don't mask duplication, then drop the byte-equal
+    chunks overlap still produces.  -> (doc_id, chunk_idx, n_copies)
+    per SURVIVING chunk (the keep-first winner of each distinct chunk
+    text, packed-key min = (doc, chunk) lexicographic min).
+
+    Every stage is the already-oracled operator (span_dedup /
+    chunk_documents / exact_dedup), composed by streaming — no stage
+    materializes, and the chunk key packs (31-bit doc, 32-bit idx)
+    into one int64 so the dedup exchange stays (hash, key) rows."""
+    from search_engine_ray.functions.dedup import exact_dedup
+    from search_engine_ray.functions.packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+    from search_engine_ray.functions.text_analysis import (
+        SPAN_DEDUP_W,
+        span_dedup,
+    )
+
+    w = SPAN_DEDUP_W if window is None else int(window)
+    sz = CHUNK_SIZE if size is None else int(size)
+    st = CHUNK_STRIDE if stride is None else int(stride)
+    rewritten = span_dedup(ds, window=w, id_col=id_col)
+    chunks = chunk_documents(
+        rewritten.select_columns([id_col, "text"]), size=sz, stride=st,
+        id_col=id_col,
+    )
+
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = b.column("chunk_idx").to_numpy(zero_copy_only=False)
+        # doc ids are 31-bit-validated by span_dedup upstream; chunk
+        # idx is < 2^32 by the chunker's geometry
+        return pa.table({
+            "chunk_key": pa.array((ids << _CHUNK_KEY_BITS) | ci, pa.int64()),
+            "text": b.column("text"),
+        })
+
+    kept = exact_dedup(
+        chunks.map_batches(pack, batch_format="pyarrow"), id_col="chunk_key"
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b.column("chunk_key").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(k >> _CHUNK_KEY_BITS, pa.int64()),
+            "chunk_idx": pa.array(k & ((1 << _CHUNK_KEY_BITS) - 1), pa.int64()),
+            "n_copies": b.column("n_copies").cast(pa.int64()),
+        })
+
+    return kept.map_batches(unpack, batch_format="pyarrow")
+
+
+def chunk_prep_sql(
+    src: str,
+    window: int | None = None,
+    size: int | None = None,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`chunk_prep` — the three stage twins
+    composed by relation nesting (each stage's WITH chain scopes
+    inside its parens, the reindex nesting precedent), with the same
+    packed chunk key so keep-first min agrees bit-for-bit."""
+    from search_engine_ray.functions.dedup import exact_dedup_sql
+    from search_engine_ray.functions.packing import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents_sql,
+    )
+    from search_engine_ray.functions.text_analysis import (
+        SPAN_DEDUP_W,
+        span_dedup_sql,
+    )
+
+    w = SPAN_DEDUP_W if window is None else int(window)
+    sz = CHUNK_SIZE if size is None else int(size)
+    st = CHUNK_STRIDE if stride is None else int(stride)
+    span = span_dedup_sql(src, window=w, id_col=id_col)
+    chunk_src = f"(SELECT {id_col}, text FROM ({span}))"
+    chunks = chunk_documents_sql(chunk_src, size=sz, stride=st, id_col=id_col)
+    packed = (
+        f"(SELECT {id_col} * {1 << _CHUNK_KEY_BITS} + chunk_idx AS chunk_key, "
+        f"text FROM ({chunks}))"
+    )
+    dedup = exact_dedup_sql(packed, id_col="chunk_key")
+    return f"""
+SELECT CAST(chunk_key // {1 << _CHUNK_KEY_BITS} AS BIGINT) AS {id_col},
+       CAST(chunk_key % {1 << _CHUNK_KEY_BITS} AS BIGINT) AS chunk_idx,
+       n_copies
+FROM ({dedup})
+"""

@@ -2529,3 +2529,27 @@ def test_retention_vs_oracle(events_ds, educk):
         windows.retention(events_ds, horizon_days=-1)
     with pytest.raises(ValueError, match="anchor"):
         windows.retention_sql("events", anchor="")
+
+
+def test_pipeline_chunk_prep_vs_composed_twin(docs_ds, fduck):
+    """The chunk-prep composition (span dedup -> chunking ->
+    chunk-level exact dedup) == the three stage twins composed by
+    relation nesting; chunk-level duplicates exist (the overlap makes
+    some) and the survivor of each dup group is the packed-key min;
+    block layout invariant."""
+    from search_engine_ray.pipelines.corpus_prep import (
+        chunk_prep,
+        chunk_prep_sql,
+    )
+
+    got = _assert_matches_oracle(
+        chunk_prep(docs_ds), fduck, chunk_prep_sql("documents")
+    )
+    assert got.num_rows > 0
+    n_dup_groups = sum(
+        1 for r in got.to_pylist() if r["n_copies"] > 1
+    )
+    assert n_dup_groups > 0
+    rechunked = chunk_prep(docs_ds.repartition(7))
+    key = [("doc_id", "ascending"), ("chunk_idx", "ascending")]
+    assert _table(rechunked).sort_by(key).equals(got.sort_by(key))

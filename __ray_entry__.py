@@ -258,6 +258,56 @@ def _sample_mixture(sf_dir: str):
     )
 
 
+def _increment_ds(sf_dir: str):
+    """Deterministic 'new crawl increment' derived from documents (no
+    external data): re-ids of every %3 doc with UNCHANGED text (base
+    collisions — must drop), every %4 doc with REVERSED text (novel —
+    must keep), and every %8 doc with the same reversed text again
+    (within-increment duplicates — keep-first with n_copies 2)."""
+    import pyarrow.compute as _pc
+
+    def mk(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(_np.int64)
+        txt = _pc.fill_null(b.column("text").combine_chunks(), "")
+        rev = _pc.utf8_reverse(txt)
+        parts = []
+        for mod, off, t in ((3, 1_000_000, txt), (4, 2_000_000, rev),
+                            (8, 3_000_000, rev)):
+            m = _pa.array(ids % mod == 0)
+            parts.append(_pa.table({
+                "doc_id": _pa.array(ids[ids % mod == 0] + off, _pa.int64()),
+                "text": t.filter(m),
+            }))
+        return _pa.concat_tables(parts)
+
+    return _documents_ds(sf_dir).map_batches(mk, batch_format="pyarrow")
+
+
+_INCREMENT_SQL = """(
+    SELECT doc_id + 1000000 AS doc_id, coalesce(text, '') AS text
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, reverse(coalesce(text, ''))
+    FROM documents WHERE doc_id % 4 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, reverse(coalesce(text, ''))
+    FROM documents WHERE doc_id % 8 = 0
+)"""
+
+
+def _dedup_incremental(sf_dir: str):
+    """Cross-snapshot dedup: the derived increment against the
+    documents base — base-colliding texts drop entirely, novel texts
+    keep their min-id occurrence with within-increment copy counts."""
+    from search_engine_ray.functions import dedup
+
+    return dedup.incremental_dedup(
+        _documents_ds(sf_dir), _increment_ds(sf_dir))
+
+
 def _pipeline_chunk_prep(sf_dir: str):
     """RAG-ingestion composition: duplicated-span removal (ExactSubstr
     rewrite) -> overlapping chunking -> chunk-level keep-first exact
@@ -3245,6 +3295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_search": _update_search,
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
+        "dedup_incremental": _dedup_incremental,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -3582,6 +3633,8 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         # siblings is asserted in tests/test_functions.py) and
         # multimodal_features is stub-backed for non-image payloads.
         "dedup_exact": lambda: dedup_mod.exact_dedup_sql("documents"),
+        "dedup_incremental": lambda: dedup_mod.incremental_dedup_sql(
+            "documents", _INCREMENT_SQL),
         "dedup_ngram_jaccard": lambda: dedup_mod.ngram_jaccard_sql("documents"),
         # LSH verifies candidates with EXACT Jaccard at the same
         # threshold, and its recall at sf0.01 is 1.0 (deterministic

@@ -1304,3 +1304,110 @@ walk(node, lab) AS (
 SELECT node AS doc_id, MIN(lab) AS cluster_id, node = MIN(lab) AS keep
 FROM walk GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot dedup (new increment vs. existing base)
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    base_ds: rd.Dataset,
+    new_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Continuous-ingestion dedup — the crawl-pipeline op
+    :func:`exact_dedup` cannot express: a NEW document survives iff its
+    text (md5 key, the exact_dedup convention) appears NOWHERE in the
+    existing base corpus AND it is the keep-first (min id) among its
+    duplicates WITHIN the increment.  -> (id, n_copies) per surviving
+    new doc, n_copies = its copy count inside the increment (base
+    collisions do not survive at all — the base already has that text).
+
+    Shape: both sides reduce to (h[, id]) key rows in one map each —
+    the base ships NO ids (presence is all the rule needs), the
+    increment ships (h, id) — and ONE hash groupby decides survival:
+    min new id where no base row shares the hash.  The exchange is
+    hash-rows-sized on both sides, never document-sized, and the base
+    side re-runs stateless each pulse (at 100 TB the base hash set is
+    a stored artifact one would persist once and hash-join against;
+    the groupby here IS that join)."""
+
+    def base_keys(batch: pa.Table) -> pa.Table:
+        h = _md5_col(batch.column(text_col))
+        return pa.table({
+            "h": h,
+            id_col: pa.array(np.full(len(h), -1), pa.int64()),
+        })
+
+    def new_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(f"{id_col} must be non-negative (-1 is the base tag)")
+        return pa.table({
+            "h": _md5_col(batch.column(text_col)),
+            id_col: pa.array(ids, pa.int64()),
+        })
+
+    def fold(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        codes, _uq = pd.factorize(h, sort=False)
+        n = int(codes.max()) + 1 if len(codes) else 0
+        is_base = ids < 0
+        seen_base = np.zeros(n, bool)
+        seen_base[codes[is_base]] = True
+        new_codes, new_ids = codes[~is_base], ids[~is_base]
+        counts = np.bincount(new_codes, minlength=n)
+        min_id = np.full(n, np.iinfo(np.int64).max)
+        np.minimum.at(min_id, new_codes, new_ids)
+        sel = (counts > 0) & ~seen_base
+        return pa.table({
+            id_col: pa.array(min_id[sel], pa.int64()),
+            "n_copies": pa.array(counts[sel].astype(np.int64), pa.int64()),
+        })
+
+    keys = base_ds.map_batches(base_keys, batch_format="pyarrow").union(
+        new_ds.map_batches(new_keys, batch_format="pyarrow")
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "kb", pa.array(_md5_bucket_local(b.column("h"), 1024), pa.int64())
+        )
+
+    return (
+        keys.map_batches(bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _md5_bucket_local(h: pa.Array, nb: int) -> np.ndarray:
+    """Bucket from md5 hex digests (the text_analysis._md5_bucket
+    device, local copy to keep dedup import-free of that module)."""
+    hh = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+    raw = np.frombuffer(hh.buffers()[2], np.uint8)
+    mat = raw[: 32 * len(hh)].reshape(-1, 32)[:, :8].astype(np.int64)
+    nib = np.where(mat >= 97, mat - 87, mat - 48)
+    return (nib @ (16 ** np.arange(7, -1, -1, dtype=np.int64))) % nb
+
+
+def incremental_dedup_sql(base_src: str, new_src: str,
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`incremental_dedup` (same md5 key)."""
+    return f"""
+WITH bh AS (SELECT DISTINCT md5(coalesce(text, '')) AS h FROM {base_src}),
+nh AS (
+    SELECT md5(coalesce(text, '')) AS h, {id_col} FROM {new_src}
+),
+grouped AS (
+    SELECT h, CAST(min({id_col}) AS BIGINT) AS {id_col},
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM nh GROUP BY h
+)
+SELECT g.{id_col}, g.n_copies
+FROM grouped g ANTI JOIN bh ON bh.h = g.h
+"""

@@ -2553,3 +2553,51 @@ def test_pipeline_chunk_prep_vs_composed_twin(docs_ds, fduck):
     rechunked = chunk_prep(docs_ds.repartition(7))
     key = [("doc_id", "ascending"), ("chunk_idx", "ascending")]
     assert _table(rechunked).sort_by(key).equals(got.sort_by(key))
+
+
+def test_incremental_dedup_crafted_and_corpus(docs_ds, fduck):
+    """Crafted two-snapshot semantics: base-colliding new docs drop
+    entirely, novel texts keep the min new id with within-increment
+    copy counts, negative new ids refused; plus the corpus-scale
+    parity with the derived increment (the driver query's shape)."""
+    import duckdb
+
+    from search_engine_ray.functions import dedup
+
+    base = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["old text one", "old text two"],
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": ["old text one",      # base collision -> dropped
+                 "fresh text",        # novel, dup of 12
+                 "fresh text",        # non-first -> folded into 11
+                 "another fresh"],    # novel singleton
+    })
+    got = _table(dedup.incremental_dedup(
+        rd.from_arrow(base), rd.from_arrow(new))).to_pylist()
+    got = {r["doc_id"]: r["n_copies"] for r in got}
+    assert got == {11: 2, 13: 1}
+    con = duckdb.connect()
+    con.register("b", base)
+    con.register("n", new)
+    exp = {r[0]: r[1] for r in con.execute(
+        dedup.incremental_dedup_sql("b", "n")).fetchall()}
+    con.close()
+    assert exp == got
+    bad = pa.table({"doc_id": pa.array([-5], pa.int64()), "text": ["x"]})
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.incremental_dedup(
+            rd.from_arrow(base), rd.from_arrow(bad)).materialize()
+    # corpus scale: documents base vs the reversed/re-id'd increment
+    import __ray_entry__ as E
+
+    got2 = _assert_matches_oracle(
+        dedup.incremental_dedup(docs_ds, E._increment_ds(SF_DIR)),
+        fduck,
+        dedup.incremental_dedup_sql("documents", E._INCREMENT_SQL),
+    )
+    assert got2.num_rows > 0
+    # every unchanged-text re-id (the +1M band) must have been dropped
+    assert all(r["doc_id"] >= 2_000_000 for r in got2.to_pylist())

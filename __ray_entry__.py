@@ -308,6 +308,21 @@ def _dedup_incremental(sf_dir: str):
         _documents_ds(sf_dir), _increment_ds(sf_dir))
 
 
+def _graph_pagerank(sf_dir: str):
+    """Integer-quantized PageRank (5 exact power iterations, Q=1e9,
+    d=85/100 floor arithmetic) over the exact n-gram-Jaccard near-dup
+    pair graph — template-hub centrality for curation triage; isolated
+    docs sit at the (1-d)Q base rank."""
+    from search_engine_ray.functions import dedup, graph
+
+    docs = _documents_ds(sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    # 3 iterations in the gate (each is 2 all-to-all rounds whose
+    # fixed Ray latency dominates at sf scale); exactness is
+    # per-iteration, so depth doesn't change the comparison's nature
+    return graph.pagerank(docs, pairs, iters=3)
+
+
 def _pipeline_chunk_prep(sf_dir: str):
     """RAG-ingestion composition: duplicated-span removal (ExactSubstr
     rewrite) -> overlapping chunking -> chunk-level keep-first exact
@@ -3296,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators (documents / embeddings tables)
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
+        "graph_pagerank": _graph_pagerank,
         "dedup_ngram_jaccard": _dedup_ngram,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
@@ -3385,6 +3401,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import similarity as similarity_mod
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import classify as classify_mod
+    from search_engine_ray.functions import graph as graph_mod
     from search_engine_ray.functions import joins as joins_mod
     from search_engine_ray.functions import packing as packing_mod
     from search_engine_ray.functions import percolate as percolate_mod
@@ -3635,6 +3652,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "dedup_exact": lambda: dedup_mod.exact_dedup_sql("documents"),
         "dedup_incremental": lambda: dedup_mod.incremental_dedup_sql(
             "documents", _INCREMENT_SQL),
+        "graph_pagerank": lambda: graph_mod.pagerank_sql(
+            "documents", f"({dedup_mod.ngram_jaccard_sql('documents')})",
+            iters=3),
         "dedup_ngram_jaccard": lambda: dedup_mod.ngram_jaccard_sql("documents"),
         # LSH verifies candidates with EXACT Jaccard at the same
         # threshold, and its recall at sf0.01 is 1.0 (deterministic

@@ -2601,3 +2601,50 @@ def test_incremental_dedup_crafted_and_corpus(docs_ds, fduck):
     assert got2.num_rows > 0
     # every unchanged-text re-id (the +1M band) must have been dropped
     assert all(r["doc_id"] >= 2_000_000 for r in got2.to_pylist())
+
+
+def test_pagerank_crafted_and_corpus(docs_ds, fduck):
+    """Integer PageRank == the chained-CTE SQL twin on a crafted graph
+    (star hub highest, chain middle above ends, isolated node at the
+    exact (1-d)Q base) and on the corpus near-dup pair graph; block
+    layout invariant; iters guard."""
+    import duckdb
+
+    from search_engine_ray.functions import dedup, graph
+
+    nodes = pa.table({"doc_id": pa.array(range(8), pa.int64())})
+    pairs = pa.table({
+        "doc_a": pa.array([0, 1, 4, 4, 4], pa.int64()),
+        "doc_b": pa.array([1, 2, 5, 6, 7], pa.int64()),
+    })
+    got = (
+        _table(graph.pagerank(rd.from_arrow(nodes), pairs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("nodes_rel", nodes)
+    con.register("pairs_rel", pairs)
+    exp = (
+        con.execute(graph.pagerank_sql("nodes_rel", "pairs_rel")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    assert got[exp.columns.tolist()].equals(exp)
+    r = dict(zip(got.doc_id, got.rank_q))
+    assert r[3] == graph._BASE                 # isolated: exact base
+    assert r[4] == max(r.values())             # star hub dominates
+    assert r[1] > r[0] == r[2] > r[3]          # chain middle > ends
+    # corpus graph (3 iterations — the driver query's depth)
+    pairs2 = dedup.ngram_jaccard_pairs(docs_ds)
+    got2 = _assert_matches_oracle(
+        graph.pagerank(docs_ds, pairs2, iters=3), fduck,
+        graph.pagerank_sql(
+            "documents", f"({dedup.ngram_jaccard_sql('documents')})",
+            iters=3),
+    )
+    ranks = {x["rank_q"] for x in got2.to_pylist()}
+    assert len(ranks) > 1  # the pair graph actually moves some ranks
+    with pytest.raises(ValueError, match="iters"):
+        graph.pagerank(None, pairs, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        graph.pagerank_sql("documents", "p", iters=0)

@@ -2880,6 +2880,16 @@ def _text_line_dedup(sf_dir: str):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _text_hash_embed(sf_dir: str):
+    """Feature-hashing document vectors (the hashing trick): signed
+    token counts folded to 64 coordinates via the md5-uint64 token
+    hash; long-form (doc_id, dim, val) rows, presence-not-value
+    emission so sign-canceled coordinates still appear."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.hash_embed(_documents_ds(sf_dir))
+
+
 def _text_span_dedup(sf_dir: str):
     """Corpus-wide duplicated-SPAN removal (the ExactSubstr rewrite,
     Lee et al. 2022): every non-first occurrence of a duplicated
@@ -3354,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dup_windows": _text_dup_windows,
         "text_line_dedup": _text_line_dedup,
         "text_span_dedup": _text_span_dedup,
+        "text_hash_embed": _text_hash_embed,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -3733,6 +3744,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             ta_mod.lineify_words_rel("documents")
         ),
         "text_span_dedup": lambda: ta_mod.span_dedup_sql("documents"),
+        "text_hash_embed": lambda: ta_mod.hash_embed_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

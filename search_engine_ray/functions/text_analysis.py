@@ -3197,3 +3197,99 @@ SELECT n.{id_col}, coalesce(a.text, '') AS text, n.n_tokens,
        coalesce(a.n_kept, 0) AS n_kept
 FROM nt n LEFT JOIN agg a ON a.{id_col} = n.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing document vectors (the hashing trick)
+# ---------------------------------------------------------------------------
+
+HASH_EMBED_DIM = 64
+
+
+def hash_embed(
+    ds,
+    dim: int = HASH_EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Feature-hashing document vectors (Weinberger et al. 2009 — the
+    model-free embedding a 100 TB pipeline can afford for every doc):
+    each token occurrence adds ``sign`` to coordinate ``h % dim``,
+    where ``h`` is the md5-prefix uint64 token hash (the simhash
+    device, bit-identical in SQL) and ``sign = +1 if (h // dim) % 2
+    else -1`` — the signed variant that makes coordinates unbiased.
+    -> long-form Dataset(id, dim, val int64): one row per (doc,
+    coordinate) that received AT LEAST one token (val may be 0 when
+    signs cancel — presence, not value, decides emission, matching the
+    SQL GROUP BY exactly).  SimHash is the sign-compressed sibling;
+    this keeps magnitudes for cosine work.
+
+    Zero-shuffle fully-vectorized map: tokenize, memoized token
+    hashes, one flat-key ``np.add.at`` accumulation per batch — no
+    per-row Python, nothing exchanged."""
+    from .dedup import _flat_word_tokens, _token_hash_array
+
+    dm = int(dim)
+    if dm < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, flat = _flat_word_tokens(batch.column(text_col))
+        if len(doc_idx) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            })
+        h = _token_hash_array(flat)
+        d = (h % np.uint64(dm)).astype(np.int64)
+        sign = np.where((h // np.uint64(dm)) % np.uint64(2) == 1, 1, -1)
+        key = doc_idx * dm + d
+        n_keys = len(ids) * dm
+        acc = np.zeros(n_keys, np.int64)
+        cnt = np.zeros(n_keys, np.int64)
+        np.add.at(acc, key, sign)
+        np.add.at(cnt, key, 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            id_col: pa.array(ids[nz // dm], pa.int64()),
+            "dim": pa.array(nz % dm, pa.int64()),
+            "val": pa.array(acc[nz], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_embed_sql(src: str, dim: int = HASH_EMBED_DIM,
+                   id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`hash_embed`: the same tokenizer, the
+    same md5 -> little-endian-uint64 nibble arithmetic (the simhash_sql
+    device), the same ``h % dim`` coordinate and ``(h // dim) % 2``
+    sign, one GROUP BY."""
+    dm = int(dim)
+    if dm < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+
+    hexpr = " + ".join(
+        f"CAST({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)} AS HUGEINT) * {1 << (8 * j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS tok
+    FROM {src}
+),
+th AS (
+    SELECT {id_col}, ({hexpr}) AS h
+    FROM (SELECT {id_col}, md5(tok) AS m FROM toks)
+)
+SELECT {id_col}, CAST(h % {dm} AS BIGINT) AS dim,
+       CAST(sum(CASE WHEN (h // {dm}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+           AS val
+FROM th GROUP BY 1, 2
+"""

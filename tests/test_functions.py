@@ -2648,3 +2648,36 @@ def test_pagerank_crafted_and_corpus(docs_ds, fduck):
         graph.pagerank(None, pairs, iters=0)
     with pytest.raises(ValueError, match="iters"):
         graph.pagerank_sql("documents", "p", iters=0)
+
+
+def test_hash_embed_vs_oracle(docs_ds, fduck):
+    """Feature-hashed doc vectors == the nibble-arithmetic SQL twin
+    (including sign-canceled zero coordinates — presence, not value,
+    decides emission); block layout invariant; per-doc total |val|
+    mass is bounded by token count; dim guard."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    got = _assert_matches_oracle(
+        ta.hash_embed(docs_ds), fduck, ta.hash_embed_sql("documents")
+    )
+    assert got.num_rows > 0
+    vals = got.column("val").to_numpy(zero_copy_only=False)
+    assert (vals == 0).any()  # sign cancellation really occurs
+    rechunked = ta.hash_embed(docs_ds.repartition(7))
+    key = [("doc_id", "ascending"), ("dim", "ascending")]
+    assert _table(rechunked).sort_by(key).equals(got.sort_by(key))
+    # |sum of signed coords| per doc <= its token count
+    import collections
+
+    mass = collections.Counter()
+    for r in got.to_pylist():
+        mass[r["doc_id"]] += abs(r["val"])
+    toks = {
+        r["doc_id"]: r["n_word_tokens"]
+        for r in ta.token_counts(_table(docs_ds)).to_pylist()
+    }
+    assert all(mass[d] <= max(toks.get(d, 0), 1) for d in mass)
+    with pytest.raises(ValueError, match="dim"):
+        ta.hash_embed(docs_ds, dim=0)
+    with pytest.raises(ValueError, match="dim"):
+        ta.hash_embed_sql("documents", dim=-1)

@@ -3081,6 +3081,17 @@ def _window_funnel(sf_dir: str):
     return windows.funnel(_events_ds(sf_dir), steps=FUNNEL_DRIVER_STEPS)
 
 
+def _window_funnel_windowed(sf_dir: str):
+    """Conversion-window funnel (ClickHouse windowFunnel): deepest
+    ordered signup->view->purchase chain with every matched event
+    inside 12h of its own step-1 anchor; per-anchor greedy == the
+    exists-a-chain semantics (window constraints all reference the
+    anchor)."""
+    from search_engine_ray.functions import windows
+
+    return windows.funnel_windowed(_events_ds(sf_dir))
+
+
 def _window_retention(sf_dir: str):
     """Cohort retention (the come-back half of the product-analytics
     pair): cohort = UTC epoch-day of the user's first signup; distinct
@@ -3385,6 +3396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": _window_sessions,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
+        "window_funnel_windowed": _window_funnel_windowed,
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
@@ -3789,6 +3801,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),
+        "window_funnel_windowed": lambda: windows_mod.funnel_windowed_sql("events"),
         # the hot-user-safe path must equal the plain sessionization
         "window_sessions_salted": lambda: windows_mod.session_windows_sql("events"),
         "window_sliding": lambda: windows_mod.sliding_window_sql("events"),

@@ -594,3 +594,140 @@ FROM hits
 WHERE day_offset BETWEEN 0 AND {h}
 GROUP BY 1, 2
 """
+
+
+FUNNEL_WINDOW_MINUTES = 720
+
+
+def funnel_windowed(
+    ds: rd.Dataset,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_minutes: int = FUNNEL_WINDOW_MINUTES,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Conversion-window funnel (the ClickHouse ``windowFunnel``
+    semantics): a user's LEVEL is the deepest k such that an ordered
+    chain step_1 < ... < step_k exists with EVERY matched event inside
+    ``[t_anchor, t_anchor + window]`` of its own step-1 anchor
+    (inclusive edge).  Unlike :func:`funnel` (unwindowed, single
+    greedy chain), every step-1 event is a candidate ANCHOR — and for
+    a FIXED anchor greedy-earliest intermediate choices are optimal
+    (all window constraints reference the anchor, so the minimal valid
+    next event dominates), which makes per-anchor greedy EXACTLY the
+    exists-a-chain semantics, order-free and well-defined.
+    -> one row per user: (user, level) with level 0 when no anchor.
+
+    Same ONE user-key shuffle; the per-group scan vectorizes across
+    anchors (one searchsorted per step per group) — O(k · anchors ·
+    log n) per user, never a per-event Python loop."""
+    steps = tuple(steps)
+    if not steps or any(not s for s in steps):
+        raise ValueError("steps must be a non-empty tuple of event types")
+    w_us = int(window_minutes) * 60 * 1_000_000
+    if w_us <= 0:
+        raise ValueError(
+            f"window_minutes must be >= 1, got {window_minutes}")
+    k = len(steps)
+
+    def scan(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        types = np.asarray(g.column(type_col).to_pylist(), dtype=object)
+        us = g.column(ts_col).cast(pa.int64()).to_numpy()
+        uid = g.column(user_col)[0].as_py()
+        anchors = np.flatnonzero(types == steps[0])
+        if len(anchors) == 0:
+            return pa.table({
+                user_col: pa.array([uid], pa.int64()),
+                "level": pa.array([0], pa.int64()),
+            })
+        t1 = us[anchors]
+        cur = anchors.copy()
+        level = np.ones(len(anchors), np.int64)
+        alive = np.ones(len(anchors), bool)
+        for s in steps[1:]:
+            pos_s = np.flatnonzero(types == s)
+            if len(pos_s) == 0:
+                break
+            nxt = np.searchsorted(pos_s, cur[alive], side="right")
+            has = nxt < len(pos_s)
+            cand = pos_s[np.minimum(nxt, len(pos_s) - 1)]
+            # the EARLIEST candidate failing the window means all later
+            # ones do too (us is nondecreasing in position)
+            ok = has & (us[cand] <= t1[alive] + w_us)
+            idx = np.flatnonzero(alive)
+            cur[idx[ok]] = cand[ok]
+            level[idx[ok]] += 1
+            alive[idx[~ok]] = False
+            if not alive.any():
+                break
+        return pa.table({
+            user_col: pa.array([uid], pa.int64()),
+            "level": pa.array([int(level.max())], pa.int64()),
+        })
+
+    return (
+        ds.select_columns([user_col, ts_col, type_col, id_col])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(user_col)
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+def funnel_windowed_sql(
+    src: str,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_minutes: int = FUNNEL_WINDOW_MINUTES,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`funnel_windowed`: anchor CTE = every
+    step-1 event; per anchor a chained greedy row_number pick per step,
+    each join carrying the strictly-after (ts, id) rule AND the
+    anchor-window bound; level = greatest reached depth per user."""
+    steps = tuple(steps)
+    if not steps or any(not s for s in steps):
+        raise ValueError("steps must be a non-empty tuple of event types")
+    w_us = int(window_minutes) * 60 * 1_000_000
+    if w_us <= 0:
+        raise ValueError(
+            f"window_minutes must be >= 1, got {window_minutes}")
+    ctes = [f"""c1 AS (
+    SELECT {user_col}, epoch_us(ts) AS t1, {id_col} AS e1,
+           epoch_us(ts) AS tp, {id_col} AS ep
+    FROM {src} WHERE event_type = '{steps[0]}'
+)"""]
+    for j, s in enumerate(steps[1:], start=2):
+        ctes.append(f"""c{j} AS (
+    SELECT {user_col}, t1, e1, tp, ep FROM (
+        SELECT c.{user_col}, c.t1, c.e1,
+               epoch_us(e.ts) AS tp, e.{id_col} AS ep,
+               row_number() OVER (
+                   PARTITION BY c.{user_col}, c.t1, c.e1
+                   ORDER BY e.ts, e.{id_col}) AS rn
+        FROM c{j - 1} c
+        JOIN {src} e ON e.{user_col} = c.{user_col}
+         AND (epoch_us(e.ts) > c.tp
+              OR (epoch_us(e.ts) = c.tp AND e.{id_col} > c.ep))
+         AND epoch_us(e.ts) <= c.t1 + {w_us}
+        WHERE e.event_type = '{s}'
+    ) WHERE rn = 1
+)""")
+    depth = ", ".join(
+        f"CASE WHEN EXISTS (SELECT 1 FROM c{j} WHERE c{j}.{user_col} = u.{user_col}) "
+        f"THEN {j} ELSE 0 END"
+        for j in range(1, len(steps) + 1)
+    )
+    return f"""
+WITH {",".join(ctes)}
+SELECT u.{user_col}, CAST(greatest({depth}) AS BIGINT) AS level
+FROM (SELECT DISTINCT {user_col} FROM {src}) u
+"""

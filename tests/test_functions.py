@@ -2681,3 +2681,49 @@ def test_hash_embed_vs_oracle(docs_ds, fduck):
         ta.hash_embed(docs_ds, dim=0)
     with pytest.raises(ValueError, match="dim"):
         ta.hash_embed_sql("documents", dim=-1)
+
+
+def test_funnel_windowed_vs_oracle_and_semantics(events_ds, educk):
+    """Window-funnel == the anchored chained-greedy SQL twin; the
+    window binds (a huge window reproduces plain-funnel depth; a tiny
+    window collapses levels); crafted anchors show a LATER anchor
+    rescuing a chain the first anchor's window kills."""
+    from search_engine_ray.functions import windows
+
+    got = _assert_matches_oracle(
+        windows.funnel_windowed(events_ds), educk,
+        windows.funnel_windowed_sql("events"),
+    )
+    lv = {r["user_id"]: r["level"] for r in got.to_pylist()}
+    assert len(set(lv.values())) > 1  # real depth variance
+    # a window covering the whole span == the unwindowed funnel depth
+    wide = {
+        r["user_id"]: r["level"]
+        for r in _table(
+            windows.funnel_windowed(events_ds, window_minutes=10**7)
+        ).to_pylist()
+    }
+    plain = {
+        r["user_id"]: r["steps_completed"]
+        for r in _table(windows.funnel(events_ds)).to_pylist()
+    }
+    assert wide == plain
+    # crafted: anchor at t=0 can't finish inside W, anchor at t=100 can
+    ev = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([0, 100_000_000, 150_000_000, 199_000_000],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "event_type": ["signup", "signup", "view", "purchase"],
+        "value": pa.array([0.0] * 4, pa.float64()),
+        "props": pa.array([""] * 4, pa.string()),
+    })
+    # window = 2 min = 120s: anchor@0 reaches only itself (view at 150s
+    # is outside), anchor@100s fits view@150s and purchase@199s
+    out = _table(windows.funnel_windowed(
+        rd.from_arrow(ev), window_minutes=2)).to_pylist()
+    assert out == [{"user_id": 7, "level": 3}]
+    with pytest.raises(ValueError, match="window"):
+        windows.funnel_windowed(events_ds, window_minutes=0)
+    with pytest.raises(ValueError, match="steps"):
+        windows.funnel_windowed_sql("events", steps=())

@@ -2880,6 +2880,15 @@ def _text_line_dedup(sf_dir: str):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _text_normalize(sf_dir: str):
+    """Canonical text normalization (the pre-dedup canonicalizer):
+    Unicode NFC composition + C0/DEL control strip + whitespace-run
+    collapse + trim, with codepoint counts before/after."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.normalize_text(_documents_ds(sf_dir))
+
+
 def _text_hash_embed(sf_dir: str):
     """Feature-hashing document vectors (the hashing trick): signed
     token counts folded to 64 coordinates via the md5-uint64 token
@@ -3376,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_line_dedup": _text_line_dedup,
         "text_span_dedup": _text_span_dedup,
         "text_hash_embed": _text_hash_embed,
+        "text_normalize": _text_normalize,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "text_ngram_counts": _text_ngram_counts,
@@ -3757,6 +3767,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "text_span_dedup": lambda: ta_mod.span_dedup_sql("documents"),
         "text_hash_embed": lambda: ta_mod.hash_embed_sql("documents"),
+        "text_normalize": lambda: ta_mod.normalize_text_sql("documents"),
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),

@@ -3293,3 +3293,70 @@ SELECT {id_col}, CAST(h % {dm} AS BIGINT) AS dim,
            AS val
 FROM th GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode/whitespace text normalization (the pre-dedup canonicalizer)
+# ---------------------------------------------------------------------------
+
+_CTRL_REGEX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Canonical text normalization — the step every hash-keyed dedup
+    wants FIRST (two byte-different spellings of the same string are
+    different md5 keys): Unicode NFC composition (é as e+combining
+    acute == precomposed é; canonical only — NFKC's lossy compatibility
+    folds are deliberately NOT applied), control-character strip
+    (C0 minus tab/newline/CR, plus DEL), whitespace-run collapse to one
+    space, trim.  -> (id, text, n_before, n_after int64 codepoint
+    counts).
+
+    NFC is the one per-row Python pass (no Arrow kernel exists; the
+    ``_md5_col`` precedent) and short-circuits via
+    ``unicodedata.is_normalized`` — ASCII corpora pay a scan, not a
+    rebuild; the strip/collapse/trim stages are vectorized RE2
+    kernels.  The SQL twin shares every stage (DuckDB
+    ``nfc_normalize`` implements the same stable canonical
+    composition; regexps are RE2-class on both engines)."""
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        n_before = pc.utf8_length(txt).cast(pa.int64())
+        is_norm = unicodedata.is_normalized
+        norm = unicodedata.normalize
+        vals = [
+            t if is_norm("NFC", t) else norm("NFC", t)
+            for t in txt.to_pylist()
+        ]
+        arr = pa.array(vals, pa.string())
+        arr = pc.replace_substring_regex(arr, _CTRL_REGEX, "")
+        arr = pc.replace_substring_regex(arr, "\\s+", " ")
+        arr = pc.utf8_trim_whitespace(arr)
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: arr,
+            "n_before": n_before,
+            "n_after": pc.utf8_length(arr).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`normalize_text`: ``nfc_normalize`` +
+    the same RE2 strip/collapse + trim, codepoint lengths via
+    ``length`` (both engines count codepoints, not bytes)."""
+    expr = (
+        "trim(regexp_replace(regexp_replace("
+        f"nfc_normalize(coalesce(text, '')), '{_CTRL_REGEX}', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT {id_col},
+       {expr} AS text,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_before,
+       CAST(length({expr}) AS BIGINT) AS n_after
+FROM {src}
+"""

@@ -2727,3 +2727,47 @@ def test_funnel_windowed_vs_oracle_and_semantics(events_ds, educk):
         windows.funnel_windowed(events_ds, window_minutes=0)
     with pytest.raises(ValueError, match="steps"):
         windows.funnel_windowed_sql("events", steps=())
+
+
+def test_normalize_text_crafted_and_corpus(docs_ds, fduck):
+    """NFC composition (combining acute == precomposed; NFKC ligature
+    folds deliberately NOT applied), control strip, whitespace
+    collapse, trim — engine == DuckDB twin byte-for-byte on crafted
+    unicode and on the corpus; codepoint counts exact."""
+    import duckdb
+
+    from search_engine_ray.functions import text_analysis as ta
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "cafe\u0301  du\tmonde\n",  # combining acute + ws runs
+            "éclair ﬁsh",            # precomposed + fi ligature
+            "a\x00b\x07c\x7fd",               # control chars
+            "",
+            None,
+        ],
+    })
+    got = (
+        _table(ta.normalize_text(rd.from_arrow(docs))).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("crafted", docs)
+    exp = (
+        con.execute(ta.normalize_text_sql("crafted")).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    assert got[exp.columns.tolist()].equals(exp)
+    r = dict(zip(got.doc_id, got.text))
+    assert r[0] == "caf\u00e9 du monde"  # composed PRECOMPOSED, collapsed
+    assert r[1] == "éclair ﬁsh"     # ligature SURVIVES (NFC only)
+    assert r[2] == "abcd"
+    assert r[3] == "" and r[4] == ""
+    nb = dict(zip(got.doc_id, got.n_before))
+    assert nb[0] == 16  # combining mark counts as its own codepoint
+    got2 = _assert_matches_oracle(
+        ta.normalize_text(docs_ds), fduck, ta.normalize_text_sql("documents")
+    )
+    assert got2.num_rows > 0

@@ -3141,6 +3141,37 @@ def _join_asof_salted(sf_dir: str):
     return joins.asof_join_salted(_events_ds(sf_dir))
 
 
+BLOOM_M_BITS = 2048
+BLOOM_K = 3
+BLOOM_KEY_PRED = ("purchase", 200.0)  # event_type, value threshold
+
+
+def _join_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join: every event of a user who has at least
+    one purchase with value > 200 (plus the filter's deterministic
+    false positives — part of the contract, recomputed exactly by the
+    SQL twin)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import joins
+
+    etype, thr = BLOOM_KEY_PRED
+    ev = _events_ds(sf_dir)
+
+    def keysel(batch):
+        return batch.filter(
+            pc.and_(
+                pc.equal(batch.column("event_type"), pa.scalar(etype)),
+                pc.greater(batch.column("value"), pa.scalar(thr)),
+            )
+        ).select(["user_id"])
+
+    keys = _events_ds(sf_dir).map_batches(keysel, batch_format="pyarrow")
+    out = joins.bloom_semi_join(ev, keys, "user_id",
+                                m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    return out.select_columns(["event_id", "user_id", "event_type", "value"])
+
+
 def _multimodal_features(sf_dir: str):
     """Distributed end-to-end: parquet read -> per-batch synthetic media
     payloads (real PPM images every 3rd row + opaque bytes; media_id =
@@ -3410,6 +3441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
+        "join_bloom_semi": _join_bloom_semi,
         "join_interval": _join_interval,
         "join_asof_salted": _join_asof_salted,
     }
@@ -3817,6 +3849,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_sessions_salted": lambda: windows_mod.session_windows_sql("events"),
         "window_sliding": lambda: windows_mod.sliding_window_sql("events"),
         "join_asof": lambda: joins_mod.asof_join_sql("events"),
+        "join_bloom_semi": lambda: joins_mod.bloom_semi_join_sql(
+            "events",
+            "SELECT user_id FROM events WHERE event_type = "
+            f"'{BLOOM_KEY_PRED[0]}' AND value > {BLOOM_KEY_PRED[1]}",
+            on="user_id", m_bits=BLOOM_M_BITS, k=BLOOM_K,
+            cols="b.event_id, b.user_id, b.event_type, b.value",
+        ),
         "join_interval": lambda: joins_mod.interval_join_sql("events"),
         # the hot-user-safe path must equal the plain as-of join
         "join_asof_salted": lambda: joins_mod.asof_join_sql("events"),

@@ -613,3 +613,194 @@ SELECT event_id, ts, user_id, value,
        prior_event_id, prior_ts, prior_value
 FROM pairs WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join (the broadcast join-avoidance primitive)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALT = "bloom"
+_BLOOM_H_MEMO: dict[int, tuple[int, int]] = {}
+_TWO64 = 18446744073709551616  # 2**64 — the SQL wraparound modulus
+
+
+def _bloom_key_hashes(uniq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pair per UNIQUE integer key: the little-endian
+    first/second 8 bytes of ``md5('bloom:<key>')`` — the simhash md5
+    device (:func:`~search_engine_ray.functions.dedup._token_hash_array`),
+    extended to both md5 halves so Kirsch–Mitzenmacher double hashing
+    gets two independent 64-bit values from ONE digest.  Memoized per
+    process (keys repeat heavily across batches — every event of the
+    same user re-tests the same bits)."""
+    import hashlib
+
+    memo = _BLOOM_H_MEMO
+    get = memo.get
+    h1 = np.empty(len(uniq), np.uint64)
+    h2 = np.empty(len(uniq), np.uint64)
+    for i, v in enumerate(uniq):
+        v = int(v)
+        pair = get(v)
+        if pair is None:
+            d = hashlib.md5(f"{_BLOOM_SALT}:{v}".encode()).digest()
+            pair = (
+                int.from_bytes(d[:8], "little"),
+                int.from_bytes(d[8:16], "little"),
+            )
+            memo[v] = pair
+        h1[i] = pair[0]
+        h2[i] = pair[1]
+    return h1, h2
+
+
+def _bloom_positions(uniq: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(uniq), k) int64 bit positions: ``(h1 + i*h2) mod 2**64 mod
+    m_bits`` — numpy uint64 arithmetic wraps at 2**64 exactly like the
+    SQL twin's explicit ``% 18446744073709551616`` (HUGEINT holds the
+    un-wrapped ``h1 + i*h2 <= h1 + (k-1)*h2 < 2**71`` for k <= 64, so
+    the two mods agree bit-for-bit)."""
+    h1, h2 = _bloom_key_hashes(uniq)
+    i = np.arange(k, dtype=np.uint64)
+    pos = h1[:, None] + i[None, :] * h2[:, None]  # uint64 wraparound
+    return (pos % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(
+    keys: rd.Dataset, on: str, m_bits: int = 1 << 20, k: int = 4
+) -> np.ndarray:
+    """Distributed Bloom-filter build over a key Dataset -> uint8[m/8]
+    bitmap.  Each block contributes ONE ``m_bits/8``-byte partial (a
+    bounded, block-count-sized driver pull — never the keys
+    themselves), OR-folded on the driver.  Null keys contribute
+    nothing (SQL semantics: ``md5(NULL)`` is NULL — a null key can
+    never pass the membership test either)."""
+    if m_bits < 8 or m_bits % 8:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(on)
+        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = np.zeros(nbytes, np.uint8)
+        if len(vals):
+            pos = _bloom_positions(np.unique(vals), m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = keys.map_batches(partial, batch_format="pyarrow").take_all()
+    bm = np.zeros(nbytes, np.uint8)
+    for row in parts:
+        bm |= np.frombuffer(row["bits"], np.uint8)
+    return bm
+
+
+def bloom_semi_join(
+    big: rd.Dataset,
+    keys: rd.Dataset,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> rd.Dataset:
+    """Bloom-filter semi-join — keep every ``big`` row whose integer
+    ``on`` key PASSES the Bloom filter built from ``keys[on]`` (all k
+    bit probes set).  THE join-avoidance primitive at 100 TB: the big
+    side never shuffles and never joins — it streams through one
+    vectorized membership map against a broadcast ``m_bits/8``-byte
+    bitmap (``ray.put`` once), while the small side contributes one
+    bitmap partial per block.  Deterministic false positives are part
+    of the CONTRACT (rate ~ ``(1 - e^(-nk/m))^k``): given (m, k) the
+    output is an exact function of the inputs — the SQL twin recomputes
+    the identical md5 double-hash probes, so the oracle match is exact,
+    false positives included.  Use it to pre-filter a huge fact table
+    down to ~the matching rows before an exact join touches the
+    survivors (reference semi-join analog: the postings lemma
+    pruned-read, ``search.py`` J3 — same shape, bits instead of
+    row-group stats)."""
+    bm = bloom_build(keys, on, m_bits=m_bits, k=k)
+    bm_ref = ray.put(bm)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(on)
+        vals = col.to_numpy(zero_copy_only=False)
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(batch), bool)
+        if valid.any():
+            v = vals[valid].astype(np.int64)
+            uniq, inv = np.unique(v, return_inverse=True)
+            pos = _bloom_positions(uniq, m_bits, k)
+            filt = ray.get(bm_ref)
+            bits = (filt[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            mask[valid] = bits.all(axis=1)[inv]
+        return batch.filter(pa.array(mask))
+
+    return big.map_batches(fn, batch_format="pyarrow")
+
+
+def _bloom_h_sql(half: int) -> str:
+    """HUGEINT expression for the little-endian uint64 of md5 half
+    ``half`` (0 = bytes 0..7 / hex chars 1..16, 1 = bytes 8..15 / hex
+    chars 17..32) over a column named ``m`` — the hash_embed_sql nibble
+    device, parameterized by half."""
+    base = 16 * half
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+
+    return " + ".join(
+        f"CAST({nib(base + 2 * j + 1)} * 16 + {nib(base + 2 * j + 2)} AS HUGEINT)"
+        f" * {1 << (8 * j)}"
+        for j in range(8)
+    )
+
+
+def bloom_semi_join_sql(
+    src: str,
+    keys_sql: str,
+    on: str = "user_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`bloom_semi_join`: recompute the same
+    md5 double-hash probe positions for the key set and for every
+    DISTINCT big-side key (pass/fail is a function of the key alone),
+    pass iff all k probe positions land in the key set's position set
+    (``HAVING count(*) = k`` over the probe join — each of the k probe
+    ROWS either hits or not, duplicate positions included, exactly the
+    engine's ``bits.all(axis=1)``).  ``keys_sql`` is a one-column
+    relation of candidate keys (the builder applies DISTINCT and the
+    null drop itself)."""
+    if not 1 <= k <= 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+
+    def hh(rel: str) -> str:
+        return (
+            f"SELECT {on}, ({_bloom_h_sql(0)}) AS h1, ({_bloom_h_sql(1)}) AS h2 "
+            f"FROM (SELECT {on}, md5('{_BLOOM_SALT}:' || CAST({on} AS VARCHAR)) "
+            f"AS m FROM {rel} WHERE {on} IS NOT NULL)"
+        )
+
+    probes = f"CROSS JOIN (SELECT unnest(range({k})) AS i) i"
+    posexpr = f"CAST((h1 + i.i * h2) % {_TWO64} % {m_bits} AS BIGINT) AS pos"
+    return f"""
+WITH ks AS (SELECT DISTINCT {on} FROM ({keys_sql})),
+kh AS ({hh('ks')}),
+posset AS (
+    SELECT DISTINCT {posexpr}
+    FROM kh {probes}
+),
+bk AS (SELECT DISTINCT {on} FROM {src}),
+bkh AS ({hh('bk')}),
+bp AS (
+    SELECT {on}, {posexpr}
+    FROM bkh {probes}
+),
+passk AS (
+    SELECT bp.{on} FROM bp JOIN posset USING (pos)
+    GROUP BY bp.{on} HAVING count(*) = {k}
+)
+SELECT {cols} FROM {src} b JOIN passk USING ({on})
+"""

@@ -2771,3 +2771,83 @@ def test_normalize_text_crafted_and_corpus(docs_ds, fduck):
         ta.normalize_text(docs_ds), fduck, ta.normalize_text_sql("documents")
     )
     assert got2.num_rows > 0
+
+
+def test_bloom_semi_join_oracle(events_ds, educk):
+    """Engine == SQL twin exactly (false positives included) at two
+    (m, k) configurations; the bloom result is a SUPERSET of the exact
+    semi-join and every true member passes (no false negatives)."""
+    from search_engine_ray.functions import joins as J
+
+    keys_pred = "SELECT user_id FROM events WHERE event_type='purchase' AND value > 200"
+
+    def keysel(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.and_(
+                pc.equal(batch.column("event_type"), pa.scalar("purchase")),
+                pc.greater(batch.column("value"), pa.scalar(200.0)),
+            )
+        ).select(["user_id"])
+
+    keys = events_ds.map_batches(keysel, batch_format="pyarrow")
+    member = set(
+        r[0] for r in educk.execute(f"SELECT DISTINCT user_id FROM ({keys_pred})").fetchall()
+    )
+    cols = "b.*"
+    for m_bits, k in ((2048, 3), (64, 2), (8, 1)):
+        t = _assert_matches_oracle(
+            J.bloom_semi_join(events_ds, keys, "user_id", m_bits=m_bits, k=k),
+            educk,
+            J.bloom_semi_join_sql("events", keys_pred, on="user_id",
+                                  m_bits=m_bits, k=k, cols=cols),
+        )
+        got = set(t["user_id"].to_pylist())
+        assert member <= got, "false negative: a true member failed the filter"
+    # m=8 saturates the bitmap at this key count — false positives MUST
+    # appear (that configuration passes everything or nearly so),
+    # proving the oracle matches the approximate semantics, not an
+    # exact join
+    assert got - member, "expected false positives at m_bits=8"
+
+
+def test_bloom_semi_join_null_and_guards(ray_session):
+    from search_engine_ray.functions import joins as J
+
+    big = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, None, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    keys = rd.from_arrow(pa.table({"user_id": pa.array([1, None], pa.int64())}))
+    out = _table(J.bloom_semi_join(big, keys, "user_id", m_bits=256, k=4))
+    got = sorted(out["user_id"].to_pylist())
+    assert 1 in got and None not in got, "null keys must never pass"
+    with pytest.raises(ValueError):
+        J.bloom_semi_join(big, keys, "user_id", m_bits=100, k=4)  # not /8
+    with pytest.raises(ValueError):
+        J.bloom_semi_join(big, keys, "user_id", m_bits=256, k=0)
+    with pytest.raises(ValueError):
+        J.bloom_semi_join_sql("events", "SELECT 1", k=65)
+
+
+def test_bloom_semi_join_block_layout_invariant(events_ds, ray_session):
+    """Same result at any partitioning of either side — the bitmap OR
+    is associative and the probe map is per-row."""
+    from search_engine_ray.functions import joins as J
+
+    def keysel(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("event_type"), pa.scalar("signup"))
+        ).select(["user_id"])
+
+    keys = events_ds.map_batches(keysel, batch_format="pyarrow")
+    a = _table(J.bloom_semi_join(events_ds, keys, "user_id", m_bits=512, k=3))
+    b = _table(J.bloom_semi_join(
+        events_ds.repartition(7), keys.repartition(5), "user_id",
+        m_bits=512, k=3,
+    ))
+    key = [("event_id", "ascending")]
+    assert a.sort_by(key).equals(b.select(a.column_names).sort_by(key))

@@ -3141,6 +3141,15 @@ def _join_asof_salted(sf_dir: str):
     return joins.asof_join_salted(_events_ds(sf_dir))
 
 
+def _events_zorder(sf_dir: str):
+    """Z-order (Morton) layout key over (user_id, ts) — the Delta Lake
+    OPTIMIZE ZORDER primitive; the driver row checks the z-values, the
+    sort/pruning behavior is pinned by tests."""
+    from search_engine_ray.functions import layout
+
+    return layout.zorder_key(_events_ds(sf_dir), ("user_id", "ts"))
+
+
 BLOOM_M_BITS = 2048
 BLOOM_K = 3
 BLOOM_KEY_PRED = ("purchase", 200.0)  # event_type, value threshold
@@ -3442,6 +3451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sliding": _window_sliding,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
+        "events_zorder": _events_zorder,
         "join_interval": _join_interval,
         "join_asof_salted": _join_asof_salted,
     }
@@ -3468,6 +3478,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import classify as classify_mod
     from search_engine_ray.functions import graph as graph_mod
     from search_engine_ray.functions import joins as joins_mod
+    from search_engine_ray.functions import layout as layout_mod
     from search_engine_ray.functions import packing as packing_mod
     from search_engine_ray.functions import percolate as percolate_mod
     from search_engine_ray.functions import relational as relational_mod
@@ -3857,6 +3868,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             cols="b.event_id, b.user_id, b.event_type, b.value",
         ),
         "join_interval": lambda: joins_mod.interval_join_sql("events"),
+        "events_zorder": lambda: layout_mod.zorder_sql("events"),
         # the hot-user-safe path must equal the plain as-of join
         "join_asof_salted": lambda: joins_mod.asof_join_sql("events"),
     }

@@ -2851,3 +2851,97 @@ def test_bloom_semi_join_block_layout_invariant(events_ds, ray_session):
     ))
     key = [("event_id", "ascending")]
     assert a.sort_by(key).equals(b.select(a.column_names).sort_by(key))
+
+
+# ---------------------------------------------------------------- layout
+
+
+def test_zorder_key_oracle(events_ds, educk):
+    from search_engine_ray.functions import layout as L
+
+    t = _assert_matches_oracle(
+        L.zorder_key(events_ds, ("user_id", "ts")), educk,
+        L.zorder_sql("events"),
+    )
+    assert t.num_rows == events_ds.count()
+    # layout path: same rows, sorted by zval
+    laid = _table(L.zorder_layout(events_ds, ("user_id", "ts")))
+    zs = laid["zval"].to_numpy()
+    assert (zs[1:] >= zs[:-1]).all()
+    assert laid.sort_by([("event_id", "ascending")]).equals(
+        t.sort_by([("event_id", "ascending")])
+    )
+
+
+def test_zorder_prunes_2d_boxes(events_ds, educk):
+    """The point of the layout: per-block min-max envelopes after the
+    z-order sort prune a 2-D box query strictly better than a
+    single-column (ts) sort does — on every quartile box."""
+    import numpy as np
+
+    from search_engine_ray.functions import layout as L
+
+    ev = _table(events_ds).select(["event_id", "user_id", "ts"])
+    u = ev["user_id"].to_numpy()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+
+    zt = _table(L.zorder_layout(events_ds, ("user_id", "ts")))
+    order_z = zt["event_id"].to_numpy()
+    order_ts = ev.sort_by([("ts", "ascending")])["event_id"].to_numpy()
+    by_id = {int(e): i for i, e in enumerate(ev["event_id"].to_numpy())}
+
+    def blocks_hit(order, lo_u, hi_u, lo_t, hi_t, bs=50):
+        idx = np.array([by_id[int(e)] for e in order])
+        uu, tt = u[idx], ts[idx]
+        hits = 0
+        for s in range(0, len(idx), bs):
+            ub, tb = uu[s:s + bs], tt[s:s + bs]
+            if ub.min() <= hi_u and ub.max() >= lo_u \
+                    and tb.min() <= hi_t and tb.max() >= lo_t:
+                hits += 1
+        return hits
+
+    uq = np.quantile(np.unique(u), [0, .25, .5, .75, 1.0])
+    tq = np.quantile(ts, [0, .25, .5, .75, 1.0])
+    z_total = ts_total = 0
+    for i in range(4):
+        for j in range(4):
+            z_total += blocks_hit(order_z, uq[i], uq[i + 1], tq[j], tq[j + 1])
+            ts_total += blocks_hit(order_ts, uq[i], uq[i + 1], tq[j], tq[j + 1])
+    assert z_total < ts_total, (z_total, ts_total)
+
+
+def test_zorder_guards(events_ds, ray_session):
+    from search_engine_ray.functions import layout as L
+
+    with pytest.raises(ValueError):
+        L.zorder_key(events_ds, ("user_id",))
+    with pytest.raises(ValueError):
+        L.zorder_key(events_ds, ("user_id", "ts"), bits_per_dim=0)
+    with pytest.raises(ValueError):
+        L.zorder_sql("events", bits_per_dim=32)
+    # nulls are refused loudly
+    bad = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([1, None], pa.int64()),
+        "b": pa.array([5, 6], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="nulls"):
+        _table(L.zorder_key(bad, ("a", "b"), id_col="event_id"))
+    # constant column degenerates to the other dimension's order
+    const = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([7, 7, 7], pa.int64()),
+        "b": pa.array([3, 1, 2], pa.int64()),
+    }))
+    t = _table(L.zorder_layout(const, ("a", "b"), id_col="event_id"))
+    assert t["event_id"].to_pylist() == [2, 3, 1]
+
+
+def test_zorder_block_layout_invariant(events_ds, ray_session):
+    from search_engine_ray.functions import layout as L
+
+    a = _table(L.zorder_key(events_ds, ("user_id", "ts")))
+    b = _table(L.zorder_key(events_ds.repartition(7), ("user_id", "ts")))
+    key = [("event_id", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))

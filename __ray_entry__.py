@@ -3061,6 +3061,72 @@ def _join_hash_left(sf_dir: str):
                      how="left", mode="broadcast")
 
 
+def _join_semi(sf_dir: str):
+    """Exact semi-join, shuffle plan driver-graded directly (the plan
+    that must be right when the DISTINCT key set itself exceeds one
+    array): orders with at least one BUILDING-segment customer — only
+    keys ever move, output rows are left rows verbatim."""
+    from search_engine_ray.functions.joins import semi_join
+    from search_engine_ray.sources import read_clean_parquet
+    import pyarrow.compute as pc
+
+    d = _sf_dir(sf_dir)
+    orders = read_clean_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_clean_parquet(
+        os.path.join(d, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+    return semi_join(orders, cust, "o_custkey", "c_custkey",
+                     mode="shuffle")
+
+
+def _join_anti(sf_dir: str):
+    """Exact anti-join (NOT EXISTS), broadcast plan: orders with NO
+    returned lineitem — the distinct-key broadcast (sorted array,
+    ray.put once) filters the streaming left side with zero
+    shuffles."""
+    from search_engine_ray.functions.joins import semi_join
+    from search_engine_ray.sources import read_clean_parquet
+    import pyarrow.compute as pc
+
+    d = _sf_dir(sf_dir)
+    orders = read_clean_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ret = read_clean_parquet(
+        os.path.join(d, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("l_returnflag"), "R")),
+        batch_format="pyarrow",
+    )
+    return semi_join(orders, ret, "o_orderkey", "l_orderkey",
+                     anti=True, mode="broadcast")
+
+
+def _rel_order_priority(sf_dir: str):
+    """TPC-H Q4 analog: date-window orders having >=1 returned line,
+    counted per priority — the EXISTS stays a semi-join (one key
+    exchange), never a widening join."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.order_priority(
+        read_clean_parquet(os.path.join(d, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderpriority",
+                                    "o_orderdate"]),
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_returnflag"]),
+    )
+
+
 def _join_interval(sf_dir: str):
     """Range join (point-in-interval containment): purchases paired
     with every same-user click-anchored 2h interval containing them —
@@ -3442,6 +3508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_big_orders": _rel_big_orders,
         "join_hash": _join_hash,
         "join_hash_left": _join_hash_left,
+        "join_semi": _join_semi,
+        "join_anti": _join_anti,
+        "rel_order_priority": _rel_order_priority,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_funnel": _window_funnel,
@@ -3844,6 +3913,20 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
             "c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey"
         ),
+        "join_semi": lambda: joins_mod.semi_join_sql(
+            "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
+            "(SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING')",
+            "o_custkey", "c_custkey",
+            cols="l.o_orderkey, l.o_custkey, l.o_totalprice",
+        ),
+        "join_anti": lambda: joins_mod.semi_join_sql(
+            "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders)",
+            "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')",
+            "o_orderkey", "l_orderkey", anti=True,
+            cols="l.o_orderkey, l.o_custkey, l.o_totalprice",
+        ),
+        "rel_order_priority": lambda: relational_mod.order_priority_sql(),
         "join_hash_left": lambda: (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
             "c_mktsegment FROM orders LEFT JOIN "

@@ -804,3 +804,181 @@ passk AS (
 )
 SELECT {cols} FROM {src} b JOIN passk USING ({on})
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact semi / anti join (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+def semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    mode: str = "auto",
+    n_buckets: int = 64,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> rd.Dataset:
+    """Exact semi-join (``anti=False``: SQL ``WHERE EXISTS``) or
+    anti-join (``anti=True``: ``WHERE NOT EXISTS``) — keep every left
+    row whose key does / does not appear among the right side's keys.
+    The EXACT sibling of :func:`bloom_semi_join` (same shape, no false
+    positives), and the semi-join the reference's query planner applies
+    to prune postings reads (search.py J3) generalized to any pair of
+    tables.
+
+    Only KEYS ever move — never right-side payload columns (the reason
+    a semi-join beats ``hash_join`` + project at 100 TB: no row
+    widening, no many-to-many blowup, output rows are left rows
+    verbatim).
+
+    Two physical plans, pinned equal by test:
+
+    - ``broadcast`` — each right block contributes its in-block
+      DISTINCT keys (a per-block ``np.unique``), the driver folds them
+      into ONE sorted array (guarded by ``broadcast_max_rows``; above
+      it the call refuses), ``ray.put`` once; the left side streams
+      through a vectorized ``searchsorted`` membership mask. Zero
+      shuffles.
+    - ``shuffle`` — the scale plan when the DISTINCT key set itself is
+      too big for one array: left rows and per-block-deduped right
+      keys are tagged, bucketed by the same Fibonacci-mixed hash as
+      :func:`hash_join`, and met in ONE ``groupby('__b')`` exchange;
+      each bucket filters its left slice against its right key slice
+      with the same searchsorted mask. Integer keys only (the
+      vectorized bucket hash).
+
+    NULL-key semantics are SQL ``EXISTS`` (NOT the ``NOT IN`` null
+    poison): a null left key matches nothing, so semi DROPS it and
+    anti KEEPS it; null right keys contribute nothing. Output carries
+    the left columns unchanged; row order is not significant.
+    """
+    right_on = right_on or left_on
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"bad mode {mode!r}")
+    ls, rs = left.schema(), right.schema()
+    if left_on not in ls.names:
+        raise ValueError(f"left key {left_on!r} not in {ls.names}")
+    if right_on not in rs.names:
+        raise ValueError(f"right key {right_on!r} not in {rs.names}")
+    kt_l = dict(zip(ls.names, ls.types))[left_on]
+    kt_r = dict(zip(rs.names, rs.types))[right_on]
+    if not (pa.types.is_integer(kt_l) and pa.types.is_integer(kt_r)):
+        raise ValueError(f"semi_join needs integer keys, got {kt_l}/{kt_r}")
+    l_names = list(ls.names)
+
+    def key_part(b: pa.Table) -> pa.Table:
+        v = (
+            b.column(right_on)
+            .drop_null()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"k": pa.array(np.unique(v), pa.int64())})
+
+    if mode == "auto":
+        mode = (
+            "broadcast" if right.count() <= broadcast_max_rows else "shuffle"
+        )
+
+    if mode == "broadcast":
+        tabs = [
+            t
+            for t in ray.get(
+                right.map_batches(key_part, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        keys = (
+            np.unique(np.concatenate([t.column("k").to_numpy() for t in tabs]))
+            if tabs
+            else np.empty(0, np.int64)
+        )
+        if len(keys) > broadcast_max_rows:
+            raise ValueError(
+                f"distinct key set has {len(keys)} rows > "
+                f"{broadcast_max_rows}; use mode='shuffle'"
+            )
+        keys_ref = ray.put(keys)
+
+        def bfilter(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pa.array(_member_mask(b.column(left_on), ray.get(keys_ref), anti))
+            )
+
+        return left.map_batches(bfilter, batch_format="pyarrow")
+
+    # ---- shuffle plan ----
+    def pad_left(b: pa.Table) -> pa.Table:
+        cols: dict = {n: b.column(n) for n in l_names}
+        cols["__tag"] = pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
+        cols["__b"] = _bucket_of(b.column(left_on), n_buckets)
+        return pa.table(cols)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        kp = key_part(b)
+        key = kp.column("k").cast(kt_l)
+        cols = {}
+        for n, t in zip(ls.names, ls.types):
+            cols[n] = key if n == left_on else pa.nulls(kp.num_rows, t)
+        cols["__tag"] = pa.array(np.ones(kp.num_rows, np.int8), pa.int8())
+        cols["__b"] = _bucket_of(key, n_buckets)
+        return pa.table(cols)
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        tag = g.column("__tag")
+        lt = g.filter(pc.equal(tag, pa.scalar(0, pa.int8()))).select(l_names)
+        rk = (
+            g.filter(pc.equal(tag, pa.scalar(1, pa.int8())))
+            .column(left_on)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = np.unique(rk)
+        return lt.filter(pa.array(_member_mask(lt.column(left_on), keys, anti)))
+
+    tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
+        right.map_batches(pad_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("__b").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
+
+
+def _member_mask(
+    col: pa.ChunkedArray | pa.Array, keys: np.ndarray, anti: bool
+) -> np.ndarray:
+    """Boolean keep-mask of ``col`` against the SORTED key array:
+    searchsorted membership, EXISTS null semantics (null never hits, so
+    semi drops it / anti keeps it)."""
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    hit = np.zeros(len(valid), bool)
+    if valid.any() and len(keys):
+        v = pc.fill_null(col, 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )[valid]
+        idx = np.searchsorted(keys, v)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit[valid] = (idx < len(keys)) & (keys[idx_c] == v)
+    return ~hit if anti else hit
+
+
+def semi_join_sql(
+    left_src: str,
+    right_src: str,
+    left_on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    cols: str = "l.*",
+) -> str:
+    """DuckDB oracle for :func:`semi_join` — the literal EXISTS /
+    NOT EXISTS formulation (null semantics match by construction)."""
+    right_on = right_on or left_on
+    neg = "NOT " if anti else ""
+    return (
+        f"SELECT {cols} FROM {left_src} l WHERE {neg}EXISTS "
+        f"(SELECT 1 FROM {right_src} r WHERE r.{right_on} = l.{left_on})"
+    )

@@ -572,3 +572,99 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4 analog: order-priority checking (the EXISTS semi-join + groupby plan)
+# ---------------------------------------------------------------------------
+
+Q4_START = "1996-01-01"
+Q4_END = "1997-01-01"
+Q4_RETURNFLAG = "R"
+
+
+def order_priority(
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    start: str = Q4_START,
+    end: str = Q4_END,
+    returnflag: str = Q4_RETURNFLAG,
+) -> rd.Dataset:
+    """TPC-H Q4 analog — how many orders per priority, in a date
+    window, have at least one returned line (the reference Q4's
+    ``l_commitdate < l_receiptdate`` lateness predicate replaced by
+    ``l_returnflag = 'R'``; the testdata schema carries no
+    commit/receipt dates).  The plan every optimizer picks for Q4:
+    the EXISTS never becomes a join — a pure right-side filter, then
+    an exact SEMI-JOIN on orderkey (only keys move, no row widening,
+    duplicate lineitems collapse block-locally via the semi-join's
+    per-block key dedup), then a groupby over the tiny priority
+    domain with map-side combine.  One key exchange end to end
+    (semi_join shuffle mode), output is priority-sorted.
+    """
+    from search_engine_ray.functions.joins import semi_join
+
+    s_dt = _dt.datetime.fromisoformat(start)
+    e_dt = _dt.datetime.fromisoformat(end)
+
+    def win(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate")
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(s_dt)),
+            pc.less(ts, pa.scalar(e_dt)),
+        )
+        return b.filter(keep).select(["o_orderkey", "o_orderpriority"])
+
+    def returned(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("l_returnflag"), pa.scalar(returnflag))
+        return b.filter(keep).select(["l_orderkey"])
+
+    hits = semi_join(
+        orders.map_batches(win, batch_format="pyarrow"),
+        lineitem.map_batches(returned, batch_format="pyarrow"),
+        "o_orderkey",
+        "l_orderkey",
+        mode="shuffle",
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        return (
+            b.group_by("o_orderpriority")
+            .aggregate([("o_orderkey", "count")])
+            .rename_columns(["o_orderpriority", "n"])
+        )
+
+    agg = (
+        hits.map_batches(combine, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="order_count"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "order_count": b.column("order_count").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        "o_orderpriority"
+    )
+
+
+def order_priority_sql(
+    start: str = Q4_START, end: str = Q4_END, returnflag: str = Q4_RETURNFLAG
+) -> str:
+    """DuckDB oracle for :func:`order_priority` (TPC-H Q4 shape)."""
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate < TIMESTAMP '{end}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_returnflag = '{returnflag}')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

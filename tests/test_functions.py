@@ -1085,6 +1085,95 @@ def test_hash_join_guards():
         hash_join(lt, rs, "k", mode="broadcast", broadcast_max_rows=0)
 
 
+def test_semi_join_plans_equal_and_oracle(rduck):
+    """Exact semi AND anti join: the broadcast and shuffle plans are
+    pinned equal to each other and to the SQL EXISTS / NOT EXISTS, with
+    a right side that has duplicate keys (they must not multiply left
+    rows — the semi-join contract)."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.joins import semi_join, semi_join_sql
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+    ret = li.map_batches(
+        lambda b: b.filter(_pc.equal(b.column("l_returnflag"), "R")),
+        batch_format="pyarrow")
+    rsrc = "(SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')"
+    n_orders = orders.count()
+    for anti in (False, True):
+        sql = semi_join_sql(
+            "orders", rsrc, "o_orderkey", "l_orderkey", anti=anti,
+            cols="l.o_orderkey, l.o_custkey, l.o_totalprice")
+        exp = _sorted(rduck.sql(sql).arrow())
+        got = {}
+        for mode in ("broadcast", "shuffle"):
+            got[mode] = _sorted(_table(semi_join(
+                orders, ret, "o_orderkey", "l_orderkey", anti=anti,
+                mode=mode, n_buckets=8)))
+            assert got[mode].equals(exp.cast(got[mode].schema)), (anti, mode)
+        assert got["broadcast"].equals(got["shuffle"])
+        # no row widening ever: output row count bounded by the left side
+        assert got["shuffle"].num_rows < n_orders
+    # semi + anti partition the left side exactly
+
+
+def test_semi_join_null_keys_and_guards():
+    """EXISTS null semantics (null left key: semi drops, anti KEEPS —
+    not the NOT IN poison), auto-mode plan pick, loud guards."""
+    from search_engine_ray.functions.joins import semi_join
+
+    lt = pa.table({
+        "k": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    rt = pa.table({"k2": pa.array([1, None, 4, 4], pa.int64())})
+    lds, rds = rd.from_arrow(lt), rd.from_arrow(rt)
+    for mode in ("broadcast", "shuffle", "auto"):
+        s = _sorted(_table(semi_join(lds, rds, "k", "k2", mode=mode)))
+        assert s.column("lv").to_pylist() == ["a", "b"], mode
+        a = _sorted(_table(semi_join(lds, rds, "k", "k2", anti=True,
+                                     mode=mode)))
+        # null left key KEPT by anti (EXISTS semantics), 4 unmatched
+        assert sorted(a.column("lv").to_pylist()) == ["c", "d", "e"], mode
+        assert s.num_rows + a.num_rows == lt.num_rows
+    rstr = rd.from_arrow(pa.table({"k2": pa.array(["x"])}))
+    with pytest.raises(ValueError, match="mode"):
+        semi_join(lds, rds, "k", "k2", mode="sort")
+    with pytest.raises(ValueError, match="not in"):
+        semi_join(lds, rds, "missing", "k2")
+    with pytest.raises(ValueError, match="integer keys"):
+        semi_join(lds, rstr, "k", "k2")
+    with pytest.raises(ValueError, match="use mode='shuffle'"):
+        semi_join(lds, rds, "k", "k2", mode="broadcast",
+                  broadcast_max_rows=1)
+    # empty right side: semi keeps nothing, anti keeps non-null-handled all
+    empty = rd.from_arrow(pa.table({"k2": pa.array([], pa.int64())}))
+    assert semi_join(lds, empty, "k", "k2").count() == 0
+    assert semi_join(lds, empty, "k", "k2", anti=True).count() == 5
+
+
+def test_order_priority_oracle(rduck):
+    """Q4 analog vs the SQL oracle — exact counts, priority-ordered."""
+    from search_engine_ray.functions import relational as rel
+
+    orders = rd.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+    t = _table(rel.order_priority(orders, li))
+    o = rduck.sql(rel.order_priority_sql()).arrow()
+    assert t.equals(o.cast(t.schema))
+    assert t.num_rows > 0
+    # ORDER MATTERS: priority ascending
+    pr = t.column("o_orderpriority").to_pylist()
+    assert pr == sorted(pr)
+
+
 def test_region_revenue_oracle(rduck):
     """Q5 analog vs the SQL oracle — ORDER MATTERS (revenue DESC,
     name ASC), exact by per-row int64 quantization; and the all-shuffle

@@ -3167,6 +3167,111 @@ def _window_funnel_windowed(sf_dir: str):
     return windows.funnel_windowed(_events_ds(sf_dir))
 
 
+def _window_running(sf_dir: str):
+    """Per-key SQL window functions (row_number / lag / running SUM /
+    running MAX over PARTITION BY user ORDER BY ts, event_id): the
+    per-row sequential-state primitive; ONE user-key shuffle, all four
+    outputs vectorized per group; running sum folded in int64
+    micro-units so both engines are bit-exact at any addition order."""
+    from search_engine_ray.functions import windows
+
+    return windows.running_window(_events_ds(sf_dir))
+
+
+def _rel_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, priority): ONE finest-grain pre-aggregated
+    shuffle; the coarser grains re-aggregate from the domain-bounded
+    finest table (subtotals are additive — sums of sums)."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    return rel.rollup_orders(
+        read_clean_parquet(
+            os.path.join(_sf_dir(sf_dir), "orders.parquet"),
+            columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        )
+    )
+
+
+def _events_pivot(sf_dir: str):
+    """Pivot to one row per user with a count column per event type
+    (SQL PIVOT / the per-entity feature-matrix reshape): column set
+    derived from the data on BOTH sides, one user-key shuffle of
+    in-map partial counts, additive per-group fold."""
+    from search_engine_ray.functions import relational as rel
+
+    return rel.pivot_events(_events_ds(sf_dir))
+
+
+# the SQL twin of _table_merge's synth(): the SAME deterministic change
+# set (D %13, U %7 with ' [v2]' suffix, I %17 shifted past max id) —
+# expression-for-expression (|| vs binary_join_element_wise, length vs
+# utf8_length both count codepoints)
+_MERGE_CHANGES_SQL = """(
+SELECT doc_id, text || ' [v2]' AS text, lang, source,
+       length(text || ' [v2]') AS n_chars,
+       CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END AS op
+FROM documents WHERE doc_id % 13 = 0 OR doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + (SELECT max(doc_id) FROM documents) + 1 AS doc_id,
+       'new:' || text AS text, lang, source,
+       length('new:' || text) AS n_chars, 'I' AS op
+FROM documents WHERE doc_id % 17 = 0
+)"""
+
+
+def _table_merge(sf_dir: str):
+    """CDC MERGE (Delta upsert): apply a deterministic change set —
+    D for doc_id%13==0, U (text || ' [v2]') for doc_id%7==0, I with
+    keys shifted past max(doc_id) for doc_id%17==0 — to the documents
+    table in ONE key exchange (shuffle plan: tagged union bucketed by
+    the hash_join key hash, vectorized per-bucket resolve)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+    from search_engine_ray.functions.merge import merge_upsert
+
+    base = _documents_ds(sf_dir)
+    max_id = base.max("doc_id")
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        upd_mask = (did % 13 == 0) | (did % 7 == 0)
+        u = b.filter(pa.array(upd_mask))
+        u_text = pc.binary_join_element_wise(u.column("text"), " [v2]", "")
+        u_did = u.column("doc_id").to_numpy(zero_copy_only=False)
+        upd = pa.table(
+            {
+                "doc_id": u.column("doc_id"),
+                "text": u_text,
+                "lang": u.column("lang"),
+                "source": u.column("source"),
+                "n_chars": pc.utf8_length(u_text).cast(pa.int64()),
+                "op": pa.array(
+                    np.where(u_did % 13 == 0, "D", "U"), pa.string()
+                ),
+            }
+        )
+        i = b.filter(pa.array(did % 17 == 0))
+        i_text = pc.binary_join_element_wise("new:", i.column("text"), "")
+        ins = pa.table(
+            {
+                "doc_id": pc.add(
+                    i.column("doc_id"), pa.scalar(max_id + 1, pa.int64())
+                ),
+                "text": i_text,
+                "lang": i.column("lang"),
+                "source": i.column("source"),
+                "n_chars": pc.utf8_length(i_text).cast(pa.int64()),
+                "op": pa.array(["I"] * i.num_rows, pa.string()),
+            }
+        )
+        return pa.concat_tables([upd, ins])
+
+    changes = base.map_batches(synth, batch_format="pyarrow")
+    return merge_upsert(base, changes, on="doc_id", mode="shuffle")
+
+
 def _window_retention(sf_dir: str):
     """Cohort retention (the come-back half of the product-analytics
     pair): cohort = UTC epoch-day of the user's first signup; distinct
@@ -3518,6 +3623,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_funnel_windowed": _window_funnel_windowed,
         "window_sessions_salted": _window_sessions_salted,
         "window_sliding": _window_sliding,
+        "window_running": _window_running,
+        "rel_rollup": _rel_rollup,
+        "events_pivot": _events_pivot,
+        "table_merge": _table_merge,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
         "events_zorder": _events_zorder,
@@ -3551,6 +3660,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import packing as packing_mod
     from search_engine_ray.functions import percolate as percolate_mod
     from search_engine_ray.functions import relational as relational_mod
+    from search_engine_ray.functions import merge as merge_mod
     from search_engine_ray.functions import windows as windows_mod
 
     tag = ORACLE_TAG
@@ -3927,6 +4037,14 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             cols="l.o_orderkey, l.o_custkey, l.o_totalprice",
         ),
         "rel_order_priority": lambda: relational_mod.order_priority_sql(),
+        "window_running": lambda: windows_mod.running_window_sql("events"),
+        "rel_rollup": lambda: relational_mod.rollup_orders_sql(),
+        "events_pivot": lambda: relational_mod.pivot_events_sql("events"),
+        "table_merge": lambda: merge_mod.merge_upsert_sql(
+            "documents",
+            _MERGE_CHANGES_SQL,
+            cols="b.doc_id, b.text, b.lang, b.source, b.n_chars",
+        ),
         "join_hash_left": lambda: (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_nationkey, "
             "c_mktsegment FROM orders LEFT JOIN "

@@ -668,3 +668,188 @@ WHERE o_orderdate >= TIMESTAMP '{start}'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping-sets aggregate (the OLAP subtotal primitive)
+# ---------------------------------------------------------------------------
+
+ROLLUP_CENTS = 100  # money quantized to int64 cents before any sum
+
+
+def rollup_orders(orders: rd.Dataset) -> rd.Dataset:
+    """``GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)`` — order
+    count and total price at THREE grains in one result: (year,
+    priority), (year, ALL) and (ALL, ALL), with SQL's NULL markers on
+    the rolled-up columns.
+
+    Plan: the cluster does ONE shuffle at the FINEST grain only (the
+    same pre-aggregated groupby as :func:`pricing_summary` — map-side
+    combine ships <= |years|x|priorities| partial rows per block); the
+    coarser grains are then re-aggregated from that finest-grain table,
+    which is DOMAIN-BOUNDED (|years| x |priorities| rows — dozens, at
+    any data scale), so the re-aggregation is a driver-side Arrow fold
+    of a provably tiny input, not a second data shuffle.  This is the
+    standard ROLLUP plan: subtotals are additive, so each level folds
+    from the level below (sums of sums, sums of counts) — never from
+    the raw rows.
+
+    Exactness: prices quantize to int64 cents per row
+    (half-away-from-zero) before ANY sum, so every level's total is an
+    exact integer and the fold order cannot drift — the same device as
+    the other relational ops.  Output: ``(year, o_orderpriority,
+    n_orders, sum_cents)``; NULL year/priority mark rolled-up levels
+    exactly as SQL ROLLUP does.
+    """
+
+    def finest(b: pa.Table) -> pa.Table:
+        yr = pc.year(b.column("o_orderdate")).cast(pa.int64())
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = (
+            np.floor(np.abs(price) * ROLLUP_CENTS + 0.5) * np.sign(price)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "year": yr,
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        # in-map partial: collapse the batch to <= |domain| rows
+        g = t.group_by(["year", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(
+            ["year", "o_orderpriority", "sum_cents", "n_orders"]
+        )
+
+    fine = (
+        orders.map_batches(finest, batch_format="pyarrow")
+        .groupby(["year", "o_orderpriority"])
+        .aggregate(
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    # domain-bounded driver fold (dozens of rows by construction)
+    ft = pa.concat_tables(
+        [ray.get(r) for r in fine.to_arrow_refs()]
+    ).combine_chunks()
+
+    def lvl(t: pa.Table, keys: list[str]) -> pa.Table:
+        if keys:
+            g = t.group_by(keys).aggregate(
+                [("sum_cents", "sum"), ("n_orders", "sum")]
+            ).rename_columns([*keys, "sum_cents", "n_orders"])
+        else:
+            g = pa.table(
+                {
+                    "sum_cents": pa.array(
+                        [pc.sum(t.column("sum_cents")).as_py() or 0], pa.int64()
+                    ),
+                    "n_orders": pa.array(
+                        [pc.sum(t.column("n_orders")).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+        cols = {
+            "year": g.column("year")
+            if "year" in g.schema.names
+            else pa.nulls(g.num_rows, pa.int64()),
+            "o_orderpriority": g.column("o_orderpriority")
+            if "o_orderpriority" in g.schema.names
+            else pa.nulls(g.num_rows, pa.string()),
+            "n_orders": g.column("n_orders").cast(pa.int64()),
+            "sum_cents": g.column("sum_cents").cast(pa.int64()),
+        }
+        return pa.table(cols)
+
+    out = pa.concat_tables(
+        [
+            lvl(ft, ["year", "o_orderpriority"]),
+            lvl(ft, ["year"]),
+            lvl(ft, []),
+        ]
+    )
+    return rd.from_arrow(out)
+
+
+def rollup_orders_sql() -> str:
+    """DuckDB oracle for :func:`rollup_orders` — the literal ROLLUP,
+    with the identical per-row cents quantization inside the SUM."""
+    return f"""
+SELECT year(o_orderdate) AS year, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * {ROLLUP_CENTS}) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation over a small categorical domain)
+# ---------------------------------------------------------------------------
+
+
+def pivot_events(events: rd.Dataset) -> rd.Dataset:
+    """Pivot the events table to ONE ROW PER USER with a count column
+    per event type (the feature-matrix reshape every per-entity model
+    pipeline runs; SQL ``PIVOT`` / conditional aggregation).
+
+    The pivoted column set comes from the DATA — a distinct pass over
+    ``event_type`` (a domain-bounded vocabulary, sorted for a
+    deterministic schema; ``Dataset.unique`` is a tiny
+    column-projected exchange).  The pivot itself is ONE user-key
+    shuffle: each block collapses map-side to per-(user, type) partial
+    counts (an in-map Arrow ``group_by``), and the per-user group fold
+    sums partials into one wide row with ``np.add.at`` — additive, so
+    partials of the same (user, type) arriving from different blocks
+    combine instead of overwriting.  The reshape adds no exchange; at
+    100 TB the shuffled intermediate is |users| x |types| partial rows
+    per block, never the raw events.
+    """
+    types = sorted(events.unique("event_type"))
+    tidx = {t: j for j, t in enumerate(types)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    def widen(group: pa.Table) -> pa.Table:
+        ty = group.column("event_type").to_pylist()
+        n = group.column("n").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        row = np.zeros(len(types), np.int64)
+        np.add.at(row, [tidx[t] for t in ty], n)
+        cols: dict = {
+            "user_id": pa.array(
+                [group.column("user_id")[0].as_py()], pa.int64()
+            )
+        }
+        for j, t in enumerate(types):
+            cols[t] = pa.array([row[j]], pa.int64())
+        return pa.table(cols)
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(widen, batch_format="pyarrow")
+    )
+
+
+def pivot_events_sql(src: str) -> str:
+    """DuckDB oracle for :func:`pivot_events` — DuckDB's dynamic
+    ``PIVOT`` derives the column set from the data exactly as the
+    engine's distinct pass does (columns named by the type value on
+    BOTH sides; absent types stay absent identically), so the twin
+    needs no static type list."""
+    return f"""
+PIVOT (SELECT user_id, event_type FROM {src})
+ON event_type USING count(*)
+GROUP BY user_id
+"""

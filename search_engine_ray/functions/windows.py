@@ -731,3 +731,94 @@ WITH {",".join(ctes)}
 SELECT u.{user_col}, CAST(greatest({depth}) AS BIGINT) AS level
 FROM (SELECT DISTINCT {user_col} FROM {src}) u
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-key running window functions (SQL OVER (PARTITION BY ... ORDER BY ...))
+# ---------------------------------------------------------------------------
+
+_MICRO = 1_000_000  # run_sum quantization: micro-units -> exact int64 fold
+
+
+def running_window(ds: rd.Dataset) -> rd.Dataset:
+    """SQL window functions per user — ``row_number()``, ``lag(value)``,
+    running ``SUM`` and running ``MAX`` over
+    ``PARTITION BY user_id ORDER BY ts, event_id`` — the per-key
+    sequential-state primitive (feature engineering: "events so far",
+    "previous value", "best so far") that a groupby-aggregate cannot
+    express because the OUTPUT is per-row, not per-group.
+
+    Plan: ONE shuffle (``groupby(user_id)``), then each group sorts by
+    ``(ts, event_id)`` (the deterministic tiebreak) and computes all
+    four outputs vectorized — ``np.arange`` / slice-shift /
+    ``np.cumsum`` / ``np.maximum.accumulate``; no per-row Python.  The
+    partitioning assumption is the same as :func:`session_windows`
+    (per-key state never spans keys); a hot key needs the salted
+    time-range split + carry-in merge, which running state makes
+    sequential — the documented scale path is range-partition by
+    (user, ts) and fold per-range prefix states left-to-right (a
+    two-pass scan, still no all-pairs).
+
+    Exactness device: the running sum is folded in int64 MICRO-UNITS —
+    ``round(value * 1e6)`` half-away-from-zero per row, then integer
+    prefix sums — because float prefix sums are association-ordered and
+    DuckDB's windowed SUM need not add in the same order; integers
+    make both sides bit-exact.  ``lag``/``max`` pass raw doubles
+    through untouched (comparison/copy only, no arithmetic).
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        n = g.num_rows
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        micro = (np.floor(np.abs(val) * _MICRO + 0.5) * np.sign(val)).astype(
+            np.int64
+        )
+        lag = np.empty(n, np.float64)
+        lag[1:] = val[:-1]
+        lag_validity = np.ones(n, bool)
+        lag_validity[0] = False
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "ts": g.column("ts"),
+                "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "lag_value": pa.array(lag, pa.float64(), mask=~lag_validity),
+                "run_sum_micro": pa.array(np.cumsum(micro), pa.int64()),
+                "run_max": pa.array(
+                    np.maximum.accumulate(val), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def running_window_sql(src: str) -> str:
+    """DuckDB oracle for :func:`running_window` — the literal window
+    functions, with the identical micro-unit quantization inside the
+    running SUM (so integer prefix sums compare bit-exact) and an
+    explicit ROWS frame (ties are impossible under the (ts, event_id)
+    order, but RANGE vs ROWS must not be left to the default)."""
+    w = "PARTITION BY user_id ORDER BY ts, event_id"
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+SELECT user_id, event_id, ts,
+       row_number() OVER ({w}) AS rn,
+       lag(value) OVER ({w}) AS lag_value,
+       CAST(SUM(CAST(round(value * {_MICRO}) AS BIGINT))
+            OVER ({w} {frame}) AS BIGINT) AS run_sum_micro,
+       MAX(value) OVER ({w} {frame}) AS run_max
+FROM {src}
+"""

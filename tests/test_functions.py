@@ -3034,3 +3034,198 @@ def test_zorder_block_layout_invariant(events_ds, ray_session):
     b = _table(L.zorder_key(events_ds.repartition(7), ("user_id", "ts")))
     key = [("event_id", "ascending")]
     assert a.sort_by(key).equals(b.sort_by(key))
+
+
+def test_running_window_oracle(events_ds, educk):
+    """Per-key window functions vs the literal SQL OVER twin — rn, lag,
+    micro-unit running sum, running max, bit-exact; plus structural
+    pins (rn dense per user, run_max monotone, lag null exactly at
+    rn=1)."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.windows import (
+        running_window,
+        running_window_sql,
+    )
+
+    t = _table(running_window(events_ds))
+    o = educk.sql(running_window_sql("events")).arrow()
+    sk = [("user_id", "ascending"), ("event_id", "ascending")]
+    ts, os_ = t.sort_by(sk), o.cast(t.schema).sort_by(sk)
+    assert ts.equals(os_)
+    # structural pins on one user
+    uid0 = ts.column("user_id")[0]
+    g = ts.filter(_pc.equal(ts.column("user_id"), uid0)).sort_by(
+        [("rn", "ascending")]
+    )
+    rn = g.column("rn").to_pylist()
+    assert rn == list(range(1, len(rn) + 1))
+    rm = g.column("run_max").to_numpy()
+    assert (np.diff(rm) >= 0).all()
+    lag_null = g.column("lag_value").is_null().to_pylist()
+    assert lag_null[0] and not any(lag_null[1:])
+    rs = g.column("run_sum_micro").to_pylist()
+    assert rs == sorted(rs)  # values are positive in this corpus
+
+
+def test_rollup_orders_oracle(rduck):
+    """ROLLUP vs the literal GROUP BY ROLLUP twin — and the additive
+    consistency pins: the grand total equals the sum of the year
+    subtotals, and each year subtotal equals the sum of its finest
+    rows (subtotals fold from the level below)."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions import relational as rel
+
+    orders = rd.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    t = _assert_matches_oracle(
+        rel.rollup_orders(orders), rduck, rel.rollup_orders_sql()
+    )
+    fine = t.filter(
+        _pc.and_(
+            t.column("year").is_valid(), t.column("o_orderpriority").is_valid()
+        )
+    )
+    yr = t.filter(
+        _pc.and_(
+            t.column("year").is_valid(),
+            _pc.invert(t.column("o_orderpriority").is_valid()),
+        )
+    )
+    total = t.filter(_pc.invert(t.column("year").is_valid()))
+    assert total.num_rows == 1
+    for col in ("n_orders", "sum_cents"):
+        assert (
+            _pc.sum(fine.column(col)).as_py()
+            == _pc.sum(yr.column(col)).as_py()
+            == total.column(col)[0].as_py()
+        )
+    # every year subtotal folds from its finest rows
+    for y in yr.column("year").to_pylist():
+        fy = fine.filter(_pc.equal(fine.column("year"), y))
+        ry = yr.filter(_pc.equal(yr.column("year"), y))
+        assert _pc.sum(fy.column("n_orders")).as_py() == ry.column("n_orders")[0].as_py()
+
+
+def test_pivot_events_oracle(events_ds, educk):
+    """Pivot vs DuckDB's dynamic PIVOT — identical data-derived column
+    set, one row per user, row sums equal per-user event counts."""
+    from search_engine_ray.functions import relational as rel
+
+    t = _table(rel.pivot_events(events_ds))
+    o = educk.sql(rel.pivot_events_sql("events")).arrow()
+    assert t.column_names == o.column_names  # sorted type domain on both sides
+    sk = [("user_id", "ascending")]
+    ts, os_ = t.sort_by(sk), o.cast(t.schema).sort_by(sk)
+    assert ts.equals(os_)
+    n_users = educk.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert ts.num_rows == n_users
+    total = educk.sql("SELECT count(*) FROM events").fetchone()[0]
+    wide_sum = sum(
+        sum(ts.column(c).to_pylist()) for c in ts.column_names if c != "user_id"
+    )
+    assert wide_sum == total
+
+
+def test_merge_upsert_plans_and_semantics(docs_ds, fduck):
+    """CDC MERGE: broadcast == shuffle == the SQL anti-join+union twin
+    on a crafted I/U/D change set; MERGE cardinality violations and op
+    typos raise; D of an absent key is a no-op; I of an existing key
+    replaces (idempotent re-application)."""
+    from search_engine_ray.functions.merge import merge_upsert, merge_upsert_sql
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    ch = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 5, 99], pa.int64()),
+            "text": pa.array(["B2", "gone", "E-new", "ghost"]),
+            "op": pa.array(["U", "D", "I", "D"]),  # 99-D = absent-key no-op
+        }
+    )
+    bds, cds = rd.from_arrow(base), rd.from_arrow(ch)
+    fduck.execute("CREATE OR REPLACE VIEW mbase AS SELECT 1 AS doc_id, 'a' AS text UNION ALL SELECT 2, 'b' UNION ALL SELECT 3, 'c' UNION ALL SELECT 4, 'd'")
+    fduck.execute(
+        "CREATE OR REPLACE VIEW mch AS SELECT 2 AS doc_id, 'B2' AS text, 'U' AS op "
+        "UNION ALL SELECT 3, 'gone', 'D' UNION ALL SELECT 5, 'E-new', 'I' "
+        "UNION ALL SELECT 99, 'ghost', 'D'"
+    )
+    exp = _sorted(
+        fduck.sql(
+            merge_upsert_sql("mbase", "mch", cols="b.doc_id, b.text")
+        ).arrow()
+    )
+    for mode in ("broadcast", "shuffle", "auto"):
+        got = _sorted(_table(merge_upsert(bds, cds, mode=mode, n_buckets=4)))
+        assert got.equals(exp.cast(got.schema)), mode
+        assert got.column("doc_id").to_pylist() == [1, 2, 4, 5]
+        assert got.column("text").to_pylist() == ["a", "B2", "d", "E-new"]
+    # I of an EXISTING key replaces, exactly like U
+    ch_i = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2], pa.int64()),
+                "text": pa.array(["replaced"]),
+                "op": pa.array(["I"]),
+            }
+        )
+    )
+    for mode in ("broadcast", "shuffle"):
+        got = _sorted(_table(merge_upsert(bds, ch_i, mode=mode)))
+        assert got.column("text").to_pylist() == ["a", "replaced", "c", "d"]
+    # guards
+    dup = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 2], pa.int64()),
+                "text": pa.array(["x", "y"]),
+                "op": pa.array(["U", "U"]),
+            }
+        )
+    )
+    for mode in ("broadcast", "shuffle"):
+        with pytest.raises(Exception, match="cardinality"):
+            _table(merge_upsert(bds, dup, mode=mode))
+    bad_op = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2], pa.int64()),
+                "text": pa.array(["x"]),
+                "op": pa.array(["UPSERT"]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="op outside"):
+        _table(merge_upsert(bds, bad_op, mode="broadcast"))
+    with pytest.raises(ValueError, match="lack base columns"):
+        merge_upsert(
+            bds,
+            rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "op": pa.array(["D"])})),
+        )
+    with pytest.raises(ValueError, match="integer key"):
+        merge_upsert(
+            rd.from_arrow(pa.table({"doc_id": pa.array(["s"]),
+                                    "text": pa.array(["x"])})),
+            cds, on="doc_id")
+
+
+def test_merge_upsert_corpus_oracle(fduck):
+    """The driver's table_merge change set (D %13 / U %7 / I %17) vs
+    the SQL twin over the sf0.001 documents corpus, both plans."""
+    import __ray_entry__ as E
+
+    t = _table(E.queries()["table_merge"](SF_DIR))
+    fduck.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/documents.parquet')")
+    o = fduck.sql(E.oracle_sql()["table_merge"]).arrow()
+    ts, os_ = _sorted(t), _sorted(o.cast(t.schema))
+    assert ts.equals(os_)
+    assert ts.num_rows > 0

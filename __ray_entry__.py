@@ -3127,6 +3127,98 @@ def _rel_order_priority(sf_dir: str):
     )
 
 
+def _join_hash_full(sf_dir: str):
+    """FULL OUTER hash join (shuffle plan — the only correct plan for
+    outer-right semantics under streaming): orders x the BUILDING
+    customer subset; unmatched rows survive on BOTH sides, keys
+    coalesced under the left name."""
+    from search_engine_ray.functions.joins import hash_join
+    from search_engine_ray.sources import read_clean_parquet
+    import pyarrow.compute as pc
+
+    d = _sf_dir(sf_dir)
+    orders = read_clean_parquet(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read_clean_parquet(
+        os.path.join(d, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow",
+    )
+    return hash_join(orders, cust, "o_custkey", "c_custkey",
+                     how="full", mode="shuffle")
+
+
+SKEW_DRIVER_THRESHOLD = 20  # lineitems per part before the key is "hot"
+
+
+def _join_skew(sf_dir: str):
+    """Skew-aware join (hot-key split): lineitem x part where parts
+    with > threshold lineitems broadcast-join (zero shuffle, hot key
+    spread over every map task) and the cold rest takes the
+    partitioned plan — union == the plain join exactly, which is the
+    oracle."""
+    from search_engine_ray.functions.joins import skew_join
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    li = read_clean_parquet(
+        os.path.join(d, "lineitem.parquet"),
+        columns=["l_partkey", "l_orderkey", "l_quantity"])
+    part = read_clean_parquet(
+        os.path.join(d, "part.parquet"), columns=["p_partkey", "p_brand"])
+    return skew_join(li, part, "l_partkey", "p_partkey",
+                     hot_threshold=SKEW_DRIVER_THRESHOLD)
+
+
+def _rel_shipmode(sf_dir: str):
+    """TPC-H Q12 analog: high/low-priority lineitem counts per
+    linestatus in a shipdate window — selective-side-first filter, ONE
+    partitioned-join key exchange, conditional aggregation combined
+    map-side over the tiny linestatus domain."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.shipmode_priority(
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_linestatus",
+                                    "l_shipdate"]),
+        read_clean_parquet(os.path.join(d, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderpriority"]),
+    )
+
+
+def _rel_promo(sf_dir: str):
+    """TPC-H Q14 analog: ECONOMY-type revenue share in a shipdate
+    window — part is the classic broadcast dimension (ray.put once,
+    lineitem streams with zero shuffles), revenue folds as exact int64
+    cents, share = round-6 of the same ints in both engines."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.promo_revenue(
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_partkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"]),
+        read_clean_parquet(os.path.join(d, "part.parquet"),
+                           columns=["p_partkey", "p_type"]),
+    )
+
+
+def _events_top_per_user(sf_dir: str):
+    """Grouped top-n (row_number() <= 3 per user by value DESC,
+    event_id ASC): per-block partial selection caps the shuffle at
+    <= n rows per key per block regardless of skew, one groupby
+    finishes."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.top_n_per_group(_events_ds(sf_dir))
+
+
 def _join_interval(sf_dir: str):
     """Range join (point-in-interval containment): purchases paired
     with every same-user click-anchored 2h interval containing them —
@@ -3627,6 +3719,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rollup": _rel_rollup,
         "events_pivot": _events_pivot,
         "table_merge": _table_merge,
+        "join_hash_full": _join_hash_full,
+        "join_skew": _join_skew,
+        "rel_shipmode": _rel_shipmode,
+        "rel_promo": _rel_promo,
+        "events_top_per_user": _events_top_per_user,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
         "events_zorder": _events_zorder,
@@ -4038,6 +4135,22 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "rel_order_priority": lambda: relational_mod.order_priority_sql(),
         "window_running": lambda: windows_mod.running_window_sql("events"),
+        "join_hash_full": lambda: (
+            "SELECT coalesce(o_custkey, c_custkey) AS o_custkey, "
+            "o_orderkey, o_totalprice, c_mktsegment "
+            "FROM orders FULL JOIN "
+            "(SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c ON o_custkey = c_custkey"
+        ),
+        "join_skew": lambda: (
+            "SELECT l_partkey, l_orderkey, l_quantity, p_brand "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey"
+        ),
+        "rel_shipmode": lambda: relational_mod.shipmode_priority_sql(),
+        "rel_promo": lambda: relational_mod.promo_revenue_sql(),
+        "events_top_per_user": lambda: aggregates_mod.top_n_per_group_sql(
+            "events"
+        ),
         "rel_rollup": lambda: relational_mod.rollup_orders_sql(),
         "events_pivot": lambda: relational_mod.pivot_events_sql("events"),
         "table_merge": lambda: merge_mod.merge_upsert_sql(

@@ -384,3 +384,91 @@ SELECT q.q AS q,
        CAST(w.width - 1 AS BIGINT) AS err_bound
 FROM quants q CROSS JOIN tot t CROSS JOIN w
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-n (SQL row_number() OVER (...) <= n — the per-entity leaderboard)
+# ---------------------------------------------------------------------------
+
+TOP_PER_GROUP_N = 3
+
+
+def top_n_per_group(
+    ds: rd.Dataset,
+    key: str = "user_id",
+    order_col: str = "value",
+    tiebreak: str = "event_id",
+    n: int = TOP_PER_GROUP_N,
+) -> rd.Dataset:
+    """Top ``n`` rows per group by ``(order_col DESC, tiebreak ASC)`` —
+    SQL ``row_number() OVER (PARTITION BY key ORDER BY ...) <= n``, the
+    per-entity leaderboard shape (a global sort+limit answers the wrong
+    question; a per-group sort is the point).
+
+    Plan: each block first prunes ITSELF to <= n rows per key present
+    in the block (vectorized: one lexicographic sort, then a
+    run-position index — a row survives iff its rank within its key's
+    run is < n), because a block can never contribute more than its
+    own top-n per key to the global answer — the same partial-selection
+    idea as the relational top-k ops, applied per group.  Only those
+    partials shuffle (<= n rows per key per block, independent of the
+    events-per-key skew), then ONE ``groupby(key)`` and the identical
+    vectorized selection finishes per group.  The emitted ``rank``
+    column is the final per-group row_number (1-based).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    names = [key, order_col, tiebreak]
+
+    def prune(b: pa.Table, final: bool) -> pa.Table:
+        order = pc.sort_indices(
+            b,
+            sort_keys=[
+                (key, "ascending"),
+                (order_col, "descending"),
+                (tiebreak, "ascending"),
+            ],
+        )
+        g = b.take(order)
+        k = g.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # rank of each row within its key's run (vectorized run index)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        run_id = np.cumsum(np.concatenate(([0], (k[1:] != k[:-1]).astype(np.int64))))
+        rank = np.arange(len(k)) - starts[run_id]
+        keep = rank < n
+        out = g.filter(pa.array(keep))
+        if final:
+            out = out.append_column(
+                "rank", pa.array(rank[keep] + 1, pa.int64())
+            )
+        return out
+
+    return (
+        ds.select_columns(names)
+        .map_batches(
+            lambda b: prune(b.replace_schema_metadata(None), False),
+            batch_format="pyarrow",
+        )
+        .groupby(key)
+        .map_groups(lambda g: prune(g, True), batch_format="pyarrow")
+    )
+
+
+def top_n_per_group_sql(
+    src: str,
+    key: str = "user_id",
+    order_col: str = "value",
+    tiebreak: str = "event_id",
+    n: int = TOP_PER_GROUP_N,
+) -> str:
+    """DuckDB oracle for :func:`top_n_per_group` — the literal
+    row_number formulation."""
+    return f"""
+SELECT {key}, {order_col}, {tiebreak}, rank FROM (
+    SELECT {key}, {order_col}, {tiebreak},
+           row_number() OVER (
+               PARTITION BY {key}
+               ORDER BY {order_col} DESC, {tiebreak} ASC) AS rank
+    FROM {src}
+) WHERE rank <= {n}
+"""

@@ -853,3 +853,215 @@ PIVOT (SELECT user_id, event_type FROM {src})
 ON event_type USING count(*)
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Q12 analog: shipping-priority counts (join + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+Q12_START = "1996-01-01"
+Q12_END = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority(
+    lineitem: rd.Dataset,
+    orders: rd.Dataset,
+    start: str = Q12_START,
+    end: str = Q12_END,
+) -> rd.Dataset:
+    """TPC-H Q12 analog — per ``l_linestatus`` (standing in for the
+    schema's missing ``l_shipmode``), how many shipdate-window
+    lineitems belong to high-priority (1-URGENT/2-HIGH) vs other
+    orders.  The Q12 plan: the date filter prunes lineitem FIRST (the
+    selective side), the join ships only (l_orderkey, l_linestatus)
+    against (o_orderkey, o_orderpriority) — ONE key exchange via the
+    partitioned hash join — and the conditional aggregation collapses
+    map-side over the tiny linestatus domain before a second,
+    group-domain-sized exchange.
+    """
+    from search_engine_ray.functions.joins import hash_join
+
+    s_dt = _dt.datetime.fromisoformat(start)
+    e_dt = _dt.datetime.fromisoformat(end)
+
+    def win(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate")
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(s_dt)), pc.less(ts, pa.scalar(e_dt))
+        )
+        return b.filter(keep).select(["l_orderkey", "l_linestatus"])
+
+    joined = hash_join(
+        lineitem.map_batches(win, batch_format="pyarrow"),
+        orders.select_columns(["o_orderkey", "o_orderpriority"]),
+        "l_orderkey",
+        "o_orderkey",
+        mode="shuffle",
+    )
+
+    def combine(b: pa.Table) -> pa.Table:
+        is_high = pc.is_in(
+            b.column("o_orderpriority"), value_set=pa.array(Q12_HIGH)
+        )
+        hi = pc.cast(is_high, pa.int64())
+        t = pa.table(
+            {
+                "l_linestatus": b.column("l_linestatus"),
+                "high_line_count": hi,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+        return (
+            t.group_by("l_linestatus")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+        )
+
+    agg = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": b.column("l_linestatus"),
+                "high_line_count": b.column("high_line_count").cast(pa.int64()),
+                "low_line_count": b.column("low_line_count").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("l_linestatus")
+
+
+def shipmode_priority_sql(start: str = Q12_START, end: str = Q12_END) -> str:
+    """DuckDB oracle for :func:`shipmode_priority` (Q12 shape)."""
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 analog: promo-type revenue share (broadcast dimension join + ratio)
+# ---------------------------------------------------------------------------
+
+Q14_START = "1996-01-01"
+Q14_END = "1996-04-01"
+Q14_TYPE = "ECONOMY"
+_Q14_QUANT = 100  # revenue cents
+
+
+def promo_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    start: str = Q14_START,
+    end: str = Q14_END,
+    promo_type: str = Q14_TYPE,
+) -> rd.Dataset:
+    """TPC-H Q14 analog — the revenue share of one part type
+    (``ECONOMY`` standing in for Q14's ``PROMO%`` prefix; the synth
+    part table has flat type labels) in a shipdate window.  The Q14
+    plan: ``part`` is the CLASSIC small dimension — broadcast once
+    (``ray.put`` via the broadcast hash join), the windowed lineitem
+    side streams with ZERO shuffles, per-row revenue quantizes to
+    int64 cents, and the two conditional sums fold associatively to
+    one row.  Output: (promo_cents, total_cents, promo_share) where
+    share = round(promo/total, 6) computed from the SAME exact ints in
+    both engines.
+    """
+    from search_engine_ray.functions.joins import hash_join
+
+    s_dt = _dt.datetime.fromisoformat(start)
+    e_dt = _dt.datetime.fromisoformat(end)
+
+    def win(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate")
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(s_dt)), pc.less(ts, pa.scalar(e_dt))
+        )
+        return b.filter(keep).select(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        )
+
+    joined = hash_join(
+        lineitem.map_batches(win, batch_format="pyarrow"),
+        part.select_columns(["p_partkey", "p_type"]),
+        "l_partkey",
+        "p_partkey",
+        mode="broadcast",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        cents = (np.floor(np.abs(rev) * _Q14_QUANT + 0.5) * np.sign(rev)).astype(
+            np.int64
+        )
+        is_promo = pc.equal(
+            b.column("p_type"), pa.scalar(promo_type)
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_cents": pa.array(
+                    [int(cents[is_promo].sum())], pa.int64()
+                ),
+                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    sums = joined.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    promo = int(sums["promo_cents"] or 0)
+    total = int(sums["total_cents"] or 0)
+    share = round(promo / total, 6) if total else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "promo_cents": pa.array([promo], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+                "promo_share": pa.array([share], pa.float64()),
+            }
+        )
+    )
+
+
+def promo_revenue_sql(
+    start: str = Q14_START, end: str = Q14_END, promo_type: str = Q14_TYPE
+) -> str:
+    """DuckDB oracle for :func:`promo_revenue` (Q14 shape) — identical
+    per-row cents quantization, identical round-6 share."""
+    cents = (
+        f"CAST(round(l_extendedprice * (1 - l_discount) * {_Q14_QUANT}) "
+        "AS BIGINT)"
+    )
+    return f"""
+WITH s AS (
+    SELECT CAST(SUM(CASE WHEN p_type = '{promo_type}' THEN {cents} ELSE 0 END)
+                AS BIGINT) AS promo_cents,
+           CAST(SUM({cents}) AS BIGINT) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{start}'
+      AND l_shipdate < TIMESTAMP '{end}'
+)
+SELECT promo_cents, total_cents,
+       round(promo_cents / total_cents, 6) AS promo_share
+FROM s
+"""

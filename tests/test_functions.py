@@ -762,7 +762,8 @@ def rduck():
     import duckdb
 
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -3229,3 +3230,140 @@ def test_merge_upsert_corpus_oracle(fduck):
     ts, os_ = _sorted(t), _sorted(o.cast(t.schema))
     assert ts.equals(os_)
     assert ts.num_rows > 0
+
+
+def test_hash_join_outer_modes(rduck):
+    """RIGHT and FULL outer joins (shuffle plan) vs the literal SQL,
+    keys coalesced under the left name; broadcast mode refuses them
+    loudly (a streaming broadcast can't emit unmatched right rows
+    exactly once)."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.joins import hash_join
+
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(_pc.equal(b.column("c_mktsegment"), "BUILDING")),
+        batch_format="pyarrow")
+    for how, sql_kw in (("right", "RIGHT JOIN"), ("full", "FULL JOIN")):
+        got = _sorted(_table(hash_join(orders, cust, "o_custkey",
+                                       "c_custkey", how=how, mode="shuffle",
+                                       n_buckets=8)))
+        exp = _sorted(rduck.sql(
+            "SELECT coalesce(o_custkey, c_custkey) AS o_custkey, o_orderkey,"
+            " o_totalprice, c_mktsegment FROM orders "
+            f"{sql_kw} (SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c ON o_custkey = c_custkey"
+        ).arrow().select(got.column_names))
+        assert got.equals(exp.cast(got.schema)), how
+        with pytest.raises(ValueError, match="shuffle"):
+            hash_join(orders, cust, "o_custkey", "c_custkey", how=how,
+                      mode="broadcast")
+
+
+def test_skew_join_equals_plain(rduck):
+    """Hot-key-split join == the plain partitioned join on the corpus
+    (lineitem x part, threshold forcing a real hot set) AND on a
+    crafted power-law table; empty hot set falls through; the hot-list
+    cap raises loudly."""
+    from search_engine_ray.functions.joins import hash_join, skew_join
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_partkey", "l_orderkey", "l_quantity"])
+    part_ds = rd.read_parquet(f"{SF_DIR}/part.parquet",
+                              columns=["p_partkey", "p_brand"])
+    ref = _sorted(_table(hash_join(li, part_ds, "l_partkey", "p_partkey",
+                                   mode="shuffle", n_buckets=8)))
+    got = _sorted(_table(skew_join(li, part_ds, "l_partkey", "p_partkey",
+                                   hot_threshold=5, n_buckets=8)))
+    assert got.equals(ref)
+    exp = _sorted(rduck.sql(
+        "SELECT l_partkey, l_orderkey, l_quantity, p_brand "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey"
+    ).arrow().select(got.column_names))
+    assert got.equals(exp.cast(got.schema))
+    # crafted: one huge key + a left-outer null-key row, exactly once
+    lk = pa.table({
+        "k": pa.array([7] * 200 + [1, 2, None], pa.int64()),
+        "lv": pa.array(range(203), type=pa.int64()),
+    })
+    rk = pa.table({"k2": pa.array([7, 1, 9], pa.int64()),
+                   "rv": pa.array(["h", "a", "x"])})
+    lds, rds = rd.from_arrow(lk).repartition(4), rd.from_arrow(rk)
+    for how in ("inner", "left"):
+        a = _sorted(_table(skew_join(lds, rds, "k", "k2", how=how,
+                                     hot_threshold=50, n_buckets=4)))
+        b = _sorted(_table(hash_join(lds, rds, "k", "k2", how=how,
+                                     mode="shuffle", n_buckets=4)))
+        assert a.equals(b), how
+        if how == "left":
+            assert a.num_rows == 203  # null-key row exactly once
+    with pytest.raises(ValueError, match="max_hot_keys"):
+        _table(skew_join(lds, rds, "k", "k2", hot_threshold=0,
+                         max_hot_keys=1))
+    with pytest.raises(ValueError, match="inner"):
+        skew_join(lds, rds, "k", "k2", how="full")
+
+
+def test_shipmode_priority_oracle(rduck):
+    """Q12 analog vs the SQL twin — exact conditional counts."""
+    from search_engine_ray.functions import relational as rel
+
+    t = _assert_matches_oracle(
+        rel.shipmode_priority(
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linestatus",
+                                     "l_shipdate"]),
+            rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                            columns=["o_orderkey", "o_orderpriority"]),
+        ),
+        rduck, rel.shipmode_priority_sql())
+    assert t.num_rows > 0
+
+
+def test_promo_revenue_oracle(rduck):
+    """Q14 analog vs the SQL twin — exact cents, round-6 share from
+    the same ints."""
+    from search_engine_ray.functions import relational as rel
+
+    t = _assert_matches_oracle(
+        rel.promo_revenue(
+            rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_partkey", "l_extendedprice",
+                                     "l_discount", "l_shipdate"]),
+            rd.read_parquet(f"{SF_DIR}/part.parquet",
+                            columns=["p_partkey", "p_type"]),
+        ),
+        rduck, rel.promo_revenue_sql())
+    assert t.num_rows == 1
+    assert 0.0 < t.column("promo_share")[0].as_py() < 1.0
+
+
+def test_top_n_per_group_oracle(events_ds, educk):
+    """Grouped top-n vs the literal row_number twin; block-layout
+    invariance (the per-block partial selection must not change the
+    answer); rank dense 1..n per user."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.aggregates import (
+        top_n_per_group,
+        top_n_per_group_sql,
+    )
+
+    t = _sorted(_table(top_n_per_group(events_ds)))
+    o = educk.sql(top_n_per_group_sql("events")).arrow()
+    assert t.equals(_sorted(o.select(t.column_names).cast(t.schema)))
+    t2 = _sorted(_table(top_n_per_group(events_ds.repartition(13))))
+    assert t.equals(t2)
+    # each user contributes exactly min(3, n_events) rows, ranks 1..k
+    per = t.group_by("user_id").aggregate([("rank", "max"), ("rank", "count")])
+    assert per.column("rank_max").equals(per.column("rank_count").cast(pa.int64())) or (
+        _pc.equal(per.column("rank_max").cast(pa.int64()),
+                  per.column("rank_count").cast(pa.int64())).to_pylist()
+        == [True] * per.num_rows
+    )
+    with pytest.raises(ValueError, match="n must be"):
+        top_n_per_group(events_ds, n=0)

@@ -3209,6 +3209,77 @@ def _rel_promo(sf_dir: str):
     )
 
 
+SETOP_SPLIT_TS = "2024-01-15"  # events corpus midpoint
+
+
+def _setop_pairs(sf_dir: str):
+    """The two operands for the set-op queries: distinct-able
+    (user_id, event_type, value-bucket) row streams from the first /
+    second half of the events time range.  The bucket column
+    floor(value/100) makes the difference non-trivial at sf0.01 (a
+    plain (user, type) pair recurs in both halves for every user —
+    EXCEPT would be empty, a vacuous oracle) and exercises 3-column
+    row serialization including a float-derived int."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import datetime as dt
+
+    mid = dt.datetime.fromisoformat(SETOP_SPLIT_TS)
+    ev = _events_ds(sf_dir)
+
+    def half(first: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ts = b.column("ts")
+            keep = pc.less(ts, pa.scalar(mid)) if first else pc.greater_equal(
+                ts, pa.scalar(mid)
+            )
+            b = b.filter(keep)
+            vb = pc.cast(
+                pc.floor(pc.divide(b.column("value"), 100.0)), pa.int64()
+            )
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "event_type": b.column("event_type"),
+                    "vb": vb,
+                }
+            )
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    return half(True), half(False)
+
+
+def _set_except(sf_dir: str):
+    """Full-row EXCEPT (SQL DISTINCT-set semantics): (user, type) pairs
+    active in the first half of the month but gone in the second — one
+    content-bucketed exchange of in-map pre-deduped rows, per-bucket
+    min/max-tag fold (NULL = NULL falls out of Arrow group_by, exactly
+    the SQL set-op rule)."""
+    from search_engine_ray.functions.setops import set_op
+
+    a, b = _setop_pairs(sf_dir)
+    return set_op(a, b, op="except")
+
+
+def _set_intersect(sf_dir: str):
+    """Full-row INTERSECT: (user, type) pairs active in BOTH halves."""
+    from search_engine_ray.functions.setops import set_op
+
+    a, b = _setop_pairs(sf_dir)
+    return set_op(a, b, op="intersect")
+
+
+def _window_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per tumbling hour — the partial
+    is the distinct (window, user) PAIR set (distinct counts are not
+    additive), deduped in-map so the one exchange ships entity-bounded
+    pairs, never events."""
+    from search_engine_ray.functions import windows
+
+    return windows.window_distinct_users(_events_ds(sf_dir))
+
+
 def _events_top_per_user(sf_dir: str):
     """Grouped top-n (row_number() <= 3 per user by value DESC,
     event_id ASC): per-block partial selection caps the shuffle at
@@ -3724,6 +3795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipmode": _rel_shipmode,
         "rel_promo": _rel_promo,
         "events_top_per_user": _events_top_per_user,
+        "set_except": _set_except,
+        "set_intersect": _set_intersect,
+        "window_distinct": _window_distinct,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
         "events_zorder": _events_zorder,
@@ -3758,6 +3832,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import percolate as percolate_mod
     from search_engine_ray.functions import relational as relational_mod
     from search_engine_ray.functions import merge as merge_mod
+    from search_engine_ray.functions import setops as setops_mod
     from search_engine_ray.functions import windows as windows_mod
 
     tag = ORACLE_TAG
@@ -4149,6 +4224,23 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_shipmode": lambda: relational_mod.shipmode_priority_sql(),
         "rel_promo": lambda: relational_mod.promo_revenue_sql(),
         "events_top_per_user": lambda: aggregates_mod.top_n_per_group_sql(
+            "events"
+        ),
+        "set_except": lambda: setops_mod.set_op_sql(
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts < TIMESTAMP '{SETOP_SPLIT_TS}')",
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts >= TIMESTAMP '{SETOP_SPLIT_TS}')",
+            op="except",
+        ),
+        "set_intersect": lambda: setops_mod.set_op_sql(
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts < TIMESTAMP '{SETOP_SPLIT_TS}')",
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts >= TIMESTAMP '{SETOP_SPLIT_TS}')",
+            op="intersect",
+        ),
+        "window_distinct": lambda: windows_mod.window_distinct_users_sql(
             "events"
         ),
         "rel_rollup": lambda: relational_mod.rollup_orders_sql(),

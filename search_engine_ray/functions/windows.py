@@ -822,3 +822,72 @@ SELECT user_id, event_id, ts,
        MAX(value) OVER ({w} {frame}) AS run_max
 FROM {src}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact windowed distinct count (COUNT(DISTINCT ...) per tumbling window)
+# ---------------------------------------------------------------------------
+
+
+def window_distinct_users(
+    ds: rd.Dataset, width_minutes: int = WINDOW_MINUTES
+) -> rd.Dataset:
+    """Exact distinct users per tumbling window — the de-duplicating
+    sibling of :func:`tumbling_window` (a Sum of partial counts is
+    additive; a COUNT(DISTINCT) is NOT, so the partial must be the
+    distinct (window, user) PAIR set, not a number).
+
+    Plan: each block reduces IN-MAP to its distinct (window_start,
+    user_id) pairs (one Arrow ``group_by``), so the ONE
+    ``groupby(window_start)`` exchange ships at most
+    |windows x users-present-per-block| pair rows — bounded by the
+    entity domain, never the event count; the per-window fold is one
+    ``np.unique`` over pre-deduped ids.  At sketch-tolerant scale the
+    HLL op (``text_distinct_hll``) is the constant-memory alternative;
+    this is the exact one.
+    """
+    width_us = width_minutes * 60 * 1_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64())
+        start = pc.multiply(pc.divide(us, width_us), width_us)
+        t = pa.table(
+            {
+                "window_start": start.cast(pa.timestamp("us")),
+                "user_id": b.column("user_id"),
+            }
+        )
+        return t.group_by(["window_start", "user_id"]).aggregate([])
+
+    def fold(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start").slice(0, 1),
+                "n_users": pa.array([len(np.unique(uid))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(
+            lambda b: pairs(b.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("window_start")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def window_distinct_users_sql(
+    src: str, width_minutes: int = WINDOW_MINUTES
+) -> str:
+    width_us = width_minutes * 60 * 1_000_000
+    return f"""
+SELECT make_timestamp((epoch_us(ts) // {width_us}) * {width_us}) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM {src}
+GROUP BY 1
+"""

@@ -3367,3 +3367,147 @@ def test_top_n_per_group_oracle(events_ds, educk):
     )
     with pytest.raises(ValueError, match="n must be"):
         top_n_per_group(events_ds, n=0)
+
+
+# ----------------------------------------------------------- set ops
+
+
+def _setop_halves(events_ds):
+    """events split into two (user_id, event_type, vb) row streams at
+    the corpus time midpoint — the same operand shape the driver query
+    uses (vb = floor(value/100) makes EXCEPT non-empty)."""
+    import datetime as dt
+
+    import pyarrow.compute as _pc
+
+    mid = dt.datetime(2024, 1, 15)
+
+    def half(first):
+        def f(b):
+            ts = b.column("ts")
+            keep = (
+                _pc.less(ts, pa.scalar(mid))
+                if first
+                else _pc.greater_equal(ts, pa.scalar(mid))
+            )
+            b = b.filter(keep)
+            vb = _pc.cast(_pc.floor(_pc.divide(b.column("value"), 100.0)), pa.int64())
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "event_type": b.column("event_type"),
+                    "vb": vb,
+                }
+            )
+
+        return events_ds.map_batches(f, batch_format="pyarrow")
+
+    return half(True), half(False)
+
+
+_SETOP_HALF_SQL = (
+    "(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) AS vb "
+    "FROM events WHERE ts {} TIMESTAMP '2024-01-15')"
+)
+
+
+def test_set_op_oracle(events_ds, educk):
+    """EXCEPT / INTERSECT vs the literal DuckDB set operators on the
+    corpus, plus block-layout invariance (the in-map pre-dedup and
+    bucket exchange must not change the answer)."""
+    from search_engine_ray.functions.setops import set_op, set_op_sql
+
+    a, b = _setop_halves(events_ds)
+    for op in ("except", "intersect"):
+        got = _sorted(_table(set_op(a, b, op=op)))
+        sql = set_op_sql(
+            _SETOP_HALF_SQL.format("<"), _SETOP_HALF_SQL.format(">="), op=op
+        )
+        want = educk.sql(sql).arrow()
+        assert got.num_rows > 0, op  # non-vacuous operands
+        assert got.equals(_sorted(want.select(got.column_names).cast(got.schema))), op
+        # block layout must be invisible
+        a13, b7 = _setop_halves(events_ds.repartition(13))
+        got2 = _sorted(_table(set_op(a13, b7, op=op, n_buckets=7)))
+        assert got.equals(got2), op
+
+
+def test_set_op_null_semantics_and_guards(ray_session):
+    """SQL set-op NULL rule: NULL = NULL (unlike joins).  A row whose
+    key is NULL in both operands is IN the intersection and OUT of the
+    difference; output is DISTINCT; schema mismatch and reserved
+    column names refuse loudly."""
+    from search_engine_ray.functions.setops import set_op
+
+    a = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, None, "x", "y", "y"], pa.string()),
+                "v": pa.array([1, 1, 2, None, None], pa.int64()),
+            }
+        )
+    )
+    b = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([None, "x"], pa.string()),
+                "v": pa.array([1, 99], pa.int64()),
+            }
+        )
+    )
+    inter = _sorted(_table(set_op(a, b, op="intersect")))
+    # (NULL, 1) appears in both -> kept exactly once
+    assert inter.to_pylist() == [{"k": None, "v": 1}]
+    exc = _sorted(_table(set_op(a, b, op="except")))
+    # distinct A rows not in B: (x,2), (y,NULL) — (NULL,1) matched
+    assert exc.to_pylist() == [{"k": "x", "v": 2}, {"k": "y", "v": None}]
+    # empty B: EXCEPT = distinct(A)
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    exc_all = _sorted(_table(set_op(a, empty, op="except")))
+    assert exc_all.num_rows == 3  # 5 rows, dups (NULL,1) and (y,NULL)
+    with pytest.raises(ValueError, match="identical schemas"):
+        set_op(a, rd.from_arrow(pa.table({"k": pa.array(["z"])})))
+    with pytest.raises(ValueError, match="except"):
+        set_op(a, b, op="union")
+    bad = rd.from_arrow(pa.table({"__tag": pa.array([1])}))
+    with pytest.raises(ValueError, match="reserved"):
+        set_op(bad, bad)
+
+
+def test_set_op_single_column(ray_session):
+    """The 1-column serialization fast path (no element-wise join)."""
+    from search_engine_ray.functions.setops import set_op
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, None], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([2, None], pa.int64())}))
+    assert _sorted(_table(set_op(a, b, op="except"))).to_pylist() == [
+        {"k": 1},
+        {"k": 3},
+    ]
+    assert sorted(
+        r["k"] if r["k"] is not None else -1
+        for r in _table(set_op(a, b, op="intersect")).to_pylist()
+    ) == [-1, 2]
+
+
+# ------------------------------------------- windowed distinct count
+
+
+def test_window_distinct_users_oracle(events_ds, educk):
+    """Exact COUNT(DISTINCT user_id) per tumbling hour vs the SQL twin;
+    the (window,user) pair partial must be block-layout invariant
+    (distinct counts are NOT additive — summing per-block counts would
+    overcount, which the repartition pin would catch)."""
+    from search_engine_ray.functions.windows import (
+        window_distinct_users,
+        window_distinct_users_sql,
+    )
+
+    got = _sorted(_table(window_distinct_users(events_ds)))
+    want = educk.sql(window_distinct_users_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(window_distinct_users(events_ds.repartition(17))))
+    assert got.equals(got2)

@@ -3209,6 +3209,26 @@ def _rel_promo(sf_dir: str):
     )
 
 
+def _rel_small_qty(sf_dir: str):
+    """TPC-H Q17 analog: revenue of below-20%-of-part-average-quantity
+    lineitems for one brand / 7 — the decorrelated scalar subquery
+    (aggregate-rejoin).  Brand part keys broadcast once (sorted array +
+    searchsorted), only the brand's lineitems enter the ONE partkey
+    groupby where average and threshold resolve together; the float
+    predicate is the exact integer inequality 5*q*cnt < sum."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.small_qty_revenue(
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"]),
+        read_clean_parquet(os.path.join(d, "part.parquet"),
+                           columns=["p_partkey", "p_brand"]),
+    )
+
+
 SETOP_SPLIT_TS = "2024-01-15"  # events corpus midpoint
 
 
@@ -3268,6 +3288,16 @@ def _set_intersect(sf_dir: str):
 
     a, b = _setop_pairs(sf_dir)
     return set_op(a, b, op="intersect")
+
+
+def _set_union(sf_dir: str):
+    """Full-row UNION (distinct): every (user, type, vb) row active in
+    either half — the same one-exchange plan, resolve keeps all
+    groups."""
+    from search_engine_ray.functions.setops import set_op
+
+    a, b = _setop_pairs(sf_dir)
+    return set_op(a, b, op="union")
 
 
 def _window_distinct(sf_dir: str):
@@ -3797,7 +3827,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_per_user": _events_top_per_user,
         "set_except": _set_except,
         "set_intersect": _set_intersect,
+        "set_union": _set_union,
         "window_distinct": _window_distinct,
+        "rel_small_qty": _rel_small_qty,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
         "events_zorder": _events_zorder,
@@ -4240,6 +4272,14 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             f"AS vb FROM events WHERE ts >= TIMESTAMP '{SETOP_SPLIT_TS}')",
             op="intersect",
         ),
+        "set_union": lambda: setops_mod.set_op_sql(
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts < TIMESTAMP '{SETOP_SPLIT_TS}')",
+            f"(SELECT user_id, event_type, CAST(FLOOR(value/100) AS BIGINT) "
+            f"AS vb FROM events WHERE ts >= TIMESTAMP '{SETOP_SPLIT_TS}')",
+            op="union",
+        ),
+        "rel_small_qty": lambda: relational_mod.small_qty_revenue_sql(),
         "window_distinct": lambda: windows_mod.window_distinct_users_sql(
             "events"
         ),

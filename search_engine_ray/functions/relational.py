@@ -1065,3 +1065,117 @@ SELECT promo_cents, total_cents,
        round(promo_cents / total_cents, 6) AS promo_share
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Q17 analog — small-quantity-order revenue (aggregate-rejoin)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#4"
+_Q17_QUANT = 100  # money to int64 cents (the Q14 device)
+
+
+def small_qty_revenue(
+    lineitem: rd.Dataset, part: rd.Dataset, brand: str = Q17_BRAND
+) -> rd.Dataset:
+    """TPC-H Q17 analog — revenue lost to small-quantity orders: among
+    one brand's lineitems, sum the prices of rows whose quantity is
+    below 20% of that PART's average quantity, divided by 7.  The
+    classic decorrelated scalar subquery (``l_quantity < 0.2 *
+    (SELECT avg ... WHERE same part)``) — an aggregate of the fact
+    table rejoined against the fact table itself.
+
+    Plan: the brand filter makes ``part`` the genuinely small side —
+    its KEY SET broadcasts once (``ray.put`` of a sorted int64 array,
+    vectorized ``searchsorted`` membership in-map), so the fact table
+    semi-filters with ZERO shuffles and only the brand's lineitems
+    (partkey, qty, cents) enter the ONE ``groupby(l_partkey)``
+    exchange, where each part resolves its own average and threshold
+    test vectorized — the aggregate and the rejoin meet in the same
+    exchange, never two.
+
+    Exactness device: quantities are integral, so the float predicate
+    ``q < 0.2 * (sum/cnt)`` is the INTEGER inequality ``5*q*cnt <
+    sum`` (cnt > 0) — exact at any block order, shared verbatim with
+    the SQL twin; money folds as int64 cents and ``avg_yearly`` is the
+    same single ``cents / 700.0`` IEEE division in both engines.
+    """
+    filtered = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_brand"), pa.scalar(brand)))
+        .select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    n_keys = filtered.count()
+    if n_keys > 2_000_000:  # the tfidf/NB broadcast rule
+        raise ValueError(
+            f"small_qty_revenue: {n_keys} filtered part keys exceed the 2M "
+            "broadcast bound — use a key-partitioned semi-join "
+            "(joins.semi_join) for this brand selectivity"
+        )
+    keys = filtered.take_all()
+    key_arr = np.sort(np.array([r["p_partkey"] for r in keys], np.int64))
+    key_ref = ray.put(key_arr)
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos[pos == len(ks)] = 0
+        m = ks[pos] == pk if len(ks) else np.zeros(len(pk), bool)
+        b = b.filter(pa.array(m))
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = (
+            np.floor(np.abs(price) * _Q17_QUANT + 0.5) * np.sign(price)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pk": b.column("l_partkey"),
+                "q": pa.array(q.astype(np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        small = 5 * q * len(q) < q.sum()
+        return pa.table(
+            {"part_cents": pa.array([int(cents[small].sum())], pa.int64())}
+        )
+
+    per_part = (
+        lineitem.select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(semi, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    total = per_part.aggregate(Sum("part_cents", alias_name="small_cents"))
+    cents_sum = int(total["small_cents"] or 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "small_cents": pa.array([cents_sum], pa.int64()),
+                "avg_yearly": pa.array([cents_sum / 700.0], pa.float64()),
+            }
+        )
+    )
+
+
+def small_qty_revenue_sql(brand: str = Q17_BRAND) -> str:
+    """DuckDB oracle for :func:`small_qty_revenue` — the same integer
+    inequality and cents quantization, so no epsilon anywhere."""
+    return f"""
+WITH l AS (
+    SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_extendedprice * {_Q17_QUANT}) AS BIGINT) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '{brand}'
+), g AS (
+    SELECT pk, SUM(q) AS sq, COUNT(*) AS cnt FROM l GROUP BY pk
+), s AS (
+    SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS small_cents
+    FROM l JOIN g USING (pk) WHERE 5 * l.q * g.cnt < g.sq
+)
+SELECT small_cents, small_cents / 700.0 AS avg_yearly FROM s
+"""

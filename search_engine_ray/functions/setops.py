@@ -79,11 +79,14 @@ def set_op(
     op: str = "except",
     n_buckets: int = 64,
 ) -> rd.Dataset:
-    """``a EXCEPT b`` / ``a INTERSECT b`` with SQL DISTINCT-set
-    semantics (output rows are distinct; NULL = NULL). Schemas must
-    match by name and type. See the module docstring for the plan."""
-    if op not in ("except", "intersect"):
-        raise ValueError(f"op must be 'except'/'intersect', got {op!r}")
+    """``a EXCEPT b`` / ``a INTERSECT b`` / ``a UNION b`` with SQL
+    DISTINCT-set semantics (output rows are distinct; NULL = NULL).
+    Schemas must match by name and type. See the module docstring for
+    the plan (UNION keeps every group, no tag test)."""
+    if op not in ("except", "intersect", "union"):
+        raise ValueError(
+            f"op must be 'except'/'intersect'/'union', got {op!r}"
+        )
     sa, sb = a.schema(), b.schema()
     if sa.names != sb.names or [str(t) for t in sa.types] != [
         str(t) for t in sb.types
@@ -111,6 +114,8 @@ def set_op(
 
     def resolve(g: pa.Table) -> pa.Table:
         agg = g.group_by(names).aggregate([("__tag", "min"), ("__tag", "max")])
+        if op == "union":  # every distinct row, either side
+            return agg.select(names)
         mn, mx = agg.column("__tag_min"), agg.column("__tag_max")
         if op == "except":
             keep = pc.equal(mx, pa.scalar(0, pa.int8()))
@@ -129,5 +134,5 @@ def set_op(
 
 def set_op_sql(a_src: str, b_src: str, op: str = "except") -> str:
     """DuckDB oracle for :func:`set_op` — the literal set operator."""
-    kw = {"except": "EXCEPT", "intersect": "INTERSECT"}[op]
+    kw = {"except": "EXCEPT", "intersect": "INTERSECT", "union": "UNION"}[op]
     return f"SELECT * FROM {a_src} {kw} SELECT * FROM {b_src}"

@@ -3418,7 +3418,7 @@ def test_set_op_oracle(events_ds, educk):
     from search_engine_ray.functions.setops import set_op, set_op_sql
 
     a, b = _setop_halves(events_ds)
-    for op in ("except", "intersect"):
+    for op in ("except", "intersect", "union"):
         got = _sorted(_table(set_op(a, b, op=op)))
         sql = set_op_sql(
             _SETOP_HALF_SQL.format("<"), _SETOP_HALF_SQL.format(">="), op=op
@@ -3470,7 +3470,10 @@ def test_set_op_null_semantics_and_guards(ray_session):
     with pytest.raises(ValueError, match="identical schemas"):
         set_op(a, rd.from_arrow(pa.table({"k": pa.array(["z"])})))
     with pytest.raises(ValueError, match="except"):
-        set_op(a, b, op="union")
+        set_op(a, b, op="minus")
+    # UNION = distinct rows of either side
+    uni = _sorted(_table(set_op(a, b, op="union")))
+    assert uni.num_rows == 4  # {(N,1),(x,2),(y,N),(x,99)}
     bad = rd.from_arrow(pa.table({"__tag": pa.array([1])}))
     with pytest.raises(ValueError, match="reserved"):
         set_op(bad, bad)
@@ -3511,3 +3514,24 @@ def test_window_distinct_users_oracle(events_ds, educk):
     assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
     got2 = _sorted(_table(window_distinct_users(events_ds.repartition(17))))
     assert got.equals(got2)
+
+
+def test_small_qty_revenue_oracle(rduck):
+    """Q17 analog vs the literal integer-inequality twin; block-layout
+    invariance; the empty-brand edge returns a 0 row; the 2M broadcast
+    bound refuses loudly."""
+    from search_engine_ray.functions.relational import (
+        small_qty_revenue,
+        small_qty_revenue_sql,
+    )
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = rd.read_parquet(f"{SF_DIR}/part.parquet")
+    got = _table(small_qty_revenue(li, pt))
+    want = rduck.sql(small_qty_revenue_sql()).arrow()
+    assert got.num_rows == 1 and got.column("small_cents")[0].as_py() > 0
+    assert got.equals(want.select(got.column_names).cast(got.schema))
+    got2 = _table(small_qty_revenue(li.repartition(9), pt))
+    assert got.equals(got2)
+    none = _table(small_qty_revenue(li, pt, brand="Brand#nope"))
+    assert none.column("small_cents")[0].as_py() == 0

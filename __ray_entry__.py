@@ -3229,6 +3229,43 @@ def _rel_small_qty(sf_dir: str):
     )
 
 
+def _rel_sales_opp(sf_dir: str):
+    """TPC-H Q22 analog: per nation, count + balance mass of customers
+    with above-average positive balance and NO big order — a global
+    scalar aggregate (two int64s to the driver) + an exact anti-join
+    over the filtered orders (only qualifying order KEYS move) + the
+    integer inequality cents*cnt > sum instead of a float average."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.sales_opportunity(
+        read_clean_parquet(os.path.join(d, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"]),
+        read_clean_parquet(os.path.join(d, "orders.parquet"),
+                           columns=["o_custkey", "o_totalprice"]),
+    )
+
+
+def _rel_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog: the supplier(s) with max windowed revenue,
+    ties kept — per-supplier cents pre-aggregated in-map, one suppkey
+    groupby, a second distributed max over the small view, winner keys
+    broadcast to pick up names."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.top_supplier(
+        read_clean_parquet(os.path.join(d, "lineitem.parquet"),
+                           columns=["l_suppkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"]),
+        read_clean_parquet(os.path.join(d, "supplier.parquet"),
+                           columns=["s_suppkey", "s_name"]),
+    )
+
+
 SETOP_SPLIT_TS = "2024-01-15"  # events corpus midpoint
 
 
@@ -3830,6 +3867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "window_distinct": _window_distinct,
         "rel_small_qty": _rel_small_qty,
+        "rel_sales_opp": _rel_sales_opp,
+        "rel_top_supplier": _rel_top_supplier,
         "join_asof": _join_asof,
         "join_bloom_semi": _join_bloom_semi,
         "events_zorder": _events_zorder,
@@ -4280,6 +4319,8 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             op="union",
         ),
         "rel_small_qty": lambda: relational_mod.small_qty_revenue_sql(),
+        "rel_sales_opp": lambda: relational_mod.sales_opportunity_sql(),
+        "rel_top_supplier": lambda: relational_mod.top_supplier_sql(),
         "window_distinct": lambda: windows_mod.window_distinct_users_sql(
             "events"
         ),

@@ -1179,3 +1179,274 @@ WITH l AS (
 )
 SELECT small_cents, small_cents / 700.0 AS avg_yearly FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Q22 analog — global sales opportunity (scalar subquery + anti-join)
+# ---------------------------------------------------------------------------
+
+
+Q22_BIG_ORDER = 400_000.0
+
+
+def sales_opportunity(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    big_order_min: float = Q22_BIG_ORDER,
+) -> rd.Dataset:
+    """TPC-H Q22 analog — per nation, the count and balance mass of
+    customers with an ABOVE-AVERAGE positive account balance and NO
+    BIG order (none above ``big_order_min`` — the synthetic corpus
+    gives every customer SOME order, so the literal Q22 "no orders"
+    is vacuous; the filtered right side keeps the exact NOT-EXISTS
+    shape and adds the realistic anti-join-after-selection).  Two
+    decorrelated subqueries in one query: a global scalar aggregate
+    (the average) and a ``NOT EXISTS`` (the anti-join).
+
+    Plan: balances quantize to int64 cents in-map; the global (sum,
+    count) of positive balances folds with ONE distributed aggregate
+    (two int64 scalars to the driver — never rows); the ``NOT
+    EXISTS`` is :func:`joins.semi_join` ``anti=True`` over the
+    in-map-filtered orders (only qualifying order KEYS move, auto
+    broadcast/shuffle); the above-average test is the exact integer
+    inequality ``cents * cnt > sum`` (no float average anywhere); the
+    final rollup is driver-finished over the tiny nation domain after
+    in-map pre-aggregation, which also pins the output schema when
+    the result is empty.
+    """
+    from search_engine_ray.functions.joins import semi_join
+
+    def cents_map(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        cents = (np.floor(np.abs(bal) * 100 + 0.5) * np.sign(bal)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": b.column("c_nationkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    cust = customer.select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cents_map, batch_format="pyarrow")
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        pos = c[c > 0]
+        return pa.table(
+            {
+                "sm": pa.array([int(pos.sum())], pa.int64()),
+                "cnt": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    tot = cust.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("sm", alias_name="sm"), Sum("cnt", alias_name="cnt")
+    )
+    sm, cnt = int(tot["sm"] or 0), int(tot["cnt"] or 0)
+    if cnt == 0:  # SQL: comparison against NULL avg keeps nothing
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "c_nationkey": pa.array([], pa.int32()),
+                    "n_custs": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    rich = cust.map_batches(
+        lambda b: b.filter(
+            pc.greater(
+                pc.multiply(b.column("cents"), pa.scalar(cnt, pa.int64())),
+                pa.scalar(sm, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    big = orders.map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), pa.scalar(big_order_min))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    no_big = semi_join(rich, big, "c_custkey", "o_custkey", anti=True)
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        return b.group_by("c_nationkey").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        ).rename_columns(["c_nationkey", "total_cents", "n_custs"])
+
+    # nation-domain-sized finish: take_all is bounded by |nations|, and
+    # constructing the table driver-side pins the schema even when empty
+    rows = (
+        no_big.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_custs", alias_name="n_custs"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .take_all()
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [r["c_nationkey"] for r in rows], pa.int32()
+                ),
+                "n_custs": pa.array([r["n_custs"] for r in rows], pa.int64()),
+                "total_cents": pa.array(
+                    [r["total_cents"] for r in rows], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def sales_opportunity_sql(big_order_min: float = Q22_BIG_ORDER) -> str:
+    """DuckDB oracle for :func:`sales_opportunity` — same cents
+    quantization, same integer above-average inequality, literal
+    NOT EXISTS over the same filtered orders."""
+    big = repr(big_order_min)
+    return f"""
+WITH c AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+), s AS (
+    SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sm,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM c WHERE cents > 0
+), k AS (
+    SELECT c.c_nationkey, c.cents FROM c, s
+    WHERE c.cents * s.cnt > s.sm
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > {big})
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM k GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 analog — top supplier (argmax over an aggregated view, ties kept)
+# ---------------------------------------------------------------------------
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    start: str = Q15_START,
+    end: str = Q15_END,
+) -> rd.Dataset:
+    """TPC-H Q15 analog — the supplier(s) with the maximum windowed
+    revenue, TIES KEPT (the view + ``WHERE total = (SELECT max(...))``
+    shape, which a plain top-1 sort truncates wrong on ties).
+
+    Plan: windowed lineitem pre-aggregates per-supplier cents IN-MAP
+    (Arrow ``group_by`` per block), ONE suppkey groupby folds the
+    partials (supplier-domain-sized, never lineitem-sized), the global
+    max is a second DISTRIBUTED aggregate over that small table (one
+    scalar to the driver), the tie set filters distributed, and only
+    the winner keys (|ties|, guarded) return to broadcast-join the
+    supplier names.  Money folds as exact int64 cents — argmax over
+    float sums would be block-order-dependent at the tie boundary.
+    """
+    s_dt = _dt.datetime.fromisoformat(start)
+    e_dt = _dt.datetime.fromisoformat(end)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate")
+        keep = pc.and_(
+            pc.greater_equal(ts, pa.scalar(s_dt)), pc.less(ts, pa.scalar(e_dt))
+        )
+        b = b.filter(keep)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        cents = (np.floor(np.abs(rev) * 100 + 0.5) * np.sign(rev)).astype(
+            np.int64
+        )
+        t = pa.table({"sk": b.column("l_suppkey"), "c": pa.array(cents)})
+        return t.group_by("sk").aggregate([("c", "sum")]).rename_columns(
+            ["sk", "c"]
+        )
+
+    rev = (
+        lineitem.select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("sk")
+        .aggregate(Sum("c", alias_name="total_cents"))
+        .materialize()  # two consumers: the max and the tie filter
+    )
+    mx = rev.aggregate(Max("total_cents", alias_name="mx"))["mx"]
+    if mx is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    winners = rev.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("total_cents"), pa.scalar(int(mx), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    if len(winners) > 100_000:
+        raise ValueError(
+            f"top_supplier: {len(winners)} tied winners — a degenerate "
+            "revenue column; investigate before broadcasting"
+        )
+    wk = {int(r["sk"]): int(r["total_cents"]) for r in winners}
+    wk_ref = ray.put(wk)
+
+    def name_join(b: pa.Table) -> pa.Table:
+        w = ray.get(wk_ref)
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        m = np.array([int(k) in w for k in sk], bool)
+        b = b.filter(pa.array(m))
+        cents = [w[int(k)] for k in b.column("s_suppkey").to_pylist()]
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "s_name": b.column("s_name"),
+                "total_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
+        name_join, batch_format="pyarrow"
+    )
+
+
+def top_supplier_sql(start: str = Q15_START, end: str = Q15_END) -> str:
+    """DuckDB oracle for :func:`top_supplier` — the literal view + max
+    subquery with the same per-row cents quantization."""
+    return f"""
+WITH rev AS (
+    SELECT l_suppkey AS sk,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{start}'
+      AND l_shipdate < TIMESTAMP '{end}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN rev ON s_suppkey = sk
+WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+"""

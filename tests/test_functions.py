@@ -3535,3 +3535,76 @@ def test_small_qty_revenue_oracle(rduck):
     assert got.equals(got2)
     none = _table(small_qty_revenue(li, pt, brand="Brand#nope"))
     assert none.column("small_cents")[0].as_py() == 0
+
+
+def test_sales_opportunity_oracle(rduck):
+    """Q22 analog vs the literal NOT-EXISTS twin; block-layout
+    invariance; a threshold above every order price reduces to the
+    no-orders-at-all case (here: every rich customer qualifies)."""
+    from search_engine_ray.functions.relational import (
+        sales_opportunity,
+        sales_opportunity_sql,
+    )
+
+    cu = rd.read_parquet(f"{SF_DIR}/customer.parquet")
+    od = rd.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = _sorted(_table(sales_opportunity(cu, od)))
+    want = rduck.sql(sales_opportunity_sql()).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(sales_opportunity(cu.repartition(7), od.repartition(5))))
+    assert got.equals(got2)
+    # threshold above max price: NOT EXISTS is vacuous -> every
+    # above-average customer counts; twin agrees
+    hi = _sorted(_table(sales_opportunity(cu, od, big_order_min=1e12)))
+    want_hi = rduck.sql(sales_opportunity_sql(big_order_min=1e12)).arrow()
+    assert hi.num_rows > got.num_rows
+    assert hi.equals(_sorted(want_hi.select(hi.column_names).cast(hi.schema)))
+
+
+def test_top_supplier_oracle(rduck):
+    """Q15 analog vs the view + max-subquery twin; ties KEPT (pinned on
+    a crafted corpus where two suppliers tie exactly); empty window
+    returns a typed empty table."""
+    from search_engine_ray.functions.relational import (
+        top_supplier,
+        top_supplier_sql,
+    )
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    su = rd.read_parquet(f"{SF_DIR}/supplier.parquet")
+    got = _sorted(_table(top_supplier(li, su)))
+    want = rduck.sql(top_supplier_sql()).arrow()
+    assert got.num_rows >= 1
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(top_supplier(li.repartition(11), su)))
+    assert got.equals(got2)
+    # crafted exact tie: suppliers 1 and 2 both sum to 30.00
+    import datetime as dt
+
+    ts = dt.datetime(1996, 2, 1)
+    li_c = rd.from_arrow(
+        pa.table(
+            {
+                "l_suppkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0, 5.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+                "l_shipdate": pa.array([ts] * 4, pa.timestamp("us")),
+            }
+        )
+    )
+    su_c = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["a", "b", "c"]),
+            }
+        )
+    )
+    tie = _sorted(_table(top_supplier(li_c, su_c)))
+    assert tie.column("s_suppkey").to_pylist() == [1, 2]
+    assert tie.column("total_cents").to_pylist() == [3000, 3000]
+    # empty window: typed empty table
+    empty_ds = top_supplier(li_c, su_c, start="2030-01-01", end="2030-02-01")
+    assert empty_ds.count() == 0
+    assert empty_ds.schema().names == ["s_suppkey", "s_name", "total_cents"]

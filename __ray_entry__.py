@@ -3337,6 +3337,28 @@ def _set_union(sf_dir: str):
     return set_op(a, b, op="union")
 
 
+def _events_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p25/p50/p75/p90/p99 of value per
+    event_type) — blocks pre-aggregate to (group, value, count) pairs,
+    ONE group exchange, per-group vectorized rank resolve; the rank
+    rule is the same exact integer ceil(q*n) as doclen_quantiles."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.grouped_quantiles(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
+def _window_rank(sf_dir: str):
+    """Rank-family window functions per user (rank / dense_rank /
+    percent_rank / cume_dist over ORDER BY value; ntile(4) over the
+    total (value, event_id) order) — one user exchange, vectorized
+    searchsorted ranks, DuckDB's first-r-tiles-bigger ntile rule."""
+    from search_engine_ray.functions import windows
+
+    return windows.ranked_window(_events_ds(sf_dir))
+
+
 def _window_distinct(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per tumbling hour — the partial
     is the distinct (window, user) PAIR set (distinct counts are not
@@ -3866,6 +3888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": _set_intersect,
         "set_union": _set_union,
         "window_distinct": _window_distinct,
+        "events_quantiles": _events_quantiles,
+        "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
         "rel_top_supplier": _rel_top_supplier,
@@ -4324,6 +4348,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_distinct": lambda: windows_mod.window_distinct_users_sql(
             "events"
         ),
+        "events_quantiles": lambda: aggregates_mod.grouped_quantiles_sql(
+            "events", "event_type", "value"
+        ),
+        "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "rel_rollup": lambda: relational_mod.rollup_orders_sql(),
         "events_pivot": lambda: relational_mod.pivot_events_sql("events"),
         "table_merge": lambda: merge_mod.merge_upsert_sql(

@@ -472,3 +472,95 @@ SELECT {key}, {order_col}, {tiebreak}, rank FROM (
     FROM {src}
 ) WHERE rank <= {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (GROUP BY + percentiles in one exchange)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+) -> rd.Dataset:
+    """Exact quantiles of ``value_col`` PER GROUP — the grouped sibling
+    of :func:`column_quantiles`, same discrete rank rule (value at
+    1-based rank ``ceil(q*n)`` of the group's sorted multiset, so the
+    answer is always an actual data value — no interpolation, no float
+    drift).
+
+    Plan: each block pre-aggregates to (group, value, count) rows with
+    one Arrow ``group_by`` (blocks ship their distinct pairs, never
+    raw rows), ONE ``groupby(group)`` exchange co-locates each group's
+    value histogram, and the per-group resolve is a vectorized
+    sort + cumsum + searchsorted.  The exchange is |distinct (group,
+    value)| — a real reduction for discrete/low-cardinality values;
+    for continuous values it degenerates to row count, and the honest
+    scale path is :func:`quantile_sketch` (t-digest-style, constant
+    memory) — this is the exact sibling.
+    """
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b.column(group_col), "v": b.column(value_col)})
+        t = t.filter(pc.is_valid(t.column("v")))  # SQL aggregates skip NULLs
+        g = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "v", "n"])
+
+    qn = [(num, den) for num, den in quantiles]
+
+    def resolve(grp: pa.Table) -> pa.Table:
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        n_ = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cum = v[order], n_[order].cumsum()
+        n = int(cum[-1])
+        vals = [
+            v[np.searchsorted(cum, (num * n + den - 1) // den)]
+            for num, den in qn
+        ]
+        return pa.table(
+            {
+                group_col: grp.column("g").slice(0, 1).to_pylist() * len(qn),
+                "q": pa.array([num / den for num, den in qn], pa.float64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB oracle for :func:`grouped_quantiles` — the same explicit
+    integer rank rule per group (NOT quantile_disc, whose positioning
+    convention differs)."""
+    qrows = ", ".join(
+        f"({num}/{den}.0, {num}, {den})" for num, den in quantiles
+    )
+    return f"""
+WITH vals AS (SELECT {group_col} AS g, {value_col} AS v FROM {src}
+              WHERE {value_col} IS NOT NULL),
+counts AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+cum AS (SELECT g, v, sum(n) OVER (PARTITION BY g ORDER BY v) AS c FROM counts),
+tot AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+quants AS (SELECT * FROM (VALUES {qrows}) q(q, num, den))
+SELECT t.g AS {group_col}, q.q AS q,
+       (SELECT min(v) FROM cum
+        WHERE cum.g = t.g
+          AND c >= (q.num * t.n + q.den - 1) // q.den) AS value
+FROM tot t CROSS JOIN quants q
+"""

@@ -891,3 +891,86 @@ SELECT make_timestamp((epoch_us(ts) // {width_us}) * {width_us}) AS window_start
 FROM {src}
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Rank-family window functions (rank / dense_rank / percent_rank /
+# cume_dist / ntile per key)
+# ---------------------------------------------------------------------------
+
+
+def ranked_window(ds: rd.Dataset, tiles: int = 4) -> rd.Dataset:
+    """The rank-family window functions per user — ``rank()``,
+    ``dense_rank()``, ``percent_rank()``, ``cume_dist()`` over
+    ``PARTITION BY user_id ORDER BY value`` and ``ntile(tiles)`` over
+    the TOTAL order ``(value, event_id)`` — :func:`running_window`'s
+    tie-aware siblings (rank/dense/percent/cume give EQUAL outputs to
+    equal values; ntile is a row-position function, so its ORDER BY
+    must be total or the assignment is engine-arbitrary — the
+    event_id tiebreak makes both engines deterministic).
+
+    Same plan as running_window: ONE ``groupby(user_id)`` exchange,
+    every output vectorized per group (argsort + searchsorted against
+    the sorted values for the tie-aware family, integer divmod for the
+    ntile split — DuckDB's rule, first ``n % k`` tiles one row
+    bigger).  ``percent_rank`` / ``cume_dist`` are the same integer
+    ratios divided once in both engines — bit-exact.
+    """
+    if tiles < 1:
+        raise ValueError(f"tiles must be >= 1, got {tiles}")
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("value", "ascending"), ("event_id", "ascending")],
+        )
+        g = group.take(order)
+        n = g.num_rows
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        rnk = np.searchsorted(v, v, side="left") + 1
+        cume_n = np.searchsorted(v, v, side="right")
+        uniq = np.unique(v)
+        dense = np.searchsorted(uniq, v) + 1
+        pct = (rnk - 1) / (n - 1) if n > 1 else np.zeros(n)
+        pos = np.arange(n, dtype=np.int64)
+        q, r = divmod(n, tiles)
+        if q == 0:  # fewer rows than tiles: one row per tile
+            tile = pos + 1
+        else:
+            big = r * (q + 1)
+            tile = np.where(
+                pos < big, pos // (q + 1), r + (pos - big) // q
+            ) + 1
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "rnk": pa.array(rnk.astype(np.int64)),
+                "dense_rnk": pa.array(dense.astype(np.int64)),
+                "pct_rank": pa.array(np.asarray(pct, np.float64)),
+                "cume": pa.array(cume_n / n, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def ranked_window_sql(src: str, tiles: int = 4) -> str:
+    w = "PARTITION BY user_id ORDER BY value"
+    return f"""
+SELECT user_id, event_id,
+       rank() OVER ({w}) AS rnk,
+       dense_rank() OVER ({w}) AS dense_rnk,
+       percent_rank() OVER ({w}) AS pct_rank,
+       cume_dist() OVER ({w}) AS cume,
+       ntile({tiles}) OVER ({w}, event_id) AS tile
+FROM {src}
+"""

@@ -3608,3 +3608,75 @@ def test_top_supplier_oracle(rduck):
     empty_ds = top_supplier(li_c, su_c, start="2030-01-01", end="2030-02-01")
     assert empty_ds.count() == 0
     assert empty_ds.schema().names == ["s_suppkey", "s_name", "total_cents"]
+
+
+def test_grouped_quantiles_oracle(events_ds, educk):
+    """Per-group exact quantiles vs the explicit rank-rule twin;
+    block-layout invariance; crafted pins: quantile is always an actual
+    data value, ceil-rank rule at exact boundaries, NULL values skipped
+    like SQL aggregates."""
+    from search_engine_ray.functions.aggregates import (
+        grouped_quantiles,
+        grouped_quantiles_sql,
+    )
+
+    got = _sorted(_table(grouped_quantiles(events_ds, "event_type", "value")))
+    want = educk.sql(
+        grouped_quantiles_sql("events", "event_type", "value")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(grouped_quantiles(events_ds.repartition(13), "event_type", "value"))
+    )
+    assert got.equals(got2)
+    # crafted: 4 values, p50 = rank ceil(0.5*4)=2 -> 20.0; null skipped
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a"] * 5),
+                "v": pa.array([10.0, 20.0, 30.0, 40.0, None]),
+            }
+        )
+    )
+    t = _table(grouped_quantiles(ds, "g", "v", quantiles=((1, 2), (1, 1))))
+    assert t.column("value").to_pylist() == [20.0, 40.0]
+    with pytest.raises(ValueError, match="outside"):
+        grouped_quantiles(ds, "g", "v", quantiles=((0, 1),))
+
+
+def test_ranked_window_oracle(events_ds, educk):
+    """Rank family vs DuckDB window functions; block-layout invariance;
+    crafted tie pins (equal values share rank/dense/pct/cume; ntile
+    follows the total order) and the n<tiles edge."""
+    from search_engine_ray.functions.windows import (
+        ranked_window,
+        ranked_window_sql,
+    )
+
+    got = _sorted(_table(ranked_window(events_ds)))
+    want = educk.sql(ranked_window_sql("events")).arrow()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(ranked_window(events_ds.repartition(9))))
+    assert got.equals(got2)
+    # crafted ties: values [5,5,7] -> rnk [1,1,3], dense [1,1,2],
+    # cume [2/3,2/3,1]; ntile(2) over total order -> [1,1,2]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_id": pa.array([10, 11, 12], pa.int64()),
+                "value": pa.array([5.0, 5.0, 7.0]),
+            }
+        )
+    )
+    t = _table(ranked_window(ds, tiles=2)).sort_by("event_id")
+    assert t.column("rnk").to_pylist() == [1, 1, 3]
+    assert t.column("dense_rnk").to_pylist() == [1, 1, 2]
+    assert t.column("cume").to_pylist() == [2 / 3, 2 / 3, 1.0]
+    assert t.column("tile").to_pylist() == [1, 1, 2]
+    # n < tiles: one row per tile, in total order
+    t2 = _table(ranked_window(ds, tiles=5)).sort_by("event_id")
+    assert t2.column("tile").to_pylist() == [1, 2, 3]
+    with pytest.raises(ValueError, match="tiles"):
+        ranked_window(ds, tiles=0)

@@ -3337,6 +3337,32 @@ def _set_union(sf_dir: str):
     return set_op(a, b, op="union")
 
 
+def _text_drift(sf_dir: str):
+    """Corpus drift: Jensen-Shannon divergence between the even- and
+    odd-doc_id halves of the document corpus over word-unigram
+    distributions — vocabulary-bounded exchange, 6-scalar driver fold,
+    per-token log-ratios of exact int64s quantized with the NB rule so
+    both engines sum the same integers."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import text_analysis as ta
+
+    docs = _documents_ds(sf_dir)
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda b: b.filter(
+                pc.equal(
+                    pc.bit_wise_and(b.column("doc_id"), pa.scalar(1, pa.int64())),
+                    pa.scalar(parity, pa.int64()),
+                )
+            ).select(["text"]),
+            batch_format="pyarrow",
+        )
+
+    return ta.corpus_js_divergence(half(0), half(1))
+
+
 def _events_quantiles(sf_dir: str):
     """Exact per-group quantiles (p25/p50/p75/p90/p99 of value per
     event_type) — blocks pre-aggregate to (group, value, count) pairs,
@@ -3889,6 +3915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "window_distinct": _window_distinct,
         "events_quantiles": _events_quantiles,
+        "text_drift": _text_drift,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
@@ -4352,6 +4379,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events", "event_type", "value"
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
+        "text_drift": lambda: ta_mod.corpus_js_divergence_sql(
+            "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT text FROM documents WHERE doc_id % 2 = 1)",
+        ),
         "rel_rollup": lambda: relational_mod.rollup_orders_sql(),
         "events_pivot": lambda: relational_mod.pivot_events_sql("events"),
         "table_merge": lambda: merge_mod.merge_upsert_sql(

@@ -3360,3 +3360,168 @@ SELECT {id_col},
        CAST(length({expr}) AS BIGINT) AS n_after
 FROM {src}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift — Jensen-Shannon divergence between two corpus slices
+# (the ingest-monitoring primitive: "did today's crawl change the
+# token distribution?")
+# ---------------------------------------------------------------------------
+
+JS_Q = 1_000_000  # per-token log-ratio quantization (the NB device)
+
+
+def corpus_js_divergence(
+    a, b, text_col: str = "text"
+):
+    """Jensen-Shannon divergence (natural log) between the word-unigram
+    distributions of two corpora — the distribution-drift monitor a
+    continuous-ingestion pipeline runs between snapshots (JS, not KL:
+    symmetric, bounded by ln 2, and DEFINED when a token appears on
+    one side only, so no smoothing constant to tune).
+
+    Plan: each side's blocks emit (token, n) partial counts (the
+    ngram_counts shape, in-batch repetition folded before the
+    exchange), tagged onto one unified (token, n_a, n_b) schema; ONE
+    vocabulary groupby sums both sides; a post-groupby map computes
+    each token's contribution VECTORIZED and the final fold is a
+    6-scalar distributed aggregate — nothing vocabulary-sized ever
+    returns to the driver.
+
+    Exactness device: with A, B the total token counts,
+    ``ln(p_i/m_i) = ln(2*a_i*B / (a_i*B + b_i*A))`` — a ratio of exact
+    int64s, so both engines take the SAME double through ``ln``,
+    quantize it ``floor(x*1e6 + 0.5)`` (the NB rule), weight by the
+    int64 count, and sum exactly; the two final divisions by A and B
+    happen once, identically, in both engines.  int64 headroom: the
+    weighted sum is bounded by A * 35e6 — safe through ~2.6e11 total
+    tokens per side; production would fold in decimal128.
+
+    Output (one row): total/distinct token counts per side, the shared
+    vocabulary size, and ``js`` in nats.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_word_tokens
+
+    def side(ds, is_a: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            _, flat = _flat_word_tokens(batch.column(text_col))
+            vc = flat.value_counts() if len(flat) else None
+            tok = vc.field("values") if vc is not None else pa.array([], pa.string())
+            n = (
+                vc.field("counts").cast(pa.int64())
+                if vc is not None
+                else pa.array([], pa.int64())
+            )
+            z = pa.array(np.zeros(len(tok), np.int64), pa.int64())
+            return pa.table(
+                {"token": tok, "n_a": n if is_a else z, "n_b": z if is_a else n}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    merged = (
+        side(a, True)
+        .union(side(b, False))
+        .groupby("token")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .materialize()  # consumed twice: totals, then the term fold
+    )
+    tot = merged.aggregate(
+        Sum("n_a", alias_name="A"), Sum("n_b", alias_name="B")
+    )
+    A, B = int(tot["A"] or 0), int(tot["B"] or 0)
+    if A == 0 or B == 0:
+        raise ValueError(
+            f"corpus_js_divergence: empty side (A={A}, B={B}) — JS "
+            "against an empty distribution is not meaningful"
+        )
+
+    def terms(t: pa.Table) -> pa.Table:
+        na = t.column("n_a").to_numpy(zero_copy_only=False)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False)
+        y = na * B + nb * A  # > 0: every token appears somewhere
+        qa = np.zeros(len(na), np.int64)
+        qb = np.zeros(len(nb), np.int64)
+        ma = na > 0
+        qa[ma] = np.floor(
+            np.log(2.0 * na[ma] * B / y[ma]) * JS_Q + 0.5
+        ).astype(np.int64)
+        mb = nb > 0
+        qb[mb] = np.floor(
+            np.log(2.0 * nb[mb] * A / y[mb]) * JS_Q + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "wa": pa.array(na * qa, pa.int64()),
+                "wb": pa.array(nb * qb, pa.int64()),
+                "va": pa.array(ma.astype(np.int64), pa.int64()),
+                "vb": pa.array(mb.astype(np.int64), pa.int64()),
+                "vs": pa.array((ma & mb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    s = merged.map_batches(terms, batch_format="pyarrow").aggregate(
+        Sum("wa", alias_name="wa"), Sum("wb", alias_name="wb"),
+        Sum("va", alias_name="va"), Sum("vb", alias_name="vb"),
+        Sum("vs", alias_name="vs"),
+    )
+    js = 0.5 * (int(s["wa"] or 0) / A + int(s["wb"] or 0) / B) / JS_Q
+    return rd.from_arrow(
+        pa.table(
+            {
+                "tokens_a": pa.array([A], pa.int64()),
+                "tokens_b": pa.array([B], pa.int64()),
+                "vocab_a": pa.array([int(s["va"] or 0)], pa.int64()),
+                "vocab_b": pa.array([int(s["vb"] or 0)], pa.int64()),
+                "vocab_shared": pa.array([int(s["vs"] or 0)], pa.int64()),
+                "js": pa.array([js], pa.float64()),
+            }
+        )
+    )
+
+
+def corpus_js_divergence_sql(a_src: str, b_src: str) -> str:
+    """DuckDB oracle for :func:`corpus_js_divergence` — the identical
+    integer ratio through ``ln``, the identical quantization, the
+    identical final divisions."""
+    q = JS_Q
+
+    def counts(src: str) -> str:
+        return f"""
+    SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '{WORD_REGEX}')) AS tok
+          FROM {src}) GROUP BY tok"""
+
+    return f"""
+WITH ca AS ({counts(a_src)}),
+cb AS ({counts(b_src)}),
+m AS (
+    SELECT coalesce(ca.token, cb.token) AS token,
+           coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b
+    FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+),
+tot AS (SELECT SUM(n_a) AS A, SUM(n_b) AS B FROM m),
+t AS (
+    SELECT
+      CASE WHEN n_a > 0 THEN n_a * CAST(floor(
+        ln(2.0 * n_a * tot.B / (n_a * tot.B + n_b * tot.A)) * {q} + 0.5
+      ) AS BIGINT) ELSE 0 END AS wa,
+      CASE WHEN n_b > 0 THEN n_b * CAST(floor(
+        ln(2.0 * n_b * tot.A / (n_a * tot.B + n_b * tot.A)) * {q} + 0.5
+      ) AS BIGINT) ELSE 0 END AS wb,
+      CASE WHEN n_a > 0 THEN 1 ELSE 0 END AS va,
+      CASE WHEN n_b > 0 THEN 1 ELSE 0 END AS vb,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END AS vs
+    FROM m, tot
+)
+SELECT CAST(tot.A AS BIGINT) AS tokens_a, CAST(tot.B AS BIGINT) AS tokens_b,
+       CAST(SUM(va) AS BIGINT) AS vocab_a, CAST(SUM(vb) AS BIGINT) AS vocab_b,
+       CAST(SUM(vs) AS BIGINT) AS vocab_shared,
+       0.5 * (CAST(SUM(wa) AS BIGINT) * 1.0 / tot.A
+              + CAST(SUM(wb) AS BIGINT) * 1.0 / tot.B) / {q} AS js
+FROM t, tot GROUP BY tot.A, tot.B
+"""

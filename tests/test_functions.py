@@ -3680,3 +3680,57 @@ def test_ranked_window_oracle(events_ds, educk):
     assert t2.column("tile").to_pylist() == [1, 2, 3]
     with pytest.raises(ValueError, match="tiles"):
         ranked_window(ds, tiles=0)
+
+
+def test_corpus_js_divergence_oracle(docs_ds, fduck):
+    """JS drift vs the twin on the even/odd doc split; block-layout
+    invariance; crafted pins: identical corpora -> js == 0, disjoint
+    vocabularies -> js == ln 2 (quantized), symmetry, empty-side
+    guard."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.text_analysis import (
+        corpus_js_divergence,
+        corpus_js_divergence_sql,
+    )
+
+    def half(parity):
+        return docs_ds.map_batches(
+            lambda b: b.filter(
+                _pc.equal(
+                    _pc.bit_wise_and(b.column("doc_id"), pa.scalar(1, pa.int64())),
+                    pa.scalar(parity, pa.int64()),
+                )
+            ).select(["text"]),
+            batch_format="pyarrow",
+        )
+
+    got = _table(corpus_js_divergence(half(0), half(1)))
+    want = fduck.sql(
+        corpus_js_divergence_sql(
+            "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT text FROM documents WHERE doc_id % 2 = 1)",
+        )
+    ).arrow()
+    assert got.equals(want.select(got.column_names).cast(got.schema))
+    assert 0.0 < got.column("js")[0].as_py() < np.log(2)
+    got2 = _table(corpus_js_divergence(half(0).repartition(7), half(1)))
+    assert got.equals(got2)
+    # symmetry: JS(a, b) == JS(b, a) with sides' stats swapped
+    rev = _table(corpus_js_divergence(half(1), half(0)))
+    assert rev.column("js")[0].as_py() == got.column("js")[0].as_py()
+    assert rev.column("tokens_a")[0].as_py() == got.column("tokens_b")[0].as_py()
+    # identical corpora: every token ratio is 1, js exactly 0
+    same = _table(corpus_js_divergence(half(0), half(0)))
+    assert same.column("js")[0].as_py() == 0.0
+    # disjoint vocabularies: js == ln 2 exactly (each side's ratio is 2)
+    a = rd.from_arrow(pa.table({"text": pa.array(["aaa bbb aaa"])}))
+    b = rd.from_arrow(pa.table({"text": pa.array(["ccc ddd"])}))
+    dis = _table(corpus_js_divergence(a, b))
+    q = np.floor(np.log(2.0) * 1_000_000 + 0.5) / 1_000_000
+    assert abs(dis.column("js")[0].as_py() - q) < 1e-12
+    assert dis.column("vocab_shared")[0].as_py() == 0
+    with pytest.raises(ValueError, match="empty side"):
+        corpus_js_divergence(
+            a, rd.from_arrow(pa.table({"text": pa.array([""])}))
+        )

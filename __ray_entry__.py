@@ -3337,6 +3337,17 @@ def _set_union(sf_dir: str):
     return set_op(a, b, op="union")
 
 
+def _events_ohlc(sf_dir: str):
+    """OHLC resample per tumbling hour and event type: open/close by
+    the packed (ts, event_id) integer order key (arbitrary-tie
+    first/last would be block-order-dependent), high/low/count plain
+    aggregates; per-block associative partials cap the one exchange at
+    |windows x types| rows per block."""
+    from search_engine_ray.functions import windows
+
+    return windows.ohlc_resample(_events_ds(sf_dir))
+
+
 def _text_drift(sf_dir: str):
     """Corpus drift: Jensen-Shannon divergence between the even- and
     odd-doc_id halves of the document corpus over word-unigram
@@ -3916,6 +3927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _window_distinct,
         "events_quantiles": _events_quantiles,
         "text_drift": _text_drift,
+        "events_ohlc": _events_ohlc,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
@@ -4379,6 +4391,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events", "event_type", "value"
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
+        "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
         "text_drift": lambda: ta_mod.corpus_js_divergence_sql(
             "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT text FROM documents WHERE doc_id % 2 = 1)",

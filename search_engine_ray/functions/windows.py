@@ -974,3 +974,159 @@ SELECT user_id, event_id,
        ntile({tiles}) OVER ({w}, event_id) AS tile
 FROM {src}
 """
+
+
+# ---------------------------------------------------------------------------
+# OHLC resample (open / high / low / close per time bucket)
+# ---------------------------------------------------------------------------
+
+
+def ohlc_resample(
+    ds: rd.Dataset, width_minutes: int = 60
+) -> rd.Dataset:
+    """OHLC downsampling per tumbling window and event type — the
+    financial/metrics resample primitive: ``open`` = value of the
+    FIRST event in the bucket, ``close`` = the LAST, ``high``/``low``
+    = max/min, plus the event count.  First/last are ordered by the
+    TOTAL key ``(ts, event_id)`` — an arbitrary-tie first/last would
+    be block-order-dependent, the bug class the twin could never pin.
+
+    Plan: OHLC partials are ASSOCIATIVE — each block folds to at most
+    one row per (window, type) carrying (open ts/id/value, close
+    ts/id/value, low, high, n), so the ONE groupby exchange ships
+    |windows x types| rows per block, never events; the per-group fold
+    re-applies the same earliest/latest rule with one ``np.lexsort``
+    over the partials' explicit (ts, event_id) pairs — lexicographic,
+    not packed, because epoch-microsecond timestamps leave no int64
+    headroom for bit-packing.
+    """
+    width_us = width_minutes * 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False)
+        win = (us // width_us) * width_us
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "w": pa.array(win, pa.int64()),
+                "et": b.column("event_type"),
+                "us": pa.array(us, pa.int64()),
+                "eid": pa.array(eid.astype(np.int64), pa.int64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+        # in-block fold: sort by (w, et, us, eid), groups become runs,
+        # so open/close are the run edges and low/high are reduceat
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("w", "ascending"), ("et", "ascending"),
+                ("us", "ascending"), ("eid", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        et = t.column("et").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        eid = t.column("eid").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return pa.table(
+                {
+                    "w": pa.array([], pa.int64()),
+                    "et": pa.array([], pa.string()),
+                    "o_us": pa.array([], pa.int64()),
+                    "o_eid": pa.array([], pa.int64()),
+                    "o": pa.array([], pa.float64()),
+                    "c_us": pa.array([], pa.int64()),
+                    "c_eid": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.float64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        new = np.empty(len(w), bool)
+        new[0] = True
+        new[1:] = (w[1:] != w[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(w)]
+        last = ends - 1
+        return pa.table(
+            {
+                "w": pa.array(w[starts], pa.int64()),
+                "et": pa.array(et[starts]),
+                "o_us": pa.array(us[starts], pa.int64()),
+                "o_eid": pa.array(eid[starts], pa.int64()),
+                "o": pa.array(v[starts], pa.float64()),
+                "c_us": pa.array(us[last], pa.int64()),
+                "c_eid": pa.array(eid[last], pa.int64()),
+                "c": pa.array(v[last], pa.float64()),
+                "lo": pa.array(np.minimum.reduceat(v, starts), pa.float64()),
+                "hi": pa.array(np.maximum.reduceat(v, starts), pa.float64()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        o_us = g.column("o_us").to_numpy(zero_copy_only=False)
+        o_eid = g.column("o_eid").to_numpy(zero_copy_only=False)
+        c_us = g.column("c_us").to_numpy(zero_copy_only=False)
+        c_eid = g.column("c_eid").to_numpy(zero_copy_only=False)
+        oi = int(np.lexsort((o_eid, o_us))[0])
+        ci = int(np.lexsort((c_eid, c_us))[-1])
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    [g.column("w")[0].as_py()], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_type": g.column("et").slice(0, 1),
+                "open": g.column("o").slice(oi, 1),
+                "high": pa.array(
+                    [pc.max(g.column("hi")).as_py()], pa.float64()
+                ),
+                "low": pa.array(
+                    [pc.min(g.column("lo")).as_py()], pa.float64()
+                ),
+                "close": g.column("c").slice(ci, 1),
+                "n_events": pa.array(
+                    [int(pc.sum(g.column("n")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", "ts", "event_type", "value"])
+        .map_batches(
+            lambda b: partial(b.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["w", "et"])
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def ohlc_resample_sql(src: str, width_minutes: int = 60) -> str:
+    """DuckDB oracle for :func:`ohlc_resample` — first/last via
+    row_number over the same total (ts, event_id) order, min/max/count
+    plain aggregates."""
+    width_us = width_minutes * 60 * 1_000_000
+    w = f"make_timestamp((epoch_us(ts) // {width_us}) * {width_us})"
+    return f"""
+WITH e AS (
+    SELECT {w} AS window_start, event_type, value,
+           row_number() OVER (PARTITION BY {w}, event_type
+                              ORDER BY ts, event_id) AS rn_f,
+           row_number() OVER (PARTITION BY {w}, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn_l
+    FROM {src}
+)
+SELECT window_start, event_type,
+       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_l = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2
+"""

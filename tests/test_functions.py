@@ -3734,3 +3734,42 @@ def test_corpus_js_divergence_oracle(docs_ds, fduck):
         corpus_js_divergence(
             a, rd.from_arrow(pa.table({"text": pa.array([""])}))
         )
+
+
+def test_ohlc_resample_oracle(events_ds, educk):
+    """OHLC per hour+type vs the row_number twin; block-layout
+    invariance (the associative partial must re-fold identically);
+    crafted pin: open/close follow the (ts, event_id) TOTAL order even
+    when two events share a timestamp."""
+    import datetime as dt
+
+    from search_engine_ray.functions.windows import (
+        ohlc_resample,
+        ohlc_resample_sql,
+    )
+
+    got = _sorted(_table(ohlc_resample(events_ds)))
+    want = educk.sql(ohlc_resample_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(ohlc_resample(events_ds.repartition(17))))
+    assert got.equals(got2)
+    # crafted: same-ts tie broken by event_id; open=1st, close=last
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([7, 3, 9], pa.int64()),
+                "ts": pa.array([t0, t0, t0], pa.timestamp("us")),
+                "event_type": pa.array(["x"] * 3),
+                "value": pa.array([70.0, 30.0, 90.0]),
+            }
+        )
+    )
+    r = _table(ohlc_resample(ds))
+    assert r.num_rows == 1
+    assert r.column("open").to_pylist() == [30.0]   # event_id 3 first
+    assert r.column("close").to_pylist() == [90.0]  # event_id 9 last
+    assert r.column("high").to_pylist() == [90.0]
+    assert r.column("low").to_pylist() == [30.0]
+    assert r.column("n_events").to_pylist() == [3]

@@ -3337,6 +3337,30 @@ def _set_union(sf_dir: str):
     return set_op(a, b, op="union")
 
 
+HIST_DENSE_MIN_VALUE = 300.0  # keeps ~3% of events: real gaps appear
+
+
+def _events_histogram_dense(sf_dir: str):
+    """Gap-filled date histogram (ES date_histogram min_doc_count=0):
+    per-bucket counts INCLUDING empty buckets across the global range
+    — sparse counts shuffle, the dense fill is a capped driver arange
+    merge (a sparse histogram hides outage windows).  The value filter
+    keeps the stream sparse enough that empty buckets actually exist
+    at sf0.01 (660 of 683 — unfiltered events fill every hour, which
+    would leave the FILL untested by the oracle)."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import windows
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("value"), pa.scalar(HIST_DENSE_MIN_VALUE))
+        ),
+        batch_format="pyarrow",
+    )
+    return windows.date_histogram_filled(ev)
+
+
 def _events_ohlc(sf_dir: str):
     """OHLC resample per tumbling hour and event type: open/close by
     the packed (ts, event_id) integer order key (arbitrary-tie
@@ -3928,6 +3952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _events_quantiles,
         "text_drift": _text_drift,
         "events_ohlc": _events_ohlc,
+        "events_histogram_dense": _events_histogram_dense,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
@@ -4392,6 +4417,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
+        "events_histogram_dense": lambda: (
+            windows_mod.date_histogram_filled_sql(
+                f"(SELECT * FROM events WHERE value > {HIST_DENSE_MIN_VALUE})"
+            )
+        ),
         "text_drift": lambda: ta_mod.corpus_js_divergence_sql(
             "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
             "(SELECT text FROM documents WHERE doc_id % 2 = 1)",

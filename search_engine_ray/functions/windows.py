@@ -1130,3 +1130,117 @@ SELECT window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events
 FROM e GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled date histogram (ES date_histogram min_doc_count=0)
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_MAX_BUCKETS = 10_000_000
+
+
+def date_histogram_filled(
+    ds: rd.Dataset,
+    width_minutes: int = WINDOW_MINUTES,
+    max_buckets: int = HISTOGRAM_MAX_BUCKETS,
+) -> rd.Dataset:
+    """Dense date histogram — per-bucket event counts INCLUDING empty
+    buckets between the global min and max (ES ``date_histogram`` with
+    ``min_doc_count: 0``; a sparse groupby histogram silently hides
+    outage windows, which for monitoring is the signal).
+
+    Plan: blocks emit (bucket, n) partial counts (value_counts — the
+    tumbling_window shape), ONE bucket groupby sums them; the global
+    bucket range comes from a distributed Min/Max over that SMALL
+    table, and the dense fill is a driver-side arange merge — bounded
+    by ``max_buckets`` (refused loudly above it: a dense histogram
+    wider than its dashboard is a caller bug, and the sparse sibling
+    is ``tumbling_window``).  The driver pull is |distinct non-empty
+    buckets| <= the cap, never events.
+    """
+    width_us = width_minutes * 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // width_us) * width_us
+        vals, cnt = np.unique(win, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(vals, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    sparse = (
+        ds.select_columns(["ts"])
+        .map_batches(
+            lambda b: partial(b.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("w")
+        .aggregate(_Sum("n", alias_name="n"))
+        .materialize()  # consumed twice: the range and the fill
+    )
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    rng = sparse.aggregate(_Min("w", alias_name="lo"), _Max("w", alias_name="hi"))
+    lo, hi = rng["lo"], rng["hi"]
+    if lo is None:  # empty input: empty histogram
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n_buckets = (int(hi) - int(lo)) // width_us + 1
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"date_histogram_filled: {n_buckets} buckets exceed "
+            f"max_buckets={max_buckets} — widen the interval or use the "
+            "sparse tumbling_window"
+        )
+    rows = sparse.take_all()
+    dense = np.arange(int(lo), int(hi) + width_us, width_us, dtype=np.int64)
+    counts = np.zeros(len(dense), np.int64)
+    if rows:
+        w = np.array([r["w"] for r in rows], np.int64)
+        n = np.array([r["n"] for r in rows], np.int64)
+        counts[(w - int(lo)) // width_us] = n
+    return rd.from_arrow(
+        pa.table(
+            {
+                "window_start": pa.array(dense, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+    )
+
+
+def date_histogram_filled_sql(
+    src: str, width_minutes: int = WINDOW_MINUTES
+) -> str:
+    """DuckDB oracle for :func:`date_histogram_filled` —
+    generate_series over the same integer bucket range LEFT JOIN the
+    sparse counts."""
+    width_us = width_minutes * 60 * 1_000_000
+    return f"""
+WITH sparse AS (
+    SELECT (epoch_us(ts) // {width_us}) * {width_us} AS w,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1
+),
+rng AS (SELECT min(w) AS lo, max(w) AS hi FROM sparse),
+dense AS (
+    SELECT unnest(range(rng.lo, rng.hi + {width_us}, {width_us})) AS w
+    FROM rng
+)
+SELECT make_timestamp(dense.w) AS window_start,
+       CAST(coalesce(sparse.n, 0) AS BIGINT) AS n
+FROM dense LEFT JOIN sparse ON dense.w = sparse.w
+"""

@@ -3773,3 +3773,52 @@ def test_ohlc_resample_oracle(events_ds, educk):
     assert r.column("high").to_pylist() == [90.0]
     assert r.column("low").to_pylist() == [30.0]
     assert r.column("n_events").to_pylist() == [3]
+
+
+def test_date_histogram_filled_oracle(events_ds, educk):
+    """Dense histogram vs the generate_series twin on a sparse slice
+    (empty buckets MUST exist or the fill is untested); block-layout
+    invariance; crafted gap pin; bucket-cap and empty-input edges."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.windows import (
+        date_histogram_filled,
+        date_histogram_filled_sql,
+    )
+
+    sparse = events_ds.map_batches(
+        lambda t: t.filter(_pc.greater(t.column("value"), pa.scalar(200.0))),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(date_histogram_filled(sparse)))
+    want = educk.sql(
+        date_histogram_filled_sql("(SELECT * FROM events WHERE value > 200)")
+    ).arrow()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    n_zero = got.filter(
+        _pc.equal(got.column("n"), pa.scalar(0, pa.int64()))
+    ).num_rows
+    assert n_zero > 0  # the fill is actually exercised
+    got2 = _sorted(_table(date_histogram_filled(sparse.repartition(7))))
+    assert got.equals(got2)
+    # crafted: two events 3 hours apart -> 4 buckets, middle two empty
+    import datetime as dt
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, 0, 5), dt.datetime(2024, 1, 1, 3, 5)],
+                    pa.timestamp("us"),
+                )
+            }
+        )
+    )
+    t = _table(date_histogram_filled(ds)).sort_by("window_start")
+    assert t.column("n").to_pylist() == [1, 0, 0, 1]
+    with pytest.raises(ValueError, match="max_buckets"):
+        date_histogram_filled(ds, max_buckets=2)
+    empty = date_histogram_filled(
+        rd.from_arrow(pa.table({"ts": pa.array([], pa.timestamp("us"))}))
+    )
+    assert empty.count() == 0 and empty.schema().names == ["window_start", "n"]

@@ -3337,6 +3337,50 @@ def _set_union(sf_dir: str):
     return set_op(a, b, op="union")
 
 
+COOCCUR_MIN_QTY = 45.0  # keeps the co-order graph sparse but triangle-rich
+
+
+def _cooccur_edges(sf_dir: str):
+    """Co-ordered part pairs (market-basket edges) among high-quantity
+    lineitems: ONE orderkey groupby emits each basket's sorted
+    distinct pairs, one pair-bucket groupby folds global counts."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import graph
+    from search_engine_ray.sources import read_clean_parquet
+
+    li = read_clean_parquet(
+        os.path.join(_sf_dir(sf_dir), "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("l_quantity"), pa.scalar(COOCCUR_MIN_QTY))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    return graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+
+
+def _graph_cooccur(sf_dir: str):
+    return _cooccur_edges(sf_dir)
+
+
+def _graph_triangles(sf_dir: str):
+    """Per-part triangle participation in the co-order graph — exact
+    degree-ordered wedge counting (Suri-Vassilvitskii MR shape): every
+    wedge generated at its lowest-degree vertex, wedges meet the edge
+    set in one pair-bucket exchange."""
+    from search_engine_ray.functions import graph
+
+    return graph.triangle_counts(_cooccur_edges(sf_dir))
+
+
+_COOCCUR_SRC_SQL = (
+    "(SELECT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_quantity >= {q})"
+)
+
+
 HIST_DENSE_MIN_VALUE = 300.0  # keeps ~3% of events: real gaps appear
 
 
@@ -3953,6 +3997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_drift": _text_drift,
         "events_ohlc": _events_ohlc,
         "events_histogram_dense": _events_histogram_dense,
+        "graph_cooccur": _graph_cooccur,
+        "graph_triangles": _graph_triangles,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
@@ -4417,6 +4463,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
+        "graph_cooccur": lambda: graph_mod.cooccurrence_pairs_sql(
+            _COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY),
+            "l_orderkey", "l_partkey",
+        ),
+        "graph_triangles": lambda: graph_mod.triangle_counts_sql(
+            f"({graph_mod.cooccurrence_pairs_sql(_COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY), 'l_orderkey', 'l_partkey')})"
+        ),
         "events_histogram_dense": lambda: (
             windows_mod.date_histogram_filled_sql(
                 f"(SELECT * FROM events WHERE value > {HIST_DENSE_MIN_VALUE})"

@@ -218,3 +218,330 @@ r0 AS (SELECT {id_col}, CAST({q} AS BIGINT) AS r FROM nodes),
 {chain}
 SELECT {id_col}, CAST(r AS BIGINT) AS rank_q FROM r{it}
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence graph + distributed triangle counting
+# ---------------------------------------------------------------------------
+
+_FIB = np.uint64(0x9E3779B97F4A7C15)  # the hash_join bucket mixer
+_ID_BITS = 31  # node ids validated < 2^31 so a pair packs into int64
+
+
+def _check_ids(a: np.ndarray, b: np.ndarray, who: str) -> None:
+    if len(a) and (
+        a.min() < 0 or b.min() < 0
+        or a.max() >= (1 << _ID_BITS) or b.max() >= (1 << _ID_BITS)
+    ):
+        raise ValueError(
+            f"{who}: node ids must be in [0, 2^{_ID_BITS}) — the pair "
+            "packs into one int64 (the dup_clusters loud-sentinel rule)"
+        )
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    packed = (a.astype(np.uint64) << np.uint64(_ID_BITS)) | b.astype(np.uint64)
+    return ((packed * _FIB) >> np.uint64(64 - 16)).astype(np.int64) % n_buckets
+
+
+def cooccurrence_pairs(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    max_basket: int = 10_000,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Market-basket co-occurrence counts — for every unordered pair of
+    DISTINCT items sharing a group (parts in an order, terms in a doc,
+    users in a session), the number of groups they co-occur in: the
+    edge-list constructor for co-purchase / co-view graphs and the
+    input both :func:`triangle_counts` and association-rule mining
+    want.
+
+    Plan: ONE ``groupby(group_col)`` exchange; each group dedups its
+    items (``np.unique``) and emits its ``k*(k-1)/2`` sorted pairs
+    vectorized (``np.triu_indices`` — quadratic in the BASKET, which
+    is why ``max_basket`` refuses loudly: one hot basket of 10^6 items
+    is 5*10^11 pairs, a caller bug, not a shuffle problem); a second
+    pair-bucket groupby folds per-group pairs into global counts.
+    Output (a, b, n) with ``a < b``.
+    """
+    def per_group(g: pa.Table) -> pa.Table:
+        items = np.unique(
+            g.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        k = len(items)
+        if k > max_basket:
+            raise ValueError(
+                f"cooccurrence_pairs: basket of {k} items exceeds "
+                f"max_basket={max_basket} (quadratic pair emission)"
+            )
+        if k < 2:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(k, 1)
+        a, b = items[ii], items[jj]
+        _check_ids(a, b, "cooccurrence_pairs")
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "__b": pa.array(_pair_bucket(a, b, n_buckets), pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = g.select(["a", "b", "n"]).group_by(["a", "b"]).aggregate(
+            [("n", "sum")]
+        )
+        return t.rename_columns(["a", "b", "n"])
+
+    return (
+        ds.select_columns([group_col, item_col])
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def cooccurrence_pairs_sql(src: str, group_col: str, item_col: str) -> str:
+    """DuckDB oracle for :func:`cooccurrence_pairs` — the literal
+    distinct-per-group self-join, counted per pair."""
+    return f"""
+WITH g AS (SELECT DISTINCT {group_col} AS grp, {item_col} AS it FROM {src}),
+p AS (
+    SELECT g1.it AS a, g2.it AS b
+    FROM g g1 JOIN g g2 ON g1.grp = g2.grp AND g1.it < g2.it
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY a, b
+"""
+
+
+def triangle_counts(
+    pairs: rd.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_out_degree: int = 20_000,
+    max_nodes_broadcast: int = 2_000_000,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Per-node triangle participation counts over an undirected graph
+    — the local clustering / community-density primitive (a doc in
+    many near-dup triangles sits in a dense template cluster; a part
+    in many co-purchase triangles anchors a basket motif).  Exact, via
+    the classic degree-ordered wedge algorithm (Cohen 2009; Suri &
+    Vassilvitskii 2011 MR triangle counting):
+
+    1. normalize + dedup edges (min/max orient, self-loops dropped):
+       in-map pre-dedup then ONE pair-bucket groupby.
+    2. degrees: one node groupby over endpoint partials; the degree
+       table broadcasts once (``ray.put`` sorted arrays, guarded by
+       ``max_nodes_broadcast`` — above it the documented path is a
+       two-round degree JOIN, the tfidf rule).
+    3. orient each edge low-(degree, id) -> high: every wedge is now
+       generated at its LOWEST-degree vertex, so per-source
+       out-degree is O(sqrt(2m)) REGARDLESS of hub skew — the whole
+       point of the ordering; ``max_out_degree`` refuses loudly if a
+       degenerate graph defeats it.
+    4. wedges (v, w, u) emit per source group (ONE groupby,
+       ``np.triu_indices``), meet the edge set in ONE pair-bucket
+       groupby, membership = searchsorted against the bucket's packed
+       edges; matched wedges yield per-bucket (node, n) partials.
+    5. final node groupby sums.  Output (node, n_triangles), nodes
+       with >= 1 triangle.
+    """
+    import ray
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        _check_ids(lo, hi, "triangle_counts")
+        t2 = pa.table(
+            {"a": pa.array(lo), "b": pa.array(hi)}
+        ).group_by(["a", "b"]).aggregate([])
+        a2 = t2.column("a").to_numpy(zero_copy_only=False)
+        b2 = t2.column("b").to_numpy(zero_copy_only=False)
+        return t2.append_column(
+            "__b", pa.array(_pair_bucket(a2, b2, n_buckets), pa.int64())
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        return g.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = (
+        pairs.map_batches(
+            lambda t: norm(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("__b")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()  # consumed three times: degrees, wedges, match
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        v, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(v, pa.int64()),
+                "d": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    deg_tbl = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Sum("d", alias_name="d"))
+    )
+    n_nodes = deg_tbl.count()
+    if n_nodes > max_nodes_broadcast:
+        raise ValueError(
+            f"triangle_counts: {n_nodes} nodes exceed the degree "
+            f"broadcast bound {max_nodes_broadcast} — switch to the "
+            "two-round degree-join orientation"
+        )
+    rows = deg_tbl.take_all()
+    dn = np.array([r["node"] for r in rows], np.int64)
+    dd = np.array([r["d"] for r in rows], np.int64)
+    o = np.argsort(dn)
+    deg_ref = ray.put((dn[o], dd[o]))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, b)]
+        # low (deg, id) is the wedge source; a < b already
+        a_src = (da < db) | (da == db)
+        src = np.where(a_src, a, b)
+        dst = np.where(a_src, b, a)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nbr = np.sort(g.column("dst").to_numpy(zero_copy_only=False))
+        k = len(nbr)
+        if k > max_out_degree:
+            raise ValueError(
+                f"triangle_counts: out-degree {k} exceeds "
+                f"max_out_degree={max_out_degree} after degree "
+                "orientation — degenerate near-complete graph"
+            )
+        if k < 2:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "__b": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(k, 1)
+        v, w = nbr[ii], nbr[jj]
+        u = np.full(len(v), g.column("src")[0].as_py(), np.int64)
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "kind": pa.array(np.ones(len(v), np.int8), pa.int8()),
+                "__b": pa.array(_pair_bucket(v, w, n_buckets), pa.int64()),
+            }
+        )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "v": pa.array(a, pa.int64()),
+                "w": pa.array(b, pa.int64()),
+                "u": pa.array(np.full(len(a), -1, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(a), np.int8), pa.int8()),
+                "__b": pa.array(_pair_bucket(a, b, n_buckets), pa.int64()),
+            }
+        )
+
+    def match(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        pack = (v.astype(np.int64) << _ID_BITS) | w.astype(np.int64)
+        e = np.sort(pack[kind == 0])
+        wm = kind == 1
+        pos = np.searchsorted(e, pack[wm])
+        pos[pos == len(e)] = 0
+        hit = (e[pos] == pack[wm]) if len(e) else np.zeros(wm.sum(), bool)
+        tri_nodes = np.concatenate(
+            [u[wm][hit], v[wm][hit], w[wm][hit]]
+        )
+        nod, cnt = np.unique(tri_nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nod, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    wedge_ds = oriented.groupby("src").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+    edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow")
+    return (
+        wedge_ds.union(edge_tagged)
+        .groupby("__b")
+        .map_groups(match, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Sum("n", alias_name="n_triangles"))
+    )
+
+
+def triangle_counts_sql(pairs_rel: str, a_col: str = "a", b_col: str = "b") -> str:
+    """DuckDB oracle for :func:`triangle_counts` — normalize + dedup,
+    the literal u<v<w triple join, per-node participation counts."""
+    return f"""
+WITH p AS (SELECT {a_col} AS a, {b_col} AS b FROM {pairs_rel}),
+e0 AS (
+    SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+    FROM p WHERE a <> b
+),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM e0 e1
+    JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+"""

@@ -3822,3 +3822,76 @@ def test_date_histogram_filled_oracle(events_ds, educk):
         rd.from_arrow(pa.table({"ts": pa.array([], pa.timestamp("us"))}))
     )
     assert empty.count() == 0 and empty.schema().names == ["window_start", "n"]
+
+
+def test_cooccurrence_and_triangles_oracle(rduck):
+    """Co-order pair counts and per-node triangle counts vs their
+    literal twins; block-layout invariance; crafted pins: K4 gives
+    every node 3 triangles, a path graph gives none, duplicate and
+    reversed edges collapse, self-loops drop; guards refuse loudly."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.graph import (
+        cooccurrence_pairs,
+        cooccurrence_pairs_sql,
+        triangle_counts,
+        triangle_counts_sql,
+    )
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+        lambda t: t.filter(
+            _pc.greater_equal(t.column("l_quantity"), pa.scalar(40.0))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    src = "(SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40)"
+    co = _sorted(_table(cooccurrence_pairs(li, "l_orderkey", "l_partkey")))
+    want = rduck.sql(
+        cooccurrence_pairs_sql(src, "l_orderkey", "l_partkey")
+    ).arrow()
+    assert co.num_rows > 0
+    assert co.equals(_sorted(want.select(co.column_names).cast(co.schema)))
+    co2 = _sorted(
+        _table(cooccurrence_pairs(li.repartition(7), "l_orderkey", "l_partkey"))
+    )
+    assert co.equals(co2)
+
+    tri = _sorted(_table(triangle_counts(
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey"))))
+    want_t = rduck.sql(
+        triangle_counts_sql(
+            f"({cooccurrence_pairs_sql(src, 'l_orderkey', 'l_partkey')})"
+        )
+    ).arrow()
+    assert tri.num_rows > 0
+    assert tri.equals(_sorted(want_t.select(tri.column_names).cast(tri.schema)))
+
+    # crafted: K4 on {1,2,3,4} with dup + reversed edges + self-loop
+    k4 = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 1, 2, 2, 3, 3, 4, 5], pa.int64()),
+                "b": pa.array([2, 3, 4, 3, 4, 4, 2, 1, 5], pa.int64()),
+            }
+        )
+    )
+    t = _table(triangle_counts(k4)).sort_by("node")
+    assert t.column("node").to_pylist() == [1, 2, 3, 4]
+    assert t.column("n_triangles").to_pylist() == [3, 3, 3, 3]
+    # path graph: no triangles
+    path = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array([2, 3, 4], pa.int64())})
+    )
+    assert triangle_counts(path).count() == 0
+    # Ray wraps worker-side ValueErrors in RayTaskError
+    with pytest.raises(Exception, match="ids must be"):
+        _table(triangle_counts(rd.from_arrow(
+            pa.table({"a": pa.array([-1], pa.int64()),
+                      "b": pa.array([2], pa.int64())}))))
+    with pytest.raises(Exception, match="max_basket"):
+        _table(cooccurrence_pairs(
+            rd.from_arrow(pa.table({
+                "g": pa.array([1] * 5, pa.int64()),
+                "i": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            })), "g", "i", max_basket=3))

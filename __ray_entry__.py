@@ -3365,6 +3365,32 @@ def _graph_cooccur(sf_dir: str):
     return _cooccur_edges(sf_dir)
 
 
+RULES_MIN_QTY = 30.0  # denser baskets than the triangle graph: 112
+#                         support>=2 pairs -> 224 directed rules
+
+
+def _graph_rules(sf_dir: str):
+    """Association rules a->b over the high-quantity co-order baskets:
+    support / confidence / lift, both directions per pair; ratios of
+    exact int64 counts quantized micro-units (the NB rule) from the
+    identical division both engines."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import graph
+    from search_engine_ray.sources import read_clean_parquet
+
+    li = read_clean_parquet(
+        os.path.join(_sf_dir(sf_dir), "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("l_quantity"), pa.scalar(RULES_MIN_QTY))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    return graph.association_rules(li, "l_orderkey", "l_partkey")
+
+
 def _graph_triangles(sf_dir: str):
     """Per-part triangle participation in the co-order graph — exact
     degree-ordered wedge counting (Suri-Vassilvitskii MR shape): every
@@ -3999,6 +4025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_histogram_dense": _events_histogram_dense,
         "graph_cooccur": _graph_cooccur,
         "graph_triangles": _graph_triangles,
+        "graph_rules": _graph_rules,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
         "rel_sales_opp": _rel_sales_opp,
@@ -4465,6 +4492,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
         "graph_cooccur": lambda: graph_mod.cooccurrence_pairs_sql(
             _COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY),
+            "l_orderkey", "l_partkey",
+        ),
+        "graph_rules": lambda: graph_mod.association_rules_sql(
+            _COOCCUR_SRC_SQL.format(q=RULES_MIN_QTY),
             "l_orderkey", "l_partkey",
         ),
         "graph_triangles": lambda: graph_mod.triangle_counts_sql(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 PAGERANK_Q = 1_000_000_000
@@ -544,4 +545,199 @@ nodes AS (
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift over the basket graph)
+# ---------------------------------------------------------------------------
+
+RULES_Q = 1_000_000  # ratio quantization (micro-units, half-up)
+
+
+def association_rules(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    max_basket: int = 10_000,
+    n_buckets: int = 256,
+) -> rd.Dataset:
+    """Association rules a -> b over baskets — the market-basket
+    trio: ``support`` (co-occurrence count), ``confidence`` =
+    P(b | a) and ``lift`` = P(a,b) / (P(a) P(b)) — emitted BOTH
+    directions per pair (confidence is asymmetric).
+
+    Plan: ONE ``groupby(group_col)`` exchange where each basket dedups
+    its items once and emits pair rows, item rows AND a basket-count
+    row on a single tagged schema — pair supports, item supports and
+    the basket total are all counts of the SAME distinct
+    (group, item) sets, so computing them in one fold is what makes
+    them consistent (a separate per-block item dedup would overcount
+    pairs spanning blocks — the bug the oracle caught in the first
+    draft); ONE pair-bucket groupby folds global counts.  Item
+    supports broadcast once (sorted arrays, 2M loud bound); the rule
+    emission is a pure vectorized map over the pair rows — nothing
+    pair-sized on the driver.
+
+    Exactness device: confidence and lift are RATIOS of exact int64
+    counts, quantized ``floor(x * 1e6 + 0.5)`` (the NB rule) from the
+    identical division in both engines — no epsilon anywhere; the
+    basket count is bounded at 2M so the lift numerator
+    ``n * n_baskets * 1e6`` stays inside int64 (numpy would WRAP
+    silently past 2^63 while DuckDB errors — refuse loudly instead).
+    """
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def per_basket(g: pa.Table) -> pa.Table:
+        items = np.unique(
+            g.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        k = len(items)
+        if k > max_basket:
+            raise ValueError(
+                f"association_rules: basket of {k} items exceeds "
+                f"max_basket={max_basket} (quadratic pair emission)"
+            )
+        _check_ids(items, items, "association_rules")
+        if k >= 2:
+            ii, jj = np.triu_indices(k, 1)
+            pa_, pb = items[ii], items[jj]
+        else:
+            pa_ = pb = np.empty(0, np.int64)
+        # tagged rows: pairs (a,b) / items (it,-1) / basket (-1,-1)
+        a = np.concatenate([pa_, items, [-1]])
+        b = np.concatenate([pb, np.full(k, -1, np.int64), [-1]])
+        bucket = np.empty(len(a), np.int64)
+        bucket[: len(pa_)] = _pair_bucket(pa_, pb, n_buckets)
+        bucket[len(pa_) : len(pa_) + k] = _pair_bucket(
+            items, items, n_buckets
+        )
+        bucket[-1] = 0
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "n": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "__b": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = g.select(["a", "b", "n"]).group_by(["a", "b"]).aggregate(
+            [("n", "sum")]
+        )
+        return t.rename_columns(["a", "b", "n"])
+
+    counts = (
+        ds.select_columns([group_col, item_col])
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(group_col)
+        .map_groups(per_basket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()  # consumed three times: baskets, items, pairs
+    )
+
+    bk = counts.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("a"), pa.scalar(-1, pa.int64()))
+        ).select(["n"]),
+        batch_format="pyarrow",
+    ).aggregate(_Sum("n", alias_name="n"))
+    n_baskets = int(bk["n"] or 0)
+    if n_baskets == 0:
+        raise ValueError("association_rules: no baskets")
+    if n_baskets > 2_000_000:
+        raise ValueError(
+            f"association_rules: {n_baskets} baskets exceed the exact "
+            "int64 lift headroom — rescale RULES_Q or fold in decimal128"
+        )
+
+    item_side = counts.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("a"), pa.scalar(0, pa.int64())),
+                pc.equal(t.column("b"), pa.scalar(-1, pa.int64())),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    n_items = item_side.count()
+    if n_items > 2_000_000:
+        raise ValueError(
+            f"association_rules: {n_items} items exceed the support "
+            "broadcast bound — join item supports by key instead"
+        )
+    rows = item_side.take_all()
+    si = np.array([r["a"] for r in rows], np.int64)
+    sn = np.array([r["n"] for r in rows], np.int64)
+    o = np.argsort(si)
+    supp_ref = ray.put((si[o], sn[o]))
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("b"), pa.scalar(0, pa.int64())))
+        nodes, supps = ray.get(supp_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        keep = n >= min_pair_support
+        a, b, n = a[keep], b[keep], n[keep]
+        sa = supps[np.searchsorted(nodes, a)]
+        sb = supps[np.searchsorted(nodes, b)]
+        conf_ab = np.floor(n * RULES_Q / sa + 0.5).astype(np.int64)
+        conf_ba = np.floor(n * RULES_Q / sb + 0.5).astype(np.int64)
+        lift = np.floor(
+            n * n_baskets * RULES_Q / (sa * sb) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "lhs": pa.array(np.concatenate([a, b]), pa.int64()),
+                "rhs": pa.array(np.concatenate([b, a]), pa.int64()),
+                "support": pa.array(np.concatenate([n, n]), pa.int64()),
+                "confidence_q": pa.array(
+                    np.concatenate([conf_ab, conf_ba]), pa.int64()
+                ),
+                "lift_q": pa.array(np.concatenate([lift, lift]), pa.int64()),
+            }
+        )
+
+    return counts.map_batches(emit, batch_format="pyarrow")
+
+
+def association_rules_sql(
+    src: str,
+    group_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`association_rules` — same distinct
+    basket semantics, same quantized ratio expressions."""
+    q = RULES_Q
+    return f"""
+WITH g AS (SELECT DISTINCT {group_col} AS grp, {item_col} AS it FROM {src}),
+nb AS (SELECT count(DISTINCT grp) AS n FROM g),
+isup AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY it),
+p AS (
+    SELECT g1.it AS a, g2.it AS b, CAST(count(*) AS BIGINT) AS n
+    FROM g g1 JOIN g g2 ON g1.grp = g2.grp AND g1.it < g2.it
+    GROUP BY g1.it, g2.it
+    HAVING count(*) >= {min_pair_support}
+),
+dir2 AS (
+    SELECT a AS lhs, b AS rhs, n FROM p
+    UNION ALL SELECT b, a, n FROM p
+)
+SELECT lhs, rhs, dir2.n AS support,
+       CAST(floor(dir2.n * {q} * 1.0 / sl.n + 0.5) AS BIGINT)
+           AS confidence_q,
+       CAST(floor(dir2.n * nb.n * {q} * 1.0 / (sl.n * sr.n) + 0.5) AS BIGINT)
+           AS lift_q
+FROM dir2
+JOIN isup sl ON sl.it = dir2.lhs
+JOIN isup sr ON sr.it = dir2.rhs
+CROSS JOIN nb
 """

@@ -3895,3 +3895,57 @@ def test_cooccurrence_and_triangles_oracle(rduck):
                 "g": pa.array([1] * 5, pa.int64()),
                 "i": pa.array([1, 2, 3, 4, 5], pa.int64()),
             })), "g", "i", max_basket=3))
+
+
+def test_association_rules_oracle(rduck):
+    """Market-basket rules vs the literal distinct-basket twin;
+    block-layout invariance (the bug class: per-block item dedup
+    overcounts supports of pairs spanning blocks); crafted pins for
+    confidence asymmetry and lift."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.graph import (
+        association_rules,
+        association_rules_sql,
+    )
+
+    def li(reparts=None):
+        d = rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        if reparts:
+            d = d.repartition(reparts)
+        return d.map_batches(
+            lambda t: t.filter(
+                _pc.greater_equal(t.column("l_quantity"), pa.scalar(30.0))
+            ).select(["l_orderkey", "l_partkey"]),
+            batch_format="pyarrow",
+        )
+
+    src = "(SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 30)"
+    got = _sorted(_table(association_rules(li(), "l_orderkey", "l_partkey")))
+    want = rduck.sql(
+        association_rules_sql(src, "l_orderkey", "l_partkey")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(association_rules(li(reparts=13), "l_orderkey", "l_partkey"))
+    )
+    assert got.equals(got2)
+    # crafted: baskets {1,2},{1,2},{1,3},{1} over 4 baskets; pair (1,2)
+    # support 2; conf 1->2 = 2/4, conf 2->1 = 2/2 = 1; lift = 2*4/(4*2)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([10, 10, 11, 11, 12, 12, 13], pa.int64()),
+                "i": pa.array([1, 2, 1, 2, 1, 3, 1], pa.int64()),
+            }
+        )
+    )
+    t = _table(association_rules(ds, "g", "i")).sort_by(
+        [("lhs", "ascending"), ("rhs", "ascending")]
+    )
+    assert t.column("lhs").to_pylist() == [1, 2]
+    assert t.column("rhs").to_pylist() == [2, 1]
+    assert t.column("support").to_pylist() == [2, 2]
+    assert t.column("confidence_q").to_pylist() == [500000, 1000000]
+    assert t.column("lift_q").to_pylist() == [1000000, 1000000]

@@ -3468,6 +3468,20 @@ def _text_drift(sf_dir: str):
     return ta.corpus_js_divergence(half(0), half(1))
 
 
+def _events_outliers(sf_dir: str):
+    """Grouped z-score anomaly rows (|v - group mean| > 1.5 sigma —
+    uniform data caps at sqrt(3) sigma, so 3-sigma would be vacuously
+    empty): exact int64 moments, one tiny group exchange, broadcast
+    rejoin, identical float comparison both engines."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.grouped_outliers(
+        _events_ds(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "value"]
+        )
+    )
+
+
 def _events_quantiles(sf_dir: str):
     """Exact per-group quantiles (p25/p50/p75/p90/p99 of value per
     event_type) — blocks pre-aggregate to (group, value, count) pairs,
@@ -4020,6 +4034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "window_distinct": _window_distinct,
         "events_quantiles": _events_quantiles,
+        "events_outliers": _events_outliers,
         "text_drift": _text_drift,
         "events_ohlc": _events_ohlc,
         "events_histogram_dense": _events_histogram_dense,
@@ -4487,6 +4502,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_quantiles": lambda: aggregates_mod.grouped_quantiles_sql(
             "events", "event_type", "value"
+        ),
+        "events_outliers": lambda: aggregates_mod.grouped_outliers_sql(
+            "(SELECT event_id, user_id, event_type, value FROM events)",
+            cols="event_id, user_id, event_type, value",
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),

@@ -564,3 +564,136 @@ SELECT t.g AS {group_col}, q.q AS q,
           AND c >= (q.num * t.n + q.den - 1) // q.den) AS value
 FROM tot t CROSS JOIN quants q
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped z-score outliers (the aggregate-rejoin anomaly detector)
+# ---------------------------------------------------------------------------
+
+OUTLIER_CENT = 100  # value quantization for the exact moment sums
+
+
+def grouped_outliers(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_num: int = 3,
+    z_den: int = 2,
+) -> rd.Dataset:
+    """Rows whose value deviates more than ``z_num/z_den`` standard
+    deviations from their GROUP's mean — the per-segment anomaly
+    detector (population sigma), as an aggregate-rejoin: the group
+    moments come from one distributed aggregate, broadcast once, and
+    the flagging pass is a pure zero-shuffle map (the Q17 shape on a
+    float predicate).
+
+    Exactness device: values quantize to int64 cents; per group the
+    exact moments (n, sum, sumsq) fold as int64s (in-map partials +
+    one tiny group exchange); the z-test
+    ``|v - mean| > (z_num/z_den) * sigma`` is squared into the
+    INTEGER-DERIVED comparison
+
+        z_den^2 * (v*n - sum)^2  >  z_num^2 * (n*sumsq - sum^2)
+
+    evaluated IN FLOAT64 from the exact ints with the identical
+    expression both engines — identical doubles compare identically,
+    so the boundary rows agree bit-for-bit at any scale (int64 moment
+    headroom: n * max_cent^2 per group; requantize beyond).
+    """
+    if z_num <= 0 or z_den <= 0:
+        raise ValueError(f"z must be positive, got {z_num}/{z_den}")
+
+    def mom(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * OUTLIER_CENT + 0.5) * np.sign(v)).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "s": pa.array(c, pa.int64()),
+                "ss": pa.array(c * c, pa.int64()),
+            }
+        )
+        out = t.group_by("g").aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return out.rename_columns(["g", "n", "s", "ss"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    stats = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: mom(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("s", alias_name="s"),
+            _Sum("ss", alias_name="ss"),
+        )
+        .take_all()  # group-domain bounded
+    )
+    import ray
+
+    lut = {
+        r["g"]: (int(r["n"]), int(r["s"]), int(r["ss"])) for r in stats
+    }
+    # rhs per group as an EXACT python int (arbitrary precision), then
+    # one float conversion — the same number DuckDB's HUGEINT->DOUBLE
+    # cast produces
+    rhs = {
+        g: float(z_num * z_num * (n * ss - s * s))
+        for g, (n, s, ss) in lut.items()
+    }
+    lut_ref = ray.put((lut, rhs, z_den))
+
+    def flag(b: pa.Table) -> pa.Table:
+        lut_, rhs_, zd = ray.get(lut_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * OUTLIER_CENT + 0.5) * np.sign(v)).astype(
+            np.int64
+        )
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(c), bool)
+        for grp in np.unique(g):
+            n, s, _ = lut_[grp]
+            m = g == grp
+            d = (c[m] * n - s).astype(np.float64) * zd
+            keep[m] = d * d > rhs_[grp]
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_outliers_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_num: int = 3,
+    z_den: int = 2,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`grouped_outliers` — the identical
+    integer moments and the identical float comparison."""
+    q = OUTLIER_CENT
+    return f"""
+WITH c AS (
+    SELECT *, CAST(round({value_col} * {q}) AS BIGINT) AS __c
+    FROM {src}
+),
+m AS (
+    SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(__c) AS BIGINT) AS s,
+           CAST(SUM(__c * __c) AS BIGINT) AS ss
+    FROM c GROUP BY 1
+)
+SELECT {cols}
+FROM c JOIN m ON c.{group_col} = m.g
+WHERE CAST((__c * m.n - m.s) * {z_den} AS DOUBLE)
+      * CAST((__c * m.n - m.s) * {z_den} AS DOUBLE)
+      > CAST({z_num * z_num} * (m.n * m.ss - m.s * m.s) AS DOUBLE)
+"""

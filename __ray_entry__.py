@@ -3209,6 +3209,31 @@ def _rel_promo(sf_dir: str):
     )
 
 
+def _rel_cube(sf_dir: str):
+    """GROUP BY CUBE(year, priority): all four grouping sets from ONE
+    finest-grain shuffle — the extra (ALL, priority) slice is one more
+    additive fold of the domain-bounded finest table."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    return rel.cube_orders(
+        read_clean_parquet(os.path.join(_sf_dir(sf_dir), "orders.parquet"),
+                           columns=["o_orderdate", "o_orderpriority",
+                                    "o_totalprice"]))
+
+
+def _docs_sample_weighted(sf_dir: str):
+    """A-ES weighted sampling without replacement (inclusion odds
+    proportional to n_chars): md5-seeded uniforms make the sample an
+    exact function of (seed, ids, weights) — the twin reproduces it
+    row-for-row."""
+    from search_engine_ray.functions import sampling
+
+    return sampling.sample_weighted(
+        _documents_ds(sf_dir), n=100, weight_col="n_chars"
+    )
+
+
 def _rel_small_qty(sf_dir: str):
     """TPC-H Q17 analog: revenue of below-20%-of-part-average-quantity
     lineitems for one brand / 7 — the decorrelated scalar subquery
@@ -4043,6 +4068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_rules": _graph_rules,
         "window_rank": _window_rank,
         "rel_small_qty": _rel_small_qty,
+        "rel_cube": _rel_cube,
+        "sample_weighted": _docs_sample_weighted,
         "rel_sales_opp": _rel_sales_opp,
         "rel_top_supplier": _rel_top_supplier,
         "join_asof": _join_asof,
@@ -4495,6 +4522,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             op="union",
         ),
         "rel_small_qty": lambda: relational_mod.small_qty_revenue_sql(),
+        "rel_cube": lambda: relational_mod.cube_orders_sql(),
+        "sample_weighted": lambda: sampling_mod.sample_weighted_sql(
+            "documents", n=100, weight_col="n_chars",
+            cols="doc_id, text, lang, source, n_chars",
+        ),
         "rel_sales_opp": lambda: relational_mod.sales_opportunity_sql(),
         "rel_top_supplier": lambda: relational_mod.top_supplier_sql(),
         "window_distinct": lambda: windows_mod.window_distinct_users_sql(

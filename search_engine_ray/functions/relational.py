@@ -677,7 +677,16 @@ ORDER BY o_orderpriority
 ROLLUP_CENTS = 100  # money quantized to int64 cents before any sum
 
 
-def rollup_orders(orders: rd.Dataset) -> rd.Dataset:
+ROLLUP_SETS = (("year", "o_orderpriority"), ("year",), ())
+CUBE_SETS = (
+    ("year", "o_orderpriority"), ("year",), ("o_orderpriority",), ()
+)
+
+
+def rollup_orders(
+    orders: rd.Dataset,
+    sets: tuple[tuple[str, ...], ...] = ROLLUP_SETS,
+) -> rd.Dataset:
     """``GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)`` — order
     count and total price at THREE grains in one result: (year,
     priority), (year, ALL) and (ALL, ALL), with SQL's NULL markers on
@@ -765,13 +774,7 @@ def rollup_orders(orders: rd.Dataset) -> rd.Dataset:
         }
         return pa.table(cols)
 
-    out = pa.concat_tables(
-        [
-            lvl(ft, ["year", "o_orderpriority"]),
-            lvl(ft, ["year"]),
-            lvl(ft, []),
-        ]
-    )
+    out = pa.concat_tables([lvl(ft, list(ks)) for ks in sets])
     return rd.from_arrow(out)
 
 
@@ -785,6 +788,28 @@ SELECT year(o_orderdate) AS year, o_orderpriority,
             AS BIGINT) AS sum_cents
 FROM orders
 GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+"""
+
+
+def cube_orders(orders: rd.Dataset) -> rd.Dataset:
+    """``GROUP BY CUBE(year, priority)`` — all FOUR grouping sets from
+    the same single finest-grain shuffle (ROLLUP's lattice completed
+    with the (ALL, priority) slice); subtotals stay additive, so the
+    extra grain is one more fold of the domain-bounded finest table,
+    not another exchange."""
+    return rollup_orders(orders, sets=CUBE_SETS)
+
+
+def cube_orders_sql() -> str:
+    """DuckDB oracle for :func:`cube_orders` — the literal CUBE with
+    the identical per-row cents quantization."""
+    return f"""
+SELECT year(o_orderdate) AS year, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * {ROLLUP_CENTS}) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY CUBE(year(o_orderdate), o_orderpriority)
 """
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -418,4 +420,126 @@ SELECT * EXCLUDE (rn) FROM (
            ) AS rn
     FROM {src}
 ) WHERE rn <= {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_HEX = 13  # 13 hex digits = 52 bits: exactly representable in float64
+_AES_DEN = float(1 << 52)
+
+
+def sample_weighted(
+    ds: rd.Dataset,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_candidates: int = 2_000_000,
+) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement — ``n`` rows where each
+    row's inclusion probability is proportional to its weight
+    (Efraimidis & Spirakis 2006 A-ES: key = u^(1/w), keep the top-n
+    keys; equivalently ln(u)/w, which is what both engines compute).
+    The weight-biased sibling of :func:`sample_hash` — deterministic
+    by construction: u derives from md5(seed:id), so the SAMPLE ITSELF
+    is an exact function of (seed, ids, weights) and the SQL twin
+    reproduces it row-for-row (the bloom-filter contract: approximate
+    SEMANTICS, exact OUTPUT).
+
+    Plan: the key map is zero-shuffle (per-row md5, the _digests
+    pattern); each block keeps its partial top-n (id, key) CANDIDATE
+    rows only, the driver merges <= n x blocks candidates (guarded),
+    and the kept-id set broadcasts once for the membership filter —
+    the sample_balanced shape with a weighted key.
+
+    Exactness device: u = (first 52 md5 bits + 1) / 2^52 in (0, 1] —
+    52 bits convert to float64 EXACTLY, +1 avoids ln(0); key =
+    ln(u)/w is the identical double expression both engines; ties
+    (impossible among distinct ids in practice, but pinned anyway)
+    break by id ASC.  Rows with weight <= 0 are excluded (A-ES is
+    undefined there), mirrored in the twin.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pre = f"{seed}:".encode()
+        u = np.array(
+            [
+                int(hashlib.md5(pre + str(i).encode()).hexdigest()[:_AES_HEX], 16)
+                for i in ids
+            ],
+            np.float64,
+        )
+        key = np.log((u + 1.0) / _AES_DEN) / w
+        t = pa.table(
+            {
+                "id": batch.column(id_col),
+                "key": pa.array(key, pa.float64()),
+            }
+        ).filter(pa.array(w > 0))
+        # partial top-n candidates: a block can never contribute more
+        # than n winners
+        if t.num_rows > n:
+            order = pc.sort_indices(
+                t, sort_keys=[("key", "descending"), ("id", "ascending")]
+            )
+            t = t.take(order.slice(0, n))
+        return t
+
+    cand = ds.select_columns([id_col, weight_col]).map_batches(
+        lambda b: keys(b.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"sample_weighted: {n_cand} candidate rows exceed "
+            f"{max_candidates} — raise block size or lower n"
+        )
+    rows = cand.take_all()
+    rows.sort(key=lambda r: (-r["key"], r["id"]))
+    keep = sorted(r["id"] for r in rows[:n])
+    keep_arr = np.array(keep, np.int64)
+    import ray
+
+    keep_ref = ray.put(keep_arr)
+
+    def member(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ids)
+        pos[pos == len(ks)] = 0
+        m = ks[pos] == ids if len(ks) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(member, batch_format="pyarrow")
+
+
+def sample_weighted_sql(
+    src: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`sample_weighted` — the identical
+    md5-derived uniform and key expression, top-n by (key DESC, id)."""
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), "
+        f"1, {_AES_HEX}))::BIGINT + 1.0) / {_AES_DEN!r}"
+    )
+    return f"""
+SELECT {cols} FROM {src}
+WHERE {weight_col} > 0
+ORDER BY ln({u}) / {weight_col} DESC, {id_col}
+LIMIT {n}
 """

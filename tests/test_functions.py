@@ -3987,3 +3987,89 @@ def test_grouped_outliers_oracle(events_ds, educk):
     assert t.column("event_id").to_pylist() == [7]  # only the spike
     with pytest.raises(ValueError, match="positive"):
         grouped_outliers(ds, z_num=0)
+
+
+def test_cube_orders_oracle(rduck):
+    """CUBE vs the literal twin; the four grouping sets partition into
+    additive levels (grand total == sum of year subtotals == sum of
+    priority subtotals)."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.relational import (
+        cube_orders,
+        cube_orders_sql,
+    )
+
+    od = rd.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = _sorted(_table(cube_orders(od)))
+    want = rduck.sql(cube_orders_sql()).arrow()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    finest = got.filter(
+        _pc.and_(
+            _pc.is_valid(got.column("year")),
+            _pc.is_valid(got.column("o_orderpriority")),
+        )
+    )
+    years = got.filter(
+        _pc.and_(
+            _pc.is_valid(got.column("year")),
+            _pc.is_null(got.column("o_orderpriority")),
+        )
+    )
+    prios = got.filter(
+        _pc.and_(
+            _pc.is_null(got.column("year")),
+            _pc.is_valid(got.column("o_orderpriority")),
+        )
+    )
+    grand = got.filter(
+        _pc.and_(
+            _pc.is_null(got.column("year")),
+            _pc.is_null(got.column("o_orderpriority")),
+        )
+    )
+    assert grand.num_rows == 1
+    g = grand.column("sum_cents")[0].as_py()
+    for t in (finest, years, prios):
+        assert _pc.sum(t.column("sum_cents")).as_py() == g
+
+
+def test_sample_weighted_oracle(docs_ds, fduck):
+    """A-ES weighted sample vs the identical-expression twin (the
+    sample is a deterministic function of seed/ids/weights — exact
+    row-set oracle); n >= corpus keeps every positive-weight row;
+    heavier rows win more often on a crafted two-weight corpus."""
+    from search_engine_ray.functions.sampling import (
+        sample_weighted,
+        sample_weighted_sql,
+    )
+
+    got = _sorted(_table(sample_weighted(docs_ds, n=50, weight_col="n_chars")))
+    want = fduck.sql(
+        sample_weighted_sql(
+            "documents", n=50, weight_col="n_chars",
+            cols="doc_id, text, lang, source, n_chars",
+        )
+    ).arrow()
+    assert got.num_rows == 50
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(sample_weighted(docs_ds.repartition(9), n=50, weight_col="n_chars"))
+    )
+    assert got.equals(got2)
+    # n >= corpus: identity on positive weights
+    total = docs_ds.count()
+    allr = _table(sample_weighted(docs_ds, n=total + 10, weight_col="n_chars"))
+    assert allr.num_rows == total
+    # heavy rows dominate: weight 1000 vs 1, sample half
+    ids = list(range(200))
+    w = [1000 if i < 100 else 1 for i in ids]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "w": pa.array(w, pa.int64())})
+    )
+    t = _table(sample_weighted(ds, n=100, weight_col="w", seed=3))
+    heavy = sum(1 for i in t.column("doc_id").to_pylist() if i < 100)
+    assert heavy > 85  # odds ratio 1000:1
+    with pytest.raises(ValueError, match="n must be"):
+        sample_weighted(ds, n=0, weight_col="w")

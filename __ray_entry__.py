@@ -3456,6 +3456,15 @@ def _events_histogram_dense(sf_dir: str):
     return windows.date_histogram_filled(ev)
 
 
+def _events_locf(sf_dir: str):
+    """Per-user dense LOCF resample: one row per (user, hour) from the
+    user's first to last event hour carrying the latest prior value —
+    one user exchange, group-local grids, vectorized searchsorted."""
+    from search_engine_ray.functions import windows
+
+    return windows.locf_resample(_events_ds(sf_dir))
+
+
 def _events_ohlc(sf_dir: str):
     """OHLC resample per tumbling hour and event type: open/close by
     the packed (ts, event_id) integer order key (arbitrary-tie
@@ -3501,6 +3510,44 @@ def _events_outliers(sf_dir: str):
     from search_engine_ray.functions import aggregates
 
     return aggregates.grouped_outliers(
+        _events_ds(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "value"]
+        )
+    )
+
+
+def _pipeline_user_features(sf_dir: str):
+    """Composed per-user feature matrix: dynamic pivot counts joined
+    with the user's exact rank-rule median value — two oracled
+    primitives + one partitioned user-keyed hash join; twins composed
+    by relation nesting."""
+    from search_engine_ray.functions import relational as rel
+
+    return rel.user_features(_events_ds(sf_dir))
+
+
+def _events_winsorize(sf_dir: str):
+    """Per-group winsorization: value clipped to the group's [p5, p95]
+    order statistics (exact ceil-rank rule) — grouped_quantiles' one
+    exchange + a broadcast clip map."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.winsorize_by_group(
+        _events_ds(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type", "value"]
+        ),
+        lo=(1, 20), hi=(19, 20),
+    )
+
+
+def _events_target_encode(sf_dir: str):
+    """Leave-one-out target encoding (Micci-Barreca 2001 leakage
+    guard): per-category mean of value cents EXCLUDING the row itself,
+    micro-quantized through the identical float division both
+    engines; singleton categories encode NULL."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.target_encode_loo(
         _events_ds(sf_dir).select_columns(
             ["event_id", "user_id", "event_type", "value"]
         )
@@ -4060,8 +4107,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _window_distinct,
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
+        "events_winsorize": _events_winsorize,
+        "pipeline_user_features": _pipeline_user_features,
+        "events_target_encode": _events_target_encode,
         "text_drift": _text_drift,
         "events_ohlc": _events_ohlc,
+        "events_locf": _events_locf,
         "events_histogram_dense": _events_histogram_dense,
         "graph_cooccur": _graph_cooccur,
         "graph_triangles": _graph_triangles,
@@ -4535,12 +4586,26 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_quantiles": lambda: aggregates_mod.grouped_quantiles_sql(
             "events", "event_type", "value"
         ),
+        "pipeline_user_features": lambda: relational_mod.user_features_sql(
+            "events"
+        ),
+        "events_winsorize": lambda: aggregates_mod.winsorize_by_group_sql(
+            "(SELECT event_id, user_id, event_type, value FROM events)",
+            cols="s.event_id, s.user_id, s.event_type, s.value",
+        ),
+        "events_target_encode": lambda: (
+            aggregates_mod.target_encode_loo_sql(
+                "(SELECT event_id, user_id, event_type, value FROM events)",
+                cols="c.event_id, c.user_id, c.event_type, c.value",
+            )
+        ),
         "events_outliers": lambda: aggregates_mod.grouped_outliers_sql(
             "(SELECT event_id, user_id, event_type, value FROM events)",
             cols="event_id, user_id, event_type, value",
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
+        "events_locf": lambda: windows_mod.locf_resample_sql("events"),
         "graph_cooccur": lambda: graph_mod.cooccurrence_pairs_sql(
             _COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY),
             "l_orderkey", "l_partkey",

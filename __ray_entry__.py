@@ -3570,6 +3570,33 @@ def _privacy_kanon(sf_dir: str):
     return privacy.k_anonymity_audit(ev, ["event_type", "hour", "vb"], k=5)
 
 
+def _privacy_ksuppress(sf_dir: str):
+    """Suppression-based k-anonymization: the events rows surviving
+    after every under-5 quasi combo (event_type, hour, value-bucket)
+    is dropped — audit(k_suppress(ds)) is empty by construction."""
+    from search_engine_ray.functions import privacy
+
+    def quasi_aug(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        vb = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "hour": pa.array(hour, pa.int64()),
+                "vb": pa.array(vb, pa.int64()),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(quasi_aug, batch_format="pyarrow")
+    return privacy.k_suppress(ev, ["event_type", "hour", "vb"], k=5)
+
+
 def _events_winsorize(sf_dir: str):
     """Per-group winsorization: value clipped to the group's [p5, p95]
     order statistics (exact ceil-rank rule) — grouped_quantiles' one
@@ -4154,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
+        "privacy_ksuppress": _privacy_ksuppress,
         "pipeline_user_features": _pipeline_user_features,
         "events_target_encode": _events_target_encode,
         "text_drift": _text_drift,
@@ -4640,6 +4668,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "(SELECT event_id, user_id, event_type FROM events)",
             cols=["user_id"],
             all_cols=["event_id", "user_id", "event_type"],
+        ),
+        "privacy_ksuppress": lambda: privacy_mod.k_suppress_sql(
+            "(SELECT event_id, event_type, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(FLOOR(value / 50) AS BIGINT) AS vb FROM events)",
+            ["event_type", "hour", "vb"], k=5,
+            cols="s.event_id, s.event_type, s.hour, s.vb",
         ),
         "privacy_kanon": lambda: privacy_mod.k_anonymity_audit_sql(
             "(SELECT event_type, "

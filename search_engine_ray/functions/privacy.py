@@ -150,3 +150,77 @@ FROM {src}
 GROUP BY {qs}
 HAVING count(*) < {k}
 """
+
+
+def k_suppress(
+    ds: rd.Dataset,
+    quasi_cols: list[str],
+    k: int = 5,
+    max_combos_broadcast: int = 2_000_000,
+) -> rd.Dataset:
+    """Suppression-based k-anonymization: drop every row whose
+    quasi-identifier combination is shared by fewer than ``k`` rows —
+    the minimal release that passes :func:`k_anonymity_audit` (by
+    construction: audit(k_suppress(ds)) is empty, pinned by test).
+    Suppression is the blunt instrument (generalization keeps more
+    rows); it is also the only one that needs no domain hierarchy.
+
+    Plan: the audit's one exchange finds the under-k combos; their
+    canonical serializations (the setops row-serial device — NULL =
+    NULL, exactly the audit's grouping rule) broadcast once as a
+    sorted array (bounded by ``max_combos_broadcast``, loud; beyond
+    it the documented path is a combo-keyed anti-join), and the
+    suppression pass is a zero-shuffle searchsorted membership
+    filter.
+    """
+    from search_engine_ray.functions.setops import _row_serial
+
+    under = k_anonymity_audit(ds, quasi_cols, k)
+    n_combos = under.count()
+    if n_combos > max_combos_broadcast:
+        raise ValueError(
+            f"k_suppress: {n_combos} under-k combos exceed the broadcast "
+            f"bound {max_combos_broadcast} — use a combo-keyed anti-join"
+        )
+    tabs = under.select_columns(quasi_cols).take_all()
+    if tabs:
+        cols = {c: [r[c] for r in tabs] for c in quasi_cols}
+        serial = _row_serial(pa.table(cols)).to_pylist()
+    else:
+        serial = []
+    bad = np.sort(np.array(serial, dtype=object))
+    import ray
+
+    bad_ref = ray.put(bad)
+
+    def drop(b: pa.Table) -> pa.Table:
+        bd = ray.get(bad_ref)
+        if len(bd) == 0:
+            return b
+        s = np.array(
+            _row_serial(b.select(quasi_cols)).to_pylist(), dtype=object
+        )
+        pos = np.searchsorted(bd, s)
+        pos[pos == len(bd)] = 0
+        m = bd[pos] == s
+        return b.filter(pa.array(~m))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def k_suppress_sql(src: str, quasi_cols: list[str], k: int = 5,
+                   cols: str = "*") -> str:
+    """DuckDB oracle for :func:`k_suppress` — anti-join against the
+    under-k combos with NULL-safe equality (IS NOT DISTINCT FROM:
+    the audit groups NULLs together, so suppression must too)."""
+    qs = ", ".join(quasi_cols)
+    on = " AND ".join(
+        f"s.{c} IS NOT DISTINCT FROM u.{c}" for c in quasi_cols
+    )
+    return f"""
+WITH u AS (
+    SELECT {qs} FROM {src} GROUP BY {qs} HAVING count(*) < {k}
+)
+SELECT {cols} FROM {src} s
+ANTI JOIN u ON {on}
+"""

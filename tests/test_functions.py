@@ -4309,3 +4309,57 @@ def test_k_anonymity_audit_oracle(events_ds, educk):
     assert safe.count() == 0
     with pytest.raises(ValueError, match="k must be"):
         k_anonymity_audit(ds, ["q1"], k=1)
+
+
+def test_k_suppress_oracle(events_ds, educk):
+    """k-suppression vs the NULL-safe anti-join twin; the released
+    subset audits clean (audit(k_suppress) is empty — the closure
+    pin); NULL-combo rows suppress together."""
+    from search_engine_ray.functions.privacy import (
+        k_anonymity_audit,
+        k_suppress,
+        k_suppress_sql,
+    )
+
+    def quasi_aug(t):
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        vb = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "hour": pa.array(hour, pa.int64()),
+                "vb": pa.array(vb, pa.int64()),
+            }
+        )
+
+    ev = events_ds.map_batches(quasi_aug, batch_format="pyarrow")
+    q = ["event_type", "hour", "vb"]
+    got = _sorted(_table(k_suppress(ev, q, k=5)))
+    want = educk.sql(
+        k_suppress_sql(
+            "(SELECT event_id, event_type, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hour, "
+            "CAST(FLOOR(value / 50) AS BIGINT) AS vb FROM events)",
+            q, k=5, cols="s.event_id, s.event_type, s.hour, s.vb",
+        )
+    ).arrow()
+    assert 0 < got.num_rows < ev.count()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    # closure: the released subset is 5-anonymous
+    released = rd.from_arrow(got)
+    assert k_anonymity_audit(released, q, k=5).count() == 0
+    # crafted: NULL combos suppress together (2 NULL rows < k=3 -> gone)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "q1": pa.array(["a"] * 3 + [None, None]),
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+    t = _table(k_suppress(ds, ["q1"], k=3))
+    assert sorted(t.column("id").to_pylist()) == [1, 2, 3]

@@ -3625,6 +3625,25 @@ def _events_target_encode(sf_dir: str):
     )
 
 
+def _events_skyline(sf_dir: str):
+    """2-D Pareto frontier over (ts, value) — the newest-AND-highest
+    shortlist with no trade-off losers: distributive local frontiers
+    (two prefix scans per block, no pairwise loop), one guarded fold."""
+    from search_engine_ray.functions import aggregates
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return aggregates.skyline2d(ev, "ts_us", "value")
+
+
 def _events_quantiles(sf_dir: str):
     """Exact per-group quantiles (p25/p50/p75/p90/p99 of value per
     event_type) — blocks pre-aggregate to (group, value, count) pairs,
@@ -4178,6 +4197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": _window_distinct,
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
+        "events_skyline": _events_skyline,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4691,6 +4711,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
                 "(SELECT event_id, user_id, event_type, value FROM events)",
                 cols="c.event_id, c.user_id, c.event_type, c.value",
             )
+        ),
+        "events_skyline": lambda: aggregates_mod.skyline2d_sql(
+            "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",
+            "ts_us", "value", cols="event_id, ts_us, value",
         ),
         "events_outliers": lambda: aggregates_mod.grouped_outliers_sql(
             "(SELECT event_id, user_id, event_type, value FROM events)",

@@ -892,3 +892,110 @@ SELECT {cols},
        END AS te_loo_q
 FROM c JOIN m ON c.{cat_col} = m.g
 """
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def skyline2d(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    max_frontier: int = 2_000_000,
+) -> rd.Dataset:
+    """The 2-D skyline — every row NOT dominated by another row, both
+    dimensions maximized (Börzsönyi et al. 2001: p dominates q iff
+    p >= q on both and > on at least one; exact ties dominate
+    nothing, so duplicate frontier points all survive).  The classic
+    multi-criteria shortlist ("newest AND highest-value, no trade-off
+    losers").
+
+    Plan: the skyline is DISTRIBUTIVE — a row dominated within its own
+    block is dominated globally, so each block reduces to its LOCAL
+    frontier first (vectorized: sort by x DESC, then a row is
+    dominated iff the running y-max over strictly-greater x beats it,
+    or a same-x row has strictly greater y — two prefix scans, no
+    pairwise loop), and only local-frontier rows reach the final
+    single-group fold, which re-applies the same scan.  The fold input
+    is the union of local frontiers — usually tiny, guarded loudly
+    (an anti-correlated worst case can make the frontier
+    corpus-sized; that is a property of the DATA, not a plan bug).
+
+    NULL in either dimension drops the row (SQL comparison semantics:
+    a NULL coordinate can neither dominate nor be dominated — the
+    twin's NOT EXISTS would keep such rows vacuously, which is a
+    trap, so both engines filter them first).
+    """
+
+    def local_frontier(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)), pc.is_valid(b.column(y_col))
+            )
+        )
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(
+            b, sort_keys=[(x_col, "descending"), (y_col, "descending")]
+        )
+        b = b.take(idx)
+        x = b.column(x_col).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).to_numpy(zero_copy_only=False)
+        n = len(x)
+        # run starts: positions where x strictly drops
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = x[1:] != x[:-1]
+        run_id = np.cumsum(new_run) - 1
+        # y-max per run, then prefix max over PRIOR runs
+        run_starts = np.flatnonzero(new_run)
+        run_ymax = np.maximum.reduceat(y, run_starts)
+        prior = np.empty_like(run_ymax)
+        prior[0] = -np.inf
+        if len(run_ymax) > 1:
+            prior[1:] = np.maximum.accumulate(run_ymax[:-1])
+        # dominated iff a strictly-greater-x row has y >= mine, or a
+        # same-x row has y > mine (the run max, strict)
+        dom = (prior[run_id] >= y) | (run_ymax[run_id] > y)
+        return b.filter(pa.array(~dom))
+
+    cand = ds.map_batches(
+        lambda t: local_frontier(t.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )
+    n_cand = cand.count()
+    if n_cand > max_frontier:
+        raise ValueError(
+            f"skyline2d: {n_cand} local-frontier rows exceed "
+            f"{max_frontier} — the frontier itself is corpus-sized "
+            "(anti-correlated dimensions); a skyline is not a useful "
+            "shortlist on this data"
+        )
+    tabs = [t for t in cand.to_arrow_refs()]
+    import ray
+
+    pooled = pa.concat_tables(
+        [t for t in ray.get(tabs) if t.num_rows]
+    ) if tabs else None
+    if pooled is None or pooled.num_rows == 0:
+        return cand  # typed empty
+    return rd.from_arrow(local_frontier(pooled))
+
+
+def skyline2d_sql(src: str, x_col: str, y_col: str, cols: str = "*") -> str:
+    """DuckDB oracle for :func:`skyline2d` — the literal NOT EXISTS
+    dominance test over the NULL-filtered relation."""
+    return f"""
+WITH t AS (
+    SELECT * FROM {src}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+)
+SELECT {cols} FROM t
+WHERE NOT EXISTS (
+    SELECT 1 FROM t o
+    WHERE o.{x_col} >= t.{x_col} AND o.{y_col} >= t.{y_col}
+      AND (o.{x_col} > t.{x_col} OR o.{y_col} > t.{y_col})
+)
+"""

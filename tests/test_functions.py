@@ -4363,3 +4363,49 @@ def test_k_suppress_oracle(events_ds, educk):
     )
     t = _table(k_suppress(ds, ["q1"], k=3))
     assert sorted(t.column("id").to_pylist()) == [1, 2, 3]
+
+
+def test_skyline2d_oracle(events_ds, educk):
+    """2-D skyline vs the NOT EXISTS dominance twin; block-layout
+    invariance (the distributive local-frontier reduction must not
+    change the answer); crafted pins: exact duplicate frontier points
+    all survive, same-x strict-y dominance, NULL coordinates drop."""
+    from search_engine_ray.functions.aggregates import (
+        skyline2d,
+        skyline2d_sql,
+    )
+
+    ev = events_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(skyline2d(ev, "ts_us", "value")))
+    want = educk.sql(
+        skyline2d_sql(
+            "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",
+            "ts_us", "value", cols="event_id, ts_us, value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(skyline2d(ev.repartition(17), "ts_us", "value")))
+    assert got.equals(got2)
+    # crafted: (5,5) dup x2 both survive; (5,4) dominated same-x;
+    # (6,1) survives (best x); (4,9) survives (best y); (4,8) dominated
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "x": pa.array([5.0, 5.0, 5.0, 6.0, 4.0, 4.0, None]),
+                "y": pa.array([5.0, 5.0, 4.0, 1.0, 9.0, 8.0, 99.0]),
+            }
+        )
+    )
+    t = _table(skyline2d(ds, "x", "y"))
+    assert sorted(t.column("id").to_pylist()) == [1, 2, 4, 5]

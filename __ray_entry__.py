@@ -3666,6 +3666,16 @@ def _window_rank(sf_dir: str):
     return windows.ranked_window(_events_ds(sf_dir))
 
 
+def _window_changepoint(sf_dir: str):
+    """Best single mean-shift changepoint per user (binary
+    segmentation's first step): one user exchange, exact int64
+    cents cumsum scores every split vectorized, argmax tie-break ==
+    SQL's (score DESC, k ASC)."""
+    from search_engine_ray.functions import windows
+
+    return windows.changepoint_per_user(_events_ds(sf_dir))
+
+
 def _window_distinct(sf_dir: str):
     """Exact COUNT(DISTINCT user_id) per tumbling hour — the partial
     is the distinct (window, user) PAIR set (distinct counts are not
@@ -4195,6 +4205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": _set_intersect,
         "set_union": _set_union,
         "window_distinct": _window_distinct,
+        "window_changepoint": _window_changepoint,
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
         "events_skyline": _events_skyline,
@@ -4721,6 +4732,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             cols="event_id, user_id, event_type, value",
         ),
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
+        "window_changepoint": lambda: (
+            windows_mod.changepoint_per_user_sql("events")
+        ),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
         "events_locf": lambda: windows_mod.locf_resample_sql("events"),
         "graph_cooccur": lambda: graph_mod.cooccurrence_pairs_sql(

@@ -1337,3 +1337,117 @@ SELECT g.user_id, make_timestamp(g.h) AS window_start,
         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS value_ff
 FROM grid g
 """
+
+
+# ---------------------------------------------------------------------------
+# Single changepoint per key (binary segmentation, exact-int scoring)
+# ---------------------------------------------------------------------------
+
+CP_CENT = 100  # value quantization for the exact prefix sums
+
+
+def changepoint_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """The best single mean-shift changepoint per user — binary
+    segmentation's first step (Scott & Knott 1974; the op behind
+    "when did this user's behavior change"): over the user's events in
+    (ts, event_id) order, the split k maximizing the between-segment
+    SSE reduction ``(S1*n2 - S2*n1)^2 / (n1*n2)`` (the constant-n
+    factor dropped — same argmax).
+
+    Plan: ONE user exchange (the running_window shape); per group one
+    int64 cents cumsum scores EVERY split vectorized, argmax with
+    first-occurrence tie-break (== SQL's score DESC, k ASC).
+
+    Exactness device: the score numerator ``S1*n2 - S2*n1`` is exact
+    int64 (prefix sums of cents x row counts), squared and divided
+    once in float64 — the identical expression both engines, so the
+    argmax (an equality comparison over identical doubles) agrees
+    bit-for-bit even at score ties.  Output (user_id, k, n,
+    score) — k = rows in the left segment; single-event users have no
+    split and emit nothing.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * CP_CENT + 0.5) * np.sign(v)).astype(
+            np.int64
+        )
+        s1 = np.cumsum(c)[:-1]  # splits k = 1..n-1
+        stot = int(c.sum())
+        n1 = np.arange(1, n, dtype=np.int64)
+        n2 = n - n1
+        d = (s1 * n2 - (stot - s1) * n1).astype(np.float64)
+        score = d * d / (n1 * n2).astype(np.float64)
+        k = int(np.argmax(score)) + 1  # first max == (score DESC, k ASC)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "k": pa.array([k], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "score": pa.array([float(score[k - 1])], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def changepoint_per_user_sql(src: str) -> str:
+    """DuckDB oracle for :func:`changepoint_per_user` — the identical
+    cumsum score per split, winner by (score DESC, k ASC)."""
+    q = CP_CENT
+    return f"""
+WITH e AS (
+    SELECT user_id,
+           CAST(round(value * {q}) AS BIGINT) AS c,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM {src}
+),
+p AS (
+    SELECT user_id, rn AS k, n,
+           sum(c) OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+           sum(c) OVER (PARTITION BY user_id) AS stot
+    FROM e
+),
+scored AS (
+    SELECT user_id, k, CAST(n AS BIGINT) AS n,
+           CAST(s1 * (n - k) - (stot - s1) * k AS DOUBLE)
+           * CAST(s1 * (n - k) - (stot - s1) * k AS DOUBLE)
+           / CAST(k * (n - k) AS DOUBLE) AS score,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY CAST(s1 * (n - k) - (stot - s1) * k
+                                            AS DOUBLE)
+                                       * CAST(s1 * (n - k) - (stot - s1) * k
+                                              AS DOUBLE)
+                                       / CAST(k * (n - k) AS DOUBLE) DESC,
+                                       k ASC) AS r
+    FROM p WHERE k < n AND n >= 2
+)
+SELECT user_id, CAST(k AS BIGINT) AS k, n, score
+FROM scored WHERE r = 1
+"""

@@ -4409,3 +4409,46 @@ def test_skyline2d_oracle(events_ds, educk):
     )
     t = _table(skyline2d(ds, "x", "y"))
     assert sorted(t.column("id").to_pylist()) == [1, 2, 4, 5]
+
+
+def test_changepoint_per_user_oracle(events_ds, educk):
+    """Changepoint vs the cumsum-window twin; block-layout invariance;
+    crafted pins: a clean step lands the split at the step, a
+    constant series scores 0 at k=1 (tie-break), single-event users
+    emit nothing."""
+    from search_engine_ray.functions.windows import (
+        changepoint_per_user,
+        changepoint_per_user_sql,
+    )
+
+    got = _sorted(_table(changepoint_per_user(events_ds)))
+    want = educk.sql(changepoint_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(changepoint_per_user(events_ds.repartition(13))))
+    assert got.equals(got2)
+    # crafted: user 1 steps 10->50 after 3 rows -> k=3; user 2 constant
+    # -> score 0, k=1; user 3 single event -> absent
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([10.0, 10.0, 10.0, 50.0, 50.0]):
+        rows.append((1, i, t0 + dt.timedelta(minutes=i), v))
+    for i, v in enumerate([7.0, 7.0, 7.0]):
+        rows.append((2, 10 + i, t0 + dt.timedelta(minutes=i), v))
+    rows.append((3, 99, t0, 1.0))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+    t = _table(changepoint_per_user(ds)).sort_by("user_id")
+    assert t.column("user_id").to_pylist() == [1, 2]
+    assert t.column("k").to_pylist() == [3, 1]
+    assert t.column("score").to_pylist()[1] == 0.0

@@ -3625,6 +3625,17 @@ def _events_target_encode(sf_dir: str):
     )
 
 
+def _events_trend(sf_dir: str):
+    """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
+    blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
+    and the one groupby ships 5 int64s per user per block — no row
+    ever moves; slope is one float division of identical exact ints;
+    zero x-variance -> NULL."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.user_trend(_events_ds(sf_dir))
+
+
 def _events_skyline(sf_dir: str):
     """2-D Pareto frontier over (ts, value) — the newest-AND-highest
     shortlist with no trade-off losers: distributive local frontiers
@@ -4209,6 +4220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
         "events_skyline": _events_skyline,
+        "events_trend": _events_trend,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4723,6 +4735,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
                 cols="c.event_id, c.user_id, c.event_type, c.value",
             )
         ),
+        "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",
             "ts_us", "value", cols="event_id, ts_us, value",

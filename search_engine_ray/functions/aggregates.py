@@ -999,3 +999,111 @@ WHERE NOT EXISTS (
       AND (o.{x_col} > t.{x_col} OR o.{y_col} > t.{y_col})
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend (grouped OLS slope from additive moments)
+# ---------------------------------------------------------------------------
+
+TREND_HOUR_US = 3_600_000_000
+
+
+def user_trend(ds: rd.Dataset) -> rd.Dataset:
+    """Per-user OLS slope of value over time (cents per hour) — the
+    per-entity trend feature ("is this user's value drifting up"):
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` with x = epoch hours
+    (integer) and y = value cents.
+
+    The scale story is the point: ALL FIVE regression moments (n, Sx,
+    Sy, Sxy, Sxx) are ADDITIVE, so each block collapses to per-user
+    partial moments in-map (Arrow ``group_by``) and the ONE groupby
+    ships |users| x 5 int64s per block — no row ever moves, no
+    map_groups, strictly cheaper than any sort-based window plan.
+
+    Exactness: moments are exact int64 sums (headroom documented:
+    epoch-hours^2 x rows/user inside int64 through ~10^5 rows/user at
+    current epochs; rebase x beyond); the slope is one float64
+    division of identical exact ints in both engines.  A user whose
+    events share one timestamp-hour has zero x-variance -> NULL slope
+    (SQL NULLIF), pinned by test.
+    """
+
+    def mom(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = us // TREND_HOUR_US
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        y = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+            }
+        )
+        g = t.group_by("user_id").aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+        return g.rename_columns(["user_id", "n", "sx", "sy", "sxy", "sxx"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.select_columns(["user_id", "ts", "value"])
+        .map_batches(
+            lambda t: mom(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(
+            *[_Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        den = (n * sxx - sx * sx).astype(np.float64)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        ok = den != 0.0
+        slope = np.zeros(len(n), np.float64)
+        slope[ok] = num[ok] / den[ok]
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n": pa.array(n, pa.int64()),
+                "slope_cents_per_hour": pa.array(
+                    slope, pa.float64(), mask=~ok
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def user_trend_sql(src: str) -> str:
+    """DuckDB oracle for :func:`user_trend` — identical integer
+    moments, identical single division, NULLIF on zero x-variance."""
+    return f"""
+WITH m AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(epoch_us(ts) // {TREND_HOUR_US}) AS BIGINT) AS sx,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM((epoch_us(ts) // {TREND_HOUR_US})
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy,
+           CAST(SUM((epoch_us(ts) // {TREND_HOUR_US})
+                    * (epoch_us(ts) // {TREND_HOUR_US})) AS BIGINT) AS sxx
+    FROM {src} GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+           AS slope_cents_per_hour
+FROM m
+"""

@@ -4452,3 +4452,40 @@ def test_changepoint_per_user_oracle(events_ds, educk):
     assert t.column("user_id").to_pylist() == [1, 2]
     assert t.column("k").to_pylist() == [3, 1]
     assert t.column("score").to_pylist()[1] == 0.0
+
+
+def test_user_trend_oracle(events_ds, educk):
+    """Grouped OLS slope vs the identical-moments twin; block-layout
+    invariance; crafted pins: a perfect 2-cents/hour line recovers
+    slope exactly, zero x-variance -> NULL."""
+    import datetime as dt
+
+    from search_engine_ray.functions.aggregates import (
+        user_trend,
+        user_trend_sql,
+    )
+
+    got = _sorted(_table(user_trend(events_ds)))
+    want = educk.sql(user_trend_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(user_trend(events_ds.repartition(13))))
+    assert got.equals(got2)
+    # crafted: user 1 on an exact 2-cents/hour line; user 2 one hour
+    t0 = dt.datetime(2024, 1, 1)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    [t0, t0 + dt.timedelta(hours=1),
+                     t0 + dt.timedelta(hours=2), t0,
+                     t0 + dt.timedelta(minutes=5)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([1.00, 1.02, 1.04, 5.0, 9.0]),
+            }
+        )
+    )
+    t = _table(user_trend(ds)).sort_by("user_id")
+    assert t.column("slope_cents_per_hour").to_pylist() == [2.0, None]

@@ -3625,6 +3625,28 @@ def _events_target_encode(sf_dir: str):
     )
 
 
+def _events_abtest(sf_dir: str):
+    """Welch's t per event_type between even/odd user segments — the
+    A/B readout; additive int64 moments in-map, one (group, segment)
+    groupby, identical float expression both engines."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.ab_test(ev)
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4221,6 +4243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _events_outliers,
         "events_skyline": _events_skyline,
         "events_trend": _events_trend,
+        "events_abtest": _events_abtest,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4736,6 +4759,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             )
         ),
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
+        "events_abtest": lambda: aggregates_mod.ab_test_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",
             "ts_us", "value", cols="event_id, ts_us, value",

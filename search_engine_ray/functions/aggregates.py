@@ -1107,3 +1107,148 @@ SELECT user_id, n,
            AS slope_cents_per_hour
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test per group (the A/B-test primitive)
+# ---------------------------------------------------------------------------
+
+
+def ab_test(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Welch's unequal-variance t statistic per group between two
+    segments (Welch 1947) — the A/B-test readout ("did the treatment
+    move the metric, per surface"): ``t = (m1 - m2) /
+    sqrt(v1/n1 + v2/n2)`` with sample variances.
+
+    Plan: the same additive-moments shape as :func:`user_trend` — each
+    block collapses to per-(group, segment) int64 (n, sum, sumsq)
+    cents partials in-map, ONE groupby ships moments, and the finish
+    is a driver fold over the tiny group x 2 domain.
+
+    Exactness: every intermediate that CAN be integer is (sums,
+    squared sums), and every float step is the IDENTICAL expression in
+    both engines — including the operation ORDER (``CAST(ss AS
+    DOUBLE) - CAST(s*s AS DOUBLE)/n``, integer products exact FIRST,
+    one conversion each), so t agrees bit-for-bit.  Degenerate cells
+    (a segment with n < 2, or zero pooled variance) emit NULL t.
+    Segments must be exactly {0, 1} — refused loudly otherwise.
+    """
+
+    def mom(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        seg = b.column(segment_col).to_numpy(zero_copy_only=False)
+        if len(seg) and not np.isin(seg, (0, 1)).all():
+            raise ValueError("ab_test: segment must be 0 or 1")
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "seg": pa.array(seg.astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "s": pa.array(c, pa.int64()),
+                "ss": pa.array(c * c, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "seg"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return out.rename_columns(["g", "seg", "n", "s", "ss"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = (
+        ds.select_columns([group_col, segment_col, value_col])
+        .map_batches(
+            lambda t: mom(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "seg"])
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("s", alias_name="s"),
+            _Sum("ss", alias_name="ss"),
+        )
+        .take_all()  # |groups| x 2 rows
+    )
+    cells: dict = {}
+    for r in rows:
+        cells.setdefault(r["g"], {})[int(r["seg"])] = (
+            int(r["n"]), int(r["s"]), int(r["ss"])
+        )
+    gs, na_, nb_, ts = [], [], [], []
+    for g in sorted(cells):
+        a = cells[g].get(0)
+        b = cells[g].get(1)
+        n1, s1, ss1 = a if a else (0, 0, 0)
+        n2, s2, ss2 = b if b else (0, 0, 0)
+        gs.append(g)
+        na_.append(n1)
+        nb_.append(n2)
+        if n1 < 2 or n2 < 2:
+            ts.append(None)
+            continue
+        v1 = (float(ss1) - float(s1 * s1) / n1) / (n1 - 1)
+        v2 = (float(ss2) - float(s2 * s2) / n2) / (n2 - 1)
+        den = v1 / n1 + v2 / n2
+        if den <= 0.0:
+            ts.append(None)
+            continue
+        ts.append((s1 / n1 - s2 / n2) / float(np.sqrt(den)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(gs),
+                "n_a": pa.array(na_, pa.int64()),
+                "n_b": pa.array(nb_, pa.int64()),
+                "t_stat": pa.array(ts, pa.float64()),
+            }
+        )
+    )
+
+
+def ab_test_sql(
+    src: str,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`ab_test` — identical integer moments,
+    identical float expression and operation order."""
+    return f"""
+WITH m AS (
+    SELECT {group_col} AS g, {segment_col} AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(SUM(CAST(round({value_col} * 100) AS BIGINT)
+                    * CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)
+               AS ss
+    FROM {src} GROUP BY 1, 2
+),
+w AS (
+    SELECT coalesce(a.g, b.g) AS g,
+           coalesce(a.n, 0) AS n1, coalesce(a.s, 0) AS s1,
+           coalesce(a.ss, 0) AS ss1,
+           coalesce(b.n, 0) AS n2, coalesce(b.s, 0) AS s2,
+           coalesce(b.ss, 0) AS ss2
+    FROM (SELECT * FROM m WHERE seg = 0) a
+    FULL OUTER JOIN (SELECT * FROM m WHERE seg = 1) b ON a.g = b.g
+)
+SELECT g AS {group_col},
+       CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 ((CAST(ss1 AS DOUBLE) - CAST(s1*s1 AS DOUBLE)/n1)/(n1-1)/n1
+                  + (CAST(ss2 AS DOUBLE) - CAST(s2*s2 AS DOUBLE)/n2)/(n2-1)/n2)
+                 > 0.0
+            THEN (CAST(s1 AS DOUBLE)/n1 - CAST(s2 AS DOUBLE)/n2)
+                 / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1*s1 AS DOUBLE)/n1)
+                        /(n1-1)/n1
+                        + (CAST(ss2 AS DOUBLE) - CAST(s2*s2 AS DOUBLE)/n2)
+                          /(n2-1)/n2)
+       END AS t_stat
+FROM w
+"""

@@ -4489,3 +4489,78 @@ def test_user_trend_oracle(events_ds, educk):
     )
     t = _table(user_trend(ds)).sort_by("user_id")
     assert t.column("slope_cents_per_hour").to_pylist() == [2.0, None]
+
+
+def test_ab_test_oracle(events_ds, educk):
+    """Welch's t per group vs the identical-expression twin; crafted
+    pins: a planted mean shift yields a large |t| with the right sign,
+    identical segments give t == 0 exactly, degenerate cells NULL,
+    non-binary segments refused."""
+    from search_engine_ray.functions.aggregates import ab_test, ab_test_sql
+
+    def seg(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _sorted(_table(ab_test(ev)))
+    want = educk.sql(
+        ab_test_sql("(SELECT event_type, user_id % 2 AS segment, value FROM events)")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(ab_test(ev.repartition(11))))
+    assert got.equals(got2)
+    # crafted: seg0 ~ 10, seg1 ~ 20 with tiny jitter -> strongly negative t
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 8),
+                "segment": pa.array([0, 0, 0, 0, 1, 1, 1, 1], pa.int64()),
+                "value": pa.array(
+                    [10.0, 10.01, 9.99, 10.0, 20.0, 20.01, 19.99, 20.0]
+                ),
+            }
+        )
+    )
+    t = _table(ab_test(ds))
+    assert t.column("t_stat")[0].as_py() < -100
+    # identical segments: t == 0 exactly (same ints both sides)
+    same = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 4),
+                "segment": pa.array([0, 0, 1, 1], pa.int64()),
+                "value": pa.array([3.0, 7.0, 3.0, 7.0]),
+            }
+        )
+    )
+    assert _table(ab_test(same)).column("t_stat")[0].as_py() == 0.0
+    # degenerate: one-row segment -> NULL
+    tiny = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 3),
+                "segment": pa.array([0, 0, 1], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0]),
+            }
+        )
+    )
+    assert _table(ab_test(tiny)).column("t_stat")[0].as_py() is None
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"]),
+                "segment": pa.array([2], pa.int64()),
+                "value": pa.array([1.0]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="segment must be"):
+        _table(ab_test(bad))

@@ -3647,6 +3647,28 @@ def _events_abtest(sf_dir: str):
     return aggregates.ab_test(ev)
 
 
+def _events_mannwhitney(sf_dir: str):
+    """Mann-Whitney U per event_type between even/odd user segments —
+    the rank-based A/B readout; doubled midranks are integers, so u2 =
+    2*U1 folds exact int64, no float anywhere."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.mann_whitney(ev)
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4244,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skyline": _events_skyline,
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
+        "events_mannwhitney": _events_mannwhitney,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4760,6 +4783,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_abtest": lambda: aggregates_mod.ab_test_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_mannwhitney": lambda: aggregates_mod.mann_whitney_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(

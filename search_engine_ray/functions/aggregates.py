@@ -1252,3 +1252,120 @@ SELECT g AS {group_col},
        END AS t_stat
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U per group (the nonparametric A/B sibling)
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Mann-Whitney U per group between two segments (Mann & Whitney
+    1947) — the rank-based A/B readout that needs no normality
+    assumption: ``U1 = R1 - n1(n1+1)/2`` with R1 the segment-0 rank
+    sum under midrank ties.  :func:`ab_test`'s nonparametric sibling.
+
+    Exactness is PURE INTEGER: doubled midranks ``2*avg_rank =
+    2*first_rank + tie_count - 1`` are integers, so ``u2 = 2*U1``
+    folds as exact int64 and the twin matches without an epsilon or a
+    float anywhere — the strongest oracle class in this repo.
+
+    Plan: ONE ``groupby(group)`` exchange of in-map pre-deduped
+    (value, segment, count) rows (rank statistics need the group's
+    full value multiset co-located, but only |distinct values x 2|
+    rows ship per group); the per-group fold is one sort + cumsum
+    (first ranks) — vectorized.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        seg = b.column(segment_col).to_numpy(zero_copy_only=False)
+        if len(seg) and not np.isin(seg, (0, 1)).all():
+            raise ValueError("mann_whitney: segment must be 0 or 1")
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "v": b.column(value_col),
+                "seg": pa.array(seg.astype(np.int64), pa.int64()),
+            }
+        ).filter(pc.is_valid(b.column(value_col)))
+        out = t.group_by(["g", "v", "seg"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "seg", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        seg = grp.column("seg").to_numpy(zero_copy_only=False)
+        n = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, seg, n = v[order], seg[order], n[order]
+        # collapse equal values across segments: tie group sizes
+        uniq, inv = np.unique(v, return_inverse=True)
+        tie_n = np.zeros(len(uniq), np.int64)
+        np.add.at(tie_n, inv, n)
+        first_rank = np.concatenate(([1], 1 + np.cumsum(tie_n)[:-1]))
+        two_avg = 2 * first_rank + tie_n - 1  # doubled midrank, integer
+        m0 = seg == 0
+        n1 = int(n[m0].sum())
+        n2 = int(n[~m0].sum())
+        two_r1 = int((n[m0] * two_avg[inv[m0]]).sum())
+        u2 = two_r1 - n1 * (n1 + 1)  # 2*U1, exact
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n_a": pa.array([n1], pa.int64()),
+                "n_b": pa.array([n2], pa.int64()),
+                "u2": pa.array([u2], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, segment_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n_a", "n_b", "u2"]),
+        batch_format="pyarrow",
+    )
+
+
+def mann_whitney_sql(
+    src: str,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`mann_whitney` — the same doubled
+    midranks in pure integer arithmetic (rank() is the first rank of a
+    tie run; count(*) per (group, value) its size)."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, {value_col} AS v, {segment_col} AS seg
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+r AS (
+    SELECT g, v, seg,
+           rank() OVER (PARTITION BY g ORDER BY v) AS frank,
+           count(*) OVER (PARTITION BY g, v) AS tie_n
+    FROM t
+),
+agg AS (
+    SELECT g,
+           CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN seg = 0 THEN 2 * frank + tie_n - 1
+                         ELSE 0 END) AS BIGINT) AS two_r1
+    FROM r GROUP BY g
+)
+SELECT g AS {group_col}, n_a, n_b,
+       CAST(two_r1 - n_a * (n_a + 1) AS BIGINT) AS u2
+FROM agg
+"""

@@ -4564,3 +4564,72 @@ def test_ab_test_oracle(events_ds, educk):
     )
     with pytest.raises(Exception, match="segment must be"):
         _table(ab_test(bad))
+
+
+def test_mann_whitney_oracle(events_ds, educk):
+    """Mann-Whitney U vs the integer-midrank twin; block-layout
+    invariance; crafted pins: hand-computed U with ties, the U1+U2 =
+    n1*n2 identity, segment guard."""
+    from search_engine_ray.functions.aggregates import (
+        mann_whitney,
+        mann_whitney_sql,
+    )
+
+    def seg(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _sorted(_table(mann_whitney(ev)))
+    want = educk.sql(
+        mann_whitney_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(mann_whitney(ev.repartition(11))))
+    assert got.equals(got2)
+    # the identity: U1 + U2 == n1*n2  <=>  u2_a + u2_b == 2*n1*n2
+    # (check via swapped segments)
+    swapped = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array(
+                    1 - t.column("segment").to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sw = _sorted(_table(mann_whitney(swapped)))
+    for r1, r2 in zip(got.to_pylist(), sw.to_pylist()):
+        assert r1["u2"] + r2["u2"] == 2 * r1["n_a"] * r1["n_b"]
+    # crafted with ties: seg0 = [1, 2, 2], seg1 = [2, 3]
+    # ranks: 1->1; the three 2s midrank (2+3+4)/3 = 3; 3->5
+    # R1 = 1 + 3 + 3 = 7, U1 = 7 - 3*4/2 = 1 -> u2 = 2
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 5),
+                "segment": pa.array([0, 0, 0, 1, 1], pa.int64()),
+                "value": pa.array([1.0, 2.0, 2.0, 2.0, 3.0]),
+            }
+        )
+    )
+    t = _table(mann_whitney(ds))
+    assert t.column("u2").to_pylist() == [2]
+    with pytest.raises(Exception, match="segment must be"):
+        _table(mann_whitney(rd.from_arrow(pa.table(
+            {"event_type": pa.array(["x"]),
+             "segment": pa.array([5], pa.int64()),
+             "value": pa.array([1.0])}))))

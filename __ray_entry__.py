@@ -3669,6 +3669,27 @@ def _events_mannwhitney(sf_dir: str):
     return aggregates.mann_whitney(ev)
 
 
+def _events_chi2(sf_dir: str):
+    """Chi-square independence between event_type and even/odd user
+    segment: exact int64 contingency counts, integer-cleared cell
+    terms over the FULL cross product (absent cells included)."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.chi2_independence(ev, "event_type", "segment")
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4267,6 +4288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
         "events_mannwhitney": _events_mannwhitney,
+        "events_chi2": _events_chi2,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4787,6 +4809,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_mannwhitney": lambda: aggregates_mod.mann_whitney_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_chi2": lambda: aggregates_mod.chi2_independence_sql(
+            "(SELECT event_type, user_id % 2 AS segment FROM events)",
+            "event_type", "segment",
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",

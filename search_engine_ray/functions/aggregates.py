@@ -1369,3 +1369,110 @@ SELECT g AS {group_col}, n_a, n_b,
        CAST(two_r1 - n_a * (n_a + 1) AS BIGINT) AS u2
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (categorical x categorical)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    ds: rd.Dataset,
+    a_col: str,
+    b_col: str,
+) -> rd.Dataset:
+    """Pearson's chi-square statistic for independence between two
+    categorical columns (the contingency-table readout: "does event
+    mix differ by segment") plus the degrees of freedom — one row.
+
+    Plan: in-map (a, b, count) partials, ONE groupby over the cell
+    domain, and a driver fold over the |A| x |B| contingency table
+    (domain-bounded by definition — a chi-square over unbounded
+    cardinality is the caller's modeling error and the 2M guard says
+    so loudly).
+
+    Exactness: observed counts and all marginals are exact int64; each
+    cell's term is ``(n*o - ra*cb)^2 / (n*ra*cb)`` — the expected
+    count cleared of its division so the numerator is EXACT integer
+    arithmetic, converted once and divided once per cell.  The final
+    float sum over the |A| x |B| cells is the one place addition order
+    is not pinned (DuckDB's SUM need not follow the ORDER BY); its
+    drift is ~cells * ulp — orders of magnitude below the gate's 1e-6
+    rounding, and the per-cell terms themselves are bit-identical.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([a_col, b_col])
+        g = t.group_by([a_col, b_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "n"])
+
+    rows = (
+        ds.select_columns([a_col, b_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["a", "b"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .take_all()
+    )
+    if len(rows) > 2_000_000:
+        raise ValueError(
+            f"chi2_independence: {len(rows)} contingency cells — "
+            "unbounded-cardinality columns are a modeling error here"
+        )
+    if not rows:
+        raise ValueError("chi2_independence: empty input")
+    ra: dict = {}
+    cb: dict = {}
+    for r in rows:
+        ra[r["a"]] = ra.get(r["a"], 0) + int(r["n"])
+        cb[r["b"]] = cb.get(r["b"], 0) + int(r["n"])
+    n = sum(ra.values())
+    cells = {(r["a"], r["b"]): int(r["n"]) for r in rows}
+    stat = 0.0
+    # FULL cross product: absent cells contribute (0 - E)^2/E too
+    for av in sorted(ra):
+        for bv in sorted(cb):
+            o = cells.get((av, bv), 0)
+            num = n * o - ra[av] * cb[bv]
+            stat += float(num * num) / (float(n) * ra[av] * cb[bv])
+    dof = (len(ra) - 1) * (len(cb) - 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "dof": pa.array([dof], pa.int64()),
+                "chi2": pa.array([stat], pa.float64()),
+            }
+        )
+    )
+
+
+def chi2_independence_sql(src: str, a_col: str, b_col: str) -> str:
+    """DuckDB oracle for :func:`chi2_independence` — the same
+    integer-cleared cell terms over the FULL cross product (absent
+    cells included), summed in the same sorted cell order."""
+    return f"""
+WITH t AS (SELECT {a_col} AS a, {b_col} AS b FROM {src}),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY a, b),
+ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+grid AS (
+    SELECT ra.a, cb.b, ra.ra, cb.cb, coalesce(cells.n, 0) AS o, tot.n
+    FROM ra CROSS JOIN cb CROSS JOIN tot
+    LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+),
+terms AS (
+    SELECT a, b,
+           CAST((n*o - ra*cb) * (n*o - ra*cb) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * ra * cb) AS term
+    FROM grid
+)
+SELECT (SELECT n FROM tot) AS n,
+       CAST((SELECT count(*) FROM ra) - 1 AS BIGINT)
+       * CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
+       (SELECT SUM(term) FROM (SELECT term FROM terms ORDER BY a, b)) AS chi2
+"""

@@ -4633,3 +4633,65 @@ def test_mann_whitney_oracle(events_ds, educk):
             {"event_type": pa.array(["x"]),
              "segment": pa.array([5], pa.int64()),
              "value": pa.array([1.0])}))))
+
+
+def test_chi2_independence_oracle(events_ds, educk):
+    """Chi-square vs the full-cross-product twin; block-layout
+    invariance; crafted pins: perfectly independent table gives
+    chi2 == 0 exactly, absent cells contribute, dof arithmetic."""
+    from search_engine_ray.functions.aggregates import (
+        chi2_independence,
+        chi2_independence_sql,
+    )
+
+    def seg(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _table(chi2_independence(ev, "event_type", "segment"))
+    want = educk.sql(
+        chi2_independence_sql(
+            "(SELECT event_type, user_id % 2 AS segment FROM events)",
+            "event_type", "segment",
+        )
+    ).arrow()
+    assert got.num_rows == 1
+    g, w = got.to_pylist()[0], want.to_pylist()[0]
+    assert g["n"] == w["n"] and g["dof"] == w["dof"]
+    assert abs(g["chi2"] - w["chi2"]) < 1e-9
+    got2 = _table(chi2_independence(
+        ev.repartition(9), "event_type", "segment"))
+    assert got.to_pylist()[0]["chi2"] == got2.to_pylist()[0]["chi2"]
+    # crafted independence: counts proportional -> chi2 == 0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x"] * 6 + ["y"] * 3),
+                "b": pa.array([0, 0, 0, 0, 1, 1, 0, 0, 1], pa.int64()),
+            }
+        )
+    )
+    t = _table(chi2_independence(ds, "a", "b")).to_pylist()[0]
+    assert t["chi2"] == 0.0 and t["dof"] == 1
+    # absent cell: all of y in segment 0 -> positive chi2
+    ds2 = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", "x", "y", "y"]),
+                "b": pa.array([0, 1, 0, 0], pa.int64()),
+            }
+        )
+    )
+    assert _table(chi2_independence(ds2, "a", "b")).to_pylist()[0]["chi2"] > 0
+    with pytest.raises(ValueError, match="empty"):
+        chi2_independence(
+            rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                    "b": pa.array([], pa.int64())})),
+            "a", "b",
+        )

@@ -3690,6 +3690,25 @@ def _events_chi2(sf_dir: str):
     return aggregates.chi2_independence(ev, "event_type", "segment")
 
 
+def _events_spearman(sf_dir: str):
+    """Spearman rho per event_type between event time and value — the
+    monotone-drift readout; doubled midranks are integers so all five
+    Pearson moments fold exact int64, one identical float expression."""
+    from search_engine_ray.functions import aggregates
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4289,6 +4308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_abtest": _events_abtest,
         "events_mannwhitney": _events_mannwhitney,
         "events_chi2": _events_chi2,
+        "events_spearman": _events_spearman,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4813,6 +4833,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_chi2": lambda: aggregates_mod.chi2_independence_sql(
             "(SELECT event_type, user_id % 2 AS segment FROM events)",
             "event_type", "segment",
+        ),
+        "events_spearman": lambda: aggregates_mod.spearman_by_group_sql(
+            "(SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)",
+            "event_type", "ts_us", "value",
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",

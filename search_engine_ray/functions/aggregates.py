@@ -1476,3 +1476,135 @@ SELECT (SELECT n FROM tot) AS n,
        * CAST((SELECT count(*) FROM cb) - 1 AS BIGINT) AS dof,
        (SELECT SUM(term) FROM (SELECT term FROM terms ORDER BY a, b)) AS chi2
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per group
+# ---------------------------------------------------------------------------
+
+
+def spearman_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> rd.Dataset:
+    """Spearman's rank correlation per group between two columns
+    (Spearman 1904) — Pearson on midranks: the monotone-trend readout
+    that ignores outliers and nonlinearity ("does value drift with
+    time, per type").
+
+    Exactness device: doubled midranks (2*first_rank + tie_n - 1) are
+    INTEGERS for both variables, so all five Pearson moments over them
+    fold as exact int64 and ``rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx -
+    Sx^2) * (n*Syy - Sy^2))`` is one identical float expression both
+    engines.  int64 headroom: Sxy <= n * (2n)^2 — safe through ~50k
+    rows per group; beyond, rebase ranks per partition (documented).
+    Zero rank variance on either side (all-tied values) -> NULL.
+
+    Plan: ONE group exchange of in-map pre-deduped (x, y, count)
+    rows; per-group fold computes each variable's midranks from its
+    own multiset (searchsorted against sorted uniques + cumsum) —
+    vectorized, no pairwise work.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "x": b.column(x_col),
+                "y": b.column(y_col),
+            }
+        ).filter(
+            pc.and_(
+                pc.is_valid(b.column(x_col)), pc.is_valid(b.column(y_col))
+            )
+        )
+        out = t.group_by(["g", "x", "y"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "x", "y", "n"])
+
+    def midranks2(vals: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        """Doubled midrank per input row (over the weighted multiset)."""
+        uniq, inv = np.unique(vals, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cnt)
+        first = np.concatenate(([1], 1 + np.cumsum(tot)[:-1]))
+        return (2 * first + tot - 1)[inv]
+
+    def fold(grp: pa.Table) -> pa.Table:
+        x = grp.column("x").to_numpy(zero_copy_only=False)
+        y = grp.column("y").to_numpy(zero_copy_only=False)
+        c = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(c.sum())
+        rx = midranks2(x, c)  # doubled midranks, int64
+        ry = midranks2(y, c)
+        sx = int((c * rx).sum())
+        sy = int((c * ry).sum())
+        sxy = int((c * rx * ry).sum())
+        sxx = int((c * rx * rx).sum())
+        syy = int((c * ry * ry).sum())
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        rho = (
+            float(num) / float(np.sqrt(float(dx) * float(dy)))
+            if dx > 0 and dy > 0
+            else None
+        )
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "rho": pa.array([rho], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "rho"]),
+        batch_format="pyarrow",
+    )
+
+
+def spearman_by_group_sql(
+    src: str, group_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB oracle for :func:`spearman_by_group` — identical doubled
+    midranks, identical integer moments, identical float expression."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, {x_col} AS x, {y_col} AS y FROM {src}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+r AS (
+    SELECT g,
+           2 * rank() OVER (PARTITION BY g ORDER BY x)
+             + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+           2 * rank() OVER (PARTITION BY g ORDER BY y)
+             + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+    FROM t
+),
+m AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+           CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+           CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+           CAST(SUM(ry * ry) AS BIGINT) AS syy
+    FROM r GROUP BY g
+)
+SELECT g AS {group_col}, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS rho
+FROM m
+"""

@@ -4695,3 +4695,55 @@ def test_chi2_independence_oracle(events_ds, educk):
                                     "b": pa.array([], pa.int64())})),
             "a", "b",
         )
+
+
+def test_spearman_by_group_oracle(events_ds, educk):
+    """Spearman rho vs the integer-midrank twin; block-layout
+    invariance; crafted pins: a perfect monotone map gives rho == 1.0
+    exactly, a reversed one -1.0, an all-tied side NULL."""
+    from search_engine_ray.functions.aggregates import (
+        spearman_by_group,
+        spearman_by_group_sql,
+    )
+
+    ev = events_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(spearman_by_group(ev, "event_type", "ts_us", "value")))
+    want = educk.sql(
+        spearman_by_group_sql(
+            "(SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)",
+            "event_type", "ts_us", "value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(spearman_by_group(ev.repartition(9), "event_type", "ts_us", "value"))
+    )
+    assert got.equals(got2)
+    # crafted: monotone increasing -> 1.0; reversed -> -1.0; ties -> NULL
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["up"] * 4 + ["down"] * 4 + ["flat"] * 3),
+                "x": pa.array(
+                    [1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3], pa.int64()
+                ),
+                "y": pa.array(
+                    [10.0, 20.0, 25.0, 99.0, 99.0, 25.0, 20.0, 10.0,
+                     7.0, 7.0, 7.0]
+                ),
+            }
+        )
+    )
+    t = _table(spearman_by_group(ds, "g", "x", "y")).sort_by("g")
+    by = dict(zip(t.column("g").to_pylist(), t.column("rho").to_pylist()))
+    assert by["up"] == 1.0 and by["down"] == -1.0 and by["flat"] is None

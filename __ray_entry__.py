@@ -3761,6 +3761,16 @@ def _window_rank(sf_dir: str):
     return windows.ranked_window(_events_ds(sf_dir))
 
 
+def _events_transitions(sf_dir: str):
+    """First-order event-type transition counts per user sequence —
+    the Markov/path constructor (funnel's exploratory sibling): one
+    user exchange, per-group consecutive pairs pre-counted, tiny
+    (from, to) groupby."""
+    from search_engine_ray.functions import windows
+
+    return windows.transition_counts(_events_ds(sf_dir))
+
+
 def _window_changepoint(sf_dir: str):
     """Best single mean-shift changepoint per user (binary
     segmentation's first step): one user exchange, exact int64
@@ -4301,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_union": _set_union,
         "window_distinct": _window_distinct,
         "window_changepoint": _window_changepoint,
+        "events_transitions": _events_transitions,
         "events_quantiles": _events_quantiles,
         "events_outliers": _events_outliers,
         "events_skyline": _events_skyline,
@@ -4849,6 +4860,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_rank": lambda: windows_mod.ranked_window_sql("events"),
         "window_changepoint": lambda: (
             windows_mod.changepoint_per_user_sql("events")
+        ),
+        "events_transitions": lambda: (
+            windows_mod.transition_counts_sql("events")
         ),
         "events_ohlc": lambda: windows_mod.ohlc_resample_sql("events"),
         "events_locf": lambda: windows_mod.locf_resample_sql("events"),

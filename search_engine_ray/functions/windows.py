@@ -1451,3 +1451,75 @@ scored AS (
 SELECT user_id, CAST(k AS BIGINT) AS k, n, score
 FROM scored WHERE r = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition counts (first-order Markov / path analytics)
+# ---------------------------------------------------------------------------
+
+
+def transition_counts(ds: rd.Dataset) -> rd.Dataset:
+    """First-order transition counts over each user's event sequence —
+    "what do users do NEXT after X": for every consecutive pair in the
+    user's (ts, event_id)-ordered stream, count (from_type, to_type)
+    corpus-wide.  The Markov-chain / path-analytics constructor
+    (funnel's exploratory sibling: funnel checks ONE prescribed path,
+    this surfaces all of them).
+
+    Plan: ONE ``groupby(user_id)`` exchange (transitions never span
+    users — the sessionization assumption); each group sorts by the
+    total key and emits its consecutive type pairs pre-counted (Arrow
+    ``group_by`` in the fold), and a tiny ``(from, to)`` groupby sums
+    — the shuffled intermediate is |type|^2-bounded per group, never
+    event-sized.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        et = g.column("event_type")
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"from_type": et.slice(0, n - 1), "to_type": et.slice(1)})
+        out = t.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["from_type", "to_type", "n"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+
+def transition_counts_sql(src: str) -> str:
+    """DuckDB oracle for :func:`transition_counts` — lead() over the
+    same total per-user order."""
+    return f"""
+WITH s AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM {src}
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""

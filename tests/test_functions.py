@@ -4747,3 +4747,48 @@ def test_spearman_by_group_oracle(events_ds, educk):
     t = _table(spearman_by_group(ds, "g", "x", "y")).sort_by("g")
     by = dict(zip(t.column("g").to_pylist(), t.column("rho").to_pylist()))
     assert by["up"] == 1.0 and by["down"] == -1.0 and by["flat"] is None
+
+
+def test_transition_counts_oracle(events_ds, educk):
+    """Transition counts vs the lead() twin; block-layout invariance;
+    crafted pins: the chain a->b->b->c counts (a,b),(b,b),(b,c),
+    transitions never span users, single-event users contribute
+    nothing, total transitions == rows - users."""
+    import datetime as dt
+
+    from search_engine_ray.functions.windows import (
+        transition_counts,
+        transition_counts_sql,
+    )
+
+    got = _sorted(_table(transition_counts(events_ds)))
+    want = educk.sql(transition_counts_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(transition_counts(events_ds.repartition(13))))
+    assert got.equals(got2)
+    n_events = events_ds.count()
+    n_users = events_ds.unique("user_id").__len__()
+    assert sum(got.column("n").to_pylist()) == n_events - n_users
+    # crafted: user 1 chain a,b,b,c; user 2 single event (nothing);
+    # the c->a "transition" across users must NOT appear
+    t0 = dt.datetime(2024, 1, 1)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(minutes=i) for i in range(5)],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["a", "b", "b", "c", "a"]),
+            }
+        )
+    )
+    t = _sorted(_table(transition_counts(ds)))
+    assert t.to_pylist() == [
+        {"from_type": "a", "to_type": "b", "n": 1},
+        {"from_type": "b", "to_type": "b", "n": 1},
+        {"from_type": "b", "to_type": "c", "n": 1},
+    ]

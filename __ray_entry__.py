@@ -3709,6 +3709,17 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _events_gini(sf_dir: str):
+    """Gini concentration of value per event_type (the Lorenz-curve
+    summary): rank-weighted sums collapse tie runs in closed form —
+    exact int64 numerator and denominators, one float division."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.gini_by_group(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4320,6 +4331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mannwhitney": _events_mannwhitney,
         "events_chi2": _events_chi2,
         "events_spearman": _events_spearman,
+        "events_gini": _events_gini,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4848,6 +4860,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_spearman": lambda: aggregates_mod.spearman_by_group_sql(
             "(SELECT event_type, epoch_us(ts) AS ts_us, value FROM events)",
             "event_type", "ts_us", "value",
+        ),
+        "events_gini": lambda: aggregates_mod.gini_by_group_sql(
+            "events", "event_type", "value"
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",

@@ -1608,3 +1608,107 @@ SELECT g AS {group_col}, n,
        END AS rho
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per group (value-concentration audit)
+# ---------------------------------------------------------------------------
+
+
+def gini_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """Gini concentration coefficient of ``value_col`` per group (the
+    Lorenz-curve summary; Gini 1912) — the inequality audit every
+    usage dashboard wants ("is revenue concentrated in a few whales,
+    per segment"): ``G = sum_i (2i - n - 1) x_(i) / (n * sum x)`` over
+    the sorted multiset.
+
+    Plan: the column_quantiles shape — blocks pre-aggregate to
+    (group, value-cents, count) rows, ONE group exchange co-locates
+    each group's value histogram, and the rank-weighted sum collapses
+    tie runs in closed form: a value occupying ranks a..b contributes
+    ``x * c * (a + b - n - 1)`` — EXACT int64 arithmetic (ranks from
+    one cumsum), so the numerator and both denominator factors are
+    exact ints and G is one identical float division.  Negative
+    values are refused (the Lorenz construction assumes a
+    non-negative measure); an all-zero or empty group yields NULL.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        if len(c) and c.min() < 0:
+            raise ValueError(
+                "gini_by_group: negative values — the Lorenz construction "
+                "assumes a non-negative measure"
+            )
+        t = pa.table({"g": b.column(group_col), "c": pa.array(c, pa.int64())})
+        out = t.group_by(["g", "c"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        c = grp.column("c").to_numpy(zero_copy_only=False)
+        cnt = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        c, cnt = c[order], cnt[order]
+        n = int(cnt.sum())
+        ends = np.cumsum(cnt)          # b per run
+        starts = ends - cnt + 1        # a per run
+        num = int((c * cnt * (starts + ends - n - 1)).sum())
+        tot = int((c * cnt).sum())
+        g = float(num) / (float(n) * tot) if tot > 0 else None
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "gini": pa.array([g], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "gini"]),
+        batch_format="pyarrow",
+    )
+
+
+def gini_by_group_sql(src: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle for :func:`gini_by_group` — the same cents, the
+    same rank-weighted sum via row_number over the sorted multiset
+    (2i - n - 1 summed per row == the engine's closed-form tie runs),
+    the same single float division."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src}
+),
+r AS (
+    SELECT g, c,
+           row_number() OVER (PARTITION BY g ORDER BY c) AS i,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM t
+),
+m AS (
+    SELECT g, CAST(max(n) AS BIGINT) AS n,
+           CAST(SUM(c * (2 * i - n - 1)) AS BIGINT) AS num,
+           CAST(SUM(c) AS BIGINT) AS tot
+    FROM r GROUP BY g
+)
+SELECT g AS {group_col}, n,
+       CASE WHEN tot > 0
+            THEN CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+       END AS gini
+FROM m
+"""

@@ -4792,3 +4792,43 @@ def test_transition_counts_oracle(events_ds, educk):
         {"from_type": "b", "to_type": "b", "n": 1},
         {"from_type": "b", "to_type": "c", "n": 1},
     ]
+
+
+def test_gini_by_group_oracle(events_ds, educk):
+    """Gini vs the row_number twin; block-layout invariance; crafted
+    pins: perfect equality -> 0 exactly, one-whale concentration ->
+    (n-1)/n exactly, all-zero group NULL, negative values refused."""
+    from search_engine_ray.functions.aggregates import (
+        gini_by_group,
+        gini_by_group_sql,
+    )
+
+    got = _sorted(_table(gini_by_group(events_ds, "event_type", "value")))
+    want = educk.sql(
+        gini_by_group_sql("events", "event_type", "value")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(gini_by_group(events_ds.repartition(9), "event_type", "value"))
+    )
+    assert got.equals(got2)
+    # crafted: equal values -> 0; one whale of 4 -> (4-1)/4 = 0.75;
+    # all-zero -> NULL
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["eq"] * 4 + ["whale"] * 4 + ["zero"] * 2),
+                "v": pa.array(
+                    [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 80.0, 0.0, 0.0]
+                ),
+            }
+        )
+    )
+    t = _table(gini_by_group(ds, "g", "v")).sort_by("g")
+    by = dict(zip(t.column("g").to_pylist(), t.column("gini").to_pylist()))
+    assert by["eq"] == 0.0 and by["whale"] == 0.75 and by["zero"] is None
+    with pytest.raises(Exception, match="negative"):
+        _table(gini_by_group(
+            rd.from_arrow(pa.table({"g": pa.array(["x"]),
+                                    "v": pa.array([-1.0])})), "g", "v"))

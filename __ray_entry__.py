@@ -3720,6 +3720,17 @@ def _events_gini(sf_dir: str):
     )
 
 
+def _events_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix (behavioral
+    diversity): ln of exact int64 ratios quantized with the NB/JS
+    rule, weighted int sums, one identical float division."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.entropy_by_group(
+        _events_ds(sf_dir), "user_id", "event_type"
+    )
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4332,6 +4343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2": _events_chi2,
         "events_spearman": _events_spearman,
         "events_gini": _events_gini,
+        "events_entropy": _events_entropy,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4863,6 +4875,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_gini": lambda: aggregates_mod.gini_by_group_sql(
             "events", "event_type", "value"
+        ),
+        "events_entropy": lambda: aggregates_mod.entropy_by_group_sql(
+            "events", "user_id", "event_type"
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",

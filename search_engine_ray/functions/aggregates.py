@@ -1712,3 +1712,97 @@ SELECT g AS {group_col}, n,
        END AS gini
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy per group (behavioral diversity)
+# ---------------------------------------------------------------------------
+
+ENTROPY_Q = 1_000_000  # per-term log quantization (the NB/JS device)
+
+
+def entropy_by_group(
+    ds: rd.Dataset,
+    group_col: str,
+    cat_col: str,
+) -> rd.Dataset:
+    """Shannon entropy (nats) of the ``cat_col`` distribution per
+    group — the behavioral-diversity feature ("does this user do one
+    thing or many"): ``H = -sum_i p_i ln p_i``.
+
+    Exactness device (the JS-divergence rule): each category's
+    ``ln(n_i / n)`` is the ln of a ratio of exact int64s — the SAME
+    double both engines — quantized ``floor(x*1e6 + 0.5)``, weighted
+    by the int64 count and summed exactly; the final ``-hq / (n *
+    1e6)`` is one identical float division.  Singleton-category
+    groups measure exactly 0.0 (ln 1 quantizes to 0).
+
+    Plan: in-map (group, category, count) partials, ONE
+    (group, category) groupby, then a per-group fold over the tiny
+    category domain — the exchange is |groups x categories| rows.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, cat_col])
+        g = t.group_by([group_col, cat_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["g", "cat", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        n_i = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(n_i.sum())
+        qlog = np.floor(
+            np.log(n_i / n) * ENTROPY_Q + 0.5
+        ).astype(np.int64)
+        hq = int((n_i * qlog).sum())
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "entropy": pa.array(
+                    [-hq / (float(n) * ENTROPY_Q)], pa.float64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (
+        ds.select_columns([group_col, cat_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "cat"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "entropy"]),
+        batch_format="pyarrow",
+    )
+
+
+def entropy_by_group_sql(src: str, group_col: str, cat_col: str) -> str:
+    """DuckDB oracle for :func:`entropy_by_group` — identical ratio
+    through ln, identical quantization, identical final division."""
+    q = ENTROPY_Q
+    return f"""
+WITH c AS (
+    SELECT {group_col} AS g, {cat_col} AS cat,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {src} GROUP BY 1, 2
+),
+tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY g),
+h AS (
+    SELECT c.g,
+           CAST(SUM(c.n * CAST(floor(ln(c.n * 1.0 / t.nt) * {q} + 0.5)
+                               AS BIGINT)) AS BIGINT) AS hq,
+           CAST(max(t.nt) AS BIGINT) AS nt
+    FROM c JOIN tot t ON c.g = t.g
+    GROUP BY c.g
+)
+SELECT g AS {group_col}, nt AS n,
+       CAST(-hq AS DOUBLE) / (CAST(nt AS DOUBLE) * {q}) AS entropy
+FROM h
+"""

@@ -4832,3 +4832,41 @@ def test_gini_by_group_oracle(events_ds, educk):
         _table(gini_by_group(
             rd.from_arrow(pa.table({"g": pa.array(["x"]),
                                     "v": pa.array([-1.0])})), "g", "v"))
+
+
+def test_entropy_by_group_oracle(events_ds, educk):
+    """Entropy vs the quantized-log twin; block-layout invariance;
+    crafted pins: single-category group == 0.0 exactly, a uniform
+    4-way mix == quantized ln 4, skew strictly below uniform."""
+    from search_engine_ray.functions.aggregates import (
+        entropy_by_group,
+        entropy_by_group_sql,
+    )
+
+    got = _sorted(_table(entropy_by_group(events_ds, "user_id", "event_type")))
+    want = educk.sql(
+        entropy_by_group_sql("events", "user_id", "event_type")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(entropy_by_group(events_ds.repartition(11), "user_id", "event_type"))
+    )
+    assert got.equals(got2)
+    # crafted
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([1] * 3 + [2] * 4 + [3] * 4, pa.int64()),
+                "c": pa.array(
+                    ["a", "a", "a", "w", "x", "y", "z", "w", "w", "w", "x"]
+                ),
+            }
+        )
+    )
+    t = _table(entropy_by_group(ds, "g", "c")).sort_by("g")
+    e = t.column("entropy").to_pylist()
+    assert e[0] == 0.0  # single category
+    q4 = -4 * 1 * np.floor(np.log(0.25) * 1_000_000 + 0.5) / (4 * 1_000_000)
+    assert abs(e[1] - q4) < 1e-12  # uniform 4-way == quantized ln 4
+    assert 0.0 < e[2] < e[1]  # skewed mix strictly between

@@ -3731,6 +3731,20 @@ def _events_entropy(sf_dir: str):
     )
 
 
+def _events_qbin(sf_dir: str):
+    """Equal-frequency quartile binning of value per event_type —
+    value-based discretization (ties share a bucket, unlike ntile's
+    positional split); rank-rule boundaries + broadcast label map."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.quantile_bin(
+        _events_ds(sf_dir).select_columns(
+            ["event_id", "event_type", "value"]
+        ),
+        "event_type", "value",
+    )
+
+
 def _events_trend(sf_dir: str):
     """Per-user OLS slope (cents/hour) from ADDITIVE integer moments:
     blocks collapse to per-user (n, Sx, Sy, Sxy, Sxx) partials in-map
@@ -4344,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spearman": _events_spearman,
         "events_gini": _events_gini,
         "events_entropy": _events_entropy,
+        "events_qbin": _events_qbin,
         "events_winsorize": _events_winsorize,
         "privacy_pseudonymize": _privacy_pseudonymize,
         "privacy_kanon": _privacy_kanon,
@@ -4878,6 +4893,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_entropy": lambda: aggregates_mod.entropy_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_qbin": lambda: aggregates_mod.quantile_bin_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "event_type", "value",
+            cols="s.event_id, s.event_type, s.value",
         ),
         "events_skyline": lambda: aggregates_mod.skyline2d_sql(
             "(SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)",

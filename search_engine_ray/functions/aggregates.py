@@ -1806,3 +1806,91 @@ SELECT g AS {group_col}, nt AS n,
        CAST(-hq AS DOUBLE) / (CAST(nt AS DOUBLE) * {q}) AS entropy
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency quantile binning (discretization)
+# ---------------------------------------------------------------------------
+
+
+def quantile_bin(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    bins: int = 4,
+) -> rd.Dataset:
+    """Equal-frequency discretization — label every row with its
+    within-group quantile bucket 1..bins (quartiles by default): the
+    feature binning a tabular pipeline runs before categorical models,
+    VALUE-based (ties share a bucket; unlike ``ntile``, which splits
+    tied rows by position).
+
+    Boundaries are the same exact ceil-rank ORDER STATISTICS as
+    :func:`grouped_quantiles` at q = i/bins; the label is ``1 +
+    #{boundaries strictly below v}`` — identical double comparisons
+    against identical boundary values in both engines, so every row
+    labels identically.  One quantile exchange + a broadcast label
+    map (the winsorize shape).
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qs = tuple((i, bins) for i in range(1, bins))
+    bounds = grouped_quantiles(ds, group_col, value_col, quantiles=qs)
+    rows = bounds.take_all()
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r[group_col], []).append((r["q"], r["value"]))
+    band = {
+        g: np.array([v for _, v in sorted(vals)], np.float64)
+        for g, vals in per.items()
+    }
+    import ray
+
+    band_ref = ray.put(band)
+
+    def label(b: pa.Table) -> pa.Table:
+        bd = ray.get(band_ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        out = np.ones(len(v), np.int64)
+        for grp in np.unique(g):
+            m = g == grp
+            edges = bd[grp]
+            # strictly-greater count: values EQUAL to a boundary belong
+            # to the boundary's bucket (v > edge moves up, v == stays)
+            out[m] = 1 + (v[m][None, :] > edges[:, None]).sum(axis=0)
+        return b.append_column("bin", pa.array(out, pa.int64()))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def quantile_bin_sql(
+    src: str,
+    group_col: str,
+    value_col: str,
+    bins: int = 4,
+    cols: str = "*",
+) -> str:
+    """DuckDB oracle for :func:`quantile_bin` — the same rank-rule
+    boundaries, the same strictly-greater counting."""
+    qrows = ", ".join(f"({i}, {bins})" for i in range(1, bins))
+    return f"""
+WITH vals AS (SELECT {group_col} AS g, {value_col} AS v FROM {src}
+              WHERE {value_col} IS NOT NULL),
+counts AS (SELECT g, v, count(*) AS n FROM vals GROUP BY g, v),
+cum AS (SELECT g, v, sum(n) OVER (PARTITION BY g ORDER BY v) AS c FROM counts),
+tot AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+quants AS (SELECT * FROM (VALUES {qrows}) q(num, den)),
+bounds AS (
+    SELECT t.g, q.num,
+           (SELECT min(v) FROM cum
+            WHERE cum.g = t.g
+              AND c >= (q.num * t.n + q.den - 1) // q.den) AS bv
+    FROM tot t CROSS JOIN quants q
+)
+SELECT {cols},
+       CAST(1 + (SELECT count(*) FROM bounds
+                 WHERE bounds.g = s.{group_col}
+                   AND s.{value_col} > bounds.bv) AS BIGINT) AS bin
+FROM {src} s
+"""

@@ -4870,3 +4870,44 @@ def test_entropy_by_group_oracle(events_ds, educk):
     q4 = -4 * 1 * np.floor(np.log(0.25) * 1_000_000 + 0.5) / (4 * 1_000_000)
     assert abs(e[1] - q4) < 1e-12  # uniform 4-way == quantized ln 4
     assert 0.0 < e[2] < e[1]  # skewed mix strictly between
+
+
+def test_quantile_bin_oracle(events_ds, educk):
+    """Quartile binning vs the rank-rule twin; block-layout
+    invariance; crafted pins: equal-frequency counts on a uniform
+    ramp, tied boundary values share the boundary's bucket, guard."""
+    from search_engine_ray.functions.aggregates import (
+        quantile_bin,
+        quantile_bin_sql,
+    )
+
+    ev = events_ds.select_columns(["event_id", "event_type", "value"])
+    got = _sorted(_table(quantile_bin(ev, "event_type", "value")))
+    want = educk.sql(
+        quantile_bin_sql(
+            "(SELECT event_id, event_type, value FROM events)",
+            "event_type", "value",
+            cols="s.event_id, s.event_type, s.value",
+        )
+    ).arrow()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(quantile_bin(ev.repartition(9), "event_type", "value")))
+    assert got.equals(got2)
+    # crafted ramp 1..8: quartiles 2/4/6 -> bins [1,1,2,2,3,3,4,4];
+    # tie group: all rows equal -> everyone bucket 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["r"] * 8 + ["t"] * 3),
+                "value": pa.array(
+                    [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 9.0, 9.0]
+                ),
+            }
+        )
+    )
+    t = _table(quantile_bin(ds, "event_type", "value")).sort_by(
+        [("event_type", "ascending"), ("value", "ascending")]
+    )
+    assert t.column("bin").to_pylist() == [1, 1, 2, 2, 3, 3, 4, 4, 1, 1, 1]
+    with pytest.raises(ValueError, match="bins"):
+        quantile_bin(ds, "event_type", "value", bins=1)

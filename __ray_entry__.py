@@ -3647,6 +3647,28 @@ def _events_abtest(sf_dir: str):
     return aggregates.ab_test(ev)
 
 
+def _events_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D per event_type between even/odd
+    user segments — the distribution-shape A/B readout; integer CDF-gap
+    numerators |ca*nb - cb*na| fold exact int64, one float division."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.ks_test(ev)
+
+
 def _events_mannwhitney(sf_dir: str):
     """Mann-Whitney U per event_type between even/odd user segments —
     the rank-based A/B readout; doubled midranks are integers, so u2 =
@@ -4353,6 +4375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skyline": _events_skyline,
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
+        "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
         "events_chi2": _events_chi2,
         "events_spearman": _events_spearman,
@@ -4875,6 +4898,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_abtest": lambda: aggregates_mod.ab_test_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_ks": lambda: aggregates_mod.ks_test_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
         ),
         "events_mannwhitney": lambda: aggregates_mod.mann_whitney_sql(

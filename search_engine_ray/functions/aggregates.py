@@ -1894,3 +1894,139 @@ SELECT {cols},
                    AND s.{value_col} > bounds.bv) AS BIGINT) AS bin
 FROM {src} s
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test per group
+# ---------------------------------------------------------------------------
+
+
+def ks_test(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov statistic per group between two
+    segments (Kolmogorov 1933; Smirnov 1939) — the distribution-shape
+    A/B readout that :func:`ab_test` (means) and :func:`mann_whitney`
+    (location shift) cannot see: ``D = sup_v |F_a(v) - F_b(v)|`` over
+    the empirical CDFs.  A segment can match in mean and rank-sum yet
+    differ in variance or modality; D catches exactly that.
+
+    Exactness is PURE INTEGER until the last division: at each
+    distinct value the CDF gap is ``|ca*nb - cb*na| / (na*nb)`` with
+    ``ca``/``cb`` the cumulative segment counts — numerator and both
+    factors are exact int64 (headroom: ``ca*nb <= na*nb``, safe
+    through ~3e9 rows per segment per group), the max folds over
+    integers, and ``d`` is ONE identical float expression both
+    engines: ``float(ks_num) / (float(na) * float(nb))``.  Degenerate
+    one-sided groups emit NULL d (sup over an empty comparison).
+
+    Plan: the :func:`mann_whitney` shape — ONE ``groupby(group)``
+    exchange of in-map pre-deduped (value, segment, count) rows (the
+    CDF needs the group's value multiset co-located, but only
+    |distinct values x 2| rows ship per group); the per-group fold is
+    one sort + two cumsums — vectorized.  Reference analog: the
+    statistics surface (``services/statistics/StatisticsServiceImpl.java:33-79``)
+    generalized to distribution monitoring.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        seg = b.column(segment_col).to_numpy(zero_copy_only=False)
+        if len(seg) and not np.isin(seg, (0, 1)).all():
+            raise ValueError("ks_test: segment must be 0 or 1")
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "v": b.column(value_col),
+                "seg": pa.array(seg.astype(np.int64), pa.int64()),
+            }
+        ).filter(pc.is_valid(b.column(value_col)))
+        out = t.group_by(["g", "v", "seg"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "seg", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        v = grp.column("v").to_numpy(zero_copy_only=False)
+        seg = grp.column("seg").to_numpy(zero_copy_only=False)
+        n = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(v, return_inverse=True)
+        a = np.zeros(len(uniq), np.int64)
+        b = np.zeros(len(uniq), np.int64)
+        m0 = seg == 0
+        np.add.at(a, inv[m0], n[m0])
+        np.add.at(b, inv[~m0], n[~m0])
+        na = int(a.sum())
+        nb = int(b.sum())
+        ca = np.cumsum(a)
+        cb = np.cumsum(b)
+        ks_num = int(np.abs(ca * nb - cb * na).max()) if len(uniq) else 0
+        d = (
+            float(ks_num) / (float(na) * float(nb))
+            if na > 0 and nb > 0
+            else None
+        )
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "ks_num": pa.array([ks_num], pa.int64()),
+                "d": pa.array([d], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, segment_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n_a", "n_b", "ks_num", "d"]),
+        batch_format="pyarrow",
+    )
+
+
+def ks_test_sql(
+    src: str,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`ks_test` — the same integer CDF-gap
+    numerators via window cumsums, the same single float division."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, {value_col} AS v, {segment_col} AS seg
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+cell AS (
+    SELECT g, v,
+           CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM t GROUP BY g, v
+),
+cum AS (
+    SELECT g,
+           CAST(SUM(a) OVER w AS BIGINT) AS ca,
+           CAST(SUM(b) OVER w AS BIGINT) AS cb
+    FROM cell
+    WINDOW w AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+    SELECT g, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+    FROM cell GROUP BY g
+)
+SELECT cum.g AS {group_col}, tot.na AS n_a, tot.nb AS n_b,
+       CAST(MAX(ABS(ca * tot.nb - cb * tot.na)) AS BIGINT) AS ks_num,
+       CASE WHEN tot.na > 0 AND tot.nb > 0
+            THEN CAST(MAX(ABS(ca * tot.nb - cb * tot.na)) AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE))
+       END AS d
+FROM cum JOIN tot ON cum.g = tot.g
+GROUP BY cum.g, tot.na, tot.nb
+"""

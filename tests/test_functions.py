@@ -4635,6 +4635,82 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_ks_test_oracle(events_ds, educk):
+    """Two-sample KS vs the window-cumsum twin; block-layout
+    invariance; crafted pins: identical segments d == 0.0 exactly,
+    disjoint supports d == 1.0 exactly, a variance-only shift that
+    Mann-Whitney cannot see, segment guard."""
+    from search_engine_ray.functions.aggregates import ks_test, ks_test_sql
+
+    def seg(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _sorted(_table(ks_test(ev)))
+    want = educk.sql(
+        ks_test_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(ks_test(ev.repartition(11))))
+    assert got.equals(got2)
+    # identical segments -> every CDF gap is 0 -> d == 0.0 EXACTLY
+    same = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 4),
+                "segment": pa.array([0, 1, 0, 1], pa.int64()),
+                "value": pa.array([3.0, 3.0, 7.0, 7.0]),
+            }
+        )
+    )
+    t = _table(ks_test(same))
+    assert t.column("ks_num").to_pylist() == [0]
+    assert t.column("d").to_pylist() == [0.0]
+    # disjoint supports -> at the boundary ca == na, cb == 0 ->
+    # ks_num == na*nb -> d == 1.0 EXACTLY
+    dis = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 5),
+                "segment": pa.array([0, 0, 0, 1, 1], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0, 8.0, 9.0]),
+            }
+        )
+    )
+    t = _table(ks_test(dis))
+    assert t.column("ks_num").to_pylist() == [6]
+    assert t.column("d").to_pylist() == [1.0]
+    # variance-only shift: seg0 = [1, 5], seg1 = [3, 3] — equal means
+    # AND equal rank sums (U = n1*n2/2), but the CDFs split: at v=1
+    # |1*2 - 0*2| = 2 -> d = 0.5
+    var = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 4),
+                "segment": pa.array([0, 0, 1, 1], pa.int64()),
+                "value": pa.array([1.0, 5.0, 3.0, 3.0]),
+            }
+        )
+    )
+    t = _table(ks_test(var))
+    assert t.column("d").to_pylist() == [0.5]
+    with pytest.raises(Exception, match="segment must be"):
+        _table(ks_test(rd.from_arrow(pa.table(
+            {"event_type": pa.array(["x"]),
+             "segment": pa.array([7], pa.int64()),
+             "value": pa.array([1.0])}))))
+
+
 def test_chi2_independence_oracle(events_ds, educk):
     """Chi-square vs the full-cross-product twin; block-layout
     invariance; crafted pins: perfectly independent table gives

@@ -3731,6 +3731,27 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _events_kendall(sf_dir: str):
+    """Kendall tau-b per event_type between event time and value —
+    the concordance-based drift readout; C-D and all tie counts fold
+    as exact integers via a Fenwick 2D dominance count, one identical
+    HUGEINT->DOUBLE denominator cast and one float division."""
+    from search_engine_ray.functions import aggregates
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return aggregates.kendall_by_group(ev, "event_type", "ts_us", "value")
+
+
 def _events_gini(sf_dir: str):
     """Gini concentration of value per event_type (the Lorenz-curve
     summary): rank-weighted sums collapse tie runs in closed form —
@@ -4375,6 +4396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skyline": _events_skyline,
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
+        "events_kendall": _events_kendall,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
         "events_chi2": _events_chi2,
@@ -4899,6 +4921,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_abtest": lambda: aggregates_mod.ab_test_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_kendall": lambda: aggregates_mod.kendall_by_group_sql(
+            "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "
+            "FROM events)"
         ),
         "events_ks": lambda: aggregates_mod.ks_test_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"

@@ -2030,3 +2030,189 @@ SELECT cum.g AS {group_col}, tot.na AS n_a, tot.nb AS n_b,
 FROM cum JOIN tot ON cum.g = tot.g
 GROUP BY cum.g, tot.na, tot.nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation per group
+# ---------------------------------------------------------------------------
+
+
+def _fenwick_prefix(tree: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Vectorized Fenwick prefix sums: for each 1-based position in
+    ``idx`` return sum(tree[1..idx]).  O(log U) vectorized passes."""
+    res = np.zeros(len(idx), np.int64)
+    i = idx.astype(np.int64).copy()
+    while True:
+        m = i > 0
+        if not m.any():
+            return res
+        res[m] += tree[i[m]]
+        i[m] -= i[m] & (-i[m])
+
+
+def _fenwick_add(tree: np.ndarray, idx: np.ndarray, w: np.ndarray) -> None:
+    """Vectorized Fenwick point updates (1-based positions)."""
+    limit = len(tree) - 1
+    i = idx.astype(np.int64).copy()
+    w = w.astype(np.int64).copy()
+    while True:
+        m = (i > 0) & (i <= limit)
+        if not m.any():
+            return
+        np.add.at(tree, i[m], w[m])
+        i[m] += i[m] & (-i[m])
+        i[~m] = 0
+
+
+def kendall_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    x_col: str = "ts_us",
+    y_col: str = "value",
+) -> rd.Dataset:
+    """Kendall tau-b per group (Kendall 1938) — the concordance-based
+    correlation completing :func:`spearman_by_group`'s rank family:
+    ``tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2))`` with C/D the
+    concordant/discordant pair counts, ``n0 = n(n-1)/2`` and n1/n2 the
+    x-tie / y-tie pair counts.  Spearman correlates the RANKS; tau
+    counts pair ORDER agreements — more robust to a few gross
+    outliers, and its sign test is the Mann-Kendall trend statistic.
+
+    Exactness: C - D, n0, n1, n2 all fold as exact integers; the
+    denominator product is formed as an arbitrary-precision Python int
+    and converted to float ONCE (the same number DuckDB's
+    HUGEINT->DOUBLE cast produces — the grouped_outliers device), so
+    ``tau = float(S) / sqrt(float(den))`` is the identical expression
+    both engines; a perfect monotone map measures exactly +-1.0.
+    Zero-variance sides (den == 0) emit NULL.  int64 headroom: |S| <=
+    n0 < 2^63 through ~4.2e9 rows/group.
+
+    Plan: ONE group exchange of in-map pre-deduped (x, y, count) rows
+    (the spearman shape — pair statistics need the group's multiset
+    co-located, but only |distinct (x, y)| rows ship).  The fold is
+    the classic offline 2D dominance count: sort by x, then per x-run
+    query/insert a Fenwick tree over y-ranks — O(d log d) in distinct
+    pairs, queries and updates vectorized across each run (never the
+    O(d^2) all-pairs the SQL twin uses, which is why the twin is
+    sf0.01-only and the engine is the scale path).
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column(x_col)), pc.is_valid(b.column(y_col))
+        )
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "x": b.column(x_col),
+                "y": b.column(y_col),
+            }
+        ).filter(keep)
+        out = t.group_by(["g", "x", "y"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "x", "y", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        x = grp.column("x").to_numpy(zero_copy_only=False)
+        y = grp.column("y").to_numpy(zero_copy_only=False)
+        w = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((y, x))
+        x, y, w = x[order], y[order], w[order]
+        n = int(w.sum())
+        n0 = n * (n - 1) // 2
+        tx = np.zeros(len(np.unique(x)), np.int64)
+        _, xi = np.unique(x, return_inverse=True)
+        np.add.at(tx, xi, w)
+        n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tx))
+        yu, yr = np.unique(y, return_inverse=True)
+        ty = np.zeros(len(yu), np.int64)
+        np.add.at(ty, yr, w)
+        n2 = int(sum(int(t) * (int(t) - 1) // 2 for t in ty))
+        tree = np.zeros(len(yu) + 1, np.int64)
+        starts = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
+        ends = np.r_[starts[1:], len(x)]
+        s = 0
+        prior = 0
+        for a, b in zip(starts, ends):
+            idx = yr[a:b] + 1
+            ww = w[a:b]
+            below = _fenwick_prefix(tree, idx - 1)
+            atmost = _fenwick_prefix(tree, idx)
+            s += int((ww * (below - (prior - atmost))).sum())
+            _fenwick_add(tree, idx, ww)
+            prior += int(ww.sum())
+        den = (n0 - n1) * (n0 - n2)
+        tau = float(s) / math.sqrt(float(den)) if den > 0 else None
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s], pa.int64()),
+                "tau": pa.array([tau], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "s", "tau"]),
+        batch_format="pyarrow",
+    )
+
+
+def kendall_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    x_col: str = "ts_us",
+    y_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`kendall_by_group` — the all-pairs
+    SIGN-product definition (O(n^2) per group: sf0.01-scale only, the
+    engine's Fenwick fold is the scale path); identical tie counts and
+    the identical HUGEINT->DOUBLE single-cast denominator."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, {id_col} AS id, {x_col} AS x, {y_col} AS y
+    FROM {src}
+    WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+p AS (
+    SELECT a.g AS g,
+           CAST(SUM(CAST(SIGN(a.x - b.x) AS BIGINT)
+                    * CAST(SIGN(a.y - b.y) AS BIGINT)) AS BIGINT) AS s
+    FROM t a JOIN t b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.g
+),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+tx AS (
+    SELECT g, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n1
+    FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY g, x)
+    GROUP BY g
+),
+ty AS (
+    SELECT g, CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n2
+    FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY g, y)
+    GROUP BY g
+)
+SELECT nn.g AS {group_col}, nn.n,
+       CAST(COALESCE(p.s, 0) AS BIGINT) AS s,
+       CASE WHEN (nn.n * (nn.n - 1) // 2 - tx.n1) > 0
+             AND (nn.n * (nn.n - 1) // 2 - ty.n2) > 0
+            THEN CAST(COALESCE(p.s, 0) AS DOUBLE)
+                 / sqrt(CAST(CAST(nn.n * (nn.n - 1) // 2 - tx.n1 AS HUGEINT)
+                             * CAST(nn.n * (nn.n - 1) // 2 - ty.n2 AS HUGEINT)
+                             AS DOUBLE))
+       END AS tau
+FROM nn
+JOIN tx ON nn.g = tx.g
+JOIN ty ON nn.g = ty.g
+LEFT JOIN p ON nn.g = p.g
+"""

@@ -4635,6 +4635,70 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_kendall_oracle(events_ds, educk):
+    """Kendall tau-b vs the all-pairs SIGN-product twin; block-layout
+    invariance; crafted pins: perfect monotone tau == +-1.0 exactly,
+    a hand-computed tie case (s = 5, tau = 5/sqrt(30) bit-exact),
+    all-tied side NULL."""
+    import math
+
+    from search_engine_ray.functions.aggregates import (
+        kendall_by_group,
+        kendall_by_group_sql,
+    )
+
+    ev = events_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(kendall_by_group(ev, "event_type", "ts_us", "value")))
+    want = educk.sql(
+        kendall_by_group_sql(
+            "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "
+            "FROM events)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(kendall_by_group(ev.repartition(11), "event_type", "ts_us", "value"))
+    )
+    assert got.equals(got2)
+
+    def mk(xs, ys):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(xs)),
+                    "ts_us": pa.array(xs, pa.int64()),
+                    "value": pa.array(ys, pa.float64()),
+                }
+            )
+        )
+
+    # perfect monotone map -> every pair concordant -> tau == 1.0 EXACTLY
+    t = _table(kendall_by_group(mk([1, 2, 3, 4], [10.0, 20.0, 30.0, 40.0])))
+    assert t.column("tau").to_pylist() == [1.0]
+    t = _table(kendall_by_group(mk([1, 2, 3, 4], [40.0, 30.0, 20.0, 10.0])))
+    assert t.column("tau").to_pylist() == [-1.0]
+    # hand-computed tie case: x = 1..4, y = [1, 2, 2, 4]:
+    # 5 concordant, 0 discordant, one y-tie pair ->
+    # s = 5, n0 = 6, n1 = 0, n2 = 1, tau = 5/sqrt(6*5)
+    t = _table(kendall_by_group(mk([1, 2, 3, 4], [1.0, 2.0, 2.0, 4.0])))
+    assert t.column("s").to_pylist() == [5]
+    assert t.column("tau")[0].as_py() == 5.0 / math.sqrt(30.0)
+    # all-tied x side -> den == 0 -> NULL
+    t = _table(kendall_by_group(mk([7, 7, 7], [1.0, 2.0, 3.0])))
+    assert t.column("tau")[0].as_py() is None
+
+
 def test_ks_test_oracle(events_ds, educk):
     """Two-sample KS vs the window-cumsum twin; block-layout
     invariance; crafted pins: identical segments d == 0.0 exactly,

@@ -3731,6 +3731,16 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of value per user over the total (ts,
+    event_id) order — the serial-persistence feature; five exact int64
+    cents pair-moments per user, HUGEINT-mirrored numerator and
+    denominator factors, one identical float expression both engines."""
+    from search_engine_ray.functions import windows
+
+    return windows.autocorr_per_user(_events_ds(sf_dir))
+
+
 def _events_kendall(sf_dir: str):
     """Kendall tau-b per event_type between event time and value —
     the concordance-based drift readout; C-D and all tie counts fold
@@ -4396,6 +4406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skyline": _events_skyline,
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
+        "events_autocorr": _events_autocorr,
         "events_kendall": _events_kendall,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
@@ -4921,6 +4932,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_abtest": lambda: aggregates_mod.ab_test_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_autocorr": lambda: windows_mod.autocorr_per_user_sql(
+            "events"
         ),
         "events_kendall": lambda: aggregates_mod.kendall_by_group_sql(
             "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "

@@ -1523,3 +1523,113 @@ SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
 FROM s WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per user (serial persistence)
+# ---------------------------------------------------------------------------
+
+
+def autocorr_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """Lag-1 serial autocorrelation of value per user — the
+    persistence feature ("does a big event predict the NEXT event")
+    that :func:`~search_engine_ray.functions.aggregates.user_trend`
+    (drift over time) and :func:`changepoint_per_user` (one mean
+    shift) cannot see: Pearson r over the consecutive pairs ``(v_t,
+    v_{t+1})`` in total (ts, event_id) order.
+
+    Exactness: values quantize to int64 cents; the five pair moments
+    (n, Sx, Sy, Sxy, Sxx, Syy) fold as exact int64 sums (headroom:
+    cents^2 x pairs, ~3.7e9 pairs/user at cents <= 5e4); numerator
+    ``n*Sxy - Sx*Sy`` and both denominator factors are formed as
+    arbitrary-precision Python ints and converted to float ONCE each —
+    the same numbers DuckDB's HUGEINT arithmetic and HUGEINT->DOUBLE
+    casts produce — and r is one identical float expression both
+    engines.  Degenerate users (fewer than 2 pairs) or zero variance
+    on either side emit NULL; pairs NEVER span users (the
+    sessionization assumption, pinned by a crafted cross-user case).
+
+    Plan: ONE user exchange (the :func:`changepoint_per_user` shape —
+    consecutive pairs need the user's events co-located and ordered);
+    the fold is one sort + shifted-slice moment sums, vectorized.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        x, y = c[:-1], c[1:]
+        n = len(x)
+        r1 = None
+        if n >= 2:
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            syy = int((y * y).sum())
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx > 0 and dy > 0:
+                import math
+
+                r1 = float(num) / math.sqrt(float(dx) * float(dy))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_pairs": pa.array([n], pa.int64()),
+                "r1": pa.array([r1], pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def autocorr_per_user_sql(src: str) -> str:
+    """DuckDB oracle for :func:`autocorr_per_user` — the same cents,
+    the same lead() pairs over the same total order, the same HUGEINT
+    moment arithmetic with one DOUBLE cast per factor."""
+    return f"""
+WITH t AS (
+    SELECT user_id AS u,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           ts, event_id
+    FROM {src}
+),
+p AS (
+    SELECT u, c AS x,
+           lead(c) OVER (PARTITION BY u ORDER BY ts, event_id) AS y
+    FROM t
+),
+m AS (
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM p WHERE y IS NOT NULL GROUP BY u
+)
+SELECT u AS user_id, n AS n_pairs,
+       CASE WHEN n >= 2
+             AND (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) > 0
+             AND (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) > 0
+            THEN CAST(CAST(n AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+       END AS r1
+FROM m
+"""

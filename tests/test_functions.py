@@ -4635,6 +4635,56 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_autocorr_oracle(events_ds, educk):
+    """Lag-1 autocorrelation vs the lead()-pairs twin; block-layout
+    invariance; crafted pins: perfect ramp r1 == 1.0 exactly,
+    alternating series r1 == -1.0 exactly, pairs never span users,
+    degenerate users NULL."""
+    from search_engine_ray.functions.windows import (
+        autocorr_per_user,
+        autocorr_per_user_sql,
+    )
+
+    got = _sorted(_table(autocorr_per_user(events_ds)))
+    want = educk.sql(autocorr_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(autocorr_per_user(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(users, vals):
+        n = len(users)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_id": pa.array(list(range(n)), pa.int64()),
+                    "ts": pa.array(
+                        list(range(n)), pa.timestamp("us")
+                    ),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    # monotone ramp -> consecutive pairs perfectly correlated -> 1.0
+    t = _table(autocorr_per_user(mk([1] * 4, [1.0, 2.0, 3.0, 4.0])))
+    assert t.column("r1").to_pylist() == [1.0]
+    # alternating series -> each pair flips -> -1.0 EXACTLY
+    t = _table(autocorr_per_user(mk([1] * 5, [1.0, 2.0, 1.0, 2.0, 1.0])))
+    assert t.column("r1").to_pylist() == [-1.0]
+    # pairs never span users: interleaved constant-per-user series;
+    # a user-spanning pair stream would alternate (r defined), but each
+    # user alone is constant -> zero variance -> NULL for both
+    t = _sorted(_table(autocorr_per_user(mk([1, 2, 1, 2], [1.0, 2.0, 1.0, 2.0]))))
+    assert t.column("n_pairs").to_pylist() == [1, 1]
+    assert t.column("r1").to_pylist() == [None, None]
+    # single event -> zero pairs, NULL
+    t = _table(autocorr_per_user(mk([9], [5.0])))
+    assert t.column("n_pairs").to_pylist() == [0]
+    assert t.column("r1").to_pylist() == [None]
+
+
 def test_kendall_oracle(events_ds, educk):
     """Kendall tau-b vs the all-pairs SIGN-product twin; block-layout
     invariance; crafted pins: perfect monotone tau == +-1.0 exactly,

@@ -3731,6 +3731,30 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _events_mode(sf_dir: str):
+    """Modal event_type per user with the deterministic (count DESC,
+    value ASC) tie-break — exact integer counts, one group exchange of
+    in-map partials; an arbitrary-tie mode would be block-order-
+    dependent, which is why the total order is part of the contract."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.mode_by_group(
+        _events_ds(sf_dir), "user_id", "event_type"
+    )
+
+
+def _events_pctcont(sf_dir: str):
+    """PERCENTILE_CONT (p25/p50/p75/p95) of value per event_type —
+    the interpolated quantile; both order statistics are exact parquet
+    doubles and the lerp lo*(1-f) + hi*f mirrors DuckDB's
+    quantile_cont bit-for-bit."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.percentile_cont_by_group(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
 def _events_autocorr(sf_dir: str):
     """Lag-1 autocorrelation of value per user over the total (ts,
     event_id) order — the serial-persistence feature; five exact int64
@@ -4407,6 +4431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
         "events_autocorr": _events_autocorr,
+        "events_mode": _events_mode,
+        "events_pctcont": _events_pctcont,
         "events_kendall": _events_kendall,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
@@ -4935,6 +4961,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_autocorr": lambda: windows_mod.autocorr_per_user_sql(
             "events"
+        ),
+        "events_mode": lambda: aggregates_mod.mode_by_group_sql(
+            "events", "user_id", "event_type"
+        ),
+        "events_pctcont": lambda: aggregates_mod.percentile_cont_by_group_sql(
+            "events", "event_type", "value"
         ),
         "events_kendall": lambda: aggregates_mod.kendall_by_group_sql(
             "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "

@@ -2216,3 +2216,189 @@ JOIN tx ON nn.g = tx.g
 JOIN ty ON nn.g = ty.g
 LEFT JOIN p ON nn.g = p.g
 """
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group
+# ---------------------------------------------------------------------------
+
+
+def mode_by_group(
+    ds: rd.Dataset,
+    group_col: str = "user_id",
+    value_col: str = "event_type",
+) -> rd.Dataset:
+    """Most frequent value per group with a deterministic (count DESC,
+    value ASC) tie-break — the categorical summary ("what does this
+    user mostly DO") next to the numeric quantile family.  An
+    arbitrary-tie mode is block-order-dependent — the bug class an
+    oracle can never pin — so the total order is part of the contract.
+
+    Plan: the :func:`mann_whitney` shape — blocks pre-aggregate to
+    (group, value, count) rows in-map (Arrow ``group_by``), ONE
+    ``groupby(group)`` exchange ships at most |distinct values| rows
+    per group per block, and the fold re-sums partials per value then
+    takes the (count DESC, value ASC) head — vectorized lexsort.
+    Exact integer counts; no floats anywhere.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": b.column(group_col), "v": b.column(value_col)}
+        ).filter(pc.is_valid(b.column(value_col)))
+        out = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "v"]).aggregate([("n", "sum")])
+        idx = pc.sort_indices(
+            merged,
+            sort_keys=[("n_sum", "descending"), ("v", "ascending")],
+        )
+        top = merged.take(idx.slice(0, 1))
+        return pa.table(
+            {
+                "g": top.column("g"),
+                "mode": top.column("v"),
+                "n": top.column("n_sum"),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "mode", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def mode_by_group_sql(
+    src: str,
+    group_col: str = "user_id",
+    value_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`mode_by_group` — the same (count DESC,
+    value ASC) total order via row_number."""
+    return f"""
+WITH c AS (
+    SELECT {group_col} AS g, {value_col} AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {src} WHERE {value_col} IS NOT NULL
+    GROUP BY g, v
+),
+r AS (
+    SELECT g, v, n,
+           row_number() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rn
+    FROM c
+)
+SELECT g AS {group_col}, v AS mode, n FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles per group (PERCENTILE_CONT)
+# ---------------------------------------------------------------------------
+
+PCTCONT_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def percentile_cont_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = PCTCONT_QS,
+) -> rd.Dataset:
+    """SQL-standard PERCENTILE_CONT per group — the INTERPOLATED
+    quantile (R type-7 / NIST default), the continuous sibling of
+    :func:`grouped_quantiles`' order statistics: at ``h = (n-1)*q``
+    the result is ``v[floor(h)]*(1-f) + v[ceil(h)]*f`` with ``f = h -
+    floor(h)`` — between two data points, not one of them.
+
+    Exactness: both order statistics are exact doubles read from the
+    same parquet, and ``h``, ``f`` and the lerp are the IDENTICAL
+    float expressions DuckDB's quantile_cont evaluates (verified
+    empirically: DuckDB lerps ``lo*(1-f) + hi*f``, not ``lo +
+    f*(hi-lo)`` — the two differ in the last ulp and the distinction
+    is pinned by the driver oracle), so every percentile agrees
+    bit-for-bit.
+
+    Plan: the :func:`grouped_quantiles` shape — ONE group exchange of
+    in-map pre-deduped (value, count) rows; the fold ranks the
+    weighted multiset with one cumsum + searchsorted per q.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": b.column(group_col), "v": b.column(value_col)}
+        ).filter(pc.is_valid(b.column(value_col)))
+        out = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "v", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "v"]).aggregate([("n", "sum")])
+        v = merged.column("v").to_numpy(zero_copy_only=False)
+        n = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+
+        def at_rank(r: int) -> float:
+            return float(v[np.searchsorted(cum, r + 1)])
+
+        cols = {"g": grp.column("g").slice(0, 1)}
+        for q in qs:
+            if total == 0:
+                val = None
+            else:
+                h = (total - 1) * q
+                lo = int(np.floor(h))
+                hi = int(np.ceil(h))
+                f = h - lo
+                vlo, vhi = at_rank(lo), at_rank(hi)
+                val = vlo * (1.0 - f) + vhi * f
+            cols[f"p{int(q * 100)}"] = pa.array([val], pa.float64())
+        return pa.table(cols)
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    names = [group_col] + [f"p{int(q * 100)}" for q in qs]
+    return out.map_batches(
+        lambda t: t.rename_columns(names), batch_format="pyarrow"
+    )
+
+
+def percentile_cont_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = PCTCONT_QS,
+) -> str:
+    """DuckDB oracle for :func:`percentile_cont_by_group` — native
+    quantile_cont per q (the engine mirrors ITS lerp bit-for-bit)."""
+    cols = ", ".join(
+        f"quantile_cont({value_col}, {q}::DOUBLE) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+SELECT {group_col}, {cols}
+FROM {src}
+WHERE {value_col} IS NOT NULL
+GROUP BY {group_col}
+"""

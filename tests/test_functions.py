@@ -4635,6 +4635,86 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_mode_by_group_oracle(events_ds, educk):
+    """Grouped mode vs the row_number twin; block-layout invariance;
+    crafted pins: count ties resolve to the SMALLER value, NULLs
+    excluded."""
+    from search_engine_ray.functions.aggregates import (
+        mode_by_group,
+        mode_by_group_sql,
+    )
+
+    got = _sorted(_table(mode_by_group(events_ds, "user_id", "event_type")))
+    want = educk.sql(mode_by_group_sql("events", "user_id", "event_type")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(mode_by_group(events_ds.repartition(11), "user_id", "event_type"))
+    )
+    assert got.equals(got2)
+    # tie: 'a' x2, 'b' x2 -> mode 'a' (count DESC, value ASC)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_type": pa.array(["b", "a", "b", "a"]),
+            }
+        )
+    )
+    t = _table(mode_by_group(ds, "user_id", "event_type"))
+    assert t.column("mode").to_pylist() == ["a"]
+    assert t.column("n").to_pylist() == [2]
+    # NULL values excluded even when most frequent
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array([None, None, "z"]),
+            }
+        )
+    )
+    t = _table(mode_by_group(ds, "user_id", "event_type"))
+    assert t.column("mode").to_pylist() == ["z"]
+
+
+def test_percentile_cont_oracle(events_ds, educk):
+    """PERCENTILE_CONT vs native quantile_cont (bit-exact lerp);
+    block-layout invariance; crafted pins: exact midpoint
+    interpolation, single-value group constant across qs."""
+    from search_engine_ray.functions.aggregates import (
+        percentile_cont_by_group,
+        percentile_cont_by_group_sql,
+    )
+
+    got = _sorted(_table(percentile_cont_by_group(events_ds)))
+    want = educk.sql(percentile_cont_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(percentile_cont_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+    # two values -> p50 is the exact midpoint lerp
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x", "x"]),
+                "value": pa.array([1.0, 2.0]),
+            }
+        )
+    )
+    t = _table(percentile_cont_by_group(ds))
+    assert t.column("p50").to_pylist() == [1.5]
+    assert t.column("p95").to_pylist() == [1.0 * (1.0 - 0.95) + 2.0 * 0.95]
+    # single value -> every percentile is that value
+    ds = rd.from_arrow(
+        pa.table(
+            {"event_type": pa.array(["y"]), "value": pa.array([7.25])}
+        )
+    )
+    t = _table(percentile_cont_by_group(ds))
+    for c in ("p25", "p50", "p75", "p95"):
+        assert t.column(c).to_pylist() == [7.25]
+
+
 def test_autocorr_oracle(events_ds, educk):
     """Lag-1 autocorrelation vs the lead()-pairs twin; block-layout
     invariance; crafted pins: perfect ramp r1 == 1.0 exactly,

@@ -3731,6 +3731,26 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _events_benford(sf_dir: str):
+    """Benford first-significant-digit audit of value per event_type —
+    digit from the exact integer cents (never float log10 of the raw
+    value), exact counts, identically-quantized observed/expected ppm."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.benford_by_group(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
+def _events_unpivot(sf_dir: str):
+    """UNPIVOT of the pivoted per-user feature matrix back to long
+    (user, type, n) rows — zero counts survive (a pivoted 0 is a
+    value, not a NULL); pure zero-shuffle melt over the wide rows."""
+    from search_engine_ray.functions import relational as rel
+
+    return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
+
+
 def _events_mode(sf_dir: str):
     """Modal event_type per user with the deterministic (count DESC,
     value ASC) tie-break — exact integer counts, one group exchange of
@@ -4431,8 +4451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
         "events_autocorr": _events_autocorr,
+        "events_benford": _events_benford,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
+        "events_unpivot": _events_unpivot,
         "events_kendall": _events_kendall,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
@@ -4960,6 +4982,12 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
         ),
         "events_autocorr": lambda: windows_mod.autocorr_per_user_sql(
+            "events"
+        ),
+        "events_benford": lambda: aggregates_mod.benford_by_group_sql(
+            "events", "event_type", "value"
+        ),
+        "events_unpivot": lambda: relational_mod.unpivot_events_sql(
             "events"
         ),
         "events_mode": lambda: aggregates_mod.mode_by_group_sql(

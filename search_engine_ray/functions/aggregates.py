@@ -2402,3 +2402,124 @@ FROM {src}
 WHERE {value_col} IS NOT NULL
 GROUP BY {group_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit per group
+# ---------------------------------------------------------------------------
+
+
+def benford_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """First-significant-digit distribution per group vs Benford's law
+    (Newcomb 1881; Benford 1938) — the classic fabricated-numbers
+    audit: naturally occurring multiplicative data leads with digit d
+    at rate ``log10(1 + 1/d)``; invented numbers don't.  Output one
+    row per (group, observed leading digit) with the exact count, the
+    observed rate and the Benford expectation, both in ppm.
+
+    Exactness: the digit comes from the INTEGER cents ``round(|v| *
+    100)`` — extracted by repeated integer division (mirrored in SQL
+    by substr of the exact integer print), never from float log10 of
+    the raw value, whose boundary cells (v = 999.99...) would diverge.
+    ``actual_ppm = floor(n * 1e6 / total + 0.5)`` is the identical
+    float division of exact int64s both engines; ``expected_ppm``
+    quantizes ``log10(1 + 1/d)`` of the 9 identical doubles (the NB
+    rule; no quantization boundary lies within an ulp for any digit).
+    Zero cents have no leading digit and drop on BOTH sides.
+
+    Plan: the :func:`entropy_by_group` shape — in-map (group, digit,
+    count) partials over a 9-value domain, ONE group exchange, fold
+    over at most 9 rows per group.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        g = b.column(group_col)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = np.floor(np.abs(v[keep]) * 100 + 0.5).astype(np.int64)
+        g = g.filter(pa.array(keep))
+        nz = c > 0
+        c, g = c[nz], g.filter(pa.array(nz))
+        while (c >= 10).any():
+            big = c >= 10
+            c[big] //= 10
+        t = pa.table({"g": g, "digit": pa.array(c, pa.int64())})
+        out = t.group_by(["g", "digit"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "digit", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "digit"]).aggregate([("n", "sum")])
+        d = merged.column("digit").to_numpy(zero_copy_only=False)
+        n = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        total = int(n.sum())
+        actual = np.floor(n * 1000000.0 / total + 0.5).astype(np.int64)
+        expected = np.floor(
+            np.log10(1.0 + 1.0 / d) * 1000000.0 + 0.5
+        ).astype(np.int64)
+        k = len(d)
+        return pa.table(
+            {
+                "g": pa.chunked_array([grp.column("g").slice(0, 1)] * k)
+                if k
+                else grp.column("g").slice(0, 0),
+                "digit": pa.array(d, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "actual_ppm": pa.array(actual, pa.int64()),
+                "expected_ppm": pa.array(expected, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "digit", "n", "actual_ppm", "expected_ppm"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def benford_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`benford_by_group` — the digit from the
+    exact integer print, the same quantized rates."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round(abs({value_col}) * 100) AS BIGINT) AS c
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+d AS (
+    SELECT g, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM t WHERE c > 0
+),
+cnt AS (
+    SELECT g, digit, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY g, digit
+),
+tot AS (SELECT g, CAST(SUM(n) AS BIGINT) AS total FROM cnt GROUP BY g)
+SELECT cnt.g AS {group_col}, cnt.digit, cnt.n,
+       CAST(floor(cnt.n * 1000000.0 / tot.total + 0.5) AS BIGINT)
+           AS actual_ppm,
+       CAST(floor(log10(1.0 + 1.0 / cnt.digit) * 1000000.0 + 0.5)
+            AS BIGINT) AS expected_ppm
+FROM cnt JOIN tot ON cnt.g = tot.g
+"""

@@ -1542,3 +1542,55 @@ med AS (
 SELECT piv.*, med.p50_value
 FROM piv JOIN med USING (user_id)
 """
+
+
+def unpivot_events(wide: rd.Dataset, id_col: str = "user_id") -> rd.Dataset:
+    """UNPIVOT/melt the :func:`pivot_events` feature matrix back to
+    long (user_id, event_type, n) rows — the inverse reshape (SQL
+    ``UNPIVOT``; pandas ``melt``).  Zero counts survive: a pivoted 0
+    is a value, not a NULL, and dropping it would silently change the
+    row count of every downstream per-(user, type) join — callers who
+    want the sparse form filter ``n > 0`` (which recovers exactly the
+    pre-pivot groupby counts; pinned by the roundtrip test).
+
+    Plan: pure zero-shuffle map — each wide row explodes into
+    |value columns| long rows with np.repeat/tile (no Python loop, no
+    exchange; the reshape is embarrassingly parallel).  The value
+    column set is taken from each block's schema (every block of a
+    pivot output carries the full deterministic sorted column set).
+    """
+
+    def melt(b: pa.Table) -> pa.Table:
+        vcols = [c for c in b.column_names if c != id_col]
+        k, m = len(vcols), b.num_rows
+        ids = np.repeat(
+            b.column(id_col).to_numpy(zero_copy_only=False), k
+        )
+        types = np.tile(np.array(vcols, dtype=object), m)
+        vals = np.empty((m, k), np.int64)
+        for j, c in enumerate(vcols):
+            vals[:, j] = b.column(c).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(vals.reshape(-1), pa.int64()),
+            }
+        )
+
+    return wide.map_batches(
+        lambda t: melt(t.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )
+
+
+def unpivot_events_sql(src: str) -> str:
+    """DuckDB oracle for :func:`unpivot_events` composed over
+    :func:`pivot_events` — dynamic UNPIVOT over dynamic PIVOT, the
+    same derived column set on both sides."""
+    return f"""
+UNPIVOT (PIVOT (SELECT user_id, event_type FROM {src})
+         ON event_type USING count(*) GROUP BY user_id)
+ON COLUMNS(* EXCLUDE (user_id))
+INTO NAME event_type VALUE n
+"""

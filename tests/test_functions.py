@@ -4635,6 +4635,67 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_benford_oracle(events_ds, educk):
+    """Benford audit vs the integer-print twin; block-layout
+    invariance; crafted pins: digit comes from cents (0.05 -> 5,
+    999.996 -> cents 100000 -> digit 1), zeros drop, ppm arithmetic."""
+    from search_engine_ray.functions.aggregates import (
+        benford_by_group,
+        benford_by_group_sql,
+    )
+
+    got = _sorted(_table(benford_by_group(events_ds)))
+    want = educk.sql(benford_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(benford_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+    # digit from CENTS: 0.05 -> 5 cents -> digit 5; 999.996 rounds to
+    # 100000 cents -> digit 1 (float log10 of 999.996 would say 9);
+    # 0.001 rounds to 0 cents -> drops
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 3),
+                "value": pa.array([0.05, 999.996, 0.001]),
+            }
+        )
+    )
+    t = _sorted(_table(benford_by_group(ds)))
+    assert t.column("digit").to_pylist() == [1, 5]
+    assert t.column("n").to_pylist() == [1, 1]
+    assert t.column("actual_ppm").to_pylist() == [500000, 500000]
+    # expected_ppm for digit 1 is the quantized log10(2)
+    assert t.column("expected_ppm").to_pylist()[0] == 301030
+
+
+def test_unpivot_oracle(events_ds, educk):
+    """UNPIVOT(PIVOT) vs DuckDB's dynamic pair; zeros survive; the
+    n > 0 filter recovers exactly the pre-pivot groupby counts."""
+    from search_engine_ray.functions.relational import (
+        pivot_events,
+        unpivot_events,
+        unpivot_events_sql,
+    )
+
+    long = unpivot_events(pivot_events(events_ds))
+    got = _sorted(_table(long))
+    want = educk.sql(unpivot_events_sql("events")).arrow()
+    assert got.num_rows == want.num_rows
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    # n > 0 recovers the sparse groupby counts exactly
+    import pyarrow.compute as _pc
+
+    sparse = got.filter(_pc.greater(got.column("n"), 0))
+    counts = educk.sql(
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) n "
+        "FROM events GROUP BY 1, 2"
+    ).arrow()
+    assert _sorted(sparse).equals(
+        _sorted(counts.select(sparse.column_names).cast(sparse.schema))
+    )
+
+
 def test_mode_by_group_oracle(events_ds, educk):
     """Grouped mode vs the row_number twin; block-layout invariance;
     crafted pins: count ties resolve to the SMALLER value, NULLs

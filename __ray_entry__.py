@@ -3731,6 +3731,25 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _rel_cust_dist(sf_dir: str):
+    """TPC-H Q13 analog WITHOUT the join: per-customer counts from one
+    custkey groupby over orders, histogram over the tiny count domain,
+    and the zero bucket as pure arithmetic (|customer| - |seen|) — the
+    left join's null rows are exactly the unreferenced customers."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.customer_distribution(
+        read_clean_parquet(
+            os.path.join(d, "customer.parquet"), columns=["c_custkey"]
+        ),
+        read_clean_parquet(
+            os.path.join(d, "orders.parquet"), columns=["o_custkey"]
+        ),
+    )
+
+
 def _events_benford(sf_dir: str):
     """Benford first-significant-digit audit of value per event_type —
     digit from the exact integer cents (never float log10 of the raw
@@ -4451,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": _events_trend,
         "events_abtest": _events_abtest,
         "events_autocorr": _events_autocorr,
+        "rel_cust_dist": _rel_cust_dist,
         "events_benford": _events_benford,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
@@ -4984,6 +5004,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_autocorr": lambda: windows_mod.autocorr_per_user_sql(
             "events"
         ),
+        "rel_cust_dist": lambda: relational_mod.customer_distribution_sql(),
         "events_benford": lambda: aggregates_mod.benford_by_group_sql(
             "events", "event_type", "value"
         ),

@@ -1594,3 +1594,98 @@ UNPIVOT (PIVOT (SELECT user_id, event_type FROM {src})
 ON COLUMNS(* EXCLUDE (user_id))
 INTO NAME event_type VALUE n
 """
+
+
+# ---------------------------------------------------------------------------
+# Q13 analog: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+
+def customer_distribution(
+    customer: rd.Dataset, orders: rd.Dataset
+) -> pa.Table:
+    """Distribution of orders-per-customer INCLUDING the zero bucket
+    (TPC-H Q13 — "how many customers placed k orders"): one row per
+    distinct order count with the number of customers at that count,
+    ordered (custdist DESC, c_count DESC).
+
+    The classic plan is customer LEFT JOIN orders + two aggregations;
+    the scale-smart plan here NEVER JOINS: per-customer counts come
+    from ONE custkey groupby over orders (in-map partials), the
+    histogram of counts is a second exchange over the tiny count
+    domain, and the zero bucket is PURE ARITHMETIC — ``|customer| -
+    |custkeys seen in orders|`` — because a left join's null rows are
+    exactly the customers no order references.  The join the SQL twin
+    performs is replaced by one distributed count.  Assumes
+    referential integrity (every o_custkey exists in customer — the
+    FK the schema declares); a violation would make the zero bucket
+    negative, which is checked and refused loudly rather than
+    silently mis-binned.
+
+    Counts are exact int64; no floats anywhere.
+    """
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        t = b.select(["o_custkey"])
+        out = t.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return out.rename_columns(["o_custkey", "n"])
+
+    per_cust = (
+        orders.map_batches(
+            lambda t: order_partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = b.select(["c_count"])
+        out = t.group_by(["c_count"]).aggregate([([], "count_all")])
+        return out.rename_columns(["c_count", "custdist"])
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    n_customers = customer.count()
+    rows: list[tuple[int, int]] = []
+    seen = 0
+    if tabs:
+        t = pa.concat_tables(tabs)
+        for c, d in zip(_col(t, "c_count"), _col(t, "custdist")):
+            rows.append((int(c), int(d)))
+            seen += int(d)
+    zero = n_customers - seen
+    if zero < 0:
+        raise ValueError(
+            "customer_distribution: orders reference more distinct "
+            "custkeys than customer rows — FK violation"
+        )
+    if zero > 0:
+        rows.append((0, zero))
+    rows.sort(key=lambda r: (-r[1], -r[0]))
+    return pa.table(
+        {
+            "c_count": pa.array([c for c, _ in rows], pa.int64()),
+            "custdist": pa.array([d for _, d in rows], pa.int64()),
+        }
+    )
+
+
+def customer_distribution_sql() -> str:
+    """DuckDB oracle for :func:`customer_distribution` — the textbook
+    LEFT JOIN + double aggregation."""
+    return """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -1204,6 +1204,38 @@ def test_region_revenue_oracle(rduck):
     assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
+def test_customer_distribution_oracle(rduck):
+    """Q13 analog (no-join plan) vs the LEFT JOIN twin — ORDER MATTERS
+    (custdist DESC, c_count DESC); the zero bucket equals the
+    unreferenced-customer count; FK violation refused loudly."""
+    from search_engine_ray.functions import relational as rel
+
+    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    ords = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey"])
+    t = rel.customer_distribution(cust, ords)
+    o = rduck.sql(rel.customer_distribution_sql()).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    # zero bucket arithmetic: |customer| - |distinct custkeys in orders|
+    want_zero = rduck.sql(
+        "SELECT (SELECT count(*) FROM customer) - "
+        "(SELECT count(DISTINCT o_custkey) FROM orders)"
+    ).fetchone()[0]
+    zero_rows = [
+        r["custdist"] for r in t.to_pylist() if r["c_count"] == 0
+    ]
+    assert (zero_rows[0] if zero_rows else 0) == want_zero
+    # FK violation: an order custkey no customer has -> loud refusal
+    bad_c = rd.from_arrow(
+        pa.table({"c_custkey": pa.array([1], pa.int64())})
+    )
+    bad_o = rd.from_arrow(
+        pa.table({"o_custkey": pa.array([1, 2, 3], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="FK violation"):
+        rel.customer_distribution(bad_c, bad_o)
+
+
 def test_big_orders_oracle(rduck):
     """Q18 analog vs the SQL oracle — ORDER MATTERS (total_qty DESC,
     orderkey ASC); every returned order exceeds the HAVING threshold;

@@ -3731,6 +3731,42 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _rel_nation_volume(sf_dir: str):
+    """TPC-H Q7 analog: bilateral shipping volume between two nations
+    by year — the region_revenue multi-join discipline with a
+    cross-pair constraint; per-row int64-quantized money, exact at
+    any block order."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.nation_volume(
+        read_clean_parquet(
+            os.path.join(d, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "lineitem.parquet"),
+            columns=[
+                "l_orderkey",
+                "l_suppkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        ),
+        read_clean_parquet(os.path.join(d, "nation.parquet")),
+    )
+
+
 def _rel_cust_dist(sf_dir: str):
     """TPC-H Q13 analog WITHOUT the join: per-customer counts from one
     custkey groupby over orders, histogram over the tiny count domain,
@@ -4471,6 +4507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_abtest": _events_abtest,
         "events_autocorr": _events_autocorr,
         "rel_cust_dist": _rel_cust_dist,
+        "rel_nation_volume": _rel_nation_volume,
         "events_benford": _events_benford,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
@@ -5005,6 +5042,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events"
         ),
         "rel_cust_dist": lambda: relational_mod.customer_distribution_sql(),
+        "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
         "events_benford": lambda: aggregates_mod.benford_by_group_sql(
             "events", "event_type", "value"
         ),

@@ -1689,3 +1689,219 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# Q7 analog: nation-pair shipping volume
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+def nation_volume(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+    join_mode: str = "auto",
+) -> pa.Table:
+    """Bilateral shipping volume between two nations by year (TPC-H
+    Q7): revenue of lineitems shipped in [date_from, date_to) where
+    the supplier sits in one of the two nations and the ordering
+    customer in the OTHER, grouped by (supp_nation, cust_nation,
+    year) — the trade-balance readout, and the multi-join shape of
+    :func:`region_revenue` with a cross-pair constraint instead of an
+    intra-nation one.
+
+    Plan (the region_revenue discipline): nation resolves driver-side
+    (25 rows — constant); customer pre-filters to the two nations
+    BEFORE its shuffle join with orders (the selective side prunes at
+    the read, never after the exchange); the date-pruned lineitem
+    meets that result in the one fact-fact orderkey exchange shipping
+    only integer keys + quantized revenue + a small year; supplier
+    (the genuinely small side) joins by ``join_mode``; the asymmetric
+    pair filter keeps (a→b) and (b→a) and the final groupby is
+    map-side-combined over a |2 x years| domain.  Money per-row
+    int64-quantized — exact at any block order.
+    """
+    from .joins import hash_join
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+
+    nt = pa.concat_tables(
+        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+    )
+    nk = {
+        r["n_name"]: r["n_nationkey"]
+        for r in nt.to_pylist()
+        if r["n_name"] in (nation_a, nation_b)
+    }
+    empty = pa.table(
+        {
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+        }
+    )
+    if len(nk) != 2:
+        return empty
+    ka, kb = nk[nation_a], nk[nation_b]
+    names = {ka: nation_a, kb: nation_b}
+    pair_arr = pa.array(sorted((ka, kb)), pa.int32())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_nationkey"), value_set=pair_arr))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_nationkey": b.column("c_nationkey"),
+            }
+        )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+            }
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+        )
+        b = b.filter(keep)
+        rev = _quant(
+            _col(b, "l_extendedprice") * (1.0 - _col(b, "l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+                "q_rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("s_nationkey"), value_set=pair_arr))
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "s_nationkey": b.column("s_nationkey"),
+            }
+        )
+
+    cust = customer.map_batches(cust_rows, batch_format="pyarrow")
+    ords = orders.map_batches(order_rows, batch_format="pyarrow")
+    line = lineitem.map_batches(line_rows, batch_format="pyarrow")
+    supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
+
+    j1 = hash_join(
+        ords, cust, "o_custkey", "c_custkey",
+        mode="shuffle" if join_mode == "auto" else join_mode,
+    )
+    j1 = j1.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = hash_join(
+        line, j1, "l_orderkey", "o_orderkey",
+        mode="shuffle" if join_mode == "auto" else join_mode,
+    ).materialize()
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode)
+
+    def partial(b: pa.Table) -> pa.Table:
+        # cross-pair only: supplier nation != customer nation (both
+        # already restricted to {a, b})
+        b = b.filter(
+            pc.not_equal(b.column("s_nationkey"), b.column("c_nationkey"))
+        )
+        t = pa.table(
+            {
+                "s_nationkey": b.column("s_nationkey"),
+                "c_nationkey": b.column("c_nationkey"),
+                "l_year": b.column("l_year"),
+                "q_rev": b.column("q_rev"),
+            }
+        )
+        g = t.group_by(["s_nationkey", "c_nationkey", "l_year"]).aggregate(
+            [("q_rev", "sum")]
+        )
+        return g.rename_columns(
+            ["s_nationkey", "c_nationkey", "l_year", "q_rev"]
+        )
+
+    agg = (
+        j3.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "l_year"])
+        .aggregate(Sum("q_rev", alias_name="q_rev"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    rows = sorted(
+        (
+            names[int(s)],
+            names[int(c)],
+            int(y),
+            int(q),
+        )
+        for s, c, y, q in zip(
+            _col(t, "s_nationkey"),
+            _col(t, "c_nationkey"),
+            _col(t, "l_year"),
+            _col(t, "q_rev"),
+        )
+    )
+    return pa.table(
+        {
+            "supp_nation": pa.array([r[0] for r in rows], pa.string()),
+            "cust_nation": pa.array([r[1] for r in rows], pa.string()),
+            "l_year": pa.array([r[2] for r in rows], pa.int64()),
+            "revenue": pa.array(
+                [r[3] / _Q for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def nation_volume_sql(
+    nation_a: str = Q7_NATION_A,
+    nation_b: str = Q7_NATION_B,
+    date_from: str = Q7_FROM,
+    date_to: str = Q7_TO,
+) -> str:
+    """DuckDB oracle for :func:`nation_volume` (same quantization,
+    same [from, to) window, same order)."""
+    q = int(_Q)
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q} + 0.5)
+                AS BIGINT)) / {q}.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+       OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+  AND l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate < TIMESTAMP '{date_to}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

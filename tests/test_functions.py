@@ -1204,6 +1204,43 @@ def test_region_revenue_oracle(rduck):
     assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
+def test_nation_volume_oracle(rduck):
+    """Q7 analog vs the SQL oracle — both directions present, shuffle
+    == broadcast plans, unknown nation -> typed empty."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/nation.parquet"),
+    )
+    # sf0.001 has 10 suppliers; (18, 19) is a pair with volume in BOTH
+    # directions inside the window (the default (1, 2) driver pair has
+    # volume at sf0.01 where the gate checks it)
+    pair = {"nation_a": "NATION_18", "nation_b": "NATION_19"}
+    t = rel.nation_volume(*args, **pair)
+    o = rduck.sql(rel.nation_volume_sql(**pair)).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    # the pair filter is asymmetric-inclusive: both directions appear
+    dirs = {(r["supp_nation"], r["cust_nation"]) for r in t.to_pylist()}
+    assert len(dirs) == 2
+    assert rel.nation_volume(*args, join_mode="broadcast", **pair).cast(
+        o.schema
+    ).equals(o)
+    e = rel.nation_volume(*args, nation_a="ATLANTIS")
+    assert e.num_rows == 0 and e.column_names == [
+        "supp_nation", "cust_nation", "l_year", "revenue",
+    ]
+
+
 def test_customer_distribution_oracle(rduck):
     """Q13 analog (no-join plan) vs the LEFT JOIN twin — ORDER MATTERS
     (custdist DESC, c_count DESC); the zero bucket equals the

@@ -3731,6 +3731,37 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _rel_returned(sf_dir: str):
+    """TPC-H Q10 analog: top-20 customers by returned-item revenue in
+    one quarter — pre-aggregated orderkey shuffle join, map-side-
+    combined custkey groupby, partial top-k + k-row driver merge,
+    isin-pruned customer enrichment; quantized money."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.returned_customers(
+        read_clean_parquet(
+            os.path.join(d, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "lineitem.parquet"),
+            columns=[
+                "l_orderkey",
+                "l_returnflag",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        read_clean_parquet(os.path.join(d, "nation.parquet")),
+    )
+
+
 def _rel_nation_volume(sf_dir: str):
     """TPC-H Q7 analog: bilateral shipping volume between two nations
     by year — the region_revenue multi-join discipline with a
@@ -4508,6 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": _events_autocorr,
         "rel_cust_dist": _rel_cust_dist,
         "rel_nation_volume": _rel_nation_volume,
+        "rel_returned": _rel_returned,
         "events_benford": _events_benford,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
@@ -5043,6 +5075,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "rel_cust_dist": lambda: relational_mod.customer_distribution_sql(),
         "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
+        "rel_returned": lambda: relational_mod.returned_customers_sql(),
         "events_benford": lambda: aggregates_mod.benford_by_group_sql(
             "events", "event_type", "value"
         ),

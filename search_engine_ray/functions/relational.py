@@ -1905,3 +1905,198 @@ WHERE ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Q10 analog: returned-item revenue (top-k customers)
+# ---------------------------------------------------------------------------
+
+Q10_FROM = "1997-07-01"
+Q10_TO = "1997-10-01"
+Q10_K = 20
+
+
+def returned_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    date_from: str = Q10_FROM,
+    date_to: str = Q10_TO,
+    k: int = Q10_K,
+    join_mode: str = "auto",
+) -> pa.Table:
+    """Top-``k`` customers by revenue of RETURNED lineitems on orders
+    placed in [date_from, date_to) (TPC-H Q10 — the churn-risk
+    report: who sent the most money back last quarter), enriched with
+    name, account balance and nation.
+
+    Plan: the return-flag filter prunes lineitem at the read and
+    revenue pre-aggregates per (orderkey) in-map BEFORE the one
+    orderkey shuffle join with the date-pruned orders; per-customer
+    revenue is a second map-side-combined groupby; the top-k is
+    per-block partial selection + a k-row driver merge (never a
+    global sort); and enrichment is the :func:`big_orders` discipline
+    — SEMI-prune the corpus-scale customer table to the k keys with
+    an isin mask map, then join k-row frames driver-side.  Nation
+    resolves driver-side (25 rows).  Money per-row int64-quantized —
+    exact at any block order; ties (same revenue) break custkey ASC.
+    """
+    from .joins import hash_join
+
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+
+    nt = pa.concat_tables(
+        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+    )
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nt.to_pylist()}
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "c_acctbal": pa.array([], pa.float64()),
+            "n_name": pa.array([], pa.string()),
+        }
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+            }
+        )
+
+    def line_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "q_rev": pa.array(
+                    _quant(
+                        _col(b, "l_extendedprice")
+                        * (1.0 - _col(b, "l_discount"))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("q_rev", "sum")])
+        return g.rename_columns(["l_orderkey", "q_rev"])
+
+    ords = orders.map_batches(order_rows, batch_format="pyarrow")
+    line = lineitem.map_batches(line_partial, batch_format="pyarrow")
+    j = hash_join(
+        line, ords, "l_orderkey", "o_orderkey",
+        mode="shuffle" if join_mode == "auto" else join_mode,
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": b.column("o_custkey"), "q_rev": b.column("q_rev")}
+        )
+        g = t.group_by(["o_custkey"]).aggregate([("q_rev", "sum")])
+        return g.rename_columns(["o_custkey", "q_rev"])
+
+    per_cust = (
+        j.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("q_rev", alias_name="q_rev"))
+    )
+
+    def part_topk(b: pa.Table) -> pa.Table:
+        order = np.lexsort((_col(b, "o_custkey"), -_col(b, "q_rev")))[:k]
+        return b.take(order)
+
+    parts = [
+        t
+        for t in ray.get(
+            per_cust.map_batches(
+                part_topk, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts)
+    order = np.lexsort((_col(t, "o_custkey"), -_col(t, "q_rev")))[:k]
+    top = t.take(order).combine_chunks()
+
+    ckeys = pa.array(top.column("o_custkey").to_pylist(), pa.int64())
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("c_custkey"), value_set=ckeys))
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "c_acctbal": b.column("c_acctbal"),
+                "c_nationkey": b.column("c_nationkey"),
+            }
+        )
+
+    cust_k = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                customer.map_batches(
+                    cust_rows, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if x.num_rows
+        ]
+    ).combine_chunks()
+    out = top.join(cust_k, keys="o_custkey", right_keys="c_custkey")
+    if not out.num_rows:
+        return empty
+    order2 = np.lexsort((_col(out, "o_custkey"), -_col(out, "q_rev")))
+    out = out.take(order2)
+    return pa.table(
+        {
+            "c_custkey": out.column("o_custkey").cast(pa.int64()),
+            "c_name": out.column("c_name"),
+            "revenue": pa.array(_col(out, "q_rev") / _Q, pa.float64()),
+            "c_acctbal": out.column("c_acctbal"),
+            "n_name": pa.array(
+                [
+                    nmap[int(x)]
+                    for x in _col(out, "c_nationkey")
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def returned_customers_sql(
+    date_from: str = Q10_FROM,
+    date_to: str = Q10_TO,
+    k: int = Q10_K,
+) -> str:
+    """DuckDB oracle for :func:`returned_customers` (same
+    quantization, same order, same LIMIT)."""
+    q = int(_Q)
+    return f"""
+SELECT c_custkey, c_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q} + 0.5)
+                AS BIGINT)) / {q}.0 AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate < TIMESTAMP '{date_to}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {k}
+"""

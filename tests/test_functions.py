@@ -1204,6 +1204,36 @@ def test_region_revenue_oracle(rduck):
     assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
+def test_returned_customers_oracle(rduck):
+    """Q10 analog vs the SQL oracle — ORDER MATTERS (revenue DESC,
+    custkey ASC), k-cap respected, every row's lineitems are returned
+    ones; impossible window -> typed empty."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_acctbal",
+                                 "c_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_returnflag",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{SF_DIR}/nation.parquet"),
+    )
+    t = rel.returned_customers(*args)
+    o = rduck.sql(rel.returned_customers_sql()).arrow()
+    assert 0 < t.num_rows <= 20
+    assert t.cast(o.schema).equals(o)
+    revs = t.column("revenue").to_pylist()
+    assert revs == sorted(revs, reverse=True)
+    e = rel.returned_customers(*args, date_from="2030-01-01",
+                               date_to="2030-04-01")
+    assert e.num_rows == 0 and e.column_names == [
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name",
+    ]
+
+
 def test_nation_volume_oracle(rduck):
     """Q7 analog vs the SQL oracle — both directions present, shuffle
     == broadcast plans, unknown nation -> typed empty."""

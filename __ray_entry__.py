@@ -3731,6 +3731,16 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _embed_covariance(sf_dir: str):
+    """Exact distributed covariance + correlation matrix of the
+    embedding dimensions (the PCA/whitening moment pass): per-block
+    int64 Gram matmul, one |d^2|-row groupby, driver finish bounded by
+    DIMENSION; identical single-cast float expressions both engines."""
+    from search_engine_ray.functions import similarity as sim
+
+    return sim.embed_covariance(_embeddings_ds(sf_dir))
+
+
 def _rel_returned(sf_dir: str):
     """TPC-H Q10 analog: top-20 customers by returned-item revenue in
     one quarter — pre-aggregated orderkey shuffle join, map-side-
@@ -4540,6 +4550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cust_dist": _rel_cust_dist,
         "rel_nation_volume": _rel_nation_volume,
         "rel_returned": _rel_returned,
+        "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
@@ -5076,6 +5087,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_cust_dist": lambda: relational_mod.customer_distribution_sql(),
         "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
         "rel_returned": lambda: relational_mod.returned_customers_sql(),
+        "embed_covariance": lambda: similarity_mod.embed_covariance_sql(
+            "embeddings"
+        ),
         "events_benford": lambda: aggregates_mod.benford_by_group_sql(
             "events", "event_type", "value"
         ),

@@ -1232,3 +1232,204 @@ def knn_ivfpq(
             "cosine": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed covariance / correlation matrix (PCA prep)
+# ---------------------------------------------------------------------------
+
+COV_QUANT = 1_000_000.0
+
+
+def embed_covariance(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact sample covariance AND Pearson correlation matrix of the
+    embedding dimensions — the moment pass every PCA / whitening /
+    feature-decorrelation step runs first, as one distributed
+    scan: out d*d rows ``(i, j, cov, corr)`` (1-based dims, full
+    symmetric matrix, (i, j) sorted).
+
+    Exactness device: each float32 component quantizes to int64
+    (``round(v * 1e6)`` — the identical double expression both
+    engines), every block folds to ONE d x d integer Gram matrix
+    ``X^T X`` plus column sums via an int64 matmul, the single
+    groupby ships |d^2 + d| numbers per block (never rows), and the
+    centered moments ``n*Sij - Si*Sj`` are exact integers, so ``cov =
+    float(m_ij) / (float(n*(n-1)) * 1e12)`` and ``corr = float(m_ij)
+    / sqrt(float(m_ii) * float(m_jj))`` (quantization cancels) are
+    IDENTICAL float expressions both engines — bit-exact at any block
+    layout.  Zero-variance dims emit NULL corr.  int64 headroom:
+    |component| <= ~2.0 quantized keeps X^T X safe through ~1e6 rows
+    per block and the HUGEINT-mirrored Python-int finish exact at any
+    n.  The d x d finish is driver-side — bounded by DIMENSION, not
+    data (the lemma-dict "honest small side" rule).
+
+    SQL twin: unnest WITH ORDINALITY + a dim self-join per vec_id —
+    O(n * d^2) rows, sf0.01-scale only; the engine's matmul fold is
+    the scale path.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int32()),
+                    "j": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        x = np.stack(
+            b.column(vec_col).to_pandas().to_numpy()
+        ).astype(np.float64)
+        q = (np.floor(np.abs(x) * COV_QUANT + 0.5) * np.sign(x)).astype(
+            np.int64
+        )
+        d = q.shape[1]
+        gram = q.T @ q  # int64 matmul, exact
+        sums = q.sum(axis=0)
+        n = q.shape[0]
+        ii, jj = np.meshgrid(
+            np.arange(1, d + 1, dtype=np.int32),
+            np.arange(1, d + 1, dtype=np.int32),
+            indexing="ij",
+        )
+        # tagged rows: (i, j, gram_ij); (i, 0, sum_i); (0, 0, n)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate(
+                        [ii.ravel(), np.arange(1, d + 1, dtype=np.int32),
+                         np.array([0], np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "j": pa.array(
+                    np.concatenate(
+                        [jj.ravel(), np.zeros(d, np.int32),
+                         np.array([0], np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "s": pa.array(
+                    np.concatenate(
+                        [gram.ravel(), sums, np.array([n], np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.select_columns([vec_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["i", "j"])
+        .aggregate(_Sum("s", alias_name="s"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "cov": pa.array([], pa.float64()),
+            "corr": pa.array([], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    gram: dict = {}
+    sums: dict = {}
+    n = 0
+    for i, j, s in zip(
+        t.column("i").to_numpy(zero_copy_only=False),
+        t.column("j").to_numpy(zero_copy_only=False),
+        t.column("s").to_numpy(zero_copy_only=False),
+    ):
+        if i == 0:
+            n = int(s)
+        elif j == 0:
+            sums[int(i)] = int(s)
+        else:
+            gram[(int(i), int(j))] = int(s)
+    if n < 2 or not gram:
+        return empty
+    d = max(sums)
+    rows_i, rows_j, covs, corrs = [], [], [], []
+    m = {
+        (i, j): n * gram[(i, j)] - sums[i] * sums[j]
+        for (i, j) in gram
+    }
+    denom = float(n * (n - 1)) * (COV_QUANT * COV_QUANT)
+    for i in range(1, d + 1):
+        for j in range(1, d + 1):
+            mij = m[(i, j)]
+            rows_i.append(i)
+            rows_j.append(j)
+            covs.append(float(mij) / denom)
+            mii, mjj = m[(i, i)], m[(j, j)]
+            corrs.append(
+                float(mij) / math.sqrt(float(mii) * float(mjj))
+                if mii > 0 and mjj > 0
+                else None
+            )
+    return pa.table(
+        {
+            "i": pa.array(rows_i, pa.int64()),
+            "j": pa.array(rows_j, pa.int64()),
+            "cov": pa.array(covs, pa.float64()),
+            "corr": pa.array(corrs, pa.float64()),
+        }
+    )
+
+
+def embed_covariance_sql(
+    src: str = "embeddings", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle for :func:`embed_covariance` — the same quantized
+    integer moments via unnest WITH ORDINALITY + a per-vector dim
+    self-join (O(n*d^2): oracle-scale only), the same single-cast
+    float expressions."""
+    q = int(COV_QUANT)
+    return f"""
+WITH flat AS (
+    SELECT vec_id,
+           generate_subscripts({vec_col}, 1) AS dim,
+           CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * {q}) AS BIGINT)
+               AS qv
+    FROM {src}
+),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM flat),
+moms AS (
+    SELECT a.dim AS i, b.dim AS j,
+           SUM(CAST(a.qv AS HUGEINT) * b.qv) AS gram,
+           SUM(CAST(a.qv AS HUGEINT)) AS si,
+           SUM(CAST(b.qv AS HUGEINT)) AS sj
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+),
+m AS (
+    SELECT i, j,
+           CAST(nn.n AS HUGEINT) * gram - si * sj AS mij
+    FROM moms, nn
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(a.j AS BIGINT) AS j,
+       CAST(a.mij AS DOUBLE)
+       / (CAST(nn.n * (nn.n - 1) AS DOUBLE) * {q * q}.0) AS cov,
+       CASE WHEN dii.mij > 0 AND djj.mij > 0
+            THEN CAST(a.mij AS DOUBLE)
+                 / sqrt(CAST(dii.mij AS DOUBLE) * CAST(djj.mij AS DOUBLE))
+       END AS corr
+FROM m a
+JOIN m dii ON dii.i = a.i AND dii.j = a.i
+JOIN m djj ON djj.i = a.j AND djj.j = a.j
+CROSS JOIN nn
+ORDER BY a.i, a.j
+"""

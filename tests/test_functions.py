@@ -139,6 +139,45 @@ def test_knn_bruteforce_oracle(emb_ds, fduck):
     assert t.num_rows == 8 * 5  # n_queries * k
 
 
+def test_embed_covariance_oracle(emb_ds, fduck):
+    """Covariance/correlation matrix vs the unnest self-join twin;
+    block-layout invariance; pins: diagonal corr == 1.0 exactly,
+    exact symmetry, hand-computed 2-dim covariance, zero-variance
+    dim -> NULL corr."""
+    from search_engine_ray.functions import similarity
+
+    t = similarity.embed_covariance(emb_ds)
+    o = fduck.sql(similarity.embed_covariance_sql("embeddings")).arrow()
+    assert t.num_rows == 64 * 64
+    assert t.cast(o.schema).equals(o)
+    t2 = similarity.embed_covariance(emb_ds.repartition(7))
+    assert t.equals(t2)
+    rows = {(r["i"], r["j"]): r for r in t.to_pylist()}
+    for i in (1, 17, 64):
+        assert rows[(i, i)]["corr"] == 1.0
+    for (i, j) in ((1, 2), (5, 40)):
+        assert rows[(i, j)]["cov"] == rows[(j, i)]["cov"]
+        assert rows[(i, j)]["corr"] == rows[(j, i)]["corr"]
+    # crafted: dims [x, const]: var(x) for x = 1, 2, 3 is 1.0;
+    # const dim -> zero variance -> NULL corr, 0 cov
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [[1.0, 5.0], [2.0, 5.0], [3.0, 5.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    c = similarity.embed_covariance(ds)
+    r = {(x["i"], x["j"]): x for x in c.to_pylist()}
+    assert r[(1, 1)]["cov"] == 1.0
+    assert r[(2, 2)]["cov"] == 0.0
+    assert r[(1, 2)]["corr"] is None
+    assert r[(1, 1)]["corr"] == 1.0
+
+
 def test_range_search_oracle(emb_ds, fduck):
     """Radius search == the exact float64 cosine SQL twin; every row
     clears the threshold; a top-k row above the radius is in the range

@@ -3827,6 +3827,18 @@ def _rel_cust_dist(sf_dir: str):
     )
 
 
+def _events_means(sf_dir: str):
+    """The three Pythagorean means of value per event_type (AM >= GM
+    >= HM exactly): fully additive in-map int64 moments — quantized
+    cents, NB-rule quantized ln, quantized inverse — one groupby ships
+    four ints per group per block, no map_groups, no sort."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.pythagorean_means(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
 def _events_benford(sf_dir: str):
     """Benford first-significant-digit audit of value per event_type —
     digit from the exact integer cents (never float log10 of the raw
@@ -4552,6 +4564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
+        "events_means": _events_means,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
@@ -5095,6 +5108,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_unpivot": lambda: relational_mod.unpivot_events_sql(
             "events"
+        ),
+        "events_means": lambda: aggregates_mod.pythagorean_means_sql(
+            "events", "event_type", "value"
         ),
         "events_mode": lambda: aggregates_mod.mode_by_group_sql(
             "events", "user_id", "event_type"

@@ -2523,3 +2523,143 @@ SELECT cnt.g AS {group_col}, cnt.digit, cnt.n,
             AS BIGINT) AS expected_ppm
 FROM cnt JOIN tot ON cnt.g = tot.g
 """
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means per group (arithmetic / geometric / harmonic)
+# ---------------------------------------------------------------------------
+
+
+def pythagorean_means(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """The three Pythagorean means of value per group — arithmetic
+    (the average), geometric (the compounding-rate mean: one 10x
+    outlier shifts AM by 10x/n but GM by only 10^(1/n)) and harmonic
+    (the rate mean: "average speed over equal distances") — with the
+    AM >= GM >= HM inequality holding EXACTLY in the output (pinned).
+
+    Exactness: values quantize to int64 cents (positive required —
+    GM/HM are undefined at 0 and sign-ambiguous below); per distinct
+    cent value ``lnq = floor(ln(c/100.0) * 1e6 + 0.5)`` (the NB rule
+    — ln of a ratio of exact ints, the same double both engines) and
+    ``invq = floor(1e12 * 100.0 / c + 0.5)`` fold as count-weighted
+    exact int64 sums; the three finishes are one identical float
+    expression each: ``am = S/(n*100)``, ``gm = exp(L/(n*1e6))/100``
+    ... with the exp of an identical double identical, and ``hm =
+    n*1e12/IV/100``.  All three moments are PER-VALUE functions, so
+    partials are fully additive IN-MAP (the user_trend shape): the one
+    groupby ships four int64s per group per block, never rows, and no
+    map_groups / sort exists anywhere in the plan.  int64 headroom:
+    ~9e3 rows/group at the 1e12 inverse scale (documented; rebase
+    invq to 1e9 beyond — the driver corpus is far below).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        if (v[keep] <= 0).any():
+            raise ValueError(
+                "pythagorean_means: values must be positive (GM/HM are "
+                "undefined at 0 and sign-ambiguous below)"
+            )
+        c = np.floor(v * 100 + 0.5).astype(np.int64)[keep]
+        if (c <= 0).any():
+            raise ValueError(
+                "pythagorean_means: values must round to positive cents"
+            )
+        g = b.column(group_col).filter(pa.array(keep))
+        lnq = np.floor(np.log(c / 100.0) * 1e6 + 0.5).astype(np.int64)
+        invq = np.floor(1e12 * 100.0 / c + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "g": g,
+                "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
+                "s": pa.array(c, pa.int64()),
+                "l": pa.array(lnq, pa.int64()),
+                "iv": pa.array(invq, pa.int64()),
+            }
+        )
+        out = t.group_by(["g"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("l", "sum"), ("iv", "sum")]
+        )
+        return out.rename_columns(["g", "n", "s", "l", "iv"])
+
+    rows = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("l", alias_name="l"),
+            Sum("iv", alias_name="iv"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln_ = b.column("l").to_numpy(zero_copy_only=False).astype(np.int64)
+        iv = b.column("iv").to_numpy(zero_copy_only=False).astype(np.int64)
+        am = [float(int(si)) / (int(ni) * 100.0) for si, ni in zip(s, n)]
+        gm = [
+            math.exp(float(int(li)) / (int(ni) * 1e6))
+            for li, ni in zip(ln_, n)
+        ]
+        hm = [
+            int(ni) * 1e12 / float(int(ivi))
+            for ivi, ni in zip(iv, n)
+        ]
+        return pa.table(
+            {
+                "g": b.column("g"),
+                "n": pa.array(n, pa.int64()),
+                "am": pa.array(am, pa.float64()),
+                "gm": pa.array(gm, pa.float64()),
+                "hm": pa.array(hm, pa.float64()),
+            }
+        )
+
+    out = rows.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "am", "gm", "hm"]),
+        batch_format="pyarrow",
+    )
+
+
+def pythagorean_means_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`pythagorean_means` — the same cents,
+    the same quantized ln/inverse, the same finishes."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+m AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(CAST(floor(ln(c / 100.0) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS l,
+           CAST(SUM(CAST(floor(1000000000000.0 * 100.0 / c + 0.5)
+                         AS BIGINT)) AS BIGINT) AS iv
+    FROM t GROUP BY g
+)
+SELECT g AS {group_col}, n,
+       CAST(s AS DOUBLE) / (n * 100.0) AS am,
+       exp(CAST(l AS DOUBLE) / (n * 1000000.0)) AS gm,
+       n * 1000000000000.0 / CAST(iv AS DOUBLE) AS hm
+FROM m
+"""

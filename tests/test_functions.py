@@ -4773,6 +4773,54 @@ def test_mann_whitney_oracle(events_ds, educk):
              "value": pa.array([1.0])}))))
 
 
+def test_pythagorean_means_oracle(events_ds, educk):
+    """AM/GM/HM vs the quantized-moment twin; block-layout invariance;
+    pins: AM >= GM >= HM on every group, constant group AM == GM ==
+    HM == the value, non-positive refused."""
+    from search_engine_ray.functions.aggregates import (
+        pythagorean_means,
+        pythagorean_means_sql,
+    )
+
+    got = _sorted(_table(pythagorean_means(events_ds)))
+    want = educk.sql(pythagorean_means_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(pythagorean_means(events_ds.repartition(11))))
+    assert got.equals(got2)
+    for r in got.to_pylist():
+        assert r["am"] >= r["gm"] >= r["hm"] > 0
+    # constant group: all three means equal the value (up to the
+    # documented quantizations, which are exact for 4.0: ln/inv of a
+    # round cent value)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 3),
+                "value": pa.array([4.0, 4.0, 4.0]),
+            }
+        )
+    )
+    t = _table(pythagorean_means(ds))
+    r = t.to_pylist()[0]
+    assert r["am"] == 4.0
+    assert abs(r["gm"] - 4.0) < 1e-5
+    assert abs(r["hm"] - 4.0) < 1e-9
+    with pytest.raises(Exception, match="positive"):
+        _table(
+            pythagorean_means(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "event_type": pa.array(["x"]),
+                            "value": pa.array([-1.0]),
+                        }
+                    )
+                )
+            )
+        )
+
+
 def test_benford_oracle(events_ds, educk):
     """Benford audit vs the integer-print twin; block-layout
     invariance; crafted pins: digit comes from cents (0.05 -> 5,

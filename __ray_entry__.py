@@ -3827,6 +3827,16 @@ def _rel_cust_dist(sf_dir: str):
     )
 
 
+def _text_zipf(sf_dir: str):
+    """Zipf exponent of the documents corpus (OLS of ln freq on ln
+    rank over the top 1000 ranks): the regression depends only on the
+    count histogram — stage 2 ships (count, multiplicity) rows and
+    driver work is bounded by max_rank, never vocabulary."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.zipf_fit(_documents_ds(sf_dir))
+
+
 def _events_means(sf_dir: str):
     """The three Pythagorean means of value per event_type (AM >= GM
     >= HM exactly): fully additive in-map int64 moments — quantized
@@ -4565,6 +4575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
         "events_means": _events_means,
+        "text_zipf": _text_zipf,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
@@ -4963,6 +4974,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_fingerprint": lambda: ta_mod.fingerprint_sql("documents"),
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),
+        "text_zipf": lambda: ta_mod.zipf_fit_sql("documents"),
         "text_repetition": lambda: ta_mod.repetition_features_sql("documents"),
         "text_keywords": lambda: ta_mod.tfidf_keywords_sql("documents"),
         # redaction over deterministically PII-injected text (the raw

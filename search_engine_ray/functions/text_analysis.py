@@ -3525,3 +3525,166 @@ SELECT CAST(tot.A AS BIGINT) AS tokens_a, CAST(tot.B AS BIGINT) AS tokens_b,
               + CAST(SUM(wb) AS BIGINT) * 1.0 / tot.B) / {q} AS js
 FROM t, tot GROUP BY tot.A, tot.B
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the corpus token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_RANK = 1000
+
+
+def zipf_fit(ds, text_col: str = "text",
+             max_rank: int = ZIPF_MAX_RANK) -> pa.Table:
+    """OLS fit of ``ln(freq) ~ ln(rank)`` over the corpus's top
+    ``max_rank`` word frequencies — the Zipf exponent (Zipf 1949;
+    natural language slopes ~ -1), the one-number corpus-health
+    readout that flags template spam (flat head, slope >> -1) and
+    boilerplate floods (cliff head, slope << -1) that per-document
+    quality scores cannot see.
+
+    The scale insight IS the plan: the regression depends on the
+    count HISTOGRAM alone, never on token identities — tokens sharing
+    a count occupy a contiguous rank run and contribute identical
+    ``ln(freq)``, so which token holds which rank inside a run cannot
+    change the (x, y) pair multiset (the same argument that makes the
+    twin's row_number assignment-free).  Stage 1 is the
+    :func:`ngram_counts` vocabulary exchange (unigram counts); stage 2
+    ships only (count, multiplicity) rows — O(distinct counts), ~
+    sqrt(corpus) for Zipfian text; the driver fold walks rank runs
+    intersected with [1, max_rank], so driver work is bounded by
+    ``max_rank``, not vocabulary.
+
+    Exactness: ``x = floor(ln(rank) * 1e6 + 0.5)`` and ``y =
+    floor(ln(count) * 1e6 + 0.5)`` (the NB rule — ln of identical
+    doubles), moments fold as Python bigints mirrored by HUGEINT, and
+    slope/intercept are the identical single-cast float expressions
+    both engines.  Fewer than 2 distinct x emit NULL slope.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            lambda b: ngram_count_rows(b, 1, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("n").value_counts()
+        return pa.table(
+            {
+                "c": vc.field("values").cast(pa.int64()),
+                "m": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+    )
+    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "n_ranks": pa.array([0], pa.int64()),
+            "slope": pa.array([None], pa.float64()),
+            "intercept": pa.array([None], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    cs = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    ms = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(-cs)
+    cs, ms = cs[order], ms[order]
+    n_r = 0
+    sx = sy = sxy = sxx = 0
+    start = 1
+    for c, m in zip(cs, ms):
+        a, b = start, start + int(m) - 1
+        start += int(m)
+        if a > max_rank:
+            break
+        b = min(b, max_rank)
+        ranks = np.arange(a, b + 1, dtype=np.float64)
+        x = np.floor(np.log(ranks) * 1e6 + 0.5).astype(np.int64)
+        y = int(np.floor(math.log(float(c)) * 1e6 + 0.5))
+        k = b - a + 1
+        xs = int(x.sum())
+        n_r += k
+        sx += xs
+        sy += k * y
+        sxy += y * xs
+        sxx += int((x * x).sum())
+    den = n_r * sxx - sx * sx
+    if n_r < 2 or den == 0:
+        return pa.table(
+            {
+                "n_ranks": pa.array([n_r], pa.int64()),
+                "slope": pa.array([None], pa.float64()),
+                "intercept": pa.array([None], pa.float64()),
+            }
+        )
+    slope = float(n_r * sxy - sx * sy) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / n_r
+    return pa.table(
+        {
+            "n_ranks": pa.array([n_r], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        }
+    )
+
+
+def zipf_fit_sql(src: str, max_rank: int = ZIPF_MAX_RANK) -> str:
+    """DuckDB oracle for :func:`zipf_fit` — explicit ranks via
+    row_number (assignment-free within tie runs because tied counts
+    share y), the same quantized logs, the same HUGEINT moments and
+    single-cast finishes."""
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{WORD_REGEX}')) AS tok
+    FROM {src}
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r FROM cnt
+),
+sel AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS x,
+           CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS y
+    FROM ranked WHERE r <= {max_rank}
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx
+    FROM sel
+),
+s AS (
+    SELECT n,
+           CASE WHEN n >= 2
+                 AND (CAST(n AS HUGEINT) * sxx - sx * sx) != 0
+                THEN CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+           END AS slope,
+           sx, sy
+    FROM m
+)
+SELECT n AS n_ranks, slope,
+       CASE WHEN slope IS NOT NULL
+            THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+       END AS intercept
+FROM s
+"""

@@ -139,6 +139,50 @@ def test_knn_bruteforce_oracle(emb_ds, fduck):
     assert t.num_rows == 8 * 5  # n_queries * k
 
 
+def test_zipf_fit_oracle(docs_ds, fduck):
+    """Zipf fit vs the row_number twin; block-layout invariance;
+    crafted pins: natural-ish slope is negative, max_rank cap
+    respected, hand-checkable 2-rank fit, single-rank NULL."""
+    import math
+
+    from search_engine_ray.functions.text_analysis import (
+        zipf_fit,
+        zipf_fit_sql,
+    )
+
+    t = zipf_fit(docs_ds)
+    o = fduck.sql(zipf_fit_sql("documents")).arrow()
+    assert t.cast(o.schema).equals(o)
+    assert t.column("slope")[0].as_py() < 0
+    t2 = zipf_fit(docs_ds.repartition(7))
+    assert t.equals(t2)
+    # crafted: 'aa' x4, 'bb' x2 -> ranks 1, 2; the 2-point fit is
+    # exact: slope = (y2 - y1) / (x2 - x1) on the quantized logs
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(["aa aa bb", "aa aa bb"])})
+    )
+    r = zipf_fit(ds).to_pylist()[0]
+    assert r["n_ranks"] == 2
+    x2 = math.floor(math.log(2.0) * 1e6 + 0.5)
+    y1 = math.floor(math.log(4.0) * 1e6 + 0.5)
+    y2 = math.floor(math.log(2.0) * 1e6 + 0.5)
+    want = float(2 * (0 * y1 + x2 * y2) - x2 * (y1 + y2)) / float(
+        2 * x2 * x2 - x2 * x2
+    )
+    assert r["slope"] == want
+    # max_rank cap: three distinct tokens, cap at 2
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(["aa aa aa bb bb cc"])})
+    )
+    r = zipf_fit(ds, max_rank=2).to_pylist()[0]
+    assert r["n_ranks"] == 2
+    # single distinct token -> one rank -> NULL slope
+    r = zipf_fit(
+        rd.from_arrow(pa.table({"text": pa.array(["aa aa aa"])}))
+    ).to_pylist()[0]
+    assert r["n_ranks"] == 1 and r["slope"] is None
+
+
 def test_embed_covariance_oracle(emb_ds, fduck):
     """Covariance/correlation matrix vs the unnest self-join twin;
     block-layout invariance; pins: diagonal corr == 1.0 exactly,

@@ -3837,6 +3837,15 @@ def _text_zipf(sf_dir: str):
     return ta.zipf_fit(_documents_ds(sf_dir))
 
 
+def _text_hapax(sf_dir: str):
+    """Hapax/dis legomena share of the documents vocabulary (the
+    lexical-growth readout; Good-Turing's N1/N2): the zipf histogram
+    stages, three integers off a (count, multiplicity) table."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.hapax_stats(_documents_ds(sf_dir))
+
+
 def _events_means(sf_dir: str):
     """The three Pythagorean means of value per event_type (AM >= GM
     >= HM exactly): fully additive in-map int64 moments — quantized
@@ -4576,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": _events_benford,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
+        "text_hapax": _text_hapax,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
@@ -4975,6 +4985,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_langid": lambda: ta_mod.langid_sql("documents"),
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),
         "text_zipf": lambda: ta_mod.zipf_fit_sql("documents"),
+        "text_hapax": lambda: ta_mod.hapax_stats_sql("documents"),
         "text_repetition": lambda: ta_mod.repetition_features_sql("documents"),
         "text_keywords": lambda: ta_mod.tfidf_keywords_sql("documents"),
         # redaction over deterministically PII-injected text (the raw

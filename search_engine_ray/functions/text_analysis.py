@@ -3688,3 +3688,88 @@ SELECT n AS n_ranks, slope,
        END AS intercept
 FROM s
 """
+
+
+def hapax_stats(ds, text_col: str = "text") -> pa.Table:
+    """Hapax legomena statistics of the corpus vocabulary: how many
+    word types occur exactly once (hapax), exactly twice (dis), and
+    their share of the vocabulary — the lexical-growth readout (a
+    healthy natural corpus runs ~40-60% hapax; deduplicated boilerplate
+    collapses it, OCR noise inflates it) and Good-Turing smoothing's
+    N1/N2 inputs.
+
+    Plan: the :func:`zipf_fit` stages — the unigram vocabulary
+    exchange, then a (count, multiplicity) histogram exchange of
+    O(distinct counts) rows; the driver reads exactly three integers
+    off it.  ``hapax_rate = float(hapax) / float(vocab)`` is one
+    identical float division of exact int64s.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            lambda b: ngram_count_rows(b, 1, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("n").value_counts()
+        return pa.table(
+            {
+                "c": vc.field("values").cast(pa.int64()),
+                "m": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+    )
+    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    vocab = hapax = dis = 0
+    if tabs:
+        t = pa.concat_tables(tabs)
+        for c, m in zip(
+            t.column("c").to_numpy(zero_copy_only=False),
+            t.column("m").to_numpy(zero_copy_only=False),
+        ):
+            vocab += int(m)
+            if c == 1:
+                hapax = int(m)
+            elif c == 2:
+                dis = int(m)
+    rate = float(hapax) / float(vocab) if vocab else None
+    return pa.table(
+        {
+            "vocab": pa.array([vocab], pa.int64()),
+            "hapax": pa.array([hapax], pa.int64()),
+            "dis": pa.array([dis], pa.int64()),
+            "hapax_rate": pa.array([rate], pa.float64()),
+        }
+    )
+
+
+def hapax_stats_sql(src: str) -> str:
+    """DuckDB oracle for :func:`hapax_stats` — the same tokenizer,
+    counts and single float division."""
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{WORD_REGEX}')) AS tok
+    FROM {src}
+),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+SELECT CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax,
+       CAST(count(*) FILTER (c = 2) AS BIGINT) AS dis,
+       CASE WHEN count(*) > 0
+            THEN CAST(count(*) FILTER (c = 1) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)
+       END AS hapax_rate
+FROM cnt
+"""

@@ -183,6 +183,33 @@ def test_zipf_fit_oracle(docs_ds, fduck):
     assert r["n_ranks"] == 1 and r["slope"] is None
 
 
+def test_hapax_stats_oracle(docs_ds, fduck):
+    """Hapax stats vs the count-filter twin; block-layout invariance;
+    crafted pins: exact hapax/dis counts, empty corpus NULL rate."""
+    from search_engine_ray.functions.text_analysis import (
+        hapax_stats,
+        hapax_stats_sql,
+    )
+
+    t = hapax_stats(docs_ds)
+    o = fduck.sql(hapax_stats_sql("documents")).arrow()
+    assert t.cast(o.schema).equals(o)
+    assert t.column("vocab")[0].as_py() > 0
+    t2 = hapax_stats(docs_ds.repartition(7))
+    assert t.equals(t2)
+    # crafted: aa x3, bb x2, cc x1, dd x1 -> vocab 4, hapax 2, dis 1
+    r = hapax_stats(
+        rd.from_arrow(pa.table({"text": pa.array(["aa aa aa bb", "bb cc dd"])}))
+    ).to_pylist()[0]
+    assert (r["vocab"], r["hapax"], r["dis"]) == (4, 2, 1)
+    assert r["hapax_rate"] == 0.5
+    # empty corpus -> zero vocab, NULL rate
+    r = hapax_stats(
+        rd.from_arrow(pa.table({"text": pa.array([""])}))
+    ).to_pylist()[0]
+    assert r["vocab"] == 0 and r["hapax_rate"] is None
+
+
 def test_embed_covariance_oracle(emb_ds, fduck):
     """Covariance/correlation matrix vs the unnest self-join twin;
     block-layout invariance; pins: diagonal corr == 1.0 exactly,

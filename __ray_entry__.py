@@ -4222,6 +4222,18 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _window_concurrency(sf_dir: str):
+    """Peak simultaneous sessions + the first instant it is reached:
+    sessionize (the existing exchange), then ONE packed-int boundary
+    sort + per-block 4-number summaries combined with exact integer
+    offsets on the driver — the two-pass distributed prefix."""
+    from search_engine_ray.functions import windows
+
+    return windows.max_concurrency(
+        windows.session_windows(_events_ds(sf_dir))
+    )
+
+
 def _window_sessions_salted(sf_dir: str):
     from search_engine_ray.functions import windows
 
@@ -4552,6 +4564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_order_priority": _rel_order_priority,
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
+        "window_concurrency": _window_concurrency,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
         "window_funnel_windowed": _window_funnel_windowed,
@@ -5222,6 +5235,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "window_tumbling": lambda: windows_mod.tumbling_window_sql("events"),
         "window_sessions": lambda: windows_mod.session_windows_sql("events"),
+        "window_concurrency": lambda: windows_mod.max_concurrency_sql(
+            windows_mod.session_windows_sql("events")
+        ),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),

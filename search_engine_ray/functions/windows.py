@@ -1633,3 +1633,154 @@ SELECT u AS user_id, n AS n_pairs,
        END AS r1
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency over intervals
+# ---------------------------------------------------------------------------
+
+
+def max_concurrency(
+    intervals: rd.Dataset,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> pa.Table:
+    """Peak number of simultaneously-open intervals and the first
+    instant it is reached — the sweep-line capacity question ("how
+    many sessions were live at the busiest moment") that no groupby
+    can answer, because concurrency is a property of the ORDERED
+    boundary stream, not of any key.  Intervals are closed on both
+    ends: a session ending at t overlaps one starting at t.
+
+    Plan: each interval emits two boundary rows (+1 at start, -1 at
+    end) with the packed sort key ``2*t + (d < 0)`` — one int64, so
+    +1 sorts before -1 at equal t (the closed-interval rule) and the
+    exchange is ONE range-partitioned integer sort (the stage-C
+    discipline).  Each sorted block then folds to a 4-number summary
+    (min key, delta sum, running-max, first argmax time): the classic
+    two-pass distributed prefix — the driver combines |blocks|
+    summaries with exact integer offsets, never rows.  Splitting a
+    run of identical keys across blocks cannot change the result:
+    equal keys carry equal deltas, so every interleaving yields the
+    same block sums and the same run maxima.
+
+    peak is an exact integer; peak_ts is the MINIMUM boundary time
+    achieving it (equal to "first in sweep order" because concurrency
+    only rises on +1 rows — the rule the SQL twin's ``min(t) WHERE c
+    = max`` mirrors).  Empty input emits the typed NULL row the
+    twin's aggregates produce.
+    """
+    import ray
+
+    def deltas(b: pa.Table) -> pa.Table:
+        s = b.column(start_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = b.column(end_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if (e < s).any():
+            raise ValueError("max_concurrency: interval end before start")
+        t = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        return pa.table(
+            {
+                "k": pa.array(2 * t + (d < 0), pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+            }
+        )
+
+    srt = intervals.map_batches(
+        lambda b: deltas(b.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    ).sort("k")
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "min_k": pa.array([], pa.int64()),
+                    "sum_d": pa.array([], pa.int64()),
+                    "run_max": pa.array([], pa.int64()),
+                    "argmax_t": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        t = b.column("t").to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        i = int(np.argmax(run))
+        return pa.table(
+            {
+                "min_k": pa.array(
+                    [int(b.column("k")[0].as_py())], pa.int64()
+                ),
+                "sum_d": pa.array([int(d.sum())], pa.int64()),
+                "run_max": pa.array([int(run[i])], pa.int64()),
+                "argmax_t": pa.array([int(t[i])], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = [
+        x
+        for x in ray.get(
+            srt.map_batches(summary, batch_format="pyarrow").to_arrow_refs()
+        )
+        if x.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "peak": pa.array([None], pa.int64()),
+                "peak_ts": pa.array([None], pa.timestamp("us")),
+                "n_intervals": pa.array([0], pa.int64()),
+            }
+        )
+    rows = sorted(pa.concat_tables(parts).to_pylist(), key=lambda r: r["min_k"])
+    offset = 0
+    peak = None
+    peak_ts = None
+    total = 0
+    for r in rows:
+        cand = offset + r["run_max"]
+        if peak is None or cand > peak:
+            peak, peak_ts = cand, r["argmax_t"]
+        elif cand == peak and r["argmax_t"] < peak_ts:
+            peak_ts = r["argmax_t"]
+        offset += r["sum_d"]
+        total += r["n"]
+    return pa.table(
+        {
+            "peak": pa.array([peak], pa.int64()),
+            "peak_ts": pa.array([peak_ts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_intervals": pa.array([total // 2], pa.int64()),
+        }
+    )
+
+
+def max_concurrency_sql(sessions_sql: str) -> str:
+    """DuckDB oracle for :func:`max_concurrency` over the sessions
+    produced by ``sessions_sql`` — the same closed-interval boundary
+    order (+1 before -1 at equal t), the same min-time peak rule."""
+    return f"""
+WITH s AS ({sessions_sql}),
+d AS (
+    SELECT epoch_us(session_start) AS t, 1 AS dd FROM s
+    UNION ALL
+    SELECT epoch_us(session_end) AS t, -1 AS dd FROM s
+),
+r AS (
+    SELECT t, dd,
+           sum(dd) OVER (ORDER BY t, dd DESC
+                         ROWS UNBOUNDED PRECEDING) AS c
+    FROM d
+)
+SELECT CAST((SELECT max(c) FROM r) AS BIGINT) AS peak,
+       make_timestamp((SELECT min(t) FROM r
+                       WHERE c = (SELECT max(c) FROM r))) AS peak_ts,
+       CAST((SELECT count(*) FROM s) AS BIGINT) AS n_intervals
+"""

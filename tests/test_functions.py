@@ -5033,6 +5033,54 @@ def test_percentile_cont_oracle(events_ds, educk):
         assert t.column(c).to_pylist() == [7.25]
 
 
+def test_max_concurrency_oracle(events_ds, educk):
+    """Sweep-line peak vs the window-cumsum twin over the composed
+    sessions; block-layout invariance; crafted pins: closed-interval
+    touch counts as overlap, peak value + first-peak time, guard."""
+    from search_engine_ray.functions.windows import (
+        max_concurrency,
+        max_concurrency_sql,
+        session_windows,
+        session_windows_sql,
+    )
+
+    t = max_concurrency(session_windows(events_ds))
+    o = educk.sql(max_concurrency_sql(session_windows_sql("events"))).arrow()
+    assert t.column("peak")[0].as_py() >= 1
+    assert t.cast(o.schema).equals(o)
+    t2 = max_concurrency(session_windows(events_ds.repartition(11)))
+    assert t.equals(t2)
+
+    def mk(iv):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "session_start": pa.array(
+                        [a for a, _ in iv], pa.timestamp("us")
+                    ),
+                    "session_end": pa.array(
+                        [b for _, b in iv], pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+
+    # [0,10], [5,15], [12,20]: peak 2, first reached at t=5
+    r = max_concurrency(mk([(0, 10), (5, 15), (12, 20)])).to_pylist()[0]
+    assert r["peak"] == 2
+    assert r["peak_ts"].timestamp() * 1e6 == 5
+    assert r["n_intervals"] == 3
+    # closed intervals: touching at t=10 IS overlap
+    r = max_concurrency(mk([(0, 10), (10, 20)])).to_pylist()[0]
+    assert r["peak"] == 2 and r["peak_ts"].timestamp() * 1e6 == 10
+    # end before start refused
+    with pytest.raises(Exception, match="end before start"):
+        max_concurrency(mk([(10, 0)]))
+    # empty -> typed NULL row
+    r = max_concurrency(mk([])).to_pylist()[0]
+    assert r["peak"] is None and r["n_intervals"] == 0
+
+
 def test_autocorr_oracle(events_ds, educk):
     """Lag-1 autocorrelation vs the lead()-pairs twin; block-layout
     invariance; crafted pins: perfect ramp r1 == 1.0 exactly,

@@ -3878,6 +3878,18 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_mad(sf_dir: str):
+    """MAD robust outlier audit per event_type — median, median
+    absolute deviation and the k=3 flag count, ALL integer (cents +
+    ceil-rank order statistics + integer flag test): no float, no
+    epsilon, anywhere."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.mad_outliers_by_group(
+        _events_ds(sf_dir), "event_type", "value"
+    )
+
+
 def _events_mode(sf_dir: str):
     """Modal event_type per user with the deterministic (count DESC,
     value ASC) tie-break — exact integer counts, one group exchange of
@@ -4596,6 +4608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
+        "events_mad": _events_mad,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5144,6 +5157,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_unpivot": lambda: relational_mod.unpivot_events_sql(
             "events"
+        ),
+        "events_mad": lambda: aggregates_mod.mad_outliers_by_group_sql(
+            "events", "event_type", "value"
         ),
         "events_means": lambda: aggregates_mod.pythagorean_means_sql(
             "events", "event_type", "value"

@@ -2663,3 +2663,147 @@ SELECT g AS {group_col}, n,
        n * 1000000000000.0 / CAST(iv AS DOUBLE) AS hm
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers per group (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3
+
+
+def mad_outliers_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = MAD_K,
+) -> rd.Dataset:
+    """Median-absolute-deviation outlier audit per group (Hampel
+    1974) — the ROBUST sibling of :func:`grouped_outliers`' z-score:
+    one genuine spike inflates a group's standard deviation enough to
+    hide a second spike (masking); the median and MAD have a 50%
+    breakdown point and do not.  Per group: the median, ``mad =
+    median(|v - median|)`` and the count of rows with ``|v - median| >
+    k * mad``.
+
+    The exactness class is the strongest in the repo: cents, both
+    medians by the ceil-rank ORDER-STATISTIC rule (rank ``ceil(n/2)``
+    of the sorted multiset — always an actual data value, the
+    :func:`grouped_quantiles` convention), deviations exact int64, and
+    the flag test ``dev > k * mad`` pure integer — no float, no
+    epsilon, anywhere.
+
+    Plan: ONE group exchange of in-map pre-deduped (value-cents,
+    count) rows (the rank-statistics shape); the fold is two
+    sort+cumsum+searchsorted passes — the second over the deviation
+    multiset DERIVED from the first (|distinct values| entries, no new
+    exchange).  Zero-MAD groups (a majority at one value) flag every
+    row off the median — the documented Hampel behavior.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)[
+            keep
+        ]
+        t = pa.table(
+            {
+                "g": b.column(group_col).filter(pa.array(keep)),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "c"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "c"]).aggregate([("n", "sum")])
+        c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(c)
+        c, w = c[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        med = int(c[np.searchsorted(cum, (n + 1) // 2)])
+        dev = np.abs(c - med)
+        do = np.argsort(dev, kind="stable")
+        dev_s, w_s = dev[do], w[do]
+        dcum = np.cumsum(w_s)
+        mad = int(dev_s[np.searchsorted(dcum, (n + 1) // 2)])
+        n_out = int(w[dev > k * mad].sum())
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "med_c": pa.array([med], pa.int64()),
+                "mad_c": pa.array([mad], pa.int64()),
+                "n_out": pa.array([n_out], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n", "med_c", "mad_c", "n_out"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def mad_outliers_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = MAD_K,
+) -> str:
+    """DuckDB oracle for :func:`mad_outliers_by_group` — the same
+    cents, the same ceil-rank medians, the same integer flag test."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+cnt AS (SELECT g, c, count(*) AS m FROM t GROUP BY g, c),
+cum AS (
+    SELECT g, c, sum(m) OVER (PARTITION BY g ORDER BY c) AS cm FROM cnt
+),
+med AS (
+    SELECT nn.g,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (nn.n + 1) // 2) AS med_c
+    FROM nn
+),
+dev AS (
+    SELECT t.g, ABS(t.c - med.med_c) AS d
+    FROM t JOIN med ON t.g = med.g
+),
+dcnt AS (SELECT g, d, count(*) AS m FROM dev GROUP BY g, d),
+dcum AS (
+    SELECT g, d, sum(m) OVER (PARTITION BY g ORDER BY d) AS cm FROM dcnt
+),
+mad AS (
+    SELECT nn.g,
+           (SELECT min(d) FROM dcum
+            WHERE dcum.g = nn.g AND cm >= (nn.n + 1) // 2) AS mad_c
+    FROM nn
+)
+SELECT nn.g AS {group_col}, nn.n,
+       CAST(med.med_c AS BIGINT) AS med_c,
+       CAST(mad.mad_c AS BIGINT) AS mad_c,
+       CAST((SELECT count(*) FROM dev
+             WHERE dev.g = nn.g AND dev.d > {k} * mad.mad_c)
+            AS BIGINT) AS n_out
+FROM nn JOIN med ON nn.g = med.g JOIN mad ON nn.g = mad.g
+"""

@@ -4953,6 +4953,49 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_mad_outliers_oracle(events_ds, educk):
+    """MAD audit vs the ceil-rank twin; block-layout invariance;
+    crafted pins: masking case (one spike hides another from the
+    z-score but not from MAD), zero-MAD majority behavior, all-integer
+    output."""
+    from search_engine_ray.functions.aggregates import (
+        mad_outliers_by_group,
+        mad_outliers_by_group_sql,
+    )
+
+    got = _sorted(_table(mad_outliers_by_group(events_ds)))
+    want = educk.sql(mad_outliers_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(mad_outliers_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(vals):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(vals)),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    # masking: [1..9, 1000, 1000]: sigma is spike-inflated (z-score at
+    # 3-sigma flags NOTHING: max z ~ 1.9), but med=6, mad=3 -> both
+    # spikes flagged (dev 99400 > 900)
+    r = _table(
+        mad_outliers_by_group(
+            mk([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0, 1000.0])
+        )
+    ).to_pylist()[0]
+    assert (r["med_c"], r["mad_c"], r["n_out"]) == (600, 300, 2)
+    # zero MAD: majority at one value -> every off-median row flags
+    r = _table(
+        mad_outliers_by_group(mk([5.0, 5.0, 5.0, 7.0]))
+    ).to_pylist()[0]
+    assert (r["med_c"], r["mad_c"], r["n_out"]) == (500, 0, 1)
+
+
 def test_mode_by_group_oracle(events_ds, educk):
     """Grouped mode vs the row_number twin; block-layout invariance;
     crafted pins: count ties resolve to the SMALLER value, NULLs

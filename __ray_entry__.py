@@ -3390,6 +3390,15 @@ def _graph_cooccur(sf_dir: str):
     return _cooccur_edges(sf_dir)
 
 
+def _graph_components(sf_dir: str):
+    """Connected components of the co-order part graph — hash-min
+    label propagation over the edge list (rounds = diameter, scalar
+    convergence), the dedup machinery promoted to graph vocabulary."""
+    from search_engine_ray.functions import graph
+
+    return graph.connected_components(_cooccur_edges(sf_dir), "a", "b")
+
+
 RULES_MIN_QTY = 30.0  # denser baskets than the triangle graph: 112
 #                         support>=2 pairs -> 224 directed rules
 
@@ -4634,6 +4643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_locf": _events_locf,
         "events_histogram_dense": _events_histogram_dense,
         "graph_cooccur": _graph_cooccur,
+        "graph_components": _graph_components,
         "graph_triangles": _graph_triangles,
         "graph_rules": _graph_rules,
         "window_rank": _window_rank,
@@ -5219,6 +5229,14 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "graph_cooccur": lambda: graph_mod.cooccurrence_pairs_sql(
             _COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY),
             "l_orderkey", "l_partkey",
+        ),
+        "graph_components": lambda: graph_mod.connected_components_sql(
+            "SELECT a AS doc_a, b AS doc_b FROM ("
+            + graph_mod.cooccurrence_pairs_sql(
+                _COOCCUR_SRC_SQL.format(q=COOCCUR_MIN_QTY),
+                "l_orderkey", "l_partkey",
+            )
+            + ")"
         ),
         "graph_rules": lambda: graph_mod.association_rules_sql(
             _COOCCUR_SRC_SQL.format(q=RULES_MIN_QTY),

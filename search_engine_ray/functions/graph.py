@@ -741,3 +741,54 @@ JOIN isup sl ON sl.it = dir2.lhs
 JOIN isup sr ON sr.it = dir2.rhs
 CROSS JOIN nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Connected components (general graph form)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges,
+    col_a: str = "a",
+    col_b: str = "b",
+) -> pa.Table:
+    """Connected components of a general undirected graph — the
+    community/reachability primitive ("which products belong to one
+    co-purchase ecosystem"), promoted from the dedup pipeline to a
+    first-class graph operator: the engine is
+    :func:`~search_engine_ray.functions.dedup.dup_clusters`' hash-min
+    label propagation (two groupbys over |E|+|V| rows per round,
+    rounds = component diameter, scalar-sum convergence — no joins, no
+    broadcasts, no driver-side graph above the documented edge
+    threshold), re-keyed to graph vocabulary: ``(node, component,
+    is_root)`` with ``component`` = min node id of the component and
+    ``is_root`` marking the canonical node.
+
+    Same loud non-negative-id rule as the dedup form (-1 is the label
+    sentinel).  Isolated nodes (no edge) do not appear — a component
+    of size one is the absence of edges, exactly as in the SQL twin's
+    edge-derived node set.
+    """
+    from .dedup import dup_clusters
+
+    t = dup_clusters(edges, col_a=col_a, col_b=col_b)
+    return pa.table(
+        {
+            "node": t.column("doc_id"),
+            "component": t.column("cluster_id"),
+            "is_root": t.column("keep"),
+        }
+    )
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`connected_components` — the recursive
+    closure over the same edge set (``pairs_sql`` must yield columns
+    ``doc_a, doc_b``)."""
+    from .dedup import dup_clusters_sql
+
+    return f"""
+SELECT doc_id AS node, cluster_id AS component, keep AS is_root
+FROM ({dup_clusters_sql(pairs_sql)})
+"""

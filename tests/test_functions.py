@@ -1314,6 +1314,30 @@ def test_region_revenue_oracle(rduck):
     assert e.num_rows == 0 and e.column_names == ["n_name", "revenue"]
 
 
+def test_connected_components():
+    """General CC wrapper: crafted two-component graph labels by min
+    node id, roots flagged, isolated nodes absent, negative refused."""
+    from search_engine_ray.functions.graph import connected_components
+
+    edges = pa.table(
+        {
+            "a": pa.array([1, 2, 10, 11], pa.int64()),
+            "b": pa.array([2, 3, 11, 12], pa.int64()),
+        }
+    )
+    t = connected_components(edges).sort_by([("node", "ascending")])
+    rows = t.to_pylist()
+    assert [r["node"] for r in rows] == [1, 2, 3, 10, 11, 12]
+    assert [r["component"] for r in rows] == [1, 1, 1, 10, 10, 10]
+    assert [r["is_root"] for r in rows] == [True, False, False, True, False, False]
+    with pytest.raises(Exception, match="non-negative"):
+        connected_components(
+            pa.table(
+                {"a": pa.array([-1], pa.int64()), "b": pa.array([2], pa.int64())}
+            )
+        )
+
+
 def test_returned_customers_oracle(rduck):
     """Q10 analog vs the SQL oracle — ORDER MATTERS (revenue DESC,
     custkey ASC), k-cap respected, every row's lineitems are returned

@@ -4243,6 +4243,15 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _events_gaps(sf_dir: str):
+    """Inter-event gap order statistics per user (median/p95/max gap
+    µs — the heartbeat/liveness readout): all-integer ceil-rank stats
+    over one user exchange; gaps never span users."""
+    from search_engine_ray.functions import windows
+
+    return windows.gap_stats_per_user(_events_ds(sf_dir))
+
+
 def _window_concurrency(sf_dir: str):
     """Peak simultaneous sessions + the first instant it is reached:
     sessionize (the existing exchange), then ONE packed-int boundary
@@ -4586,6 +4595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
+        "events_gaps": _events_gaps,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
         "window_funnel_windowed": _window_funnel_windowed,
@@ -5272,6 +5282,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_concurrency": lambda: windows_mod.max_concurrency_sql(
             windows_mod.session_windows_sql("events")
         ),
+        "events_gaps": lambda: windows_mod.gap_stats_per_user_sql("events"),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),

@@ -1784,3 +1784,99 @@ SELECT CAST((SELECT max(c) FROM r) AS BIGINT) AS peak,
                        WHERE c = (SELECT max(c) FROM r))) AS peak_ts,
        CAST((SELECT count(*) FROM s) AS BIGINT) AS n_intervals
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics per user (heartbeat monitoring)
+# ---------------------------------------------------------------------------
+
+
+def gap_stats_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """Inter-event gap statistics per user — median, p95 and max gap
+    in microseconds plus the gap count: the heartbeat/liveness readout
+    ("how regularly does this agent report, and how bad is its worst
+    silence") behind every dead-man's-switch alert; the
+    distributional sibling of :func:`autocorr_per_user`'s value
+    correlation, over the TIME axis instead.
+
+    All-integer exactness: gaps are differences of epoch-microsecond
+    int64s over the total (ts, event_id) order; median and p95 are
+    ceil-rank ORDER STATISTICS of the gap multiset (the
+    grouped_quantiles convention — always actual gaps, no
+    interpolation); no float anywhere.  Gaps never span users; single-
+    event users have no gap and emit nothing (the changepoint rule).
+
+    Plan: ONE user exchange (the transitions shape); the fold is one
+    sort + diff + one more sort for the order statistics — vectorized.
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "med_gap_us": pa.array([], pa.int64()),
+                "p95_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(us) < 2:
+            return empty
+        gaps = np.sort(np.diff(us))
+        n = len(gaps)
+        med = int(gaps[(n + 1) // 2 - 1])
+        p95 = int(gaps[(19 * n + 19) // 20 - 1])
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_gaps": pa.array([n], pa.int64()),
+                "med_gap_us": pa.array([med], pa.int64()),
+                "p95_gap_us": pa.array([p95], pa.int64()),
+                "max_gap_us": pa.array([int(gaps[-1])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def gap_stats_per_user_sql(src: str) -> str:
+    """DuckDB oracle for :func:`gap_stats_per_user` — the same lead()
+    gaps over the same total order, the same ceil-rank statistics."""
+    return f"""
+WITH p AS (
+    SELECT user_id AS u,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap
+    FROM {src}
+),
+g AS (SELECT u, CAST(gap AS BIGINT) AS gap FROM p WHERE gap IS NOT NULL),
+nn AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY u),
+cnt AS (SELECT u, gap, count(*) AS m FROM g GROUP BY u, gap),
+cum AS (
+    SELECT u, gap, sum(m) OVER (PARTITION BY u ORDER BY gap) AS cm
+    FROM cnt
+)
+SELECT nn.u AS user_id, nn.n AS n_gaps,
+       (SELECT min(gap) FROM cum
+        WHERE cum.u = nn.u AND cm >= (nn.n + 1) // 2) AS med_gap_us,
+       (SELECT min(gap) FROM cum
+        WHERE cum.u = nn.u AND cm >= (19 * nn.n + 19) // 20)
+           AS p95_gap_us,
+       (SELECT max(gap) FROM g WHERE g.u = nn.u) AS max_gap_us
+FROM nn
+"""

@@ -5100,6 +5100,46 @@ def test_percentile_cont_oracle(events_ds, educk):
         assert t.column(c).to_pylist() == [7.25]
 
 
+def test_gap_stats_oracle(events_ds, educk):
+    """Gap order statistics vs the lead() + ceil-rank twin;
+    block-layout invariance; crafted pins: exact median/p95/max on a
+    known gap multiset, single-event absence, cross-user isolation."""
+    from search_engine_ray.functions.windows import (
+        gap_stats_per_user,
+        gap_stats_per_user_sql,
+    )
+
+    got = _sorted(_table(gap_stats_per_user(events_ds)))
+    want = educk.sql(gap_stats_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(gap_stats_per_user(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(users, tss):
+        n = len(users)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_id": pa.array(list(range(n)), pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                }
+            )
+        )
+
+    # gaps [10, 20, 30, 40]: median = rank ceil(4/2)=2 -> 20;
+    # p95 = rank ceil(3.8)=4 -> 40; max 40
+    t = mk([1] * 5, [0, 10, 30, 60, 100])
+    r = _table(gap_stats_per_user(t)).to_pylist()[0]
+    assert (r["n_gaps"], r["med_gap_us"], r["p95_gap_us"], r["max_gap_us"]) == (
+        4, 20, 40, 40,
+    )
+    # single-event user emits nothing; gaps never span users
+    t = mk([1, 2], [0, 1000])
+    assert gap_stats_per_user(t).count() == 0
+
+
 def test_max_concurrency_oracle(events_ds, educk):
     """Sweep-line peak vs the window-cumsum twin over the composed
     sessions; block-layout invariance; crafted pins: closed-interval

@@ -4243,6 +4243,15 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _events_streaks(sf_dir: str):
+    """Longest consecutive-UTC-day streak per user (gaps-and-islands):
+    all-integer epoch-day arithmetic, (len DESC, start ASC) winner,
+    one user exchange with a vectorized island scan."""
+    from search_engine_ray.functions import windows
+
+    return windows.streaks_per_user(_events_ds(sf_dir))
+
+
 def _events_gaps(sf_dir: str):
     """Inter-event gap order statistics per user (median/p95/max gap
     µs — the heartbeat/liveness readout): all-integer ceil-rank stats
@@ -4596,6 +4605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
         "events_gaps": _events_gaps,
+        "events_streaks": _events_streaks,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
         "window_funnel_windowed": _window_funnel_windowed,
@@ -5283,6 +5293,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             windows_mod.session_windows_sql("events")
         ),
         "events_gaps": lambda: windows_mod.gap_stats_per_user_sql("events"),
+        "events_streaks": lambda: windows_mod.streaks_per_user_sql("events"),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),

@@ -1880,3 +1880,90 @@ SELECT nn.u AS user_id, nn.n AS n_gaps,
        (SELECT max(gap) FROM g WHERE g.u = nn.u) AS max_gap_us
 FROM nn
 """
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+def streaks_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """Longest run of CONSECUTIVE active UTC days per user — the
+    engagement-streak feature (Duolingo's daily streak; "how many days
+    in a row"), and the canonical gaps-and-islands computation: the
+    twin's ``day - row_number()`` island key is the SQL folklore form,
+    the engine's diff==1 run scan the vectorized one.
+
+    All-integer exactness: days are ``epoch_us // 86_400_000_000``
+    (floor division on int64 — no calendar library), streak length
+    and start day are exact ints, and the winning streak is the
+    (length DESC, start ASC) head — first-longest, deterministic both
+    engines.  Output (user_id, n_days, longest_streak,
+    streak_start_day).
+
+    Plan: ONE user exchange; the fold dedups the user's days
+    (np.unique sorts), finds diff>1 island boundaries and takes one
+    lexsort head — vectorized, no Python loop.
+    """
+    us_day = 86_400_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.unique(us // us_day)
+        starts = np.flatnonzero(np.r_[True, np.diff(days) > 1])
+        ends = np.r_[starts[1:], len(days)]
+        lens = ends - starts
+        i = int(np.lexsort((days[starts], -lens))[0])
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_days": pa.array([len(days)], pa.int64()),
+                "longest_streak": pa.array([int(lens[i])], pa.int64()),
+                "streak_start_day": pa.array(
+                    [int(days[starts[i]])], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def streaks_per_user_sql(src: str) -> str:
+    """DuckDB oracle for :func:`streaks_per_user` — the classic
+    day - row_number() island key, winner by (len DESC, start ASC)."""
+    return f"""
+WITH d AS (
+    SELECT DISTINCT user_id AS u,
+           epoch_us(ts) // 86400000000 AS day
+    FROM {src}
+),
+r AS (
+    SELECT u, day,
+           day - row_number() OVER (PARTITION BY u ORDER BY day) AS grp
+    FROM d
+),
+runs AS (
+    SELECT u, CAST(count(*) AS BIGINT) AS len,
+           CAST(min(day) AS BIGINT) AS strt
+    FROM r GROUP BY u, grp
+),
+best AS (
+    SELECT u, len, strt,
+           row_number() OVER (PARTITION BY u
+                              ORDER BY len DESC, strt ASC) AS rn
+    FROM runs
+),
+nd AS (SELECT u, CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY u)
+SELECT nd.u AS user_id, nd.n_days,
+       best.len AS longest_streak, best.strt AS streak_start_day
+FROM nd JOIN best ON nd.u = best.u AND best.rn = 1
+"""

@@ -5100,6 +5100,46 @@ def test_percentile_cont_oracle(events_ds, educk):
         assert t.column(c).to_pylist() == [7.25]
 
 
+def test_streaks_oracle(events_ds, educk):
+    """Streaks vs the day - row_number() islands twin; block-layout
+    invariance; crafted pins: known streak structure, tie resolves to
+    the EARLIEST streak, same-day repeats dedup."""
+    from search_engine_ray.functions.windows import (
+        streaks_per_user,
+        streaks_per_user_sql,
+    )
+
+    got = _sorted(_table(streaks_per_user(events_ds)))
+    want = educk.sql(streaks_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(streaks_per_user(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    day = 86_400_000_000
+
+    def mk(days):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1] * len(days), pa.int64()),
+                    "ts": pa.array([d * day + 7 for d in days],
+                                   pa.timestamp("us")),
+                }
+            )
+        )
+
+    # days {3,4,5, 9,10}: longest 3 starting day 3; 5 distinct days
+    r = _table(streaks_per_user(mk([4, 3, 5, 9, 10]))).to_pylist()[0]
+    assert (r["n_days"], r["longest_streak"], r["streak_start_day"]) == (5, 3, 3)
+    # tie {1,2} and {5,6}: earliest wins
+    r = _table(streaks_per_user(mk([5, 6, 1, 2]))).to_pylist()[0]
+    assert (r["longest_streak"], r["streak_start_day"]) == (2, 1)
+    # same-day repeats dedup: {7,7,7} is a 1-day streak
+    r = _table(streaks_per_user(mk([7, 7, 7]))).to_pylist()[0]
+    assert (r["n_days"], r["longest_streak"]) == (1, 1)
+
+
 def test_gap_stats_oracle(events_ds, educk):
     """Gap order statistics vs the lead() + ceil-rank twin;
     block-layout invariance; crafted pins: exact median/p95/max on a

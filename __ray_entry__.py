@@ -3933,6 +3933,28 @@ def _events_autocorr(sf_dir: str):
     return windows.autocorr_per_user(_events_ds(sf_dir))
 
 
+def _events_emd(sf_dir: str):
+    """1-D earth mover's distance of value between even/odd user
+    segments per event_type — KS's L1 sibling (total CDF area, in
+    value units); exact int64 cents numerator, one float expression."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.emd_by_group(ev)
+
+
 def _events_kendall(sf_dir: str):
     """Kendall tau-b per event_type between event time and value —
     the concordance-based drift readout; C-D and all tie counts fold
@@ -4644,6 +4666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
+        "events_emd": _events_emd,
         "events_kendall": _events_kendall,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
@@ -5199,6 +5222,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_pctcont": lambda: aggregates_mod.percentile_cont_by_group_sql(
             "events", "event_type", "value"
+        ),
+        "events_emd": lambda: aggregates_mod.emd_by_group_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
         ),
         "events_kendall": lambda: aggregates_mod.kendall_by_group_sql(
             "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "

@@ -2807,3 +2807,172 @@ SELECT nn.g AS {group_col}, nn.n,
             AS BIGINT) AS n_out
 FROM nn JOIN med ON nn.g = med.g JOIN mad ON nn.g = mad.g
 """
+
+
+# ---------------------------------------------------------------------------
+# 1-D earth mover's distance between two segments per group
+# ---------------------------------------------------------------------------
+
+
+def emd_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """First Wasserstein distance (earth mover's) between two
+    segments' value distributions per group — :func:`ks_test`'s L1
+    sibling: KS reports the WORST CDF gap, EMD the TOTAL AREA between
+    the CDFs (``W1 = integral |F_a - F_b|``), so a broad small shift
+    that never spikes (invisible to KS beyond its height) still
+    accumulates here, in value units ("how far does the money have to
+    move").
+
+    Exactness: values quantize to int64 cents; over the sorted
+    distinct cents the area is ``sum_i |ca_i*nb - cb_i*na| * (c_{i+1}
+    - c_i)`` — every factor exact int64, the sum folds as a Python
+    bigint mirrored by HUGEINT, and ``emd = float(num) / (float(na) *
+    float(nb) * 100.0)`` is ONE identical float expression (the /100
+    returns cents to value units).  Identical segments measure 0.0
+    and a constant shift of d units exactly d (pinned).  One-sided
+    groups emit NULL.
+
+    Plan: the :func:`ks_test` exchange verbatim — ONE group exchange
+    of in-map pre-deduped (cents, segment, count) rows; the fold is
+    one sort + two cumsums + one weighted absolute sum.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        seg = b.column(segment_col).to_numpy(zero_copy_only=False)
+        if len(seg) and not np.isin(seg, (0, 1)).all():
+            raise ValueError("emd_by_group: segment must be 0 or 1")
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)[
+            keep
+        ]
+        t = pa.table(
+            {
+                "g": b.column(group_col).filter(pa.array(keep)),
+                "c": pa.array(c, pa.int64()),
+                "seg": pa.array(
+                    seg[keep].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        out = t.group_by(["g", "c", "seg"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "seg", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "c", "seg"]).aggregate([("n", "sum")])
+        c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = merged.column("seg").to_numpy(zero_copy_only=False)
+        n = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, inv = np.unique(c, return_inverse=True)
+        a = np.zeros(len(uniq), np.int64)
+        b = np.zeros(len(uniq), np.int64)
+        m0 = seg == 0
+        np.add.at(a, inv[m0], n[m0])
+        np.add.at(b, inv[~m0], n[~m0])
+        na, nb = int(a.sum()), int(b.sum())
+        emd = None
+        num = 0
+        if na > 0 and nb > 0 and len(uniq) > 1:
+            # the whole sum is bounded by na*nb*(value range); numpy
+            # int64 would WRAP past 2^63 where DuckDB's HUGEINT grows —
+            # refuse loudly (the graph_rules rule); rebase cents or
+            # split the group beyond
+            if na * nb * int(uniq[-1] - uniq[0]) >= 2**62:
+                raise ValueError(
+                    "emd_by_group: na*nb*range exceeds int64 headroom"
+                )
+            ca = np.cumsum(a)[:-1]
+            cb = np.cumsum(b)[:-1]
+            gaps = np.diff(uniq)
+            num = int(np.sum(np.abs(ca * nb - cb * na) * gaps))
+            emd = float(num) / (float(na) * float(nb) * 100.0)
+        elif na > 0 and nb > 0:
+            emd = 0.0
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "emd_num": pa.array([num], pa.int64()),
+                "emd": pa.array([emd], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, segment_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n_a", "n_b", "emd_num", "emd"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def emd_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    segment_col: str = "segment",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`emd_by_group` — the same cents, the
+    same cumulative gaps weighted by lead() value steps, the same
+    single float expression."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round(abs({value_col}) * 100)
+                * CASE WHEN {value_col} < 0 THEN -1 ELSE 1 END
+                AS BIGINT) AS c,
+           {segment_col} AS seg
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+cell AS (
+    SELECT g, c,
+           CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM t GROUP BY g, c
+),
+cum AS (
+    SELECT g, c,
+           CAST(SUM(a) OVER w AS BIGINT) AS ca,
+           CAST(SUM(b) OVER w AS BIGINT) AS cb,
+           lead(c) OVER (PARTITION BY g ORDER BY c) AS nxt
+    FROM cell
+    WINDOW w AS (PARTITION BY g ORDER BY c ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+    SELECT g, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+    FROM cell GROUP BY g
+),
+num AS (
+    SELECT cum.g,
+           CAST(COALESCE(SUM(CAST(ABS(ca * tot.nb - cb * tot.na)
+                                  AS HUGEINT) * (nxt - c)), 0)
+                AS BIGINT) AS emd_num
+    FROM cum JOIN tot ON cum.g = tot.g
+    WHERE nxt IS NOT NULL
+    GROUP BY cum.g
+)
+SELECT tot.g AS {group_col}, tot.na AS n_a, tot.nb AS n_b,
+       COALESCE(num.emd_num, 0) AS emd_num,
+       CASE WHEN tot.na > 0 AND tot.nb > 0
+            THEN CAST(COALESCE(num.emd_num, 0) AS DOUBLE)
+                 / (CAST(tot.na AS DOUBLE) * CAST(tot.nb AS DOUBLE)
+                    * 100.0)
+       END AS emd
+FROM tot LEFT JOIN num ON tot.g = num.g
+"""

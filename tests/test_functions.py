@@ -5278,6 +5278,68 @@ def test_autocorr_oracle(events_ds, educk):
     assert t.column("r1").to_pylist() == [None]
 
 
+def test_emd_oracle(events_ds, educk):
+    """EMD vs the cumulative-gap twin; block-layout invariance;
+    crafted pins: identical segments 0.0 exactly, constant shift of d
+    measures exactly d, the broad-shift case KS underweights."""
+    from search_engine_ray.functions.aggregates import (
+        emd_by_group,
+        emd_by_group_sql,
+        ks_test,
+    )
+
+    def seg(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _sorted(_table(emd_by_group(ev)))
+    want = educk.sql(
+        emd_by_group_sql(
+            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(emd_by_group(ev.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(s0, s1):
+        vals = s0 + s1
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(vals)),
+                    "segment": pa.array(
+                        [0] * len(s0) + [1] * len(s1), pa.int64()
+                    ),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    # identical segments -> 0.0 exactly
+    t = _table(emd_by_group(mk([1.0, 5.0], [1.0, 5.0])))
+    assert t.column("emd").to_pylist() == [0.0]
+    # constant shift: s1 = s0 + 3 -> EMD exactly 3.0
+    t = _table(emd_by_group(mk([1.0, 5.0], [4.0, 8.0])))
+    assert t.column("emd").to_pylist() == [3.0]
+    # broad small shift: every point moved by 1 -> EMD 1.0, while the
+    # KS height stays at a single-step 1/n — EMD sees the area
+    s0 = [float(i) for i in range(1, 11)]
+    s1 = [float(i + 1) for i in range(1, 11)]
+    t = _table(emd_by_group(mk(s0, s1)))
+    assert t.column("emd").to_pylist() == [1.0]
+    k = _table(ks_test(mk(s0, s1)))
+    assert k.column("d").to_pylist()[0] <= 0.2
+
+
 def test_kendall_oracle(events_ds, educk):
     """Kendall tau-b vs the all-pairs SIGN-product twin; block-layout
     invariance; crafted pins: perfect monotone tau == +-1.0 exactly,

@@ -3846,6 +3846,15 @@ def _text_zipf(sf_dir: str):
     return ta.zipf_fit(_documents_ds(sf_dir))
 
 
+def _text_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between language slices of the
+    documents corpus — market-basket co-occurrence with tokens as
+    baskets and slices as items; exact set sizes, one float division."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.vocab_overlap(_documents_ds(sf_dir), "lang")
+
+
 def _text_hapax(sf_dir: str):
     """Hapax/dis legomena share of the documents vocabulary (the
     lexical-growth readout; Good-Turing's N1/N2): the zipf histogram
@@ -4663,6 +4672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
+        "text_overlap": _text_overlap,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
@@ -5065,6 +5075,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_ngram_counts": lambda: ta_mod.ngram_counts_sql("documents"),
         "text_zipf": lambda: ta_mod.zipf_fit_sql("documents"),
         "text_hapax": lambda: ta_mod.hapax_stats_sql("documents"),
+        "text_overlap": lambda: ta_mod.vocab_overlap_sql("documents", "lang"),
         "text_repetition": lambda: ta_mod.repetition_features_sql("documents"),
         "text_keywords": lambda: ta_mod.tfidf_keywords_sql("documents"),
         # redaction over deterministically PII-injected text (the raw

@@ -3773,3 +3773,145 @@ SELECT CAST(count(*) AS BIGINT) AS vocab,
        END AS hapax_rate
 FROM cnt
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary overlap between corpus slices (Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+OVERLAP_MAX_SLICES = 64
+
+
+def vocab_overlap(ds, slice_col: str = "lang",
+                  text_col: str = "text") -> pa.Table:
+    """Pairwise vocabulary Jaccard between corpus slices (languages,
+    sources, snapshots) — the corpus-diff readout
+    (:func:`corpus_js_divergence` compares two slices by token MASS;
+    this compares every pair by token SETS: "how much vocabulary do
+    the English and German slices actually share").  Output one row
+    per slice pair (a < b) that shares at least one token: exact
+    intersection and union sizes and their ratio.
+
+    The plan is market-basket co-occurrence with the roles flipped:
+    each TOKEN is a basket and the slices it appears in are the
+    items.  In-map distinct (slice, token) partials, ONE
+    ``groupby(token)`` exchange (the vocabulary exchange — the honest
+    cost of exact set semantics), each token emits its slice-pair and
+    diagonal rows (bounded by |slices|^2, with ``OVERLAP_MAX_SLICES``
+    refused loudly — quadratic in SLICES, not tokens), and a final
+    tiny (a, b) groupby sums.  Union falls out of the diagonal:
+    ``|A u B| = |A| + |B| - inter`` — exact ints; ``jaccard =
+    float(inter) / float(union)`` is one identical float division.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_word_tokens
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_idx, flat = _flat_word_tokens(b.column(text_col))
+        sl = b.column(slice_col).take(pa.array(doc_idx))
+        t = pa.table({"s": sl, "tok": flat})
+        out = t.group_by(["s", "tok"]).aggregate([])
+        return out
+
+    def per_tok(g: pa.Table) -> pa.Table:
+        sl = np.unique(np.asarray(g.column("s").to_pylist(), dtype=object))
+        k = len(sl)
+        if k > OVERLAP_MAX_SLICES:
+            raise ValueError(
+                f"vocab_overlap: {k} slices exceed "
+                f"OVERLAP_MAX_SLICES={OVERLAP_MAX_SLICES}"
+            )
+        ii, jj = np.triu_indices(k, 1)
+        a = np.concatenate([sl, sl[ii]])
+        b = np.concatenate([sl, sl[jj]])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "n": pa.array(np.ones(len(a), np.int64), pa.int64()),
+            }
+        )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["a", "b"]).aggregate([("n", "sum")])
+        return out.rename_columns(["a", "b", "n"])
+
+    agg = (
+        ds.select_columns([slice_col, text_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("tok")
+        .map_groups(per_tok, batch_format="pyarrow")
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "slice_a": pa.array([], pa.string()),
+            "slice_b": pa.array([], pa.string()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    sizes: dict = {}
+    inters: dict = {}
+    for a, b, n in zip(
+        t.column("a").to_pylist(),
+        t.column("b").to_pylist(),
+        t.column("n").to_pylist(),
+    ):
+        if a == b:
+            sizes[a] = int(n)
+        else:
+            inters[(a, b)] = int(n)
+    rows = []
+    for (a, b), i in sorted(inters.items()):
+        u = sizes[a] + sizes[b] - i
+        rows.append((a, b, i, u, float(i) / float(u)))
+    if not rows:
+        return empty
+    return pa.table(
+        {
+            "slice_a": pa.array([r[0] for r in rows], pa.string()),
+            "slice_b": pa.array([r[1] for r in rows], pa.string()),
+            "inter": pa.array([r[2] for r in rows], pa.int64()),
+            "uni": pa.array([r[3] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def vocab_overlap_sql(src: str, slice_col: str = "lang") -> str:
+    """DuckDB oracle for :func:`vocab_overlap` — the same tokenizer,
+    the same a < b pair order, the same single float division."""
+    return f"""
+WITH tk AS (
+    SELECT DISTINCT {slice_col} AS s,
+           unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '{WORD_REGEX}')) AS tok
+    FROM {src}
+),
+sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY s),
+i AS (
+    SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS inter
+    FROM tk a JOIN tk b ON a.tok = b.tok AND a.s < b.s
+    GROUP BY 1, 2
+)
+SELECT i.sa AS slice_a, i.sb AS slice_b, i.inter,
+       CAST(za.n + zb.n - i.inter AS BIGINT) AS uni,
+       CAST(i.inter AS DOUBLE)
+       / CAST(za.n + zb.n - i.inter AS DOUBLE) AS jaccard
+FROM i JOIN sz za ON i.sa = za.s JOIN sz zb ON i.sb = zb.s
+ORDER BY 1, 2
+"""

@@ -183,6 +183,53 @@ def test_zipf_fit_oracle(docs_ds, fduck):
     assert r["n_ranks"] == 1 and r["slope"] is None
 
 
+def test_vocab_overlap_oracle(docs_ds, fduck):
+    """Vocab Jaccard matrix vs the set self-join twin; block-layout
+    invariance; crafted pins: exact inter/union, disjoint pair absent,
+    identical slices jaccard 1.0."""
+    from search_engine_ray.functions.text_analysis import (
+        vocab_overlap,
+        vocab_overlap_sql,
+    )
+
+    t = vocab_overlap(docs_ds, "lang")
+    o = fduck.sql(vocab_overlap_sql("documents", "lang")).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    t2 = vocab_overlap(docs_ds.repartition(7), "lang")
+    assert t.equals(t2)
+    # crafted: en={aa,bb,cc}, de={bb,cc,dd}, zz={qq}:
+    # (de,en) inter 2 union 4; zz pairs absent (no shared token)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de", "zz"]),
+                "text": pa.array(
+                    ["aa bb", "bb cc", "bb cc dd", "qq"]
+                ),
+            }
+        )
+    )
+    rows = vocab_overlap(ds, "lang").to_pylist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["slice_a"], r["slice_b"], r["inter"], r["uni"]) == (
+        "de", "en", 2, 4,
+    )
+    assert r["jaccard"] == 0.5
+    # identical slices -> jaccard 1.0 exactly
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["a", "b"]),
+                "text": pa.array(["xx yy", "yy xx"]),
+            }
+        )
+    )
+    r = vocab_overlap(ds, "lang").to_pylist()[0]
+    assert r["jaccard"] == 1.0
+
+
 def test_hapax_stats_oracle(docs_ds, fduck):
     """Hapax stats vs the count-filter twin; block-layout invariance;
     crafted pins: exact hapax/dis counts, empty corpus NULL rate."""

@@ -3750,6 +3750,26 @@ def _embed_covariance(sf_dir: str):
     return sim.embed_covariance(_embeddings_ds(sf_dir))
 
 
+def _rel_forecast(sf_dir: str):
+    """TPC-H Q6 analog: the what-if filter-sum — pure zero-shuffle
+    filter + quantized in-map partials folded by one scalar aggregate;
+    pins the inclusive discount-band float-comparison convention."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    return rel.forecast_revenue(
+        read_clean_parquet(
+            os.path.join(_sf_dir(sf_dir), "lineitem.parquet"),
+            columns=[
+                "l_shipdate",
+                "l_discount",
+                "l_quantity",
+                "l_extendedprice",
+            ],
+        )
+    )
+
+
 def _rel_returned(sf_dir: str):
     """TPC-H Q10 analog: top-20 customers by returned-item revenue in
     one quarter — pre-aggregated orderkey shuffle join, map-side-
@@ -4665,6 +4685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": _events_autocorr,
         "rel_cust_dist": _rel_cust_dist,
         "rel_nation_volume": _rel_nation_volume,
+        "rel_forecast": _rel_forecast,
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
@@ -5213,6 +5234,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_cust_dist": lambda: relational_mod.customer_distribution_sql(),
         "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
         "rel_returned": lambda: relational_mod.returned_customers_sql(),
+        "rel_forecast": lambda: relational_mod.forecast_revenue_sql(),
         "embed_covariance": lambda: similarity_mod.embed_covariance_sql(
             "embeddings"
         ),

@@ -2100,3 +2100,91 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Q6 analog: forecasting revenue change (pure filter-sum)
+# ---------------------------------------------------------------------------
+
+Q6_FROM = "1996-01-01"
+Q6_TO = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_MAX_QTY = 24.0
+
+
+def forecast_revenue(
+    lineitem: rd.Dataset,
+    date_from: str = Q6_FROM,
+    date_to: str = Q6_TO,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    max_qty: float = Q6_MAX_QTY,
+) -> pa.Table:
+    """Revenue that WOULD have been kept had discounts in a band been
+    dropped (TPC-H Q6 — the what-if filter-sum): ``SUM(extendedprice *
+    discount)`` over one shipdate year, a discount band (inclusive
+    both ends, the TPC-H ``between``) and a quantity cap.  The
+    simplest possible distributed shape — a pure zero-shuffle
+    filter + quantized in-map partial sum folded by ONE scalar
+    aggregate — kept because a warehouse suite without its
+    sanity-check scan is incomplete, and because it pins the
+    discount-band float comparison convention: the band bounds are
+    compared as the same doubles both engines, no epsilon.
+
+    Money quantizes per row (module header) — the sum is exact int64,
+    order-independent at any block layout.
+    """
+    lo = _dt.datetime.fromisoformat(date_from)
+    hi = _dt.datetime.fromisoformat(date_to)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), pa.scalar(lo)),
+                pc.less(b.column("l_shipdate"), pa.scalar(hi)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(
+                        b.column("l_discount"), pa.scalar(disc_lo)
+                    ),
+                    pc.less_equal(
+                        b.column("l_discount"), pa.scalar(disc_hi)
+                    ),
+                ),
+                pc.less(b.column("l_quantity"), pa.scalar(max_qty)),
+            ),
+        )
+        b = b.filter(keep)
+        q = _quant(_col(b, "l_extendedprice") * _col(b, "l_discount"))
+        return pa.table({"q_rev": pa.array([int(q.sum())], pa.int64())})
+
+    total = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .sum("q_rev")
+    )
+    return pa.table(
+        {"revenue": pa.array([(total or 0) / _Q], pa.float64())}
+    )
+
+
+def forecast_revenue_sql(
+    date_from: str = Q6_FROM,
+    date_to: str = Q6_TO,
+    disc_lo: float = Q6_DISC_LO,
+    disc_hi: float = Q6_DISC_HI,
+    max_qty: float = Q6_MAX_QTY,
+) -> str:
+    """DuckDB oracle for :func:`forecast_revenue` (same quantization,
+    same inclusive band)."""
+    q = int(_Q)
+    return f"""
+SELECT COALESCE(sum(CAST(floor(l_extendedprice * l_discount * {q} + 0.5)
+                         AS BIGINT)), 0) / {q}.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_from}'
+  AND l_shipdate < TIMESTAMP '{date_to}'
+  AND l_discount BETWEEN {disc_lo} AND {disc_hi}
+  AND l_quantity < {max_qty}
+"""

@@ -1415,6 +1415,28 @@ def test_returned_customers_oracle(rduck):
     ]
 
 
+def test_forecast_revenue_oracle(rduck):
+    """Q6 analog vs the SQL oracle; inclusive discount band; empty
+    window -> 0.0 (the COALESCE convention both sides)."""
+    from search_engine_ray.functions import relational as rel
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+    t = rel.forecast_revenue(li)
+    o = rduck.sql(rel.forecast_revenue_sql()).arrow()
+    assert t.column("revenue")[0].as_py() > 0
+    assert t.cast(o.schema).equals(o)
+    e = rel.forecast_revenue(li, date_from="2030-01-01",
+                             date_to="2030-02-01")
+    oe = rduck.sql(
+        rel.forecast_revenue_sql(date_from="2030-01-01",
+                                 date_to="2030-02-01")
+    ).arrow()
+    assert e.column("revenue")[0].as_py() == 0.0
+    assert e.cast(oe.schema).equals(oe)
+
+
 def test_nation_volume_oracle(rduck):
     """Q7 analog vs the SQL oracle — both directions present, shuffle
     == broadcast plans, unknown nation -> typed empty."""

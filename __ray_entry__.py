@@ -3750,6 +3750,32 @@ def _embed_covariance(sf_dir: str):
     return sim.embed_covariance(_embeddings_ds(sf_dir))
 
 
+def _rel_yoy(sf_dir: str):
+    """Year-over-year supplier-nation revenue growth — lag over an
+    AGGREGATE: in-map (suppkey, year, revenue) partials, small-side
+    supplier join, one (nation, year) groupby, driver lag finish."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.yoy_growth(
+        read_clean_parquet(
+            os.path.join(d, "lineitem.parquet"),
+            columns=[
+                "l_suppkey",
+                "l_shipdate",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        ),
+        read_clean_parquet(os.path.join(d, "nation.parquet")),
+    )
+
+
 def _rel_forecast(sf_dir: str):
     """TPC-H Q6 analog: the what-if filter-sum — pure zero-shuffle
     filter + quantized in-map partials folded by one scalar aggregate;
@@ -4686,6 +4712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cust_dist": _rel_cust_dist,
         "rel_nation_volume": _rel_nation_volume,
         "rel_forecast": _rel_forecast,
+        "rel_yoy": _rel_yoy,
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
         "events_benford": _events_benford,
@@ -5235,6 +5262,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
         "rel_returned": lambda: relational_mod.returned_customers_sql(),
         "rel_forecast": lambda: relational_mod.forecast_revenue_sql(),
+        "rel_yoy": lambda: relational_mod.yoy_growth_sql(),
         "embed_covariance": lambda: similarity_mod.embed_covariance_sql(
             "embeddings"
         ),

@@ -2188,3 +2188,151 @@ WHERE l_shipdate >= TIMESTAMP '{date_from}'
   AND l_discount BETWEEN {disc_lo} AND {disc_hi}
   AND l_quantity < {max_qty}
 """
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per nation (lag over an aggregate)
+# ---------------------------------------------------------------------------
+
+
+def yoy_growth(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    join_mode: str = "auto",
+) -> pa.Table:
+    """Year-over-year supplier-nation revenue growth — the
+    trend-report shape (lag over an AGGREGATE, not over rows): revenue
+    by (nation, ship-year), then each year's growth vs the nation's
+    previous PRESENT year (a gap year compares against the last year
+    that exists, the LAG-over-ordered-partition semantics — not a
+    dense calendar join; first year NULL).
+
+    Plan: lineitem pre-aggregates (suppkey, year, quantized revenue)
+    in-map, joins the genuinely-small supplier side by ``join_mode``,
+    and ONE (nation, year) groupby folds partials; the result is
+    |nations x years| — driver-finished like the rollup family.
+    ``growth = cur/prev - 1.0`` is one identical float expression of
+    exact int64 revenues.
+    """
+    from .joins import hash_join
+
+    nt = pa.concat_tables(
+        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+    )
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nt.to_pylist()}
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey"),
+                "l_year": pc.year(b.column("l_shipdate")).cast(pa.int64()),
+                "q_rev": pa.array(
+                    _quant(
+                        _col(b, "l_extendedprice")
+                        * (1.0 - _col(b, "l_discount"))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by(["l_suppkey", "l_year"]).aggregate([("q_rev", "sum")])
+        return g.rename_columns(["l_suppkey", "l_year", "q_rev"])
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": b.column("s_suppkey"),
+                "s_nationkey": b.column("s_nationkey"),
+            }
+        )
+
+    line = lineitem.map_batches(line_rows, batch_format="pyarrow")
+    supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
+    j = hash_join(line, supp, "l_suppkey", "s_suppkey", mode=join_mode)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s_nationkey": b.column("s_nationkey"),
+                "l_year": b.column("l_year"),
+                "q_rev": b.column("q_rev"),
+            }
+        )
+        g = t.group_by(["s_nationkey", "l_year"]).aggregate(
+            [("q_rev", "sum")]
+        )
+        return g.rename_columns(["s_nationkey", "l_year", "q_rev"])
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s_nationkey", "l_year"])
+        .aggregate(Sum("q_rev", alias_name="q_rev"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "n_name": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "growth": pa.array([], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    rows = sorted(
+        (nmap[int(nk)], int(y), int(q))
+        for nk, y, q in zip(
+            _col(t, "s_nationkey"), _col(t, "l_year"), _col(t, "q_rev")
+        )
+    )
+    names, years, revs, growth = [], [], [], []
+    prev_name = None
+    prev_q = None
+    for name, y, q in rows:
+        names.append(name)
+        years.append(y)
+        revs.append(q / _Q)
+        if name == prev_name and prev_q:
+            growth.append(float(q) / float(prev_q) - 1.0)
+        else:
+            growth.append(None)
+        prev_name, prev_q = name, q
+    return pa.table(
+        {
+            "n_name": pa.array(names, pa.string()),
+            "l_year": pa.array(years, pa.int64()),
+            "revenue": pa.array(revs, pa.float64()),
+            "growth": pa.array(growth, pa.float64()),
+        }
+    )
+
+
+def yoy_growth_sql() -> str:
+    """DuckDB oracle for :func:`yoy_growth` — lag over the same
+    aggregate, the same single float expression."""
+    q = int(_Q)
+    return f"""
+WITH rev AS (
+    SELECT n_name,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q}
+                               + 0.5) AS BIGINT)) AS BIGINT) AS q_rev
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+),
+lagged AS (
+    SELECT n_name, l_year, q_rev,
+           lag(q_rev) OVER (PARTITION BY n_name ORDER BY l_year) AS prev
+    FROM rev
+)
+SELECT n_name, l_year, q_rev / {q}.0 AS revenue,
+       CASE WHEN prev IS NOT NULL AND prev != 0
+            THEN CAST(q_rev AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0
+       END AS growth
+FROM lagged
+ORDER BY n_name, l_year
+"""

@@ -1415,6 +1415,34 @@ def test_returned_customers_oracle(rduck):
     ]
 
 
+def test_yoy_growth_oracle(rduck):
+    """YoY growth vs the lag() twin — ORDER MATTERS (nation, year);
+    first year per nation NULL; shuffle == broadcast plans."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{SF_DIR}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        rd.read_parquet(f"{SF_DIR}/nation.parquet"),
+    )
+    t = rel.yoy_growth(*args)
+    o = rduck.sql(rel.yoy_growth_sql()).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    # first year of every nation has NULL growth
+    first_seen = set()
+    for r in t.to_pylist():
+        if r["n_name"] not in first_seen:
+            assert r["growth"] is None
+            first_seen.add(r["n_name"])
+    assert rel.yoy_growth(*args, join_mode="shuffle").cast(
+        o.schema
+    ).equals(o)
+
+
 def test_forecast_revenue_oracle(rduck):
     """Q6 analog vs the SQL oracle; inclusive discount band; empty
     window -> 0.0 (the COALESCE convention both sides)."""

@@ -4320,6 +4320,15 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _events_rollmed(sf_dir: str):
+    """Trailing rolling median of value-cents per user (window 5) —
+    the robust smoothing window; sentinel-padded vectorized window
+    sort, identical two-middle interpolation both engines."""
+    from search_engine_ray.functions import windows
+
+    return windows.rolling_median_per_user(_events_ds(sf_dir))
+
+
 def _events_streaks(sf_dir: str):
     """Longest consecutive-UTC-day streak per user (gaps-and-islands):
     all-integer epoch-day arithmetic, (len DESC, start ASC) winner,
@@ -4683,6 +4692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_concurrency": _window_concurrency,
         "events_gaps": _events_gaps,
         "events_streaks": _events_streaks,
+        "events_rollmed": _events_rollmed,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
         "window_funnel_windowed": _window_funnel_windowed,
@@ -5381,6 +5391,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_gaps": lambda: windows_mod.gap_stats_per_user_sql("events"),
         "events_streaks": lambda: windows_mod.streaks_per_user_sql("events"),
+        "events_rollmed": lambda: windows_mod.rolling_median_per_user_sql(
+            "events"
+        ),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),

@@ -1967,3 +1967,90 @@ SELECT nd.u AS user_id, nd.n_days,
        best.len AS longest_streak, best.strt AS streak_start_day
 FROM nd JOIN best ON nd.u = best.u AND best.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling median per user (robust smoothing window)
+# ---------------------------------------------------------------------------
+
+ROLLMED_W = 5
+
+
+def rolling_median_per_user(
+    ds: rd.Dataset, window: int = ROLLMED_W
+) -> rd.Dataset:
+    """Trailing rolling MEDIAN of value-cents per user over the last
+    ``window`` rows — :func:`running_window`'s robust member: a
+    running mean drags for ``window`` rows after one spike, the
+    rolling median simply ignores it (the median filter, signal
+    processing's denoiser).  Output one row per event with the
+    window median in cents.
+
+    Exactness: cents are int64; a window's median is either an actual
+    cent value (odd count) or the average of the two middles (even
+    count — the leading partial windows), and ``(lo + hi) / 2.0`` on
+    exact small ints is the identical double DuckDB's windowed
+    ``median`` produces (probed: median over BIGINT interpolates the
+    two middles in DOUBLE).
+
+    Plan: ONE user exchange (the running_window shape); the fold
+    sorts by (ts, event_id), then computes EVERY window in one
+    vectorized pass — a sentinel-padded ``sliding_window_view`` +
+    one row-wise sort, with the per-row middle indices adjusted for
+    the leading partial windows (sentinels sort to the end, so valid
+    values always occupy the first k slots).  O(n * w log w),
+    no Python loop.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        n = len(c)
+        pad = np.full(window - 1, np.iinfo(np.int64).max, np.int64)
+        sw = np.sort(
+            np.lib.stride_tricks.sliding_window_view(
+                np.concatenate([pad, c]), window
+            ),
+            axis=1,
+        )
+        k = np.minimum(np.arange(n) + 1, window)
+        rows = np.arange(n)
+        lo = sw[rows, (k - 1) // 2].astype(np.float64)
+        hi = sw[rows, k // 2].astype(np.float64)
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": g.column("event_id"),
+                "roll_med_c": pa.array((lo + hi) / 2.0, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def rolling_median_per_user_sql(
+    src: str, window: int = ROLLMED_W
+) -> str:
+    """DuckDB oracle for :func:`rolling_median_per_user` — native
+    windowed median over the same cents and total order."""
+    return f"""
+SELECT user_id, event_id,
+       median(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+           AS roll_med_c
+FROM {src}
+"""

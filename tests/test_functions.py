@@ -5197,6 +5197,41 @@ def test_percentile_cont_oracle(events_ds, educk):
         assert t.column(c).to_pylist() == [7.25]
 
 
+def test_rolling_median_oracle(events_ds, educk):
+    """Rolling median vs native windowed median; block-layout
+    invariance; crafted pins: spike-immunity (median flat where a
+    mean would drag), partial leading windows interpolate."""
+    from search_engine_ray.functions.windows import (
+        rolling_median_per_user,
+        rolling_median_per_user_sql,
+    )
+
+    got = _sorted(_table(rolling_median_per_user(events_ds)))
+    want = educk.sql(rolling_median_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(rolling_median_per_user(events_ds.repartition(11))))
+    assert got.equals(got2)
+    # crafted: [1, 1, 1000, 1, 1]: the window-5 median at the end is 1
+    # (spike ignored); leading window of 2 interpolates (1+1)/2 = 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_id": pa.array(list(range(5)), pa.int64()),
+                "ts": pa.array(list(range(5)), pa.timestamp("us")),
+                "value": pa.array([1.0, 1.0, 1000.0, 1.0, 1.0]),
+            }
+        )
+    )
+    t = _table(rolling_median_per_user(ds)).sort_by(
+        [("event_id", "ascending")]
+    )
+    assert t.column("roll_med_c").to_pylist() == [
+        100.0, 100.0, 100.0, 100.0, 100.0,
+    ]
+
+
 def test_streaks_oracle(events_ds, educk):
     """Streaks vs the day - row_number() islands twin; block-layout
     invariance; crafted pins: known streak structure, tie resolves to

@@ -4320,6 +4320,16 @@ def _window_sessions(sf_dir: str):
     return windows.session_windows(_events_ds(sf_dir))
 
 
+def _events_json(sf_dir: str):
+    """Schema-on-read JSON aggregate over the props payload: per-type
+    stats of props.k with DuckDB-probed extraction semantics
+    (missing/malformed/bool -> NULL, floats and numeric strings round
+    half-away); zero-shuffle parse, one moments groupby."""
+    from search_engine_ray.functions import jsonops
+
+    return jsonops.json_field_stats(_events_ds(sf_dir))
+
+
 def _events_rollmed(sf_dir: str):
     """Trailing rolling median of value-cents per user (window 5) —
     the robust smoothing window; sentinel-padded vectorized window
@@ -4693,6 +4703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": _events_gaps,
         "events_streaks": _events_streaks,
         "events_rollmed": _events_rollmed,
+        "events_json": _events_json,
         "window_funnel": _window_funnel,
         "window_retention": _window_retention,
         "window_funnel_windowed": _window_funnel_windowed,
@@ -5394,6 +5405,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_rollmed": lambda: windows_mod.rolling_median_per_user_sql(
             "events"
         ),
+        "events_json": lambda: __import__(
+            "search_engine_ray.functions.jsonops", fromlist=["jsonops"]
+        ).json_field_stats_sql("events"),
         "window_funnel": lambda: windows_mod.funnel_sql(
             "events", FUNNEL_DRIVER_STEPS),
         "window_retention": lambda: windows_mod.retention_sql("events"),

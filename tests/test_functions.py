@@ -5197,6 +5197,55 @@ def test_percentile_cont_oracle(events_ds, educk):
         assert t.column(c).to_pylist() == [7.25]
 
 
+def test_json_field_stats_oracle(events_ds, educk):
+    """JSON extraction stats vs the json_valid + TRY_CAST twin;
+    block-layout invariance; crafted edge pins (each probed against
+    DuckDB): int passes, '7' parses, 12.5 rounds away, true/missing/
+    malformed/NULL -> null."""
+    from search_engine_ray.functions.jsonops import (
+        json_field_stats,
+        json_field_stats_sql,
+    )
+
+    got = _sorted(_table(json_field_stats(events_ds)))
+    want = educk.sql(json_field_stats_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(json_field_stats(events_ds.repartition(11))))
+    assert got.equals(got2)
+    # crafted edge battery vs a DuckDB twin over the same literals
+    import duckdb
+
+    props = ['{"k": 69}', '{"x": 1}', "not json", '{"k": 12.5}',
+             '{"k": "7"}', '{"k": true}', None, '{"k": -3}']
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * len(props)),
+                "props": pa.array(props, pa.string()),
+            }
+        )
+    )
+    t = _table(json_field_stats(ds))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "('x', " + ("NULL" if p is None else "'" + p.replace("'", "''") + "'") + ")"
+            for p in props
+        )
+        + ") t(event_type, props)"
+    )
+    o = con.sql(json_field_stats_sql("ev")).arrow()
+    con.close()
+    assert t.cast(o.schema).equals(o)
+    r = t.to_pylist()[0]
+    # 69, 13 (12.5 away), 7, -3 extract; 4 nulls
+    assert (r["n"], r["n_null"], r["sum_k"], r["min_k"], r["max_k"]) == (
+        8, 4, 86, -3, 69,
+    )
+
+
 def test_rolling_median_oracle(events_ds, educk):
     """Rolling median vs native windowed median; block-layout
     invariance; crafted pins: spike-immunity (median flat where a

@@ -3740,6 +3740,18 @@ def _events_spearman(sf_dir: str):
     return aggregates.spearman_by_group(ev, "event_type", "ts_us", "value")
 
 
+def _embed_pca(sf_dir: str):
+    """PCA projection onto the top-2 principal axes: one exact moment
+    scan, a d x d driver eigendecomposition (bounded by dimension),
+    one zero-shuffle projection map; sign fixed by convention.
+    Eigenvectors are not SQL-expressible -> rows-only driver check;
+    the algebra (orthonormality, variance == eigenvalue, layout
+    invariance) is pinned by pytest."""
+    from search_engine_ray.functions import similarity as sim
+
+    return sim.embed_pca(_embeddings_ds(sf_dir))
+
+
 def _embed_covariance(sf_dir: str):
     """Exact distributed covariance + correlation matrix of the
     embedding dimensions (the PCA/whitening moment pass): per-block
@@ -4736,6 +4748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_yoy": _rel_yoy,
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
+        "embed_pca": _embed_pca,
         "events_benford": _events_benford,
         "events_mad": _events_mad,
         "events_means": _events_means,

@@ -1433,3 +1433,153 @@ JOIN m djj ON djj.i = a.j AND djj.j = a.j
 CROSS JOIN nn
 ORDER BY a.i, a.j
 """
+
+
+def embed_pca(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 2,
+) -> rd.Dataset:
+    """PCA projection of the embedding column onto its top
+    ``n_components`` principal axes — the dimensionality-reduction /
+    visualization step downstream of :func:`embed_covariance`:
+    out (vec_id, pc1..pcK).
+
+    Plan: ONE moment scan (the :func:`embed_covariance` partial — a
+    per-block int64 Gram matmul + column sums, tagged rows, one
+    |d^2 + d|-row groupby), a d x d eigendecomposition on the DRIVER
+    (``numpy.linalg.eigh`` — bounded by dimension, not data; symmetric
+    so deterministic up to sign, which is fixed by the
+    largest-|component|-positive convention), then a ZERO-SHUFFLE
+    projection map: ``y = (v - mean) @ V``.  Total: two scans, one
+    tiny exchange, nothing corpus-sized anywhere.
+
+    Eigenvectors are not SQL-expressible, so this op has no value
+    oracle; instead the tests pin the algebra: components are
+    orthonormal, per-component projection variance equals the
+    eigenvalue (to float tolerance), projections are block-layout
+    invariant (per-row arithmetic), and the sign convention is
+    stable.
+    """
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.stack(
+            b.column(vec_col).to_pandas().to_numpy()
+        ).astype(np.float64)
+        q = (np.floor(np.abs(x) * COV_QUANT + 0.5) * np.sign(x)).astype(
+            np.int64
+        )
+        d = q.shape[1]
+        gram = q.T @ q
+        sums = q.sum(axis=0)
+        ii, jj = np.meshgrid(
+            np.arange(1, d + 1, dtype=np.int32),
+            np.arange(1, d + 1, dtype=np.int32),
+            indexing="ij",
+        )
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate(
+                        [ii.ravel(), np.arange(1, d + 1, dtype=np.int32),
+                         np.array([0], np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "j": pa.array(
+                    np.concatenate(
+                        [jj.ravel(), np.zeros(d, np.int32),
+                         np.array([0], np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "s": pa.array(
+                    np.concatenate(
+                        [gram.ravel(), sums,
+                         np.array([q.shape[0]], np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.select_columns([vec_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["i", "j"])
+        .aggregate(_Sum("s", alias_name="s"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        raise ValueError("embed_pca: empty input")
+    t = pa.concat_tables(tabs)
+    gram: dict = {}
+    sums: dict = {}
+    n = 0
+    for i, j, s in zip(
+        t.column("i").to_numpy(zero_copy_only=False),
+        t.column("j").to_numpy(zero_copy_only=False),
+        t.column("s").to_numpy(zero_copy_only=False),
+    ):
+        if i == 0:
+            n = int(s)
+        elif j == 0:
+            sums[int(i)] = int(s)
+        else:
+            gram[(int(i), int(j))] = int(s)
+    d = max(sums)
+    if n < 2:
+        raise ValueError("embed_pca: need >= 2 vectors")
+    if n_components > d:
+        raise ValueError(
+            f"embed_pca: n_components={n_components} exceeds dim={d}"
+        )
+    cov = np.empty((d, d), np.float64)
+    for i in range(1, d + 1):
+        for j in range(1, d + 1):
+            cov[i - 1, j - 1] = float(
+                n * gram[(i, j)] - sums[i] * sums[j]
+            ) / (float(n * (n - 1)) * (COV_QUANT * COV_QUANT))
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :n_components]  # eigh ascends; take top-K
+    # sign convention: the largest-|.| entry of each component positive
+    for k in range(n_components):
+        a = comps[:, k]
+        if a[np.argmax(np.abs(a))] < 0:
+            comps[:, k] = -a
+    mean = np.array(
+        [sums[i] for i in range(1, d + 1)], np.float64
+    ) / (n * COV_QUANT)
+    comps_ref = ray.put(comps)
+    mean_ref = ray.put(mean)
+
+    def project(b: pa.Table) -> pa.Table:
+        c = ray.get(comps_ref)
+        m = ray.get(mean_ref)
+        x = np.stack(
+            b.column(vec_col).to_pandas().to_numpy()
+        ).astype(np.float64)
+        xc = x - m
+        cols = {id_col: b.column(id_col)}
+        # per-component elementwise-multiply + axis-1 pairwise sum, NOT
+        # a dgemm: BLAS blocking varies with the BATCH shape and moves
+        # the last ulp across layouts; the fixed-length row reduction
+        # depends only on d, so projections are block-layout EXACT
+        for k in range(c.shape[1]):
+            cols[f"pc{k + 1}"] = pa.array(
+                (xc * c[:, k]).sum(axis=1), pa.float64()
+            )
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: project(t.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )

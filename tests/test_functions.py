@@ -183,6 +183,59 @@ def test_zipf_fit_oracle(docs_ds, fduck):
     assert r["n_ranks"] == 1 and r["slope"] is None
 
 
+def test_embed_pca(emb_ds):
+    """PCA algebra pins: projections centered, per-component variance
+    matches the covariance eigenvalues, components orthonormal via
+    cross-covariance ~ 0, block-layout invariant, crafted 2-D line
+    recovers its axis."""
+    from search_engine_ray.functions.similarity import (
+        embed_covariance,
+        embed_pca,
+    )
+
+    t = _table(embed_pca(emb_ds)).sort_by([("vec_id", "ascending")])
+    assert t.column_names == ["vec_id", "pc1", "pc2"]
+    assert t.num_rows == 500
+    p1 = np.asarray(t.column("pc1").to_pylist())
+    p2 = np.asarray(t.column("pc2").to_pylist())
+    # centered
+    # centering is vs the 1e-6-quantized mean -> residual ~ quantization
+    assert abs(p1.mean()) < 1e-5 and abs(p2.mean()) < 1e-5
+    # variance of pc_k == k-th eigenvalue of the exact covariance
+    cov_rows = embed_covariance(emb_ds).to_pylist()
+    d = 64
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert abs(p1.var(ddof=1) - w[0]) < 1e-4 * max(1.0, w[0])
+    assert abs(p2.var(ddof=1) - w[1]) < 1e-4 * max(1.0, w[1])
+    assert p1.var(ddof=1) >= p2.var(ddof=1)
+    # orthogonality: cross-covariance of the two projections ~ 0
+    assert abs(np.cov(p1, p2, ddof=1)[0, 1]) < 1e-5
+    # block-layout invariance (per-row arithmetic)
+    t2 = _table(embed_pca(emb_ds.repartition(7))).sort_by(
+        [("vec_id", "ascending")]
+    )
+    assert t.equals(t2)
+    # crafted: points on the line y = 2x -> pc1 axis ~ (1,2)/sqrt(5),
+    # pc2 variance 0
+    pts = [[float(i), 2.0 * i] for i in (-2, -1, 0, 1, 2)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(5)), pa.int64()),
+                "embedding": pa.array(pts, pa.list_(pa.float32())),
+            }
+        )
+    )
+    r = _table(embed_pca(ds)).sort_by([("vec_id", "ascending")])
+    q2 = np.asarray(r.column("pc2").to_pylist())
+    assert np.abs(q2).max() < 1e-6
+    q1 = np.asarray(r.column("pc1").to_pylist())
+    assert abs(abs(q1[0]) - np.sqrt(5.0) * 2) < 1e-6
+
+
 def test_vocab_overlap_oracle(docs_ds, fduck):
     """Vocab Jaccard matrix vs the set self-join twin; block-layout
     invariance; crafted pins: exact inter/union, disjoint pair absent,

@@ -3954,6 +3954,15 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_scale(sf_dir: str):
+    """Min-max scaling of value within each event_type — the [0,1]
+    per-segment normalizer: one tiny extrema exchange, broadcast LUT,
+    zero-shuffle rescale; group minima 0.0 / maxima 1.0 exactly."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.minmax_scale_by_group(_events_ds(sf_dir))
+
+
 def _events_mad(sf_dir: str):
     """MAD robust outlier audit per event_type — median, median
     absolute deviation and the k=3 flag count, ALL integer (cents +
@@ -4751,6 +4760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pca": _embed_pca,
         "events_benford": _events_benford,
         "events_mad": _events_mad,
+        "events_scale": _events_scale,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5307,6 +5317,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events"
         ),
         "events_mad": lambda: aggregates_mod.mad_outliers_by_group_sql(
+            "events", "event_type", "value"
+        ),
+        "events_scale": lambda: aggregates_mod.minmax_scale_by_group_sql(
             "events", "event_type", "value"
         ),
         "events_means": lambda: aggregates_mod.pythagorean_means_sql(

@@ -2976,3 +2976,123 @@ SELECT tot.g AS {group_col}, tot.na AS n_a, tot.nb AS n_b,
        END AS emd
 FROM tot LEFT JOIN num ON tot.g = num.g
 """
+
+
+# ---------------------------------------------------------------------------
+# Min-max scaling per group (feature normalization)
+# ---------------------------------------------------------------------------
+
+
+def minmax_scale_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Min-max feature scaling within each group — the [0, 1]
+    normalizer every per-segment model input runs
+    (:func:`winsorize_by_group` clips tails, :func:`quantile_bin`
+    discretizes; this is the third member, the affine rescale):
+    ``scaled = (v - min) / (max - min)`` with the GROUP's extrema.
+
+    Exactness: cents int64; extrema are exact ints from one tiny
+    aggregate-rejoin exchange (in-map min/max partials — the
+    grouped_outliers shape), the stats broadcast once, and the scale
+    is one identical float expression of exact ints — group minima
+    map to exactly 0.0 and maxima to exactly 1.0.  Constant groups
+    (max == min) emit NULL (the 0/0 the twin's NULLIF produces).
+    The rescale pass is pure zero-shuffle.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)[
+            keep
+        ]
+        t = pa.table(
+            {
+                "g": b.column(group_col).filter(pa.array(keep)),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+        out = t.group_by(["g"]).aggregate([("c", "min"), ("c", "max")])
+        return out.rename_columns(["g", "mn", "mx"])
+
+    stats_t = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(stats_t.to_arrow_refs()) if t.num_rows]
+    lut = {}
+    for t in tabs:
+        for g, mn, mx in zip(
+            t.column("g").to_pylist(),
+            t.column("mn").to_pylist(),
+            t.column("mx").to_pylist(),
+        ):
+            lut[g] = (int(mn), int(mx))
+    lut_ref = _ray.put(lut)
+
+    def scale(b: pa.Table) -> pa.Table:
+        m = _ray.get(lut_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        nan = np.isnan(v) if v.dtype.kind == "f" else np.zeros(len(v), bool)
+        vv = np.where(nan, 0.0, v)
+        c = (np.floor(np.abs(vv) * 100 + 0.5) * np.sign(vv)).astype(np.int64)
+        g = np.asarray(b.column(group_col).to_pylist(), dtype=object)
+        ug, inv = np.unique(g, return_inverse=True)
+        mns = np.array([m.get(x, (0, 0))[0] for x in ug], np.int64)[inv]
+        rngs = (
+            np.array([m.get(x, (0, 0))[1] for x in ug], np.int64)[inv] - mns
+        )
+        ok = (rngs > 0) & ~nan
+        out = np.zeros(len(c), np.float64)
+        out[ok] = (c[ok] - mns[ok]).astype(np.float64) / rngs[ok].astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                group_col: b.column(group_col),
+                "scaled": pa.array(out, pa.float64(), mask=~ok),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        lambda t: scale(t.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )
+
+
+def minmax_scale_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle for :func:`minmax_scale_by_group` — the same
+    cents extrema, the same single float expression, NULLIF for the
+    constant group."""
+    return f"""
+WITH t AS (
+    SELECT {id_col} AS id, {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src}
+),
+s AS (
+    SELECT g, CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+    FROM t GROUP BY g
+)
+SELECT t.id AS {id_col}, t.g AS {group_col},
+       CAST(t.c - s.mn AS DOUBLE)
+       / CAST(NULLIF(s.mx - s.mn, 0) AS DOUBLE) AS scaled
+FROM t JOIN s ON t.g = s.g
+"""

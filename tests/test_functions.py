@@ -5127,6 +5127,37 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_minmax_scale_oracle(events_ds, educk):
+    """Min-max scaling vs the aggregate-rejoin twin; block-layout
+    invariance; pins: group min 0.0 / max 1.0 exactly, constant group
+    NULL, range within [0, 1]."""
+    from search_engine_ray.functions.aggregates import (
+        minmax_scale_by_group,
+        minmax_scale_by_group_sql,
+    )
+
+    got = _sorted(_table(minmax_scale_by_group(events_ds)))
+    want = educk.sql(minmax_scale_by_group_sql("events")).arrow()
+    assert got.num_rows == events_ds.count()
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(minmax_scale_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+    sc = [x for x in got.column("scaled").to_pylist() if x is not None]
+    assert min(sc) == 0.0 and max(sc) == 1.0
+    # crafted: [2, 4, 6] -> [0, 0.5, 1]; constant group -> NULL
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "b", "b"]),
+                "value": pa.array([2.0, 4.0, 6.0, 9.0, 9.0]),
+            }
+        )
+    )
+    t = _table(minmax_scale_by_group(ds)).sort_by([("event_id", "ascending")])
+    assert t.column("scaled").to_pylist() == [0.0, 0.5, 1.0, None, None]
+
+
 def test_mad_outliers_oracle(events_ds, educk):
     """MAD audit vs the ceil-rank twin; block-layout invariance;
     crafted pins: masking case (one spike hides another from the

@@ -3954,6 +3954,15 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_seasonality(sf_dir: str):
+    """Hour-of-day uniformity chi2 per event_type (the seasonality
+    audit): integer hour arithmetic, integer-cleared 24-cell statistic
+    including absent hours, one float division."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.hour_uniformity_by_group(_events_ds(sf_dir))
+
+
 def _events_scale(sf_dir: str):
     """Min-max scaling of value within each event_type — the [0,1]
     per-segment normalizer: one tiny extrema exchange, broadcast LUT,
@@ -4761,6 +4770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": _events_benford,
         "events_mad": _events_mad,
         "events_scale": _events_scale,
+        "events_seasonality": _events_seasonality,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5321,6 +5331,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_scale": lambda: aggregates_mod.minmax_scale_by_group_sql(
             "events", "event_type", "value"
+        ),
+        "events_seasonality": lambda: (
+            aggregates_mod.hour_uniformity_by_group_sql("events")
         ),
         "events_means": lambda: aggregates_mod.pythagorean_means_sql(
             "events", "event_type", "value"

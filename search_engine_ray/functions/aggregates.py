@@ -3096,3 +3096,115 @@ SELECT t.id AS {id_col}, t.g AS {group_col},
        / CAST(NULLIF(s.mx - s.mn, 0) AS DOUBLE) AS scaled
 FROM t JOIN s ON t.g = s.g
 """
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day uniformity test per group (seasonality audit)
+# ---------------------------------------------------------------------------
+
+
+def hour_uniformity_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Chi-square goodness-of-fit of each group's hour-of-day profile
+    against the UNIFORM distribution — the seasonality audit ("is
+    this event type time-patterned or flat"): organic human traffic
+    is strongly diurnal (large chi2), synthetic/cron traffic is flat
+    (small) or single-spiked (huge).  The fixed-expected sibling of
+    :func:`chi2_independence`.
+
+    Exactness: hours are pure integer arithmetic (``epoch_us //
+    3600e6 % 24`` — identical int64 both engines); the statistic is
+    integer-cleared of its division — ``chi2 = sum_h (24*o_h - n)^2 /
+    (24*n)`` with the sum over ALL 24 cells (an absent hour
+    contributes n^2 — a cells-only sum understates, the
+    chi2_independence lesson) folding as exact int64, then ONE float
+    division.  Plan: in-map (group, hour, count) partials over a
+    24-value domain, one group exchange, 24-cell folds.
+    """
+    us_hour = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "h": pa.array((us // us_hour) % 24, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "h"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "h", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "h"]).aggregate([("n", "sum")])
+        h = merged.column("h").to_numpy(zero_copy_only=False)
+        n_ = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        o = np.zeros(24, np.int64)
+        np.add.at(o, h, n_)
+        n = int(o.sum())
+        # 24 cells: fold as Python bigints (mirrors HUGEINT — numpy
+        # would wrap past ~2.5e7 rows/group)
+        num = sum(int(24 * int(x) - n) ** 2 for x in o)
+        chi2 = float(num) / (24.0 * float(n)) if n > 0 else None
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "chi2_num": pa.array([num], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, ts_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "chi2_num", "chi2"]),
+        batch_format="pyarrow",
+    )
+
+
+def hour_uniformity_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle for :func:`hour_uniformity_by_group` — the dense
+    24-cell grid via generate_series, the same integer-cleared sum."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           (epoch_us({ts_col}) // 3600000000) % 24 AS h
+    FROM {src}
+),
+cnt AS (SELECT g, h, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY g, h),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+grid AS (
+    SELECT nn.g, gs.h, nn.n, COALESCE(cnt.o, 0) AS o
+    FROM nn CROSS JOIN (SELECT unnest(range(0, 24)) AS h) gs
+    LEFT JOIN cnt ON cnt.g = nn.g AND cnt.h = gs.h
+),
+agg AS (
+    SELECT g, CAST(max(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(24 * o - n AS HUGEINT) * (24 * o - n))
+                AS BIGINT) AS chi2_num
+    FROM grid GROUP BY g
+)
+SELECT g AS {group_col}, n, chi2_num,
+       CASE WHEN n > 0
+            THEN CAST(chi2_num AS DOUBLE) / (24.0 * CAST(n AS DOUBLE))
+       END AS chi2
+FROM agg
+"""

@@ -5127,6 +5127,44 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_hour_uniformity_oracle(events_ds, educk):
+    """Seasonality chi2 vs the dense-grid twin; block-layout
+    invariance; pins: perfectly uniform 24-hour profile chi2 == 0
+    exactly, single-spike profile chi2 == 23*n exactly."""
+    from search_engine_ray.functions.aggregates import (
+        hour_uniformity_by_group,
+        hour_uniformity_by_group_sql,
+    )
+
+    got = _sorted(_table(hour_uniformity_by_group(events_ds)))
+    want = educk.sql(hour_uniformity_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(hour_uniformity_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    hour = 3_600_000_000
+
+    def mk(hours):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(hours)),
+                    "ts": pa.array(
+                        [h * hour for h in hours], pa.timestamp("us")
+                    ),
+                }
+            )
+        )
+
+    # one event in every hour -> 24*o - n = 0 everywhere -> chi2 0.0
+    r = _table(hour_uniformity_by_group(mk(list(range(24))))).to_pylist()[0]
+    assert (r["chi2_num"], r["chi2"]) == (0, 0.0)
+    # all n events in ONE hour: chi2 = ((24n-n)^2 + 23*n^2)/(24n) = 23n
+    r = _table(hour_uniformity_by_group(mk([5] * 10))).to_pylist()[0]
+    assert r["chi2"] == 230.0
+
+
 def test_minmax_scale_oracle(events_ds, educk):
     """Min-max scaling vs the aggregate-rejoin twin; block-layout
     invariance; pins: group min 0.0 / max 1.0 exactly, constant group

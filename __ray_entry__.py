@@ -3904,6 +3904,15 @@ def _text_zipf(sf_dir: str):
     return ta.zipf_fit(_documents_ds(sf_dir))
 
 
+def _text_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion matrix (the metadata-QA
+    triage list): the LangId actor stage composed with in-map pair
+    counts and one |langs|^2 groupby; exact integer counts."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.lang_confusion(_documents_ds(sf_dir))
+
+
 def _text_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between language slices of the
     documents corpus — market-basket co-occurrence with tokens as
@@ -4775,6 +4784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
         "text_overlap": _text_overlap,
+        "text_confusion": _text_confusion,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
@@ -5178,6 +5188,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "text_zipf": lambda: ta_mod.zipf_fit_sql("documents"),
         "text_hapax": lambda: ta_mod.hapax_stats_sql("documents"),
         "text_overlap": lambda: ta_mod.vocab_overlap_sql("documents", "lang"),
+        "text_confusion": lambda: ta_mod.lang_confusion_sql("documents"),
         "text_repetition": lambda: ta_mod.repetition_features_sql("documents"),
         "text_keywords": lambda: ta_mod.tfidf_keywords_sql("documents"),
         # redaction over deterministically PII-injected text (the raw

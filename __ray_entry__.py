@@ -3963,6 +3963,29 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_wilson(sf_dir: str):
+    """Wilson lower bound of each user's purchase rate — the
+    small-sample-honest ranking rule (a 1/1 user must not outrank a
+    95/100 user); exact int64 counts, token-identical float bound."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "is_hit": pa.array(
+                    (et == "purchase").astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(flag, batch_format="pyarrow")
+    return aggregates.wilson_lower_bound(ev, "user_id", "is_hit")
+
+
 def _events_seasonality(sf_dir: str):
     """Hour-of-day uniformity chi2 per event_type (the seasonality
     audit): integer hour arithmetic, integer-cleared 24-cell statistic
@@ -4780,6 +4803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _events_mad,
         "events_scale": _events_scale,
         "events_seasonality": _events_seasonality,
+        "events_wilson": _events_wilson,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5345,6 +5369,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_seasonality": lambda: (
             aggregates_mod.hour_uniformity_by_group_sql("events")
+        ),
+        "events_wilson": lambda: aggregates_mod.wilson_lower_bound_sql(
+            "(SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END AS is_hit FROM events)"
         ),
         "events_means": lambda: aggregates_mod.pythagorean_means_sql(
             "events", "event_type", "value"

@@ -3208,3 +3208,118 @@ SELECT g AS {group_col}, n, chi2_num,
        END AS chi2
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound proportion ranking per group
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+
+
+def wilson_lower_bound(
+    ds: rd.Dataset,
+    group_col: str = "user_id",
+    flag_col: str = "is_hit",
+    z: float = WILSON_Z,
+) -> rd.Dataset:
+    """Wilson score interval lower bound of a per-group success
+    proportion (Wilson 1927) — THE small-sample-honest ranking rule
+    (Reddit's comment sort): a 1/1 group must NOT outrank a 95/100
+    group, which the raw proportion does and the Wilson lower bound
+    does not (pinned).  Output (group, n, k, rate, wilson_lb) ordered
+    by nothing (the caller ranks).
+
+    Exactness: n and k fold as exact int64 in-map partials (ONE tiny
+    groupby — the cheapest shape); the bound is float arithmetic, but
+    the EXPRESSION is written once and mirrored token-for-token in
+    the twin — ``(p + z2/(2n) - z*sqrt((p*(1-p) + z2/(4n))/n)) / (1 +
+    z2/n)`` with ``p = k/n`` — identical IEEE ops on identical
+    doubles, so the hash matches with no epsilon.  Empty groups
+    cannot occur (a group exists only via its rows).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.column(flag_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(f) and not np.isin(f, (0, 1)).all():
+            raise ValueError("wilson_lower_bound: flag must be 0 or 1")
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "n": pa.array(np.ones(len(f), np.int64), pa.int64()),
+                "k": pa.array(f, pa.int64()),
+            }
+        )
+        out = t.group_by(["g"]).aggregate([("n", "sum"), ("k", "sum")])
+        return out.rename_columns(["g", "n", "k"])
+
+    rows = (
+        ds.select_columns([group_col, flag_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+        z2 = z * z
+        p = k / n
+        lb = (p + z2 / (2 * n) - z * np.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (
+            1 + z2 / n
+        )
+        return pa.table(
+            {
+                "g": b.column("g"),
+                "n": b.column("n").cast(pa.int64()),
+                "k": b.column("k").cast(pa.int64()),
+                "rate": pa.array(p, pa.float64()),
+                "wilson_lb": pa.array(lb, pa.float64()),
+            }
+        )
+
+    out = rows.map_batches(finish, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "k", "rate", "wilson_lb"]),
+        batch_format="pyarrow",
+    )
+
+
+def wilson_lower_bound_sql(
+    src: str,
+    group_col: str = "user_id",
+    flag_col: str = "is_hit",
+    z: float = WILSON_Z,
+) -> str:
+    """DuckDB oracle for :func:`wilson_lower_bound` — the identical
+    expression token-for-token (p + z2/(2n) - z*sqrt((p*(1-p) +
+    z2/(4n))/n)) / (1 + z2/n).  Constants inject as
+    ``CAST('<repr>' AS DOUBLE)`` STRING casts: a bare numeric literal
+    parses as DECIMAL first and loses the exact double
+    (3.8415999999999997 becomes 3.8416 — one ulp off, measured)."""
+    return f"""
+WITH m AS (
+    SELECT {group_col} AS g,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM({flag_col}) AS BIGINT) AS k
+    FROM {src} GROUP BY g
+),
+d AS (
+    SELECT g, n, k,
+           CAST(n AS DOUBLE) AS nd,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+    FROM m
+)
+SELECT g AS {group_col}, n, k, p AS rate,
+       (p + CAST('{z * z!r}' AS DOUBLE) / (2 * nd)
+          - CAST('{z!r}' AS DOUBLE)
+            * sqrt((p * (1 - p)
+                    + CAST('{z * z!r}' AS DOUBLE) / (4 * nd)) / nd))
+       / (1 + CAST('{z * z!r}' AS DOUBLE) / nd) AS wilson_lb
+FROM d
+"""

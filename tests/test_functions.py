@@ -5154,6 +5154,72 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_wilson_oracle(events_ds, educk):
+    """Wilson lower bound vs the token-identical twin; block-layout
+    invariance; the small-sample pin: 1/1 does NOT outrank 95/100
+    though its raw rate does; flag guard."""
+    from search_engine_ray.functions.aggregates import (
+        wilson_lower_bound,
+        wilson_lower_bound_sql,
+    )
+
+    def flag(t):
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "is_hit": pa.array(
+                    (et == "purchase").astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ev = events_ds.map_batches(flag, batch_format="pyarrow")
+    got = _sorted(_table(wilson_lower_bound(ev, "user_id", "is_hit")))
+    want = educk.sql(
+        wilson_lower_bound_sql(
+            "(SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END AS is_hit FROM events)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(wilson_lower_bound(ev.repartition(11), "user_id", "is_hit"))
+    )
+    assert got.equals(got2)
+    # the ranking pin: user 1 = 1/1, user 2 = 95/100
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1] + [2] * 100, pa.int64()),
+                "is_hit": pa.array([1] + [1] * 95 + [0] * 5, pa.int64()),
+            }
+        )
+    )
+    t = _table(wilson_lower_bound(ds, "user_id", "is_hit")).sort_by(
+        [("user_id", "ascending")]
+    )
+    r1, r2 = t.to_pylist()
+    assert r1["rate"] > r2["rate"]           # raw rate lies
+    assert r1["wilson_lb"] < r2["wilson_lb"]  # the bound does not
+    with pytest.raises(Exception, match="flag must be"):
+        _table(
+            wilson_lower_bound(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "user_id": pa.array([1], pa.int64()),
+                            "is_hit": pa.array([2], pa.int64()),
+                        }
+                    )
+                ),
+                "user_id",
+                "is_hit",
+            )
+        )
+
+
 def test_hour_uniformity_oracle(events_ds, educk):
     """Seasonality chi2 vs the dense-grid twin; block-layout
     invariance; pins: perfectly uniform 24-hour profile chi2 == 0

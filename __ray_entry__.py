@@ -3963,6 +3963,15 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_hhi(sf_dir: str):
+    """HHI concentration of each user's event-type mix — entropy's
+    economics twin (quadratic dominant-share weighting); exact int64
+    square sums, one float division; single-category users exactly 1.0."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.hhi_by_group(_events_ds(sf_dir), "user_id", "event_type")
+
+
 def _events_wilson(sf_dir: str):
     """Wilson lower bound of each user's purchase rate — the
     small-sample-honest ranking rule (a 1/1 user must not outrank a
@@ -4804,6 +4813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scale": _events_scale,
         "events_seasonality": _events_seasonality,
         "events_wilson": _events_wilson,
+        "events_hhi": _events_hhi,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5369,6 +5379,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_seasonality": lambda: (
             aggregates_mod.hour_uniformity_by_group_sql("events")
+        ),
+        "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
+            "events", "user_id", "event_type"
         ),
         "events_wilson": lambda: aggregates_mod.wilson_lower_bound_sql(
             "(SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 "

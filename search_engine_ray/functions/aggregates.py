@@ -3323,3 +3323,94 @@ SELECT g AS {group_col}, n, k, p AS rate,
        / (1 + CAST('{z * z!r}' AS DOUBLE) / nd) AS wilson_lb
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration per group
+# ---------------------------------------------------------------------------
+
+
+def hhi_by_group(
+    ds: rd.Dataset,
+    group_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> rd.Dataset:
+    """Herfindahl-Hirschman concentration of a categorical mix per
+    group — the economics twin of :func:`entropy_by_group` (antitrust
+    reads HHI, information theory reads entropy; both answer "one
+    thing or many", but HHI weights the DOMINANT share quadratically,
+    so a 90/10 mix scores near-monopoly while its entropy still looks
+    moderate): ``HHI = sum_i (n_i/n)^2``, 1/k for a uniform k-way mix
+    and exactly 1.0 for a single-category group (pinned).
+
+    Exactness is pure integer until one division: ``sum n_i^2`` folds
+    exact int64 (headroom ~3e9 rows/group) and ``hhi = float(sum) /
+    (float(n) * float(n))`` is the identical expression both engines.
+    The :func:`entropy_by_group` plan: in-map (group, category,
+    count) partials, ONE groupby over the tiny category domain,
+    per-group fold.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": b.column(group_col), "c": b.column(cat_col)}
+        ).filter(pc.is_valid(b.column(cat_col)))
+        out = t.group_by(["g", "c"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "c"]).aggregate([("n", "sum")])
+        n_ = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = int(n_.sum())
+        ss = int((n_ * n_).sum())
+        hhi = float(ss) / (float(n) * float(n)) if n else None
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "ss": pa.array([ss], pa.int64()),
+                "hhi": pa.array([hhi], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, cat_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "ss", "hhi"]),
+        batch_format="pyarrow",
+    )
+
+
+def hhi_by_group_sql(
+    src: str,
+    group_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`hhi_by_group` — the same integer
+    square sum, the same single division."""
+    return f"""
+WITH c AS (
+    SELECT {group_col} AS g, {cat_col} AS c, CAST(count(*) AS BIGINT) AS n
+    FROM {src} WHERE {cat_col} IS NOT NULL
+    GROUP BY g, c
+),
+m AS (
+    SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(n * n) AS BIGINT) AS ss
+    FROM c GROUP BY g
+)
+SELECT g AS {group_col}, n, ss,
+       CASE WHEN n > 0
+            THEN CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       END AS hhi
+FROM m
+"""

@@ -5154,6 +5154,43 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_hhi_oracle(events_ds, educk):
+    """HHI vs the square-sum twin; block-layout invariance; pins:
+    single category exactly 1.0, uniform k-way exactly 1/k, the 90/10
+    near-monopoly reading entropy would miss."""
+    from search_engine_ray.functions.aggregates import (
+        hhi_by_group,
+        hhi_by_group_sql,
+    )
+
+    got = _sorted(_table(hhi_by_group(events_ds)))
+    want = educk.sql(hhi_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(hhi_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(cats):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1] * len(cats), pa.int64()),
+                    "event_type": pa.array(cats),
+                }
+            )
+        )
+
+    assert _table(mk_out := hhi_by_group(mk(["a"] * 7))).column(
+        "hhi"
+    ).to_pylist() == [1.0]
+    assert _table(hhi_by_group(mk(["a", "b", "c", "d"]))).column(
+        "hhi"
+    ).to_pylist() == [0.25]
+    # 90/10: hhi = 0.81 + 0.01 = 0.82 (near-monopoly)
+    t = _table(hhi_by_group(mk(["a"] * 9 + ["b"])))
+    assert t.column("hhi").to_pylist() == [0.82]
+
+
 def test_wilson_oracle(events_ds, educk):
     """Wilson lower bound vs the token-identical twin; block-layout
     invariance; the small-sample pin: 1/1 does NOT outrank 95/100

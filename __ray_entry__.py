@@ -3963,6 +3963,37 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_odds(sf_dir: str):
+    """Odds ratio + relative risk per event_type: exposure = even/odd
+    user, outcome = props.k >= 50 (JSON-extracted, NULL k excluded
+    both sides) — the 2x2 effect sizes chi2 doesn't report; exact
+    int64 cells, HUGEINT-mirrored products, one division each."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+    from search_engine_ray.functions.jsonops import _extract_int
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ks = [_extract_int(s, "k") for s in t.column("props").to_pylist()]
+        keep = pa.array([k is not None for k in ks])
+        hit = pa.array(
+            [1 if (k is not None and k >= 50) else 0 for k in ks],
+            pa.int64(),
+        )
+        out = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "hit": hit,
+            }
+        )
+        return out.filter(keep)
+
+    ev = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return aggregates.odds_ratio_by_group(ev, "event_type", "segment", "hit")
+
+
 def _events_hhi(sf_dir: str):
     """HHI concentration of each user's event-type mix — entropy's
     economics twin (quadratic dominant-share weighting); exact int64
@@ -4814,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": _events_seasonality,
         "events_wilson": _events_wilson,
         "events_hhi": _events_hhi,
+        "events_odds": _events_odds,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5382,6 +5414,14 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_odds": lambda: aggregates_mod.odds_ratio_by_group_sql(
+            "(SELECT event_type, user_id % 2 AS segment, "
+            "CASE WHEN TRY_CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) >= 50 THEN 1 ELSE 0 END AS hit "
+            "FROM events WHERE props IS NOT NULL AND json_valid(props) "
+            "AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            "IS NOT NULL)"
         ),
         "events_wilson": lambda: aggregates_mod.wilson_lower_bound_sql(
             "(SELECT user_id, CASE WHEN event_type = 'purchase' THEN 1 "

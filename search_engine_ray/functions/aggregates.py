@@ -3414,3 +3414,130 @@ SELECT g AS {group_col}, n, ss,
        END AS hhi
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio / relative risk per group (the 2x2 effect sizes)
+# ---------------------------------------------------------------------------
+
+
+def odds_ratio_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    exposure_col: str = "segment",
+    outcome_col: str = "hit",
+) -> rd.Dataset:
+    """Odds ratio and relative risk of a binary outcome between two
+    exposure arms, per group — the 2x2 EFFECT SIZES that
+    :func:`chi2_independence` (which only says "dependent") does not
+    report: with cells a = exposed&hit, b = exposed&miss, c =
+    unexposed&hit, d = unexposed&miss, ``OR = ad/bc`` and ``RR =
+    a(c+d) / c(a+b)``.  OR is what logistic regression exponentiates;
+    RR is what a clinician quotes.
+
+    Exactness: all four cells fold as exact int64 counts (in-map
+    (group, exposure, outcome, count) partials over a 4-cell domain,
+    ONE group exchange); both ratios are ONE float division of exact
+    integer PRODUCTS formed as Python ints (the HUGEINT mirror — ad
+    and bc stay exact at any scale), so the twin matches with no
+    epsilon.  A zero denominator (an empty margin or a zero cell)
+    emits NULL — the undefined-estimate convention, NOT a continuity
+    correction (Haldane-Anscombe is a modeling choice the caller adds
+    explicitly).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b.column(exposure_col).to_numpy(zero_copy_only=False)
+        o = b.column(outcome_col).to_numpy(zero_copy_only=False)
+        if len(e) and not (np.isin(e, (0, 1)).all() and np.isin(o, (0, 1)).all()):
+            raise ValueError(
+                "odds_ratio_by_group: exposure and outcome must be 0 or 1"
+            )
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "e": pa.array(e.astype(np.int64), pa.int64()),
+                "o": pa.array(o.astype(np.int64), pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "e", "o"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "e", "o", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "e", "o"]).aggregate([("n", "sum")])
+        cells = {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0}
+        for e, o, n in zip(
+            merged.column("e").to_pylist(),
+            merged.column("o").to_pylist(),
+            merged.column("n_sum").to_pylist(),
+        ):
+            cells[(int(e), int(o))] = int(n)
+        a, b_ = cells[(1, 1)], cells[(1, 0)]
+        c, d = cells[(0, 1)], cells[(0, 0)]
+        odds = float(a * d) / float(b_ * c) if b_ * c > 0 else None
+        rr = (
+            float(a * (c + d)) / float(c * (a + b_))
+            if c * (a + b_) > 0
+            else None
+        )
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "a": pa.array([a], pa.int64()),
+                "b": pa.array([b_], pa.int64()),
+                "c": pa.array([c], pa.int64()),
+                "d": pa.array([d], pa.int64()),
+                "odds_ratio": pa.array([odds], pa.float64()),
+                "risk_ratio": pa.array([rr], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, exposure_col, outcome_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "a", "b", "c", "d", "odds_ratio", "risk_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def odds_ratio_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    exposure_col: str = "segment",
+    outcome_col: str = "hit",
+) -> str:
+    """DuckDB oracle for :func:`odds_ratio_by_group` — the same
+    cells, the same HUGEINT products, the same NULL conventions."""
+    return f"""
+WITH m AS (
+    SELECT {group_col} AS g,
+           CAST(SUM(CASE WHEN {exposure_col} = 1 AND {outcome_col} = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN {exposure_col} = 1 AND {outcome_col} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN {exposure_col} = 0 AND {outcome_col} = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN {exposure_col} = 0 AND {outcome_col} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM {src} GROUP BY g
+)
+SELECT g AS {group_col}, a, b, c, d,
+       CASE WHEN b * c > 0
+            THEN CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                 / CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+       END AS odds_ratio,
+       CASE WHEN c * (a + b) > 0
+            THEN CAST(CAST(a AS HUGEINT) * (c + d) AS DOUBLE)
+                 / CAST(CAST(c AS HUGEINT) * (a + b) AS DOUBLE)
+       END AS risk_ratio
+FROM m
+"""

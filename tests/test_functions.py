@@ -5154,6 +5154,91 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_odds_ratio_oracle(events_ds, educk):
+    """OR/RR vs the 2x2 twin; block-layout invariance; crafted pins:
+    hand-computed OR/RR, zero-cell NULL, guard."""
+    from search_engine_ray.functions.aggregates import (
+        odds_ratio_by_group,
+        odds_ratio_by_group_sql,
+    )
+    from search_engine_ray.functions.jsonops import _extract_int
+
+    def prep(t):
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ks = [_extract_int(s, "k") for s in t.column("props").to_pylist()]
+        keep = pa.array([k is not None for k in ks])
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "hit": pa.array(
+                    [1 if (k is not None and k >= 50) else 0 for k in ks],
+                    pa.int64(),
+                ),
+            }
+        ).filter(keep)
+
+    ev = events_ds.map_batches(prep, batch_format="pyarrow")
+    got = _sorted(_table(odds_ratio_by_group(ev, "event_type", "segment", "hit")))
+    want = educk.sql(
+        odds_ratio_by_group_sql(
+            "(SELECT event_type, user_id % 2 AS segment, "
+            "CASE WHEN TRY_CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) >= 50 THEN 1 ELSE 0 END AS hit "
+            "FROM events WHERE props IS NOT NULL AND json_valid(props) "
+            "AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) "
+            "IS NOT NULL)"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(
+        _table(
+            odds_ratio_by_group(
+                ev.repartition(11), "event_type", "segment", "hit"
+            )
+        )
+    )
+    assert got.equals(got2)
+
+    def mk(es, os_):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(es)),
+                    "segment": pa.array(es, pa.int64()),
+                    "hit": pa.array(os_, pa.int64()),
+                }
+            )
+        )
+
+    # a=3 b=1 c=1 d=3: OR = 9, RR = 3*(4)/(1*4) = 3
+    t = _table(
+        odds_ratio_by_group(
+            mk([1] * 4 + [0] * 4, [1, 1, 1, 0, 1, 0, 0, 0]),
+            "event_type", "segment", "hit",
+        )
+    )
+    r = t.to_pylist()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 1, 1, 3)
+    assert r["odds_ratio"] == 9.0 and r["risk_ratio"] == 3.0
+    # zero cell: b = 0 -> OR NULL, RR still defined
+    t = _table(
+        odds_ratio_by_group(
+            mk([1, 1, 0, 0], [1, 1, 1, 0]),
+            "event_type", "segment", "hit",
+        )
+    )
+    r = t.to_pylist()[0]
+    assert r["odds_ratio"] is None and r["risk_ratio"] == 2.0
+    with pytest.raises(Exception, match="must be 0 or 1"):
+        _table(
+            odds_ratio_by_group(
+                mk([2], [1]), "event_type", "segment", "hit"
+            )
+        )
+
+
 def test_hhi_oracle(events_ds, educk):
     """HHI vs the square-sum twin; block-layout invariance; pins:
     single category exactly 1.0, uniform k-way exactly 1/k, the 90/10

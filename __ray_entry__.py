@@ -3963,6 +3963,15 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_bowley(sf_dir: str):
+    """Bowley quartile skewness per event_type — robust asymmetry
+    from ceil-rank order-statistic quartiles; all integer until one
+    division; symmetric multisets exactly 0.0."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.bowley_skew_by_group(_events_ds(sf_dir))
+
+
 def _events_odds(sf_dir: str):
     """Odds ratio + relative risk per event_type: exposure = even/odd
     user, outcome = props.k >= 50 (JSON-extracted, NULL k excluded
@@ -4846,6 +4855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wilson": _events_wilson,
         "events_hhi": _events_hhi,
         "events_odds": _events_odds,
+        "events_bowley": _events_bowley,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5414,6 +5424,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_bowley": lambda: aggregates_mod.bowley_skew_by_group_sql(
+            "events", "event_type", "value"
         ),
         "events_odds": lambda: aggregates_mod.odds_ratio_by_group_sql(
             "(SELECT event_type, user_id % 2 AS segment, "

@@ -3541,3 +3541,132 @@ SELECT g AS {group_col}, a, b, c, d,
        END AS risk_ratio
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Bowley quartile skewness per group (robust asymmetry)
+# ---------------------------------------------------------------------------
+
+
+def bowley_skew_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Bowley's quartile skewness per group (Bowley 1901) — the
+    ROBUST asymmetry readout ``(q3 + q1 - 2*q2) / (q3 - q1)``,
+    bounded in [-1, 1] and immune to the tail outliers that swamp the
+    moment-based skewness (a single 1e9 spike saturates the third
+    moment; it cannot move a quartile).  The asymmetry member of the
+    robust family (:func:`mad_outliers_by_group` = spread,
+    :func:`gini_by_group` = concentration).
+
+    The exactness class is all-integer until one division: cents,
+    all three quartiles by the ceil-rank ORDER-STATISTIC rule
+    (ranks ``ceil(n/4), ceil(n/2), ceil(3n/4)`` — actual data
+    values), so numerator and denominator are exact int64 and
+    ``skew = float(num) / float(den)`` is the identical expression
+    both engines; a symmetric multiset measures exactly 0.0 and
+    zero-IQR groups (q1 == q3) emit NULL.
+
+    Plan: the :func:`mad_outliers_by_group` exchange — ONE group
+    exchange of in-map pre-deduped (cents, count) rows; the fold is
+    one sort + cumsum + three searchsorted picks.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)[
+            keep
+        ]
+        t = pa.table(
+            {
+                "g": b.column(group_col).filter(pa.array(keep)),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "c"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "c"]).aggregate([("n", "sum")])
+        c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(c)
+        c, w = c[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        q1 = int(c[np.searchsorted(cum, (n + 3) // 4)])
+        q2 = int(c[np.searchsorted(cum, (n + 1) // 2)])
+        q3 = int(c[np.searchsorted(cum, (3 * n + 3) // 4)])
+        num = q3 + q1 - 2 * q2
+        den = q3 - q1
+        skew = float(num) / float(den) if den > 0 else None
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "q1_c": pa.array([q1], pa.int64()),
+                "q2_c": pa.array([q2], pa.int64()),
+                "q3_c": pa.array([q3], pa.int64()),
+                "skew": pa.array([skew], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n", "q1_c", "q2_c", "q3_c", "skew"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bowley_skew_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`bowley_skew_by_group` — the same
+    cents, the same ceil-rank quartiles, the same single division."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+cnt AS (SELECT g, c, count(*) AS m FROM t GROUP BY g, c),
+cum AS (
+    SELECT g, c, sum(m) OVER (PARTITION BY g ORDER BY c) AS cm FROM cnt
+),
+q AS (
+    SELECT nn.g, nn.n,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (nn.n + 3) // 4) AS q1,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (nn.n + 1) // 2) AS q2,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (3 * nn.n + 3) // 4) AS q3
+    FROM nn
+)
+SELECT g AS {group_col}, n,
+       CAST(q1 AS BIGINT) AS q1_c, CAST(q2 AS BIGINT) AS q2_c,
+       CAST(q3 AS BIGINT) AS q3_c,
+       CASE WHEN q3 - q1 > 0
+            THEN CAST(q3 + q1 - 2 * q2 AS DOUBLE)
+                 / CAST(q3 - q1 AS DOUBLE)
+       END AS skew
+FROM q
+"""

@@ -5154,6 +5154,50 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_bowley_skew_oracle(events_ds, educk):
+    """Bowley skew vs the ceil-rank twin; block-layout invariance;
+    pins: symmetric multiset exactly 0.0, right-skewed positive, a
+    1e9 spike cannot move it (robustness), zero-IQR NULL."""
+    from search_engine_ray.functions.aggregates import (
+        bowley_skew_by_group,
+        bowley_skew_by_group_sql,
+    )
+
+    got = _sorted(_table(bowley_skew_by_group(events_ds)))
+    want = educk.sql(bowley_skew_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(bowley_skew_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(vals):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(vals)),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    # symmetric {1..7}: q1=2, q2=4, q3=6 -> skew 0.0 exactly
+    r = _table(
+        bowley_skew_by_group(mk([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]))
+    ).to_pylist()[0]
+    assert (r["q1_c"], r["q2_c"], r["q3_c"], r["skew"]) == (200, 400, 600, 0.0)
+    # right-skewed {1,1,1,2,10}: q1=1, q2=1, q3=2 -> skew 1.0
+    r = _table(bowley_skew_by_group(mk([1.0, 1.0, 1.0, 2.0, 10.0]))).to_pylist()[0]
+    assert r["skew"] == 1.0
+    # robustness: replacing the 10 with 1e6 changes NOTHING
+    r2 = _table(bowley_skew_by_group(mk([1.0, 1.0, 1.0, 2.0, 1e6]))).to_pylist()[0]
+    assert (r2["q1_c"], r2["q2_c"], r2["q3_c"], r2["skew"]) == (
+        r["q1_c"], r["q2_c"], r["q3_c"], r["skew"],
+    )
+    # zero IQR -> NULL
+    r = _table(bowley_skew_by_group(mk([5.0, 5.0, 5.0]))).to_pylist()[0]
+    assert r["skew"] is None
+
+
 def test_odds_ratio_oracle(events_ds, educk):
     """OR/RR vs the 2x2 twin; block-layout invariance; crafted pins:
     hand-computed OR/RR, zero-cell NULL, guard."""

@@ -3963,6 +3963,17 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_dispersion(sf_dir: str):
+    """Index of dispersion of hourly counts per event_type (Poisson
+    VMR = 1; bursts overdisperse, rate limits underdisperse): sparse
+    sufficient statistics — empty in-range hours contribute zero to
+    both sums, so no dense join exists; HUGEINT-mirrored products,
+    one division."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.dispersion_by_group(_events_ds(sf_dir))
+
+
 def _events_bowley(sf_dir: str):
     """Bowley quartile skewness per event_type — robust asymmetry
     from ceil-rank order-statistic quartiles; all integer until one
@@ -4856,6 +4867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hhi": _events_hhi,
         "events_odds": _events_odds,
         "events_bowley": _events_bowley,
+        "events_dispersion": _events_dispersion,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5424,6 +5436,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_dispersion": lambda: aggregates_mod.dispersion_by_group_sql(
+            "events", "event_type", "ts"
         ),
         "events_bowley": lambda: aggregates_mod.bowley_skew_by_group_sql(
             "events", "event_type", "value"

@@ -3670,3 +3670,112 @@ SELECT g AS {group_col}, n,
        END AS skew
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion (variance-to-mean of hourly counts) per group
+# ---------------------------------------------------------------------------
+
+
+def dispersion_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Index of dispersion (variance-to-mean ratio) of each group's
+    hourly event counts — the Poisson overdispersion test (Fisher
+    1950): a memoryless arrival process has VMR = 1; bursty traffic
+    (retry storms, batch jobs) is overdispersed (VMR >> 1), a rate
+    limiter underdisperses (VMR < 1).  The COUNT-level sibling of
+    :func:`hour_uniformity_by_group` (which tests the 24-hour SHAPE;
+    this tests the arrival PROCESS over the group's full dense hour
+    range).
+
+    The dense-histogram lesson makes this exact WITHOUT a dense join:
+    empty hours inside [min_bucket, max_bucket] contribute 0 to both
+    the count sum and the square sum, so only ``H = max - min + 1``
+    enters as arithmetic — sparse (group, bucket, count) cells are
+    sufficient statistics.  ``vmr = (H*ss - s^2) / ((H-1)*s)`` with
+    s, ss exact int64 sums and the products formed as Python ints
+    (the HUGEINT mirror) — ONE float division; H < 2 or s == 0 emit
+    NULL.  In-map partials, one group exchange of sparse cells.
+    """
+    us_hour = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "g": b.column(group_col),
+                "b": pa.array(us // us_hour, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "b", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "b"]).aggregate([("n", "sum")])
+        bk = merged.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = int(o.sum())
+        ss = sum(int(x) * int(x) for x in o)
+        h = int(bk.max() - bk.min() + 1)
+        vmr = (
+            float(h * ss - s * s) / float((h - 1) * s)
+            if h >= 2 and s > 0
+            else None
+        )
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([s], pa.int64()),
+                "n_hours": pa.array([h], pa.int64()),
+                "vmr": pa.array([vmr], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, ts_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns([group_col, "n", "n_hours", "vmr"]),
+        batch_format="pyarrow",
+    )
+
+
+def dispersion_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB oracle for :func:`dispersion_by_group` — the same
+    sparse sufficient statistics, the same HUGEINT products and
+    single division."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, epoch_us({ts_col}) // 3600000000 AS b
+    FROM {src}
+),
+cnt AS (SELECT g, b, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY g, b),
+m AS (
+    SELECT g, CAST(SUM(o) AS BIGINT) AS s,
+           SUM(CAST(o AS HUGEINT) * o) AS ss,
+           CAST(max(b) - min(b) + 1 AS BIGINT) AS h
+    FROM cnt GROUP BY g
+)
+SELECT g AS {group_col}, s AS n, h AS n_hours,
+       CASE WHEN h >= 2 AND s > 0
+            THEN CAST(CAST(h AS HUGEINT) * ss
+                      - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(h - 1 AS HUGEINT) * s AS DOUBLE)
+       END AS vmr
+FROM m
+"""

@@ -5154,6 +5154,50 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_dispersion_oracle(events_ds, educk):
+    """VMR vs the sparse-sufficient-statistics twin; block-layout
+    invariance; pins: one-event-per-hour (deterministic arrivals)
+    underdisperses toward 0... exactly (1 - n/H form), an all-in-one-
+    hour burst overdisperses to exactly s, degenerate NULL."""
+    from search_engine_ray.functions.aggregates import (
+        dispersion_by_group,
+        dispersion_by_group_sql,
+    )
+
+    got = _sorted(_table(dispersion_by_group(events_ds)))
+    want = educk.sql(dispersion_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(dispersion_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    hour = 3_600_000_000
+
+    def mk(hours):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(hours)),
+                    "ts": pa.array([h * hour + 5 for h in hours],
+                                   pa.timestamp("us")),
+                }
+            )
+        )
+
+    # exactly one event in each of 4 consecutive hours: counts all 1,
+    # variance 0 -> vmr 0.0 exactly
+    r = _table(dispersion_by_group(mk([0, 1, 2, 3]))).to_pylist()[0]
+    assert (r["n"], r["n_hours"], r["vmr"]) == (4, 4, 0.0)
+    # 10 events in hour 0, none in hours 1..4 (range via one event at
+    # hour 4): burst overdispersion; H=5, s=11, ss=101:
+    # vmr = (5*101 - 121)/(4*11) = 384/44
+    r = _table(dispersion_by_group(mk([0] * 10 + [4]))).to_pylist()[0]
+    assert r["vmr"] == 384.0 / 44.0
+    # single hour -> H == 1 -> NULL
+    r = _table(dispersion_by_group(mk([7, 7]))).to_pylist()[0]
+    assert r["vmr"] is None
+
+
 def test_bowley_skew_oracle(events_ds, educk):
     """Bowley skew vs the ceil-rank twin; block-layout invariance;
     pins: symmetric multiset exactly 0.0, right-skewed positive, a

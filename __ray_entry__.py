@@ -3762,6 +3762,31 @@ def _embed_covariance(sf_dir: str):
     return sim.embed_covariance(_embeddings_ds(sf_dir))
 
 
+def _rel_disjunct(sf_dir: str):
+    """TPC-H Q19 analog: OR-of-ANDs brand/size/quantity revenue — the
+    disjunctive-predicate classic; union-pruned part side, one partkey
+    join, vectorized mask-union filter, quantized scalar fold."""
+    from search_engine_ray.functions import relational as rel
+    from search_engine_ray.sources import read_clean_parquet
+
+    d = _sf_dir(sf_dir)
+    return rel.disjunctive_revenue(
+        read_clean_parquet(
+            os.path.join(d, "lineitem.parquet"),
+            columns=[
+                "l_partkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        read_clean_parquet(
+            os.path.join(d, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        ),
+    )
+
+
 def _rel_yoy(sf_dir: str):
     """Year-over-year supplier-nation revenue growth — lag over an
     AGGREGATE: in-map (suppkey, year, revenue) partials, small-side
@@ -4855,6 +4880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cust_dist": _rel_cust_dist,
         "rel_nation_volume": _rel_nation_volume,
         "rel_forecast": _rel_forecast,
+        "rel_disjunct": _rel_disjunct,
         "rel_yoy": _rel_yoy,
         "rel_returned": _rel_returned,
         "embed_covariance": _embed_covariance,
@@ -5415,6 +5441,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "rel_nation_volume": lambda: relational_mod.nation_volume_sql(),
         "rel_returned": lambda: relational_mod.returned_customers_sql(),
         "rel_forecast": lambda: relational_mod.forecast_revenue_sql(),
+        "rel_disjunct": lambda: relational_mod.disjunctive_revenue_sql(),
         "rel_yoy": lambda: relational_mod.yoy_growth_sql(),
         "embed_covariance": lambda: similarity_mod.embed_covariance_sql(
             "embeddings"

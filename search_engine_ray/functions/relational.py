@@ -2336,3 +2336,113 @@ SELECT n_name, l_year, q_rev / {q}.0 AS revenue,
 FROM lagged
 ORDER BY n_name, l_year
 """
+
+
+# ---------------------------------------------------------------------------
+# Q19 analog: disjunctive-predicate revenue (OR-of-ANDs join filter)
+# ---------------------------------------------------------------------------
+
+Q19_CLAUSES = (
+    ("Brand#1", 1, 10, 1.0, 15.0),
+    ("Brand#2", 5, 20, 10.0, 25.0),
+    ("Brand#3", 10, 35, 20.0, 35.0),
+)
+
+
+def disjunctive_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    clauses: tuple = Q19_CLAUSES,
+    join_mode: str = "auto",
+) -> pa.Table:
+    """Revenue matching an OR of brand/size/quantity conjunctions
+    (TPC-H Q19 — the disjunctive-predicate classic): each clause is
+    ``(p_brand, size_lo, size_hi, qty_lo, qty_hi)`` with inclusive
+    bounds, and a lineitem counts if ANY clause matches its part.
+    The optimizer lesson Q19 encodes: a disjunction over join
+    attributes cannot prune either side alone — the join runs on the
+    UNION of per-clause part sets, and the filter evaluates after.
+
+    Plan: the part side pre-filters to the clause union (brand+size
+    prune at the read — each clause's part set is selective even when
+    the union is not) carrying (partkey, brand, size); lineitem ships
+    (partkey, qty, quantized revenue); ONE partkey join by
+    ``join_mode``; the OR evaluates VECTORIZED per batch (numpy mask
+    union — no per-clause rescan); one scalar aggregate folds the
+    exact int64 revenue.  Bounds compare as identical doubles both
+    engines; money per-row quantized (module header).
+    """
+    from .joins import hash_join
+
+    brands = sorted({c[0] for c in clauses})
+    brand_arr = pa.array(brands, pa.string())
+
+    def part_rows(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("p_brand"), value_set=brand_arr)
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": b.column("p_partkey"),
+                "p_brand": b.column("p_brand"),
+                "p_size": b.column("p_size"),
+            }
+        )
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "l_quantity": b.column("l_quantity"),
+                "q_rev": pa.array(
+                    _quant(
+                        _col(b, "l_extendedprice")
+                        * (1.0 - _col(b, "l_discount"))
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    li = lineitem.map_batches(line_rows, batch_format="pyarrow")
+    pt = part.map_batches(part_rows, batch_format="pyarrow")
+    j = hash_join(li, pt, "l_partkey", "p_partkey", mode=join_mode)
+
+    def partial(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(b.num_rows, bool)
+        for br, slo, shi, qlo, qhi in clauses:
+            keep |= (
+                (brand == br)
+                & (size >= slo)
+                & (size <= shi)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        q = _col(b, "q_rev")[keep]
+        return pa.table(
+            {"q_rev": pa.array([int(q.sum())], pa.int64())}
+        )
+
+    total = j.map_batches(partial, batch_format="pyarrow").sum("q_rev")
+    return pa.table(
+        {"revenue": pa.array([(total or 0) / _Q], pa.float64())}
+    )
+
+
+def disjunctive_revenue_sql(clauses: tuple = Q19_CLAUSES) -> str:
+    """DuckDB oracle for :func:`disjunctive_revenue` (same inclusive
+    bounds, same quantization)."""
+    q = int(_Q)
+    ors = " OR ".join(
+        f"(p_brand = '{br}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for br, slo, shi, qlo, qhi in clauses
+    )
+    return f"""
+SELECT COALESCE(sum(CAST(floor(l_extendedprice * (1 - l_discount) * {q}
+                               + 0.5) AS BIGINT)), 0) / {q}.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""

@@ -1495,6 +1495,32 @@ def test_returned_customers_oracle(rduck):
     ]
 
 
+def test_disjunctive_revenue_oracle(rduck):
+    """Q19 analog vs the OR-of-ANDs twin; nonzero on the default
+    clauses; shuffle == broadcast; an impossible clause set -> 0.0."""
+    from search_engine_ray.functions import relational as rel
+
+    args = (
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]),
+        rd.read_parquet(f"{SF_DIR}/part.parquet",
+                        columns=["p_partkey", "p_brand", "p_size"]),
+    )
+    t = rel.disjunctive_revenue(*args)
+    o = rduck.sql(rel.disjunctive_revenue_sql()).arrow()
+    assert t.column("revenue")[0].as_py() > 0
+    assert t.cast(o.schema).equals(o)
+    assert rel.disjunctive_revenue(*args, join_mode="shuffle").cast(
+        o.schema
+    ).equals(o)
+    impossible = (("Brand#1", 99, 99, 0.0, 0.0),)
+    e = rel.disjunctive_revenue(*args, clauses=impossible)
+    oe = rduck.sql(rel.disjunctive_revenue_sql(clauses=impossible)).arrow()
+    assert e.column("revenue")[0].as_py() == 0.0
+    assert e.cast(oe.schema).equals(oe)
+
+
 def test_yoy_growth_oracle(rduck):
     """YoY growth vs the lag() twin — ORDER MATTERS (nation, year);
     first year per nation NULL; shuffle == broadcast plans."""

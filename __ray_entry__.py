@@ -3988,6 +3988,34 @@ def _events_unpivot(sf_dir: str):
     return rel.unpivot_events(rel.pivot_events(_events_ds(sf_dir)))
 
 
+def _events_outliers_seasonal(sf_dir: str):
+    """Seasonally-adjusted anomaly rows: the grouped_outliers exact
+    integer-cleared z-test applied to the COMPOSITE (event_type, UTC
+    hour-of-day) key — a value normal for the type overall but
+    anomalous for 3am flags here and not in events_outliers; pure
+    composition, the same aggregate-rejoin machinery."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def seg(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        et = t.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "seg": pa.array(
+                    [f"{e}|{int(x)}" for e, x in zip(et, h)], pa.string()
+                ),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _events_ds(sf_dir).map_batches(seg, batch_format="pyarrow")
+    return aggregates.grouped_outliers(ev, "seg", "value", z_num=3, z_den=2)
+
+
 def _events_dispersion(sf_dir: str):
     """Index of dispersion of hourly counts per event_type (Poisson
     VMR = 1; bursts overdisperse, rate limits underdisperse): sparse
@@ -4894,6 +4922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_odds": _events_odds,
         "events_bowley": _events_bowley,
         "events_dispersion": _events_dispersion,
+        "events_outliers_seasonal": _events_outliers_seasonal,
         "events_means": _events_means,
         "text_zipf": _text_zipf,
         "text_hapax": _text_hapax,
@@ -5466,6 +5495,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_dispersion": lambda: aggregates_mod.dispersion_by_group_sql(
             "events", "event_type", "ts"
+        ),
+        "events_outliers_seasonal": lambda: aggregates_mod.grouped_outliers_sql(
+            "(SELECT event_id, event_type || '|' || CAST("
+            "(epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS seg, "
+            "value FROM events)",
+            "seg", "value", 3, 2,
+            cols="event_id, c.seg, value",
         ),
         "events_bowley": lambda: aggregates_mod.bowley_skew_by_group_sql(
             "events", "event_type", "value"

@@ -5180,6 +5180,75 @@ def test_unpivot_oracle(events_ds, educk):
     )
 
 
+def test_seasonal_outliers_composition(events_ds, educk):
+    """Seasonal (composite-key) outliers vs the composed twin; the
+    motivating pin: a value NORMAL for the type overall but anomalous
+    for its hour flags seasonally, not globally."""
+    from search_engine_ray.functions.aggregates import (
+        grouped_outliers,
+        grouped_outliers_sql,
+    )
+
+    def seg(t):
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        et = t.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "seg": pa.array(
+                    [f"{e}|{int(x)}" for e, x in zip(et, h)], pa.string()
+                ),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = events_ds.map_batches(seg, batch_format="pyarrow")
+    got = _sorted(_table(grouped_outliers(ev, "seg", "value", 3, 2)))
+    want = educk.sql(
+        grouped_outliers_sql(
+            "(SELECT event_id, event_type || '|' || CAST("
+            "(epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS seg, "
+            "value FROM events)",
+            "seg", "value", 3, 2,
+            cols="event_id, c.seg, value",
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    # motivating pin: hour-3 cell runs at 1.0 with one 10.0 inside it;
+    # every other hour runs at 10.0 — globally 10.0 is the NORM (the
+    # global z-test flags the 1.0s, never the 10.0), but within the
+    # hour-3 cell the 10.0 is the anomaly
+    hour = 3_600_000_000
+    rows_h, rows_v, rows_i = [], [], []
+    i = 0
+    for h in range(24):
+        for _ in range(30):
+            rows_h.append(h * hour)
+            rows_v.append(1.0 if h == 3 else 10.0)
+            rows_i.append(i); i += 1
+    rows_h.append(3 * hour); rows_v.append(10.0); rows_i.append(i)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(rows_i, pa.int64()),
+                "ts": pa.array(rows_h, pa.timestamp("us")),
+                "event_type": pa.array(["x"] * len(rows_v)),
+                "value": pa.array(rows_v, pa.float64()),
+            }
+        )
+    )
+    seasonal = _table(grouped_outliers(
+        ds.map_batches(seg, batch_format="pyarrow"), "seg", "value", 3, 2
+    ))
+    assert seasonal.num_rows == 1
+    assert seasonal.column("value").to_pylist() == [10.0]
+    assert seasonal.column("seg").to_pylist() == ["x|3"]
+    globally = _table(grouped_outliers(ds, "event_type", "value", 3, 2))
+    assert 10.0 not in globally.column("value").to_pylist()
+
+
 def test_dispersion_oracle(events_ds, educk):
     """VMR vs the sparse-sufficient-statistics twin; block-layout
     invariance; pins: one-event-per-hour (deterministic arrivals)

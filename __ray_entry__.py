@@ -4523,6 +4523,16 @@ def _events_streaks(sf_dir: str):
     return windows.streaks_per_user(_events_ds(sf_dir))
 
 
+def _events_busy(sf_dir: str):
+    """Interval-union busy time per user (event spans [ts, ts +
+    round(value) s], overlaps merged before summing — naive
+    SUM(duration) double-counts): all-integer islands fold, one user
+    exchange."""
+    from search_engine_ray.functions import windows
+
+    return windows.busy_time_per_user(_events_ds(sf_dir))
+
+
 def _events_gaps(sf_dir: str):
     """Inter-event gap order statistics per user (median/p95/max gap
     µs — the heartbeat/liveness readout): all-integer ceil-rank stats
@@ -4875,6 +4885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling": _window_tumbling,
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
+        "events_busy": _events_busy,
         "events_gaps": _events_gaps,
         "events_streaks": _events_streaks,
         "events_rollmed": _events_rollmed,
@@ -5622,6 +5633,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "window_concurrency": lambda: windows_mod.max_concurrency_sql(
             windows_mod.session_windows_sql("events")
         ),
+        "events_busy": lambda: windows_mod.busy_time_per_user_sql("events"),
         "events_gaps": lambda: windows_mod.gap_stats_per_user_sql("events"),
         "events_streaks": lambda: windows_mod.streaks_per_user_sql("events"),
         "events_rollmed": lambda: windows_mod.rolling_median_per_user_sql(

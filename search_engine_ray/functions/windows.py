@@ -2054,3 +2054,105 @@ SELECT user_id, event_id,
            AS roll_med_c
 FROM {src}
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval-union busy time per user (merged coverage)
+# ---------------------------------------------------------------------------
+
+
+def busy_time_per_user(ds: rd.Dataset) -> rd.Dataset:
+    """Total UNION length of each user's work intervals — the
+    billing/utilization question ("how long was this agent actually
+    busy"), where naive SUM(duration) double-counts every overlap:
+    event i occupies ``[ts, ts + round(value) seconds]``, and
+    overlapping intervals merge before summing (the interval-union
+    sibling of :func:`max_concurrency`'s peak count).
+
+    All-integer exactness: endpoints are epoch-microsecond int64s
+    (duration = ``round(value)`` seconds — the same half-away integer
+    both engines), the merge rule is ``start > running-max of prior
+    ends`` (touching intervals MERGE: strictly-greater breaks — the
+    same comparison the twin's window MAX uses), and the output per
+    user is (n_intervals, n_islands, busy_us) — exact int64, no
+    float anywhere.
+
+    Plan: ONE user exchange; the fold sorts by (start, end, id),
+    running-maxes the ends (np.maximum.accumulate), finds island
+    breaks vectorized, and sums per-island spans with reduceat.
+    """
+    us_sec = 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        dur = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+        if (dur < 0).any():
+            raise ValueError("busy_time_per_user: negative duration")
+        s = us
+        e = us + dur * us_sec
+        order = np.lexsort((eid, e, s))
+        s, e = s[order], e[order]
+        run_end = np.maximum.accumulate(e)
+        brk = np.r_[True, s[1:] > run_end[:-1]]
+        starts = np.flatnonzero(brk)
+        island_max_end = np.maximum.reduceat(e, starts)
+        busy = int((island_max_end - s[starts]).sum())
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_intervals": pa.array([len(s)], pa.int64()),
+                "n_islands": pa.array([len(starts)], pa.int64()),
+                "busy_us": pa.array([busy], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def busy_time_per_user_sql(src: str) -> str:
+    """DuckDB oracle for :func:`busy_time_per_user` — the classic
+    interval-islands window (running MAX of prior ends), the same
+    integer endpoints and merge rule."""
+    return f"""
+WITH t AS (
+    SELECT user_id AS u, event_id AS id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e
+    FROM {src}
+),
+r AS (
+    SELECT u, id, s, e,
+           CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY u ORDER BY s, e, id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+    FROM t
+),
+g AS (
+    SELECT u, s, e,
+           SUM(brk) OVER (PARTITION BY u ORDER BY s, e, id
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM r
+),
+isl AS (
+    SELECT u, grp, CAST(MAX(e) - MIN(s) AS BIGINT) AS len
+    FROM g GROUP BY u, grp
+)
+SELECT u AS user_id,
+       CAST((SELECT count(*) FROM t WHERE t.u = isl.u) AS BIGINT)
+           AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS busy_us
+FROM isl GROUP BY u
+"""

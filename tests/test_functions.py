@@ -5841,6 +5841,51 @@ def test_streaks_oracle(events_ds, educk):
     assert (r["n_days"], r["longest_streak"]) == (1, 1)
 
 
+def test_busy_time_oracle(events_ds, educk):
+    """Interval-union busy time vs the islands twin; block-layout
+    invariance; crafted pins: overlap merges (union < naive sum),
+    touching intervals merge, disjoint ones don't, negative guard."""
+    from search_engine_ray.functions.windows import (
+        busy_time_per_user,
+        busy_time_per_user_sql,
+    )
+
+    got = _sorted(_table(busy_time_per_user(events_ds)))
+    want = educk.sql(busy_time_per_user_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(busy_time_per_user(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    sec = 1_000_000
+
+    def mk(pairs):
+        n = len(pairs)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_id": pa.array(list(range(n)), pa.int64()),
+                    "ts": pa.array([p[0] * sec for p in pairs],
+                                   pa.timestamp("us")),
+                    "value": pa.array([float(p[1]) for p in pairs]),
+                }
+            )
+        )
+
+    # [0,10] + [5,15]: union 15s, naive 20s
+    r = _table(busy_time_per_user(mk([(0, 10), (5, 10)]))).to_pylist()[0]
+    assert (r["n_islands"], r["busy_us"]) == (1, 15 * sec)
+    # touching [0,10] + [10,20] merge (strictly-greater breaks)
+    r = _table(busy_time_per_user(mk([(0, 10), (10, 10)]))).to_pylist()[0]
+    assert (r["n_islands"], r["busy_us"]) == (1, 20 * sec)
+    # disjoint [0,10] + [20,30]
+    r = _table(busy_time_per_user(mk([(0, 10), (20, 10)]))).to_pylist()[0]
+    assert (r["n_islands"], r["busy_us"]) == (2, 20 * sec)
+    with pytest.raises(Exception, match="negative duration"):
+        _table(busy_time_per_user(mk([(0, -5)])))
+
+
 def test_gap_stats_oracle(events_ds, educk):
     """Gap order statistics vs the lead() + ceil-rank twin;
     block-layout invariance; crafted pins: exact median/p95/max on a

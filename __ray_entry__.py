@@ -3929,6 +3929,15 @@ def _text_zipf(sf_dir: str):
     return ta.zipf_fit(_documents_ds(sf_dir))
 
 
+def _text_compress(sf_dir: str):
+    """Per-doc zlib compression ratio (ppm) — the compressibility
+    quality filter; deterministic pure-function map, rows-only class
+    (no zlib in the oracle engine)."""
+    from search_engine_ray.functions import text_analysis as ta
+
+    return ta.compress_ratio(_documents_ds(sf_dir))
+
+
 def _text_confusion(sf_dir: str):
     """Declared-vs-detected language confusion matrix (the metadata-QA
     triage list): the LangId actor stage composed with in-map pair
@@ -4939,6 +4948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hapax": _text_hapax,
         "text_overlap": _text_overlap,
         "text_confusion": _text_confusion,
+        "text_compress": _text_compress,
         "events_mode": _events_mode,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,

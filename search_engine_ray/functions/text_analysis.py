@@ -3980,3 +3980,54 @@ FROM ({langid_sql(src)})
 GROUP BY lang, lang_pred
 ORDER BY lang, lang_pred
 """
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib compressibility)
+# ---------------------------------------------------------------------------
+
+COMPRESS_LEVEL = 6
+
+
+def compress_ratio(ds, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-document zlib compression ratio — the compressibility
+    quality signal the big corpus pipelines run (boilerplate, keyword
+    stuffing and template spam compress far below natural prose;
+    random noise barely compresses at all): ``ratio_q =
+    round(1e6 * compressed_bytes / raw_bytes)`` per doc, in ppm.
+
+    DETERMINISTIC but not SQL-expressible (no zlib in the oracle
+    engine): zlib with a FIXED level is a pure function of the bytes,
+    so the output is exactly reproducible across runs, block layouts
+    and machines (pinned by test) — the rows-only oracle class, like
+    the IVF/PQ family.  Zero-shuffle map; per-doc ratio is one C
+    call + integer arithmetic; empty docs emit NULL (no bytes, no
+    ratio).
+    """
+    import zlib
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        nb, rq = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                nb.append(0)
+                rq.append(None)
+                continue
+            comp = zlib.compress(raw, COMPRESS_LEVEL)
+            nb.append(len(raw))
+            rq.append(int(len(comp) * 1_000_000 // len(raw)))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "ratio_q": pa.array(rq, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: score(t.replace_schema_metadata(None)),
+        batch_format="pyarrow",
+    )

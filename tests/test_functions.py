@@ -236,6 +236,40 @@ def test_embed_pca(emb_ds):
     assert abs(abs(q1[0]) - np.sqrt(5.0) * 2) < 1e-6
 
 
+def test_compress_ratio(docs_ds):
+    """Compressibility signal: repetitive text compresses far below
+    varied text, determinism + block-layout exactness, empty NULL."""
+    from search_engine_ray.functions.text_analysis import compress_ratio
+
+    t = _table(compress_ratio(docs_ds)).sort_by([("doc_id", "ascending")])
+    assert t.num_rows == docs_ds.count()
+    t2 = _table(compress_ratio(docs_ds.repartition(7))).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert t.equals(t2)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam " * 400,
+                        "the quick brown fox jumps over a lazy dog and "
+                        "every sentence here differs in vocabulary, "
+                        "structure, rhythm and intent from the previous "
+                        "one, mentioning zebras, quasars, bicycles, "
+                        "parliaments and seventeen unrelated nouns",
+                        "",
+                    ]
+                ),
+            }
+        )
+    )
+    r = {x["doc_id"]: x for x in _table(compress_ratio(ds)).to_pylist()}
+    assert r[1]["ratio_q"] < r[2]["ratio_q"] // 3  # boilerplate crushes
+    assert r[3]["n_bytes"] == 0 and r[3]["ratio_q"] is None
+
+
 def test_lang_confusion_oracle(docs_ds, fduck):
     """Confusion matrix vs the composed langid twin; block-layout
     invariance; the total equals the corpus size and the diagonal

@@ -4532,6 +4532,16 @@ def _events_streaks(sf_dir: str):
     return windows.streaks_per_user(_events_ds(sf_dir))
 
 
+def _events_stickiness(sf_dir: str):
+    """Daily DAU / trailing-30d MAU / stickiness: the windowed
+    COUNT(DISTINCT) deleted from the plan — per-user interval-union
+    coverage deltas + one cumsum over the calendar-bounded day range;
+    the twin runs the literal range join (oracle-scale only)."""
+    from search_engine_ray.functions import windows
+
+    return windows.stickiness_per_day(_events_ds(sf_dir))
+
+
 def _events_busy(sf_dir: str):
     """Interval-union busy time per user (event spans [ts, ts +
     round(value) s], overlaps merged before summing — naive
@@ -4895,6 +4905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
         "events_busy": _events_busy,
+        "events_stickiness": _events_stickiness,
         "events_gaps": _events_gaps,
         "events_streaks": _events_streaks,
         "events_rollmed": _events_rollmed,
@@ -5644,6 +5655,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             windows_mod.session_windows_sql("events")
         ),
         "events_busy": lambda: windows_mod.busy_time_per_user_sql("events"),
+        "events_stickiness": lambda: windows_mod.stickiness_per_day_sql(
+            "events"
+        ),
         "events_gaps": lambda: windows_mod.gap_stats_per_user_sql("events"),
         "events_streaks": lambda: windows_mod.streaks_per_user_sql("events"),
         "events_rollmed": lambda: windows_mod.rolling_median_per_user_sql(

@@ -2156,3 +2156,175 @@ SELECT u AS user_id,
        CAST(SUM(len) AS BIGINT) AS busy_us
 FROM isl GROUP BY u
 """
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness per day
+# ---------------------------------------------------------------------------
+
+MAU_WINDOW_DAYS = 30
+
+
+def stickiness_per_day(
+    ds: rd.Dataset, window_days: int = MAU_WINDOW_DAYS
+) -> pa.Table:
+    """Daily DAU, trailing-``window_days`` MAU and the DAU/MAU
+    stickiness ratio for every day in the corpus range — the
+    product-health headline metric.  The naive MAU is a windowed
+    COUNT(DISTINCT) — a range join of every day against every (user,
+    day) pair, which is exactly what the SQL twin does and exactly
+    what cannot run at 100 TB.
+
+    The scale plan deletes the distinct-count entirely: a user counts
+    toward MAU(d) iff d lies in the union of [active_day, active_day
+    + W-1] intervals — so per user, merge those intervals (the
+    :func:`busy_time_per_user` island scan over the deduped day set)
+    and emit ONE +1/-1 delta pair per island; MAU(d) is then a prefix
+    sum of deltas over the day domain.  The exchange carries (user,
+    day) distinct pairs once, the delta/DAU rows are day-domain-sized,
+    and the driver finish is one cumsum over the dense calendar range
+    (bounded by CALENDAR, not events — the dense-histogram bound).
+    All counts exact int64; ``stickiness = float(dau) / float(mau)``
+    is one identical division; mau == 0 days (a silence longer than
+    the window cannot happen inside [min, max] of the SAME user set —
+    but can for gaps between different users' ranges) emit NULL.
+    """
+    import ray
+
+    us_day = 86_400_000_000
+    w = int(window_days)
+    if w < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "u": b.column("user_id"),
+                "d": pa.array(us // us_day, pa.int64()),
+            }
+        )
+        return t.group_by(["u", "d"]).aggregate([]).rename_columns(["u", "d"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(g.column("d").to_numpy(zero_copy_only=False))
+        # DAU rows: (kind=0, day, +1) per active day (already
+        # user-deduped); MAU deltas: islands of [d, d+w-1] coverage
+        brk = np.r_[True, days[1:] > days[:-1] + (w - 1)]
+        starts = days[np.flatnonzero(brk)]
+        ends = (
+            np.maximum.reduceat(days, np.flatnonzero(brk)) + w
+        )  # exclusive end = last_day + w
+        kind = np.concatenate(
+            [
+                np.zeros(len(days), np.int64),
+                np.ones(len(starts), np.int64),
+                np.ones(len(ends), np.int64),
+            ]
+        )
+        day = np.concatenate([days, starts, ends])
+        delta = np.concatenate(
+            [
+                np.ones(len(days), np.int64),
+                np.ones(len(starts), np.int64),
+                -np.ones(len(ends), np.int64),
+            ]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "delta": pa.array(delta, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(
+            lambda b: pairs(b.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("u")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["kind", "day"])
+        .aggregate(Sum("delta", alias_name="delta"))
+    )
+    tabs = [t for t in ray.get(rows.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "dau": pa.array([], pa.int64()),
+            "mau": pa.array([], pa.int64()),
+            "stickiness": pa.array([], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs)
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    day = t.column("day").to_numpy(zero_copy_only=False)
+    delta = t.column("delta").to_numpy(zero_copy_only=False)
+    act = day[kind == 0]
+    lo, hi = int(act.min()), int(act.max())
+    n_days = hi - lo + 1
+    dau = np.zeros(n_days, np.int64)
+    np.add.at(dau, act - lo, delta[kind == 0])
+    deltas = np.zeros(n_days + 1, np.int64)
+    m1 = kind == 1
+    idx = np.clip(day[m1] - lo, 0, n_days)
+    np.add.at(deltas, idx, delta[m1])
+    mau = np.cumsum(deltas[:-1])
+    stick = [
+        float(int(a)) / float(int(m)) if m > 0 else None
+        for a, m in zip(dau, mau)
+    ]
+    return pa.table(
+        {
+            "day": pa.array(np.arange(lo, hi + 1), pa.int64()),
+            "dau": pa.array(dau, pa.int64()),
+            "mau": pa.array(mau, pa.int64()),
+            "stickiness": pa.array(stick, pa.float64()),
+        }
+    )
+
+
+def stickiness_per_day_sql(
+    src: str, window_days: int = MAU_WINDOW_DAYS
+) -> str:
+    """DuckDB oracle for :func:`stickiness_per_day` — the literal
+    windowed COUNT(DISTINCT) range join over the dense calendar (the
+    definition; quadratic-ish, oracle-scale only — the engine's
+    interval-union deltas are the scale path)."""
+    w = int(window_days)
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+    FROM {src}
+),
+rng AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+days AS (
+    SELECT unnest(range(lo, hi + 1)) AS day FROM rng
+),
+dau AS (
+    SELECT d AS day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+),
+mau AS (
+    SELECT days.day,
+           CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+    FROM days LEFT JOIN ud
+      ON ud.d BETWEEN days.day - {w - 1} AND days.day
+    GROUP BY days.day
+)
+SELECT days.day, COALESCE(dau.dau, 0) AS dau,
+       COALESCE(mau.mau, 0) AS mau,
+       CASE WHEN COALESCE(mau.mau, 0) > 0
+            THEN CAST(COALESCE(dau.dau, 0) AS DOUBLE)
+                 / CAST(mau.mau AS DOUBLE)
+       END AS stickiness
+FROM days
+LEFT JOIN dau ON days.day = dau.day
+LEFT JOIN mau ON days.day = mau.day
+ORDER BY days.day
+"""

@@ -5875,6 +5875,56 @@ def test_streaks_oracle(events_ds, educk):
     assert (r["n_days"], r["longest_streak"]) == (1, 1)
 
 
+def test_stickiness_oracle(events_ds, educk):
+    """DAU/MAU vs the literal range-join twin; block-layout
+    invariance; crafted pins: coverage islands, a silence longer than
+    the window yields mau == 0 -> NULL, dau <= mau everywhere."""
+    from search_engine_ray.functions.windows import (
+        stickiness_per_day,
+        stickiness_per_day_sql,
+    )
+
+    t = stickiness_per_day(events_ds)
+    o = educk.sql(stickiness_per_day_sql("events")).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    t2 = stickiness_per_day(events_ds.repartition(11))
+    assert t.equals(t2)
+    for r in t.to_pylist():
+        assert r["dau"] <= r["mau"]
+
+    day = 86_400_000_000
+
+    def mk(user_days):
+        us, ds_ = [], []
+        for u, d in user_days:
+            us.append(u)
+            ds_.append(d * day + 123)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(us, pa.int64()),
+                    "ts": pa.array(ds_, pa.timestamp("us")),
+                }
+            )
+        )
+
+    # one user active on days 0 and 40 (w=30): day 10 mau 1 dau 0;
+    # days 30..39 fall outside both coverage islands -> mau 0 -> NULL
+    t = stickiness_per_day(mk([(1, 0), (1, 40)]))
+    rows = {r["day"]: r for r in t.to_pylist()}
+    assert rows[0]["dau"] == 1 and rows[0]["mau"] == 1
+    assert rows[0]["stickiness"] == 1.0
+    assert rows[10]["dau"] == 0 and rows[10]["mau"] == 1
+    assert rows[35]["mau"] == 0 and rows[35]["stickiness"] is None
+    assert rows[40]["dau"] == 1 and rows[40]["mau"] == 1
+    # two users: day 5 dau 1 (only u2), mau 2 (u1 day-0 coverage)
+    t = stickiness_per_day(mk([(1, 0), (2, 5)]))
+    rows = {r["day"]: r for r in t.to_pylist()}
+    assert rows[5]["dau"] == 1 and rows[5]["mau"] == 2
+    assert rows[5]["stickiness"] == 0.5
+
+
 def test_busy_time_oracle(events_ds, educk):
     """Interval-union busy time vs the islands twin; block-layout
     invariance; crafted pins: overlap merges (union < naive sum),

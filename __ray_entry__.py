@@ -4076,6 +4076,16 @@ def _events_odds(sf_dir: str):
     return aggregates.odds_ratio_by_group(ev, "event_type", "segment", "hit")
 
 
+def _events_pareto(sf_dir: str):
+    """Pareto vital few: the MINIMUM user count covering 80% of value
+    — concentration as a headcount; totals-histogram walk with a
+    cross-multiplied integer crossing test, nothing user-sized on the
+    driver."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.pareto_vital_few(_events_ds(sf_dir))
+
+
 def _events_hhi(sf_dir: str):
     """HHI concentration of each user's event-type mix — entropy's
     economics twin (quadratic dominant-share weighting); exact int64
@@ -4950,6 +4960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": _events_seasonality,
         "events_wilson": _events_wilson,
         "events_hhi": _events_hhi,
+        "events_pareto": _events_pareto,
         "events_odds": _events_odds,
         "events_bowley": _events_bowley,
         "events_dispersion": _events_dispersion,
@@ -5524,6 +5535,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_pareto": lambda: aggregates_mod.pareto_vital_few_sql(
+            "events", "user_id", "value"
         ),
         "events_dispersion": lambda: aggregates_mod.dispersion_by_group_sql(
             "events", "event_type", "ts"

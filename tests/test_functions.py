@@ -5456,6 +5456,45 @@ def test_odds_ratio_oracle(events_ds, educk):
         )
 
 
+def test_pareto_oracle(events_ds, educk):
+    """Vital-few k vs the descending-cumsum twin; block-layout
+    invariance; crafted pins: one whale covering 80%+ gives k == 1,
+    uniform users give k == ceil(0.8 n), partial-bucket ceiling,
+    negative guard."""
+    from search_engine_ray.functions.aggregates import (
+        pareto_vital_few,
+        pareto_vital_few_sql,
+    )
+
+    t = pareto_vital_few(events_ds)
+    o = educk.sql(pareto_vital_few_sql("events")).arrow()
+    assert t.cast(o.schema).equals(o)
+    t2 = pareto_vital_few(events_ds.repartition(11))
+    assert t.equals(t2)
+
+    def mk(user_vals):
+        us, vs = zip(*user_vals)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array(list(us), pa.int64()),
+                    "value": pa.array([float(v) for v in vs]),
+                }
+            )
+        )
+
+    # one whale: 80 of 100 total -> k == 1
+    r = pareto_vital_few(
+        mk([(1, 80.0)] + [(i, 2.0) for i in range(2, 12)])
+    ).to_pylist()[0]
+    assert r["k"] == 1
+    # ten equal users: k == ceil(0.8 * 10) == 8 (partial-bucket ceil)
+    r = pareto_vital_few(mk([(i, 5.0) for i in range(10)])).to_pylist()[0]
+    assert (r["n_users"], r["k"], r["k_ppm"]) == (10, 8, 800000)
+    with pytest.raises(Exception, match="negative"):
+        pareto_vital_few(mk([(1, -1.0)]))
+
+
 def test_hhi_oracle(events_ds, educk):
     """HHI vs the square-sum twin; block-layout invariance; pins:
     single category exactly 1.0, uniform k-way exactly 1/k, the 90/10

@@ -4542,6 +4542,16 @@ def _events_streaks(sf_dir: str):
     return windows.streaks_per_user(_events_ds(sf_dir))
 
 
+def _events_runs(sf_dir: str):
+    """Wald-Wolfowitz runs test per event_type (serial randomness:
+    too few above/below-median runs = trending, too many =
+    oscillating): exact integer R/n1/n2 over the total time order,
+    bigint-numerator mu/var, one identical float z."""
+    from search_engine_ray.functions import windows
+
+    return windows.runs_test_by_group(_events_ds(sf_dir))
+
+
 def _events_stickiness(sf_dir: str):
     """Daily DAU / trailing-30d MAU / stickiness: the windowed
     COUNT(DISTINCT) deleted from the plan — per-user interval-union
@@ -4915,6 +4925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
         "events_busy": _events_busy,
+        "events_runs": _events_runs,
         "events_stickiness": _events_stickiness,
         "events_gaps": _events_gaps,
         "events_streaks": _events_streaks,
@@ -5669,6 +5680,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             windows_mod.session_windows_sql("events")
         ),
         "events_busy": lambda: windows_mod.busy_time_per_user_sql("events"),
+        "events_runs": lambda: windows_mod.runs_test_by_group_sql("events"),
         "events_stickiness": lambda: windows_mod.stickiness_per_day_sql(
             "events"
         ),

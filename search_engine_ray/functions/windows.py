@@ -2328,3 +2328,134 @@ LEFT JOIN dau ON days.day = dau.day
 LEFT JOIN mau ON days.day = mau.day
 ORDER BY days.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per group (serial randomness)
+# ---------------------------------------------------------------------------
+
+
+def runs_test_by_group(ds: rd.Dataset,
+                       group_col: str = "event_type") -> rd.Dataset:
+    """Wald-Wolfowitz runs test per group (1940) — the serial-
+    RANDOMNESS audit: too FEW runs of above/below-median values in
+    time order means trending/sticky data, too MANY means oscillation
+    — the time-ordered question the distribution tests (KS, EMD) and
+    the rank correlations cannot see.  Values tie-split against the
+    group's ceil-rank median (ties EXCLUDED, the classic rule).
+
+    Exactness: R (runs), n1, n2 fold as exact ints over the total
+    (ts, event_id) order; ``mu = 1 + a/N`` and ``var = a(a - N) /
+    (N^2 (N-1))`` with ``a = 2 n1 n2`` have exact integer numerators
+    and denominators (Python bigints, the HUGEINT mirror), and ``z =
+    (R - mu)/sqrt(var)`` is the identical float expression both
+    engines.  Degenerate sides (n1 == 0 or n2 == 0, or N < 2) emit
+    NULL.
+
+    Plan: ONE group exchange of (ts, id, cents) rows (run counting
+    needs the group's full time order — the changepoint shape); the
+    fold is one sort + a median searchsorted + one vectorized
+    sign-change count.
+    """
+
+    def per_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)
+        srt = np.sort(c)
+        med = int(srt[(len(srt) + 1) // 2 - 1])
+        keep = c != med
+        s = c[keep] > med
+        n1 = int(s.sum())
+        n2 = int((~s).sum())
+        n = n1 + n2
+        runs = int(1 + (s[1:] != s[:-1]).sum()) if n > 0 else 0
+        z = None
+        if n1 > 0 and n2 > 0 and n >= 2:
+            import math
+
+            a = 2 * n1 * n2
+            mu = 1.0 + float(a) / float(n)
+            var = float(a * (a - n)) / float(n * n * (n - 1))
+            if var > 0:
+                z = (float(runs) - mu) / math.sqrt(var)
+        return pa.table(
+            {
+                "g": g.column(group_col).slice(0, 1),
+                "n_above": pa.array([n1], pa.int64()),
+                "n_below": pa.array([n2], pa.int64()),
+                "runs": pa.array([runs], pa.int64()),
+                "z": pa.array([z], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, "event_id", "ts", "value"])
+        .map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n_above", "n_below", "runs", "z"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def runs_test_by_group_sql(src: str,
+                           group_col: str = "event_type") -> str:
+    """DuckDB oracle for :func:`runs_test_by_group` — the same
+    ceil-rank median, tie exclusion, lag()-counted runs and identical
+    float z."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS c
+    FROM {src}
+),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+cnt AS (SELECT g, c, count(*) AS m FROM t GROUP BY g, c),
+cum AS (
+    SELECT g, c, sum(m) OVER (PARTITION BY g ORDER BY c) AS cm FROM cnt
+),
+med AS (
+    SELECT nn.g,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (nn.n + 1) // 2) AS med_c
+    FROM nn
+),
+s AS (
+    SELECT t.g, t.c > med.med_c AS up,
+           lag(t.c > med.med_c) OVER (
+               PARTITION BY t.g ORDER BY t.ts, t.event_id) AS prev
+    FROM t JOIN med ON t.g = med.g
+    WHERE t.c != med.med_c
+),
+agg AS (
+    SELECT g,
+           CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND up != prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS runs
+    FROM s GROUP BY g
+)
+SELECT g AS {group_col}, n1 AS n_above, n2 AS n_below, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+             AND CAST(2 * n1 * n2 AS HUGEINT)
+                 * (2 * n1 * n2 - n1 - n2) > 0
+            THEN (CAST(runs AS DOUBLE)
+                  - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                           / CAST(n1 + n2 AS DOUBLE)))
+                 / sqrt(CAST(CAST(2 * n1 * n2 AS HUGEINT)
+                             * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                        / CAST(CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                               * (n1 + n2 - 1) AS DOUBLE))
+       END AS z
+FROM agg
+"""

@@ -5914,6 +5914,51 @@ def test_streaks_oracle(events_ds, educk):
     assert (r["n_days"], r["longest_streak"]) == (1, 1)
 
 
+def test_runs_test_oracle(events_ds, educk):
+    """Runs test vs the lag() twin; block-layout invariance; crafted
+    pins: oscillation maximizes runs (z > 0), a trend gives 2 runs
+    (z < 0), median ties excluded, one-sided NULL."""
+    from search_engine_ray.functions.windows import (
+        runs_test_by_group,
+        runs_test_by_group_sql,
+    )
+
+    got = _sorted(_table(runs_test_by_group(events_ds)))
+    want = educk.sql(runs_test_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(runs_test_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(vals):
+        n = len(vals)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * n),
+                    "event_id": pa.array(list(range(n)), pa.int64()),
+                    "ts": pa.array(list(range(n)), pa.timestamp("us")),
+                    "value": pa.array([float(v) for v in vals]),
+                }
+            )
+        )
+
+    # oscillation (median 3 ties out; kept signs b a b a a): runs 4
+    # > mu = 3.4 -> z > 0
+    r = _table(runs_test_by_group(mk([1, 9, 2, 8, 3, 7]))).to_pylist()[0]
+    assert (r["n_above"], r["n_below"], r["runs"]) == (3, 2, 4)
+    assert r["z"] > 0
+    # perfect trend: exactly 2 runs, z < 0
+    r = _table(runs_test_by_group(mk([1, 2, 3, 4, 6, 7, 8, 9]))).to_pylist()[0]
+    assert r["runs"] == 2 and r["z"] < 0
+    # median ties excluded: [1, 5, 5, 9] -> med 5, kept [1, 9]
+    r = _table(runs_test_by_group(mk([1, 5, 5, 9]))).to_pylist()[0]
+    assert (r["n_above"], r["n_below"], r["runs"]) == (1, 1, 2)
+    # one-sided: all equal -> everything ties out -> NULL
+    r = _table(runs_test_by_group(mk([5, 5, 5]))).to_pylist()[0]
+    assert r["z"] is None
+
+
 def test_stickiness_oracle(events_ds, educk):
     """DAU/MAU vs the literal range-join twin; block-layout
     invariance; crafted pins: coverage islands, a silence longer than

@@ -4542,6 +4542,15 @@ def _events_streaks(sf_dir: str):
     return windows.streaks_per_user(_events_ds(sf_dir))
 
 
+def _events_funnel_time(sf_dir: str):
+    """Median/p95/min/max time-to-convert over completed funnels
+    (funnel answers WHO, this answers HOW FAST): the funnel exchange
+    + one duration-histogram groupby, all-integer ceil-rank stats."""
+    from search_engine_ray.functions import windows
+
+    return windows.funnel_time_stats(_events_ds(sf_dir))
+
+
 def _events_runs(sf_dir: str):
     """Wald-Wolfowitz runs test per event_type (serial randomness:
     too few above/below-median runs = trending, too many =
@@ -4925,6 +4934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_sessions": _window_sessions,
         "window_concurrency": _window_concurrency,
         "events_busy": _events_busy,
+        "events_funnel_time": _events_funnel_time,
         "events_runs": _events_runs,
         "events_stickiness": _events_stickiness,
         "events_gaps": _events_gaps,
@@ -5680,6 +5690,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             windows_mod.session_windows_sql("events")
         ),
         "events_busy": lambda: windows_mod.busy_time_per_user_sql("events"),
+        "events_funnel_time": lambda: windows_mod.funnel_time_stats_sql(
+            "events"
+        ),
         "events_runs": lambda: windows_mod.runs_test_by_group_sql("events"),
         "events_stickiness": lambda: windows_mod.stickiness_per_day_sql(
             "events"

@@ -5914,6 +5914,48 @@ def test_streaks_oracle(events_ds, educk):
     assert (r["n_days"], r["longest_streak"]) == (1, 1)
 
 
+def test_funnel_time_oracle(events_ds, educk):
+    """Time-to-convert vs the composed funnel twin; crafted pins:
+    exact durations from greedy-earliest matches, non-completers
+    excluded, empty typed NULL."""
+    from search_engine_ray.functions.windows import (
+        funnel_time_stats,
+        funnel_time_stats_sql,
+    )
+
+    t = funnel_time_stats(events_ds)
+    o = educk.sql(funnel_time_stats_sql("events")).arrow()
+    assert t.cast(o.schema).equals(o)
+    t2 = funnel_time_stats(events_ds.repartition(11))
+    assert t.equals(t2)
+
+    def mk(rows):
+        n = len(rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_id": pa.array(list(range(n)), pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                    "event_type": pa.array([r[1] for r in rows]),
+                }
+            )
+        )
+
+    # user 1 converts in 100 us, user 2 in 50, user 3 stalls at view
+    ev = mk([
+        (1, "signup", 0), (1, "view", 30), (1, "purchase", 100),
+        (2, "signup", 1000), (2, "view", 1010), (2, "purchase", 1050),
+        (3, "signup", 0), (3, "view", 10),
+    ])
+    r = funnel_time_stats(ev).to_pylist()[0]
+    assert (r["n_converted"], r["min_us"], r["max_us"]) == (2, 50, 100)
+    assert r["med_us"] == 50  # ceil-rank median of {50, 100} is rank 1
+    # nobody converts -> typed NULL row
+    r = funnel_time_stats(mk([(1, "signup", 0)])).to_pylist()[0]
+    assert r["n_converted"] == 0 and r["med_us"] is None
+
+
 def test_runs_test_oracle(events_ds, educk):
     """Runs test vs the lag() twin; block-layout invariance; crafted
     pins: oscillation maximizes runs (z > 0), a trend gives 2 runs

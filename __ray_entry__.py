@@ -4204,6 +4204,27 @@ def _events_emd(sf_dir: str):
     return aggregates.emd_by_group(ev)
 
 
+def _events_mk_trend(sf_dir: str):
+    """Mann-Kendall trend per USER (Kendall's S of value vs time,
+    grouped by user — 'is each user's value monotonically drifting'):
+    the kendall_by_group operator re-keyed; its sign statistic IS the
+    Mann-Kendall test, the monitoring framing of the same machinery."""
+    from search_engine_ray.functions import aggregates
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return aggregates.kendall_by_group(ev, "user_id", "ts_us", "value")
+
+
 def _events_kendall(sf_dir: str):
     """Kendall tau-b per event_type between event time and value —
     the concordance-based drift readout; C-D and all tie counts fold
@@ -4997,6 +5018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": _events_unpivot,
         "events_emd": _events_emd,
         "events_kendall": _events_kendall,
+        "events_mk_trend": _events_mk_trend,
         "events_ks": _events_ks,
         "events_mannwhitney": _events_mannwhitney,
         "events_chi2": _events_chi2,
@@ -5596,6 +5618,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_emd": lambda: aggregates_mod.emd_by_group_sql(
             "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+        ),
+        "events_mk_trend": lambda: aggregates_mod.kendall_by_group_sql(
+            "(SELECT user_id, event_id, epoch_us(ts) AS ts_us, value "
+            "FROM events)", "user_id"
         ),
         "events_kendall": lambda: aggregates_mod.kendall_by_group_sql(
             "(SELECT event_type, event_id, epoch_us(ts) AS ts_us, value "

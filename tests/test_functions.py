@@ -6360,6 +6360,48 @@ def test_kendall_oracle(events_ds, educk):
     assert t.column("tau")[0].as_py() is None
 
 
+def test_mk_trend_composition(events_ds, educk):
+    """Per-user Mann-Kendall (kendall re-keyed by user, x = time) vs
+    the same twin; a strictly increasing user pins tau == 1.0."""
+    from search_engine_ray.functions.aggregates import (
+        kendall_by_group,
+        kendall_by_group_sql,
+    )
+
+    ev = events_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "value": t.column("value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(kendall_by_group(ev, "user_id", "ts_us", "value")))
+    want = educk.sql(
+        kendall_by_group_sql(
+            "(SELECT user_id, event_id, epoch_us(ts) AS ts_us, value "
+            "FROM events)", "user_id"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts_us": pa.array([10, 20, 30, 40], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+    )
+    t = _table(kendall_by_group(ds, "user_id", "ts_us", "value"))
+    assert t.column("tau").to_pylist() == [1.0]
+
+
 def test_ks_test_oracle(events_ds, educk):
     """Two-sample KS vs the window-cumsum twin; block-layout
     invariance; crafted pins: identical segments d == 0.0 exactly,

@@ -4148,6 +4148,31 @@ def _events_mad(sf_dir: str):
     )
 
 
+def _events_peak_rate(sf_dir: str):
+    """Peak per-minute event rate per type ('the busiest minute'):
+    mode_by_group re-keyed over minute buckets — the modal minute IS
+    the peak, its count the rate; (count DESC, minute ASC) picks the
+    EARLIEST busiest minute deterministically."""
+    from search_engine_ray.functions import aggregates
+
+    ev = _events_ds(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "minute": pa.array(
+                    t.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    // 60_000_000,
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return aggregates.mode_by_group(ev, "event_type", "minute")
+
+
 def _events_mode(sf_dir: str):
     """Modal event_type per user with the deterministic (count DESC,
     value ASC) tie-break — exact integer counts, one group exchange of
@@ -5014,6 +5039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_confusion": _text_confusion,
         "text_compress": _text_compress,
         "events_mode": _events_mode,
+        "events_peak_rate": _events_peak_rate,
         "events_pctcont": _events_pctcont,
         "events_unpivot": _events_unpivot,
         "events_emd": _events_emd,
@@ -5609,6 +5635,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_means": lambda: aggregates_mod.pythagorean_means_sql(
             "events", "event_type", "value"
+        ),
+        "events_peak_rate": lambda: aggregates_mod.mode_by_group_sql(
+            "(SELECT event_type, epoch_us(ts) // 60000000 AS minute "
+            "FROM events)", "event_type", "minute"
         ),
         "events_mode": lambda: aggregates_mod.mode_by_group_sql(
             "events", "user_id", "event_type"

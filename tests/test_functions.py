@@ -5710,6 +5710,53 @@ def test_mad_outliers_oracle(events_ds, educk):
     assert (r["med_c"], r["mad_c"], r["n_out"]) == (500, 0, 1)
 
 
+def test_peak_rate_composition(events_ds, educk):
+    """Peak per-minute rate (mode over minute buckets) vs the same
+    twin; crafted pin: the busiest minute's count, earliest on tie."""
+    from search_engine_ray.functions.aggregates import (
+        mode_by_group,
+        mode_by_group_sql,
+    )
+
+    ev = events_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "minute": pa.array(
+                    t.column("ts").cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    ) // 60_000_000,
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    got = _sorted(_table(mode_by_group(ev, "event_type", "minute")))
+    want = educk.sql(
+        mode_by_group_sql(
+            "(SELECT event_type, epoch_us(ts) // 60000000 AS minute "
+            "FROM events)", "event_type", "minute"
+        )
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    # crafted: minute 7 has 3 events, minutes 2 and 9 have 1
+    m = 60_000_000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 5),
+                "minute": pa.array([7, 2, 7, 9, 7], pa.int64()),
+            }
+        )
+    )
+    t = _table(mode_by_group(ds, "event_type", "minute"))
+    assert t.column("mode").to_pylist() == [7]
+    assert t.column("n").to_pylist() == [3]
+    del m
+
+
 def test_mode_by_group_oracle(events_ds, educk):
     """Grouped mode vs the row_number twin; block-layout invariance;
     crafted pins: count ties resolve to the SMALLER value, NULLs

@@ -4588,6 +4588,16 @@ def _events_streaks(sf_dir: str):
     return windows.streaks_per_user(_events_ds(sf_dir))
 
 
+def _events_survival(sf_dir: str):
+    """Kaplan-Meier time-to-churn survival curve: lifetimes censored
+    at the corpus edge (silence > 30d = churn observed), the survival
+    product as an exact int64 sum of NB-quantized factor logs, KM
+    table folded over the lifetime histogram (calendar-bounded)."""
+    from search_engine_ray.functions import windows
+
+    return windows.km_survival(_events_ds(sf_dir))
+
+
 def _events_funnel_time(sf_dir: str):
     """Median/p95/min/max time-to-convert over completed funnels
     (funnel answers WHO, this answers HOW FAST): the funnel exchange
@@ -4981,6 +4991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_concurrency": _window_concurrency,
         "events_busy": _events_busy,
         "events_funnel_time": _events_funnel_time,
+        "events_survival": _events_survival,
         "events_runs": _events_runs,
         "events_stickiness": _events_stickiness,
         "events_gaps": _events_gaps,
@@ -5749,6 +5760,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         "events_funnel_time": lambda: windows_mod.funnel_time_stats_sql(
             "events"
         ),
+        "events_survival": lambda: windows_mod.km_survival_sql("events"),
         "events_runs": lambda: windows_mod.runs_test_by_group_sql("events"),
         "events_stickiness": lambda: windows_mod.stickiness_per_day_sql(
             "events"

@@ -2567,3 +2567,198 @@ SELECT nn.n AS n_converted,
             THEN (SELECT CAST(max(d) AS BIGINT) FROM dur) END AS max_us
 FROM nn
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-churn survival curve
+# ---------------------------------------------------------------------------
+
+KM_TARGET_TYPE = "purchase"
+
+
+def km_survival(
+    ds: rd.Dataset, target_type: str = KM_TARGET_TYPE
+) -> pa.Table:
+    """Kaplan-Meier curve for time-to-first-``target_type`` (Kaplan &
+    Meier 1958) — THE censoring-correct conversion-latency analysis:
+    a user's clock starts at their first event; the event of interest
+    is their first ``target_type``; users who never reach it are
+    CENSORED at their last observed day — and dropping them (the
+    naive mistake) biases conversion latency optimistic, because the
+    slowest users are exactly the not-yet-converted.  Output one row
+    per event time t with the risk set, event count and ``S(t) =
+    prod_{j<=t} (1 - d_j/n_j)``.
+
+    Exactness: all times and counts are exact integer days; each KM
+    factor is a ratio of exact ints, so its log quantizes by the NB
+    rule (``floor(ln(x)*1e6 + 0.5)`` of the same double both
+    engines) and the survival PRODUCT becomes an exact int64 SUM of
+    quantized logs with one exp at the end; a zero factor (everyone
+    at risk converts) pins S to exactly 0.0 from then on,
+    flag-propagated identically in the twin.
+
+    Plan: per-user (first_day, last_day, first_target_day) from
+    fully ADDITIVE in-map min partials (a sentinel stands for "never
+    converted" — Min-safe) + ONE user groupby — no map_groups; the KM
+    table folds on the driver over the LIFETIME HISTOGRAM, bounded by
+    calendar days, never users.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    us_day = 86_400_000_000
+    SENT = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // us_day
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        tday = np.where(et == target_type, day, SENT)
+        t = pa.table(
+            {
+                "u": b.column("user_id"),
+                "d": pa.array(day, pa.int64()),
+                "p": pa.array(tday, pa.int64()),
+            }
+        )
+        out = t.group_by(["u"]).aggregate(
+            [("d", "min"), ("d", "max"), ("p", "min")]
+        )
+        return out.rename_columns(["u", "f", "l", "p"])
+
+    spans = (
+        ds.select_columns(["user_id", "event_type", "ts"])
+        .map_batches(
+            lambda b: partial(b.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("u")
+        .aggregate(
+            Min("f", alias_name="f"),
+            Max("l", alias_name="l"),
+            Min("p", alias_name="p"),
+        )
+        .materialize()
+    )
+
+    def hist(b: pa.Table) -> pa.Table:
+        f = b.column("f").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = b.column("l").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = p != SENT
+        t = np.where(conv, p - f, l - f)
+        tt = pa.table(
+            {
+                "t": pa.array(t, pa.int64()),
+                "d": pa.array(conv.astype(np.int64), pa.int64()),
+                "m": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+        )
+        out = tt.group_by(["t"]).aggregate([("d", "sum"), ("m", "sum")])
+        return out.rename_columns(["t", "d", "m"])
+
+    hrows = (
+        spans.map_batches(hist, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("d", alias_name="d"), Sum("m", alias_name="m"))
+    )
+    tabs = [t for t in ray.get(hrows.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "t_days": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "survival": pa.array([], pa.float64()),
+        }
+    )
+    if not tabs:
+        return empty
+    tb = pa.concat_tables(tabs)
+    ts_ = tb.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+    dd = tb.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+    mm = tb.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ts_)
+    ts_, dd, mm = ts_[order], dd[order], mm[order]
+    total = int(mm.sum())
+    prior = np.concatenate(([0], np.cumsum(mm)[:-1]))
+    import math
+
+    rows = []
+    lnsum = 0
+    dead = False
+    for t, d, pr in zip(ts_, dd, prior):
+        n_risk = total - int(pr)
+        if d == 0:
+            continue
+        if d >= n_risk:
+            dead = True
+        if not dead:
+            lnsum += int(
+                math.floor(
+                    math.log((n_risk - int(d)) / n_risk) * 1e6 + 0.5
+                )
+            )
+        s_ = 0.0 if dead else math.exp(lnsum / 1e6)
+        rows.append((int(t), n_risk, int(d), s_))
+    if not rows:
+        return empty
+    return pa.table(
+        {
+            "t_days": pa.array([r[0] for r in rows], pa.int64()),
+            "n_risk": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+            "survival": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def km_survival_sql(src: str,
+                    target_type: str = KM_TARGET_TYPE) -> str:
+    """DuckDB oracle for :func:`km_survival` — the same censoring
+    rule, the same quantized-log product, the same dead-flag
+    propagation."""
+    return f"""
+WITH ud AS (
+    SELECT user_id AS u,
+           min(epoch_us(ts) // 86400000000) AS f,
+           max(epoch_us(ts) // 86400000000) AS l,
+           min(CASE WHEN event_type = '{target_type}'
+                    THEN epoch_us(ts) // 86400000000 END) AS p
+    FROM {src} GROUP BY u
+),
+obs AS (
+    SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE l - f END AS t,
+           CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS churn
+    FROM ud
+),
+ev AS (
+    SELECT t, CAST(SUM(churn) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS m
+    FROM obs GROUP BY t
+),
+r AS (
+    SELECT t, d, m,
+           CAST((SELECT count(*) FROM obs) AS BIGINT)
+           - CAST(COALESCE(SUM(m) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+    FROM ev
+),
+km AS (
+    SELECT t, d, n_risk,
+           MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+           SUM(CASE WHEN d > 0 AND d < n_risk
+                    THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE))
+                                    * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+    FROM r
+)
+SELECT t AS t_days, n_risk, d AS n_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE exp(CAST(lnsum AS DOUBLE) / 1000000.0) END AS survival
+FROM km WHERE d > 0
+ORDER BY t
+"""

@@ -5961,6 +5961,64 @@ def test_streaks_oracle(events_ds, educk):
     assert (r["n_days"], r["longest_streak"]) == (1, 1)
 
 
+def test_km_survival_oracle(events_ds, educk):
+    """KM curve vs the quantized-log twin; block-layout invariance;
+    crafted pins: censoring keeps the risk set honest (S = exp of the
+    quantized ln(1/3)), dropping the censored user collapses S to
+    exactly 0.0 (the naive bias), total-conversion dead flag."""
+    import math
+
+    from search_engine_ray.functions.windows import (
+        km_survival,
+        km_survival_sql,
+    )
+
+    t = km_survival(events_ds)
+    o = educk.sql(km_survival_sql("events")).arrow()
+    assert t.num_rows > 0
+    assert t.cast(o.schema).equals(o)
+    t2 = km_survival(events_ds.repartition(11))
+    assert t.equals(t2)
+    surv = t.column("survival").to_pylist()
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # monotone
+
+    day = 86_400_000_000
+
+    def mk(rows):
+        n = len(rows)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows]),
+                    "ts": pa.array([r[2] * day for r in rows],
+                                   pa.timestamp("us")),
+                }
+            )
+        )
+
+    # A and C convert on day 2; B never converts, censored at day 9:
+    # t=2: n_risk 3, d 2 -> S = exp(quantized ln(1/3))
+    ev = mk([
+        (1, "view", 0), (1, "purchase", 2),
+        (2, "view", 0), (2, "view", 9),
+        (3, "view", 0), (3, "purchase", 2),
+    ])
+    r = km_survival(ev).to_pylist()
+    assert len(r) == 1
+    want = math.exp(math.floor(math.log(1 / 3) * 1e6 + 0.5) / 1e6)
+    assert (r[0]["t_days"], r[0]["n_risk"], r[0]["n_events"]) == (2, 3, 2)
+    assert r[0]["survival"] == want
+    # drop the censored user (the naive mistake): everyone at risk
+    # converts -> the dead flag pins S to exactly 0.0
+    ev2 = mk([
+        (1, "view", 0), (1, "purchase", 2),
+        (3, "view", 0), (3, "purchase", 2),
+    ])
+    r = km_survival(ev2).to_pylist()
+    assert r[0]["survival"] == 0.0
+
+
 def test_funnel_time_oracle(events_ds, educk):
     """Time-to-convert vs the composed funnel twin; crafted pins:
     exact durations from greedy-earliest matches, non-completers

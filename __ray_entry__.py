@@ -4086,6 +4086,26 @@ def _events_pareto(sf_dir: str):
     return aggregates.pareto_vital_few(_events_ds(sf_dir))
 
 
+def _events_signatures(sf_dir: str):
+    """Behavioral segmentation: one row per distinct-sorted event-type
+    signature with its user count — string_agg(DISTINCT ... ORDER BY)
+    as a first-class operator; the ORDER BY is the contract.  Sliced
+    to night hours (UTC hour < 3): the full corpus gives every user
+    all 5 types (one vacuous signature — the histogram-dense lesson),
+    the night slice yields 20 distinct signatures at sf0.01."""
+    import numpy as np
+
+    from search_engine_ray.functions import aggregates
+
+    def night(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (us // 3_600_000_000) % 24 < 3
+        return t.filter(pa.array(keep))
+
+    ev = _events_ds(sf_dir).map_batches(night, batch_format="pyarrow")
+    return aggregates.behavior_signatures(ev)
+
+
 def _events_hhi(sf_dir: str):
     """HHI concentration of each user's event-type mix — entropy's
     economics twin (quadratic dominant-share weighting); exact int64
@@ -5038,6 +5058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonality": _events_seasonality,
         "events_wilson": _events_wilson,
         "events_hhi": _events_hhi,
+        "events_signatures": _events_signatures,
         "events_pareto": _events_pareto,
         "events_odds": _events_odds,
         "events_bowley": _events_bowley,
@@ -5615,6 +5636,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_hhi": lambda: aggregates_mod.hhi_by_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "events_signatures": lambda: aggregates_mod.behavior_signatures_sql(
+            "(SELECT * FROM events "
+            "WHERE (epoch_us(ts) // 3600000000) % 24 < 3)",
+            "user_id", "event_type",
         ),
         "events_pareto": lambda: aggregates_mod.pareto_vital_few_sql(
             "events", "user_id", "value"

@@ -3949,3 +3949,89 @@ SELECT tt.n AS n_users,
        END AS k_ppm
 FROM tt
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral signatures (ordered string aggregation + segmentation)
+# ---------------------------------------------------------------------------
+
+
+def behavior_signatures(
+    ds: rd.Dataset,
+    group_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> rd.Dataset:
+    """Behavioral segmentation by DISTINCT-SORTED category signature —
+    SQL's ``string_agg(DISTINCT x, ',' ORDER BY x)`` made a
+    first-class operator: each user reduces to the comma-joined
+    sorted set of event types they perform ("browser" =
+    'click,view', "full-funnel" = 'click,purchase,signup,view'), and
+    the output is one row per signature with its user count — the
+    segmentation table every lifecycle-marketing query starts from.
+
+    The ORDER BY inside the aggregate is the contract: an unordered
+    string_agg is block-order-dependent (the mode lesson for
+    strings).  Exactness: the signature is a deterministic pure
+    function of the user's category SET (sorted join — no floats, no
+    ambiguity), counts exact int64.  Plan: in-map (user, category)
+    distinct partials, ONE user groupby whose fold emits the joined
+    signature, in-map signature counts, one tiny signature groupby.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": b.column(group_col), "c": b.column(cat_col)}
+        ).filter(pc.is_valid(b.column(cat_col)))
+        return t.group_by(["g", "c"]).aggregate([]).rename_columns(
+            ["g", "c"]
+        )
+
+    def fold(grp: pa.Table) -> pa.Table:
+        cats = sorted(set(grp.column("c").to_pylist()))
+        return pa.table(
+            {
+                "sig": pa.array([",".join(cats)], pa.string()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+
+    def sig_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["sig"]).aggregate([("n", "sum")])
+        return out.rename_columns(["sig", "n"])
+
+    return (
+        ds.select_columns([group_col, cat_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+        .map_batches(sig_partial, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(
+            lambda t: t.rename_columns(["signature", "n_users"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def behavior_signatures_sql(
+    src: str,
+    group_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> str:
+    """DuckDB oracle for :func:`behavior_signatures` — the literal
+    ordered string_agg(DISTINCT) + count."""
+    return f"""
+WITH sig AS (
+    SELECT {group_col} AS g,
+           string_agg(DISTINCT {cat_col}, ',' ORDER BY {cat_col})
+               AS signature
+    FROM {src} WHERE {cat_col} IS NOT NULL
+    GROUP BY g
+)
+SELECT signature, CAST(count(*) AS BIGINT) AS n_users
+FROM sig GROUP BY signature
+"""

@@ -5495,6 +5495,39 @@ def test_pareto_oracle(events_ds, educk):
         pareto_vital_few(mk([(1, -1.0)]))
 
 
+def test_behavior_signatures_oracle(events_ds, educk):
+    """Signatures vs the ordered string_agg(DISTINCT) twin;
+    block-layout invariance; crafted pins: sorted-set determinism
+    (duplicates and arrival order irrelevant), user counts."""
+    from search_engine_ray.functions.aggregates import (
+        behavior_signatures,
+        behavior_signatures_sql,
+    )
+
+    got = _sorted(_table(behavior_signatures(events_ds)))
+    want = educk.sql(
+        behavior_signatures_sql("events", "user_id", "event_type")
+    ).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(behavior_signatures(events_ds.repartition(11))))
+    assert got.equals(got2)
+    # crafted: user 1 does {b, a, a}, user 2 does {a, b}, user 3 {c}:
+    # signatures 'a,b' x2 and 'c' x1 — arrival order and repeats
+    # cannot matter (the sorted-set contract)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(["b", "a", "a", "a", "b", "c"]),
+            }
+        )
+    )
+    t = _sorted(_table(behavior_signatures(ds)))
+    assert t.column("signature").to_pylist() == ["a,b", "c"]
+    assert t.column("n_users").to_pylist() == [2, 1]
+
+
 def test_hhi_oracle(events_ds, educk):
     """HHI vs the square-sum twin; block-layout invariance; pins:
     single category exactly 1.0, uniform k-way exactly 1/k, the 90/10

@@ -4036,6 +4036,15 @@ def _events_dispersion(sf_dir: str):
     return aggregates.dispersion_by_group(_events_ds(sf_dir))
 
 
+def _events_tukey(sf_dir: str):
+    """Tukey boxplot-fence breach counts per event_type: the 1.5*IQR
+    fences cleared to pure-integer comparisons by doubling (2c <
+    5q1 - 3q3); ceil-rank quartiles, no float anywhere."""
+    from search_engine_ray.functions import aggregates
+
+    return aggregates.tukey_outliers_by_group(_events_ds(sf_dir))
+
+
 def _events_bowley(sf_dir: str):
     """Bowley quartile skewness per event_type — robust asymmetry
     from ceil-rank order-statistic quartiles; all integer until one
@@ -5062,6 +5071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pareto": _events_pareto,
         "events_odds": _events_odds,
         "events_bowley": _events_bowley,
+        "events_tukey": _events_tukey,
         "events_dispersion": _events_dispersion,
         "events_outliers_seasonal": _events_outliers_seasonal,
         "events_means": _events_means,
@@ -5656,6 +5666,9 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             cols="event_id, c.seg, value",
         ),
         "events_bowley": lambda: aggregates_mod.bowley_skew_by_group_sql(
+            "events", "event_type", "value"
+        ),
+        "events_tukey": lambda: aggregates_mod.tukey_outliers_by_group_sql(
             "events", "event_type", "value"
         ),
         "events_odds": lambda: aggregates_mod.odds_ratio_by_group_sql(

@@ -4035,3 +4035,122 @@ WITH sig AS (
 SELECT signature, CAST(count(*) AS BIGINT) AS n_users
 FROM sig GROUP BY signature
 """
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence (boxplot) outlier audit per group
+# ---------------------------------------------------------------------------
+
+
+def tukey_outliers_by_group(
+    ds: rd.Dataset,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Tukey's boxplot-fence outlier audit per group (Tukey 1977) —
+    the third member of the robust-outlier family: the z-score
+    (moments), MAD (median-centered) and now the FENCES ``[q1 -
+    1.5*IQR, q3 + 1.5*IQR]`` every boxplot draws.  Output per group:
+    the quartiles, both fence-breach counts and n.
+
+    The fence test is PURE INTEGER — the 1.5 factor clears by
+    doubling: ``v < q1 - 1.5*IQR  <=>  2*c < 5*q1 - 3*q3`` (and
+    ``2*c > 5*q3 - 3*q1`` above), so breaches compare exact int64
+    cents with no float anywhere — the mad_outliers exactness class.
+    Quartiles by the ceil-rank order-statistic rule; the
+    :func:`bowley_skew_by_group` exchange verbatim.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v) if v.dtype.kind == "f" else np.ones(len(v), bool)
+        c = (np.floor(np.abs(v) * 100 + 0.5) * np.sign(v)).astype(np.int64)[
+            keep
+        ]
+        t = pa.table(
+            {
+                "g": b.column(group_col).filter(pa.array(keep)),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+        out = t.group_by(["g", "c"]).aggregate([([], "count_all")])
+        return out.rename_columns(["g", "c", "n"])
+
+    def fold(grp: pa.Table) -> pa.Table:
+        merged = grp.group_by(["g", "c"]).aggregate([("n", "sum")])
+        c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = merged.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(c)
+        c, w = c[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        q1 = int(c[np.searchsorted(cum, (n + 3) // 4)])
+        q3 = int(c[np.searchsorted(cum, (3 * n + 3) // 4)])
+        low = int(w[2 * c < 5 * q1 - 3 * q3].sum())
+        high = int(w[2 * c > 5 * q3 - 3 * q1].sum())
+        return pa.table(
+            {
+                "g": grp.column("g").slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "q1_c": pa.array([q1], pa.int64()),
+                "q3_c": pa.array([q3], pa.int64()),
+                "n_low": pa.array([low], pa.int64()),
+                "n_high": pa.array([high], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            lambda t: partial(t.replace_schema_metadata(None)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [group_col, "n", "q1_c", "q3_c", "n_low", "n_high"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def tukey_outliers_by_group_sql(
+    src: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """DuckDB oracle for :func:`tukey_outliers_by_group` — the same
+    ceil-rank quartiles, the same doubled integer fence tests."""
+    return f"""
+WITH t AS (
+    SELECT {group_col} AS g,
+           CAST(round({value_col} * 100) AS BIGINT) AS c
+    FROM {src} WHERE {value_col} IS NOT NULL
+),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+cnt AS (SELECT g, c, count(*) AS m FROM t GROUP BY g, c),
+cum AS (
+    SELECT g, c, sum(m) OVER (PARTITION BY g ORDER BY c) AS cm FROM cnt
+),
+q AS (
+    SELECT nn.g, nn.n,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (nn.n + 3) // 4) AS q1,
+           (SELECT min(c) FROM cum
+            WHERE cum.g = nn.g AND cm >= (3 * nn.n + 3) // 4) AS q3
+    FROM nn
+)
+SELECT q.g AS {group_col}, q.n,
+       CAST(q.q1 AS BIGINT) AS q1_c, CAST(q.q3 AS BIGINT) AS q3_c,
+       CAST((SELECT count(*) FROM t
+             WHERE t.g = q.g AND 2 * t.c < 5 * q.q1 - 3 * q.q3)
+            AS BIGINT) AS n_low,
+       CAST((SELECT count(*) FROM t
+             WHERE t.g = q.g AND 2 * t.c > 5 * q.q3 - 3 * q.q1)
+            AS BIGINT) AS n_high
+FROM q
+"""

@@ -5327,6 +5327,47 @@ def test_dispersion_oracle(events_ds, educk):
     assert r["vmr"] is None
 
 
+def test_tukey_outliers_oracle(events_ds, educk):
+    """Tukey fences vs the doubled-integer twin; block-layout
+    invariance; crafted pins: a spike breaches the high fence,
+    uniform data breaches nothing, boundary-exact (fence value itself
+    does NOT breach — strict inequality)."""
+    from search_engine_ray.functions.aggregates import (
+        tukey_outliers_by_group,
+        tukey_outliers_by_group_sql,
+    )
+
+    got = _sorted(_table(tukey_outliers_by_group(events_ds)))
+    want = educk.sql(tukey_outliers_by_group_sql("events")).arrow()
+    assert got.num_rows > 0
+    assert got.equals(_sorted(want.select(got.column_names).cast(got.schema)))
+    got2 = _sorted(_table(tukey_outliers_by_group(events_ds.repartition(11))))
+    assert got.equals(got2)
+
+    def mk(vals):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array(["x"] * len(vals)),
+                    "value": pa.array([float(v) for v in vals]),
+                }
+            )
+        )
+
+    # {1..8, 100}: q1 = 3, q3 = 7 (ceil ranks 3 and 7 of 9), IQR 4;
+    # high fence 7 + 6 = 13 -> only the 100 breaches
+    r = _table(tukey_outliers_by_group(mk(list(range(1, 9)) + [100]))).to_pylist()[0]
+    assert (r["q1_c"], r["q3_c"], r["n_low"], r["n_high"]) == (300, 700, 0, 1)
+    # exact fence value does NOT breach (strict): add 13.0 itself
+    r = _table(
+        tukey_outliers_by_group(mk(list(range(1, 9)) + [13]))
+    ).to_pylist()[0]
+    assert (r["n_low"], r["n_high"]) == (0, 0)
+    # uniform block breaches nothing
+    r = _table(tukey_outliers_by_group(mk([5, 5, 5, 5]))).to_pylist()[0]
+    assert (r["n_low"], r["n_high"]) == (0, 0)
+
+
 def test_bowley_skew_oracle(events_ds, educk):
     """Bowley skew vs the ceil-rank twin; block-layout invariance;
     pins: symmetric multiset exactly 0.0, right-skewed positive, a

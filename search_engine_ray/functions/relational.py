@@ -741,9 +741,22 @@ def rollup_orders(
         )
     )
 
-    # domain-bounded driver fold (dozens of rows by construction)
+    # domain-bounded driver fold (dozens of rows by construction).
+    # Empty blocks from the groupby carry a bare schema and must be
+    # dropped before concat (ArrowInvalid otherwise — schema mismatch).
+    _fine_tabs = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
     ft = pa.concat_tables(
-        [ray.get(r) for r in fine.to_arrow_refs()]
+        _fine_tabs
+        or [
+            pa.table(
+                {
+                    "year": pa.array([], pa.int64()),
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "sum_cents": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        ]
     ).combine_chunks()
 
     def lvl(t: pa.Table, keys: list[str]) -> pa.Table:

@@ -3647,7 +3647,7 @@ def _events_abtest(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
                 "value": t.column("value"),
             }
         )
@@ -3669,7 +3669,7 @@ def _events_ks(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
                 "value": t.column("value"),
             }
         )
@@ -3691,7 +3691,7 @@ def _events_mannwhitney(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
                 "value": t.column("value"),
             }
         )
@@ -3713,7 +3713,7 @@ def _events_chi2(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
             }
         )
 
@@ -4075,7 +4075,7 @@ def _events_odds(sf_dir: str):
         out = pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
                 "hit": hit,
             }
         )
@@ -4249,7 +4249,7 @@ def _events_emd(sf_dir: str):
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "segment": pa.array((u & 1).astype(np.int64), pa.int64()),
+                "segment": pa.array((np.abs(u) % 2).astype(np.int64), pa.int64()),
                 "value": t.column("value"),
             }
         )
@@ -5615,7 +5615,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
         ),
         "events_trend": lambda: aggregates_mod.user_trend_sql("events"),
         "events_abtest": lambda: aggregates_mod.ab_test_sql(
-            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+            "(SELECT event_type, abs(user_id % 2) AS segment, value FROM events)"
         ),
         "events_autocorr": lambda: windows_mod.autocorr_per_user_sql(
             "events"
@@ -5672,7 +5672,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events", "event_type", "value"
         ),
         "events_odds": lambda: aggregates_mod.odds_ratio_by_group_sql(
-            "(SELECT event_type, user_id % 2 AS segment, "
+            "(SELECT event_type, abs(user_id % 2) AS segment, "
             "CASE WHEN TRY_CAST(json_extract_string(props, '$.k') "
             "AS BIGINT) >= 50 THEN 1 ELSE 0 END AS hit "
             "FROM events WHERE props IS NOT NULL AND json_valid(props) "
@@ -5697,7 +5697,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "events", "event_type", "value"
         ),
         "events_emd": lambda: aggregates_mod.emd_by_group_sql(
-            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+            "(SELECT event_type, abs(user_id % 2) AS segment, value FROM events)"
         ),
         "events_mk_trend": lambda: aggregates_mod.kendall_by_group_sql(
             "(SELECT user_id, event_id, epoch_us(ts) AS ts_us, value "
@@ -5708,13 +5708,13 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             "FROM events)"
         ),
         "events_ks": lambda: aggregates_mod.ks_test_sql(
-            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+            "(SELECT event_type, abs(user_id % 2) AS segment, value FROM events)"
         ),
         "events_mannwhitney": lambda: aggregates_mod.mann_whitney_sql(
-            "(SELECT event_type, user_id % 2 AS segment, value FROM events)"
+            "(SELECT event_type, abs(user_id % 2) AS segment, value FROM events)"
         ),
         "events_chi2": lambda: aggregates_mod.chi2_independence_sql(
-            "(SELECT event_type, user_id % 2 AS segment FROM events)",
+            "(SELECT event_type, abs(user_id % 2) AS segment FROM events)",
             "event_type", "segment",
         ),
         "events_spearman": lambda: aggregates_mod.spearman_by_group_sql(

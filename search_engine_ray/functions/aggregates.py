@@ -1958,6 +1958,13 @@ def ks_test(
         np.add.at(b, inv[~m0], n[~m0])
         na = int(a.sum())
         nb = int(b.sum())
+        if na * nb >= 2**62:
+            # numpy int64 would wrap SILENTLY past this point and
+            # produce a wrong D — refuse loudly like emd_by_group
+            raise ValueError(
+                "ks_test: na*nb exceeds int64 headroom "
+                f"({na}*{nb}); requantize or subsample the segments"
+            )
         ca = np.cumsum(a)
         cb = np.cumsum(b)
         ks_num = int(np.abs(ca * nb - cb * na).max()) if len(uniq) else 0

@@ -847,11 +847,11 @@ FROM pairs WHERE hamming <= {max_hamming}
 def _ids_matrix(ds: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side (ids, L2-normalized float64 matrix) via zero-copy
     arrow refs (no pandas)."""
+    from search_engine_ray.functions.veccol import vec_matrix as _vm
+
     tabs = [t for t in ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()) if t.num_rows]
     ids = np.concatenate([t.column(id_col).to_numpy(zero_copy_only=False) for t in tabs])
-    mat = np.concatenate(
-        [np.stack(t.column(vec_col).to_pylist()).astype(np.float64) for t in tabs]
-    )
+    mat = np.concatenate([_vm(t.column(vec_col)) for t in tabs])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     return ids, mat
 

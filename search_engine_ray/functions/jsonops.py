@@ -18,6 +18,7 @@ numeric strings round half-away-from-zero.
 from __future__ import annotations
 
 import json
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -25,12 +26,43 @@ import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
 
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+def _int64_or_none(v: int):
+    """Mirror TRY_CAST's NULL on int64 overflow (Python ints are
+    arbitrary precision; DuckDB's json path is not)."""
+    return v if _INT64_MIN <= v <= _INT64_MAX else None
+
+
+def _round_half_away(f: float):
+    """DuckDB TRY_CAST(double AS BIGINT): half-away-from-zero, NULL on
+    non-finite or out-of-int64-range values."""
+    if not math.isfinite(f):
+        return None
+    return _int64_or_none(int(np.floor(abs(f) + 0.5) * np.sign(f)))
+
+
 def _extract_int(s: str | None, key: str):
-    """One record's ``TRY_CAST(json_extract_string(.) AS BIGINT)``."""
+    """One record's ``TRY_CAST(json_extract_string(.) AS BIGINT)``.
+
+    Divergence traps vs the DuckDB oracle, each mapped to NULL here as
+    ``json_valid + TRY_CAST`` does there: Python ``json.loads`` accepts
+    bare ``NaN``/``Infinity`` tokens (rejected via ``parse_constant``
+    — DuckDB's json_valid refuses them) and arbitrary-precision ints
+    (out-of-int64 values overflow ``pa.array`` — clamped to NULL like
+    TRY_CAST).
+    """
     if s is None:
         return None
+
+    def _invalid(_tok):
+        # a bare NaN/Infinity ANYWHERE makes json_valid() false — the
+        # whole record is NULL, not just the extracted key
+        raise ValueError("non-finite JSON constant")
+
     try:
-        obj = json.loads(s)
+        obj = json.loads(s, parse_constant=_invalid)
     except (ValueError, TypeError):
         return None
     if not isinstance(obj, dict) or key not in obj:
@@ -39,18 +71,18 @@ def _extract_int(s: str | None, key: str):
     if isinstance(v, bool):
         return None  # DuckDB: TRY_CAST('true') -> NULL
     if isinstance(v, int):
-        return v
+        return _int64_or_none(v)
     if isinstance(v, float):
-        return int(np.floor(abs(v) + 0.5) * np.sign(v))
+        return _round_half_away(v)
     if isinstance(v, str):
         try:
-            return int(v)
+            return _int64_or_none(int(v))
         except ValueError:
             try:
                 f = float(v)
             except ValueError:
                 return None
-            return int(np.floor(abs(f) + 0.5) * np.sign(f))
+            return _round_half_away(f)
     return None
 
 

@@ -11,12 +11,23 @@ Lucene's percolator default for term queries), optionally restricted to
 a role scope. A query whose text analyzes to nothing, or containing a
 lemma absent from the turn, matches nothing for that turn.
 
-Shape: one zero-shuffle ``map_batches`` pass with the analyzer running
-in-map (actor pool, per-process rule-table memo — the
-``aggregates.role_top_lemmas`` pattern); the query set rides the
-closure (it is registration-sized, never data-sized). Per batch the
-work is one ``analyze_batch`` plus, per query lemma, one vectorized
-membership pass over the batch's posting rows — no per-row Python.
+Shape — the ES percolator design (the query set is INDEXED, not
+scanned): the driver builds, once, an inverted lemma -> query-ids CSR
+map over the registered queries; per batch, postings are joined against
+that map with ONE vectorized searchsorted, and a query matches a turn
+iff its distinct-matched-lemma count reaches its term count (the same
+match-count floor the SQL oracle states).  Per-batch cost is
+O(P log Q_lemmas + M) where P = posting rows and M = matched
+(turn, query-lemma) expansions — independent of the registered-query
+COUNT, so 10^4-10^6 standing queries cost only their actual matches
+(the round-3 design was a Python loop over every query per batch).
+Degenerate worst case: if thousands of queries share one ultra-hot
+lemma, M approaches P x queries-per-hot-lemma — inherent to candidate
+generation (ES pays the same on its hottest extracted term).
+
+The analyzer runs in-map (actor pool, per-process rule-table memo —
+the ``aggregates.role_top_lemmas`` pattern); the query index rides the
+closure (registration-sized, never data-sized).
 """
 
 from __future__ import annotations
@@ -37,7 +48,30 @@ def percolate(ds, queries: list[dict], text_col: str = "text"):
     plans: list[tuple[str, str | None, tuple[str, ...]]] = []
     for q in queries:
         lemmas = analyzer.analyze_query(q["query_text"])
-        plans.append((q["query_id"], q.get("scope"), tuple(dict.fromkeys(lemmas))))
+        plans.append(
+            (q["query_id"], q.get("scope"), tuple(dict.fromkeys(lemmas)))
+        )
+
+    # ---- driver-built query index (the percolator's "term index") ----
+    active = [(qid, scope, lems) for qid, scope, lems in plans if lems]
+    nq = len(active)
+    qid_arr = np.array([a[0] for a in active], object)
+    scope_arr = np.array([a[1] for a in active], object)
+    unscoped = np.array([a[1] is None for a in active], bool)
+    n_terms = np.array([len(a[2]) for a in active], np.int64)
+    lem2q: dict[str, list[int]] = {}
+    for qi, (_, _, lems) in enumerate(active):
+        for lem in lems:
+            lem2q.setdefault(lem, []).append(qi)
+    qlemmas = np.array(sorted(lem2q), object)
+    nl = len(qlemmas)
+    q_counts = np.array([len(lem2q[str(l)]) for l in qlemmas], np.int64)
+    q_indptr = np.concatenate([[0], np.cumsum(q_counts)]).astype(np.int64)
+    q_indices = (
+        np.concatenate([np.array(lem2q[str(l)], np.int64) for l in qlemmas])
+        if nl
+        else np.empty(0, np.int64)
+    )
 
     class Percolator:
         def __init__(self):
@@ -52,43 +86,67 @@ def percolate(ds, queries: list[dict], text_col: str = "text"):
                     "turn_idx": pa.array([], pa.int32()),
                 }
             )
-            if n == 0:
+            if n == 0 or nq == 0 or nl == 0:
                 return empty
             post_doc_idx, post_lemmas, _tf, _dl, _pos = analyzer.analyze_batch(
                 batch.column(text_col), self.memo
             )
-            roles = pc.fill_null(batch.column("role"), "").to_numpy(
-                zero_copy_only=False
-            )
-            out_q: list[np.ndarray] = []
-            out_rows: list[np.ndarray] = []
-            for qid, scope, lems in plans:
-                if not lems:
-                    continue
-                hit = np.ones(n, bool)
-                for lem in lems:
-                    has = np.zeros(n, bool)
-                    has[post_doc_idx[post_lemmas == lem]] = True
-                    hit &= has
-                    if not hit.any():
-                        break
-                if scope is not None:
-                    hit &= roles == scope
-                rows = np.flatnonzero(hit)
-                if len(rows):
-                    out_rows.append(rows)
-                    out_q.append(np.full(len(rows), qid, object))
-            if not out_rows:
+            if not len(post_lemmas):
                 return empty
-            rows = np.concatenate(out_rows)
+            # ONE searchsorted joins batch postings to the query-lemma
+            # dictionary; rows whose lemma no query uses drop here
+            lem_obj = np.asarray(post_lemmas, object)
+            pos = np.searchsorted(qlemmas, lem_obj)
+            pos_c = np.minimum(pos, nl - 1)
+            m = qlemmas[pos_c] == lem_obj
+            if not m.any():
+                return empty
+            doc = np.asarray(post_doc_idx, np.int64)[m]
+            li = pos_c[m].astype(np.int64)
+            # distinct (turn, query-lemma) pairs (tf > 1 counts once
+            # toward the floor)
+            ukey = np.unique(doc * nl + li)
+            udoc, ulem = ukey // nl, ukey % nl
+            # expand each pair to the queries containing that lemma
+            reps = q_counts[ulem]
+            tot = int(reps.sum())
+            if tot == 0:
+                return empty
+            edoc = np.repeat(udoc, reps)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            eq = q_indices[np.repeat(q_indptr[ulem], reps) + offs]
+            # match-count floor: distinct matched lemmas == term count
+            upk, cnt = np.unique(edoc * nq + eq, return_counts=True)
+            mdoc, mq = upk // nq, upk % nq
+            ok = cnt == n_terms[mq]
+            if not ok.any():
+                return empty
+            mdoc, mq = mdoc[ok], mq[ok]
+            # per-query role scope
+            scoped = ~unscoped[mq]
+            if scoped.any():
+                roles = pc.fill_null(batch.column("role"), "").to_numpy(
+                    zero_copy_only=False
+                )
+                keep = ~scoped
+                keep[scoped] = (
+                    roles[mdoc[scoped]] == scope_arr[mq[scoped]]
+                )
+                mdoc, mq = mdoc[keep], mq[keep]
+            if not len(mdoc):
+                return empty
+            # stable output order (query registration order, then row)
+            order = np.lexsort((mdoc, mq))
+            mdoc, mq = mdoc[order], mq[order]
+            rows = pa.array(mdoc, pa.int64())
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), pa.string()),
-                    "conv_id": batch.column("conv_id").take(
-                        pa.array(rows, pa.int64())
-                    ),
+                    "query_id": pa.array(qid_arr[mq], pa.string()),
+                    "conv_id": batch.column("conv_id").take(rows),
                     "turn_idx": batch.column("turn_idx")
-                    .take(pa.array(rows, pa.int64()))
+                    .take(rows)
                     .cast(pa.int32()),
                 }
             )

@@ -12,6 +12,12 @@ import ray
 import ray.data as rd
 
 
+from search_engine_ray.functions.veccol import (
+    vec_matrix as _vm,
+    vec_matrix_normalized as _vm_norm,
+)
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
@@ -49,7 +55,7 @@ def knn_bruteforce(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             sims = self.qmat @ mat.T  # (nq, nb)
             out_q, out_v, out_c = [], [], []
             for r, qid in enumerate(self.qids):
@@ -119,9 +125,7 @@ def range_search(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mat = _normalize(
-                np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-            )
+            mat = _vm_norm(batch.column(vec_col))
             sims = self.qmat @ mat.T  # (nq, nb)
             keep = sims >= threshold
             keep &= ids[None, :] != self.qids[:, None]  # no self-match
@@ -240,7 +244,7 @@ def build_ivf_index(
             self.cents = ray.get(cref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             cell = np.argmax(mat @ self.cents.T, axis=1).astype(np.int32)
             return batch.append_column("cell", pa.array(cell, pa.int32()))
 
@@ -280,7 +284,7 @@ def knn_ivf(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             cell = np.argmax(mat @ self.cents.T, axis=1)
             out_q, out_v, out_c = [], [], []
             for r, qid in enumerate(self.qids):
@@ -346,7 +350,7 @@ def _knn_ivf_indexed(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             cell = batch.column("cell").to_numpy(zero_copy_only=False)
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             out_q, out_v, out_c = [], [], []
             for r, qid in enumerate(self.qids):
                 m = np.isin(cell, self.probe[r]) & (ids != qid)
@@ -463,7 +467,7 @@ def knn_filtered(
                 if use_cell
                 else None
             )
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             out_q, out_v, out_c = [], [], []
             for r, qid in enumerate(self.qids):
                 m = (ids != qid) & (lab == self.qlab[r])
@@ -570,7 +574,7 @@ def kmeans_assign(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mat = _normalize(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+            mat = _vm_norm(batch.column(vec_col))
             sims = mat @ self.cents.T  # (nb, k)
             cl = np.argmax(sims, axis=1)  # first max == lowest cluster id
             cos = sims[np.arange(len(cl)), cl]
@@ -619,9 +623,7 @@ def kmeans_fit(
 
             def __call__(self, batch: pa.Table) -> pa.Table:
                 ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                mat = _normalize(
-                    np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-                )
+                mat = _vm_norm(batch.column(vec_col))
                 sims = mat @ self.cents.T
                 cl = np.argmax(sims, axis=1)
                 cos = sims[np.arange(len(cl)), cl]
@@ -693,7 +695,7 @@ def _dim_minmax(ds: rd.Dataset, vec_col: str):
     from ray.data.aggregate import Max, Min
 
     def partials(batch: pa.Table) -> pa.Table:
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = _vm(batch.column(vec_col))
         return pa.table(
             {
                 "dim": pa.array(np.arange(mat.shape[1], dtype=np.int64), pa.int64()),
@@ -739,7 +741,7 @@ def quantize_embeddings(
     def codes(batch: pa.Table) -> pa.Table:
         lo, hi = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = _vm(batch.column(vec_col))
         scale = hi - lo
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (mat - lo) / scale
@@ -799,7 +801,7 @@ def knn_quantized(
     def partial_topk(batch: pa.Table) -> pa.Table:
         lo, hi, qi, qm = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        mat = _vm(batch.column(vec_col))
         scale = hi - lo
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (mat - lo) / scale
@@ -929,7 +931,7 @@ def pq_fit(
             def __call__(self, batch: pa.Table) -> pa.Table:
                 ids = batch.column(id_col).to_numpy(zero_copy_only=False)
                 mat = _normalize_seq(
-                    np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+                    _vm(batch.column(vec_col))
                 )
                 mm, kk, ds_ = self.cents.shape
                 subs = mat.reshape(len(mat), mm, ds_)
@@ -996,7 +998,7 @@ def pq_encode(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize_seq(
-                np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+                _vm(batch.column(vec_col))
             )
             mm, kk, ds_ = self.cents.shape
             subs = mat.reshape(len(mat), mm, ds_)
@@ -1101,7 +1103,7 @@ def knn_pq(
         cb, qi, tabs = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize_seq(
-            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+            _vm(batch.column(vec_col))
         )
         mm_, kk_, ds_ = cb.shape
         subs = mat.reshape(len(mat), mm_, ds_)
@@ -1188,7 +1190,7 @@ def knn_ivfpq(
         crs, cb, qi, tabs, prb = ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize_seq(
-            np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+            _vm(batch.column(vec_col))
         )
         cell = np.argmax(mat @ crs.T, axis=1)
         mm_, kk_, ds_ = cb.shape
@@ -1281,9 +1283,7 @@ def embed_covariance(
                     "s": pa.array([], pa.int64()),
                 }
             )
-        x = np.stack(
-            b.column(vec_col).to_pandas().to_numpy()
-        ).astype(np.float64)
+        x = _vm(b.column(vec_col))
         q = (np.floor(np.abs(x) * COV_QUANT + 0.5) * np.sign(x)).astype(
             np.int64
         )
@@ -1466,9 +1466,17 @@ def embed_pca(
         raise ValueError(f"n_components must be >= 1, got {n_components}")
 
     def partial(b: pa.Table) -> pa.Table:
-        x = np.stack(
-            b.column(vec_col).to_pandas().to_numpy()
-        ).astype(np.float64)
+        if b.num_rows == 0:
+            # empty blocks happen under load (the rel_cube flake class);
+            # return the typed empty tagged table like embed_covariance
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int32()),
+                    "j": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        x = _vm(b.column(vec_col))
         q = (np.floor(np.abs(x) * COV_QUANT + 0.5) * np.sign(x)).astype(
             np.int64
         )
@@ -1564,9 +1572,12 @@ def embed_pca(
     def project(b: pa.Table) -> pa.Table:
         c = ray.get(comps_ref)
         m = ray.get(mean_ref)
-        x = np.stack(
-            b.column(vec_col).to_pandas().to_numpy()
-        ).astype(np.float64)
+        if b.num_rows == 0:
+            cols = {id_col: b.column(id_col)}
+            for k in range(c.shape[1]):
+                cols[f"pc{k + 1}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        x = _vm(b.column(vec_col))
         xc = x - m
         cols = {id_col: b.column(id_col)}
         # per-component elementwise-multiply + axis-1 pairwise sum, NOT

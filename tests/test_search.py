@@ -2623,3 +2623,52 @@ def test_highlight_full_semantics(engine):
     rs = engine.search(q["query_text"], limit=5, with_snippets=True)
     assert "snippet" in rs["data"].column_names
     assert "highlighted" not in rs["data"].column_names
+
+
+def test_percolate_indexed_query_set_scales_flat(tiny_corpus):
+    """The percolator indexes its registered queries (lemma -> query
+    CSR); per-batch work must scale with MATCHES, not query count.
+    1,000 registered queries (vs 10) over the same corpus: answers for
+    the shared prefix identical, wall time within a small factor —
+    the round-3 per-query Python loop was ~100x here."""
+    import time
+
+    from search_engine_ray.functions import percolate as perc
+    from search_engine_ray.sources.transcripts import read_transcripts
+
+    ds = read_transcripts(
+        tiny_corpus, columns=["conv_id", "turn_idx", "role", "text"]
+    ).materialize()
+
+    def qset(n):
+        # distinct stems, most absent/rare — the standing-subscription
+        # shape (alerts rarely fire)
+        return [
+            {
+                "query_id": f"pq-{i:05d}",
+                "query_text": f"{datagen.stem(3000 + i)}",
+                "scope": None,
+            }
+            for i in range(n)
+        ]
+
+    def run(qs):
+        t0 = time.perf_counter()
+        out = perc.percolate(ds, qs).to_pandas()
+        return time.perf_counter() - t0, out
+
+    run(qset(10))  # warm actors/JIT paths once
+    t_small, small = run(qset(10))
+    t_big, big = run(qset(1000))
+    # identity on the shared 10-query prefix
+    pref = {f"pq-{i:05d}" for i in range(10)}
+    sm = {(r.query_id, r.conv_id, r.turn_idx) for r in small.itertuples()}
+    bg = {
+        (r.query_id, r.conv_id, r.turn_idx)
+        for r in big.itertuples()
+        if r.query_id in pref
+    }
+    assert sm == bg
+    # flatness: 100x queries must NOT cost ~100x (loose 6x bound — VM
+    # noise headroom; the pre-index design measured ~linear)
+    assert t_big < 6 * max(t_small, 0.5), (t_small, t_big)

@@ -336,6 +336,7 @@ def triangle_counts(
     max_out_degree: int = 20_000,
     max_nodes_broadcast: int = 2_000_000,
     n_buckets: int = 256,
+    orient_mode: str = "auto",
 ) -> rd.Dataset:
     """Per-node triangle participation counts over an undirected graph
     — the local clustering / community-density primitive (a doc in
@@ -414,26 +415,12 @@ def triangle_counts(
         edges.map_batches(deg_partial, batch_format="pyarrow")
         .groupby("node")
         .aggregate(_Sum("d", alias_name="d"))
+        .materialize()  # consumed by count + orientation (2-3 reads)
     )
-    n_nodes = deg_tbl.count()
-    if n_nodes > max_nodes_broadcast:
-        raise ValueError(
-            f"triangle_counts: {n_nodes} nodes exceed the degree "
-            f"broadcast bound {max_nodes_broadcast} — switch to the "
-            "two-round degree-join orientation"
-        )
-    rows = deg_tbl.take_all()
-    dn = np.array([r["node"] for r in rows], np.int64)
-    dd = np.array([r["d"] for r in rows], np.int64)
-    o = np.argsort(dn)
-    deg_ref = ray.put((dn[o], dd[o]))
 
-    def orient(t: pa.Table) -> pa.Table:
-        nodes, degs = ray.get(deg_ref)
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        da = degs[np.searchsorted(nodes, a)]
-        db = degs[np.searchsorted(nodes, b)]
+    def _orient_cols(
+        a: np.ndarray, b: np.ndarray, da: np.ndarray, db: np.ndarray
+    ) -> pa.Table:
         # low (deg, id) is the wedge source; a < b already
         a_src = (da < db) | (da == db)
         src = np.where(a_src, a, b)
@@ -441,6 +428,68 @@ def triangle_counts(
         return pa.table(
             {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
         )
+
+    n_nodes = deg_tbl.count()
+    if orient_mode == "auto":
+        orient_mode = (
+            "broadcast" if n_nodes <= max_nodes_broadcast else "join"
+        )
+    if orient_mode == "broadcast":
+        if n_nodes > max_nodes_broadcast:
+            raise ValueError(
+                f"triangle_counts: {n_nodes} nodes exceed the degree "
+                f"broadcast bound {max_nodes_broadcast} — use "
+                "orient_mode='join' (two-round degree-join orientation)"
+            )
+        rows = deg_tbl.take_all()
+        dn = np.array([r["node"] for r in rows], np.int64)
+        dd = np.array([r["d"] for r in rows], np.int64)
+        o = np.argsort(dn)
+        deg_ref = ray.put((dn[o], dd[o]))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(deg_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = degs[np.searchsorted(nodes, a)]
+            db = degs[np.searchsorted(nodes, b)]
+            return _orient_cols(a, b, da, db)
+
+        oriented_src = edges.map_batches(orient, batch_format="pyarrow")
+    elif orient_mode == "join":
+        # scale fallback (Suri & Vassilvitskii 2011 round structure):
+        # attach deg(a) then deg(b) to every edge through TWO
+        # key-partitioned hash joins of the edge table against the
+        # degree table — no driver-side degree array at any size;
+        # pinned equal to the broadcast path by a forced-low-threshold
+        # test (the tfidf two-path pattern)
+        from search_engine_ray.functions.joins import hash_join
+
+        deg_a = deg_tbl.map_batches(
+            lambda t: t.rename_columns(["node", "__da"]),
+            batch_format="pyarrow",
+        )
+        deg_b = deg_tbl.map_batches(
+            lambda t: t.rename_columns(["node", "__db"]),
+            batch_format="pyarrow",
+        )
+        e1 = hash_join(
+            edges, deg_a, left_on="a", right_on="node", mode="shuffle"
+        )
+        e2 = hash_join(
+            e1, deg_b, left_on="b", right_on="node", mode="shuffle"
+        )
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = t.column("__da").to_numpy(zero_copy_only=False)
+            db = t.column("__db").to_numpy(zero_copy_only=False)
+            return _orient_cols(a, b, da, db)
+
+        oriented_src = e2.map_batches(orient_joined, batch_format="pyarrow")
+    else:
+        raise ValueError(f"bad orient_mode {orient_mode!r}")
 
     def wedges(g: pa.Table) -> pa.Table:
         nbr = np.sort(g.column("dst").to_numpy(zero_copy_only=False))
@@ -509,8 +558,7 @@ def triangle_counts(
             }
         )
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
-    wedge_ds = oriented.groupby("src").map_groups(
+    wedge_ds = oriented_src.groupby("src").map_groups(
         wedges, batch_format="pyarrow"
     )
     edge_tagged = edges.map_batches(edge_rows, batch_format="pyarrow")

@@ -157,6 +157,7 @@ def k_suppress(
     quasi_cols: list[str],
     k: int = 5,
     max_combos_broadcast: int = 2_000_000,
+    mode: str = "auto",
 ) -> rd.Dataset:
     """Suppression-based k-anonymization: drop every row whose
     quasi-identifier combination is shared by fewer than ``k`` rows —
@@ -165,22 +166,51 @@ def k_suppress(
     Suppression is the blunt instrument (generalization keeps more
     rows); it is also the only one that needs no domain hierarchy.
 
-    Plan: the audit's one exchange finds the under-k combos; their
-    canonical serializations (the setops row-serial device — NULL =
-    NULL, exactly the audit's grouping rule) broadcast once as a
-    sorted array (bounded by ``max_combos_broadcast``, loud; beyond
-    it the documented path is a combo-keyed anti-join), and the
-    suppression pass is a zero-shuffle searchsorted membership
-    filter.
+    Two physical plans, pinned equal by test (the hash_join /
+    semi_join pattern):
+
+    - ``broadcast`` — the audit's one exchange finds the under-k
+      combos; their canonical serializations (the setops row-serial
+      device — NULL = NULL, exactly the audit's grouping rule)
+      broadcast once as a sorted array (bounded by
+      ``max_combos_broadcast``, loud), and the suppression pass is a
+      zero-shuffle searchsorted membership filter.
+    - ``shuffle`` — the scale plan when the under-k combo set itself
+      is corpus-sized (high-cardinality quasi tuples: MOST combos are
+      rare, so the "small side" isn't): skip the audit entirely and
+      group the FULL rows by the quasi tuple in ONE exchange, keeping
+      each group iff it has >= k rows — suppression and census meet
+      in the same groupby, nothing broadcasts, nothing is driver-side.
+      (Ray's groupby groups NULL keys together exactly as the audit's
+      Arrow ``group_by`` does — the audit's own oracle pins that.)
+
+    ``mode='auto'`` tries broadcast and falls over to shuffle when the
+    combo count exceeds the bound.
     """
     from search_engine_ray.functions.setops import _row_serial
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"bad mode {mode!r}")
+
+    def _shuffle_plan() -> rd.Dataset:
+        def keep_ge_k(g: pa.Table) -> pa.Table:
+            return g if g.num_rows >= k else g.slice(0, 0)
+
+        return ds.groupby(quasi_cols).map_groups(
+            keep_ge_k, batch_format="pyarrow"
+        )
+
+    if mode == "shuffle":
+        return _shuffle_plan()
 
     under = k_anonymity_audit(ds, quasi_cols, k)
     n_combos = under.count()
     if n_combos > max_combos_broadcast:
+        if mode == "auto":
+            return _shuffle_plan()
         raise ValueError(
             f"k_suppress: {n_combos} under-k combos exceed the broadcast "
-            f"bound {max_combos_broadcast} — use a combo-keyed anti-join"
+            f"bound {max_combos_broadcast} — use mode='shuffle'"
         )
     tabs = under.select_columns(quasi_cols).take_all()
     if tabs:

@@ -1114,7 +1114,10 @@ _Q17_QUANT = 100  # money to int64 cents (the Q14 device)
 
 
 def small_qty_revenue(
-    lineitem: rd.Dataset, part: rd.Dataset, brand: str = Q17_BRAND
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    brand: str = Q17_BRAND,
+    max_keys_broadcast: int = 2_000_000,
 ) -> rd.Dataset:
     """TPC-H Q17 analog — revenue lost to small-quantity orders: among
     one brand's lineitems, sum the prices of rows whose quantity is
@@ -1123,14 +1126,19 @@ def small_qty_revenue(
     (SELECT avg ... WHERE same part)``) — an aggregate of the fact
     table rejoined against the fact table itself.
 
-    Plan: the brand filter makes ``part`` the genuinely small side —
-    its KEY SET broadcasts once (``ray.put`` of a sorted int64 array,
-    vectorized ``searchsorted`` membership in-map), so the fact table
-    semi-filters with ZERO shuffles and only the brand's lineitems
-    (partkey, qty, cents) enter the ONE ``groupby(l_partkey)``
-    exchange, where each part resolves its own average and threshold
-    test vectorized — the aggregate and the rejoin meet in the same
-    exchange, never two.
+    Plan: the brand filter usually makes ``part`` the genuinely small
+    side — its KEY SET broadcasts once (``ray.put`` of a sorted int64
+    array, vectorized ``searchsorted`` membership in-map), so the fact
+    table semi-filters with ZERO shuffles and only the brand's
+    lineitems (partkey, qty, cents) enter the ONE
+    ``groupby(l_partkey)`` exchange, where each part resolves its own
+    average and threshold test vectorized — the aggregate and the
+    rejoin meet in the same exchange, never two.  When the filtered
+    key set exceeds ``max_keys_broadcast`` (a non-selective brand at
+    scale), the membership routes through the key-partitioned exact
+    :func:`~search_engine_ray.functions.joins.semi_join` instead —
+    one extra bucketed key exchange, no driver-side array — pinned
+    equal to the broadcast path by a forced-low-threshold test.
 
     Exactness device: quantities are integral, so the float predicate
     ``q < 0.2 * (sum/cnt)`` is the INTEGER inequality ``5*q*cnt <
@@ -1143,24 +1151,8 @@ def small_qty_revenue(
         .select(["p_partkey"]),
         batch_format="pyarrow",
     )
-    n_keys = filtered.count()
-    if n_keys > 2_000_000:  # the tfidf/NB broadcast rule
-        raise ValueError(
-            f"small_qty_revenue: {n_keys} filtered part keys exceed the 2M "
-            "broadcast bound — use a key-partitioned semi-join "
-            "(joins.semi_join) for this brand selectivity"
-        )
-    keys = filtered.take_all()
-    key_arr = np.sort(np.array([r["p_partkey"] for r in keys], np.int64))
-    key_ref = ray.put(key_arr)
 
-    def semi(b: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, pk)
-        pos[pos == len(ks)] = 0
-        m = ks[pos] == pk if len(ks) else np.zeros(len(pk), bool)
-        b = b.filter(pa.array(m))
+    def quantize(b: pa.Table) -> pa.Table:
         q = b.column("l_quantity").to_numpy(zero_copy_only=False)
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         cents = (
@@ -1174,6 +1166,42 @@ def small_qty_revenue(
             }
         )
 
+    n_keys = filtered.count()
+    if n_keys > max_keys_broadcast:
+        # scale fallback: the brand key set is NOT small — route the
+        # membership through the key-partitioned exact semi-join (one
+        # bucketed exchange of keys, never a driver-side array), then
+        # quantize as usual; pinned equal to the broadcast path by a
+        # forced-low-threshold test (the tfidf two-path pattern)
+        from search_engine_ray.functions.joins import semi_join
+
+        kept = semi_join(
+            lineitem.select_columns(
+                ["l_partkey", "l_quantity", "l_extendedprice"]
+            ),
+            filtered,
+            left_on="l_partkey",
+            right_on="p_partkey",
+            mode="shuffle",
+        )
+        pre = kept.map_batches(quantize, batch_format="pyarrow")
+    else:
+        keys = filtered.take_all()
+        key_arr = np.sort(np.array([r["p_partkey"] for r in keys], np.int64))
+        key_ref = ray.put(key_arr)
+
+        def semi(b: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, pk)
+            pos[pos == len(ks)] = 0
+            m = ks[pos] == pk if len(ks) else np.zeros(len(pk), bool)
+            return quantize(b.filter(pa.array(m)))
+
+        pre = lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice"]
+        ).map_batches(semi, batch_format="pyarrow")
+
     def resolve(g: pa.Table) -> pa.Table:
         q = g.column("q").to_numpy(zero_copy_only=False)
         cents = g.column("cents").to_numpy(zero_copy_only=False)
@@ -1182,12 +1210,7 @@ def small_qty_revenue(
             {"part_cents": pa.array([int(cents[small].sum())], pa.int64())}
         )
 
-    per_part = (
-        lineitem.select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
-        .map_batches(semi, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(resolve, batch_format="pyarrow")
-    )
+    per_part = pre.groupby("pk").map_groups(resolve, batch_format="pyarrow")
     total = per_part.aggregate(Sum("part_cents", alias_name="small_cents"))
     cents_sum = int(total["small_cents"] or 0)
     return rd.from_arrow(

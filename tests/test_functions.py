@@ -6933,3 +6933,93 @@ def test_quantile_bin_oracle(events_ds, educk):
     assert t.column("bin").to_pylist() == [1, 1, 2, 2, 3, 3, 4, 4, 1, 1, 1]
     with pytest.raises(ValueError, match="bins"):
         quantile_bin(ds, "event_type", "value", bins=1)
+
+
+# ------------------------------------------- scale-fallback two-path pins
+
+
+def test_k_suppress_shuffle_path_pinned(events_ds):
+    """The shuffle (groupby-census) k-suppression plan == the broadcast
+    (audit + membership filter) plan, row for row — and auto falls over
+    to it when the combo bound is forced low, instead of raising."""
+    from search_engine_ray.functions.privacy import k_anonymity_audit, k_suppress
+
+    def quasi(t):
+        vb = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) / 50.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "vb": pa.array(vb, pa.int64()),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    ds = events_ds.map_batches(quasi, batch_format="pyarrow")
+    cols = ["event_type", "vb"]
+    key = [("user_id", "ascending"), ("event_type", "ascending"),
+           ("vb", "ascending")]
+    bc = _table(k_suppress(ds, cols, k=50, mode="broadcast")).sort_by(key)
+    sh = _table(k_suppress(ds, cols, k=50, mode="shuffle")).sort_by(key)
+    assert bc.num_rows > 0
+    assert bc.equals(sh.select(bc.column_names).cast(bc.schema))
+    # auto + forced-low bound routes to shuffle (no raise), same rows
+    auto = _table(
+        k_suppress(ds, cols, k=50, mode="auto", max_combos_broadcast=1)
+    ).sort_by(key)
+    assert bc.equals(auto.select(bc.column_names).cast(bc.schema))
+    # the released subset still audits clean on the shuffle path
+    from ray.data import from_arrow as _fa
+
+    assert k_anonymity_audit(_fa(sh), cols, k=50).count() == 0
+
+
+def test_small_qty_revenue_semijoin_path_pinned():
+    """The key-partitioned semi-join Q17 plan (forced by a low
+    broadcast bound) == the broadcast-key plan, bit for bit."""
+    from search_engine_ray.functions.relational import small_qty_revenue
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    pt = rd.read_parquet(f"{SF_DIR}/part.parquet")
+    bc = _table(small_qty_revenue(li, pt))
+    sj = _table(small_qty_revenue(li, pt, max_keys_broadcast=1))
+    assert bc.column("small_cents")[0].as_py() > 0
+    assert bc.equals(sj)
+
+
+def test_triangle_counts_join_orientation_pinned():
+    """The two-round degree-JOIN orientation (forced by a low node
+    bound) == the degree-broadcast orientation on both a real co-order
+    graph and crafted K4; explicit broadcast over the bound still
+    refuses loudly."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.functions.graph import (
+        cooccurrence_pairs,
+        triangle_counts,
+    )
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+        lambda t: t.filter(
+            _pc.greater_equal(t.column("l_quantity"), pa.scalar(40.0))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey").materialize()
+    bc = _sorted(_table(triangle_counts(pairs)))
+    jn = _sorted(_table(triangle_counts(pairs, max_nodes_broadcast=1)))
+    assert bc.num_rows > 0
+    assert bc.equals(jn)
+    k4 = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+                "b": pa.array([2, 3, 4, 3, 4, 4], pa.int64()),
+            }
+        )
+    )
+    t = _table(triangle_counts(k4, orient_mode="join")).sort_by("node")
+    assert t.column("n_triangles").to_pylist() == [3, 3, 3, 3]
+    with pytest.raises(ValueError, match="exceed the degree"):
+        triangle_counts(k4, max_nodes_broadcast=1, orient_mode="broadcast")

@@ -349,7 +349,8 @@ def _text_bpe_vocab(sf_dir: str):
     shape): ONE distributed word-count pass (the shuffle ships distinct
     words, never tokens) + the fastBPE driver merge loop over the
     vocabulary-sized frame. Deterministic (count DESC, pair ASC
-    tie-break) but iterative — no SQL twin (rows-only); the math is
+    tie-break); the SQL twin UNROLLS the 50 merge rounds into chained
+    materialized CTEs (bpe.bpe_fit_sql), and the math is additionally
     pinned by pytest against a from-scratch reference."""
     from search_engine_ray.functions import bpe
 
@@ -5134,6 +5135,7 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
     from search_engine_ray import datagen, oracle
     from search_engine_ray.config import REFERENCE_DF_CUTOFF
     from search_engine_ray.functions import aggregates as aggregates_mod
+    from search_engine_ray.functions import bpe as bpe_mod
     from search_engine_ray.functions import dedup as dedup_mod
     from search_engine_ray.functions import sampling as sampling_mod
     from search_engine_ray.pipelines import corpus_prep as corpus_prep_mod
@@ -5456,6 +5458,10 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
                 "documents", alpha=0.5, total_target=250)
             + ")"
         ),
+        # the merge LOOP is a query after all: the oracle unrolls all 50
+        # rounds into chained materialized CTEs (pair-count + argmax +
+        # one boundary-safe string replace per round) — see bpe_fit_sql
+        "text_bpe_vocab": lambda: bpe_mod.bpe_fit_sql("documents"),
         "text_token_counts": lambda: ta_mod.token_counts_sql("documents"),
         "text_quality": lambda: ta_mod.quality_features_sql("documents"),
         "text_gopher": lambda: ta_mod.gopher_rules_sql("documents"),

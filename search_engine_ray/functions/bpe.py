@@ -21,9 +21,12 @@ vectorized. BPE's merge application is inherently per-word sequential
 (real encoders are per-word C++ loops with caches too); the cache makes
 the Python cost O(distinct words per actor), not O(tokens).
 
-No SQL twin for the merge loop (iterative state is not a query); the
-driver row is rows-only and the math is pinned by pytest against a
-from-scratch reference implementation, plus block-layout invariance.
+The merge loop has a real SQL twin after all (:func:`bpe_fit_sql`):
+the rounds unroll into chained MATERIALIZED CTEs — pair-count, argmax,
+one boundary-safe string replace per round — so the driver row carries
+a three-boolean oracle check; the math is additionally pinned by pytest
+against a from-scratch reference implementation, plus block-layout
+invariance.
 """
 
 from __future__ import annotations
@@ -209,3 +212,94 @@ def bpe_token_counts(ds: rd.Dataset, merges: pa.Table,
         BpeEncoder, fn_constructor_args=(ref, text_col),
         batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
     )
+
+
+def bpe_fit_sql(
+    src: str,
+    n_merges: int = DEFAULT_MERGES,
+    max_words: int = MAX_WORDS,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`bpe_fit` — the merge loop UNROLLED into
+    ``n_merges`` chained CTE stages, so the "iterative state is not a
+    query" objection falls: each stage counts adjacent symbol pairs,
+    takes the (count DESC, left ASC, right ASC) argmax, and applies the
+    merge to every word.
+
+    The exactness device is the symbol encoding: each word is the
+    concatenation of ``chr(1) || symbol || chr(2)`` cells (characters +
+    the ``</w>`` terminal).  Applying merge (a, b) is then ONE SQL
+    ``replace(s, \\x01 a \\x02 \\x01 b \\x02, \\x01 ab \\x02)`` — SQL
+    ``replace`` scans left-to-right non-overlapping, which is exactly
+    BPE's within-word merge rule (the "aaa" + (a,a) -> [aa, a] case),
+    and the cell delimiters make a prefix of a longer symbol unmatchable
+    (pattern ``(x)(a)`` cannot hit ``(x)(ab)``).  Pair counting splits
+    the cells back out and zips adjacent symbols.  Early-stop semantics
+    (stop at the first best-pair count < 2) are applied in the final
+    projection by truncating at the first sub-2 rank.  Tokenization,
+    the ``max_words`` cap and every tie-break mirror the engine
+    verbatim (ASCII symbols, so DuckDB's binary collation == Python
+    string order).
+    """
+    stages = [
+        f"""
+tok AS (
+    SELECT unnest(str_split(regexp_replace(lower(coalesce({text_col}, '')),
+                                           '[^a-z0-9]+', ' ', 'g'),
+                  ' ')) AS w
+    FROM {src}
+),
+wc AS MATERIALIZED (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE w <> ''
+    GROUP BY w ORDER BY n DESC, word LIMIT {max_words}
+),
+w0 AS MATERIALIZED (
+    SELECT list_aggregate(
+               list_transform(range(1, length(word) + 1),
+                              i -> chr(1) || word[i] || chr(2)),
+               'string_agg', '')
+           || chr(1) || '{EOW}' || chr(2) AS s,
+           n
+    FROM wc
+)"""
+    ]
+    for k in range(n_merges):
+        stages.append(f"""
+p{k} AS MATERIALIZED (
+    SELECT z[1] AS a, z[2] AS b, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_zip(sy[1:len(sy) - 1], sy[2:len(sy)])) AS z, n
+        FROM (
+            SELECT str_split(substr(s, 2, length(s) - 2),
+                             chr(2) || chr(1)) AS sy, n
+            FROM w{k} WHERE s IS NOT NULL
+        )
+        WHERE len(sy) > 1
+    )
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT CAST({k} AS BIGINT) AS rank, a AS l, b AS r, cnt
+    FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+    SELECT replace(s,
+                   chr(1) || (SELECT l FROM b{k}) || chr(2)
+                          || chr(1) || (SELECT r FROM b{k}) || chr(2),
+                   chr(1) || (SELECT l FROM b{k})
+                          || (SELECT r FROM b{k}) || chr(2)) AS s,
+           n
+    FROM w{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM b{k}" for k in range(n_merges)
+    )
+    return f"""
+WITH {','.join(stages)},
+allb AS ({union}),
+stop AS (SELECT coalesce(min(rank), {n_merges}) AS at FROM allb WHERE cnt < 2)
+SELECT rank, l AS "left", r AS "right", cnt AS pair_count
+FROM allb WHERE cnt >= 2 AND rank < (SELECT at FROM stop)
+ORDER BY rank
+"""

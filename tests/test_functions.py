@@ -7023,3 +7023,30 @@ def test_triangle_counts_join_orientation_pinned():
     assert t.column("n_triangles").to_pylist() == [3, 3, 3, 3]
     with pytest.raises(ValueError, match="exceed the degree"):
         triangle_counts(k4, max_nodes_broadcast=1, orient_mode="broadcast")
+
+
+def test_bpe_fit_sql_oracle(docs_ds, fduck):
+    """The unrolled-CTE SQL twin of the BPE merge loop == bpe_fit on
+    the real documents corpus, plus crafted pins for the three traps:
+    left-to-right non-overlap ('aaa' + (a,a) -> [aa, a]), the
+    max_words cap tie-break, and early stop at the first sub-2 pair."""
+    import duckdb as _duckdb
+
+    from search_engine_ray.functions import bpe
+
+    got = bpe.bpe_fit(docs_ds, n_merges=15)
+    want = fduck.sql(bpe.bpe_fit_sql("documents", n_merges=15)).arrow()
+    assert got.num_rows == 15
+    assert got.equals(want.cast(got.schema))
+
+    con = _duckdb.connect()
+    crafted = pa.table(
+        {"text": ["aaa aaa aaa aa ab", "zzz yy xx qq unique1 unique2"]}
+    )
+    con.register("crafted", crafted)
+    want2 = con.sql(bpe.bpe_fit_sql("crafted", n_merges=20, max_words=5)).arrow()
+    wc = bpe.word_counts(rd.from_arrow(crafted))
+    got2 = bpe.bpe_fit_counts(wc, n_merges=20, max_words=5)
+    assert got2.num_rows < 20  # early stop engaged
+    assert got2.equals(want2.cast(got2.schema))
+    con.close()

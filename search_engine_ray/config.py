@@ -28,7 +28,10 @@ class BuildConfig:
     # (~1 actor per 32 MiB, capped at cluster CPUs) — fixed beats
     # autoscaling here because pool ramp-up dominates small partitions,
     # and at large scale the size lands on the CPU cap anyway.
-    batch_size: int = 2048
+    # 4096: measured sweet spot for the analyzer map (2048 pays ~15%
+    # more wall in per-batch dispatch/concat overhead; 8192 gains
+    # nothing further and doubles peak per-actor batch memory)
+    batch_size: int = 4096
     concurrency: tuple[int, int] | int | None = None
     # posting blocks
     block_size: int = 128            # postings per compressed block

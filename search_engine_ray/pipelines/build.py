@@ -172,21 +172,53 @@ def _stage_a_parquet(out_dir: str, kind: str | None = None) -> list[str]:
     return out
 
 
-def read_flat_postings(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def _read_blocks_for(paths: list[str], ncpu: int,
+                     mem_factor: int = 4, target: int = 64 << 20) -> int:
+    """Output-block count for an internal parquet read: Ray's default
+    splitter derives block count from row groups and oversplits small
+    stage outputs badly (measured 210 blocks for a 39 MB stage-A read
+    at sf0.1 — the sort downstream then pays ~2.5x wall in pure task
+    scheduling). Target ~64 MB of IN-MEMORY data per block (disk bytes
+    x a measured ~4x parquet decode factor), floored at 2 blocks/cpu so
+    every core still gets sort/encode work; at 100 TB the bytes term
+    dominates and block size stays constant as the cluster grows."""
+    import os as _os
+
+    try:
+        disk = sum(_os.path.getsize(p) for p in paths)
+    except OSError:
+        return 2 * ncpu
+    return max(2 * ncpu, int(disk * mem_factor / target) + 1)
+
+
+def read_flat_postings(out_dir: str, columns: list[str] | None = None,
+                       ncpu: int | None = None) -> rd.Dataset:
     """Flat postings dataset (lemma, conv_id, turn_idx, tf[, doc_len]) —
     the oracle-checkable analog of the reference's ``indexes`` table.
     Reads ONLY the postings side of the stage-A split (no filter, no
-    decode of the other row kind)."""
+    decode of the other row kind). ``ncpu`` opts into size-aware block
+    sizing (:func:`_read_blocks_for`) for exchange-bound consumers."""
+    paths = _stage_a_parquet(out_dir, "post")
+    kw = {}
+    if ncpu:
+        kw["override_num_blocks"] = _read_blocks_for(paths, ncpu)
     return rd.read_parquet(
-        _stage_a_parquet(out_dir, "post"),
+        paths,
         columns=columns or ["lemma", "conv_id", "turn_idx", "tf", "doc_len"],
+        **kw,
     )
 
 
-def read_doc_rows(out_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_doc_rows(out_dir: str, columns: list[str] | None = None,
+                  ncpu: int | None = None) -> rd.Dataset:
+    paths = _stage_a_parquet(out_dir, "doc")
+    kw = {}
+    if ncpu:
+        kw["override_num_blocks"] = _read_blocks_for(paths, ncpu)
     return rd.read_parquet(
-        _stage_a_parquet(out_dir, "doc"),
+        paths,
         columns=columns or ["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
+        **kw,
     )
 
 
@@ -672,7 +704,7 @@ def build_index(
         # copy lives in the object store (spills to disk if needed) and
         # halves the upstream cost (measured ~1.5x on stage C at sf1)
         tm = time.monotonic()
-        docs_raw = read_doc_rows(cfg.out_dir)
+        docs_raw = read_doc_rows(cfg.out_dir, ncpu=ncpu)
         docs_with_ids = (
             attach_docids_join(docs_raw, rank_ds, ncpu)
             if use_join_docids
@@ -816,7 +848,7 @@ def build_index(
         # vocabulary pass still needs it — it is projected away before
         # the exchange either way)
         tm = time.monotonic()
-        posts_raw = read_flat_postings(cfg.out_dir, columns=read_cols)
+        posts_raw = read_flat_postings(cfg.out_dir, columns=read_cols, ncpu=ncpu)
         posts_with_ids = (
             attach_docids_join(posts_raw, rank_ds, ncpu)
             if use_join_docids

@@ -125,6 +125,8 @@ def test_resume_after_real_worker_death(tiny_corpus, tiny_index, tmp_path):
     out = str(tmp_path / "killed")
     cfg = BuildConfig(
         input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=1,
+        batch_size=512,  # several batches per tiny partition so the
+        # kill counter fires mid-partition (default 4096 = one batch)
         extra={"kill_after_batches": 1},
     )
     with pytest.raises(Exception) as ei:
@@ -149,6 +151,7 @@ def test_graceful_stop_then_resume(tiny_corpus, tiny_index, tmp_path):
     out = str(tmp_path / "idx")
     cfg = BuildConfig(
         input_paths=tiny_corpus, out_dir=out, n_partitions=3, concurrency=2,
+        batch_size=512,  # see test_resume_after_real_worker_death
         extra={"stop_after_batches": 1, "stage_a_overlap": 1},
     )
     with pytest.raises(build.BuildStopped, match="resume"):

@@ -442,6 +442,45 @@ def _search_phrase(sf_dir: str):
     return df
 
 
+def _search_phrase_aux(sf_dir: str):
+    """The SAME phrase query set routed through the hot-bigram
+    auxiliary index (pipelines/phrase_aux.py — the Williams/Zobel/Bahle
+    combined-index design): adjacency for precomputed hot pairs comes
+    from a point lookup instead of a two-term positions intersection.
+    Exactness contract: identical semantics, identical oracle as
+    search_phrase (the aux path is a physical plan change only)."""
+    import pandas as pd
+
+    from search_engine_ray import datagen
+    from search_engine_ray.pipelines import phrase_aux
+    from search_engine_ray.search import SearchEngine
+
+    out = _ensure_build(sf_dir)
+    if phrase_aux.load_aux(out) is None:
+        phrase_aux.build_phrase_aux(out, top_terms=32, top_pairs=256)
+    eng = SearchEngine(out)
+    rows = []
+    for q in datagen.phrase_queries():
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        if not r["result"]:
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                {
+                    "query_id": q["query_id"],
+                    "rank": rank,
+                    "conv_id": row["conv_id"],
+                    "turn_idx": row["turn_idx"],
+                    "score": round(row["score"], 6),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "conv_id", "turn_idx", "score"])
+    df["rank"] = df["rank"].astype("int32")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["score"] = df["score"].astype("float64")
+    return df
+
+
 def _search_phrase_prefix(sf_dir: str):
     """Match-phrase-prefix (mode='phrase_prefix', ES
     match_phrase_prefix — search-as-you-type): the query's last token
@@ -4917,6 +4956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_quality_mixture": _pipeline_quality_mixture,
         "pipeline_chunk_prep": _pipeline_chunk_prep,
         "search_phrase": _search_phrase,
+        "search_phrase_aux": _search_phrase_aux,
         "search_phrase_prefix": _search_phrase_prefix,
         "search_dis_max": _search_dis_max,
         "search_span_first": _search_span_first,
@@ -5281,6 +5321,11 @@ def _oracle_builders() -> dict[str, Callable[[], str]]:
             PAGE_OFFSET,
         ),
         "search_phrase": lambda: oracle.phrase_topk_sql(
+            _corpus_src(), datagen.phrase_queries()
+        ),
+        # the aux path is a physical-plan change only: same semantics,
+        # same oracle (rank/score identity is also pinned by pytest)
+        "search_phrase_aux": lambda: oracle.phrase_topk_sql(
             _corpus_src(), datagen.phrase_queries()
         ),
         "search_phrase_prefix": lambda: oracle.phrase_prefix_topk_sql(

@@ -207,6 +207,17 @@ def main(argv: list[str] | None = None) -> int:
                    help=">1: --out is a sharded-build root; every shard "
                         "folds independently")
 
+    px = sub.add_parser(
+        "phrase-aux", help="build the hot-bigram auxiliary phrase index "
+        "(precomputed adjacency for the hottest term pairs — caps the "
+        "worst-case hot-hot phrase query at a point lookup)"
+    )
+    px.add_argument("--out", required=True)
+    px.add_argument("--terms", type=int, default=48,
+                    help="hot-term budget (top by collection frequency)")
+    px.add_argument("--pairs", type=int, default=512,
+                    help="pair budget (top bigrams by occurrence count)")
+
     fc = sub.add_parser(
         "facets", help="per-role/per-tool matching-doc counts for a query "
         "(faceted navigation over the full result set)"
@@ -1265,6 +1276,12 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact
 
             print(json.dumps(compact(a.out, resume=a.resume, mode=a.mode)))
+    elif a.cmd == "phrase-aux":
+        _init_ray()
+        from .pipelines.phrase_aux import build_phrase_aux
+
+        m = build_phrase_aux(a.out, top_terms=a.terms, top_pairs=a.pairs)
+        print(json.dumps({"pairs": len(m["pairs"]), "bytes": m["bytes"]}))
     elif a.cmd == "suggest":
         from .search import SearchEngine
 

@@ -172,23 +172,32 @@ def _stage_a_parquet(out_dir: str, kind: str | None = None) -> list[str]:
     return out
 
 
-def _read_blocks_for(paths: list[str], ncpu: int,
-                     mem_factor: int = 4, target: int = 64 << 20) -> int:
+def _read_blocks_for(paths: list[str], ncpu: int) -> int:
     """Output-block count for an internal parquet read: Ray's default
     splitter derives block count from row groups and oversplits small
     stage outputs badly (measured 210 blocks for a 39 MB stage-A read
     at sf0.1 — the sort downstream then pays ~2.5x wall in pure task
-    scheduling). Target ~64 MB of IN-MEMORY data per block (disk bytes
-    x a measured ~4x parquet decode factor), floored at 2 blocks/cpu so
-    every core still gets sort/encode work; at 100 TB the bytes term
-    dominates and block size stays constant as the cluster grows."""
+    scheduling). Measured sweet spots (sf0.1@32cpu, sf1@2/8cpu):
+
+    - preferred block size ~40 MB in-memory (disk/10 MB at the measured
+      ~4x parquet decode factor) — big enough that scheduling is noise,
+      small enough that sort/encode waves stay balanced;
+    - floor 2 blocks/cpu so every core gets sort/encode work;
+    - the preferred size yields to a 12-blocks/cpu ceiling on SMALL
+      boxes (a 2-cpu leg pays more for 46 read tasks than it gains in
+      wave balance), but the ceiling itself yields to a ~64 MB-memory
+      per-block safety bound at scale — at 100 TB on thousands of
+      cores the bytes terms dominate both ends, so block size stays in
+      the 40-64 MB band no matter how the cluster grows."""
     import os as _os
 
     try:
         disk = sum(_os.path.getsize(p) for p in paths)
     except OSError:
         return 2 * ncpu
-    return max(2 * ncpu, int(disk * mem_factor / target) + 1)
+    preferred = disk // (10 << 20) + 1
+    ceiling = max(12 * ncpu, disk // (16 << 20) + 1)
+    return max(2 * ncpu, min(preferred, ceiling))
 
 
 def read_flat_postings(out_dir: str, columns: list[str] | None = None,
@@ -247,6 +256,40 @@ def _attach_lemma_hash(batch: pa.Table) -> pa.Table:
         uniq_h[i] = h
     codes = d.indices.to_numpy(zero_copy_only=False)
     return batch.append_column("lemma_h", pa.array(uniq_h[codes], pa.int64()))
+
+
+def make_lemma_rank_attacher(vocab_ref):
+    """Minimized-exchange sort key: the int32 dense vocabulary RANK of
+    each lemma (rank order == lemma_h order, since the broadcast vocab
+    is hash-sorted and collision-free on this path). Hashes only the
+    batch's UNIQUE lemmas (memoized per process), one searchsorted into
+    the broadcast hash array, broadcast through the dictionary codes."""
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..analyzer import lemma_hash64
+        from ..stages.encode import _resolve
+
+        vh, _vlem = _resolve(vocab_ref)
+        d = batch.column("lemma").combine_chunks().dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        memo = _LEMMA_H_MEMO
+        uniq_h = np.empty(len(uniq), np.int64)
+        for i, s in enumerate(uniq):
+            h = memo.get(s)
+            if h is None:
+                h = lemma_hash64(s)
+                memo[s] = h
+            uniq_h[i] = h
+        pos = np.searchsorted(vh, uniq_h)
+        pos_c = np.minimum(pos, max(len(vh) - 1, 0))
+        if len(pos) and not (vh[pos_c] == uniq_h).all():
+            raise ValueError("lemma missing from broadcast vocabulary")
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "lemma_r", pa.array(pos_c[codes].astype(np.int32), pa.int32())
+        )
+
+    return attach
 
 
 def make_scope_coder(roles: list[str], tools: list[str]):
@@ -841,6 +884,21 @@ def build_index(
         timings["c_vocab_s"] = round(time.monotonic() - tv, 3)
         if collision:
             sort_cols.insert(0, "lemma")
+        else:
+            # minimized exchange (the all-to-all is the one truly
+            # non-scaling resource on a shared interconnect): the int32
+            # dense vocabulary RANK replaces the int64 hash as the sort
+            # key (rank order == hash order, so the physical sort is
+            # identical and the encoder indexes the broadcast vocab
+            # directly), and with positions on the tf column is DROPPED
+            # from the exchange entirely — tf == the varint value count
+            # of the posting's pos cell, recomputed by the encoder with
+            # one vectorized terminator-byte scan. 24 B/posting -> 12 B
+            # (+ positions), measured ~45% fewer exchange bytes.
+            sort_cols[sort_cols.index("lemma_h")] = "lemma_r"
+            if positions:
+                sort_cols.remove("tf")
+                read_cols.remove("tf")
         mat_cols = sort_cols
 
         # ONE scan of stage A: attach docid + lemma_h, materialize the
@@ -862,9 +920,14 @@ def build_index(
                 batch_format="pyarrow",
                 batch_size=None,
             )
+        attach_key = (
+            _attach_lemma_hash
+            if collision
+            else make_lemma_rank_attacher(vocab_ref)
+        )
         post_lazy = (
             posts_with_ids
-            .map_batches(_attach_lemma_hash, batch_format="pyarrow", batch_size=None)
+            .map_batches(attach_key, batch_format="pyarrow", batch_size=None)
             .select_columns(mat_cols)
         )
         if cfg.extra.get("no_c_materialize"):
@@ -880,11 +943,14 @@ def build_index(
         ts_ = time.monotonic()
         (
             sort_in
-            # integer range exchange: (lemma_h, docid) sorts ~6x faster
-            # than (lemma:string, docid), ships 20 B/posting (no strings,
-            # doc_len broadcast-restored at encode), and clusters index
-            # files by lemma_h for query-side row-group pruning
-            .sort(["lemma_h", "docid"])
+            # integer range exchange: (lemma_r|lemma_h, docid) sorts ~6x
+            # faster than (lemma:string, docid), ships 12-20 B/posting
+            # (no strings; doc_len broadcast-restored and — minimized
+            # path — tf recomputed at encode), and clusters index files
+            # by lemma hash order for query-side row-group pruning
+            # (lemma_r is rank-in-hash-order, so the clustering is
+            # identical on both paths)
+            .sort(["lemma_h" if collision else "lemma_r", "docid"])
             .map_batches(
                 make_block_encoder(
                     stats["avgdl"] or 1.0, cfg.k1, cfg.b, cfg.block_size,

@@ -833,6 +833,17 @@ def _finish(
     _swap_in(out_dir, entries)
     write_json_atomic(build_mod.build_manifest_path(out_dir), manifest)
     shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
+    # the hot-bigram aux reflects the PRE-compaction base; the rewritten
+    # build.json already invalidates it (md5 guard in phrase_aux) — the
+    # rmtree just reclaims the dead bytes. Rebuild with the phrase-aux
+    # CLI when wanted.
+    from . import phrase_aux as _aux_mod
+
+    shutil.rmtree(_aux_mod.aux_dir(out_dir), ignore_errors=True)
+    try:
+        os.remove(_aux_mod.aux_manifest_path(out_dir))
+    except OSError:
+        pass
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(jp)
     return {"result": True, "error": None, "generations": len(gens)}

@@ -367,7 +367,32 @@ class SearchEngine:
         self._block_cache: dict[str, dict] = {}  # lemma -> block arrays
         self._fwd: tuple | None = None  # lazy (docids, role_codes, roles, convs)
         self._ref_max_relevance: float | None = None
+        # hot-bigram aux phrase index (pipelines/phrase_aux.py):
+        # (lemma_a, lemma_b) -> pair_id for the precomputed adjacency
+        # lists; empty when absent or stale (build.json md5 mismatch)
+        self._aux_pairs: dict[tuple[str, str], int] = {}
+        self._aux_cache: dict[tuple[str, str], tuple] = {}
+        try:
+            from .pipelines import phrase_aux as _aux_mod
+
+            _am = _aux_mod.load_aux(out_dir)
+            if _am:
+                self._aux_pairs = {
+                    (p["a"], p["b"]): int(p["pair_id"]) for p in _am["pairs"]
+                }
+        except (OSError, KeyError, ValueError):
+            self._aux_pairs = {}
         self._load_deltas()
+
+    def _aux_pair(self, pr: tuple[str, str]):
+        """Decode-once cache of one aux pair's (docids, cnts, starts)."""
+        got = self._aux_cache.get(pr)
+        if got is None:
+            from .pipelines import phrase_aux as _aux_mod
+
+            got = _aux_mod.read_pair(self.out_dir, self._aux_pairs[pr])
+            self._aux_cache[pr] = got
+        return got
 
     # ---------------- incremental delta overlay (S4 / SURVEY §3.3) ----
 
@@ -4133,18 +4158,65 @@ class SearchEngine:
         # BENCH/BASELINE.md).
         shift = np.int64(1) << np.int64(32)
         df_of = dict(terms)
-        slot_order = sorted(range(len(phrase)), key=lambda j: (df_of[phrase[j]], j))
+        # hot-bigram aux (pipelines/phrase_aux.py): adjacent slot pairs
+        # with a precomputed adjacency list become ONE pseudo slot keyed
+        # at the LEFT offset with the pair's start positions — exact,
+        # because "a@p and b@p+1" is precisely the pair entry, and
+        # intersecting its (cand_idx, start - j) keys with the other
+        # slots' keys enforces the rest of the phrase. Greedy
+        # left-to-right cover; bypassed entirely while delta
+        # generations are live (the aux reflects the BASE corpus only).
+        covered: set[int] = set()
+        pseudo: list[tuple[int, int, tuple]] = []  # (df_rank, j, payload)
+        if self._aux_pairs and not self._has_deltas:
+            jj = 0
+            while jj + 1 < len(phrase):
+                pr = (phrase[jj], phrase[jj + 1])
+                if jj not in covered and pr in self._aux_pairs:
+                    payload = self._aux_pair(pr)
+                    pseudo.append((len(payload[0]), jj, payload))
+                    covered.update((jj, jj + 1))
+                    jj += 2
+                else:
+                    jj += 1
+        slot_order = sorted(
+            (j for j in range(len(phrase)) if j not in covered),
+            key=lambda j: (df_of[phrase[j]], j),
+        )
+        units: list[tuple[int, int, tuple | None]] = sorted(
+            [(df_of[phrase[j]], j, None) for j in slot_order]
+            + [(rank, j, payload) for rank, j, payload in pseudo],
+            key=lambda u: (u[0], u[1]),
+        )
         cur = None
-        for j in slot_order:
-            lem = phrase[j]
-            docid, tf, _dl, _sc = data[lem]
-            pos_flat = self._term_positions_full(blocks[lem], tf)
-            pidx = np.searchsorted(docid, cand)  # cand ⊆ docid by AND
-            p = _take_pos_groups(pos_flat, tf, pidx)
-            cnt = tf[pidx].astype(np.int64)
-            cidx = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+        for _rank, j, payload in units:
+            if payload is None:
+                lem = phrase[j]
+                docid, tf, _dl, _sc = data[lem]
+                pos_flat = self._term_positions_full(blocks[lem], tf)
+                pidx = np.searchsorted(docid, cand)  # cand ⊆ docid by AND
+                p = _take_pos_groups(pos_flat, tf, pidx)
+                cnt = tf[pidx].astype(np.int64)
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), cnt)
+            else:
+                d_e, cnts, starts = payload
+                if not len(cand):
+                    return empty
+                pidx = np.searchsorted(cand, d_e)
+                pidx_c = np.minimum(pidx, len(cand) - 1)
+                mask = cand[pidx_c] == d_e
+                sel = np.flatnonzero(mask)
+                if not len(sel):
+                    return empty
+                p = _take_pos_groups(starts, cnts, sel)
+                cnt = cnts[sel]
+                cidx = np.repeat(pidx_c[sel].astype(np.int64), cnt)
             ok = p >= j
             keys = cidx[ok] * shift + (p[ok] - np.int64(j))
+            if payload is not None:
+                # fragmented aux block rows can repeat a docid; keys
+                # stay distinct (distinct starts) but arrive unsorted
+                keys = np.unique(keys)
             cur = keys if cur is None else np.intersect1d(cur, keys, assume_unique=True)
             if not len(cur):
                 return empty

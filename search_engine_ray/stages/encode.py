@@ -137,7 +137,17 @@ def make_block_encoder(
         if npost == 0:
             return INDEX_SCHEMA.empty_table()
         docid = batch.column("docid").combine_chunks().to_numpy(zero_copy_only=False)
-        tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "tf" in batch.column_names:
+            tf = batch.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            # minimized positions exchange: tf == the number of varint
+            # values in the posting's pos cell (one terminator byte —
+            # high bit 0 — per value), so the column never ships. One
+            # vectorized mask + reduceat over the cell byte offsets.
+            pd_, po_ = binary_column_buffers(batch.column("pos"))
+            term = ((pd_ & 0x80) == 0).astype(np.int64)
+            cum_t = np.concatenate(([0], np.cumsum(term)))
+            tf = (cum_t[po_[1:]] - cum_t[po_[:-1]]).astype(np.uint64)
         bpos = None
         if "doc_len" in batch.column_names:
             dl = batch.column("doc_len").combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -166,6 +176,13 @@ def make_block_encoder(
             # lemma run boundaries (dictionary-encode -> codes -> diff)
             codes = lemma.dictionary_encode().indices.to_numpy(zero_copy_only=False)
             run_start = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1))
+        elif "lemma_r" in batch.column_names:
+            # minimized exchange: int32 dense vocabulary rank instead of
+            # the int64 hash (rank order == hash order, so the sort is
+            # identical); the rank indexes the broadcast vocab directly
+            r_np = batch.column("lemma_r").combine_chunks().to_numpy(zero_copy_only=False)
+            run_start = np.flatnonzero(np.diff(r_np, prepend=r_np[0] - 1))
+            h_np = None
         else:
             h_np = batch.column("lemma_h").combine_chunks().to_numpy(zero_copy_only=False)
             run_start = np.flatnonzero(np.diff(h_np, prepend=h_np[0] - 1))
@@ -242,6 +259,14 @@ def make_block_encoder(
                 blk_h = pa.array(
                     [lemma_hash64(s) for s in blk_lemma.to_pylist()], pa.int64()
                 )
+        elif "lemma_r" in batch.column_names:
+            # rank -> (hash, string) is a direct index into the vocab
+            vh, vlem = _resolve(vocab_ref)
+            br = r_np[blk_start]
+            if len(br) and int(br.max()) >= len(vh):
+                raise ValueError("lemma_r out of vocabulary range")
+            blk_lemma = pa.array(vlem[br], pa.string())
+            blk_h = pa.array(vh[br], pa.int64())
         else:  # restore the string from the broadcast vocabulary
             vh, vlem = _resolve(vocab_ref)
             bh = h_np[blk_start]

@@ -1,0 +1,161 @@
+"""Hot-bigram auxiliary phrase index (pipelines/phrase_aux.py):
+rank-identity with the exact positional path, codec roundtrip,
+staleness guard, and delta bypass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray import datagen
+from search_engine_ray.pipelines import phrase_aux as aux_mod
+from search_engine_ray.search import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def aux_index(tiny_index):
+    """Aux build over the shared session index (idempotent)."""
+    out = tiny_index["out_dir"]
+    m = aux_mod.build_phrase_aux(out, top_terms=24, top_pairs=128)
+    return {"out_dir": out, "aux": m}
+
+
+def _phrase_rows(eng, queries):
+    rows = []
+    for q in queries:
+        r = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        if not r["result"]:
+            rows.append((q["query_id"], None))
+            continue
+        for rank, row in enumerate(r["data"].to_pylist(), start=1):
+            rows.append(
+                (q["query_id"], rank, row["conv_id"], row["turn_idx"],
+                 round(row["score"], 9))
+            )
+    return rows
+
+
+def test_aux_phrase_rank_identity(aux_index):
+    """Every phrase query through the aux path returns EXACTLY what the
+    plain positional path returns (ranks, ids, scores) — and at least
+    one query actually exercised a precomputed pair."""
+    out = aux_index["out_dir"]
+    qs = datagen.phrase_queries()
+    eng_aux = SearchEngine(out)
+    assert eng_aux._aux_pairs, "aux manifest should load"
+    plain = SearchEngine(out)
+    plain._aux_pairs = {}  # force the exact positional path
+    got = _phrase_rows(eng_aux, qs)
+    want = _phrase_rows(plain, qs)
+    assert got == want
+    assert eng_aux._aux_cache, "no phrase query hit a precomputed pair"
+
+
+def test_aux_near_and_prefix_unaffected(aux_index):
+    """NEAR and phrase-prefix queries (which share _phrase_matches
+    machinery for prefix) stay identical with the aux loaded."""
+    out = aux_index["out_dir"]
+    eng_aux = SearchEngine(out)
+    plain = SearchEngine(out)
+    plain._aux_pairs = {}
+    a = eng_aux.search(
+        f"{datagen.stem(0)} {datagen.stem(1)}", mode="near", near_window=4, limit=20
+    )
+    b = plain.search(
+        f"{datagen.stem(0)} {datagen.stem(1)}", mode="near", near_window=4, limit=20
+    )
+    assert a["data"].to_pylist() == b["data"].to_pylist()
+
+
+def test_aux_roundtrip_codec(tmp_path):
+    """_encode_sorted -> parquet -> read_pair is identity on a crafted
+    (pair, docid, start) table, including a pair run split across two
+    batches and a doc split across block rows."""
+    import pyarrow.parquet as pq
+
+    rows1 = pa.table(
+        {
+            "pair_id": pa.array([7, 7, 7, 9], pa.int64()),
+            "docid": pa.array([10, 10, 55, 3], pa.int64()),
+            "start": pa.array([2, 9, 0, 4], pa.int64()),
+        }
+    )
+    rows2 = pa.table(  # same pair 7, doc 55 continues in a second batch
+        {
+            "pair_id": pa.array([7, 7], pa.int64()),
+            "docid": pa.array([55, 60], pa.int64()),
+            "start": pa.array([8, 1], pa.int64()),
+        }
+    )
+    t = pa.concat_tables(
+        [aux_mod._encode_sorted(rows1), aux_mod._encode_sorted(rows2)]
+    )
+    d = tmp_path / "phrase_aux"
+    d.mkdir()
+    pq.write_table(t, str(d / "aux.parquet"))
+    docids, cnts, starts = aux_mod.read_pair(str(tmp_path), 7)
+    flat = []
+    off = 0
+    for dd, c in zip(docids, cnts):
+        for s in starts[off : off + c]:
+            flat.append((int(dd), int(s)))
+        off += c
+    assert sorted(flat) == [(10, 2), (10, 9), (55, 0), (55, 8), (60, 1)]
+    d9, c9, s9 = aux_mod.read_pair(str(tmp_path), 9)
+    assert list(d9) == [3] and list(c9) == [1] and list(s9) == [4]
+
+
+def test_aux_staleness_guard(aux_index, tmp_path):
+    """Rewriting build.json (what compact / rebuild do) invalidates the
+    aux index: load_aux -> None, fresh engines take the exact path."""
+    import json
+    import os
+    import shutil
+
+    src = aux_index["out_dir"]
+    out = str(tmp_path / "copy")
+    shutil.copytree(src, out)
+    assert aux_mod.load_aux(out) is not None
+    bj = os.path.join(out, "build.json")
+    m = json.load(open(bj))
+    m["timings"]["total_s"] = round(m["timings"]["total_s"] + 0.001, 3)
+    with open(bj, "w") as f:
+        json.dump(m, f)
+    assert aux_mod.load_aux(out) is None
+    eng = SearchEngine(out)
+    assert not eng._aux_pairs
+
+
+def test_aux_delta_bypass(aux_index, tmp_path):
+    """With a REAL delta generation live the aux is bypassed (it
+    reflects the BASE corpus): the aux cache stays cold and phrase
+    results equal a plain-engine run over the same base+delta state."""
+    import shutil
+
+    from search_engine_ray.pipelines import delta
+
+    out = str(tmp_path / "deltabase")
+    shutil.copytree(aux_index["out_dir"], out)
+    eng0 = SearchEngine(out)
+    assert eng0._aux_pairs
+    conv = eng0.search(datagen.stem(0), limit=1)["data"].to_pylist()[0]["conv_id"]
+    resp = delta.reindex_conversations(out, [conv])
+    assert resp["result"], resp
+    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    eng = SearchEngine(out)
+    assert eng._has_deltas and eng._aux_pairs
+    got = eng.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    assert not eng._aux_cache, "aux consulted despite live deltas"
+    plain = SearchEngine(out)
+    plain._aux_pairs = {}
+    want = plain.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    assert got == want
+
+
+def test_aux_budget_in_manifest(aux_index):
+    m = aux_mod.load_aux(aux_index["out_dir"])
+    assert m["top_terms"] == 24 and m["top_pairs"] == 128
+    assert isinstance(m["bytes"], int)
+    assert len(m["pairs"]) <= 128
+    assert all(p["total"] >= 1 for p in m["pairs"])

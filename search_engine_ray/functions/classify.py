@@ -35,14 +35,11 @@ NB_BROADCAST_MAX_ROWS = 2_000_000  # enforced model-broadcast bound
 _SEP = "\x1f"
 
 
-def nb_fit(ds, label_col: str = "source", text_col: str = "text") -> dict:
-    """One counting pass over the corpus -> the NB model:
-    ``{"counts": pa.Table(label, token, cnt), "label_docs":
-    {label: n_docs}, "n_docs": int, "vocab": int}``. Token counts
-    combine INSIDE each map task (an Arrow group_by per batch), so the
-    groupby exchange ships per-batch distinct (label, token) rows —
-    model-sized, not corpus-sized."""
-    import ray.data as rd
+def _nb_counts_ds(ds, label_col: str, text_col: str):
+    """The distributed counting pass shared by both physical plans ->
+    Dataset(key, cnt) where key = label SEP token (token '' rows carry
+    per-label doc counts). Map-side combined; the exchange is
+    model-sized, never corpus-sized."""
     from ray.data.aggregate import Sum
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -76,17 +73,31 @@ def nb_fit(ds, label_col: str = "source", text_col: str = "text") -> dict:
             }),
         ])
 
-    folded = (
+    return (
         ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
-    ).take_all()
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def nb_fit(ds, label_col: str = "source", text_col: str = "text") -> dict:
+    """One counting pass over the corpus -> the NB model:
+    ``{"counts": pa.Table(label, token, cnt), "label_docs":
+    {label: n_docs}, "n_docs": int, "vocab": int}``. Refuses loudly
+    above the model-broadcast bound — the scale plan is
+    :func:`nb_classify` ``mode='join'``."""
+    folded = _nb_counts_ds(ds, label_col, text_col).take_all()
     if len(folded) > NB_BROADCAST_MAX_ROWS:
         raise ValueError(
             f"NB model has {len(folded)} (label, token) rows — above the "
-            f"enforced {NB_BROADCAST_MAX_ROWS} broadcast bound; at this "
-            "vocabulary use a token-keyed join scorer "
-            "(the _tfidf_topk_joined shape), not a driver model"
+            f"enforced {NB_BROADCAST_MAX_ROWS} broadcast bound; use "
+            "nb_classify(mode='join') (the token-keyed join scorer)"
         )
+    return _nb_model_from_rows(folded)
+
+
+def _nb_model_from_rows(folded: list[dict]) -> dict:
+    """Assemble the broadcastable model dict from folded count rows."""
     labels_l, tokens_l, cnts_l = [], [], []
     label_docs: dict[str, int] = {}
     vocab: set[str] = set()
@@ -218,13 +229,230 @@ def nb_score(ds, model: dict, id_col: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _nb_score_joined(ds, folded_ds, id_col: str, text_col: str):
+    """The scale plan: score WITHOUT a driver-side model. The folded
+    (label, token) counts stay a Dataset; label-sized state (doc
+    counts, per-label token totals, priors, unseen rows) is the only
+    driver pull, the vocabulary size is one model-sized count, and the
+    token stream meets the model in a key-partitioned hash join.
+
+    Exactness device vs :func:`nb_score`: score(doc, L) = q_prior[L] +
+    total_occ * q_unseen[L] + SUM over SEEN occurrences of
+    (q(token, L) - q_unseen[L]) — all int64, so only rows for seen
+    (token, label) pairs ever ship and absent pairs contribute exactly
+    their unseen value with no labels x vocab cross anywhere. Joins go
+    through an md5-int64 token key with an exact string post-filter
+    (hash-equal-but-different strings drop), so a collision cannot
+    merge two tokens' probabilities."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..analyzer import lemma_hash64
+    from .joins import hash_join
+
+    folded_ds = folded_ds.materialize()  # consumed three times below
+
+    def _split(b: pa.Table):
+        key = b.column("key").combine_chunks()
+        # tokens are [a-z0-9]+ and labels never contain the separator,
+        # so one max_splits=1 split recovers (label, token) exactly
+        parts = pc.split_pattern(key, _SEP, max_splits=1)
+        lab = pc.list_element(parts, 0)
+        tok = pc.list_element(parts, 1)
+        return lab, tok, b.column("cnt").combine_chunks().cast(pa.int64())
+
+    # ---- label-sized driver state (|labels| rows) + vocab size ----
+    def lab_partial(b: pa.Table) -> pa.Table:
+        lab, tok, cnt = _split(b)
+        is_doc = pc.equal(tok, "")
+        t = pa.table({"lab": lab, "is_doc": is_doc, "cnt": cnt})
+        g = t.group_by(["lab", "is_doc"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["lab", "is_doc", "cnt"])
+
+    import ray as _ray
+
+    lab_rows = pa.concat_tables([
+        t for t in _ray.get(
+            folded_ds.map_batches(lab_partial, batch_format="pyarrow")
+            .groupby(["lab", "is_doc"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_arrow_refs())
+        if t.num_rows
+    ])
+    label_docs: dict[str, int] = {}
+    tok_tot: dict[str, int] = {}
+    for r in lab_rows.to_pylist():
+        (label_docs if r["is_doc"] else tok_tot)[r["lab"]] = int(r["cnt"])
+    labels = sorted(label_docs)
+    nl = len(labels)
+    lab_idx = {l: i for i, l in enumerate(labels)}
+
+    def tok_marker(b: pa.Table) -> pa.Table:
+        _lab, tok, _cnt = _split(b)
+        t = pa.table({"tok": tok}).filter(pc.not_equal(tok, ""))
+        return t.group_by(["tok"]).aggregate([])
+
+    from ray.data.aggregate import Count as _Count
+
+    v = (
+        folded_ds.map_batches(tok_marker, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(_Count())
+        .count()  # rows of the groupby == distinct tokens
+    )
+
+    def q(x: np.ndarray) -> np.ndarray:
+        return np.floor(np.log(x) * NB_Q + 0.5).astype(np.int64)
+
+    denom = np.array(
+        [tok_tot.get(l, 0) + NB_ALPHA * v for l in labels], np.float64
+    )
+    unseen = (
+        q(NB_ALPHA / denom) if v else np.zeros(nl, np.int64)
+    )
+    n_docs = sum(label_docs.values())
+    prior = q(np.array([label_docs[l] * 1.0 / n_docs for l in labels]))
+
+    # ---- model delta rows: (th, m_token, label, dq) ----
+    def deltas(b: pa.Table) -> pa.Table:
+        lab, tok, cnt = _split(b)
+        keep = pc.not_equal(tok, "")
+        lab, tok = lab.filter(keep), tok.filter(keep)
+        cnt_np = cnt.filter(keep).to_numpy(zero_copy_only=False)
+        li = np.array([lab_idx[x] for x in lab.to_pylist()], np.int64)
+        qv = q((cnt_np + NB_ALPHA) / denom[li])
+        toks = tok.to_pylist()
+        th = np.array([lemma_hash64(t) for t in toks], np.int64)
+        return pa.table({
+            "th": pa.array(th, pa.int64()),
+            "m_token": tok,
+            "label": lab,
+            "dq": pa.array(qv - unseen[li], pa.int64()),
+        })
+
+    model_ds = folded_ds.map_batches(deltas, batch_format="pyarrow")
+
+    # ---- doc token stream: (doc_id, th, token, n_occ) + totals ----
+    def doc_tokens(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(b.column(text_col).combine_chunks(), ""))
+        toks = _token_lists(low)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id_": pa.array(np.repeat(ids, counts), pa.int64()),
+            "token": flat,
+        })
+        g = t.group_by(["doc_id_", "token"]).aggregate([([], "count_all")])
+        gt = g.column("token").combine_chunks()
+        th = np.array([lemma_hash64(x) for x in gt.to_pylist()], np.int64)
+        return pa.table({
+            "doc_id_": g.column("doc_id_"),
+            "th": pa.array(th, pa.int64()),
+            "token": gt,
+            "n_occ": g.column("count_all").cast(pa.int64()),
+        })
+
+    def doc_totals(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(b.column(text_col).combine_chunks(), ""))
+        toks = _token_lists(low)
+        return pa.table({
+            "doc_id_": b.column(id_col).cast(pa.int64()),
+            "total": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    tok_ds = ds.map_batches(doc_tokens, batch_format="pyarrow")
+    tot_ds = ds.map_batches(doc_totals, batch_format="pyarrow")
+
+    j = hash_join(tok_ds, model_ds, left_on="th", mode="shuffle")
+
+    def sdq_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("token"), b.column("m_token")))
+        if not b.num_rows:
+            return pa.table({
+                "doc_id_": pa.array([], pa.int64()),
+                "label": pa.array([], pa.string()),
+                "s": pa.array([], pa.int64()),
+            })
+        part = (
+            b.column("n_occ").to_numpy(zero_copy_only=False)
+            * b.column("dq").to_numpy(zero_copy_only=False)
+        )
+        t = pa.table({
+            "doc_id_": b.column("doc_id_"),
+            "label": b.column("label"),
+            "s": pa.array(part, pa.int64()),
+        })
+        g = t.group_by(["doc_id_", "label"]).aggregate([("s", "sum")])
+        return g.rename_columns(["doc_id_", "label", "s"])
+
+    sdq = (
+        j.map_batches(sdq_partial, batch_format="pyarrow")
+        .groupby(["doc_id_", "label"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    final = hash_join(tot_ds, sdq, left_on="doc_id_", how="left", mode="shuffle")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "label_pred": pa.array([], pa.string()),
+                "score_q": pa.array([], pa.int64()),
+            })
+        did = b.column("doc_id_").to_numpy(zero_copy_only=False)
+        tot = b.column("total").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(did, return_inverse=True)
+        nd = len(uniq)
+        tot_per = np.zeros(nd, np.int64)
+        tot_per[inv] = tot  # all rows of a doc share total
+        scores = prior[None, :] + np.outer(tot_per, unseen)
+        labv = b.column("label").to_numpy(zero_copy_only=False)
+        sv = b.column("s").to_numpy(zero_copy_only=False)
+        valid = np.array([x is not None for x in labv], bool)
+        if valid.any():
+            li = np.array([lab_idx[x] for x in labv[valid]], np.int64)
+            np.add.at(
+                scores, (inv[valid], li),
+                sv[valid].astype(np.int64),
+            )
+        best = np.argmax(scores, axis=1)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "label_pred": pa.array([labels[x] for x in best], pa.string()),
+            "score_q": pa.array(scores[np.arange(nd), best], pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def nb_classify(ds, label_col: str = "source", id_col: str = "doc_id",
-                text_col: str = "text"):
+                text_col: str = "text", mode: str = "auto",
+                broadcast_max_rows: int = NB_BROADCAST_MAX_ROWS):
     """Fit on the corpus' own labels, score the same corpus — the
     driver-checkable self-classification round trip (training rows ==
     scoring rows, so no unseen-token path fires and the SQL twin can
-    recompute the whole model inline)."""
-    model = nb_fit(ds, label_col=label_col, text_col=text_col)
+    recompute the whole model inline).
+
+    Two physical plans, pinned equal by test: ``broadcast`` (the fitted
+    model ships once via ray.put — bounded by ``broadcast_max_rows``)
+    and ``join`` (the scale plan: the model stays a Dataset and meets
+    the token stream in a key-partitioned hash join — see
+    :func:`_nb_score_joined`). ``auto`` falls over to join above the
+    bound instead of raising."""
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"bad mode {mode!r}")
+    if mode == "broadcast":
+        model = nb_fit(ds, label_col=label_col, text_col=text_col)
+        return nb_score(ds, model, id_col=id_col, text_col=text_col)
+    folded_ds = _nb_counts_ds(ds, label_col, text_col)
+    if mode == "join":
+        return _nb_score_joined(ds, folded_ds, id_col, text_col)
+    n_rows = folded_ds.count()
+    if n_rows > broadcast_max_rows:
+        return _nb_score_joined(ds, folded_ds, id_col, text_col)
+    folded = folded_ds.take_all()
+    model = _nb_model_from_rows(folded)
     return nb_score(ds, model, id_col=id_col, text_col=text_col)
 
 

@@ -639,81 +639,109 @@ def build_index(
         # whose fixed spin-up dominates when the doc store is small (the
         # doc side is ~1-2% of stage-A bytes thanks to the kind split).
         # Identical output schema/stats as the distributed path.
+        #
+        # Round-4 restructure: the WHOLE pass (full-column read, docid
+        # attach, sort, write, stats, dl broadcast) runs in a driver
+        # THREAD overlapped with stage C's vocab + materialize phases —
+        # stage C only needs the conv-rank map up front, which a skinny
+        # conv_id-column read supplies in ~1% of the pass (the doc files
+        # are conv-dictionary-encoded). The thread's results (stats, dl
+        # broadcast) are joined right before the encoder is created;
+        # measured ~5-8s of fixed driver time off the critical path at
+        # every cpu count. The lineage manifest still commits inside
+        # the thread — a crash mid-C leaves stage B unmarked, so resume
+        # recomputes it (correct, merely extra work).
         import pyarrow.dataset as pads
 
-        tD = pads.dataset(docs_files).to_table(
-            columns=["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
-        )
-        # dense conv ranks without per-row Python: dictionary-encode the
-        # column (C kernel), rank only the UNIQUE conv_ids, broadcast
-        # through the codes (6M-row object arrays cost ~15s; this is <1s)
-        d_enc = tD.column("conv_id").combine_chunks().dictionary_encode()
-        order = pc.sort_indices(d_enc.dictionary).to_numpy(zero_copy_only=False)
-        rank_of_code = np.empty(len(order), np.int64)
-        rank_of_code[order] = np.arange(len(order))
-        convs_sorted = d_enc.dictionary.take(pa.array(order))
-        from ..docid import make_docids
+        conv_col = pads.dataset(docs_files).to_table(columns=["conv_id"])
+        d_enc0 = conv_col.column("conv_id").combine_chunks().dictionary_encode()
+        order0 = pc.sort_indices(d_enc0.dictionary)
+        convs_sorted = d_enc0.dictionary.take(order0)
+        convs_ref = ray.put(convs_sorted.cast(pa.string()))
+        # captured by NAME distinct from stage C's `d` rebinding — the
+        # thread must never see the index dir (a latent closure race in
+        # the pre-round-4 layout, made deterministic by the overlap)
+        docs_d = _fresh_dir(docs_dir(cfg.out_dir))
 
-        codes = d_enc.indices.to_numpy(zero_copy_only=False)
-        rank = rank_of_code[codes]
-        docid = make_docids(rank, tD.column("turn_idx").to_numpy(zero_copy_only=False))
-        tD = tD.append_column("docid", pa.array(docid, pa.int64())).sort_by("docid")
-        d = _fresh_dir(docs_dir(cfg.out_dir))
+        def _docs_pass() -> tuple[dict, tuple]:
+            tD = pads.dataset(docs_files).to_table(
+                columns=["conv_id", "turn_idx", "role", "doc_len", "tool", "ts"],
+            )
+            # dense conv ranks without per-row Python: dictionary-encode
+            # the column (C kernel), rank only the UNIQUE conv_ids,
+            # broadcast through the codes
+            d_enc = tD.column("conv_id").combine_chunks().dictionary_encode()
+            order = pc.sort_indices(d_enc.dictionary).to_numpy(zero_copy_only=False)
+            rank_of_code = np.empty(len(order), np.int64)
+            rank_of_code[order] = np.arange(len(order))
+            from ..docid import make_docids
 
-        # the doc-store WRITE overlaps stage C (a driver thread): stage C
-        # needs only the in-memory stats/broadcasts below, and the docs
-        # lineage manifest commits at join — a crash mid-C leaves stage B
-        # unmarked, so resume recomputes it (correct, merely extra work)
-        def _write_docs():
-            # small row groups: the query engine point-reads winner
-            # docids via row-group stats on the docid sort key
-            pq.write_table(tD, os.path.join(d, "docs.parquet"), row_group_size=65_536)
-            _inject("b_mid")
-            tracker_s.mark("docs", down_key, STATE_DONE, metrics=_dir_stats(d))
-
-        if fail_at_stage == "b_mid":
-            _write_docs()  # synchronous so the injection tests see the torn state
-        else:
-            import threading
-
-            _docs_err: list[BaseException] = []
-
-            def _write_docs_guarded():
-                try:
-                    _write_docs()
-                except BaseException as e:  # re-raised at join
-                    _docs_err.append(e)
-
-            docs_pending = (threading.Thread(target=_write_docs_guarded), _docs_err)
-            docs_pending[0].start()
-        dls = tD.column("doc_len").to_numpy(zero_copy_only=False)
-        stats = {
-            "n_docs": tD.num_rows,
-            "n_convs": int(len(convs_sorted)),
-            "total_len": int(dls.sum()),
-            "avgdl": (float(dls.sum()) / tD.num_rows) if tD.num_rows else 0.0,
-            "roles": sorted(
-                x for x in pc.unique(tD.column("role").combine_chunks()).to_pylist() if x
-            ),
-            "tools": sorted(
-                x for x in pc.unique(tD.column("tool").combine_chunks()).to_pylist() if x
-            ),
-        }
-        # in-memory (docid, doc_len, scope_code) broadcast for the encoder
-        # (docid-sorted already; codes are a pure function of stats.roles/
-        # stats.tools, reconstructed identically at query time)
-        dl_ref_mem = ray.put(
-            (
+            codes = d_enc.indices.to_numpy(zero_copy_only=False)
+            rank = rank_of_code[codes]
+            docid = make_docids(
+                rank, tD.column("turn_idx").to_numpy(zero_copy_only=False)
+            )
+            tD = tD.append_column(
+                "docid", pa.array(docid, pa.int64())
+            ).sort_by("docid")
+            dls = tD.column("doc_len").to_numpy(zero_copy_only=False)
+            stats_d = {
+                "n_docs": tD.num_rows,
+                "n_convs": int(len(convs_sorted)),
+                "total_len": int(dls.sum()),
+                "avgdl": (float(dls.sum()) / tD.num_rows) if tD.num_rows else 0.0,
+                "roles": sorted(
+                    x for x in pc.unique(tD.column("role").combine_chunks()).to_pylist() if x
+                ),
+                "tools": sorted(
+                    x for x in pc.unique(tD.column("tool").combine_chunks()).to_pylist() if x
+                ),
+            }
+            # raw arrays for the encoder's (docid, doc_len, scope) side;
+            # ray.put happens on the MAIN thread at join
+            dl_tuple = (
                 tD.column("docid").to_numpy(),
                 tD.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
                 scope_codes_of(
                     tD.column("role").combine_chunks(),
                     tD.column("tool").combine_chunks(),
-                    stats["roles"], stats["tools"],
+                    stats_d["roles"], stats_d["tools"],
                 ).astype(np.int32),
             )
-        )
-        convs_ref = ray.put(convs_sorted.cast(pa.string()))
+            # small row groups: the query engine point-reads winner
+            # docids via row-group stats on the docid sort key
+            pq.write_table(
+                tD, os.path.join(docs_d, "docs.parquet"), row_group_size=65_536
+            )
+            _inject("b_mid")
+            tracker_s.mark(
+                "docs", down_key, STATE_DONE, metrics=_dir_stats(docs_d)
+            )
+            return stats_d, dl_tuple
+
+        if fail_at_stage == "b_mid":
+            # synchronous so the injection tests see the torn state
+            stats, _dl_tuple = _docs_pass()
+            dl_ref_mem = ray.put(_dl_tuple)
+        else:
+            import threading
+
+            _docs_err: list[BaseException] = []
+            _docs_out: list[tuple] = []
+
+            def _docs_pass_guarded():
+                try:
+                    _docs_out.append(_docs_pass())
+                except BaseException as e:  # re-raised at join
+                    _docs_err.append(e)
+
+            docs_pending = (
+                threading.Thread(target=_docs_pass_guarded),
+                _docs_err,
+                _docs_out,
+            )
+            docs_pending[0].start()
+            stats = None  # joined before the stage-C encoder needs it
     else:
         tu = time.monotonic()
         n_convs = None
@@ -795,15 +823,23 @@ def build_index(
     if not (cfg.resume and tracker_s.is_done("index", down_key)):
         d = _fresh_dir(index_dir(cfg.out_dir))
 
-        broadcast_dl = stats["n_docs"] <= cfg.broadcast_dl_max_docs
-        dl_ref = None
-        if broadcast_dl and dl_ref_mem is not None:
-            dl_ref = dl_ref_mem  # built in-memory by the stage-B driver path
-        elif broadcast_dl:
+        # n_docs == the exact input row count (one doc row per turn),
+        # so the broadcast decision never waits on the overlapped
+        # stage-B thread
+        broadcast_dl = (
+            stats["n_docs"] if stats is not None else est_rows
+        ) <= cfg.broadcast_dl_max_docs
+
+        def _resolve_dl_ref():
+            # called AFTER the stage-B join point: stats is populated
+            if not broadcast_dl:
+                return None
+            if dl_ref_mem is not None:
+                return dl_ref_mem  # built by the stage-B driver pass
             dt = pq.read_table(
                 docs_dir(cfg.out_dir), columns=["docid", "doc_len", "role", "tool"]
             )
-            dl_ref = ray.put(
+            return ray.put(
                 (
                     dt.column("docid").to_numpy(),
                     dt.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int32),
@@ -814,6 +850,7 @@ def build_index(
                     ).astype(np.int32),
                 )
             )
+
         sort_cols = ["lemma_h", "docid", "tf"]
         read_cols = ["lemma", "conv_id", "turn_idx", "tf"]
         if positions:
@@ -915,6 +952,18 @@ def build_index(
             )
         )
         if not broadcast_dl:
+            if stats is None:
+                # the shuffled scope-code regime needs roles/tools up
+                # front — join the overlapped stage-B pass early (only
+                # reachable with a forced-low broadcast_dl bound; the
+                # true oversized regime never takes the small-docs plan)
+                th, err, out = docs_pending
+                th.join()
+                if err:
+                    raise err[0]
+                stats, _dl_tuple0 = out[0]
+                dl_ref_mem = ray.put(_dl_tuple0)
+                docs_pending = None
             posts_with_ids = posts_with_ids.map_batches(
                 make_scope_coder(stats["roles"], stats["tools"]),
                 batch_format="pyarrow",
@@ -938,6 +987,20 @@ def build_index(
                 ncpu,
             )
         timings["c_mat_s"] = round(time.monotonic() - tm, 3)
+
+        # ---- stage-B join point: the overlapped doc pass must have
+        # finished before the encoder needs avgdl / the dl broadcast
+        if stats is None:
+            th, err, out = docs_pending
+            tj = time.monotonic()
+            th.join()
+            if err:
+                raise err[0]
+            stats, _dl_tuple = out[0]
+            dl_ref_mem = ray.put(_dl_tuple)
+            docs_pending = None  # landed; the tail join is a no-op
+            timings["b_join_wait_s"] = round(time.monotonic() - tj, 3)
+        dl_ref = _resolve_dl_ref()
 
         sort_in = post_in
         ts_ = time.monotonic()
@@ -974,6 +1037,14 @@ def build_index(
     timings["stage_c_s"] = round(time.monotonic() - tc, 3)
 
     # ---------------- stage D: lemma dictionary from block metadata ----
+    if stats is None and docs_pending is not None:
+        # stage C was resume-skipped before the normal join point
+        th, err = docs_pending[0], docs_pending[1]
+        th.join()
+        if err:
+            raise err[0]
+        stats = docs_pending[2][0][0]
+        docs_pending = None
     td = time.monotonic()
     if not (cfg.resume and tracker_s.is_done("lemma_dict", down_key) and prior):
         n_lem, n_post = write_lemma_dict(index_dir(cfg.out_dir), lemma_dict_path(cfg.out_dir))
@@ -985,11 +1056,13 @@ def build_index(
         stats.setdefault("n_lemmas", prior["stats"]["n_lemmas"])
         stats.setdefault("n_postings", prior["stats"]["n_postings"])
     timings["stage_d_s"] = round(time.monotonic() - td, 3)
-    if docs_pending is not None:  # overlapped doc-store write must land
-        th, err = docs_pending
+    if docs_pending is not None:  # overlapped doc pass must land
+        th, err = docs_pending[0], docs_pending[1]
         th.join()
         if err:
             raise err[0]
+        if stats is None and len(docs_pending) > 2 and docs_pending[2]:
+            stats = docs_pending[2][0][0]  # stage C was resumed/skipped
     timings["total_s"] = round(time.monotonic() - t0, 3)
 
     stats["positions"] = bool(positions)

@@ -42,7 +42,6 @@ being explicit.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 
 import numpy as np

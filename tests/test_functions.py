@@ -7050,3 +7050,20 @@ def test_bpe_fit_sql_oracle(docs_ds, fduck):
     assert got2.num_rows < 20  # early stop engaged
     assert got2.equals(want2.cast(got2.schema))
     con.close()
+
+
+def test_nb_classify_join_path_pinned(docs_ds):
+    """The token-keyed join NB scorer (no driver-side model anywhere)
+    == the broadcast scorer, row for row — and auto falls over to it
+    when the model bound is forced low, instead of raising."""
+    from search_engine_ray.functions import classify
+
+    key = [("doc_id", "ascending")]
+    bc = _table(classify.nb_classify(docs_ds, mode="broadcast")).sort_by(key)
+    jn = _table(classify.nb_classify(docs_ds, mode="join")).sort_by(key)
+    assert bc.num_rows > 0
+    assert bc.equals(jn.select(bc.column_names).cast(bc.schema))
+    auto = _table(
+        classify.nb_classify(docs_ds, mode="auto", broadcast_max_rows=1)
+    ).sort_by(key)
+    assert bc.equals(auto.select(bc.column_names).cast(bc.schema))

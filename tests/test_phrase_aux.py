@@ -66,6 +66,17 @@ def test_aux_near_and_prefix_unaffected(aux_index):
         f"{datagen.stem(0)} {datagen.stem(1)}", mode="near", near_window=4, limit=20
     )
     assert a["data"].to_pylist() == b["data"].to_pylist()
+    # phrase_prefix: fixed slots may fold into aux pairs; results pinned
+    for q in datagen.phrase_prefix_queries():
+        ra = eng_aux.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase_prefix"
+        )
+        rb = plain.search(
+            q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase_prefix"
+        )
+        assert (ra["error"], ra["count"]) == (rb["error"], rb["count"]), q
+        if ra["result"]:
+            assert ra["data"].to_pylist() == rb["data"].to_pylist(), q
 
 
 def test_aux_roundtrip_codec(tmp_path):

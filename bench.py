@@ -238,6 +238,30 @@ def run_bench() -> dict:
             "ops_sig_terms",
             lambda: eng.significant_terms(datagen.stem(0))["data"] and None,
         )
+        # hot-bigram aux phrase index: build cost + the worst-case
+        # hot-hot bigram phrase through the aux path vs the exact path
+        # (same engine, aux stripped) — the round-4 capability row
+        from search_engine_ray.pipelines import phrase_aux as aux_mod
+        from search_engine_ray.search import SearchEngine as _SE
+
+        _timed(
+            "ops_phrase_aux_build",
+            lambda: aux_mod.build_phrase_aux(out, top_terms=32, top_pairs=256)
+            and None,
+        )
+        _hot_q = f"{datagen.stem(0)} {datagen.stem(1)}"
+        _eng_aux = _SE(out)
+        _eng_aux.search(_hot_q, mode="phrase", limit=10)  # warm block cache
+        t0_ = time.monotonic()
+        _eng_aux.search(_hot_q, mode="phrase", limit=10)
+        ops_s["phrase_hot_aux_ms"] = round((time.monotonic() - t0_) * 1e3, 1)
+        _eng_plain = _SE(out)
+        _eng_plain._aux_pairs = {}
+        _eng_plain.search(_hot_q, mode="phrase", limit=10)
+        t0_ = time.monotonic()
+        _eng_plain.search(_hot_q, mode="phrase", limit=10)
+        ops_s["phrase_hot_exact_ms"] = round((time.monotonic() - t0_) * 1e3, 1)
+
         from search_engine_ray.functions import percolate as perc_mod
         from search_engine_ray.sources.transcripts import read_transcripts
 

@@ -304,7 +304,7 @@ def quantile_sketch(
 
         import ray as _ray
         parts = [t for t in _ray.get(
-            ds.map_batches(mm, batch_format="pyarrow").to_arrow_refs())
+            ds.map_batches(mm, batch_format="pyarrow").materialize().to_arrow_refs())
             if t.num_rows]
         if not parts:
             return pa.table({"q": pa.array([], pa.float64()),
@@ -973,7 +973,7 @@ def skyline2d(
             "(anti-correlated dimensions); a skyline is not a useful "
             "shortlist on this data"
         )
-    tabs = [t for t in cand.to_arrow_refs()]
+    tabs = [t for t in cand.materialize().to_arrow_refs()]
     import ray
 
     pooled = pa.concat_tables(
@@ -3037,7 +3037,7 @@ def minmax_scale_by_group(
     )
     import ray as _ray
 
-    tabs = [t for t in _ray.get(stats_t.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in _ray.get(stats_t.materialize().to_arrow_refs()) if t.num_rows]
     lut = {}
     for t in tabs:
         for g, mn, mx in zip(
@@ -3870,7 +3870,7 @@ def pareto_vital_few(
     )
     import ray as _ray
 
-    tabs = [t for t in _ray.get(hrows.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in _ray.get(hrows.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "n_users": pa.array([0], pa.int64()),

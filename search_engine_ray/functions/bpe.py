@@ -68,7 +68,7 @@ def word_counts(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
         .groupby("word")
         .aggregate(Sum("n", alias_name="n"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({"word": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})

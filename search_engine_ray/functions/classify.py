@@ -275,7 +275,7 @@ def _nb_score_joined(ds, folded_ds, id_col: str, text_col: str):
         t for t in _ray.get(
             folded_ds.map_batches(lab_partial, batch_format="pyarrow")
             .groupby(["lab", "is_doc"]).aggregate(Sum("cnt", alias_name="cnt"))
-            .to_arrow_refs())
+            .materialize().to_arrow_refs())
         if t.num_rows
     ])
     label_docs: dict[str, int] = {}

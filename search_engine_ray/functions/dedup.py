@@ -319,7 +319,7 @@ def ngram_jaccard_pairs(
         )
 
     out = pair_counts.map_batches(finish, batch_format="pyarrow")
-    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
@@ -509,7 +509,7 @@ def minhash_lsh_pairs(
         .select_columns(["doc_a", "doc_b"])
     )
     verified = _verify_pairs_distributed(ds, cand, id_col, k, threshold)
-    tabs = [t for t in ray.get(verified.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(verified.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return _pair_schema()
     t = pa.concat_tables(tabs)
@@ -580,7 +580,7 @@ def _verify_pairs_distributed(
     # magnitude below the corpus) and prune the corpus BEFORE shingling
     # — cuts the attach shuffle and its per-doc group dispatch from
     # |corpus| to |docs in candidates|.
-    cd_tabs = [t for t in ray.get(refs.select_columns(["key"]).to_arrow_refs()) if t.num_rows]
+    cd_tabs = [t for t in ray.get(refs.select_columns(["key"]).materialize().to_arrow_refs()) if t.num_rows]
     cand_ids = (
         np.unique(np.concatenate([t.column("key").to_numpy(zero_copy_only=False) for t in cd_tabs]))
         if cd_tabs
@@ -777,7 +777,7 @@ def simhash_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
-    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(pairs.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int64())})
@@ -849,7 +849,7 @@ def _ids_matrix(ds: rd.Dataset, id_col: str, vec_col: str) -> tuple[np.ndarray, 
     arrow refs (no pandas)."""
     from search_engine_ray.functions.veccol import vec_matrix as _vm
 
-    tabs = [t for t in ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs()) if t.num_rows]
     ids = np.concatenate([t.column(id_col).to_numpy(zero_copy_only=False) for t in tabs])
     mat = np.concatenate([_vm(t.column(vec_col)) for t in tabs])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -899,7 +899,7 @@ def embedding_dup_pairs(
     out = ds.select_columns([id_col]).map_batches(
         PairFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     )
-    tbl = pa.concat_tables([t for t in ray.get(out.to_arrow_refs()) if t.num_rows] or
+    tbl = pa.concat_tables([t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows] or
                            [pa.table({"vec_a": pa.array([], pa.int64()),
                                       "vec_b": pa.array([], pa.int64()),
                                       "cosine": pa.array([], pa.float64())})])
@@ -977,7 +977,7 @@ def embedding_dup_pairs_ivf(
         .groupby(["vec_a", "vec_b"])
         .aggregate(Min("cosine", alias_name="cosine"))
     )
-    tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(pairs.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
@@ -1188,7 +1188,7 @@ def dup_clusters(
         # below the threshold a driver union-find beats paying the
         # per-round Dataset-execution overhead of the distributed loop.
         # Equality of both paths is pinned by test.
-        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        tabs = [t for t in ray.get(edges.materialize().to_arrow_refs()) if t.num_rows]
         e = pa.concat_tables(tabs)
         u = e.column("node").to_numpy(zero_copy_only=False)
         v = e.column("nbr").to_numpy(zero_copy_only=False)
@@ -1273,7 +1273,7 @@ def dup_clusters(
             break
         prev_sum = cur_sum
 
-    tabs = [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(labels.materialize().to_arrow_refs()) if t.num_rows]
     t = pa.concat_tables(tabs)
     t = pa.table(
         {

@@ -457,6 +457,30 @@ def _bucket_of(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
 
 
+def hash_join_schema(
+    left_schema: pa.Schema,
+    left_on: str,
+    right_schema: pa.Schema,
+    right_on: str | None = None,
+) -> pa.Schema:
+    """Output schema of :func:`hash_join` for the given input schemas —
+    all left columns (the key under its LEFT name and type) followed by
+    the right side's non-key columns.  Lets callers CHAIN joins with
+    explicit schemas (``left_schema=hash_join_schema(...)``) so no link
+    in the chain ever needs ``Dataset.schema()`` — which, on a lazy
+    all-to-all pipeline, executes the entire upstream exchange just to
+    infer column names (the re-execution trap the ``region_revenue``
+    docstring describes)."""
+    right_on = right_on or left_on
+    out = [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    out += [
+        pa.field(n, t)
+        for n, t in zip(right_schema.names, right_schema.types)
+        if n != right_on
+    ]
+    return pa.schema(out)
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -466,6 +490,8 @@ def hash_join(
     mode: str = "auto",
     n_buckets: int = 64,
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Distributed equi-join — the general relational join Ray Data
     2.49 has no native operator for (prompt custom-operator recipe (a)).
@@ -505,6 +531,15 @@ def hash_join(
     columns (the key under its LEFT name), in that order. Null keys
     never match (SQL semantics — the Acero kernel's behavior on both
     plans). Row order is not significant (hash-partitioned output).
+
+    ``left_schema`` / ``right_schema``: explicit input schemas. When
+    given, the corresponding ``Dataset.schema()`` call is SKIPPED —
+    critical for chained joins, where schema inference on a lazy
+    all-to-all input would execute the whole upstream exchange once
+    per link (compute a link's output schema for the next link with
+    :func:`hash_join_schema`). The caller owns their accuracy: batch
+    column names/types must match, or the per-bucket Acero join fails
+    at execution time.
     """
     right_on = right_on or left_on
     if how not in ("inner", "left", "right", "full"):
@@ -530,7 +565,8 @@ def hash_join(
             "join cannot emit unmatched right rows exactly once)"
         )
 
-    ls, rs = left.schema(), right.schema()
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
     lf = list(zip(ls.names, ls.types))
     if left_on not in ls.names:
         raise ValueError(f"left key {left_on!r} not in {ls.names}")
@@ -542,16 +578,22 @@ def hash_join(
         raise ValueError(f"non-key columns must be disjoint: {sorted(overlap)}")
 
     if mode == "auto":
-        mode = (
-            "shuffle"
-            if how in ("right", "full")
-            else "broadcast"
-            if right.count() <= broadcast_max_rows
-            else "shuffle"
-        )
+        if how in ("right", "full"):
+            mode = "shuffle"
+        else:
+            # materialize once: the plan-choice count() is then free
+            # metadata, and WHICHEVER plan runs reuses the same cached
+            # blocks — a lazy count() would execute the right side and
+            # throw the blocks away, paying the pipeline twice
+            right = right.materialize()
+            mode = (
+                "broadcast"
+                if right.count() <= broadcast_max_rows
+                else "shuffle"
+            )
 
     if mode == "broadcast":
-        tabs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+        tabs = [t for t in ray.get(right.materialize().to_arrow_refs()) if t.num_rows]
         rt = (
             pa.concat_tables(tabs).combine_chunks()
             if tabs
@@ -918,7 +960,7 @@ def semi_join(
             t
             for t in ray.get(
                 right.map_batches(key_part, batch_format="pyarrow")
-                .to_arrow_refs()
+                .materialize().to_arrow_refs()
             )
             if t.num_rows
         ]
@@ -1095,7 +1137,7 @@ def skew_join(
                     pc.greater(b.column("n"), pa.scalar(hot_threshold))
                 ).select([left_on]),
                 batch_format="pyarrow",
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

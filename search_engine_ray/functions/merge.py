@@ -110,7 +110,7 @@ def merge_upsert(
         tabs = [
             t
             for t in ray.get(
-                changes.select_columns([*base_names, op_col]).to_arrow_refs()
+                changes.select_columns([*base_names, op_col]).materialize().to_arrow_refs()
             )
             if t.num_rows
         ]

@@ -154,7 +154,7 @@ def top_unshipped_orders(
         .replace_schema_metadata(None),  # keep block schemas hashable
         batch_format="pyarrow",
     )
-    tabs = [t for t in ray.get(seg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(seg.materialize().to_arrow_refs()) if t.num_rows]
     ck = np.sort(
         np.concatenate([_col(t, "c_custkey") for t in tabs])
         if tabs
@@ -236,7 +236,7 @@ def top_unshipped_orders(
         )
 
     parts = joined.map_batches(part_topk, batch_format="pyarrow")
-    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table(
             {"l_orderkey": pa.array([], pa.int64()),
@@ -296,16 +296,16 @@ def region_revenue(
     Money is per-row quantized int64 (module header): sums are
     order-independent, the DuckDB twin is exact at any block layout.
     """
-    from .joins import hash_join
+    from .joins import hash_join, hash_join_schema
 
     lo = _dt.datetime.fromisoformat(date_from)
     hi = _dt.datetime.fromisoformat(date_to)
 
     # constant-sized dims: 5 regions x 25 nations
     rt = pa.concat_tables(
-        [t for t in ray.get(region.to_arrow_refs()) if t.num_rows])
+        [t for t in ray.get(region.materialize().to_arrow_refs()) if t.num_rows])
     nt = pa.concat_tables(
-        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows])
+        [t for t in ray.get(nation.materialize().to_arrow_refs()) if t.num_rows])
     rkeys = {
         r["r_regionkey"] for r in rt.to_pylist() if r["r_name"] == region_name
     }
@@ -350,21 +350,45 @@ def region_revenue(
     line = lineitem.map_batches(line_rows, batch_format="pyarrow")
     supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
 
-    # each intermediate join MATERIALIZES before feeding the next:
-    # hash_join reads its inputs' schemas and unions them, and schema
-    # inference on a lazy all-to-all pipeline executes the whole
-    # upstream exchange — chaining three lazy joins re-ran join #1
-    # four times (measured 45.8 s -> ~14 s at sf0.1/32)
+    # every schema below is passed EXPLICITLY (derived from the cheap
+    # parquet-metadata schemas of the source tables + the projections
+    # above), so no link of the 3-join chain ever calls
+    # Dataset.schema() on a lazy all-to-all input — schema inference
+    # there executes the whole upstream exchange, and chaining three
+    # lazy joins re-ran join #1 four times (45.8 s); the interim fix
+    # materialize()d j1/j2 (14.0 s); explicit schemas stream the
+    # whole chain once with zero materializations.
+    ot = dict(zip(orders.schema().names, orders.schema().types))
+    ct = dict(zip(customer.schema().names, customer.schema().types))
+    lt = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    st = dict(zip(supplier.schema().names, supplier.schema().types))
+    ords_schema = pa.schema(
+        [("o_orderkey", ot["o_orderkey"]), ("o_custkey", ot["o_custkey"])])
+    cust_schema = pa.schema(
+        [("c_custkey", ct["c_custkey"]), ("c_nationkey", ct["c_nationkey"])])
+    line_schema = pa.schema(
+        [("l_orderkey", lt["l_orderkey"]), ("l_suppkey", lt["l_suppkey"]),
+         ("q_rev", pa.int64())])
+    supp_schema = pa.schema(
+        [("s_suppkey", st["s_suppkey"]), ("s_nationkey", st["s_nationkey"])])
+
+    shuffle_mode = "shuffle" if join_mode == "auto" else join_mode
     j1 = hash_join(ords, cust, "o_custkey", "c_custkey",
-                   mode="shuffle" if join_mode == "auto" else join_mode)
+                   mode=shuffle_mode,
+                   left_schema=ords_schema, right_schema=cust_schema)
     j1 = j1.map_batches(
         lambda b: b.select(["o_orderkey", "c_nationkey"]),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    j1_schema = pa.schema(
+        [("o_orderkey", ot["o_orderkey"]), ("c_nationkey", ct["c_nationkey"])])
     j2 = hash_join(line, j1, "l_orderkey", "o_orderkey",
-                   mode="shuffle" if join_mode == "auto" else join_mode
-                   ).materialize()
-    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode)
+                   mode=shuffle_mode,
+                   left_schema=line_schema, right_schema=j1_schema)
+    j2_schema = hash_join_schema(line_schema, "l_orderkey", j1_schema,
+                                 "o_orderkey")
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode,
+                   left_schema=j2_schema, right_schema=supp_schema)
 
     def partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("c_nationkey"), b.column("s_nationkey")))
@@ -378,7 +402,7 @@ def region_revenue(
         .groupby("c_nationkey")
         .aggregate(Sum("q_rev", alias_name="q_rev"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return empty
     t = pa.concat_tables(tabs)
@@ -467,7 +491,7 @@ def big_orders(
 
     parts = [
         t for t in ray.get(
-            totals.map_batches(part_topk, batch_format="pyarrow").to_arrow_refs())
+            totals.map_batches(part_topk, batch_format="pyarrow").materialize().to_arrow_refs())
         if t.num_rows
     ]
     empty = pa.table({
@@ -502,7 +526,7 @@ def big_orders(
     ords_k = pa.concat_tables([
         x for x in ray.get(
             orders.map_batches(order_rows, batch_format="pyarrow")
-            .to_arrow_refs())
+            .materialize().to_arrow_refs())
         if x.num_rows
     ]).combine_chunks()
     ckeys = pa.array(sorted(set(ords_k.column("o_custkey").to_pylist())),
@@ -516,7 +540,7 @@ def big_orders(
     cust_k = pa.concat_tables([
         x for x in ray.get(
             customer.map_batches(cust_rows, batch_format="pyarrow")
-            .to_arrow_refs())
+            .materialize().to_arrow_refs())
         if x.num_rows
     ]).combine_chunks()
     out = top.join(ords_k, keys="o_orderkey").join(
@@ -744,7 +768,7 @@ def rollup_orders(
     # domain-bounded driver fold (dozens of rows by construction).
     # Empty blocks from the groupby carry a bare schema and must be
     # dropped before concat (ArrowInvalid otherwise — schema mismatch).
-    _fine_tabs = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    _fine_tabs = [t for t in ray.get(fine.materialize().to_arrow_refs()) if t.num_rows]
     ft = pa.concat_tables(
         _fine_tabs
         or [
@@ -1685,7 +1709,7 @@ def customer_distribution(
         .groupby("c_count")
         .aggregate(Sum("custdist", alias_name="custdist"))
     )
-    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
     n_customers = customer.count()
     rows: list[tuple[int, int]] = []
     seen = 0
@@ -1768,13 +1792,13 @@ def nation_volume(
     map-side-combined over a |2 x years| domain.  Money per-row
     int64-quantized — exact at any block order.
     """
-    from .joins import hash_join
+    from .joins import hash_join, hash_join_schema
 
     lo = _dt.datetime.fromisoformat(date_from)
     hi = _dt.datetime.fromisoformat(date_to)
 
     nt = pa.concat_tables(
-        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+        [t for t in ray.get(nation.materialize().to_arrow_refs()) if t.num_rows]
     )
     nk = {
         r["n_name"]: r["n_nationkey"]
@@ -1844,19 +1868,42 @@ def nation_volume(
     line = lineitem.map_batches(line_rows, batch_format="pyarrow")
     supp = supplier.map_batches(supp_rows, batch_format="pyarrow")
 
+    # explicit schemas end-to-end (region_revenue discipline): the
+    # chain streams once, no materialize(), no schema-inference
+    # re-execution of the fact-fact exchange
+    ot = dict(zip(orders.schema().names, orders.schema().types))
+    ct = dict(zip(customer.schema().names, customer.schema().types))
+    ltt = dict(zip(lineitem.schema().names, lineitem.schema().types))
+    st = dict(zip(supplier.schema().names, supplier.schema().types))
+    ords_schema = pa.schema(
+        [("o_orderkey", ot["o_orderkey"]), ("o_custkey", ot["o_custkey"])])
+    cust_schema = pa.schema(
+        [("c_custkey", ct["c_custkey"]), ("c_nationkey", ct["c_nationkey"])])
+    line_schema = pa.schema(
+        [("l_orderkey", ltt["l_orderkey"]), ("l_suppkey", ltt["l_suppkey"]),
+         ("l_year", pa.int64()), ("q_rev", pa.int64())])
+    supp_schema = pa.schema(
+        [("s_suppkey", st["s_suppkey"]), ("s_nationkey", st["s_nationkey"])])
+
+    shuffle_mode = "shuffle" if join_mode == "auto" else join_mode
     j1 = hash_join(
-        ords, cust, "o_custkey", "c_custkey",
-        mode="shuffle" if join_mode == "auto" else join_mode,
+        ords, cust, "o_custkey", "c_custkey", mode=shuffle_mode,
+        left_schema=ords_schema, right_schema=cust_schema,
     )
     j1 = j1.map_batches(
         lambda b: b.select(["o_orderkey", "c_nationkey"]),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    j1_schema = pa.schema(
+        [("o_orderkey", ot["o_orderkey"]), ("c_nationkey", ct["c_nationkey"])])
     j2 = hash_join(
-        line, j1, "l_orderkey", "o_orderkey",
-        mode="shuffle" if join_mode == "auto" else join_mode,
-    ).materialize()
-    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode)
+        line, j1, "l_orderkey", "o_orderkey", mode=shuffle_mode,
+        left_schema=line_schema, right_schema=j1_schema,
+    )
+    j2_schema = hash_join_schema(line_schema, "l_orderkey", j1_schema,
+                                 "o_orderkey")
+    j3 = hash_join(j2, supp, "l_suppkey", "s_suppkey", mode=join_mode,
+                   left_schema=j2_schema, right_schema=supp_schema)
 
     def partial(b: pa.Table) -> pa.Table:
         # cross-pair only: supplier nation != customer nation (both
@@ -1884,7 +1931,7 @@ def nation_volume(
         .groupby(["s_nationkey", "c_nationkey", "l_year"])
         .aggregate(Sum("q_rev", alias_name="q_rev"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return empty
     t = pa.concat_tables(tabs)
@@ -1984,7 +2031,7 @@ def returned_customers(
     hi = _dt.datetime.fromisoformat(date_to)
 
     nt = pa.concat_tables(
-        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+        [t for t in ray.get(nation.materialize().to_arrow_refs()) if t.num_rows]
     )
     nmap = {r["n_nationkey"]: r["n_name"] for r in nt.to_pylist()}
     empty = pa.table(
@@ -2056,7 +2103,7 @@ def returned_customers(
         for t in ray.get(
             per_cust.map_batches(
                 part_topk, batch_format="pyarrow"
-            ).to_arrow_refs()
+            ).materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
@@ -2085,7 +2132,7 @@ def returned_customers(
             for x in ray.get(
                 customer.map_batches(
                     cust_rows, batch_format="pyarrow"
-                ).to_arrow_refs()
+                ).materialize().to_arrow_refs()
             )
             if x.num_rows
         ]
@@ -2254,7 +2301,7 @@ def yoy_growth(
     from .joins import hash_join
 
     nt = pa.concat_tables(
-        [t for t in ray.get(nation.to_arrow_refs()) if t.num_rows]
+        [t for t in ray.get(nation.materialize().to_arrow_refs()) if t.num_rows]
     )
     nmap = {r["n_nationkey"]: r["n_name"] for r in nt.to_pylist()}
 
@@ -2305,7 +2352,7 @@ def yoy_growth(
         .groupby(["s_nationkey", "l_year"])
         .aggregate(Sum("q_rev", alias_name="q_rev"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "n_name": pa.array([], pa.string()),

@@ -211,7 +211,7 @@ def source_counts(ds: rd.Dataset, stratum_col: str = "source") -> dict[str, int]
         .aggregate(Sum("n", alias_name="n"))
     )
     out: dict[str, int] = {}
-    for t in ray.get(agg.to_arrow_refs()):
+    for t in ray.get(agg.materialize().to_arrow_refs()):
         for r in t.to_pylist():
             out[r[stratum_col]] = int(r["n"])
     return out

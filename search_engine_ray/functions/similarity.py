@@ -143,7 +143,7 @@ def range_search(
     out = ds.select_columns([id_col, vec_col]).map_batches(
         RangeFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
     )
-    parts = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
         return pa.table({"query_id": pa.array([], pa.int64()),
                          "neighbor_id": pa.array([], pa.int64()),
@@ -1333,7 +1333,7 @@ def embed_covariance(
         .groupby(["i", "j"])
         .aggregate(_Sum("s", alias_name="s"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "i": pa.array([], pa.int64()),
@@ -1525,7 +1525,7 @@ def embed_pca(
         .groupby(["i", "j"])
         .aggregate(_Sum("s", alias_name="s"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         raise ValueError("embed_pca: empty input")
     t = pa.concat_tables(tabs)

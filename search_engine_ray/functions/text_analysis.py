@@ -1203,7 +1203,7 @@ def ngram_contamination(
         ),
         batch_format="pyarrow",
     )
-    tabs = [t for t in ray.get(ev_parts.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(ev_parts.materialize().to_arrow_refs()) if t.num_rows]
     ev_grams = (
         pc.unique(pa.concat_tables(tabs).column("g").combine_chunks())
         if tabs
@@ -3589,7 +3589,7 @@ def zipf_fit(ds, text_col: str = "text",
         .groupby("c")
         .aggregate(Sum("m", alias_name="m"))
     )
-    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "n_ranks": pa.array([0], pa.int64()),
@@ -3730,7 +3730,7 @@ def hapax_stats(ds, text_col: str = "text") -> pa.Table:
         .groupby("c")
         .aggregate(Sum("m", alias_name="m"))
     )
-    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
     vocab = hapax = dis = 0
     if tabs:
         t = pa.concat_tables(tabs)
@@ -3851,7 +3851,7 @@ def vocab_overlap(ds, slice_col: str = "lang",
         .groupby(["a", "b"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "slice_a": pa.array([], pa.string()),
@@ -3956,7 +3956,7 @@ def lang_confusion(ds, text_col: str = "text",
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(agg.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table(
             {

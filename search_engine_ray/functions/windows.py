@@ -1726,7 +1726,7 @@ def max_concurrency(
     parts = [
         x
         for x in ray.get(
-            srt.map_batches(summary, batch_format="pyarrow").to_arrow_refs()
+            srt.map_batches(summary, batch_format="pyarrow").materialize().to_arrow_refs()
         )
         if x.num_rows
     ]
@@ -2251,7 +2251,7 @@ def stickiness_per_day(
         .groupby(["kind", "day"])
         .aggregate(Sum("delta", alias_name="delta"))
     )
-    tabs = [t for t in ray.get(rows.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(rows.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "day": pa.array([], pa.int64()),
@@ -2508,7 +2508,7 @@ def funnel_time_stats(
         .groupby("d")
         .aggregate(Sum("m", alias_name="m"))
     )
-    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(hist.materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table(
             {
@@ -2662,7 +2662,7 @@ def km_survival(
         .groupby("t")
         .aggregate(Sum("d", alias_name="d"), Sum("m", alias_name="m"))
     )
-    tabs = [t for t in ray.get(hrows.to_arrow_refs()) if t.num_rows]
+    tabs = [t for t in ray.get(hrows.materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table(
         {
             "t_days": pa.array([], pa.int64()),

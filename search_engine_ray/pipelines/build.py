@@ -763,7 +763,7 @@ def build_index(
                 batch_size=None,
             )
             all_u = pa.concat_tables(
-                [t for t in ray.get(uniq_parts.to_arrow_refs()) if t.num_rows]
+                [t for t in ray.get(uniq_parts.materialize().to_arrow_refs()) if t.num_rows]
             )
             convs = sorted(pc.unique(all_u.column("conv_id").combine_chunks()).to_pylist())
             convs_ref = ray.put(pa.array(convs, pa.string()))

@@ -803,9 +803,33 @@ def _finish(
         positions=bool(positions),
     )
     overrides = dict(m.get("text_overrides") or {})
+    # persist generation-resident text sources (update-by-query stores
+    # its transformed slice as <gen>/source.parquet) into the durable
+    # <out>/sources/ dir BEFORE the delta dir is deleted below —
+    # otherwise post-compaction snippets/re-analyses of those convs
+    # chase a path that no longer exists (FileNotFoundError)
+    ddir = os.path.abspath(delta_mod.delta_dir(out_dir))
+    src_dir = os.path.join(out_dir, "sources")
+    persisted: dict[str, str] = {}
     for cid, info in latest.items():
-        if info["input_paths"]:
-            overrides[cid] = list(info["input_paths"])
+        if not info["input_paths"]:
+            continue
+        paths = []
+        for p in info["input_paths"]:
+            ap = os.path.abspath(p)
+            if ap.startswith(ddir + os.sep):
+                dst = persisted.get(ap)
+                if dst is None:
+                    dst = os.path.join(
+                        src_dir, "-".join(os.path.relpath(ap, ddir).split(os.sep))
+                    )
+                    os.makedirs(src_dir, exist_ok=True)
+                    shutil.copy2(ap, dst)
+                    persisted[ap] = dst
+                paths.append(dst)
+            else:
+                paths.append(p)
+        overrides[cid] = paths
     manifest = dict(m)
     manifest["stats"] = stats
     manifest["text_overrides"] = overrides

@@ -269,7 +269,7 @@ def build_phrase_aux(
             pairs.map_batches(count_partial, batch_format="pyarrow")
             .groupby("pair_id")
             .aggregate(Sum("n", alias_name="n"))
-            .to_arrow_refs()
+            .materialize().to_arrow_refs()
         )
         if t.num_rows
     ]

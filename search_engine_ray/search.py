@@ -385,14 +385,71 @@ class SearchEngine:
         self._load_deltas()
 
     def _aux_pair(self, pr: tuple[str, str]):
-        """Decode-once cache of one aux pair's (docids, cnts, starts)."""
+        """Decode-once cache of one aux pair's (docids, cnts, starts);
+        composed with the delta overlay when generations are live."""
         got = self._aux_cache.get(pr)
         if got is None:
             from .pipelines import phrase_aux as _aux_mod
 
             got = _aux_mod.read_pair(self.out_dir, self._aux_pairs[pr])
+            if self._has_deltas:
+                got = self._aux_overlay(pr, got)
             self._aux_cache[pr] = got
         return got
+
+    def _aux_overlay(self, pr: tuple[str, str], payload: tuple) -> tuple:
+        """Compose one BASE aux pair list with live delta generations —
+        the merge-on-read the posting overlay (``_overlay_delta``) does
+        for single terms, applied to a precomputed bigram adjacency:
+
+        1. DROP entries of tombstoned docids. Relying on the candidate
+           intersection is NOT enough: a re-indexed conv re-populates
+           the SAME docid range with new content, so a stale aux entry
+           could collide with a live delta docid and assert adjacency
+           the new text no longer has.
+        2. APPEND the pair's adjacency computed exactly from the delta
+           overlay's pre-decoded positions (``_delta_lemma``) — a doc is
+           wholly base- or delta-resident, so adjacency never straddles
+           the two, and the delta side is reindexed-conv-sized work.
+
+        Only reached when ``_delta_positions_ok`` (the phrase path's own
+        precondition), so both delta lemmas carry positions."""
+        d_e, cnts, starts = payload
+        if len(d_e):
+            keep = self._tomb_keep_mask(d_e)
+            if not keep.all():
+                starts = _take_pos_groups(starts, cnts, np.flatnonzero(keep))
+                d_e, cnts = d_e[keep], cnts[keep]
+        da = self._delta_lemma.get(pr[0])
+        db = self._delta_lemma.get(pr[1])
+        if da is None or db is None or da[4] is None or db[4] is None:
+            return d_e, cnts, starts
+        di_a, tf_a, pos_a = da[0], da[1], da[4]
+        di_b, tf_b, pos_b = db[0], db[1], db[4]
+        common = np.intersect1d(di_a, di_b, assume_unique=True)
+        if not len(common):
+            return d_e, cnts, starts
+        shift = np.int64(1) << np.int64(32)
+        ia = np.searchsorted(di_a, common)
+        ib = np.searchsorted(di_b, common)
+        pa_ = _take_pos_groups(pos_a, tf_a, ia)
+        pb_ = _take_pos_groups(pos_b, tf_b, ib)
+        ca = np.repeat(np.arange(len(common), dtype=np.int64), tf_a[ia])
+        cb = np.repeat(np.arange(len(common), dtype=np.int64), tf_b[ib])
+        ka = ca * shift + pa_
+        okb = pb_ >= 1  # b at position 0 can't follow anything
+        kb = cb[okb] * shift + (pb_[okb] - np.int64(1))
+        inter = np.intersect1d(ka, kb, assume_unique=True)
+        if not len(inter):
+            return d_e, cnts, starts
+        uniq, ucnt = np.unique(inter >> np.int64(32), return_counts=True)
+        # no docid collides between the two parts: delta docs live only
+        # inside tombstoned ranges, whose base entries were dropped above
+        return (
+            np.concatenate([d_e, common[uniq]]),
+            np.concatenate([cnts, ucnt.astype(np.int64)]),
+            np.concatenate([starts, inter & (shift - np.int64(1))]),
+        )
 
     # ---------------- incremental delta overlay (S4 / SURVEY §3.3) ----
 
@@ -3799,7 +3856,7 @@ class SearchEngine:
             ).map_batches(part, batch_format="pyarrow")
             import ray as _ray
 
-            tabs = [t for t in _ray.get(parts.to_arrow_refs()) if t.num_rows]
+            tabs = [t for t in _ray.get(parts.materialize().to_arrow_refs()) if t.num_rows]
             rows = []
             for t in tabs:
                 rows.extend(
@@ -4164,11 +4221,15 @@ class SearchEngine:
         # because "a@p and b@p+1" is precisely the pair entry, and
         # intersecting its (cand_idx, start - j) keys with the other
         # slots' keys enforces the rest of the phrase. Greedy
-        # left-to-right cover; bypassed entirely while delta
-        # generations are live (the aux reflects the BASE corpus only).
+        # left-to-right cover; under live delta generations each pair
+        # list is composed with the overlay (_aux_overlay: tombstoned
+        # entries dropped, delta adjacency appended) — exact, pinned
+        # against the no-aux path by test.
         covered: set[int] = set()
         pseudo: list[tuple[int, int, tuple]] = []  # (df_rank, j, payload)
-        if self._aux_pairs and not self._has_deltas:
+        if self._aux_pairs and (
+            not self._has_deltas or self._delta_positions_ok
+        ):
             jj = 0
             while jj + 1 < len(phrase):
                 pr = (phrase[jj], phrase[jj + 1])

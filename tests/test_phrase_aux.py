@@ -138,10 +138,15 @@ def test_aux_staleness_guard(aux_index, tmp_path):
     assert not eng._aux_pairs
 
 
-def test_aux_delta_bypass(aux_index, tmp_path):
-    """With a REAL delta generation live the aux is bypassed (it
-    reflects the BASE corpus): the aux cache stays cold and phrase
-    results equal a plain-engine run over the same base+delta state."""
+def test_aux_delta_overlay(aux_index, tmp_path):
+    """With a REAL delta generation live the aux stays ACTIVE, composed
+    with the overlay (_aux_overlay): the re-indexed conv's stale aux
+    entries are dropped, its new hot-bigram adjacency is appended, and
+    every phrase result equals the exact positional path over the same
+    base+delta state. The delta REWRITES a conv that matched the
+    hottest bigram — the old adjacency disappears and a new occurrence
+    appears at a different turn, so both overlay directions (drop +
+    append) are exercised, not just the no-op composition."""
     import shutil
 
     from search_engine_ray.pipelines import delta
@@ -150,18 +155,49 @@ def test_aux_delta_bypass(aux_index, tmp_path):
     shutil.copytree(aux_index["out_dir"], out)
     eng0 = SearchEngine(out)
     assert eng0._aux_pairs
-    conv = eng0.search(datagen.stem(0), limit=1)["data"].to_pylist()[0]["conv_id"]
-    resp = delta.reindex_conversations(out, [conv])
+    hot_q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    base_hits = eng0.search(hot_q, mode="phrase", limit=5)["data"].to_pylist()
+    assert base_hits, "fixture expects the hottest bigram to match"
+    conv = base_hits[0]["conv_id"]
+    # rewrite that conv: drop the old match, plant a fresh one
+    from tests.test_delta import _modify_corpus
+
+    m = aux_index.get("aux")
+    files = eng0.manifest["config"]["input_paths"]
+    new_texts = [
+        f"{datagen.stem(9)} nothing hot here anymore",
+        f"fresh pair now {datagen.stem(0)} {datagen.stem(1)} appended",
+    ]
+    mod_files = _modify_corpus(files, str(tmp_path / "modified"), conv, new_texts)
+    resp = delta.reindex_conversations(out, [conv], input_paths=mod_files)
     assert resp["result"], resp
-    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+
     eng = SearchEngine(out)
-    assert eng._has_deltas and eng._aux_pairs
-    got = eng.search(q, mode="phrase", limit=20)["data"].to_pylist()
-    assert not eng._aux_cache, "aux consulted despite live deltas"
+    assert eng._has_deltas and eng._aux_pairs and eng._delta_positions_ok
+    got = eng.search(hot_q, mode="phrase", limit=20)["data"].to_pylist()
+    assert eng._aux_cache, "aux not consulted despite positions-ok deltas"
     plain = SearchEngine(out)
     plain._aux_pairs = {}
-    want = plain.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    want = plain.search(hot_q, mode="phrase", limit=20)["data"].to_pylist()
     assert got == want
+    # payload-level pin of BOTH overlay directions: the conv's docid
+    # range had base aux entries (now dropped) and carries exactly the
+    # delta's fresh adjacency (appended)
+    pair = (datagen.stem(0), datagen.stem(1))
+    lo, hi = int(eng._tomb_starts[0]), int(eng._tomb_ends[0])
+    base_d, _, _ = aux_mod.read_pair(out, eng._aux_pairs[pair])
+    assert ((base_d >= lo) & (base_d < hi)).any(), "drop path unexercised"
+    over_d, over_c, _ = eng._aux_pair(pair)
+    in_rng = (over_d >= lo) & (over_d < hi)
+    assert in_rng.any(), "append path unexercised"
+    # the overlaid in-range entries must equal the exact delta adjacency
+    da, db = eng._delta_lemma[pair[0]], eng._delta_lemma[pair[1]]
+    common = np.intersect1d(da[0], db[0])
+    assert set(over_d[in_rng]) <= set(common)
+    # every phrase query stays rank-identical under the composed aux
+    got_all = _phrase_rows(eng, datagen.phrase_queries())
+    want_all = _phrase_rows(plain, datagen.phrase_queries())
+    assert got_all == want_all
 
 
 def test_aux_budget_in_manifest(aux_index):

@@ -160,6 +160,30 @@ def test_update_stacks_with_delete_and_compacts(upd_env, tiny_corpus):
     _compare_engines(eng2, SearchEngine(rebuilt2))
 
 
+def test_update_snippets_survive_compaction(tmp_path, tiny_corpus, ray_session):
+    """Regression: update_by_query stores its transformed slice INSIDE
+    the generation (gen-xxxx/source.parquet); compaction deletes the
+    delta dir, so the source must be persisted into <out>/sources/ and
+    text_overrides repointed — otherwise every post-compaction snippet
+    of an updated turn raises FileNotFoundError."""
+    from search_engine_ray.pipelines import compact as compact_mod
+
+    out = str(tmp_path / "idx")
+    build.build_index(BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2
+    ))
+    s = datagen.stem(45)
+    resp = delta.update_by_query(out, s, r"(?i)\b" + s + r"\w*", "xrewrittentok")
+    assert resp["result"] and resp["updated"] > 0
+    assert compact_mod.compact(out)["result"]
+    eng = SearchEngine(out)
+    assert not eng._has_deltas
+    r = eng.search("xrewrittentok", limit=3, with_snippets=True)
+    assert r["count"] > 0
+    for row in r["data"].to_pylist():
+        assert "xrewrittentok" in row["snippet"].replace("<b>", "").replace("</b>", "")
+
+
 def test_update_no_match_and_guards(tmp_path, tiny_corpus):
     out = str(tmp_path / "idx")
     build.build_index(BuildConfig(

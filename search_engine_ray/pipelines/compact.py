@@ -854,15 +854,16 @@ def _finish(
     if os.environ.get("GRAFT_COMPACT_CRASH") == "mid_swap":
         _swap_in(out_dir, entries[:1])  # torn state for the recovery test
         raise RuntimeError("injected compaction crash mid-swap")
+    # capture the pre-compaction aux budget BEFORE build.json is
+    # rewritten (load_aux md5-checks against the current manifest)
+    from . import phrase_aux as _aux_mod
+
+    old_aux = _aux_mod.load_aux(out_dir)
     _swap_in(out_dir, entries)
     write_json_atomic(build_mod.build_manifest_path(out_dir), manifest)
     shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
     # the hot-bigram aux reflects the PRE-compaction base; the rewritten
-    # build.json already invalidates it (md5 guard in phrase_aux) — the
-    # rmtree just reclaims the dead bytes. Rebuild with the phrase-aux
-    # CLI when wanted.
-    from . import phrase_aux as _aux_mod
-
+    # build.json already invalidates it (md5 guard in phrase_aux)
     shutil.rmtree(_aux_mod.aux_dir(out_dir), ignore_errors=True)
     try:
         os.remove(_aux_mod.aux_manifest_path(out_dir))
@@ -870,4 +871,17 @@ def _finish(
         pass
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(jp)
+    if old_aux is not None and manifest["stats"].get("positions"):
+        # fold the aux forward: rebuild against the compacted base at
+        # the same budget (override-aware — the stale stage-A convs are
+        # re-emitted from their persisted sources). Failure is
+        # non-fatal: queries fall back to the exact positional path.
+        try:
+            _aux_mod.build_phrase_aux(
+                out_dir,
+                top_terms=int(old_aux["top_terms"]),
+                top_pairs=int(old_aux["top_pairs"]),
+            )
+        except Exception:
+            pass
     return {"result": True, "error": None, "generations": len(gens)}

@@ -99,57 +99,88 @@ def _hot_terms(out_dir: str, top_terms: int) -> list[str]:
     return [lem[i] for i in order[:top_terms]]
 
 
+_PAIRS_EMPTY = pa.table(
+    {
+        "pair_id": pa.array([], pa.int64()),
+        "docid": pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64()),
+    }
+)
+
+
+def _emit_pairs(
+    batch: pa.Table,
+    hot_sorted: np.ndarray,
+    hot_list: pa.Array,
+    nh: int,
+    attach=None,
+    excl_convs: np.ndarray | None = None,
+) -> pa.Table:
+    """(pair_id, docid, start) adjacency rows of one whole-docs posting
+    batch. ``attach`` maps (conv_id, turn_idx) -> docid when the batch
+    has no docid column (the stage-A path); ``excl_convs`` (sorted
+    conv_id array) drops rows of overridden conversations — their
+    stage-A postings are STALE after a delete/update/compaction and are
+    re-emitted from the override source instead."""
+    if batch.num_rows == 0:
+        return _PAIRS_EMPTY
+    if excl_convs is not None and len(excl_convs):
+        cv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        pos_ = np.searchsorted(excl_convs, cv)
+        pos_c = np.minimum(pos_, len(excl_convs) - 1)
+        batch = batch.filter(pa.array(excl_convs[pos_c] != cv))
+        if batch.num_rows == 0:
+            return _PAIRS_EMPTY
+    m = pc.is_in(batch.column("lemma"), value_set=hot_list)
+    b = batch.filter(m)
+    if b.num_rows == 0:
+        return _PAIRS_EMPTY
+    if "docid" not in b.column_names:
+        b = attach(b)
+    tf = b.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    npost = len(tf)
+    cum_tf = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
+    pos = decode_poss_range(
+        binary_column_buffers(b.column("pos")), cum_tf, 0, npost, tf
+    )
+    lem = b.column("lemma").combine_chunks()
+    code = np.searchsorted(
+        hot_sorted, np.asarray(lem.to_pylist(), dtype=object)
+    ).astype(np.int64)
+    docid = b.column("docid").combine_chunks().to_numpy(zero_copy_only=False)
+    D = np.repeat(docid, tf)
+    H = np.repeat(code, tf)
+    order = np.lexsort((pos, D))
+    Ds, Ps, Hs = D[order], pos[order], H[order]
+    adj = (Ds[1:] == Ds[:-1]) & (Ps[1:] == Ps[:-1] + 1)
+    if not adj.any():
+        return _PAIRS_EMPTY
+    a = Hs[:-1][adj]
+    bb = Hs[1:][adj]
+    return pa.table(
+        {
+            "pair_id": pa.array(a * nh + bb, pa.int64()),
+            "docid": pa.array(Ds[:-1][adj], pa.int64()),
+            "start": pa.array(Ps[:-1][adj], pa.int64()),
+        }
+    )
+
+
 class _PairEmitter:
     """Actor-pool stage: hot set + conv-rank map land once per actor."""
 
-    def __init__(self, hot_ref, convs_ref):
+    def __init__(self, hot_ref, convs_ref, excl_ref=None):
         hot = ray.get(hot_ref)
         self.hot_sorted = np.array(sorted(hot), dtype=object)
         self.hot_list = pa.array(sorted(hot), pa.string())
         self.nh = len(hot)
         self.attach = make_docid_attacher(convs_ref)
+        self.excl = ray.get(excl_ref) if excl_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "pair_id": pa.array([], pa.int64()),
-                "docid": pa.array([], pa.int64()),
-                "start": pa.array([], pa.int64()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
-        m = pc.is_in(batch.column("lemma"), value_set=self.hot_list)
-        b = batch.filter(m)
-        if b.num_rows == 0:
-            return empty
-        b = self.attach(b)
-        tf = b.column("tf").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        npost = len(tf)
-        cum_tf = np.concatenate(([0], np.cumsum(tf, dtype=np.int64)))
-        pos = decode_poss_range(
-            binary_column_buffers(b.column("pos")), cum_tf, 0, npost, tf
-        )
-        lem = b.column("lemma").combine_chunks()
-        code = np.searchsorted(
-            self.hot_sorted, np.asarray(lem.to_pylist(), dtype=object)
-        ).astype(np.int64)
-        docid = b.column("docid").combine_chunks().to_numpy(zero_copy_only=False)
-        D = np.repeat(docid, tf)
-        H = np.repeat(code, tf)
-        order = np.lexsort((pos, D))
-        Ds, Ps, Hs = D[order], pos[order], H[order]
-        adj = (Ds[1:] == Ds[:-1]) & (Ps[1:] == Ps[:-1] + 1)
-        if not adj.any():
-            return empty
-        a = Hs[:-1][adj]
-        bb = Hs[1:][adj]
-        return pa.table(
-            {
-                "pair_id": pa.array(a * self.nh + bb, pa.int64()),
-                "docid": pa.array(Ds[:-1][adj], pa.int64()),
-                "start": pa.array(Ps[:-1][adj], pa.int64()),
-            }
+        return _emit_pairs(
+            batch, self.hot_sorted, self.hot_list, self.nh,
+            attach=self.attach, excl_convs=self.excl,
         )
 
 
@@ -231,7 +262,17 @@ def build_phrase_aux(
     out_dir: str, top_terms: int = 48, top_pairs: int = 512
 ) -> dict:
     """Build the hot-bigram aux index for an existing positions build.
-    Idempotent (rebuilds in place); returns the aux manifest."""
+    Idempotent (rebuilds in place); returns the aux manifest.
+
+    Stage-A postings are STALE for conversations the manifest's
+    ``text_overrides`` names (delete/update/re-index folded by a
+    compaction): those convs are EXCLUDED from the stage-A pass and
+    re-emitted from their override text source via the delta analyzer
+    (``delta._analyze_convs``), restricted to the docids still live in
+    the compacted doc store. The override re-analysis is driver-side —
+    the same documented reindexed-conv-sized bound as the delta
+    pipeline itself; an index whose overrides approach corpus size
+    should take a full rebuild (which resets stage A) instead."""
     m = build_mod.load_json(build_mod.build_manifest_path(out_dir))
     if not m:
         raise FileNotFoundError(f"no build manifest under {out_dir}")
@@ -244,6 +285,12 @@ def build_phrase_aux(
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     hot_ref = ray.put(hot)
     convs_ref = ray.put(build_mod._load_sorted_convs(out_dir))
+    overrides = {
+        str(k): list(v) for k, v in (m.get("text_overrides") or {}).items()
+    }
+    excl_ref = (
+        ray.put(np.array(sorted(overrides), dtype=object)) if overrides else None
+    )
     files = build_mod._stage_a_parquet(out_dir, "post")
     posts = rd.read_parquet(
         files,
@@ -252,12 +299,17 @@ def build_phrase_aux(
     )
     pairs = posts.map_batches(
         _PairEmitter,
-        fn_constructor_args=(hot_ref, convs_ref),
+        fn_constructor_args=(hot_ref, convs_ref, excl_ref),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=(1, max(2, ncpu // 2)),
         max_restarts=0,
-    ).materialize()  # consumed twice: totals + encode
+    )
+    if overrides:
+        extra = _override_pairs(out_dir, overrides, hot_sorted)
+        if extra.num_rows:
+            pairs = pairs.union(rd.from_arrow(extra))
+    pairs = pairs.materialize()  # consumed twice: totals + encode
 
     def count_partial(b: pa.Table) -> pa.Table:
         g = b.select(["pair_id"]).group_by(["pair_id"]).aggregate([([], "count_all")])
@@ -320,6 +372,51 @@ def build_phrase_aux(
     }
     write_json_atomic(aux_manifest_path(out_dir), manifest)
     return manifest
+
+
+def _override_pairs(
+    out_dir: str, overrides: dict[str, list[str]], hot_sorted: list[str]
+) -> pa.Table:
+    """Adjacency rows for overridden conversations, re-analyzed from
+    their CURRENT text source and restricted to live docids (dropped
+    turns stay dropped). Grouped by identical source-path tuples — one
+    pruned read + one analyzer pass per group."""
+    from ..config import TURN_BITS
+    from . import delta as delta_mod
+
+    convs_np = np.asarray(
+        build_mod._load_sorted_convs(out_dir).to_pylist(), dtype=object
+    )
+    hs = np.array(hot_sorted, dtype=object)
+    hl = pa.array(hot_sorted, pa.string())
+    groups: dict[tuple, list[str]] = {}
+    for cid, pths in overrides.items():
+        groups.setdefault(tuple(pths), []).append(cid)
+    parts = []
+    for pths, cids in groups.items():
+        cids = sorted(cids)
+        ranks = np.searchsorted(convs_np, np.asarray(cids, dtype=object))
+        rank_of = {c: int(r) for c, r in zip(cids, ranks)}
+        filters = [
+            [("docid", ">=", int(r) << TURN_BITS),
+             ("docid", "<", (int(r) + 1) << TURN_BITS)]
+            for r in ranks
+        ]
+        keep = (
+            pq.read_table(
+                build_mod.docs_dir(out_dir), columns=["docid"], filters=filters
+            )
+            .column("docid")
+            .to_numpy(zero_copy_only=False)
+        )
+        postings, _docs, _n, _l = delta_mod._analyze_convs(
+            list(pths), cids, rank_of,
+            keep_docids=np.sort(keep.astype(np.int64)),
+        )
+        t = _emit_pairs(postings, hs, hl, len(hot_sorted))
+        if t.num_rows:
+            parts.append(t)
+    return pa.concat_tables(parts) if parts else _PAIRS_EMPTY
 
 
 def load_aux(out_dir: str) -> dict | None:

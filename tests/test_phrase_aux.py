@@ -200,6 +200,57 @@ def test_aux_delta_overlay(aux_index, tmp_path):
     assert got_all == want_all
 
 
+def test_aux_rebuilt_at_compact(aux_index, tmp_path):
+    """Compaction FOLDS the aux forward: after build -> aux -> delta ->
+    compact, a fresh aux exists at the same budget, is md5-valid against
+    the compacted build.json, and every phrase query through it equals
+    the exact positional path. The re-indexed conv's stage-A postings
+    are stale post-compact, so the rebuild must take the override path
+    (re-analysis from the delta's text source), not stage A."""
+    import shutil
+
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines import delta
+    from tests.test_delta import _modify_corpus
+
+    out = str(tmp_path / "cbase")
+    shutil.copytree(aux_index["out_dir"], out)
+    eng0 = SearchEngine(out)
+    hot_q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    conv = eng0.search(hot_q, mode="phrase", limit=5)["data"].to_pylist()[0]["conv_id"]
+    files = eng0.manifest["config"]["input_paths"]
+    new_texts = [
+        f"{datagen.stem(9)} cold turn",
+        f"compacted fresh {datagen.stem(0)} {datagen.stem(1)} pair",
+    ]
+    mod_files = _modify_corpus(files, str(tmp_path / "modc"), conv, new_texts)
+    assert delta.reindex_conversations(out, [conv], input_paths=mod_files)["result"]
+    assert compact_mod.compact(out)["result"]
+
+    m2 = aux_mod.load_aux(out)
+    assert m2 is not None, "compact should rebuild the aux"
+    assert m2["top_terms"] == aux_index["aux"]["top_terms"]
+    assert m2["top_pairs"] == aux_index["aux"]["top_pairs"]
+    eng = SearchEngine(out)
+    assert eng._aux_pairs and not eng._has_deltas
+    plain = SearchEngine(out)
+    plain._aux_pairs = {}
+    for q in datagen.phrase_queries():
+        ra = eng.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        rb = plain.search(q["query_text"], scope=q["scope"], limit=q["k"], mode="phrase")
+        assert (ra["error"], ra["count"]) == (rb["error"], rb["count"]), q
+        if ra["result"]:
+            assert ra["data"].to_pylist() == rb["data"].to_pylist(), q
+    assert eng._aux_cache, "no query exercised the folded aux"
+    # full-result equality on the hot bigram: a stale folded entry (old
+    # text's adjacency) would surface as an extra aux-path match here
+    ga = eng.search(hot_q, mode="phrase", limit=10_000)["data"].to_pylist()
+    gp = plain.search(hot_q, mode="phrase", limit=10_000)["data"].to_pylist()
+    assert ga == gp
+    mine = sorted(r["turn_idx"] for r in ga if r["conv_id"] == conv)
+    assert mine == [1], "the conv's fresh pair (2nd kept turn) must match"
+
+
 def test_aux_budget_in_manifest(aux_index):
     m = aux_mod.load_aux(aux_index["out_dir"])
     assert m["top_terms"] == 24 and m["top_pairs"] == 128

@@ -230,6 +230,33 @@ def run_bench() -> dict:
                 k=8, iters=2,
             ),
         )
+        # ANN quality as bench numbers: recall@10 of each approximate
+        # path vs exact bruteforce over the SAME embeddings table.
+        # Settings recorded in BASELINE.md; the PQ paths are bounded by
+        # the data's near-tie neighbor structure, not the math (see
+        # similarity.knn_pq docstring for the measured analysis).
+        _K, _NQ, _NLIST, _NPROBE, _M = 10, 8, 16, 4, 16
+        _emb = lambda: read_clean_parquet(f"{tables_dir}/embeddings.parquet")
+        _exact = sim_mod.knn_bruteforce(_emb(), n_queries=_NQ, k=_K)
+
+        def _recall(approx: "pa.Table") -> float:
+            ex: dict = {}
+            ap: dict = {}
+            for tab, d in ((_exact, ex), (approx, ap)):
+                for r in tab.to_pylist():
+                    d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            tot = sum(len(v) for v in ex.values())
+            hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+            return round(hits / tot, 3) if tot else 1.0
+
+        ops_s["ann_recall_ivf"] = _recall(
+            sim_mod.knn_ivf(_emb(), n_queries=_NQ, k=_K,
+                            nlist=_NLIST, nprobe=_NPROBE))
+        ops_s["ann_recall_pq"] = _recall(
+            sim_mod.knn_pq(_emb(), m=_M, n_queries=_NQ, k=_K))
+        ops_s["ann_recall_ivfpq"] = _recall(
+            sim_mod.knn_ivfpq(_emb(), m=_M, n_queries=_NQ, k=_K,
+                              nlist=_NLIST, nprobe=_NPROBE))
         # sf-scaled round-3 additions: significant-terms is one
         # distributed gaps-only scan of the just-built index (the
         # ultra-hot probe maximizes the broadcast matching set);

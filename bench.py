@@ -284,10 +284,20 @@ def run_bench() -> dict:
         ops_s["phrase_hot_aux_ms"] = round((time.monotonic() - t0_) * 1e3, 1)
         _eng_plain = _SE(out)
         _eng_plain._aux_pairs = {}
+        _eng_plain.PAIR_CACHE_MIN_COST = 1 << 62  # true exact baseline
         _eng_plain.search(_hot_q, mode="phrase", limit=10)
         t0_ = time.monotonic()
         _eng_plain.search(_hot_q, mode="phrase", limit=10)
         ops_s["phrase_hot_exact_ms"] = round((time.monotonic() - t0_) * 1e3, 1)
+        # the on-demand pair LRU (aux stripped, cache allowed): first
+        # query builds the payload, second is a warm point lookup
+        _eng_lru = _SE(out)
+        _eng_lru._aux_pairs = {}
+        _eng_lru.PAIR_CACHE_MIN_COST = 0
+        _eng_lru.search(_hot_q, mode="phrase", limit=10)
+        t0_ = time.monotonic()
+        _eng_lru.search(_hot_q, mode="phrase", limit=10)
+        ops_s["phrase_hot_lru_ms"] = round((time.monotonic() - t0_) * 1e3, 1)
 
         from search_engine_ray.functions import percolate as perc_mod
         from search_engine_ray.sources.transcripts import read_transcripts

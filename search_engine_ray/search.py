@@ -285,6 +285,44 @@ def _take_pos_groups(pos_flat: np.ndarray, tf: np.ndarray, idx: np.ndarray) -> n
     return pos_flat[np.repeat(starts[idx], cnt) + within]
 
 
+def _pair_adjacency(
+    di_a: np.ndarray, tf_a: np.ndarray, pos_a: np.ndarray,
+    di_b: np.ndarray, tf_b: np.ndarray, pos_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact bigram adjacency of two posting lists -> the aux-payload
+    triple ``(docids, cnts, starts)``: docs containing lemma A at some
+    position p AND lemma B at p+1, with the per-doc start positions.
+    Inputs are docid-ascending postings with flat positions (tf values
+    per posting) — the shape both the delta overlay and the decoded
+    base term share. Vectorized: one docid intersect, one segmented
+    gather per side, one key intersect ((doc_idx << 32) | position)."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    common = np.intersect1d(di_a, di_b, assume_unique=True)
+    if not len(common):
+        return empty
+    shift = np.int64(1) << np.int64(32)
+    ia = np.searchsorted(di_a, common)
+    ib = np.searchsorted(di_b, common)
+    pa_ = _take_pos_groups(pos_a, tf_a, ia)
+    pb_ = _take_pos_groups(pos_b, tf_b, ib)
+    tfa = np.asarray(tf_a, np.int64)[ia]
+    tfb = np.asarray(tf_b, np.int64)[ib]
+    ca = np.repeat(np.arange(len(common), dtype=np.int64), tfa)
+    cb = np.repeat(np.arange(len(common), dtype=np.int64), tfb)
+    ka = ca * shift + pa_
+    okb = pb_ >= 1  # B at position 0 can't follow anything
+    kb = cb[okb] * shift + (pb_[okb] - np.int64(1))
+    inter = np.intersect1d(ka, kb, assume_unique=True)
+    if not len(inter):
+        return empty
+    uniq, ucnt = np.unique(inter >> np.int64(32), return_counts=True)
+    return (
+        common[uniq],
+        ucnt.astype(np.int64),
+        (inter & (shift - np.int64(1))).astype(np.int64),
+    )
+
+
 # registered ranking strategies (protocols.Scorer) — the formal scorer
 # extension seam (reference analog: the SearchService interface,
 # ``services/search/SearchService.java:5-15``). Built-in modes 'bm25'
@@ -372,6 +410,17 @@ class SearchEngine:
         # lists; empty when absent or stale (build.json md5 mismatch)
         self._aux_pairs: dict[tuple[str, str], int] = {}
         self._aux_cache: dict[tuple[str, str], tuple] = {}
+        # on-demand adjacency cache for hot-hot bigrams OUTSIDE the aux
+        # budget: the first worst-case query pays the positions-bound
+        # intersection it would pay anyway, the payload (same triple an
+        # aux pair stores) is kept in a byte-bounded LRU, and every
+        # repeat becomes a point lookup. Per-instance — a new engine
+        # (new manifest / new deltas) starts cold, so no explicit
+        # invalidation is needed (the _aux_cache convention).
+        from collections import OrderedDict as _OD
+
+        self._pair_lru: "dict[tuple[str, str], tuple]" = _OD()
+        self._pair_lru_bytes = 0
         try:
             from .pipelines import phrase_aux as _aux_mod
 
@@ -383,6 +432,41 @@ class SearchEngine:
         except (OSError, KeyError, ValueError):
             self._aux_pairs = {}
         self._load_deltas()
+
+    # caching pays once the pair's combined postings reach this size
+    # (below it the exact path is already fast); byte budget bounds the
+    # resident payloads, LRU-evicted. Tests shrink MIN_COST to exercise
+    # the path at toy scale.
+    PAIR_CACHE_MIN_COST = 200_000
+    PAIR_CACHE_MAX_BYTES = 256 << 20
+
+    def _pair_lru_get(self, pr: tuple[str, str]) -> tuple:
+        payload = self._pair_lru.pop(pr)
+        self._pair_lru[pr] = payload  # move to MRU end
+        return payload
+
+    def _pair_cache_put(self, pr: tuple[str, str], payload: tuple) -> None:
+        nbytes = sum(int(x.nbytes) for x in payload)
+        if nbytes <= self.PAIR_CACHE_MAX_BYTES:
+            self._pair_lru[pr] = payload
+            self._pair_lru_bytes += nbytes
+        while self._pair_lru_bytes > self.PAIR_CACHE_MAX_BYTES and self._pair_lru:
+            _, old = self._pair_lru.popitem(last=False)
+            self._pair_lru_bytes -= sum(int(x.nbytes) for x in old)
+
+    def _build_pair_cache(
+        self, a: str, b: str, blocks: dict, data: dict
+    ) -> tuple:
+        """Full adjacency list of (a, b) from the (possibly overlaid)
+        decoded postings — identical payload shape to an aux pair —
+        stored in the LRU and returned."""
+        docid_a, tf_a, _dl_a, _sc_a = data[a]
+        docid_b, tf_b, _dl_b, _sc_b = data[b]
+        pos_a = self._term_positions_full(blocks[a], tf_a)
+        pos_b = self._term_positions_full(blocks[b], tf_b)
+        payload = _pair_adjacency(docid_a, tf_a, pos_a, docid_b, tf_b, pos_b)
+        self._pair_cache_put((a, b), payload)
+        return payload
 
     def _aux_pair(self, pr: tuple[str, str]):
         """Decode-once cache of one aux pair's (docids, cnts, starts);
@@ -424,31 +508,17 @@ class SearchEngine:
         db = self._delta_lemma.get(pr[1])
         if da is None or db is None or da[4] is None or db[4] is None:
             return d_e, cnts, starts
-        di_a, tf_a, pos_a = da[0], da[1], da[4]
-        di_b, tf_b, pos_b = db[0], db[1], db[4]
-        common = np.intersect1d(di_a, di_b, assume_unique=True)
-        if not len(common):
+        d2, c2, s2 = _pair_adjacency(
+            da[0], da[1], da[4], db[0], db[1], db[4]
+        )
+        if not len(d2):
             return d_e, cnts, starts
-        shift = np.int64(1) << np.int64(32)
-        ia = np.searchsorted(di_a, common)
-        ib = np.searchsorted(di_b, common)
-        pa_ = _take_pos_groups(pos_a, tf_a, ia)
-        pb_ = _take_pos_groups(pos_b, tf_b, ib)
-        ca = np.repeat(np.arange(len(common), dtype=np.int64), tf_a[ia])
-        cb = np.repeat(np.arange(len(common), dtype=np.int64), tf_b[ib])
-        ka = ca * shift + pa_
-        okb = pb_ >= 1  # b at position 0 can't follow anything
-        kb = cb[okb] * shift + (pb_[okb] - np.int64(1))
-        inter = np.intersect1d(ka, kb, assume_unique=True)
-        if not len(inter):
-            return d_e, cnts, starts
-        uniq, ucnt = np.unique(inter >> np.int64(32), return_counts=True)
         # no docid collides between the two parts: delta docs live only
         # inside tombstoned ranges, whose base entries were dropped above
         return (
-            np.concatenate([d_e, common[uniq]]),
-            np.concatenate([cnts, ucnt.astype(np.int64)]),
-            np.concatenate([starts, inter & (shift - np.int64(1))]),
+            np.concatenate([d_e, d2]),
+            np.concatenate([cnts, c2]),
+            np.concatenate([starts, s2]),
         )
 
     # ---------------- incremental delta overlay (S4 / SURVEY §3.3) ----
@@ -4181,16 +4251,75 @@ class SearchEngine:
                     )
                 alive_alts.append(lem)
 
-        # candidate docids: AND over distinct lemmas, scope-masked
         lut = self._scope_lut(scope) if scope else None
-        cand = None
-        for lem, _df in sorted(terms, key=lambda t: (t[1], t[0])):
-            docid, _tf, _dl, sc = data[lem]
-            d = docid[lut[sc]] if lut is not None else docid
-            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
-            if not len(cand):
-                break
         empty = (np.empty(0, np.int64), terms, data)
+        shift = np.int64(1) << np.int64(32)
+        df_of = dict(terms)
+        # hot-bigram aux (pipelines/phrase_aux.py): adjacent slot pairs
+        # with a precomputed adjacency list become ONE pseudo slot keyed
+        # at the LEFT offset with the pair's start positions — exact,
+        # because "a@p and b@p+1" is precisely the pair entry, and
+        # intersecting its (cand_idx, start - j) keys with the other
+        # slots' keys enforces the rest of the phrase. Greedy
+        # left-to-right cover; under live delta generations each pair
+        # list is composed with the overlay (_aux_overlay: tombstoned
+        # entries dropped, delta adjacency appended) — exact, pinned
+        # against the no-aux path by test.
+        covered: set[int] = set()
+        pseudo: list[tuple[int, int, tuple]] = []  # (df_rank, j, payload)
+        pos_ok = not self._has_deltas or self._delta_positions_ok
+        if (self._aux_pairs or self._pair_lru) and pos_ok:
+            jj = 0
+            while jj + 1 < len(phrase):
+                pr = (phrase[jj], phrase[jj + 1])
+                if jj not in covered and pr in self._aux_pairs:
+                    payload = self._aux_pair(pr)
+                elif jj not in covered and pr in self._pair_lru:
+                    payload = self._pair_lru_get(pr)
+                else:
+                    jj += 1
+                    continue
+                pseudo.append((len(payload[0]), jj, payload))
+                covered.update((jj, jj + 1))
+                jj += 2
+        if (
+            pos_ok
+            and not covered
+            and len(phrase) == 2
+            and df_of[phrase[0]] + df_of[phrase[1]] >= self.PAIR_CACHE_MIN_COST
+        ):
+            # unindexed hot-hot bigram: the adjacency work below would
+            # be positions-bound anyway — do it ONCE as the full pair
+            # list, cache it, and serve this query from the payload
+            payload = self._build_pair_cache(
+                phrase[0], phrase[1], blocks, data
+            )
+            pseudo.append((len(payload[0]), 0, payload))
+            covered.update((0, 1))
+
+        # candidate docids: AND over distinct lemmas, scope-masked.
+        # When pseudo units cover EVERY slot, the smallest payload's
+        # docids already are a complete candidate superset (each match
+        # contains that pair adjacently), so the full-posting-list AND
+        # pre-intersection — the dominant cost of a warm cached hot-hot
+        # query (a 2x|postings| sort) — is skipped; scope masks via one
+        # member lemma's per-posting codes (scope is doc-level).
+        if pseudo and len(covered) == len(phrase):
+            smallest = min(pseudo, key=lambda u: (u[0], u[1]))
+            cand = np.unique(smallest[2][0])
+            if lut is not None and len(cand):
+                docid0, _t0, _d0, sc0 = data[phrase[smallest[1]]]
+                cand = cand[lut[sc0[np.searchsorted(docid0, cand)]]]
+        else:
+            cand = None
+            for lem, _df in sorted(terms, key=lambda t: (t[1], t[0])):
+                docid, _tf, _dl, sc = data[lem]
+                d = docid[lut[sc]] if lut is not None else docid
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=True
+                )
+                if not len(cand):
+                    break
         if cand is None or not len(cand):
             return empty
         if last_alts is not None:
@@ -4213,33 +4342,6 @@ class SearchEngine:
         # pays rare-sized position work, not hot-sized (hot-hot phrases
         # are inherently positions-bound; measured at sf1 in
         # BENCH/BASELINE.md).
-        shift = np.int64(1) << np.int64(32)
-        df_of = dict(terms)
-        # hot-bigram aux (pipelines/phrase_aux.py): adjacent slot pairs
-        # with a precomputed adjacency list become ONE pseudo slot keyed
-        # at the LEFT offset with the pair's start positions — exact,
-        # because "a@p and b@p+1" is precisely the pair entry, and
-        # intersecting its (cand_idx, start - j) keys with the other
-        # slots' keys enforces the rest of the phrase. Greedy
-        # left-to-right cover; under live delta generations each pair
-        # list is composed with the overlay (_aux_overlay: tombstoned
-        # entries dropped, delta adjacency appended) — exact, pinned
-        # against the no-aux path by test.
-        covered: set[int] = set()
-        pseudo: list[tuple[int, int, tuple]] = []  # (df_rank, j, payload)
-        if self._aux_pairs and (
-            not self._has_deltas or self._delta_positions_ok
-        ):
-            jj = 0
-            while jj + 1 < len(phrase):
-                pr = (phrase[jj], phrase[jj + 1])
-                if jj not in covered and pr in self._aux_pairs:
-                    payload = self._aux_pair(pr)
-                    pseudo.append((len(payload[0]), jj, payload))
-                    covered.update((jj, jj + 1))
-                    jj += 2
-                else:
-                    jj += 1
         slot_order = sorted(
             (j for j in range(len(phrase)) if j not in covered),
             key=lambda j: (df_of[phrase[j]], j),

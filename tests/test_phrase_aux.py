@@ -251,6 +251,82 @@ def test_aux_rebuilt_at_compact(aux_index, tmp_path):
     assert mine == [1], "the conv's fresh pair (2nd kept turn) must match"
 
 
+def test_pair_lru_unindexed_hot_pairs(tiny_index):
+    """Bigrams OUTSIDE the aux budget: with the on-demand pair LRU
+    enabled (threshold 0) the first query builds the full adjacency
+    payload, the second serves from cache, and BOTH are rank-identical
+    to the exact positional path. Eviction respects the byte budget."""
+    out = tiny_index["out_dir"]
+    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+
+    exact = SearchEngine(out)
+    exact._aux_pairs = {}
+    exact.PAIR_CACHE_MIN_COST = 1 << 62  # cache off
+    want = exact.search(q, mode="phrase", limit=20)["data"].to_pylist()
+
+    eng = SearchEngine(out)
+    eng._aux_pairs = {}
+    eng.PAIR_CACHE_MIN_COST = 0
+    got1 = eng.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    assert got1 == want
+    assert len(eng._pair_lru) == 1 and eng._pair_lru_bytes > 0
+    # second query: served from the LRU (no rebuild), still identical
+    builds = []
+    orig = eng._build_pair_cache
+    eng._build_pair_cache = lambda *a, **k: builds.append(1) or orig(*a, **k)
+    got2 = eng.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    assert got2 == want and not builds
+    # a 3+-term phrase never takes the on-demand path (cand-restricted
+    # slot evaluation is cheaper there) but stays correct with it on
+    q3 = f"{datagen.stem(0)} {datagen.stem(1)} {datagen.stem(2)}"
+    e3 = SearchEngine(out)
+    e3._aux_pairs = {}
+    e3.PAIR_CACHE_MIN_COST = 1 << 62
+    r3w = e3.search(q3, mode="phrase", limit=20)["data"].to_pylist()
+    r3g = eng.search(q3, mode="phrase", limit=20)["data"].to_pylist()
+    assert r3g == r3w
+    # byte-budget eviction: shrink the budget below the resident payload
+    eng.PAIR_CACHE_MAX_BYTES = 1
+    eng.search(f"{datagen.stem(1)} {datagen.stem(2)}", mode="phrase", limit=5)
+    assert len(eng._pair_lru) == 0 and eng._pair_lru_bytes == 0
+
+
+def test_pair_lru_with_live_deltas(aux_index, tmp_path):
+    """The LRU path composes with the delta overlay exactly like the
+    aux path: payloads built from OVERLAID postings, rank-identical to
+    the exact path over base+delta."""
+    import shutil
+
+    from search_engine_ray.pipelines import delta
+    from tests.test_delta import _modify_corpus
+
+    out = str(tmp_path / "lrubase")
+    shutil.copytree(aux_index["out_dir"], out)
+    eng0 = SearchEngine(out)
+    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    conv = eng0.search(q, mode="phrase", limit=5)["data"].to_pylist()[0]["conv_id"]
+    files = eng0.manifest["config"]["input_paths"]
+    mod_files = _modify_corpus(
+        files, str(tmp_path / "modl"), conv,
+        [f"{datagen.stem(0)} {datagen.stem(1)} fresh overlay pair"],
+    )
+    assert delta.reindex_conversations(out, [conv], input_paths=mod_files)["result"]
+
+    exact = SearchEngine(out)
+    exact._aux_pairs = {}
+    exact.PAIR_CACHE_MIN_COST = 1 << 62
+    want = exact.search(q, mode="phrase", limit=10_000)["data"].to_pylist()
+
+    eng = SearchEngine(out)
+    eng._aux_pairs = {}
+    eng.PAIR_CACHE_MIN_COST = 0
+    assert eng._has_deltas
+    got1 = eng.search(q, mode="phrase", limit=10_000)["data"].to_pylist()
+    got2 = eng.search(q, mode="phrase", limit=10_000)["data"].to_pylist()
+    assert got1 == want and got2 == want
+    assert eng._pair_lru
+
+
 def test_aux_budget_in_manifest(aux_index):
     m = aux_mod.load_aux(aux_index["out_dir"])
     assert m["top_terms"] == 24 and m["top_pairs"] == 128

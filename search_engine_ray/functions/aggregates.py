@@ -17,6 +17,27 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
+# one safety bit under the int64 wrap point: values at or above this
+# cannot be trusted through one more add/subtract in a numpy fold
+INT64_HEADROOM = 2**62
+
+
+def headroom_guard(op: str, value: int, bound: int = INT64_HEADROOM,
+                   hint: str = "requantize, rebase, or split the group") -> None:
+    """Loud refusal where a numpy int64 fold would WRAP silently — the
+    shared guard behind every grouped statistic that documents an exact
+    int64 headroom bound (ks_test / emd_by_group pioneered the inline
+    form; this centralizes it so no silent-wrap path can regress in).
+
+    ``value`` is the op's documented worst-case magnitude computed with
+    PYTHON ints (arbitrary precision — the check itself cannot wrap).
+    """
+    if value >= bound:
+        raise ValueError(
+            f"{op}: worst-case magnitude {value} exceeds the exact "
+            f"int64 headroom ({bound}) — {hint}"
+        )
+
 
 def conv_stats(ds: rd.Dataset) -> rd.Dataset:
     """Per-conversation rollup over the transcripts table: turn count,
@@ -614,13 +635,19 @@ def grouped_outliers(
                 "n": pa.array(np.ones(len(c), np.int64), pa.int64()),
                 "s": pa.array(c, pa.int64()),
                 "ss": pa.array(c * c, pa.int64()),
+                # per-group |cent| max rides along so the fold can
+                # verify the documented n*max_cent^2 moment headroom
+                # AFTER aggregation (max never wraps, so the check is
+                # valid even where a sum would already have)
+                "m": pa.array(np.abs(c), pa.int64()),
             }
         )
         out = t.group_by("g").aggregate(
-            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+            [("n", "sum"), ("s", "sum"), ("ss", "sum"), ("m", "max")]
         )
-        return out.rename_columns(["g", "n", "s", "ss"])
+        return out.rename_columns(["g", "n", "s", "ss", "m"])
 
+    from ray.data.aggregate import Max as _Max
     from ray.data.aggregate import Sum as _Sum
 
     stats = (
@@ -634,11 +661,18 @@ def grouped_outliers(
             _Sum("n", alias_name="n"),
             _Sum("s", alias_name="s"),
             _Sum("ss", alias_name="ss"),
+            _Max("m", alias_name="m"),
         )
         .take_all()  # group-domain bounded
     )
     import ray
 
+    for r in stats:
+        headroom_guard(
+            "grouped_outliers",
+            int(r["n"]) * int(r["m"]) ** 2,
+            hint="requantize OUTLIER_CENT or split the group",
+        )
     lut = {
         r["g"]: (int(r["n"]), int(r["s"]), int(r["ss"])) for r in stats
     }
@@ -1536,6 +1570,9 @@ def spearman_by_group(
         y = grp.column("y").to_numpy(zero_copy_only=False)
         c = grp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         n = int(c.sum())
+        # Sxy <= sum c*(2n)^2 = 4n^3 and each elementwise product is
+        # bounded the same way (docstring bound, ~50k rows/group)
+        headroom_guard("spearman_by_group", 4 * n**3)
         rx = midranks2(x, c)  # doubled midranks, int64
         ry = midranks2(y, c)
         sx = int((c * rx).sum())
@@ -1906,6 +1943,7 @@ def ks_test(
     group_col: str = "event_type",
     segment_col: str = "segment",
     value_col: str = "value",
+    headroom_bound: int = INT64_HEADROOM,
 ) -> rd.Dataset:
     """Two-sample Kolmogorov-Smirnov statistic per group between two
     segments (Kolmogorov 1933; Smirnov 1939) — the distribution-shape
@@ -1958,13 +1996,10 @@ def ks_test(
         np.add.at(b, inv[~m0], n[~m0])
         na = int(a.sum())
         nb = int(b.sum())
-        if na * nb >= 2**62:
-            # numpy int64 would wrap SILENTLY past this point and
-            # produce a wrong D — refuse loudly like emd_by_group
-            raise ValueError(
-                "ks_test: na*nb exceeds int64 headroom "
-                f"({na}*{nb}); requantize or subsample the segments"
-            )
+        # numpy int64 would wrap SILENTLY past this point and produce
+        # a wrong D (``headroom_bound`` overridable: testable refusal)
+        headroom_guard("ks_test", na * nb, bound=headroom_bound,
+                       hint="requantize or subsample the segments")
         ca = np.cumsum(a)
         cb = np.cumsum(b)
         ks_num = int(np.abs(ca * nb - cb * na).max()) if len(uniq) else 0
@@ -2076,6 +2111,7 @@ def kendall_by_group(
     group_col: str = "event_type",
     x_col: str = "ts_us",
     y_col: str = "value",
+    headroom_bound: int = INT64_HEADROOM,
 ) -> rd.Dataset:
     """Kendall tau-b per group (Kendall 1938) — the concordance-based
     correlation completing :func:`spearman_by_group`'s rank family:
@@ -2126,6 +2162,11 @@ def kendall_by_group(
         order = np.lexsort((y, x))
         x, y, w = x[order], y[order], w[order]
         n = int(w.sum())
+        # |S| and every Fenwick partial are bounded by n0 = C(n, 2)
+        # (docstring bound, ~4.2e9 rows/group; ``headroom_bound`` is
+        # overridable so the refusal is testable without 4e9 rows)
+        headroom_guard("kendall_by_group", n * (n - 1) // 2,
+                       bound=headroom_bound)
         n0 = n * (n - 1) // 2
         tx = np.zeros(len(np.unique(x)), np.int64)
         _, xi = np.unique(x, return_inverse=True)
@@ -2888,13 +2929,11 @@ def emd_by_group(
         num = 0
         if na > 0 and nb > 0 and len(uniq) > 1:
             # the whole sum is bounded by na*nb*(value range); numpy
-            # int64 would WRAP past 2^63 where DuckDB's HUGEINT grows —
-            # refuse loudly (the graph_rules rule); rebase cents or
-            # split the group beyond
-            if na * nb * int(uniq[-1] - uniq[0]) >= 2**62:
-                raise ValueError(
-                    "emd_by_group: na*nb*range exceeds int64 headroom"
-                )
+            # int64 would WRAP past 2^63 where DuckDB's HUGEINT grows
+            headroom_guard(
+                "emd_by_group", na * nb * int(uniq[-1] - uniq[0]),
+                hint="rebase cents or split the group",
+            )
             ca = np.cumsum(a)[:-1]
             cb = np.cumsum(b)[:-1]
             gaps = np.diff(uniq)

@@ -699,11 +699,13 @@ def association_rules(
     n_baskets = int(bk["n"] or 0)
     if n_baskets == 0:
         raise ValueError("association_rules: no baskets")
-    if n_baskets > 2_000_000:
-        raise ValueError(
-            f"association_rules: {n_baskets} baskets exceed the exact "
-            "int64 lift headroom — rescale RULES_Q or fold in decimal128"
-        )
+    from .aggregates import headroom_guard
+
+    headroom_guard(
+        "association_rules", n_baskets, bound=2_000_001,
+        hint="the RULES_Q-scaled lift product wraps int64 past 2M "
+        "baskets; rescale RULES_Q or fold in decimal128",
+    )
 
     item_side = counts.map_batches(
         lambda t: t.filter(

@@ -542,9 +542,17 @@ def build_index(
             )
             # min_rows_per_file: without it every map task emits its own
             # ~2k-row file per kind (hundreds of 100KB files per
-            # partition) and downstream passes pay per-file open costs
+            # partition) and downstream passes pay per-file open costs.
+            # stage_a_compression (extra): parquet codec for the stage-A
+            # intermediates — snappy default; zstd trades analyzer-side
+            # CPU for smaller downstream re-reads (A/B in BASELINE.md)
             ds.write_parquet(
-                part_dir, partition_cols=["kind"], min_rows_per_file=500_000
+                part_dir, partition_cols=["kind"], min_rows_per_file=500_000,
+                **(
+                    {"compression": cfg.extra["stage_a_compression"]}
+                    if "stage_a_compression" in cfg.extra
+                    else {}
+                ),
             )
         except Exception as e:
             tracker.mark(pid, key, STATE_FAILED, input_files=files)

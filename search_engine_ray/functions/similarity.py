@@ -610,10 +610,18 @@ def kmeans_fit(
     k-means — the objective Σ cos(x, c_assigned) is non-decreasing
     under these updates). Returns (centroids, per-iteration objective).
     At 10^12 vectors: iters map passes, k x d driver state — the same
-    shape Meta's SemDeDup pipeline uses for its cluster step."""
-    cents = seed_centroids(ds, k, id_col, vec_col)
+    shape Meta's SemDeDup pipeline uses for its cluster step.
+
+    The projected source MATERIALIZES once and every Lloyd pass (and
+    the seed scan) reuses the cached blocks — without it each iteration
+    re-reads and re-decodes the parquet from storage. The blocks are
+    object-store-resident with disk spill beyond memory; at the extreme
+    scale where spilling the projection exceeds the cost of re-reading
+    columnar storage per pass, drop the ``materialize()`` — the
+    iteration loop is unchanged either way."""
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    cents = seed_centroids(src, k, id_col, vec_col)
     objective: list[float] = []
-    src = ds.select_columns([id_col, vec_col])
     for _ in range(iters):
         cref = ray.put(cents)
 

@@ -256,6 +256,11 @@ def top_unshipped_orders(
 # Q5 analog: revenue by nation for intra-region customer/supplier pairs
 # ---------------------------------------------------------------------------
 
+# gate for the Q5 date-key semi-join prefilter of the fact-fact
+# exchange (A/B-able; measured neutral at sf0.1 where per-execution
+# overhead ~ exchange cost, and strictly exchange-shrinking beyond)
+Q5_PREFILTER = True
+
 Q5_REGION = "ASIA"
 Q5_FROM = "1995-01-01"
 Q5_TO = "1996-01-01"
@@ -371,6 +376,23 @@ def region_revenue(
          ("q_rev", pa.int64())])
     supp_schema = pa.schema(
         [("s_suppkey", st["s_suppkey"]), ("s_nationkey", st["s_nationkey"])])
+
+    # semi-join prefilter ahead of the dominant fact-fact exchange:
+    # the date-pruned ORDER KEY SET (~1/7 of orders) broadcasts once
+    # and lineitem streams through a zero-shuffle membership mask, so
+    # j2 ships only rows that can survive the join. Gated on the 2M
+    # broadcast bound: above it the prefilter is SKIPPED (a shuffle
+    # semi-join would itself be a fact exchange) and the plan degrades
+    # to the plain chain — results identical either way, pinned by the
+    # shared oracle. Only KEYS broadcast, never rows (the
+    # corpus-scale-customer rule in the plan docstring holds).
+    from .joins import semi_join
+
+    if Q5_PREFILTER:
+        ords = ords.materialize()  # consumed by the filter keys AND j1
+        if ords.count() <= 2_000_000:
+            line = semi_join(line, ords, "l_orderkey", "o_orderkey",
+                             mode="broadcast")
 
     shuffle_mode = "shuffle" if join_mode == "auto" else join_mode
     j1 = hash_join(ords, cust, "o_custkey", "c_custkey",

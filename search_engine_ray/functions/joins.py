@@ -950,7 +950,13 @@ def semi_join(
         )
         return pa.table({"k": pa.array(np.unique(v), pa.int64())})
 
+    # every path below touches ONLY the right key column — project it
+    # out up front so (a) no payload bytes move, (b) the auto-mode
+    # count and the chosen plan share ONE materialized execution
+    # instead of re-running the right pipeline per consumer
+    right = right.select_columns([right_on])
     if mode == "auto":
+        right = right.materialize()
         mode = (
             "broadcast" if right.count() <= broadcast_max_rows else "shuffle"
         )
@@ -1115,6 +1121,14 @@ def skew_join(
     kt = dict(zip(ls.names, ls.types))[left_on]
     if not pa.types.is_integer(kt):
         raise ValueError(f"skew_join needs an integer key, got {kt}")
+
+    # left feeds THREE consumers (the heat census, the hot slice, the
+    # cold slice) and right feeds two; materialize each once so the
+    # upstream pipelines execute once and the splits read cached blocks
+    # (object-store-resident, disk-spilled beyond memory — the same
+    # residency the exchange itself would impose)
+    left = left.materialize()
+    right = right.materialize()
 
     def key_counts(b: pa.Table) -> pa.Table:
         return (

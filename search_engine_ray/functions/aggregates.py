@@ -998,7 +998,7 @@ def skyline2d(
     cand = ds.map_batches(
         lambda t: local_frontier(t.replace_schema_metadata(None)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by count + the driver fold: one execution
     n_cand = cand.count()
     if n_cand > max_frontier:
         raise ValueError(

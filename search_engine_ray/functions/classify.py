@@ -448,6 +448,7 @@ def nb_classify(ds, label_col: str = "source", id_col: str = "doc_id",
     folded_ds = _nb_counts_ds(ds, label_col, text_col)
     if mode == "join":
         return _nb_score_joined(ds, folded_ds, id_col, text_col)
+    folded_ds = folded_ds.materialize()  # count + (take_all | join) share it
     n_rows = folded_ds.count()
     if n_rows > broadcast_max_rows:
         return _nb_score_joined(ds, folded_ds, id_col, text_col)

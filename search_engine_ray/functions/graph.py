@@ -715,7 +715,7 @@ def association_rules(
             )
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by count + take_all: one execution
     n_items = item_side.count()
     if n_items > 2_000_000:
         raise ValueError(

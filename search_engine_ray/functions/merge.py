@@ -102,6 +102,9 @@ def merge_upsert(
         )
 
     if mode == "auto":
+        # materialize once: the bound count and whichever plan runs
+        # share the same cached execution of the changes pipeline
+        changes = changes.materialize()
         mode = (
             "broadcast" if changes.count() <= broadcast_max_rows else "shuffle"
         )

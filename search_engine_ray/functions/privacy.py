@@ -203,7 +203,7 @@ def k_suppress(
     if mode == "shuffle":
         return _shuffle_plan()
 
-    under = k_anonymity_audit(ds, quasi_cols, k)
+    under = k_anonymity_audit(ds, quasi_cols, k).materialize()
     n_combos = under.count()
     if n_combos > max_combos_broadcast:
         if mode == "auto":

@@ -497,7 +497,7 @@ def sample_weighted(
     cand = ds.select_columns([id_col, weight_col]).map_batches(
         lambda b: keys(b.replace_schema_metadata(None)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # consumed by count + take_all: one execution
     n_cand = cand.count()
     if n_cand > max_candidates:
         raise ValueError(

@@ -1907,6 +1907,25 @@ def nation_volume(
     supp_schema = pa.schema(
         [("s_suppkey", st["s_suppkey"]), ("s_nationkey", st["s_nationkey"])])
 
+    # Q5's semi-prefilter discipline: here ORDERS enters its exchange
+    # unfiltered, so the nation-pair-pruned CUSTOMER KEY SET (~2/25)
+    # broadcasts first and orders streams through the membership mask;
+    # the surviving ORDER KEY SET then prefilters lineitem the same
+    # way. Both gated on the 2M broadcast bound (skip above — a shuffle
+    # semi-join would be its own fact exchange); results identical
+    # either way, pinned by the shared oracle.
+    if Q5_PREFILTER:
+        from .joins import semi_join
+
+        cust = cust.materialize()  # filter keys AND j1 share it
+        if cust.count() <= 2_000_000:
+            ords = semi_join(ords, cust, "o_custkey", "c_custkey",
+                             mode="broadcast")
+        ords = ords.materialize()  # filter keys AND j1 share it
+        if ords.count() <= 2_000_000:
+            line = semi_join(line, ords, "l_orderkey", "o_orderkey",
+                             mode="broadcast")
+
     shuffle_mode = "shuffle" if join_mode == "auto" else join_mode
     j1 = hash_join(
         ords, cust, "o_custkey", "c_custkey", mode=shuffle_mode,

@@ -34,9 +34,12 @@ Build plan (one bounded pass, no corpus-sized driver state):
 
 The aux manifest pins the md5 of ``build.json`` at build time; the
 engine ignores the aux index if the build manifest has been rewritten
-since (compact / rebuild), and bypasses it entirely while delta
-generations are live — correctness never depends on invalidation
-being explicit.
+since (compact / rebuild). Under LIVE delta generations the aux stays
+active, composed per pair with the overlay
+(``SearchEngine._aux_overlay``: tombstoned entries dropped, delta
+adjacency appended — exact, pinned against the no-aux path by test);
+compaction rebuilds the aux at its previous budget automatically
+(override-aware, see :func:`build_phrase_aux`).
 """
 
 from __future__ import annotations

@@ -10,3 +10,25 @@ shuffle structure and partitioning assumptions):
 - :mod:`.windows`        tumbling-window aggregates + sessionization
 - :mod:`.snippets`       reference-parity snippet creation/highlighting
 """
+
+from __future__ import annotations
+
+
+def actor_pool(frac: float = 0.5, floor: int = 2, cap: int | None = None
+               ) -> tuple[int, int]:
+    """``concurrency=(1, N)`` sizing for a stateful ``map_batches``
+    actor-pool stage: N = ``frac`` of the cluster's CPUs (default half
+    — leaving cores for the reads/writes feeding the pool, the stage-A
+    lesson in pipelines/build.py), at least ``floor``. A fixed literal
+    here is a SCALE BUG: ``concurrency=(1, 4)`` runs four actors on a
+    256-node cluster. Never initializes Ray (the driver contract owns
+    the session) — uninitialized callers get the floor."""
+    import ray
+
+    ncpu = (
+        int(ray.cluster_resources().get("CPU", 0))
+        if ray.is_initialized()
+        else 0
+    )
+    n = max(floor, int(ncpu * frac))
+    return (1, min(n, cap) if cap else n)

@@ -11,6 +11,8 @@ global and per-site totals; these are its corpus-scale generalizations.
 
 from __future__ import annotations
 
+from search_engine_ray.functions import actor_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -150,7 +152,7 @@ def role_top_lemmas(ds: rd.Dataset, k: int = 10) -> pa.Table:
 
     grouped = (
         ds.select_columns(["role", "text"])
-        .map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        .map_batches(Partial, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0)
         .groupby(["role", "lemma"])
         .aggregate(Sum("df", alias_name="df"))
     )

@@ -31,6 +31,8 @@ invariance.
 
 from __future__ import annotations
 
+from search_engine_ray.functions import actor_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -210,7 +212,7 @@ def bpe_token_counts(ds: rd.Dataset, merges: pa.Table,
     ref = ray.put(merges)
     return ds.map_batches(
         BpeEncoder, fn_constructor_args=(ref, text_col),
-        batch_format="pyarrow", concurrency=(1, 4), max_restarts=0,
+        batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0,
     )
 
 

@@ -35,6 +35,8 @@ Scale notes (each op documents its shuffle):
 
 from __future__ import annotations
 
+from search_engine_ray.functions import actor_pool
+
 import hashlib
 
 import numpy as np
@@ -435,7 +437,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
-    concurrency=(1, 4), max_restarts=0,
+    concurrency=actor_pool(), max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Candidate pairs from LSH band collisions, verified with EXACT
@@ -709,7 +711,7 @@ def simhash_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     max_hamming: int = SIMHASH_MAX_HAMMING,
-    concurrency=(1, 4), max_restarts=0,
+    concurrency=actor_pool(), max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
@@ -897,7 +899,7 @@ def embedding_dup_pairs(
             )
 
     out = ds.select_columns([id_col]).map_batches(
-        PairFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        PairFinder, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     )
     tbl = pa.concat_tables([t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows] or
                            [pa.table({"vec_a": pa.array([], pa.int64()),
@@ -971,7 +973,7 @@ def embedding_dup_pairs_ivf(
 
     pairs = (
         ds.select_columns([id_col, vec_col])
-        .map_batches(CellAssign, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0)
+        .map_batches(CellAssign, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0)
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])

@@ -32,6 +32,8 @@ closure (registration-sized, never data-sized).
 
 from __future__ import annotations
 
+from search_engine_ray.functions import actor_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -152,7 +154,7 @@ def percolate(ds, queries: list[dict], text_col: str = "text"):
             )
 
     return ds.map_batches(
-        Percolator, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        Percolator, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     )
 
 

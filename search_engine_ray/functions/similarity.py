@@ -6,6 +6,8 @@ search only the ``nprobe`` nearest of ``nlist`` coarse cells).
 
 from __future__ import annotations
 
+from search_engine_ray.functions import actor_pool
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -77,7 +79,7 @@ def knn_bruteforce(
             )
 
     parts = ds.select_columns([id_col, vec_col]).map_batches(
-        PartialTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        PartialTopK, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):
@@ -141,7 +143,7 @@ def range_search(
             )
 
     out = ds.select_columns([id_col, vec_col]).map_batches(
-        RangeFinder, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        RangeFinder, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     )
     parts = [t for t in ray.get(out.materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
@@ -249,7 +251,7 @@ def build_ivf_index(
             return batch.append_column("cell", pa.array(cell, pa.int32()))
 
     return (
-        ds.map_batches(AssignCell, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0),
+        ds.map_batches(AssignCell, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0),
         cents,
     )
 
@@ -306,7 +308,7 @@ def knn_ivf(
             )
 
     parts = ds.select_columns([id_col, vec_col]).map_batches(
-        CellTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        CellTopK, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):
@@ -377,7 +379,7 @@ def _knn_ivf_indexed(
         batch_format="pyarrow",
     )
     parts = probed.map_batches(
-        ProbeTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        ProbeTopK, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):
@@ -491,7 +493,7 @@ def knn_filtered(
 
     cols = [id_col, vec_col, filter_col] + (["cell"] if use_cell else [])
     parts = source.select_columns(cols).map_batches(
-        FilteredTopK, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        FilteredTopK, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     ).to_pandas()
     rows = []
     for qid, g in parts.groupby("query_id"):
@@ -587,7 +589,7 @@ def kmeans_assign(
             )
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        Assign, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        Assign, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     )
 
 
@@ -654,7 +656,7 @@ def kmeans_fit(
                 )
 
         parts = src.map_batches(
-            Partials, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+            Partials, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
         ).to_pandas().sort_values(["cluster", "min_id"])
         objective.append(float(parts["cos_sum"].to_numpy().sum()))
         new = cents.copy()
@@ -968,7 +970,7 @@ def pq_fit(
                 )
 
         parts = src.map_batches(Partials, batch_format="pyarrow",
-                                concurrency=(1, 4), max_restarts=0).to_pandas()
+                                concurrency=actor_pool(), max_restarts=0).to_pandas()
         parts = parts.sort_values(["sub", "cluster", "min_id"])
         new = cents.copy()
         total_err = 0.0
@@ -1022,7 +1024,7 @@ def pq_encode(
             )
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        Encode, batch_format="pyarrow", concurrency=(1, 4), max_restarts=0
+        Encode, batch_format="pyarrow", concurrency=actor_pool(), max_restarts=0
     )
 
 

@@ -548,8 +548,26 @@ class SearchEngine:
         self._delta_text_paths.update(
             {cid: info["input_paths"] for cid, info in latest.items() if info["input_paths"]}
         )
-        # per-conv old counts vs the immutable base doc store
-        base = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["docid", "doc_len"])
+        # per-conv old counts vs the immutable base doc store. Read
+        # ONLY the tombstoned docid ranges (the doc store is
+        # docid-sorted, so the DNF filter prunes to the touched row
+        # groups) — a full docid/doc_len column pull is corpus-sized at
+        # 100 TB. Beyond ~1024 ranges the filter expression itself gets
+        # expensive; fall back to the full column read (that many live
+        # deltas means a compaction is overdue anyway).
+        rngs = [info["range"] for info in latest.values()]
+        base = pq.read_table(
+            build_mod.docs_dir(self.out_dir),
+            columns=["docid", "doc_len"],
+            **(
+                {"filters": [
+                    [("docid", ">=", int(lo)), ("docid", "<", int(hi))]
+                    for lo, hi in rngs
+                ]}
+                if 0 < len(rngs) <= 1024
+                else {}
+            ),
+        )
         bdoc = base.column("docid").to_numpy()
         bdl = base.column("doc_len").to_numpy()
         n_eff, len_eff = self.n_docs, int(self.manifest["stats"]["total_len"])

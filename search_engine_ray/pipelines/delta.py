@@ -76,7 +76,21 @@ def _base_old_counts(out_dir: str, ranges: list[tuple[int, int]]) -> tuple[int, 
     base doc store (pruned range read per conv at scale; column read
     here). Informational lineage — the overlay and compaction both
     recompute exact stats from base + winning-generation docs."""
-    dtab = pq.read_table(build_mod.docs_dir(out_dir), columns=["docid", "doc_len"])
+    dtab = pq.read_table(
+        build_mod.docs_dir(out_dir),
+        columns=["docid", "doc_len"],
+        # row-group-pruned to the tombstoned ranges (docid-sorted
+        # store); full-column fallback past 1024 ranges — the
+        # search.py _load_deltas convention
+        **(
+            {"filters": [
+                [("docid", ">=", int(lo)), ("docid", "<", int(hi))]
+                for lo, hi in ranges
+            ]}
+            if 0 < len(ranges) <= 1024
+            else {}
+        ),
+    )
     base_docids = dtab.column("docid").to_numpy()
     base_dl = dtab.column("doc_len").to_numpy()
     old_turns = old_len = 0

@@ -3740,8 +3740,31 @@ class SearchEngine:
                     int(ddl.max()) if len(ddl) else 0,
                 )
             else:
-                t = pq.read_table(build_mod.docs_dir(self.out_dir), columns=["doc_len"])
-                m = pc.max(t.column("doc_len")).as_py()
+                # max(doc_len) from parquet ROW-GROUP STATISTICS — zero
+                # data read (exact for int columns written by arrow); a
+                # full doc_len column pull is corpus-sized at scale
+                d = build_mod.docs_dir(self.out_dir)
+
+                def _stats_max() -> int | None:
+                    mx = 0
+                    for f in sorted(os.listdir(d)):
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = pq.ParquetFile(os.path.join(d, f)).metadata
+                        ci = md.schema.to_arrow_schema().get_field_index(
+                            "doc_len"
+                        )
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                return None  # stats absent: full read
+                            mx = max(mx, int(st.max))
+                    return mx
+
+                m = _stats_max()
+                if m is None:
+                    t = pq.read_table(d, columns=["doc_len"])
+                    m = pc.max(t.column("doc_len")).as_py()
             self._ref_max_relevance = float(m or 1)
         return self._ref_max_relevance
 

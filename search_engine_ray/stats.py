@@ -17,9 +17,17 @@ from .state.manifest import PartitionTracker, load_json
 
 
 def statistics(out_dir: str) -> dict:
+    """Reference-parity dashboard stats (StatisticsServiceImpl.java:
+    64-78 — one DB groupby). The per-role count here is a driver-side
+    scan of ONE dictionary-encoded column — the reference's exact
+    shape; at corpus scale serve role counts from the DISTRIBUTED twin
+    (``functions.aggregates`` / the ``role_stats`` registry query)
+    instead and keep this endpoint for the bounded dashboards."""
     m = load_json(build_mod.build_manifest_path(out_dir)) or {}
     stats = m.get("stats", {})
-    t = pq.read_table(build_mod.docs_dir(out_dir), columns=["role"])
+    t = pq.read_table(
+        build_mod.docs_dir(out_dir), columns=["role"], read_dictionary=["role"]
+    )
     per_role = (
         t.group_by("role").aggregate([([], "count_all")]).to_pylist()
     )

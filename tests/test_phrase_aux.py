@@ -327,6 +327,33 @@ def test_pair_lru_with_live_deltas(aux_index, tmp_path):
     assert eng._pair_lru
 
 
+def test_compact_survives_aux_rebuild_failure(aux_index, tmp_path, monkeypatch):
+    """A failing aux rebuild must NOT fail the compaction (queries fall
+    back to the exact positional path): compact returns ok, the index
+    is fully folded, and load_aux reports no (stale) aux."""
+    import shutil
+
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines import delta
+
+    out = str(tmp_path / "failbase")
+    shutil.copytree(aux_index["out_dir"], out)
+    conv = SearchEngine(out).search(datagen.stem(0), limit=1)["data"].to_pylist()[0]["conv_id"]
+    assert delta.reindex_conversations(out, [conv])["result"]
+
+    def boom(*a, **k):
+        raise RuntimeError("injected aux rebuild failure")
+
+    monkeypatch.setattr(aux_mod, "build_phrase_aux", boom)
+    r = compact_mod.compact(out)
+    assert r["result"], r
+    assert aux_mod.load_aux(out) is None
+    eng = SearchEngine(out)
+    assert not eng._has_deltas and not eng._aux_pairs
+    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    assert eng.search(q, mode="phrase", limit=5)["result"]
+
+
 def test_aux_budget_in_manifest(aux_index):
     m = aux_mod.load_aux(aux_index["out_dir"])
     assert m["top_terms"] == 24 and m["top_pairs"] == 128

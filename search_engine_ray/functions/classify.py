@@ -448,7 +448,10 @@ def nb_classify(ds, label_col: str = "source", id_col: str = "doc_id",
     folded_ds = _nb_counts_ds(ds, label_col, text_col)
     if mode == "join":
         return _nb_score_joined(ds, folded_ds, id_col, text_col)
-    folded_ds = folded_ds.materialize()  # count + (take_all | join) share it
+    # materialize FIRST: the fold's COMPUTE is a corpus-scale analyze
+    # but its OUTPUT is vocabulary-sized — pin the output so the bound
+    # count and whichever scorer runs share one execution
+    folded_ds = folded_ds.materialize()
     n_rows = folded_ds.count()
     if n_rows > broadcast_max_rows:
         return _nb_score_joined(ds, folded_ds, id_col, text_col)

@@ -437,7 +437,7 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     k: int = SHINGLE_K,
     threshold: float = JACCARD_THRESHOLD,
-    concurrency=actor_pool(), max_restarts=0,
+    concurrency=None, max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Candidate pairs from LSH band collisions, verified with EXACT
@@ -457,7 +457,9 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={"id_col": id_col, "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # None -> CPU-proportional at CALL time (a def-time actor_pool()
+        # default would freeze the pre-ray.init floor at import)
+        concurrency=concurrency or actor_pool(),
         max_restarts=0,
     )
 
@@ -711,7 +713,7 @@ def simhash_pairs(
     ds: rd.Dataset,
     id_col: str = "doc_id",
     max_hamming: int = SIMHASH_MAX_HAMMING,
-    concurrency=actor_pool(), max_restarts=0,
+    concurrency=None, max_restarts=0,
     max_group: int = 5000,
 ) -> pa.Table:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
@@ -725,7 +727,7 @@ def simhash_pairs(
     pairs; cap only trades recall on that pathological key)."""
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=concurrency or actor_pool(),
         max_restarts=0,
     )
 

@@ -581,16 +581,17 @@ def hash_join(
         if how in ("right", "full"):
             mode = "shuffle"
         else:
-            # materialize once: the plan-choice count() is then free
-            # metadata, and WHICHEVER plan runs reuses the same cached
-            # blocks — a lazy count() would execute the right side and
-            # throw the blocks away, paying the pipeline twice
-            right = right.materialize()
-            mode = (
-                "broadcast"
-                if right.count() <= broadcast_max_rows
-                else "shuffle"
-            )
+            # the plan-choice count streams (blocks released); ONLY a
+            # small right — the broadcast case, where the driver pull
+            # needs the blocks again anyway — materializes. Pinning
+            # unconditionally would hold a corpus-sized right in the
+            # object store for the life of a shuffle join; the small
+            # side's one cheap re-execution is the right price
+            if right.count() <= broadcast_max_rows:
+                right = right.materialize()
+                mode = "broadcast"
+            else:
+                mode = "shuffle"
 
     if mode == "broadcast":
         tabs = [t for t in ray.get(right.materialize().to_arrow_refs()) if t.num_rows]
@@ -951,15 +952,17 @@ def semi_join(
         return pa.table({"k": pa.array(np.unique(v), pa.int64())})
 
     # every path below touches ONLY the right key column — project it
-    # out up front so (a) no payload bytes move, (b) the auto-mode
-    # count and the chosen plan share ONE materialized execution
-    # instead of re-running the right pipeline per consumer
+    # out up front so no payload bytes ever move. In auto mode the
+    # count streams; only a small (broadcast-bound) key set
+    # materializes for the driver fold — a corpus-sized right never
+    # pins in the object store
     right = right.select_columns([right_on])
     if mode == "auto":
-        right = right.materialize()
-        mode = (
-            "broadcast" if right.count() <= broadcast_max_rows else "shuffle"
-        )
+        if right.count() <= broadcast_max_rows:
+            right = right.materialize()
+            mode = "broadcast"
+        else:
+            mode = "shuffle"
 
     if mode == "broadcast":
         tabs = [

@@ -102,12 +102,14 @@ def merge_upsert(
         )
 
     if mode == "auto":
-        # materialize once: the bound count and whichever plan runs
-        # share the same cached execution of the changes pipeline
-        changes = changes.materialize()
-        mode = (
-            "broadcast" if changes.count() <= broadcast_max_rows else "shuffle"
-        )
+        # count streams; only a broadcast-bound (small) changes side
+        # materializes — the driver pull needs those blocks anyway,
+        # and a big side must not pin in the object store
+        if changes.count() <= broadcast_max_rows:
+            changes = changes.materialize()
+            mode = "broadcast"
+        else:
+            mode = "shuffle"
 
     if mode == "broadcast":
         tabs = [

@@ -203,6 +203,10 @@ def k_suppress(
     if mode == "shuffle":
         return _shuffle_plan()
 
+    # materialize FIRST: the audit's COMPUTE is corpus-scale but its
+    # OUTPUT is combo-domain-sized — pinning the output lets the bound
+    # count and the take_all share one execution (an over-bound result
+    # is discarded promptly on the shuffle fallback)
     under = k_anonymity_audit(ds, quasi_cols, k).materialize()
     n_combos = under.count()
     if n_combos > max_combos_broadcast:

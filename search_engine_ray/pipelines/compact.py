@@ -810,6 +810,12 @@ def _finish(
     # chase a path that no longer exists (FileNotFoundError)
     ddir = os.path.abspath(delta_mod.delta_dir(out_dir))
     src_dir = os.path.join(out_dir, "sources")
+    # filenames carry the COMPACTION CYCLE: generation numbering
+    # restarts at gen-0001 after every compaction (the delta dir is
+    # wiped), so a bare gen-relative name would collide across cycles
+    # and a later fold would overwrite an earlier conv's persisted
+    # source while its carried-forward override still points there
+    cycle = len(m.get("compactions") or [])
     persisted: dict[str, str] = {}
     for cid, info in latest.items():
         if not info["input_paths"]:
@@ -821,7 +827,9 @@ def _finish(
                 dst = persisted.get(ap)
                 if dst is None:
                     dst = os.path.join(
-                        src_dir, "-".join(os.path.relpath(ap, ddir).split(os.sep))
+                        src_dir,
+                        f"c{cycle:04d}-"
+                        + "-".join(os.path.relpath(ap, ddir).split(os.sep)),
                     )
                     os.makedirs(src_dir, exist_ok=True)
                     shutil.copy2(ap, dst)
@@ -871,17 +879,36 @@ def _finish(
         pass
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(jp)
+    aux_rebuilt: bool | None = None
+    aux_error: str | None = None
     if old_aux is not None and manifest["stats"].get("positions"):
         # fold the aux forward: rebuild against the compacted base at
         # the same budget (override-aware — the stale stage-A convs are
         # re-emitted from their persisted sources). Failure is
-        # non-fatal: queries fall back to the exact positional path.
+        # non-fatal (queries fall back to the exact positional path)
+        # but NOT silent: the result carries the outcome and the error
+        # is logged, so a lost aux is operator-visible.
         try:
             _aux_mod.build_phrase_aux(
                 out_dir,
                 top_terms=int(old_aux["top_terms"]),
                 top_pairs=int(old_aux["top_pairs"]),
             )
-        except Exception:
-            pass
-    return {"result": True, "error": None, "generations": len(gens)}
+            aux_rebuilt = True
+        except Exception as e:  # noqa: BLE001 — aux loss must not fail the fold
+            aux_rebuilt = False
+            aux_error = f"{type(e).__name__}: {e}"
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "compaction succeeded but the phrase-aux rebuild failed "
+                "(%s) — hot-hot phrase queries take the exact path until "
+                "a manual `phrase-aux` rebuild", aux_error,
+            )
+    return {
+        "result": True,
+        "error": None,
+        "generations": len(gens),
+        **({} if aux_rebuilt is None else
+           {"aux_rebuilt": aux_rebuilt, "aux_error": aux_error}),
+    }

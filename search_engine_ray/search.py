@@ -448,6 +448,9 @@ class SearchEngine:
     def _pair_cache_put(self, pr: tuple[str, str], payload: tuple) -> None:
         nbytes = sum(int(x.nbytes) for x in payload)
         if nbytes <= self.PAIR_CACHE_MAX_BYTES:
+            old = self._pair_lru.pop(pr, None)
+            if old is not None:  # re-put: release the displaced bytes
+                self._pair_lru_bytes -= sum(int(x.nbytes) for x in old)
             self._pair_lru[pr] = payload
             self._pair_lru_bytes += nbytes
         while self._pair_lru_bytes > self.PAIR_CACHE_MAX_BYTES and self._pair_lru:

@@ -57,13 +57,20 @@ def read_clean_parquet(paths, columns=None, **read_kwargs) -> ray.data.Dataset:
             files = []
             for p in plist:
                 if os.path.isdir(p):
-                    files.extend(
-                        os.path.join(p, f)
-                        for f in os.listdir(p)
-                        if f.endswith(".parquet")
-                    )
+                    # RECURSIVE: hive-partitioned layouts nest their
+                    # files one level down — a top-level listdir would
+                    # see zero parquet files, compute disk=0 and force
+                    # the whole dataset into ONE block
+                    for dp, _dn, fn in os.walk(p):
+                        files.extend(
+                            os.path.join(dp, f)
+                            for f in fn
+                            if f.endswith(".parquet")
+                        )
                 else:
                     files.append(p)
+            if not files:
+                raise OSError("no parquet files found for block sizing")
             disk = sum(os.path.getsize(f) for f in files)
             nrows = 0
             try:

@@ -184,6 +184,34 @@ def test_update_snippets_survive_compaction(tmp_path, tiny_corpus, ray_session):
         assert "xrewrittentok" in row["snippet"].replace("<b>", "").replace("</b>", "")
 
 
+def test_persisted_sources_survive_repeated_compactions(tmp_path, tiny_corpus, ray_session):
+    """Regression: delta generation numbering RESTARTS at gen-0001
+    after each compaction, so persisted-source filenames must carry the
+    compaction cycle — a bare gen-relative name lets a later fold
+    overwrite an earlier conv's source while its carried-forward
+    text_override still points there (stale/empty snippets)."""
+    from search_engine_ray.pipelines import compact as compact_mod
+
+    out = str(tmp_path / "idx")
+    build.build_index(BuildConfig(
+        input_paths=tiny_corpus, out_dir=out, n_partitions=2, concurrency=2
+    ))
+    s1, s2 = datagen.stem(45), datagen.stem(46)
+    r = delta.update_by_query(out, s1, r"(?i)\b" + s1 + r"\w*", "xfirsttok")
+    assert r["result"] and r["updated"] > 0
+    assert compact_mod.compact(out)["result"]
+    r = delta.update_by_query(out, s2, r"(?i)\b" + s2 + r"\w*", "xsecondtok")
+    assert r["result"] and r["updated"] > 0
+    res = compact_mod.compact(out)
+    assert res["result"] and res.get("aux_rebuilt") is None  # no aux here
+    eng = SearchEngine(out)
+    for tok in ("xfirsttok", "xsecondtok"):
+        hits = eng.search(tok, limit=3, with_snippets=True)
+        assert hits["count"] > 0, tok
+        for row in hits["data"].to_pylist():
+            assert tok in row["snippet"].replace("<b>", "").replace("</b>", ""), tok
+
+
 def test_update_no_match_and_guards(tmp_path, tiny_corpus):
     out = str(tmp_path / "idx")
     build.build_index(BuildConfig(

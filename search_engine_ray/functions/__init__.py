@@ -23,12 +23,16 @@ def actor_pool(frac: float = 0.5, floor: int = 2, cap: int | None = None
     here is a SCALE BUG: ``concurrency=(1, 4)`` runs four actors on a
     256-node cluster. Never initializes Ray (the driver contract owns
     the session) — uninitialized callers get the floor."""
+    import os
+
     import ray
 
-    ncpu = (
-        int(ray.cluster_resources().get("CPU", 0))
-        if ray.is_initialized()
-        else 0
-    )
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 0))
+    else:
+        # Ray will AUTO-INIT a local cluster sized to the machine when
+        # the dataset executes — size the pool to that future cluster
+        # rather than freezing at the floor
+        ncpu = os.cpu_count() or 0
     n = max(floor, int(ncpu * frac))
     return (1, min(n, cap) if cap else n)

@@ -389,8 +389,13 @@ def region_revenue(
     from .joins import semi_join
 
     if Q5_PREFILTER:
-        ords = ords.materialize()  # consumed by the filter keys AND j1
+        # the bound COUNT streams (blocks released); only an
+        # under-bound (small) projection materializes — then the filter
+        # keys and j1 share its cached blocks. Materializing before the
+        # gate would pin a corpus-sized fact projection exactly when
+        # the prefilter is skipped (the hash_join auto-mode rule).
         if ords.count() <= 2_000_000:
+            ords = ords.materialize()
             line = semi_join(line, ords, "l_orderkey", "o_orderkey",
                              mode="broadcast")
 
@@ -1917,12 +1922,15 @@ def nation_volume(
     if Q5_PREFILTER:
         from .joins import semi_join
 
-        cust = cust.materialize()  # filter keys AND j1 share it
+        # gate BEFORE materialize (the region_revenue / hash_join
+        # auto-mode rule): counts stream, only under-bound projections
+        # pin, and the filter keys + j1 then share the cached blocks
         if cust.count() <= 2_000_000:
+            cust = cust.materialize()
             ords = semi_join(ords, cust, "o_custkey", "c_custkey",
                              mode="broadcast")
-        ords = ords.materialize()  # filter keys AND j1 share it
         if ords.count() <= 2_000_000:
+            ords = ords.materialize()
             line = semi_join(line, ords, "l_orderkey", "o_orderkey",
                              mode="broadcast")
 

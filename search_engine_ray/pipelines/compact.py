@@ -503,9 +503,17 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
             build_mod.build_manifest_path(out_dir), journal["manifest"]
         )
         shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
+        _drop_stale_aux(out_dir)
         shutil.rmtree(_tmp_root(out_dir), ignore_errors=True)
         os.remove(jp)
-        return {"result": True, "error": None, "generations": journal["n_gens"]}
+        return {
+            "result": True,
+            "error": None,
+            "generations": journal["n_gens"],
+            # the journaled budget lets the crash-resume fold the aux
+            # forward exactly like the uninterrupted path
+            **_fold_aux_forward(out_dir, journal.get("aux")),
+        }
 
     m = load_json(build_mod.build_manifest_path(out_dir))
     if not m:
@@ -850,6 +858,19 @@ def _finish(
         {"tmp": dict_tmp, "final": build_mod.lemma_dict_path(out_dir)},
         {"tmp": convs_tmp, "final": os.path.join(out_dir, "convs.parquet")},
     ]
+    # capture the pre-compaction aux budget BEFORE the journal is
+    # written (load_aux md5-checks against the CURRENT build.json) and
+    # record it IN the journal, so a crash-resume can still fold the
+    # aux forward — the pre-crash manifest is gone by resume time
+    from . import phrase_aux as _aux_mod
+
+    old_aux = _aux_mod.load_aux(out_dir)
+    aux_budget = (
+        {"top_terms": int(old_aux["top_terms"]),
+         "top_pairs": int(old_aux["top_pairs"])}
+        if old_aux is not None and manifest["stats"].get("positions")
+        else None
+    )
     write_json_atomic(
         jp,
         {
@@ -857,58 +878,80 @@ def _finish(
             "entries": entries,
             "manifest": manifest,
             "n_gens": len(gens),
+            "aux": aux_budget,
         },
     )
     if os.environ.get("GRAFT_COMPACT_CRASH") == "mid_swap":
         _swap_in(out_dir, entries[:1])  # torn state for the recovery test
         raise RuntimeError("injected compaction crash mid-swap")
-    # capture the pre-compaction aux budget BEFORE build.json is
-    # rewritten (load_aux md5-checks against the current manifest)
-    from . import phrase_aux as _aux_mod
-
-    old_aux = _aux_mod.load_aux(out_dir)
     _swap_in(out_dir, entries)
     write_json_atomic(build_mod.build_manifest_path(out_dir), manifest)
     shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
-    # the hot-bigram aux reflects the PRE-compaction base; the rewritten
-    # build.json already invalidates it (md5 guard in phrase_aux)
+    _drop_stale_aux(out_dir)
+    # GC superseded persisted sources: a conv whose override was
+    # replaced this cycle leaves its previous cycle's file unreferenced
+    # — without this, repeated update->compact cycles grow <out>/sources
+    # without bound
+    if os.path.isdir(src_dir):
+        referenced = {
+            os.path.abspath(p)
+            for ps in overrides.values()
+            for p in ps
+        }
+        for f in os.listdir(src_dir):
+            fp = os.path.join(src_dir, f)
+            if os.path.abspath(fp) not in referenced:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(jp)
+    return {
+        "result": True,
+        "error": None,
+        "generations": len(gens),
+        **_fold_aux_forward(out_dir, aux_budget),
+    }
+
+
+def _drop_stale_aux(out_dir: str) -> None:
+    """The hot-bigram aux reflects the PRE-compaction base; the
+    rewritten build.json already invalidates it (md5 guard) — this
+    reclaims the dead bytes."""
+    from . import phrase_aux as _aux_mod
+
     shutil.rmtree(_aux_mod.aux_dir(out_dir), ignore_errors=True)
     try:
         os.remove(_aux_mod.aux_manifest_path(out_dir))
     except OSError:
         pass
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.remove(jp)
-    aux_rebuilt: bool | None = None
-    aux_error: str | None = None
-    if old_aux is not None and manifest["stats"].get("positions"):
-        # fold the aux forward: rebuild against the compacted base at
-        # the same budget (override-aware — the stale stage-A convs are
-        # re-emitted from their persisted sources). Failure is
-        # non-fatal (queries fall back to the exact positional path)
-        # but NOT silent: the result carries the outcome and the error
-        # is logged, so a lost aux is operator-visible.
-        try:
-            _aux_mod.build_phrase_aux(
-                out_dir,
-                top_terms=int(old_aux["top_terms"]),
-                top_pairs=int(old_aux["top_pairs"]),
-            )
-            aux_rebuilt = True
-        except Exception as e:  # noqa: BLE001 — aux loss must not fail the fold
-            aux_rebuilt = False
-            aux_error = f"{type(e).__name__}: {e}"
-            import logging
 
-            logging.getLogger(__name__).warning(
-                "compaction succeeded but the phrase-aux rebuild failed "
-                "(%s) — hot-hot phrase queries take the exact path until "
-                "a manual `phrase-aux` rebuild", aux_error,
-            )
-    return {
-        "result": True,
-        "error": None,
-        "generations": len(gens),
-        **({} if aux_rebuilt is None else
-           {"aux_rebuilt": aux_rebuilt, "aux_error": aux_error}),
-    }
+
+def _fold_aux_forward(out_dir: str, aux_budget: dict | None) -> dict:
+    """Rebuild the aux against the compacted base at its previous
+    budget (override-aware — stale stage-A convs re-emit from persisted
+    sources). Failure is non-fatal (queries fall back to the exact
+    positional path) but NOT silent: the result carries the outcome and
+    the error is logged, so a lost aux is operator-visible."""
+    if not aux_budget:
+        return {}
+    from . import phrase_aux as _aux_mod
+
+    try:
+        _aux_mod.build_phrase_aux(
+            out_dir,
+            top_terms=int(aux_budget["top_terms"]),
+            top_pairs=int(aux_budget["top_pairs"]),
+        )
+        return {"aux_rebuilt": True, "aux_error": None}
+    except Exception as e:  # noqa: BLE001 — aux loss must not fail the fold
+        err = f"{type(e).__name__}: {e}"
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "compaction succeeded but the phrase-aux rebuild failed "
+            "(%s) — hot-hot phrase queries take the exact path until "
+            "a manual `phrase-aux` rebuild", err,
+        )
+        return {"aux_rebuilt": False, "aux_error": err}

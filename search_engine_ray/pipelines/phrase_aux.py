@@ -400,18 +400,34 @@ def _override_pairs(
         cids = sorted(cids)
         ranks = np.searchsorted(convs_np, np.asarray(cids, dtype=object))
         rank_of = {c: int(r) for c, r in zip(cids, ranks)}
-        filters = [
-            [("docid", ">=", int(r) << TURN_BITS),
-             ("docid", "<", (int(r) + 1) << TURN_BITS)]
-            for r in ranks
-        ]
-        keep = (
-            pq.read_table(
-                build_mod.docs_dir(out_dir), columns=["docid"], filters=filters
+        # DNF-pruned read, capped at 1024 disjuncts (the _load_deltas /
+        # _base_old_counts convention — a thousand-way filter expression
+        # costs more than the scan it prunes); past the cap read the
+        # full docid column and mask driver-side
+        if len(ranks) <= 1024:
+            filters = [
+                [("docid", ">=", int(r) << TURN_BITS),
+                 ("docid", "<", (int(r) + 1) << TURN_BITS)]
+                for r in ranks
+            ]
+            keep = (
+                pq.read_table(
+                    build_mod.docs_dir(out_dir), columns=["docid"],
+                    filters=filters,
+                )
+                .column("docid")
+                .to_numpy(zero_copy_only=False)
             )
-            .column("docid")
-            .to_numpy(zero_copy_only=False)
-        )
+        else:
+            allid = (
+                pq.read_table(build_mod.docs_dir(out_dir), columns=["docid"])
+                .column("docid")
+                .to_numpy(zero_copy_only=False)
+            )
+            rk = np.sort(np.asarray(ranks, np.int64))
+            pos = np.searchsorted(rk, allid >> TURN_BITS)
+            posc = np.minimum(pos, len(rk) - 1)
+            keep = allid[rk[posc] == (allid >> TURN_BITS)]
         postings, _docs, _n, _l = delta_mod._analyze_convs(
             list(pths), cids, rank_of,
             keep_docids=np.sort(keep.astype(np.int64)),

@@ -4330,11 +4330,17 @@ class SearchEngine:
             pos_ok
             and not covered
             and len(phrase) == 2
+            and scope is None
             and df_of[phrase[0]] + df_of[phrase[1]] >= self.PAIR_CACHE_MIN_COST
         ):
-            # unindexed hot-hot bigram: the adjacency work below would
-            # be positions-bound anyway — do it ONCE as the full pair
-            # list, cache it, and serve this query from the payload
+            # unindexed hot-hot bigram: an UNSCOPED query's adjacency
+            # work below is the full pair intersection anyway — do it
+            # ONCE as the complete pair list, cache it, and serve this
+            # query from the payload. SCOPED queries never trigger the
+            # build (a selective scope bounds the exact path's work far
+            # below full-pair cost) but DO serve from a cached payload
+            # via the cover loop above (payloads are scope-agnostic;
+            # the full-cover shortcut applies the scope mask).
             payload = self._build_pair_cache(
                 phrase[0], phrase[1], blocks, data
             )

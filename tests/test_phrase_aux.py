@@ -327,6 +327,37 @@ def test_pair_lru_with_live_deltas(aux_index, tmp_path):
     assert eng._pair_lru
 
 
+def test_crash_resume_folds_aux_forward(aux_index, tmp_path, monkeypatch):
+    """A compaction crash mid-swap must not lose the aux invariant:
+    the journal carries the aux budget, and compact(resume=True)
+    finishes the swap AND rebuilds the aux exactly like the
+    uninterrupted path."""
+    import shutil
+
+    from search_engine_ray.pipelines import compact as compact_mod
+    from search_engine_ray.pipelines import delta
+
+    out = str(tmp_path / "crashbase")
+    shutil.copytree(aux_index["out_dir"], out)
+    conv = SearchEngine(out).search(datagen.stem(0), limit=1)["data"].to_pylist()[0]["conv_id"]
+    assert delta.reindex_conversations(out, [conv])["result"]
+    monkeypatch.setenv("GRAFT_COMPACT_CRASH", "mid_swap")
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_mod.compact(out)
+    monkeypatch.delenv("GRAFT_COMPACT_CRASH")
+    r = compact_mod.compact(out, resume=True)
+    assert r["result"] and r.get("aux_rebuilt") is True, r
+    eng = SearchEngine(out)
+    assert eng._aux_pairs and not eng._has_deltas
+    plain = SearchEngine(out)
+    plain._aux_pairs = {}
+    q = f"{datagen.stem(0)} {datagen.stem(1)}"
+    assert (
+        eng.search(q, mode="phrase", limit=20)["data"].to_pylist()
+        == plain.search(q, mode="phrase", limit=20)["data"].to_pylist()
+    )
+
+
 def test_compact_survives_aux_rebuild_failure(aux_index, tmp_path, monkeypatch):
     """A failing aux rebuild must NOT fail the compaction (queries fall
     back to the exact positional path): compact returns ok, the index

@@ -22,7 +22,10 @@ def actor_pool(frac: float = 0.5, floor: int = 2, cap: int | None = None
     lesson in pipelines/build.py), at least ``floor``. A fixed literal
     here is a SCALE BUG: ``concurrency=(1, 4)`` runs four actors on a
     256-node cluster. Never initializes Ray (the driver contract owns
-    the session) — uninitialized callers get the floor."""
+    the session); before ray.init the pool sizes from
+    ``os.cpu_count()`` — the cluster Ray auto-inits locally. A caller
+    targeting a REMOTE cluster should ``ray.init`` before building the
+    pipeline (the machine's count may not match the cluster's)."""
     import os
 
     import ray

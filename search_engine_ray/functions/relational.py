@@ -386,7 +386,7 @@ def region_revenue(
     # to the plain chain — results identical either way, pinned by the
     # shared oracle. Only KEYS broadcast, never rows (the
     # corpus-scale-customer rule in the plan docstring holds).
-    from .joins import semi_join
+    from .joins import BROADCAST_MAX_ROWS, semi_join
 
     if Q5_PREFILTER:
         # the bound COUNT streams (blocks released); only an
@@ -394,7 +394,7 @@ def region_revenue(
         # keys and j1 share its cached blocks. Materializing before the
         # gate would pin a corpus-sized fact projection exactly when
         # the prefilter is skipped (the hash_join auto-mode rule).
-        if ords.count() <= 2_000_000:
+        if ords.count() <= BROADCAST_MAX_ROWS:
             ords = ords.materialize()
             line = semi_join(line, ords, "l_orderkey", "o_orderkey",
                              mode="broadcast")
@@ -1920,16 +1920,18 @@ def nation_volume(
     # semi-join would be its own fact exchange); results identical
     # either way, pinned by the shared oracle.
     if Q5_PREFILTER:
-        from .joins import semi_join
+        from .joins import BROADCAST_MAX_ROWS, semi_join
 
         # gate BEFORE materialize (the region_revenue / hash_join
         # auto-mode rule): counts stream, only under-bound projections
         # pin, and the filter keys + j1 then share the cached blocks
-        if cust.count() <= 2_000_000:
+        # (gate constant == semi_join's own enforcement bound, so the
+        # two can never diverge into a hard refusal)
+        if cust.count() <= BROADCAST_MAX_ROWS:
             cust = cust.materialize()
             ords = semi_join(ords, cust, "o_custkey", "c_custkey",
                              mode="broadcast")
-        if ords.count() <= 2_000_000:
+        if ords.count() <= BROADCAST_MAX_ROWS:
             ords = ords.materialize()
             line = semi_join(line, ords, "l_orderkey", "o_orderkey",
                              mode="broadcast")

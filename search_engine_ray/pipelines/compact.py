@@ -504,6 +504,9 @@ def compact(out_dir: str, *, resume: bool = False, mode: str = "minor") -> dict:
         )
         shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
         _drop_stale_aux(out_dir)
+        _gc_sources(
+            out_dir, journal["manifest"].get("text_overrides") or {}
+        )
         shutil.rmtree(_tmp_root(out_dir), ignore_errors=True)
         os.remove(jp)
         return {
@@ -888,23 +891,7 @@ def _finish(
     write_json_atomic(build_mod.build_manifest_path(out_dir), manifest)
     shutil.rmtree(delta_mod.delta_dir(out_dir), ignore_errors=True)
     _drop_stale_aux(out_dir)
-    # GC superseded persisted sources: a conv whose override was
-    # replaced this cycle leaves its previous cycle's file unreferenced
-    # — without this, repeated update->compact cycles grow <out>/sources
-    # without bound
-    if os.path.isdir(src_dir):
-        referenced = {
-            os.path.abspath(p)
-            for ps in overrides.values()
-            for p in ps
-        }
-        for f in os.listdir(src_dir):
-            fp = os.path.join(src_dir, f)
-            if os.path.abspath(fp) not in referenced:
-                try:
-                    os.remove(fp)
-                except OSError:
-                    pass
+    _gc_sources(out_dir, overrides)
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(jp)
     return {
@@ -913,6 +900,26 @@ def _finish(
         "generations": len(gens),
         **_fold_aux_forward(out_dir, aux_budget),
     }
+
+
+def _gc_sources(out_dir: str, overrides: dict) -> None:
+    """GC superseded persisted sources: a conv whose override was
+    replaced this cycle leaves its previous cycle's file unreferenced —
+    without this, repeated update->compact cycles grow <out>/sources
+    without bound. Runs on BOTH the normal and the crash-resume path."""
+    src_dir = os.path.join(out_dir, "sources")
+    if not os.path.isdir(src_dir):
+        return
+    referenced = {
+        os.path.abspath(p) for ps in (overrides or {}).values() for p in ps
+    }
+    for f in os.listdir(src_dir):
+        fp = os.path.join(src_dir, f)
+        if os.path.abspath(fp) not in referenced:
+            try:
+                os.remove(fp)
+            except OSError:
+                pass
 
 
 def _drop_stale_aux(out_dir: str) -> None:

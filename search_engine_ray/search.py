@@ -4331,6 +4331,7 @@ class SearchEngine:
             and not covered
             and len(phrase) == 2
             and scope is None
+            and last_alts is None
             and df_of[phrase[0]] + df_of[phrase[1]] >= self.PAIR_CACHE_MIN_COST
         ):
             # unindexed hot-hot bigram: an UNSCOPED query's adjacency

@@ -368,6 +368,21 @@ class SearchEngine:
             self._analyzer = importlib.import_module(amod)
         else:
             self._analyzer = analyzer
+        # token-level helpers for the expansion surfaces (suggest /
+        # prefix / wildcard / fuzzy / analyze): use the BOUND analyzer's
+        # exports when present (a custom module folds/normalizes its own
+        # way — default-module calls would expand lemmas the index never
+        # produced), falling back per attribute to the default module
+        self._norm_text = getattr(
+            self._analyzer, "normalize_text", analyzer.normalize_text
+        )
+        self._lemmatize_token = getattr(
+            self._analyzer, "lemmatize_token", analyzer.lemmatize_token
+        )
+        self._stopset = getattr(self._analyzer, "_STOPSET", analyzer._STOPSET)
+        self._min_token_len = int(getattr(
+            self._analyzer, "MIN_TOKEN_LEN", analyzer.MIN_TOKEN_LEN
+        ))
         self.k1: float = m["config"]["k1"]
         self.b: float = m["config"]["b"]
         self.n_docs: int = m["stats"]["n_docs"]
@@ -1544,13 +1559,21 @@ class SearchEngine:
             return None
         if isinstance(v, (int, np.integer)):
             return int(v)
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta, timezone
 
         if isinstance(v, str):
-            v = datetime.fromisoformat(v)
+            v = datetime.fromisoformat(v)  # ValueError -> caller's bad_ts
+        if not isinstance(v, datetime):
+            raise ValueError(f"unsupported ts bound {v!r}")
         if v.tzinfo is None:
             v = v.replace(tzinfo=timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+        # INTEGER epoch-µs: float64 timestamp() rounds ~1% of
+        # microsecond values 1 µs low, breaking the inclusive-bound /
+        # oracle-exact contract at the boundary (measured 2489/200000
+        # round-trip mismatches) — timedelta floor-division is exact
+        return (v - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+            microseconds=1
+        )
 
     def _ts_of_ids(self, ids: np.ndarray) -> np.ndarray:
         """Epoch-µs ts per (live) docid, vectorized. Below the enrichment
@@ -1643,6 +1666,14 @@ class SearchEngine:
         empty = METRICS_SCHEMA.empty_table()
         if not fields or not set(fields) <= {"doc_len", "ts"}:
             return {**self._resp(error="bad_field"), "data": empty}
+        try:
+            percentiles = tuple(int(q) for q in percentiles)
+        except (TypeError, ValueError):
+            return {**self._resp(error="bad_percentiles"), "data": empty}
+        if any(not 1 <= q <= 100 for q in percentiles):
+            # q=0 would index v[-1] (the MAX labelled as p0), q>100
+            # would IndexError — validate like the sibling surfaces
+            return {**self._resp(error="bad_percentiles"), "data": empty}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": empty}
         terms, err = self.plan(query_text)
@@ -1659,14 +1690,21 @@ class SearchEngine:
                 self._dl_of_ids(uniq) if field == "doc_len" else self._ts_of_ids(uniq)
             )
             n = len(v)
-            # exact big-int sum: chunked int64 partials of (v - v_min)
-            # (each chunk bounded well below 2^63), Python-int total
+            # exact big-int sum: chunked int64 partials of (v - base)
+            # with the chunk size derived from the VALUE SPAN so a
+            # chunk sum can never reach 2^62 — a fixed 10k chunk wraps
+            # silently once the span passes ~9.2e14 (a ts span of ~29
+            # years) and numpy does not raise
             base = int(v[0])
-            total = base * n + sum(
-                int((v[i: i + 10_000] - base).sum())
-                for i in range(0, n, 10_000)
+            span = int(v[-1]) - base
+            chunk = 10_000 if span == 0 else max(
+                1, min(10_000, (1 << 62) // span)
             )
-            pcts = [int(v[(int(q) * n + 99) // 100 - 1]) for q in percentiles]
+            total = base * n + sum(
+                int((v[i: i + chunk] - base).sum())
+                for i in range(0, n, chunk)
+            )
+            pcts = [int(v[(q * n + 99) // 100 - 1]) for q in percentiles]
             rows.append((field, n, base, int(v[-1]), total // n, *pcts))
         rows.sort()
         tbl = pa.table(
@@ -2081,6 +2119,12 @@ class SearchEngine:
         empty = TOP_HITS_SCHEMA.empty_table()
         if by not in ("role", "tool"):
             return {**self._resp(error="bad_group"), "data": empty}
+        try:
+            per_group = int(per_group)
+        except (TypeError, ValueError):
+            return {**self._resp(error="bad_per_group"), "data": empty}
+        if per_group < 1:
+            return {**self._resp(error="bad_per_group"), "data": empty}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": empty}
         terms, err = self.plan(query_text)
@@ -2309,8 +2353,8 @@ class SearchEngine:
         module binding. -> {'result', 'count', 'data': pa.Table(pos,
         token, lemma), 'error'}"""
         toks = [
-            t for t in analyzer.normalize_text(text or "").split()
-            if len(t) >= analyzer.MIN_TOKEN_LEN and t not in analyzer._STOPSET
+            t for t in self._norm_text(text or "").split()
+            if len(t) >= self._min_token_len and t not in self._stopset
         ]
         lems = [self._analyzer.analyze_query(t) or [t] for t in toks]
         tbl = pa.table(
@@ -3122,6 +3166,13 @@ class SearchEngine:
         if size <= 0:
             return {**self._resp(error="bad_size"), "data": empty,
                     "after_key": None}
+        if after is not None and (
+            not isinstance(after, (tuple, list)) or len(after) != 2
+        ):
+            # a malformed resume key must be an error response, not an
+            # IndexError (the bad_cursor convention)
+            return {**self._resp(error="bad_after"), "data": empty,
+                    "after_key": None}
         if not self.valid_scope(scope):
             return {**self._resp(error="bad_scope"), "data": empty,
                     "after_key": None}
@@ -3786,7 +3837,7 @@ class SearchEngine:
         ``filters=[('lemma','>=',p),('lemma','<',p+chr(0x10FFFF))]``
         prunes to the matching groups (no vocabulary-sized driver
         state). Returns [(lemma, df), ...]."""
-        toks = analyzer.normalize_text(prefix or "").split()
+        toks = self._norm_text(prefix or "").split()
         if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
             return []
         p = toks[0]
@@ -3901,7 +3952,7 @@ class SearchEngine:
         empty = COMPLETE_SCHEMA.empty_table()
         if k <= 0:
             return {**self._resp(error="bad_k"), "data": empty}
-        toks = analyzer.normalize_text(prefix or "").split()
+        toks = self._norm_text(prefix or "").split()
         if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
             return {**self._resp(error="short_prefix"), "data": empty}
         hits = self.expand_prefix(prefix, max_expansion=1 << 30)
@@ -3935,7 +3986,7 @@ class SearchEngine:
         still be suggested with its stale df until then (a vocabulary
         hint, not a result set — searching it simply returns 0 docs;
         drift is bounded by the delta volume)."""
-        toks = analyzer.normalize_text(term or "").split()
+        toks = self._norm_text(term or "").split()
         if not toks:
             return pa.table(
                 {"suggestion": pa.array([], pa.string()),
@@ -4007,8 +4058,8 @@ class SearchEngine:
         'corrected', 'changed': bool, 'count' (surviving tokens),
         'data': pa.Table(pos, token, suggestion, df, dist), 'error'}"""
         toks = [
-            t for t in analyzer.normalize_text(query_text or "").split()
-            if len(t) >= analyzer.MIN_TOKEN_LEN and t not in analyzer._STOPSET
+            t for t in self._norm_text(query_text or "").split()
+            if len(t) >= self._min_token_len and t not in self._stopset
         ]
         empty = SUGGEST_QUERY_SCHEMA.empty_table()
         if not toks:
@@ -4016,7 +4067,7 @@ class SearchEngine:
                     "corrected": "", "changed": False}
         rows = []
         for pos, tok in enumerate(toks):
-            lem = analyzer.lemmatize_token(tok)
+            lem = self._lemmatize_token(tok)
             df = self._df_of(lem)
             if df is not None:
                 rows.append((pos, tok, lem, int(df), _lev(lem, tok)))
@@ -4781,6 +4832,33 @@ class SearchEngine:
             return self._resp(error="bad_collapse")
         if order_by not in ("score", "ts_desc", "ts_asc", "rrf"):
             return self._resp(error="bad_order")
+        # page sanity: Python slicing makes ids[-1:] the LAST row, so a
+        # negative offset would silently return a wrong page as success
+        try:
+            offset, limit = int(offset), int(limit)
+        except (TypeError, ValueError):
+            return self._resp(error="bad_page")
+        if offset < 0 or limit < 0:
+            return self._resp(error="bad_page")
+        # ts bounds validate ONCE up front — garbage must be a bad_ts
+        # response, not an exception escaping to the HTTP layer — and
+        # pass down as exact int epoch-µs
+        try:
+            ts_min = self._ts_us(ts_min)
+            ts_max = self._ts_us(ts_max)
+        except (ValueError, TypeError, OverflowError):
+            return self._resp(error="bad_ts")
+        # the filtering surfaces route through the exhaustive bm25
+        # scorer ONLY; every other mode returns before that gate, so
+        # accepting the combination would report success on silently
+        # UNFILTERED results (the synonyms/boosts/decay convention:
+        # reject, don't ignore)
+        if mode != "bm25" and (
+            exclude is not None or ts_min is not None or ts_max is not None
+            or collapse is not None or min_match is not None
+            or order_by != "score" or search_after is not None
+        ):
+            return self._resp(error="bad_filter_mode")
         if synonyms is not None and mode != "bm25":
             return self._resp(error="bad_synonyms")
         if negative is not None:
@@ -4910,7 +4988,7 @@ class SearchEngine:
             phrase = analyze_phrase(" ".join(toks[:-1]))
             if not phrase:
                 return self._resp(error="empty_query")
-            norm_last = analyzer.normalize_text(toks[-1]).split()
+            norm_last = self._norm_text(toks[-1]).split()
             if not norm_last or len(norm_last[0]) < self.PREFIX_MIN_LEN:
                 return self._resp(error="empty_query")
             exp = self.expand_prefix(norm_last[0])
@@ -4930,7 +5008,7 @@ class SearchEngine:
             # expansion — block-max pruning applies unchanged
             exp = self.expand_prefix(query_text)
             if not exp:
-                toks = analyzer.normalize_text(query_text or "").split()
+                toks = self._norm_text(query_text or "").split()
                 if not toks or len(toks[0]) < self.PREFIX_MIN_LEN:
                     return self._resp(error="empty_query")
                 return self._resp(count=0)
@@ -5009,7 +5087,7 @@ class SearchEngine:
             # and postings DO fold through the overlay below.
             if not 0 <= fuzzy_dist <= 3:
                 return self._resp(error="bad_fuzzy_dist")
-            toks = analyzer.normalize_text(query_text or "").split()
+            toks = self._norm_text(query_text or "").split()
             if not toks:
                 return self._resp(error="empty_query")
             seen: dict[str, int] = {}

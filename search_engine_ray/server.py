@@ -258,6 +258,22 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802 (stdlib API)
+            # global malformed-parameter net: a garbage ts bound, a
+            # wrong-shaped cursor, a non-numeric size must produce a
+            # JSON error response, never a crashed connection
+            try:
+                self._do_get_inner()
+            except Exception as e:  # noqa: BLE001 — surface, don't die
+                try:
+                    self._send(
+                        400,
+                        {"result": False,
+                         "error": f"bad_request: {type(e).__name__}"},
+                    )
+                except Exception:  # noqa: BLE001 — client went away
+                    pass
+
+        def _do_get_inner(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
             if u.path == "/":
@@ -859,6 +875,19 @@ def make_server(out_dir: str, host: str = "127.0.0.1", port: int = 8080):
                 self._send(404, {"result": False, "error": "unknown_endpoint"})
 
         def do_POST(self):  # noqa: N802
+            try:
+                self._do_post_inner()
+            except Exception as e:  # noqa: BLE001 — surface, don't die
+                try:
+                    self._send(
+                        400,
+                        {"result": False,
+                         "error": f"bad_request: {type(e).__name__}"},
+                    )
+                except Exception:  # noqa: BLE001 — client went away
+                    pass
+
+        def _do_post_inner(self):
             u = urlparse(self.path)
             q = parse_qs(u.query)
             if u.path == "/api/msearch":

@@ -2672,3 +2672,47 @@ def test_percolate_indexed_query_set_scales_flat(tiny_corpus):
     # flatness: 100x queries must NOT cost ~100x (loose 6x bound — VM
     # noise headroom; the pre-index design measured ~linear)
     assert t_big < 6 * max(t_small, 0.5), (t_small, t_big)
+
+
+def test_malformed_parameter_responses(engine):
+    """Round-5 hardening: malformed parameters produce error RESPONSES
+    (the bad_* convention), never exceptions; filters that only the
+    exhaustive bm25 route applies are REJECTED in other modes instead
+    of silently ignored."""
+    from search_engine_ray import datagen
+
+    q = datagen.stem(0)
+    assert engine.search(q, ts_min="not-a-date")["error"] == "bad_ts"
+    assert engine.search(q, ts_min=3.5)["error"] == "bad_ts"
+    assert engine.search(q, offset=-1)["error"] == "bad_page"
+    assert engine.search(q, limit=-5)["error"] == "bad_page"
+    # non-bm25 modes never reach the filter gate: reject, don't ignore
+    r = engine.search(f"{q} {datagen.stem(1)}", mode="phrase", exclude=q)
+    assert r["error"] == "bad_filter_mode"
+    r = engine.search(q, mode="near", ts_min=0)
+    assert r["error"] == "bad_filter_mode"
+    r = engine.search(q, mode="reference", order_by="ts_desc")
+    assert r["error"] == "bad_filter_mode"
+    # metrics/top_hits/composite parameter shapes
+    assert engine.metrics(q, percentiles=(0,))["error"] == "bad_percentiles"
+    assert engine.metrics(q, percentiles=(150,))["error"] == "bad_percentiles"
+    assert engine.top_hits(q, per_group=0)["error"] == "bad_per_group"
+    assert engine.top_hits(q, per_group="three")["error"] == "bad_per_group"
+    assert engine.facets_composite(q, after=("user",))["error"] == "bad_after"
+    assert engine.facets_composite(q, after=5)["error"] == "bad_after"
+
+
+def test_ts_bound_exact_microseconds(engine):
+    """_ts_us is EXACT integer epoch-µs for ISO strings: float64
+    timestamp() rounds ~1% of microsecond values 1 µs low, silently
+    breaking the inclusive-bound contract at the boundary."""
+    import numpy as np
+
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    rng = np.random.default_rng(7)
+    for us in rng.integers(0, 2_000_000_000_000_000, size=2000):
+        us = int(us)
+        iso = (epoch + timedelta(microseconds=us)).isoformat()
+        assert engine._ts_us(iso) == us, (iso, us)
